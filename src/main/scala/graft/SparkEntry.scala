@@ -1,13 +1,220 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, with a DuckDB-equivalent `oracleSql` where the operator is
+  * SQL-expressible.
+  *
+  * Determinism rules (the driver hash-compares values after sorting columns
+  * by name):
+  *  - money aggregates are summed as DECIMAL(18,4) (exact, order-independent)
+  *    then cast to double — identical on the DuckDB side;
+  *  - every computed column is aliased identically in both dialects;
+  *  - timestamps are cast to DATE (or formatted strings) before output;
+  *  - top-k / "pick one" always carries a total tiebreak order.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Exact order-independent sum for 2-decimal money values: per-row the
+    * double product is within 1e-10 of a 4-decimal grid point, so the
+    * decimal(18,4) cast is deterministic; decimal addition is exact.
+    */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,4)")).cast("double")
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Flagship query on sf=0.001 (driver smoke-checks rows>0): revenue by
+    * region — scan→broadcast dim joins→agg, the shape of every loader's
+    * resolve-then-aggregate pipeline (SURVEY §3.1).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val li = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    val n = t(spark, dir, "nation")
+    val r = t(spark, dir, "region")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A-family (SURVEY §2.5): hash aggregation with exact + money sums.
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+    }),
+
+    // P1 (rename/remap projection): util.convertRowFields equivalent.
+    "p1_rename_project" -> ((s, dir) => {
+      t(s, dir, "part").select(
+        col("p_partkey").as("part_id"),
+        lower(trim(col("p_name"))).as("name"),
+        col("p_retailprice").as("retail"))
+    }),
+
+    // P2/P3 (row filters on status fields): cancerhotspots/civic-style gates.
+    "p2_filter_status" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R" && col("l_quantity") >= 30 &&
+          !col("l_linestatus").isin("X"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"))
+    }),
+
+    // P7 (maxRecords limit) with total order for determinism.
+    "p7_limit_topn" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+        .select(col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // P8 (dedup by id, first-wins): deterministic via min-key per group.
+    "p8_dedup_first" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang"), col("source")).orderBy(col("doc_id").asc)
+      t(s, dir, "documents")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
+    // J11 (xref joins): fact→dim→dim chain, dims broadcast.
+    "j11_xref_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("total_bal"))
+    }),
+
+    // J13 (existence/anti join): skip-already-loaded pattern.
+    "j13_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // T1/T2 (preference top-1 per key): newest order per customer.
+    "t1_top1_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("latest_date"))
+    }),
+
+    // §2.7 set ops: EXCEPT (deprecated-id set difference, civic GC pattern).
+    "set_except" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+        .except(o.filter(col("o_orderstatus") === "P").select(col("o_custkey")))
+    }),
+
+    // F13 (date/year extraction) + A-family counters.
+    "f13_year_extract" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).cast("long").as("order_year"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+    }),
+
+    // A7 (consensus aggregation): single consensus value per key else null.
+    "a7_consensus" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(
+          when(countDistinct(col("o_orderpriority")) === 1, min(col("o_orderpriority")))
+            .as("consensus_priority"),
+          count(lit(1)).as("n_orders"))
+    }),
+
+    // A1 (stable hash ids): deterministic md5 of canonical concat.
+    "a1_hash_id" -> ((s, dir) => {
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        md5(concat_ws("|", col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"))).as("hash_id"))
+    })
+  )
+
+  // ------------------------------------------------------------- oracle SQL
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_rows,
+        |  count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "p1_rename_project" ->
+      "SELECT p_partkey AS part_id, lower(trim(p_name)) AS name, p_retailprice AS retail FROM part",
+    "p2_filter_status" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_quantity >= 30 AND l_linestatus NOT IN ('X')""".stripMargin,
+    "p7_limit_topn" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100",
+    "p8_dedup_first" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY lang, source ORDER BY doc_id ASC) AS rn
+        |  FROM documents) WHERE rn = 1""".stripMargin,
+    "j11_xref_join" ->
+      """SELECT r_name, count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1""".stripMargin,
+    "j13_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin,
+    "t1_top1_per_group" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS latest_date FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) WHERE rn = 1""".stripMargin,
+    "set_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'""".stripMargin,
+    "f13_year_extract" ->
+      """SELECT year(o_orderdate) AS order_year, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY 1""".stripMargin,
+    "a7_consensus" ->
+      """SELECT o_custkey,
+        |  CASE WHEN count(DISTINCT o_orderpriority) = 1 THEN min(o_orderpriority) END AS consensus_priority,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY 1""".stripMargin,
+    "a1_hash_id" ->
+      """SELECT o_orderkey,
+        |  md5(concat_ws('|', o_orderkey, o_orderstatus, o_orderpriority)) AS hash_id
+        |FROM orders""".stripMargin
+  )
 }
