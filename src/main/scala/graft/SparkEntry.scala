@@ -157,6 +157,56 @@ object SparkEntry {
         col("o_orderkey"),
         md5(concat_ws("|", col("o_orderkey"), col("o_orderstatus"),
           col("o_orderpriority"))).as("hash_id"))
+    }),
+
+    // J1/J2 (preference-ranked unique resolution) via core.Resolver:
+    // best customer per market segment, broadcast-join + window top-1.
+    "j1_resolve_unique" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val lookups = c.select(col("c_mktsegment").as("segment")).distinct()
+      val r = core.Resolver.resolveUnique(
+        lookups, "segment", c, "c_mktsegment",
+        preference = Seq(col("c_acctbal").desc, col("c_custkey").asc))
+      r.resolved.select(col("segment"), col("c_custkey").as("best_custkey"),
+        col("c_acctbal").as("best_acctbal"))
+    }),
+
+    // K1/K2 (MERGE upsert classification with change detection + soft
+    // delete) via core.GraphStore: target=even orderkeys, updates=multiples
+    // of 3 with a +1.00 price perturbation on multiples of 5.
+    "k1_upsert_classify" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val target = o.filter(col("o_orderkey") % 2 === 0).select(
+        col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
+        col("o_totalprice").as("total"))
+      val updates = o.filter(col("o_orderkey") % 3 === 0).select(
+        col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")).as("total"))
+      core.GraphStore.classify(target, updates,
+        keyCols = Seq("id"), compareCols = Seq("status", "total"),
+        softDelete = true)
+        .select(col("id"), col("total"), col(core.GraphStore.ACTION).as("action"))
+    }),
+
+    // K9 (audit counters): action → count over the same classification.
+    "k2_change_counts" -> ((s, dir) => {
+      queries("k1_upsert_classify")(s, dir)
+        .groupBy(col("action")).agg(count(lit(1)).as("n"))
+    }),
+
+    // J12 (tiered content diff with deterministic residue zip) via
+    // core.DiffMerge: incoming=even keys, existing=multiples of 3.
+    "j12_diff_tiers" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val incoming = o.filter(col("o_orderkey") % 2 === 0).select(
+        col("o_orderkey").as("iid"), col("o_custkey").as("cust"),
+        col("o_orderpriority").as("prio"))
+      val existing = o.filter(col("o_orderkey") % 3 === 0).select(
+        col("o_orderkey").as("eid"), col("o_custkey").as("cust"),
+        col("o_orderpriority").as("prio"))
+      core.DiffMerge.contentMatch(incoming, "iid", existing, "eid",
+        tiers = Seq(Seq("cust", "prio"), Seq("prio")))
     })
   )
 
