@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, with a DuckDB-equivalent `oracleSql` where the operator is
@@ -151,12 +152,21 @@ object SparkEntry {
           count(lit(1)).as("n_orders"))
     }),
 
-    // A1 (stable hash ids): deterministic md5 of canonical concat.
+    // A1 (stable hash ids): sha2 over canonical JSON of NAMED props — the
+    // reference hashes stable-stringified named props (util.js:186-193).
+    // Unlike concat_ws (which silently skips nulls, colliding (a,null,b)
+    // with (a,b,null)), the JSON keeps the field name next to each null.
+    // ignoreNullFields=false so the null fields serialize as `"k":null` on
+    // both engines.
     "a1_hash_id" -> ((s, dir) => {
       t(s, dir, "orders").select(
         col("o_orderkey"),
-        md5(concat_ws("|", col("o_orderkey"), col("o_orderstatus"),
-          col("o_orderpriority"))).as("hash_id"))
+        sha2(to_json(struct(
+          col("o_orderkey"),
+          when(col("o_orderstatus") === "P", lit(null).cast("string"))
+            .otherwise(col("o_orderstatus")).as("status_n"),
+          col("o_orderpriority")),
+          Map("ignoreNullFields" -> "false").asJava), 256).as("hash_id"))
     }),
 
     // J1/J2 (preference-ranked unique resolution) via core.Resolver:
@@ -165,7 +175,7 @@ object SparkEntry {
       val c = t(s, dir, "customer")
       val lookups = c.select(col("c_mktsegment").as("segment")).distinct()
       val r = core.Resolver.resolveUnique(
-        lookups, "segment", c, "c_mktsegment",
+        lookups, "segment", broadcast(c), "c_mktsegment",
         preference = Seq(col("c_acctbal").desc, col("c_custkey").asc))
       r.resolved.select(col("segment"), col("c_custkey").as("best_custkey"),
         col("c_acctbal").as("best_acctbal"))
@@ -196,7 +206,9 @@ object SparkEntry {
     }),
 
     // J12 (tiered content diff with deterministic residue zip) via
-    // core.DiffMerge: incoming=even keys, existing=multiples of 3.
+    // core.DiffMerge: incoming=even keys, existing=multiples of 3. Tiers
+    // join on tight (high-cardinality) keys; the weak residual pairing is
+    // the artificial final pass (distributed zip, no skewed window).
     "j12_diff_tiers" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       val incoming = o.filter(col("o_orderkey") % 2 === 0).select(
@@ -206,7 +218,7 @@ object SparkEntry {
         col("o_orderkey").as("eid"), col("o_custkey").as("cust"),
         col("o_orderpriority").as("prio"))
       core.DiffMerge.contentMatch(incoming, "iid", existing, "eid",
-        tiers = Seq(Seq("cust", "prio"), Seq("prio")))
+        tiers = Seq(Seq("cust", "prio"), Seq("cust")), artificialFinal = true)
     })
   )
 
@@ -264,7 +276,82 @@ object SparkEntry {
         |FROM orders GROUP BY 1""".stripMargin,
     "a1_hash_id" ->
       """SELECT o_orderkey,
-        |  md5(concat_ws('|', o_orderkey, o_orderstatus, o_orderpriority)) AS hash_id
-        |FROM orders""".stripMargin
+        |  sha256(to_json(struct_pack(
+        |    o_orderkey := o_orderkey,
+        |    status_n := nullif(o_orderstatus, 'P'),
+        |    o_orderpriority := o_orderpriority))::VARCHAR) AS hash_id
+        |FROM orders""".stripMargin,
+    "j1_resolve_unique" ->
+      """SELECT c_mktsegment AS segment, c_custkey AS best_custkey, c_acctbal AS best_acctbal
+        |FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
+        |        row_number() OVER (PARTITION BY c_mktsegment
+        |                           ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+        |      FROM customer)
+        |WHERE rn = 1""".stripMargin,
+    "k1_upsert_classify" ->
+      """WITH target AS (
+        |  SELECT o_orderkey AS id, o_orderstatus AS status, o_totalprice AS total
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |updates AS (
+        |  SELECT o_orderkey AS id, o_orderstatus AS status,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS total
+        |  FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT coalesce(u.id, t.id) AS id,
+        |  CASE WHEN u.id IS NOT NULL THEN u.total ELSE t.total END AS total,
+        |  CASE WHEN t.id IS NULL THEN 'create'
+        |       WHEN u.id IS NULL THEN 'delete'
+        |       WHEN (t.status IS DISTINCT FROM u.status)
+        |         OR (t.total IS DISTINCT FROM u.total) THEN 'update'
+        |       ELSE 'noop' END AS action
+        |FROM target t FULL OUTER JOIN updates u ON t.id = u.id""".stripMargin,
+    "k2_change_counts" ->
+      """WITH target AS (
+        |  SELECT o_orderkey AS id, o_orderstatus AS status, o_totalprice AS total
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |updates AS (
+        |  SELECT o_orderkey AS id, o_orderstatus AS status,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS total
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |classified AS (
+        |  SELECT CASE WHEN t.id IS NULL THEN 'create'
+        |              WHEN u.id IS NULL THEN 'delete'
+        |              WHEN (t.status IS DISTINCT FROM u.status)
+        |                OR (t.total IS DISTINCT FROM u.total) THEN 'update'
+        |              ELSE 'noop' END AS action
+        |  FROM target t FULL OUTER JOIN updates u ON t.id = u.id)
+        |SELECT action, count(*) AS n FROM classified GROUP BY 1""".stripMargin,
+    "j12_diff_tiers" ->
+      """WITH incoming AS (
+        |  SELECT o_orderkey AS iid, o_custkey AS cust, o_orderpriority AS prio
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |existing AS (
+        |  SELECT o_orderkey AS eid, o_custkey AS cust, o_orderpriority AS prio
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |li1 AS (SELECT iid, cust, prio,
+        |          row_number() OVER (PARTITION BY cust, prio ORDER BY iid) AS z FROM incoming),
+        |le1 AS (SELECT eid, cust, prio,
+        |          row_number() OVER (PARTITION BY cust, prio ORDER BY eid) AS z FROM existing),
+        |m1 AS (SELECT li1.iid, le1.eid FROM li1 JOIN le1
+        |        ON li1.cust = le1.cust AND li1.prio = le1.prio AND li1.z = le1.z),
+        |ir1 AS (SELECT * FROM incoming WHERE iid NOT IN (SELECT iid FROM m1)),
+        |er1 AS (SELECT * FROM existing WHERE eid NOT IN (SELECT eid FROM m1)),
+        |li2 AS (SELECT iid, cust,
+        |          row_number() OVER (PARTITION BY cust ORDER BY iid) AS z FROM ir1),
+        |le2 AS (SELECT eid, cust,
+        |          row_number() OVER (PARTITION BY cust ORDER BY eid) AS z FROM er1),
+        |m2 AS (SELECT li2.iid, le2.eid FROM li2 JOIN le2
+        |        ON li2.cust = le2.cust AND li2.z = le2.z),
+        |ir2 AS (SELECT * FROM ir1 WHERE iid NOT IN (SELECT iid FROM m2)),
+        |er2 AS (SELECT * FROM er1 WHERE eid NOT IN (SELECT eid FROM m2)),
+        |li3 AS (SELECT iid, row_number() OVER (ORDER BY iid) AS z FROM ir2),
+        |le3 AS (SELECT eid, row_number() OVER (ORDER BY eid) AS z FROM er2),
+        |m3 AS (SELECT li3.iid, le3.eid FROM li3 JOIN le3 ON li3.z = le3.z)
+        |SELECT iid AS incoming_id, eid AS existing_id, 'match' AS bucket, 1 AS tier FROM m1
+        |UNION ALL SELECT iid, eid, 'match', 2 FROM m2
+        |UNION ALL SELECT iid, eid, 'match', 3 FROM m3
+        |UNION ALL SELECT iid, NULL, 'create', NULL FROM ir2
+        |  WHERE iid NOT IN (SELECT iid FROM m3)
+        |UNION ALL SELECT NULL, eid, 'delete', NULL FROM er2
+        |  WHERE eid NOT IN (SELECT eid FROM m3)""".stripMargin
   )
 }

@@ -1,28 +1,53 @@
 package graft.core
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.storage.StorageLevel
 
 /** Tiered diff-join: match an incoming batch against existing records with
   * progressively weaker keys, then deterministically zip the residue.
   *
   * Re-expresses the reference's CIViC `contentMatching`
-  * (civic/statement.js:56-178): exact singleton match first, then
-  * looser content keys, then "artificial" pairing of whatever is left so
-  * update churn beats delete+create. The artificial pass is reproduced with
-  * a `row_number` zip — deterministic where the reference is arbitrary.
+  * (civic/statement.js:56-178): exact content match first on tight keys,
+  * then looser keys, then an "artificial" pairing of whatever is left so
+  * update churn beats delete+create (civic/statement.js:150-175). The
+  * artificial pass is reproduced with a deterministic global zip.
   *
-  * Each tier is one join on its key; residues are carried via anti-join
-  * conditions on the already-matched ids, so the whole thing is
-  * O(tiers) shuffles on small-by-construction residues.
+  * Scale notes:
+  *  - each tier's match frame and both residues are persisted — the match
+  *    frame feeds three consumers (result union + two anti-joins) and each
+  *    residue feeds the next tier, so without persist the lineage is
+  *    recomputed per consumer and compounds per tier;
+  *  - tier keys are expected to be tight (high-cardinality) — the per-key
+  *    zip window sorts one key-group per task. Weak keys belong in the
+  *    artificial final pass, NOT in a tier;
+  *  - the artificial pass avoids the single-partition `row_number()` window
+  *    entirely: it is a distributed range-partitioned sort + RDD
+  *    `zipWithIndex` (narrow) + an equi-join on the index, so it scales even
+  *    when the residue is large.
   */
 object DiffMerge {
+
+  /** Deterministic dense global index: distributed sort by `idCol`, then
+    * zipWithIndex (narrow, no second shuffle). Equivalent to
+    * `row_number() OVER (ORDER BY id)` without the single-partition sort.
+    */
+  private def globalZipIndex(df: DataFrame, idCol: String): DataFrame = {
+    val sorted = df.select(col(idCol)).orderBy(col(idCol))
+    val schema = StructType(sorted.schema.fields :+ StructField("__z", LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
 
   /** @param incoming  new batch, must carry distinct `incomingId`
     * @param existing  current records, must carry distinct `existingId`
     * @param tiers     key-column lists, tightest first; within a tier,
     *                  multiple rows per key are zipped by id order
+    * @param artificialFinal  when true, the post-tier residues are globally
+    *                  zip-paired (reference's artificial matching) with
+    *                  tier = tiers.size + 1
     * @return columns: incoming_id, existing_id, bucket, tier
     *         bucket ∈ match | create | delete;
     *         tier = 1-based tier index for matches, null otherwise
@@ -32,10 +57,8 @@ object DiffMerge {
       incomingId: String,
       existing: DataFrame,
       existingId: String,
-      tiers: Seq[Seq[String]]): DataFrame = {
-
-    val spark = incoming.sparkSession
-    import spark.implicits._
+      tiers: Seq[Seq[String]],
+      artificialFinal: Boolean = false): DataFrame = {
 
     var inRest = incoming
     var exRest = existing
@@ -52,9 +75,28 @@ object DiffMerge {
       val m = li.join(le, Seq("__k", "__z"))
         .select(col(incomingId).as("incoming_id"), col(existingId).as("existing_id"),
           lit("match").as("bucket"), lit(i + 1).as("tier"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       acc = Some(acc.map(_.unionByName(m)).getOrElse(m))
-      inRest = inRest.join(m.select(col("incoming_id").as(incomingId)), Seq(incomingId), "left_anti")
-      exRest = exRest.join(m.select(col("existing_id").as(existingId)), Seq(existingId), "left_anti")
+      inRest = inRest
+        .join(m.select(col("incoming_id").as(incomingId)), Seq(incomingId), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      exRest = exRest
+        .join(m.select(col("existing_id").as(existingId)), Seq(existingId), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+
+    if (artificialFinal) {
+      val zi = globalZipIndex(inRest, incomingId)
+      val ze = globalZipIndex(exRest, existingId)
+      val m = zi.join(ze, Seq("__z"))
+        .select(col(incomingId).as("incoming_id"), col(existingId).as("existing_id"),
+          lit("match").as("bucket"), lit(tiers.size + 1).as("tier"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      acc = Some(acc.map(_.unionByName(m)).getOrElse(m))
+      inRest = inRest
+        .join(m.select(col("incoming_id").as(incomingId)), Seq(incomingId), "left_anti")
+      exRest = exRest
+        .join(m.select(col("existing_id").as(existingId)), Seq(existingId), "left_anti")
     }
 
     val inIdType = incoming.schema(incomingId).dataType

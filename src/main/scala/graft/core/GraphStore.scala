@@ -37,8 +37,11 @@ object GraphStore {
     *                       `delete` actions (civic GC pattern); otherwise
     *                       absent keys are `noop` retained rows
     *
-    * Output: one row per (key ∪ keys-only-in-target) with the update's
-    * payload when present, target payload otherwise, plus `__action`.
+    * Output: one row per (key ∪ keys-only-in-target) carrying the FULL row
+    * (a real MERGE keeps every column, not just the compared ones): the
+    * update's value when an update row is present, the target's otherwise;
+    * columns existing on only one side pass through from that side; plus
+    * `__action`.
     */
   def classify(
       target: DataFrame,
@@ -49,11 +52,14 @@ object GraphStore {
       softDelete: Boolean = false): DataFrame = {
 
     val payload = (compareCols ++ setCols).distinct
-    val t = target.select((keyCols ++ payload).map(col): _*)
-      .withColumn("__in_t", lit(true))
-    val u = updates.select((keyCols ++ payload).map(col): _*)
-      .withColumn("__in_u", lit(true))
-      // pre-normalize set columns once, not per comparison
+    val tCols = target.columns.toSeq
+    val uCols = updates.columns.toSeq
+    // every non-key, non-compared column still travels through the merge
+    val carry = (tCols ++ uCols).distinct.diff(keyCols ++ payload)
+
+    val t = target.withColumn("__in_t", lit(true))
+    val u = updates.withColumn("__in_u", lit(true))
+    // pre-normalize set columns once, not per comparison
     val tn = setCols.foldLeft(t)((df, c) => df.withColumn(c, sort_array(col(c))))
     val un = setCols.foldLeft(u)((df, c) => df.withColumn(c, sort_array(col(c))))
 
@@ -73,7 +79,15 @@ object GraphStore {
     val keyOut = keyCols.map(k => coalesce(col(s"u.$k"), col(s"t.$k")).as(k))
     val payloadOut = payload.map(c =>
       when(col("u.__in_u").isNotNull, col(s"u.$c")).otherwise(col(s"t.$c")).as(c))
-    joined.select(keyOut ++ payloadOut :+ action.as(ACTION): _*)
+    val carryOut = carry.map { c =>
+      (tCols.contains(c), uCols.contains(c)) match {
+        case (true, true) =>
+          when(col("u.__in_u").isNotNull, col(s"u.$c")).otherwise(col(s"t.$c")).as(c)
+        case (true, false) => col(s"t.$c").as(c)
+        case _             => col(s"u.$c").as(c)
+      }
+    }
+    joined.select(keyOut ++ payloadOut ++ carryOut :+ action.as(ACTION): _*)
   }
 
   /** Apply a classification: the post-merge snapshot (deletes become

@@ -11,13 +11,15 @@ import org.apache.spark.sql.functions._
   * Re-expresses the reference's `getUniqueRecordBy` (graphkb.js:395-419) +
   * `orderPreferredOntologyTerms` (graphkb.js:133-196): where the reference
   * issues one REST /query per lookup and sorts in JS, this is a single
-  * broadcast-able join + window top-1 — one shuffle at most, and none when
-  * the candidate side is broadcast.
+  * broadcast-able join + window top-1.
   *
   * Scale: candidates are typically dimension-sized (ontologies, vocab) →
-  * caller wraps them in `broadcast(...)`; the lookup side streams through
-  * map-side. For dimension tables too big to broadcast, the join shuffles
-  * on the key — still a single pass.
+  * caller wraps them in `broadcast(...)` and the join is map-side; the
+  * window then shuffles once on the lookup key. All three window columns
+  * (rank, row_number, rank-1 count) are computed over the SAME sorted
+  * partitioning — one exchange + one sort total; the whole-partition count
+  * frame reuses the (key, preference...) child ordering so EnsureRequirements
+  * inserts no second sort.
   */
 object Resolver {
 
@@ -46,11 +48,13 @@ object Resolver {
     val joined = keys.join(candidates, col("__key") === col(candKeyCol), "left")
 
     val w = Window.partitionBy(col("__key")).orderBy(preference: _*)
+    // same spec, explicit whole-partition frame → no extra sort, just a
+    // second Window op over the already-(key,pref)-ordered child.
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val ranked = joined
       .withColumn("__rnk", rank().over(w))
       .withColumn("__rn", row_number().over(w))
-      // ambiguity = two rows share rank 1
-      .withColumn("__nTop", count(when(col("__rnk") === 1, 1)).over(Window.partitionBy(col("__key"))))
+      .withColumn("__nTop", count(when(col("__rnk") === 1, 1)).over(wAll))
 
     val missing = ranked.filter(col(candKeyCol).isNull).select(col("__key").as(keyCol))
     val ambiguous = ranked
@@ -64,16 +68,17 @@ object Resolver {
     Resolution(resolved, ambiguous, missing)
   }
 
-  /** The reference's ontology preference ladder (graphkb.js:133-196) as a
-    * sort-key list: non-deprecated > non-alias > independent > generic over
-    * versioned > newer sourceIdVersion > has-description > source rank.
-    * Columns missing from the frame can be dropped by the caller.
+  /** The reference's full 8-rung ontology preference ladder
+    * (graphkb.js:133-196) as a sort-key list: non-deprecated > non-alias >
+    * independent > generic over versioned > newer sourceIdVersion > newer
+    * source.version > has-description > source rank.
     */
   def ontologyPreference(
       deprecated: Column = col("deprecated"),
       alias: Column = col("alias"),
       dependency: Column = col("dependency"),
       sourceIdVersion: Column = col("sourceIdVersion"),
+      sourceVersion: Column = col("sourceVersion"),
       description: Column = col("description"),
       sourceRank: Column = col("sourceRank")): Seq[Column] = Seq(
     coalesce(deprecated.cast("boolean"), lit(false)).asc, // false (kept) first
@@ -81,6 +86,7 @@ object Resolver {
     dependency.isNotNull.asc,                             // independent first
     sourceIdVersion.isNotNull.asc,                        // generic first
     sourceIdVersion.desc_nulls_last,                      // then newest version
+    sourceVersion.desc_nulls_last,                        // newer source.version (graphkb.js:170-178)
     description.isNull.asc,                               // has-description first
     sourceRank.asc_nulls_last
   )

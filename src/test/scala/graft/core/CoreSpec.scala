@@ -21,7 +21,8 @@ class ResolverSpec extends AnyFunSuite {
   test("resolveUnique picks non-deprecated, non-alias winner and flags ties") {
     val lookups = Seq("kras", "tp53", "tie", "nope").toDF("gene")
     val pref = Resolver.ontologyPreference(
-      dependency = lit(null), sourceRank = col("sourceRank")) :+ col("name").asc
+      dependency = lit(null), sourceVersion = lit(null),
+      sourceRank = col("sourceRank")) :+ col("name").asc
     val r = Resolver.resolveUnique(lookups, "gene", candidates, "k", pref)
 
     val resolved = r.resolved.select("gene", "name").as[(String, String)].collect().toMap
@@ -34,7 +35,8 @@ class ResolverSpec extends AnyFunSuite {
   test("resolveUnique flags genuine rank-1 ties as ambiguous") {
     val lookups = Seq("tie").toDF("gene")
     val pref = Resolver.ontologyPreference(
-      dependency = lit(null), sourceRank = col("sourceRank")) // no tiebreak
+      dependency = lit(null), sourceVersion = lit(null),
+      sourceRank = col("sourceRank")) // no tiebreak
     val r = Resolver.resolveUnique(lookups, "gene", candidates, "k", pref)
     assert(r.ambiguous.as[String].collect().toSeq == Seq("tie"))
     assert(r.resolved.count() == 0)
