@@ -205,6 +205,20 @@ object SparkEntry {
         .groupBy(col("action")).agg(count(lit(1)).as("n"))
     }),
 
+    // F1 (HGVS variant-notation parser — SURVEY §2.8, the reference's
+    // graphkb-parser): parse a fixture corpus covering every grammar branch
+    // into the flat upsert-key shape of graphkb.js:631-660. The oracle is a
+    // frozen literal-VALUES table (generated once from the parser, then
+    // pinned) so regressions fail the DuckDB compare. At scale the parser
+    // runs inside Dataset.map over notation columns — pure function, no
+    // shuffle, fully distributed.
+    "f1_hgvs_parse" -> ((s, dir) => {
+      import s.implicits._
+      s.createDataset(variant.F1Corpus.notations)
+        .map(variant.HgvsParser.flat)
+        .toDF()
+    }),
+
     // J12 (tiered content diff with deterministic residue zip) via
     // core.DiffMerge: incoming=even keys, existing=multiples of 3. Tiers
     // join on tight (high-cardinality) keys; the weak residual pairing is
@@ -281,6 +295,61 @@ object SparkEntry {
         |    status_n := nullif(o_orderstatus, 'P'),
         |    o_orderpriority := o_orderpriority))::VARCHAR) AS hash_id
         |FROM orders""".stripMargin,
+    "f1_hgvs_parse" ->
+      """SELECT
+        |  CAST(notation AS VARCHAR) AS notation,
+        |  CAST(ref1 AS VARCHAR) AS ref1,
+        |  CAST(ref2 AS VARCHAR) AS ref2,
+        |  CAST(prefix AS VARCHAR) AS prefix,
+        |  CAST(vtype AS VARCHAR) AS vtype,
+        |  CAST(b1s_pos AS BIGINT) AS b1s_pos,
+        |  CAST(b1s_refaa AS VARCHAR) AS b1s_refaa,
+        |  CAST(b1s_off AS BIGINT) AS b1s_off,
+        |  CAST(b1s_arm AS VARCHAR) AS b1s_arm,
+        |  CAST(b1s_major AS INT) AS b1s_major,
+        |  CAST(b1s_minor AS INT) AS b1s_minor,
+        |  CAST(b1e_pos AS BIGINT) AS b1e_pos,
+        |  CAST(b2s_pos AS BIGINT) AS b2s_pos,
+        |  CAST(b2e_pos AS BIGINT) AS b2e_pos,
+        |  CAST(b1_repr AS VARCHAR) AS b1_repr,
+        |  CAST(b2_repr AS VARCHAR) AS b2_repr,
+        |  CAST(ref_seq AS VARCHAR) AS ref_seq,
+        |  CAST(ut_seq AS VARCHAR) AS ut_seq,
+        |  CAST(ut_size AS INT) AS ut_size,
+        |  CAST(trunc AS INT) AS trunc,
+        |  CAST(multi AS BOOLEAN) AS multi
+        |FROM (VALUES
+        |('KRAS:p.G12D', 'KRAS', NULL, 'p', 'substitution', 12, 'G', NULL, NULL, NULL, NULL, NULL, NULL, NULL, 'p.G12', NULL, 'G', 'D', 1, NULL, FALSE),
+        |('p.v600e', NULL, NULL, 'p', 'substitution', 600, 'V', NULL, NULL, NULL, NULL, NULL, NULL, NULL, 'p.V600', NULL, 'V', 'E', 1, NULL, FALSE),
+        |('p.G12*', NULL, NULL, 'p', 'substitution', 12, 'G', NULL, NULL, NULL, NULL, NULL, NULL, NULL, 'p.G12', NULL, 'G', '*', 1, NULL, FALSE),
+        |('p.*807Gext*101', NULL, NULL, 'p', 'extension', 807, '*', NULL, NULL, NULL, NULL, NULL, NULL, NULL, 'p.*807', NULL, NULL, 'G', 1, 101, FALSE),
+        |('EGFR:c.2573T>G', 'EGFR', NULL, 'c', 'substitution', 2573, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, 'c.2573', NULL, 'T', 'G', 1, NULL, FALSE),
+        |('c.100+2spl', NULL, NULL, 'c', 'splice-site', 100, NULL, 2, NULL, NULL, NULL, NULL, NULL, NULL, 'c.100+2', NULL, NULL, NULL, NULL, NULL, FALSE),
+        |('c.100-2del', NULL, NULL, 'c', 'deletion', 100, NULL, -2, NULL, NULL, NULL, NULL, NULL, NULL, 'c.100-2', NULL, NULL, NULL, NULL, NULL, FALSE),
+        |('c.100_102delTTT', NULL, NULL, 'c', 'deletion', 100, NULL, NULL, NULL, NULL, NULL, NULL, 102, NULL, 'c.100', 'c.102', 'TTT', NULL, NULL, NULL, FALSE),
+        |('c.100_101insAAG', NULL, NULL, 'c', 'insertion', 100, NULL, NULL, NULL, NULL, NULL, NULL, 101, NULL, 'c.100', 'c.101', NULL, 'AAG', 3, NULL, FALSE),
+        |('c.1_2ins5', NULL, NULL, 'c', 'insertion', 1, NULL, NULL, NULL, NULL, NULL, NULL, 2, NULL, 'c.1', 'c.2', NULL, NULL, 5, NULL, FALSE),
+        |('p.E746_T751delinsI', NULL, NULL, 'p', 'indel', 746, 'E', NULL, NULL, NULL, NULL, NULL, 751, NULL, 'p.E746', 'p.T751', NULL, 'I', 1, NULL, FALSE),
+        |('p.K558delKinsNP', NULL, NULL, 'p', 'indel', 558, 'K', NULL, NULL, NULL, NULL, NULL, NULL, NULL, 'p.K558', NULL, 'K', 'NP', 2, NULL, FALSE),
+        |('p.S193_C196dupSTSC', NULL, NULL, 'p', 'duplication', 193, 'S', NULL, NULL, NULL, NULL, NULL, 196, NULL, 'p.S193', 'p.C196', 'STSC', NULL, NULL, NULL, FALSE),
+        |('p.G12fs', NULL, NULL, 'p', 'frameshift', 12, 'G', NULL, NULL, NULL, NULL, NULL, NULL, NULL, 'p.G12', NULL, NULL, NULL, NULL, NULL, FALSE),
+        |('p.G12Vfs*3', NULL, NULL, 'p', 'frameshift', 12, 'G', NULL, NULL, NULL, NULL, NULL, NULL, NULL, 'p.G12', NULL, NULL, 'V', 1, 3, FALSE),
+        |('p.(G12_G13)mut', NULL, NULL, 'p', 'mutation', 12, 'G', NULL, NULL, NULL, NULL, 13, NULL, NULL, 'p.(G12_G13)', NULL, NULL, NULL, NULL, NULL, FALSE),
+        |('p.?755_?759del', NULL, NULL, 'p', 'deletion', 755, '?', NULL, NULL, NULL, NULL, NULL, 759, NULL, 'p.?755', 'p.?759', NULL, NULL, NULL, NULL, FALSE),
+        |('y.p26.3_p25.3del', NULL, NULL, 'y', 'deletion', NULL, NULL, NULL, 'p', 26, 3, NULL, NULL, NULL, 'y.p26.3', 'y.p25.3', NULL, NULL, NULL, NULL, FALSE),
+        |('y.q22copygain', NULL, NULL, 'y', 'copy gain', NULL, NULL, NULL, 'q', 22, NULL, NULL, NULL, NULL, 'y.q22', NULL, NULL, NULL, NULL, NULL, FALSE),
+        |('e.19del', NULL, NULL, 'e', 'deletion', 19, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, 'e.19', NULL, NULL, NULL, NULL, NULL, FALSE),
+        |('e.19mut', NULL, NULL, 'e', 'mutation', 19, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, 'e.19', NULL, NULL, NULL, NULL, NULL, FALSE),
+        |('i.4spl', NULL, NULL, 'i', 'splice-site', 4, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, 'i.4', NULL, NULL, NULL, NULL, NULL, FALSE),
+        |('g.1234567A>T', NULL, NULL, 'g', 'substitution', 1234567, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, 'g.1234567', NULL, 'A', 'T', 1, NULL, FALSE),
+        |('g.123456_123457dup', NULL, NULL, 'g', 'duplication', 123456, NULL, NULL, NULL, NULL, NULL, NULL, 123457, NULL, 'g.123456', 'g.123457', NULL, NULL, NULL, NULL, FALSE),
+        |('g.109_110delAAinsTG', NULL, NULL, 'g', 'indel', 109, NULL, NULL, NULL, NULL, NULL, NULL, 110, NULL, 'g.109', 'g.110', 'AA', 'TG', 2, NULL, FALSE),
+        |('n.54del', NULL, NULL, 'n', 'deletion', 54, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, 'n.54', NULL, NULL, NULL, NULL, NULL, FALSE),
+        |('r.100_101insAU', NULL, NULL, 'r', 'insertion', 100, NULL, NULL, NULL, NULL, NULL, NULL, 101, NULL, 'r.100', 'r.101', NULL, 'AU', 2, NULL, FALSE),
+        |('(EML4,ALK):fusion(e.6,e.20)', 'EML4', 'ALK', NULL, 'fusion', 6, NULL, NULL, NULL, NULL, NULL, NULL, 20, NULL, 'e.6', 'e.20', NULL, NULL, NULL, NULL, TRUE),
+        |('trans(g.100,g.200)', NULL, NULL, NULL, 'translocation', 100, NULL, NULL, NULL, NULL, NULL, NULL, 200, NULL, 'g.100', 'g.200', NULL, NULL, NULL, NULL, TRUE),
+        |('(BCR,ABL1):fusion(e.13,e.3)TT', 'BCR', 'ABL1', NULL, 'fusion', 13, NULL, NULL, NULL, NULL, NULL, NULL, 3, NULL, 'e.13', 'e.3', NULL, 'TT', 2, NULL, TRUE),
+        |('KRAS:p.G12', 'KRAS', NULL, 'p', 'mutation', 12, 'G', NULL, NULL, NULL, NULL, NULL, NULL, NULL, 'p.G12', NULL, NULL, NULL, NULL, NULL, FALSE)) AS t(notation, ref1, ref2, prefix, vtype, b1s_pos, b1s_refaa, b1s_off, b1s_arm, b1s_major, b1s_minor, b1e_pos, b2s_pos, b2e_pos, b1_repr, b2_repr, ref_seq, ut_seq, ut_size, trunc, multi)""".stripMargin,
     "j1_resolve_unique" ->
       """SELECT c_mktsegment AS segment, c_custkey AS best_custkey, c_acctbal AS best_acctbal
         |FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
