@@ -28,6 +28,13 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** The reference repo's own golden input fixtures (read-only) — the scan
+    * queries parse them and the DuckDB oracle re-reads them independently
+    * (read_csv/read_json) or asserts a frozen golden frame (XML/OWL, which
+    * DuckDB can't parse).
+    */
+  private val REF_DATA = "/root/reference/test/data"
+
   /** Flagship query on sf=0.001 (driver smoke-checks rows>0): revenue by
     * region — scan→broadcast dim joins→agg, the shape of every loader's
     * resolve-then-aggregate pipeline (SURVEY §3.1).
@@ -205,6 +212,110 @@ object SparkEntry {
         .groupBy(col("action")).agg(count(lit(1)).as("n"))
     }),
 
+    // S1 (delimited scan with ## comments + header remap, util.js:69-84):
+    // distributed text filter → csv parse, quoting disabled like the
+    // reference. Oracle re-reads the same TSV with DuckDB read_csv.
+    "s1_delim_scan" -> ((s, dir) => {
+      sources.Scans.delim(s,
+        s"$REF_DATA/ensembl_biomart_export_ENSG00000139618.tsv",
+        headerMap = Map(
+          "Gene stable ID" -> "gene_id", "Transcript stable ID" -> "transcript_id",
+          "Protein stable ID" -> "protein_id", "HGNC ID" -> "hgnc_id",
+          "Gene name" -> "gene_name"))
+        .select("gene_id", "transcript_id", "protein_id", "hgnc_id", "gene_name")
+    }),
+
+    // S3 (XML DOM scan via the xml2js-equivalent JSON bridge, util.js:87-114).
+    "s3_xml_dom" -> ((s, dir) => {
+      sources.XmlScan.domDF(s, s"$REF_DATA/drugbank_sample.xml")
+        .select(
+          col("drugbank.drug.name").as("name"),
+          col("drugbank.drug.`cas-number`").as("cas_number"),
+          col("drugbank.drug.unii").as("unii"),
+          col("drugbank.drug.state").as("state"),
+          size(col("drugbank.drug.groups.group")).as("n_groups"))
+    }),
+
+    // S4 (streaming rowTag XML scan, drugbank/index.js:279-333): StAX
+    // fragment split (bounded memory) + typed per-fragment extraction.
+    "s4_xml_rowtag" -> ((s, dir) => {
+      import s.implicits._
+      sources.XmlScan.rowTagFragments(s, s"$REF_DATA/drugbank_sample.xml", "drug")
+        .map { frag =>
+          val x = scala.xml.XML.loadString(frag)
+          val primaryId = (x \ "drugbank-id")
+            .collectFirst { case e if (e \@ "primary") == "true" => e.text }
+            .getOrElse("")
+          (primaryId, (x \ "name").text, (x \ "cas-number").text,
+            (x \ "unii").text, (x \ "state").text,
+            (x \ "groups" \ "group").length)
+        }
+        .toDF("drugbank_id", "name", "cas_number", "unii", "state", "n_groups")
+    }),
+
+    // S5 (OWL/RDF scan → triples → group-by-subject, util.js:22-66 as used
+    // by vario.js:45-55): single shuffle on subject; top-10 codes frozen as
+    // the golden oracle (447 classes total — asserted in OwlScanSpec).
+    "s5_owl_group" -> ((s, dir) => {
+      val LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
+      val SUB = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+      val tr = sources.OwlScan.triples(s, s"$REF_DATA/vario_v2018-04-27.owl")
+      tr.filter(col("predicate").isin(LABEL, SUB))
+        .groupBy(col("subject"))
+        .agg(
+          min(when(col("predicate") === LABEL, col("obj"))).as("name"),
+          sum(when(col("predicate") === SUB && col("obj").rlike("VariO_\\d+$"), 1)
+            .otherwise(0)).cast("long").as("n_subclass"))
+        .withColumn("source_id",
+          lower(regexp_replace(
+            regexp_extract(col("subject"), ".*/(VariO_\\d+)$", 1), "_", ":")))
+        .filter(col("source_id") =!= "" && col("name").isNotNull)
+        .select(col("source_id"), col("name"), col("n_subclass"))
+        .orderBy(col("source_id"))
+        .limit(10)
+    }),
+
+    // S6 (OBO-graph JSON scan, diseaseOntology/index.js:157-166 + the
+    // doid:<id> parser at :22-29). Oracle re-reads with read_json_auto.
+    "s6_obograph_nodes" -> ((s, dir) => {
+      sources.Scans.json(s, s"$REF_DATA/doid.sample.json")
+        .select(explode(col("graphs")(0)("nodes")).as("n"))
+        .select(
+          lower(regexp_replace(
+            regexp_extract(col("n.id"), ".*/([A-Za-z]+_[0-9]+)$", 1), "_", ":"))
+            .as("source_id"),
+          col("n.lbl").as("name"),
+          when(col("n.meta.synonyms").isNull, lit(0L))
+            .otherwise(size(col("n.meta.synonyms")).cast("long")).as("n_alias"),
+          coalesce(
+            exists(col("n.meta.basicPropertyValues"),
+              x => x("pred").endsWith("deprecated") && x("val") === "true"),
+            lit(false)).as("deprecated"))
+    }),
+
+    // S8 (generic JSON scan, ontology/index.js:253-258 shape) on the ChEMBL
+    // molecule dump fixture (chembl/index.js:63-71 fields).
+    "s8_json_scan" -> ((s, dir) => {
+      sources.Scans.json(s, s"$REF_DATA/chembl.CHEMBL553.json")
+        .select(
+          col("molecule_chembl_id").as("chembl_id"),
+          col("pref_name").as("name"),
+          col("max_phase").cast("long").as("max_phase"),
+          col("molecule_properties.full_molformula").as("molformula"))
+    }),
+
+    // S16 (disk API proxy, oncokb/index.js:796-812): saved REST response
+    // read as the API's stand-in; phase list folded like F12.
+    "s16_api_proxy" -> ((s, dir) => {
+      sources.Scans.json(s, s"$REF_DATA/clinicaltrialsgov.NCT03478891.json")
+        .select(
+          col("protocolSection.identificationModule.nctId").as("nct_id"),
+          col("protocolSection.statusModule.overallStatus").as("status"),
+          concat_ws("/", col("protocolSection.designModule.phases")).as("phase"),
+          col("protocolSection.identificationModule.organization.fullName")
+            .as("org"))
+    }),
+
     // F1 (HGVS variant-notation parser — SURVEY §2.8, the reference's
     // graphkb-parser): parse a fixture corpus covering every grammar branch
     // into the flat upsert-key shape of graphkb.js:631-660. The oracle is a
@@ -295,6 +406,63 @@ object SparkEntry {
         |    status_n := nullif(o_orderstatus, 'P'),
         |    o_orderpriority := o_orderpriority))::VARCHAR) AS hash_id
         |FROM orders""".stripMargin,
+    "s1_delim_scan" ->
+      """SELECT "Gene stable ID" AS gene_id,
+        |  "Transcript stable ID" AS transcript_id,
+        |  "Protein stable ID" AS protein_id,
+        |  "HGNC ID" AS hgnc_id,
+        |  "Gene name" AS gene_name
+        |FROM read_csv('/root/reference/test/data/ensembl_biomart_export_ENSG00000139618.tsv',
+        |              delim='	', header=true)""".stripMargin,
+    "s3_xml_dom" ->
+      """SELECT CAST(name AS VARCHAR) AS name, CAST(cas_number AS VARCHAR) AS cas_number,
+        |  CAST(unii AS VARCHAR) AS unii, CAST(state AS VARCHAR) AS state,
+        |  CAST(n_groups AS INT) AS n_groups
+        |FROM (VALUES ('Erlotinib', '183321-74-6', 'J4T82NDH7E', 'solid', 2))
+        |  AS t(name, cas_number, unii, state, n_groups)""".stripMargin,
+    "s4_xml_rowtag" ->
+      """SELECT CAST(drugbank_id AS VARCHAR) AS drugbank_id, CAST(name AS VARCHAR) AS name,
+        |  CAST(cas_number AS VARCHAR) AS cas_number, CAST(unii AS VARCHAR) AS unii,
+        |  CAST(state AS VARCHAR) AS state, CAST(n_groups AS INT) AS n_groups
+        |FROM (VALUES ('DB00530', 'Erlotinib', '183321-74-6', 'J4T82NDH7E', 'solid', 2))
+        |  AS t(drugbank_id, name, cas_number, unii, state, n_groups)""".stripMargin,
+    // Frozen golden frame (DuckDB can't parse OWL); independently
+    // cross-checked against the raw RDF/XML with a regex extractor.
+    "s5_owl_group" ->
+      """SELECT CAST(source_id AS VARCHAR) AS source_id, CAST(name AS VARCHAR) AS name,
+        |  CAST(n_subclass AS BIGINT) AS n_subclass
+        |FROM (VALUES
+        |('vario:0001', 'variation', 0),
+        |('vario:0002', 'variation affecting protein', 1),
+        |('vario:0003', 'variation affecting protein function', 1),
+        |('vario:0004', 'effect on protein movement', 1),
+        |('vario:0005', 'effect on protein storage', 1),
+        |('vario:0006', 'effect on structural protein', 1),
+        |('vario:0007', 'effect on protein recognition', 1),
+        |('vario:0008', 'effect on catalytic protein function', 1),
+        |('vario:0009', 'effect on transport function of protein', 1),
+        |('vario:0010', 'effect on RNA abundance', 1)) AS t(source_id, name, n_subclass)""".stripMargin,
+    "s6_obograph_nodes" ->
+      """SELECT lower(replace(regexp_extract(n.id, '.*/([A-Za-z]+_[0-9]+)$', 1), '_', ':')) AS source_id,
+        |  n.lbl AS name,
+        |  CAST(coalesce(len(n.meta.synonyms), 0) AS BIGINT) AS n_alias,
+        |  coalesce(len(list_filter(n.meta.basicPropertyValues,
+        |    x -> x.pred LIKE '%deprecated' AND x.val = 'true')) > 0, false) AS deprecated
+        |FROM (SELECT unnest(graphs[1].nodes) AS n
+        |      FROM read_json_auto('/root/reference/test/data/doid.sample.json',
+        |                          maximum_object_size=20000000))""".stripMargin,
+    "s8_json_scan" ->
+      """SELECT molecule_chembl_id AS chembl_id, pref_name AS name,
+        |  CAST(max_phase AS BIGINT) AS max_phase,
+        |  molecule_properties.full_molformula AS molformula
+        |FROM read_json_auto('/root/reference/test/data/chembl.CHEMBL553.json')""".stripMargin,
+    "s16_api_proxy" ->
+      """SELECT protocolSection.identificationModule.nctId AS nct_id,
+        |  protocolSection.statusModule.overallStatus AS status,
+        |  array_to_string(protocolSection.designModule.phases, '/') AS phase,
+        |  protocolSection.identificationModule.organization.fullName AS org
+        |FROM read_json_auto('/root/reference/test/data/clinicaltrialsgov.NCT03478891.json',
+        |                    maximum_object_size=20000000)""".stripMargin,
     "f1_hgvs_parse" ->
       """SELECT
         |  CAST(notation AS VARCHAR) AS notation,
