@@ -330,6 +330,143 @@ object SparkEntry {
         .toDF()
     }),
 
+    // X1 (molecular-profile boolean expression → DNF condition sets,
+    // civic/profile.js:19-255): recursive parse + implicit-or
+    // disambiguation inside flatMap — one row in, N condition sets out.
+    "x1_dnf" -> ((s, dir) => {
+      import s.implicits._
+      val names = Map(1L -> "V600E", 2L -> "T790M", 3L -> "AMP",
+        4L -> "DEL", 5L -> "Q157P/R")
+      val exprs = Seq(
+        (1L, "1 AND 2"), (2L, "1 OR 2"), (3L, "1 AND ( 2 OR 3 )"),
+        (4L, "( 1 AND 2 ) OR ( 3 AND 4 )"),
+        (5L, "1 AND ( 2 OR ( 3 AND 4 ) )"), (6L, "5 AND 2"))
+      s.createDataset(exprs).flatMap { case (eid, expr) =>
+        variant.ProfileDnf.expand(expr, names).zipWithIndex.map {
+          case (set, i) => (eid, i.toLong, set.map(_.name).mkString("+"))
+        }
+      }.toDF("expr_id", "set_id", "variants")
+    }),
+
+    // X2 (conditions × therapies cartesian, civic/evidenceItem.js:237-264):
+    // collect both sets per entity then double-explode — one shuffle, then
+    // narrow generators.
+    "x2_cartesian" -> ((s, dir) => {
+      t(s, dir, "lineitem").filter(col("l_orderkey") % 97 === 0)
+        .groupBy(col("l_orderkey").as("order_id"))
+        .agg(collect_set(col("l_linenumber")).as("conditions"),
+          collect_set(col("l_returnflag")).as("therapies"))
+        .select(col("order_id"), explode(col("conditions")).as("condition"),
+          col("therapies"))
+        .select(col("order_id"), col("condition"),
+          explode(col("therapies")).as("therapy"))
+    }),
+
+    // X3 (therapy grouping by interaction type, civic/therapy.js:19-50):
+    // SUBSTITUTES → one group per therapy; COMBINATION/SEQUENTIAL → a
+    // single group of all, canonicalized by sort (T4).
+    "x3_therapy_groups" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 97 === 0)
+      val isCombo = col("o_orderpriority").like("1-%") ||
+        col("o_orderpriority").like("2-%")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderpriority"))
+        .agg(sort_array(collect_set(col("l_suppkey"))).as("ts"))
+        .select(
+          col("l_orderkey").as("order_id"),
+          when(isCombo, lit("COMBINATION")).otherwise(lit("SUBSTITUTES"))
+            .as("interaction"),
+          explode(when(isCombo,
+            array(concat_ws("+",
+              expr("transform(ts, x -> CAST(x AS STRING))"))))
+            .otherwise(expr("transform(ts, x -> CAST(x AS STRING))")))
+            .as("therapy_group"))
+    }),
+
+    // X4 (CGI multi-variant biomarker expansion,
+    // cancergenomeinterpreter/index.js:122-189) via variant.Biomarkers.
+    "x4_biomarker_expand" -> ((s, dir) => {
+      import s.implicits._
+      val rows = Seq(
+        (1L, "KRAS (G12,G13)", "MUT", ""),
+        (2L, "EGFR exon 19 deletions", "DEL", ""),
+        (3L, "BCR-ABL1 fusion", "FUS", ""),
+        (4L, "KRAS (G12,G13) + TP53 oncogenic mutation", "MUT", ""),
+        (5L, "whatever", "MUT", "KRAS:G12D"),
+        (6L, "EGFR (746-750)", "DEL", ""))
+      s.createDataset(rows).flatMap { case (id, bio, cls, prot) =>
+        variant.Biomarkers.expand(bio, cls, prot).zipWithIndex.map {
+          case (set, i) => (id, i.toLong, set.mkString(" & "))
+        }
+      }.toDF("rec_id", "combo_id", "variants")
+    }),
+
+    // X5 (statement-per-drug explode of a delimited list,
+    // oncokb/index.js:563-580).
+    "x5_per_drug" -> ((s, dir) => {
+      t(s, dir, "part").filter(col("p_partkey") % 11 === 0)
+        .select(col("p_partkey").as("part_id"),
+          explode(split(col("p_type"), " ")).as("drug"))
+    }),
+
+    // X6 (two statements per annotation — mutation-effect with the gene
+    // subject + oncogenicity with the variant subject,
+    // oncokb/index.js:583-609).
+    "x6_two_statements" -> ((s, dir) => {
+      t(s, dir, "orders").filter(col("o_orderkey") % 199 === 0)
+        .select(col("o_orderkey").as("order_id"), explode(array(
+          struct(lit("mutation-effect").as("stmt_type"),
+            col("o_custkey").cast("string").as("subject")),
+          struct(lit("oncogenicity").as("stmt_type"),
+            col("o_orderkey").cast("string").as("subject")))).as("s"))
+        .select(col("order_id"), col("s.stmt_type"), col("s.subject"))
+    }),
+
+    // X7 (one statement per applicable relevance term,
+    // moa/index.js:519-553).
+    "x7_per_relevance" -> ((s, dir) => {
+      t(s, dir, "orders").filter(col("o_orderkey") % 101 === 0)
+        .select(col("o_orderkey").as("order_id"), explode(
+          when(col("o_orderstatus") === "F",
+            array(lit("sensitivity"), lit("resistance")))
+            .when(col("o_orderstatus") === "O", array(lit("sensitivity")))
+            .otherwise(array(lit("prognosis")))).as("relevance"))
+    }),
+
+    // X8 (variant-form ladder: genomic→cds→protein rows chained by Infers
+    // edges, moa/index.js:48-188): build the present forms, posexplode,
+    // parent = previous present form.
+    "x8_variant_ladder" -> ((s, dir) => {
+      import s.implicits._
+      val rows = Seq(
+        (1L, "KRAS", "g.1A>T", "c.2B>C", "p.G12D"),
+        (2L, "EGFR", null, "c.2573T>G", "p.L858R"),
+        (3L, "ALK", null, null, "p.F1174L"))
+      s.createDataset(rows).toDF("rec_id", "gene", "genomic", "cds", "protein")
+        .withColumn("arr", expr(
+          """filter(array(
+            |  struct('genomic' AS form, genomic AS notation),
+            |  struct('cds' AS form, cds AS notation),
+            |  struct('protein' AS form, protein AS notation)),
+            |x -> x.notation IS NOT NULL)""".stripMargin))
+        .select(col("rec_id"), col("gene"), col("arr"),
+          posexplode(col("arr")).as(Seq("pos", "v")))
+        .select(col("rec_id"), col("v.form").as("form"),
+          concat(col("gene"), lit(":"), col("v.notation")).as("notation"),
+          when(col("pos") > 0, element_at(col("arr"), col("pos"))("form"))
+            .as("infers_parent"))
+    }),
+
+    // X9 (alias/synonym explosion → one alias row per synonym,
+    // ncit/index.js:391-432).
+    "x9_alias_explode" -> ((s, dir) => {
+      t(s, dir, "part").filter(col("p_partkey") % 11 === 0)
+        .select(col("p_partkey").as("part_id"),
+          explode(array_distinct(array(col("p_brand"), col("p_type"),
+            col("p_size").cast("string")))).as("alias"))
+    }),
+
     // J12 (tiered content diff with deterministic residue zip) via
     // core.DiffMerge: incoming=even keys, existing=multiples of 3. Tiers
     // join on tight (high-cardinality) keys; the weak residual pairing is
@@ -406,6 +543,80 @@ object SparkEntry {
         |    status_n := nullif(o_orderstatus, 'P'),
         |    o_orderpriority := o_orderpriority))::VARCHAR) AS hash_id
         |FROM orders""".stripMargin,
+    // x1/x4/x8 are frozen golden frames (hand-derived DNF / expansion /
+    // ladder expectations, cross-checked against the reference's jest
+    // corpus semantics in ProfileDnfSpec).
+    "x1_dnf" ->
+      """SELECT CAST(expr_id AS BIGINT) AS expr_id, CAST(set_id AS BIGINT) AS set_id,
+        |  CAST(variants AS VARCHAR) AS variants
+        |FROM (VALUES
+        |(1, 0, 'V600E+T790M'),
+        |(2, 0, 'V600E'), (2, 1, 'T790M'),
+        |(3, 0, 'V600E+T790M'), (3, 1, 'V600E+AMP'),
+        |(4, 0, 'V600E+T790M'), (4, 1, 'AMP+DEL'),
+        |(5, 0, 'V600E+T790M'), (5, 1, 'V600E+AMP+DEL'),
+        |(6, 0, 'Q157P+T790M'), (6, 1, 'Q157R+T790M')) AS t(expr_id, set_id, variants)""".stripMargin,
+    "x2_cartesian" ->
+      """WITH c AS (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem WHERE l_orderkey % 97 = 0),
+        |     t AS (SELECT DISTINCT l_orderkey, l_returnflag FROM lineitem WHERE l_orderkey % 97 = 0)
+        |SELECT c.l_orderkey AS order_id, c.l_linenumber AS condition, t.l_returnflag AS therapy
+        |FROM c JOIN t ON c.l_orderkey = t.l_orderkey""".stripMargin,
+    "x3_therapy_groups" ->
+      """WITH ths AS (
+        |  SELECT l_orderkey, o_orderpriority,
+        |         list_sort(list(DISTINCT l_suppkey)) AS ts
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_orderkey % 97 = 0 GROUP BY 1, 2),
+        |g AS (
+        |  SELECT l_orderkey,
+        |    CASE WHEN o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%'
+        |         THEN 'COMBINATION' ELSE 'SUBSTITUTES' END AS interaction,
+        |    CASE WHEN o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%'
+        |         THEN [array_to_string(ts, '+')]
+        |         ELSE list_transform(ts, x -> CAST(x AS VARCHAR)) END AS groups
+        |  FROM ths)
+        |SELECT l_orderkey AS order_id, interaction, unnest(groups) AS therapy_group FROM g""".stripMargin,
+    "x4_biomarker_expand" ->
+      """SELECT CAST(rec_id AS BIGINT) AS rec_id, CAST(combo_id AS BIGINT) AS combo_id,
+        |  CAST(variants AS VARCHAR) AS variants
+        |FROM (VALUES
+        |(1, 0, 'KRAS:p.G12mut'), (1, 1, 'KRAS:p.G13mut'),
+        |(2, 0, 'EGFR:e.19del'),
+        |(3, 0, '(BCR,ABL1):fusion'),
+        |(4, 0, 'KRAS:p.G12mut & TP53:cat:oncogenic mutation'),
+        |(4, 1, 'KRAS:p.G13mut & TP53:cat:oncogenic mutation'),
+        |(5, 0, 'KRAS:p.G12D'),
+        |(6, 0, 'EGFR:p.(?746_?750)del')) AS t(rec_id, combo_id, variants)""".stripMargin,
+    "x5_per_drug" ->
+      """SELECT p_partkey AS part_id, unnest(string_split(p_type, ' ')) AS drug
+        |FROM part WHERE p_partkey % 11 = 0""".stripMargin,
+    "x6_two_statements" ->
+      """SELECT o_orderkey AS order_id, 'mutation-effect' AS stmt_type,
+        |       CAST(o_custkey AS VARCHAR) AS subject
+        |FROM orders WHERE o_orderkey % 199 = 0
+        |UNION ALL
+        |SELECT o_orderkey, 'oncogenicity', CAST(o_orderkey AS VARCHAR)
+        |FROM orders WHERE o_orderkey % 199 = 0""".stripMargin,
+    "x7_per_relevance" ->
+      """SELECT o_orderkey AS order_id,
+        |  unnest(CASE WHEN o_orderstatus = 'F' THEN ['sensitivity', 'resistance']
+        |              WHEN o_orderstatus = 'O' THEN ['sensitivity']
+        |              ELSE ['prognosis'] END) AS relevance
+        |FROM orders WHERE o_orderkey % 101 = 0""".stripMargin,
+    "x8_variant_ladder" ->
+      """SELECT CAST(rec_id AS BIGINT) AS rec_id, CAST(form AS VARCHAR) AS form,
+        |  CAST(notation AS VARCHAR) AS notation, CAST(infers_parent AS VARCHAR) AS infers_parent
+        |FROM (VALUES
+        |(1, 'genomic', 'KRAS:g.1A>T', NULL),
+        |(1, 'cds', 'KRAS:c.2B>C', 'genomic'),
+        |(1, 'protein', 'KRAS:p.G12D', 'cds'),
+        |(2, 'cds', 'EGFR:c.2573T>G', NULL),
+        |(2, 'protein', 'EGFR:p.L858R', 'cds'),
+        |(3, 'protein', 'ALK:p.F1174L', NULL)) AS t(rec_id, form, notation, infers_parent)""".stripMargin,
+    "x9_alias_explode" ->
+      """SELECT p_partkey AS part_id,
+        |  unnest(list_distinct([p_brand, p_type, CAST(p_size AS VARCHAR)])) AS alias
+        |FROM part WHERE p_partkey % 11 = 0""".stripMargin,
     "s1_delim_scan" ->
       """SELECT "Gene stable ID" AS gene_id,
         |  "Transcript stable ID" AS transcript_id,
