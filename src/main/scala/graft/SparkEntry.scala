@@ -467,6 +467,116 @@ object SparkEntry {
             col("p_size").cast("string")))).as("alias"))
     }),
 
+    // ---- LLM training-data pipeline operators (documents/embeddings) ----
+
+    // Exact content dedup: hash-groupBy on full text, canonical = min id.
+    "llm_exact_dedup" -> ((s, dir) => {
+      val w = Window.partitionBy(col("content_key"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("content_key"))
+        .withColumn("is_canonical", col("doc_id") === min(col("doc_id")).over(w))
+    }),
+
+    // MinHash + banded LSH near-dup pairs with exact-Jaccard verification:
+    // candidates only ever come from shared (band, key) buckets — the
+    // all-pairs comparison that kills 100 TB runs never happens.
+    "llm_minhash_neardup" -> ((s, dir) => {
+      llm.TextOps.minhashNearDups(
+        t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
+    }),
+
+    // SimHash document fingerprint (32-bit, +1/-1 bit votes over shingles).
+    "llm_simhash" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("ws", llm.TextOps.words("text"))
+        .withColumn("shingles", llm.TextOps.shingles(3))
+        .withColumn("shash", llm.TextOps.shingleHashes)
+        .select(col("doc_id"), llm.TextOps.simhash(32).as("simhash"))
+    }),
+
+    // n-gram Jaccard near-dup within (lang, source) blocks — the blocked
+    // brute-force tier (block sizes are bounded, so the pair join is local).
+    "llm_ngram_jaccard" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .withColumn("ws", llm.TextOps.words("text"))
+        .withColumn("shingles", llm.TextOps.shingles(3))
+        .select(col("doc_id"), col("lang"), col("source"), col("shingles"))
+      val l = base.select(col("doc_id").as("id_a"), col("lang"), col("source"),
+        col("shingles").as("sh_a"))
+      val r = base.select(col("doc_id").as("id_b"), col("lang"), col("source"),
+        col("shingles").as("sh_b"))
+      l.join(r, Seq("lang", "source"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          llm.TextOps.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+    }),
+
+    // Token counts, quality score, rolling fingerprint, content key.
+    "llm_text_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("ws", llm.TextOps.words("text"))
+        .withColumn("shingles", llm.TextOps.shingles(3))
+        .withColumn("shash", llm.TextOps.shingleHashes)
+        .select(Seq(col("doc_id")) ++ llm.TextOps.tokenCounts ++ Seq(
+          llm.TextOps.qualityScore.as("quality"),
+          array_min(col("shash")).as("fingerprint"),
+          md5(col("text")).as("content_key")): _*)
+    }),
+
+    // Language-ID heuristic: stopword hit counts + argmax guess.
+    "llm_langid" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("ws", llm.TextOps.words("text"))
+        .select(Seq(col("doc_id")) ++ llm.TextOps.langIdColumns: _*)
+        .withColumn("pred_lang", llm.TextOps.predictedLang)
+    }),
+
+    // Brute-force cosine top-3 (integer-quantized → bit-exact ranking).
+    "llm_ann_topk" -> ((s, dir) => {
+      val e = llm.Ann.withQuantized(t(s, dir, "embeddings"), "embedding")
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("vq"), col("norm2"))
+      val c = e.select(col("vec_id").as("nid"), col("vq"), col("norm2"))
+      llm.Ann.bruteTopK(q, c, 3)
+    }),
+
+    // LSH-bucketed ANN: difference-hyperplane sign bucket, top-3 within
+    // the query's bucket.
+    "llm_ann_lsh" -> ((s, dir) => {
+      val e = llm.Ann.withBucket(
+        llm.Ann.withQuantized(t(s, dir, "embeddings"), "embedding"),
+        llm.Ann.DefaultPairs)
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("vq"), col("norm2"), col("bucket"))
+      val c = e.select(col("vec_id").as("nid"), col("vq"), col("norm2"),
+        col("bucket"))
+      llm.Ann.lshTopK(q, c, 3)
+    }),
+
+    // Embedding-cosine near-dup pairs blocked by label.
+    "llm_embed_neardup" -> ((s, dir) => {
+      val e = llm.Ann.withQuantized(t(s, dir, "embeddings"), "embedding")
+        .withColumnRenamed("vec_id", "id")
+      llm.Ann.nearDupPairs(e, "id", "label", 0.45)
+    }),
+
+    // Multimodal plumbing: binary payload + typed metadata → batched
+    // decode-stub features, resize metadata, frame-sample counts.
+    "llm_multimodal" -> ((s, dir) => {
+      val items = llm.Multimodal.fromDocuments(s, t(s, dir, "documents"))
+      val feats = llm.Multimodal.decodeStub(items).toDF()
+      val resized = llm.Multimodal.resizeMeta(items.toDF(), 256)
+        .select(col("mediaId"), col("out_width"), col("out_height"))
+      val frames = llm.Multimodal.sampleFrames(items.toDF(), 1000)
+        .groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"))
+      feats.join(resized, Seq("mediaId"))
+        .join(frames, feats("mediaId") === frames("media_id"))
+        .select(col("media_id"), col("kind"), col("nBytes").as("n_bytes"),
+          col("contentMd5").as("content_md5"), col("head8Hex").as("head8_hex"),
+          col("out_width"), col("out_height"), col("n_frames"))
+    }),
+
     // J12 (tiered content diff with deterministic residue zip) via
     // core.DiffMerge: incoming=even keys, existing=multiples of 3. Tiers
     // join on tight (high-cardinality) keys; the weak residual pairing is
@@ -546,6 +656,147 @@ object SparkEntry {
     // x1/x4/x8 are frozen golden frames (hand-derived DNF / expansion /
     // ladder expectations, cross-checked against the reference's jest
     // corpus semantics in ProfileDnfSpec).
+    "llm_exact_dedup" ->
+      """SELECT doc_id, md5(text) AS content_key,
+        |  doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
+        |FROM documents""".stripMargin,
+    "llm_minhash_neardup" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN CAST([] AS VARCHAR[])
+        |  ELSE list_distinct(list_transform(generate_series(1, len(ws)-2),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS shingles FROM w),
+        |hs AS (SELECT doc_id, shingles,
+        |  list_transform(shingles, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS shash FROM sh),
+        |sig AS (SELECT doc_id, shingles, list_transform(generate_series(0, 31), i ->
+        |  list_min(list_transform(shash, h ->
+        |    ((CAST(('0x' || substr(md5('a' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000006 + 1)
+        |      * (h % 1000000007)
+        |     + CAST(('0x' || substr(md5('b' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000007) % 1000000007))) AS sig
+        |  FROM hs),
+        |bands AS (SELECT doc_id, shingles, b AS band_id,
+        |  md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS band_key
+        |  FROM sig, (SELECT unnest(generate_series(0, 7)) AS b)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.shingles, c.shingles)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.shingles, c.shingles))) AS jaccard
+        |  FROM bands a JOIN bands c
+        |    ON a.band_id = c.band_id AND a.band_key = c.band_key AND a.doc_id < c.doc_id)
+        |SELECT id_a, id_b, jaccard FROM cand WHERE jaccard >= 0.5""".stripMargin,
+    "llm_simhash" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN CAST([] AS VARCHAR[])
+        |  ELSE list_distinct(list_transform(generate_series(1, len(ws)-2),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS shingles FROM w),
+        |hs AS (SELECT doc_id, shingles,
+        |  list_transform(shingles, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS shash FROM sh)
+        |SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 31), k ->
+        |  CASE WHEN list_sum(list_transform(shash, h ->
+        |      CASE WHEN (h >> k) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+        |    THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)) AS BIGINT) AS simhash
+        |FROM hs""".stripMargin,
+    "llm_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN CAST([] AS VARCHAR[])
+        |  ELSE list_distinct(list_transform(generate_series(1, len(ws)-2),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS shingles FROM w),
+        |hs AS (SELECT doc_id, shingles,
+        |  list_transform(shingles, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS shash FROM sh),
+        |b AS (SELECT d.lang, d.source, hs.doc_id, hs.shingles FROM hs JOIN documents d USING (doc_id))
+        |SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.shingles, c.shingles)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.shingles, c.shingles))) AS jaccard
+        |FROM b a JOIN b c ON a.lang = c.lang AND a.source = c.source AND a.doc_id < c.doc_id
+        |WHERE CAST(len(list_intersect(a.shingles, c.shingles)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.shingles, c.shingles))) >= 0.5""".stripMargin,
+    "llm_text_stats" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN CAST([] AS VARCHAR[])
+        |  ELSE list_distinct(list_transform(generate_series(1, len(ws)-2),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS shingles FROM w),
+        |hs AS (SELECT doc_id, shingles,
+        |  list_transform(shingles, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS shash FROM sh)
+        |SELECT hs.doc_id,
+        |  CAST(len(ws) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpeish_tokens,
+        |  (CASE WHEN length(text) BETWEEN 100 AND 5000 THEN 1.0
+        |        WHEN length(text) > 5000 THEN 0.5 ELSE 0.2 END +
+        |   CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(ws)
+        |             BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.4 END +
+        |   CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE) / length(text)
+        |  ) / 3.0 AS quality,
+        |  list_min(shash) AS fingerprint,
+        |  md5(text) AS content_key
+        |FROM hs JOIN w ON hs.doc_id = w.doc_id JOIN documents d ON d.doc_id = hs.doc_id""".stripMargin,
+    "llm_langid" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |h AS (SELECT doc_id,
+        |  CAST(len(list_filter(ws, w -> list_contains(['the','a','of','and','to','in','is','it','for','on'], w))) AS BIGINT) AS en_hits,
+        |  CAST(len(list_filter(ws, w -> list_contains(['le','la','et','les','des','un','une','du','est','dans'], w))) AS BIGINT) AS fr_hits,
+        |  CAST(len(list_filter(ws, w -> list_contains(['der','die','und','das','ist','nicht','ein','mit','den','von'], w))) AS BIGINT) AS de_hits
+        |FROM w)
+        |SELECT doc_id, en_hits, fr_hits, de_hits,
+        |  CASE WHEN en_hits >= fr_hits AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
+        |       WHEN fr_hits >= de_hits AND fr_hits > 0 THEN 'fr'
+        |       WHEN de_hits > 0 THEN 'de' ELSE 'unknown' END AS pred_lang
+        |FROM h""".stripMargin,
+    "llm_ann_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS vq FROM embeddings),
+        |en AS (SELECT vec_id, vq, CAST(list_sum(list_transform(vq, x -> x * x)) AS BIGINT) AS norm2 FROM e),
+        |q AS (SELECT vec_id AS qid, vq AS qv, norm2 AS qn FROM en WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id AS nid, vq AS nv, norm2 AS nn FROM en),
+        |scored AS (SELECT qid, nid,
+        |    CAST(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * nv[i])) AS BIGINT) AS dp,
+        |    qn, nn
+        |  FROM c CROSS JOIN q WHERE nid <> qid),
+        |ranked AS (SELECT qid, nid,
+        |    CAST(dp AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(nn AS DOUBLE))) AS cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY
+        |      CAST(dp AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(nn AS DOUBLE))) DESC,
+        |      nid ASC) AS rank
+        |  FROM scored)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, nid, cos FROM ranked WHERE rank <= 3""".stripMargin,
+    "llm_ann_lsh" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS vq FROM embeddings),
+        |en AS (SELECT vec_id, vq, CAST(list_sum(list_transform(vq, x -> x * x)) AS BIGINT) AS norm2 FROM e),
+        |eb AS (SELECT vec_id, vq, norm2,
+        |  CAST(CASE WHEN vq[1] >= vq[33] THEN 1 ELSE 0 END
+        |     + CASE WHEN vq[2] >= vq[34] THEN 2 ELSE 0 END
+        |     + CASE WHEN vq[3] >= vq[35] THEN 4 ELSE 0 END
+        |     + CASE WHEN vq[4] >= vq[36] THEN 8 ELSE 0 END
+        |     + CASE WHEN vq[5] >= vq[37] THEN 16 ELSE 0 END
+        |     + CASE WHEN vq[6] >= vq[38] THEN 32 ELSE 0 END AS BIGINT) AS bucket FROM en),
+        |q AS (SELECT vec_id AS qid, vq AS qv, norm2 AS qn, bucket FROM eb WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id AS nid, vq AS nv, norm2 AS nn, bucket FROM eb),
+        |scored AS (SELECT qid, c.bucket, nid,
+        |    CAST(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * nv[i])) AS BIGINT) AS dp,
+        |    qn, nn
+        |  FROM c JOIN q USING (bucket) WHERE nid <> qid),
+        |ranked AS (SELECT qid, bucket, nid,
+        |    CAST(dp AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(nn AS DOUBLE))) AS cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY
+        |      CAST(dp AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(nn AS DOUBLE))) DESC,
+        |      nid ASC) AS rank
+        |  FROM scored)
+        |SELECT qid, bucket, CAST(rank AS BIGINT) AS rank, nid, cos FROM ranked WHERE rank <= 3""".stripMargin,
+    "llm_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS vq FROM embeddings),
+        |en AS (SELECT vec_id, vq, CAST(list_sum(list_transform(vq, x -> x * x)) AS BIGINT) AS norm2 FROM e),
+        |b AS (SELECT en.vec_id AS id, label, vq, norm2 FROM en JOIN embeddings USING (vec_id))
+        |SELECT a.id AS id_a, c.id AS id_b, CAST(a.label AS INT) AS block,
+        |  CAST(CAST(list_sum(list_transform(generate_series(1, len(a.vq)), i -> a.vq[i] * c.vq[i])) AS BIGINT) AS DOUBLE)
+        |    / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(c.norm2 AS DOUBLE))) AS cos
+        |FROM b a JOIN b c ON a.label = c.label AND a.id < c.id
+        |WHERE CAST(CAST(list_sum(list_transform(generate_series(1, len(a.vq)), i -> a.vq[i] * c.vq[i])) AS BIGINT) AS DOUBLE)
+        |    / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(c.norm2 AS DOUBLE))) >= 0.45""".stripMargin,
+    "llm_multimodal" ->
+      """SELECT doc_id AS media_id, 'text-as-image-stub' AS kind,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_md5,
+        |  lower(hex(encode(substr(text, 1, 8)))) AS head8_hex,
+        |  CAST(floor(((n_chars % 640) + 32) * least(1.0, 256.0 / greatest((n_chars % 640) + 32, ((n_chars * 7) % 480) + 32))) AS INT) AS out_width,
+        |  CAST(floor((((n_chars * 7) % 480) + 32) * least(1.0, 256.0 / greatest((n_chars % 640) + 32, ((n_chars * 7) % 480) + 32))) AS INT) AS out_height,
+        |  CAST((n_chars * 10 - 1) // 1000 + 1 AS BIGINT) AS n_frames
+        |FROM documents""".stripMargin,
     "x1_dnf" ->
       """SELECT CAST(expr_id AS BIGINT) AS expr_id, CAST(set_id AS BIGINT) AS set_id,
         |  CAST(variants AS VARCHAR) AS variants

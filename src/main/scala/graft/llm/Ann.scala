@@ -1,0 +1,116 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`): brute-force cosine top-k as the exactness baseline and
+  * a difference-hyperplane LSH bucketing as the scale path.
+  *
+  * Determinism: vectors are first quantized to integers
+  * (`floor(x * 100)`), so dot products and norms are exact 64-bit integer
+  * arithmetic; the final cosine is one sqrt + one division on identical
+  * integers — IEEE-correctly-rounded, hence bit-identical between Spark and
+  * the DuckDB oracle. (A production deployment would keep floats; the
+  * integer grid exists so the correctness gate is exact, and it changes
+  * ranking only where two neighbors are closer than the grid resolution.)
+  *
+  * Scale: the brute path broadcasts the (small) query set against the
+  * corpus — a map-side nested loop with a per-query top-k window, no
+  * shuffle of the corpus. The LSH path buckets both sides on a
+  * sign-pattern key and joins bucket-local — candidate count per bucket is
+  * corpus/2^bits in expectation, and the join key is high-cardinality.
+  */
+object Ann {
+
+  /** Quantized vector + its exact integer self-dot. */
+  def withQuantized(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("vq",
+        // widen float→double BEFORE the multiply: a float-precision product
+        // could floor() differently than the oracle's double product
+        expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT))"))
+      .withColumn("norm2",
+        expr("aggregate(zip_with(vq, vq, (x, y) -> x * y), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+
+  /** Exact integer dot of two quantized vectors. */
+  def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+
+  /** Cosine from integer dot + norms (deterministic double). */
+  def cosine(dotCol: Column, n2a: Column, n2b: Column): Column =
+    dotCol.cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
+
+  /** Brute-force cosine top-k: every query row against the corpus.
+    * `queries` is expected to be small (it is broadcast).
+    */
+  def bruteTopK(
+      queries: DataFrame, // (qid, vq, norm2)
+      corpus: DataFrame, // (nid, vq, norm2)
+      k: Int): DataFrame = {
+    val q = queries.select(col("qid"), col("vq").as("qv"), col("norm2").as("qn"))
+    val c = corpus.select(col("nid"), col("vq").as("nv"), col("norm2").as("nn"))
+    val scored = c.join(broadcast(q), col("qid").isNotNull && col("nid") =!= col("qid"))
+      .withColumn("dp", dot("qv", "nv"))
+      .withColumn("cos", cosine(col("dp"), col("qn"), col("nn")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cos"))
+  }
+
+  /** Difference-hyperplane LSH bucket key: bit m = [vq[i_m] >= vq[j_m]]
+    * for fixed coordinate pairs — each is the hyperplane e_i - e_j, valid
+    * for cosine LSH and free of stored projection matrices (the fixed
+    * index pairs reproduce in any engine).
+    */
+  def withBucket(df: DataFrame, pairs: Seq[(Int, Int)]): DataFrame = {
+    val bits = pairs.zipWithIndex.map { case ((i, j), m) =>
+      s"CASE WHEN element_at(vq, $i) >= element_at(vq, $j) THEN ${1L << m} ELSE 0 END"
+    }
+    df.withColumn("bucket", expr(bits.mkString("CAST(", " + ", " AS BIGINT)")))
+  }
+
+  val DefaultPairs: Seq[(Int, Int)] =
+    Seq((1, 33), (2, 34), (3, 35), (4, 36), (5, 37), (6, 38))
+
+  /** LSH-bucketed top-k: candidates are corpus rows sharing the query's
+    * bucket; scoring identical to the brute path.
+    */
+  def lshTopK(
+      queries: DataFrame, // (qid, vq, norm2, bucket)
+      corpus: DataFrame, // (nid, vq, norm2, bucket)
+      k: Int): DataFrame = {
+    val q = queries.select(col("qid"), col("vq").as("qv"),
+      col("norm2").as("qn"), col("bucket"))
+    val c = corpus.select(col("nid"), col("vq").as("nv"),
+      col("norm2").as("nn"), col("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("dp", dot("qv", "nv"))
+      .withColumn("cos", cosine(col("dp"), col("qn"), col("nn")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("bucket"), col("rank").cast("long").as("rank"),
+        col("nid"), col("cos"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs, blocked by a partition column
+    * (label here; at scale this is the shard/bucket key that keeps the
+    * pair join local).
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, blockCol: String,
+      threshold: Double): DataFrame = {
+    val l = df.select(col(idCol).as("id_a"), col(blockCol).as("blk"),
+      col("vq").as("va"), col("norm2").as("na"))
+    val r = df.select(col(idCol).as("id_b"), col(blockCol).as("blk"),
+      col("vq").as("vb"), col("norm2").as("nb"))
+    l.join(r, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dp", dot("va", "vb"))
+      .withColumn("cos", cosine(col("dp"), col("na"), col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("blk").as("block"), col("cos"))
+  }
+}

@@ -1,0 +1,170 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline operators for large-scale training-data curation: shingling,
+  * MinHash/LSH near-dup detection, SimHash, n-gram Jaccard, language-ID,
+  * quality scoring, token counting and fingerprinting — all as pure Catalyst
+  * column expressions (no UDFs), so every stage stays inside whole-stage
+  * codegen and distributes with the data.
+  *
+  * Hash design: `h64(s)` = first 15 hex chars of md5 → BIGINT (60 bits,
+  * always positive). MinHash permutations are `(a_i * (h % P) + b_i) % P`
+  * with P = 1e9+7, so every intermediate fits in a signed 64-bit with no
+  * overflow — and the identical arithmetic is expressible in the DuckDB
+  * oracle (integer ops are exact in both engines; no float drift).
+  *
+  * Scale: shingle/signature construction is narrow (per-row); the only
+  * shuffles in near-dup detection are the band-bucket self-join (keys are
+  * (band_id, band_hash) — high cardinality, skew-free) and the final
+  * verification join. All-pairs comparison never happens: candidates come
+  * from LSH buckets only, which is the property that survives 100 TB.
+  */
+object TextOps {
+
+  /** Modulus for MinHash permutations (fits 32 bits; products with 60-bit
+    * hashes stay under 2^63).
+    */
+  val P = 1000000007L
+
+  /** SQL fragment: 60-bit positive hash of a string expression. */
+  def h64(e: String): String = s"CAST(conv(substr(md5($e), 1, 15), 16, 10) AS BIGINT)"
+
+  /** Lower-cased whitespace word list. */
+  def words(textCol: String): Column = split(lower(col(textCol)), " ")
+
+  /** Distinct k-gram word shingles of `ws` (empty when fewer than k words —
+    * NB Spark's `sequence(1, n)` counts DOWN for n<1, hence the guard).
+    */
+  def shingles(k: Int = 3): Column = {
+    val gram = (0 until k).map(j => s"element_at(ws, i + $j)").mkString(", ' ', ")
+    expr(
+      s"""CASE WHEN size(ws) < $k THEN CAST(array() AS ARRAY<STRING>)
+         |ELSE array_distinct(transform(sequence(1, size(ws) - ${k - 1}),
+         |  i -> concat($gram))) END""".stripMargin)
+  }
+
+  /** 60-bit hashes of the shingle set. */
+  def shingleHashes: Column = expr(s"transform(shingles, s -> ${h64("s")})")
+
+  /** MinHash signature: for permutation i, min over shingle hashes of
+    * `(a_i * (h % P) + b_i) % P`, with a_i/b_i themselves derived from md5
+    * of the permutation index — reproducible in any engine with md5.
+    */
+  def minhashSignature(nPerm: Int = 32): Column = {
+    val a = s"(${h64("concat('a', CAST(i AS STRING))")} % ${P - 1}) + 1"
+    val b = s"${h64("concat('b', CAST(i AS STRING))")} % $P"
+    expr(
+      s"""transform(sequence(0, ${nPerm - 1}), i ->
+         |  array_min(transform(shash, h -> (($a) * (h % $P) + ($b)) % $P)))""".stripMargin)
+  }
+
+  /** LSH band keys: md5 over each band's signature slice. One row per
+    * (id, band_id, band_key) after the caller explodes.
+    */
+  def bandKeys(nBands: Int, rowsPerBand: Int): Column =
+    expr(
+      s"""transform(sequence(0, ${nBands - 1}), b -> struct(
+         |  b AS band_id,
+         |  md5(concat_ws(',', slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))
+         |    AS band_key))""".stripMargin)
+
+  /** SimHash over the shingle hash list: bit k of the result is set when
+    * the +1/-1 vote of shingle-hash bit k sums positive. 32 bits.
+    */
+  def simhash(nBits: Int = 32): Column =
+    expr(
+      s"""aggregate(sequence(0, ${nBits - 1}), CAST(0 AS BIGINT), (acc, k) ->
+         |  acc + CASE WHEN aggregate(shash, CAST(0 AS BIGINT), (a, h) ->
+         |      a + CASE WHEN shiftright(h, k) % 2 = 1 THEN 1 ELSE -1 END) > 0
+         |    THEN shiftleft(CAST(1 AS BIGINT), k) ELSE 0 END)""".stripMargin)
+
+  /** Exact Jaccard between two shingle-set columns (integer sizes → one
+    * IEEE division; bit-identical across engines).
+    */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** Candidate near-dup pairs via banded MinHash-LSH, then exact-Jaccard
+    * verification. Returns (id_a, id_b, jaccard) with id_a < id_b and
+    * jaccard >= threshold. `df` must carry `idCol` and `textCol`.
+    */
+  def minhashNearDups(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      nPerm: Int = 32,
+      nBands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = nPerm / nBands
+    val base = df
+      .withColumn("ws", words(textCol))
+      .withColumn("shingles", shingles(k))
+      .withColumn("shash", shingleHashes)
+      .withColumn("sig", minhashSignature(nPerm))
+      .select(col(idCol).as("id"), col("shingles"),
+        explode(bandKeys(nBands, rowsPerBand)).as("band"))
+      .select(col("id"), col("shingles"),
+        col("band.band_id"), col("band.band_key"))
+    val l = base.select(col("id").as("id_a"), col("shingles").as("sh_a"),
+      col("band_id"), col("band_key"))
+    val r = base.select(col("id").as("id_b"), col("shingles").as("sh_b"),
+      col("band_id"), col("band_key"))
+    l.join(r, Seq("band_id", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .distinct() // a pair can collide in several bands
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** English/French/German stopword hit counts + argmax language guess —
+    * the n-gram-free heuristic tier of a language-ID stack.
+    */
+  val EN = Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+  val FR = Seq("le", "la", "et", "les", "des", "un", "une", "du", "est", "dans")
+  val DE = Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "den", "von")
+
+  private def hitCount(stop: Seq[String]): String = {
+    val arr = stop.map(w => s"'$w'").mkString("array(", ", ", ")")
+    s"size(filter(ws, w -> array_contains($arr, w)))"
+  }
+
+  def langIdColumns: Seq[Column] = Seq(
+    expr(hitCount(EN)).cast("long").as("en_hits"),
+    expr(hitCount(FR)).cast("long").as("fr_hits"),
+    expr(hitCount(DE)).cast("long").as("de_hits"))
+
+  def predictedLang: Column =
+    when(col("en_hits") >= col("fr_hits") && col("en_hits") >= col("de_hits") &&
+      col("en_hits") > 0, lit("en"))
+      .when(col("fr_hits") >= col("de_hits") && col("fr_hits") > 0, lit("fr"))
+      .when(col("de_hits") > 0, lit("de"))
+      .otherwise(lit("unknown"))
+
+  /** Token count (whitespace) and a BPE-ish regex token count
+    * (word pieces + punctuation marks).
+    */
+  def tokenCounts: Seq[Column] = Seq(
+    size(col("ws")).cast("long").as("n_ws_tokens"),
+    expr("size(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\\\s]', 0))")
+      .cast("long").as("n_bpeish_tokens"))
+
+  /** Quality score in [0,1]: mean of three bounded signals — length band,
+    * mean word length band, alpha-character ratio. Integer inputs → exact
+    * double arithmetic, reproducible in the oracle.
+    */
+  def qualityScore: Column =
+    expr(
+      """(
+        |  CASE WHEN length(text) BETWEEN 100 AND 5000 THEN 1.0
+        |       WHEN length(text) > 5000 THEN 0.5 ELSE 0.2 END +
+        |  CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE) / size(ws)
+        |            BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.4 END +
+        |  CAST(length(regexp_replace(text, '[^a-zA-Z ]', '')) AS DOUBLE)
+        |    / length(text)
+        |) / 3.0""".stripMargin)
+}

@@ -1,0 +1,145 @@
+package graft.llm
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val dir = "/root/testdata/sf0.001"
+  def docs = Tables(spark, dir, "documents")
+
+  test("minhash LSH finds planted near-dups and nothing below threshold") {
+    val found = TextOps.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+      .collect()
+    // ground truth: brute-force all-pairs jaccard
+    val base = docs.withColumn("ws", TextOps.words("text"))
+      .withColumn("shingles", TextOps.shingles(3))
+      .select(col("doc_id"), col("shingles"))
+    val l = base.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))
+    val r = base.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"))
+    val truth = l.join(r, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        TextOps.jaccard(col("sh_a"), col("sh_b")).as("j"))
+      .filter(col("j") >= 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val foundPairs = found.map(r0 => (r0.getLong(0), r0.getLong(1))).toSet
+    assert(foundPairs.subsetOf(truth), "LSH emitted a sub-threshold pair")
+    assert(foundPairs == truth, // 8 bands × 4 rows at j≥0.9: miss prob ~1e-4
+      s"LSH missed planted pairs: ${truth -- foundPairs}")
+    assert(found.forall(_.getDouble(2) >= 0.5))
+  }
+
+  test("simhash: near-dup docs land close in hamming distance") {
+    val withSim = docs.withColumn("ws", TextOps.words("text"))
+      .withColumn("shingles", TextOps.shingles(3))
+      .withColumn("shash", TextOps.shingleHashes)
+      .withColumn("simhash", TextOps.simhash(32))
+      .select(col("doc_id"), col("simhash")).as[(Long, Long)].collect().toMap
+    val nearDup = TextOps.minhashNearDups(docs, "doc_id", "text", threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(nearDup.nonEmpty)
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val dupDists = nearDup.map { case (a, b) => hamming(withSim(a), withSim(b)) }
+    assert(dupDists.forall(_ <= 6), s"near-dup hamming too large: ${dupDists.toSeq}")
+  }
+
+  test("langid + quality + token counts behave on known text") {
+    val df = Seq((1L, "the cat sat on the mat and it is fine"),
+      (2L, "le chat est dans la maison et il est la"),
+      (3L, "zzz qqq www")).toDF("doc_id", "text")
+      .withColumn("ws", TextOps.words("text"))
+    val out = df.select(col("doc_id") +: (TextOps.langIdColumns :+
+      TextOps.qualityScore.as("q")): _*)
+      .withColumn("pred", TextOps.predictedLang)
+    val rows = out.orderBy("doc_id").collect()
+    assert(rows(0).getAs[String]("pred") == "en")
+    assert(rows(1).getAs[String]("pred") == "fr")
+    assert(rows(2).getAs[String]("pred") == "unknown")
+    val q = rows(0).getAs[Double]("q")
+    assert(q > 0 && q <= 1.0)
+  }
+}
+
+class AnnSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val dir = "/root/testdata/sf0.001"
+  def emb = Tables(spark, dir, "embeddings")
+
+  test("brute top-k: k rows per query, rank 1 is the max-cosine neighbor") {
+    val e = Ann.withQuantized(emb, "embedding")
+    val q = e.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("vq"), col("norm2"))
+    val c = e.select(col("vec_id").as("nid"), col("vq"), col("norm2"))
+    val top = Ann.bruteTopK(q, c, 3).collect()
+    val nQueries = q.count()
+    assert(top.length == nQueries * 3)
+    val byQ = top.groupBy(_.getLong(0))
+    byQ.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getDouble(3)).sliding(2).forall(p => p(0) >= p(1)))
+    }
+  }
+
+  test("LSH top-k candidates share the query bucket; scores match brute") {
+    val e = Ann.withBucket(Ann.withQuantized(emb, "embedding"), Ann.DefaultPairs)
+    val q = e.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("vq"), col("norm2"), col("bucket"))
+    val c = e.select(col("vec_id").as("nid"), col("vq"), col("norm2"), col("bucket"))
+    val top = Ann.lshTopK(q, c, 2)
+    assert(top.count() > 0)
+    // every (qid, nid) pair really is bucket-colocated
+    val buckets = e.select(col("vec_id"), col("bucket")).as[(Long, Long)].collect().toMap
+    top.select("qid", "nid").as[(Long, Long)].collect().foreach { case (a, b) =>
+      assert(buckets(a) == buckets(b))
+    }
+  }
+
+  test("near-dup pairs are symmetric-free and above threshold") {
+    val e = Ann.withQuantized(emb, "embedding")
+    val pairs = Ann.nearDupPairs(e.withColumnRenamed("vec_id", "id"),
+      "id", "label", 0.3).collect()
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(3) >= 0.3)
+    }
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("decode stub: md5/byte features match jvm-side recompute") {
+    val docs = Tables(spark, dir, "documents").limit(5)
+    val items = Multimodal.fromDocuments(spark, docs)
+    val feats = Multimodal.decodeStub(items).collect()
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      val bytes = texts(f.mediaId).getBytes("UTF-8")
+      assert(f.nBytes == bytes.length)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      assert(f.contentMd5 == md.digest(bytes).map("%02x".format(_)).mkString)
+    }
+  }
+
+  test("resize preserves aspect ratio bound; frame sampling count") {
+    val docs = Tables(spark, dir, "documents").limit(10)
+    val items = Multimodal.fromDocuments(spark, docs).toDF()
+    val resized = Multimodal.resizeMeta(items, 256)
+      .select("out_width", "out_height").collect()
+    resized.foreach { r =>
+      assert(r.getInt(0) <= 256 && r.getInt(1) <= 256)
+    }
+    val frames = Multimodal.sampleFrames(items, 1000)
+      .groupBy("media_id").agg(count(lit(1)).as("n")).collect()
+    assert(frames.forall(_.getLong(1) >= 1))
+  }
+}
