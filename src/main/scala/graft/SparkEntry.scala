@@ -467,6 +467,65 @@ object SparkEntry {
             col("p_size").cast("string")))).as("alias"))
     }),
 
+    // K5 (edge upsert through the PERSISTENT store): seed the edge table,
+    // upsert a second batch (anti-join dedup on (out,in,edgeClass)), read
+    // the final state back OFF DISK — the query output is the durable edge
+    // set, so the oracle checks store round-trip + merge semantics.
+    "k5_edge_upsert" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val existing = li.filter(col("l_orderkey") % 3 === 0)
+        .select(col("l_orderkey").as("out"), col("l_partkey").as("in"),
+          lit("contains").as("edgeClass")).dropDuplicates()
+      val candidates = li.filter(col("l_orderkey") % 2 === 0)
+        .select(col("l_orderkey").as("out"), col("l_partkey").as("in"),
+          lit("contains").as("edgeClass")).dropDuplicates()
+      val store = new core.PersistentGraphStore(s,
+        java.nio.file.Files.createTempDirectory("graft-k5").toString)
+      store.write("edges", existing)
+      store.upsertEdges(candidates)
+      store.read("edges").get
+        .select(col("out"), col("in"), col("edgeClass").as("edge_class"))
+    }),
+
+    // K7 (source-dimension upsert keyed by name, graphkb.js:614-624):
+    // two successive merges through the persistent store; output is the
+    // final dimension state read back from parquet.
+    "k7_source_upsert" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+      val target = sup.filter(col("s_suppkey") % 2 === 0).select(
+        col("s_name").as("name"), col("s_nationkey").as("nation"),
+        col("s_acctbal").as("bal"))
+      val updates = sup.filter(col("s_suppkey") % 3 === 0).select(
+        col("s_name").as("name"), col("s_nationkey").as("nation"),
+        when(col("s_suppkey") % 5 === 0, col("s_acctbal") + 1.0)
+          .otherwise(col("s_acctbal")).as("bal"))
+      val store = new core.PersistentGraphStore(s,
+        java.nio.file.Files.createTempDirectory("graft-k7").toString)
+      store.upsertSource(target)
+      store.upsertSource(updates)
+      store.read("sources").get.select("name", "nation", "bal")
+    }),
+
+    // K8 (null-padded composite upsert key): a nullable column participates in
+    // the unique key via null-safe equality — (id, NULL) matches (id, NULL)
+    // instead of never-matching (graphkb.js:631-660 pads variant keys with
+    // explicit nulls for exactly this).
+    "k8_nullkey_upsert" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val nkey = nullif(col("o_orderstatus"), lit("P"))
+      val target = o.filter(col("o_orderkey") % 2 === 0).select(
+        col("o_orderkey").as("id"), nkey.as("nkey"),
+        col("o_totalprice").as("total"))
+      val updates = o.filter(col("o_orderkey") % 3 === 0).select(
+        col("o_orderkey").as("id"), nkey.as("nkey"),
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")).as("total"))
+      core.GraphStore.classify(target, updates,
+        keyCols = Seq("id", "nkey"), compareCols = Seq("total"),
+        softDelete = true)
+        .select(col("id"), col("nkey"), col(core.GraphStore.ACTION).as("action"))
+    }),
+
     // ---- LLM training-data pipeline operators (documents/embeddings) ----
 
     // Exact content dedup: hash-groupBy on full text, canonical = min id.
@@ -656,6 +715,38 @@ object SparkEntry {
     // x1/x4/x8 are frozen golden frames (hand-derived DNF / expansion /
     // ladder expectations, cross-checked against the reference's jest
     // corpus semantics in ProfileDnfSpec).
+    "k5_edge_upsert" ->
+      """SELECT DISTINCT l_orderkey AS out, l_partkey AS "in", 'contains' AS edge_class
+        |FROM lineitem WHERE l_orderkey % 3 = 0 OR l_orderkey % 2 = 0""".stripMargin,
+    "k7_source_upsert" ->
+      """WITH target AS (
+        |  SELECT s_name AS name, s_nationkey AS nation, s_acctbal AS bal
+        |  FROM supplier WHERE s_suppkey % 2 = 0),
+        |updates AS (
+        |  SELECT s_name AS name, s_nationkey AS nation,
+        |    CASE WHEN s_suppkey % 5 = 0 THEN s_acctbal + 1.0 ELSE s_acctbal END AS bal
+        |  FROM supplier WHERE s_suppkey % 3 = 0)
+        |SELECT coalesce(u.name, t.name) AS name,
+        |  CASE WHEN u.name IS NOT NULL THEN u.nation ELSE t.nation END AS nation,
+        |  CASE WHEN u.name IS NOT NULL THEN u.bal ELSE t.bal END AS bal
+        |FROM target t FULL OUTER JOIN updates u ON t.name = u.name""".stripMargin,
+    "k8_nullkey_upsert" ->
+      """WITH target AS (
+        |  SELECT o_orderkey AS id, nullif(o_orderstatus, 'P') AS nkey,
+        |         o_totalprice AS total
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |updates AS (
+        |  SELECT o_orderkey AS id, nullif(o_orderstatus, 'P') AS nkey,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS total
+        |  FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT coalesce(u.id, t.id) AS id,
+        |  CASE WHEN u.id IS NOT NULL THEN u.nkey ELSE t.nkey END AS nkey,
+        |  CASE WHEN t.id IS NULL THEN 'create'
+        |       WHEN u.id IS NULL THEN 'delete'
+        |       WHEN t.total IS DISTINCT FROM u.total THEN 'update'
+        |       ELSE 'noop' END AS action
+        |FROM target t FULL OUTER JOIN updates u
+        |  ON t.id = u.id AND t.nkey IS NOT DISTINCT FROM u.nkey""".stripMargin,
     "llm_exact_dedup" ->
       """SELECT doc_id, md5(text) AS content_key,
         |  doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical

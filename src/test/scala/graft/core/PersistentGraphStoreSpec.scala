@@ -1,0 +1,95 @@
+package graft.core
+
+import java.nio.file.Files
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PersistentGraphStoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshStore(): PersistentGraphStore =
+    new PersistentGraphStore(spark,
+      Files.createTempDirectory("graft-store").toString)
+
+  private def v1 = Seq(
+    ("d1", "melanoma", Seq("solid"), false),
+    ("d2", "glioma", Seq("cns"), false),
+    ("d3", "old-term", Seq.empty[String], true)
+  ).toDF("sourceId", "name", "subsets", "deprecated")
+
+  test("first merge creates everything; re-running the SAME merge from disk is all-noop") {
+    val store = freshStore()
+    val c1 = store.merge("vertices", v1, Seq("sourceId"),
+      compareCols = Seq("name", "deprecated"), setCols = Seq("subsets"))
+    assert(c1 == Map("create" -> 3L))
+    assert(store.latestVersion("vertices").contains(1))
+
+    // idempotency: the store state comes back OFF DISK, not from memory
+    val c2 = store.merge("vertices", v1, Seq("sourceId"),
+      compareCols = Seq("name", "deprecated"), setCols = Seq("subsets"))
+    assert(c2 == Map("noop" -> 3L))
+    assert(store.latestVersion("vertices").contains(2))
+    assert(store.read("vertices").get.count() == 3)
+  }
+
+  test("set-column order change is a noop; scalar change is an update; missing key soft-deletes") {
+    val store = freshStore()
+    store.merge("vertices", v1, Seq("sourceId"),
+      compareCols = Seq("name", "deprecated"), setCols = Seq("subsets"))
+    val v2 = Seq(
+      ("d1", "melanoma", Seq("solid"), false), // unchanged
+      ("d2", "glioma", Seq("cns"), true) // deprecated flips → update
+      // d3 absent → soft delete
+    ).toDF("sourceId", "name", "subsets", "deprecated")
+    val c = store.merge("vertices", v2, Seq("sourceId"),
+      compareCols = Seq("name", "deprecated"), setCols = Seq("subsets"),
+      softDelete = true)
+    assert(c == Map("noop" -> 1L, "update" -> 1L, "delete" -> 1L))
+    val state = store.read("vertices").get
+    assert(state.count() == 2) // d3 dropped
+    assert(state.filter(col("sourceId") === "d2")
+      .select("deprecated").as[Boolean].head())
+  }
+
+  test("K5 edge upsert: second run creates nothing") {
+    val store = freshStore()
+    val e1 = Seq(("a", "b", "SubClassOf"), ("b", "c", "SubClassOf"))
+      .toDF("out", "in", "edgeClass")
+    assert(store.upsertEdges(e1) == Map("created" -> 2L))
+    val e2 = Seq(("a", "b", "SubClassOf"), ("a", "c", "AliasOf"))
+      .toDF("out", "in", "edgeClass")
+    assert(store.upsertEdges(e2) == Map("created" -> 1L))
+    assert(store.read("edges").get.count() == 3)
+    // same (out,in) under a different class is a distinct edge
+    assert(store.read("edges").get
+      .filter(col("out") === "a").count() == 2)
+  }
+
+  test("K7 source upsert keyed by name") {
+    val store = freshStore()
+    val s1 = Seq(("civic", "https://civicdb.org", "v1")).toDF("name", "url", "version")
+    assert(store.upsertSource(s1) == Map("create" -> 1L))
+    val s2 = Seq(("civic", "https://civicdb.org", "v2")).toDF("name", "url", "version")
+    assert(store.upsertSource(s2) == Map("update" -> 1L))
+    assert(store.read("sources").get.select("version").as[String].head() == "v2")
+  }
+
+  test("K8 null-padded composite key: nulls join the unique key (<=>)") {
+    val store = freshStore()
+    val variants = Seq(
+      ("kras", Some("G12D"), null.asInstanceOf[String], "p.G12D"),
+      ("kras", Some("G12D"), "germline", "p.G12D"),
+      ("alk", None, null.asInstanceOf[String], "fusion")
+    ).toDF("reference1", "name", "germline", "repr")
+    val c1 = store.merge("variants", variants,
+      keyCols = Seq("reference1", "name", "germline"), compareCols = Seq("repr"))
+    assert(c1 == Map("create" -> 3L))
+    // identical null-keyed rows come back as noop, not duplicate creates
+    val c2 = store.merge("variants", variants,
+      keyCols = Seq("reference1", "name", "germline"), compareCols = Seq("repr"))
+    assert(c2 == Map("noop" -> 3L))
+  }
+}
