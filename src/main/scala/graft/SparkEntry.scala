@@ -467,6 +467,385 @@ object SparkEntry {
             col("p_size").cast("string")))).as("alias"))
     }),
 
+    // J4 (therapy lookup with plural fallback, graphkb.js:427-478): direct
+    // name join, misses retry on the inhibitor↔inhibitors swapped term.
+    "j4_plural_fallback" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val dim = p.groupBy(
+        concat(lower(col("p_type")),
+          when(col("p_size") % 2 === 0, lit(" inhibitor"))
+            .otherwise(lit(" inhibitors"))).as("name"))
+        .agg(min(col("p_partkey")).as("therapy_id"))
+      val lookups = p.filter(col("p_partkey") % 13 === 0)
+        .select(concat(lower(col("p_type")), lit(" inhibitor")).as("term"))
+      core.Resolver.resolveWithFallback(
+        lookups, "term", core.Resolver.pluralSwap, broadcast(dim), "name")
+        .select(col("term"), col("therapy_id"), col("via_fallback"))
+    }),
+
+    // J5 (vocabulary term lookup by sourceId + source-name subquery filter,
+    // graphkb.js:484-498): broadcast dim join.
+    "j5_vocab_lookup" -> ((s, dir) => {
+      val vocab = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "AMERICA")
+        .select(col("n_nationkey").as("term_sid"), col("n_name").as("term"))
+      t(s, dir, "customer").filter(col("c_custkey") % 31 === 0)
+        .join(broadcast(vocab), col("c_nationkey") === col("term_sid"), "left")
+        .select(col("c_custkey"), col("term"))
+    }),
+
+    // J6 (therapy-combination resolution, graphkb.js:673-713 +
+    // civic/therapy.js:145-194): split the combo, resolve each element
+    // against the dim, regroup with canonical sourceId/name sort.
+    "j6_therapy_combo" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 251 === 0)
+      val p = t(s, dir, "part")
+      val dim = p.groupBy(lower(col("p_type")).as("elem_name"))
+        .agg(min(col("p_partkey")).as("elem_id"))
+      val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+      val elems = li.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+        .join(p, Seq("l_partkey") zip Seq("p_partkey") map { case (a, b) =>
+          col(a) === col(b) } reduce (_ && _))
+        .select(col("l_orderkey").as("order_id"), lower(col("p_type")).as("elem_name"))
+        .join(broadcast(dim), Seq("elem_name"))
+      elems.groupBy(col("order_id"))
+        .agg(
+          concat_ws(" + ", sort_array(collect_list(col("elem_id")))).as("combo_source_id"),
+          concat_ws(" + ", sort_array(collect_list(col("elem_name")))).as("combo_name"),
+          count(lit(1)).as("n_elems"))
+        .filter(col("n_elems") === 2)
+        .drop("n_elems")
+    }),
+
+    // J7 (disease resolution by id else name, civic/disease.js:13-37):
+    // two-stage left join + coalesce.
+    "j7_coalesce_resolve" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val lookups = t(s, dir, "orders").filter(col("o_orderkey") % 41 === 0)
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 2 === 0, col("o_custkey")).as("cust_id"),
+          col("c_name").as("cust_name"))
+      val byId = c.select(col("c_custkey").as("id_key"))
+      val byName = c.select(col("c_custkey").as("name_key"), col("c_name").as("nm"))
+      lookups
+        .join(broadcast(byId), col("cust_id") === col("id_key"), "left")
+        .join(broadcast(byName), col("cust_name") === col("nm"), "left")
+        .select(col("o_orderkey"),
+          coalesce(col("id_key"), col("name_key")).as("resolved_custkey"),
+          when(col("id_key").isNotNull, lit("id")).otherwise(lit("name")).as("via"))
+    }),
+
+    // J8 (cascading mapping+clean joins, cosmic/resistance.js:211-266,
+    // cancergenomeinterpreter/index.js:46-58): exact → case-cleaned →
+    // mapping-table rewrite, first hit wins.
+    "j8_cascade_resolve" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val lookups = t(s, dir, "orders").filter(col("o_orderkey") % 43 === 0)
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 3 === 0, col("c_name"))
+            .when(col("o_orderkey") % 3 === 1, upper(col("c_name")))
+            .otherwise(regexp_replace(col("c_name"), "Customer#", "CUST-"))
+            .as("term"))
+      val dim = c.select(col("c_custkey").as("dim_key"), col("c_name").as("dim_name"))
+      val s1 = broadcast(dim.withColumnRenamed("dim_key", "k1")
+        .withColumnRenamed("dim_name", "n1"))
+      val s2 = broadcast(dim.withColumnRenamed("dim_key", "k2")
+        .withColumnRenamed("dim_name", "n2"))
+      val s3 = broadcast(dim.withColumnRenamed("dim_key", "k3")
+        .withColumnRenamed("dim_name", "n3"))
+      lookups
+        .join(s1, col("term") === col("n1"), "left")
+        .join(s2, lower(col("term")) === lower(col("n2")), "left")
+        .join(s3, regexp_replace(col("term"), "CUST-", "Customer#") === col("n3"), "left")
+        .select(col("o_orderkey"),
+          coalesce(col("k1"), col("k2"), col("k3")).as("resolved_custkey"),
+          when(col("k1").isNotNull, lit(1))
+            .when(col("k2").isNotNull, lit(2))
+            .when(col("k3").isNotNull, lit(3)).as("stage"))
+    }),
+
+    // J9 (Entrez dimension pattern, entrez/util.js:269-303): anti-join the
+    // preloaded dim for misses, "fetch" them (from the full table standing
+    // in for the remote API), union into the dim, re-join.
+    "j9_fetch_union" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val dim0 = c.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey").as("key"), col("c_name").as("name"))
+      val lookups = t(s, dir, "orders").filter(col("o_orderkey") % 61 === 0)
+        .select(col("o_custkey").as("key")).distinct()
+      val missing = lookups.join(dim0, Seq("key"), "left_anti")
+      val fetched = missing.join(
+        c.select(col("c_custkey").as("key"), col("c_name").as("name")), Seq("key"))
+        .withColumn("fetched", lit(true))
+      val dim = dim0.withColumn("fetched", lit(false)).unionByName(fetched)
+      lookups.join(dim, Seq("key"))
+        .select(col("key").as("custkey"), col("name"), col("fetched"))
+    }),
+
+    // J10 (feature lookup by (biotype, sourceId), moa/index.js:63-75):
+    // typed dimension union + broadcast join on the composite key.
+    "j10_biotype_lookup" -> ((s, dir) => {
+      val dim = t(s, dir, "nation")
+        .select(lit("nation").as("biotype"), col("n_nationkey").as("sid"),
+          col("n_name").as("feature_name"))
+        .unionByName(t(s, dir, "region")
+          .select(lit("region").as("biotype"), col("r_regionkey").as("sid"),
+            col("r_name").as("feature_name")))
+      t(s, dir, "customer").filter(col("c_custkey") % 17 === 0)
+        .select(col("c_custkey"), lit("nation").as("biotype"),
+          col("c_nationkey").as("sid"))
+        .join(broadcast(dim), Seq("biotype", "sid"))
+        .select(col("c_custkey"), col("feature_name"))
+    }),
+
+    // A2 (recurrence threshold + specificity suppression,
+    // cosmic/fusions.js:143-226): three specificity levels, distinct-sample
+    // count >= 3, a passing specific group suppresses its less-specific
+    // projections via left_anti.
+    "a2_recurrence" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val l0 = li.groupBy(col("l_partkey"), col("l_returnflag"), col("l_linestatus"))
+        .agg(countDistinct(col("l_orderkey")).as("n_samples"))
+        .filter(col("n_samples") >= 3)
+      val l1all = li.groupBy(col("l_partkey"), col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("n_samples"))
+        .filter(col("n_samples") >= 3)
+      val l2all = li.groupBy(col("l_partkey"))
+        .agg(countDistinct(col("l_orderkey")).as("n_samples"))
+        .filter(col("n_samples") >= 3)
+      val l1 = l1all.join(l0.select("l_partkey", "l_returnflag"),
+        Seq("l_partkey", "l_returnflag"), "left_anti")
+      val l2 = l2all
+        .join(l0.select("l_partkey"), Seq("l_partkey"), "left_anti")
+        .join(l1all.select("l_partkey"), Seq("l_partkey"), "left_anti")
+      l0.select(lit(0).as("level"), col("l_partkey"),
+          col("l_returnflag").as("disease"), col("l_linestatus").as("status"),
+          col("n_samples"))
+        .unionByName(l1.select(lit(1).as("level"), col("l_partkey"),
+          col("l_returnflag").as("disease"), lit(null).cast("string").as("status"),
+          col("n_samples")))
+        .unionByName(l2.select(lit(2).as("level"), col("l_partkey"),
+          lit(null).cast("string").as("disease"), lit(null).cast("string").as("status"),
+          col("n_samples")))
+    }),
+
+    // A4 (dup collapse by fill score, asco/index.js:41-69): per key keep
+    // the most-filled record, deterministic tiebreak.
+    "a4_fill_collapse" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val fill = (col("o_orderstatus") =!= "P").cast("int") +
+        (col("o_orderpriority") =!= "3-MEDIUM").cast("int")
+      val w = Window.partitionBy(col("o_custkey"), year(col("o_orderdate")))
+        .orderBy(col("fill").desc, col("o_orderkey").asc)
+      o.withColumn("fill", fill)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), year(col("o_orderdate")).cast("long").as("order_year"),
+          col("o_orderkey").as("picked_orderkey"), col("fill").cast("long").as("fill"))
+    }),
+
+    // A5 (name-collision resolution, ncit/index.js:221-308): group by
+    // normalized name, resolve to the unique best member else reject.
+    "a5_name_collision" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .withColumn("name", concat(lit("cust-"), col("c_custkey") % 500))
+      val withMax = c.withColumn("mx",
+        max(col("c_acctbal")).over(Window.partitionBy(col("name"))))
+      withMax.groupBy(col("name"))
+        .agg(count(lit(1)).as("n_members"),
+          count(when(col("c_acctbal") === col("mx"), 1)).as("n_win"),
+          min(when(col("c_acctbal") === col("mx"), col("c_custkey"))).as("winner"))
+        .select(col("name"), col("n_members"),
+          when(col("n_win") === 1, col("winner")).as("resolved_custkey"),
+          (col("n_win") === 1).as("resolved"))
+    }),
+
+    // A6 (multi-version ontology fold, oncotree/index.js:72-175): versions
+    // oldest→latest, first-seen code wins, history chained.
+    "a6_version_fold" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(year(col("o_orderdate")).asc, col("o_orderkey").asc)
+      o.withColumn("rn", row_number().over(w))
+        .groupBy(col("o_custkey"))
+        .agg(
+          min(year(col("o_orderdate"))).cast("long").as("first_year"),
+          max(year(col("o_orderdate"))).cast("long").as("last_year"),
+          countDistinct(year(col("o_orderdate"))).as("n_years"),
+          min(when(col("rn") === 1, col("o_orderkey"))).as("first_orderkey"))
+    }),
+
+    // A9 (pivot-ish column scan, PMC4468049/index.js:95-105): find which
+    // column of a fixed set matches the target value.
+    "a9_column_scan" -> ((s, dir) => {
+      t(s, dir, "lineitem").filter(col("l_orderkey") % 89 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          when(round(col("l_quantity")).cast("long") === col("l_linenumber"), lit("l_quantity"))
+            .when(round(col("l_discount") * 100).cast("long") === col("l_linenumber"), lit("l_discount"))
+            .when(round(col("l_tax") * 100).cast("long") === col("l_linenumber"), lit("l_tax"))
+            .as("matching_col"))
+    }),
+
+    // F5 (genomic HGVS composer, moa/index.js:19-45).
+    "f5_genomic_compose" -> ((s, dir) => {
+      import s.implicits._
+      val rows = Seq(
+        (1L, "A", "T", 100L, 100L), (2L, "-", "TT", 100L, 101L),
+        (3L, "GG", "-", 100L, 101L), (4L, "G", "-", 100L, 100L),
+        (5L, "AA", "TT", 100L, 100L), (6L, "AA", "T", 100L, 101L))
+      rows.toDF("rec_id", "ref", "alt", "start_pos", "end_pos")
+        .select(col("rec_id"), functions.Scalars.composeGenomicHgvs(
+          col("ref"), col("alt"), col("start_pos"), col("end_pos")).as("hgvs_g"))
+    }),
+
+    // F6 (relevance translation, civic/relevance.js:11-333): full decision
+    // tree as a broadcast dimension; unsupported combos → null (error
+    // side-channel).
+    "f6_relevance" -> ((s, dir) => {
+      import s.implicits._
+      val inputs = (functions.Relevance.table.map(_._1) ++ Seq(
+        ("SUPPORTS", "DIAGNOSTIC", "NA"),
+        ("DOES_NOT_SUPPORT", "PROGNOSTIC", "BETTER_OUTCOME")))
+        .zipWithIndex.map { case ((d, ty, sg), i) => (i.toLong, d, ty, sg) }
+      inputs.toDF("case_id", "direction", "evidence_type", "significance")
+        .join(broadcast(functions.Relevance.dimension(s)),
+          Seq("direction", "evidence_type", "significance"), "left")
+        .select(col("case_id"), col("direction"), col("evidence_type"),
+          col("significance"), col("relevance"))
+    }),
+
+    // F7 (evidence level → relevance regex, oncokb/index.js:555-562).
+    "f7_level_relevance" -> ((s, dir) => {
+      import s.implicits._
+      Seq((1L, "R1"), (2L, "r2"), (3L, "1"), (4L, "2A"), (5L, "3b"), (6L, "X9"))
+        .toDF("case_id", "level")
+        .select(col("case_id"), col("level"),
+          functions.Scalars.levelToRelevance(col("level")).as("relevance"))
+    }),
+
+    // F8 (name cleaning: squash/plural/locale folds).
+    "f8_name_clean" -> ((s, dir) => {
+      import s.implicits._
+      Seq((1L, "  EGFR   Inhibitors  "), (2L, "acute lymphoblastic leukaemia"),
+        (3L, "MEK\tinhibitor"), (4L, "Trametinib"))
+        .toDF("case_id", "raw")
+        .select(col("case_id"), functions.Scalars.cleanName(col("raw")).as("cleaned"))
+    }),
+
+    // F9 (title matching, civic/publication.js:17-21).
+    "f9_title_match" -> ((s, dir) => {
+      import s.implicits._
+      Seq((1L, "The Title.", "the title"), (2L, "A <i>Gene</i> Study", "a gene study"),
+        (3L, "Different", "titles"))
+        .toDF("case_id", "title_a", "title_b")
+        .select(col("case_id"),
+          (functions.Scalars.titleNorm(col("title_a")) ===
+            functions.Scalars.titleNorm(col("title_b"))).as("matches"))
+    }),
+
+    // F10 (abstract citation parse, oncokb/index.js:389-397).
+    "f10_citation_parse" -> ((s, dir) => {
+      import s.implicits._
+      val df = Seq((1L, "Abstract# 8001, ASCO 2014"), (2L, "abstract 102, AACR 2020"))
+        .toDF("case_id", "citation")
+      df.select(col("case_id") +: functions.Scalars.citationFields(col("citation")): _*)
+    }),
+
+    // F11 (id parsing: DOID urls, versioned ids).
+    "f11_id_parse" -> ((s, dir) => {
+      import s.implicits._
+      Seq((1L, "http://purl.obolibrary.org/obo/DOID_8718", "ENSG00000139618.17"),
+        (2L, "http://purl.obolibrary.org/obo/doid_14566", "NM_005228.5"),
+        (3L, "not-a-doid", "NP_008819"))
+        .toDF("case_id", "url", "vid")
+        .select(col("case_id"),
+          functions.Scalars.doidFromUrl(col("url")).as("doid"),
+          functions.Scalars.versionedIdBase(col("vid")).as("base_id"),
+          functions.Scalars.versionedIdVersion(col("vid")).as("id_version"))
+    }),
+
+    // F12 (phase normalization, clinicaltrialsgov/index.js:92-110).
+    "f12_phase_norm" -> ((s, dir) => {
+      import s.implicits._
+      Seq((1L, "PHASE1/EARLY_PHASE1,NA"), (2L, "PHASE2,PHASE1"), (3L, "PHASE3"),
+        (4L, "NA"))
+        .toDF("case_id", "raw_phase")
+        .select(col("case_id"),
+          functions.Scalars.normalizePhases(col("raw_phase")).as("phase"))
+    }),
+
+    // F14 (species detection, ncit/index.js:141-166).
+    "f14_species" -> ((s, dir) => {
+      import s.implicits._
+      Seq((1L, "Mouse Tp53"), (2L, "murine model antigen"), (3L, "TP53 human"),
+        (4L, "stratum"))
+        .toDF("case_id", "name")
+        .select(col("case_id"),
+          functions.Scalars.nonHumanSpecies(col("name")).as("non_human"))
+    }),
+
+    // F17 (display-name builders) over real rows — oracle recomputes.
+    "f17_display_name" -> ((s, dir) => {
+      t(s, dir, "part").filter(col("p_partkey") % 23 === 0)
+        .select(col("p_partkey"),
+          functions.Scalars.nameWithSourceId(col("p_name"), col("p_brand"))
+            .as("display_name"),
+          functions.Scalars.pmidDisplay(col("p_partkey")).as("pmid_style"))
+    }),
+
+    // T3 (version sort): numeric-run padded sort key makes lexicographic
+    // order match component-wise numeric order.
+    "t3_version_sort" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.orderBy(col("sort_key").asc, col("version").asc)
+      Seq((1L, "NM_005228.5"), (2L, "NM_005228.10"), (3L, "v1.2.10"),
+        (4L, "v1.10.2"), (5L, "2018-04-27"), (6L, "2018-4-5"))
+        .toDF("case_id", "version")
+        .withColumn("sort_key", functions.Scalars.versionSortKey(col("version")))
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .select(col("case_id"), col("version"), col("pos"))
+    }),
+
+    // P5 (deprecation filter via array_intersect, ncit/index.js:55-58).
+    "p5_deprecation_filter" -> ((s, dir) => {
+      t(s, dir, "part").filter(col("p_partkey") % 19 === 0)
+        .withColumn("subsets", split(col("p_type"), " "))
+        .filter(size(array_intersect(col("subsets"),
+          array(lit("BRUSHED"), lit("ANODIZED")))) === 0)
+        .select(col("p_partkey"), col("p_type"))
+    }),
+
+    // P6 (None/''→null normalization, moa/index.js:489-515).
+    "p6_null_normalize" -> ((s, dir) => {
+      t(s, dir, "part").filter(col("p_partkey") % 19 === 0)
+        .withColumn("raw",
+          when(col("p_size") % 3 === 0, lit("None"))
+            .when(col("p_size") % 3 === 1, lit(""))
+            .otherwise(col("p_brand")))
+        .select(col("p_partkey"),
+          nullif(nullif(trim(col("raw")), lit("None")), lit("")).as("cleaned"))
+    }),
+
+    // P9 (jsonpath extraction from a JSON string column, util.js:210).
+    "p9_jsonpath" -> ((s, dir) => {
+      t(s, dir, "events").filter(col("event_id") % 97 === 0)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+    }),
+
+    // §2.7 union + dedupe (unionByName + dropDuplicates,
+    // civic/evidenceItem.js:67-92).
+    "set_union_dedup" -> ((s, dir) => {
+      t(s, dir, "customer").filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey").as("key"))
+        .unionByName(t(s, dir, "orders").filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_custkey").as("key")))
+        .dropDuplicates()
+    }),
+
     // K5 (edge upsert through the PERSISTENT store): seed the edge table,
     // upsert a second batch (anti-join dedup on (out,in,edgeClass)), read
     // the final state back OFF DISK — the query output is the durable edge
@@ -715,6 +1094,215 @@ object SparkEntry {
     // x1/x4/x8 are frozen golden frames (hand-derived DNF / expansion /
     // ladder expectations, cross-checked against the reference's jest
     // corpus semantics in ProfileDnfSpec).
+    "j4_plural_fallback" ->
+      """WITH dim AS (
+        |  SELECT lower(p_type) || CASE WHEN p_size % 2 = 0 THEN ' inhibitor' ELSE ' inhibitors' END AS name,
+        |         min(p_partkey) AS therapy_id
+        |  FROM part GROUP BY 1),
+        |lk AS (SELECT DISTINCT lower(p_type) || ' inhibitor' AS term FROM part WHERE p_partkey % 13 = 0),
+        |direct AS (SELECT term, therapy_id FROM lk LEFT JOIN dim ON term = name)
+        |SELECT term, therapy_id, false AS via_fallback FROM direct WHERE therapy_id IS NOT NULL
+        |UNION ALL
+        |SELECT d.term, d2.therapy_id, d2.name IS NOT NULL AS via_fallback
+        |FROM direct d LEFT JOIN dim d2
+        |  ON regexp_replace(d.term, '\binhibitor\b', 'inhibitors', 'g') = d2.name
+        |WHERE d.therapy_id IS NULL""".stripMargin,
+    "j5_vocab_lookup" ->
+      """WITH vocab AS (
+        |  SELECT n_nationkey AS term_sid, n_name AS term
+        |  FROM nation JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'AMERICA')
+        |SELECT c_custkey, term FROM customer LEFT JOIN vocab ON c_nationkey = term_sid
+        |WHERE c_custkey % 31 = 0""".stripMargin,
+    "j6_therapy_combo" ->
+      """WITH dim AS (SELECT lower(p_type) AS elem_name, min(p_partkey) AS elem_id FROM part GROUP BY 1),
+        |fl AS (SELECT l_orderkey, l_partkey,
+        |         row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
+        |       FROM lineitem WHERE l_orderkey % 251 = 0),
+        |elems AS (SELECT l_orderkey AS order_id, elem_id, lower(p_type) AS elem_name
+        |          FROM fl JOIN part ON l_partkey = p_partkey
+        |          JOIN dim ON lower(p_type) = dim.elem_name
+        |          WHERE rn <= 2),
+        |g AS (SELECT order_id,
+        |        array_to_string(list_sort(list(elem_id)), ' + ') AS combo_source_id,
+        |        array_to_string(list_sort(list(elem_name)), ' + ') AS combo_name,
+        |        count(*) AS n
+        |      FROM elems GROUP BY 1)
+        |SELECT order_id, combo_source_id, combo_name FROM g WHERE n = 2""".stripMargin,
+    "j7_coalesce_resolve" ->
+      """WITH lk AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN o_custkey END AS cust_id,
+        |    c_name AS cust_name
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE o_orderkey % 41 = 0)
+        |SELECT o_orderkey,
+        |  coalesce(i.c_custkey, n.c_custkey) AS resolved_custkey,
+        |  CASE WHEN i.c_custkey IS NOT NULL THEN 'id' ELSE 'name' END AS via
+        |FROM lk
+        |LEFT JOIN customer i ON lk.cust_id = i.c_custkey
+        |LEFT JOIN customer n ON lk.cust_name = n.c_name""".stripMargin,
+    "j8_cascade_resolve" ->
+      """WITH lk AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN c_name
+        |         WHEN o_orderkey % 3 = 1 THEN upper(c_name)
+        |         ELSE replace(c_name, 'Customer#', 'CUST-') END AS term
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE o_orderkey % 43 = 0)
+        |SELECT o_orderkey,
+        |  coalesce(s1.c_custkey, s2.c_custkey, s3.c_custkey) AS resolved_custkey,
+        |  CASE WHEN s1.c_custkey IS NOT NULL THEN 1
+        |       WHEN s2.c_custkey IS NOT NULL THEN 2
+        |       WHEN s3.c_custkey IS NOT NULL THEN 3 END AS stage
+        |FROM lk
+        |LEFT JOIN customer s1 ON lk.term = s1.c_name
+        |LEFT JOIN customer s2 ON lower(lk.term) = lower(s2.c_name)
+        |LEFT JOIN customer s3 ON replace(lk.term, 'CUST-', 'Customer#') = s3.c_name""".stripMargin,
+    "j9_fetch_union" ->
+      """WITH lk AS (SELECT DISTINCT o_custkey AS key FROM orders WHERE o_orderkey % 61 = 0)
+        |SELECT key AS custkey, c_name AS name, key % 2 <> 0 AS fetched
+        |FROM lk JOIN customer ON key = c_custkey""".stripMargin,
+    "j10_biotype_lookup" ->
+      """SELECT c_custkey, n_name AS feature_name
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_custkey % 17 = 0""".stripMargin,
+    "a2_recurrence" ->
+      """WITH l0 AS (SELECT l_partkey, l_returnflag, l_linestatus, count(DISTINCT l_orderkey) AS n_samples
+        |            FROM lineitem GROUP BY 1,2,3 HAVING n_samples >= 3),
+        |l1a AS (SELECT l_partkey, l_returnflag, count(DISTINCT l_orderkey) AS n_samples
+        |        FROM lineitem GROUP BY 1,2 HAVING n_samples >= 3),
+        |l2a AS (SELECT l_partkey, count(DISTINCT l_orderkey) AS n_samples
+        |        FROM lineitem GROUP BY 1 HAVING n_samples >= 3),
+        |l1 AS (SELECT * FROM l1a WHERE NOT EXISTS (
+        |         SELECT 1 FROM l0 WHERE l0.l_partkey = l1a.l_partkey AND l0.l_returnflag = l1a.l_returnflag)),
+        |l2 AS (SELECT * FROM l2a WHERE NOT EXISTS (SELECT 1 FROM l0 WHERE l0.l_partkey = l2a.l_partkey)
+        |                           AND NOT EXISTS (SELECT 1 FROM l1a WHERE l1a.l_partkey = l2a.l_partkey))
+        |SELECT CAST(0 AS INT) AS level, l_partkey, l_returnflag AS disease, l_linestatus AS status, n_samples FROM l0
+        |UNION ALL SELECT 1, l_partkey, l_returnflag, NULL, n_samples FROM l1
+        |UNION ALL SELECT 2, l_partkey, NULL, NULL, n_samples FROM l2""".stripMargin,
+    "a4_fill_collapse" ->
+      """WITH f AS (SELECT o_custkey, year(o_orderdate) AS order_year, o_orderkey,
+        |    CAST(o_orderstatus <> 'P' AS INT) + CAST(o_orderpriority <> '3-MEDIUM' AS INT) AS fill
+        |  FROM orders),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY o_custkey, order_year ORDER BY fill DESC, o_orderkey ASC) AS rn FROM f)
+        |SELECT o_custkey, CAST(order_year AS BIGINT) AS order_year, o_orderkey AS picked_orderkey, CAST(fill AS BIGINT) AS fill
+        |FROM r WHERE rn = 1""".stripMargin,
+    "a5_name_collision" ->
+      """WITH c AS (SELECT c_custkey, c_acctbal, 'cust-' || CAST(c_custkey % 500 AS VARCHAR) AS name FROM customer),
+        |m AS (SELECT *, max(c_acctbal) OVER (PARTITION BY name) AS mx FROM c)
+        |SELECT name, count(*) AS n_members,
+        |  CASE WHEN count(CASE WHEN c_acctbal = mx THEN 1 END) = 1
+        |       THEN min(CASE WHEN c_acctbal = mx THEN c_custkey END) END AS resolved_custkey,
+        |  count(CASE WHEN c_acctbal = mx THEN 1 END) = 1 AS resolved
+        |FROM m GROUP BY name""".stripMargin,
+    "a6_version_fold" ->
+      """WITH r AS (SELECT o_custkey, year(o_orderdate) AS y, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY year(o_orderdate) ASC, o_orderkey ASC) AS rn
+        |  FROM orders)
+        |SELECT o_custkey, CAST(min(y) AS BIGINT) AS first_year, CAST(max(y) AS BIGINT) AS last_year,
+        |  count(DISTINCT y) AS n_years, min(CASE WHEN rn = 1 THEN o_orderkey END) AS first_orderkey
+        |FROM r GROUP BY 1""".stripMargin,
+    "a9_column_scan" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN CAST(round(l_quantity) AS BIGINT) = l_linenumber THEN 'l_quantity'
+        |       WHEN CAST(round(l_discount * 100) AS BIGINT) = l_linenumber THEN 'l_discount'
+        |       WHEN CAST(round(l_tax * 100) AS BIGINT) = l_linenumber THEN 'l_tax' END AS matching_col
+        |FROM lineitem WHERE l_orderkey % 89 = 0""".stripMargin,
+    "f5_genomic_compose" ->
+      """SELECT CAST(rec_id AS BIGINT) AS rec_id, CAST(hgvs_g AS VARCHAR) AS hgvs_g FROM (VALUES
+        |(1, 'g.100A>T'), (2, 'g.100_101insTT'), (3, 'g.100_101delGG'),
+        |(4, 'g.100delG'), (5, 'g.100_101delAAinsTT'), (6, 'g.100_101delAAinsT')
+        |) AS t(rec_id, hgvs_g)""".stripMargin,
+    "f6_relevance" ->
+      """SELECT CAST(case_id AS BIGINT) AS case_id, CAST(direction AS VARCHAR) AS direction,
+        |  CAST(evidence_type AS VARCHAR) AS evidence_type, CAST(significance AS VARCHAR) AS significance,
+        |  CAST(relevance AS VARCHAR) AS relevance FROM (VALUES
+        |(0, 'DOES_NOT_SUPPORT', 'FUNCTIONAL', 'DOMINANT_NEGATIVE', 'no dominant negative'),
+        |(1, 'DOES_NOT_SUPPORT', 'FUNCTIONAL', 'GAIN_OF_FUNCTION', 'no gain of function'),
+        |(2, 'DOES_NOT_SUPPORT', 'FUNCTIONAL', 'NEOMORPHIC', 'no neomorphic'),
+        |(3, 'DOES_NOT_SUPPORT', 'ONCOGENIC', 'ONCOGENICITY', 'likely benign'),
+        |(4, 'DOES_NOT_SUPPORT', 'PREDICTIVE', 'RESISTANCE', 'no resistance'),
+        |(5, 'DOES_NOT_SUPPORT', 'PREDICTIVE', 'SENSITIVITYRESPONSE', 'no response'),
+        |(6, 'SUPPORTS', 'DIAGNOSTIC', 'NEGATIVE', 'opposes diagnosis'),
+        |(7, 'SUPPORTS', 'DIAGNOSTIC', 'POSITIVE', 'favours diagnosis'),
+        |(8, 'SUPPORTS', 'FUNCTIONAL', 'DOMINANT_NEGATIVE', 'dominant negative'),
+        |(9, 'SUPPORTS', 'FUNCTIONAL', 'GAIN_OF_FUNCTION', 'gain of function'),
+        |(10, 'SUPPORTS', 'FUNCTIONAL', 'LOSS_OF_FUNCTION', 'loss of function'),
+        |(11, 'SUPPORTS', 'FUNCTIONAL', 'NEOMORPHIC', 'neomorphic'),
+        |(12, 'SUPPORTS', 'FUNCTIONAL', 'UNALTERED_FUNCTION', 'unaltered function'),
+        |(13, 'SUPPORTS', 'ONCOGENIC', 'ONCOGENICITY', 'likely oncogenic'),
+        |(14, 'SUPPORTS', 'PREDICTIVE', 'ADVERSE_RESPONSE', 'adverse response'),
+        |(15, 'SUPPORTS', 'PREDICTIVE', 'REDUCED_SENSITIVITY', 'reduced sensitivity'),
+        |(16, 'SUPPORTS', 'PREDICTIVE', 'RESISTANCE', 'resistance'),
+        |(17, 'SUPPORTS', 'PREDICTIVE', 'SENSITIVITYRESPONSE', 'sensitivity'),
+        |(18, 'SUPPORTS', 'PREDISPOSING', 'LIKELY_PATHOGENIC', 'likely pathogenic'),
+        |(19, 'SUPPORTS', 'PREDISPOSING', 'PATHOGENIC', 'pathogenic'),
+        |(20, 'SUPPORTS', 'PREDISPOSING', 'POSITIVE', 'predisposing'),
+        |(21, 'SUPPORTS', 'PREDISPOSING', 'PREDISPOSITION', 'likely predisposing'),
+        |(22, 'SUPPORTS', 'PREDISPOSING', 'PROTECTIVENESS', 'likely protective'),
+        |(23, 'SUPPORTS', 'PREDISPOSING', 'UNCERTAIN_SIGNIFICANCE', 'likely predisposing'),
+        |(24, 'SUPPORTS', 'PROGNOSTIC', 'BETTER_OUTCOME', 'favourable prognosis'),
+        |(25, 'SUPPORTS', 'PROGNOSTIC', 'POOR_OUTCOME', 'unfavourable prognosis'),
+        |(26, 'NA', 'PREDISPOSING', 'NA', 'likely predisposing'),
+        |(27, 'NA', 'ONCOGENIC', 'NA', 'likely oncogenic'),
+        |(28, 'SUPPORTS', 'DIAGNOSTIC', 'NA', NULL),
+        |(29, 'DOES_NOT_SUPPORT', 'PROGNOSTIC', 'BETTER_OUTCOME', NULL)) AS t(case_id, direction, evidence_type, significance, relevance)""".stripMargin,
+    "f7_level_relevance" ->
+      """SELECT CAST(case_id AS BIGINT) AS case_id, CAST(level AS VARCHAR) AS level,
+        |  CAST(relevance AS VARCHAR) AS relevance FROM (VALUES
+        |(1, 'R1', 'resistance'), (2, 'r2', 'resistance'), (3, '1', 'sensitivity'),
+        |(4, '2A', 'sensitivity'), (5, '3b', 'sensitivity'), (6, 'X9', NULL)
+        |) AS t(case_id, level, relevance)""".stripMargin,
+    "f8_name_clean" ->
+      """SELECT CAST(case_id AS BIGINT) AS case_id, CAST(cleaned AS VARCHAR) AS cleaned FROM (VALUES
+        |(1, 'egfr inhibitor'), (2, 'acute lymphoblastic leukemia'),
+        |(3, 'mek inhibitor'), (4, 'trametinib')) AS t(case_id, cleaned)""".stripMargin,
+    "f9_title_match" ->
+      """SELECT CAST(case_id AS BIGINT) AS case_id, matches FROM (VALUES
+        |(1, true), (2, true), (3, false)) AS t(case_id, matches)""".stripMargin,
+    "f10_citation_parse" ->
+      """SELECT CAST(case_id AS BIGINT) AS case_id, CAST(abstract_number AS VARCHAR) AS abstract_number,
+        |  CAST(meeting AS VARCHAR) AS meeting, CAST(cit_year AS VARCHAR) AS cit_year FROM (VALUES
+        |(1, '8001', 'ASCO', '2014'), (2, '102', 'AACR', '2020')) AS t(case_id, abstract_number, meeting, cit_year)""".stripMargin,
+    "f11_id_parse" ->
+      """SELECT CAST(case_id AS BIGINT) AS case_id, CAST(doid AS VARCHAR) AS doid,
+        |  CAST(base_id AS VARCHAR) AS base_id, CAST(id_version AS VARCHAR) AS id_version FROM (VALUES
+        |(1, 'doid:8718', 'ENSG00000139618', '17'),
+        |(2, 'doid:14566', 'NM_005228', '5'),
+        |(3, '', 'NP_008819', NULL)) AS t(case_id, doid, base_id, id_version)""".stripMargin,
+    "f12_phase_norm" ->
+      """SELECT CAST(case_id AS BIGINT) AS case_id, CAST(phase AS VARCHAR) AS phase FROM (VALUES
+        |(1, '1'), (2, '1/2'), (3, '3'), (4, '')) AS t(case_id, phase)""".stripMargin,
+    "f14_species" ->
+      """SELECT CAST(case_id AS BIGINT) AS case_id, non_human FROM (VALUES
+        |(1, true), (2, true), (3, false), (4, false)) AS t(case_id, non_human)""".stripMargin,
+    "f17_display_name" ->
+      """SELECT p_partkey, lower(trim(p_name)) || ' [' || upper(p_brand) || ']' AS display_name,
+        |  'pmid:' || CAST(p_partkey AS VARCHAR) AS pmid_style
+        |FROM part WHERE p_partkey % 23 = 0""".stripMargin,
+    "t3_version_sort" ->
+      """SELECT CAST(case_id AS BIGINT) AS case_id, CAST(version AS VARCHAR) AS version,
+        |  CAST(pos AS BIGINT) AS pos FROM (VALUES
+        |(1, 'NM_005228.5', 5), (2, 'NM_005228.10', 6), (3, 'v1.2.10', 1),
+        |(4, 'v1.10.2', 2), (5, '2018-04-27', 4), (6, '2018-4-5', 3)) AS t(case_id, version, pos)""".stripMargin,
+    "p5_deprecation_filter" ->
+      """SELECT p_partkey, p_type FROM part
+        |WHERE p_partkey % 19 = 0
+        |  AND len(list_intersect(string_split(p_type, ' '), ['BRUSHED', 'ANODIZED'])) = 0""".stripMargin,
+    "p6_null_normalize" ->
+      """SELECT p_partkey,
+        |  nullif(nullif(trim(CASE WHEN p_size % 3 = 0 THEN 'None'
+        |                          WHEN p_size % 3 = 1 THEN ''
+        |                          ELSE p_brand END), 'None'), '') AS cleaned
+        |FROM part WHERE p_partkey % 19 = 0""".stripMargin,
+    "p9_jsonpath" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events WHERE event_id % 97 = 0""".stripMargin,
+    "set_union_dedup" ->
+      """SELECT c_custkey AS key FROM customer WHERE c_custkey % 2 = 0
+        |UNION
+        |SELECT o_custkey FROM orders WHERE o_orderkey % 3 = 0""".stripMargin,
     "k5_edge_upsert" ->
       """SELECT DISTINCT l_orderkey AS out, l_partkey AS "in", 'contains' AS edge_class
         |FROM lineitem WHERE l_orderkey % 3 = 0 OR l_orderkey % 2 = 0""".stripMargin,

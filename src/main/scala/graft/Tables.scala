@@ -15,5 +15,20 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") events(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark's vectorized
+    * reader rejects outright (even when pruned away) unless given an
+    * explicit schema. Read nanos as plain LONG and derive a proper
+    * timestamp column — timestamp_micros(ts_ns div 1000) — for callers.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read
+      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .parquet(s"$sfDir/events.parquet")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(col("ts_ns") / lit(1000L) cast "long"))
+  }
 }

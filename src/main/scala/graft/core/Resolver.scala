@@ -68,6 +68,41 @@ object Resolver {
     Resolution(resolved, ambiguous, missing)
   }
 
+  /** J4 — lookup with alternate-term fallback (reference `getTherapy`
+    * graphkb.js:427-478: exact name/sourceId match first, then retry with
+    * the inhibitor↔inhibitors plural swap). Only the misses of the direct
+    * pass join again, on the alternate key; `via_fallback` marks which pass
+    * resolved each term. Unresolved terms survive with null candidate
+    * columns (the caller's error side-channel).
+    */
+  def resolveWithFallback(
+      lookups: DataFrame,
+      keyCol: String,
+      alt: Column => Column,
+      candidates: DataFrame,
+      candKeyCol: String): DataFrame = {
+    val cand = candidates.withColumnRenamed(candKeyCol, "__ckey")
+    val keys = lookups.select(col(keyCol).as("__key")).distinct()
+      .withColumn("__alt", alt(col("__key")))
+    val direct = keys.join(cand, col("__key") === col("__ckey"), "left")
+    val fallback = direct.filter(col("__ckey").isNull).select("__key", "__alt")
+      .join(cand, col("__alt") === col("__ckey"), "left")
+    direct.filter(col("__ckey").isNotNull)
+      .withColumn("via_fallback", lit(false))
+      .unionByName(fallback.withColumn("via_fallback", col("__ckey").isNotNull))
+      .withColumnRenamed("__key", keyCol)
+      .drop("__alt")
+      .withColumnRenamed("__ckey", candKeyCol)
+  }
+
+  /** The inhibitor↔inhibitors plural swap itself (graphkb.js:451-456). */
+  def pluralSwap(term: Column): Column =
+    when(term.rlike("\\binhibitor\\b"),
+      regexp_replace(term, "\\binhibitor\\b", "inhibitors"))
+      .when(term.rlike("\\binhibitors\\b"),
+        regexp_replace(term, "\\binhibitors\\b", "inhibitor"))
+      .otherwise(term)
+
   /** The reference's full 8-rung ontology preference ladder
     * (graphkb.js:133-196) as a sort-key list: non-deprecated > non-alias >
     * independent > generic over versioned > newer sourceIdVersion > newer
