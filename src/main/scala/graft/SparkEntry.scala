@@ -316,6 +316,41 @@ object SparkEntry {
             .as("org"))
     }),
 
+    // S10 (offset-paginated REST scan, graphkb.js:341-372) driven through
+    // the full remote stack — fixture transport (the reference's recorded-
+    // request test style), retry client, cache — then pages → DataFrame.
+    "s10_paginated_scan" -> ((s, dir) => {
+      import remote.Http._
+      val pages = Map(
+        "GET api/records?limit=2&skip=0 " ->
+          """{"result":[{"id":1,"name":"alpha"},{"id":2,"name":"beta"}]}""",
+        "GET api/records?limit=2&skip=2 " ->
+          """{"result":[{"id":3,"name":"gamma"}]}""")
+      val client = new CachingClient(new RetryingClient(
+        new FixtureClient(pages, failures = Seq(Response(429, "rate"))),
+        sleeper = _ => ()))
+      val bodies = remote.Paginator.offsetPages(client, "api/records",
+        limit = 2, b => "\"id\":".r.findAllIn(b).length)
+      remote.Paginator.toDF(s, bodies)
+        .select(explode(col("result")).as("r"))
+        .select(col("r.id").as("id"), col("r.name").as("name"))
+    }),
+
+    // S17 (HTML scrape: link harvest + text + consensus year,
+    // fdaApprovals/index.js:13-105).
+    "s17_html_scrape" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Seq(
+        (1L, """<html><body><a href="/news/2021/x">FDA approves X</a>
+               |<p>Approved 2021; filed 2019; again 2021.</p></body></html>""".stripMargin),
+        (2L, """<div><a href="/about">about</a><p>no years here</p></div>"""))
+      s.createDataset(docs).map { case (id, html) =>
+        (id, remote.Scrape.links(html, containing = "news").length.toLong,
+          remote.Scrape.consensusYear(html).map(_.toLong),
+          remote.Scrape.text(html).length.toLong)
+      }.toDF("page_id", "n_news_links", "year", "text_len")
+    }),
+
     // F1 (HGVS variant-notation parser — SURVEY §2.8, the reference's
     // graphkb-parser): parse a fixture corpus covering every grammar branch
     // into the flat upsert-key shape of graphkb.js:631-660. The oracle is a
@@ -1547,6 +1582,13 @@ object SparkEntry {
       """SELECT p_partkey AS part_id,
         |  unnest(list_distinct([p_brand, p_type, CAST(p_size AS VARCHAR)])) AS alias
         |FROM part WHERE p_partkey % 11 = 0""".stripMargin,
+    "s10_paginated_scan" ->
+      """SELECT CAST(id AS BIGINT) AS id, CAST(name AS VARCHAR) AS name FROM (VALUES
+        |(1, 'alpha'), (2, 'beta'), (3, 'gamma')) AS t(id, name)""".stripMargin,
+    "s17_html_scrape" ->
+      """SELECT CAST(page_id AS BIGINT) AS page_id, CAST(n_news_links AS BIGINT) AS n_news_links,
+        |  CAST(year AS BIGINT) AS year, CAST(text_len AS BIGINT) AS text_len FROM (VALUES
+        |(1, 1, 2021, 53), (2, 0, NULL, 19)) AS t(page_id, n_news_links, year, text_len)""".stripMargin,
     "s1_delim_scan" ->
       """SELECT "Gene stable ID" AS gene_id,
         |  "Transcript stable ID" AS transcript_id,
