@@ -316,6 +316,33 @@ object SparkEntry {
             .as("org"))
     }),
 
+    // S2 (streaming scan → watermarked windowed agg, run to completion
+    // with Trigger.AvailableNow): the events parquet is consumed as a
+    // STREAM, aggregated per (hour window, event_type), and the finished
+    // memory-sink table is the query result. Exact columns only (count,
+    // min, max) — float sums are order-dependent across micro-batches.
+    "s2_stream_agg" -> ((s, dir) => {
+      val stream = s.readStream
+        .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+        // file streams need a directory source; glob-filter to the events
+        // table within the sf dir
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n_events"), col("min_value"), col("max_value"))
+      val q = stream.writeStream.format("memory").queryName("s2_stream_agg_out")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      s.table("s2_stream_agg_out")
+    }),
+
     // S10 (offset-paginated REST scan, graphkb.js:341-372) driven through
     // the full remote stack — fixture transport (the reference's recorded-
     // request test style), retry client, cache — then pages → DataFrame.
@@ -1582,6 +1609,10 @@ object SparkEntry {
       """SELECT p_partkey AS part_id,
         |  unnest(list_distinct([p_brand, p_type, CAST(p_size AS VARCHAR)])) AS alias
         |FROM part WHERE p_partkey % 11 = 0""".stripMargin,
+    "s2_stream_agg" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n_events, min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "s10_paginated_scan" ->
       """SELECT CAST(id AS BIGINT) AS id, CAST(name AS VARCHAR) AS name FROM (VALUES
         |(1, 'alpha'), (2, 'beta'), (3, 'gamma')) AS t(id, name)""".stripMargin,

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming layer: the incremental flavors of the batch
+  * operators — S2's streaming delimited scan, watermarked windowed
+  * aggregation, and stateful first-wins dedup (P8's streaming analogue via
+  * `mapGroupsWithState`).
+  *
+  * The reference's streaming is manual backpressure over files
+  * (drugbank/index.js:279-333, cancerhotspots/index.js:282-333) plus
+  * `--days` incremental re-pulls (clinicaltrialsgov/index.js:301-311);
+  * Structured Streaming subsumes both: file sources feed micro-batches,
+  * `Trigger.AvailableNow` gives the catch-up-then-stop batch mode, and
+  * watermarks bound state for continuous runs.
+  *
+  * Scale: file-source listing is incremental; stateful ops shuffle on the
+  * grouping key once per micro-batch and state is per-key in the state
+  * store — the same partitioning discipline as the batch path.
+  */
+object StreamOps {
+
+  /** S2 — streaming delimited scan: same options as Scans.delim (header,
+    * quote/escape disabled); schema is mandatory for streams.
+    */
+  def streamDelim(
+      spark: SparkSession,
+      dir: String,
+      schema: StructType,
+      sep: String = "\t"): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("sep", sep)
+      .option("header", true)
+      .option("quote", "\u0000")
+      .option("escape", "\u0000")
+      .csv(dir)
+
+  /** Watermarked tumbling-window aggregation over an event-time column:
+    * count + sum per (window, key). Late data beyond the watermark is
+    * dropped (state stays bounded).
+    */
+  def windowedCounts(
+      events: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      valueCol: String,
+      windowLen: String = "1 minute",
+      watermark: String = "2 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("total_value"))
+      .select(col("window.start").as("window_start"), col(keyCol),
+        col("n_events"), col("total_value"))
+
+  case class Keyed(key: String, payload: String)
+  case class FirstSeen(key: String, payload: String)
+
+  /** P8-streaming — first-wins dedup across micro-batches with explicit
+    * per-key state: the first payload for a key is emitted once; later
+    * occurrences are dropped. State never expires here (NoTimeout) — a
+    * production run would use event-time timeout to bound it.
+    */
+  def firstWins(input: Dataset[Keyed]): Dataset[FirstSeen] = {
+    import input.sparkSession.implicits._
+    input.groupByKey(_.key)
+      .mapGroupsWithState[String, Option[FirstSeen]](GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[String]) =>
+          if (state.exists) None
+          else {
+            val first = rows.next()
+            state.update(first.payload)
+            Some(FirstSeen(key, first.payload))
+          }
+      }
+      .flatMap(_.iterator)
+  }
+
+  /** The `--days` incremental window as a batch predicate
+    * (clinicaltrialsgov `--days` lookback): keep rows within `days` of
+    * `asOf` — partition-prunable when the source is date-partitioned.
+    */
+  def lookbackFilter(df: DataFrame, tsCol: String, days: Int, asOf: java.sql.Timestamp): DataFrame =
+    df.filter(col(tsCol) >= date_sub(lit(asOf), days))
+}

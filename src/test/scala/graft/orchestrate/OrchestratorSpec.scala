@@ -1,0 +1,61 @@
+package graft.orchestrate
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+import Orchestrator._
+
+class OrchestratorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def loader(name: String, deps: Seq[String], log: StringBuilder,
+      fail: Boolean = false) =
+    Loader(name, deps, _ => {
+      if (fail) throw new RuntimeException(s"$name exploded")
+      log.append(name).append(";")
+      Map("created" -> 1L)
+    })
+
+  test("topological order respects the Snakefile-style dependency DAG") {
+    // vocab → ncit → {fdaSrs, do, oncotree} → drugbank → civic
+    val loaders = Seq(
+      Loader("civic", Seq("drugbank", "do"), _ => Map.empty),
+      Loader("drugbank", Seq("fdaSrs"), _ => Map.empty),
+      Loader("fdaSrs", Seq("ncit"), _ => Map.empty),
+      Loader("do", Seq("ncit"), _ => Map.empty),
+      Loader("oncotree", Seq("ncit"), _ => Map.empty),
+      Loader("ncit", Seq("vocab"), _ => Map.empty),
+      Loader("vocab", Seq.empty, _ => Map.empty))
+    val order = topoOrder(loaders)
+    def pos(n: String) = order.indexOf(n)
+    assert(pos("vocab") < pos("ncit"))
+    assert(pos("ncit") < pos("do") && pos("ncit") < pos("fdaSrs"))
+    assert(pos("fdaSrs") < pos("drugbank"))
+    assert(pos("drugbank") < pos("civic") && pos("do") < pos("civic"))
+    assert(order.length == 7)
+  }
+
+  test("cycle and unknown-dependency detection") {
+    assertThrows[IllegalArgumentException](topoOrder(Seq(
+      Loader("a", Seq("b"), _ => Map.empty), Loader("b", Seq("a"), _ => Map.empty))))
+    assertThrows[IllegalArgumentException](topoOrder(Seq(
+      Loader("a", Seq("ghost"), _ => Map.empty))))
+  }
+
+  test("run executes in order; a failure skips transitive dependents only") {
+    val log = new StringBuilder
+    val loaders = Seq(
+      loader("vocab", Seq.empty, log),
+      loader("ncit", Seq("vocab"), log, fail = true),
+      loader("do", Seq("ncit"), log),
+      loader("independent", Seq.empty, log))
+    val report = Orchestrator.run(spark, loaders)
+    assert(report.statuses("vocab").isInstanceOf[Succeeded])
+    assert(report.statuses("ncit").isInstanceOf[Failed])
+    assert(report.statuses("do") == Skipped(Seq("ncit")))
+    assert(report.statuses("independent").isInstanceOf[Succeeded])
+    assert(log.toString.contains("vocab") && log.toString.contains("independent"))
+    assert(!log.toString.contains("do"))
+    assert(report.succeeded.toSet == Set("vocab", "independent"))
+  }
+}

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("S2 streaming delimited scan: availableNow over a csv dir") {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "a.tsv"),
+      "id\tname\n1\talpha\n2\tbeta\n")
+    Files.writeString(java.nio.file.Paths.get(dir, "b.tsv"),
+      "id\tname\n3\tgamma\n")
+    val schema = StructType.fromDDL("id LONG, name STRING")
+    val q = StreamOps.streamDelim(spark, dir, schema)
+      .writeStream.format("memory").queryName("s2_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.table("s2_out").count() == 3)
+  }
+
+  test("watermarked windowed aggregation (availableNow batch-up)") {
+    val dir = Files.createTempDirectory("graft-stream2").toString
+    val events = Seq(
+      ("2026-01-01 00:00:10", "click", 1.0),
+      ("2026-01-01 00:00:50", "click", 2.0),
+      ("2026-01-01 00:01:10", "view", 5.0))
+    Files.writeString(java.nio.file.Paths.get(dir, "e.tsv"),
+      "ts\tevent_type\tvalue\n" +
+        events.map(e => s"${e._1}\t${e._2}\t${e._3}").mkString("\n"))
+    val schema = StructType.fromDDL("ts TIMESTAMP, event_type STRING, value DOUBLE")
+    val stream = StreamOps.streamDelim(spark, dir, schema)
+    val agg = StreamOps.windowedCounts(stream, "ts", "event_type", "value")
+    // complete mode: append would only emit windows the watermark has
+    // passed, and a single availableNow batch never advances it that far
+    val q = agg.writeStream.format("memory").queryName("s2_agg")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.table("s2_agg")
+      .select("event_type", "n_events", "total_value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    // first window: 2 clicks; second: 1 view
+    assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
+  }
+
+  test("stateful first-wins dedup across micro-batches") {
+    val dir = Files.createTempDirectory("graft-stream3").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "x.tsv"),
+      "key\tpayload\nk1\tfirst\nk1\tsecond\nk2\tonly\n")
+    val schema = StructType.fromDDL("key STRING, payload STRING")
+    val input = StreamOps.streamDelim(spark, dir, schema).as[StreamOps.Keyed]
+    val q = StreamOps.firstWins(input)
+      .writeStream.format("memory").queryName("s2_dedup")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.table("s2_dedup").as[StreamOps.FirstSeen].collect().toSet
+    assert(rows.map(_.key) == Set("k1", "k2"))
+    // within one micro-batch the iterator order follows file order → k1 kept 'first'
+    assert(rows.contains(StreamOps.FirstSeen("k2", "only")))
+  }
+
+  test("lookback filter keeps only recent rows") {
+    val df = Seq(("2026-01-10 00:00:00", 1L), ("2026-01-01 00:00:00", 2L))
+      .toDF("ts_s", "id").withColumn("ts", col("ts_s").cast("timestamp"))
+    val out = StreamOps.lookbackFilter(df, "ts", 5,
+      java.sql.Timestamp.valueOf("2026-01-12 00:00:00"))
+    assert(out.select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+}
