@@ -2,13 +2,37 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 
-/** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR and
-  * emits ONE JSON line. The line is printed to stdout (raw — `run /
-  * outputStrategy := StdoutOutput` keeps sbt from prefixing it) AND written
-  * to a file (`SPARK_GRAFT_BENCH_OUT`, default `bench_out.json`) so the
+/** Benchmark main: times the headline (scale-relevant) queries at
+  * SPARK_GRAFT_SF_DIR and emits ONE JSON line — printed raw to stdout
+  * (`run / outputStrategy := StdoutOutput` keeps sbt from prefixing it)
+  * AND written to SPARK_GRAFT_BENCH_OUT (default `bench_out.json`) so the
   * driver can parse per-query numbers either way.
+  *
+  * Headline = queries whose cost scales with the sf tables. Fixture-driven
+  * grammar/golden queries (f1, f5-f14, x1/x4/x8, s3-s17 scans of fixed
+  * reference files) are correctness rows, not benchmarks — timing them
+  * would measure constant overhead, so they run once in the `fixtures`
+  * bucket but don't dominate the loop.
   */
 object Bench {
+  /** Scale-relevant: every input grows with sf. */
+  val headline: Seq[String] = Seq(
+    "q1_agg", "p2_filter_status", "p7_limit_topn", "p8_dedup_first",
+    "j11_xref_join", "j13_anti_join", "t1_top1_per_group", "set_except",
+    "f13_year_extract", "a7_consensus", "a1_hash_id", "j1_resolve_unique",
+    "k1_upsert_classify", "k2_change_counts", "j12_diff_tiers",
+    "k8_nullkey_upsert", "x2_cartesian", "x3_therapy_groups", "x5_per_drug",
+    "x6_two_statements", "x7_per_relevance", "x9_alias_explode",
+    "j4_plural_fallback", "j6_therapy_combo", "j7_coalesce_resolve",
+    "j8_cascade_resolve", "j9_fetch_union", "j10_biotype_lookup",
+    "a2_recurrence", "a4_fill_collapse", "a5_name_collision",
+    "a6_version_fold", "a9_column_scan", "f17_display_name",
+    "p5_deprecation_filter", "p6_null_normalize", "p9_jsonpath",
+    "set_union_dedup", "llm_exact_dedup", "llm_minhash_neardup",
+    "llm_simhash", "llm_ngram_jaccard", "llm_text_stats", "llm_langid",
+    "llm_ann_topk", "llm_ann_lsh", "llm_embed_neardup", "llm_multimodal",
+    "s2_stream_agg")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -21,14 +45,22 @@ object Bench {
     // JVM/session warm-up outside the timed region: one trivial job so the
     // first timed query doesn't absorb executor/codegen startup.
     spark.range(1000000).selectExpr("sum(id)").collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val all = SparkEntry.queries
+    val results = headline.filter(all.contains).map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { all(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // fixture/golden queries: run once as a single bucket (correctness
+    // machinery stays exercised; constant-cost, not per-query news)
+    val t0 = System.nanoTime()
+    all.keys.toSeq.sorted.filterNot(headline.contains).foreach { name =>
+      try all(name)(spark, sfDir).count() catch { case _: Throwable => () }
+    }
+    val fixtures = "fixtures_bucket" -> (System.nanoTime() - t0) / 1e9
+    val qs = (results :+ fixtures).map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).sum + fixtures._2
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)

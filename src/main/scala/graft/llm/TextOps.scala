@@ -48,16 +48,30 @@ object TextOps {
   /** 60-bit hashes of the shingle set. */
   def shingleHashes: Column = expr(s"transform(shingles, s -> ${h64("s")})")
 
+  /** Plan-time permutation constants: a_i/b_i derived from md5 of the
+    * permutation index — the exact arithmetic the DuckDB oracle re-derives
+    * in SQL. Hoisted to literals here: leaving the md5 inside the
+    * per-shingle lambda costs rows × perms × shingles digest calls (it was
+    * 95% of the near-dup wall time at sf0.1).
+    */
+  private def mdHash64(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(d.take(15), 16)
+  }
+
+  def permConstants(nPerm: Int): Seq[(Long, Long)] =
+    (0 until nPerm).map(i =>
+      (mdHash64(s"a$i") % (P - 1) + 1, mdHash64(s"b$i") % P))
+
   /** MinHash signature: for permutation i, min over shingle hashes of
-    * `(a_i * (h % P) + b_i) % P`, with a_i/b_i themselves derived from md5
-    * of the permutation index — reproducible in any engine with md5.
+    * `(a_i * (h % P) + b_i) % P`.
     */
   def minhashSignature(nPerm: Int = 32): Column = {
-    val a = s"(${h64("concat('a', CAST(i AS STRING))")} % ${P - 1}) + 1"
-    val b = s"${h64("concat('b', CAST(i AS STRING))")} % $P"
-    expr(
-      s"""transform(sequence(0, ${nPerm - 1}), i ->
-         |  array_min(transform(shash, h -> (($a) * (h % $P) + ($b)) % $P)))""".stripMargin)
+    val perms = permConstants(nPerm).map { case (a, b) =>
+      s"array_min(transform(shash, h -> (${a}L * (h % $P) + ${b}L) % $P))"
+    }
+    expr(perms.mkString("array(", ",\n", ")"))
   }
 
   /** LSH band keys: md5 over each band's signature slice. One row per
