@@ -1077,6 +1077,53 @@ object SparkEntry {
           col("out_width"), col("out_height"), col("n_frames"))
     }),
 
+    // F2 (CIViC variant-name normalization grammar,
+    // civic/variant.js:20-257): one raw name → N normalized records inside
+    // flatMap; jest corpus transcribed in CivicNamesSpec, output frozen in
+    // the oracle.
+    "f2_civic_names" -> ((s, dir) => {
+      import s.implicits._
+      val cases = Seq(
+        (1L, "EXON 12 MUTATION", "gene"), (2L, "ALK FUSION G1202R", "ALK"),
+        (3L, "EML4-ALK G1202R-L1198F", "alk"), (4L, "S111C (c.330CA>TT)", "NTRK1"),
+        (5L, "t(9;22)(q34;q11)", "ABL1"), (6L, "R132H", "NTRK1"),
+        (7L, "EML4-ALK E20;A20", "ALK"), (8L, "NRG1 fusions", "NRG1"))
+      s.createDataset(cases).flatMap { case (id, name, entrez) =>
+        variant.CivicNames.normalize(name, Some(1L), entrez).zipWithIndex.map {
+          case (v, i) => (id, i.toLong, v.reference1.name, v.reference1.sourceId,
+            v.reference2.map(_.name), v.reference2.flatMap(_.sourceId),
+            v.positional, v.variant, v.vtype, v.inferredByCds, v.infersType)
+        }
+      }.toDF("case_id", "seq", "ref1_name", "ref1_sid", "ref2_name", "ref2_sid",
+        "positional", "variant", "vtype", "inferred_cds", "infers_type")
+    }),
+
+    // F3 (OncoKB variant-name parser, oncokb/index.js:131-193): protein
+    // fallback, splice shorthands, en-dash fusions with flip detection.
+    "f3_oncokb_names" -> ((s, dir) => {
+      import s.implicits._
+      val cases = Seq(
+        (1L, "V600_K601insFGLAT", Some("braf")), (2L, "BCR-ABL1 Fusion", None),
+        (3L, "BCR-ABL1 Fusion", Some("ABL1")), (4L, "GOPC–ROS1 Fusion", Some("ros1")),
+        (5L, "X100_A101splice", None), (6L, "Exon 12 mutations", None),
+        (7L, "Truncating Mutations", None), (8L, "K550_W557trunc", None))
+      s.createDataset(cases).map { case (id, name, r1) =>
+        val p = variant.OncoKbNames.parse(name, r1)
+        (id, p.vtype, p.reference2, p.flipped)
+      }.toDF("case_id", "parsed_type", "reference2", "flipped")
+    }),
+
+    // F4 (DOCM notation fixes, docm/index.js:33-67).
+    "f4_docm_fixes" -> ((s, dir) => {
+      import s.implicits._
+      Seq((1L, "p.W802-"), (2L, "p.DIM842-"), (3L, "p.DI842VM"),
+        (4L, "p.AB100AC"), (5L, "p.G12D"), (6L, "p.ABC100X"))
+        .toDF("case_id", "raw")
+        .as[(Long, String)]
+        .map { case (id, v) => (id, v, variant.DocmFixes.fix(v)) }
+        .toDF("case_id", "raw", "fixed")
+    }),
+
     // J12 (tiered content diff with deterministic residue zip) via
     // core.DiffMerge: incoming=even keys, existing=multiples of 3. Tiers
     // join on tight (high-cardinality) keys; the weak residual pairing is
@@ -1271,6 +1318,47 @@ object SparkEntry {
         |       WHEN CAST(round(l_discount * 100) AS BIGINT) = l_linenumber THEN 'l_discount'
         |       WHEN CAST(round(l_tax * 100) AS BIGINT) = l_linenumber THEN 'l_tax' END AS matching_col
         |FROM lineitem WHERE l_orderkey % 89 = 0""".stripMargin,
+    "f2_civic_names" ->
+      """SELECT CAST(case_id AS BIGINT) AS case_id, CAST(seq AS BIGINT) AS seq,
+        |  CAST(ref1_name AS VARCHAR) AS ref1_name, CAST(ref1_sid AS VARCHAR) AS ref1_sid,
+        |  CAST(ref2_name AS VARCHAR) AS ref2_name, CAST(ref2_sid AS VARCHAR) AS ref2_sid,
+        |  CAST("positional" AS BOOLEAN) AS "positional", CAST(variant AS VARCHAR) AS variant, CAST(vtype AS VARCHAR) AS vtype,
+        |  CAST(inferred_cds AS VARCHAR) AS inferred_cds, CAST(infers_type AS VARCHAR) AS infers_type
+        |FROM (VALUES
+        |(1, 0, 'gene', '1', NULL, NULL, TRUE, 'e.12mut', NULL, NULL, NULL),
+        |(2, 0, 'alk', '1', NULL, NULL, FALSE, NULL, 'fusion', NULL, NULL),
+        |(2, 1, 'alk', '1', NULL, NULL, TRUE, 'p.g1202r', NULL, NULL, NULL),
+        |(3, 0, 'eml4', NULL, 'alk', '1', FALSE, NULL, 'fusion', NULL, NULL),
+        |(3, 1, 'alk', '1', NULL, NULL, TRUE, 'p.g1202r', NULL, NULL, NULL),
+        |(3, 2, 'alk', '1', NULL, NULL, TRUE, 'p.l1198f', NULL, NULL, NULL),
+        |(4, 0, 'ntrk1', '1', NULL, NULL, TRUE, 'p.s111c', NULL, 'c.330_331delcainstt', NULL),
+        |(5, 0, '9', NULL, '22', NULL, TRUE, 'translocation(q34, q11)', NULL, NULL, NULL),
+        |(6, 0, 'ntrk1', '1', NULL, NULL, TRUE, 'p.r132h', NULL, NULL, NULL),
+        |(7, 0, 'eml4', NULL, 'alk', '1', TRUE, 'fusion(e.20,e.20)', NULL, NULL, NULL),
+        |(8, 0, 'nrg1', '1', NULL, NULL, FALSE, NULL, 'fusion', NULL, NULL)
+        |) AS t(case_id, seq, ref1_name, ref1_sid, ref2_name, ref2_sid, "positional", variant, vtype, inferred_cds, infers_type)""".stripMargin,
+    "f3_oncokb_names" ->
+      """SELECT CAST(case_id AS BIGINT) AS case_id, CAST(parsed_type AS VARCHAR) AS parsed_type,
+        |  CAST(reference2 AS VARCHAR) AS reference2, CAST(flipped AS BOOLEAN) AS flipped
+        |FROM (VALUES
+        |(1, 'p.v600_k601insfglat', NULL, NULL),
+        |(2, 'fusion', 'abl1', FALSE),
+        |(3, 'fusion', 'bcr', TRUE),
+        |(4, 'fusion', 'gopc', TRUE),
+        |(5, 'p.(x100_a101)spl', NULL, NULL),
+        |(6, 'e.12mut', NULL, NULL),
+        |(7, 'truncating', NULL, NULL),
+        |(8, 'p.(k550_w557)*', NULL, NULL)
+        |) AS t(case_id, parsed_type, reference2, flipped)""".stripMargin,
+    "f4_docm_fixes" ->
+      """SELECT CAST(case_id AS BIGINT) AS case_id, CAST(raw AS VARCHAR) AS raw,
+        |  CAST(fixed AS VARCHAR) AS fixed FROM (VALUES
+        |(1, 'p.W802-', 'p.W802delW'),
+        |(2, 'p.DIM842-', 'p.D842_M844delDIM'),
+        |(3, 'p.DI842VM', 'p.D842_I843delDIinsVM'),
+        |(4, 'p.AB100AC', 'p.B101delBinsC'),
+        |(5, 'p.G12D', 'p.G12D'),
+        |(6, 'p.ABC100X', 'p.ABC100X')) AS t(case_id, raw, fixed)""".stripMargin,
     "f5_genomic_compose" ->
       """SELECT CAST(rec_id AS BIGINT) AS rec_id, CAST(hgvs_g AS VARCHAR) AS hgvs_g FROM (VALUES
         |(1, 'g.100A>T'), (2, 'g.100_101insTT'), (3, 'g.100_101delGG'),

@@ -281,6 +281,9 @@ object HgvsParser {
           refSeq = Option(seq).filter(!_.forall(_.isDigit)).map(_.toUpperCase))
       case fsRe(seq, tr) =>
         if (prefix != "p") throw ParseException("frameshift requires protein prefix")
+        // fs anchors one breakpoint; an uncertain span is written
+        // p.(A_B)fs (break1 range), never A_Bfs
+        if (b2s.isDefined) throw ParseException("frameshift takes a single breakpoint")
         val (utSeq, utSize) = seqFields(Option(seq).filter(_.nonEmpty))
         base("fs", utSeq = utSeq, utSize = utSize,
           trunc = Option(tr).filter(_ != "?").map(_.toInt))
@@ -298,8 +301,11 @@ object HgvsParser {
         if (prefix == "p") throw ParseException("'>' not valid for protein")
         base(">", refSeq = Some(r.toUpperCase),
           utSeq = Some(u.toUpperCase), utSize = Some(u.length))
-      case protSubRe(u) if prefix == "p" =>
-        // protein substitution: alt AA follows position (G12D, G12*)
+      case protSubRe(u) if prefix == "p" && b2s.isEmpty && u.length == 1 =>
+        // protein substitution: single alt AA after a single position
+        // (G12D, G12*); multi-AA changes must use delins, and ranged
+        // positions take no bare AA tail — otherwise junk tails like
+        // `x100_a101splice` would "parse"
         base(">", refSeq = b1s.refAA.filter(_ != "?"),
           utSeq = Some(u.toUpperCase), utSize = Some(u.length))
       case other => throw ParseException(s"unparseable tail '$other' in '$notation'")
