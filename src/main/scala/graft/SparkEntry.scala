@@ -908,6 +908,65 @@ object SparkEntry {
         .dropDuplicates()
     }),
 
+    // J3 (record → filter-tree join keys, graphkb.js:114-123): an
+    // AND/OR tree compiled to one Column predicate — pushed into the scan
+    // like any native filter.
+    "j3_filter_tree" -> ((s, dir) => {
+      import core.Filters._
+      val tree = Or(Seq(
+        fromRecord(Map("c_mktsegment" -> "BUILDING", "c_nationkey" -> 5)),
+        And(Seq(Eq("c_mktsegment", "MACHINERY"), In("c_nationkey", Seq(1, 2, 3))))))
+      t(s, dir, "customer").filter(compile(tree))
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+    }),
+
+    // J14 (JSON-struct equality join key, civic/statement.js:14-16): match
+    // records on (sorted condition set, subject) — the struct key is the
+    // join key, serialization stays engine-internal.
+    "j14_struct_key" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def contentKey(filterExpr: Column) = li.filter(filterExpr)
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_custkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("conditions"))
+      val incoming = contentKey(col("l_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("iid"), col("o_custkey").as("subject"),
+          col("conditions"))
+      val existing = contentKey(col("l_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("eid"), col("o_custkey").as("subject"),
+          col("conditions"))
+      incoming.join(existing, Seq("subject", "conditions"))
+        .filter(col("iid") =!= col("eid"))
+        .select(col("iid"), col("eid"), col("subject"))
+    }),
+
+    // P4 (spec-validation split: valid side) — named Column rules, one
+    // codegen'd pass.
+    "p4_validation_split" -> ((s, dir) => {
+      val rules = Seq(
+        "max_price" -> (col("o_totalprice") <= 150000),
+        "not_urgent" -> (col("o_orderpriority") =!= "1-URGENT"))
+      core.Specs.validate(
+        t(s, dir, "orders").filter(col("o_orderkey") % 29 === 0), rules)
+        .valid.select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    }),
+
+    // K10 (error side-channel): the invalid rows land in a parquet error
+    // sink with their violated-rule list; the query output is the sink
+    // read back off disk.
+    "k10_error_sink" -> ((s, dir) => {
+      val rules = Seq(
+        "max_price" -> (col("o_totalprice") <= 150000),
+        "not_urgent" -> (col("o_orderpriority") =!= "1-URGENT"))
+      val v = core.Specs.validate(
+        t(s, dir, "orders").filter(col("o_orderkey") % 29 === 0), rules)
+      val sink = java.nio.file.Files.createTempDirectory("graft-k10").toString + "/errors"
+      core.Specs.writeErrors(
+        v.errors.select(col("o_orderkey"), col("violations")), sink)
+      s.read.parquet(sink)
+        .select(col("o_orderkey"), concat_ws(",", col("violations")).as("violations"))
+    }),
+
     // K5 (edge upsert through the PERSISTENT store): seed the edge table,
     // upsert a second batch (anti-join dedup on (out,in,edgeClass)), read
     // the final state back OFF DISK — the query output is the durable edge
@@ -1453,6 +1512,36 @@ object SparkEntry {
       """SELECT c_custkey AS key FROM customer WHERE c_custkey % 2 = 0
         |UNION
         |SELECT o_custkey FROM orders WHERE o_orderkey % 3 = 0""".stripMargin,
+    "j3_filter_tree" ->
+      """SELECT c_custkey, c_mktsegment, c_nationkey FROM customer
+        |WHERE (c_mktsegment = 'BUILDING' AND c_nationkey = 5)
+        |   OR (c_mktsegment = 'MACHINERY' AND c_nationkey IN (1, 2, 3))""".stripMargin,
+    "j14_struct_key" ->
+      """WITH ck AS (
+        |  SELECT o_orderkey, o_custkey, l_orderkey % 2 = 0 AS even, l_orderkey % 3 = 0 AS tri,
+        |         l_partkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |inc AS (SELECT o_orderkey AS iid, o_custkey AS subject,
+        |          list_sort(list(DISTINCT l_partkey)) AS conditions
+        |        FROM ck WHERE even GROUP BY 1, 2),
+        |ex AS (SELECT o_orderkey AS eid, o_custkey AS subject,
+        |          list_sort(list(DISTINCT l_partkey)) AS conditions
+        |        FROM ck WHERE tri GROUP BY 1, 2)
+        |SELECT iid, eid, subject FROM inc JOIN ex USING (subject, conditions)
+        |WHERE iid <> eid""".stripMargin,
+    "p4_validation_split" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |WHERE o_orderkey % 29 = 0 AND o_totalprice <= 150000
+        |  AND o_orderpriority <> '1-URGENT'""".stripMargin,
+    "k10_error_sink" ->
+      """SELECT o_orderkey,
+        |  array_to_string(list_filter(
+        |    [CASE WHEN NOT (o_totalprice <= 150000) THEN 'max_price' END,
+        |     CASE WHEN NOT (o_orderpriority <> '1-URGENT') THEN 'not_urgent' END],
+        |    x -> x IS NOT NULL), ',') AS violations
+        |FROM orders
+        |WHERE o_orderkey % 29 = 0
+        |  AND (o_totalprice > 150000 OR o_orderpriority = '1-URGENT')""".stripMargin,
     "k5_edge_upsert" ->
       """SELECT DISTINCT l_orderkey AS out, l_partkey AS "in", 'contains' AS edge_class
         |FROM lineitem WHERE l_orderkey % 3 = 0 OR l_orderkey % 2 = 0""".stripMargin,

@@ -31,6 +31,20 @@ object Specs {
         .withColumnRenamed("__violations", "violations"))
   }
 
+  /** K10 — error side-channel: persist the error frame (the reference
+    * writes `errorLogPrefix-*.json` files per loader,
+    * civic/index.js:491-499); parquet keeps the violations column typed.
+    * Returns the error count for the audit trail (A8/K9).
+    */
+  def writeErrors(errors: DataFrame, path: String): Long = {
+    errors.persist()
+    try {
+      val n = errors.count()
+      errors.write.mode("overwrite").parquet(path)
+      n
+    } finally errors.unpersist()
+  }
+
   /** The reference's recursive 'None'/'' → null cleanup
     * (moa fixStringNulls, SURVEY P6) over the given string columns.
     */
