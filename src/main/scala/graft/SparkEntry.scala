@@ -343,6 +343,103 @@ object SparkEntry {
       s.table("s2_stream_agg_out")
     }),
 
+    // G1 — the end-to-end loader slice as one query: OBO-graph fixture →
+    // normalize → MERGE into a fresh persistent store, TWICE (the second
+    // pass must be all-noop), then the stored vertex table read back off
+    // disk is the result. The oracle re-derives the same vertices straight
+    // from the JSON — so a broken merge, a non-idempotent rerun, or a bad
+    // store round-trip all fail the row.
+    "g1_loader_pipeline" -> ((s, dir) => {
+      val store = new core.PersistentGraphStore(s,
+        java.nio.file.Files.createTempDirectory("graft-g1").toString)
+      val path = s"$REF_DATA/doid.sample.json"
+      sources.Loaders.loadDoid(s, store, path)
+      sources.Loaders.loadDoid(s, store, path) // idempotency pass
+      store.read("vertices").get
+        .select(col("sourceId").as("source_id"), col("name"),
+          col("deprecated"), col("nAlias").as("n_alias"))
+    }),
+
+    // S7 (XLSX scan with super-header flattening, PMC4232638/index.js:
+    // 24-60): a minimal OOXML workbook is written with the JDK zip inside
+    // the query, then read back through the scan — fully self-contained.
+    "s7_xlsx_scan" -> ((s, dir) => {
+      val f = java.io.File.createTempFile("graft-s7", ".xlsx")
+      val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(f))
+      def entry(name: String, content: String): Unit = {
+        zos.putNextEntry(new java.util.zip.ZipEntry(name))
+        zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+      }
+      entry("[Content_Types].xml",
+        """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+      def cell(r: Int, c: Int, v: String) =
+        if (v.isEmpty) ""
+        else s"""<c r="${('A' + c).toChar}$r" t="inlineStr"><is><t>$v</t></is></c>"""
+      val rows = Seq(
+        Seq("Supplementary Table 2"),
+        Seq("", "Functional categories for TP53", "", "Other"),
+        Seq("Gene", "Gain of function", "Loss of function", ""),
+        Seq("TP53", "yes", "no effect", "x"),
+        Seq("KRAS", "----", "", "y"))
+      val body = rows.zipWithIndex.map { case (r, ri) =>
+        s"""<row r="${ri + 1}">${r.zipWithIndex.map { case (v, ci) => cell(ri + 1, ci, v) }.mkString}</row>"""
+      }.mkString
+      entry("xl/worksheets/sheet1.xml",
+        s"""<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>$body</sheetData></worksheet>""")
+      zos.close()
+      sources.XlsxScan.df(s, f.getPath, superHeader = true)
+        .select(col("Gene").as("gene"),
+          col("`Functional categories for TP53 - Gain of function`").as("gof"),
+          col("`Functional categories for TP53 - Loss of function`").as("lof"),
+          col("Other").as("other"))
+    }),
+
+    // S15 (batched-ID fetch, entrez/util.js:269-303): ids repartitioned,
+    // fetched in <=batchSize chunks per partition through a deterministic
+    // fetcher (the offline stand-in for esummary).
+    "s15_entrez_batch" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "customer").filter(col("c_custkey") % 37 === 0)
+        .select(col("c_custkey").cast("string")).as[String]
+      remote.EntrezBatch.fetchByIds(ids,
+        batch => batch.map(id => (id, s"gene-record-$id")),
+        batchSize = 10, parallelism = 2)
+        .select(col("id").cast("long").as("custkey"), col("payload"))
+    }),
+
+    // J2 (the full 8-rung ontology preference ladder, graphkb.js:133-196)
+    // over a fixture dimension with one discriminating pair per rung.
+    "j2_preference_ladder" -> ((s, dir) => {
+      import s.implicits._
+      // (key, name, deprecated, alias, dependency, sourceIdVersion,
+      //  sourceVersion, description, sourceRank)
+      val candidates = Seq(
+        ("r1", "keep", false, false, null, null, null, "d", 1),
+        ("r1", "drop", true, false, null, null, null, "d", 1),
+        ("r2", "keep", false, false, null, null, null, "d", 1),
+        ("r2", "drop", false, true, null, null, null, "d", 1),
+        ("r3", "keep", false, false, null, null, null, "d", 1),
+        ("r3", "drop", false, false, "dep", null, null, "d", 1),
+        ("r4", "keep", false, false, null, null, null, "d", 1),
+        ("r4", "drop", false, false, null, "2020", null, "d", 1),
+        ("r5", "keep", false, false, null, "2021", null, "d", 1),
+        ("r5", "drop", false, false, null, "2020", null, "d", 1),
+        ("r6", "keep", false, false, null, null, "9", "d", 1),
+        ("r6", "drop", false, false, null, null, "8", "d", 1),
+        ("r7", "keep", false, false, null, null, null, "d", 1),
+        ("r7", "drop", false, false, null, null, null, null, 1),
+        ("r8", "keep", false, false, null, null, null, "d", 1),
+        ("r8", "drop", false, false, null, null, null, "d", 2))
+        .toDF("k", "name", "deprecated", "alias", "dependency",
+          "sourceIdVersion", "sourceVersion", "description", "sourceRank")
+      val lookups = candidates.select(col("k").as("rung")).distinct()
+      val pref = core.Resolver.ontologyPreference(
+        sourceVersion = col("sourceVersion")) :+ col("name").asc
+      core.Resolver.resolveUnique(lookups, "rung",
+        broadcast(candidates.withColumnRenamed("k", "ck")), "ck", pref)
+        .resolved.select(col("rung"), col("name").as("winner"))
+    }),
+
     // S10 (offset-paginated REST scan, graphkb.js:341-372) driven through
     // the full remote stack — fixture transport (the reference's recorded-
     // request test style), retry client, cache — then pages → DataFrame.
@@ -1790,6 +1887,28 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n_events, min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "g1_loader_pipeline" ->
+      """SELECT lower(replace(regexp_extract(n.id, '.*/([A-Za-z]+_[0-9]+)$', 1), '_', ':')) AS source_id,
+        |  n.lbl AS name,
+        |  coalesce(len(list_filter(n.meta.basicPropertyValues,
+        |    x -> x.pred LIKE '%deprecated' AND x.val = 'true')) > 0, false) AS deprecated,
+        |  CAST(coalesce(len(n.meta.synonyms), 0) AS BIGINT) AS n_alias
+        |FROM (SELECT unnest(graphs[1].nodes) AS n
+        |      FROM read_json_auto('/root/reference/test/data/doid.sample.json',
+        |                          maximum_object_size=20000000))""".stripMargin,
+    "s7_xlsx_scan" ->
+      """SELECT CAST(gene AS VARCHAR) AS gene, CAST(gof AS VARCHAR) AS gof,
+        |  CAST(lof AS VARCHAR) AS lof, CAST(other AS VARCHAR) AS other FROM (VALUES
+        |('TP53', 'yes', 'no effect', 'x'),
+        |('KRAS', '', '', 'y')) AS t(gene, gof, lof, other)""".stripMargin,
+    "s15_entrez_batch" ->
+      """SELECT c_custkey AS custkey, 'gene-record-' || CAST(c_custkey AS VARCHAR) AS payload
+        |FROM customer WHERE c_custkey % 37 = 0""".stripMargin,
+    "j2_preference_ladder" ->
+      """SELECT CAST(rung AS VARCHAR) AS rung, CAST(winner AS VARCHAR) AS winner FROM (VALUES
+        |('r1', 'keep'), ('r2', 'keep'), ('r3', 'keep'), ('r4', 'keep'),
+        |('r5', 'keep'), ('r6', 'keep'), ('r7', 'keep'), ('r8', 'keep')
+        |) AS t(rung, winner)""".stripMargin,
     "s10_paginated_scan" ->
       """SELECT CAST(id AS BIGINT) AS id, CAST(name AS VARCHAR) AS name FROM (VALUES
         |(1, 'alpha'), (2, 'beta'), (3, 'gamma')) AS t(id, name)""".stripMargin,
