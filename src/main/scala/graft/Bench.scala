@@ -28,7 +28,9 @@ object Bench {
     "a2_recurrence", "a4_fill_collapse", "a5_name_collision",
     "a6_version_fold", "a9_column_scan", "f17_display_name",
     "p5_deprecation_filter", "p6_null_normalize", "p9_jsonpath",
-    "set_union_dedup", "llm_exact_dedup", "llm_minhash_neardup",
+    "set_union_dedup", "j3_filter_tree", "j14_struct_key",
+    "p4_validation_split", "k10_error_sink", "s15_entrez_batch",
+    "llm_exact_dedup", "llm_minhash_neardup",
     "llm_simhash", "llm_ngram_jaccard", "llm_text_stats", "llm_langid",
     "llm_ann_topk", "llm_ann_lsh", "llm_embed_neardup", "llm_multimodal",
     "s2_stream_agg")
