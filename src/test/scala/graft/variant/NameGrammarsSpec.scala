@@ -164,6 +164,22 @@ class CivicNamesSpec extends AnyFunSuite {
         variant = Some("translocation(q34, q11)"))))
   }
 
+  test("semi-colon delimited variants (jest)") {
+    assert(n1("A50A (c.150C>G); Splicing alteration (c.463-1G>T)", "ALK") == Seq(
+      Normalized(gene("alk"), positional = true, variant = Some("p.a50a"),
+        inferredByCds = Some("c.150c>g")),
+      Normalized(gene("alk"), positional = true, variant = Some("c.463-1g>t"),
+        infersType = Some("splicing alteration"))))
+  }
+
+  test("bad notation returns as vocabulary (jest)") {
+    assert(n1("ERBB2 G776INSV_G/C", "ERBB2") == Seq(
+      Normalized(gene("erbb2"), vtype = Some("erbb2 g776insv_g/c"))))
+    assert(n1("exon1 151nt del; Null (Partial deletion of Exon 1)", "ERBB2") == Seq(
+      Normalized(gene("erbb2"), vtype = Some("exon1 151nt del")),
+      Normalized(gene("erbb2"), vtype = Some("null (partial deletion of exon 1)"))))
+  }
+
   test("unsupported and ambiguous names throw") {
     assertThrows[NotImplemented](n1("Non-V600", "BRAF"))
     assertThrows[CivicParsingError](n1("a / b", "GENE"))
