@@ -460,6 +460,26 @@ object SparkEntry {
         .select(col("r.id").as("id"), col("r.name").as("name"))
     }),
 
+    // S11 (GraphQL cursor pagination, civic/evidenceItem.js:28-53): follow
+    // endCursor while hasNextPage through the fixture transport.
+    "s11_cursor_scan" -> ((s, dir) => {
+      import remote.Http._
+      val pages = Map(
+        "api/evidence" ->
+          """{"nodes":[{"id":1,"status":"ACCEPTED"},{"id":2,"status":"SUBMITTED"}],"endCursor":"c1","hasNextPage":true}""",
+        "GET api/evidence?after=c1 " ->
+          """{"nodes":[{"id":3,"status":"ACCEPTED"}],"endCursor":"c2","hasNextPage":false}""")
+      def cursorOf(b: String): Option[String] =
+        if (b.contains("\"hasNextPage\":true"))
+          "\"endCursor\":\"([^\"]+)\"".r.findFirstMatchIn(b).map(_.group(1))
+        else None
+      val bodies = remote.Paginator.cursorPages(
+        new FixtureClient(pages), "api/evidence", cursorOf)
+      remote.Paginator.toDF(s, bodies)
+        .select(explode(col("nodes")).as("n"))
+        .select(col("n.id").as("id"), col("n.status").as("status"))
+    }),
+
     // S17 (HTML scrape: link harvest + text + consensus year,
     // fdaApprovals/index.js:13-105).
     "s17_html_scrape" -> ((s, dir) => {
@@ -1912,6 +1932,9 @@ object SparkEntry {
     "s10_paginated_scan" ->
       """SELECT CAST(id AS BIGINT) AS id, CAST(name AS VARCHAR) AS name FROM (VALUES
         |(1, 'alpha'), (2, 'beta'), (3, 'gamma')) AS t(id, name)""".stripMargin,
+    "s11_cursor_scan" ->
+      """SELECT CAST(id AS BIGINT) AS id, CAST(status AS VARCHAR) AS status FROM (VALUES
+        |(1, 'ACCEPTED'), (2, 'SUBMITTED'), (3, 'ACCEPTED')) AS t(id, status)""".stripMargin,
     "s17_html_scrape" ->
       """SELECT CAST(page_id AS BIGINT) AS page_id, CAST(n_news_links AS BIGINT) AS n_news_links,
         |  CAST(year AS BIGINT) AS year, CAST(text_len AS BIGINT) AS text_len FROM (VALUES
