@@ -44,14 +44,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/session warm-up outside the timed region: one trivial job so the
-    // first timed query doesn't absorb executor/codegen startup.
+    // JVM/session warm-up outside the timed region: one trivial job plus a
+    // small parquet scan+agg, so the first timed query doesn't absorb
+    // executor startup, codegen, or parquet-reader initialization.
     spark.range(1000000).selectExpr("sum(id)").collect()
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .groupBy("l_returnflag").count().collect()
     val all = SparkEntry.queries
     val results = headline.filter(all.contains).map { name =>
       val t0 = System.nanoTime()
       try { all(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop persisted blocks between queries: accumulated storage memory
+      // from merge/diff persists squeezes execution memory and makes later
+      // queries GC-bound (measured 10x spikes late in the run)
+      spark.catalog.clearCache()
+      name -> dt
     }
     // fixture/golden queries: run once as a single bucket (correctness
     // machinery stays exercised; constant-cost, not per-query news)
