@@ -785,30 +785,35 @@ object SparkEntry {
     // count >= 3, a passing specific group suppresses its less-specific
     // projections via left_anti.
     "a2_recurrence" -> ((s, dir) => {
+      // all three specificity levels from ONE scan via rollup + grouping_id
+      // (0 = (p,rf,ls), 1 = (p,rf), 3 = (p); grand total dropped), then the
+      // suppression rule ("a passing specific group blocks its projections")
+      // as window counts over the rollup output — no anti-joins, no second
+      // scan, no recompute. The old shape scanned lineitem three times.
       val li = t(s, dir, "lineitem")
-      val l0 = li.groupBy(col("l_partkey"), col("l_returnflag"), col("l_linestatus"))
-        .agg(countDistinct(col("l_orderkey")).as("n_samples"))
-        .filter(col("n_samples") >= 3)
-      val l1all = li.groupBy(col("l_partkey"), col("l_returnflag"))
-        .agg(countDistinct(col("l_orderkey")).as("n_samples"))
-        .filter(col("n_samples") >= 3)
-      val l2all = li.groupBy(col("l_partkey"))
-        .agg(countDistinct(col("l_orderkey")).as("n_samples"))
-        .filter(col("n_samples") >= 3)
-      val l1 = l1all.join(l0.select("l_partkey", "l_returnflag"),
-        Seq("l_partkey", "l_returnflag"), "left_anti")
-      val l2 = l2all
-        .join(l0.select("l_partkey"), Seq("l_partkey"), "left_anti")
-        .join(l1all.select("l_partkey"), Seq("l_partkey"), "left_anti")
-      l0.select(lit(0).as("level"), col("l_partkey"),
-          col("l_returnflag").as("disease"), col("l_linestatus").as("status"),
+      val levels = li
+        .rollup(col("l_partkey"), col("l_returnflag"), col("l_linestatus"))
+        .agg(countDistinct(col("l_orderkey")).as("n_samples"),
+          grouping_id().as("gid"))
+        .filter(col("n_samples") >= 3 && col("gid") < 7 &&
+          col("l_partkey").isNotNull)
+      val wPrf = Window.partitionBy(col("l_partkey"), col("l_returnflag"))
+      val wP = Window.partitionBy(col("l_partkey"))
+      val flagged = levels
+        .withColumn("n0_prf", count(when(col("gid") === 0, 1)).over(wPrf))
+        .withColumn("n0_p", count(when(col("gid") === 0, 1)).over(wP))
+        .withColumn("n1_p", count(when(col("gid") === 1, 1)).over(wP))
+      flagged.filter(
+        col("gid") === 0 ||
+          (col("gid") === 1 && col("n0_prf") === 0) ||
+          (col("gid") === 3 && col("n0_p") === 0 && col("n1_p") === 0))
+        .select(
+          when(col("gid") === 0, 0).when(col("gid") === 1, 1).otherwise(2)
+            .as("level"),
+          col("l_partkey"),
+          when(col("gid") <= 1, col("l_returnflag")).as("disease"),
+          when(col("gid") === 0, col("l_linestatus")).as("status"),
           col("n_samples"))
-        .unionByName(l1.select(lit(1).as("level"), col("l_partkey"),
-          col("l_returnflag").as("disease"), lit(null).cast("string").as("status"),
-          col("n_samples")))
-        .unionByName(l2.select(lit(2).as("level"), col("l_partkey"),
-          lit(null).cast("string").as("disease"), lit(null).cast("string").as("status"),
-          col("n_samples")))
     }),
 
     // A4 (dup collapse by fill score, asco/index.js:41-69): per key keep
