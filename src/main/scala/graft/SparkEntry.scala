@@ -360,6 +360,67 @@ object SparkEntry {
           col("deprecated"), col("nAlias").as("n_alias"))
     }),
 
+    // G2 — the CIViC statement-sync capstone (SURVEY §3.2,
+    // civic/index.js:67-500) in one query: evidence items → therapy
+    // grouping by interaction type (X3, therapy.js:19-50) → molecular-
+    // profile DNF (X1, profile.js) → conditions × therapy-groups cartesian
+    // (X2, evidenceItem.js:237-264) → relevance translation (F6) with the
+    // unsupported-combination error side-channel → content diff against the
+    // existing statements (J12, statement.js:56-178) → create/match/delete
+    // buckets.
+    "g2_civic_sync" -> ((s, dir) => {
+      import s.implicits._
+      val names = Map(1L -> "V600E", 2L -> "T790M", 3L -> "AMP", 5L -> "Q157P/R")
+      // (id, profileExpr, therapies, interactionType, eType, direction, significance)
+      val evidence = Seq(
+        (1L, "1 AND 2", Seq("trametinib", "dabrafenib"), "COMBINATION",
+          "PREDICTIVE", "SUPPORTS", "SENSITIVITYRESPONSE"),
+        (2L, "1 OR 3", Seq("erlotinib", "gefitinib"), "SUBSTITUTES",
+          "PREDICTIVE", "SUPPORTS", "RESISTANCE"),
+        (3L, "5", Seq.empty[String], null,
+          "PROGNOSTIC", "SUPPORTS", "BETTER_OUTCOME"),
+        (4L, "1", Seq.empty[String], null,
+          "DIAGNOSTIC", "SUPPORTS", "NA"))
+      val rows = evidence.flatMap { case (id, expr, therapies, interaction, et, dir0, sig) =>
+        functions.Relevance.translate(dir0, et, sig) match {
+          case None => Seq((id, s"$id|$et|$sig", "error"))
+          case Some(relevance) =>
+            val groups: Seq[Seq[String]] =
+              if (therapies.isEmpty) Seq(Seq.empty)
+              else if (therapies.length == 1 || interaction == "SUBSTITUTES")
+                therapies.map(Seq(_))
+              else Seq(therapies)
+            val conditions = variant.ProfileDnf.expand(expr, names)
+            for (cond <- conditions; g <- groups) yield {
+              val content = cond.map(_.name).sorted.mkString("+") + "|" +
+                g.sorted.mkString("+") + "|" + relevance
+              (id, content, "statement")
+            }
+        }
+      }
+      val incoming = rows.zipWithIndex
+        .map { case ((ev, content, kind), i) => (i.toLong, ev, content, kind) }
+        .toDF("sid", "ev_id", "content", "kind")
+      val statements = incoming.filter(col("kind") === "statement")
+      val errors = incoming.filter(col("kind") === "error")
+        .select(col("content"), lit("error").as("bucket"))
+      val existing = Seq(
+        (100L, "V600E|erlotinib|resistance"),
+        (101L, "AMP|erlotinib|resistance"),
+        (102L, "OLD|old|resistance")).toDF("eid", "content")
+      val diff = core.DiffMerge.contentMatch(
+        statements, "sid", existing, "eid", tiers = Seq(Seq("content")))
+      val withContent = diff
+        .join(statements.select(col("sid").as("incoming_id"), col("content").as("ic")),
+          Seq("incoming_id"), "left")
+        .join(existing.select(col("eid").as("existing_id"), col("content").as("ec")),
+          Seq("existing_id"), "left")
+        .select(coalesce(col("ic"), col("ec")).as("content"),
+          when(col("bucket") === "match", lit("match"))
+            .otherwise(col("bucket")).as("bucket"))
+      withContent.unionByName(errors)
+    }),
+
     // S7 (XLSX scan with super-header flattening, PMC4232638/index.js:
     // 24-60): a minimal OOXML workbook is written with the JDK zip inside
     // the query, then read back through the scan — fully self-contained.
@@ -392,6 +453,62 @@ object SparkEntry {
           col("`Functional categories for TP53 - Gain of function`").as("gof"),
           col("`Functional categories for TP53 - Loss of function`").as("lof"),
           col("Other").as("other"))
+    }),
+
+    // S12 (token pagination, clinicaltrialsgov/index.js:301-371): follow
+    // nextPageToken until absent.
+    "s12_token_scan" -> ((s, dir) => {
+      import remote.Http._
+      val pages = Map(
+        "api/studies" ->
+          """{"studies":[{"nctId":"NCT01","phase":"PHASE1"}],"nextPageToken":"t1"}""",
+        "GET api/studies?pageToken=t1 " ->
+          """{"studies":[{"nctId":"NCT02","phase":"PHASE2"},{"nctId":"NCT03","phase":"PHASE3"}]}""")
+      def tokenOf(b: String): Option[String] =
+        "\"nextPageToken\":\"([^\"]+)\"".r.findFirstMatchIn(b).map(_.group(1))
+      val bodies = remote.Paginator.tokenPages(
+        new FixtureClient(pages), "api/studies", tokenOf)
+      remote.Paginator.toDF(s, bodies)
+        .select(explode(col("studies")).as("st"))
+        .select(col("st.nctId").as("nct_id"),
+          functions.Scalars.normalizePhases(col("st.phase")).as("phase"))
+    }),
+
+    // S13 (numbered-page links, dgidb/index.js:48-86): each page names the
+    // next request.
+    "s13_link_scan" -> ((s, dir) => {
+      import remote.Http._
+      val pages = Map(
+        "api/interactions?page=1" ->
+          """{"items":[{"gene":"EGFR","drug":"erlotinib"}],"_meta":{"links":{"next":"api/interactions?page=2"}}}""",
+        "api/interactions?page=2" ->
+          """{"items":[{"gene":"ALK","drug":"crizotinib"}],"_meta":{"links":{}}}""")
+      def nextOf(b: String): Option[String] =
+        "\"next\":\"([^\"]+)\"".r.findFirstMatchIn(b).map(_.group(1))
+      val bodies = remote.Paginator.linkPages(
+        new FixtureClient(pages), "api/interactions?page=1", nextOf)
+      remote.Paginator.toDF(s, bodies)
+        .select(explode(col("items")).as("i"))
+        .select(col("i.gene").as("gene"), col("i.drug").as("drug"))
+    }),
+
+    // S14 (solr offset paging by numFound, asco/index.js:72-92).
+    "s14_solr_scan" -> ((s, dir) => {
+      import remote.Http._
+      val pages = Map(
+        "GET api/abstracts?rows=2&start=0 " ->
+          """{"numFound":5,"docs":[{"id":10},{"id":11}]}""",
+        "GET api/abstracts?rows=2&start=2 " ->
+          """{"numFound":5,"docs":[{"id":12},{"id":13}]}""",
+        "GET api/abstracts?rows=2&start=4 " ->
+          """{"numFound":5,"docs":[{"id":14}]}""")
+      def numFound(b: String): Int =
+        "\"numFound\":(\\d+)".r.findFirstMatchIn(b).get.group(1).toInt
+      val bodies = remote.Paginator.solrPages(
+        new FixtureClient(pages), "api/abstracts", 2, numFound)
+      remote.Paginator.toDF(s, bodies)
+        .select(explode(col("docs")).as("d"))
+        .select(col("d.id").as("abstract_id"))
     }),
 
     // S15 (batched-ID fetch, entrez/util.js:269-303): ids repartitioned,
@@ -1921,11 +2038,31 @@ object SparkEntry {
         |FROM (SELECT unnest(graphs[1].nodes) AS n
         |      FROM read_json_auto('/root/reference/test/data/doid.sample.json',
         |                          maximum_object_size=20000000))""".stripMargin,
+    "g2_civic_sync" ->
+      """SELECT CAST(content AS VARCHAR) AS content, CAST(bucket AS VARCHAR) AS bucket FROM (VALUES
+        |('T790M+V600E|dabrafenib+trametinib|sensitivity', 'create'),
+        |('V600E|gefitinib|resistance', 'create'),
+        |('AMP|gefitinib|resistance', 'create'),
+        |('Q157P||favourable prognosis', 'create'),
+        |('Q157R||favourable prognosis', 'create'),
+        |('V600E|erlotinib|resistance', 'match'),
+        |('AMP|erlotinib|resistance', 'match'),
+        |('OLD|old|resistance', 'delete'),
+        |('4|DIAGNOSTIC|NA', 'error')) AS t(content, bucket)""".stripMargin,
     "s7_xlsx_scan" ->
       """SELECT CAST(gene AS VARCHAR) AS gene, CAST(gof AS VARCHAR) AS gof,
         |  CAST(lof AS VARCHAR) AS lof, CAST(other AS VARCHAR) AS other FROM (VALUES
         |('TP53', 'yes', 'no effect', 'x'),
         |('KRAS', '', '', 'y')) AS t(gene, gof, lof, other)""".stripMargin,
+    "s12_token_scan" ->
+      """SELECT CAST(nct_id AS VARCHAR) AS nct_id, CAST(phase AS VARCHAR) AS phase FROM (VALUES
+        |('NCT01', '1'), ('NCT02', '2'), ('NCT03', '3')) AS t(nct_id, phase)""".stripMargin,
+    "s13_link_scan" ->
+      """SELECT CAST(gene AS VARCHAR) AS gene, CAST(drug AS VARCHAR) AS drug FROM (VALUES
+        |('EGFR', 'erlotinib'), ('ALK', 'crizotinib')) AS t(gene, drug)""".stripMargin,
+    "s14_solr_scan" ->
+      """SELECT CAST(abstract_id AS BIGINT) AS abstract_id FROM (VALUES
+        |(10), (11), (12), (13), (14)) AS t(abstract_id)""".stripMargin,
     "s15_entrez_batch" ->
       """SELECT c_custkey AS custkey, 'gene-record-' || CAST(c_custkey AS VARCHAR) AS payload
         |FROM customer WHERE c_custkey % 37 = 0""".stripMargin,
