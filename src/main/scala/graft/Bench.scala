@@ -45,16 +45,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/session warm-up outside the timed region: one trivial job plus a
-    // small parquet scan+agg, so the first timed query doesn't absorb
-    // executor startup, codegen, or parquet-reader initialization.
+    // small parquet scan+agg (against the CONFIGURED sf dir, guarded), so
+    // the first timed query doesn't absorb executor startup, codegen, or
+    // parquet-reader initialization.
     spark.range(1000000).selectExpr("sum(id)").collect()
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
-      .groupBy("l_returnflag").count().collect()
+    try spark.read.parquet(s"$sfDir/region.parquet").count()
+    catch { case _: Throwable => () }
     val all = SparkEntry.queries
     val results = headline.filter(all.contains).map { name =>
       val t0 = System.nanoTime()
-      try { all(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
+      val ok = try { all(name)(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      // failures report -1, not a plausible-looking elapsed time
+      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       // drop persisted blocks between queries: accumulated storage memory
       // from merge/diff persists squeezes execution memory and makes later
       // queries GC-bound (measured 10x spikes late in the run)

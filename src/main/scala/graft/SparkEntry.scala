@@ -328,7 +328,8 @@ object SparkEntry {
         // table within the sf dir
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir)
-        .withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+        // integer div — float `/` on epoch nanos (> 2^53) loses precision
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         .withWatermark("ts", "2 hours")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n_events"), min(col("value")).as("min_value"),
@@ -1298,6 +1299,7 @@ object SparkEntry {
       val base = t(s, dir, "documents")
         .withColumn("ws", llm.TextOps.words("text"))
         .withColumn("shingles", llm.TextOps.shingles(3))
+        .filter(size(col("shingles")) > 0) // no 0/0 jaccard for <3-word docs
         .select(col("doc_id"), col("lang"), col("source"), col("shingles"))
       val l = base.select(col("doc_id").as("id_a"), col("lang"), col("source"),
         col("shingles").as("sh_a"))
@@ -1823,7 +1825,8 @@ object SparkEntry {
         |  ELSE list_distinct(list_transform(generate_series(1, len(ws)-2),
         |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS shingles FROM w),
         |hs AS (SELECT doc_id, shingles,
-        |  list_transform(shingles, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS shash FROM sh),
+        |  list_transform(shingles, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS shash
+        |  FROM sh WHERE len(shingles) > 0),
         |sig AS (SELECT doc_id, shingles, list_transform(generate_series(0, 31), i ->
         |  list_min(list_transform(shash, h ->
         |    ((CAST(('0x' || substr(md5('a' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000006 + 1)
@@ -1858,7 +1861,7 @@ object SparkEntry {
         |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS shingles FROM w),
         |hs AS (SELECT doc_id, shingles,
         |  list_transform(shingles, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS shash FROM sh),
-        |b AS (SELECT d.lang, d.source, hs.doc_id, hs.shingles FROM hs JOIN documents d USING (doc_id))
+        |b AS (SELECT d.lang, d.source, hs.doc_id, hs.shingles FROM hs JOIN documents d USING (doc_id) WHERE len(hs.shingles) > 0)
         |SELECT a.doc_id AS id_a, c.doc_id AS id_b,
         |  CAST(len(list_intersect(a.shingles, c.shingles)) AS DOUBLE)
         |    / len(list_distinct(list_concat(a.shingles, c.shingles))) AS jaccard
@@ -1949,10 +1952,10 @@ object SparkEntry {
       """SELECT doc_id AS media_id, 'text-as-image-stub' AS kind,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS content_md5,
-        |  lower(hex(encode(substr(text, 1, 8)))) AS head8_hex,
+        |  lower(substr(hex(encode(text)), 1, 16)) AS head8_hex,
         |  CAST(floor(((n_chars % 640) + 32) * least(1.0, 256.0 / greatest((n_chars % 640) + 32, ((n_chars * 7) % 480) + 32))) AS INT) AS out_width,
         |  CAST(floor((((n_chars * 7) % 480) + 32) * least(1.0, 256.0 / greatest((n_chars % 640) + 32, ((n_chars * 7) % 480) + 32))) AS INT) AS out_height,
-        |  CAST((n_chars * 10 - 1) // 1000 + 1 AS BIGINT) AS n_frames
+        |  CAST(greatest(n_chars * 10 - 1, 0) // 1000 + 1 AS BIGINT) AS n_frames
         |FROM documents""".stripMargin,
     "x1_dnf" ->
       """SELECT CAST(expr_id AS BIGINT) AS expr_id, CAST(set_id AS BIGINT) AS set_id,

@@ -29,6 +29,9 @@ object Tables {
       .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
       .parquet(s"$sfDir/events.parquet")
       .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(col("ts_ns") / lit(1000L) cast "long"))
+      // integer `div`, NOT `/`: epoch nanos exceed 2^53, so float division
+      // loses up to ~0.13 us and can flip boundary rows into the wrong
+      // window bucket
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
   }
 }

@@ -31,15 +31,18 @@ class PersistentGraphStore(spark: SparkSession, root: String) {
     val dir = Paths.get(tableDir(table))
     if (!Files.exists(dir)) Seq.empty
     else {
-      val it = Files.list(dir).iterator()
-      val buf = Seq.newBuilder[(Int, String)]
-      while (it.hasNext) {
-        val p = it.next()
-        val name = p.getFileName.toString
-        if (name.startsWith("v=") && Files.exists(p.resolve("_SUCCESS")))
-          buf += ((name.drop(2).toInt, p.toString))
-      }
-      buf.result().sortBy(_._1)
+      val stream = Files.list(dir) // must be closed — leaks a directory fd otherwise
+      try {
+        val it = stream.iterator()
+        val buf = Seq.newBuilder[(Int, String)]
+        while (it.hasNext) {
+          val p = it.next()
+          val name = p.getFileName.toString
+          if (name.startsWith("v=") && Files.exists(p.resolve("_SUCCESS")))
+            buf += ((name.drop(2).toInt, p.toString))
+        }
+        buf.result().sortBy(_._1)
+      } finally stream.close()
     }
   }
 

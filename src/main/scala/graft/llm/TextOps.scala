@@ -117,6 +117,11 @@ object TextOps {
     val base = df
       .withColumn("ws", words(textCol))
       .withColumn("shingles", shingles(k))
+      // docs shorter than k words have no shingles: without this guard
+      // they all share one degenerate band key (min over empty = null →
+      // identical md5), turning the bucket join quadratic and producing
+      // 0/0 jaccards that the two engines treat differently (null vs NaN)
+      .filter(size(col("shingles")) > 0)
       .withColumn("shash", shingleHashes)
       .withColumn("sig", minhashSignature(nPerm))
       .select(col(idCol).as("id"), col("shingles"),

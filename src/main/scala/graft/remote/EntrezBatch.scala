@@ -57,6 +57,9 @@ object EntrezBatch {
       .withColumnRenamed("id", idCol)
       .withColumnRenamed("payload", payloadCol)
       .withColumn("fetched", lit(true))
-    dim.withColumn("fetched", lit(false)).unionByName(fetched)
+    // allowMissingColumns: a real dim carries more than (id, payload) —
+    // fetched rows fill the extra columns with null
+    dim.withColumn("fetched", lit(false))
+      .unionByName(fetched, allowMissingColumns = true)
   }
 }

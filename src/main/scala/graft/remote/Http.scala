@@ -56,10 +56,12 @@ object Http {
       while (attempt <= maxRetries) {
         last = inner.fetch(req)
         if (last.status < 400) return last
-        if (last.status == 429) sleeper(rateLimitWaitMs)
-        else if (last.status >= 500) sleeper(serverErrorWaitMs)
-        else throw HttpError(last.status, last.body) // 4xx ≠ 429: no retry
+        if (last.status != 429 && last.status < 500)
+          throw HttpError(last.status, last.body) // 4xx ≠ 429: no retry
         attempt += 1
+        // only sleep when another attempt will actually happen
+        if (attempt <= maxRetries)
+          sleeper(if (last.status == 429) rateLimitWaitMs else serverErrorWaitMs)
       }
       throw HttpError(last.status, s"retries exhausted: ${last.body}")
     }

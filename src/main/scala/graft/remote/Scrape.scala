@@ -25,7 +25,9 @@ object Scrape {
   /** Tag-stripped, whitespace-squashed visible text. */
   def text(html: String): String =
     TagRe.replaceAllIn(ScriptRe.replaceAllIn(html, " "), " ")
-      .replaceAll("&amp;", "&").replaceAll("&lt;", "<").replaceAll("&gt;", ">")
+      // &amp; decodes LAST: decoding it first would double-decode
+      // escaped entities ("&amp;lt;" must yield "&lt;", not "<")
+      .replaceAll("&lt;", "<").replaceAll("&gt;", ">").replaceAll("&amp;", "&")
       .replaceAll("\\s+", " ").trim
 
   /** Consensus year: the year mentioned most often in the text

@@ -63,7 +63,9 @@ object XlsxScan {
     var lastSuper = ""
     superRow.zipAll(colRow, "", "").map { case (sup, col) =>
       if (sup.nonEmpty) lastSuper = sup
-      if (col.isEmpty) sup
+      // carried-forward super also covers spanned columns whose own
+      // header cell is empty — otherwise they'd collapse to "" duplicates
+      if (col.isEmpty) lastSuper
       else if (lastSuper.isEmpty) col
       else s"$lastSuper - $col"
     }
