@@ -1298,8 +1298,8 @@ object SparkEntry {
     "llm_ngram_jaccard" -> ((s, dir) => {
       val base = t(s, dir, "documents")
         .withColumn("ws", llm.TextOps.words("text"))
+        .filter(size(col("ws")) >= 3) // no 0/0 jaccard for <3-word docs
         .withColumn("shingles", llm.TextOps.shingles(3))
-        .filter(size(col("shingles")) > 0) // no 0/0 jaccard for <3-word docs
         .select(col("doc_id"), col("lang"), col("source"), col("shingles"))
       val l = base.select(col("doc_id").as("id_a"), col("lang"), col("source"),
         col("shingles").as("sh_a"))

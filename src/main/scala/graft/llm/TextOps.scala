@@ -116,12 +116,15 @@ object TextOps {
     val rowsPerBand = nPerm / nBands
     val base = df
       .withColumn("ws", words(textCol))
-      .withColumn("shingles", shingles(k))
       // docs shorter than k words have no shingles: without this guard
       // they all share one degenerate band key (min over empty = null →
       // identical md5), turning the bucket join quadratic and producing
-      // 0/0 jaccards that the two engines treat differently (null vs NaN)
-      .filter(size(col("shingles")) > 0)
+      // 0/0 jaccards that the two engines treat differently (null vs NaN).
+      // Filter on the CHEAP word count, not size(shingles) — referencing
+      // the shingle expression in a Filter makes Catalyst inline the whole
+      // construction into the predicate and re-evaluate it (measured 4x).
+      .filter(size(col("ws")) >= k)
+      .withColumn("shingles", shingles(k))
       .withColumn("shash", shingleHashes)
       .withColumn("sig", minhashSignature(nPerm))
       .select(col(idCol).as("id"), col("shingles"),
