@@ -57,4 +57,41 @@ object Relevance {
     table.map { case ((d, t, s), r) => (d, t, s, r) }
       .toDF("direction", "evidence_type", "significance", "relevance")
   }
+
+  /** X7 — MOA assertion → applicable relevance terms (reference
+    * `parseRelevance` moa/index.js:519-557; jest corpus test/moa.test.js).
+    * One assertion can yield several statements, one per term; an empty
+    * result or a sensitivity+resistance contradiction is an error row.
+    */
+  case class MoaAssertion(
+      therapyName: Option[String],
+      therapySensitivity: Option[Boolean],
+      therapyResistance: Option[Boolean],
+      favorablePrognosis: Option[Int],
+      variantPathogenic: Seq[String])
+
+  case class MoaRelevanceError(msg: String) extends Exception(msg)
+
+  def parseMoaRelevance(a: MoaAssertion): Seq[String] = {
+    if (a.therapyResistance.contains(true) && a.therapySensitivity.contains(true))
+      throw MoaRelevanceError("nonsensical entry linked to both sensitivity and resistance")
+    val therapy = a.therapyName.map { _ =>
+      if (a.therapyResistance.contains(true)) Seq("resistance")
+      else if (a.therapySensitivity.contains(true)) Seq("sensitivity")
+      else if (a.therapySensitivity.contains(false)) Seq("no sensitivity")
+      else Seq.empty
+    }.getOrElse(Seq.empty)
+    val prognosis = a.favorablePrognosis match {
+      case Some(1) => Seq("favourable prognosis")
+      case Some(0) => Seq("unfavourable prognosis")
+      case _ => Seq.empty
+    }
+    val pathogenic =
+      if (a.variantPathogenic.nonEmpty && a.variantPathogenic.forall(_ == "1.0"))
+        Seq("pathogenic")
+      else Seq.empty
+    val all = therapy ++ prognosis ++ pathogenic
+    if (all.isEmpty) throw MoaRelevanceError("statement has no relevance")
+    all
+  }
 }
