@@ -540,10 +540,13 @@ object SparkEntry {
         ("r3", "drop", false, false, "dep", null, null, "d", 1),
         ("r4", "keep", false, false, null, null, null, "d", 1),
         ("r4", "drop", false, false, null, "2020", null, "d", 1),
-        ("r5", "keep", false, false, null, "2021", null, "d", 1),
-        ("r5", "drop", false, false, null, "2020", null, "d", 1),
-        ("r6", "keep", false, false, null, null, "9", "d", 1),
-        ("r6", "drop", false, false, null, null, "8", "d", 1),
+        // reference behavior: the OLDER sourceIdVersion / source.version
+        // wins (its code compares ascending despite the "prefer newer"
+        // comment — pinned by its jest corpus)
+        ("r5", "keep", false, false, null, "2020", null, "d", 1),
+        ("r5", "drop", false, false, null, "2021", null, "d", 1),
+        ("r6", "keep", false, false, null, null, "8", "d", 1),
+        ("r6", "drop", false, false, null, null, "9", "d", 1),
         ("r7", "keep", false, false, null, null, null, "d", 1),
         ("r7", "drop", false, false, null, null, null, null, 1),
         ("r8", "keep", false, false, null, null, null, "d", 1),

@@ -120,8 +120,12 @@ object Resolver {
     coalesce(alias.cast("boolean"), lit(false)).asc,
     dependency.isNotNull.asc,                             // independent first
     sourceIdVersion.isNotNull.asc,                        // generic first
-    sourceIdVersion.desc_nulls_last,                      // then newest version
-    sourceVersion.desc_nulls_last,                        // newer source.version (graphkb.js:170-178)
+    // the reference's comments SAY "prefer newer/later versions" but its
+    // code compares ascending (graphkb.js:160-172) and its jest corpus
+    // pins that: ('2019-10-08' vs '2020-10-08') → the OLDER wins
+    // (test/graphkb.test.js:41-60). Match the behavior, not the comment.
+    sourceIdVersion.asc_nulls_first,
+    sourceVersion.asc_nulls_first,
     description.isNull.asc,                               // has-description first
     sourceRank.asc_nulls_last
   )
