@@ -105,8 +105,19 @@ object Resolver {
 
   /** The reference's full 8-rung ontology preference ladder
     * (graphkb.js:133-196) as a sort-key list: non-deprecated > non-alias >
-    * independent > generic over versioned > newer sourceIdVersion > newer
-    * source.version > has-description > source rank.
+    * independent > source rank > source.version > generic over versioned >
+    * sourceIdVersion > has-description.
+    *
+    * The reference comparator is conditional: the sourceIdVersion /
+    * description rungs only apply to pairs sharing (sourceId, source);
+    * cross-source pairs order by source.sort, then source.version, then
+    * description (graphkb.js:152-196, jest :73-96). A per-row sort key
+    * can't branch per-pair, but hoisting sourceRank + sourceVersion ABOVE
+    * the per-record rungs reproduces both branches: within one source,
+    * rank and source.version are constant (they ride on the source record),
+    * so same-source ordering falls through to generic/sourceIdVersion/
+    * description exactly as before, while cross-source pairs are decided
+    * by rank then version first.
     */
   def ontologyPreference(
       deprecated: Column = col("deprecated"),
@@ -119,14 +130,15 @@ object Resolver {
     coalesce(deprecated.cast("boolean"), lit(false)).asc, // false (kept) first
     coalesce(alias.cast("boolean"), lit(false)).asc,
     dependency.isNotNull.asc,                             // independent first
-    sourceIdVersion.isNotNull.asc,                        // generic first
+    sourceRank.asc_nulls_last,                            // cross-source: rank
     // the reference's comments SAY "prefer newer/later versions" but its
-    // code compares ascending (graphkb.js:160-172) and its jest corpus
+    // code compares ascending (graphkb.js:160-196) and its jest corpus
     // pins that: ('2019-10-08' vs '2020-10-08') → the OLDER wins
-    // (test/graphkb.test.js:41-60). Match the behavior, not the comment.
+    // (test/graphkb.test.js:41-60, :81-88). Match the behavior, not the
+    // comment.
+    sourceVersion.asc_nulls_first,                        // cross-source: version
+    sourceIdVersion.isNotNull.asc,                        // generic first
     sourceIdVersion.asc_nulls_first,
-    sourceVersion.asc_nulls_first,
-    description.isNull.asc,                               // has-description first
-    sourceRank.asc_nulls_last
+    description.isNull.asc                                // has-description first
   )
 }

@@ -66,7 +66,8 @@ object NcitClean {
   case class CleanRow(
       sourceId: String, name: String, displayName: String, description: String,
       deprecated: Boolean, parents: Seq[String], synonyms: Seq[String],
-      species: String, endpoint: String, url: String)
+      originalSynonyms: Seq[String], species: String, endpoint: String,
+      url: String)
 
   private val SpeciesRe = "(?i)\\b(murine|mouse|rat)\\b".r
   private def speciesMatch(term: String): String =
@@ -99,17 +100,29 @@ object NcitClean {
         name = s
         species = speciesMatch(s)
       }
-      if (species.isEmpty)
-        species = parents.map(speciesMatch).find(_.nonEmpty).getOrElse("")
+      // the reference applies the parents-derived species UNCONDITIONALLY
+      // inside this branch (ncit/index.js:151-163): a parent match
+      // overwrites a synonym-derived species.
+      parents.map(speciesMatch).find(_.nonEmpty).foreach(species = _)
     }
 
     if (name.isEmpty) name = sourceId
     val url = raw.xmlTag.stripPrefix("<").stripSuffix(">")
+    // displayName keeps the original case (computed before the final
+    // lowercasing, ncit/index.js:180-183)
     val displayName =
       if (name.toLowerCase == sourceId.toLowerCase) sourceId
       else s"$name [$sourceId]"
 
-    CleanRow(sourceId, name, displayName, raw.definition, deprecated,
-      parents, synonyms, species, endpoint, url)
+    // final output normalization (ncit/index.js:184-189): name lowercased;
+    // synonyms deduped (on original case, like JS `new Set`), lowercased,
+    // with the name itself removed; the original-case list is kept as
+    // `original_synonyms`.
+    val loweredName = name.toLowerCase
+    val outSynonyms = synonyms.distinct.map(_.toLowerCase)
+      .filter(_ != loweredName)
+
+    CleanRow(sourceId, loweredName, displayName, raw.definition, deprecated,
+      parents, outSynonyms, synonyms, species, endpoint, url)
   }
 }

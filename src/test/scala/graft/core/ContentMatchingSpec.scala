@@ -37,6 +37,34 @@ class ContentMatchingSpec extends AnyFunSuite {
       rows.filter(_.getString(2) == "delete").map(_.getLong(1)).toSet)
   }
 
+  test("1x1 auto-match fires regardless of flags (civic/statement.js:75-78)") {
+    // content DIFFERS on every key and artificialFinal is false — the
+    // reference still classifies a 1-incoming × 1-existing pair as one
+    // update, never create+delete
+    val one = Seq((0L, "cA", "#1")).toDF("iid", "conds", "subject")
+    val oneG = Seq((100L, "cB", "#2")).toDF("eid", "conds", "subject")
+    val (matches, creates, deletes) = buckets(DiffMerge.contentMatch(
+      one, "iid", oneG, "eid", tiers = Seq(Seq("conds", "subject"))))
+    assert(matches == Set((0L, 100L)))
+    assert(creates.isEmpty && deletes.isEmpty)
+    // the auto-match is labelled tier 0
+    val tier = DiffMerge.contentMatch(one, "iid", oneG, "eid",
+      tiers = Seq(Seq("conds", "subject"))).select("tier").as[Int].head()
+    assert(tier == 0)
+  }
+
+  test("PersistScope releases tier intermediates after materialization") {
+    val scope = new DiffMerge.PersistScope
+    val out = DiffMerge.contentMatch(civic, "iid", gkb, "eid",
+      tiers = Seq(Seq("conds", "subject"), Seq("subject")),
+      artificialFinal = true, scope = scope)
+    val before = out.collect().length
+    assert(before > 0)
+    scope.release() // non-blocking; must not throw and frames must detach
+    // result is still reproducible after release (lineage recompute)
+    assert(out.collect().length == before)
+  }
+
   test("matching only on conditions and subject (jest :95-126)") {
     val (matches, creates, deletes) = buckets(DiffMerge.contentMatch(
       civic, "iid", gkb, "eid", tiers = Seq(Seq("conds", "subject"))))

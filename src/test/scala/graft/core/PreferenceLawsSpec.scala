@@ -64,4 +64,29 @@ class PreferenceLawsSpec extends AnyFunSuite {
   test("lower source rank wins (jest :73-80)") {
     assert(winner(c("w", rank = 1), c("l", rank = 2)) == "w")
   }
+
+  test("cross-source: better rank beats older version (graphkb.js:152-196)") {
+    // graphkb.js only compares sourceIdVersion within same-(sourceId, source)
+    // pairs; across sources, source.sort decides FIRST. An older-versioned
+    // term from a worse-ranked source must NOT beat a newer term from a
+    // better-ranked source.
+    assert(winner(
+      c("w", sidv = Some("2021-01-01"), rank = 1),
+      c("l", sidv = Some("2019-01-01"), rank = 2)) == "w")
+    assert(winner(
+      c("l", sidv = Some("2019-01-01"), rank = 2),
+      c("w", sidv = Some("2021-01-01"), rank = 1)) == "w")
+  }
+
+  test("cross-source: rank tie falls to older source.version (jest :81-88)") {
+    assert(winner(
+      c("w", srcv = Some("1"), rank = 1),
+      c("l", srcv = Some("2"), rank = 1)) == "w")
+  }
+
+  test("cross-source: rank+version tie falls to description (jest :89-96)") {
+    assert(winner(
+      c("w", rank = 1),
+      c("l", rank = 1, desc = None)) == "w")
+  }
 }

@@ -46,14 +46,34 @@ class NcitCleanSpec extends AnyFunSuite {
 
   test("name list splitting promotes tail to synonyms") {
     val row = cleanRawRow(base.copy(name = "First Name|Second Name"))
-    assert(row.name == "First Name")
-    assert(row.synonyms == Seq("syn1", "syn2", "Second Name"))
+    assert(row.name == "first name")
+    assert(row.originalSynonyms == Seq("syn1", "syn2", "Second Name"))
+    assert(row.synonyms == Seq("syn1", "syn2", "second name"))
   }
 
   test("species-bearing synonym replaces the name") {
     val row = cleanRawRow(base.copy(name = "Tp53", synonyms = "Mouse Tp53"))
-    assert(row.name == "Mouse Tp53")
+    assert(row.name == "mouse tp53")
+    assert(row.displayName == "Mouse Tp53 [c12345]")
     assert(row.species == "Mouse")
+  }
+
+  test("parent-derived species overwrites synonym-derived (ncit/index.js:151-163)") {
+    val row = cleanRawRow(base.copy(
+      name = "Tp53", synonyms = "Mouse Tp53", parents = "rat thing"))
+    assert(row.name == "mouse tp53") // name swap still from the synonym pass
+    assert(row.species == "rat")     // but the parent match wins the species
+  }
+
+  test("output normalization: lowercase, dedup, name removed from synonyms") {
+    val row = cleanRawRow(base.copy(
+      name = "Some Concept", synonyms = "Alpha|alpha|ALPHA|Some Concept"))
+    assert(row.name == "some concept")
+    // JS `new Set` dedups on ORIGINAL case, then lowercases — so distinct
+    // original-case variants survive as duplicates after lowering
+    assert(row.synonyms == Seq("alpha", "alpha", "alpha"))
+    assert(row.originalSynonyms ==
+      Seq("Alpha", "alpha", "ALPHA", "Some Concept"))
   }
 
   test("display name + url + empty-name fallback") {
