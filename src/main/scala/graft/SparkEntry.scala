@@ -1297,22 +1297,14 @@ object SparkEntry {
     }),
 
     // n-gram Jaccard near-dup within (lang, source) blocks — the blocked
-    // brute-force tier (block sizes are bounded, so the pair join is local).
+    // brute-force tier, with a block-size cap: blocks over the cap are
+    // routed through the MinHash-LSH path so no single giant block can
+    // make the pair join quadratic at scale. (At this sf every block is
+    // under the cap, so the result is the exact brute-force answer.)
     "llm_ngram_jaccard" -> ((s, dir) => {
-      val base = t(s, dir, "documents")
-        .withColumn("ws", llm.TextOps.words("text"))
-        .filter(size(col("ws")) >= 3) // no 0/0 jaccard for <3-word docs
-        .withColumn("shingles", llm.TextOps.shingles(3))
-        .select(col("doc_id"), col("lang"), col("source"), col("shingles"))
-      val l = base.select(col("doc_id").as("id_a"), col("lang"), col("source"),
-        col("shingles").as("sh_a"))
-      val r = base.select(col("doc_id").as("id_b"), col("lang"), col("source"),
-        col("shingles").as("sh_b"))
-      l.join(r, Seq("lang", "source"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          llm.TextOps.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
+      llm.TextOps.blockedNgramJaccard(
+        t(s, dir, "documents"), "doc_id", "text",
+        blockCols = Seq("lang", "source"), threshold = 0.5)
     }),
 
     // Token counts, quality score, rolling fingerprint, content key.

@@ -112,35 +112,99 @@ object TextOps {
       k: Int = 3,
       nPerm: Int = 32,
       nBands: Int = 8,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      blockCols: Seq[String] = Nil): DataFrame = {
     val rowsPerBand = nPerm / nBands
-    val base = df
+    // docs shorter than k words have no shingles: without this guard
+    // they all share one degenerate band key (min over empty = null →
+    // identical md5), turning the bucket join quadratic and producing
+    // 0/0 jaccards that the two engines treat differently (null vs NaN).
+    // Filter on the CHEAP word count, not size(shingles) — referencing
+    // the shingle expression in a Filter makes Catalyst inline the whole
+    // construction into the predicate and re-evaluate it (measured 4x).
+    def withShingles = df
       .withColumn("ws", words(textCol))
-      // docs shorter than k words have no shingles: without this guard
-      // they all share one degenerate band key (min over empty = null →
-      // identical md5), turning the bucket join quadratic and producing
-      // 0/0 jaccards that the two engines treat differently (null vs NaN).
-      // Filter on the CHEAP word count, not size(shingles) — referencing
-      // the shingle expression in a Filter makes Catalyst inline the whole
-      // construction into the predicate and re-evaluate it (measured 4x).
       .filter(size(col("ws")) >= k)
       .withColumn("shingles", shingles(k))
+    // the band self-join carries IDS ONLY: shipping the shingle arrays
+    // through it costs ~document size × nBands × 2 of shuffle at scale.
+    // Candidate pairs are distinct'd FIRST, then the (small) pair set
+    // joins the shingle table back once per side for exact-Jaccard
+    // verification — AQE broadcasts the pair side, so the shingle table
+    // never shuffles either.
+    // optional blocking: folding the block columns into the band-join key
+    // keeps candidates within blocks (and raises join-key cardinality)
+    val blk = blockCols.map(col)
+    val bands = withShingles
       .withColumn("shash", shingleHashes)
       .withColumn("sig", minhashSignature(nPerm))
-      .select(col(idCol).as("id"), col("shingles"),
-        explode(bandKeys(nBands, rowsPerBand)).as("band"))
-      .select(col("id"), col("shingles"),
-        col("band.band_id"), col("band.band_key"))
-    val l = base.select(col("id").as("id_a"), col("shingles").as("sh_a"),
-      col("band_id"), col("band_key"))
-    val r = base.select(col("id").as("id_b"), col("shingles").as("sh_b"),
-      col("band_id"), col("band_key"))
-    l.join(r, Seq("band_id", "band_key"))
+      .select(col(idCol).as("id") +: explode(bandKeys(nBands, rowsPerBand)).as("band") +: blk: _*)
+      .select(col("id") +: col("band.band_id") +: col("band.band_key") +: blk: _*)
+    val joinKeys = Seq("band_id", "band_key") ++ blockCols
+    val pairs = bands.select(col("id").as("id_a") +: (Seq("band_id", "band_key") ++ blockCols).map(col): _*)
+      .join(bands.select(col("id").as("id_b") +: (Seq("band_id", "band_key") ++ blockCols).map(col): _*),
+        joinKeys)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct() // a pair can collide in several bands
+    // verification rebuilds only the shingle chain, not the (much more
+    // expensive) signature chain
+    val shingleTbl = withShingles.select(col(idCol).as("id"), col("shingles"))
+    pairs
+      .join(shingleTbl.select(col("id").as("id_a"), col("shingles").as("sh_a")),
+        Seq("id_a"))
+      .join(shingleTbl.select(col("id").as("id_b"), col("shingles").as("sh_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Blocked brute-force n-gram Jaccard near-dup pairs with a block-size
+    * cap. The quadratic within-block pair join is only safe while blocks
+    * stay small; at 100 TB a single ("en", "web") block is most of the
+    * corpus. Blocks over `maxBlockSize` rows are routed through the
+    * banded MinHash-LSH path instead (same blocking, folded into the band
+    * key; candidates verified with exact Jaccard, so routed pairs are
+    * still true positives — LSH only trades away recall on borderline
+    * pairs). Returns (id_a, id_b, jaccard) with id_a < id_b and
+    * jaccard >= threshold, pairs always within one block.
+    */
+  def blockedNgramJaccard(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCols: Seq[String],
+      k: Int = 3,
+      threshold: Double = 0.5,
+      maxBlockSize: Long = 10000L,
+      nPerm: Int = 32,
+      nBands: Int = 8): DataFrame = {
+    val blk = blockCols.map(col)
+    val ws = df.withColumn("ws", words(textCol)).filter(size(col("ws")) >= k)
+    // block sizes are a tiny (blockCols, count) frame even when the corpus
+    // is huge — broadcast it so tagging rows is map-side
+    val sizes = ws.groupBy(blk: _*).agg(count(lit(1)).as("__bn"))
+    val tagged = ws.join(broadcast(sizes), blockCols)
+
+    val smallBase = tagged.filter(col("__bn") <= maxBlockSize)
+      .withColumn("shingles", shingles(k))
+      .select(col(idCol).as("id") +: col("shingles") +: blk: _*)
+    val smallPairs = smallBase
+      .select(col("id").as("id_a") +: col("shingles").as("sh_a") +: blk: _*)
+      .join(smallBase
+        .select(col("id").as("id_b") +: col("shingles").as("sh_b") +: blk: _*),
+        blockCols)
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .distinct() // a pair can collide in several bands
       .filter(col("jaccard") >= threshold)
+
+    val bigPairs = minhashNearDups(
+      tagged.filter(col("__bn") > maxBlockSize).drop("__bn", "ws"),
+      idCol, textCol, k, nPerm, nBands, threshold, blockCols)
+
+    smallPairs.unionByName(bigPairs)
   }
 
   /** English/French/German stopword hit counts + argmax language guess —

@@ -32,6 +32,28 @@ class TextOpsSpec extends AnyFunSuite {
     assert(found.forall(_.getDouble(2) >= 0.5))
   }
 
+  test("blockedNgramJaccard: oversized blocks take the LSH path, blocked semantics hold") {
+    // block A: 4 identical docs (every pair jaccard = 1); block B: one doc
+    // with the SAME text as block A — a cross-block pair must never appear.
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = (Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "A"), (5L, "B"))
+      .map { case (id, blk) => (id, blk, text) })
+      .toDF("doc_id", "blk", "text")
+    val inBlockPairs = Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+
+    // cap = 1: every block is oversized → all pairs via the LSH route
+    val viaLsh = TextOps.blockedNgramJaccard(df, "doc_id", "text",
+      blockCols = Seq("blk"), maxBlockSize = 1L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(viaLsh == inBlockPairs, "LSH route must find identical in-block docs only")
+
+    // cap = 100: every block small → brute route; same answer on this corpus
+    val viaBrute = TextOps.blockedNgramJaccard(df, "doc_id", "text",
+      blockCols = Seq("blk"), maxBlockSize = 100L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(viaBrute == inBlockPairs)
+  }
+
   test("simhash: near-dup docs land close in hamming distance") {
     val withSim = docs.withColumn("ws", TextOps.words("text"))
       .withColumn("shingles", TextOps.shingles(3))
