@@ -1224,7 +1224,7 @@ object SparkEntry {
           lit("contains").as("edgeClass")).dropDuplicates()
       val store = new core.PersistentGraphStore(s,
         java.nio.file.Files.createTempDirectory("graft-k5").toString)
-      store.write("edges", existing)
+      store.write("edges", existing, store.EdgeKey)
       store.upsertEdges(candidates)
       store.read("edges").get
         .select(col("out"), col("in"), col("edgeClass").as("edge_class"))

@@ -2,30 +2,91 @@ package graft.core
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Parquet-backed persistent graph store: vertices and edges survive the
   * job, and re-running the same merge is a no-op (idempotent upsert —
   * reference `addRecord` graphkb.js:545-612 made set-based).
   *
-  * Layout: `<root>/<table>/v=NNNNN/` snapshot directories. A merge reads
-  * the latest complete snapshot, classifies the incoming frame against it
-  * (GraphStore.classify: null-safe keys, change detection, soft delete),
-  * writes the post-merge state as the next version, and returns the audit
-  * counters (K9). Readers always resolve the max version — a crashed write
-  * leaves a partial higher directory without a `_SUCCESS` marker, which is
-  * skipped.
+  * Layout — bucketed version layers, the Delta/Iceberg MERGE pattern
+  * without the table format:
   *
-  * Scale: this is the Delta/Iceberg MERGE pattern without the table
-  * format — one full-outer shuffle on the natural key per merge, snapshot
-  * writes partitioned by the same key hash so successive merges co-locate.
-  * On a production cluster the same `classify` output feeds `MERGE INTO`
-  * directly; tests exercise the parquet path end-to-end.
+  * {{{
+  * <root>/<table>/_meta.json            # nBuckets + bucketCols, fixed at creation
+  * <root>/<table>/v=00001/_SUCCESS
+  * <root>/<table>/v=00001/__b=0/part-*.parquet
+  * <root>/<table>/v=00001/__b=7/part-*.parquet
+  * <root>/<table>/v=00002/__b=7/...     # only the buckets THIS merge touched
+  * }}}
+  *
+  * Rows are hash-bucketed by the table's natural key
+  * (`pmod(xxhash64(key...), nBuckets)`). A version directory contains only
+  * the buckets its merge rewrote; a reader resolves, per bucket, the
+  * newest version that wrote it and unions those leaf directories. Since a
+  * key always lands in the same bucket, an upsert merge only needs to READ
+  * the buckets the incoming batch touches and only WRITES those buckets —
+  * at 100 TB the per-batch cost is O(touched buckets), not O(table).
+  * Write-side pruning is free: the classify output only contains
+  * touched-bucket rows, so `partitionBy("__b")` emits just those subdirs.
+  *
+  * Soft-delete merges (absent key ⇒ tombstone) inherently compare the full
+  * key set, so they read and rewrite every bucket — that cost is in the
+  * semantics, not the layout.
+  *
+  * Crash safety: readers only consider version directories with a
+  * `_SUCCESS` marker, so a torn write is invisible. Audit-counter caveat:
+  * a pruned merge never scans untouched buckets, so their retained rows
+  * are not counted as `noop`.
   */
-class PersistentGraphStore(spark: SparkSession, root: String) {
+class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32) {
 
   private def tableDir(table: String) = s"$root/$table"
+
+  // ---- per-table bucketing metadata --------------------------------------
+
+  private case class Meta(nBuckets: Int, bucketCols: Seq[String])
+
+  private def metaPath(table: String) = Paths.get(tableDir(table), "_meta.json")
+
+  private def readMeta(table: String): Option[Meta] = {
+    val p = metaPath(table)
+    if (!Files.exists(p)) None
+    else {
+      val s = new String(Files.readAllBytes(p), "UTF-8")
+      val n = """"nBuckets"\s*:\s*(\d+)""".r.findFirstMatchIn(s).get.group(1).toInt
+      val cols = """"bucketCols"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(s).get
+        .group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .filter(_.nonEmpty).toSeq
+      Some(Meta(n, cols))
+    }
+  }
+
+  /** Resolve (or create) the table's bucketing; the natural key must be
+    * stable across merges — pruning is only sound when every merge buckets
+    * by the same columns.
+    */
+  private def metaFor(table: String, bucketCols: Seq[String]): Meta =
+    readMeta(table) match {
+      case Some(m) =>
+        require(m.bucketCols == bucketCols,
+          s"table '$table' is bucketed by ${m.bucketCols.mkString(",")}; " +
+            s"merge keyed by ${bucketCols.mkString(",")} cannot prune safely")
+        m
+      case None =>
+        val m = Meta(nBuckets, bucketCols)
+        Files.createDirectories(Paths.get(tableDir(table)))
+        Files.write(metaPath(table),
+          (s"""{"nBuckets": ${m.nBuckets}, "bucketCols": [""" +
+            m.bucketCols.map("\"" + _ + "\"").mkString(", ") + "]}")
+            .getBytes("UTF-8"))
+        m
+    }
+
+  private def bucketExpr(m: Meta): Column =
+    pmod(xxhash64(m.bucketCols.map(col): _*), lit(m.nBuckets))
+
+  // ---- version / bucket resolution ---------------------------------------
 
   private def versions(table: String): Seq[(Int, String)] = {
     val dir = Paths.get(tableDir(table))
@@ -48,20 +109,82 @@ class PersistentGraphStore(spark: SparkSession, root: String) {
 
   def latestVersion(table: String): Option[Int] = versions(table).lastOption.map(_._1)
 
-  /** Latest complete snapshot, or None before the first write. */
-  def read(table: String): Option[DataFrame] =
-    versions(table).lastOption.map { case (_, path) => spark.read.parquet(path) }
+  /** Per-bucket newest leaf directories: (bucketId, path), walking versions
+    * newest-first so the first sighting of a bucket wins. A version marked
+    * `_FULL` is a complete snapshot — buckets absent from it (and from any
+    * newer layer) are EMPTY, not inherited: a soft-delete can empty a
+    * bucket entirely, which the layering alone cannot represent.
+    */
+  private def leafDirs(table: String): Seq[(Int, String)] = {
+    val seen = scala.collection.mutable.Map.empty[Int, String]
+    val newestFirst = versions(table).reverse.iterator
+    var done = false
+    while (newestFirst.hasNext && !done) {
+      val (_, vPath) = newestFirst.next()
+      val stream = Files.list(Paths.get(vPath))
+      try {
+        val it = stream.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          val name = p.getFileName.toString
+          if (name.startsWith("__b=")) {
+            val b = name.drop(4).toInt
+            if (!seen.contains(b)) seen(b) = p.toString
+          }
+        }
+      } finally stream.close()
+      done = Files.exists(Paths.get(vPath, "_FULL")) // full snapshot: stop layering
+    }
+    seen.toSeq.sortBy(_._1)
+  }
 
-  /** Write the next snapshot version and return its number. */
-  def write(table: String, df: DataFrame): Int = {
+  /** Latest table state (newest layer of every bucket), or None before the
+    * first write. The bucket column is not materialized — it is derivable
+    * from the key columns.
+    */
+  def read(table: String): Option[DataFrame] = {
+    val dirs = leafDirs(table)
+    if (dirs.isEmpty) None
+    else Some(spark.read.parquet(dirs.map(_._2): _*))
+  }
+
+  /** Read only the given buckets' newest layers. */
+  private def readBuckets(table: String, buckets: Set[Int]): Option[DataFrame] = {
+    val dirs = leafDirs(table).collect { case (b, p) if buckets(b) => p }
+    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+  }
+
+  /** Buckets the incoming frame lands in — one small distinct job, at most
+    * nBuckets values.
+    */
+  private def touchedBuckets(df: DataFrame, m: Meta): Set[Int] =
+    df.select(bucketExpr(m).cast("int").as("__b")).distinct()
+      .collect().map(_.getInt(0)).toSet
+
+  /** Write the next version layer. `df` must be the COMPLETE new content of
+    * every bucket it contains rows for — buckets without rows keep their
+    * previous layer, unless `full` marks this version as a complete
+    * snapshot (then absent buckets are empty).
+    */
+  def write(table: String, df: DataFrame, bucketCols: Seq[String],
+      full: Boolean = false): Int = {
+    val m = metaFor(table, bucketCols)
     val next = latestVersion(table).getOrElse(0) + 1
-    df.write.mode(SaveMode.Overwrite).parquet(f"${tableDir(table)}/v=$next%05d")
+    val dir = f"${tableDir(table)}/v=$next%05d"
+    df.withColumn("__b", bucketExpr(m))
+      .write.partitionBy("__b").mode(SaveMode.Overwrite)
+      .parquet(dir)
+    if (full) Files.createFile(Paths.get(dir, "_FULL"))
     next
   }
 
   /** MERGE an incoming frame into `table` on `keyCols`: classify against
     * the current snapshot, persist the post-merge state, return audit
     * counters (created/updated/deleted/noop — K9).
+    *
+    * Upsert merges (softDelete = false) read and rewrite ONLY the buckets
+    * the incoming batch touches. Soft-delete merges compare the full key
+    * set (absence ⇒ tombstone), so they run over every bucket.
     */
   def merge(
       table: String,
@@ -70,9 +193,15 @@ class PersistentGraphStore(spark: SparkSession, root: String) {
       compareCols: Seq[String],
       setCols: Seq[String] = Nil,
       softDelete: Boolean = false): Map[String, Long] = {
-    val classified = read(table) match {
-      case Some(current) =>
-        GraphStore.classify(current, incoming, keyCols, compareCols, setCols, softDelete)
+    val m = metaFor(table, keyCols)
+    val fullRewrite = softDelete || latestVersion(table).isEmpty
+    val current =
+      if (latestVersion(table).isEmpty) None
+      else if (softDelete) read(table)
+      else readBuckets(table, touchedBuckets(incoming, m))
+    val classified = current match {
+      case Some(cur) =>
+        GraphStore.classify(cur, incoming, keyCols, compareCols, setCols, softDelete)
       case None =>
         incoming.withColumn(GraphStore.ACTION, lit("create"))
     }
@@ -80,28 +209,34 @@ class PersistentGraphStore(spark: SparkSession, root: String) {
     classified.persist()
     try {
       val counts = GraphStore.counts(classified)
-      write(table, GraphStore.apply(classified))
+      write(table, GraphStore.apply(classified), keyCols, full = fullRewrite)
       counts
     } finally classified.unpersist()
   }
 
+  val EdgeKey: Seq[String] = Seq("out", "in", "edgeClass")
+
   /** K5 — edge upsert: only candidates absent from the live edge set are
     * created (the reference's `edgeExists` anti-join, `fetchExisting:
-    * false` semantics). Edges are keyed (out, in, edgeClass).
+    * false` semantics). Edges are keyed (out, in, edgeClass); a duplicate
+    * can only live in its own bucket, so both the existence anti-join and
+    * the rewrite touch candidate buckets only — and the touched buckets
+    * are read ONCE, feeding the anti-join and the new layer's union.
     */
   def upsertEdges(candidates: DataFrame): Map[String, Long] = {
-    val fresh = read("edges") match {
-      case Some(existing) => GraphStore.newEdges(existing, candidates)
+    val m = metaFor("edges", EdgeKey)
+    val existing =
+      if (latestVersion("edges").isEmpty) None
+      else readBuckets("edges", touchedBuckets(candidates, m))
+    val fresh = existing match {
+      case Some(e) => GraphStore.newEdges(e, candidates)
       case None => candidates
     }
     fresh.persist()
     try {
       val n = fresh.count()
-      val union = read("edges") match {
-        case Some(existing) => existing.unionByName(fresh)
-        case None => fresh
-      }
-      write("edges", union)
+      val layer = existing.map(_.unionByName(fresh)).getOrElse(fresh)
+      write("edges", layer, EdgeKey)
       Map("created" -> n)
     } finally fresh.unpersist()
   }

@@ -77,6 +77,44 @@ class PersistentGraphStoreSpec extends AnyFunSuite {
     assert(store.read("sources").get.select("version").as[String].head() == "v2")
   }
 
+  test("upsert merge rewrites only touched buckets; readers layer versions") {
+    val dir = Files.createTempDirectory("graft-store")
+    val store = new PersistentGraphStore(spark, dir.toString, nBuckets = 8)
+    val full = (1 to 64).map(i => (s"id$i", s"name$i"))
+      .toDF("sourceId", "name")
+    store.merge("vertices", full, Seq("sourceId"), compareCols = Seq("name"))
+    val v1Buckets = Files.list(dir.resolve("vertices/v=00001")).iterator()
+    val n1 = {
+      var n = 0
+      v1Buckets.forEachRemaining(p =>
+        if (p.getFileName.toString.startsWith("__b=")) n += 1)
+      n
+    }
+    assert(n1 > 1, "64 keys over 8 buckets must span several buckets")
+
+    // second merge updates ONE key → exactly that key's bucket is rewritten
+    val one = Seq(("id7", "renamed")).toDF("sourceId", "name")
+    val c = store.merge("vertices", one, Seq("sourceId"), compareCols = Seq("name"))
+    assert(c("update") == 1L)
+    val v2 = dir.resolve("vertices/v=00002")
+    val n2 = {
+      var n = 0
+      Files.list(v2).iterator().forEachRemaining(p =>
+        if (p.getFileName.toString.startsWith("__b=")) n += 1)
+      n
+    }
+    assert(n2 == 1, s"one-key merge must rewrite exactly one bucket, wrote $n2")
+
+    // read-back layers v2's bucket over v1: full row count, new value visible
+    val state = store.read("vertices").get
+    assert(state.count() == 64)
+    assert(state.filter(col("sourceId") === "id7")
+      .select("name").as[String].head() == "renamed")
+    // mismatched merge key is refused — pruning would be unsound
+    assertThrows[IllegalArgumentException](
+      store.merge("vertices", one, Seq("name"), compareCols = Seq("sourceId")))
+  }
+
   test("K8 null-padded composite key: nulls join the unique key (<=>)") {
     val store = freshStore()
     val variants = Seq(
