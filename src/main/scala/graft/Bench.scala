@@ -18,7 +18,8 @@ object Bench {
   /** Scale-relevant: every input grows with sf. */
   val headline: Seq[String] = Seq(
     "q1_agg", "p2_filter_status", "p7_limit_topn", "p8_dedup_first",
-    "j11_xref_join", "j13_anti_join", "t1_top1_per_group", "set_except",
+    "j11_xref_join", "j13_anti_join", "t1_top1_per_group", "t2_newest_top1",
+    "set_except",
     "f13_year_extract", "a7_consensus", "a1_hash_id", "j1_resolve_unique",
     "k1_upsert_classify", "k2_change_counts", "j12_diff_tiers",
     "k8_nullkey_upsert", "x2_cartesian", "x3_therapy_groups", "x5_per_drug",
@@ -52,16 +53,25 @@ object Bench {
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case _: Throwable => () }
     val all = SparkEntry.queries
+    // median of N reps per query: a single cold rep lets one VM stall
+    // fabricate an implausible reading (a 73 s figure for a two-pass
+    // broadcast join happened in practice); the median of 3 is immune to
+    // one bad rep while still reporting steady-state cost
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = headline.filter(all.contains).map { name =>
-      val t0 = System.nanoTime()
-      val ok = try { all(name)(spark, sfDir).count(); true }
-        catch { case _: Throwable => false }
+      val times = (1 to reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { all(name)(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // drop persisted blocks between reps: accumulated storage memory
+        // from merge/diff persists squeezes execution memory and makes
+        // later queries GC-bound (measured 10x spikes late in the run)
+        spark.catalog.clearCache()
+        if (ok) Some(dt) else None
+      }
       // failures report -1, not a plausible-looking elapsed time
-      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      // drop persisted blocks between queries: accumulated storage memory
-      // from merge/diff persists squeezes execution memory and makes later
-      // queries GC-bound (measured 10x spikes late in the run)
-      spark.catalog.clearCache()
+      val dt = if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2)
       name -> dt
     }
     // fixture/golden queries: run once as a single bucket (correctness

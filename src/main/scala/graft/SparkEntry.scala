@@ -135,6 +135,30 @@ object SparkEntry {
           col("o_orderdate").cast("date").as("latest_date"))
     }),
 
+    // T2 (newest-created top-1 per key, civic/therapy.js:85-97: sort by
+    // createdAt desc, return first) — distinct from t1's business-date
+    // ordering: the key here is the record CREATION timestamp.
+    "t2_newest_top1" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ns").desc, col("event_id").desc)
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        // epoch micros as LONG: integer div, exact on both engines
+        .select(col("user_id"), col("event_id"),
+          expr("ts_ns div 1000").as("created_us"))
+    }),
+
+    // S9 (plain-text list scan, one value per line — HGVS notation lists,
+    // src/variants/index.js:30-44). The fixture is CRLF: Spark's
+    // read.text splits on \n and keeps the \r, DuckDB's read_csv strips
+    // it — normalize on this side.
+    "s9_text_scan" -> ((s, dir) => {
+      sources.Scans.textLines(s,
+        s"$REF_DATA/UNII_Records_25Oct2018_sample.txt")
+        .select(regexp_replace(col("line"), "\r$", "").as("line"))
+    }),
+
     // §2.7 set ops: EXCEPT (deprecated-id set difference, civic GC pattern).
     "set_except" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -405,21 +429,29 @@ object SparkEntry {
       val statements = incoming.filter(col("kind") === "statement")
       val errors = incoming.filter(col("kind") === "error")
         .select(col("content"), lit("error").as("bucket"))
+      // existing statements carry their CIViC sourceId (src_ev). The GC
+      // pass (civic/index.js:426-470) runs BEFORE content matching:
+      // statements whose sourceId vanished from CIViC never enter the
+      // diff — they are soft-deleted wholesale ('gc' bucket).
       val existing = Seq(
-        (100L, "V600E|erlotinib|resistance"),
-        (101L, "AMP|erlotinib|resistance"),
-        (102L, "OLD|old|resistance")).toDF("eid", "content")
+        (100L, 2L, "V600E|erlotinib|resistance"),
+        (101L, 2L, "AMP|erlotinib|resistance"),
+        (102L, 9L, "OLD|old|resistance")).toDF("eid", "src_ev", "content")
+      val liveEvIds = evidence.map(_._1)
+      val gc = existing.filter(!col("src_ev").isInCollection(liveEvIds))
+        .select(col("content"), lit("gc").as("bucket"))
+      val existingLive = existing.filter(col("src_ev").isInCollection(liveEvIds))
       val diff = core.DiffMerge.contentMatch(
-        statements, "sid", existing, "eid", tiers = Seq(Seq("content")))
+        statements, "sid", existingLive, "eid", tiers = Seq(Seq("content")))
       val withContent = diff
         .join(statements.select(col("sid").as("incoming_id"), col("content").as("ic")),
           Seq("incoming_id"), "left")
-        .join(existing.select(col("eid").as("existing_id"), col("content").as("ec")),
+        .join(existingLive.select(col("eid").as("existing_id"), col("content").as("ec")),
           Seq("existing_id"), "left")
         .select(coalesce(col("ic"), col("ec")).as("content"),
           when(col("bucket") === "match", lit("match"))
             .otherwise(col("bucket")).as("bucket"))
-      withContent.unionByName(errors)
+      withContent.unionByName(errors).unionByName(gc)
     }),
 
     // S7 (XLSX scan with super-header flattening, PMC4232638/index.js:
@@ -1475,6 +1507,16 @@ object SparkEntry {
         |  SELECT o_custkey, o_orderkey, o_orderdate,
         |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
         |  FROM orders) WHERE rn = 1""".stripMargin,
+    "t2_newest_top1" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS created_us FROM (
+        |  SELECT user_id, event_id, ts,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+    "s9_text_scan" ->
+      """SELECT CAST(line AS VARCHAR) AS line
+        |FROM read_csv('/root/reference/test/data/UNII_Records_25Oct2018_sample.txt',
+        |  delim=chr(1), header=false, quote='', escape='',
+        |  columns={'line': 'VARCHAR'})""".stripMargin,
     "set_except" ->
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         |EXCEPT
@@ -2045,7 +2087,7 @@ object SparkEntry {
         |('Q157R||favourable prognosis', 'create'),
         |('V600E|erlotinib|resistance', 'match'),
         |('AMP|erlotinib|resistance', 'match'),
-        |('OLD|old|resistance', 'delete'),
+        |('OLD|old|resistance', 'gc'),
         |('4|DIAGNOSTIC|NA', 'error')) AS t(content, bucket)""".stripMargin,
     "s7_xlsx_scan" ->
       """SELECT CAST(gene AS VARCHAR) AS gene, CAST(gof AS VARCHAR) AS gof,
