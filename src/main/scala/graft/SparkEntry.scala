@@ -454,6 +454,111 @@ object SparkEntry {
       withContent.unionByName(errors).unionByName(gc)
     }),
 
+    // G3 — the composed NCIt pipeline (ncit/index.js:199-460): flat-file
+    // scan → parent-concept derivation → row normalization → deprecation
+    // skip → name-collision resolution (species dups rejected, duplicate
+    // groups renamed to their preferred synonym) → primary+alias vertices
+    // + aliasof/SubClassOf edges → store round-trip. The fixture is built
+    // inline (the reference ships no NCIt flat file) and exercises every
+    // branch; the oracle is the hand-derived frozen frame.
+    "g3_ncit" -> ((s, dir) => {
+      val rows = Seq(
+        // id, xmlTag, parents, synonyms, definition, name, status, semanticType, subset
+        Seq("C1001", "<http://n/C1001>", "", "Skin Cancer Dark|Melanoma", "a skin cancer", "Melanoma", "", "Neoplastic Process", ""),
+        Seq("C1002", "<http://n/C1002>", "C1001", "", "a glioma", "Glioma", "", "Neoplastic Process", ""),
+        Seq("C1003", "<http://n/C1003>", "C61063", "", "", "Old Thing", "", "Neoplastic Process", ""),
+        Seq("C1004", "<http://n/C1004>", "", "", "", "Gone", "Obsolete_Concept", "Neoplastic Process", ""),
+        Seq("C1005", "<http://n/C1005>", "", "Aloe", "a plant", "Aloe Vera", "", "Plant", ""),
+        Seq("C1006", "<http://n/C1006>", "C1005", "", "a cream", "Aloe Cream", "", "Unknown Thing", ""),
+        Seq("C1007", "<http://n/C1007>", "", "", "", "Mystery", "", "Weird Category", ""),
+        Seq("C1008", "<http://n/C1008>", "", "Mtum", "", "Mouse Tumor", "", "Neoplastic Process", ""),
+        Seq("C1009", "<http://n/C1009>", "", "Mtm2", "", "Mouse Tumor", "", "Neoplastic Process", ""),
+        Seq("C1010", "<http://n/C1010>", "", "EGFR Receptor Variant|ov1", "", "Egfr Overexpression", "", "Neoplastic Process", ""),
+        Seq("C1011", "<http://n/C1011>", "", "EGFR Kinase Variant|ov2", "", "Egfr Overexpression", "", "Neoplastic Process", ""))
+      val f = java.io.File.createTempFile("graft-g3", ".txt")
+      java.nio.file.Files.writeString(f.toPath,
+        rows.map(_.mkString("\t")).mkString("\n"))
+      val store = new core.PersistentGraphStore(s,
+        java.nio.file.Files.createTempDirectory("graft-g3").toString)
+      sources.NcitLoad.load(s, store, f.getPath)
+      sources.NcitLoad.load(s, store, f.getPath) // idempotency pass
+      val terms = store.read("terms").get
+      val outCounts = store.read("edges").get
+        .groupBy(col("out")).agg(count(lit(1)).as("n_out"))
+      terms
+        .join(outCounts,
+          concat_ws("|", col("sourceId"), col("name")) === col("out"), "left")
+        .select(col("sourceId").as("source_id"), col("name"),
+          col("displayName").as("display_name"), col("endpoint"), col("alias"),
+          coalesce(col("n_out"), lit(0L)).cast("long").as("n_out"))
+    }),
+
+    // G4 — oncotree tumorTypes load (oncotree/index.js:72-260) against the
+    // real reference fixture: 853 diseases → store (twice — idempotency),
+    // SubClassOf from the parent code, CrossReferenceOf from the NCI
+    // external references; the oracle recomputes everything independently
+    // with DuckDB's JSON reader.
+    "g4_oncotree" -> ((s, dir) => {
+      val path = s"$REF_DATA/tumorTypes-oncotree_latest_stable.json"
+      val store = new core.PersistentGraphStore(s,
+        java.nio.file.Files.createTempDirectory("graft-g4").toString)
+      sources.Loaders.loadOncotree(s, store, path)
+      sources.Loaders.loadOncotree(s, store, path) // idempotency pass
+      val edges = store.read("edges").get
+      def outCount(cls: String, as: String) = edges
+        .filter(col("edgeClass") === cls)
+        .groupBy(col("out").as("sourceId")).agg(count(lit(1)).as(as))
+      store.read("diseases").get
+        .join(outCount("SubClassOf", "n_sub"), Seq("sourceId"), "left")
+        .join(outCount("CrossReferenceOf", "n_xref"), Seq("sourceId"), "left")
+        .select(col("sourceId").as("source_id"), col("name"),
+          col("displayName").as("display_name"), col("subset"),
+          coalesce(col("n_sub"), lit(0L)).cast("long").as("n_sub"),
+          coalesce(col("n_xref"), lit(0L)).cast("long").as("n_xref"))
+    }),
+
+    // G5 — ensembl biomart TSV load (ensembl/index.js:179-470) against the
+    // real reference fixture: versioned + generalized features for
+    // gene/transcript/protein, generalizationof/elementof/crossreferenceof
+    // edges, all through the store; the oracle recomputes the same sets
+    // straight from the TSV.
+    "g5_ensembl" -> ((s, dir) => {
+      val path = s"$REF_DATA/ensembl_biomart_export_ENSG00000139618.tsv"
+      val store = new core.PersistentGraphStore(s,
+        java.nio.file.Files.createTempDirectory("graft-g5").toString)
+      sources.Loaders.loadEnsembl(s, store, path)
+      sources.Loaders.loadEnsembl(s, store, path) // idempotency pass
+      val feats = store.read("features").get
+        .select(concat(lit("feature:"), col("biotype")).as("kind"),
+          col("sourceId").as("a"), coalesce(col("sourceIdVersion"), lit("")).as("b"))
+      val edges = store.read("edges").get
+        .select(col("edgeClass").as("kind"), col("out").as("a"), col("in").as("b"))
+      feats.unionByName(edges)
+    }),
+
+    // G6 — HGNC gene load (hgnc/index.js:50-180) from the recorded fetch
+    // response fixture: primary + deprecated prev_symbol + alias_symbol
+    // features sharing the primary sourceId, deprecatedby/aliasof edges
+    // into the primary, ensembl + entrez crossreferences; oracle re-reads
+    // the same JSON with DuckDB.
+    "g6_hgnc" -> ((s, dir) => {
+      val docs = sources.Loaders.hgncDocs(s,
+        s"$REF_DATA/external_api_responses.json",
+        "http://rest.genenames.org/fetch/hgnc_id/1101")
+      val store = new core.PersistentGraphStore(s,
+        java.nio.file.Files.createTempDirectory("graft-g6").toString)
+      sources.Loaders.loadHgnc(s, store, docs)
+      sources.Loaders.loadHgnc(s, store, docs) // idempotency pass
+      val outCounts = store.read("edges").get
+        .groupBy(col("out").as("name")).agg(count(lit(1)).as("n_out"))
+      store.read("genes").get
+        .join(outCounts, Seq("name"), "left")
+        .select(col("sourceId").as("source_id"), col("name"),
+          col("displayName").as("display_name"), col("deprecated"),
+          col("dependent"),
+          coalesce(col("n_out"), lit(0L)).cast("long").as("n_out"))
+    }),
+
     // S7 (XLSX scan with super-header flattening, PMC4232638/index.js:
     // 24-60): a minimal OOXML workbook is written with the JDK zip inside
     // the query, then read back through the scan — fully self-contained.
@@ -2089,6 +2194,83 @@ object SparkEntry {
         |('AMP|erlotinib|resistance', 'match'),
         |('OLD|old|resistance', 'gc'),
         |('4|DIAGNOSTIC|NA', 'error')) AS t(content, bucket)""".stripMargin,
+    // hand-derived from the 11-row inline fixture: C1003/C1004 deprecated,
+    // C1007 unroutable semantic type (error), C1008/C1009 species-dup
+    // rejected, C1010/C1011 renamed to their preferred synonyms (keeping
+    // the pre-reassignment displayName), the renamed synonym dropped from
+    // each alias list.
+    "g3_ncit" ->
+      """SELECT CAST(source_id AS VARCHAR) AS source_id, CAST(name AS VARCHAR) AS name,
+        |  CAST(display_name AS VARCHAR) AS display_name, CAST(endpoint AS VARCHAR) AS endpoint,
+        |  alias, CAST(n_out AS BIGINT) AS n_out FROM (VALUES
+        |('c1001', 'melanoma', 'Melanoma [c1001]', 'Disease', false, 0),
+        |('c1002', 'glioma', 'Glioma [c1002]', 'Disease', false, 1),
+        |('c1005', 'aloe vera', 'Aloe Vera [c1005]', 'Therapy', false, 0),
+        |('c1006', 'aloe cream', 'Aloe Cream [c1006]', 'Therapy', false, 1),
+        |('c1010', 'EGFR Receptor Variant', 'Egfr Overexpression [c1010]', 'Disease', false, 0),
+        |('c1011', 'EGFR Kinase Variant', 'Egfr Overexpression [c1011]', 'Disease', false, 0),
+        |('c1001', 'skin cancer dark', 'skin cancer dark [c1001]', 'Disease', true, 1),
+        |('c1005', 'aloe', 'aloe [c1005]', 'Therapy', true, 1),
+        |('c1010', 'ov1', 'ov1 [c1010]', 'Disease', true, 1),
+        |('c1011', 'ov2', 'ov2 [c1011]', 'Disease', true, 1)
+        |) AS t(source_id, name, display_name, endpoint, alias, n_out)""".stripMargin,
+    "g4_oncotree" ->
+      """WITH raw AS (
+        |  SELECT lower(code) AS source_id, name,
+        |         mainType AS subset, lower(parent) AS parent,
+        |         coalesce(len(externalReferences.NCI), 0) AS n_nci,
+        |         upper(code) AS code_u
+        |  FROM read_json_auto('/root/reference/test/data/tumorTypes-oncotree_latest_stable.json')
+        |)
+        |SELECT source_id, name, name || ' [' || code_u || ']' AS display_name, subset,
+        |  CAST(CASE WHEN parent IS NOT NULL AND parent IN (SELECT source_id FROM raw)
+        |       THEN 1 ELSE 0 END AS BIGINT) AS n_sub,
+        |  CAST(n_nci AS BIGINT) AS n_xref
+        |FROM raw""".stripMargin,
+    "g5_ensembl" ->
+      """WITH r AS (
+        |  SELECT split_part(lower("Gene stable ID version"),'.',1) AS gid,
+        |         split_part(lower("Gene stable ID version"),'.',2) AS gv,
+        |         split_part(lower("Transcript stable ID version"),'.',1) AS tid,
+        |         split_part(lower("Transcript stable ID version"),'.',2) AS tv,
+        |         split_part(lower("Protein stable ID version"),'.',1) AS pid,
+        |         split_part(lower("Protein stable ID version"),'.',2) AS pv,
+        |         lower("HGNC ID") AS hgnc
+        |  FROM read_csv('/root/reference/test/data/ensembl_biomart_export_ENSG00000139618.tsv',
+        |                delim='\t', header=true)
+        |)
+        |SELECT DISTINCT kind, a, b FROM (
+        |  SELECT 'feature:gene' AS kind, gid AS a, gv AS b FROM r
+        |  UNION ALL SELECT 'feature:gene', gid, '' FROM r
+        |  UNION ALL SELECT 'feature:transcript', tid, tv FROM r
+        |  UNION ALL SELECT 'feature:transcript', tid, '' FROM r
+        |  UNION ALL SELECT 'feature:protein', pid, pv FROM r
+        |  UNION ALL SELECT 'feature:protein', pid, '' FROM r
+        |  UNION ALL SELECT 'generalizationof', gid, gid||'.'||gv FROM r
+        |  UNION ALL SELECT 'generalizationof', tid, tid||'.'||tv FROM r
+        |  UNION ALL SELECT 'generalizationof', pid, pid||'.'||pv FROM r
+        |  UNION ALL SELECT 'elementof', tid, gid FROM r
+        |  UNION ALL SELECT 'elementof', tid||'.'||tv, gid||'.'||gv FROM r
+        |  UNION ALL SELECT 'elementof', pid, tid FROM r
+        |  UNION ALL SELECT 'elementof', pid||'.'||pv, tid||'.'||tv FROM r
+        |  UNION ALL SELECT 'crossreferenceof', gid, hgnc FROM r WHERE hgnc IS NOT NULL
+        |) AS u""".stripMargin,
+    "g6_hgnc" ->
+      """WITH doc AS (
+        |  SELECT unnest("http://rest.genenames.org/fetch/hgnc_id/1101".response.docs) AS d
+        |  FROM read_json_auto('/root/reference/test/data/external_api_responses.json')
+        |)
+        |SELECT d.hgnc_id AS source_id, d.symbol AS name, upper(d.symbol) AS display_name,
+        |       false AS deprecated, false AS dependent,
+        |       CAST((CASE WHEN d.ensembl_gene_id IS NOT NULL THEN 1 ELSE 0 END)
+        |          + (CASE WHEN d.entrez_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+        |FROM doc
+        |UNION ALL
+        |SELECT d.hgnc_id, p, upper(p), true, true, CAST(1 AS BIGINT)
+        |FROM doc, unnest(d.prev_symbol) AS t(p)
+        |UNION ALL
+        |SELECT d.hgnc_id, a, upper(a), false, true, CAST(1 AS BIGINT)
+        |FROM doc, unnest(d.alias_symbol) AS t(a)""".stripMargin,
     "s7_xlsx_scan" ->
       """SELECT CAST(gene AS VARCHAR) AS gene, CAST(gof AS VARCHAR) AS gof,
         |  CAST(lof AS VARCHAR) AS lof, CAST(other AS VARCHAR) AS other FROM (VALUES

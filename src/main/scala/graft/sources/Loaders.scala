@@ -86,4 +86,210 @@ object Loaders {
     store.merge("vocabulary", VocabSeed.toDF("name", "category"),
       keyCols = Seq("name"), compareCols = Seq("category"))
   }
+
+  // ---- oncotree (reference src/oncotree/index.js:72-260) -----------------
+
+  /** Disease vertices from one oncotree tumorTypes dump: codes/parents
+    * lowercased, `displayName = name [CODE]`, mainType as the subset
+    * (oncotree/index.js:96-121, 214-220).
+    */
+  def oncotreeVertices(spark: SparkSession, path: String,
+      version: String = "oncotree_latest_stable"): DataFrame =
+    Scans.json(spark, path)
+      .select(
+        lower(col("code")).as("sourceId"),
+        col("name"),
+        concat(col("name"), lit(" ["), upper(col("code")), lit("]")).as("displayName"),
+        col("mainType").as("subset"),
+        lit(version).as("sourceIdVersion"),
+        lower(col("parent")).as("parent"),
+        coalesce(col("externalReferences.NCI"), array()).as("nciIds"))
+
+  /** SubClassOf (child → parent, oncotree/index.js:131-137) and NCI
+    * CrossReferenceOf (oncotree/index.js:226-252) edges. Parents that
+    * don't resolve to a code are dropped, like the reference's error log.
+    */
+  def oncotreeEdges(spark: SparkSession, path: String): DataFrame = {
+    val v = oncotreeVertices(spark, path)
+    val codes = v.select(col("sourceId").as("parent")).distinct()
+    val sub = v.filter(col("parent").isNotNull)
+      .join(codes, Seq("parent"), "left_semi")
+      .select(col("sourceId").as("out"), col("parent").as("in"),
+        lit("SubClassOf").as("edgeClass"))
+    val xref = v.select(col("sourceId").as("out"),
+        explode(col("nciIds")).as("in"))
+      .withColumn("in", lower(col("in")))
+      .withColumn("edgeClass", lit("CrossReferenceOf"))
+    sub.unionByName(xref)
+  }
+
+  def loadOncotree(spark: SparkSession, store: PersistentGraphStore,
+      path: String): Map[String, Long] = {
+    val counts = store.merge("diseases",
+      oncotreeVertices(spark, path).drop("parent", "nciIds"),
+      keyCols = Seq("sourceId"),
+      compareCols = Seq("name", "displayName", "subset", "sourceIdVersion"))
+    val edges = store.upsertEdges(oncotreeEdges(spark, path))
+    counts ++ edges.map { case (k, v) => s"edges_$k" -> v }
+  }
+
+  // ---- ensembl biomart (reference src/ensembl/index.js:179-470) ----------
+
+  private val BiomartHeader = Map(
+    "Gene stable ID version" -> "geneIdVersion",
+    "Transcript stable ID version" -> "transcriptIdVersion",
+    "Protein stable ID version" -> "proteinIdVersion",
+    "HGNC ID" -> "hgncId")
+
+  /** The biomart export with versioned ids split (`ENSG...17` →
+    * (ensg..., 17)), all lowercased (ensembl/index.js:190-196).
+    */
+  def biomartRows(spark: SparkSession, path: String): DataFrame = {
+    val raw = Scans.delim(spark, path, headerMap = BiomartHeader,
+      inferSchema = false)
+    def split(c: String, id: String, ver: String) = Seq(
+      split_part(lower(col(c)), lit("."), lit(1)).as(id),
+      // an unversioned id has no '.', split_part gives '' — null it like
+      // the reference's undefined version (ensembl/index.js:105-107)
+      nullif(split_part(lower(col(c)), lit("."), lit(2)), lit("")).as(ver))
+    raw.select(
+      split("geneIdVersion", "geneId", "geneVer") ++
+        split("transcriptIdVersion", "transcriptId", "transcriptVer") ++
+        split("proteinIdVersion", "proteinId", "proteinVer") :+
+        col("hgncId"): _*)
+  }
+
+  /** Feature vertices: versioned + unversioned gene/transcript/protein per
+    * row, deduplicated (the reference's `visited` cache made set-based).
+    */
+  def ensemblFeatures(spark: SparkSession, path: String): DataFrame = {
+    val rows = biomartRows(spark, path)
+    def feat(bio: String, id: String, ver: String) = rows.select(
+      lit(bio).as("biotype"), col(id).as("sourceId"),
+      col(ver).as("sourceIdVersion"))
+    Seq(("gene", "geneId", "geneVer"), ("transcript", "transcriptId", "transcriptVer"),
+      ("protein", "proteinId", "proteinVer"))
+      .map { case (b, id, ver) =>
+        feat(b, id, ver).unionByName(
+          feat(b, id, ver).withColumn("sourceIdVersion", lit(null).cast("string")))
+      }
+      .reduce(_ unionByName _)
+      .distinct()
+  }
+
+  /** generalizationof (unversioned → versioned), elementof (transcript →
+    * gene, protein → transcript, both at the versioned and unversioned
+    * level) and the gene-level HGNC crossreferenceof
+    * (ensembl/index.js:296-470). Versioned endpoints are written as
+    * `id.version`.
+    */
+  def ensemblEdges(spark: SparkSession, path: String): DataFrame = {
+    val rows = biomartRows(spark, path)
+    def vid(id: String, ver: String) = concat_ws(".", col(id), col(ver))
+    val parts = Seq(
+      // generalizationof: unversioned → versioned
+      rows.select(col("geneId").as("out"), vid("geneId", "geneVer").as("in"),
+        lit("generalizationof").as("edgeClass")),
+      rows.select(col("transcriptId").as("out"),
+        vid("transcriptId", "transcriptVer").as("in"),
+        lit("generalizationof").as("edgeClass")),
+      rows.select(col("proteinId").as("out"),
+        vid("proteinId", "proteinVer").as("in"),
+        lit("generalizationof").as("edgeClass")),
+      // elementof, unversioned and versioned
+      rows.select(col("transcriptId").as("out"), col("geneId").as("in"),
+        lit("elementof").as("edgeClass")),
+      rows.select(vid("transcriptId", "transcriptVer").as("out"),
+        vid("geneId", "geneVer").as("in"), lit("elementof").as("edgeClass")),
+      rows.select(col("proteinId").as("out"), col("transcriptId").as("in"),
+        lit("elementof").as("edgeClass")),
+      rows.select(vid("proteinId", "proteinVer").as("out"),
+        vid("transcriptId", "transcriptVer").as("in"),
+        lit("elementof").as("edgeClass")),
+      // gene → crossreferenceof → hgnc
+      rows.filter(col("hgncId").isNotNull)
+        .select(col("geneId").as("out"), lower(col("hgncId")).as("in"),
+          lit("crossreferenceof").as("edgeClass")))
+    parts.reduce(_ unionByName _).distinct()
+  }
+
+  def loadEnsembl(spark: SparkSession, store: PersistentGraphStore,
+      path: String): Map[String, Long] = {
+    // (sourceId, sourceIdVersion) is a null-padded key: the unversioned
+    // record has sourceIdVersion = null and must match itself on re-run (K8)
+    val counts = store.merge("features", ensemblFeatures(spark, path),
+      keyCols = Seq("sourceId", "sourceIdVersion"), compareCols = Seq("biotype"))
+    val edges = store.upsertEdges(ensemblEdges(spark, path))
+    counts ++ edges.map { case (k, v) => s"edges_$k" -> v }
+  }
+
+  // ---- hgnc (reference src/hgnc/index.js:50-180, 260-293) ----------------
+
+  /** `createDisplayName` (hgnc/index.js:41): uppercase with 'ORF' restored
+    * to lowercase 'orf'. (JS String.replace touches only the first
+    * occurrence; this replaces all — HGNC symbols contain at most one
+    * 'orf' segment, so the outputs agree on real symbols.)
+    */
+  def hgncDisplayName(c: org.apache.spark.sql.Column) =
+    regexp_replace(upper(c), "ORF", "orf")
+
+  /** Gene features from an HGNC fetch response: the primary record plus
+    * deprecated prev_symbol and alias_symbol dependents, all sharing the
+    * primary's sourceId (hgnc/index.js:50-180).
+    */
+  def hgncFeatures(docs: DataFrame): DataFrame = {
+    val main = docs.select(
+      col("hgnc_id").as("sourceId"), col("symbol").as("name"),
+      hgncDisplayName(col("symbol")).as("displayName"),
+      col("name").as("longName"), lit(false).as("deprecated"),
+      lit(false).as("dependent"))
+    val prev = docs.select(col("hgnc_id").as("sourceId"),
+        explode(col("prev_symbol")).as("name"))
+      .select(col("sourceId"), col("name"),
+        hgncDisplayName(col("name")).as("displayName"),
+        lit(null).cast("string").as("longName"), lit(true).as("deprecated"),
+        lit(true).as("dependent"))
+    val alias = docs.select(col("hgnc_id").as("sourceId"),
+        explode(col("alias_symbol")).as("name"))
+      .select(col("sourceId"), col("name"),
+        hgncDisplayName(col("name")).as("displayName"),
+        lit(null).cast("string").as("longName"), lit(false).as("deprecated"),
+        lit(true).as("dependent"))
+    main.unionByName(prev).unionByName(alias)
+  }
+
+  /** deprecatedby / aliasof edges into the primary symbol, plus the
+    * ensembl and entrez crossreferenceof edges (hgnc/index.js:73-167).
+    */
+  def hgncEdges(docs: DataFrame): DataFrame = {
+    val prev = docs.select(explode(col("prev_symbol")).as("out"),
+      col("symbol").as("in"), lit("deprecatedby").as("edgeClass"))
+    val alias = docs.select(explode(col("alias_symbol")).as("out"),
+      col("symbol").as("in"), lit("aliasof").as("edgeClass"))
+    val ensg = docs.filter(col("ensembl_gene_id").isNotNull)
+      .select(col("symbol").as("out"), lower(col("ensembl_gene_id")).as("in"),
+        lit("crossreferenceof").as("edgeClass"))
+    val entrez = docs.filter(col("entrez_id").isNotNull)
+      .select(col("symbol").as("out"),
+        concat(lit("entrez:"), col("entrez_id")).as("in"),
+        lit("crossreferenceof").as("edgeClass"))
+    prev.unionByName(alias).unionByName(ensg).unionByName(entrez)
+  }
+
+  /** Extract `response.docs` for one recorded HGNC fetch from the saved
+    * API-response fixture (S16 disk proxy style).
+    */
+  def hgncDocs(spark: SparkSession, path: String, fetchUrl: String): DataFrame =
+    Scans.json(spark, path)
+      .select(explode(col(s"`$fetchUrl`.response.docs")).as("d"))
+      .select(col("d.*"))
+
+  def loadHgnc(spark: SparkSession, store: PersistentGraphStore,
+      docs: DataFrame): Map[String, Long] = {
+    val counts = store.merge("genes", hgncFeatures(docs),
+      keyCols = Seq("sourceId", "name"),
+      compareCols = Seq("displayName", "longName", "deprecated", "dependent"))
+    val edges = store.upsertEdges(hgncEdges(docs))
+    counts ++ edges.map { case (k, v) => s"edges_$k" -> v }
+  }
 }

@@ -42,6 +42,80 @@ class LoadersSpec extends AnyFunSuite {
     assert(Loaders.loadDrugbank(spark, store, drugbank) == Map("noop" -> 1L))
   }
 
+  test("oncotree loader: 853 diseases, parent + NCI edges, idempotent") {
+    val path = "/root/reference/test/data/tumorTypes-oncotree_latest_stable.json"
+    val store = new PersistentGraphStore(spark,
+      Files.createTempDirectory("graft-e2e4").toString)
+    val c1 = Loaders.loadOncotree(spark, store, path)
+    assert(c1("create") == 853L)
+    // every code except the root has a resolvable parent
+    val edges = store.read("edges").get
+    import org.apache.spark.sql.functions.col
+    assert(edges.filter(col("edgeClass") === "SubClassOf").count() == 852L)
+    val c2 = Loaders.loadOncotree(spark, store, path)
+    assert(c2("noop") == 853L && c2("edges_created") == 0L)
+  }
+
+  test("ensembl biomart loader: versioned/generalized features + edge classes") {
+    val path = "/root/reference/test/data/ensembl_biomart_export_ENSG00000139618.tsv"
+    val store = new PersistentGraphStore(spark,
+      Files.createTempDirectory("graft-e2e5").toString)
+    Loaders.loadEnsembl(spark, store, path)
+    import org.apache.spark.sql.functions.col
+    val feats = store.read("features").get
+    // 1 gene + 4 transcripts + 4 proteins, each versioned + unversioned
+    assert(feats.count() == 18L)
+    assert(feats.filter(col("sourceIdVersion").isNull).count() == 9L)
+    val edges = store.read("edges").get
+    assert(edges.filter(col("edgeClass") === "generalizationof").count() == 9L)
+    assert(edges.filter(col("edgeClass") === "crossreferenceof").count() == 1L)
+    // K8 in anger: the null-versioned features must re-match themselves
+    val c2 = Loaders.loadEnsembl(spark, store, path)
+    assert(c2("noop") == 18L && c2("edges_created") == 0L)
+  }
+
+  test("hgnc loader: primary + prev/alias dependents and their edges") {
+    val docs = Loaders.hgncDocs(spark,
+      "/root/reference/test/data/external_api_responses.json",
+      "http://rest.genenames.org/fetch/hgnc_id/1101")
+    val store = new PersistentGraphStore(spark,
+      Files.createTempDirectory("graft-e2e6").toString)
+    val c1 = Loaders.loadHgnc(spark, store, docs)
+    assert(c1("create") == 8L) // BRCA2 + 3 prev + 4 alias
+    import org.apache.spark.sql.functions.col
+    val edges = store.read("edges").get
+    assert(edges.filter(col("edgeClass") === "deprecatedby").count() == 3L)
+    assert(edges.filter(col("edgeClass") === "aliasof").count() == 4L)
+    assert(edges.filter(col("edgeClass") === "crossreferenceof").count() == 2L)
+    assert(Loaders.loadHgnc(spark, store, docs)("noop") == 8L)
+  }
+
+  test("ncit pipeline: collision rejection + preferred-name reassignment") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      Seq("C1", "<u>", "", "Syn A|Dup Name", "", "Dup Name", "", "Neoplastic Process", ""),
+      Seq("C2", "<u>", "", "Syn B", "", "Dup Name", "", "Neoplastic Process", ""),
+      Seq("C3", "<u>", "", "", "", "Mouse Dup", "", "Neoplastic Process", ""),
+      Seq("C4", "<u>", "", "", "", "Mouse Dup", "", "Neoplastic Process", ""))
+    val f = java.io.File.createTempFile("graft-ncit", ".txt")
+    java.nio.file.Files.writeString(f.toPath,
+      rows.map(_.mkString("\t")).mkString("\n"))
+    val r = NcitLoad.resolved(spark, f.getPath)
+    // species duplicates rejected wholesale
+    assert(r.filter(col("rejected")).select("sourceId").as[String]
+      .collect().toSet == Set("c3", "c4"))
+    // duplicate group renamed to first ORIGINAL-case synonym
+    assert(r.filter(col("sourceId") === "c1").select("name").as[String].head() == "Syn A")
+    assert(r.filter(col("sourceId") === "c2").select("name").as[String].head() == "Syn B")
+    // c1's alias list empties out: 'dup name' was removed by cleanRawRow
+    // (equal to the original name) and 'syn a' equals the REASSIGNED name
+    val v = NcitLoad.vertices(r)
+    assert(v.filter(col("sourceId") === "c1" && col("alias")).count() == 0)
+    assert(v.filter(col("sourceId") === "c2" && !col("alias"))
+      .select("name").as[String].head() == "Syn B")
+  }
+
   test("orchestrated mini-corpus: vocab → {doid, drugbank}, rerun all-noop") {
     val store = new PersistentGraphStore(spark,
       Files.createTempDirectory("graft-e2e3").toString)
