@@ -1515,19 +1515,55 @@ object SparkEntry {
     // the oracle.
     "f2_civic_names" -> ((s, dir) => {
       import s.implicits._
-      val cases = Seq(
+      import variant.CivicNames._
+      // one case per non-skipped jest family in
+      // test/civic/civic.variant.test.js (normalizeGeneVariant :124-777,
+      // normalizeFactorVariant :80-93, normalizeFusionVariant :94-123)
+      val cases: Seq[(Long, String, String)] = Seq(
         (1L, "EXON 12 MUTATION", "gene"), (2L, "ALK FUSION G1202R", "ALK"),
         (3L, "EML4-ALK G1202R-L1198F", "alk"), (4L, "S111C (c.330CA>TT)", "NTRK1"),
         (5L, "t(9;22)(q34;q11)", "ABL1"), (6L, "R132H", "NTRK1"),
-        (7L, "EML4-ALK E20;A20", "ALK"), (8L, "NRG1 fusions", "NRG1"))
-      s.createDataset(cases).flatMap { case (id, name, entrez) =>
-        variant.CivicNames.normalize(name, Some(1L), entrez).zipWithIndex.map {
-          case (v, i) => (id, i.toLong, v.reference1.name, v.reference1.sourceId,
-            v.reference2.map(_.name), v.reference2.flatMap(_.sourceId),
-            v.positional, v.variant, v.vtype, v.inferredByCds, v.infersType)
-        }
-      }.toDF("case_id", "seq", "ref1_name", "ref1_sid", "ref2_name", "ref2_sid",
-        "positional", "variant", "vtype", "inferred_cds", "infers_type")
+        (7L, "EML4-ALK E20;A20", "ALK"), (8L, "NRG1 fusions", "NRG1"),
+        (9L, "DELETRIOUS MUTATION", "gene"), (10L, "Y1234 phosphorylation", "gene"),
+        (11L, "UNDEREXPRESSION", "NTRK1"), (12L, "E46* (c.136G>T)", "ALK"),
+        (13L, "DNA BINDING DOMAIN MUTATION", "NTRK1"), (14L, "c.123G>T", "ABL1"),
+        (15L, "exon 2-3 deletion", "ABL1"), (16L, "t133lfs*26 (c.397dela)", "ALK"),
+        (17L, "ABL1 mutations", "ABL1"), (18L, "mutations", "ABL1"),
+        (19L, "exon 3 mutations", "ABL1"), (20L, "F547 SPLICE SITE MUTATION", "ALK"),
+        (21L, "r79_s80del (c.236_241delgcagtc)", "ALK"),
+        (22L, "r82_v84del (c.244_252del)", "ALK"),
+        (23L, "p.s193_c196dupstsc (c.577_588dupagcaccagctgc)", "ALK"),
+        (24L, "G12/G13", "KRAS"), (25L, "p26.3-25.3 11mb del", "GENE"),
+        (26L, "A50A (c.150C>G); Splicing alteration (c.463-1G>T)", "ALK"),
+        (27L, "ERBB2 G776INSV_G/C", "ERBB2"),
+        (28L, "exon1 151nt del; Null (Partial deletion of Exon 1)", "ERBB2"),
+        (29L, "CD74-NRG1", "NRG1"), (30L, "LMNA::NTRK1 G595R AND G667C", "NTRK1"),
+        (31L, "EWSR1-FLI1 e7-e6", "FLI1"), (32L, "EML4-ALK E20;A20", "EML4"),
+        (33L, "BCR-ABL", "ABL1"))
+      // encode each feature flavour as a plain tuple so the grammar runs
+      // executor-side: (id, kind, name, gene, f5name, f5id, f3name, f3id)
+      val features: Seq[(Long, String, String, String, String, Option[Long], String, Option[Long])] =
+        cases.map { case (id, n, g) => (id, "gene", n, g, "", None, "", None) } ++ Seq(
+          (40L, "factor", "abc", "TMB", "", None, "", None),
+          (41L, "fusion", "", "", "BRAF", Some(673L), "ALK", Some(238L)))
+      s.createDataset(features).flatMap {
+        case (id, kind, name, gene, f5n, f5id, f3n, f3id) =>
+          val feature: CivicFeature = kind match {
+            case "gene" => GeneF(Some(1L), gene, name)
+            case "factor" => FactorF(gene, name)
+            case _ => FusionF(
+              if (f5n.isEmpty) None else Some(FusionGene(f5n, f5id)),
+              if (f3n.isEmpty) None else Some(FusionGene(f3n, f3id)))
+          }
+          normalizeFeature(feature).zipWithIndex.map { case (v, i) =>
+            (id, i.toLong, v.reference1.name, v.reference1.sourceId,
+              v.reference1.refClass, v.reference2.map(_.name),
+              v.reference2.flatMap(_.sourceId), v.positional, v.variant,
+              v.vtype, v.inferredByCds, v.infersType)
+          }
+      }.toDF("case_id", "seq", "ref1_name", "ref1_sid", "ref1_class",
+        "ref2_name", "ref2_sid", "positional", "variant", "vtype",
+        "inferred_cds", "infers_type")
     }),
 
     // F3 (OncoKB variant-name parser, oncokb/index.js:131-193): protein
@@ -1763,22 +1799,54 @@ object SparkEntry {
     "f2_civic_names" ->
       """SELECT CAST(case_id AS BIGINT) AS case_id, CAST(seq AS BIGINT) AS seq,
         |  CAST(ref1_name AS VARCHAR) AS ref1_name, CAST(ref1_sid AS VARCHAR) AS ref1_sid,
+        |  CAST(ref1_class AS VARCHAR) AS ref1_class,
         |  CAST(ref2_name AS VARCHAR) AS ref2_name, CAST(ref2_sid AS VARCHAR) AS ref2_sid,
         |  CAST("positional" AS BOOLEAN) AS "positional", CAST(variant AS VARCHAR) AS variant, CAST(vtype AS VARCHAR) AS vtype,
         |  CAST(inferred_cds AS VARCHAR) AS inferred_cds, CAST(infers_type AS VARCHAR) AS infers_type
         |FROM (VALUES
-        |(1, 0, 'gene', '1', NULL, NULL, TRUE, 'e.12mut', NULL, NULL, NULL),
-        |(2, 0, 'alk', '1', NULL, NULL, FALSE, NULL, 'fusion', NULL, NULL),
-        |(2, 1, 'alk', '1', NULL, NULL, TRUE, 'p.g1202r', NULL, NULL, NULL),
-        |(3, 0, 'eml4', NULL, 'alk', '1', FALSE, NULL, 'fusion', NULL, NULL),
-        |(3, 1, 'alk', '1', NULL, NULL, TRUE, 'p.g1202r', NULL, NULL, NULL),
-        |(3, 2, 'alk', '1', NULL, NULL, TRUE, 'p.l1198f', NULL, NULL, NULL),
-        |(4, 0, 'ntrk1', '1', NULL, NULL, TRUE, 'p.s111c', NULL, 'c.330_331delcainstt', NULL),
-        |(5, 0, '9', NULL, '22', NULL, TRUE, 'translocation(q34, q11)', NULL, NULL, NULL),
-        |(6, 0, 'ntrk1', '1', NULL, NULL, TRUE, 'p.r132h', NULL, NULL, NULL),
-        |(7, 0, 'eml4', NULL, 'alk', '1', TRUE, 'fusion(e.20,e.20)', NULL, NULL, NULL),
-        |(8, 0, 'nrg1', '1', NULL, NULL, FALSE, NULL, 'fusion', NULL, NULL)
-        |) AS t(case_id, seq, ref1_name, ref1_sid, ref2_name, ref2_sid, "positional", variant, vtype, inferred_cds, infers_type)""".stripMargin,
+        |(1, 0, 'gene', '1', NULL, NULL, NULL, TRUE, 'e.12mut', NULL, NULL, NULL),
+        |(2, 0, 'alk', '1', NULL, NULL, NULL, FALSE, NULL, 'fusion', NULL, NULL),
+        |(2, 1, 'alk', '1', NULL, NULL, NULL, TRUE, 'p.g1202r', NULL, NULL, NULL),
+        |(3, 0, 'eml4', NULL, NULL, 'alk', '1', FALSE, NULL, 'fusion', NULL, NULL),
+        |(3, 1, 'alk', '1', NULL, NULL, NULL, TRUE, 'p.g1202r', NULL, NULL, NULL),
+        |(3, 2, 'alk', '1', NULL, NULL, NULL, TRUE, 'p.l1198f', NULL, NULL, NULL),
+        |(4, 0, 'ntrk1', '1', NULL, NULL, NULL, TRUE, 'p.s111c', NULL, 'c.330_331delcainstt', NULL),
+        |(5, 0, '9', NULL, NULL, '22', NULL, TRUE, 'translocation(q34, q11)', NULL, NULL, NULL),
+        |(6, 0, 'ntrk1', '1', NULL, NULL, NULL, TRUE, 'p.r132h', NULL, NULL, NULL),
+        |(7, 0, 'eml4', NULL, NULL, 'alk', '1', TRUE, 'fusion(e.20,e.20)', NULL, NULL, NULL),
+        |(8, 0, 'nrg1', '1', NULL, NULL, NULL, FALSE, NULL, 'fusion', NULL, NULL),
+        |(9, 0, 'gene', '1', NULL, NULL, NULL, FALSE, NULL, 'deletrious mutation', NULL, NULL),
+        |(10, 0, 'gene', '1', NULL, NULL, NULL, TRUE, 'p.y1234phos', NULL, NULL, NULL),
+        |(11, 0, 'ntrk1', '1', NULL, NULL, NULL, FALSE, NULL, 'underexpression', NULL, NULL),
+        |(12, 0, 'alk', '1', NULL, NULL, NULL, TRUE, 'p.e46*', NULL, 'c.136g>t', NULL),
+        |(13, 0, 'ntrk1', '1', NULL, NULL, NULL, FALSE, NULL, 'dna binding domain mutation', NULL, NULL),
+        |(14, 0, 'abl1', '1', NULL, NULL, NULL, TRUE, 'c.123g>t', NULL, NULL, NULL),
+        |(15, 0, 'abl1', '1', NULL, NULL, NULL, TRUE, 'e.2_3del', NULL, NULL, NULL),
+        |(16, 0, 'alk', '1', NULL, NULL, NULL, TRUE, 'p.t133lfs*26', NULL, 'c.397dela', NULL),
+        |(17, 0, 'abl1', '1', NULL, NULL, NULL, FALSE, NULL, 'mutation', NULL, NULL),
+        |(18, 0, 'abl1', '1', NULL, NULL, NULL, FALSE, NULL, 'mutation', NULL, NULL),
+        |(19, 0, 'abl1', '1', NULL, NULL, NULL, TRUE, 'e.3mut', NULL, NULL, NULL),
+        |(20, 0, 'alk', '1', NULL, NULL, NULL, TRUE, 'p.f547spl', NULL, NULL, NULL),
+        |(21, 0, 'alk', '1', NULL, NULL, NULL, TRUE, 'p.r79_s80del', NULL, 'c.236_241delgcagtc', NULL),
+        |(22, 0, 'alk', '1', NULL, NULL, NULL, TRUE, 'p.r82_v84del', NULL, 'c.244_252del', NULL),
+        |(23, 0, 'alk', '1', NULL, NULL, NULL, TRUE, 'p.s193_c196dupstsc', NULL, 'c.577_588dupagcaccagctgc', NULL),
+        |(24, 0, 'kras', '1', NULL, NULL, NULL, TRUE, 'p.(g12_g13)mut', NULL, NULL, NULL),
+        |(25, 0, 'gene', '1', NULL, NULL, NULL, TRUE, 'y.p26.3_p25.3del', NULL, NULL, NULL),
+        |(26, 0, 'alk', '1', NULL, NULL, NULL, TRUE, 'p.a50a', NULL, 'c.150c>g', NULL),
+        |(26, 1, 'alk', '1', NULL, NULL, NULL, TRUE, 'c.463-1g>t', NULL, NULL, 'splicing alteration'),
+        |(27, 0, 'erbb2', '1', NULL, NULL, NULL, FALSE, NULL, 'erbb2 g776insv_g/c', NULL, NULL),
+        |(28, 0, 'erbb2', '1', NULL, NULL, NULL, FALSE, NULL, 'exon1 151nt del', NULL, NULL),
+        |(28, 1, 'erbb2', '1', NULL, NULL, NULL, FALSE, NULL, 'null (partial deletion of exon 1)', NULL, NULL),
+        |(29, 0, 'cd74', NULL, NULL, 'nrg1', '1', FALSE, NULL, 'fusion', NULL, NULL),
+        |(30, 0, 'lmna', NULL, NULL, 'ntrk1', '1', FALSE, NULL, 'fusion', NULL, NULL),
+        |(30, 1, 'ntrk1', '1', NULL, NULL, NULL, TRUE, 'p.g595r', NULL, NULL, NULL),
+        |(30, 2, 'ntrk1', '1', NULL, NULL, NULL, TRUE, 'p.g667c', NULL, NULL, NULL),
+        |(31, 0, 'ewsr1', NULL, NULL, 'fli1', '1', TRUE, 'fusion(e.7,e.6)', NULL, NULL, NULL),
+        |(32, 0, 'eml4', '1', NULL, 'alk', NULL, TRUE, 'fusion(e.20,e.20)', NULL, NULL, NULL),
+        |(33, 0, 'bcr', NULL, NULL, 'abl1', '1', FALSE, NULL, 'fusion', NULL, NULL),
+        |(40, 0, 'high mutation burden', NULL, 'Signature', NULL, NULL, FALSE, NULL, 'high signature', NULL, NULL),
+        |(41, 0, 'braf', '673', NULL, 'alk', '238', FALSE, NULL, 'fusion', NULL, NULL)
+        |) AS t(case_id, seq, ref1_name, ref1_sid, ref1_class, ref2_name, ref2_sid, "positional", variant, vtype, inferred_cds, infers_type)""".stripMargin,
     "f3_oncokb_names" ->
       """SELECT CAST(case_id AS BIGINT) AS case_id, CAST(parsed_type AS VARCHAR) AS parsed_type,
         |  CAST(reference2 AS VARCHAR) AS reference2, CAST(flipped AS BOOLEAN) AS flipped

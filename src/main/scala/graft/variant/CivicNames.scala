@@ -14,7 +14,8 @@ package graft.variant
   */
 object CivicNames {
 
-  case class Ref(name: String, sourceId: Option[String])
+  case class Ref(name: String, sourceId: Option[String],
+      refClass: Option[String] = None)
 
   case class Normalized(
       reference1: Ref,
@@ -27,6 +28,59 @@ object CivicNames {
 
   case class NotImplemented(msg: String) extends Exception(msg)
   case class CivicParsingError(msg: String) extends Exception(msg)
+
+  /** The CIViC feature flavours dispatched by `normalizeVariant`
+    * (civic/variant.js:349-380): Gene names go through the name grammar,
+    * Factors map to signature vocabulary, Fusions come pre-structured.
+    */
+  sealed trait CivicFeature
+  case class GeneF(entrezId: Option[Long], entrezName: String,
+      variantName: String) extends CivicFeature
+  case class FactorF(factorName: String, variantName: String) extends CivicFeature
+  case class FusionGene(name: String, entrezId: Option[Long])
+  case class FusionF(fivePrime: Option[FusionGene],
+      threePrime: Option[FusionGene]) extends CivicFeature
+  case class UnknownF(typename: String) extends CivicFeature
+
+  /** CIViC Factor → GraphKB signature terms (civic/variant.js:266-287):
+    * only TMB is supported; the reference1 carries the Signature class
+    * marker that routes it away from gene fetching.
+    */
+  def normalizeFactor(factorName: String, variantName: String): Seq[Normalized] =
+    factorName match {
+      case "TMB" => Seq(Normalized(
+        Ref("high mutation burden", None, Some("Signature")),
+        vtype = Some("high signature")))
+      case other =>
+        throw NotImplemented(s"unable to process Factor $other $variantName")
+    }
+
+  /** CIViC structured Fusion feature (civic/variant.js:296-338): both
+    * genes when present, else whichever end is known; entrez ids become
+    * string sourceIds ('' when absent, like the JS template literal).
+    */
+  def normalizeFusion(fivePrime: Option[FusionGene],
+      threePrime: Option[FusionGene]): Seq[Normalized] = {
+    def ref(g: FusionGene) = Ref(g.name.toLowerCase.trim,
+      Some(g.entrezId.map(_.toString).getOrElse("")))
+    (fivePrime, threePrime) match {
+      case (Some(f5), Some(f3)) =>
+        Seq(Normalized(ref(f5), Some(ref(f3)), vtype = Some("fusion")))
+      case (Some(f5), None) => Seq(Normalized(ref(f5), vtype = Some("fusion")))
+      case (None, Some(f3)) => Seq(Normalized(ref(f3), vtype = Some("fusion")))
+      case (None, None) =>
+        throw CivicParsingError("fivePrimeGene and/or threePrimeGene expected on Fusion variant")
+    }
+  }
+
+  /** Feature-type dispatch (civic/variant.js:349-380). */
+  def normalizeFeature(feature: CivicFeature): Seq[Normalized] = feature match {
+    case GeneF(id, entrezName, name) => normalize(name, id, entrezName)
+    case FactorF(fn, name) => normalizeFactor(fn, name)
+    case FusionF(f5, f3) => normalizeFusion(f5, f3)
+    case UnknownF(t) =>
+      throw NotImplemented(s"unable to process variant's feature of type $t")
+  }
 
   /** Hardcoded CIViC→GraphKB correspondences (civic/variant.js:20-41). */
   val SUBS: Map[String, String] = Map(

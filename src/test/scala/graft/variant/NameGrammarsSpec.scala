@@ -185,6 +185,38 @@ class CivicNamesSpec extends AnyFunSuite {
     assertThrows[CivicParsingError](n1("a / b", "GENE"))
     assertThrows[CivicParsingError](n1("AAA-BBB", "OTHER"))
   }
+
+  test("normalizeFactorVariant: TMB → high mutation burden signature (jest :80-93)") {
+    assert(normalizeFactor("TMB", "abc") == Seq(
+      Normalized(Ref("high mutation burden", None, Some("Signature")),
+        vtype = Some("high signature"))))
+    assertThrows[NotImplemented](normalizeFactor("Kataegis", "abc"))
+    assertThrows[NotImplemented](normalizeFactor("Methylation signature", "x"))
+  }
+
+  test("normalizeFusionVariant: five/three/both prime genes (jest :94-123)") {
+    val braf = FusionGene("BRAF", Some(673L))
+    val alk = FusionGene("ALK", Some(238L))
+    assert(normalizeFusion(Some(braf), None) == Seq(
+      Normalized(Ref("braf", Some("673")), vtype = Some("fusion"))))
+    assert(normalizeFusion(None, Some(alk)) == Seq(
+      Normalized(Ref("alk", Some("238")), vtype = Some("fusion"))))
+    assert(normalizeFusion(Some(braf), Some(alk)) == Seq(
+      Normalized(Ref("braf", Some("673")), Some(Ref("alk", Some("238"))),
+        vtype = Some("fusion"))))
+    assertThrows[CivicParsingError](normalizeFusion(None, None))
+    // missing entrez id becomes the empty-string sourceId (JS `${x || ''}`)
+    assert(normalizeFusion(Some(FusionGene("BRAF", None)), None) == Seq(
+      Normalized(Ref("braf", Some("")), vtype = Some("fusion"))))
+  }
+
+  test("normalizeVariant feature dispatch (jest :779-797)") {
+    assert(normalizeFeature(FactorF("TMB", "abc")).length == 1)
+    assert(normalizeFeature(
+      FusionF(Some(FusionGene("BRAF", Some(673L))), None)).length == 1)
+    assert(normalizeFeature(GeneF(Some(672L), "BRCA1", "Mutation")).length == 1)
+    assertThrows[NotImplemented](normalizeFeature(UnknownF("Other")))
+  }
 }
 
 class OncoKbNamesSpec extends AnyFunSuite {
