@@ -559,6 +559,124 @@ object SparkEntry {
           coalesce(col("n_out"), lit(0L)).cast("long").as("n_out"))
     }),
 
+    // G7 — fdaSrs UNII load (fdaSrs/index.js:10-110) against the real
+    // reference fixture: therapy vertices keyed by UNII, NCIt
+    // CrossReferenceOf edges resolved against a preloaded NCIt dimension.
+    // The dim deliberately omits the smallest NCIT code in the file so the
+    // reference's lookup-miss path (edge skipped, drug still created) is
+    // exercised; the oracle re-derives the same exclusion in DuckDB.
+    "g7_fdasrs" -> ((s, dir) => {
+      val path = s"$REF_DATA/UNII_Records_25Oct2018_sample.txt"
+      val store = new core.PersistentGraphStore(s,
+        java.nio.file.Files.createTempDirectory("graft-g7").toString)
+      val withNcit = sources.FdaSrs.rows(s, path).filter(col("ncit").isNotNull)
+      val minNcit = withNcit.agg(min(col("ncit"))).first.getString(0)
+      val ncitDim = withNcit.filter(col("ncit") =!= minNcit)
+        .select(col("ncit").as("sourceId"))
+      sources.FdaSrs.load(s, store, path, ncitDim)
+      sources.FdaSrs.load(s, store, path, ncitDim) // idempotency pass
+      val outCounts = store.read("edges").get
+        .groupBy(col("out").as("sourceId")).agg(count(lit(1)).as("n_out"))
+      store.read("therapies").get
+        .join(outCounts, Seq("sourceId"), "left")
+        .select(col("sourceId").as("source_id"), col("name"),
+          coalesce(col("n_out"), lit(0L)).cast("long").as("n_out"))
+    }),
+
+    // G8 — VariO OWL load (vario.js:45-105) against the real reference
+    // fixture: 447 labeled classes → vocabulary vertices, 443 subclassof
+    // edges (both endpoints labeled); the oracle re-parses the raw RDF/XML
+    // in DuckDB with regex extraction over read_text.
+    "g8_vario" -> ((s, dir) => {
+      val path = s"$REF_DATA/vario_v2018-04-27.owl"
+      val store = new core.PersistentGraphStore(s,
+        java.nio.file.Files.createTempDirectory("graft-g8").toString)
+      sources.Vario.load(s, store, path)
+      sources.Vario.load(s, store, path) // idempotency pass
+      val outCounts = store.read("edges").get
+        .groupBy(col("out").as("sourceId")).agg(count(lit(1)).as("n_sub"))
+      store.read("vocabulary").get
+        .join(outCounts, Seq("sourceId"), "left")
+        .select(col("sourceId").as("source_id"), col("name"),
+          col("description").isNotNull.as("has_desc"),
+          coalesce(col("n_sub"), lit(0L)).cast("long").as("n_sub"))
+    }),
+
+    // G9 — clinicaltrialsgov load (clinicaltrialsgov/index.js:29-244) on
+    // the NCT03478891 fixture: title fallback, status normalization, F12
+    // phase fold, A7 location consensus, drug/disease resolution with the
+    // Missing comment; the therapy dim resolves the trial's biological,
+    // the empty-ish disease dim misses its condition.
+    "g9_ctg" -> ((s, dir) => {
+      import s.implicits._
+      val path = s"$REF_DATA/clinicaltrialsgov.NCT03478891.json"
+      val store = new core.PersistentGraphStore(s,
+        java.nio.file.Files.createTempDirectory("graft-g9").toString)
+      val therapyDim = Seq("VRC-EBOMAB092-00-AB (MAb114)", "erlotinib").toDF("name")
+      val diseaseDim = Seq("melanoma").toDF("name")
+      sources.ClinicalTrials.load(s, store, path, therapyDim, diseaseDim)
+      sources.ClinicalTrials.load(s, store, path, therapyDim, diseaseDim) // idempotency
+      val links = store.read("edges").get
+        .groupBy(col("in").as("sourceId")).agg(count(lit(1)).as("n_links"))
+      store.read("trials").get
+        .join(links, Seq("sourceId"), "left")
+        .select(col("sourceId").as("source_id"), col("name"),
+          col("recruitmentStatus").as("status"), col("phase"),
+          col("startDate").as("start_date"),
+          col("completionDate").as("completion_date"),
+          col("sourceIdVersion").as("source_id_version"),
+          col("country"), col("city"), col("comment"),
+          coalesce(col("n_links"), lit(0L)).cast("long").as("n_links"))
+    }),
+
+    // G10 — RefSeq LRG tab load (refseq/index.js:23-155) with the entrez
+    // gene dimension hydrated from the recorded esummary fixture
+    // (J9 + S15): versioned+generalized transcript/protein features,
+    // generalizationof/elementof edges, gene elementof gated on the
+    // hydrated dim; oracle recomputes everything from the raw tab + JSON.
+    "g10_refseq" -> ((s, dir) => {
+      val path = s"$REF_DATA/LRG_RefSeqGene_d1541209245_kras.tab"
+      val store = new core.PersistentGraphStore(s,
+        java.nio.file.Files.createTempDirectory("graft-g10").toString)
+      val fetcher = sources.Entrez.fileFetcher(
+        Map("3845" -> s"$REF_DATA/entrez_gene.3845.json"))
+      sources.Entrez.hydrate(s, store, "genes", Seq("3845"), fetcher,
+        sources.Entrez.parseGene(_), Seq("sourceId"),
+        Seq("biotype", "name", "displayName", "longName", "description", "url"))
+      val geneDim = store.read("genes").get
+      sources.RefseqTab.load(s, store, path, geneDim)
+      sources.RefseqTab.load(s, store, path, geneDim) // idempotency pass
+      val feats = store.read("features").get
+        .select(concat(lit("feature:"), col("biotype")).as("kind"),
+          col("sourceId").as("a"), coalesce(col("sourceIdVersion"), lit("")).as("b"))
+      val genes = store.read("genes").get
+        .select(lit("feature:gene").as("kind"), col("sourceId").as("a"),
+          col("name").as("b"))
+      val edges = store.read("edges").get
+        .select(col("edgeClass").as("kind"), col("out").as("a"), col("in").as("b"))
+      feats.unionByName(genes).unionByName(edges)
+    }),
+
+    // G11 — ChEMBL molecule load (chembl/index.js:30-107) on the CHEMBL553
+    // fixture: pref_name/formula fallback, `name [CHEMBLID]` display name,
+    // the USAN-stem parent therapy and its SubClassOf edge; oracle
+    // re-reads the JSON with DuckDB.
+    "g11_chembl" -> ((s, dir) => {
+      val path = s"$REF_DATA/chembl.CHEMBL553.json"
+      val store = new core.PersistentGraphStore(s,
+        java.nio.file.Files.createTempDirectory("graft-g11").toString)
+      sources.Chembl.load(s, store, path)
+      sources.Chembl.load(s, store, path) // idempotency pass
+      val outCounts = store.read("edges").get
+        .groupBy(col("out").as("sourceId")).agg(count(lit(1)).as("n_out"))
+      store.read("therapies").get
+        .join(outCounts, Seq("sourceId"), "left")
+        .select(col("sourceId").as("source_id"), col("name"),
+          col("displayName").as("display_name"),
+          col("molecularFormula").as("molecular_formula"),
+          coalesce(col("n_out"), lit(0L)).cast("long").as("n_out"))
+    }),
+
     // S7 (XLSX scan with super-header flattening, PMC4232638/index.js:
     // 24-60): a minimal OOXML workbook is written with the JDK zip inside
     // the query, then read back through the scan — fully self-contained.
@@ -2339,6 +2457,110 @@ object SparkEntry {
         |UNION ALL
         |SELECT d.hgnc_id, a, upper(a), false, true, CAST(1 AS BIGINT)
         |FROM doc, unnest(d.alias_symbol) AS t(a)""".stripMargin,
+    "g7_fdasrs" ->
+      """WITH raw AS (
+        |  SELECT UNII AS id, PT AS name, NCIT AS ncit
+        |  FROM read_csv('/root/reference/test/data/UNII_Records_25Oct2018_sample.txt',
+        |                delim='\t', header=true, all_varchar=true)
+        |  WHERE UNII IS NOT NULL AND PT IS NOT NULL
+        |)
+        |SELECT id AS source_id, name,
+        |  CAST(CASE WHEN ncit IS NOT NULL
+        |            AND ncit <> (SELECT min(ncit) FROM raw)
+        |       THEN 1 ELSE 0 END AS BIGINT) AS n_out
+        |FROM raw""".stripMargin,
+    "g8_vario" ->
+      """WITH txt AS (
+        |  SELECT content FROM read_text('/root/reference/test/data/vario_v2018-04-27.owl')
+        |), block AS (
+        |  SELECT unnest(regexp_extract_all(content,
+        |    '<owl:Class rdf:about="http://purl\.obolibrary\.org/obo/VariO_[0-9]+">.*?</owl:Class>',
+        |    0, 's')) AS b
+        |  FROM txt
+        |), parsed AS (
+        |  SELECT
+        |    lower(replace(regexp_extract(b, 'obo/(VariO_[0-9]+)"', 1), '_', ':')) AS source_id,
+        |    trim(regexp_extract(b, '<rdfs:label[^>]*>(.*?)</rdfs:label>', 1, 's')) AS name,
+        |    regexp_matches(b, '<obo:IAO_0000115') AS has_desc,
+        |    list_transform(
+        |      regexp_extract_all(b,
+        |        '<rdfs:subClassOf rdf:resource="http://purl\.obolibrary\.org/obo/(VariO_[0-9]+)"', 1),
+        |      s -> lower(replace(s, '_', ':'))) AS subs
+        |  FROM block
+        |), labeled AS (SELECT * FROM parsed WHERE name <> ''
+        |), edge AS (
+        |  SELECT l.source_id, t.s AS tgt FROM labeled l, unnest(l.subs) AS t(s)
+        |), good AS (
+        |  SELECT source_id, count(*) AS n_sub FROM edge
+        |  WHERE tgt IN (SELECT source_id FROM labeled) GROUP BY 1
+        |)
+        |SELECT l.source_id, l.name, l.has_desc,
+        |  CAST(coalesce(g.n_sub, 0) AS BIGINT) AS n_sub
+        |FROM labeled l LEFT JOIN good g USING (source_id)""".stripMargin,
+    "g9_ctg" ->
+      """WITH raw AS (
+        |  SELECT protocolSection AS p
+        |  FROM read_json_auto('/root/reference/test/data/clinicaltrialsgov.NCT03478891.json')
+        |)
+        |SELECT p.identificationModule.nctId AS source_id,
+        |  coalesce(p.identificationModule.officialTitle,
+        |           p.identificationModule.briefTitle) AS name,
+        |  CASE WHEN lower(replace(p.statusModule.overallStatus, '_', ' ')) = 'active not recruiting'
+        |         THEN 'active, not recruiting'
+        |       WHEN lower(replace(p.statusModule.overallStatus, '_', ' ')) = 'unknown status'
+        |         THEN 'unknown'
+        |       ELSE replace(p.statusModule.overallStatus, '_', ' ') END AS status,
+        |  regexp_extract(lower(p.designModule.phases[1]), 'phase([0-9]+)', 1) AS phase,
+        |  strftime(p.statusModule.startDateStruct.date, '%Y-%m-%d') AS start_date,
+        |  strftime(p.statusModule.completionDateStruct.date, '%Y-%m-%d') AS completion_date,
+        |  strftime(p.statusModule.lastUpdatePostDateStruct.date, '%Y-%m-%d') AS source_id_version,
+        |  lower(p.contactsLocationsModule.locations[1].country) AS country,
+        |  lower(p.contactsLocationsModule.locations[1].city) AS city,
+        |  'Missing: Disease(' || p.conditionsModule.conditions[1] || ')' AS comment,
+        |  CAST(1 AS BIGINT) AS n_links
+        |FROM raw""".stripMargin,
+    "g10_refseq" ->
+      """WITH r AS (
+        |  SELECT GeneID,
+        |         split_part(RNA, '.', 1) AS rna, split_part(RNA, '.', 2) AS rnav,
+        |         split_part(coalesce(Protein, ''), '.', 1) AS prot,
+        |         split_part(coalesce(Protein, ''), '.', 2) AS protv
+        |  FROM read_csv('/root/reference/test/data/LRG_RefSeqGene_d1541209245_kras.tab',
+        |                delim='\t', header=true, all_varchar=true)
+        |  WHERE RNA IS NOT NULL AND RNA <> ''
+        |), gene AS (
+        |  SELECT r1."3845".uid AS uid, r1."3845".name AS name
+        |  FROM (SELECT result AS r1
+        |        FROM read_json_auto('/root/reference/test/data/entrez_gene.3845.json'))
+        |)
+        |SELECT DISTINCT kind, a, b FROM (
+        |  SELECT 'feature:transcript' AS kind, rna AS a, rnav AS b FROM r
+        |  UNION ALL SELECT 'feature:transcript', rna, '' FROM r
+        |  UNION ALL SELECT 'feature:protein', prot, protv FROM r WHERE prot <> ''
+        |  UNION ALL SELECT 'feature:protein', prot, '' FROM r WHERE prot <> ''
+        |  UNION ALL SELECT 'feature:gene', uid, name FROM gene
+        |  UNION ALL SELECT 'generalizationof', rna, rna || '.' || rnav FROM r
+        |  UNION ALL SELECT 'generalizationof', prot, prot || '.' || protv FROM r WHERE prot <> ''
+        |  UNION ALL SELECT 'elementof', prot, rna FROM r WHERE prot <> ''
+        |  UNION ALL SELECT 'elementof', prot || '.' || protv, rna || '.' || rnav FROM r WHERE prot <> ''
+        |  UNION ALL SELECT 'elementof', rna, 'entrez:' || GeneID FROM r
+        |    WHERE GeneID IN (SELECT uid FROM gene)
+        |) AS u""".stripMargin,
+    "g11_chembl" ->
+      """WITH m AS (
+        |  SELECT * FROM read_json_auto('/root/reference/test/data/chembl.CHEMBL553.json')
+        |)
+        |SELECT molecule_chembl_id AS source_id,
+        |  coalesce(pref_name, molecule_properties.full_molformula) AS name,
+        |  coalesce(pref_name, molecule_properties.full_molformula)
+        |    || ' [' || upper(molecule_chembl_id) || ']' AS display_name,
+        |  molecule_properties.full_molformula AS molecular_formula,
+        |  CAST(1 AS BIGINT) AS n_out
+        |FROM m
+        |UNION ALL
+        |SELECT usan_stem_definition, usan_stem_definition, usan_stem_definition,
+        |  NULL, CAST(0 AS BIGINT)
+        |FROM m WHERE usan_stem_definition IS NOT NULL""".stripMargin,
     "s7_xlsx_scan" ->
       """SELECT CAST(gene AS VARCHAR) AS gene, CAST(gof AS VARCHAR) AS gof,
         |  CAST(lof AS VARCHAR) AS lof, CAST(other AS VARCHAR) AS other FROM (VALUES
