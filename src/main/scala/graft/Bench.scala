@@ -53,23 +53,30 @@ object Bench {
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case _: Throwable => () }
     val all = SparkEntry.queries
-    // median of N reps per query: a single cold rep lets one VM stall
-    // fabricate an implausible reading (a 73 s figure for a two-pass
-    // broadcast join happened in practice); the median of 3 is immune to
-    // one bad rep while still reporting steady-state cost
+    // median of N reps per query, INTERLEAVED: the whole headline suite
+    // runs as N full passes and each query's median is taken across
+    // passes. Consecutive reps share any sustained host-load window, so a
+    // stall could cover all of one query's reps and fabricate an
+    // implausible median (a 59 s figure for an 5 s query happened in
+    // practice); interleaving puts a whole suite pass (~minutes) between a
+    // query's reps, so one load window cannot touch more than one of them
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val results = headline.filter(all.contains).map { name =>
-      val times = (1 to reps).flatMap { _ =>
+    val names = headline.filter(all.contains)
+    val samples = (1 to reps).map { _ =>
+      names.map { name =>
         val t0 = System.nanoTime()
         val ok = try { all(name)(spark, sfDir).count(); true }
           catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
-        // drop persisted blocks between reps: accumulated storage memory
-        // from merge/diff persists squeezes execution memory and makes
-        // later queries GC-bound (measured 10x spikes late in the run)
+        // drop persisted blocks between queries: accumulated storage
+        // memory from merge/diff persists squeezes execution memory and
+        // makes later queries GC-bound (measured 10x spikes late in the run)
         spark.catalog.clearCache()
-        if (ok) Some(dt) else None
-      }
+        name -> (if (ok) Some(dt) else None)
+      }.toMap
+    }
+    val results = names.map { name =>
+      val times = samples.flatMap(_(name))
       // failures report -1, not a plausible-looking elapsed time
       val dt = if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2)
       name -> dt

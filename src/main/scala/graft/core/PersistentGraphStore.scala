@@ -39,7 +39,8 @@ import org.apache.spark.sql.functions._
   * a pruned merge never scans untouched buckets, so their retained rows
   * are not counted as `noop`.
   */
-class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32) {
+class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32,
+    compactEvery: Int = 64) {
 
   private def tableDir(table: String) = s"$root/$table"
 
@@ -178,6 +179,41 @@ class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32
     next
   }
 
+  /** Fold every version layer of `table` into a single `_FULL` snapshot
+    * and prune the superseded layer directories. Unbounded layering is a
+    * small-files + driver-listing problem: after thousands of incremental
+    * merges, `leafDirs` walks thousands of version directories per read.
+    * Compaction resets that to one. The snapshot is written (and
+    * `_SUCCESS`-committed) BEFORE any old layer is deleted, so a crash
+    * mid-compact leaves a readable table.
+    *
+    * Returns the snapshot's version number, or None for an empty table.
+    */
+  def compact(table: String): Option[Int] =
+    readMeta(table).flatMap { m =>
+      read(table).map { cur =>
+        val v = write(table, cur, m.bucketCols, full = true)
+        versions(table).filter(_._1 < v)
+          .foreach { case (_, p) => deleteRecursively(p) }
+        v
+      }
+    }
+
+  private def deleteRecursively(dir: String): Unit = {
+    val stream = Files.walk(Paths.get(dir))
+    try {
+      stream.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    } finally stream.close()
+  }
+
+  /** Compact when the layer count passes the threshold — called after
+    * every merge so the amortized read cost stays O(1) layers.
+    */
+  private def maybeCompact(table: String): Unit =
+    if (compactEvery > 0 && versions(table).size >= compactEvery)
+      compact(table)
+
   /** MERGE an incoming frame into `table` on `keyCols`: classify against
     * the current snapshot, persist the post-merge state, return audit
     * counters (created/updated/deleted/noop — K9).
@@ -195,23 +231,30 @@ class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32
       softDelete: Boolean = false): Map[String, Long] = {
     val m = metaFor(table, keyCols)
     val fullRewrite = softDelete || latestVersion(table).isEmpty
-    val current =
-      if (latestVersion(table).isEmpty) None
-      else if (softDelete) read(table)
-      else readBuckets(table, touchedBuckets(incoming, m))
-    val classified = current match {
-      case Some(cur) =>
-        GraphStore.classify(cur, incoming, keyCols, compareCols, setCols, softDelete)
-      case None =>
-        incoming.withColumn(GraphStore.ACTION, lit("create"))
-    }
-    // single materialization drives both the counters and the snapshot
-    classified.persist()
+    // the upsert branch evaluates `incoming` twice (bucket scan + classify)
+    // — persist it so an expensive upstream pipeline runs once
+    val doubleUse = !fullRewrite
+    if (doubleUse) incoming.persist()
     try {
-      val counts = GraphStore.counts(classified)
-      write(table, GraphStore.apply(classified), keyCols, full = fullRewrite)
-      counts
-    } finally classified.unpersist()
+      val current =
+        if (latestVersion(table).isEmpty) None
+        else if (softDelete) read(table)
+        else readBuckets(table, touchedBuckets(incoming, m))
+      val classified = current match {
+        case Some(cur) =>
+          GraphStore.classify(cur, incoming, keyCols, compareCols, setCols, softDelete)
+        case None =>
+          incoming.withColumn(GraphStore.ACTION, lit("create"))
+      }
+      // single materialization drives both the counters and the snapshot
+      classified.persist()
+      try {
+        val counts = GraphStore.counts(classified)
+        write(table, GraphStore.apply(classified), keyCols, full = fullRewrite)
+        maybeCompact(table)
+        counts
+      } finally classified.unpersist()
+    } finally if (doubleUse) incoming.unpersist()
   }
 
   val EdgeKey: Seq[String] = Seq("out", "in", "edgeClass")
@@ -225,6 +268,10 @@ class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32
     */
   def upsertEdges(candidates: DataFrame): Map[String, Long] = {
     val m = metaFor("edges", EdgeKey)
+    // same double-use as merge: bucket scan + anti-join both read candidates
+    val doubleUse = latestVersion("edges").nonEmpty
+    if (doubleUse) candidates.persist()
+    try {
     val existing =
       if (latestVersion("edges").isEmpty) None
       else readBuckets("edges", touchedBuckets(candidates, m))
@@ -237,8 +284,10 @@ class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32
       val n = fresh.count()
       val layer = existing.map(_.unionByName(fresh)).getOrElse(fresh)
       write("edges", layer, EdgeKey)
+      maybeCompact("edges")
       Map("created" -> n)
     } finally fresh.unpersist()
+    } finally if (doubleUse) candidates.unpersist()
   }
 
   /** K7 — source dimension upsert keyed by name (graphkb.js:614-624). */

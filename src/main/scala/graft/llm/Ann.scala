@@ -98,15 +98,43 @@ object Ann {
 
   /** Embedding-cosine near-duplicate pairs, blocked by a partition column
     * (label here; at scale this is the shard/bucket key that keeps the
-    * pair join local).
+    * pair join local), with a block-size cap. The quadratic within-block
+    * pair join is only safe while blocks stay small; a caller choosing a
+    * low-cardinality block column would otherwise get an all-pairs
+    * blow-up. Blocks over `maxBlockSize` rows are routed through the
+    * sign-pattern LSH buckets instead (bucket folded into the join key, so
+    * pairs stay within one block); routed candidates are verified with the
+    * same exact integer cosine, so routed pairs are still true positives —
+    * LSH only trades away recall on cross-bucket pairs.
     */
   def nearDupPairs(df: DataFrame, idCol: String, blockCol: String,
-      threshold: Double): DataFrame = {
-    val l = df.select(col(idCol).as("id_a"), col(blockCol).as("blk"),
-      col("vq").as("va"), col("norm2").as("na"))
-    val r = df.select(col(idCol).as("id_b"), col(blockCol).as("blk"),
-      col("vq").as("vb"), col("norm2").as("nb"))
-    l.join(r, Seq("blk"))
+      threshold: Double, maxBlockSize: Long = 10000L,
+      lshPairs: Seq[(Int, Int)] = DefaultPairs): DataFrame = {
+    // block sizes are a tiny (block, count) frame even when the corpus is
+    // huge — broadcast it so tagging rows is map-side
+    val sizes = df.groupBy(col(blockCol)).agg(count(lit(1)).as("__bn"))
+    val tagged = df.join(broadcast(sizes), Seq(blockCol))
+    val small = pairsWithin(
+      tagged.filter(col("__bn") <= maxBlockSize), idCol, blockCol,
+      Seq("blk"), threshold)
+    val big = pairsWithin(
+      withBucket(tagged.filter(col("__bn") > maxBlockSize), lshPairs),
+      idCol, blockCol, Seq("blk", "bucket"), threshold)
+    small.unionByName(big)
+  }
+
+  /** Exact-cosine pair join over rows sharing `joinCols` (which always
+    * includes the block key, so pairs never cross blocks). Each row carries
+    * exactly one bucket in the LSH tier, so no pair is emitted twice.
+    */
+  private def pairsWithin(base: DataFrame, idCol: String, blockCol: String,
+      joinCols: Seq[String], threshold: Double): DataFrame = {
+    val keyed = base.withColumn("blk", col(blockCol))
+    val l = keyed.select((col(idCol).as("id_a") +: col("vq").as("va") +:
+      col("norm2").as("na") +: joinCols.map(col)): _*)
+    val r = keyed.select((col(idCol).as("id_b") +: col("vq").as("vb") +:
+      col("norm2").as("nb") +: joinCols.map(col)): _*)
+    l.join(r, joinCols)
       .filter(col("id_a") < col("id_b"))
       .withColumn("dp", dot("va", "vb"))
       .withColumn("cos", cosine(col("dp"), col("na"), col("nb")))

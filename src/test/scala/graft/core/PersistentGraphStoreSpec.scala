@@ -130,4 +130,57 @@ class PersistentGraphStoreSpec extends AnyFunSuite {
       keyCols = Seq("reference1", "name", "germline"), compareCols = Seq("repr"))
     assert(c2 == Map("noop" -> 3L))
   }
+
+  test("compact folds layers into one _FULL snapshot; old layers pruned") {
+    val dir = Files.createTempDirectory("graft-store")
+    val store = new PersistentGraphStore(spark, dir.toString, nBuckets = 8)
+    store.merge("vertices", v1, Seq("sourceId"),
+      compareCols = Seq("name", "deprecated"), setCols = Seq("subsets"))
+    store.merge("vertices",
+      Seq(("d2", "glioma-renamed", Seq("cns"), false))
+        .toDF("sourceId", "name", "subsets", "deprecated"),
+      Seq("sourceId"), compareCols = Seq("name", "deprecated"),
+      setCols = Seq("subsets"))
+    assert(store.latestVersion("vertices").contains(2))
+
+    val v = store.compact("vertices")
+    assert(v.contains(3))
+    // superseded layers are gone; only the snapshot remains
+    assert(!Files.exists(dir.resolve("vertices/v=00001")))
+    assert(!Files.exists(dir.resolve("vertices/v=00002")))
+    assert(Files.exists(dir.resolve("vertices/v=00003/_FULL")))
+    // reads resolve from the compacted snapshot: full state, update visible
+    val state = store.read("vertices").get
+    assert(state.count() == 3)
+    assert(state.filter(col("sourceId") === "d2")
+      .select("name").as[String].head() == "glioma-renamed")
+    // the snapshot is a valid base for further merges
+    val c = store.merge("vertices",
+      Seq(("d4", "new", Seq.empty[String], false))
+        .toDF("sourceId", "name", "subsets", "deprecated"),
+      Seq("sourceId"), compareCols = Seq("name", "deprecated"),
+      setCols = Seq("subsets"))
+    assert(c("create") == 1L)
+    assert(store.read("vertices").get.count() == 4)
+  }
+
+  test("auto-compaction fires at the layer threshold during merges") {
+    val dir = Files.createTempDirectory("graft-store")
+    val store = new PersistentGraphStore(spark, dir.toString, nBuckets = 8,
+      compactEvery = 3)
+    (1 to 5).foreach { i =>
+      store.merge("vertices", Seq((s"id$i", s"name$i")).toDF("sourceId", "name"),
+        Seq("sourceId"), compareCols = Seq("name"))
+    }
+    // merges 3 and (3 layers later) never let the layer count exceed the
+    // threshold; state stays complete
+    val nLayers = {
+      var n = 0
+      Files.list(dir.resolve("vertices")).iterator().forEachRemaining(p =>
+        if (p.getFileName.toString.startsWith("v=")) n += 1)
+      n
+    }
+    assert(nLayers <= 3, s"auto-compaction must bound layers, saw $nLayers")
+    assert(store.read("vertices").get.count() == 5)
+  }
 }

@@ -130,6 +130,29 @@ class AnnSpec extends AnyFunSuite {
       assert(r.getDouble(3) >= 0.3)
     }
   }
+
+  test("near-dup oversized blocks route through the LSH buckets") {
+    val e = Ann.withQuantized(emb, "embedding").withColumnRenamed("vec_id", "id")
+    val uncapped = Ann.nearDupPairs(e, "id", "label", 0.3,
+      maxBlockSize = Long.MaxValue).collect()
+    // cap of 1 row forces EVERY block through the LSH tier
+    val capped = Ann.nearDupPairs(e, "id", "label", 0.3, maxBlockSize = 1L)
+    val cappedRows = capped.collect()
+    // routed pairs are a subset of the exact answer (verified by the same
+    // exact cosine) and bucket-colocated by construction
+    val exact = uncapped.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val buckets = Ann.withBucket(e, Ann.DefaultPairs)
+      .select(col("id"), col("bucket")).as[(Long, Long)].collect().toMap
+    cappedRows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(exact.contains((a, b)))
+      assert(buckets(a) == buckets(b))
+      assert(r.getDouble(3) >= 0.3)
+    }
+    // and the LSH tier genuinely fires: same-bucket exact pairs survive
+    val sameBucket = exact.filter { case (a, b) => buckets(a) == buckets(b) }
+    assert(cappedRows.map(r => (r.getLong(0), r.getLong(1))).toSet == sameBucket)
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
