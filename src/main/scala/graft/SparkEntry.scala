@@ -677,6 +677,78 @@ object SparkEntry {
           coalesce(col("n_out"), lit(0L)).cast("long").as("n_out"))
     }),
 
+    // G13 — Entrez composed pipeline (entrez/gene.js:56-121,
+    // entrez/pubmed.js:44-62 fetchAndLoadByIds): the J9 anti-join + S15
+    // batched fetch + F17 display name, against both recorded esummary
+    // fixtures. The gene dim is pre-seeded with a cached id whose fetcher
+    // THROWS if consulted — a broken anti-join fails the query rather
+    // than silently refetching; both hydrates run twice (second pass
+    // all-cached).
+    "g13_entrez" -> ((s, dir) => {
+      import s.implicits._
+      val store = new core.PersistentGraphStore(s,
+        java.nio.file.Files.createTempDirectory("graft-g13").toString)
+      val geneCols = Seq("biotype", "name", "displayName", "longName",
+        "description", "url")
+      val seed = Seq(("4869", "gene", "stub-npm1", "stub-npm1",
+        null.asInstanceOf[String], null.asInstanceOf[String],
+        null.asInstanceOf[String]))
+        .toDF(("sourceId" +: geneCols): _*)
+      store.merge("genes", seed, Seq("sourceId"), geneCols)
+      val geneFetcher: Seq[String] => Seq[(String, String)] = ids => {
+        require(!ids.contains("4869"), "anti-join must prune cached ids")
+        sources.Entrez.fileFetcher(
+          Map("3845" -> s"$REF_DATA/entrez_gene.3845.json"))(ids)
+      }
+      val pubmedFetcher = sources.Entrez.fileFetcher(
+        Map("30016509" -> s"$REF_DATA/entrez_pubmed.30016509.json"))
+      (1 to 2).foreach { _ =>
+        sources.Entrez.hydrate(s, store, "genes", Seq("3845", "4869"),
+          geneFetcher, sources.Entrez.parseGene(_), Seq("sourceId"), geneCols)
+        sources.Entrez.hydrate(s, store, "articles", Seq("30016509"),
+          pubmedFetcher, sources.Entrez.parsePubmed(_), Seq("sourceId"),
+          Seq("name", "journalName", "year", "displayName"))
+      }
+      val genes = store.read("genes").get.select(lit("gene").as("kind"),
+        col("sourceId").as("source_id"), col("name"),
+        col("displayName").as("display_name"),
+        lit(null).cast("long").as("year"), lit(null).cast("string").as("journal"))
+      val arts = store.read("articles").get.select(lit("article").as("kind"),
+        col("sourceId").as("source_id"), col("name"),
+        col("displayName").as("display_name"),
+        col("year").cast("long").as("year"), col("journalName").as("journal"))
+      genes.unionByName(arts)
+    }),
+
+    // G12 — CIViC variant hydration (civic/variant.js:410-553) on the
+    // real civic_variant.json fixture: name grammar → HGVS parse → vocab
+    // term double-lookup (civic source preferred) → store upsert of the
+    // variant and its gene reference; oracle re-derives the exon-mutation
+    // normalization from the raw JSON.
+    "g12_civic_variant" -> ((s, dir) => {
+      import s.implicits._
+      val path = s"$REF_DATA/civic_variant.json"
+      val store = new core.PersistentGraphStore(s,
+        java.nio.file.Files.createTempDirectory("graft-g12").toString)
+      val vocab = Seq(
+        ("mutation", "civic", "civic:mutation"),
+        ("mutation", "sequence ontology", "so:mutation"),
+        ("exon_variant", "sequence ontology", "so:exon_variant"))
+        .toDF("name", "source", "term_id")
+      sources.CivicVariants.load(s, store, path, vocab)
+      sources.CivicVariants.load(s, store, path, vocab) // idempotency pass
+      val feats = store.read("features").get
+        .select(lit("feature:gene").as("kind"), col("sourceId").as("a"),
+          col("name").as("b"))
+      val vars = store.read("variants").get
+      val vRows = vars.select(lit("variant").as("kind"),
+        col("notation").as("a"), col("term").as("b"))
+      val bRows = vars.filter(col("break1").isNotNull)
+        .select(lit("variant:break1").as("kind"), col("notation").as("a"),
+          col("break1").as("b"))
+      feats.unionByName(vRows).unionByName(bRows)
+    }),
+
     // S7 (XLSX scan with super-header flattening, PMC4232638/index.js:
     // 24-60): a minimal OOXML workbook is written with the JDK zip inside
     // the query, then read back through the scan — fully self-contained.
@@ -2561,6 +2633,41 @@ object SparkEntry {
         |SELECT usan_stem_definition, usan_stem_definition, usan_stem_definition,
         |  NULL, CAST(0 AS BIGINT)
         |FROM m WHERE usan_stem_definition IS NOT NULL""".stripMargin,
+    "g13_entrez" ->
+      """WITH g AS (
+        |  SELECT r."3845" AS d
+        |  FROM (SELECT result AS r
+        |        FROM read_json_auto('/root/reference/test/data/entrez_gene.3845.json'))
+        |), p AS (
+        |  SELECT r."30016509" AS d
+        |  FROM (SELECT result AS r
+        |        FROM read_json_auto('/root/reference/test/data/entrez_pubmed.30016509.json'))
+        |)
+        |SELECT 'gene' AS kind, d.uid AS source_id, d.name AS name,
+        |  d.name AS display_name, CAST(NULL AS BIGINT) AS year,
+        |  CAST(NULL AS VARCHAR) AS journal
+        |FROM g
+        |UNION ALL
+        |SELECT 'gene', '4869', 'stub-npm1', 'stub-npm1', NULL, NULL
+        |UNION ALL
+        |SELECT 'article', d.uid, d.title, 'pmid:' || d.uid,
+        |  CAST(regexp_extract(d.sortpubdate, '^([0-9]{4})/', 1) AS BIGINT),
+        |  d.fulljournalname
+        |FROM p""".stripMargin,
+    "g12_civic_variant" ->
+      """WITH v AS (
+        |  SELECT id, name, entrez_name, entrez_id
+        |  FROM read_json_auto('/root/reference/test/data/civic_variant.json')
+        |), n AS (
+        |  SELECT lower(entrez_name) AS gene, CAST(entrez_id AS VARCHAR) AS gid,
+        |    regexp_extract(lower(name), '^exon ([0-9]+) mutation$', 1) AS brk
+        |  FROM v
+        |)
+        |SELECT 'feature:gene' AS kind, gid AS a, gene AS b FROM n
+        |UNION ALL
+        |SELECT 'variant', gene || ':e.' || brk || 'mut', 'civic:mutation' FROM n
+        |UNION ALL
+        |SELECT 'variant:break1', gene || ':e.' || brk || 'mut', 'e.' || brk FROM n""".stripMargin,
     "s7_xlsx_scan" ->
       """SELECT CAST(gene AS VARCHAR) AS gene, CAST(gof AS VARCHAR) AS gof,
         |  CAST(lof AS VARCHAR) AS lof, CAST(other AS VARCHAR) AS other FROM (VALUES
