@@ -677,6 +677,35 @@ object SparkEntry {
           coalesce(col("n_out"), lit(0L)).cast("long").as("n_out"))
     }),
 
+    // G14 — the whole-corpus dependency DAG (Snakefile:206-420 + per-
+    // loader dependencies exports) over every implemented loader into ONE
+    // shared store, run twice (second pass must create nothing); the
+    // readout is per-table row counts plus orchestration summary, each
+    // re-derived independently from the raw fixtures by the oracle.
+    "g14_full_dag" -> ((s, dir) => {
+      import s.implicits._
+      val store = new core.PersistentGraphStore(s,
+        java.nio.file.Files.createTempDirectory("graft-g14").toString)
+      val ncit = orchestrate.FullCorpus.writeNcitSample()
+      val r1 = orchestrate.FullCorpus.run(s, store, ncit)
+      val r2 = orchestrate.FullCorpus.run(s, store, ncit)
+      def creates(r: orchestrate.Orchestrator.Report): Long =
+        r.statuses.values.collect {
+          case orchestrate.Orchestrator.Succeeded(c) =>
+            c.collect { case (k, v) if k.contains("create") => v }.sum
+        }.sum
+      val tables = Seq("vocabulary", "terms", "vertices", "diseases",
+        "therapies", "genes", "genes_hgnc", "features", "articles", "trials",
+        "variants", "vario_terms", "edges")
+      val counts = tables.map(t => ("table:" + t,
+        store.read(t).map(_.count()).getOrElse(0L)))
+      val summary = Seq(
+        ("loaders:succeeded", r1.succeeded.size.toLong),
+        ("rerun:succeeded", r2.succeeded.size.toLong),
+        ("rerun:creates", creates(r2))) ++ counts
+      summary.toDF("kind", "n").orderBy("kind")
+    }),
+
     // G13 — Entrez composed pipeline (entrez/gene.js:56-121,
     // entrez/pubmed.js:44-62 fetchAndLoadByIds): the J9 anti-join + S15
     // batched fetch + F17 display name, against both recorded esummary
@@ -2633,6 +2662,141 @@ object SparkEntry {
         |SELECT usan_stem_definition, usan_stem_definition, usan_stem_definition,
         |  NULL, CAST(0 AS BIGINT)
         |FROM m WHERE usan_stem_definition IS NOT NULL""".stripMargin,
+    // g14: per-table counts re-derived from the raw fixtures; constants are
+    // local seed data (vocabulary = the 5-term seed, terms = the 10 rows
+    // g3's oracle pins, ncit edges = the sum of g3's pinned n_out) and DAG
+    // semantics (14 loaders, rerun creates nothing).
+    "g14_full_dag" ->
+      """WITH doid_nodes AS (
+        |  SELECT unnest(graphs[1].nodes) AS n
+        |  FROM read_json_auto('/root/reference/test/data/doid.sample.json',
+        |                      maximum_object_size=20000000)
+        |), doid_edges AS (
+        |  SELECT unnest(graphs[1].edges) AS e
+        |  FROM read_json_auto('/root/reference/test/data/doid.sample.json',
+        |                      maximum_object_size=20000000)
+        |), onc AS (
+        |  SELECT lower(code) AS sid, lower(parent) AS parent,
+        |         coalesce(len(externalReferences.NCI), 0) AS n_nci
+        |  FROM read_json_auto('/root/reference/test/data/tumorTypes-oncotree_latest_stable.json')
+        |), ens_r AS (
+        |  SELECT split_part(lower("Gene stable ID version"),'.',1) AS gid,
+        |         split_part(lower("Gene stable ID version"),'.',2) AS gv,
+        |         split_part(lower("Transcript stable ID version"),'.',1) AS tid,
+        |         split_part(lower("Transcript stable ID version"),'.',2) AS tv,
+        |         split_part(lower("Protein stable ID version"),'.',1) AS pid,
+        |         split_part(lower("Protein stable ID version"),'.',2) AS pv,
+        |         lower("HGNC ID") AS hgnc
+        |  FROM read_csv('/root/reference/test/data/ensembl_biomart_export_ENSG00000139618.tsv',
+        |                delim='\t', header=true)
+        |), ens_u AS (
+        |  SELECT DISTINCT kind, a, b FROM (
+        |    SELECT 'feature:gene' AS kind, gid AS a, gv AS b FROM ens_r
+        |    UNION ALL SELECT 'feature:gene', gid, '' FROM ens_r
+        |    UNION ALL SELECT 'feature:transcript', tid, tv FROM ens_r
+        |    UNION ALL SELECT 'feature:transcript', tid, '' FROM ens_r
+        |    UNION ALL SELECT 'feature:protein', pid, pv FROM ens_r
+        |    UNION ALL SELECT 'feature:protein', pid, '' FROM ens_r
+        |    UNION ALL SELECT 'generalizationof', gid, gid||'.'||gv FROM ens_r
+        |    UNION ALL SELECT 'generalizationof', tid, tid||'.'||tv FROM ens_r
+        |    UNION ALL SELECT 'generalizationof', pid, pid||'.'||pv FROM ens_r
+        |    UNION ALL SELECT 'elementof', tid, gid FROM ens_r
+        |    UNION ALL SELECT 'elementof', tid||'.'||tv, gid||'.'||gv FROM ens_r
+        |    UNION ALL SELECT 'elementof', pid, tid FROM ens_r
+        |    UNION ALL SELECT 'elementof', pid||'.'||pv, tid||'.'||tv FROM ens_r
+        |    UNION ALL SELECT 'crossreferenceof', gid, hgnc FROM ens_r WHERE hgnc IS NOT NULL
+        |  ) AS x
+        |), rs_r AS (
+        |  SELECT GeneID,
+        |         split_part(RNA,'.',1) AS rna, split_part(RNA,'.',2) AS rnav,
+        |         split_part(coalesce(Protein,''),'.',1) AS prot,
+        |         split_part(coalesce(Protein,''),'.',2) AS protv
+        |  FROM read_csv('/root/reference/test/data/LRG_RefSeqGene_d1541209245_kras.tab',
+        |                delim='\t', header=true, all_varchar=true)
+        |  WHERE RNA IS NOT NULL AND RNA <> ''
+        |), rs_u AS (
+        |  SELECT DISTINCT kind, a, b FROM (
+        |    SELECT 'f' AS kind, rna AS a, rnav AS b FROM rs_r
+        |    UNION ALL SELECT 'f', rna, '' FROM rs_r
+        |    UNION ALL SELECT 'f', prot, protv FROM rs_r WHERE prot <> ''
+        |    UNION ALL SELECT 'f', prot, '' FROM rs_r WHERE prot <> ''
+        |    UNION ALL SELECT 'generalizationof', rna, rna||'.'||rnav FROM rs_r
+        |    UNION ALL SELECT 'generalizationof', prot, prot||'.'||protv FROM rs_r WHERE prot <> ''
+        |    UNION ALL SELECT 'elementof', prot, rna FROM rs_r WHERE prot <> ''
+        |    UNION ALL SELECT 'elementof', prot||'.'||protv, rna||'.'||rnav FROM rs_r WHERE prot <> ''
+        |    UNION ALL SELECT 'elementof', rna, 'entrez:'||GeneID FROM rs_r WHERE GeneID = '3845'
+        |  ) AS x
+        |), vario_block AS (
+        |  SELECT unnest(regexp_extract_all(content,
+        |    '<owl:Class rdf:about="http://purl\.obolibrary\.org/obo/VariO_[0-9]+">.*?</owl:Class>',
+        |    0, 's')) AS b
+        |  FROM read_text('/root/reference/test/data/vario_v2018-04-27.owl')
+        |), vario_lab AS (
+        |  SELECT * FROM (
+        |    SELECT lower(replace(regexp_extract(b, 'obo/(VariO_[0-9]+)"', 1), '_', ':')) AS sid,
+        |      trim(regexp_extract(b, '<rdfs:label[^>]*>(.*?)</rdfs:label>', 1, 's')) AS name,
+        |      list_transform(regexp_extract_all(b,
+        |        '<rdfs:subClassOf rdf:resource="http://purl\.obolibrary\.org/obo/(VariO_[0-9]+)"', 1),
+        |        s -> lower(replace(s, '_', ':'))) AS subs
+        |    FROM vario_block) WHERE name <> ''
+        |), vario_edge AS (
+        |  SELECT DISTINCT l.sid, t.s FROM vario_lab l, unnest(l.subs) AS t(s)
+        |  WHERE t.s IN (SELECT sid FROM vario_lab)
+        |), hgnc_doc AS (
+        |  SELECT unnest("http://rest.genenames.org/fetch/hgnc_id/1101".response.docs) AS d
+        |  FROM read_json_auto('/root/reference/test/data/external_api_responses.json')
+        |), fda AS (
+        |  SELECT count(*) AS n
+        |  FROM read_csv('/root/reference/test/data/UNII_Records_25Oct2018_sample.txt',
+        |                delim='\t', header=true, all_varchar=true)
+        |  WHERE UNII IS NOT NULL AND PT IS NOT NULL
+        |)
+        |SELECT 'loaders:succeeded' AS kind, CAST(14 AS BIGINT) AS n
+        |UNION ALL SELECT 'rerun:succeeded', CAST(14 AS BIGINT)
+        |UNION ALL SELECT 'rerun:creates', CAST(0 AS BIGINT)
+        |UNION ALL SELECT 'table:vocabulary', CAST(5 AS BIGINT)
+        |UNION ALL SELECT 'table:terms', CAST(10 AS BIGINT)
+        |UNION ALL SELECT 'table:vertices', CAST((SELECT count(*) FROM doid_nodes
+        |  WHERE regexp_extract(n.id, '.*/([A-Za-z]+_[0-9]+)$', 1) <> '') AS BIGINT)
+        |UNION ALL SELECT 'table:diseases', CAST((SELECT count(*) FROM onc) AS BIGINT)
+        |UNION ALL SELECT 'table:therapies', CAST((SELECT n FROM fda)
+        |  + (SELECT len(regexp_extract_all(content, '<drug type='))
+        |     FROM read_text('/root/reference/test/data/drugbank_sample.xml'))
+        |  + (SELECT 1 + CASE WHEN usan_stem_definition IS NOT NULL THEN 1 ELSE 0 END
+        |     FROM read_json_auto('/root/reference/test/data/chembl.CHEMBL553.json')) AS BIGINT)
+        |UNION ALL SELECT 'table:genes', CAST((SELECT len(r.uids) FROM
+        |    (SELECT result AS r
+        |     FROM read_json_auto('/root/reference/test/data/entrez_gene.3845.json')))
+        |  + (SELECT count(*)
+        |     FROM read_json_auto('/root/reference/test/data/civic_variant.json')
+        |     WHERE CAST(entrez_id AS VARCHAR) <> '3845') AS BIGINT)
+        |UNION ALL SELECT 'table:genes_hgnc', CAST((SELECT count(*)
+        |  + sum(len(d.prev_symbol) + len(d.alias_symbol)) FROM hgnc_doc) AS BIGINT)
+        |UNION ALL SELECT 'table:features',
+        |  CAST((SELECT count(*) FROM ens_u WHERE kind LIKE 'feature:%')
+        |     + (SELECT count(*) FROM rs_u WHERE kind = 'f') AS BIGINT)
+        |UNION ALL SELECT 'table:articles', CAST((SELECT len(r.uids) FROM
+        |  (SELECT result AS r
+        |   FROM read_json_auto('/root/reference/test/data/entrez_pubmed.30016509.json'))) AS BIGINT)
+        |UNION ALL SELECT 'table:trials', CAST((SELECT count(*)
+        |  FROM read_json_auto('/root/reference/test/data/clinicaltrialsgov.NCT03478891.json')) AS BIGINT)
+        |UNION ALL SELECT 'table:variants', CAST((SELECT count(*)
+        |  FROM read_json_auto('/root/reference/test/data/civic_variant.json')) AS BIGINT)
+        |UNION ALL SELECT 'table:vario_terms', CAST((SELECT count(*) FROM vario_lab) AS BIGINT)
+        |UNION ALL SELECT 'table:edges', CAST(
+        |    (SELECT count(*) FROM doid_edges WHERE e.pred = 'is_a'
+        |      AND regexp_extract(e.sub, '.*/([A-Za-z]+_[0-9]+)$', 1) <> ''
+        |      AND regexp_extract(e.obj, '.*/([A-Za-z]+_[0-9]+)$', 1) <> '')
+        |  + (SELECT count(*) FROM onc
+        |      WHERE parent IS NOT NULL AND parent IN (SELECT sid FROM onc))
+        |  + (SELECT sum(n_nci) FROM onc)
+        |  + (SELECT count(*) FROM ens_u WHERE kind NOT LIKE 'feature:%')
+        |  + (SELECT count(*) FROM rs_u WHERE kind <> 'f')
+        |  + (SELECT count(*) FROM vario_edge)
+        |  + (SELECT sum(len(d.prev_symbol) + len(d.alias_symbol)
+        |      + CASE WHEN d.ensembl_gene_id IS NOT NULL THEN 1 ELSE 0 END
+        |      + CASE WHEN d.entrez_id IS NOT NULL THEN 1 ELSE 0 END) FROM hgnc_doc)
+        |  + 6 + 1 AS BIGINT)""".stripMargin,
     "g13_entrez" ->
       """WITH g AS (
         |  SELECT r."3845" AS d

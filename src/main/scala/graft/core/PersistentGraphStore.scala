@@ -146,14 +146,27 @@ class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32
   def read(table: String): Option[DataFrame] = {
     val dirs = leafDirs(table)
     if (dirs.isEmpty) None
-    else Some(spark.read.parquet(dirs.map(_._2): _*))
+    // mergeSchema: different sources merging into one class table may have
+    // widened the schema between layers (see merge's alignment)
+    else Some(spark.read.option("mergeSchema", "true").parquet(dirs.map(_._2): _*))
   }
 
   /** Read only the given buckets' newest layers. */
   private def readBuckets(table: String, buckets: Set[Int]): Option[DataFrame] = {
     val dirs = leafDirs(table).collect { case (b, p) if buckets(b) => p }
-    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+    if (dirs.isEmpty) None
+    else Some(spark.read.option("mergeSchema", "true").parquet(dirs: _*))
   }
+
+  /** Schema evolution: columns `cols` that `df` lacks are added as typed
+    * nulls (type taken from `ref`). Lets several sources with different
+    * payload columns share one class table — the classify comparison needs
+    * its compare columns present on BOTH sides.
+    */
+  private def alignTo(df: DataFrame, ref: DataFrame, cols: Seq[String]): DataFrame =
+    cols.filterNot(df.columns.contains).foldLeft(df) { (d, c) =>
+      d.withColumn(c, lit(null).cast(ref.schema(c).dataType))
+    }
 
   /** Buckets the incoming frame lands in — one small distinct job, at most
     * nBuckets values.
@@ -240,9 +253,11 @@ class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32
         if (latestVersion(table).isEmpty) None
         else if (softDelete) read(table)
         else readBuckets(table, touchedBuckets(incoming, m))
+      val payload = (compareCols ++ setCols).distinct
       val classified = current match {
         case Some(cur) =>
-          GraphStore.classify(cur, incoming, keyCols, compareCols, setCols, softDelete)
+          GraphStore.classify(alignTo(cur, incoming, payload), incoming,
+            keyCols, compareCols, setCols, softDelete)
         case None =>
           incoming.withColumn(GraphStore.ACTION, lit("create"))
       }

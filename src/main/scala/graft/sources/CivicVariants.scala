@@ -62,7 +62,8 @@ object CivicVariants {
     * `getVocabularyTerm` (variant.js:538-549).
     */
   def load(spark: SparkSession, store: PersistentGraphStore, path: String,
-      vocab: DataFrame): Unit = {
+      vocab: DataFrame, featuresTable: String = "features",
+      variantsTable: String = "variants"): Map[String, Long] = {
     val h = hydrated(spark, path)
     val civicTerms = vocab.filter(col("source") === "civic")
       .select(col("name").as("vtype"), col("term_id").as("civic_term"))
@@ -75,11 +76,13 @@ object CivicVariants {
     val feats = typed.select(
       coalesce(col("geneSourceId"), col("geneName")).as("sourceId"),
       col("geneName").as("name")).distinct()
-    store.merge("features", feats, Seq("sourceId"), Seq("name"))
+    val fc = store.merge(featuresTable, feats, Seq("sourceId"), Seq("name"))
     val variants = typed.select(col("notation"), col("positional"),
       col("term"), col("break1"),
       coalesce(col("geneSourceId"), col("geneName")).as("reference1"))
-    store.merge("variants", variants, Seq("notation"),
+    val vc = store.merge(variantsTable, variants, Seq("notation"),
       Seq("positional", "term", "break1", "reference1"))
+    fc.map { case (k, v) => s"features_$k" -> v } ++
+      vc.map { case (k, v) => s"variants_$k" -> v }
   }
 }

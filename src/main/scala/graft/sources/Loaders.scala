@@ -79,7 +79,8 @@ object Loaders {
   /** Seed vocabulary terms (the DAG root). */
   val VocabSeed: Seq[(String, String)] = Seq(
     ("sensitivity", "therapeutic efficacy"), ("resistance", "therapeutic efficacy"),
-    ("likely oncogenic", "biological"), ("fusion", "structural variant"))
+    ("likely oncogenic", "biological"), ("fusion", "structural variant"),
+    ("mutation", "biological")) // data/vocab.json "mutation" SubClassOf biological
 
   def loadVocab(spark: SparkSession, store: PersistentGraphStore): Map[String, Long] = {
     import spark.implicits._
@@ -285,8 +286,8 @@ object Loaders {
       .select(col("d.*"))
 
   def loadHgnc(spark: SparkSession, store: PersistentGraphStore,
-      docs: DataFrame): Map[String, Long] = {
-    val counts = store.merge("genes", hgncFeatures(docs),
+      docs: DataFrame, table: String = "genes"): Map[String, Long] = {
+    val counts = store.merge(table, hgncFeatures(docs),
       keyCols = Seq("sourceId", "name"),
       compareCols = Seq("displayName", "longName", "deprecated", "dependent"))
     val edges = store.upsertEdges(hgncEdges(docs))

@@ -58,12 +58,12 @@ object Vario {
   }
 
   def load(spark: SparkSession, store: PersistentGraphStore,
-      path: String): Map[String, Long] = {
+      path: String, table: String = "vocabulary"): Map[String, Long] = {
     val triples = varioTriples(spark, path)
     triples.persist()
     try {
       val labeled = terms(triples)
-      val counts = store.merge("vocabulary", labeled,
+      val counts = store.merge(table, labeled,
         keyCols = Seq("sourceId"), compareCols = Seq("name", "description"))
       val edges = store.upsertEdges(subclassEdges(triples, labeled))
       counts ++ edges.map { case (k, v) => s"edges_$k" -> v }

@@ -58,4 +58,25 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(!log.toString.contains("do"))
     assert(report.succeeded.toSet == Set("vocab", "independent"))
   }
+
+  test("full corpus DAG: every loader succeeds into one store; rerun creates nothing") {
+    val store = new graft.core.PersistentGraphStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-corpus").toString)
+    val ncit = FullCorpus.writeNcitSample()
+    val r1 = FullCorpus.run(spark, store, ncit)
+    assert(r1.succeeded.size == 14, r1.statuses.toString)
+    // dims flowed through the store: the refseq gene edge is gated on the
+    // entrez-hydrated dimension, civic's gene reference joined `genes`
+    val genes = store.read("genes").get
+    assert(genes.count() == 2) // entrez kras + civic npm1
+    // shared therapy table holds all three sources (schema evolution)
+    assert(store.read("therapies").get.count() == 102)
+    val r2 = FullCorpus.run(spark, store, ncit)
+    assert(r2.succeeded.size == 14, r2.statuses.toString)
+    val creates = r2.statuses.values.collect {
+      case Succeeded(c) =>
+        c.collect { case (k, v) if k.contains("create") => v }.sum
+    }.sum
+    assert(creates == 0L, s"rerun created $creates rows")
+  }
 }
