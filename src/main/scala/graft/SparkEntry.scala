@@ -677,6 +677,81 @@ object SparkEntry {
           coalesce(col("n_out"), lit(0L)).cast("long").as("n_out"))
     }),
 
+    // G16 — MOAlmanac small-mutation loader (moa/index.js:48-188) over
+    // the four jest `loadSmallMutation` cases (test/moa.test.js:140-221)
+    // plus a full genomic+cds+protein+exon ladder and a germline
+    // frameshift: forms fan-out, chromosome parseInt normalization,
+    // annotation-first vocab double-lookup, Infers chain in join order.
+    "g16_moa" -> ((s, dir) => {
+      import s.implicits._
+      import sources.Moa.MoaVariant
+      val store = new core.PersistentGraphStore(s,
+        java.nio.file.Files.createTempDirectory("graft-g16").toString)
+      val records = Seq(
+        MoaVariant(1L, "KRAS", "somatic_variant", None, None, None, None,
+          None, None, None, None, Some("some variant type")),
+        MoaVariant(2L, "EGFR", "somatic_variant", None, None, None, None,
+          None, None, None, Some(2L), Some("some variant type")),
+        MoaVariant(3L, "EGFR", "somatic_variant", None, None, None, None,
+          None, None, None, Some(2L), None),
+        MoaVariant(4L, "TP53", "somatic_variant", None, None, None, None,
+          None, None, None, None, None),
+        MoaVariant(5L, "BRAF", "somatic_variant", Some("07"),
+          Some(140453136L), Some(140453136L), Some("A"), Some("T"),
+          Some("c.1799T>A"), Some("p.V600E"), Some(15L), None),
+        MoaVariant(6L, "CHEK2", "germline_variant", None, None, None, None,
+          None, None, Some("p.T367fs"), None, None))
+      val genes = Seq(("KRAS", "3845"), ("EGFR", "1956"), ("TP53", "7157"),
+        ("BRAF", "673"), ("CHEK2", "11200")).toDF("symbol", "sourceId")
+      val chroms = Seq("7").toDF("sourceId")
+      val vocab = Seq(
+        ("substitution", "graphkb", "t:substitution"),
+        ("frameshift", "graphkb", "t:frameshift"),
+        ("mutation", "graphkb", "t:mutation"),
+        ("some variant type", "moa", "t:moa:svt"),
+        ("some variant type", "graphkb", "t:any:svt"))
+        .toDF("name", "source", "term_id")
+      sources.Moa.load(s, store, records, genes, chroms, vocab)
+      sources.Moa.load(s, store, records, genes, chroms, vocab) // idempotency
+      val vars = store.read("variants").get
+        .select(concat(lit("variant:"), col("form")).as("kind"),
+          col("vid").as("a"), col("term").as("b"),
+          concat(coalesce(col("break1"), lit("-")), lit("|"),
+            col("germline").cast("string")).as("c"))
+      val edges = store.read("edges").get
+        .select(lit("infers").as("kind"), col("out").as("a"),
+          col("in").as("b"), lit("").as("c"))
+      vars.unionByName(edges)
+    }),
+
+    // G15 — Entrez refseq esummary hydration (entrez/refseq.js:41-67
+    // parseRecord) on all four recorded fixtures: accessionversion split,
+    // biomol → biotype routing (genomic→chromosome, peptide→protein,
+    // else transcript), chromosome name from subname. Requests are
+    // ACCESSION ids (uid-keyed responses), so the dedup match is on
+    // displayName; the unversioned NC_000003 request resolves to the
+    // LATEST version (.12) alongside the pinned .11.
+    "g15_entrez_refseq" -> ((s, dir) => {
+      val store = new core.PersistentGraphStore(s,
+        java.nio.file.Files.createTempDirectory("graft-g15").toString)
+      val ids = Seq("NC_000003.11", "NC_000003", "NM_005228.5", "NP_008819.1")
+      val fetcher = sources.Entrez.fileFetcher(
+        ids.map(i => i -> s"$REF_DATA/entrez_refseq.$i.json").toMap)
+      (1 to 2).foreach { _ => // second pass: versioned ids prune, merge noops
+        sources.Entrez.hydrate(s, store, "refseqs", ids, fetcher,
+          sources.Entrez.parseRefseq(_),
+          Seq("sourceId", "sourceIdVersion"),
+          Seq("biotype", "name", "displayName", "longName"),
+          matchCol = "displayName")
+      }
+      store.read("refseqs").get
+        .select(col("sourceId").as("source_id"),
+          col("sourceIdVersion").as("source_id_version"),
+          col("biotype"), col("name"),
+          col("displayName").as("display_name"),
+          col("longName").as("long_name"))
+    }),
+
     // G14 — the whole-corpus dependency DAG (Snakefile:206-420 + per-
     // loader dependencies exports) over every implemented loader into ONE
     // shared store, run twice (second pass must create nothing); the
@@ -2662,6 +2737,62 @@ object SparkEntry {
         |SELECT usan_stem_definition, usan_stem_definition, usan_stem_definition,
         |  NULL, CAST(0 AS BIGINT)
         |FROM m WHERE usan_stem_definition IS NOT NULL""".stripMargin,
+    // g16: frozen from the implementation once, cross-checked against the
+    // jest expectations (test/moa.test.js:140-221: category content,
+    // break1Repr 'e.2', annotation-term double lookup) and the Infers
+    // join order (moa/index.js:164-181).
+    "g16_moa" ->
+      """SELECT CAST(kind AS VARCHAR) AS kind, CAST(a AS VARCHAR) AS a,
+        |  CAST(b AS VARCHAR) AS b, CAST(c AS VARCHAR) AS c FROM (VALUES
+        |('infers', '673:c.1799T>A@t:substitution', '673:p.V600E@t:substitution', ''),
+        |('infers', '673:p.V600E@t:substitution', '673:e.15mut@t:mutation', ''),
+        |('infers', '7:g.140453136A>T@t:substitution', '673:c.1799T>A@t:substitution', ''),
+        |('variant:category', '3845:KRAS some variant type@t:moa:svt', 't:moa:svt', '-|false'),
+        |('variant:category', '7157:TP53 mutation@t:mutation', 't:mutation', '-|false'),
+        |('variant:cds', '673:c.1799T>A@t:substitution', 't:substitution', 'c.1799|false'),
+        |('variant:exon', '1956:e.2mut@t:moa:svt', 't:moa:svt', 'e.2|false'),
+        |('variant:exon', '1956:e.2mut@t:mutation', 't:mutation', 'e.2|false'),
+        |('variant:exon', '673:e.15mut@t:mutation', 't:mutation', 'e.15|false'),
+        |('variant:genomic', '7:g.140453136A>T@t:substitution', 't:substitution', 'g.140453136|false'),
+        |('variant:protein', '11200:p.T367fs@t:frameshift', 't:frameshift', 'p.T367|true'),
+        |('variant:protein', '673:p.V600E@t:substitution', 't:substitution', 'p.V600|false')
+        |) AS t(kind, a, b, c)""".stripMargin,
+    "g15_entrez_refseq" ->
+      """WITH recs AS (
+        |  SELECT r."224589815".accessionversion AS acc, r."224589815".biomol AS biomol,
+        |         r."224589815".subname AS subname, r."224589815".title AS title
+        |  FROM (SELECT result AS r
+        |    FROM read_json_auto('/root/reference/test/data/entrez_refseq.NC_000003.11.json'))
+        |  UNION ALL
+        |  SELECT r."568815595".accessionversion, r."568815595".biomol,
+        |         r."568815595".subname, r."568815595".title
+        |  FROM (SELECT result AS r
+        |    FROM read_json_auto('/root/reference/test/data/entrez_refseq.NC_000003.json'))
+        |  UNION ALL
+        |  SELECT r."1519245592".accessionversion, r."1519245592".biomol,
+        |         r."1519245592".subname, r."1519245592".title
+        |  FROM (SELECT result AS r
+        |    FROM read_json_auto('/root/reference/test/data/entrez_refseq.NM_005228.5.json'))
+        |  UNION ALL
+        |  SELECT r."5901912".accessionversion, r."5901912".biomol,
+        |         r."5901912".subname, r."5901912".title
+        |  FROM (SELECT result AS r
+        |    FROM read_json_auto('/root/reference/test/data/entrez_refseq.NP_008819.1.json'))
+        |), parsed AS (
+        |  SELECT split_part(acc, '.', 1) AS source_id,
+        |    nullif(split_part(acc, '.', 2), '') AS source_id_version,
+        |    CASE WHEN biomol = 'genomic' THEN 'chromosome'
+        |         WHEN biomol = 'peptide' THEN 'protein'
+        |         ELSE 'transcript' END AS biotype,
+        |    subname,
+        |    upper(acc) AS display_name,
+        |    title AS long_name
+        |  FROM recs
+        |)
+        |SELECT source_id, source_id_version, biotype,
+        |  CASE WHEN biotype = 'chromosome' THEN subname END AS name,
+        |  display_name, long_name
+        |FROM parsed""".stripMargin,
     // g14: per-table counts re-derived from the raw fixtures; constants are
     // local seed data (vocabulary = the 5-term seed, terms = the 10 rows
     // g3's oracle pins, ncit edges = the sum of g3's pinned n_out) and DAG

@@ -37,14 +37,19 @@ object Entrez {
 
   /** Disk-proxy fetcher (S16): id → recorded esummary response file. Ids
     * without a recorded response yield nothing (the API's missing-uid
-    * behavior).
+    * behavior). When the request id is a uid, only that uid's document is
+    * kept; refseq requests use ACCESSION ids while the response is keyed
+    * by numeric uid (entrez/util.js:217-231) — then the whole recorded
+    * response for that id is the answer.
     */
   def fileFetcher(files: Map[String, String]): Seq[String] => Seq[(String, String)] =
     ids => ids.flatMap { id =>
       files.get(id).toSeq.flatMap { path =>
         val body = new String(
           java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
-        esummaryDocs(body).filter(_._1 == id)
+        val docs = esummaryDocs(body)
+        val byUid = docs.filter(_._1 == id)
+        if (byUid.nonEmpty) byUid else docs
       }
     }
 
@@ -106,11 +111,12 @@ object Entrez {
       fetcher: Seq[String] => Seq[(String, String)],
       parser: DataFrame => DataFrame,
       keyCols: Seq[String],
-      compareCols: Seq[String]): Map[String, Long] = {
+      compareCols: Seq[String],
+      matchCol: String = "sourceId"): Map[String, Long] = {
     import spark.implicits._
-    val requested = ids.toDS().toDF("sourceId")
+    val requested = ids.toDS().toDF(matchCol)
     val missing = store.read(table) match {
-      case Some(dim) => requested.join(dim.select("sourceId"), Seq("sourceId"), "left_anti")
+      case Some(dim) => requested.join(dim.select(matchCol), Seq(matchCol), "left_anti")
       case None => requested
     }
     val fetched = EntrezBatch.fetchByIds(missing.as[String], fetcher)
