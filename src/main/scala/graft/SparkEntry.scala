@@ -677,6 +677,84 @@ object SparkEntry {
           coalesce(col("n_out"), lit(0L)).cast("long").as("n_out"))
     }),
 
+    // G18 — DOCM variant loader (docm/index.js:33-165): F4 notation
+    // fixes, variant_type-routed genomic composition, chromosome
+    // sourceId-OR-name resolve (J7), protein-fatal vs genomic-non-fatal
+    // failure isolation, genomic→protein Infers.
+    "g18_docm" -> ((s, dir) => {
+      import s.implicits._
+      import sources.Docm.DocmRecord
+      val store = new core.PersistentGraphStore(s,
+        java.nio.file.Files.createTempDirectory("graft-g18").toString)
+      val records = Seq(
+        DocmRecord("r1", "p.G12D", "KRAS", "12", "GRCh37",
+          25398284L, 25398284L, "C", "T", "SNV"),
+        DocmRecord("r2", "p.W22-", "KRAS", "12", "GRCh37",
+          100L, 100L, "A", "-", "DEL"),
+        DocmRecord("r3", "p.GG12GV", "KRAS", "chr12", "GRCh37",
+          200L, 201L, "GG", "GV", "DELINS"),
+        DocmRecord("r4", "p.M1_A2insK", "KRAS", "12", "GRCh37",
+          300L, 301L, "-", "AAG", "INS"),
+        DocmRecord("r5", "p.V600E", "BRAF", "MT", "GRCh37",
+          1L, 1L, "A", "T", "SNV"),
+        DocmRecord("r6", "p.G12D", "UNKNOWN", "12", "GRCh37",
+          1L, 1L, "A", "T", "SNV"))
+      val genes = Seq(("KRAS", "3845"), ("BRAF", "673")).toDF("symbol", "sourceId")
+      val chroms = Seq(("12", "chr12")).toDF("sourceId", "name")
+      val vocab = Seq(("substitution", "t:sub"), ("deletion", "t:del"),
+        ("insertion", "t:ins"), ("indel", "t:indel"))
+        .toDF("name", "term_id")
+      val run = () => sources.Docm.load(s, store, records, genes, chroms, vocab)
+      val c1 = run()
+      run() // idempotency pass
+      val vars = store.read("variants").get
+        .select(concat(lit("variant:"), col("form")).as("kind"),
+          col("vid").as("a"), col("term").as("b"),
+          concat(coalesce(col("break1"), lit("-")), lit("|"),
+            coalesce(col("assembly"), lit("-"))).as("c"))
+      val edges = store.read("edges").get
+        .select(lit("infers").as("kind"), col("out").as("a"),
+          col("in").as("b"), lit("").as("c"))
+      val counts = Seq(("count:record_errors",
+        c1("record_errors").toString, "", "")).toDF("kind", "a", "b", "c")
+      vars.unionByName(edges).unionByName(counts)
+    }),
+
+    // G17 — DGIdb interactions (dgidb/index.js:30-86) composed over the
+    // entrez hydrate + chembl load: gene + drug resolved against the
+    // pre-loaded dims, TargetOf edges with the canonical sorted
+    // actionType, unresolvable records counted as errors and skipped.
+    "g17_dgidb" -> ((s, dir) => {
+      import s.implicits._
+      import sources.Dgidb.Interaction
+      val store = new core.PersistentGraphStore(s,
+        java.nio.file.Files.createTempDirectory("graft-g17").toString)
+      sources.Entrez.hydrate(s, store, "genes", Seq("3845"),
+        sources.Entrez.fileFetcher(
+          Map("3845" -> s"$REF_DATA/entrez_gene.3845.json")),
+        sources.Entrez.parseGene(_), Seq("sourceId"),
+        Seq("biotype", "name", "displayName", "longName", "description", "url"))
+      sources.Chembl.load(s, store, s"$REF_DATA/chembl.CHEMBL553.json")
+      val records = Seq(
+        Interaction("u1", "3845", "chembl:CHEMBL553",
+          Seq("Inhibitor", " antagonist ")),
+        Interaction("u2", "9999", "chembl:CHEMBL553", Seq("inhibitor")),
+        Interaction("u3", "3845", "chembl:MISSING", Seq("agonist")))
+      val run = () => sources.Dgidb.load(s, store, records,
+        store.read("genes").get, store.read("therapies").get)
+      val c1 = run()
+      run() // idempotency pass: the TargetOf edge must not duplicate
+      val edges = store.read("edges").get.filter(col("edgeClass") === "TargetOf")
+        .select(lit("targetof").as("kind"), col("out").as("a"),
+          col("in").as("b"),
+          concat(col("actionType"), lit("|"), col("uuid")).as("c"))
+      val counts = Seq(
+        ("count:success", c1("success").toString, "", ""),
+        ("count:error", c1("error").toString, "", ""))
+        .toDF("kind", "a", "b", "c")
+      edges.unionByName(counts)
+    }),
+
     // G16 — MOAlmanac small-mutation loader (moa/index.js:48-188) over
     // the four jest `loadSmallMutation` cases (test/moa.test.js:140-221)
     // plus a full genomic+cds+protein+exon ladder and a germline
@@ -2737,6 +2815,40 @@ object SparkEntry {
         |SELECT usan_stem_definition, usan_stem_definition, usan_stem_definition,
         |  NULL, CAST(0 AS BIGINT)
         |FROM m WHERE usan_stem_definition IS NOT NULL""".stripMargin,
+    // g18: frozen from the implementation once, cross-checked against
+    // docm/index.js:33-90 by hand (fix rewrites, variant_type routing,
+    // assembly lowercase, failure isolation of r5/r6).
+    "g18_docm" ->
+      """SELECT CAST(kind AS VARCHAR) AS kind, CAST(a AS VARCHAR) AS a,
+        |  CAST(b AS VARCHAR) AS b, CAST(c AS VARCHAR) AS c FROM (VALUES
+        |('count:record_errors', '1', '', ''),
+        |('infers', '12:12:g.100delA@t:del', '3845:p.W22delW@t:del', ''),
+        |('infers', '12:12:g.25398284C>T@t:sub', '3845:p.G12D@t:sub', ''),
+        |('infers', '12:12:g.300_301insAAG@t:ins', '3845:p.M1_A2insK@t:ins', ''),
+        |('infers', '12:chr12:g.200_201delGGinsGV@t:indel', '3845:p.G13delGinsV@t:indel', ''),
+        |('variant:genomic', '12:12:g.100delA@t:del', 't:del', 'g.100|grch37'),
+        |('variant:genomic', '12:12:g.25398284C>T@t:sub', 't:sub', 'g.25398284|grch37'),
+        |('variant:genomic', '12:12:g.300_301insAAG@t:ins', 't:ins', 'g.300|grch37'),
+        |('variant:genomic', '12:chr12:g.200_201delGGinsGV@t:indel', 't:indel', 'g.200|grch37'),
+        |('variant:protein', '3845:p.G12D@t:sub', 't:sub', 'p.G12|-'),
+        |('variant:protein', '3845:p.G13delGinsV@t:indel', 't:indel', 'p.G13|-'),
+        |('variant:protein', '3845:p.M1_A2insK@t:ins', 't:ins', 'p.M1|-'),
+        |('variant:protein', '3845:p.W22delW@t:del', 't:del', 'p.W22|-'),
+        |('variant:protein', '673:p.V600E@t:sub', 't:sub', 'p.V600|-')
+        |) AS t(kind, a, b, c)""".stripMargin,
+    "g17_dgidb" ->
+      """WITH g AS (
+        |  SELECT r."3845".uid AS uid FROM (SELECT result AS r
+        |    FROM read_json_auto('/root/reference/test/data/entrez_gene.3845.json'))
+        |), m AS (
+        |  SELECT molecule_chembl_id AS cid
+        |  FROM read_json_auto('/root/reference/test/data/chembl.CHEMBL553.json')
+        |)
+        |SELECT 'targetof' AS kind, uid AS a, cid AS b,
+        |       'antagonist;inhibitor|u1' AS c
+        |FROM g, m
+        |UNION ALL SELECT 'count:success', '1', '', ''
+        |UNION ALL SELECT 'count:error', '2', '', ''""".stripMargin,
     // g16: frozen from the implementation once, cross-checked against the
     // jest expectations (test/moa.test.js:140-221: category content,
     // break1Repr 'e.2', annotation-term double lookup) and the Infers
