@@ -677,6 +677,55 @@ object SparkEntry {
           coalesce(col("n_out"), lit(0L)).cast("long").as("n_out"))
     }),
 
+    // G19 — cancerhotspots loader (cancerhotspots/index.js:56-243):
+    // genomic notation routing on '-'-normalized sequences, fs*? trim,
+    // per-form failure isolation (protein fatal, genomic/cds not),
+    // conditional Infers topology, statement with the oncotree disease as
+    // condition AND subject, previous-load sourceId skip.
+    "g19_cancerhotspots" -> ((s, dir) => {
+      import s.implicits._
+      import sources.CancerHotspots.HotspotRecord
+      val store = new core.PersistentGraphStore(s,
+        java.nio.file.Files.createTempDirectory("graft-g19").toString)
+      val records = Seq(
+        HotspotRecord("h1", "7", 140453136L, 140453136L, "A", "T",
+          "673", "p.V600E", "ENST00000288602", "c.1799T>A", "mel"),
+        HotspotRecord("h2", "7", 100L, 101L, "-", "AG",
+          "673", "p.P2fs*?", "ENSTMISSING", "c.4_5insAG", "mel"),
+        HotspotRecord("h3", "X", 200L, 201L, "TG", "-",
+          "1956", "p.E3_A4delEA", "ENST00000288602", "c.7_12delGAAGCA",
+          "unknown_d"),
+        HotspotRecord("h4", "7", 300L, 301L, "AA", "CGG",
+          "9999", "p.K5delKinsRG", "ENST00000288602", "c.13_15delAAGinsCG",
+          "mel"))
+      val genes = Seq("673", "1956").toDF("sourceId")
+      val chroms = Seq(("7", "chr7")).toDF("sourceId", "name")
+      val transcripts = Seq(("ENST00000288602", "transcript"))
+        .toDF("sourceId", "biotype")
+      val diseases = Seq("mel").toDF("sourceId")
+      val vocab = Seq(("substitution", "t:sub"), ("deletion", "t:del"),
+        ("insertion", "t:ins"), ("indel", "t:indel"),
+        ("frameshift", "t:fs")).toDF("name", "term_id")
+      val run = () => sources.CancerHotspots.load(s, store, records,
+        genes, chroms, transcripts, diseases, vocab)
+      val c1 = run()
+      run() // idempotency + previous-load skip pass
+      val vars = store.read("variants").get
+        .select(concat(lit("variant:"), col("form")).as("kind"),
+          col("vid").as("a"), col("term").as("b"),
+          coalesce(col("break1"), lit("-")).as("c"))
+      val edges = store.read("edges").get
+        .select(lit("infers").as("kind"), col("out").as("a"),
+          col("in").as("b"), lit("").as("c"))
+      val stmts = store.read("statements").get
+        .select(lit("statement").as("kind"), col("sourceId").as("a"),
+          concat(col("relevance"), lit("|"), col("subject")).as("b"),
+          array_join(col("conditions"), ",").as("c"))
+      val counts = Seq(("count:record_errors",
+        c1("record_errors").toString, "", "")).toDF("kind", "a", "b", "c")
+      vars.unionByName(edges).unionByName(stmts).unionByName(counts)
+    }),
+
     // G18 — DOCM variant loader (docm/index.js:33-165): F4 notation
     // fixes, variant_type-routed genomic composition, chromosome
     // sourceId-OR-name resolve (J7), protein-fatal vs genomic-non-fatal
@@ -2815,6 +2864,27 @@ object SparkEntry {
         |SELECT usan_stem_definition, usan_stem_definition, usan_stem_definition,
         |  NULL, CAST(0 AS BIGINT)
         |FROM m WHERE usan_stem_definition IS NOT NULL""".stripMargin,
+    // g19: frozen from the implementation once, cross-checked against
+    // cancerhotspots/index.js:80-201 by hand (notation routing, fs trim,
+    // h3's lost genomic + skipped statement, h4's fatal gene miss).
+    "g19_cancerhotspots" ->
+      """SELECT CAST(kind AS VARCHAR) AS kind, CAST(a AS VARCHAR) AS a,
+        |  CAST(b AS VARCHAR) AS b, CAST(c AS VARCHAR) AS c FROM (VALUES
+        |('count:record_errors', '1', '', ''),
+        |('infers', '7:7:g.100_101insAG@t:ins', '673:p.P2fs@t:fs', ''),
+        |('infers', '7:7:g.140453136A>T@t:sub', 'ENST00000288602:c.1799T>A@t:sub', ''),
+        |('infers', 'ENST00000288602:c.1799T>A@t:sub', '673:p.V600E@t:sub', ''),
+        |('infers', 'ENST00000288602:c.7_12delGAAGCA@t:del', '1956:p.E3_A4delEA@t:del', ''),
+        |('statement', 'h1', 'mutation hotspot|mel', '673:p.V600E@t:sub,mel'),
+        |('statement', 'h2', 'mutation hotspot|mel', '673:p.P2fs@t:fs,mel'),
+        |('variant:cds', 'ENST00000288602:c.1799T>A@t:sub', 't:sub', 'c.1799'),
+        |('variant:cds', 'ENST00000288602:c.7_12delGAAGCA@t:del', 't:del', 'c.7'),
+        |('variant:genomic', '7:7:g.100_101insAG@t:ins', 't:ins', 'g.100'),
+        |('variant:genomic', '7:7:g.140453136A>T@t:sub', 't:sub', 'g.140453136'),
+        |('variant:protein', '1956:p.E3_A4delEA@t:del', 't:del', 'p.E3'),
+        |('variant:protein', '673:p.P2fs@t:fs', 't:fs', 'p.P2'),
+        |('variant:protein', '673:p.V600E@t:sub', 't:sub', 'p.V600')
+        |) AS t(kind, a, b, c)""".stripMargin,
     // g18: frozen from the implementation once, cross-checked against
     // docm/index.js:33-90 by hand (fix rewrites, variant_type routing,
     // assembly lowercase, failure isolation of r5/r6).
