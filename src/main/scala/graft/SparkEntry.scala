@@ -677,6 +677,48 @@ object SparkEntry {
           coalesce(col("n_out"), lit(0L)).cast("long").as("n_out"))
     }),
 
+    // G20 — OncoKB variant loader (oncokb/index.js:199-312): F3 grammar
+    // into the category-first routing, fusion reference2 resolve + flip,
+    // Other Biomarkers signature path, raw-name vocabulary fallback,
+    // unsupported/unresolvable records counted as errors.
+    "g20_oncokb" -> ((s, dir) => {
+      import s.implicits._
+      import sources.OncoKb.OncoKbVariant
+      val store = new core.PersistentGraphStore(s,
+        java.nio.file.Files.createTempDirectory("graft-g20").toString)
+      val records = Seq(
+        OncoKbVariant("r1", "BRAF", "V600E", "673"),
+        OncoKbVariant("r2", "BCR", "BCR-ABL1 Fusion", "613"),
+        OncoKbVariant("r3", "ABL1", "BCR-ABL1 Fusion", "25"),
+        OncoKbVariant("r4", "EGFR", "Amplification", "1956"),
+        OncoKbVariant("r5", "KRAS", "Oncogenic Mutations", "3845"),
+        OncoKbVariant("r6", "MET", "Exon 14 splice mutation", "4233"),
+        OncoKbVariant("r7", "Other Biomarkers",
+          "Microsatellite Instability-High", ""),
+        OncoKbVariant("r8", "Other Biomarkers", "TMB-H", ""))
+      val genes = Seq(("673", "BRAF"), ("25", "ABL1"), ("613", "BCR"),
+        ("1956", "EGFR"), ("3845", "KRAS"), ("4233", "MET"))
+        .toDF("sourceId", "symbol")
+      val signatures = Seq(("microsatellite instability", "sig:msi"))
+        .toDF("name", "sourceId")
+      val vocab = Seq(("fusion", "t:fusion"), ("amplification", "t:amp"),
+        ("oncogenic mutation", "t:onco"), ("strong signature", "t:sig"),
+        ("substitution", "t:sub"), ("splice-site", "t:spl"))
+        .toDF("name", "term_id")
+      val run = () => sources.OncoKb.load(s, store, records, genes,
+        signatures, vocab)
+      val c1 = run()
+      run() // idempotency pass
+      val vars = store.read("variants").get
+        .select(concat(lit("variant:"), col("form")).as("kind"),
+          col("vid").as("a"), col("term").as("b"),
+          concat(coalesce(col("break1"), lit("-")), lit("|"),
+            coalesce(col("reference2"), lit("-"))).as("c"))
+      val counts = Seq(("count:error", c1("error").toString, "", ""))
+        .toDF("kind", "a", "b", "c")
+      vars.unionByName(counts)
+    }),
+
     // G19 — cancerhotspots loader (cancerhotspots/index.js:56-243):
     // genomic notation routing on '-'-normalized sequences, fs*? trim,
     // per-form failure isolation (protein fatal, genomic/cds not),
@@ -2864,6 +2906,20 @@ object SparkEntry {
         |SELECT usan_stem_definition, usan_stem_definition, usan_stem_definition,
         |  NULL, CAST(0 AS BIGINT)
         |FROM m WHERE usan_stem_definition IS NOT NULL""".stripMargin,
+    // g20: frozen from the implementation once, cross-checked against
+    // oncokb/index.js:199-312 (category-first routing, r2/r3 flipped
+    // fusion dedup to one variant, biomarker signature path, r8 error).
+    "g20_oncokb" ->
+      """SELECT CAST(kind AS VARCHAR) AS kind, CAST(a AS VARCHAR) AS a,
+        |  CAST(b AS VARCHAR) AS b, CAST(c AS VARCHAR) AS c FROM (VALUES
+        |('count:error', '1', '', ''),
+        |('variant:category', '1956:Amplification@t:amp', 't:amp', '-|-'),
+        |('variant:category', '3845:oncogenic mutation@t:onco', 't:onco', '-|-'),
+        |('variant:category', '613::25:fusion@t:fusion', 't:fusion', '-|25'),
+        |('variant:category', 'sig:msi:strong signature@t:sig', 't:sig', '-|-'),
+        |('variant:positional', '4233:e.14spl@t:spl', 't:spl', 'e.14|-'),
+        |('variant:positional', '673:p.v600e@t:sub', 't:sub', 'p.V600|-')
+        |) AS t(kind, a, b, c)""".stripMargin,
     // g19: frozen from the implementation once, cross-checked against
     // cancerhotspots/index.js:80-201 by hand (notation routing, fs trim,
     // h3's lost genomic + skipped statement, h4's fatal gene miss).
