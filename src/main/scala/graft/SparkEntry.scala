@@ -677,6 +677,33 @@ object SparkEntry {
           coalesce(col("n_out"), lit(0L)).cast("long").as("n_out"))
     }),
 
+    // G21 — CGI row parsing (cancergenomeinterpreter/index.js:73-190):
+    // concomitant-biomarker cartesian expansion, protein-list rewrite
+    // with the variantClass suffix, exon phrases, fusion pairs, evidence
+    // routing with guideline drops, therapy drugFamily fallback; errors
+    // to the K10 side-channel.
+    "g21_cgi" -> ((s, dir) => {
+      import sources.Cgi.CgiRow
+      val rows = Seq(
+        CgiRow("c1", "BRAF (V600E)", "BRAF", "MUT", "BRAF:V600E",
+          "[Vemurafenib]", "", "PMID:21639808"),
+        CgiRow("c2", "KRAS (G12,G13)", "KRAS", "MUT", "",
+          "[]", "[MEK inhibitors]", "PMID:1;NCT00112233;FDA guidelines"),
+        CgiRow("c3", "EGFR exon 19 deletions", "EGFR", "MUT", "",
+          "[Gefitinib]", "", "PMC1234"),
+        CgiRow("c4", "CDKN2A deletion", "CDKN2A", "CNA", "",
+          "[X]", "", "PMID:2"),
+        CgiRow("c5", "BCR-ABL1 fusion", "BCR", "FUS", "",
+          "[Imatinib]", "", "PMID:3"),
+        CgiRow("c6", "BRAF (V600E) + MEK1 (P124S)", "BRAF", "MUT", "",
+          "[Trametinib]", "", "PMID:4"),
+        CgiRow("c7", "A (V1E) + B (V2E) + C (V3E)", "A", "MUT", "",
+          "[Y]", "", "PMID:5"),
+        CgiRow("c8", "MET amplification", "MET", "CNA", "",
+          "[Z]", "", "WEIRD:1"))
+      sources.Cgi.parse(s, rows)
+    }),
+
     // G20 — OncoKB variant loader (oncokb/index.js:199-312): F3 grammar
     // into the category-first routing, fusion reference2 resolve + flip,
     // Other Biomarkers signature path, raw-name vocabulary fallback,
@@ -2906,6 +2933,35 @@ object SparkEntry {
         |SELECT usan_stem_definition, usan_stem_definition, usan_stem_definition,
         |  NULL, CAST(0 AS BIGINT)
         |FROM m WHERE usan_stem_definition IS NOT NULL""".stripMargin,
+    // g21: frozen from the implementation once, cross-checked against
+    // cgi/index.js:73-190 by hand (cartesian c6, dead CNA fold on c4,
+    // guideline drop on c2, error isolation c7/c8).
+    "g21_cgi" ->
+      """SELECT CAST(rowId AS VARCHAR) AS "rowId", CAST(kind AS VARCHAR) AS kind,
+        |  CAST(comboIdx AS BIGINT) AS "comboIdx", CAST(value AS VARCHAR) AS value
+        |FROM (VALUES
+        |('c1', 'combo', 0, 'BRAF:p.V600E'),
+        |('c1', 'evidence', 0, '21639808'),
+        |('c1', 'therapy', 0, 'Vemurafenib'),
+        |('c2', 'combo', 0, 'KRAS:p.G12mut'),
+        |('c2', 'combo', 1, 'KRAS:p.G13mut'),
+        |('c2', 'evidence', 0, '1,NCT00112233'),
+        |('c2', 'therapy', 0, 'MEK inhibitors'),
+        |('c3', 'combo', 0, 'EGFR:e.19del'),
+        |('c3', 'evidence', 0, 'PMC1234'),
+        |('c3', 'therapy', 0, 'Gefitinib'),
+        |('c4', 'combo', 0, 'CDKN2A deletion'),
+        |('c4', 'evidence', 0, '2'),
+        |('c4', 'therapy', 0, 'X'),
+        |('c5', 'combo', 0, 'BCR::ABL1:fusion'),
+        |('c5', 'evidence', 0, '3'),
+        |('c5', 'therapy', 0, 'Imatinib'),
+        |('c6', 'combo', 0, 'BRAF:p.V600E AND MEK1:p.P124S'),
+        |('c6', 'evidence', 0, '4'),
+        |('c6', 'therapy', 0, 'Trametinib'),
+        |('c7', 'error', 0, 'Missing logic to process variant combinations of 3 or more'),
+        |('c8', 'error', 0, 'cannot process non-pubmed/nct/aacr/asco evidence WEIRD:1')
+        |) AS t("rowId", kind, "comboIdx", value)""".stripMargin,
     // g20: frozen from the implementation once, cross-checked against
     // oncokb/index.js:199-312 (category-first routing, r2/r3 flipped
     // fusion dedup to one variant, biomarker signature path, r8 error).
