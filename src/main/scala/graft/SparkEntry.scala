@@ -677,6 +677,58 @@ object SparkEntry {
           coalesce(col("n_out"), lit(0L)).cast("long").as("n_out"))
     }),
 
+    // G22 — uberon OWL load (uberon/index.js:36-207) on an inline RDF/XML
+    // sample: label-gated entities, subset URL parsing, deprecated flag,
+    // both-ends-loaded subclassof, ncit-gated crossreferenceof.
+    "g22_uberon" -> ((s, dir) => {
+      import s.implicits._
+      val owl =
+        """<?xml version="1.0"?>
+          |<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+          |    xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+          |    xmlns:owl="http://www.w3.org/2002/07/owl#"
+          |    xmlns:obo="http://purl.obolibrary.org/obo/"
+          |    xmlns:oboInOwl="http://www.geneontology.org/formats/oboInOwl#">
+          |  <owl:Class rdf:about="http://purl.obolibrary.org/obo/UBERON_0000001">
+          |    <rdfs:label>anatomical structure</rdfs:label>
+          |    <obo:IAO_0000115>a structure</obo:IAO_0000115>
+          |    <oboInOwl:inSubset rdf:resource="http://purl.obolibrary.org/obo/uberon/core#uberon_slim"/>
+          |    <oboInOwl:hasDbXref>NCIT:C12345</oboInOwl:hasDbXref>
+          |  </owl:Class>
+          |  <owl:Class rdf:about="http://purl.obolibrary.org/obo/UBERON_0000002">
+          |    <rdfs:label>lung</rdfs:label>
+          |    <owl:deprecated>true</owl:deprecated>
+          |    <rdfs:subClassOf rdf:resource="http://purl.obolibrary.org/obo/UBERON_0000001"/>
+          |    <oboInOwl:hasDbXref>NCIT:C99999</oboInOwl:hasDbXref>
+          |  </owl:Class>
+          |  <owl:Class rdf:about="http://purl.obolibrary.org/obo/UBERON_0000003">
+          |    <obo:IAO_0000115>no label here</obo:IAO_0000115>
+          |  </owl:Class>
+          |  <owl:Class rdf:about="http://purl.obolibrary.org/obo/UBERON_0000004">
+          |    <rdfs:label>heart</rdfs:label>
+          |    <rdfs:subClassOf rdf:resource="http://purl.obolibrary.org/obo/UBERON_0000003"/>
+          |    <rdfs:subClassOf rdf:resource="http://purl.obolibrary.org/obo/UBERON_0000001"/>
+          |  </owl:Class>
+          |</rdf:RDF>""".stripMargin
+      val f = java.io.File.createTempFile("graft-g22", ".owl")
+      java.nio.file.Files.writeString(f.toPath, owl)
+      val store = new core.PersistentGraphStore(s,
+        java.nio.file.Files.createTempDirectory("graft-g22").toString)
+      val ncitDim = Seq("c12345").toDF("sourceId")
+      sources.Uberon.load(s, store, f.getPath, ncitDim)
+      sources.Uberon.load(s, store, f.getPath, ncitDim) // idempotency pass
+      val ents = store.read("anatomy").get
+        .select(lit("entity").as("kind"), col("sourceId").as("a"),
+          col("name").as("b"),
+          concat(col("deprecated").cast("string"), lit("|"),
+            array_join(col("subsets"), ","), lit("|"),
+            coalesce(col("description"), lit("-"))).as("c"))
+      val edges = store.read("edges").get
+        .select(col("edgeClass").as("kind"), col("out").as("a"),
+          col("in").as("b"), lit("").as("c"))
+      ents.unionByName(edges)
+    }),
+
     // G21 — CGI row parsing (cancergenomeinterpreter/index.js:73-190):
     // concomitant-biomarker cartesian expansion, protein-list rewrite
     // with the variantClass suffix, exon phrases, fusion pairs, evidence
@@ -2933,6 +2985,19 @@ object SparkEntry {
         |SELECT usan_stem_definition, usan_stem_definition, usan_stem_definition,
         |  NULL, CAST(0 AS BIGINT)
         |FROM m WHERE usan_stem_definition IS NOT NULL""".stripMargin,
+    // g22: frozen from the implementation once, cross-checked against
+    // uberon/index.js:36-207 (label gate on 0000003, both-ends subclass
+    // gate, ncit-dim xref gate, parseSubsetName keeping the fragment).
+    "g22_uberon" ->
+      """SELECT CAST(kind AS VARCHAR) AS kind, CAST(a AS VARCHAR) AS a,
+        |  CAST(b AS VARCHAR) AS b, CAST(c AS VARCHAR) AS c FROM (VALUES
+        |('crossreferenceof', 'uberon:0000001', 'c12345', ''),
+        |('entity', 'uberon:0000001', 'anatomical structure', 'false|core#uberon_slim|a structure'),
+        |('entity', 'uberon:0000002', 'lung', 'true||-'),
+        |('entity', 'uberon:0000004', 'heart', 'false||-'),
+        |('subclassof', 'uberon:0000002', 'uberon:0000001', ''),
+        |('subclassof', 'uberon:0000004', 'uberon:0000001', '')
+        |) AS t(kind, a, b, c)""".stripMargin,
     // g21: frozen from the implementation once, cross-checked against
     // cgi/index.js:73-190 by hand (cartesian c6, dead CNA fold on c4,
     // guideline drop on c2, error isolation c7/c8).
