@@ -677,6 +677,44 @@ object SparkEntry {
           coalesce(col("n_out"), lit(0L)).cast("long").as("n_out"))
     }),
 
+    // G23 — COSMIC resistance variant ladder (cosmic/resistance.js:
+    // 56-206): ensembl-referenced protein/cds forms, the entrez-first
+    // hgnc-fallback general protein, chromosome-gated genomic with
+    // GRCh38, the catalog variant, and the four Infers link rules.
+    "g23_cosmic_resistance" -> ((s, dir) => {
+      import s.implicits._
+      import sources.CosmicResistance.ResistanceRecord
+      val store = new core.PersistentGraphStore(s,
+        java.nio.file.Files.createTempDirectory("graft-g23").toString)
+      val records = Seq(
+        ResistanceRecord("m1", "BRAF_ENST00000288602",
+          "ENSP00000288602.7:p.V600E", "ENST00000288602.11:c.1799T>A",
+          "7:g.140753336A>T", "COSM476"),
+        ResistanceRecord("m2", "NOGENE_ENST00000000001",
+          "ENSP00000000001.1:p.G12D", "", "", "COSM1"),
+        ResistanceRecord("m3", "LEGACY_ENST00000000002",
+          "ENSP00000000002.1:p.L858R", "", "7:g.55191822T>G", "COSM2"),
+        ResistanceRecord("m4", "KRAS_ENST00000311936",
+          "ENSP00000308495.3:p.G12C", "ENST00000311936.7:c.34G>T",
+          "MT:g.100A>T", "COSM3"))
+      val genes = Seq(("BRAF", "673"), ("KRAS", "3845")).toDF("symbol", "sourceId")
+      val hgnc = Seq(("LEGACY", "hgnc:9999")).toDF("symbol", "sourceId")
+      val chroms = Seq("7").toDF("sourceId")
+      val vocab = Seq(("substitution", "t:sub")).toDF("name", "term_id")
+      val run = () => sources.CosmicResistance.load(s, store, records,
+        genes, hgnc, chroms, vocab)
+      run(); run() // idempotency pass
+      val vars = store.read("variants").get
+        .select(concat(lit("variant:"), col("form")).as("kind"),
+          col("vid").as("a"), coalesce(col("term"), lit("-")).as("b"),
+          concat(coalesce(col("break1"), lit("-")), lit("|"),
+            coalesce(col("assembly"), lit("-"))).as("c"))
+      val edges = store.read("edges").get
+        .select(lit("infers").as("kind"), col("out").as("a"),
+          col("in").as("b"), lit("").as("c"))
+      vars.unionByName(edges)
+    }),
+
     // G22 — uberon OWL load (uberon/index.js:36-207) on an inline RDF/XML
     // sample: label-gated entities, subset URL parsing, deprecated flag,
     // both-ends-loaded subclassof, ncit-gated crossreferenceof.
@@ -2985,6 +3023,39 @@ object SparkEntry {
         |SELECT usan_stem_definition, usan_stem_definition, usan_stem_definition,
         |  NULL, CAST(0 AS BIGINT)
         |FROM m WHERE usan_stem_definition IS NOT NULL""".stripMargin,
+    // g23: frozen from the implementation once, cross-checked against
+    // cosmic/resistance.js:56-206 (per-form ladders of m1-m4, hgnc
+    // fallback on m3, chromosome miss on m4, catalog link coalesce).
+    "g23_cosmic_resistance" ->
+      """SELECT CAST(kind AS VARCHAR) AS kind, CAST(a AS VARCHAR) AS a,
+        |  CAST(b AS VARCHAR) AS b, CAST(c AS VARCHAR) AS c FROM (VALUES
+        |('infers', '7:7:g.140753336A>T@t:sub', 'ENST00000288602.11:ENST00000288602.11:c.1799T>A@t:sub', ''),
+        |('infers', '7:7:g.55191822T>G@t:sub', 'ENSP00000000002.1:ENSP00000000002.1:p.L858R@t:sub', ''),
+        |('infers', 'COSM1:COSM1@-', 'ENSP00000000001.1:ENSP00000000001.1:p.G12D@t:sub', ''),
+        |('infers', 'COSM2:COSM2@-', '7:7:g.55191822T>G@t:sub', ''),
+        |('infers', 'COSM3:COSM3@-', 'ENST00000311936.7:ENST00000311936.7:c.34G>T@t:sub', ''),
+        |('infers', 'COSM476:COSM476@-', '7:7:g.140753336A>T@t:sub', ''),
+        |('infers', 'ENSP00000000002.1:ENSP00000000002.1:p.L858R@t:sub', 'hgnc:9999:ENSP00000000002.1:p.L858R@t:sub', ''),
+        |('infers', 'ENSP00000288602.7:ENSP00000288602.7:p.V600E@t:sub', '673:ENSP00000288602.7:p.V600E@t:sub', ''),
+        |('infers', 'ENSP00000308495.3:ENSP00000308495.3:p.G12C@t:sub', '3845:ENSP00000308495.3:p.G12C@t:sub', ''),
+        |('infers', 'ENST00000288602.11:ENST00000288602.11:c.1799T>A@t:sub', 'ENSP00000288602.7:ENSP00000288602.7:p.V600E@t:sub', ''),
+        |('infers', 'ENST00000311936.7:ENST00000311936.7:c.34G>T@t:sub', 'ENSP00000308495.3:ENSP00000308495.3:p.G12C@t:sub', ''),
+        |('variant:catalog', 'COSM1:COSM1@-', '-', '-|-'),
+        |('variant:catalog', 'COSM2:COSM2@-', '-', '-|-'),
+        |('variant:catalog', 'COSM3:COSM3@-', '-', '-|-'),
+        |('variant:catalog', 'COSM476:COSM476@-', '-', '-|-'),
+        |('variant:cds', 'ENST00000288602.11:ENST00000288602.11:c.1799T>A@t:sub', 't:sub', 'c.1799|-'),
+        |('variant:cds', 'ENST00000311936.7:ENST00000311936.7:c.34G>T@t:sub', 't:sub', 'c.34|-'),
+        |('variant:general', '3845:ENSP00000308495.3:p.G12C@t:sub', 't:sub', 'p.G12|-'),
+        |('variant:general', '673:ENSP00000288602.7:p.V600E@t:sub', 't:sub', 'p.V600|-'),
+        |('variant:general', 'hgnc:9999:ENSP00000000002.1:p.L858R@t:sub', 't:sub', 'p.L858|-'),
+        |('variant:genomic', '7:7:g.140753336A>T@t:sub', 't:sub', 'g.140753336|grch38'),
+        |('variant:genomic', '7:7:g.55191822T>G@t:sub', 't:sub', 'g.55191822|grch38'),
+        |('variant:protein', 'ENSP00000000001.1:ENSP00000000001.1:p.G12D@t:sub', 't:sub', 'p.G12|-'),
+        |('variant:protein', 'ENSP00000000002.1:ENSP00000000002.1:p.L858R@t:sub', 't:sub', 'p.L858|-'),
+        |('variant:protein', 'ENSP00000288602.7:ENSP00000288602.7:p.V600E@t:sub', 't:sub', 'p.V600|-'),
+        |('variant:protein', 'ENSP00000308495.3:ENSP00000308495.3:p.G12C@t:sub', 't:sub', 'p.G12|-')
+        |) AS t(kind, a, b, c)""".stripMargin,
     // g22: frozen from the implementation once, cross-checked against
     // uberon/index.js:36-207 (label gate on 0000003, both-ends subclass
     // gate, ncit-dim xref gate, parseSubsetName keeping the fragment).
