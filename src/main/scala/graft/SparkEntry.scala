@@ -677,6 +677,69 @@ object SparkEntry {
           coalesce(col("n_out"), lit(0L)).cast("long").as("n_out"))
     }),
 
+    // G24 — COSMIC fusions recurrence rollup (cosmic/fusions.js:36-225):
+    // three specificity levels with >=3-distinct-sample gating,
+    // success-only suppression of less-specific groups, NS folds, the
+    // level-2 cancer override, and per-group disease-miss errors.
+    "g24_cosmic_fusions" -> ((s, dir) => {
+      import s.implicits._
+      import sources.CosmicFusions.FusionRow
+      val store = new core.PersistentGraphStore(s,
+        java.nio.file.Files.createTempDirectory("graft-g24").toString)
+      val rows = Seq(
+        FusionRow("a1", "f1", "s1", "BRAF_ENST00000288602", "MEK1", "10", "2",
+          "melanoma", "skin", "p1"),
+        FusionRow("a2", "f1", "s2", "BRAF_ENST00000288602", "MEK1", "10", "2",
+          "melanoma", "skin", "p1"),
+        FusionRow("a3", "f1", "s3", "BRAF_ENST00000288602", "MEK1", "10", "2",
+          "melanoma", "skin", "p2"),
+        FusionRow("a4", "f1", "s3", "BRAF_ENST00000288602", "MEK1", "10", "2",
+          "melanoma", "skin", "p2"),
+        FusionRow("b1", "f2", "s10", "EWSR1", "FLI1_X", "7", "6",
+          "sarcoma", "soft tissue", "p3"),
+        FusionRow("b2", "f2", "s11", "EWSR1", "FLI1_X", "7", "6",
+          "sarcoma", "soft tissue", "p3"),
+        FusionRow("b3", "f2", "s12", "EWSR1", "FLI1_X", "8", "6",
+          "sarcoma", "soft tissue", "p3"),
+        FusionRow("c1", "f3", "s20", "BCR", "ABL1", "1", "2",
+          "aml", "blood", "p4"),
+        FusionRow("c2", "f3", "s21", "BCR", "ABL1", "3", "4",
+          "cml", "blood", "p4"),
+        FusionRow("c3", "f3", "s22", "BCR", "ABL1", "5", "6",
+          "NS", "NS", "p4"),
+        FusionRow("d1", "f4", "s30", "GX", "GY", "1", "1",
+          "braintumor", "cns", "p5"),
+        FusionRow("d2", "f4", "s31", "GX", "GY", "1", "1",
+          "braintumor", "cns", "p5"),
+        FusionRow("e1", "f5", "s40", "AA", "BB", "2", "3",
+          "mysterydisease", "", "p6"),
+        FusionRow("e2", "f5", "s41", "AA", "BB", "2", "3",
+          "mysterydisease", "", "p6"),
+        FusionRow("e3", "f5", "s42", "AA", "BB", "2", "3",
+          "mysterydisease", "", "p6"))
+      val diseases = Seq(("melanoma", "d:mel"), ("sarcoma", "d:sarc"),
+        ("cancer", "d:cancer")).toDF("name", "sourceId")
+      val run = () => sources.CosmicFusions.load(s, store, rows, diseases)
+      val c1 = run()
+      run() // idempotency pass
+      val vars = store.read("variants").get
+        .select(concat(lit("variant:"), col("form")).as("kind"),
+          col("vid").as("a"),
+          concat(coalesce(col("break1"), lit("-")), lit("|"),
+            coalesce(col("break2"), lit("-"))).as("b"), lit("").as("c"))
+      val edges = store.read("edges").get
+        .select(lit("infers").as("kind"), col("out").as("a"),
+          col("in").as("b"), lit("").as("c"))
+      val stmts = store.read("statements").get
+        .select(lit("statement").as("kind"), col("sourceId").as("a"),
+          concat(col("level"), lit("|"), col("condition"), lit("|"),
+            col("subject")).as("b"),
+          col("n_samples").cast("string").as("c"))
+      val counts = Seq(("count:error", c1("error").toString, "", ""))
+        .toDF("kind", "a", "b", "c")
+      vars.unionByName(edges).unionByName(stmts).unionByName(counts)
+    }),
+
     // G23 — COSMIC resistance variant ladder (cosmic/resistance.js:
     // 56-206): ensembl-referenced protein/cds forms, the entrez-first
     // hgnc-fallback general protein, chromosome-gated genomic with
@@ -3023,6 +3086,24 @@ object SparkEntry {
         |SELECT usan_stem_definition, usan_stem_definition, usan_stem_definition,
         |  NULL, CAST(0 AS BIGINT)
         |FROM m WHERE usan_stem_definition IS NOT NULL""".stripMargin,
+    // g24: frozen from the implementation once, cross-checked against
+    // cosmic/fusions.js:36-225 (level gating A/B/C, success-only
+    // suppression with E erroring at levels 0-1 then landing at level 2).
+    "g24_cosmic_fusions" ->
+      """SELECT CAST(kind AS VARCHAR) AS kind, CAST(a AS VARCHAR) AS a,
+        |  CAST(b AS VARCHAR) AS b, CAST(c AS VARCHAR) AS c FROM (VALUES
+        |('count:error', '2', '', ''),
+        |('infers', 'BRAF::MEK1:fus(e.10,e.2)', 'BRAF::MEK1:fusion', ''),
+        |('statement', 'a1', '0|BRAF::MEK1:fus(e.10,e.2)|d:mel', '3'),
+        |('statement', 'b1', '1|EWSR1::FLI1:fusion|d:sarc', '3'),
+        |('statement', 'c1', '2|BCR::ABL1:fusion|d:cancer', '3'),
+        |('statement', 'e1', '2|AA::BB:fusion|d:cancer', '3'),
+        |('variant:category', 'AA::BB:fusion', '-|-', ''),
+        |('variant:category', 'BCR::ABL1:fusion', '-|-', ''),
+        |('variant:category', 'BRAF::MEK1:fusion', '-|-', ''),
+        |('variant:category', 'EWSR1::FLI1:fusion', '-|-', ''),
+        |('variant:positional', 'BRAF::MEK1:fus(e.10,e.2)', 'e.10|e.2', '')
+        |) AS t(kind, a, b, c)""".stripMargin,
     // g23: frozen from the implementation once, cross-checked against
     // cosmic/resistance.js:56-206 (per-form ladders of m1-m4, hgnc
     // fallback on m3, chromosome miss on m4, catalog link coalesce).

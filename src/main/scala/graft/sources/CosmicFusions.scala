@@ -1,0 +1,154 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.PersistentGraphStore
+
+/** COSMIC fusions recurrence loader (reference src/cosmic/fusions.js:
+  * 36-225): a three-level recurrence rollup with specificity suppression —
+  *  - preprocess: 'NS' disease/family fold to empty, the all-empty
+  *    fallback to 'cancer', gene `_`-suffix strip, and the
+  *    exon-specific / non-specific fusion variant strings (:163-186);
+  *  - level 0 groups on (variant, diseaseFamily, disease), level 1 on
+  *    (nonSpecificVariant, diseaseFamily, disease), level 2 on
+  *    (nonSpecificVariant) alone; a group is recurrent when it spans >= 3
+  *    DISTINCT samples (:189-199 getSampleCount + RECURRENCE_THRESHOLD);
+  *  - a winner at one level SUPPRESSES its representative's less-specific
+  *    groups at later levels (:216-221 `processed` blocking);
+  *  - each winner yields the general fusion CategoryVariant (+ the
+  *    exon-specific PositionalVariant and its Infers edge at level 0,
+  *    :44-80) and one recurrence statement whose condition is the most
+  *    specific variant, whose disease resolves by name — level 2 is
+  *    overridden to 'cancer' (:207-210) — and a disease miss errors the
+  *    whole group before anything is created (:187).
+  *
+  * Scale: the rollup is three hash aggregations with map-side distinct
+  * over (key, sampleId); suppression is two broadcast anti-joins; this is
+  * the A2 recurrence pattern composed end-to-end.
+  */
+object CosmicFusions {
+
+  val RecurrenceThreshold = 3
+
+  case class FusionRow(
+      recId: String, fusionId: String, sampleId: String,
+      gene1: String, gene2: String, exon1: String, exon2: String,
+      disease: String, diseaseFamily: String, pubmed: String)
+
+  /** Preprocessed rows (fusions.js:163-186). */
+  def preprocess(rows: DataFrame): DataFrame = {
+    val dis = when(upper(col("disease")) === "NS", lit("")).otherwise(col("disease"))
+    val fam0 = when(upper(col("diseaseFamily")) === "NS", lit(""))
+      .otherwise(col("diseaseFamily"))
+    val fam = when(dis === "" && fam0 === "", lit("cancer")).otherwise(fam0)
+    rows
+      .withColumn("g1", split(col("gene1"), "_").getItem(0))
+      .withColumn("g2", split(col("gene2"), "_").getItem(0))
+      .withColumn("disease", dis)
+      .withColumn("diseaseFamily", fam)
+      .withColumn("variant", concat(lit("("), col("g1"), lit(","), col("g2"),
+        lit(").fus(e."), col("exon1"), lit(",e."), col("exon2"), lit(")")))
+      .withColumn("nonSpecificVariant", concat(lit("("), col("g1"), lit(","),
+        col("g2"), lit(").fus(e.?,e.?)")))
+  }
+
+  private def winners(pre: DataFrame, keyCols: Seq[String]): DataFrame =
+    pre.groupBy(keyCols.map(col): _*)
+      .agg(
+        countDistinct(col("sampleId")).as("n_samples"),
+        // group[0]: the representative row — min-by-recId is the
+        // deterministic analogue of the reference's file order
+        min(struct(col("recId"), col("g1"), col("g2"), col("exon1"),
+          col("exon2"), col("disease").as("rep_disease"),
+          col("diseaseFamily").as("rep_family"),
+          col("nonSpecificVariant").as("rep_nonspec"))).as("rep"))
+      .filter(col("n_samples") >= RecurrenceThreshold)
+
+  def load(spark: SparkSession, store: PersistentGraphStore,
+      rows: Seq[FusionRow], diseases: DataFrame): Map[String, Long] = {
+    import spark.implicits._
+    val pre = preprocess(spark.createDataset(rows).toDF())
+    pre.persist()
+    try {
+      val disDim = broadcast(diseases.select(col("name").as("diseaseName"),
+        col("sourceId").as("disease_sid")))
+      // disease resolve: level 2 overridden to cancer; else name-first
+      // (sub-disease preferred over the family)
+      def resolve(w: DataFrame, level: Int): DataFrame =
+        w.withColumn("diseaseName", if (level == 2) lit("cancer")
+            else coalesce(nullif(col("rep.rep_disease"), lit("")),
+              nullif(col("rep.rep_family"), lit(""))))
+          .join(disDim, Seq("diseaseName"), "left")
+          .select(lit(level).as("level"), col("n_samples"), col("rep"),
+            col("disease_sid"))
+
+      val r0 = resolve(
+        winners(pre, Seq("variant", "diseaseFamily", "disease")), 0)
+      r0.persist()
+      val s0 = r0.filter(col("disease_sid").isNotNull)
+      // suppression: only a SUCCESSFULLY processed winner blocks its
+      // representative's less-specific groups (the reference's blocking
+      // step sits after the await, skipped when the group errors)
+      val blocked1 = s0.select(
+        col("rep.rep_nonspec").as("nonSpecificVariant"),
+        col("rep.rep_family").as("diseaseFamily"),
+        col("rep.rep_disease").as("disease"))
+      val r1 = resolve(
+        winners(pre, Seq("nonSpecificVariant", "diseaseFamily", "disease"))
+          .join(broadcast(blocked1),
+            Seq("nonSpecificVariant", "diseaseFamily", "disease"), "left_anti"),
+        1)
+      r1.persist()
+      val s1 = r1.filter(col("disease_sid").isNotNull)
+      val blocked2 = s0.select(col("rep.rep_nonspec").as("nonSpecificVariant"))
+        .unionByName(s1.select(col("rep.rep_nonspec").as("nonSpecificVariant")))
+      val r2 = resolve(
+        winners(pre, Seq("nonSpecificVariant"))
+          .join(broadcast(blocked2.distinct()),
+            Seq("nonSpecificVariant"), "left_anti"),
+        2)
+      r2.persist()
+      val resolved = r0.unionByName(r1).unionByName(r2)
+      try {
+        // a disease miss errors the group BEFORE any variant is created
+        val live = resolved.filter(col("disease_sid").isNotNull)
+          .withColumn("general_vid", concat(col("rep.g1"), lit("::"),
+            col("rep.g2"), lit(":fusion")))
+          .withColumn("specific_vid", when(col("level") === 0,
+            concat(col("rep.g1"), lit("::"), col("rep.g2"), lit(":fus(e."),
+              col("rep.exon1"), lit(",e."), col("rep.exon2"), lit(")"))))
+        live.persist()
+        try {
+          val general = live.select(col("general_vid").as("vid"),
+            lit("category").as("form"), lit(null).cast("string").as("break1"),
+            lit(null).cast("string").as("break2"))
+          val specific = live.filter(col("specific_vid").isNotNull)
+            .select(col("specific_vid").as("vid"), lit("positional").as("form"),
+              concat(lit("e."), col("rep.exon1")).as("break1"),
+              concat(lit("e."), col("rep.exon2")).as("break2"))
+          val counts = store.merge("variants",
+            general.unionByName(specific).dropDuplicates("vid"),
+            keyCols = Seq("vid"), compareCols = Seq("form", "break1", "break2"))
+          val e = store.upsertEdges(live.filter(col("specific_vid").isNotNull)
+            .select(col("specific_vid").as("out"), col("general_vid").as("in"),
+              lit("Infers").as("edgeClass")).distinct())
+          val sc = store.merge("statements",
+            live.select(col("rep.recId").as("sourceId"),
+              col("level").cast("long").as("level"),
+              lit("recurrent").as("relevance"),
+              coalesce(col("specific_vid"), col("general_vid")).as("condition"),
+              col("disease_sid").as("subject"),
+              col("n_samples").cast("long").as("n_samples")),
+            keyCols = Seq("sourceId"),
+            compareCols = Seq("level", "relevance", "condition", "subject",
+              "n_samples"))
+          val errors = resolved.filter(col("disease_sid").isNull).count()
+          counts ++ e.map { case (k, v) => s"edges_$k" -> v } ++
+            sc.map { case (k, v) => s"statements_$k" -> v } +
+            ("error" -> errors)
+        } finally live.unpersist()
+      } finally { r0.unpersist(); r1.unpersist(); r2.unpersist() }
+    } finally pre.unpersist()
+  }
+}
