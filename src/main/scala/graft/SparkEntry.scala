@@ -677,6 +677,46 @@ object SparkEntry {
           coalesce(col("n_out"), lit(0L)).cast("long").as("n_out"))
     }),
 
+    // G25 — FDA approvals announcement scrape (fdaApprovals/index.js:
+    // 40-137): blacklisted-link harvest, h1/article extraction, the
+    // one-distinct-year rule, CuratedContent upsert, missing-page errors.
+    "g25_fda_approvals" -> ((s, dir) => {
+      import s.implicits._
+      val index =
+        """<html><body><nav><a href="/drugs">Drugs</a>
+          |<a href="/drugs/development-approval-process-drugs">Process</a></nav>
+          |<main><a href="/drugs/resources/announce-1">One</a>
+          |<a href="/drugs/resources/announce-1">One again</a>
+          |<a href="/drugs/resources/announce-2">Two</a>
+          |<a href="/drugs/resources/announce-404">Gone</a>
+          |<a href="/vaccines/other">Other</a></main></body></html>""".stripMargin
+      val p1 =
+        """<html><body><h1 class="content-title">FDA approves drugx for melanoma</h1>
+          |<article><p>On January 15, 2020 the FDA approved drugx.</p>
+          |<p>Submitted Jan. 3, 2020 under priority review.</p></article>
+          |</body></html>""".stripMargin
+      val p2 =
+        """<html><body><h1 class="content-title">FDA approves drugy</h1>
+          |<article><p>On May 1, 2019 the FDA granted approval.</p>
+          |<p>The confirmatory trial read out June 2, 2021.</p></article>
+          |</body></html>""".stripMargin
+      val store = new core.PersistentGraphStore(s,
+        java.nio.file.Files.createTempDirectory("graft-g25").toString)
+      val pages = Map("/drugs/resources/announce-1" -> p1,
+        "/drugs/resources/announce-2" -> p2)
+      val run = () => sources.FdaApprovals.load(s, store, index, pages)
+      val c1 = run()
+      run() // idempotency pass
+      val curated = store.read("curated").get
+        .select(lit("curated").as("kind"), col("sourceId").as("a"),
+          col("name").as("b"),
+          concat(coalesce(col("year"), lit("-")), lit("|"),
+            col("url")).as("c"))
+      val counts = Seq(("count:error", c1("error").toString, "", ""))
+        .toDF("kind", "a", "b", "c")
+      curated.unionByName(counts)
+    }),
+
     // G24 — COSMIC fusions recurrence rollup (cosmic/fusions.js:36-225):
     // three specificity levels with >=3-distinct-sample gating,
     // success-only suppression of less-specific groups, NS folds, the
@@ -3086,6 +3126,18 @@ object SparkEntry {
         |SELECT usan_stem_definition, usan_stem_definition, usan_stem_definition,
         |  NULL, CAST(0 AS BIGINT)
         |FROM m WHERE usan_stem_definition IS NOT NULL""".stripMargin,
+    // g25: frozen from the implementation once, cross-checked against
+    // fdaApprovals/index.js:49-105 (blacklist + dedup, one-distinct-year
+    // rule: p1 agrees on 2020, p2 conflicts -> null, missing page = 1).
+    "g25_fda_approvals" ->
+      """SELECT CAST(kind AS VARCHAR) AS kind, CAST(a AS VARCHAR) AS a,
+        |  CAST(b AS VARCHAR) AS b, CAST(c AS VARCHAR) AS c FROM (VALUES
+        |('count:error', '1', '', ''),
+        |('curated', '/drugs/resources/announce-1', 'FDA approves drugx for melanoma',
+        |  '2020|https://www.fda.gov/drugs/resources/announce-1'),
+        |('curated', '/drugs/resources/announce-2', 'FDA approves drugy',
+        |  '-|https://www.fda.gov/drugs/resources/announce-2')
+        |) AS t(kind, a, b, c)""".stripMargin,
     // g24: frozen from the implementation once, cross-checked against
     // cosmic/fusions.js:36-225 (level gating A/B/C, success-only
     // suppression with E erroring at levels 0-1 then landing at level 2).
