@@ -677,6 +677,71 @@ object SparkEntry {
           coalesce(col("n_out"), lit(0L)).cast("long").as("n_out"))
     }),
 
+    // G26 — PMC4232638 supplementary-table loader (PMC4232638/index.js:
+    // 24-170) over an inline super-header workbook: the relevance
+    // decision table (kinase oncogenes, the 'no '-prefix falsiness,
+    // multi-category skip), PMID cell parse with annotations kept in the
+    // comment, and one protein variant + statement per surviving row.
+    "g26_pmc4232638" -> ((s, dir) => {
+      import s.implicits._
+      val f = java.io.File.createTempFile("graft-g26", ".xlsx")
+      val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(f))
+      def entry(name: String, content: String): Unit = {
+        zos.putNextEntry(new java.util.zip.ZipEntry(name))
+        zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+      }
+      entry("[Content_Types].xml",
+        """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+      def cell(r: Int, c: Int, v: String) =
+        if (v.isEmpty) ""
+        else s"""<c r="${('A' + c).toChar}$r" t="inlineStr"><is><t>$v</t></is></c>"""
+      val kinase = "Change in kinase, GTPase, or other enzymatic activity (i.e. RNase)"
+      val rows = Seq(
+        Seq("Additional file 2"),
+        Seq("Gene", "Amino acid change", "Type", "Functional classification",
+          "Functional categories for oncogenes/ new cancer genes",
+          "Functional categories for TP53", "", "", "PubMed ID (PMID)"),
+        Seq("", "", "", "", kinase, "Gain of function", "Loss of function",
+          "Dominant negative activity", ""),
+        Seq("TP53", "R175H", "Tumour suppressor", "non-neutral", "",
+          "yes", "no effect", "", "123, 456 (in vitro)"),
+        Seq("TP53", "R273H", "Tumour suppressor", "non-neutral", "",
+          "no effect", "yes", "yes", ""),
+        Seq("TP53", "P72R", "Tumour suppressor", "non-neutral", "",
+          "yes", "yes", "", ""),
+        Seq("KRAS", "G12D", "Oncogene", "non-neutral", "yes",
+          "", "", "", "789"),
+        Seq("BRAF", "V600E", "Oncogene", "neutral", "yes", "", "", "", ""),
+        Seq("TP53", "R282W", "Tumour suppressor", "non-neutral", "",
+          "no effect", "yes", "no effect", "abc"))
+      val body = rows.zipWithIndex.map { case (r, ri) =>
+        s"""<row r="${ri + 1}">${r.zipWithIndex.map { case (v, ci) => cell(ri + 1, ci, v) }.mkString}</row>"""
+      }.mkString
+      entry("xl/worksheets/sheet1.xml",
+        s"""<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>$body</sheetData></worksheet>""")
+      zos.close()
+      val grid = sources.XlsxScan.df(s, f.getPath, superHeader = true)
+      val store = new core.PersistentGraphStore(s,
+        java.nio.file.Files.createTempDirectory("graft-g26").toString)
+      val genes = Seq(("TP53", "7157"), ("KRAS", "3845")).toDF("symbol", "sourceId")
+      val vocab = Seq(("gain of function", "t:gof"),
+        ("loss of function", "t:lof"), ("dominant negative", "t:domneg"),
+        ("likely gain of function", "t:lgof"), ("substitution", "t:sub"))
+        .toDF("name", "term_id")
+      val run = () => sources.Pmc4232638.load(s, store, grid, genes, vocab)
+      run(); run() // idempotency pass
+      val vars = store.read("variants").get
+        .select(lit("variant").as("kind"), col("vid").as("a"),
+          col("type_term").as("b"), col("break1").as("c"))
+      val stmts = store.read("statements").get
+        .select(lit("statement").as("kind"), col("sourceId").as("a"),
+          concat(col("relevance"), lit("|"), col("subject"), lit("|"),
+            array_join(col("conditions"), ",")).as("b"),
+          concat(array_join(col("evidence"), ","), lit("|"),
+            col("comment")).as("c"))
+      vars.unionByName(stmts)
+    }),
+
     // G25 — FDA approvals announcement scrape (fdaApprovals/index.js:
     // 40-137): blacklisted-link harvest, h1/article extraction, the
     // one-distinct-year rule, CuratedContent upsert, missing-page errors.
@@ -3126,6 +3191,21 @@ object SparkEntry {
         |SELECT usan_stem_definition, usan_stem_definition, usan_stem_definition,
         |  NULL, CAST(0 AS BIGINT)
         |FROM m WHERE usan_stem_definition IS NOT NULL""".stripMargin,
+    // g26: frozen from the implementation once, cross-checked against
+    // PMC4232638/index.js:46-110 (decision table incl. multi-category
+    // P72R drop, neutral filter, bad-PMID fallback to the paper id).
+    "g26_pmc4232638" ->
+      """SELECT CAST(kind AS VARCHAR) AS kind, CAST(a AS VARCHAR) AS a,
+        |  CAST(b AS VARCHAR) AS b, CAST(c AS VARCHAR) AS c FROM (VALUES
+        |('statement', '3845:p.G12D@t:lgof', 't:lgof|3845|3845,3845:p.G12D@t:sub', '25348012,789|PMID:789'),
+        |('statement', '7157:p.R175H@t:gof', 't:gof|7157|7157,7157:p.R175H@t:sub', '123,25348012,456|PMID:123; PMID:456 (in vitro)'),
+        |('statement', '7157:p.R273H@t:domneg', 't:domneg|7157|7157,7157:p.R273H@t:sub', '25348012|'),
+        |('statement', '7157:p.R282W@t:lof', 't:lof|7157|7157,7157:p.R282W@t:sub', '25348012|'),
+        |('variant', '3845:p.G12D@t:sub', 't:sub', 'p.G12'),
+        |('variant', '7157:p.R175H@t:sub', 't:sub', 'p.R175'),
+        |('variant', '7157:p.R273H@t:sub', 't:sub', 'p.R273'),
+        |('variant', '7157:p.R282W@t:sub', 't:sub', 'p.R282')
+        |) AS t(kind, a, b, c)""".stripMargin,
     // g25: frozen from the implementation once, cross-checked against
     // fdaApprovals/index.js:49-105 (blacklist + dedup, one-distinct-year
     // rule: p1 agrees on 2020, p2 conflicts -> null, missing page = 1).
