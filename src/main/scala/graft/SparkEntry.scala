@@ -677,6 +677,30 @@ object SparkEntry {
           coalesce(col("n_out"), lit(0L)).cast("long").as("n_out"))
     }),
 
+    // G27 — ASCO abstracts dedup-and-load (asco/index.js:47-93): the
+    // fill-score collapse with the last-encountered tie-break, upserted
+    // by the duplicate key.
+    "g27_asco" -> ((s, dir) => {
+      import sources.Asco.Abstract
+      val store = new core.PersistentGraphStore(s,
+        java.nio.file.Files.createTempDirectory("graft-g27").toString)
+      val abstracts = Seq(
+        // dup group: fuller record wins regardless of order
+        Abstract(1L, "100", "2020", "am", "T cells", "Smith", "", ""),
+        Abstract(2L, "100", "2020", "am", "T cells", "Smith", "cit-a", "doi-a"),
+        Abstract(3L, "100", "2020", "am", "T cells", "Smith", "cit-b", ""),
+        // tie group: equal fill → LAST input record wins
+        Abstract(4L, "200", "2021", "gi", "B cells", "Jones", "cit-1", ""),
+        Abstract(5L, "200", "2021", "gi", "B cells", "Jones", "cit-2", ""),
+        // singleton
+        Abstract(6L, "300", "2022", "am", "NK cells", "Wu", "", "doi-z"))
+      val run = () => sources.Asco.load(s, store, abstracts)
+      run(); run() // idempotency pass
+      store.read("abstracts").get
+        .select(col("sourceId").as("source_id"), col("citation"),
+          col("doi"))
+    }),
+
     // G26 — PMC4232638 supplementary-table loader (PMC4232638/index.js:
     // 24-170) over an inline super-header workbook: the relevance
     // decision table (kinase oncogenes, the 'no '-prefix falsiness,
@@ -3191,6 +3215,17 @@ object SparkEntry {
         |SELECT usan_stem_definition, usan_stem_definition, usan_stem_definition,
         |  NULL, CAST(0 AS BIGINT)
         |FROM m WHERE usan_stem_definition IS NOT NULL""".stripMargin,
+    // g27: frozen from the implementation once, cross-checked against
+    // asco/index.js:47-93 (fill-score win for rec 2, last-wins tie for
+    // rec 5, singleton kept).
+    "g27_asco" ->
+      """SELECT CAST(source_id AS VARCHAR) AS source_id,
+        |  CAST(citation AS VARCHAR) AS citation, CAST(doi AS VARCHAR) AS doi
+        |FROM (VALUES
+        |('100|2020|am|T cells|Smith', 'cit-a', 'doi-a'),
+        |('200|2021|gi|B cells|Jones', 'cit-2', ''),
+        |('300|2022|am|NK cells|Wu', '', 'doi-z')
+        |) AS t(source_id, citation, doi)""".stripMargin,
     // g26: frozen from the implementation once, cross-checked against
     // PMC4232638/index.js:46-110 (decision table incl. multi-category
     // P72R drop, neutral filter, bad-PMID fallback to the paper id).
