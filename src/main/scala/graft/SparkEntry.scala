@@ -677,6 +677,29 @@ object SparkEntry {
           coalesce(col("n_out"), lit(0L)).cast("long").as("n_out"))
     }),
 
+    // G28 — the generic local-ontology JSON loader (ontology/index.js:
+    // 106-242) on the REAL data/vocab.json DAG root: 247 vocabulary
+    // records (sourceId/name defaulting, source defaulting) + 278 typed
+    // links; the oracle re-derives everything from the raw JSON with
+    // DuckDB's MAP reader.
+    "g28_vocab_file" -> ((s, dir) => {
+      val path = "/root/reference/data/vocab.json"
+      val store = new core.PersistentGraphStore(s,
+        java.nio.file.Files.createTempDirectory("graft-g28").toString)
+      sources.OntologyFile.load(s, store, path, "vocabulary")
+      sources.OntologyFile.load(s, store, path, "vocabulary") // idempotency
+      val outCounts = store.read("edges").get
+        .groupBy(col("out").as("sourceId"), col("edgeClass"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("sourceId"))
+        .agg(sum(col("n")).as("n_links"))
+      store.read("vocabulary").get
+        .join(outCounts, Seq("sourceId"), "left")
+        .select(col("sourceId").as("source_id"), col("name"),
+          col("deprecated"), col("source"),
+          coalesce(col("n_links"), lit(0L)).cast("long").as("n_links"))
+    }),
+
     // G27 — ASCO abstracts dedup-and-load (asco/index.js:47-93): the
     // fill-score collapse with the last-encountered tie-break, upserted
     // by the duplicate key.
@@ -3215,6 +3238,31 @@ object SparkEntry {
         |SELECT usan_stem_definition, usan_stem_definition, usan_stem_definition,
         |  NULL, CAST(0 AS BIGINT)
         |FROM m WHERE usan_stem_definition IS NOT NULL""".stripMargin,
+    "g28_vocab_file" ->
+      """WITH raw AS (
+        |  SELECT records FROM read_json('/root/reference/data/vocab.json',
+        |    columns={records: 'MAP(VARCHAR, JSON)'})
+        |), entries AS (
+        |  SELECT unnest(map_keys(records)) AS key, unnest(map_values(records)) AS v
+        |  FROM raw
+        |), recs AS (
+        |  SELECT key,
+        |    coalesce(json_extract_string(v, '$.sourceId'), key) AS source_id,
+        |    coalesce(json_extract_string(v, '$.name'),
+        |             coalesce(json_extract_string(v, '$.sourceId'), key)) AS name,
+        |    coalesce(CAST(json_extract(v, '$.deprecated') AS BOOLEAN), false) AS deprecated,
+        |    coalesce(json_extract_string(v, '$.source'), 'default') AS source,
+        |    json_extract(v, '$.links') AS links
+        |  FROM entries
+        |), lnk AS (
+        |  SELECT key, count(*) AS n_links
+        |  FROM (SELECT key, unnest(CAST(links AS JSON[])) AS l
+        |        FROM recs WHERE links IS NOT NULL)
+        |  GROUP BY key
+        |)
+        |SELECT r.source_id, r.name, r.deprecated, r.source,
+        |  CAST(coalesce(l.n_links, 0) AS BIGINT) AS n_links
+        |FROM recs r LEFT JOIN lnk l USING (key)""".stripMargin,
     // g27: frozen from the implementation once, cross-checked against
     // asco/index.js:47-93 (fill-score win for rec 2, last-wins tie for
     // rec 5, singleton kept).
