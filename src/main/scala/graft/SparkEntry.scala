@@ -3524,7 +3524,11 @@ object SparkEntry {
     // g3's oracle pins, ncit edges = the sum of g3's pinned n_out) and DAG
     // semantics (14 loaders, rerun creates nothing).
     "g14_full_dag" ->
-      """WITH doid_nodes AS (
+      """WITH vocab_recs AS (
+        |  SELECT unnest(map_values(records)) AS v
+        |  FROM read_json('/root/reference/data/vocab.json',
+        |    columns={records: 'MAP(VARCHAR, JSON)'})
+        |), doid_nodes AS (
         |  SELECT unnest(graphs[1].nodes) AS n
         |  FROM read_json_auto('/root/reference/test/data/doid.sample.json',
         |                      maximum_object_size=20000000)
@@ -3611,7 +3615,8 @@ object SparkEntry {
         |SELECT 'loaders:succeeded' AS kind, CAST(14 AS BIGINT) AS n
         |UNION ALL SELECT 'rerun:succeeded', CAST(14 AS BIGINT)
         |UNION ALL SELECT 'rerun:creates', CAST(0 AS BIGINT)
-        |UNION ALL SELECT 'table:vocabulary', CAST(5 AS BIGINT)
+        |UNION ALL SELECT 'table:vocabulary',
+        |  CAST((SELECT count(*) FROM vocab_recs) AS BIGINT)
         |UNION ALL SELECT 'table:terms', CAST(10 AS BIGINT)
         |UNION ALL SELECT 'table:vertices', CAST((SELECT count(*) FROM doid_nodes
         |  WHERE regexp_extract(n.id, '.*/([A-Za-z]+_[0-9]+)$', 1) <> '') AS BIGINT)
@@ -3653,6 +3658,9 @@ object SparkEntry {
         |  + (SELECT sum(len(d.prev_symbol) + len(d.alias_symbol)
         |      + CASE WHEN d.ensembl_gene_id IS NOT NULL THEN 1 ELSE 0 END
         |      + CASE WHEN d.entrez_id IS NOT NULL THEN 1 ELSE 0 END) FROM hgnc_doc)
+        |  + (SELECT count(*) FROM (
+        |      SELECT unnest(CAST(json_extract(v, '$.links') AS JSON[]))
+        |      FROM vocab_recs WHERE json_extract(v, '$.links') IS NOT NULL))
         |  + 6 + 1 AS BIGINT)""".stripMargin,
     "g13_entrez" ->
       """WITH g AS (

@@ -70,7 +70,10 @@ object FullCorpus {
   def loaders(store: PersistentGraphStore, ncitPath: String,
       refData: String = RefData): Seq[Loader] = Seq(
 
-    Loader("vocab", Seq.empty, sp => Loaders.loadVocab(sp, store)),
+    // the REAL local-data DAG root (Snakefile rule load_local / data/
+    // vocab.json) — 247 terms + 278 typed term-term links
+    Loader("vocab", Seq.empty, sp => OntologyFile.load(sp, store,
+      "/root/reference/data/vocab.json", "vocabulary")),
 
     Loader("ncit", Seq("vocab"), sp => NcitLoad.load(sp, store, ncitPath)),
 
