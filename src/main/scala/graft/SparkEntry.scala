@@ -677,6 +677,51 @@ object SparkEntry {
           coalesce(col("n_out"), lit(0L)).cast("long").as("n_out"))
     }),
 
+    // G29 — PMC4468049 recurrent fusions (PMC4468049/index.js:32-185,
+    // Table S7): low-frequency skip, first-matching-count-column disease
+    // specificity with the cancer fallback, disease-miss skips,
+    // gene-miss errors, fusion variants + recurrent statements.
+    "g29_pmc4468049" -> ((s, dir) => {
+      import s.implicits._
+      import sources.Pmc4468049.{CodeCount, FusionRow}
+      val store = new core.PersistentGraphStore(s,
+        java.nio.file.Files.createTempDirectory("graft-g29").toString)
+      val rows = Seq(
+        FusionRow("r1", "EML4__ALK", "4",
+          Seq(CodeCount("LUAD", "4"), CodeCount("SKCM", "0"))),
+        FusionRow("r2", "BCR__ABL1", "3",
+          Seq(CodeCount("LUAD", "2"), CodeCount("SKCM", "1"))),
+        FusionRow("r3", "X__Y", "2", Seq(CodeCount("LUAD", "2"))),
+        FusionRow("r4", "TMPRSS2__ERG", "3", Seq(CodeCount("PRAD", "3"))),
+        FusionRow("r5", "NOGENE__ALK", "3", Seq(CodeCount("SKCM", "3"))))
+      val codeNames = Map("LUAD" -> "Lung adenocarcinoma",
+        "SKCM" -> "cutaneous melanoma", "PRAD" -> "Prostate adenocarcinoma")
+      val diseases = Seq(("d:luad", "Lung adenocarcinoma"),
+        ("d:cancer", "cancer"), ("d:mel", "cutaneous melanoma"))
+        .toDF("sourceId", "name")
+      val genes = Seq(("EML4", "27436"), ("ALK", "238"), ("BCR", "613"),
+        ("ABL1", "25")).toDF("symbol", "sourceId")
+      val vocab = Seq(("in-frame fusion", "t:fus"), ("recurrent", "t:rec"))
+        .toDF("name", "term_id")
+      val run = () => sources.Pmc4468049.load(s, store, rows, codeNames,
+        diseases, genes, vocab)
+      val c1 = run()
+      run() // idempotency pass
+      val vars = store.read("variants").get
+        .select(lit("variant").as("kind"), col("vid").as("a"),
+          concat(col("reference1"), lit("|"), col("reference2")).as("b"),
+          lit("").as("c"))
+      val stmts = store.read("statements").get
+        .select(lit("statement").as("kind"), col("sourceId").as("a"),
+          concat(col("relevance"), lit("|"), col("subject")).as("b"),
+          array_join(col("conditions"), ",").as("c"))
+      val counts = Seq(
+        ("count:skip", c1("skip").toString, "", ""),
+        ("count:error", c1("error").toString, "", ""))
+        .toDF("kind", "a", "b", "c")
+      vars.unionByName(stmts).unionByName(counts)
+    }),
+
     // G28 — the generic local-ontology JSON loader (ontology/index.js:
     // 106-242) on the REAL data/vocab.json DAG root: 247 vocabulary
     // records (sourceId/name defaulting, source defaulting) + 278 typed
@@ -3238,6 +3283,19 @@ object SparkEntry {
         |SELECT usan_stem_definition, usan_stem_definition, usan_stem_definition,
         |  NULL, CAST(0 AS BIGINT)
         |FROM m WHERE usan_stem_definition IS NOT NULL""".stripMargin,
+    // g29: frozen from the implementation once, cross-checked against
+    // PMC4468049/index.js:126-180 (r1 specific LUAD, r2 cancer fallback,
+    // r3 low-freq + r4 disease-miss skips, r5 gene-miss error).
+    "g29_pmc4468049" ->
+      """SELECT CAST(kind AS VARCHAR) AS kind, CAST(a AS VARCHAR) AS a,
+        |  CAST(b AS VARCHAR) AS b, CAST(c AS VARCHAR) AS c FROM (VALUES
+        |('count:error', '1', '', ''),
+        |('count:skip', '2', '', ''),
+        |('statement', 'r1', 'recurrent|d:luad', '27436::238:fusion@t:fus,d:luad'),
+        |('statement', 'r2', 'recurrent|d:cancer', '613::25:fusion@t:fus,d:cancer'),
+        |('variant', '27436::238:fusion@t:fus', '27436|238', ''),
+        |('variant', '613::25:fusion@t:fus', '613|25', '')
+        |) AS t(kind, a, b, c)""".stripMargin,
     "g28_vocab_file" ->
       """WITH raw AS (
         |  SELECT records FROM read_json('/root/reference/data/vocab.json',
