@@ -677,6 +677,55 @@ object SparkEntry {
           coalesce(col("n_out"), lit(0L)).cast("long").as("n_out"))
     }),
 
+    // G30 — CGL variant loader (cgl/index.js:33-295): versioned refseq
+    // cds reference, p.(X) strip + *→Ter-unless-fs, VCF→HGVS genomic
+    // routing incl. the reference's empty-insertion quirk and first-base
+    // check, per-form isolation, Infers, pathogenic statements on the
+    // most specific form.
+    "g30_cgl" -> ((s, dir) => {
+      import s.implicits._
+      import sources.Cgl.CglRecord
+      val store = new core.PersistentGraphStore(s,
+        java.nio.file.Files.createTempDirectory("graft-g30").toString)
+      val records = Seq(
+        CglRecord("x1", "NM_005228.5", "c.2573T>G", "EGFR", "p.(L858R)",
+          "7", "55259515", "T", "G"),
+        CglRecord("x2", "", "", "TP53", "p.R306*", "", "", "", ""),
+        CglRecord("x3", "NM_000546.5", "c.1000del", "TP53", "p.G12fs*3",
+          "17", "", "", ""),
+        CglRecord("x4", "", "", "KRAS", "", "12", "100_102", "TACG", "T"),
+        CglRecord("x5", "", "", "BRAF", "", "7", "200", "T", "TAA"),
+        CglRecord("x6", "", "", "X1", "", "7", "300", "A", "TG"))
+      val transcripts = Seq(("NM_005228", "5"), ("NM_000546", "5"))
+        .toDF("sourceId", "sourceIdVersion")
+      val genes = Seq(("EGFR", "1956"), ("TP53", "7157"), ("KRAS", "3845"),
+        ("BRAF", "673")).toDF("name", "sourceId")
+      val chroms = Seq(("7", "chr7"), ("12", "chr12"), ("17", "chr17"))
+        .toDF("sourceId", "name")
+      val vocab = Seq(("substitution", "t:sub"), ("deletion", "t:del"),
+        ("insertion", "t:ins"), ("indel", "t:indel"),
+        ("frameshift", "t:fs")).toDF("name", "term_id")
+      val run = () => sources.Cgl.load(s, store, records, transcripts,
+        genes, chroms, vocab, "d:cancer")
+      val c1 = run()
+      run() // idempotency pass
+      val vars = store.read("variants").get
+        .select(concat(lit("variant:"), col("form")).as("kind"),
+          col("vid").as("a"), col("term").as("b"),
+          concat(coalesce(col("break1"), lit("-")), lit("|"),
+            coalesce(col("assembly"), lit("-"))).as("c"))
+      val edges = store.read("edges").get
+        .select(lit("infers").as("kind"), col("out").as("a"),
+          col("in").as("b"), lit("").as("c"))
+      val stmts = store.read("statements").get
+        .select(lit("statement").as("kind"), col("sourceId").as("a"),
+          concat(col("relevance"), lit("|"), col("subject")).as("b"),
+          array_join(col("conditions"), ",").as("c"))
+      val counts = Seq(("count:error", c1("error").toString, "", ""))
+        .toDF("kind", "a", "b", "c")
+      vars.unionByName(edges).unionByName(stmts).unionByName(counts)
+    }),
+
     // G29 — PMC4468049 recurrent fusions (PMC4468049/index.js:32-185,
     // Table S7): low-frequency skip, first-matching-count-column disease
     // specificity with the cancer fallback, disease-miss skips,
@@ -3283,6 +3332,31 @@ object SparkEntry {
         |SELECT usan_stem_definition, usan_stem_definition, usan_stem_definition,
         |  NULL, CAST(0 AS BIGINT)
         |FROM m WHERE usan_stem_definition IS NOT NULL""".stripMargin,
+    // g30: frozen from the implementation once, cross-checked against
+    // cgl/index.js:33-295 (paren strip + Ter rewrite on x2, fs star kept
+    // on x3, VCF deletion span on x4, the empty-insertion quirk on x5,
+    // the first-base mismatch error on x6).
+    "g30_cgl" ->
+      """SELECT CAST(kind AS VARCHAR) AS kind, CAST(a AS VARCHAR) AS a,
+        |  CAST(b AS VARCHAR) AS b, CAST(c AS VARCHAR) AS c FROM (VALUES
+        |('count:error', '1', '', ''),
+        |('infers', '7:g.55259515T>G@t:sub', 'NM_005228.5:c.2573T>G@t:sub', ''),
+        |('infers', 'NM_000546.5:c.1000del@t:del', '7157:p.G12fs*3@t:fs', ''),
+        |('infers', 'NM_005228.5:c.2573T>G@t:sub', '1956:p.L858R@t:sub', ''),
+        |('statement', 'x1', 'pathogenic|d:cancer', '1956:p.L858R@t:sub,d:cancer'),
+        |('statement', 'x2', 'pathogenic|d:cancer', '7157:p.R306Ter@t:sub,d:cancer'),
+        |('statement', 'x3', 'pathogenic|d:cancer', '7157:p.G12fs*3@t:fs,d:cancer'),
+        |('statement', 'x4', 'pathogenic|d:cancer', '12:g.100_102delACG@t:del,d:cancer'),
+        |('statement', 'x5', 'pathogenic|d:cancer', '7:g.200_201ins@t:ins,d:cancer'),
+        |('variant:cds', 'NM_000546.5:c.1000del@t:del', 't:del', 'c.1000|-'),
+        |('variant:cds', 'NM_005228.5:c.2573T>G@t:sub', 't:sub', 'c.2573|-'),
+        |('variant:genomic', '12:g.100_102delACG@t:del', 't:del', 'g.100|hg19'),
+        |('variant:genomic', '7:g.200_201ins@t:ins', 't:ins', 'g.200|hg19'),
+        |('variant:genomic', '7:g.55259515T>G@t:sub', 't:sub', 'g.55259515|hg19'),
+        |('variant:protein', '1956:p.L858R@t:sub', 't:sub', 'p.L858|-'),
+        |('variant:protein', '7157:p.G12fs*3@t:fs', 't:fs', 'p.G12|-'),
+        |('variant:protein', '7157:p.R306Ter@t:sub', 't:sub', 'p.R306|-')
+        |) AS t(kind, a, b, c)""".stripMargin,
     // g29: frozen from the implementation once, cross-checked against
     // PMC4468049/index.js:126-180 (r1 specific LUAD, r2 cancer fallback,
     // r3 low-freq + r4 disease-miss skips, r5 gene-miss error).

@@ -301,13 +301,17 @@ object HgvsParser {
         if (prefix == "p") throw ParseException("'>' not valid for protein")
         base(">", refSeq = Some(r.toUpperCase),
           utSeq = Some(u.toUpperCase), utSize = Some(u.length))
-      case protSubRe(u) if prefix == "p" && b2s.isEmpty && u.length == 1 =>
+      case protSubRe(u) if prefix == "p" && b2s.isEmpty &&
+          (u.length == 1 || u.equalsIgnoreCase("Ter")) =>
         // protein substitution: single alt AA after a single position
-        // (G12D, G12*); multi-AA changes must use delins, and ranged
-        // positions take no bare AA tail — otherwise junk tails like
-        // `x100_a101splice` would "parse"
+        // (G12D, G12*) — the three-letter stop codon 'Ter' is the HGVS
+        // spelling cgl rewrites '*' into (cgl/index.js:69-71) and
+        // normalizes back to '*'; multi-AA changes must use delins, and
+        // ranged positions take no bare AA tail — otherwise junk tails
+        // like `x100_a101splice` would "parse"
+        val alt = if (u.equalsIgnoreCase("Ter")) "*" else u.toUpperCase
         base(">", refSeq = b1s.refAA.filter(_ != "?"),
-          utSeq = Some(u.toUpperCase), utSize = Some(u.length))
+          utSeq = Some(alt), utSize = Some(alt.length))
       case other => throw ParseException(s"unparseable tail '$other' in '$notation'")
     }
   }
