@@ -78,14 +78,25 @@ object DiffMerge {
       existingId: String,
       tiers: Seq[Seq[String]],
       artificialFinal: Boolean = false,
+      sizeHint: Option[(Long, Long)] = None,
       scope: PersistScope = new PersistScope): DataFrame = {
 
     // 1 incoming × 1 existing auto-matches unconditionally — BEFORE any
     // key comparison and regardless of the matching flags
-    // (civic/statement.js:75-78). limit(2) keeps the two guard counts
-    // cheap on large inputs (scan stops after the first rows).
-    if (incoming.select(col(incomingId)).limit(2).count() == 1 &&
-        existing.select(col(existingId)).limit(2).count() == 1) {
+    // (civic/statement.js:75-78). A caller that already knows its sizes
+    // (or knows both sides are big) passes sizeHint and skips the guard
+    // action entirely; otherwise BOTH limit(2) probes run as ONE job —
+    // each upstream plan is materialized once for the guard, not twice.
+    val (nIn, nEx) = sizeHint.getOrElse {
+      val probes = incoming.select(col(incomingId).cast("string")).limit(2)
+        .select(lit("i").as("side"))
+        .unionByName(existing.select(col(existingId).cast("string")).limit(2)
+          .select(lit("e").as("side")))
+        .groupBy("side").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      (probes.getOrElse("i", 0L), probes.getOrElse("e", 0L))
+    }
+    if (nIn == 1 && nEx == 1) {
       return incoming.select(col(incomingId).as("incoming_id"))
         .crossJoin(existing.select(col(existingId).as("existing_id")))
         .select(col("incoming_id"), col("existing_id"),
