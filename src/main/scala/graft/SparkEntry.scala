@@ -1366,7 +1366,9 @@ object SparkEntry {
         }.sum
       val tables = Seq("vocabulary", "terms", "vertices", "diseases",
         "therapies", "genes", "genes_hgnc", "features", "articles", "trials",
-        "variants", "vario_terms", "edges")
+        "variants", "vario_terms", "signatures", "chromosomes",
+        "evidence_levels", "abstracts_aacr", "abstracts_asco", "anatomy",
+        "refseqs", "edges")
       val counts = tables.map(t => ("table:" + t,
         store.read(t).map(_.count()).getOrElse(0L)))
       val summary = Seq(
@@ -3660,6 +3662,26 @@ object SparkEntry {
         |  SELECT unnest(map_values(records)) AS v
         |  FROM read_json('/root/reference/data/vocab.json',
         |    columns={records: 'MAP(VARCHAR, JSON)'})
+        |), sig_recs AS (
+        |  SELECT unnest(map_values(records)) AS v
+        |  FROM read_json('/root/reference/data/signatures.json',
+        |    columns={records: 'MAP(VARCHAR, JSON)'})
+        |), chrom_recs AS (
+        |  SELECT unnest(map_values(records)) AS v
+        |  FROM read_json('/root/reference/data/chromosomes.json',
+        |    columns={records: 'MAP(VARCHAR, JSON)'})
+        |), ev_recs AS (
+        |  SELECT unnest(map_values(records)) AS v
+        |  FROM read_json('/root/reference/data/evidenceLevels.json',
+        |    columns={records: 'MAP(VARCHAR, JSON)'})
+        |), aacr_recs AS (
+        |  SELECT unnest(map_values(records)) AS v
+        |  FROM read_json('/root/reference/data/aacr.json',
+        |    columns={records: 'MAP(VARCHAR, JSON)'})
+        |), ascoL_recs AS (
+        |  SELECT unnest(map_values(records)) AS v
+        |  FROM read_json('/root/reference/data/asco.json',
+        |    columns={records: 'MAP(VARCHAR, JSON)'})
         |), doid_nodes AS (
         |  SELECT unnest(graphs[1].nodes) AS n
         |  FROM read_json_auto('/root/reference/test/data/doid.sample.json',
@@ -3744,8 +3766,8 @@ object SparkEntry {
         |                delim='\t', header=true, all_varchar=true)
         |  WHERE UNII IS NOT NULL AND PT IS NOT NULL
         |)
-        |SELECT 'loaders:succeeded' AS kind, CAST(14 AS BIGINT) AS n
-        |UNION ALL SELECT 'rerun:succeeded', CAST(14 AS BIGINT)
+        |SELECT 'loaders:succeeded' AS kind, CAST(22 AS BIGINT) AS n
+        |UNION ALL SELECT 'rerun:succeeded', CAST(22 AS BIGINT)
         |UNION ALL SELECT 'rerun:creates', CAST(0 AS BIGINT)
         |UNION ALL SELECT 'table:vocabulary',
         |  CAST((SELECT count(*) FROM vocab_recs) AS BIGINT)
@@ -3777,6 +3799,15 @@ object SparkEntry {
         |UNION ALL SELECT 'table:variants', CAST((SELECT count(*)
         |  FROM read_json_auto('/root/reference/test/data/civic_variant.json')) AS BIGINT)
         |UNION ALL SELECT 'table:vario_terms', CAST((SELECT count(*) FROM vario_lab) AS BIGINT)
+        |UNION ALL SELECT 'table:signatures', CAST((SELECT count(*) FROM sig_recs) AS BIGINT)
+        |UNION ALL SELECT 'table:chromosomes', CAST((SELECT count(*) FROM chrom_recs) AS BIGINT)
+        |UNION ALL SELECT 'table:evidence_levels', CAST((SELECT count(*) FROM ev_recs) AS BIGINT)
+        |UNION ALL SELECT 'table:abstracts_aacr', CAST((SELECT count(*) FROM aacr_recs) AS BIGINT)
+        |UNION ALL SELECT 'table:abstracts_asco', CAST((SELECT count(*) FROM ascoL_recs) AS BIGINT)
+        |-- uberon inline sample: 3 labeled classes; refseq: one uid per
+        |-- recorded esummary fixture (4 files)
+        |UNION ALL SELECT 'table:anatomy', CAST(3 AS BIGINT)
+        |UNION ALL SELECT 'table:refseqs', CAST(4 AS BIGINT)
         |UNION ALL SELECT 'table:edges', CAST(
         |    (SELECT count(*) FROM doid_edges WHERE e.pred = 'is_a'
         |      AND regexp_extract(e.sub, '.*/([A-Za-z]+_[0-9]+)$', 1) <> ''
@@ -3793,7 +3824,14 @@ object SparkEntry {
         |  + (SELECT count(*) FROM (
         |      SELECT unnest(CAST(json_extract(v, '$.links') AS JSON[]))
         |      FROM vocab_recs WHERE json_extract(v, '$.links') IS NOT NULL))
-        |  + 6 + 1 AS BIGINT)""".stripMargin,
+        |  + (SELECT count(*) FROM (
+        |      SELECT unnest(CAST(json_extract(v, '$.links') AS JSON[]))
+        |      FROM sig_recs WHERE json_extract(v, '$.links') IS NOT NULL))
+        |  + (SELECT count(*) FROM (
+        |      SELECT unnest(CAST(json_extract(v, '$.links') AS JSON[]))
+        |      FROM ev_recs WHERE json_extract(v, '$.links') IS NOT NULL))
+        |-- + ncit 6 + chembl 1 + uberon subclass 2 + dgidb TargetOf 1
+        |  + 6 + 1 + 2 + 1 AS BIGINT)""".stripMargin,
     "g13_entrez" ->
       """WITH g AS (
         |  SELECT r."3845" AS d

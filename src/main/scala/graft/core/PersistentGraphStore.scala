@@ -297,7 +297,11 @@ class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32
     fresh.persist()
     try {
       val n = fresh.count()
-      val layer = existing.map(_.unionByName(fresh)).getOrElse(fresh)
+      // allowMissingColumns: some sources carry edge payload columns
+      // (actionType, uuid) the others lack — same evolution as merge
+      val layer = existing
+        .map(_.unionByName(fresh, allowMissingColumns = true))
+        .getOrElse(fresh)
       write("edges", layer, EdgeKey)
       maybeCompact("edges")
       Map("created" -> n)

@@ -67,13 +67,56 @@ object FullCorpus {
     f.getPath
   }
 
+  /** Inline uberon RDF/XML sample (no reference fixture exists): three
+    * labeled classes, one unlabeled, one ncit xref that misses the NCIt
+    * sample's codes — the lookup-miss path at DAG scale.
+    */
+  def writeUberonSample(): String = {
+    val owl =
+      """<?xml version="1.0"?>
+        |<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |    xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+        |    xmlns:owl="http://www.w3.org/2002/07/owl#"
+        |    xmlns:obo="http://purl.obolibrary.org/obo/"
+        |    xmlns:oboInOwl="http://www.geneontology.org/formats/oboInOwl#">
+        |  <owl:Class rdf:about="http://purl.obolibrary.org/obo/UBERON_0000001">
+        |    <rdfs:label>anatomical structure</rdfs:label>
+        |    <oboInOwl:hasDbXref>NCIT:C12345</oboInOwl:hasDbXref>
+        |  </owl:Class>
+        |  <owl:Class rdf:about="http://purl.obolibrary.org/obo/UBERON_0000002">
+        |    <rdfs:label>lung</rdfs:label>
+        |    <rdfs:subClassOf rdf:resource="http://purl.obolibrary.org/obo/UBERON_0000001"/>
+        |  </owl:Class>
+        |  <owl:Class rdf:about="http://purl.obolibrary.org/obo/UBERON_0000003">
+        |    <obo:IAO_0000115>no label</obo:IAO_0000115>
+        |  </owl:Class>
+        |  <owl:Class rdf:about="http://purl.obolibrary.org/obo/UBERON_0000004">
+        |    <rdfs:label>heart</rdfs:label>
+        |    <rdfs:subClassOf rdf:resource="http://purl.obolibrary.org/obo/UBERON_0000001"/>
+        |  </owl:Class>
+        |</rdf:RDF>""".stripMargin
+    val f = java.io.File.createTempFile("graft-uberon-corpus", ".owl")
+    java.nio.file.Files.writeString(f.toPath, owl)
+    f.getPath
+  }
+
   def loaders(store: PersistentGraphStore, ncitPath: String,
       refData: String = RefData): Seq[Loader] = Seq(
 
-    // the REAL local-data DAG root (Snakefile rule load_local / data/
-    // vocab.json) — 247 terms + 278 typed term-term links
+    // the REAL local-data DAG roots (Snakefile rule all_local: vocab,
+    // signatures, chromosomes, evidenceLevels, aacr, asco)
     Loader("vocab", Seq.empty, sp => OntologyFile.load(sp, store,
       "/root/reference/data/vocab.json", "vocabulary")),
+    Loader("signatures", Seq.empty, sp => OntologyFile.load(sp, store,
+      "/root/reference/data/signatures.json", "signatures")),
+    Loader("chromosomes", Seq.empty, sp => OntologyFile.load(sp, store,
+      "/root/reference/data/chromosomes.json", "chromosomes")),
+    Loader("evidenceLevels", Seq.empty, sp => OntologyFile.load(sp, store,
+      "/root/reference/data/evidenceLevels.json", "evidence_levels")),
+    Loader("aacr", Seq.empty, sp => OntologyFile.load(sp, store,
+      "/root/reference/data/aacr.json", "abstracts_aacr")),
+    Loader("ascoLocal", Seq.empty, sp => OntologyFile.load(sp, store,
+      "/root/reference/data/asco.json", "abstracts_asco")),
 
     Loader("ncit", Seq("vocab"), sp => NcitLoad.load(sp, store, ncitPath)),
 
@@ -134,7 +177,34 @@ object FullCorpus {
         .unionByName(store.read("diseases").get.select("name")).distinct()
       ClinicalTrials.load(sp, store,
         s"$refData/clinicaltrialsgov.NCT03478891.json", therapyDim, diseaseDim)
-    }))
+    }),
+
+    // uberon ← ncit (Snakefile:270-278): the xref gate resolves against
+    // the loaded terms — the sample's NCIT code misses them, exercising
+    // the skip path
+    Loader("uberon", Seq("ncit"), sp => Uberon.load(sp, store,
+      writeUberonSample(), store.read("terms").get.select("sourceId"))),
+
+    // refseq esummary hydration on all four recorded fixtures
+    Loader("entrezRefseq", Seq.empty, sp => {
+      val ids = Seq("NC_000003.11", "NC_000003", "NM_005228.5", "NP_008819.1")
+      Entrez.hydrate(sp, store, "refseqs", ids,
+        Entrez.fileFetcher(
+          ids.map(i => i -> s"$refData/entrez_refseq.$i.json").toMap),
+        Entrez.parseRefseq(_), Seq("sourceId", "sourceIdVersion"),
+        Seq("biotype", "name", "displayName", "longName"),
+        matchCol = "displayName")
+    }),
+
+    // dgidb ← entrez + chembl (dgidb/index.js:91 dependencies export):
+    // interactions resolve against the store-loaded gene and drug dims
+    Loader("dgidb", Seq("entrez", "chembl"), sp => Dgidb.load(sp, store,
+      Seq(
+        Dgidb.Interaction("dag-u1", "3845", "chembl:CHEMBL553",
+          Seq("Inhibitor", " antagonist ")),
+        Dgidb.Interaction("dag-u2", "9999", "chembl:CHEMBL553",
+          Seq("inhibitor"))),
+      store.read("genes").get, store.read("therapies").get)))
 
   /** Run the whole corpus DAG into `store`; returns the report. */
   def run(spark: SparkSession, store: PersistentGraphStore,
