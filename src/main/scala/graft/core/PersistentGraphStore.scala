@@ -143,19 +143,27 @@ class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32
     * first write. The bucket column is not materialized — it is derivable
     * from the key columns.
     */
+  /** Leaf dirs from more than one version layer may carry different
+    * schemas (see merge's alignment) and need mergeSchema; a single
+    * version's buckets share one schema, so the footer-merge cost is
+    * skipped for the common post-compaction case.
+    */
+  private def readDirs(dirs: Seq[String]): DataFrame = {
+    val versions = dirs.map(_.split("/").takeRight(2).head).distinct
+    spark.read
+      .option("mergeSchema", (versions.length > 1).toString)
+      .parquet(dirs: _*)
+  }
+
   def read(table: String): Option[DataFrame] = {
     val dirs = leafDirs(table)
-    if (dirs.isEmpty) None
-    // mergeSchema: different sources merging into one class table may have
-    // widened the schema between layers (see merge's alignment)
-    else Some(spark.read.option("mergeSchema", "true").parquet(dirs.map(_._2): _*))
+    if (dirs.isEmpty) None else Some(readDirs(dirs.map(_._2)))
   }
 
   /** Read only the given buckets' newest layers. */
   private def readBuckets(table: String, buckets: Set[Int]): Option[DataFrame] = {
     val dirs = leafDirs(table).collect { case (b, p) if buckets(b) => p }
-    if (dirs.isEmpty) None
-    else Some(spark.read.option("mergeSchema", "true").parquet(dirs: _*))
+    if (dirs.isEmpty) None else Some(readDirs(dirs))
   }
 
   /** Schema evolution: columns `cols` that `df` lacks are added as typed
