@@ -1368,7 +1368,7 @@ object SparkEntry {
         "therapies", "genes", "genes_hgnc", "features", "articles", "trials",
         "variants", "vario_terms", "signatures", "chromosomes",
         "evidence_levels", "abstracts_aacr", "abstracts_asco", "anatomy",
-        "refseqs", "edges")
+        "refseqs", "abstracts", "curated", "statements", "edges")
       val counts = tables.map(t => ("table:" + t,
         store.read(t).map(_.count()).getOrElse(0L)))
       val summary = Seq(
@@ -3766,8 +3766,8 @@ object SparkEntry {
         |                delim='\t', header=true, all_varchar=true)
         |  WHERE UNII IS NOT NULL AND PT IS NOT NULL
         |)
-        |SELECT 'loaders:succeeded' AS kind, CAST(22 AS BIGINT) AS n
-        |UNION ALL SELECT 'rerun:succeeded', CAST(22 AS BIGINT)
+        |SELECT 'loaders:succeeded' AS kind, CAST(34 AS BIGINT) AS n
+        |UNION ALL SELECT 'rerun:succeeded', CAST(34 AS BIGINT)
         |UNION ALL SELECT 'rerun:creates', CAST(0 AS BIGINT)
         |UNION ALL SELECT 'table:vocabulary',
         |  CAST((SELECT count(*) FROM vocab_recs) AS BIGINT)
@@ -3796,8 +3796,19 @@ object SparkEntry {
         |   FROM read_json_auto('/root/reference/test/data/entrez_pubmed.30016509.json'))) AS BIGINT)
         |UNION ALL SELECT 'table:trials', CAST((SELECT count(*)
         |  FROM read_json_auto('/root/reference/test/data/clinicaltrialsgov.NCT03478891.json')) AS BIGINT)
+        |-- variants: civic (from the fixture) + the record-level loaders'
+        |-- disjoint demo ladders: moa 5, docm 2, oncokb 2, hotspots 3,
+        |-- cosmic resistance 5, cosmic fusions 2, pmc4232638 1,
+        |-- pmc4468049 1, cgl 2
         |UNION ALL SELECT 'table:variants', CAST((SELECT count(*)
-        |  FROM read_json_auto('/root/reference/test/data/civic_variant.json')) AS BIGINT)
+        |  FROM read_json_auto('/root/reference/test/data/civic_variant.json'))
+        |  + 23 AS BIGINT)
+        |-- asco dedup collapses its 2 demo records to 1; one scraped
+        |-- announcement; statements: hotspots + cosmic fusions +
+        |-- pmc4232638 + pmc4468049 + cgl
+        |UNION ALL SELECT 'table:abstracts', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'table:curated', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'table:statements', CAST(5 AS BIGINT)
         |UNION ALL SELECT 'table:vario_terms', CAST((SELECT count(*) FROM vario_lab) AS BIGINT)
         |UNION ALL SELECT 'table:signatures', CAST((SELECT count(*) FROM sig_recs) AS BIGINT)
         |UNION ALL SELECT 'table:chromosomes', CAST((SELECT count(*) FROM chrom_recs) AS BIGINT)
@@ -3831,7 +3842,9 @@ object SparkEntry {
         |      SELECT unnest(CAST(json_extract(v, '$.links') AS JSON[]))
         |      FROM ev_recs WHERE json_extract(v, '$.links') IS NOT NULL))
         |-- + ncit 6 + chembl 1 + uberon subclass 2 + dgidb TargetOf 1
-        |  + 6 + 1 + 2 + 1 AS BIGINT)""".stripMargin,
+        |-- + record-loader Infers: moa 3, docm 1, hotspots 2,
+        |--   cosmic resistance 4, cosmic fusions 1, cgl 1
+        |  + 6 + 1 + 2 + 1 + 3 + 1 + 2 + 4 + 1 + 1 AS BIGINT)""".stripMargin,
     "g13_entrez" ->
       """WITH g AS (
         |  SELECT r."3845" AS d

@@ -204,7 +204,175 @@ object FullCorpus {
           Seq("Inhibitor", " antagonist ")),
         Dgidb.Interaction("dag-u2", "9999", "chembl:CHEMBL553",
           Seq("inhibitor"))),
-      store.read("genes").get, store.read("therapies").get)))
+      store.read("genes").get, store.read("therapies").get)),
+
+    // ---- record-level loaders over demo records, every dimension fed
+    // from the store (real vocab terms, real chromosomes/signatures
+    // tables, entrez-hydrated genes, oncotree diseases, ensembl
+    // transcripts, refseq accessions). Each loader's demo notations are
+    // disjoint so shared-table counts stay additive.
+
+    Loader("moa", Seq("vocab", "chromosomes", "entrez"), sp => {
+      import Moa.MoaVariant
+      Moa.load(sp, store, Seq(
+        MoaVariant(9101L, "KRAS", "somatic_variant", Some("7"),
+          Some(140453136L), Some(140453136L), Some("A"), Some("T"),
+          Some("c.1799T>A"), Some("p.V600E"), Some(15L), None),
+        MoaVariant(9102L, "KRAS", "somatic_variant", None, None, None,
+          None, None, None, None, None, Some("mutation"))),
+        genes = store.read("genes").get
+          .select(col("name").as("symbol"), col("sourceId")),
+        chromosomes = store.read("chromosomes").get.select("sourceId"),
+        vocab = store.read("vocabulary").get.select(col("name"),
+          col("source"), col("name").as("term_id")))
+    }),
+
+    Loader("docm", Seq("entrez", "chromosomes", "vocab"), sp => {
+      import Docm.DocmRecord
+      Docm.load(sp, store, Seq(
+        DocmRecord("dag-d1", "p.G12D", "KRAS", "12", "GRCh37",
+          25398284L, 25398284L, "C", "T", "SNV")),
+        genes = store.read("genes").get
+          .select(col("name").as("symbol"), col("sourceId")),
+        chromosomes = store.read("chromosomes").get
+          .select(col("sourceId"), coalesce(col("name"), col("sourceId"))
+            .as("name")),
+        vocab = store.read("vocabulary").get
+          .select(col("name"), col("name").as("term_id")))
+    }),
+
+    Loader("oncokb", Seq("entrez", "signatures", "vocab"), sp => {
+      import OncoKb.OncoKbVariant
+      OncoKb.load(sp, store, Seq(
+        OncoKbVariant("dag-o1", "KRAS", "Oncogenic Mutations", "3845"),
+        OncoKbVariant("dag-o2", "Other Biomarkers",
+          "Microsatellite Instability-High", "")),
+        genes = store.read("genes").get
+          .select(col("sourceId"), col("name").as("symbol")),
+        signatures = store.read("signatures").get
+          .select(coalesce(nullif(col("name"), lit("")), col("sourceId"))
+            .as("name"), col("sourceId")),
+        vocab = store.read("vocabulary").get
+          .select(col("name"), col("name").as("term_id")))
+    }),
+
+    Loader("cancerhotspots", Seq("entrez", "oncotree", "ensembl",
+        "chromosomes", "vocab"), sp => {
+      import CancerHotspots.HotspotRecord
+      CancerHotspots.load(sp, store, Seq(
+        HotspotRecord("dag-h1", "7", 140753336L, 140753336L, "A", "T",
+          "3845", "p.Q61L", "enst00000544455", "c.182A>T", "mel")),
+        genes = store.read("genes").get.select("sourceId"),
+        chromosomes = store.read("chromosomes").get
+          .select(col("sourceId"), coalesce(col("name"), col("sourceId"))
+            .as("name")),
+        transcripts = store.read("features").get
+          .filter(col("sourceIdVersion").isNull)
+          .select(col("sourceId"), col("biotype")),
+        diseases = store.read("diseases").get.select("sourceId"),
+        vocab = store.read("vocabulary").get
+          .select(col("name"), col("name").as("term_id")))
+    }),
+
+    Loader("cosmicResistance", Seq("entrez", "hgnc", "chromosomes",
+        "vocab"), sp => {
+      import CosmicResistance.ResistanceRecord
+      CosmicResistance.load(sp, store, Seq(
+        ResistanceRecord("dag-m1", "KRAS_ENST00000311936",
+          "ENSP00000308495.3:p.G13D", "ENST00000311936.7:c.38G>A",
+          "12:g.25398281C>T", "COSM532")),
+        genes = store.read("genes").get
+          .select(col("name").as("symbol"), col("sourceId")),
+        hgnc = store.read("genes_hgnc").get
+          .select(col("name").as("symbol"), col("sourceId")),
+        chromosomes = store.read("chromosomes").get.select("sourceId"),
+        vocab = store.read("vocabulary").get
+          .select(col("name"), col("name").as("term_id")))
+    }),
+
+    Loader("cosmicFusions", Seq("oncotree", "vocab"), sp => {
+      import CosmicFusions.FusionRow
+      CosmicFusions.load(sp, store, Seq(
+        FusionRow("dag-f1", "cf1", "cs1", "EWSR1", "FLI1", "7", "6",
+          "Melanoma", "skin", "p1"),
+        FusionRow("dag-f2", "cf1", "cs2", "EWSR1", "FLI1", "7", "6",
+          "Melanoma", "skin", "p1"),
+        FusionRow("dag-f3", "cf1", "cs3", "EWSR1", "FLI1", "7", "6",
+          "Melanoma", "skin", "p1")),
+        diseases = store.read("diseases").get.select("name", "sourceId"))
+    }),
+
+    Loader("cgi", Seq.empty, sp => {
+      import Cgi.CgiRow
+      // stateless row parsing — counts only (the store statements for CGI
+      // would need the trial/evidence sinks the demo rows don't exercise)
+      val parsed = Cgi.parse(sp, Seq(
+        CgiRow("dag-c1", "BRAF (V600E)", "BRAF", "MUT", "BRAF:V600E",
+          "[Vemurafenib]", "", "PMID:21639808")))
+      Map("rows" -> parsed.count())
+    }),
+
+    Loader("ascoAbstracts", Seq.empty, sp => Asco.load(sp, store, Seq(
+      Asco.Abstract(1L, "9001", "2020", "am", "KRAS abstract", "Smith",
+        "", ""),
+      Asco.Abstract(2L, "9001", "2020", "am", "KRAS abstract", "Smith",
+        "cit", "doi")))),
+
+    Loader("fdaApprovalsAnn", Seq.empty, sp => FdaApprovals.load(sp, store,
+      """<a href="/drugs/resources/dag-announce">x</a>""",
+      Map("/drugs/resources/dag-announce" ->
+        """<h1 class="content-title">FDA approves dagdrug</h1>
+          |<article><p>On March 3, 2021 the FDA approved dagdrug.</p>
+          |</article>""".stripMargin))),
+
+    Loader("pmc4232638", Seq("entrez", "vocab"), sp => {
+      // the relevance table needs the full sheet shape; feed the already-
+      // flattened grid directly (the XLSX scan is g26's surface)
+      import sp.implicits._
+      val grid = Seq(("KRAS", "G12V", "Oncogene", "non-neutral", "yes",
+        "", "", "", "123"))
+        .toDF("Gene", "Amino acid change", "Type",
+          "Functional classification",
+          Pmc4232638.KinaseCol, Pmc4232638.Gof, Pmc4232638.Lof,
+          Pmc4232638.Dom, "PubMed ID (PMID)")
+      Pmc4232638.load(sp, store, grid,
+        genes = store.read("genes").get
+          .select(col("name").as("symbol"), col("sourceId")),
+        vocab = store.read("vocabulary").get
+          .select(col("name"), col("name").as("term_id")))
+    }),
+
+    Loader("pmc4468049", Seq("entrez", "oncotree", "vocab"), sp => {
+      import Pmc4468049.{CodeCount, FusionRow}
+      // the civic-hydrated gene is stored lowercase ('npm1') — the
+      // symbol join is exact-case, as the store holds it
+      Pmc4468049.load(sp, store, Seq(
+        FusionRow("dag-p1", "KRAS__npm1", "3",
+          Seq(CodeCount("MEL", "3")))),
+        codeNames = Map("MEL" -> "Melanoma"),
+        diseases = store.read("diseases").get.select("sourceId", "name"),
+        genes = store.read("genes").get
+          .select(col("name").as("symbol"), col("sourceId")),
+        vocab = store.read("vocabulary").get
+          .select(col("name"), col("name").as("term_id")))
+    }),
+
+    Loader("cgl", Seq("entrezRefseq", "entrez", "chromosomes", "vocab"),
+      sp => {
+        import Cgl.CglRecord
+        Cgl.load(sp, store, Seq(
+          CglRecord("dag-g1", "NM_005228.5", "c.2573T>G", "KRAS",
+            "p.R306*", "", "", "", "")),
+          transcripts = store.read("refseqs").get
+            .select(col("sourceId"), col("sourceIdVersion")),
+          genes = store.read("genes").get.select("name", "sourceId"),
+          chromosomes = store.read("chromosomes").get
+            .select(col("sourceId"), coalesce(col("name"), col("sourceId"))
+              .as("name")),
+          vocab = store.read("vocabulary").get
+            .select(col("name"), col("name").as("term_id")),
+          diseaseSid = "cancer")
+      }))
 
   /** Run the whole corpus DAG into `store`; returns the report. */
   def run(spark: SparkSession, store: PersistentGraphStore,

@@ -77,11 +77,15 @@ object CivicVariants {
       coalesce(col("geneSourceId"), col("geneName")).as("sourceId"),
       col("geneName").as("name")).distinct()
     val fc = store.merge(featuresTable, feats, Seq("sourceId"), Seq("name"))
+    // variant identity = reference + notation + type term (vid), the
+    // shared-variants-table key every loader agrees on
     val variants = typed.select(col("notation"), col("positional"),
       col("term"), col("break1"),
       coalesce(col("geneSourceId"), col("geneName")).as("reference1"))
-    val vc = store.merge(variantsTable, variants, Seq("notation"),
-      Seq("positional", "term", "break1", "reference1"))
+      .withColumn("vid", concat(col("reference1"), lit(":"),
+        col("notation"), lit("@"), col("term")))
+    val vc = store.merge(variantsTable, variants, Seq("vid"),
+      Seq("notation", "positional", "term", "break1", "reference1"))
     fc.map { case (k, v) => s"features_$k" -> v } ++
       vc.map { case (k, v) => s"variants_$k" -> v }
   }

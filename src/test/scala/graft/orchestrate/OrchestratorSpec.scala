@@ -64,7 +64,8 @@ class OrchestratorSpec extends AnyFunSuite {
       java.nio.file.Files.createTempDirectory("graft-corpus").toString)
     val ncit = FullCorpus.writeNcitSample()
     val r1 = FullCorpus.run(spark, store, ncit)
-    assert(r1.succeeded.size == 22, r1.statuses.toString)
+    val failed = r1.statuses.filterNot(_._2.isInstanceOf[Succeeded])
+    assert(failed.isEmpty, failed.toString)
     // dims flowed through the store: the refseq gene edge is gated on the
     // entrez-hydrated dimension, civic's gene reference joined `genes`
     val genes = store.read("genes").get
@@ -72,7 +73,7 @@ class OrchestratorSpec extends AnyFunSuite {
     // shared therapy table holds all three sources (schema evolution)
     assert(store.read("therapies").get.count() == 102)
     val r2 = FullCorpus.run(spark, store, ncit)
-    assert(r2.succeeded.size == 22, r2.statuses.toString)
+    assert(r2.succeeded.size == r1.succeeded.size, r2.statuses.toString)
     val creates = r2.statuses.values.collect {
       case Succeeded(c) =>
         c.collect { case (k, v) if k.contains("create") => v }.sum
