@@ -200,25 +200,60 @@ class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32
     next
   }
 
-  /** Fold every version layer of `table` into a single `_FULL` snapshot
-    * and prune the superseded layer directories. Unbounded layering is a
-    * small-files + driver-listing problem: after thousands of incremental
-    * merges, `leafDirs` walks thousands of version directories per read.
-    * Compaction resets that to one. The snapshot is written (and
-    * `_SUCCESS`-committed) BEFORE any old layer is deleted, so a crash
-    * mid-compact leaves a readable table.
+  /** Fold every version layer of `table` into a single `_FULL` snapshot.
+    * Unbounded layering is a small-files + driver-listing problem: after
+    * thousands of incremental merges, `leafDirs` walks thousands of version
+    * directories per read. Compaction resets that to one. The snapshot is
+    * written (and `_SUCCESS`-committed) BEFORE any old layer is deleted, so
+    * a crash mid-compact leaves a readable table.
+    *
+    * `prune = false` keeps the superseded layer directories on disk: any
+    * lazy DataFrame previously returned by read()/readBuckets() and not yet
+    * materialized still references those files, and deleting them
+    * mid-session would throw FileNotFoundException at its eventual action.
+    * Auto-compaction (inside merge/upsertEdges) therefore never prunes —
+    * readers already stop at the `_FULL` layer, so the read-cost reset is
+    * immediate — and callers reclaim the space with [[vacuum]] at a safe
+    * point (e.g. the end of an orchestration run, when no outstanding
+    * frames exist).
     *
     * Returns the snapshot's version number, or None for an empty table.
     */
-  def compact(table: String): Option[Int] =
+  def compact(table: String, prune: Boolean = true): Option[Int] =
     readMeta(table).flatMap { m =>
       read(table).map { cur =>
         val v = write(table, cur, m.bucketCols, full = true)
-        versions(table).filter(_._1 < v)
-          .foreach { case (_, p) => deleteRecursively(p) }
+        if (prune) vacuum(table)
         v
       }
     }
+
+  /** Delete every version layer superseded by the newest `_FULL` snapshot.
+    * Only safe when no lazy DataFrame from an earlier read() is still
+    * pending materialization — call at orchestration boundaries.
+    */
+  def vacuum(table: String): Unit = {
+    val vs = versions(table)
+    vs.reverse.find { case (_, p) => Files.exists(Paths.get(p, "_FULL")) }
+      .foreach { case (snap, _) =>
+        vs.filter(_._1 < snap).foreach { case (_, p) => deleteRecursively(p) }
+      }
+  }
+
+  /** [[vacuum]] over every table in the store. */
+  def vacuumAll(): Unit = {
+    val dir = Paths.get(root)
+    if (Files.exists(dir)) {
+      val stream = Files.list(dir)
+      try {
+        val it = stream.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (Files.isDirectory(p)) vacuum(p.getFileName.toString)
+        }
+      } finally stream.close()
+    }
+  }
 
   private def deleteRecursively(dir: String): Unit = {
     val stream = Files.walk(Paths.get(dir))
@@ -229,11 +264,19 @@ class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32
   }
 
   /** Compact when the layer count passes the threshold — called after
-    * every merge so the amortized read cost stays O(1) layers.
+    * every merge so the amortized read cost stays O(1) layers. Never
+    * prunes (see [[compact]]): superseded layers stay valid for any
+    * outstanding lazy reads until an explicit [[vacuum]].
     */
-  private def maybeCompact(table: String): Unit =
-    if (compactEvery > 0 && versions(table).size >= compactEvery)
-      compact(table)
+  private def maybeCompact(table: String): Unit = {
+    // only layers a reader actually walks count — superseded-but-unpruned
+    // directories below the newest _FULL snapshot are invisible to leafDirs
+    val vs = versions(table)
+    val snap = vs.reverse.find { case (_, p) => Files.exists(Paths.get(p, "_FULL")) }
+      .map(_._1).getOrElse(Int.MinValue)
+    if (compactEvery > 0 && vs.count(_._1 >= snap.max(0)) >= compactEvery)
+      compact(table, prune = false)
+  }
 
   /** MERGE an incoming frame into `table` on `keyCols`: classify against
     * the current snapshot, persist the post-merge state, return audit
@@ -289,8 +332,12 @@ class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32
     * the rewrite touch candidate buckets only — and the touched buckets
     * are read ONCE, feeding the anti-join and the new layer's union.
     */
-  def upsertEdges(candidates: DataFrame): Map[String, Long] = {
+  def upsertEdges(rawCandidates: DataFrame): Map[String, Long] = {
     val m = metaFor("edges", EdgeKey)
+    // the reference's per-record edgeExists check suppresses duplicates
+    // WITHIN one batch too (a trial listing the same intervention twice
+    // creates one edge) — dedup here so every caller gets that semantics
+    val candidates = rawCandidates.dropDuplicates(EdgeKey)
     // same double-use as merge: bucket scan + anti-join both read candidates
     val doubleUse = latestVersion("edges").nonEmpty
     if (doubleUse) candidates.persist()

@@ -171,7 +171,11 @@ object FullCorpus {
         vocabDim, featuresTable = "genes")
     }),
 
-    Loader("clinicaltrialsgov", Seq("drugbank", "do", "oncotree"), sp => {
+    // deps = every loader feeding the dims read below: therapies is fed by
+    // fdaSrs + drugbank + chembl, diseases by do + oncotree — declaring all
+    // of them means a failed feeder skips this node instead of silently
+    // resolving against a smaller dimension
+    Loader("clinicaltrialsgov", Seq("drugbank", "chembl", "fdaSrs", "do", "oncotree"), sp => {
       val therapyDim = store.read("therapies").get.select("name")
       val diseaseDim = store.read("vertices").get.select("name")
         .unionByName(store.read("diseases").get.select("name")).distinct()

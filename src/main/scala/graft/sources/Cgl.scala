@@ -40,9 +40,13 @@ object Cgl {
     else stripped.replaceAll("\\*$", "Ter")
   }
 
-  /** cgl/index.js:101-152 — VCF triplet → genomic HGVS. */
-  def genomicNotation(position: String, ref0: String, alt0: String): Option[String] = {
-    if (ref0.isEmpty || alt0.isEmpty || position.isEmpty) return None
+  /** cgl/index.js:101-152 — VCF triplet → genomic HGVS. The reference's
+    * loadGenomicVariant returns null when !chromosome (:104), so the guard
+    * lives here, not in a downstream dim-null filter.
+    */
+  def genomicNotation(chromosome: String, position: String, ref0: String,
+      alt0: String): Option[String] = {
+    if (chromosome.isEmpty || ref0.isEmpty || alt0.isEmpty || position.isEmpty) return None
     if (ref0.length == alt0.length && ref0.length == 1)
       return Some(s"g.$position$ref0>$alt0")
     require(ref0.head == alt0.head,
@@ -108,7 +112,7 @@ object Cgl {
       }
     }
     val genomic = tryOpt {
-      genomicNotation(r.position, r.ref, r.alt).map { n =>
+      genomicNotation(r.chromosome, r.position, r.ref, r.alt).map { n =>
         val p = HgvsParser.parse(n)
         Form(r.recId, "genomic", n, p.vtype, p.break1Repr, r.chromosome,
           None, Some("hg19"))

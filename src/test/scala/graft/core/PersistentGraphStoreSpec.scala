@@ -168,19 +168,43 @@ class PersistentGraphStoreSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft-store")
     val store = new PersistentGraphStore(spark, dir.toString, nBuckets = 8,
       compactEvery = 3)
+    // a lazy frame taken BEFORE auto-compaction fires: it references the
+    // early layer files, which auto-compaction must therefore NOT delete
+    store.merge("vertices", Seq(("id0", "name0")).toDF("sourceId", "name"),
+      Seq("sourceId"), compareCols = Seq("name"))
+    val lazyEarly = store.read("vertices").get
     (1 to 5).foreach { i =>
       store.merge("vertices", Seq((s"id$i", s"name$i")).toDF("sourceId", "name"),
         Seq("sourceId"), compareCols = Seq("name"))
     }
-    // merges 3 and (3 layers later) never let the layer count exceed the
-    // threshold; state stays complete
-    val nLayers = {
+    def nLayers = {
       var n = 0
       Files.list(dir.resolve("vertices")).iterator().forEachRemaining(p =>
         if (p.getFileName.toString.startsWith("v=")) n += 1)
       n
     }
-    assert(nLayers <= 3, s"auto-compaction must bound layers, saw $nLayers")
-    assert(store.read("vertices").get.count() == 5)
+    // a reader walks at most `compactEvery` live layers (newest _FULL and
+    // above); superseded directories are retained for outstanding reads
+    val live = {
+      val vdir = dir.resolve("vertices")
+      val names = Files.list(vdir).iterator()
+      var vs = List.empty[Int]
+      names.forEachRemaining { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("v=")) vs ::= n.drop(2).toInt
+      }
+      val snap = vs.sorted.reverse
+        .find(v => Files.exists(vdir.resolve(f"v=$v%05d/_FULL"))).getOrElse(0)
+      vs.count(_ >= snap)
+    }
+    assert(live <= 3, s"auto-compaction must bound live layers, saw $live")
+    assert(store.read("vertices").get.count() == 6)
+    // the pre-compaction lazy frame still materializes — its files survive
+    assert(lazyEarly.count() == 1)
+    // vacuum at a safe point reclaims the superseded directories
+    assert(nLayers > live)
+    store.vacuumAll()
+    assert(nLayers == live, s"vacuum must prune superseded layers")
+    assert(store.read("vertices").get.count() == 6)
   }
 }

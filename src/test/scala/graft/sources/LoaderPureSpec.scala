@@ -61,15 +61,17 @@ class LoaderPureSpec extends AnyFunSuite {
 
   test("cgl genomicNotation: VCF routing with checks (cgl/index.js:101-152)") {
     import Cgl.genomicNotation
-    assert(genomicNotation("55259515", "T", "G").contains("g.55259515T>G"))
-    assert(genomicNotation("100_102", "TACG", "T").contains("g.100_102delACG"))
+    assert(genomicNotation("7", "55259515", "T", "G").contains("g.55259515T>G"))
+    assert(genomicNotation("7", "100_102", "TACG", "T").contains("g.100_102delACG"))
     // the reference's empty-insertion quirk, transcribed as-is
-    assert(genomicNotation("200", "T", "TAA").contains("g.200_201ins"))
-    assert(genomicNotation("", "T", "G").isEmpty)
-    assertThrows[IllegalArgumentException](genomicNotation("300", "A", "TG"))
+    assert(genomicNotation("7", "200", "T", "TAA").contains("g.200_201ins"))
+    assert(genomicNotation("7", "", "T", "G").isEmpty)
+    // !chromosome early return (cgl/index.js:104)
+    assert(genomicNotation("", "55259515", "T", "G").isEmpty)
+    assertThrows[IllegalArgumentException](genomicNotation("7", "300", "A", "TG"))
     // deletion span mismatch
     assertThrows[IllegalArgumentException](
-      genomicNotation("100_105", "TAC", "T"))
+      genomicNotation("7", "100_105", "TAC", "T"))
   }
 
   test("docm buildGenomicVariant variant_type routing (docm/index.js:72-90)") {
