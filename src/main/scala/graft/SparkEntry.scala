@@ -726,6 +726,63 @@ object SparkEntry {
       vars.unionByName(edges).unionByName(stmts).unionByName(counts)
     }),
 
+    // G31 — Sequence Ontology load (sequenceOntology.js:82-133): SO OWL →
+    // vocabulary terms (label required, `_`→space names, deprecated flag)
+    // + subclassof edges gated on /^so:\d+$/i parents with BOTH endpoints
+    // labeled; unlabeled subjects and dangling links surface as counts.
+    "g31_so" -> ((s, dir) => {
+      import s.implicits._
+      val owl =
+        """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+          |  xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+          |  xmlns:owl="http://www.w3.org/2002/07/owl#"
+          |  xmlns:obo="http://purl.obolibrary.org/obo/"
+          |  xmlns:oboInOwl="http://www.geneontology.org/formats/oboInOwl#">
+          |  <owl:Class rdf:about="http://purl.obolibrary.org/obo/SO_0000001">
+          |    <rdfs:label>region</rdfs:label>
+          |    <obo:IAO_0000115>A sequence feature region</obo:IAO_0000115>
+          |    <oboInOwl:hasExactSynonym>sequence</oboInOwl:hasExactSynonym>
+          |    <rdfs:subClassOf rdf:resource="http://purl.obolibrary.org/obo/SO_0000110"/>
+          |  </owl:Class>
+          |  <owl:Class rdf:about="http://purl.obolibrary.org/obo/SO_0000110">
+          |    <rdfs:label>sequence_feature</rdfs:label>
+          |  </owl:Class>
+          |  <owl:Class rdf:about="http://purl.obolibrary.org/obo/SO_0000002">
+          |    <rdfs:label>sequence_secondary_structure</rdfs:label>
+          |    <owl:deprecated>true</owl:deprecated>
+          |    <rdfs:subClassOf rdf:resource="http://purl.obolibrary.org/obo/SO_0000110"/>
+          |    <rdfs:subClassOf rdf:resource="http://www.w3.org/2002/07/owl#Thing"/>
+          |  </owl:Class>
+          |  <owl:Class rdf:about="http://purl.obolibrary.org/obo/SO_0000999">
+          |    <obo:IAO_0000115>unlabeled record, parse error</obo:IAO_0000115>
+          |    <rdfs:subClassOf rdf:resource="http://purl.obolibrary.org/obo/SO_0000110"/>
+          |  </owl:Class>
+          |  <owl:Class rdf:about="http://purl.obolibrary.org/obo/SO_0000003">
+          |    <rdfs:label>G_quartet</rdfs:label>
+          |    <rdfs:subClassOf rdf:resource="http://purl.obolibrary.org/obo/SO_0000999"/>
+          |  </owl:Class>
+          |</rdf:RDF>""".stripMargin
+      val f = java.io.File.createTempFile("graft-g31", ".owl")
+      java.nio.file.Files.writeString(f.toPath, owl)
+      val store = new core.PersistentGraphStore(s,
+        java.nio.file.Files.createTempDirectory("graft-g31").toString)
+      val c1 = sources.SequenceOntology.load(s, store, f.getPath)
+      sources.SequenceOntology.load(s, store, f.getPath) // idempotency pass
+      val ents = store.read("vocabulary").get
+        .select(lit("entity").as("kind"), col("sourceId").as("a"),
+          col("name").as("b"),
+          concat(col("deprecated").cast("string"), lit("|"),
+            coalesce(col("description"), lit("-"))).as("c"))
+      val edges = store.read("edges").get
+        .select(col("edgeClass").as("kind"), col("out").as("a"),
+          col("in").as("b"), lit("").as("c"))
+      val counts = Seq(
+        ("count:errors", c1("errors").toString, "", ""),
+        ("count:edge_drops", c1("edge_drops").toString, "", ""))
+        .toDF("kind", "a", "b", "c")
+      ents.unionByName(edges).unionByName(counts)
+    }),
+
     // G29 — PMC4468049 recurrent fusions (PMC4468049/index.js:32-185,
     // Table S7): low-frequency skip, first-matching-count-column disease
     // specificity with the cancer fallback, disease-miss skips,
@@ -3358,6 +3415,22 @@ object SparkEntry {
         |('variant:protein', '1956:p.L858R@t:sub', 't:sub', 'p.L858|-'),
         |('variant:protein', '7157:p.G12fs*3@t:fs', 't:fs', 'p.G12|-'),
         |('variant:protein', '7157:p.R306Ter@t:sub', 't:sub', 'p.R306|-')
+        |) AS t(kind, a, b, c)""".stripMargin,
+    // g31: frozen from the implementation once, cross-checked against
+    // sequenceOntology.js:51-129 by hand (unlabeled SO_0000999 errors out,
+    // `_`→space names, deprecated literal, owl#Thing parent fails the
+    // /^so:\d+$/i gate, both dangling links dropped).
+    "g31_so" ->
+      """SELECT CAST(kind AS VARCHAR) AS kind, CAST(a AS VARCHAR) AS a,
+        |  CAST(b AS VARCHAR) AS b, CAST(c AS VARCHAR) AS c FROM (VALUES
+        |('count:edge_drops', '2', '', ''),
+        |('count:errors', '1', '', ''),
+        |('entity', 'so:0000001', 'region', 'false|A sequence feature region'),
+        |('entity', 'so:0000002', 'sequence secondary structure', 'true|-'),
+        |('entity', 'so:0000003', 'G quartet', 'false|-'),
+        |('entity', 'so:0000110', 'sequence feature', 'false|-'),
+        |('subclassof', 'so:0000001', 'so:0000110', ''),
+        |('subclassof', 'so:0000002', 'so:0000110', '')
         |) AS t(kind, a, b, c)""".stripMargin,
     // g29: frozen from the implementation once, cross-checked against
     // PMC4468049/index.js:126-180 (r1 specific LUAD, r2 cancer fallback,
