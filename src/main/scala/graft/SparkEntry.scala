@@ -783,6 +783,41 @@ object SparkEntry {
       ents.unionByName(edges).unionByName(counts)
     }),
 
+    // G32 — GSC therapeutic ontology load (gscTherapeuticOntology.js:
+    // 13-240): inhibitors→inhibitor first-occurrence fold, drugbank→
+    // chembl→new-record ladder, first-creation-wins subset tags, alias
+    // split + aliasof, drug→parent→grandparent subclassof chain (both
+    // grandparents hang off the parent), class→same-name-drug and
+    // DrugBankID crossreferenceof, DBid-miss errors.
+    "g32_gsct" -> ((s, dir) => {
+      import s.implicits._
+      import sources.GscTherapy.GscRow
+      val store = new core.PersistentGraphStore(s,
+        java.nio.file.Files.createTempDirectory("graft-g32").toString)
+      val rows = Seq(
+        GscRow(1, "Vemurafenib", "plx4032, RG7204, vemurafenib", "DB08881",
+          "RAF inhibitors", "kinase inhibitors", "MAPK pathway inhibitors"),
+        GscRow(2, "Selumetinib", "AZD6244", "", "MEK inhibitors",
+          "kinase inhibitors", ""),
+        GscRow(3, "Kinase inhibitors", "", "", "kinase inhibitors", "", ""),
+        GscRow(4, "baddrug", "", "DB99999", "", "", ""),
+        GscRow(5, "Mekinist", "", "", "Trametinib", "MEK inhibitors", ""))
+      val drugbank = Seq(("vemurafenib", "DB08881"), ("trametinib", "DB08911"))
+        .toDF("name", "sourceId")
+      val chembl = Seq(("selumetinib", "CHEMBL1614701")).toDF("name", "sourceId")
+      val c1 = sources.GscTherapy.load(s, store, rows, drugbank, chembl)
+      sources.GscTherapy.load(s, store, rows, drugbank, chembl) // idempotency
+      val ents = store.read("therapies").get
+        .select(lit("entity").as("kind"), col("sourceId").as("a"),
+          col("name").as("b"), array_join(col("subsets"), ",").as("c"))
+      val edges = store.read("edges").get
+        .select(col("edgeClass").as("kind"), col("out").as("a"),
+          col("in").as("b"), lit("").as("c"))
+      val counts = Seq(("count:errors", c1("errors").toString, "", ""))
+        .toDF("kind", "a", "b", "c")
+      ents.unionByName(edges).unionByName(counts)
+    }),
+
     // G29 — PMC4468049 recurrent fusions (PMC4468049/index.js:32-185,
     // Table S7): low-frequency skip, first-matching-count-column disease
     // specificity with the cancer fallback, disease-miss skips,
@@ -3431,6 +3466,37 @@ object SparkEntry {
         |('entity', 'so:0000110', 'sequence feature', 'false|-'),
         |('subclassof', 'so:0000001', 'so:0000110', ''),
         |('subclassof', 'so:0000002', 'so:0000110', '')
+        |) AS t(kind, a, b, c)""".stripMargin,
+    // g32: frozen from the implementation once, cross-checked against
+    // gscTherapeuticOntology.js:31-233 by hand (r1 ladder hit on drugbank
+    // with self-alias filtered, r2 chembl rung, r3 drug==parent edge
+    // guard + first-wins 'general' tag from r1's gp1 creation, r4 DBid
+    // miss error with the record kept, r5 class→drug crossref).
+    "g32_gsct" ->
+      """SELECT CAST(kind AS VARCHAR) AS kind, CAST(a AS VARCHAR) AS a,
+        |  CAST(b AS VARCHAR) AS b, CAST(c AS VARCHAR) AS c FROM (VALUES
+        |('aliasof', 'gsct:azd6244', 'chembl:CHEMBL1614701', ''),
+        |('aliasof', 'gsct:plx4032', 'drugbank:DB08881', ''),
+        |('aliasof', 'gsct:rg7204', 'drugbank:DB08881', ''),
+        |('count:errors', '1', '', ''),
+        |('crossreferenceof', 'gsct:trametinib', 'drugbank:DB08911', ''),
+        |('entity', 'azd6244', 'azd6244', ''),
+        |('entity', 'baddrug', 'baddrug', ''),
+        |('entity', 'kinase inhibitor', 'kinase inhibitor', 'general drug class'),
+        |('entity', 'mapk pathway inhibitor', 'mapk pathway inhibitor', 'pathway drug class'),
+        |('entity', 'mek inhibitor', 'mek inhibitor', 'specific drug class'),
+        |('entity', 'mekinist', 'mekinist', ''),
+        |('entity', 'plx4032', 'plx4032', ''),
+        |('entity', 'raf inhibitor', 'raf inhibitor', 'specific drug class'),
+        |('entity', 'rg7204', 'rg7204', ''),
+        |('entity', 'trametinib', 'trametinib', 'specific drug class'),
+        |('subclassof', 'chembl:CHEMBL1614701', 'gsct:mek inhibitor', ''),
+        |('subclassof', 'drugbank:DB08881', 'gsct:raf inhibitor', ''),
+        |('subclassof', 'gsct:mek inhibitor', 'gsct:kinase inhibitor', ''),
+        |('subclassof', 'gsct:mekinist', 'gsct:trametinib', ''),
+        |('subclassof', 'gsct:raf inhibitor', 'gsct:kinase inhibitor', ''),
+        |('subclassof', 'gsct:raf inhibitor', 'gsct:mapk pathway inhibitor', ''),
+        |('subclassof', 'gsct:trametinib', 'gsct:mek inhibitor', '')
         |) AS t(kind, a, b, c)""".stripMargin,
     // g29: frozen from the implementation once, cross-checked against
     // PMC4468049/index.js:126-180 (r1 specific LUAD, r2 cancer fallback,
