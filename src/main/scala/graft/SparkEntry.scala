@@ -818,6 +818,62 @@ object SparkEntry {
       ents.unionByName(edges).unionByName(counts)
     }),
 
+    // G33 — HGVS variant-list upload (variants/index.js:9-81): S9 text
+    // scan → feature-required parse → vocabulary-type resolve → entrez
+    // gene resolve with by-symbol fetch fallback (the fetched gene is
+    // upserted; a biotype!=gene dim row with the same name must NOT
+    // satisfy the lookup) → variant upsert; each failure rung counts.
+    "g33_variants" -> ((s, dir) => {
+      import s.implicits._
+      val txt = Seq("KRAS:p.G12D", "EGFR:c.2573T>G",
+        "(BCR,ABL1):fusion(e.13,e.3)", "badnotation", "  ",
+        "NOVEL1:p.V600E", "MISSING9:p.V1M", "KRAS:c.100dup", "")
+        .mkString("\n")
+      val f = java.io.File.createTempFile("graft-g33", ".txt")
+      java.nio.file.Files.writeString(f.toPath, txt)
+      val json = """{"result":{"uids":["9999"],"9999":{"uid":"9999",
+        |"name":"NOVEL1","description":"novel gene 1","summary":"fake"}}}"""
+        .stripMargin.replace("\n", "")
+      val fj = java.io.File.createTempFile("graft-g33", ".json")
+      java.nio.file.Files.writeString(fj.toPath, json)
+      val store = new core.PersistentGraphStore(s,
+        java.nio.file.Files.createTempDirectory("graft-g33").toString)
+      val geneCols = Seq("biotype", "name", "displayName", "longName",
+        "description", "url")
+      val seed = Seq(
+        ("3845", "gene", "KRAS"), ("1956", "gene", "EGFR"),
+        ("613", "gene", "BCR"), ("25", "gene", "ABL1"),
+        ("555", "transcript", "NOVEL1"))
+        .map { case (sid, bt, n) => (sid, bt, n, n,
+          null.asInstanceOf[String], null.asInstanceOf[String],
+          null.asInstanceOf[String]) }
+        .toDF(("sourceId" +: geneCols): _*)
+      store.merge("genes", seed, Seq("sourceId"), geneCols)
+      val seeded = Set("KRAS", "EGFR", "BCR", "ABL1")
+      val fetcher: Seq[String] => Seq[(String, String)] = ids => {
+        require(!ids.exists(seeded), // J9 runtime guard: dim hits never fetch
+          s"anti-join must prune dim-resolved symbols, got $ids")
+        sources.Entrez.fileFetcher(Map("NOVEL1" -> fj.getPath))(ids)
+      }
+      val vocab = Seq(("substitution", "t:sub"), ("fusion", "t:fusion"))
+        .toDF("name", "term_id")
+      val c1 = sources.VariantsList.load(s, store, f.getPath, vocab, fetcher)
+      sources.VariantsList.load(s, store, f.getPath, vocab, fetcher) // idempotency
+      val vars = store.read("variants").get
+        .select(lit("variant").as("kind"), col("vid").as("a"),
+          col("term").as("b"),
+          concat(col("break1"), lit("|"), coalesce(col("break2"), lit("-"))).as("c"))
+      val genes = store.read("genes").get
+        .select(lit("gene").as("kind"), col("sourceId").as("a"),
+          col("name").as("b"), col("biotype").as("c"))
+      val counts = Seq(
+        ("count:parse_errors", c1("parse_errors").toString, "", ""),
+        ("count:vocab_errors", c1("vocab_errors").toString, "", ""),
+        ("count:gene_errors", c1("gene_errors").toString, "", ""))
+        .toDF("kind", "a", "b", "c")
+      vars.unionByName(genes).unionByName(counts)
+    }),
+
     // G29 — PMC4468049 recurrent fusions (PMC4468049/index.js:32-185,
     // Table S7): low-frequency skip, first-matching-count-column disease
     // specificity with the cancer fallback, disease-miss skips,
@@ -3497,6 +3553,27 @@ object SparkEntry {
         |('subclassof', 'gsct:raf inhibitor', 'gsct:kinase inhibitor', ''),
         |('subclassof', 'gsct:raf inhibitor', 'gsct:mapk pathway inhibitor', ''),
         |('subclassof', 'gsct:trametinib', 'gsct:mek inhibitor', '')
+        |) AS t(kind, a, b, c)""".stripMargin,
+    // g33: frozen from the implementation once, cross-checked against
+    // variants/index.js:9-81 by hand (badnotation parse rung, c.100dup
+    // vocab rung, MISSING9 gene rung, NOVEL1 fetched past the transcript
+    // homonym, fusion double-reference key).
+    "g33_variants" ->
+      """SELECT CAST(kind AS VARCHAR) AS kind, CAST(a AS VARCHAR) AS a,
+        |  CAST(b AS VARCHAR) AS b, CAST(c AS VARCHAR) AS c FROM (VALUES
+        |('count:gene_errors', '1', '', ''),
+        |('count:parse_errors', '1', '', ''),
+        |('count:vocab_errors', '1', '', ''),
+        |('gene', '1956', 'EGFR', 'gene'),
+        |('gene', '25', 'ABL1', 'gene'),
+        |('gene', '3845', 'KRAS', 'gene'),
+        |('gene', '555', 'NOVEL1', 'transcript'),
+        |('gene', '613', 'BCR', 'gene'),
+        |('gene', '9999', 'NOVEL1', 'gene'),
+        |('variant', '1956:c.2573T>G@t:sub', 't:sub', 'c.2573|-'),
+        |('variant', '3845:p.G12D@t:sub', 't:sub', 'p.G12|-'),
+        |('variant', '613::25:fusion(e.13,e.3)@t:fusion', 't:fusion', 'e.13|e.3'),
+        |('variant', '9999:p.V600E@t:sub', 't:sub', 'p.V600|-')
         |) AS t(kind, a, b, c)""".stripMargin,
     // g29: frozen from the implementation once, cross-checked against
     // PMC4468049/index.js:126-180 (r1 specific LUAD, r2 cancer fallback,
