@@ -874,6 +874,44 @@ object SparkEntry {
       vars.unionByName(genes).unionByName(counts)
     }),
 
+    // G34 — all_sources seeder (all_sources/index.js:1-20 + sources.js):
+    // the full 39-definition catalog through upsertSource (K7), then a
+    // composed J2 resolve whose sourceRank rung reads the LOADED `sort`
+    // field (drugbank 0 beats chembl 1, do 1 beats ncit 2, a ranked
+    // 99999 source beats an unranked one via nulls-last).
+    "g34_all_sources" -> ((s, dir) => {
+      import s.implicits._
+      val store = new core.PersistentGraphStore(s,
+        java.nio.file.Files.createTempDirectory("graft-g34").toString)
+      sources.SourceCatalog.load(s, store)
+      sources.SourceCatalog.load(s, store) // idempotency pass
+      val src = store.read("sources").get
+      val srcRows = src.select(lit("source").as("kind"),
+        col("name").as("a"), coalesce(col("displayName"), lit("-")).as("b"),
+        coalesce(col("sort").cast("string"), lit("-")).as("c"))
+      // candidates: one term present in two sources each; rank rides in
+      // from the loaded dimension, not a literal
+      val cands = Seq(
+        ("imatinib", "drugbank"), ("imatinib", "chembl"),
+        ("melanoma", "disease ontology"), ("melanoma", "ncit"),
+        ("kras", "oncokb"), ("kras", "vario"))
+        .toDF("ck", "source")
+        .join(broadcast(src.select(col("name").as("source"),
+          col("sort").as("sourceRank"))), Seq("source"), "left")
+        .withColumn("deprecated", lit(false)).withColumn("alias", lit(false))
+        .withColumn("dependency", lit(null).cast("string"))
+        .withColumn("sourceIdVersion", lit(null).cast("string"))
+        .withColumn("sourceVersion", lit(null).cast("string"))
+        .withColumn("description", lit(null).cast("string"))
+      val lookups = cands.select(col("ck")).distinct()
+      val res = core.Resolver.resolveUnique(lookups, "ck",
+        cands.withColumnRenamed("ck", "cand_key"), "cand_key",
+        core.Resolver.ontologyPreference())
+      val resolves = res.resolved.select(lit("resolve").as("kind"),
+        col("ck").as("a"), col("source").as("b"), lit("").as("c"))
+      srcRows.unionByName(resolves)
+    }),
+
     // G29 — PMC4468049 recurrent fusions (PMC4468049/index.js:32-185,
     // Table S7): low-frequency skip, first-matching-count-column disease
     // specificity with the cancer fallback, disease-miss skips,
@@ -1516,7 +1554,7 @@ object SparkEntry {
         "therapies", "genes", "genes_hgnc", "features", "articles", "trials",
         "variants", "vario_terms", "signatures", "chromosomes",
         "evidence_levels", "abstracts_aacr", "abstracts_asco", "anatomy",
-        "refseqs", "abstracts", "curated", "statements", "edges")
+        "refseqs", "abstracts", "curated", "statements", "edges", "sources")
       val counts = tables.map(t => ("table:" + t,
         store.read(t).map(_.count()).getOrElse(0L)))
       val summary = Seq(
@@ -3554,6 +3592,55 @@ object SparkEntry {
         |('subclassof', 'gsct:raf inhibitor', 'gsct:mapk pathway inhibitor', ''),
         |('subclassof', 'gsct:trametinib', 'gsct:mek inhibitor', '')
         |) AS t(kind, a, b, c)""".stripMargin,
+    // g34: VALUES derived mechanically from sources.js:1-298 (independent
+    // re-extraction of the structural fields), resolve rows re-derived
+    // from graphkb.js:152-159 rank-compare semantics by hand.
+    "g34_all_sources" ->
+      """SELECT CAST(kind AS VARCHAR) AS kind, CAST(a AS VARCHAR) AS a,
+        |  CAST(b AS VARCHAR) AS b, CAST(c AS VARCHAR) AS c FROM (VALUES
+        |('resolve', 'imatinib', 'drugbank', ''),
+        |('resolve', 'kras', 'oncokb', ''),
+        |('resolve', 'melanoma', 'disease ontology', ''),
+        |('source', 'PMC4232638-supp', 'PMC4232638-supp', '-'),
+        |('source', 'PMC4468049-supp', 'PMC4468049-supp', '-'),
+        |('source', 'Variant Interpretation for Cancer Consortium', 'VICC', '-'),
+        |('source', 'amp', 'AMP', '-'),
+        |('source', 'asco', 'ASCO', '-'),
+        |('source', 'cancer genome interpreter', 'CGI', '-'),
+        |('source', 'cancerhotspots.org', 'cancerhotspots.org', '-'),
+        |('source', 'cgl', 'CGL', '-'),
+        |('source', 'chembl', 'ChEMBL', '1'),
+        |('source', 'civic', 'CIViC', '4'),
+        |('source', 'clinicaltrials.gov', '-', '-'),
+        |('source', 'cosmic', 'COSMIC', '-'),
+        |('source', 'cpic', 'CPIC', '-'),
+        |('source', 'database of curated mutations', 'DoCM', '-'),
+        |('source', 'dbsnp', 'dbSNP', '-'),
+        |('source', 'dgidb', 'DGIdb', '-'),
+        |('source', 'disease ontology', 'Disease Ontology', '1'),
+        |('source', 'drugbank', 'DrugBank', '0'),
+        |('source', 'ensembl', 'Ensembl', '3'),
+        |('source', 'entrez gene', '-', '1'),
+        |('source', 'esmo', 'ESMO', '1'),
+        |('source', 'fda approvals', 'FDA Approvals', '-'),
+        |('source', 'fda srs', 'FDA-SRS', '3'),
+        |('source', 'graphkb', 'GraphKB', '0'),
+        |('source', 'gsc therapeutic ontology', 'GSC-TO', '5'),
+        |('source', 'hgnc', 'HGNC', '2'),
+        |('source', 'ipr', 'IPR', '-'),
+        |('source', 'iprkb', 'IPRKB', '-'),
+        |('source', 'moa', 'MOAlmanac', '-'),
+        |('source', 'ncit', 'NCIt', '2'),
+        |('source', 'oncokb', 'OncoKB', '99999'),
+        |('source', 'oncotree', 'OncoTree', '0'),
+        |('source', 'profyle', 'PROFYLE', '99999'),
+        |('source', 'pubmed', 'PubMed', '-'),
+        |('source', 'refseq', 'RefSeq', '-'),
+        |('source', 'sequence ontology', '-', '-'),
+        |('source', 'tso500', 'TSO500', '99999'),
+        |('source', 'uberon', 'Uberon', '-'),
+        |('source', 'vario', '-', '-')
+        |) AS t(kind, a, b, c)""".stripMargin,
     // g33: frozen from the implementation once, cross-checked against
     // variants/index.js:9-81 by hand (badnotation parse rung, c.100dup
     // vocab rung, MISSING9 gene rung, NOVEL1 fetched past the transcript
@@ -3982,20 +4069,25 @@ object SparkEntry {
         |                delim='\t', header=true, all_varchar=true)
         |  WHERE UNII IS NOT NULL AND PT IS NOT NULL
         |)
-        |SELECT 'loaders:succeeded' AS kind, CAST(34 AS BIGINT) AS n
-        |UNION ALL SELECT 'rerun:succeeded', CAST(34 AS BIGINT)
+        |SELECT 'loaders:succeeded' AS kind, CAST(35 AS BIGINT) AS n
+        |UNION ALL SELECT 'rerun:succeeded', CAST(35 AS BIGINT)
         |UNION ALL SELECT 'rerun:creates', CAST(0 AS BIGINT)
+        |-- all_sources seeder: the 39 sources.js definitions
+        |UNION ALL SELECT 'table:sources', CAST(39 AS BIGINT)
         |UNION ALL SELECT 'table:vocabulary',
         |  CAST((SELECT count(*) FROM vocab_recs) AS BIGINT)
         |UNION ALL SELECT 'table:terms', CAST(10 AS BIGINT)
         |UNION ALL SELECT 'table:vertices', CAST((SELECT count(*) FROM doid_nodes
         |  WHERE regexp_extract(n.id, '.*/([A-Za-z]+_[0-9]+)$', 1) <> '') AS BIGINT)
         |UNION ALL SELECT 'table:diseases', CAST((SELECT count(*) FROM onc) AS BIGINT)
+        |-- + 1: the cgi node's therapy miss creates cgi:vemurafenib
+        |-- (vemurafenib appears in none of the three therapy fixtures)
         |UNION ALL SELECT 'table:therapies', CAST((SELECT n FROM fda)
         |  + (SELECT len(regexp_extract_all(content, '<drug type='))
         |     FROM read_text('/root/reference/test/data/drugbank_sample.xml'))
         |  + (SELECT 1 + CASE WHEN usan_stem_definition IS NOT NULL THEN 1 ELSE 0 END
-        |     FROM read_json_auto('/root/reference/test/data/chembl.CHEMBL553.json')) AS BIGINT)
+        |     FROM read_json_auto('/root/reference/test/data/chembl.CHEMBL553.json'))
+        |  + 1 AS BIGINT)
         |UNION ALL SELECT 'table:genes', CAST((SELECT len(r.uids) FROM
         |    (SELECT result AS r
         |     FROM read_json_auto('/root/reference/test/data/entrez_gene.3845.json')))
@@ -4015,16 +4107,17 @@ object SparkEntry {
         |-- variants: civic (from the fixture) + the record-level loaders'
         |-- disjoint demo ladders: moa 5, docm 2, oncokb 2, hotspots 3,
         |-- cosmic resistance 5, cosmic fusions 2, pmc4232638 1,
-        |-- pmc4468049 1, cgl 2
+        |-- pmc4468049 1, cgl 2, cgi 1
         |UNION ALL SELECT 'table:variants', CAST((SELECT count(*)
         |  FROM read_json_auto('/root/reference/test/data/civic_variant.json'))
-        |  + 23 AS BIGINT)
+        |  + 24 AS BIGINT)
         |-- asco dedup collapses its 2 demo records to 1; one scraped
         |-- announcement; statements: hotspots + cosmic fusions +
-        |-- pmc4232638 + pmc4468049 + cgl
+        |-- pmc4232638 + pmc4468049 + cgl + cgi (dag-c1's one combo;
+        |-- dag-c2 is the 3-plus-combination error)
         |UNION ALL SELECT 'table:abstracts', CAST(1 AS BIGINT)
         |UNION ALL SELECT 'table:curated', CAST(1 AS BIGINT)
-        |UNION ALL SELECT 'table:statements', CAST(5 AS BIGINT)
+        |UNION ALL SELECT 'table:statements', CAST(6 AS BIGINT)
         |UNION ALL SELECT 'table:vario_terms', CAST((SELECT count(*) FROM vario_lab) AS BIGINT)
         |UNION ALL SELECT 'table:signatures', CAST((SELECT count(*) FROM sig_recs) AS BIGINT)
         |UNION ALL SELECT 'table:chromosomes', CAST((SELECT count(*) FROM chrom_recs) AS BIGINT)

@@ -103,6 +103,11 @@ object FullCorpus {
   def loaders(store: PersistentGraphStore, ncitPath: String,
       refData: String = RefData): Seq[Loader] = Seq(
 
+    // all_sources/index.js: the full 39-definition source catalog is a
+    // root — every loader's addSource upserts against it, and the J2
+    // ladder's sourceRank rung reads its `sort` field
+    Loader("allSources", Seq.empty, sp => SourceCatalog.load(sp, store)),
+
     // the REAL local-data DAG roots (Snakefile rule all_local: vocab,
     // signatures, chromosomes, evidenceLevels, aacr, asco)
     Loader("vocab", Seq.empty, sp => OntologyFile.load(sp, store,
@@ -306,14 +311,27 @@ object FullCorpus {
         diseases = store.read("diseases").get.select("name", "sourceId"))
     }),
 
-    Loader("cgi", Seq.empty, sp => {
+    // cgi statements compose through the store: disease resolves against
+    // the loaded do/oncotree dims, therapy against the loaded therapies
+    // table (miss → created under the cgi source, so the RERUN resolves
+    // it from the dim instead), relevance against the real vocab; the
+    // 3-plus combination lands in the error side-channel in situ
+    Loader("cgi", Seq("vocab", "do", "oncotree", "fdaSrs", "drugbank",
+        "chembl"), sp => {
       import Cgi.CgiRow
-      // stateless row parsing — counts only (the store statements for CGI
-      // would need the trial/evidence sinks the demo rows don't exercise)
-      val parsed = Cgi.parse(sp, Seq(
+      val diseaseDim = store.read("vertices").get.select("name", "sourceId")
+        .unionByName(store.read("diseases").get.select("name", "sourceId"))
+      Cgi.load(sp, store, Seq(
         CgiRow("dag-c1", "BRAF (V600E)", "BRAF", "MUT", "BRAF:V600E",
-          "[Vemurafenib]", "", "PMID:21639808")))
-      Map("rows" -> parsed.count())
+          "[Vemurafenib]", "", "PMID:21639808", disease = "melanoma",
+          relevance = "Responsive"),
+        CgiRow("dag-c2", "A (V1E) + B (V2E) + C (V3E)", "A", "MUT", "",
+          "[Y]", "", "PMID:5", disease = "melanoma",
+          relevance = "Responsive")),
+        diseases = diseaseDim,
+        therapies = store.read("therapies").get.select("name", "sourceId"),
+        vocab = store.read("vocabulary").get
+          .select(col("name"), col("name").as("term_id")))
     }),
 
     Loader("ascoAbstracts", Seq.empty, sp => Asco.load(sp, store, Seq(

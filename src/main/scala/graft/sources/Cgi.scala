@@ -26,7 +26,8 @@ object Cgi {
 
   case class CgiRow(
       rowId: String, biomarker: String, gene: String, variantClass: String,
-      protein: String, drug: String, drugFamily: String, evidence: String)
+      protein: String, drug: String, drugFamily: String, evidence: String,
+      disease: String = "", relevance: String = "")
 
   /** One parsed variant spec within a combination. */
   case class VariantSpec(
@@ -118,6 +119,42 @@ object Cgi {
     else combinations(0).map(Seq(_))
   }
 
+  // cgi/index.js:39-43 — relevance typo fixes, applied lowercased
+  val RelevanceMapping: Map[String, String] = Map(
+    "increased toxicity (myelosupression)" -> "increased toxicity (myelosuppression)",
+    "no responsive" -> "no response",
+    "resistant" -> "resistance",
+    "responsive" -> "response")
+
+  // cgi/index.js:46-58 — disease-name fixes; unmapped names fall back to
+  // the `name|name cancer` alias ladder (processDisease:323-352)
+  val DiseaseMapping: Map[String, String] = Map(
+    "any cancer type" -> "cancer",
+    "billiary tract" -> "Biliary tract cancer",
+    "cervix squamous cell" -> "cervix squamous cell carcinoma",
+    "endometrium" -> "endometrial cancer",
+    "gastrointestinal stromal" -> "gastrointestinal stromal tumor",
+    "head an neck" -> "head and neck cancer",
+    "head an neck squamous" -> "head and neck squamous cell carcinoma",
+    "lung squamous cell" -> "lung squamous cell carcinoma",
+    "malignant peripheral nerve sheat tumor" -> "malignant peripheral nerve sheath tumor",
+    "ovary" -> "ovarian cancer",
+    "thymic" -> "thymic tumor")
+
+  // cgi/index.js:61-71 — therapy fixes, looked up lowercased; the
+  // reference's mixed-case 'MEK inhibitor (alone or in combination)' key
+  // can never match a lowercased name (dead entry), transcribed as this
+  // comment rather than an unreachable map entry
+  val TherapyMapping: Map[String, String] = Map(
+    "egfr tk inhibitor" -> "egfr tyrosine kinase inhibitor",
+    "egfr tk inhibitors" -> "egfr tyrosine kinase inhibitor",
+    "flourouracil" -> "fluorouracil",
+    "fluvestrant" -> "fulvestrant",
+    "jak inhibitors (alone or in combination)" -> "jak inhibitor",
+    "mek inhibitors (alone or in combination)" -> "mek inhibitor",
+    "tensirolimus" -> "temsirolimus",
+    "trastuzumab deruxtecan-nxki" -> "fam-trastuzumab deruxtecan-nxki")
+
   case class ParsedRow(
       rowId: String, kind: String, comboIdx: Long, value: String)
 
@@ -141,5 +178,118 @@ object Cgi {
           Seq(ParsedRow(row.rowId, "error", 0L, e.getMessage))
       }
     }.toDF()
+  }
+
+  /** Composed statement path (cgi/index.js processRow:392-460): disease
+    * mapping + `name|name cancer` alias ladder against the disease dim,
+    * therapy resolve-or-create under the cgi source (addTherapyCombination
+    * 's single-drug rung; `;` combinations fold to the sorted ` + ` name),
+    * relevance typo-fold + vocabulary lookup, evidence falling back to the
+    * source rid when the guideline drops empty it, then ONE statement per
+    * variant combination with conditions = variants + disease + drug and
+    * subject = drug. A row failing disease or relevance resolution counts
+    * as an error (the reference throw); parse errors ride in from
+    * [[parse]]'s side-channel.
+    *
+    * Scale: every dim joins broadcast; statements/variants/therapies merge
+    * through the bucketed store; no driver loops.
+    */
+  def load(spark: SparkSession, store: graft.core.PersistentGraphStore,
+      rows: Seq[CgiRow], diseases: DataFrame, therapies: DataFrame,
+      vocab: DataFrame): Map[String, Long] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+
+    val parsed = parse(spark, rows)
+    parsed.persist()
+    try {
+      val parseErrors = parsed.filter(col("kind") === "error").count()
+
+      // ---- per-row scalar resolves (relevance, disease)
+      val meta = rows.map(r => (r.rowId, r.disease, r.relevance))
+        .toDF("rowId", "disease", "relevance")
+      val relName = coalesce(
+        element_at(typedLit(RelevanceMapping), lower(trim(col("relevance")))),
+        col("relevance"))
+      val withRel = meta.withColumn("rel_name", relName)
+        .join(broadcast(vocab.select(lower(col("name")).as("rel_key"),
+          col("term_id").as("rel_term"))),
+          lower(col("rel_name")) === col("rel_key"), "left")
+      val dDim = broadcast(diseases.select(lower(col("name")).as("d_key"),
+        col("sourceId").as("d_sid")))
+      val mapped = withRel.withColumn("d_mapped",
+        element_at(typedLit(DiseaseMapping), lower(trim(col("disease")))))
+      // rung 1: the mapped name, else the raw name
+      val direct = mapped.join(dDim,
+        coalesce(lower(col("d_mapped")), lower(trim(col("disease")))) === col("d_key"),
+        "left").drop("d_key")
+      // rung 2: unmapped misses retry as `<name> cancer`
+      val retry = direct.filter(col("d_sid").isNull && col("d_mapped").isNull)
+        .drop("d_sid")
+        .join(dDim, concat(lower(trim(col("disease"))), lit(" cancer")) === col("d_key"),
+          "left").drop("d_key")
+      val rowMeta = direct.filter(col("d_sid").isNotNull || col("d_mapped").isNotNull)
+        .unionByName(retry)
+
+      // ---- therapy resolve-or-create
+      val tDim = broadcast(therapies.select(lower(col("name")).as("t_key"),
+        col("sourceId").as("t_dim_sid")))
+      val comboName = when(col("value").contains(";"),
+        array_join(array_sort(transform(split(col("value"), ";"),
+          x => lower(trim(x)))), " + "))
+        .otherwise(col("value"))
+      val drugs = parsed.filter(col("kind") === "therapy")
+        .withColumn("t_name", lower(trim(coalesce(
+          element_at(typedLit(TherapyMapping), lower(trim(comboName))),
+          comboName))))
+        .join(tDim, col("t_name") === col("t_key"), "left")
+        .withColumn("t_rid",
+          coalesce(col("t_dim_sid"), concat(lit("cgi:"), col("t_name"))))
+        .select(col("rowId"), col("t_name"), col("t_dim_sid"), col("t_rid"))
+      drugs.persist()
+      try {
+        val newTherapies = drugs.filter(col("t_dim_sid").isNull)
+          .select(col("t_rid").as("sourceId"), col("t_name").as("name"),
+            lit("cancer genome interpreter").as("source"))
+          .distinct()
+        val tCounts = store.merge("therapies", newTherapies,
+          keyCols = Seq("sourceId"), compareCols = Seq("name", "source"))
+
+        // ---- statements: one per combo, rows passing both resolves
+        val evid = parsed.filter(col("kind") === "evidence")
+          .select(col("rowId"),
+            when(col("value") === "", "cancer genome interpreter")
+              .otherwise(col("value")).as("evidence"))
+        val ok = rowMeta.filter(col("rel_term").isNotNull && col("d_sid").isNotNull)
+        val combos = parsed.filter(col("kind") === "combo")
+          .join(ok.select(col("rowId"), col("rel_term"), col("d_sid")), Seq("rowId"))
+          .join(drugs.select(col("rowId"), col("t_rid")), Seq("rowId"))
+          .join(evid, Seq("rowId"))
+        combos.persist()
+        try {
+          val vCounts = store.merge("variants",
+            combos.select(explode(split(col("value"), " AND ")).as("vid"))
+              .distinct()
+              .select(col("vid"), lit("cgi").as("form"), col("vid").as("notation")),
+            keyCols = Seq("vid"), compareCols = Seq("form", "notation"))
+          val sCounts = store.merge("statements",
+            combos.select(
+              concat(col("rowId"), lit(":"), col("comboIdx")).as("sourceId"),
+              col("rel_term").as("relevance"), col("t_rid").as("subject"),
+              sort_array(concat(split(col("value"), " AND "),
+                array(col("d_sid"), col("t_rid")))).as("conditions"),
+              col("evidence").as("description")),
+            keyCols = Seq("sourceId"),
+            compareCols = Seq("relevance", "subject", "description"),
+            setCols = Seq("conditions"))
+          val resolveErrors =
+            rowMeta.filter(col("rel_term").isNull || col("d_sid").isNull).count()
+          sCounts ++
+            vCounts.map { case (k, v) => s"variants_$k" -> v } ++
+            tCounts.map { case (k, v) => s"therapies_$k" -> v } +
+            ("errors" -> (parseErrors + resolveErrors))
+        } finally combos.unpersist()
+      } finally drugs.unpersist()
+    } finally parsed.unpersist()
   }
 }
