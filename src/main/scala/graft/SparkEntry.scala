@@ -1550,6 +1550,13 @@ object SparkEntry {
           case orchestrate.Orchestrator.Succeeded(c) =>
             c.collect { case (k, v) if k.contains("create") => v }.sum
         }.sum
+      // every loader's error side-channel (K10), summed across the DAG:
+      // the intentionally-bad in-situ records land here, not in tables
+      def errors(r: orchestrate.Orchestrator.Report): Long =
+        r.statuses.values.collect {
+          case orchestrate.Orchestrator.Succeeded(c) =>
+            c.collect { case (k, v) if k.contains("error") => v }.sum
+        }.sum
       val tables = Seq("vocabulary", "terms", "vertices", "diseases",
         "therapies", "genes", "genes_hgnc", "features", "articles", "trials",
         "variants", "vario_terms", "signatures", "chromosomes",
@@ -1560,7 +1567,8 @@ object SparkEntry {
       val summary = Seq(
         ("loaders:succeeded", r1.succeeded.size.toLong),
         ("rerun:succeeded", r2.succeeded.size.toLong),
-        ("rerun:creates", creates(r2))) ++ counts
+        ("rerun:creates", creates(r2)),
+        ("errors:total", errors(r1))) ++ counts
       summary.toDF("kind", "n").orderBy("kind")
     }),
 
@@ -4072,6 +4080,12 @@ object SparkEntry {
         |SELECT 'loaders:succeeded' AS kind, CAST(35 AS BIGINT) AS n
         |UNION ALL SELECT 'rerun:succeeded', CAST(35 AS BIGINT)
         |UNION ALL SELECT 'rerun:creates', CAST(0 AS BIGINT)
+        |-- in-situ error side-channel: dgidb unknown-gene 1, cgi 3-plus
+        |-- combination 1, docm protein-fatal 1, oncokb unresolvable id 1,
+        |-- hotspots protein-fatal 1, cgl no-loadable-form 1 (moa's two bad
+        |-- records are DROP-based — no counter — pinned by the variant
+        |-- count instead)
+        |UNION ALL SELECT 'errors:total', CAST(6 AS BIGINT)
         |-- all_sources seeder: the 39 sources.js definitions
         |UNION ALL SELECT 'table:sources', CAST(39 AS BIGINT)
         |UNION ALL SELECT 'table:vocabulary',
@@ -4105,12 +4119,13 @@ object SparkEntry {
         |UNION ALL SELECT 'table:trials', CAST((SELECT count(*)
         |  FROM read_json_auto('/root/reference/test/data/clinicaltrialsgov.NCT03478891.json')) AS BIGINT)
         |-- variants: civic (from the fixture) + the record-level loaders'
-        |-- disjoint demo ladders: moa 5, docm 2, oncokb 2, hotspots 3,
-        |-- cosmic resistance 5, cosmic fusions 2, pmc4232638 1,
-        |-- pmc4468049 1, cgl 2, cgi 1
+        |-- disjoint demo ladders: moa 6 (9103's protein lands while its
+        |-- chrom-99 genomic drops; 9104 drops whole), docm 2, oncokb 2,
+        |-- hotspots 3, cosmic resistance 5, cosmic fusions 2,
+        |-- pmc4232638 1, pmc4468049 1, cgl 2, cgi 1
         |UNION ALL SELECT 'table:variants', CAST((SELECT count(*)
         |  FROM read_json_auto('/root/reference/test/data/civic_variant.json'))
-        |  + 24 AS BIGINT)
+        |  + 25 AS BIGINT)
         |-- asco dedup collapses its 2 demo records to 1; one scraped
         |-- announcement; statements: hotspots + cosmic fusions +
         |-- pmc4232638 + pmc4468049 + cgl + cgi (dag-c1's one combo;

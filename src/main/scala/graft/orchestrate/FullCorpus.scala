@@ -228,6 +228,15 @@ object FullCorpus {
           Some(140453136L), Some(140453136L), Some("A"), Some("T"),
           Some("c.1799T>A"), Some("p.V600E"), Some(15L), None),
         MoaVariant(9102L, "KRAS", "somatic_variant", None, None, None,
+          None, None, None, None, None, Some("mutation")),
+        // genomic-non-fatal isolation: chromosome 99 misses the dim, the
+        // genomic form drops, the protein form still lands (no Infers
+        // edge — its predecessor is gone)
+        MoaVariant(9103L, "KRAS", "somatic_variant", Some("99"), Some(5L),
+          Some(5L), Some("G"), Some("C"), None, Some("p.G12C"), None, None),
+        // unresolved gene: every form drops, nothing lands (the reference
+        // getUniqueRecordBy throw, warn-and-continue)
+        MoaVariant(9104L, "GHOSTGENE", "somatic_variant", None, None, None,
           None, None, None, None, None, Some("mutation"))),
         genes = store.read("genes").get
           .select(col("name").as("symbol"), col("sourceId")),
@@ -240,7 +249,11 @@ object FullCorpus {
       import Docm.DocmRecord
       Docm.load(sp, store, Seq(
         DocmRecord("dag-d1", "p.G12D", "KRAS", "12", "GRCh37",
-          25398284L, 25398284L, "C", "T", "SNV")),
+          25398284L, 25398284L, "C", "T", "SNV"),
+        // protein-fatal: the unresolved gene fails the whole record (its
+        // genomic form drops too) and lands in record_errors
+        DocmRecord("dag-d2", "p.E9K", "GHOSTGENE", "12", "GRCh37",
+          400L, 400L, "G", "A", "SNV")),
         genes = store.read("genes").get
           .select(col("name").as("symbol"), col("sourceId")),
         chromosomes = store.read("chromosomes").get
@@ -255,7 +268,10 @@ object FullCorpus {
       OncoKb.load(sp, store, Seq(
         OncoKbVariant("dag-o1", "KRAS", "Oncogenic Mutations", "3845"),
         OncoKbVariant("dag-o2", "Other Biomarkers",
-          "Microsatellite Instability-High", "")),
+          "Microsatellite Instability-High", ""),
+        // unresolvable entrez id → the error count, no variant
+        OncoKbVariant("dag-o3", "GHOSTGENE", "Oncogenic Mutations",
+          "424242")),
         genes = store.read("genes").get
           .select(col("sourceId"), col("name").as("symbol")),
         signatures = store.read("signatures").get
@@ -270,7 +286,11 @@ object FullCorpus {
       import CancerHotspots.HotspotRecord
       CancerHotspots.load(sp, store, Seq(
         HotspotRecord("dag-h1", "7", 140753336L, 140753336L, "A", "T",
-          "3845", "p.Q61L", "enst00000544455", "c.182A>T", "mel")),
+          "3845", "p.Q61L", "enst00000544455", "c.182A>T", "mel"),
+        // protein-fatal: unresolved gene → record_errors; the record's
+        // genomic/cds forms drop with it
+        HotspotRecord("dag-h2", "7", 1L, 1L, "A", "T", "424242",
+          "p.Q61L", "enst00000544455", "c.182A>T", "mel")),
         genes = store.read("genes").get.select("sourceId"),
         chromosomes = store.read("chromosomes").get
           .select(col("sourceId"), coalesce(col("name"), col("sourceId"))
@@ -384,7 +404,11 @@ object FullCorpus {
         import Cgl.CglRecord
         Cgl.load(sp, store, Seq(
           CglRecord("dag-g1", "NM_005228.5", "c.2573T>G", "KRAS",
-            "p.R306*", "", "", "", "")),
+            "p.R306*", "", "", "", ""),
+          // no loadable form: unknown gene + first-base-mismatch VCF
+          // triplet → per-form isolation leaves nothing, the record errors
+          CglRecord("dag-g2", "", "", "GHOSTGENE", "", "7", "300", "A",
+            "TG")),
           transcripts = store.read("refseqs").get
             .select(col("sourceId"), col("sourceIdVersion")),
           genes = store.read("genes").get.select("name", "sourceId"),
