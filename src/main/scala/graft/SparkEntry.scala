@@ -2580,6 +2580,27 @@ object SparkEntry {
 
     // Multimodal plumbing: binary payload + typed metadata → batched
     // decode-stub features, resize metadata, frame-sample counts.
+    // Real JDK image decode: synthetic PNGs generated executor-side with
+    // LYING metadata (0×0), decoded back via ImageIO — dimensions and the
+    // pixel-sum feature must come off the raster; a garbage payload takes
+    // the decoded=false sentinel path instead of killing the partition.
+    "llm_image_decode" -> ((s, dir) => {
+      import s.implicits._
+      import llm.Multimodal.{MediaItem, MediaMeta}
+      val pngs = s.range(1, 5).map { id =>
+        MediaItem(id, "image/png",
+          llm.Multimodal.syntheticPng(id, 16 + id.toInt * 3, 16 + id.toInt * 2),
+          MediaMeta(0, 0, 0L, "png"))
+      }
+      val junk = s.range(99, 100).map { id =>
+        MediaItem(id, "image/png", "not an image".getBytes("UTF-8"),
+          MediaMeta(0, 0, 0L, "png"))
+      }
+      llm.Multimodal.decodeImage(pngs.union(junk)).toDF()
+        .select(col("mediaId").as("media_id"), col("decoded"),
+          col("width"), col("height"), col("pixelSum").as("pixel_sum"))
+    }),
+
     "llm_multimodal" -> ((s, dir) => {
       val items = llm.Multimodal.fromDocuments(s, t(s, dir, "documents"))
       val feats = llm.Multimodal.decodeStub(items).toDF()
@@ -3243,6 +3264,23 @@ object SparkEntry {
         |FROM b a JOIN b c ON a.label = c.label AND a.id < c.id
         |WHERE CAST(CAST(list_sum(list_transform(generate_series(1, len(a.vq)), i -> a.vq[i] * c.vq[i])) AS BIGINT) AS DOUBLE)
         |    / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(c.norm2 AS DOUBLE))) >= 0.45""".stripMargin,
+    // llm_image_decode: the oracle re-derives each PNG's pixel sum
+    // ARITHMETICALLY from the generator formula — the Spark side must
+    // round-trip the actual encoded bytes through a real decoder to match
+    "llm_image_decode" ->
+      """WITH imgs AS (
+        |  SELECT i AS id, 16 + i*3 AS w, 16 + i*2 AS h
+        |  FROM generate_series(1, 4) AS t(i)
+        |), px AS (
+        |  SELECT id, ((x*7+id)%256) + ((y*11)%256) + ((x+y)%256) AS v
+        |  FROM imgs, generate_series(0, 100) gx(x), generate_series(0, 100) gy(y)
+        |  WHERE x < w AND y < h
+        |)
+        |SELECT CAST(id AS BIGINT) AS media_id, true AS decoded,
+        |  CAST(16+id*3 AS INT) AS width, CAST(16+id*2 AS INT) AS height,
+        |  CAST(sum(v) AS BIGINT) AS pixel_sum
+        |FROM px GROUP BY id
+        |UNION ALL SELECT 99, false, -1, -1, -1""".stripMargin,
     "llm_multimodal" ->
       """SELECT doc_id AS media_id, 'text-as-image-stub' AS kind,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

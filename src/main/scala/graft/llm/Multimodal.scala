@@ -11,11 +11,15 @@ import org.apache.spark.sql.functions._
   * `mapInPandas` — one library context per partition, vectorizable batch
   * loop inside).
   *
-  * The actual media decode is STUBBED (`decodeStub`): this container has no
-  * image/audio codecs, so the "decode" computes deterministic byte-level
-  * features (length, md5, head bytes). The partitioning, schema, batch
-  * shape and metadata math around it are real — swapping `decodeStub` for a
-  * JNI/FFmpeg call changes one function.
+  * IMAGE decode is REAL: `decodeImage` runs `javax.imageio.ImageIO` (PNG/
+  * GIF/BMP ship with the JDK, no container codec needed), reading true
+  * pixel dimensions and a pixel-sum feature off the decoded raster —
+  * metadata lies are ignored, undecodable payloads flag `decoded=false`.
+  * AUDIO/VIDEO decode remains STUBBED (`decodeStub`): no FFmpeg in this
+  * container, so those payloads get deterministic byte-level features
+  * (length, md5, head bytes). The partitioning, schema and batch shape
+  * are identical for both — swapping the stub for a JNI/FFmpeg call
+  * changes one function.
   *
   * Scale: `mapPartitions` keeps one decoder context per task; binary
   * payloads never shuffle (feature extraction projects them away before any
@@ -51,6 +55,69 @@ object Multimodal {
           m.meta.width, m.meta.height)
       }
     }
+  }
+
+  case class ImageFeatures(
+      mediaId: Long, decoded: Boolean, width: Int, height: Int, pixelSum: Long)
+
+  /** REAL image decode via the JDK's ImageIO (PNG/GIF/BMP need no
+    * external codec). Width/height come from the decoded raster — NOT the
+    * metadata struct — and `pixelSum` folds every pixel's r+g+b, so a
+    * wrong byte stream can't silently pass. `ImageIO.read` returns null
+    * for undecodable payloads → `decoded=false` sentinel row (the error
+    * side-channel shape, not an exception — one bad image must not kill
+    * the partition).
+    */
+  def decodeImage(items: Dataset[MediaItem]): Dataset[ImageFeatures] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      // ImageIO scans for plugin readers on first use; disk caching off
+      // keeps the decode purely in-memory per task
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { m =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.bytes))
+        if (img == null) ImageFeatures(m.mediaId, decoded = false, -1, -1, -1L)
+        else {
+          var sum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          ImageFeatures(m.mediaId, decoded = true, img.getWidth, img.getHeight, sum)
+        }
+      }
+    }
+  }
+
+  /** Deterministic test PNG: pixel(x,y) = (r,g,b) =
+    * ((x*7+seed)%256, (y*11)%256, (x+y)%256), PNG-encoded. The encode is
+    * lossless RGB, so a decode must reproduce the formula exactly.
+    */
+  def syntheticPng(seed: Long, width: Int, height: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val r = ((x * 7 + seed) % 256).toInt
+        val g = (y * 11) % 256
+        val b = (x + y) % 256
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 
   /** Resize plumbing: recompute target metadata, pass payload through the

@@ -175,6 +175,22 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("decodeImage: real PNG round-trip reads raster dims + pixel sum; garbage flags undecoded") {
+    import Multimodal.{MediaItem, MediaMeta}
+    // metadata deliberately lies (0×0) — decode must read the raster
+    val png = MediaItem(7L, "image/png", Multimodal.syntheticPng(7L, 19, 18),
+      MediaMeta(0, 0, 0L, "png"))
+    val junk = MediaItem(8L, "image/png", Array[Byte](1, 2, 3),
+      MediaMeta(0, 0, 0L, "png"))
+    val out = Multimodal.decodeImage(spark.createDataset(Seq(png, junk)))
+      .collect().sortBy(_.mediaId)
+    val expected = (for (x <- 0 until 19; y <- 0 until 18)
+      yield ((x * 7 + 7) % 256) + ((y * 11) % 256) + ((x + y) % 256)).sum.toLong
+    assert(out(0).decoded && out(0).width == 19 && out(0).height == 18)
+    assert(out(0).pixelSum == expected)
+    assert(!out(1).decoded && out(1).width == -1 && out(1).pixelSum == -1L)
+  }
+
   test("resize preserves aspect ratio bound; frame sampling count") {
     val docs = Tables(spark, dir, "documents").limit(10)
     val items = Multimodal.fromDocuments(spark, docs).toDF()
