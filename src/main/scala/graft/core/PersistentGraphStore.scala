@@ -44,6 +44,19 @@ class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32
 
   private def tableDir(table: String) = s"$root/$table"
 
+  // ---- per-table write serialization --------------------------------------
+  // Concurrent loaders (level-parallel orchestration) may target the SAME
+  // table; version allocation is read-latest+1, so unsynchronized writers
+  // would both claim v=N+1 and one layer would vanish. A per-table monitor
+  // serializes mutators per table while leaving writes to DIFFERENT tables
+  // fully concurrent. Driver-side only — one store instance per JVM owns a
+  // root; multi-driver coordination is a table-format concern (Delta/
+  // Iceberg), out of scope here.
+  private val tableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(table: String): Object =
+    tableLocks.computeIfAbsent(table, _ => new Object)
+
   // ---- per-table bucketing metadata --------------------------------------
 
   private case class Meta(nBuckets: Int, bucketCols: Seq[String])
@@ -220,11 +233,13 @@ class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32
     * Returns the snapshot's version number, or None for an empty table.
     */
   def compact(table: String, prune: Boolean = true): Option[Int] =
-    readMeta(table).flatMap { m =>
-      read(table).map { cur =>
-        val v = write(table, cur, m.bucketCols, full = true)
-        if (prune) vacuum(table)
-        v
+    lockFor(table).synchronized {
+      readMeta(table).flatMap { m =>
+        read(table).map { cur =>
+          val v = write(table, cur, m.bucketCols, full = true)
+          if (prune) vacuum(table)
+          v
+        }
       }
     }
 
@@ -292,7 +307,18 @@ class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32
       keyCols: Seq[String],
       compareCols: Seq[String],
       setCols: Seq[String] = Nil,
-      softDelete: Boolean = false): Map[String, Long] = {
+      softDelete: Boolean = false): Map[String, Long] =
+    lockFor(table).synchronized {
+      mergeLocked(table, incoming, keyCols, compareCols, setCols, softDelete)
+    }
+
+  private def mergeLocked(
+      table: String,
+      incoming: DataFrame,
+      keyCols: Seq[String],
+      compareCols: Seq[String],
+      setCols: Seq[String],
+      softDelete: Boolean): Map[String, Long] = {
     val m = metaFor(table, keyCols)
     val fullRewrite = softDelete || latestVersion(table).isEmpty
     // the upsert branch evaluates `incoming` twice (bucket scan + classify)
@@ -332,7 +358,10 @@ class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32
     * the rewrite touch candidate buckets only — and the touched buckets
     * are read ONCE, feeding the anti-join and the new layer's union.
     */
-  def upsertEdges(rawCandidates: DataFrame): Map[String, Long] = {
+  def upsertEdges(rawCandidates: DataFrame): Map[String, Long] =
+    lockFor("edges").synchronized { upsertEdgesLocked(rawCandidates) }
+
+  private def upsertEdgesLocked(rawCandidates: DataFrame): Map[String, Long] = {
     val m = metaFor("edges", EdgeKey)
     // the reference's per-record edgeExists check suppresses duplicates
     // WITHIN one batch too (a trial listing the same intervention twice

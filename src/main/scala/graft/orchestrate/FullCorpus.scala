@@ -420,8 +420,12 @@ object FullCorpus {
           diseaseSid = "cancer")
       }))
 
-  /** Run the whole corpus DAG into `store`; returns the report. */
+  /** Run the whole corpus DAG into `store`; returns the report. Levels
+    * execute with bounded concurrency (Snakemake's independent-rule
+    * parallelism): distinct-table loaders overlap fully, same-table
+    * merges serialize on the store's per-table locks.
+    */
   def run(spark: SparkSession, store: PersistentGraphStore,
-      ncitPath: String): Orchestrator.Report =
-    Orchestrator.run(spark, loaders(store, ncitPath))
+      ncitPath: String, parallelism: Int = 4): Orchestrator.Report =
+    Orchestrator.run(spark, loaders(store, ncitPath), parallelism)
 }

@@ -31,44 +31,82 @@ object Orchestrator {
     def succeeded: Seq[String] = order.filter(n => statuses(n).isInstanceOf[Succeeded])
   }
 
-  /** Deterministic topological order (Kahn's, name-sorted within each
-    * level). Throws on unknown dependencies or cycles.
+  /** Deterministic topological LEVELS (Kahn's waves, name-sorted within
+    * each level). Throws on unknown dependencies or cycles. A level's
+    * loaders have no edges among themselves — Snakemake's parallelism
+    * unit.
     */
-  def topoOrder(loaders: Seq[Loader]): Seq[String] = {
+  def topoLevels(loaders: Seq[Loader]): Seq[Seq[String]] = {
     val byName = loaders.map(l => l.name -> l).toMap
     loaders.flatMap(_.dependencies).distinct.foreach { d =>
       require(byName.contains(d), s"unknown dependency '$d'")
     }
     var remaining = loaders.map(l => l.name -> l.dependencies.toSet).toMap
-    val order = Seq.newBuilder[String]
+    val levels = Seq.newBuilder[Seq[String]]
     while (remaining.nonEmpty) {
       val ready = remaining.filter(_._2.isEmpty).keys.toSeq.sorted
       require(ready.nonEmpty,
         s"dependency cycle among: ${remaining.keys.toSeq.sorted.mkString(", ")}")
-      order ++= ready
+      levels += ready
       remaining = remaining.removedAll(ready)
         .view.mapValues(_ -- ready).toMap
     }
-    order.result()
+    levels.result()
   }
+
+  /** Deterministic flat topological order. */
+  def topoOrder(loaders: Seq[Loader]): Seq[String] = topoLevels(loaders).flatten
 
   /** Run all loaders respecting dependencies; a failure marks its
     * transitive dependents Skipped (the reference's per-loader error
     * isolation, §7.4 risk 5).
+    *
+    * `parallelism > 1` runs each level's loaders concurrently (Snakemake
+    * executes independent rules in parallel): loader bodies submit Spark
+    * jobs from a bounded thread pool and the scheduler interleaves their
+    * stages across the cluster's slots. Correctness under concurrency
+    * rests on (1) levels — a loader never runs before its dependencies'
+    * level completed, so every dimension it reads is fully written — and
+    * (2) the store's per-table write locks, which serialize same-table
+    * merges from concurrent loaders (see PersistentGraphStore.lockFor).
+    * Level membership and the report's order stay deterministic; only
+    * wall-clock interleaving varies.
     */
-  def run(spark: SparkSession, loaders: Seq[Loader]): Report = {
+  def run(spark: SparkSession, loaders: Seq[Loader],
+      parallelism: Int = 1): Report = {
     val byName = loaders.map(l => l.name -> l).toMap
-    val order = topoOrder(loaders)
+    val levels = topoLevels(loaders)
     val statuses = scala.collection.mutable.Map.empty[String, Status]
-    order.foreach { name =>
+
+    def runOne(name: String): (String, Status) = {
       val loader = byName(name)
       val badDeps = loader.dependencies.filterNot(d =>
         statuses.get(d).exists(_.isInstanceOf[Succeeded]))
-      if (badDeps.nonEmpty) statuses(name) = Skipped(badDeps)
-      else statuses(name) =
-        try Succeeded(loader.run(spark))
-        catch { case e: Exception => Failed(e.getMessage) }
+      val status =
+        if (badDeps.nonEmpty) Skipped(badDeps)
+        else
+          try Succeeded(loader.run(spark))
+          catch { case e: Exception => Failed(e.getMessage) }
+      name -> status
     }
-    Report(order, statuses.toMap)
+
+    levels.foreach { level =>
+      val results: Seq[(String, Status)] =
+        if (parallelism <= 1 || level.size <= 1) level.map(runOne)
+        else {
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(parallelism, level.size))
+          implicit val ec: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.fromExecutorService(pool)
+          try {
+            val fs = level.map(n => scala.concurrent.Future(runOne(n)))
+            scala.concurrent.Await.result(
+              scala.concurrent.Future.sequence(fs),
+              scala.concurrent.duration.Duration.Inf)
+          } finally pool.shutdown()
+        }
+      statuses ++= results
+    }
+    Report(levels.flatten, statuses.toMap)
   }
 }

@@ -59,6 +59,45 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(report.succeeded.toSet == Set("vocab", "independent"))
   }
 
+  test("level-concurrent run: same store state as sequential, same-table merges serialize") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // eight same-level loaders ALL merging into one shared table with
+    // disjoint keys — the per-table lock must serialize version
+    // allocation so no layer is lost — plus a failure whose dependent
+    // must still be skipped under concurrency
+    def build(dir: String): (graft.core.PersistentGraphStore, Seq[Loader]) = {
+      val store = new graft.core.PersistentGraphStore(spark, dir, nBuckets = 4)
+      val writers = (1 to 8).map { i =>
+        Loader(s"w$i", Seq.empty, sp => {
+          store.merge("shared", Seq((s"k$i", s"v$i")).toDF("sourceId", "name"),
+            Seq("sourceId"), compareCols = Seq("name"))
+        })
+      }
+      val boom = Loader("boom", Seq.empty,
+        _ => throw new RuntimeException("boom exploded"))
+      val dependent = Loader("dependent", Seq("boom"), sp => {
+        store.merge("shared", Seq(("never", "never")).toDF("sourceId", "name"),
+          Seq("sourceId"), compareCols = Seq("name"))
+      })
+      (store, writers :+ boom :+ dependent)
+    }
+    val (seqStore, seqLoaders) = build(
+      java.nio.file.Files.createTempDirectory("graft-orc-seq").toString)
+    val (parStore, parLoaders) = build(
+      java.nio.file.Files.createTempDirectory("graft-orc-par").toString)
+    val rs = Orchestrator.run(spark, seqLoaders)
+    val rp = Orchestrator.run(spark, parLoaders, parallelism = 8)
+    assert(rp.statuses("boom").isInstanceOf[Failed])
+    assert(rp.statuses("dependent") == Skipped(Seq("boom")))
+    assert(rp.succeeded.toSet == rs.succeeded.toSet)
+    def state(s: graft.core.PersistentGraphStore) =
+      s.read("shared").get.select("sourceId", "name")
+        .as[(String, String)].collect().toSet
+    assert(state(parStore) == state(seqStore))
+    assert(state(parStore) == (1 to 8).map(i => (s"k$i", s"v$i")).toSet)
+  }
+
   test("full corpus DAG: every loader succeeds into one store; rerun creates nothing") {
     val store = new graft.core.PersistentGraphStore(spark,
       java.nio.file.Files.createTempDirectory("graft-corpus").toString)
@@ -71,7 +110,8 @@ class OrchestratorSpec extends AnyFunSuite {
     val genes = store.read("genes").get
     assert(genes.count() == 2) // entrez kras + civic npm1
     // shared therapy table holds all three sources (schema evolution)
-    assert(store.read("therapies").get.count() == 102)
+    // + the cgi node's resolve-miss creation
+    assert(store.read("therapies").get.count() == 103)
     val r2 = FullCorpus.run(spark, store, ncit)
     assert(r2.succeeded.size == r1.succeeded.size, r2.statuses.toString)
     val creates = r2.statuses.values.collect {
