@@ -26,6 +26,7 @@ object GraphStore {
   def rid(cols: Column*): Column = sha2(concat_ws("|", cols: _*), 256)
 
   val ACTION = "__action" // create | update | noop | delete
+  val ACTIONS: Seq[String] = Seq("create", "update", "noop", "delete")
 
   /** Classify `updates` against `target` into MERGE actions.
     *

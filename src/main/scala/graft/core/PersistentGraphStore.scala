@@ -338,14 +338,19 @@ class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32
         case None =>
           incoming.withColumn(GraphStore.ACTION, lit("create"))
       }
-      // single materialization drives both the counters and the snapshot
-      classified.persist()
-      try {
-        val counts = GraphStore.counts(classified)
-        write(table, GraphStore.apply(classified), keyCols, full = fullRewrite)
-        maybeCompact(table)
-        counts
-      } finally classified.unpersist()
+      // observe() rides the audit counters on the WRITE job itself — one
+      // driver action per merge instead of a separate groupBy(ACTION)
+      // pass, and no classified persist (the write is its only consumer)
+      val obs = org.apache.spark.sql.Observation()
+      val metrics = GraphStore.ACTIONS.map(a => coalesce(
+        sum(when(col(GraphStore.ACTION) === a, 1L)), lit(0L)).as(a))
+      val observed = classified.observe(obs, metrics.head, metrics.tail: _*)
+      write(table, GraphStore.apply(observed), keyCols, full = fullRewrite)
+      maybeCompact(table)
+      obs.get.collect {
+        case (k, v) if v.asInstanceOf[Number].longValue != 0L =>
+          k -> v.asInstanceOf[Number].longValue
+      }.toMap
     } finally if (doubleUse) incoming.unpersist()
   }
 
@@ -378,18 +383,18 @@ class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32
       case Some(e) => GraphStore.newEdges(e, candidates)
       case None => candidates
     }
-    fresh.persist()
-    try {
-      val n = fresh.count()
-      // allowMissingColumns: some sources carry edge payload columns
-      // (actionType, uuid) the others lack — same evolution as merge
-      val layer = existing
-        .map(_.unionByName(fresh, allowMissingColumns = true))
-        .getOrElse(fresh)
-      write("edges", layer, EdgeKey)
-      maybeCompact("edges")
-      Map("created" -> n)
-    } finally fresh.unpersist()
+    // created-count observed on the write job (one action, no persist)
+    val obs = org.apache.spark.sql.Observation()
+    val observedFresh = fresh.observe(obs,
+      coalesce(count(lit(1)), lit(0L)).as("created"))
+    // allowMissingColumns: some sources carry edge payload columns
+    // (actionType, uuid) the others lack — same evolution as merge
+    val layer = existing
+      .map(_.unionByName(observedFresh, allowMissingColumns = true))
+      .getOrElse(observedFresh)
+    write("edges", layer, EdgeKey)
+    maybeCompact("edges")
+    Map("created" -> obs.get("created").asInstanceOf[Number].longValue)
     } finally if (doubleUse) candidates.unpersist()
   }
 

@@ -25,9 +25,15 @@ object FdaSrs {
   val Header: Map[String, String] = Map(
     "UNII" -> "id", "PT" -> "name", "NCIT" -> "ncit", "PUBCHEM" -> "pubchem")
 
-  /** Parsed rows with the reference's min-fields filter applied. */
+  /** Parsed rows with the reference's min-fields filter applied. The
+    * UNII file's header ends in a BLANK column name — patched to a real
+    * name so Spark's CSV header checker doesn't log an `Expected: _c17`
+    * warning on every scan (data lines never start with the literal
+    * header prefix, so the patch is content-keyed and order-safe).
+    */
   def rows(spark: SparkSession, path: String): DataFrame =
-    Scans.delim(spark, path, headerMap = Header, inferSchema = false)
+    Scans.delim(spark, path, headerMap = Header, inferSchema = false,
+      patchLine = l => if (l.startsWith("UNII\t")) l + "TRAILING_BLANK" else l)
       .select(col("id"), col("name"), col("ncit"))
       .filter(col("id").isNotNull && col("name").isNotNull)
 

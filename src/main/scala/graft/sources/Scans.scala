@@ -28,10 +28,15 @@ object Scans {
       header: Boolean = true,
       comment: String = "##",
       headerMap: Map[String, String] = Map.empty,
-      inferSchema: Boolean = true): DataFrame = {
+      inferSchema: Boolean = true,
+      patchLine: String => String = identity): DataFrame = {
     import spark.implicits._
+    // patchLine runs in the same narrow pre-pass as the comment filter —
+    // e.g. naming a blank trailing header column so the CSV header checker
+    // doesn't warn on every read (fdaSrs' UNII file)
     val lines: Dataset[String] =
       spark.read.textFile(path).filter(l => !l.startsWith(comment))
+        .map(patchLine)
     val df = spark.read
       .option("sep", sep)
       .option("header", header)
