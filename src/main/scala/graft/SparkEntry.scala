@@ -2571,6 +2571,18 @@ object SparkEntry {
       llm.Ann.lshTopK(q, c, 3)
     }),
 
+    // IVF-partitioned ANN: deterministic seed centroids (vec_id%25),
+    // one-cell corpus assignment, 2-probe queries, exact re-rank within
+    // probed cells.
+    "llm_ann_ivf" -> ((s, dir) => {
+      val e = llm.Ann.withQuantized(t(s, dir, "embeddings"), "embedding")
+      val corpus = e.select(col("vec_id").as("nid"), col("vq"), col("norm2"))
+      val centroids = llm.Ann.ivfCentroids(corpus, 25)
+      val queries = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("vq"), col("norm2"))
+      llm.Ann.ivfTopK(queries, corpus, centroids, k = 3, nProbe = 2)
+    }),
+
     // Embedding-cosine near-dup pairs blocked by label.
     "llm_embed_neardup" -> ((s, dir) => {
       val e = llm.Ann.withQuantized(t(s, dir, "embeddings"), "embedding")
@@ -3254,6 +3266,31 @@ object SparkEntry {
         |      nid ASC) AS rank
         |  FROM scored)
         |SELECT qid, bucket, CAST(rank AS BIGINT) AS rank, nid, cos FROM ranked WHERE rank <= 3""".stripMargin,
+    "llm_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS vq FROM embeddings),
+        |en AS (SELECT vec_id, vq, CAST(list_sum(list_transform(vq, x -> x * x)) AS BIGINT) AS norm2 FROM e),
+        |cent AS (SELECT vec_id AS cid, vq AS cv, norm2 AS cn FROM en WHERE vec_id % 25 = 0),
+        |ascore AS (
+        |  SELECT en.vec_id, cent.cid,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(vq)), i -> vq[i] * cv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS ccos
+        |  FROM en CROSS JOIN cent),
+        |ranked_assign AS (
+        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+        |  FROM ascore),
+        |cells AS (SELECT vec_id AS nid, cid AS cell FROM ranked_assign WHERE rn = 1),
+        |probes AS (SELECT vec_id AS qid, cid AS cell FROM ranked_assign WHERE rn <= 2 AND vec_id % 50 = 0),
+        |c AS (SELECT en.vec_id AS nid, vq AS nv, norm2 AS nn, cell FROM en JOIN cells ON en.vec_id = cells.nid),
+        |q AS (SELECT en.vec_id AS qid, vq AS qv, norm2 AS qn, probes.cell FROM en JOIN probes ON en.vec_id = probes.qid),
+        |scored AS (
+        |  SELECT qid, nid,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * nv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(nn AS DOUBLE))) AS cos
+        |  FROM c JOIN q USING (cell) WHERE nid <> qid),
+        |ranked AS (
+        |  SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+        |  FROM scored)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, nid, cos FROM ranked WHERE rank <= 3""".stripMargin,
     "llm_embed_neardup" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS vq FROM embeddings),
         |en AS (SELECT vec_id, vq, CAST(list_sum(list_transform(vq, x -> x * x)) AS BIGINT) AS norm2 FROM e),

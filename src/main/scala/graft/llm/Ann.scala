@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`): brute-force cosine top-k as the exactness baseline and
-  * a difference-hyperplane LSH bucketing as the scale path.
+  * two scale paths — difference-hyperplane LSH bucketing and an
+  * IVF-partitioned index (coarse quantizer cells + multi-probe re-rank).
   *
   * Determinism: vectors are first quantized to integers
   * (`floor(x * 100)`), so dot products and norms are exact 64-bit integer
@@ -94,6 +95,65 @@ object Ann {
       .filter(col("rank") <= k)
       .select(col("qid"), col("bucket"), col("rank").cast("long").as("rank"),
         col("nid"), col("cos"))
+  }
+
+  /** IVF coarse quantizer: centroid set picked from the corpus by a
+    * deterministic id rule — a SEED quantizer standing in for trained
+    * k-means (production would train with k-means|| and broadcast the
+    * result the same way; the assign/probe/re-rank shape below is
+    * identical either way, and seeding keeps the correctness gate exact).
+    */
+  def ivfCentroids(corpus: DataFrame, step: Long): DataFrame =
+    corpus.filter(col("nid") % step === 0)
+      .select(col("nid").as("cid"), col("vq").as("cv"), col("norm2").as("cn"))
+
+  /** Score every vector against the (broadcast) centroid set and keep its
+    * `nProbe` closest cells — nProbe=1 is the index-build assignment,
+    * nProbe>1 is query-side probing. The per-id window is one shuffle on
+    * the vector id; for the corpus that is the one-time IVF build cost
+    * (amortized across queries), for queries the side is small.
+    */
+  def ivfAssign(vecs: DataFrame, centroids: DataFrame, nProbe: Int): DataFrame = {
+    val scored = vecs.crossJoin(broadcast(centroids))
+      .withColumn("cdp", dot("vq", "cv"))
+      .withColumn("ccos", cosine(col("cdp"), col("norm2"), col("cn")))
+    val w = Window.partitionBy(col("id")).orderBy(col("ccos").desc, col("cid").asc)
+    scored.withColumn("probe", row_number().over(w))
+      .filter(col("probe") <= nProbe)
+      .select(col("id"), col("cid").as("cell"))
+  }
+
+  /** IVF top-k: corpus rows live in exactly one cell, queries probe their
+    * `nProbe` closest cells, candidates re-rank with the same exact
+    * integer cosine as the brute path. The candidate join ships only
+    * probed cells — corpus/nCells × nProbe expected candidates per query —
+    * and at scale the corpus side would be WRITTEN partitioned by `cell`,
+    * making each probe a partition-pruned read instead of a join.
+    */
+  def ivfTopK(
+      queries: DataFrame, // (qid, vq, norm2)
+      corpus: DataFrame, // (nid, vq, norm2)
+      centroids: DataFrame, // (cid, cv, cn)
+      k: Int,
+      nProbe: Int): DataFrame = {
+    val cells = ivfAssign(corpus.select(col("nid").as("id"), col("vq"),
+      col("norm2")), centroids, nProbe = 1)
+      .select(col("id").as("nid"), col("cell"))
+    val c = corpus.join(cells, Seq("nid"))
+      .select(col("nid"), col("vq").as("nv"), col("norm2").as("nn"), col("cell"))
+    val probes = ivfAssign(queries.select(col("qid").as("id"), col("vq"),
+      col("norm2")), centroids, nProbe)
+      .select(col("id").as("qid"), col("cell"))
+    val q = queries.join(probes, Seq("qid"))
+      .select(col("qid"), col("vq").as("qv"), col("norm2").as("qn"), col("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("dp", dot("qv", "nv"))
+      .withColumn("cos", cosine(col("dp"), col("qn"), col("nn")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cos"))
   }
 
   /** Embedding-cosine near-duplicate pairs, blocked by a partition column

@@ -426,6 +426,11 @@ object FullCorpus {
     * merges serialize on the store's per-table locks.
     */
   def run(spark: SparkSession, store: PersistentGraphStore,
-      ncitPath: String, parallelism: Int = 4): Orchestrator.Report =
-    Orchestrator.run(spark, loaders(store, ncitPath), parallelism)
+      ncitPath: String, parallelism: Int = 4): Orchestrator.Report = {
+    val report = Orchestrator.run(spark, loaders(store, ncitPath), parallelism)
+    // orchestration boundary: no loader holds an outstanding lazy read any
+    // more, so superseded layers kept by auto-compaction are reclaimable
+    store.vacuumAll()
+    report
+  }
 }

@@ -121,6 +121,32 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF top-k: candidates come only from probed cells; ranks descend; 1-probe ⊆ 2-probe candidates") {
+    val e = Ann.withQuantized(emb, "embedding")
+    val corpus = e.select(col("vec_id").as("nid"), col("vq"), col("norm2"))
+    val cents = Ann.ivfCentroids(corpus, 25)
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("vq"), col("norm2"))
+    val top = Ann.ivfTopK(q, corpus, cents, k = 3, nProbe = 2).collect()
+    assert(top.nonEmpty)
+    // per-query ranks strictly increase with non-increasing cosine
+    top.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length))
+      assert(sorted.map(_.getDouble(3)).sliding(2).forall(p =>
+        p.length < 2 || p(0) >= p(1)))
+    }
+    // every returned neighbor's cell is one of the query's probed cells
+    val cells = Ann.ivfAssign(corpus.withColumnRenamed("nid", "id"), cents, 1)
+      .as[(Long, Long)].collect().toMap
+    val probed = Ann.ivfAssign(
+      q.select(col("qid").as("id"), col("vq"), col("norm2")), cents, 2)
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    top.foreach { r =>
+      assert(probed(r.getLong(0)).contains(cells(r.getLong(2))))
+    }
+  }
+
   test("near-dup pairs are symmetric-free and above threshold") {
     val e = Ann.withQuantized(emb, "embedding")
     val pairs = Ann.nearDupPairs(e.withColumnRenamed("vec_id", "id"),
