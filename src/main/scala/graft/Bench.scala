@@ -44,6 +44,8 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // native function registry (qdot, jaccard_sim) via the extension hook
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/session warm-up outside the timed region: one trivial job plus a

@@ -31,12 +31,15 @@ object Ann {
         // widen float→double BEFORE the multiply: a float-precision product
         // could floor() differently than the oracle's double product
         expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT))"))
-      .withColumn("norm2",
-        expr("aggregate(zip_with(vq, vq, (x, y) -> x * y), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .withColumn("norm2", dot("vq", "vq"))
 
-  /** Exact integer dot of two quantized vectors. */
+  /** Exact integer dot of two quantized vectors — the native codegen'd
+    * [[graft.plans.QuantizedDot]] (same 64-bit integer math as the
+    * composed `aggregate(zip_with(...))` form, without the per-pair
+    * intermediate array or the CodegenFallback interpretation).
+    */
   def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+    graft.plans.QuantizedDot.qdot(col(a), col(b))
 
   /** Cosine from integer dot + norms (deterministic double). */
   def cosine(dotCol: Column, n2a: Column, n2b: Column): Column =
