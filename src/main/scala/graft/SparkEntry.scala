@@ -2627,6 +2627,93 @@ object SparkEntry {
           col("out_width"), col("out_height"), col("n_frames"))
     }),
 
+    // Dedup-cluster formation: near-dup similarity is NOT transitive, so
+    // the keep/drop decision needs connected components over the pair
+    // list — min-label propagation + pointer jumping (O(log d) rounds,
+    // lineage-truncated per round). Every document gets a cluster;
+    // the min doc id is canonical, matching the exact-dedup rule.
+    "llm_dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = llm.TextOps.minhashNearDups(docs, "doc_id", "text",
+        threshold = 0.5)
+      llm.Clusters.dedupClusters(docs.select(col("doc_id")), "doc_id",
+        pairs, "id_a", "id_b")
+    }),
+
+    // Gopher-style repetition/composition signals + keep decision (Rae et
+    // al. 2021 appendix A1.1) — pure column expressions; the word, line
+    // and bigram arrays are bound once per row.
+    "llm_quality_gopher" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("ws", llm.TextOps.words("text"))
+        .withColumn("lines", llm.TextOps.docLines)
+        .withColumn("g2", llm.TextOps.wordBigrams)
+        .select(Seq(col("doc_id"), col("text"), col("ws")) ++
+          llm.TextOps.repetitionColumns: _*)
+        .withColumn("gopher_keep", llm.TextOps.gopherKeep)
+        .drop("text", "ws")
+    }),
+
+    // PII detection + redaction. The corpus is synthetic prose, so each
+    // row is salted with a deterministic email/phone/IP derived from its
+    // id — the scrub then has real work to do and the oracle re-derives
+    // the identical salted text.
+    "llm_pii_scrub" -> ((s, dir) => {
+      val salted = t(s, dir, "documents")
+        .withColumn("text2", concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com call +1 555 "),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" from 10.0.0."), (col("doc_id") % 250).cast("string")))
+      salted.select(Seq(col("doc_id")) ++ llm.TextOps.piiCounts("text2") ++
+        Seq(llm.TextOps.scrubPii(col("text2")).as("scrubbed")): _*)
+    }),
+
+    // Deterministic stratified sampling: membership is a pure function of
+    // the doc id (md5 bucket), so the sample reproduces under any
+    // partitioning/engine — downsample dominant-language text, keep the
+    // rest at higher rates. Narrow map-side predicate + broadcast rates.
+    "llm_hash_sample" -> ((s, dir) => {
+      llm.Sampling.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 10, "fr" -> 100), defaultPct = 40)
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
+    // Incremental dedup: a "new batch" (doc_id % 5 = 0) admitted against
+    // the existing corpus — exact content-hash tier + LSH band-index
+    // probe tier with exact-Jaccard verification. The corpus contributes
+    // only its (id, band, key) index to the join; O(batch) per ingest.
+    "llm_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      llm.TextOps.incrementalDedup(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text")
+    }),
+
+    // S2b — stateful streaming reduction via mapGroupsWithState: the
+    // EARLIEST event per user by (event time, event id). Unlike
+    // arrival-order first-wins, the fold is deterministic across
+    // micro-batch boundaries, so it verifies against an exact SQL oracle.
+    "s2b_stream_state" -> ((s, dir) => {
+      import s.implicits._
+      val stream = s.readStream
+        .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        // micros, matching the oracle's timestamp precision (integer div —
+        // float `/` on epoch nanos loses precision)
+        .select(col("user_id"), expr("ts div 1000").as("ts"), col("event_id"),
+          col("event_type"))
+        .as[streaming.StreamOps.Event]
+      val q = streaming.StreamOps.firstEventPerKey(stream)
+        .writeStream.format("memory").queryName("s2b_stream_state_out")
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      s.table("s2b_stream_state_out").toDF()
+    }),
+
     // F2 (CIViC variant-name normalization grammar,
     // civic/variant.js:20-257): one raw name → N normalized records inside
     // flatMap; jest corpus transcribed in CivicNamesSpec, output frozen in
@@ -3327,6 +3414,122 @@ object SparkEntry {
         |  CAST(floor((((n_chars * 7) % 480) + 32) * least(1.0, 256.0 / greatest((n_chars % 640) + 32, ((n_chars * 7) % 480) + 32))) AS INT) AS out_height,
         |  CAST(greatest(n_chars * 10 - 1, 0) // 1000 + 1 AS BIGINT) AS n_frames
         |FROM documents""".stripMargin,
+    // Connected components via recursive transitive closure over the same
+    // MinHash-LSH pair pipeline the llm_minhash_neardup oracle derives;
+    // component id = min reachable doc id.
+    "llm_dedup_clusters" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN CAST([] AS VARCHAR[])
+        |  ELSE list_distinct(list_transform(generate_series(1, len(ws)-2),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS shingles FROM w),
+        |hs AS (SELECT doc_id, shingles,
+        |  list_transform(shingles, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS shash
+        |  FROM sh WHERE len(shingles) > 0),
+        |sig AS (SELECT doc_id, shingles, list_transform(generate_series(0, 31), i ->
+        |  list_min(list_transform(shash, h ->
+        |    ((CAST(('0x' || substr(md5('a' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000006 + 1)
+        |      * (h % 1000000007)
+        |     + CAST(('0x' || substr(md5('b' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000007) % 1000000007))) AS sig
+        |  FROM hs),
+        |bands AS (SELECT doc_id, shingles, b AS band_id,
+        |  md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS band_key
+        |  FROM sig, (SELECT unnest(generate_series(0, 7)) AS b)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.shingles, c.shingles)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.shingles, c.shingles))) AS jaccard
+        |  FROM bands a JOIN bands c
+        |    ON a.band_id = c.band_id AND a.band_key = c.band_key AND a.doc_id < c.doc_id),
+        |pairs AS (SELECT id_a, id_b FROM cand WHERE jaccard >= 0.5),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+        |comp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT doc_id, cluster_id,
+        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+        |  doc_id = cluster_id AS is_canonical
+        |FROM comp""".stripMargin,
+    "llm_quality_gopher" ->
+      """WITH w AS (SELECT doc_id, text, string_split(lower(text), ' ') AS ws,
+        |    string_split(text, chr(10)) AS lines FROM documents),
+        |g AS (SELECT *, CASE WHEN len(ws) < 2 THEN CAST([] AS VARCHAR[])
+        |    ELSE list_transform(generate_series(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1]) END AS g2 FROM w),
+        |sig AS (SELECT doc_id, text, ws,
+        |  1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines) AS dup_line_frac,
+        |  CASE WHEN len(g2) = 0 THEN 0.0 ELSE CAST(list_max(list_transform(list_distinct(g2),
+        |     x -> len(list_filter(g2, y -> y = x)))) AS DOUBLE) / len(g2) END AS top_bigram_frac,
+        |  CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE)
+        |    / len(ws) AS symbol_word_ratio,
+        |  CAST(len(list_filter(lines, l -> starts_with(l, '-') OR starts_with(l, '*'))) AS DOUBLE)
+        |    / len(lines) AS bullet_line_frac,
+        |  CAST(len(list_filter(ws, x -> list_contains(['the','a','of','and','to','in','is','it','for','on'], x))) AS DOUBLE)
+        |    / len(ws) AS stopword_frac
+        |  FROM g)
+        |SELECT doc_id, dup_line_frac, top_bigram_frac, symbol_word_ratio, bullet_line_frac, stopword_frac,
+        |  (len(ws) BETWEEN 50 AND 100000)
+        |  AND (CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(ws) BETWEEN 3.0 AND 10.0)
+        |  AND symbol_word_ratio < 0.1 AND dup_line_frac < 0.3
+        |  AND len(list_intersect(ws, ['the','a','of','and','to','in','is','it','for','on'])) >= 2 AS gopher_keep
+        |FROM sig""".stripMargin,
+    "llm_pii_scrub" ->
+      """WITH p AS (SELECT doc_id, text || ' contact user' || doc_id || '@example.com call +1 555 ' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from 10.0.0.' || CAST(doc_id % 250 AS VARCHAR) AS text2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(text2, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ips,
+        |  len(regexp_extract_all(text2, '\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{4}')) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(text2,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{4}', '<PHONE>', 'g'),
+        |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS scrubbed
+        |FROM p""".stripMargin,
+    "llm_hash_sample" ->
+      """WITH r AS (SELECT doc_id, lang, source,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+        |  FROM documents)
+        |SELECT doc_id, lang, source FROM r
+        |WHERE b < CASE lang WHEN 'en' THEN 10 WHEN 'fr' THEN 100 ELSE 40 END""".stripMargin,
+    "llm_incremental_dedup" ->
+      """WITH w AS (SELECT doc_id, text, doc_id % 5 = 0 AS isnew,
+        |    string_split(lower(text), ' ') AS ws FROM documents),
+        |ck AS (SELECT doc_id, isnew, md5(text) AS c FROM w),
+        |sh AS (SELECT doc_id, isnew, CASE WHEN len(ws) < 3 THEN CAST([] AS VARCHAR[])
+        |  ELSE list_distinct(list_transform(generate_series(1, len(ws)-2),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS shingles FROM w),
+        |hs AS (SELECT doc_id, isnew, shingles,
+        |  list_transform(shingles, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS shash
+        |  FROM sh WHERE len(shingles) > 0),
+        |sig AS (SELECT doc_id, isnew, shingles, list_transform(generate_series(0, 31), i ->
+        |  list_min(list_transform(shash, h ->
+        |    ((CAST(('0x' || substr(md5('a' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000006 + 1)
+        |      * (h % 1000000007)
+        |     + CAST(('0x' || substr(md5('b' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000007) % 1000000007))) AS sig
+        |  FROM hs),
+        |bands AS (SELECT doc_id, isnew, shingles, b AS band_id,
+        |  md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS band_key
+        |  FROM sig, (SELECT unnest(generate_series(0, 7)) AS b)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id, c.doc_id AS oid
+        |  FROM bands a JOIN bands c
+        |    ON a.band_id = c.band_id AND a.band_key = c.band_key
+        |  WHERE a.isnew AND NOT c.isnew),
+        |near AS (SELECT DISTINCT cand.id FROM cand
+        |  JOIN hs a ON a.doc_id = cand.id JOIN hs c ON c.doc_id = cand.oid
+        |  WHERE CAST(len(list_intersect(a.shingles, c.shingles)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.shingles, c.shingles))) >= 0.5),
+        |ex AS (SELECT DISTINCT n.doc_id AS id FROM ck n
+        |  JOIN ck o ON n.c = o.c AND NOT o.isnew WHERE n.isnew)
+        |SELECT w.doc_id,
+        |  w.doc_id IN (SELECT id FROM ex) AS dup_exact,
+        |  w.doc_id IN (SELECT id FROM near) AS dup_near,
+        |  NOT (w.doc_id IN (SELECT id FROM ex)) AND NOT (w.doc_id IN (SELECT id FROM near)) AS keep
+        |FROM w WHERE isnew""".stripMargin,
+    "s2b_stream_state" ->
+      """WITH r AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events)
+        |SELECT user_id, ts_us AS first_ts, event_id AS first_event_id, event_type AS first_event_type
+        |FROM r WHERE rn = 1""".stripMargin,
     "x1_dnf" ->
       """SELECT CAST(expr_id AS BIGINT) AS expr_id, CAST(set_id AS BIGINT) AS set_id,
         |  CAST(variants AS VARCHAR) AS variants

@@ -1,0 +1,97 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dedup-cluster formation: the step AFTER near-dup pair generation in a
+  * training-data pipeline. Near-dup relations are not transitive (A~B and
+  * B~C does not imply A~C above threshold), so pair lists must be closed
+  * into connected components before a keep/drop decision — otherwise
+  * chained duplicates survive pairwise dedup.
+  *
+  * Algorithm: iterative min-label propagation with pointer jumping.
+  * Each round every vertex takes the min of its own label, its neighbors'
+  * labels (one hop), and its current label's label (pointer jump). The
+  * neighbor step alone needs O(diameter) rounds; the pointer jump halves
+  * label-chain depth each round, giving O(log d) convergence — the same
+  * asymptotics as the large-star/small-star MapReduce formulation but with
+  * a stable per-round plan (two shuffle joins on the vertex id, which AQE
+  * can coalesce) instead of an edge-list rewrite.
+  *
+  * Scale notes for the 100 TB shape:
+  * - The edge list for near-dup clustering is SPARSE (pairs above a high
+  *   threshold); rounds shuffle |V| labels + |E| edges on the id key.
+  * - `localCheckpoint` after every round truncates the lineage — without
+  *   it the plan doubles per iteration and the optimizer re-walks the
+  *   whole history each round. A cluster deployment would use reliable
+  *   `checkpoint` to survive executor loss; local mode has no HDFS.
+  * - Convergence is detected by the monotone label sum (labels only ever
+  *   decrease, so the sum strictly decreases until fixpoint): one cheap
+  *   aggregate per round instead of a change-count join.
+  * - Labels are vertex-id minima — fully deterministic, so the output is
+  *   hash-comparable against a transitive-closure oracle.
+  */
+object Clusters {
+
+  /** Connected components over an undirected pair list. `vertices` must
+    * contain every id exactly once (rows with no pair become singleton
+    * components). Returns (id, comp) where comp = min id in the component.
+    */
+  def connectedComponents(
+      vertices: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+    // both directions, so one groupBy(u) sees the full neighborhood
+    val sym = edges
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+
+    var labels = vertices.select(col(idCol).as("id"))
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var prevSum = labels.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      // one-hop neighbor minimum
+      val nbrMin = sym
+        .join(labels.select(col("id").as("v"), col("comp").as("vcomp")), Seq("v"))
+        .groupBy(col("u").as("id")).agg(min("vcomp").as("nmin"))
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+      // pointer jump: comp := min(comp, label(comp))
+      val ptr = stepped.select(col("id").as("pid"), col("comp").as("pcomp"))
+      val jumped = stepped
+        .join(ptr, stepped("comp") === ptr("pid"), "left")
+        .select(stepped("id"),
+          least(stepped("comp"), coalesce(col("pcomp"), stepped("comp"))).as("comp"))
+        .localCheckpoint()
+
+      val curSum = jumped.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+      converged = curSum.compareTo(prevSum) == 0
+      prevSum = curSum
+      labels = jumped
+      it += 1
+    }
+    labels
+  }
+
+  /** The dedup decision table: every document labeled with its cluster,
+    * the cluster's size, and whether it is the canonical (kept) member —
+    * min doc id wins, matching the exact-dedup canonical rule.
+    */
+  def dedupClusters(
+      docs: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val comp = connectedComponents(docs, idCol, pairs, aCol, bCol)
+    val w = Window.partitionBy(col("cluster_id"))
+    comp
+      .select(col("id").as(idCol), col("comp").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("is_canonical", col(idCol) === col("cluster_id"))
+  }
+}

@@ -65,13 +65,14 @@ object TextOps {
       (mdHash64(s"a$i") % (P - 1) + 1, mdHash64(s"b$i") % P))
 
   /** MinHash signature: for permutation i, min over shingle hashes of
-    * `(a_i * (h % P) + b_i) % P`.
+    * `(a_i * (h % P) + b_i) % P` — the native fused-loop
+    * [[graft.plans.MinHashSig]] (the composed `array(array_min(
+    * transform(...)), ...)` form allocated nPerm intermediate arrays per
+    * row and ran interpreted).
     */
   def minhashSignature(nPerm: Int = 32): Column = {
-    val perms = permConstants(nPerm).map { case (a, b) =>
-      s"array_min(transform(shash, h -> (${a}L * (h % $P) + ${b}L) % $P))"
-    }
-    expr(perms.mkString("array(", ",\n", ")"))
+    val (as, bs) = permConstants(nPerm).unzip
+    graft.plans.MinHashSig.minhashSig(col("shash"), as, bs, P)
   }
 
   /** LSH band keys: md5 over each band's signature slice. One row per
@@ -94,12 +95,14 @@ object TextOps {
          |      a + CASE WHEN shiftright(h, k) % 2 = 1 THEN 1 ELSE -1 END) > 0
          |    THEN shiftleft(CAST(1 AS BIGINT), k) ELSE 0 END)""".stripMargin)
 
-  /** Exact Jaccard between two shingle-set columns (integer sizes → one
-    * IEEE division; bit-identical across engines).
+  /** Exact Jaccard between two shingle-set columns (integer counts → one
+    * IEEE division; bit-identical across engines) — the native one-pass
+    * [[graft.plans.JaccardSim]]. Inputs must be element-distinct (they
+    * are: shingle sets are `array_distinct`'d), since |a ∪ b| is derived
+    * as |a| + |b| − |a ∩ b|.
     */
   def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      size(array_union(a, b)).cast("double")
+    graft.plans.JaccardSim.jaccardSim(a, b)
 
   /** Candidate near-dup pairs via banded MinHash-LSH, then exact-Jaccard
     * verification. Returns (id_a, id_b, jaccard) with id_a < id_b and
@@ -207,6 +210,75 @@ object TextOps {
     smallPairs.unionByName(bigPairs)
   }
 
+  /** Incremental dedup: admit a NEW batch against an EXISTING corpus —
+    * the shape every rolling crawl ingest runs, where re-deduping the
+    * whole corpus per batch is the naive O(corpus) mistake. Two tiers:
+    * exact (content-hash anti-join) and near-dup (the new batch's band
+    * keys join the CORPUS band index — not a self-join — then exact
+    * Jaccard verification). Returns one decision row per new document:
+    * (id, dup_exact, dup_near, keep).
+    *
+    * Scale: the corpus side contributes only its band index (id, band_id,
+    * band_key — written once, reused every batch; at 100 TB this is the
+    * persisted LSH index, bucketed on the band key so each incremental
+    * join is shuffle-free on the corpus side). The new batch is typically
+    * tiny relative to the corpus → AQE broadcasts its band set, and the
+    * per-batch cost is O(batch), not O(corpus).
+    */
+  def incrementalDedup(
+      corpus: DataFrame, newBatch: DataFrame,
+      idCol: String, textCol: String,
+      k: Int = 3, nPerm: Int = 32, nBands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = nPerm / nBands
+    def prep(df: DataFrame) = df
+      .withColumn("ws", words(textCol))
+      .withColumn("__ck", md5(col(textCol)))
+    def withShingles(df: DataFrame) = df
+      .filter(size(col("ws")) >= k)
+      .withColumn("shingles", shingles(k))
+    // id-only band rows: the persisted corpus index is (id, band_id,
+    // band_key) — shingle arrays never ride the band join
+    def bandIndex(df: DataFrame) = df
+      .withColumn("shash", shingleHashes)
+      .withColumn("sig", minhashSignature(nPerm))
+      .select(col(idCol).as("id"),
+        explode(bandKeys(nBands, rowsPerBand)).as("band"))
+      .select(col("id"), col("band.band_id"), col("band.band_key"))
+
+    val newPrep = prep(newBatch)
+    val oldPrep = prep(corpus)
+
+    // exact tier: content-hash semi join against the corpus hash set
+    val exactDups = newPrep.select(col(idCol).as("id"), col("__ck"))
+      .join(oldPrep.select(col("__ck")).distinct(), Seq("__ck"), "left_semi")
+      .select(col("id")).withColumn("dup_exact", lit(true))
+
+    // near tier: new-batch bands probe the corpus band index (id-only),
+    // candidate (new, old) pairs distinct'd, then ONE shingle join-back
+    // per side for exact-Jaccard verification; any hit ⇒ near-dup
+    val newSh = withShingles(newPrep)
+    val oldSh = withShingles(oldPrep)
+    val cand = bandIndex(newSh)
+      .join(bandIndex(oldSh).withColumnRenamed("id", "oid"),
+        Seq("band_id", "band_key"))
+      .select(col("id"), col("oid")).distinct()
+    val nearDups = cand
+      .join(newSh.select(col(idCol).as("id"), col("shingles").as("sh_new")), Seq("id"))
+      .join(oldSh.select(col(idCol).as("oid"), col("shingles").as("sh_old")), Seq("oid"))
+      .filter(jaccard(col("sh_new"), col("sh_old")) >= threshold)
+      .select(col("id")).distinct()
+      .withColumn("dup_near", lit(true))
+
+    newBatch.select(col(idCol).as("id"))
+      .join(exactDups, Seq("id"), "left")
+      .join(nearDups, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("dup_exact"), lit(false)).as("dup_exact"),
+        coalesce(col("dup_near"), lit(false)).as("dup_near"))
+      .withColumn("keep", !col("dup_exact") && !col("dup_near"))
+  }
+
   /** English/French/German stopword hit counts + argmax language guess —
     * the n-gram-free heuristic tier of a language-ID stack.
     */
@@ -238,6 +310,91 @@ object TextOps {
     size(col("ws")).cast("long").as("n_ws_tokens"),
     expr("size(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\\\s]', 0))")
       .cast("long").as("n_bpeish_tokens"))
+
+  /** Newline-split lines of `text`. */
+  def docLines: Column = split(col("text"), "\n")
+
+  /** Adjacent word 2-grams of `ws` (empty below 2 words). */
+  def wordBigrams: Column =
+    expr(
+      """CASE WHEN size(ws) < 2 THEN CAST(array() AS ARRAY<STRING>)
+        |ELSE transform(sequence(1, size(ws) - 1),
+        |  i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))) END""".stripMargin)
+
+  /** Gopher-style repetition and composition signals (Rae et al. 2021,
+    * "Scaling Language Models: ... Gopher", appendix A1.1): duplicate-line
+    * fraction, most-frequent-bigram fraction, symbol-to-word ratio,
+    * bullet-line fraction, stopword fraction. Expects `ws` (words),
+    * `lines` (docLines) and `g2` (wordBigrams) to be bound — callers add
+    * them once with withColumn so each array is built a single time per
+    * row instead of per signal.
+    *
+    * All signals are integer counts → one double division, so the DuckDB
+    * oracle reproduces them bit-exactly. The per-row bigram mode is
+    * O(distinct² ) in the doc's bigrams — bounded by document length, no
+    * shuffle; at 100 TB this stays embarrassingly parallel.
+    */
+  def repetitionColumns: Seq[Column] = Seq(
+    expr(
+      """1.0 - CAST(size(array_distinct(lines)) AS DOUBLE) / size(lines)"""
+    ).as("dup_line_frac"),
+    expr(
+      """CASE WHEN size(g2) = 0 THEN 0.0 ELSE
+        |  CAST(array_max(transform(array_distinct(g2),
+        |    g -> size(filter(g2, x -> x = g)))) AS DOUBLE) / size(g2) END""".stripMargin
+    ).as("top_bigram_frac"),
+    expr(
+      s"""CAST(size(regexp_extract_all(text, '#', 0))
+         |   + size(regexp_extract_all(text, '\\\\.\\\\.\\\\.', 0)) AS DOUBLE)
+         | / size(ws)""".stripMargin
+    ).as("symbol_word_ratio"),
+    expr(
+      """CAST(size(filter(lines, l -> startswith(l, '-') OR startswith(l, '*')))
+        |  AS DOUBLE) / size(lines)""".stripMargin
+    ).as("bullet_line_frac"),
+    expr(
+      s"""CAST(size(filter(ws, w -> array_contains(
+         |  ${EN.map(w => s"'$w'").mkString("array(", ", ", ")")}, w))) AS DOUBLE)
+         | / size(ws)""".stripMargin
+    ).as("stopword_frac"))
+
+  /** The Gopher keep decision over the signal columns (thresholds from the
+    * published rules: 50–100k words, mean word length 3–10, symbol ratio
+    * < 0.1, duplicate-line fraction < 0.3, ≥ 2 distinct stopwords).
+    */
+  def gopherKeep: Column =
+    size(col("ws")).between(50, 100000) &&
+      (length(regexp_replace(col("text"), " ", "")).cast("double") /
+        size(col("ws"))).between(3.0, 10.0) &&
+      col("symbol_word_ratio") < 0.1 &&
+      col("dup_line_frac") < 0.3 &&
+      expr(s"size(array_intersect(ws, ${EN.map(w => s"'$w'").mkString("array(", ", ", ")")}))") >= 2
+
+  /** PII patterns — restricted to syntax Java regex and RE2 (the oracle's
+    * engine) interpret identically, so scrubbed text hash-compares.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val PhoneRe = "\\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{4}"
+
+  /** Per-type PII match counts over `textCol`. */
+  def piiCounts(textCol: String): Seq[Column] = Seq(
+    expr(s"size(regexp_extract_all($textCol, '${EmailRe.replace("\\", "\\\\")}', 0))")
+      .cast("long").as("n_emails"),
+    expr(s"size(regexp_extract_all($textCol, '${Ipv4Re.replace("\\", "\\\\")}', 0))")
+      .cast("long").as("n_ips"),
+    expr(s"size(regexp_extract_all($textCol, '${PhoneRe.replace("\\", "\\\\")}', 0))")
+      .cast("long").as("n_phones"))
+
+  /** Redact PII in place — emails first (they contain dots/digits that
+    * the other patterns could partially match), then phones, then IPs.
+    */
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
 
   /** Quality score in [0,1]: mean of three bounded signals — length band,
     * mean word length band, alpha-character ratio. Integer inputs → exact

@@ -80,6 +80,39 @@ object StreamOps {
       .flatMap(_.iterator)
   }
 
+  case class Event(user_id: Long, ts: Long, event_id: Long, event_type: String)
+  case class FirstEvent(user_id: Long, first_ts: Long, first_event_id: Long,
+      first_event_type: String)
+
+  /** Deterministic stateful reduction: the EARLIEST event per key by
+    * (event time, event id) — unlike arrival-order first-wins, the result
+    * is independent of micro-batch boundaries and iterator order, so it
+    * can be verified against an exact SQL oracle. State holds one row per
+    * key (the current minimum) and each micro-batch folds into it; with
+    * Update output the sink sees a key again only when a new batch
+    * improves its minimum.
+    *
+    * Scale: state is O(keys) with a fixed-size value; the shuffle is the
+    * one stateful exchange per micro-batch on the grouping key. A
+    * continuous deployment would add an event-time timeout to retire keys
+    * past the watermark.
+    */
+  def firstEventPerKey(input: Dataset[Event]): Dataset[FirstEvent] = {
+    import input.sparkSession.implicits._
+    input.groupByKey(_.user_id)
+      .mapGroupsWithState[FirstEvent, FirstEvent](GroupStateTimeout.NoTimeout) {
+        (uid, rows, state: GroupState[FirstEvent]) =>
+          val m = rows.minBy(e => (e.ts, e.event_id))
+          val best = state.getOption match {
+            case Some(c) if c.first_ts < m.ts ||
+              (c.first_ts == m.ts && c.first_event_id <= m.event_id) => c
+            case _ => FirstEvent(uid, m.ts, m.event_id, m.event_type)
+          }
+          state.update(best)
+          best
+      }
+  }
+
   /** The `--days` incremental window as a batch predicate
     * (clinicaltrialsgov `--days` lookback): keep rows within `days` of
     * `asOf` — partition-prunable when the source is date-partitioned.

@@ -1,0 +1,67 @@
+package graft.llm
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class ClustersSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("chain, triangle, and singleton components resolve to min ids") {
+    // chain 1-2-3-4 (diameter 3, exercises pointer jumping),
+    // triangle 10-11-12, singleton 99
+    val verts = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 99L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("id_a", "id_b")
+    val got = Clusters.connectedComponents(verts, "id", pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 99L -> 99L))
+  }
+
+  test("long path converges within the iteration cap (pointer jumping)") {
+    val n = 64L // plain one-hop propagation would need 63 rounds
+    val verts = (1L to n).toDF("id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Clusters.connectedComponents(verts, "id", pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect()
+    assert(got.length == n)
+    assert(got.forall(_._2 == 1L))
+  }
+
+  test("random graph matches a brute-force union-find") {
+    val rnd = new scala.util.Random(20260812)
+    val n = 200
+    val edges = (1 to 150).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    // reference union-find
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    // min-relabel: union-find roots are not guaranteed min under this
+    // naive linking, so normalize both sides by component min
+    val byRoot = expect.groupBy(_._2).flatMap { case (_, m) =>
+      val mn = m.keys.min; m.keys.map(_ -> mn)
+    }
+    val verts = (0L until n.toLong).toDF("id")
+    val got = Clusters.connectedComponents(
+      verts, "id", edges.toDF("id_a", "id_b"), "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == byRoot)
+  }
+
+  test("dedupClusters emits size and canonical flags") {
+    val verts = Seq(1L, 2L, 3L, 7L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Clusters.dedupClusters(verts, "doc_id", pairs, "id_a", "id_b")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(got == Set((1L, 1L, 3L, true), (2L, 1L, 3L, false),
+      (3L, 1L, 3L, false), (7L, 7L, 1L, true)))
+  }
+}

@@ -66,6 +66,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains(StreamOps.FirstSeen("k2", "only")))
   }
 
+  test("firstEventPerKey folds state across micro-batches deterministically") {
+    val dir = Files.createTempDirectory("graft-stream4").toString
+    // batch 1 (file a): later event for u1; batch 2 (file b): the true
+    // earliest — state must improve on the second batch
+    Files.writeString(java.nio.file.Paths.get(dir, "a.tsv"),
+      "user_id\tts\tevent_id\tevent_type\n1\t500\t7\tlate\n2\t100\t3\tonly\n")
+    Thread.sleep(20) // distinct mtimes so file order is a→b
+    Files.writeString(java.nio.file.Paths.get(dir, "b.tsv"),
+      "user_id\tts\tevent_id\tevent_type\n1\t100\t9\tearly\n")
+    val schema = StructType.fromDDL(
+      "user_id LONG, ts LONG, event_id LONG, event_type STRING")
+    val input = spark.readStream.schema(schema)
+      .option("sep", "\t").option("header", true)
+      .option("maxFilesPerTrigger", 1)
+      .csv(dir).as[StreamOps.Event]
+    val q = StreamOps.firstEventPerKey(input)
+      .writeStream.format("memory").queryName("s2b_spec")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    // update sink: last emission per key is the final state
+    val all = spark.table("s2b_spec").as[StreamOps.FirstEvent].collect()
+    assert(all.filter(_.user_id == 1L)
+      .exists(_ == StreamOps.FirstEvent(1L, 100L, 9L, "early")))
+    assert(all.contains(StreamOps.FirstEvent(2L, 100L, 3L, "only")))
+  }
+
   test("lookback filter keeps only recent rows") {
     val df = Seq(("2026-01-10 00:00:00", 1L), ("2026-01-01 00:00:00", 2L))
       .toDF("ts_s", "id").withColumn("ts", col("ts_s").cast("timestamp"))
