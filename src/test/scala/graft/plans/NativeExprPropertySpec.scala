@@ -1,0 +1,64 @@
+package graft.plans
+
+import graft.TestSpark
+import graft.llm.TextOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-style equivalence of the native expressions against the
+  * composed-builtin forms they replaced, on seeded random inputs (the
+  * scalatest↔scalacheck bridge isn't on the offline classpath — same
+  * convention as core.PropertySpec). The three swaps are only legal
+  * because these hold on EVERY input the pipelines can produce.
+  */
+class NativeExprPropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(20260813)
+
+  test("qdot ≡ aggregate(zip_with) on 500 random equal-length long vectors") {
+    val rows = (1 to 500).map { _ =>
+      val n = rnd.nextInt(64) + 1
+      // quantized-embedding range: |x| ≤ 1e6 keeps products far from overflow,
+      // matching withQuantized's floor(x*100) grid
+      (Seq.fill(n)(rnd.nextLong() % 1000000L), Seq.fill(n)(rnd.nextLong() % 1000000L))
+    }
+    val df = rows.toDF("a", "b")
+    val bad = df.select(
+      QuantizedDot.qdot(col("a"), col("b")).as("native"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+        .as("composed"))
+      .filter(!(col("native") <=> col("composed"))).count()
+    assert(bad == 0L)
+  }
+
+  test("jaccard_sim ≡ intersect/union composition on 500 random string sets") {
+    val vocab = (1 to 40).map(i => s"tok$i")
+    def set(): Seq[String] =
+      rnd.shuffle(vocab).take(rnd.nextInt(vocab.size) + 1)
+    val df = (1 to 500).map(_ => (set(), set())).toDF("a", "b")
+    val bad = df.select(
+      JaccardSim.jaccardSim(col("a"), col("b")).as("native"),
+      (size(array_intersect(col("a"), col("b"))).cast("double") /
+        size(array_union(col("a"), col("b")))).as("composed"))
+      .filter(!(col("native") <=> col("composed"))).count()
+    assert(bad == 0L)
+  }
+
+  test("minhash_sig ≡ array(array_min(transform(...))) on 300 random hash arrays") {
+    val (as, bs) = TextOps.permConstants(32).unzip
+    val composed = as.zip(bs).map { case (a, b) =>
+      s"array_min(transform(shash, h -> (${a}L * (h % ${TextOps.P}) + ${b}L) % ${TextOps.P}))"
+    }.mkString("array(", ",", ")")
+    // h64 range: 60-bit positive, like the shingle hashes
+    val df = (1 to 300).map { _ =>
+      Tuple1(Seq.fill(rnd.nextInt(50) + 1)(math.abs(rnd.nextLong()) % (1L << 60)))
+    }.toDF("shash")
+    val bad = df.select(
+      MinHashSig.minhashSig(col("shash"), as, bs, TextOps.P).as("native"),
+      expr(composed).as("composed"))
+      .filter(!(col("native") <=> col("composed"))).count()
+    assert(bad == 0L)
+  }
+}
