@@ -243,16 +243,23 @@ class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32
       }
     }
 
+  /** Version number of the newest `_FULL` snapshot layer, if any — THE
+    * live-layer boundary: readers walk only layers >= this, vacuum may
+    * delete only layers < this.
+    */
+  private def newestSnapshot(vs: Seq[(Int, String)]): Option[Int] =
+    vs.reverse.find { case (_, p) => Files.exists(Paths.get(p, "_FULL")) }
+      .map(_._1)
+
   /** Delete every version layer superseded by the newest `_FULL` snapshot.
     * Only safe when no lazy DataFrame from an earlier read() is still
     * pending materialization — call at orchestration boundaries.
     */
   def vacuum(table: String): Unit = {
     val vs = versions(table)
-    vs.reverse.find { case (_, p) => Files.exists(Paths.get(p, "_FULL")) }
-      .foreach { case (snap, _) =>
-        vs.filter(_._1 < snap).foreach { case (_, p) => deleteRecursively(p) }
-      }
+    newestSnapshot(vs).foreach { snap =>
+      vs.filter(_._1 < snap).foreach { case (_, p) => deleteRecursively(p) }
+    }
   }
 
   /** [[vacuum]] over every table in the store. */
@@ -287,8 +294,7 @@ class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32
     // only layers a reader actually walks count — superseded-but-unpruned
     // directories below the newest _FULL snapshot are invisible to leafDirs
     val vs = versions(table)
-    val snap = vs.reverse.find { case (_, p) => Files.exists(Paths.get(p, "_FULL")) }
-      .map(_._1).getOrElse(Int.MinValue)
+    val snap = newestSnapshot(vs).getOrElse(Int.MinValue)
     if (compactEvery > 0 && vs.count(_._1 >= snap.max(0)) >= compactEvery)
       compact(table, prune = false)
   }

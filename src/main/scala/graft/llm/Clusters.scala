@@ -52,6 +52,8 @@ object Clusters {
       .withColumn("comp", col("id"))
       .localCheckpoint()
     var prevSum = labels.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+    // empty vertex set: sum over zero rows is NULL — nothing to converge
+    if (prevSum == null) return labels
 
     var converged = false
     var it = 0

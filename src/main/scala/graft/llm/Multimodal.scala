@@ -75,8 +75,13 @@ object Multimodal {
       // keeps the decode purely in-memory per task
       javax.imageio.ImageIO.setUseCache(false)
       it.map { m =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(m.bytes))
+        // ImageIO.read returns null only when NO reader claims the
+        // stream; a recognized-but-corrupt payload (valid magic bytes,
+        // truncated data) THROWS from the selected reader instead — both
+        // cases must take the sentinel, not kill the partition
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.bytes))
+          catch { case _: Exception => null }
         if (img == null) ImageFeatures(m.mediaId, decoded = false, -1, -1, -1L)
         else {
           var sum = 0L

@@ -21,9 +21,11 @@ object Sampling {
 
   /** 60-bit positive hash of the id column's string form, mod 100 —
     * uniform enough for percentage gates (the md5 low bits are unbiased).
+    * Shares [[TextOps.h64c]] so the hash recipe can never drift from the
+    * rest of the engine's md5 convention.
     */
   def hashBucket(idCol: Column): Column =
-    conv(substring(md5(idCol.cast("string")), 1, 15), 16, 10).cast("long") % 100
+    TextOps.h64c(idCol.cast("string")) % 100
 
   /** Uniform deterministic sample: keep rows whose hash bucket < pct. */
   def hashSample(df: DataFrame, idCol: String, pct: Int): DataFrame =

@@ -31,6 +31,13 @@ object TextOps {
   /** SQL fragment: 60-bit positive hash of a string expression. */
   def h64(e: String): String = s"CAST(conv(substr(md5($e), 1, 15), 16, 10) AS BIGINT)"
 
+  /** Column form of [[h64]] — the ONE md5→60-bit recipe every consumer
+    * (shingle hashing, deterministic sampling) must share so the oracle
+    * arithmetic stays in lockstep.
+    */
+  def h64c(e: Column): Column =
+    conv(substring(md5(e), 1, 15), 16, 10).cast("long")
+
   /** Lower-cased whitespace word list. */
   def words(textCol: String): Column = split(lower(col(textCol)), " ")
 
@@ -210,62 +217,72 @@ object TextOps {
     smallPairs.unionByName(bigPairs)
   }
 
-  /** Incremental dedup: admit a NEW batch against an EXISTING corpus —
-    * the shape every rolling crawl ingest runs, where re-deduping the
-    * whole corpus per batch is the naive O(corpus) mistake. Two tiers:
-    * exact (content-hash anti-join) and near-dup (the new batch's band
-    * keys join the CORPUS band index — not a self-join — then exact
-    * Jaccard verification). Returns one decision row per new document:
-    * (id, dup_exact, dup_near, keep).
-    *
-    * Scale: the corpus side contributes only its band index (id, band_id,
-    * band_key — written once, reused every batch; at 100 TB this is the
-    * persisted LSH index, bucketed on the band key so each incremental
-    * join is shuffle-free on the corpus side). The new batch is typically
-    * tiny relative to the corpus → AQE broadcasts its band set, and the
-    * per-batch cost is O(batch), not O(corpus).
+  /** The per-document dedup index frames: content hashes (id, __ck),
+    * id-only LSH band rows (id, band_id, band_key — shingle arrays never
+    * ride the band join), and the shingle table for exact verification.
+    * For a rolling-ingest deployment these three are computed ONCE per
+    * corpus, persisted (bands bucketed by band_key, hashes by __ck), and
+    * reused by every [[incrementalDedup]] batch — the index frames are
+    * plain DataFrames precisely so they can be parquet round-tripped.
     */
-  def incrementalDedup(
-      corpus: DataFrame, newBatch: DataFrame,
-      idCol: String, textCol: String,
-      k: Int = 3, nPerm: Int = 32, nBands: Int = 8,
-      threshold: Double = 0.5): DataFrame = {
+  case class DedupIndex(hashes: DataFrame, bands: DataFrame, shingles: DataFrame)
+
+  /** Build the [[DedupIndex]] for a document frame. */
+  def buildDedupIndex(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, nPerm: Int = 32, nBands: Int = 8): DedupIndex = {
     val rowsPerBand = nPerm / nBands
-    def prep(df: DataFrame) = df
-      .withColumn("ws", words(textCol))
-      .withColumn("__ck", md5(col(textCol)))
-    def withShingles(df: DataFrame) = df
-      .filter(size(col("ws")) >= k)
-      .withColumn("shingles", shingles(k))
-    // id-only band rows: the persisted corpus index is (id, band_id,
-    // band_key) — shingle arrays never ride the band join
-    def bandIndex(df: DataFrame) = df
+    val prep = df.withColumn("ws", words(textCol))
+    val sh = prep.filter(size(col("ws")) >= k).withColumn("shingles", shingles(k))
+    val bands = sh
       .withColumn("shash", shingleHashes)
       .withColumn("sig", minhashSignature(nPerm))
       .select(col(idCol).as("id"),
         explode(bandKeys(nBands, rowsPerBand)).as("band"))
       .select(col("id"), col("band.band_id"), col("band.band_key"))
+    DedupIndex(
+      hashes = prep.select(col(idCol).as("id"), md5(col(textCol)).as("__ck")),
+      bands = bands,
+      shingles = sh.select(col(idCol).as("id"), col("shingles")))
+  }
 
-    val newPrep = prep(newBatch)
-    val oldPrep = prep(corpus)
+  /** Incremental dedup: admit a NEW batch against an EXISTING corpus —
+    * the shape every rolling crawl ingest runs, where re-deduping the
+    * whole corpus per batch is the naive O(corpus) mistake. Two tiers:
+    * exact (content-hash semi join) and near-dup (the new batch's band
+    * keys probe the corpus band index — not a self-join — then exact
+    * Jaccard verification over one shingle join-back per side). Returns
+    * one decision row per new document: (id, dup_exact, dup_near, keep).
+    *
+    * Scale: pass a PERSISTED `corpusIndex` — then the per-batch cost is
+    * O(batch) index construction plus joins that read only the probed
+    * band buckets, and the corpus text is never rescanned. The
+    * convenience overload below recomputes the corpus index inline
+    * (right for one-shot jobs and the correctness gate, wrong for a
+    * rolling ingest — it pays O(corpus) per call).
+    */
+  def incrementalDedup(
+      corpusIndex: DedupIndex, newBatch: DataFrame,
+      idCol: String, textCol: String,
+      k: Int, nPerm: Int, nBands: Int,
+      threshold: Double): DataFrame = {
+    val newIdx = buildDedupIndex(newBatch, idCol, textCol, k, nPerm, nBands)
 
     // exact tier: content-hash semi join against the corpus hash set
-    val exactDups = newPrep.select(col(idCol).as("id"), col("__ck"))
-      .join(oldPrep.select(col("__ck")).distinct(), Seq("__ck"), "left_semi")
+    val exactDups = newIdx.hashes
+      .join(corpusIndex.hashes.select(col("__ck")).distinct(), Seq("__ck"), "left_semi")
       .select(col("id")).withColumn("dup_exact", lit(true))
 
-    // near tier: new-batch bands probe the corpus band index (id-only),
-    // candidate (new, old) pairs distinct'd, then ONE shingle join-back
-    // per side for exact-Jaccard verification; any hit ⇒ near-dup
-    val newSh = withShingles(newPrep)
-    val oldSh = withShingles(oldPrep)
-    val cand = bandIndex(newSh)
-      .join(bandIndex(oldSh).withColumnRenamed("id", "oid"),
+    // near tier: id-only band probe, candidate pairs distinct'd, then one
+    // shingle join-back per side; any verified hit ⇒ near-dup
+    val cand = newIdx.bands
+      .join(corpusIndex.bands.withColumnRenamed("id", "oid"),
         Seq("band_id", "band_key"))
       .select(col("id"), col("oid")).distinct()
     val nearDups = cand
-      .join(newSh.select(col(idCol).as("id"), col("shingles").as("sh_new")), Seq("id"))
-      .join(oldSh.select(col(idCol).as("oid"), col("shingles").as("sh_old")), Seq("oid"))
+      .join(newIdx.shingles.withColumnRenamed("shingles", "sh_new"), Seq("id"))
+      .join(corpusIndex.shingles.select(col("id").as("oid"),
+        col("shingles").as("sh_old")), Seq("oid"))
       .filter(jaccard(col("sh_new"), col("sh_old")) >= threshold)
       .select(col("id")).distinct()
       .withColumn("dup_near", lit(true))
@@ -278,6 +295,15 @@ object TextOps {
         coalesce(col("dup_near"), lit(false)).as("dup_near"))
       .withColumn("keep", !col("dup_exact") && !col("dup_near"))
   }
+
+  /** One-shot convenience form: builds the corpus index inline. */
+  def incrementalDedup(
+      corpus: DataFrame, newBatch: DataFrame,
+      idCol: String, textCol: String,
+      k: Int = 3, nPerm: Int = 32, nBands: Int = 8,
+      threshold: Double = 0.5): DataFrame =
+    incrementalDedup(buildDedupIndex(corpus, idCol, textCol, k, nPerm, nBands),
+      newBatch, idCol, textCol, k, nPerm, nBands, threshold)
 
   /** English/French/German stopword hit counts + argmax language guess —
     * the n-gram-free heuristic tier of a language-ID stack.

@@ -180,7 +180,11 @@ object FullCorpus {
     // fdaSrs + drugbank + chembl, diseases by do + oncotree — declaring all
     // of them means a failed feeder skips this node instead of silently
     // resolving against a smaller dimension
-    Loader("clinicaltrialsgov", Seq("drugbank", "chembl", "fdaSrs", "do", "oncotree"), sp => {
+    // "cgi" is here because cgi also MERGES resolve-miss stubs into the
+    // therapies table this loader reads — without the edge the two land
+    // in the same topological level and, under level-concurrent
+    // execution, the dim content becomes thread-interleaving-dependent
+    Loader("clinicaltrialsgov", Seq("drugbank", "chembl", "fdaSrs", "do", "oncotree", "cgi"), sp => {
       val therapyDim = store.read("therapies").get.select("name")
       val diseaseDim = store.read("vertices").get.select("name")
         .unionByName(store.read("diseases").get.select("name")).distinct()

@@ -24,11 +24,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * two `ArrayData` directly — no intermediate allocation, no virtual
   * dispatch, fused into the enclosing codegen stage.
   *
-  * Semantics match the composed form bit-for-bit on the engine's inputs:
-  * exact 64-bit integer arithmetic over quantized vectors (see
-  * `Ann.withQuantized`), summed over the shorter length, null if either
-  * array or any consumed element is null (`zip_with` null-product /
-  * `aggregate` null-acc behavior).
+  * Semantics match the composed form bit-for-bit on the engine's inputs
+  * (equal-length quantized vectors from `Ann.withQuantized`): exact
+  * 64-bit integer arithmetic, null if either array or any consumed
+  * element is null. One DELIBERATE divergence: on ragged (unequal-length)
+  * inputs this sums over the shorter length, where the composed form's
+  * `zip_with` null-padding makes the whole result null — a mixed-dim
+  * corpus gets a truncated dot product here, so length-validate upstream
+  * if that matters.
   */
 case class QuantizedDot(left: Expression, right: Expression)
     extends BinaryExpression {

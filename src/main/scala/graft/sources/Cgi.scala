@@ -203,7 +203,11 @@ object Cgi {
     val parsed = parse(spark, rows)
     parsed.persist()
     try {
-      val parseErrors = parsed.filter(col("kind") === "error").count()
+      // id set, not a count: a row can fail BOTH the parse rung and a
+      // resolve rung, and the reference's per-row try/catch throws once —
+      // the error total is distinct failed rows, not failed rungs
+      val parseErrorIds = parsed.filter(col("kind") === "error")
+        .select(col("rowId"))
 
       // ---- per-row scalar resolves (relevance, disease)
       val meta = rows.map(r => (r.rowId, r.disease, r.relevance))
@@ -211,12 +215,18 @@ object Cgi {
       val relName = coalesce(
         element_at(typedLit(RelevanceMapping), lower(trim(col("relevance")))),
         col("relevance"))
+      // dims dedup to ONE row per lowercased key (deterministic min) —
+      // a caller-supplied dim with case-duplicate names (e.g. the DAG's
+      // vertices ∪ diseases union) would otherwise fan the left joins
+      // out into duplicate statement rows under the same merge key
       val withRel = meta.withColumn("rel_name", relName)
         .join(broadcast(vocab.select(lower(col("name")).as("rel_key"),
-          col("term_id").as("rel_term"))),
+          col("term_id").as("rel_term"))
+          .groupBy("rel_key").agg(min("rel_term").as("rel_term"))),
           lower(col("rel_name")) === col("rel_key"), "left")
       val dDim = broadcast(diseases.select(lower(col("name")).as("d_key"),
-        col("sourceId").as("d_sid")))
+        col("sourceId").as("d_sid"))
+        .groupBy("d_key").agg(min("d_sid").as("d_sid")))
       val mapped = withRel.withColumn("d_mapped",
         element_at(typedLit(DiseaseMapping), lower(trim(col("disease")))))
       // rung 1: the mapped name, else the raw name
@@ -233,7 +243,8 @@ object Cgi {
 
       // ---- therapy resolve-or-create
       val tDim = broadcast(therapies.select(lower(col("name")).as("t_key"),
-        col("sourceId").as("t_dim_sid")))
+        col("sourceId").as("t_dim_sid"))
+        .groupBy("t_key").agg(min("t_dim_sid").as("t_dim_sid")))
       val comboName = when(col("value").contains(";"),
         array_join(array_sort(transform(split(col("value"), ";"),
           x => lower(trim(x)))), " + "))
@@ -282,12 +293,15 @@ object Cgi {
             keyCols = Seq("sourceId"),
             compareCols = Seq("relevance", "subject", "description"),
             setCols = Seq("conditions"))
-          val resolveErrors =
-            rowMeta.filter(col("rel_term").isNull || col("d_sid").isNull).count()
+          val errorRows = parseErrorIds
+            .unionByName(rowMeta
+              .filter(col("rel_term").isNull || col("d_sid").isNull)
+              .select(col("rowId")))
+            .distinct().count()
           sCounts ++
             vCounts.map { case (k, v) => s"variants_$k" -> v } ++
             tCounts.map { case (k, v) => s"therapies_$k" -> v } +
-            ("errors" -> (parseErrors + resolveErrors))
+            ("errors" -> errorRows)
         } finally combos.unpersist()
       } finally drugs.unpersist()
     } finally parsed.unpersist()

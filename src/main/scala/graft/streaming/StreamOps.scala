@@ -100,16 +100,20 @@ object StreamOps {
   def firstEventPerKey(input: Dataset[Event]): Dataset[FirstEvent] = {
     import input.sparkSession.implicits._
     input.groupByKey(_.user_id)
-      .mapGroupsWithState[FirstEvent, FirstEvent](GroupStateTimeout.NoTimeout) {
+      // flatMap (not map): a batch whose events don't improve the key's
+      // minimum must emit NOTHING — re-emitting unchanged state would put
+      // one row per (key, touching batch) into an update-mode sink
+      .flatMapGroupsWithState[FirstEvent, FirstEvent](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
         (uid, rows, state: GroupState[FirstEvent]) =>
           val m = rows.minBy(e => (e.ts, e.event_id))
-          val best = state.getOption match {
+          val improved = state.getOption match {
             case Some(c) if c.first_ts < m.ts ||
-              (c.first_ts == m.ts && c.first_event_id <= m.event_id) => c
-            case _ => FirstEvent(uid, m.ts, m.event_id, m.event_type)
+              (c.first_ts == m.ts && c.first_event_id <= m.event_id) => None
+            case _ => Some(FirstEvent(uid, m.ts, m.event_id, m.event_type))
           }
-          state.update(best)
-          best
+          improved.foreach(state.update)
+          improved.iterator
       }
   }
 

@@ -56,6 +56,12 @@ class ClustersSpec extends AnyFunSuite {
     assert(got == byRoot)
   }
 
+  test("empty vertex set returns empty, not NPE (sum over zero rows is null)") {
+    val verts = Seq.empty[Long].toDF("id")
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Clusters.connectedComponents(verts, "id", pairs, "id_a", "id_b").count() == 0L)
+  }
+
   test("dedupClusters emits size and canonical flags") {
     val verts = Seq(1L, 2L, 3L, 7L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")

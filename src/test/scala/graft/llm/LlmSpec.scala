@@ -208,13 +208,20 @@ class MultimodalSpec extends AnyFunSuite {
       MediaMeta(0, 0, 0L, "png"))
     val junk = MediaItem(8L, "image/png", Array[Byte](1, 2, 3),
       MediaMeta(0, 0, 0L, "png"))
-    val out = Multimodal.decodeImage(spark.createDataset(Seq(png, junk)))
+    // valid PNG magic + truncated body: ImageIO SELECTS the png reader,
+    // then THROWS mid-decode (the null-return path never fires) — must
+    // take the sentinel, not kill the partition
+    val truncated = MediaItem(9L, "image/png",
+      Multimodal.syntheticPng(7L, 19, 18).take(40),
+      MediaMeta(0, 0, 0L, "png"))
+    val out = Multimodal.decodeImage(spark.createDataset(Seq(png, junk, truncated)))
       .collect().sortBy(_.mediaId)
     val expected = (for (x <- 0 until 19; y <- 0 until 18)
       yield ((x * 7 + 7) % 256) + ((y * 11) % 256) + ((x + y) % 256)).sum.toLong
     assert(out(0).decoded && out(0).width == 19 && out(0).height == 18)
     assert(out(0).pixelSum == expected)
     assert(!out(1).decoded && out(1).width == -1 && out(1).pixelSum == -1L)
+    assert(!out(2).decoded && out(2).width == -1 && out(2).pixelSum == -1L)
   }
 
   test("resize preserves aspect ratio bound; frame sampling count") {

@@ -72,9 +72,13 @@ class StreamingSpec extends AnyFunSuite {
     // earliest — state must improve on the second batch
     Files.writeString(java.nio.file.Paths.get(dir, "a.tsv"),
       "user_id\tts\tevent_id\tevent_type\n1\t500\t7\tlate\n2\t100\t3\tonly\n")
-    Thread.sleep(20) // distinct mtimes so file order is a→b
+    Thread.sleep(20) // distinct mtimes so file order is a→b→c
     Files.writeString(java.nio.file.Paths.get(dir, "b.tsv"),
       "user_id\tts\tevent_id\tevent_type\n1\t100\t9\tearly\n")
+    Thread.sleep(20)
+    // batch 3: WORSE event for u1 — must emit nothing
+    Files.writeString(java.nio.file.Paths.get(dir, "c.tsv"),
+      "user_id\tts\tevent_id\tevent_type\n1\t900\t11\tworse\n")
     val schema = StructType.fromDDL(
       "user_id LONG, ts LONG, event_id LONG, event_type STRING")
     val input = spark.readStream.schema(schema)
@@ -85,10 +89,12 @@ class StreamingSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("s2b_spec")
       .outputMode("update").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(60000)
-    // update sink: last emission per key is the final state
+    // emissions are improvements ONLY: u1 = initial(500,7) then
+    // improved(100,9); the worse batch-3 event emits nothing
     val all = spark.table("s2b_spec").as[StreamOps.FirstEvent].collect()
-    assert(all.filter(_.user_id == 1L)
-      .exists(_ == StreamOps.FirstEvent(1L, 100L, 9L, "early")))
+    val u1 = all.filter(_.user_id == 1L)
+    assert(u1.length == 2)
+    assert(u1.contains(StreamOps.FirstEvent(1L, 100L, 9L, "early")))
     assert(all.contains(StreamOps.FirstEvent(2L, 100L, 3L, "only")))
   }
 
