@@ -129,9 +129,61 @@ class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32
     * newer layer) are EMPTY, not inherited: a soft-delete can empty a
     * bucket entirely, which the layering alone cannot represent.
     */
-  private def leafDirs(table: String): Seq[(Int, String)] = {
+  /** Snapshot isolation for level-concurrent orchestration: while a pin
+    * is set (per thread-crossing @volatile), PUBLIC [[read]] resolves
+    * against the version listing captured at pin time — same-level
+    * sibling writes allocate new versions as usual but stay invisible
+    * until the next pin. This gives Snakemake semantics independent of
+    * thread interleaving: a level sees exactly its predecessors'
+    * completed outputs. INTERNAL reads (merge classify, edge anti-join,
+    * compaction, [[readLatest]]) always see the latest state — two
+    * same-level loaders merging one table are serialized by the table
+    * lock and the second's classify MUST include the first's rows, or
+    * its bucket rewrite would drop them.
+    */
+  @volatile private var pinnedVersions: Option[Map[String, Int]] = None
+
+  /** Capture the current per-table version ceiling for public reads. */
+  def pinVersions(): Unit = {
+    val dir = Paths.get(root)
+    val tables =
+      if (!Files.exists(dir)) Seq.empty[String]
+      else {
+        val stream = Files.list(dir)
+        try {
+          val it = stream.iterator()
+          val buf = Seq.newBuilder[String]
+          while (it.hasNext) {
+            val p = it.next()
+            if (Files.isDirectory(p)) buf += p.getFileName.toString
+          }
+          buf.result()
+        } finally stream.close()
+      }
+    pinnedVersions = Some(
+      tables.map(t => t -> versions(t).lastOption.map(_._1).getOrElse(-1)).toMap)
+  }
+
+  def unpinVersions(): Unit = pinnedVersions = None
+
+  /** Version listing as PUBLIC reads see it: pin-filtered when pinned
+    * (a table created after the pin reads as absent).
+    */
+  private def visibleVersions(table: String): Seq[(Int, String)] =
+    pinnedVersions match {
+      case Some(p) => versions(table).filter(_._1 <= p.getOrElse(table, -1))
+      case None => versions(table)
+    }
+
+  private def leafDirs(table: String): Seq[(Int, String)] =
+    leafDirsOf(visibleVersions(table))
+
+  private def leafDirsLatest(table: String): Seq[(Int, String)] =
+    leafDirsOf(versions(table))
+
+  private def leafDirsOf(vs: Seq[(Int, String)]): Seq[(Int, String)] = {
     val seen = scala.collection.mutable.Map.empty[Int, String]
-    val newestFirst = versions(table).reverse.iterator
+    val newestFirst = vs.reverse.iterator
     var done = false
     while (newestFirst.hasNext && !done) {
       val (_, vPath) = newestFirst.next()
@@ -173,9 +225,20 @@ class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32
     if (dirs.isEmpty) None else Some(readDirs(dirs.map(_._2)))
   }
 
-  /** Read only the given buckets' newest layers. */
+  /** Latest state regardless of any active pin — read-your-own-writes
+    * semantics for a loader that merges a table and re-reads it within
+    * one pinned level (e.g. fetch-fallback hydration).
+    */
+  def readLatest(table: String): Option[DataFrame] = {
+    val dirs = leafDirsLatest(table)
+    if (dirs.isEmpty) None else Some(readDirs(dirs.map(_._2)))
+  }
+
+  /** Read only the given buckets' newest layers — internal (merge/edge)
+    * path, always latest: classify must see same-level sibling writes.
+    */
   private def readBuckets(table: String, buckets: Set[Int]): Option[DataFrame] = {
-    val dirs = leafDirs(table).collect { case (b, p) if buckets(b) => p }
+    val dirs = leafDirsLatest(table).collect { case (b, p) if buckets(b) => p }
     if (dirs.isEmpty) None else Some(readDirs(dirs))
   }
 
@@ -235,7 +298,9 @@ class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32
   def compact(table: String, prune: Boolean = true): Option[Int] =
     lockFor(table).synchronized {
       readMeta(table).flatMap { m =>
-        read(table).map { cur =>
+        // latest, never the pinned view: folding only pinned layers into
+        // a NEW top snapshot would drop same-level writes above the pin
+        readLatest(table).map { cur =>
           val v = write(table, cur, m.bucketCols, full = true)
           if (prune) vacuum(table)
           v
@@ -334,7 +399,7 @@ class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32
     try {
       val current =
         if (latestVersion(table).isEmpty) None
-        else if (softDelete) read(table)
+        else if (softDelete) readLatest(table)
         else readBuckets(table, touchedBuckets(incoming, m))
       val payload = (compareCols ++ setCols).distinct
       val classified = current match {

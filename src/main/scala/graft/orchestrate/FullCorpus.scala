@@ -323,7 +323,10 @@ object FullCorpus {
           .select(col("name"), col("name").as("term_id")))
     }),
 
-    Loader("cosmicFusions", Seq("oncotree", "vocab"), sp => {
+    // "do" per the reference: Snakefile's load_cosmic_fusions inputs
+    // all_diseases (do + ncit + oncotree) — the diseases dim read below
+    // must be complete, and a failed DO load must skip this node
+    Loader("cosmicFusions", Seq("oncotree", "vocab", "do"), sp => {
       import CosmicFusions.FusionRow
       CosmicFusions.load(sp, store, Seq(
         FusionRow("dag-f1", "cf1", "cs1", "EWSR1", "FLI1", "7", "6",
@@ -431,7 +434,14 @@ object FullCorpus {
     */
   def run(spark: SparkSession, store: PersistentGraphStore,
       ncitPath: String, parallelism: Int = 4): Orchestrator.Report = {
-    val report = Orchestrator.run(spark, loaders(store, ncitPath), parallelism)
+    // snapshot isolation per level: reads inside a level see exactly the
+    // level-start store state, so results don't depend on intra-level
+    // scheduling (sequential list order OR concurrent interleaving)
+    val report =
+      try Orchestrator.run(spark, loaders(store, ncitPath), parallelism,
+        beforeLevel = () => store.pinVersions(),
+        afterLevel = () => store.unpinVersions())
+      finally store.unpinVersions()
     // orchestration boundary: no loader holds an outstanding lazy read any
     // more, so superseded layers kept by auto-compaction are reclaimable
     store.vacuumAll()

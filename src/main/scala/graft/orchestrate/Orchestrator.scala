@@ -71,9 +71,17 @@ object Orchestrator {
     * merges from concurrent loaders (see PersistentGraphStore.lockFor).
     * Level membership and the report's order stay deterministic; only
     * wall-clock interleaving varies.
+    *
+    * `beforeLevel` runs once before each level (and `afterLevel` after) —
+    * the store snapshot-isolation hook: FullCorpus pins the store's
+    * visible versions at each level boundary so every read inside the
+    * level sees exactly the level-start state, making results independent
+    * of intra-level scheduling in BOTH sequential and concurrent modes.
     */
   def run(spark: SparkSession, loaders: Seq[Loader],
-      parallelism: Int = 1): Report = {
+      parallelism: Int = 1,
+      beforeLevel: () => Unit = () => (),
+      afterLevel: () => Unit = () => ()): Report = {
     val byName = loaders.map(l => l.name -> l).toMap
     val levels = topoLevels(loaders)
     val statuses = scala.collection.mutable.Map.empty[String, Status]
@@ -91,21 +99,24 @@ object Orchestrator {
     }
 
     levels.foreach { level =>
-      val results: Seq[(String, Status)] =
-        if (parallelism <= 1 || level.size <= 1) level.map(runOne)
-        else {
-          val pool = java.util.concurrent.Executors.newFixedThreadPool(
-            math.min(parallelism, level.size))
-          implicit val ec: scala.concurrent.ExecutionContext =
-            scala.concurrent.ExecutionContext.fromExecutorService(pool)
-          try {
-            val fs = level.map(n => scala.concurrent.Future(runOne(n)))
-            scala.concurrent.Await.result(
-              scala.concurrent.Future.sequence(fs),
-              scala.concurrent.duration.Duration.Inf)
-          } finally pool.shutdown()
-        }
-      statuses ++= results
+      beforeLevel()
+      try {
+        val results: Seq[(String, Status)] =
+          if (parallelism <= 1 || level.size <= 1) level.map(runOne)
+          else {
+            val pool = java.util.concurrent.Executors.newFixedThreadPool(
+              math.min(parallelism, level.size))
+            implicit val ec: scala.concurrent.ExecutionContext =
+              scala.concurrent.ExecutionContext.fromExecutorService(pool)
+            try {
+              val fs = level.map(n => scala.concurrent.Future(runOne(n)))
+              scala.concurrent.Await.result(
+                scala.concurrent.Future.sequence(fs),
+                scala.concurrent.duration.Duration.Inf)
+            } finally pool.shutdown()
+          }
+        statuses ++= results
+      } finally afterLevel()
     }
     Report(levels.flatten, statuses.toMap)
   }

@@ -80,7 +80,10 @@ object VariantsList {
         // gene-biotype slice of the dimension, upsert the fetched genes
         val geneCols = Seq("biotype", "name", "displayName", "longName",
           "description", "url")
-        def geneDim(): DataFrame = store.read("genes")
+        // readLatest, not read: the second geneDim() call below must see
+        // the genes THIS loader just merged (read-your-own-writes), even
+        // under the orchestrator's level pin
+        def geneDim(): DataFrame = store.readLatest("genes")
           .map(_.filter(col("biotype") === "gene").select(col("name"), col("sourceId")))
           .getOrElse(Seq.empty[(String, String)].toDF("name", "sourceId"))
         val symbols = withTerm.select(col("ref1").as("name"))

@@ -98,6 +98,60 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(state(parStore) == (1 to 8).map(i => (s"k$i", s"v$i")).toSet)
   }
 
+  test("level pin: a same-level sibling's write is invisible to reads, in both modes") {
+    import spark.implicits._
+    // writer and reader share a level (no edge). Sequentially the writer
+    // runs first (name order w < x... use names so writer sorts FIRST);
+    // without the pin the reader would see its rows — with the pin both
+    // modes must agree the read sees only the PREVIOUS level's state.
+    def build(dir: String): (graft.core.PersistentGraphStore, Seq[Loader], () => Long) = {
+      val store = new graft.core.PersistentGraphStore(spark, dir, nBuckets = 4)
+      val seen = new java.util.concurrent.atomic.AtomicLong(-1L)
+      val seed = Loader("seed", Seq.empty, _ =>
+        store.merge("dim", Seq(("k0", "v0")).toDF("sourceId", "name"),
+          Seq("sourceId"), compareCols = Seq("name")))
+      // 'a_writer' sorts before 'b_reader' → sequential list order runs it first
+      val writer = Loader("a_writer", Seq("seed"), _ =>
+        store.merge("dim", Seq(("k1", "v1")).toDF("sourceId", "name"),
+          Seq("sourceId"), compareCols = Seq("name")))
+      val reader = Loader("b_reader", Seq("seed"), _ => {
+        seen.set(store.read("dim").map(_.count()).getOrElse(0L))
+        Map.empty[String, Long]
+      })
+      (store, Seq(seed, writer, reader), () => seen.get())
+    }
+    for (par <- Seq(1, 4)) {
+      val (store, loaders, seen) = build(
+        java.nio.file.Files.createTempDirectory(s"graft-pin$par").toString)
+      val r = Orchestrator.run(spark, loaders, parallelism = par,
+        beforeLevel = () => store.pinVersions(),
+        afterLevel = () => store.unpinVersions())
+      assert(r.succeeded.size == 3)
+      assert(seen() == 1L, s"parallelism=$par: reader must see ONLY the seed row")
+      // after the run the write is visible as usual
+      assert(store.read("dim").get.count() == 2L)
+    }
+  }
+
+  test("merge classify sees same-level sibling writes even while pinned (no row loss)") {
+    import spark.implicits._
+    // two same-level loaders merging DISJOINT keys into one table while a
+    // pin is active: the second merge's bucket rewrite must include the
+    // first's rows — a pinned classify would silently drop them
+    val store = new graft.core.PersistentGraphStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-pinmerge").toString,
+      nBuckets = 1) // one bucket forces full overlap
+    val writers = (1 to 4).map { i =>
+      Loader(s"w$i", Seq.empty, _ =>
+        store.merge("t", Seq((s"k$i", s"v$i")).toDF("sourceId", "name"),
+          Seq("sourceId"), compareCols = Seq("name")))
+    }
+    Orchestrator.run(spark, writers, parallelism = 4,
+      beforeLevel = () => store.pinVersions(),
+      afterLevel = () => store.unpinVersions())
+    assert(store.read("t").get.count() == 4L)
+  }
+
   test("full corpus DAG: every loader succeeds into one store; rerun creates nothing") {
     val store = new graft.core.PersistentGraphStore(spark,
       java.nio.file.Files.createTempDirectory("graft-corpus").toString)
