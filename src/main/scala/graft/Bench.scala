@@ -103,12 +103,18 @@ object Bench {
     val (loaderQs, fixtureQs) = rest.partition(_.matches("^g\\d+_.*"))
     val fixtures = "fixtures_bucket" -> runBucket(fixtureQs)
     val loaders = "loaders_bucket" -> runBucket(loaderQs)
+    // times rounded to ms: full-precision doubles pushed the single JSON
+    // line past the driver's tail-parse window in round 5 (the leading
+    // '{' got clipped and the round artifact recorded parsed=null);
+    // millisecond resolution is all the comparison uses
+    def r3(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = (results :+ fixtures :+ loaders)
-      .map { case (k, v) => "\"" + k + "\":" + v }
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum + fixtures._2 + loaders._2
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     Files.writeString(Paths.get(out), json + "\n")

@@ -2711,7 +2711,18 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination(120000)
+      // Update-mode sinks append one row per (key, improving batch): if the
+      // AvailableNow source ever splits events.parquet into >1 micro-batch,
+      // superseded per-key rows would remain in the table. Fold the sink to
+      // each key's (ts, event_id)-minimum so the result is one row per key
+      // regardless of micro-batch boundaries.
       s.table("s2b_stream_state_out").toDF()
+        .groupBy(col("user_id"))
+        .agg(min(struct(col("first_ts"), col("first_event_id"),
+          col("first_event_type"))).as("m"))
+        .select(col("user_id"), col("m.first_ts").as("first_ts"),
+          col("m.first_event_id").as("first_event_id"),
+          col("m.first_event_type").as("first_event_type"))
     }),
 
     // F2 (CIViC variant-name normalization grammar,

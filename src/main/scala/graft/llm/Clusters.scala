@@ -1,7 +1,6 @@
 package graft.llm
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dedup-cluster formation: the step AFTER near-dup pair generation in a
@@ -26,9 +25,11 @@ import org.apache.spark.sql.functions._
   *   it the plan doubles per iteration and the optimizer re-walks the
   *   whole history each round. A cluster deployment would use reliable
   *   `checkpoint` to survive executor loss; local mode has no HDFS.
-  * - Convergence is detected by the monotone label sum (labels only ever
-  *   decrease, so the sum strictly decreases until fixpoint): one cheap
-  *   aggregate per round instead of a change-count join.
+  * - Convergence is detected by counting changed labels per round: the
+  *   previous label rides the round's result frame, so the count is one
+  *   filter+count on the already-checkpointed output — no extra join, and
+  *   (unlike a numeric label-sum) it works for ANY id type, string doc
+  *   ids included.
   * - Labels are vertex-id minima — fully deterministic, so the output is
   *   hash-comparable against a transitive-closure oracle.
   */
@@ -37,6 +38,12 @@ object Clusters {
   /** Connected components over an undirected pair list. `vertices` must
     * contain every id exactly once (rows with no pair become singleton
     * components). Returns (id, comp) where comp = min id in the component.
+    *
+    * Throws if `maxIter` rounds elapse before the labels stabilize: a
+    * silently-unconverged result is a WRONG answer for a correctness-gated
+    * engine, and with pointer jumping `maxIter` rounds cover component
+    * diameter ~2^maxIter, so a legitimate hit means the caller's graph is
+    * pathological, not that the default is too small.
     */
   def connectedComponents(
       vertices: DataFrame, idCol: String,
@@ -51,9 +58,6 @@ object Clusters {
     var labels = vertices.select(col(idCol).as("id"))
       .withColumn("comp", col("id"))
       .localCheckpoint()
-    var prevSum = labels.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
-    // empty vertex set: sum over zero rows is NULL — nothing to converge
-    if (prevSum == null) return labels
 
     var converged = false
     var it = 0
@@ -62,23 +66,26 @@ object Clusters {
       val nbrMin = sym
         .join(labels.select(col("id").as("v"), col("comp").as("vcomp")), Seq("v"))
         .groupBy(col("u").as("id")).agg(min("vcomp").as("nmin"))
+      // previous label rides along so convergence is a change-count on the
+      // checkpointed result — id-type-agnostic (no numeric cast)
       val stepped = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("comp").as("prev"),
           least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
       // pointer jump: comp := min(comp, label(comp))
       val ptr = stepped.select(col("id").as("pid"), col("comp").as("pcomp"))
       val jumped = stepped
         .join(ptr, stepped("comp") === ptr("pid"), "left")
-        .select(stepped("id"),
+        .select(stepped("id"), stepped("prev"),
           least(stepped("comp"), coalesce(col("pcomp"), stepped("comp"))).as("comp"))
         .localCheckpoint()
 
-      val curSum = jumped.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
-      converged = curSum.compareTo(prevSum) == 0
-      prevSum = curSum
-      labels = jumped
+      converged = jumped.filter(col("comp") =!= col("prev")).isEmpty
+      labels = jumped.drop("prev")
       it += 1
     }
+    require(converged,
+      s"connectedComponents did not converge within $maxIter rounds " +
+        "(component diameter ~2^maxIter exceeded — raise maxIter)")
     labels
   }
 
@@ -90,10 +97,17 @@ object Clusters {
       docs: DataFrame, idCol: String,
       pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
     val comp = connectedComponents(docs, idCol, pairs, aCol, bCol)
-    val w = Window.partitionBy(col("cluster_id"))
-    comp
       .select(col("id").as(idCol), col("comp").as("cluster_id"))
-      .withColumn("cluster_size", count(lit(1)).over(w))
-      .withColumn("is_canonical", col(idCol) === col("cluster_id"))
+    // cluster size via groupBy + join-back, NOT a window over cluster_id:
+    // web dedup routinely produces one degenerate mega-cluster (boilerplate
+    // / empty docs chain together), and a window would land that whole
+    // cluster in one partition — a straggler task at scale. Partial
+    // aggregation absorbs the skew; the join key is the same id the rows
+    // already carry.
+    val sizes = comp.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, Seq("cluster_id"))
+      .select(col(idCol), col("cluster_id"), col("cluster_size"),
+        (col(idCol) === col("cluster_id")).as("is_canonical"))
   }
 }

@@ -102,13 +102,22 @@ object TextOps {
          |      a + CASE WHEN shiftright(h, k) % 2 = 1 THEN 1 ELSE -1 END) > 0
          |    THEN shiftleft(CAST(1 AS BIGINT), k) ELSE 0 END)""".stripMargin)
 
-  /** Exact Jaccard between two shingle-set columns (integer counts → one
-    * IEEE division; bit-identical across engines) — the native one-pass
-    * [[graft.plans.JaccardSim]]. Inputs must be element-distinct (they
-    * are: shingle sets are `array_distinct`'d), since |a ∪ b| is derived
-    * as |a| + |b| − |a ∩ b|.
+  /** Exact Jaccard between two array columns (integer counts → one IEEE
+    * division; bit-identical across engines). Safe for ANY input: the
+    * native [[graft.plans.JaccardSim]] derives |a ∪ b| as |a| + |b| −
+    * |a ∩ b|, which is only valid for element-distinct arrays, so the
+    * public boundary dedupes both sides first. Internal near-dup paths
+    * call [[jaccardSets]] directly — their shingle sets are already
+    * `array_distinct`'d, and re-deduping per candidate pair would tax the
+    * hot verification loop.
     */
   def jaccard(a: Column, b: Column): Column =
+    graft.plans.JaccardSim.jaccardSim(array_distinct(a), array_distinct(b))
+
+  /** [[jaccard]] PRECONDITIONED on element-distinct inputs (shingle sets
+    * are). Skips the per-pair `array_distinct`.
+    */
+  def jaccardSets(a: Column, b: Column): Column =
     graft.plans.JaccardSim.jaccardSim(a, b)
 
   /** Candidate near-dup pairs via banded MinHash-LSH, then exact-Jaccard
@@ -166,7 +175,7 @@ object TextOps {
       .join(shingleTbl.select(col("id").as("id_b"), col("shingles").as("sh_b")),
         Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        jaccardSets(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -207,7 +216,7 @@ object TextOps {
         blockCols)
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        jaccardSets(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
 
     val bigPairs = minhashNearDups(
@@ -283,7 +292,7 @@ object TextOps {
       .join(newIdx.shingles.withColumnRenamed("shingles", "sh_new"), Seq("id"))
       .join(corpusIndex.shingles.select(col("id").as("oid"),
         col("shingles").as("sh_old")), Seq("oid"))
-      .filter(jaccard(col("sh_new"), col("sh_old")) >= threshold)
+      .filter(jaccardSets(col("sh_new"), col("sh_old")) >= threshold)
       .select(col("id")).distinct()
       .withColumn("dup_near", lit(true))
 

@@ -24,11 +24,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * near-dup detection; at 100 TB it runs once per document and dominates
   * the pre-shuffle cost, which is exactly where a fused loop pays.
   */
-case class MinHashSig(child: Expression, as: Array[Long], bs: Array[Long], p: Long)
+// Seq (not Array) constants: Array equality is reference-based, which
+// would make equals/hashCode — and thus semanticEquals, canonicalization
+// and common-subexpression elimination — treat identical signature
+// expressions as distinct. The hot loop reads the Array copies below.
+case class MinHashSig(child: Expression, as: Seq[Long], bs: Seq[Long], p: Long)
     extends UnaryExpression {
 
   require(as.length == bs.length && as.nonEmpty,
     "MinHashSig needs matching non-empty permutation constant arrays")
+
+  private lazy val asArr: Array[Long] = as.toArray
+  private lazy val bsArr: Array[Long] = bs.toArray
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
@@ -53,7 +60,7 @@ case class MinHashSig(child: Expression, as: Array[Long], bs: Array[Long], p: Lo
       var j = 0
       while (j < n) {
         if (shash.isNullAt(j)) return null
-        val v = (as(i) * (shash.getLong(j) % p) + bs(i)) % p
+        val v = (asArr(i) * (shash.getLong(j) % p) + bsArr(i)) % p
         if (v < best) best = v
         j += 1
       }
@@ -64,8 +71,8 @@ case class MinHashSig(child: Expression, as: Array[Long], bs: Array[Long], p: Lo
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val asRef = ctx.addReferenceObj("minhashAs", as, "long[]")
-    val bsRef = ctx.addReferenceObj("minhashBs", bs, "long[]")
+    val asRef = ctx.addReferenceObj("minhashAs", asArr, "long[]")
+    val bsRef = ctx.addReferenceObj("minhashBs", bsArr, "long[]")
     nullSafeCodeGen(ctx, ev, x => {
       val n = ctx.freshName("mhN")
       val out = ctx.freshName("mhOut")
@@ -103,5 +110,5 @@ object MinHashSig {
 
   /** Column-API entry point: permutation constants are plan-time values. */
   def minhashSig(shash: Column, as: Seq[Long], bs: Seq[Long], p: Long): Column =
-    Bridge.column(MinHashSig(Bridge.expression(shash), as.toArray, bs.toArray, p))
+    Bridge.column(MinHashSig(Bridge.expression(shash), as, bs, p))
 }

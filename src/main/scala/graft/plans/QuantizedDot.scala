@@ -24,14 +24,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * two `ArrayData` directly — no intermediate allocation, no virtual
   * dispatch, fused into the enclosing codegen stage.
   *
-  * Semantics match the composed form bit-for-bit on the engine's inputs
-  * (equal-length quantized vectors from `Ann.withQuantized`): exact
-  * 64-bit integer arithmetic, null if either array or any consumed
-  * element is null. One DELIBERATE divergence: on ragged (unequal-length)
-  * inputs this sums over the shorter length, where the composed form's
-  * `zip_with` null-padding makes the whole result null — a mixed-dim
-  * corpus gets a truncated dot product here, so length-validate upstream
-  * if that matters.
+  * Semantics match the composed form bit-for-bit: exact 64-bit integer
+  * arithmetic; null if either array or any element is null, and null on
+  * ragged (unequal-length) inputs — exactly what `zip_with`'s null-padding
+  * produces in the composed form. (An earlier version summed over the
+  * shorter length, which silently truncated dot products for a mixed-
+  * dimension corpus; all legitimate inputs are equal-length quantized
+  * vectors, so the null is a loud upstream-bug signal, not a data path.)
   */
 case class QuantizedDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -52,7 +51,8 @@ case class QuantizedDot(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0L
     var i = 0
     while (i < n) {
@@ -69,9 +69,10 @@ case class QuantizedDot(left: Expression, right: Expression)
       val i = ctx.freshName("qdotI")
       val acc = ctx.freshName("qdotAcc")
       s"""
-         |final int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |final int $n = $x.numElements();
          |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
+         |if ($n != $y.numElements()) { ${ev.isNull} = true; }
+         |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
          |  if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += $x.getLong($i) * $y.getLong($i);
          |}

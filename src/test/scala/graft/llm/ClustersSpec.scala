@@ -56,10 +56,32 @@ class ClustersSpec extends AnyFunSuite {
     assert(got == byRoot)
   }
 
-  test("empty vertex set returns empty, not NPE (sum over zero rows is null)") {
+  test("empty vertex set returns empty, not NPE") {
     val verts = Seq.empty[Long].toDF("id")
     val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Clusters.connectedComponents(verts, "id", pairs, "id_a", "id_b").count() == 0L)
+  }
+
+  test("string ids cluster correctly (convergence is not numeric)") {
+    // the old label-sum convergence cast labels to decimal — for string
+    // ids the cast was null and everything silently stayed a singleton
+    val verts = Seq("doc-a", "doc-b", "doc-c", "doc-z").toDF("id")
+    val pairs = Seq(("doc-a", "doc-b"), ("doc-b", "doc-c")).toDF("id_a", "id_b")
+    val got = Clusters.connectedComponents(verts, "id", pairs, "id_a", "id_b")
+      .as[(String, String)].collect().toMap
+    assert(got == Map("doc-a" -> "doc-a", "doc-b" -> "doc-a",
+      "doc-c" -> "doc-a", "doc-z" -> "doc-z"))
+  }
+
+  test("non-convergence within maxIter throws instead of returning wrong labels") {
+    // a 9-node path has diameter 8; one round of neighbor-min + pointer
+    // jump cannot close it, so maxIter = 1 must fail LOUDLY
+    val verts = (1L to 9L).toDF("id")
+    val pairs = (1L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] {
+      Clusters.connectedComponents(verts, "id", pairs, "id_a", "id_b", maxIter = 1).count()
+    }
+    assert(e.getMessage.contains("did not converge"))
   }
 
   test("dedupClusters emits size and canonical flags") {
@@ -69,5 +91,22 @@ class ClustersSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Boolean)].collect().toSet
     assert(got == Set((1L, 1L, 3L, true), (2L, 1L, 3L, false),
       (3L, 1L, 3L, false), (7L, 7L, 1L, true)))
+  }
+
+  test("mega-cluster sizes come from groupBy join-back (skew-safe), correctly") {
+    // one degenerate cluster holding ~all docs — the boilerplate/empty-doc
+    // shape web dedup hits; sizes must be exact and the plan must not pin
+    // the cluster into a single window partition (partial aggs absorb it)
+    val n = 500L
+    val verts = (1L to n).toDF("doc_id")
+    val pairs = (1L until n - 5).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Clusters.dedupClusters(verts, "doc_id", pairs, "id_a", "id_b")
+    import org.apache.spark.sql.functions.col
+    assert(got.filter(col("cluster_id") === 1L).count() == n - 5)
+    assert(got.filter(col("cluster_id") === 1L)
+      .filter(col("cluster_size") === (n - 5)).count() == n - 5)
+    assert(got.filter(col("is_canonical")).count() == 6L) // 1 mega + 5 singletons
+    // plan shape: no Window operator anywhere in dedupClusters' tree
+    assert(!got.queryExecution.optimizedPlan.toString.contains("Window"))
   }
 }

@@ -55,9 +55,19 @@ class QuantizedDotSpec extends AnyFunSuite {
     assert(out.getLong(0) == 32L)
   }
 
-  test("shorter-length semantics: sums over min length") {
+  test("ragged (unequal-length) inputs yield null, like the HOF form") {
+    // zip_with null-pads the shorter side, so the composed form's product
+    // array contains nulls and the aggregate is null — a mixed-dimension
+    // corpus must get a loud null, not a silently truncated dot product
     val df = Seq((Seq(1L, 2L, 3L), Seq(10L, 20L))).toDF("a", "b")
-    assert(df.select(QuantizedDot.qdot(col("a"), col("b"))).head.getLong(0) == 50L)
+    val got = df.select(
+      QuantizedDot.qdot(col("a"), col("b")).as("native"),
+      expr(hof).as("composed")).head
+    assert(got.isNullAt(0) && got.isNullAt(1))
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+        "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      assert(df.select(QuantizedDot.qdot(col("a"), col("b"))).head.isNullAt(0))
+    }
   }
 
   private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
