@@ -2571,16 +2571,39 @@ object SparkEntry {
       llm.Ann.lshTopK(q, c, 3)
     }),
 
-    // IVF-partitioned ANN: deterministic seed centroids (vec_id%25),
-    // one-cell corpus assignment, 2-probe queries, exact re-rank within
-    // probed cells.
+    // IVF-partitioned ANN: TRAINED coarse quantizer — deterministic
+    // spherical k-means (seed = vec_id%25, 2 iterations, integer centroid
+    // components so the oracle reproduces training) — one-cell corpus
+    // assignment, 2-probe queries, exact re-rank within probed cells.
     "llm_ann_ivf" -> ((s, dir) => {
       val e = llm.Ann.withQuantized(t(s, dir, "embeddings"), "embedding")
       val corpus = e.select(col("vec_id").as("nid"), col("vq"), col("norm2"))
-      val centroids = llm.Ann.ivfCentroids(corpus, 25)
+      val centroids = llm.Ann.kmeansCentroids(corpus, step = 25, iters = 2)
       val queries = e.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("vq"), col("norm2"))
       llm.Ann.ivfTopK(queries, corpus, centroids, k = 3, nProbe = 2)
+    }),
+
+    // ANN recall gate: recall@3 of the LSH and trained-IVF paths against
+    // brute-force ground truth on the same queries — the measurement that
+    // keeps bucket/probe tuning honest. Exact integer hit counting.
+    "llm_ann_recall" -> ((s, dir) => {
+      val e = llm.Ann.withQuantized(t(s, dir, "embeddings"), "embedding")
+      val corpus = e.select(col("vec_id").as("nid"), col("vq"), col("norm2"))
+      val queries = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("vq"), col("norm2"))
+      val truth = llm.Ann.bruteTopK(queries, corpus, 3)
+      val eb = llm.Ann.withBucket(e, llm.Ann.DefaultPairs)
+      val lq = eb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("vq"), col("norm2"), col("bucket"))
+      val lc = eb.select(col("vec_id").as("nid"), col("vq"), col("norm2"), col("bucket"))
+      val lsh = llm.Ann.lshTopK(lq, lc, 3)
+      val lshMp = llm.Ann.lshMultiProbeTopK(lq, lc, 3, bits = 6)
+      val ivf = llm.Ann.ivfTopK(queries, corpus,
+        llm.Ann.kmeansCentroids(corpus, step = 25, iters = 2), k = 3, nProbe = 2)
+      llm.Ann.recallAtK("lsh", truth, lsh)
+        .unionByName(llm.Ann.recallAtK("lsh_multiprobe", truth, lshMp))
+        .unionByName(llm.Ann.recallAtK("ivf", truth, ivf))
     }),
 
     // Embedding-cosine near-dup pairs blocked by label.
@@ -3364,10 +3387,33 @@ object SparkEntry {
         |      nid ASC) AS rank
         |  FROM scored)
         |SELECT qid, bucket, CAST(rank AS BIGINT) AS rank, nid, cos FROM ranked WHERE rank <= 3""".stripMargin,
+    // trained-IVF oracle: re-derives the 2-iteration deterministic k-means
+    // (seed = vec_id%25, integer floor-mean centroid updates) before the
+    // assign/probe/re-rank — training itself is oracle-checked
     "llm_ann_ivf" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS vq FROM embeddings),
         |en AS (SELECT vec_id, vq, CAST(list_sum(list_transform(vq, x -> x * x)) AS BIGINT) AS norm2 FROM e),
-        |cent AS (SELECT vec_id AS cid, vq AS cv, norm2 AS cn FROM en WHERE vec_id % 25 = 0),
+        |cent0 AS (SELECT vec_id AS cid, vq AS cv, norm2 AS cn FROM en WHERE vec_id % 25 = 0),
+        |a1 AS (SELECT en.vec_id, cent0.cid,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(vq)), i -> vq[i] * cv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS ccos
+        |  FROM en CROSS JOIN cent0),
+        |r1 AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn FROM a1),
+        |asg1 AS (SELECT vec_id AS nid, cid AS cell FROM r1 WHERE rn = 1),
+        |u1 AS (SELECT asg1.cell, unnest(vq) AS v, generate_subscripts(vq, 1) AS d FROM en JOIN asg1 ON en.vec_id = asg1.nid),
+        |m1 AS (SELECT cell, d, CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS vc FROM u1 GROUP BY cell, d),
+        |cent1 AS (SELECT cell AS cid, list(vc ORDER BY d) AS cv FROM m1 GROUP BY cell),
+        |cent1n AS (SELECT cid, cv, CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cn FROM cent1),
+        |a2 AS (SELECT en.vec_id, cent1n.cid,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(vq)), i -> vq[i] * cv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS ccos
+        |  FROM en CROSS JOIN cent1n),
+        |r2 AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn FROM a2),
+        |asg2 AS (SELECT vec_id AS nid, cid AS cell FROM r2 WHERE rn = 1),
+        |u2 AS (SELECT asg2.cell, unnest(vq) AS v, generate_subscripts(vq, 1) AS d FROM en JOIN asg2 ON en.vec_id = asg2.nid),
+        |m2 AS (SELECT cell, d, CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS vc FROM u2 GROUP BY cell, d),
+        |cent2 AS (SELECT cell AS cid, list(vc ORDER BY d) AS cv FROM m2 GROUP BY cell),
+        |cent AS (SELECT cid, cv, CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cn FROM cent2),
         |ascore AS (
         |  SELECT en.vec_id, cent.cid,
         |    CAST(CAST(list_sum(list_transform(generate_series(1, len(vq)), i -> vq[i] * cv[i])) AS BIGINT) AS DOUBLE)
@@ -3389,6 +3435,99 @@ object SparkEntry {
         |  SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
         |  FROM scored)
         |SELECT qid, CAST(rank AS BIGINT) AS rank, nid, cos FROM ranked WHERE rank <= 3""".stripMargin,
+    // recall gate: re-derives brute truth + all three approximate paths
+    // and counts hit-set intersections (exact integer work)
+    "llm_ann_recall" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS vq FROM embeddings),
+        |en AS (SELECT vec_id, vq, CAST(list_sum(list_transform(vq, x -> x * x)) AS BIGINT) AS norm2 FROM e),
+        |bq AS (SELECT vec_id AS qid, vq AS qv, norm2 AS qn FROM en WHERE vec_id % 50 = 0),
+        |bscored AS (SELECT qid, en.vec_id AS nid,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * en.vq[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(en.norm2 AS DOUBLE))) AS cos
+        |  FROM en CROSS JOIN bq WHERE en.vec_id <> qid),
+        |truth AS (SELECT qid, nid FROM (SELECT qid, nid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank FROM bscored)
+        |  WHERE rank <= 3),
+        |eb AS (SELECT vec_id, vq, norm2,
+        |  CAST(CASE WHEN vq[1] >= vq[33] THEN 1 ELSE 0 END
+        |     + CASE WHEN vq[2] >= vq[34] THEN 2 ELSE 0 END
+        |     + CASE WHEN vq[3] >= vq[35] THEN 4 ELSE 0 END
+        |     + CASE WHEN vq[4] >= vq[36] THEN 8 ELSE 0 END
+        |     + CASE WHEN vq[5] >= vq[37] THEN 16 ELSE 0 END
+        |     + CASE WHEN vq[6] >= vq[38] THEN 32 ELSE 0 END AS BIGINT) AS bucket FROM en),
+        |lq AS (SELECT vec_id AS qid, vq AS qv, norm2 AS qn, bucket FROM eb WHERE vec_id % 50 = 0),
+        |lscored AS (SELECT qid, eb.vec_id AS nid,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * eb.vq[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(eb.norm2 AS DOUBLE))) AS cos
+        |  FROM eb JOIN lq USING (bucket) WHERE eb.vec_id <> qid),
+        |lsh AS (SELECT qid, nid FROM (SELECT qid, nid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank FROM lscored)
+        |  WHERE rank <= 3),
+        |mpq AS (SELECT qid, qv, qn,
+        |    unnest(list_concat([bucket], list_transform(generate_series(0, 5), m -> xor(bucket, CAST(1 AS BIGINT) << m)))) AS bucket
+        |  FROM lq),
+        |mscored AS (SELECT qid, eb.vec_id AS nid,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * eb.vq[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(eb.norm2 AS DOUBLE))) AS cos
+        |  FROM eb JOIN mpq USING (bucket) WHERE eb.vec_id <> qid),
+        |mp AS (SELECT qid, nid FROM (SELECT qid, nid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank FROM mscored)
+        |  WHERE rank <= 3),
+        |cent0 AS (SELECT vec_id AS cid, vq AS cv, norm2 AS cn FROM en WHERE vec_id % 25 = 0),
+        |a1 AS (SELECT en.vec_id, cent0.cid,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(vq)), i -> vq[i] * cv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS ccos
+        |  FROM en CROSS JOIN cent0),
+        |r1 AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn FROM a1),
+        |asg1 AS (SELECT vec_id AS nid, cid AS cell FROM r1 WHERE rn = 1),
+        |u1 AS (SELECT asg1.cell, unnest(vq) AS v, generate_subscripts(vq, 1) AS d FROM en JOIN asg1 ON en.vec_id = asg1.nid),
+        |m1 AS (SELECT cell, d, CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS vc FROM u1 GROUP BY cell, d),
+        |cent1 AS (SELECT cell AS cid, list(vc ORDER BY d) AS cv FROM m1 GROUP BY cell),
+        |cent1n AS (SELECT cid, cv, CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cn FROM cent1),
+        |a2 AS (SELECT en.vec_id, cent1n.cid,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(vq)), i -> vq[i] * cv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS ccos
+        |  FROM en CROSS JOIN cent1n),
+        |r2 AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn FROM a2),
+        |asg2 AS (SELECT vec_id AS nid, cid AS cell FROM r2 WHERE rn = 1),
+        |u2 AS (SELECT asg2.cell, unnest(vq) AS v, generate_subscripts(vq, 1) AS d FROM en JOIN asg2 ON en.vec_id = asg2.nid),
+        |m2 AS (SELECT cell, d, CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS vc FROM u2 GROUP BY cell, d),
+        |cent2 AS (SELECT cell AS cid, list(vc ORDER BY d) AS cv FROM m2 GROUP BY cell),
+        |cent AS (SELECT cid, cv, CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cn FROM cent2),
+        |ascore AS (SELECT en.vec_id, cent.cid,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(vq)), i -> vq[i] * cv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS ccos
+        |  FROM en CROSS JOIN cent),
+        |ranked_assign AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn FROM ascore),
+        |cells AS (SELECT vec_id AS nid, cid AS cell FROM ranked_assign WHERE rn = 1),
+        |probes AS (SELECT vec_id AS qid, cid AS cell FROM ranked_assign WHERE rn <= 2 AND vec_id % 50 = 0),
+        |ic AS (SELECT en.vec_id AS nid, vq AS nv, norm2 AS nn, cell FROM en JOIN cells ON en.vec_id = cells.nid),
+        |iq AS (SELECT en.vec_id AS qid, vq AS qv, norm2 AS qn, probes.cell FROM en JOIN probes ON en.vec_id = probes.qid),
+        |iscored AS (SELECT qid, nid,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * nv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(nn AS DOUBLE))) AS cos
+        |  FROM ic JOIN iq USING (cell) WHERE nid <> qid),
+        |ivf AS (SELECT qid, nid FROM (SELECT qid, nid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank FROM iscored)
+        |  WHERE rank <= 3),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)
+        |SELECT 'lsh' AS path,
+        |  CAST((SELECT count(*) FROM truth SEMI JOIN lsh USING (qid, nid)) AS BIGINT) AS n_hits,
+        |  n_truth,
+        |  CAST((SELECT count(*) FROM truth SEMI JOIN lsh USING (qid, nid)) AS DOUBLE) / n_truth AS recall
+        |FROM nt
+        |UNION ALL
+        |SELECT 'lsh_multiprobe',
+        |  CAST((SELECT count(*) FROM truth SEMI JOIN mp USING (qid, nid)) AS BIGINT),
+        |  n_truth,
+        |  CAST((SELECT count(*) FROM truth SEMI JOIN mp USING (qid, nid)) AS DOUBLE) / n_truth
+        |FROM nt
+        |UNION ALL
+        |SELECT 'ivf',
+        |  CAST((SELECT count(*) FROM truth SEMI JOIN ivf USING (qid, nid)) AS BIGINT),
+        |  n_truth,
+        |  CAST((SELECT count(*) FROM truth SEMI JOIN ivf USING (qid, nid)) AS DOUBLE) / n_truth
+        |FROM nt""".stripMargin,
     "llm_embed_neardup" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS vq FROM embeddings),
         |en AS (SELECT vec_id, vq, CAST(list_sum(list_transform(vq, x -> x * x)) AS BIGINT) AS norm2 FROM e),

@@ -100,15 +100,81 @@ object Ann {
         col("nid"), col("cos"))
   }
 
-  /** IVF coarse quantizer: centroid set picked from the corpus by a
-    * deterministic id rule — a SEED quantizer standing in for trained
-    * k-means (production would train with k-means|| and broadcast the
-    * result the same way; the assign/probe/re-rank shape below is
-    * identical either way, and seeding keeps the correctness gate exact).
+  /** Multi-probe LSH top-k: each query probes its OWN bucket plus every
+    * single-bit-flip neighbor (`bits`+1 buckets total) — the standard
+    * recall repair for sign-pattern LSH, whose single-bucket form loses
+    * any true neighbor differing in even one bit (the recall@k gate
+    * exposed it on the fixture corpus). Probe buckets are distinct by
+    * construction, so no candidate pair is scored twice; the corpus side
+    * still never shuffles — the probe explode multiplies only the
+    * (small, broadcast) query side by `bits`+1.
+    */
+  def lshMultiProbeTopK(
+      queries: DataFrame, // (qid, vq, norm2, bucket)
+      corpus: DataFrame, // (nid, vq, norm2, bucket)
+      k: Int,
+      bits: Int): DataFrame = {
+    val q = queries.select(col("qid"), col("vq").as("qv"),
+      col("norm2").as("qn"), col("bucket"))
+      .withColumn("bucket", explode(expr(
+        s"concat(array(bucket), transform(sequence(0, ${bits - 1}), " +
+          "m -> CAST(bucket ^ shiftleft(CAST(1 AS BIGINT), m) AS BIGINT)))")))
+    val c = corpus.select(col("nid"), col("vq").as("nv"),
+      col("norm2").as("nn"), col("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("dp", dot("qv", "nv"))
+      .withColumn("cos", cosine(col("dp"), col("qn"), col("nn")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("nid"), col("cos"))
+  }
+
+  /** IVF seed centroids: picked from the corpus by a deterministic id
+    * rule. This is only the k-means INITIALIZATION — [[kmeansCentroids]]
+    * refines it; using the seeds directly is the untrained fallback.
     */
   def ivfCentroids(corpus: DataFrame, step: Long): DataFrame =
     corpus.filter(col("nid") % step === 0)
       .select(col("nid").as("cid"), col("vq").as("cv"), col("norm2").as("cn"))
+
+  /** Deterministic spherical k-means refinement of the seed quantizer:
+    * fixed iteration count, seeded init from [[ivfCentroids]], and
+    * INTEGER centroid components (floor of each cell's per-dimension
+    * mean) — every step is exact integer arithmetic plus one
+    * IEEE-correctly-rounded floor(double/long), so the DuckDB oracle
+    * reproduces training bit-for-bit. Trained centroids track the actual
+    * embedding distribution, so cell populations stay balanced under the
+    * skew real corpora have (the id-rule seeds do not).
+    *
+    * Scale: each iteration is one assign (broadcast centroids, map-side
+    * score + per-id top-1 window) and one update (posexplode → two-level
+    * partial agg on (cell, pos) — dims × cells groups, no skew). The
+    * centroid frame never exceeds nCells rows; empty cells drop out
+    * naturally (both engines aggregate only assigned cells).
+    */
+  def kmeansCentroids(corpus: DataFrame, step: Long, iters: Int = 2): DataFrame = {
+    var cent = ivfCentroids(corpus, step)
+    for (_ <- 1 to iters) {
+      val assign = ivfAssign(
+        corpus.select(col("nid").as("id"), col("vq"), col("norm2")), cent, nProbe = 1)
+      val asg = corpus.join(assign.select(col("id").as("nid"), col("cell")), Seq("nid"))
+      // per-(cell, dimension) floor(mean): integer sum + count, one double
+      // division, floor — exact while |sum| < 2^53 (quantized components
+      // are ~|x|*100, far below)
+      val comp = asg.select(col("cell"), posexplode(col("vq")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .withColumn("v", floor(col("s").cast("double") / col("n")).cast("long"))
+      cent = comp.groupBy(col("cell"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, v))), x -> x.v)").as("cv"))
+        .select(col("cell").as("cid"), col("cv"))
+        .withColumn("cn", dot("cv", "cv"))
+    }
+    cent
+  }
 
   /** Score every vector against the (broadcast) centroid set and keep its
     * `nProbe` closest cells — nProbe=1 is the index-build assignment,
@@ -157,6 +223,24 @@ object Ann {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cos"))
+  }
+
+  /** Recall@k of an approximate ANN path against exact ground truth: the
+    * fraction of true top-k (qid, nid) hits the approximate path found,
+    * as one summary row (path, n_hits, n_truth, recall). Both inputs are
+    * hit sets from [[bruteTopK]]/[[lshTopK]]/[[ivfTopK]] on the SAME
+    * queries and k. Exact integer counting (a left-semi join on the hit
+    * pair) → one division, so the measurement itself is deterministic and
+    * oracle-checkable — the gate that keeps bucket/probe tuning from
+    * silently trading recall away.
+    */
+  def recallAtK(path: String, truth: DataFrame, approx: DataFrame): DataFrame = {
+    val t = truth.select(col("qid"), col("nid"))
+    val hits = t.join(approx.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_semi")
+      .agg(count(lit(1)).cast("long").as("n_hits"))
+    val tot = t.agg(count(lit(1)).cast("long").as("n_truth"))
+    hits.crossJoin(tot).select(lit(path).as("path"), col("n_hits"), col("n_truth"),
+      (col("n_hits").cast("double") / col("n_truth")).as("recall"))
   }
 
   /** Embedding-cosine near-duplicate pairs, blocked by a partition column
