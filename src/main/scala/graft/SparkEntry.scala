@@ -2636,6 +2636,33 @@ object SparkEntry {
           col("width"), col("height"), col("pixelSum").as("pixel_sum"))
     }),
 
+    // Real JDK audio decode: synthetic 16-bit PCM WAVs (one stereo)
+    // generated executor-side, decoded back via AudioSystem — format
+    // fields and the Σ sample² energy feature must come off the decoded
+    // PCM frames; a garbage payload takes the decoded=false sentinel.
+    "llm_audio_decode" -> ((s, dir) => {
+      import s.implicits._
+      import llm.Multimodal.{MediaItem, MediaMeta}
+      val wavs = s.range(1, 4).map { id =>
+        MediaItem(id, "audio/wav",
+          llm.Multimodal.syntheticWav(id, 500 + 101 * id.toInt),
+          MediaMeta(0, 0, 0L, "wav"))
+      }
+      val stereo = s.range(4, 5).map { id =>
+        MediaItem(id, "audio/wav",
+          llm.Multimodal.syntheticWav(id, 800, channels = 2),
+          MediaMeta(0, 0, 0L, "wav"))
+      }
+      val junk = s.range(99, 100).map { id =>
+        MediaItem(id, "audio/wav", "not audio at all".getBytes("UTF-8"),
+          MediaMeta(0, 0, 0L, "wav"))
+      }
+      llm.Multimodal.decodeAudio(wavs.union(stereo).union(junk)).toDF()
+        .select(col("mediaId").as("media_id"), col("decoded"),
+          col("sampleRate").as("sample_rate"), col("channels"),
+          col("nSamples").as("n_samples"), col("sumSq").as("sum_sq"))
+    }),
+
     "llm_multimodal" -> ((s, dir) => {
       val items = llm.Multimodal.fromDocuments(s, t(s, dir, "documents"))
       val feats = llm.Multimodal.decodeStub(items).toDF()
@@ -3555,6 +3582,21 @@ object SparkEntry {
         |  CAST(sum(v) AS BIGINT) AS pixel_sum
         |FROM px GROUP BY id
         |UNION ALL SELECT 99, false, -1, -1, -1""".stripMargin,
+    // llm_audio_decode: the oracle re-derives each WAV's sample count and
+    // Σ sample² ARITHMETICALLY from the generator formula — the Spark side
+    // must round-trip the actual RIFF/WAVE bytes through a real decoder
+    "llm_audio_decode" ->
+      """WITH cfg AS (
+        |  SELECT * FROM (VALUES (1, 601, 1), (2, 702, 1), (3, 803, 1), (4, 800, 2)) AS t(id, n, ch)
+        |), px AS (
+        |  SELECT id, ch, n, ((i*31 + id*7) % 2003) - 1001 AS v
+        |  FROM cfg, generate_series(0, 2000) g(i) WHERE i < n
+        |)
+        |SELECT CAST(id AS BIGINT) AS media_id, true AS decoded,
+        |  CAST(8000 AS INT) AS sample_rate, CAST(ch AS INT) AS channels,
+        |  CAST(n AS BIGINT) AS n_samples, CAST(sum(v*v) AS BIGINT) AS sum_sq
+        |FROM px GROUP BY id, ch, n
+        |UNION ALL SELECT 99, false, -1, -1, -1, -1""".stripMargin,
     "llm_multimodal" ->
       """SELECT doc_id AS media_id, 'text-as-image-stub' AS kind,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

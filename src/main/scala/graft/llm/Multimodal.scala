@@ -15,11 +15,13 @@ import org.apache.spark.sql.functions._
   * GIF/BMP ship with the JDK, no container codec needed), reading true
   * pixel dimensions and a pixel-sum feature off the decoded raster —
   * metadata lies are ignored, undecodable payloads flag `decoded=false`.
-  * AUDIO/VIDEO decode remains STUBBED (`decodeStub`): no FFmpeg in this
-  * container, so those payloads get deterministic byte-level features
-  * (length, md5, head bytes). The partitioning, schema and batch shape
-  * are identical for both — swapping the stub for a JNI/FFmpeg call
-  * changes one function.
+  * AUDIO decode is REAL for WAV/PCM: `decodeAudio` runs
+  * `javax.sound.sampled.AudioSystem`, reading format + frame data off the
+  * decoded stream. VIDEO (and compressed audio) decode remains STUBBED
+  * (`decodeStub`): no FFmpeg in this container, so those payloads get
+  * deterministic byte-level features (length, md5, head bytes). The
+  * partitioning, schema and batch shape are identical throughout —
+  * swapping the stub for a JNI/FFmpeg call changes one function.
   *
   * Scale: `mapPartitions` keeps one decoder context per task; binary
   * payloads never shuffle (feature extraction projects them away before any
@@ -99,6 +101,77 @@ object Multimodal {
         }
       }
     }
+  }
+
+  case class AudioFeatures(
+      mediaId: Long, decoded: Boolean, sampleRate: Int, channels: Int,
+      nSamples: Long, sumSq: Long)
+
+  /** REAL audio decode for WAV/PCM via the JDK's
+    * `javax.sound.sampled.AudioSystem` (no external codec — the same move
+    * that made image decode real through ImageIO). Sample rate and channel
+    * count come from the DECODED stream format, not metadata; `nSamples`
+    * and the energy feature `sumSq` (Σ sample², exact 64-bit integer — an
+    * RMS numerator without the float) come from the PCM frames themselves,
+    * so a wrong byte stream can't silently pass. Undecodable payloads
+    * (garbage bytes, or encodings other than 16-bit signed PCM) take the
+    * sentinel row — one bad file must not kill the partition. Compressed
+    * audio (MP3/AAC) and video stay out of scope: no codec ships with the
+    * JDK or this container (documented stub boundary).
+    */
+  def decodeAudio(items: Dataset[MediaItem]): Dataset[AudioFeatures] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      it.map { m =>
+        val sentinel = AudioFeatures(m.mediaId, decoded = false, -1, -1, -1L, -1L)
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(m.bytes))
+          val fmt = ais.getFormat
+          if (fmt.getSampleSizeInBits != 16 ||
+            fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) sentinel
+          else {
+            val data = ais.readAllBytes()
+            val n = data.length / 2
+            var sumSq = 0L
+            var i = 0
+            while (i < n) {
+              val v =
+                if (fmt.isBigEndian) (data(2 * i).toInt << 8) | (data(2 * i + 1) & 0xff)
+                else (data(2 * i + 1).toInt << 8) | (data(2 * i) & 0xff)
+              sumSq += v.toLong * v
+              i += 1
+            }
+            AudioFeatures(m.mediaId, decoded = true, fmt.getSampleRate.toInt,
+              fmt.getChannels, n.toLong, sumSq)
+          }
+        } catch { case _: Exception => sentinel }
+      }
+    }
+  }
+
+  /** Deterministic test WAV: 16-bit signed PCM at 8 kHz, linear sample
+    * index i carries value `((i*31 + seed*7) % 2003) - 1001` — integer
+    * arithmetic a SQL oracle reproduces exactly. The WAVE container is
+    * written by AudioSystem, so decode must parse a real RIFF header.
+    */
+  def syntheticWav(seed: Long, nSamples: Int, channels: Int = 1): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, channels, true, false)
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val v = (((i.toLong * 31 + seed * 7) % 2003) - 1001).toInt
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val frames = nSamples / channels
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
   }
 
   /** Deterministic test PNG: pixel(x,y) = (r,g,b) =

@@ -270,6 +270,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!out(2).decoded && out(2).width == -1 && out(2).pixelSum == -1L)
   }
 
+  test("decodeAudio: real WAV round-trip reads format + PCM energy; garbage flags undecoded") {
+    import Multimodal.{MediaItem, MediaMeta}
+    // metadata deliberately empty — decode must read the RIFF stream
+    val mono = MediaItem(1L, "audio/wav", Multimodal.syntheticWav(1L, 601),
+      MediaMeta(0, 0, 0L, "wav"))
+    val stereo = MediaItem(2L, "audio/wav",
+      Multimodal.syntheticWav(2L, 800, channels = 2), MediaMeta(0, 0, 0L, "wav"))
+    val junk = MediaItem(3L, "audio/wav", "not audio".getBytes("UTF-8"),
+      MediaMeta(0, 0, 0L, "wav"))
+    // valid RIFF magic + truncated body must also take the sentinel
+    val truncated = MediaItem(4L, "audio/wav",
+      Multimodal.syntheticWav(1L, 601).take(30), MediaMeta(0, 0, 0L, "wav"))
+    val out = Multimodal.decodeAudio(
+      spark.createDataset(Seq(mono, stereo, junk, truncated)))
+      .collect().sortBy(_.mediaId)
+    def sumSq(seed: Long, n: Int): Long =
+      (0 until n).map { i =>
+        val v = ((i.toLong * 31 + seed * 7) % 2003) - 1001; v * v
+      }.sum
+    assert(out(0).decoded && out(0).sampleRate == 8000 && out(0).channels == 1)
+    assert(out(0).nSamples == 601L && out(0).sumSq == sumSq(1L, 601))
+    assert(out(1).decoded && out(1).channels == 2)
+    assert(out(1).nSamples == 800L && out(1).sumSq == sumSq(2L, 800))
+    assert(!out(2).decoded && out(2).sampleRate == -1 && out(2).sumSq == -1L)
+    assert(!out(3).decoded && out(3).sumSq == -1L)
+  }
+
   test("resize preserves aspect ratio bound; frame sampling count") {
     val docs = Tables(spark, dir, "documents").limit(10)
     val items = Multimodal.fromDocuments(spark, docs).toDF()
