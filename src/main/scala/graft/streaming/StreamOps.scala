@@ -62,8 +62,9 @@ object StreamOps {
 
   /** P8-streaming — first-wins dedup across micro-batches with explicit
     * per-key state: the first payload for a key is emitted once; later
-    * occurrences are dropped. State never expires here (NoTimeout) — a
-    * production run would use event-time timeout to bound it.
+    * occurrences are dropped. State never expires here (NoTimeout) —
+    * [[firstWinsExpiring]] is the bounded-state variant for continuous
+    * ingest.
     */
   def firstWins(input: Dataset[Keyed]): Dataset[FirstSeen] = {
     import input.sparkSession.implicits._
@@ -93,9 +94,9 @@ object StreamOps {
     * improves its minimum.
     *
     * Scale: state is O(keys) with a fixed-size value; the shuffle is the
-    * one stateful exchange per micro-batch on the grouping key. A
-    * continuous deployment would add an event-time timeout to retire keys
-    * past the watermark.
+    * one stateful exchange per micro-batch on the grouping key. For
+    * continuous deployment, [[firstEventPerKeyExpiring]] retires keys
+    * past the watermark so state stays O(active keys).
     */
   def firstEventPerKey(input: Dataset[Event]): Dataset[FirstEvent] = {
     import input.sparkSession.implicits._
@@ -114,6 +115,96 @@ object StreamOps {
           }
           improved.foreach(state.update)
           improved.iterator
+      }
+  }
+
+  case class EventT(user_id: Long, ts: Long, event_id: Long, event_type: String,
+      event_time: java.sql.Timestamp)
+
+  /** [[firstEventPerKey]] with EVENT-TIME state expiry — the variant a
+    * continuous 100 TB ingest runs, where NoTimeout state grows with every
+    * key ever seen. `ts` is epoch-micros; a watermark rides a derived
+    * event-time column, and each key's state retires once the watermark
+    * passes its first event by `ttlMs` — O(active keys) state instead of
+    * O(all keys ever).
+    *
+    * Contract: for events arriving while their key is live the output is
+    * IDENTICAL to the unexpiring variant (spec-pinned). After a key
+    * retires, a later event re-opens it and emits as a new "first" — the
+    * standard watermark trade: events later than watermark+ttl are outside
+    * the correctness window (and events older than the watermark itself
+    * are dropped by the stateful operator's late-data filter).
+    */
+  def firstEventPerKeyExpiring(
+      input: Dataset[Event],
+      watermarkDelay: String = "10 seconds",
+      ttlMs: Long = 60000L): Dataset[FirstEvent] = {
+    import input.sparkSession.implicits._
+    input
+      .withColumn("event_time", expr("timestamp_micros(ts)"))
+      .withWatermark("event_time", watermarkDelay)
+      .as[EventT]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FirstEvent, FirstEvent](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
+        (uid, rows, state: GroupState[FirstEvent]) =>
+          if (state.hasTimedOut) {
+            // watermark passed this key's ttl: retire the state, emit
+            // nothing — the key's memory cost ends here
+            state.remove()
+            Iterator.empty
+          } else {
+            val m = rows.map(e => (e.ts, e.event_id, e.event_type))
+              .minBy(e => (e._1, e._2))
+            val improved = state.getOption match {
+              case Some(c) if c.first_ts < m._1 ||
+                (c.first_ts == m._1 && c.first_event_id <= m._2) => None
+              case _ => Some(FirstEvent(uid, m._1, m._2, m._3))
+            }
+            improved.foreach(state.update)
+            // (re)arm expiry: ttl past the held first event (event-time
+            // ms), clamped above the current watermark — Spark rejects
+            // timeouts at or below it
+            val target = state.get.first_ts / 1000 + ttlMs
+            state.setTimeoutTimestamp(math.max(target, state.getCurrentWatermarkMs() + 1))
+            improved.iterator
+          }
+      }
+  }
+
+  case class KeyedTs(key: String, payload: String, ts: Long)
+  case class KeyedT(key: String, payload: String, ts: Long,
+      event_time: java.sql.Timestamp)
+
+  /** [[firstWins]] with event-time state expiry: same retire-on-watermark
+    * contract as [[firstEventPerKeyExpiring]] (`ts` epoch-micros). A key
+    * emits its first payload once per liveness window; after retirement a
+    * later event re-opens the key.
+    */
+  def firstWinsExpiring(
+      input: Dataset[KeyedTs],
+      watermarkDelay: String = "10 seconds",
+      ttlMs: Long = 60000L): Dataset[FirstSeen] = {
+    import input.sparkSession.implicits._
+    input
+      .withColumn("event_time", expr("timestamp_micros(ts)"))
+      .withWatermark("event_time", watermarkDelay)
+      .as[KeyedT]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[(String, Long), FirstSeen](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
+        (key, rows, state: GroupState[(String, Long)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val out = if (state.exists) None else {
+              val first = rows.next()
+              state.update((first.payload, first.ts))
+              Some(FirstSeen(key, first.payload))
+            }
+            val target = state.get._2 / 1000 + ttlMs
+            state.setTimeoutTimestamp(math.max(target, state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
       }
   }
 

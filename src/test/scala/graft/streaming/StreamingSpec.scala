@@ -98,6 +98,103 @@ class StreamingSpec extends AnyFunSuite {
     assert(all.contains(StreamOps.FirstEvent(2L, 100L, 3L, "only")))
   }
 
+  test("firstEventPerKeyExpiring: in-window results match the unexpiring variant") {
+    // same 3-batch improvement scenario as the NoTimeout spec, ttl large
+    // enough that nothing retires — outputs must be identical
+    val dir = Files.createTempDirectory("graft-stream5").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "a.tsv"),
+      "user_id\tts\tevent_id\tevent_type\n1\t50000000\t7\tlate\n2\t10000000\t3\tonly\n")
+    Thread.sleep(20)
+    Files.writeString(java.nio.file.Paths.get(dir, "b.tsv"),
+      "user_id\tts\tevent_id\tevent_type\n1\t10000000\t9\tearly\n")
+    Thread.sleep(20)
+    Files.writeString(java.nio.file.Paths.get(dir, "c.tsv"),
+      "user_id\tts\tevent_id\tevent_type\n1\t90000000\t11\tworse\n")
+    val schema = StructType.fromDDL(
+      "user_id LONG, ts LONG, event_id LONG, event_type STRING")
+    def input = spark.readStream.schema(schema)
+      .option("sep", "\t").option("header", true)
+      .option("maxFilesPerTrigger", 1)
+      .csv(dir).as[StreamOps.Event]
+    val q = StreamOps.firstEventPerKeyExpiring(input,
+      watermarkDelay = "1 second", ttlMs = Long.MaxValue / 4)
+      .writeStream.format("memory").queryName("s2c_inwindow")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val all = spark.table("s2c_inwindow").as[StreamOps.FirstEvent].collect()
+    val u1 = all.filter(_.user_id == 1L)
+    assert(u1.length == 2) // initial then improvement; worse batch silent
+    assert(u1.contains(StreamOps.FirstEvent(1L, 10000000L, 9L, "early")))
+    assert(all.contains(StreamOps.FirstEvent(2L, 10000000L, 3L, "only")))
+  }
+
+  test("firstEventPerKeyExpiring: keys retire once the watermark passes their ttl") {
+    val dir = Files.createTempDirectory("graft-stream6").toString
+    // batch 1: u1 at t=10s. ttl=2s → armed to expire at event-time 12s.
+    Files.writeString(java.nio.file.Paths.get(dir, "a.tsv"),
+      "user_id\tts\tevent_id\tevent_type\n1\t10000000\t1\tfirst\n")
+    Thread.sleep(20)
+    // batch 2: u2 at t=100s advances the watermark to 99s >> 12s
+    Files.writeString(java.nio.file.Paths.get(dir, "b.tsv"),
+      "user_id\tts\tevent_id\tevent_type\n2\t100000000\t2\twm-advance\n")
+    Thread.sleep(20)
+    // batch 3: unrelated tick — u1's timeout FIRES here (watermark at
+    // batch start now exceeds it), removing u1's state silently
+    Files.writeString(java.nio.file.Paths.get(dir, "c.tsv"),
+      "user_id\tts\tevent_id\tevent_type\n3\t110000000\t3\ttick\n")
+    Thread.sleep(20)
+    // batch 4: a LATER u1 event (t=200s, not late vs watermark). With
+    // live state this is worse-than-held and silent; with retired state
+    // it re-opens the key and emits as a new first — the retirement proof
+    Files.writeString(java.nio.file.Paths.get(dir, "d.tsv"),
+      "user_id\tts\tevent_id\tevent_type\n1\t200000000\t4\treborn\n")
+    val schema = StructType.fromDDL(
+      "user_id LONG, ts LONG, event_id LONG, event_type STRING")
+    val input = spark.readStream.schema(schema)
+      .option("sep", "\t").option("header", true)
+      .option("maxFilesPerTrigger", 1)
+      .csv(dir).as[StreamOps.Event]
+    val q = StreamOps.firstEventPerKeyExpiring(input,
+      watermarkDelay = "1 second", ttlMs = 2000L)
+      .writeStream.format("memory").queryName("s2c_expiry")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val u1 = spark.table("s2c_expiry").as[StreamOps.FirstEvent].collect()
+      .filter(_.user_id == 1L).sortBy(_.first_ts)
+    assert(u1.length == 2)
+    assert(u1(0) == StreamOps.FirstEvent(1L, 10000000L, 1L, "first"))
+    assert(u1(1) == StreamOps.FirstEvent(1L, 200000000L, 4L, "reborn"))
+  }
+
+  test("firstWinsExpiring: retired key re-emits; live key stays deduped") {
+    val dir = Files.createTempDirectory("graft-stream7").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "a.tsv"),
+      "key\tpayload\tts\nk1\tfirst\t10000000\nk2\tkeep\t10500000\n")
+    Thread.sleep(20)
+    // k1 dup in-window (suppressed) + watermark advance
+    Files.writeString(java.nio.file.Paths.get(dir, "b.tsv"),
+      "key\tpayload\tts\nk1\tdup\t11000000\nk9\twm\t100000000\n")
+    Thread.sleep(20)
+    Files.writeString(java.nio.file.Paths.get(dir, "c.tsv"),
+      "key\tpayload\tts\nk8\ttick\t110000000\n")
+    Thread.sleep(20)
+    Files.writeString(java.nio.file.Paths.get(dir, "d.tsv"),
+      "key\tpayload\tts\nk1\treborn\t200000000\n")
+    val schema = StructType.fromDDL("key STRING, payload STRING, ts LONG")
+    val input = spark.readStream.schema(schema)
+      .option("sep", "\t").option("header", true)
+      .option("maxFilesPerTrigger", 1)
+      .csv(dir).as[StreamOps.KeyedTs]
+    val q = StreamOps.firstWinsExpiring(input,
+      watermarkDelay = "1 second", ttlMs = 2000L)
+      .writeStream.format("memory").queryName("s2c_fw_expiry")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val k1 = spark.table("s2c_fw_expiry").as[StreamOps.FirstSeen].collect()
+      .filter(_.key == "k1").map(_.payload).toSet
+    assert(k1 == Set("first", "reborn")) // dup suppressed, retirement re-opens
+  }
+
   test("lookback filter keeps only recent rows") {
     val df = Seq(("2026-01-10 00:00:00", 1L), ("2026-01-01 00:00:00", 2L))
       .toDF("ts_s", "id").withColumn("ts", col("ts_s").cast("timestamp"))
