@@ -36,6 +36,7 @@ object Bench {
     "llm_ann_topk", "llm_ann_lsh", "llm_ann_ivf", "llm_ann_recall",
     "llm_embed_neardup",
     "llm_multimodal", "llm_dedup_clusters", "llm_incremental_dedup",
+    "llm_rolling_dedup",
     "llm_hash_sample", "llm_quality_gopher", "llm_pii_scrub",
     "s2_stream_agg", "s2b_stream_state")
 

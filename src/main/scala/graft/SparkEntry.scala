@@ -2740,6 +2740,31 @@ object SparkEntry {
         "doc_id", "text")
     }),
 
+    // Rolling ingest composition: a persisted dedup index admits a new
+    // batch AND updates cluster assignments incrementally — new docs
+    // attach to existing components via their verified pairs (index
+    // probe), closing only the SMALL graph of new ids + touched cluster
+    // labels. Result is pinned identical to a full re-cluster of the
+    // unioned corpus (the recursive-CTE oracle), at O(batch) cost.
+    "llm_rolling_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+      val corpusCC = llm.Clusters.connectedComponents(
+        corpus.select(col("doc_id")), "doc_id",
+        llm.TextOps.minhashNearDups(corpus, "doc_id", "text", threshold = 0.5),
+        "id_a", "id_b")
+      val cIdx = llm.TextOps.buildDedupIndex(corpus, "doc_id", "text")
+      val nIdx = llm.TextOps.buildDedupIndex(batch, "doc_id", "text")
+      val newOld = llm.TextOps.incrementalNearPairs(cIdx, nIdx, 0.5)
+      val newNew = llm.TextOps.minhashNearDups(batch, "doc_id", "text",
+        threshold = 0.5)
+      llm.Clusters.incrementalClusters(corpusCC,
+        batch.select(col("doc_id").as("id")), newNew, "id_a", "id_b", newOld)
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
+          (col("id") % 5 === 0).as("is_new"))
+    }),
+
     // S2b — stateful streaming reduction via mapGroupsWithState: the
     // EARLIEST event per user by (event time, event id). Unlike
     // arrival-order first-wins, the fold is deterministic across
@@ -3717,6 +3742,40 @@ object SparkEntry {
         |  w.doc_id IN (SELECT id FROM near) AS dup_near,
         |  NOT (w.doc_id IN (SELECT id FROM ex)) AND NOT (w.doc_id IN (SELECT id FROM near)) AS keep
         |FROM w WHERE isnew""".stripMargin,
+    // llm_rolling_dedup oracle: a FULL re-cluster of the unioned corpus —
+    // the incremental path must reproduce it exactly (same pair set: LSH
+    // candidates depend only on per-doc signatures, so old-old, new-old
+    // and new-new pairs partition the full run's pairs)
+    "llm_rolling_dedup" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN CAST([] AS VARCHAR[])
+        |  ELSE list_distinct(list_transform(generate_series(1, len(ws)-2),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS shingles FROM w),
+        |hs AS (SELECT doc_id, shingles,
+        |  list_transform(shingles, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS shash
+        |  FROM sh WHERE len(shingles) > 0),
+        |sig AS (SELECT doc_id, shingles, list_transform(generate_series(0, 31), i ->
+        |  list_min(list_transform(shash, h ->
+        |    ((CAST(('0x' || substr(md5('a' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000006 + 1)
+        |      * (h % 1000000007)
+        |     + CAST(('0x' || substr(md5('b' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000007) % 1000000007))) AS sig
+        |  FROM hs),
+        |bands AS (SELECT doc_id, shingles, b AS band_id,
+        |  md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS band_key
+        |  FROM sig, (SELECT unnest(generate_series(0, 7)) AS b)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.shingles, c.shingles)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.shingles, c.shingles))) AS jaccard
+        |  FROM bands a JOIN bands c
+        |    ON a.band_id = c.band_id AND a.band_key = c.band_key AND a.doc_id < c.doc_id),
+        |pairs AS (SELECT id_a, id_b FROM cand WHERE jaccard >= 0.5),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+        |comp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT doc_id, cluster_id, doc_id % 5 = 0 AS is_new FROM comp""".stripMargin,
     "s2b_stream_state" ->
       """WITH r AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events)

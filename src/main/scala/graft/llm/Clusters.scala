@@ -89,6 +89,48 @@ object Clusters {
     labels
   }
 
+  /** Incremental cluster maintenance for a rolling ingest: fold ONE new
+    * batch into an existing assignment without re-clustering the corpus.
+    * `oldComp` is the standing (id, comp) assignment (comp = min id in
+    * component, as [[connectedComponents]] produces); the batch brings its
+    * within-batch verified pairs and its verified (new, old) cross pairs
+    * (from [[TextOps.incrementalNearPairs]]'s index probe).
+    *
+    * The closure runs on a SMALL graph only: vertices are the new ids plus
+    * the labels of touched old clusters (each old endpoint is collapsed to
+    * its cluster label — correct because everything in an old cluster is
+    * already connected). New docs joining two previously separate old
+    * clusters merge them transitively, exactly as a full recompute would;
+    * untouched old clusters never enter a shuffle. Labels stay min-doc-id,
+    * so the result is IDENTICAL to re-running connected components over
+    * the unioned corpus (oracle-pinned) at O(batch + touched) cost.
+    */
+  def incrementalClusters(
+      oldComp: DataFrame, // (id, comp)
+      newIds: DataFrame, // (id)
+      newNewPairs: DataFrame, aCol: String, bCol: String,
+      newOldPairs: DataFrame // (id, oid)
+  ): DataFrame = {
+    // collapse old endpoints to their cluster label
+    val bridge = newOldPairs
+      .join(oldComp.select(col("id").as("oid"), col("comp").as("ocomp")), Seq("oid"))
+      .select(col("id").as("u"), col("ocomp").as("v"))
+    val edges = newNewPairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .unionByName(bridge)
+    val verts = newIds.select(col("id"))
+      .unionByName(bridge.select(col("v").as("id")))
+      .distinct()
+    val small = connectedComponents(verts, "id", edges, "u", "v")
+    // new docs take their small-graph label; touched old clusters relabel
+    // (possibly merging); untouched old clusters pass through
+    val newAsg = newIds.select(col("id")).join(small, Seq("id"))
+    val oldAsg = oldComp
+      .join(small.select(col("id").as("comp"), col("comp").as("newc")),
+        Seq("comp"), "left")
+      .select(col("id"), coalesce(col("newc"), col("comp")).as("comp"))
+    oldAsg.unionByName(newAsg.select(col("id"), col("comp")))
+  }
+
   /** The dedup decision table: every document labeled with its cluster,
     * the cluster's size, and whether it is the canonical (kept) member —
     * min doc id wins, matching the exact-dedup canonical rule.

@@ -270,6 +270,29 @@ object TextOps {
     * (right for one-shot jobs and the correctness gate, wrong for a
     * rolling ingest — it pays O(corpus) per call).
     */
+  /** Verified near-dup pairs BETWEEN a new-batch index and the corpus
+    * index: (id, oid) where `id` is a new doc and `oid` an existing one.
+    * Id-only band probe (not a self-join), candidates distinct'd, then one
+    * shingle join-back per side for exact-Jaccard verification — the same
+    * tiering as [[minhashNearDups]] but against a PERSISTED index. The
+    * pair detail (not just a flag) is what incremental CLUSTERING needs:
+    * these edges attach new docs to existing components.
+    */
+  def incrementalNearPairs(
+      corpusIndex: DedupIndex, newIdx: DedupIndex,
+      threshold: Double): DataFrame = {
+    val cand = newIdx.bands
+      .join(corpusIndex.bands.withColumnRenamed("id", "oid"),
+        Seq("band_id", "band_key"))
+      .select(col("id"), col("oid")).distinct()
+    cand
+      .join(newIdx.shingles.withColumnRenamed("shingles", "sh_new"), Seq("id"))
+      .join(corpusIndex.shingles.select(col("id").as("oid"),
+        col("shingles").as("sh_old")), Seq("oid"))
+      .filter(jaccardSets(col("sh_new"), col("sh_old")) >= threshold)
+      .select(col("id"), col("oid"))
+  }
+
   def incrementalDedup(
       corpusIndex: DedupIndex, newBatch: DataFrame,
       idCol: String, textCol: String,
@@ -282,17 +305,8 @@ object TextOps {
       .join(corpusIndex.hashes.select(col("__ck")).distinct(), Seq("__ck"), "left_semi")
       .select(col("id")).withColumn("dup_exact", lit(true))
 
-    // near tier: id-only band probe, candidate pairs distinct'd, then one
-    // shingle join-back per side; any verified hit ⇒ near-dup
-    val cand = newIdx.bands
-      .join(corpusIndex.bands.withColumnRenamed("id", "oid"),
-        Seq("band_id", "band_key"))
-      .select(col("id"), col("oid")).distinct()
-    val nearDups = cand
-      .join(newIdx.shingles.withColumnRenamed("shingles", "sh_new"), Seq("id"))
-      .join(corpusIndex.shingles.select(col("id").as("oid"),
-        col("shingles").as("sh_old")), Seq("oid"))
-      .filter(jaccardSets(col("sh_new"), col("sh_old")) >= threshold)
+    // near tier: any verified cross pair ⇒ near-dup
+    val nearDups = incrementalNearPairs(corpusIndex, newIdx, threshold)
       .select(col("id")).distinct()
       .withColumn("dup_near", lit(true))
 

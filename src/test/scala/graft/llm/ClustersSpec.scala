@@ -84,6 +84,30 @@ class ClustersSpec extends AnyFunSuite {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("incrementalClusters equals full recompute, including old-cluster merges") {
+    // standing corpus: clusters {1,2}, {5,6}, singleton {9}
+    val oldVerts = Seq(1L, 2L, 5L, 6L, 9L).toDF("id")
+    val oldPairs = Seq((1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val oldComp = Clusters.connectedComponents(oldVerts, "id", oldPairs, "id_a", "id_b")
+    // new batch: 10 bridges BOTH old clusters (merge); 11-12 pair up;
+    // 13 attaches to the singleton 9; 14 is isolated
+    val newIds = Seq(10L, 11L, 12L, 13L, 14L).toDF("id")
+    val newNew = Seq((11L, 12L)).toDF("id_a", "id_b")
+    val newOld = Seq((10L, 2L), (10L, 6L), (13L, 9L)).toDF("id", "oid")
+    val got = Clusters.incrementalClusters(oldComp, newIds, newNew, "id_a", "id_b", newOld)
+      .as[(Long, Long)].collect().toMap
+    // full recompute over the union for comparison
+    val allVerts = Seq(1L, 2L, 5L, 6L, 9L, 10L, 11L, 12L, 13L, 14L).toDF("id")
+    val allPairs = Seq((1L, 2L), (5L, 6L), (11L, 12L), (10L, 2L), (10L, 6L), (13L, 9L))
+      .toDF("id_a", "id_b")
+    val full = Clusters.connectedComponents(allVerts, "id", allPairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == full)
+    // and the merge really happened: 1,2,5,6,10 share one cluster labeled 1
+    assert(Seq(1L, 2L, 5L, 6L, 10L).forall(got(_) == 1L))
+    assert(got(13L) == 9L && got(14L) == 14L && got(11L) == 11L)
+  }
+
   test("dedupClusters emits size and canonical flags") {
     val verts = Seq(1L, 2L, 3L, 7L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
