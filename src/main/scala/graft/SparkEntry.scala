@@ -2740,6 +2740,40 @@ object SparkEntry {
         "doc_id", "text")
     }),
 
+    // Corpus-level line dedup (C4/Gopher boilerplate removal): lines in
+    // >= 10 distinct docs are boilerplate, removed per-doc with order
+    // preserved. The synthetic corpus shares no natural lines, so
+    // deterministic boilerplate footers are salted in (every 3rd doc a
+    // newsletter line, every 7th a copyright line) and the oracle
+    // re-derives the identical salt.
+    "llm_line_dedup" -> ((s, dir) => {
+      val salted = t(s, dir, "documents")
+        .withColumn("text2", concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            lit("\nsubscribe to our newsletter today")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit("\nall rights reserved by example corp")).otherwise(lit(""))))
+      llm.TextOps.lineDedup(salted, "doc_id", "text2", minDocs = 10L)
+    }),
+
+    // Benchmark decontamination: training docs sharing any word-8-gram
+    // with the eval split (doc_id%100=0) are flagged. Every 20th training
+    // doc is salted with the first 12 words of one eval doc — a real
+    // leak the oracle reproduces.
+    "llm_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val evalSet = docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id"), col("text").as("text2"))
+      val snips = evalSet.select((col("doc_id") / 100).cast("long").as("ref"),
+        expr("array_join(slice(split(lower(text2), ' '), 1, 12), ' ')").as("snip"))
+      val train = docs.filter(col("doc_id") % 100 =!= 0)
+        .withColumn("ref", col("doc_id") % 5)
+        .join(broadcast(snips), Seq("ref"))
+        .withColumn("text2", when(col("doc_id") % 20 === 1,
+          concat(col("text"), lit(" "), col("snip"))).otherwise(col("text")))
+      llm.TextOps.contaminationFlags(train, evalSet, "doc_id", "text2", k = 8)
+    }),
+
     // Rolling ingest composition: a persisted dedup index admits a new
     // batch AND updates cluster assignments incrementally — new docs
     // attach to existing components via their verified pairs (index
@@ -3742,6 +3776,35 @@ object SparkEntry {
         |  w.doc_id IN (SELECT id FROM near) AS dup_near,
         |  NOT (w.doc_id IN (SELECT id FROM ex)) AND NOT (w.doc_id IN (SELECT id FROM near)) AS keep
         |FROM w WHERE isnew""".stripMargin,
+    "llm_line_dedup" ->
+      """WITH s AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'subscribe to our newsletter today' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'all rights reserved by example corp' ELSE '' END AS t2
+        |  FROM documents),
+        |l AS (SELECT doc_id, generate_subscripts(ls, 1) AS pos, unnest(ls) AS line
+        |  FROM (SELECT doc_id, string_split(t2, chr(10)) AS ls FROM s)),
+        |b AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS nd FROM l GROUP BY line) WHERE nd >= 10),
+        |t AS (SELECT doc_id, pos, line, line IN (SELECT line FROM b) AS isb FROM l)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN isb THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
+        |  coalesce(string_agg(CASE WHEN isb THEN NULL ELSE line END, chr(10) ORDER BY pos), '') AS cleaned_text
+        |FROM t GROUP BY doc_id""".stripMargin,
+    "llm_decontaminate" ->
+      """WITH ev AS (SELECT doc_id, lower(text) AS lt FROM documents WHERE doc_id % 100 = 0),
+        |snips AS (SELECT doc_id // 100 AS ref, array_to_string((string_split(lt, ' '))[1:12], ' ') AS snip FROM ev),
+        |tr AS (SELECT d.doc_id, CASE WHEN d.doc_id % 20 = 1 THEN d.text || ' ' || s.snip ELSE d.text END AS t2
+        |  FROM documents d JOIN snips s ON s.ref = d.doc_id % 5 WHERE d.doc_id % 100 <> 0),
+        |eg AS (SELECT DISTINCT unnest(g8) AS g FROM (
+        |  SELECT CASE WHEN len(ws) < 8 THEN CAST([] AS VARCHAR[])
+        |    ELSE list_distinct(list_transform(generate_series(1, len(ws)-7), i -> array_to_string(ws[i:i+7], ' '))) END AS g8
+        |  FROM (SELECT string_split(lt, ' ') AS ws FROM ev))),
+        |tg AS (SELECT doc_id, unnest(g8) AS g FROM (
+        |  SELECT doc_id, CASE WHEN len(ws) < 8 THEN CAST([] AS VARCHAR[])
+        |    ELSE list_distinct(list_transform(generate_series(1, len(ws)-7), i -> array_to_string(ws[i:i+7], ' '))) END AS g8
+        |  FROM (SELECT doc_id, string_split(lower(t2), ' ') AS ws FROM tr))),
+        |h AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tg SEMI JOIN eg USING (g) GROUP BY doc_id)
+        |SELECT tr.doc_id, coalesce(h.n, 0) AS n_eval_grams, coalesce(h.n, 0) > 0 AS contaminated
+        |FROM tr LEFT JOIN h ON tr.doc_id = h.doc_id""".stripMargin,
     // llm_rolling_dedup oracle: a FULL re-cluster of the unioned corpus —
     // the incremental path must reproduce it exactly (same pair set: LSH
     // candidates depend only on per-doc signatures, so old-old, new-old

@@ -328,6 +328,75 @@ object TextOps {
     incrementalDedup(buildDedupIndex(corpus, idCol, textCol, k, nPerm, nBands),
       newBatch, idCol, textCol, k, nPerm, nBands, threshold)
 
+  /** Corpus-level line deduplication — the C4/Gopher boilerplate-removal
+    * step: a line appearing in `minDocs`+ DISTINCT documents (cookie
+    * banners, nav text, footers) is boilerplate; every document gets its
+    * line/boilerplate counts and its text with those lines removed,
+    * original line order preserved.
+    *
+    * Scale: the explode is narrow (one row per line); the global line
+    * census is one groupBy on the line text — high cardinality, partial
+    * aggs absorb the heavy hitters (a boilerplate line's count partials
+    * combine map-side). The boilerplate set joins back WITHOUT a
+    * broadcast hint: its size is corpus-dependent, so AQE picks the
+    * strategy (in practice it is tiny — that is what makes it
+    * boilerplate). Reassembly sorts each doc's surviving lines by
+    * position inside one aggregation — no window.
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Long): DataFrame = {
+    val lines = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val boiler = lines.groupBy(col("line"))
+      .agg(countDistinct(col("id")).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("line"), lit(true).as("__b"))
+    lines.join(boiler, Seq("line"), "left")
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_lines"),
+        sum(when(col("__b"), 1L).otherwise(0L)).as("n_dup_lines"),
+        // concat_ws skips the nulls left where boilerplate lines were
+        concat_ws("\n", expr(
+          """transform(array_sort(collect_list(struct(pos,
+            |  CASE WHEN __b THEN CAST(NULL AS STRING) ELSE line END AS line))),
+            |  x -> x.line)""".stripMargin)).as("cleaned_text"))
+      .select(col("id").as(idCol), col("n_lines"), col("n_dup_lines"),
+        col("cleaned_text"))
+  }
+
+  /** Benchmark decontamination: flag training documents sharing any
+    * word-`k`-gram with an evaluation set — the standard guard against
+    * test-set leakage into training data. Returns one row per training
+    * doc: (id, n_eval_grams = distinct shared k-grams, contaminated).
+    *
+    * Scale: eval benchmark suites are small by nature, so their distinct
+    * k-gram set broadcasts; the training side is one narrow explode +
+    * broadcast semi-join — the corpus never shuffles. Docs shorter than
+    * `k` words have no k-grams and report clean.
+    */
+  def contaminationFlags(train: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, k: Int = 8): DataFrame = {
+    val evalGrams = evalSet
+      .withColumn("ws", words(textCol))
+      .filter(size(col("ws")) >= k)
+      .withColumn("shingles", shingles(k))
+      .select(explode(col("shingles")).as("g")).distinct()
+    val hits = train
+      .withColumn("ws", words(textCol))
+      .filter(size(col("ws")) >= k)
+      .withColumn("shingles", shingles(k))
+      .select(col(idCol).as("id"), explode(col("shingles")).as("g"))
+      .join(broadcast(evalGrams), Seq("g"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("long").as("n_eval_grams"))
+    train.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_eval_grams"), lit(0L)).as("n_eval_grams"))
+      .withColumn("contaminated", col("n_eval_grams") > 0)
+  }
+
   /** English/French/German stopword hit counts + argmax language guess —
     * the n-gram-free heuristic tier of a language-ID stack.
     */

@@ -68,6 +68,38 @@ class TextOpsSpec extends AnyFunSuite {
     assert(dupDists.forall(_ <= 6), s"near-dup hamming too large: ${dupDists.toSeq}")
   }
 
+  test("lineDedup removes only corpus-boilerplate lines, order preserved") {
+    val boiler = "click here to subscribe"
+    val df = ((1L to 12L).map(i => (i, s"unique line $i\n$boiler\ntail $i")) :+
+      (99L, "no boilerplate here\nat all")).toDF("doc_id", "text")
+    val out = TextOps.lineDedup(df, "doc_id", "text", minDocs = 10L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // the shared line appears in 12 docs → removed everywhere
+    (1L to 12L).foreach { i =>
+      val r = out(i)
+      assert(r.getLong(1) == 3L && r.getLong(2) == 1L)
+      assert(r.getString(3) == s"unique line $i\ntail $i")
+    }
+    // untouched doc keeps its text verbatim, zero dup lines
+    assert(out(99L).getLong(2) == 0L)
+    assert(out(99L).getString(3) == "no boilerplate here\nat all")
+  }
+
+  test("contaminationFlags: only docs sharing an eval k-gram are flagged") {
+    val evalSet = Seq((100L, "the quick brown fox jumps over the lazy dog again today"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      // carries a 9-word span copied from eval → two sliding 8-gram hits
+      (1L, "prefix words the quick brown fox jumps over the lazy dog more"),
+      (2L, "completely unrelated content with many ordinary words in sequence here"),
+      (3L, "short doc")).toDF("doc_id", "text")
+    val out = TextOps.contaminationFlags(train, evalSet, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L)._2 && out(1L)._1 == 2L) // the two windows inside the copied span
+    assert(out(2L) == (0L, false))
+    assert(out(3L) == (0L, false)) // < k words → clean, still reported
+  }
+
   test("langid + quality + token counts behave on known text") {
     val df = Seq((1L, "the cat sat on the mat and it is fine"),
       (2L, "le chat est dans la maison et il est la"),
