@@ -172,24 +172,42 @@ object Ann {
         .agg(expr("transform(array_sort(collect_list(struct(pos, v))), x -> x.v)").as("cv"))
         .select(col("cell").as("cid"), col("cv"))
         .withColumn("cn", dot("cv", "cv"))
+        // the centroid frame is nCells rows: checkpointing it truncates
+        // the per-iteration lineage (otherwise iteration N's plan replays
+        // iterations 1..N-1 — the whole training history — every action)
+        .localCheckpoint()
     }
     cent
   }
 
   /** Score every vector against the (broadcast) centroid set and keep its
     * `nProbe` closest cells — nProbe=1 is the index-build assignment,
-    * nProbe>1 is query-side probing. The per-id window is one shuffle on
-    * the vector id; for the corpus that is the one-time IVF build cost
-    * (amortized across queries), for queries the side is small.
+    * nProbe>1 is query-side probing.
+    *
+    * The nProbe=1 path (the CORPUS-side cost: every k-means iteration and
+    * the index build run it) is an aggregation, not a window: scoring is
+    * map-side (broadcast centroids), so each id's nCells scored rows are
+    * co-located and `max(struct(ccos, -cid))` collapses them in the
+    * partial aggregate — the shuffle ships ONE row per vector instead of
+    * sorting |corpus|×nCells rows per partition. Tie-break matches the
+    * window form exactly: highest cosine, then lowest cid (the negated
+    * cid makes lexicographic max pick it). nProbe>1 keeps the window —
+    * that side is queries, small by contract.
     */
   def ivfAssign(vecs: DataFrame, centroids: DataFrame, nProbe: Int): DataFrame = {
     val scored = vecs.crossJoin(broadcast(centroids))
       .withColumn("cdp", dot("vq", "cv"))
       .withColumn("ccos", cosine(col("cdp"), col("norm2"), col("cn")))
-    val w = Window.partitionBy(col("id")).orderBy(col("ccos").desc, col("cid").asc)
-    scored.withColumn("probe", row_number().over(w))
-      .filter(col("probe") <= nProbe)
-      .select(col("id"), col("cid").as("cell"))
+    if (nProbe == 1) {
+      scored.groupBy(col("id"))
+        .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"))).as("best"))
+        .select(col("id"), (-col("best.ncid")).as("cell"))
+    } else {
+      val w = Window.partitionBy(col("id")).orderBy(col("ccos").desc, col("cid").asc)
+      scored.withColumn("probe", row_number().over(w))
+        .filter(col("probe") <= nProbe)
+        .select(col("id"), col("cid").as("cell"))
+    }
   }
 
   /** IVF top-k: corpus rows live in exactly one cell, queries probe their
