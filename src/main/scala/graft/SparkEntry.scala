@@ -2784,15 +2784,16 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val corpus = docs.filter(col("doc_id") % 5 =!= 0)
       val batch = docs.filter(col("doc_id") % 5 === 0)
-      val corpusCC = llm.Clusters.connectedComponents(
-        corpus.select(col("doc_id")), "doc_id",
-        llm.TextOps.minhashNearDups(corpus, "doc_id", "text", threshold = 0.5),
-        "id_a", "id_b")
+      // ONE index per side supplies everything: the corpus's standing pair
+      // list, the batch's internal pairs, and the cross probe — corpus
+      // text is scanned once (persisted parquet in a real deployment)
       val cIdx = llm.TextOps.buildDedupIndex(corpus, "doc_id", "text")
       val nIdx = llm.TextOps.buildDedupIndex(batch, "doc_id", "text")
+      val corpusCC = llm.Clusters.connectedComponents(
+        corpus.select(col("doc_id")), "doc_id",
+        llm.TextOps.nearPairsFromIndex(cIdx, 0.5), "id_a", "id_b")
       val newOld = llm.TextOps.incrementalNearPairs(cIdx, nIdx, 0.5)
-      val newNew = llm.TextOps.minhashNearDups(batch, "doc_id", "text",
-        threshold = 0.5)
+      val newNew = llm.TextOps.nearPairsFromIndex(nIdx, 0.5)
       llm.Clusters.incrementalClusters(corpusCC,
         batch.select(col("doc_id").as("id")), newNew, "id_a", "id_b", newOld)
         .select(col("id").as("doc_id"), col("comp").as("cluster_id"),

@@ -270,6 +270,32 @@ object TextOps {
     * (right for one-shot jobs and the correctness gate, wrong for a
     * rolling ingest — it pays O(corpus) per call).
     */
+  /** Verified near-dup pairs WITHIN one [[DedupIndex]] — the same
+    * band-candidate → distinct → shingle-join-back → exact-Jaccard tiering
+    * as [[minhashNearDups]], but reading the (persisted) index frames
+    * instead of re-deriving shingles and signatures from text. A rolling
+    * deployment computes the index once per corpus and gets both its
+    * standing pair list (here) and every batch probe
+    * ([[incrementalNearPairs]]) from it — the corpus text is scanned once
+    * ever.
+    */
+  def nearPairsFromIndex(idx: DedupIndex, threshold: Double): DataFrame = {
+    val pairs = idx.bands.select(col("id").as("id_a"), col("band_id"), col("band_key"))
+      .join(idx.bands.select(col("id").as("id_b"), col("band_id"), col("band_key")),
+        Seq("band_id", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    pairs
+      .join(idx.shingles.select(col("id").as("id_a"), col("shingles").as("sh_a")),
+        Seq("id_a"))
+      .join(idx.shingles.select(col("id").as("id_b"), col("shingles").as("sh_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccardSets(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Verified near-dup pairs BETWEEN a new-batch index and the corpus
     * index: (id, oid) where `id` is a new doc and `oid` an existing one.
     * Id-only band probe (not a self-join), candidates distinct'd, then one

@@ -68,6 +68,15 @@ class TextOpsSpec extends AnyFunSuite {
     assert(dupDists.forall(_ <= 6), s"near-dup hamming too large: ${dupDists.toSeq}")
   }
 
+  test("nearPairsFromIndex reproduces minhashNearDups from the persisted frames") {
+    val idx = TextOps.buildDedupIndex(docs, "doc_id", "text")
+    val fromIdx = TextOps.nearPairsFromIndex(idx, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val direct = TextOps.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(fromIdx == direct && direct.nonEmpty)
+  }
+
   test("lineDedup removes only corpus-boilerplate lines, order preserved") {
     val boiler = "click here to subscribe"
     val df = ((1L to 12L).map(i => (i, s"unique line $i\n$boiler\ntail $i")) :+
