@@ -2740,6 +2740,14 @@ object SparkEntry {
         "doc_id", "text")
     }),
 
+    // Sequence packing (concat-and-chunk): docs stream in id order within
+    // 32 hash groups, chunked into 512-token blocks; each doc reports the
+    // block span it occupies. Integer-exact layout.
+    "llm_seq_pack" -> ((s, dir) => {
+      llm.TextOps.seqPack(t(s, dir, "documents"), "doc_id", "text",
+        budget = 512L, nGroups = 32)
+    }),
+
     // Corpus-level line dedup (C4/Gopher boilerplate removal): lines in
     // >= 10 distinct docs are boilerplate, removed per-doc with order
     // preserved. The synthetic corpus shares no natural lines, so
@@ -3777,6 +3785,14 @@ object SparkEntry {
         |  w.doc_id IN (SELECT id FROM near) AS dup_near,
         |  NOT (w.doc_id IN (SELECT id FROM ex)) AND NOT (w.doc_id IN (SELECT id FROM near)) AS keep
         |FROM w WHERE isnew""".stripMargin,
+    "llm_seq_pack" ->
+      """WITH w AS (SELECT doc_id, doc_id % 32 AS pack_group,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id) AS cum FROM w)
+        |SELECT doc_id, CAST(pack_group AS BIGINT) AS pack_group, n_tokens,
+        |  CAST((cum - n_tokens) // 512 AS BIGINT) AS start_block,
+        |  CAST((cum - 1) // 512 AS BIGINT) AS end_block
+        |FROM c""".stripMargin,
     "llm_line_dedup" ->
       """WITH s AS (SELECT doc_id, text ||
         |    CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'subscribe to our newsletter today' ELSE '' END ||

@@ -423,6 +423,32 @@ object TextOps {
       .withColumn("contaminated", col("n_eval_grams") > 0)
   }
 
+  /** GPT-style sequence packing: documents are concatenated in id order
+    * WITHIN a pack group and chunked into fixed `budget`-token blocks
+    * (documents may straddle block boundaries — the concat-and-chunk
+    * scheme). Returns per doc: its group, token count, and the first/last
+    * block it lands in.
+    *
+    * Scale: a single global concatenation order would force one window
+    * partition; instead ids hash into `nGroups` independent streams —
+    * each group is one window partition packing 1/nGroups of the corpus,
+    * the per-worker sequential shape a real packing job runs. All
+    * arithmetic is integer (token counts, cumulative sums, floor
+    * division), so the layout is deterministic and oracle-exact.
+    */
+  def seqPack(df: DataFrame, idCol: String, textCol: String,
+      budget: Long, nGroups: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("pack_group")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tokens", size(words(textCol)).cast("long"))
+      .withColumn("pack_group", col(idCol) % nGroups)
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col(idCol), col("pack_group"), col("n_tokens"),
+        expr(s"(cum - n_tokens) div $budget").as("start_block"),
+        expr(s"(cum - 1) div $budget").as("end_block"))
+  }
+
   /** English/French/German stopword hit counts + argmax language guess —
     * the n-gram-free heuristic tier of a language-ID stack.
     */

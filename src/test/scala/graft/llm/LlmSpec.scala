@@ -109,6 +109,25 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(3L) == (0L, false)) // < k words → clean, still reported
   }
 
+  test("seqPack: contiguous block spans per group, budget respected") {
+    val out = TextOps.seqPack(docs, "doc_id", "text", budget = 100L, nGroups = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._1)
+      // doc i+1 starts exactly where doc i ended (same or next block —
+      // the stream is gapless), and spans are consistent with the budget
+      var cum = 0L
+      sorted.foreach { case (_, _, n, startB, endB) =>
+        assert(startB == cum / 100)
+        cum += n
+        assert(endB == (cum - 1) / 100)
+        assert(endB >= startB)
+      }
+    }
+  }
+
   test("langid + quality + token counts behave on known text") {
     val df = Seq((1L, "the cat sat on the mat and it is fine"),
       (2L, "le chat est dans la maison et il est la"),
