@@ -108,6 +108,33 @@ class ClustersSpec extends AnyFunSuite {
     assert(got(13L) == 9L && got(14L) == 14L && got(11L) == 11L)
   }
 
+  test("incrementalClusters property: random graphs equal full recompute") {
+    val rnd = new scala.util.Random(20260813)
+    (1 to 5).foreach { trial =>
+      val nOld = 30; val nNew = 10
+      val oldIds = (0L until nOld.toLong)
+      val newIds = (100L until (100L + nNew))
+      def somePairs(ids: IndexedSeq[Long], n: Int) =
+        (1 to n).map(_ => (ids(rnd.nextInt(ids.size)), ids(rnd.nextInt(ids.size))))
+          .filter { case (a, b) => a != b }
+          .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val oldPairs = somePairs(oldIds.toIndexedSeq, 20)
+      val newNew = somePairs(newIds.toIndexedSeq, 6)
+      val newOld = (1 to 8).map(_ =>
+        (newIds(rnd.nextInt(nNew)), oldIds(rnd.nextInt(nOld)))).distinct
+      val oldComp = Clusters.connectedComponents(
+        oldIds.toDF("id"), "id", oldPairs.toDF("id_a", "id_b"), "id_a", "id_b")
+      val got = Clusters.incrementalClusters(oldComp, newIds.toDF("id"),
+        newNew.toDF("id_a", "id_b"), "id_a", "id_b", newOld.toDF("id", "oid"))
+        .as[(Long, Long)].collect().toMap
+      val full = Clusters.connectedComponents(
+        (oldIds ++ newIds).toDF("id"), "id",
+        (oldPairs ++ newNew ++ newOld).toDF("id_a", "id_b"), "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+      assert(got == full, s"trial $trial diverged from full recompute")
+    }
+  }
+
   test("dedupClusters emits size and canonical flags") {
     val verts = Seq(1L, 2L, 3L, 7L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
