@@ -93,14 +93,13 @@ object TextOps {
          |    AS band_key))""".stripMargin)
 
   /** SimHash over the shingle hash list: bit k of the result is set when
-    * the +1/-1 vote of shingle-hash bit k sums positive. 32 bits.
+    * the +1/-1 vote of shingle-hash bit k sums positive. 32 bits — the
+    * native one-pass [[graft.plans.SimHash]] (the composed
+    * `aggregate(sequence(...), aggregate(shash, ...))` form re-walked the
+    * hash array once per output bit, interpreted).
     */
   def simhash(nBits: Int = 32): Column =
-    expr(
-      s"""aggregate(sequence(0, ${nBits - 1}), CAST(0 AS BIGINT), (acc, k) ->
-         |  acc + CASE WHEN aggregate(shash, CAST(0 AS BIGINT), (a, h) ->
-         |      a + CASE WHEN shiftright(h, k) % 2 = 1 THEN 1 ELSE -1 END) > 0
-         |    THEN shiftleft(CAST(1 AS BIGINT), k) ELSE 0 END)""".stripMargin)
+    graft.plans.SimHash.simhash64(col("shash"), nBits)
 
   /** Exact Jaccard between two array columns (integer counts → one IEEE
     * division; bit-identical across engines). Safe for ANY input: the

@@ -46,6 +46,23 @@ class NativeExprPropertySpec extends AnyFunSuite {
     assert(bad == 0L)
   }
 
+  test("simhash64 ≡ nested-aggregate composition on 300 random hash arrays") {
+    val composed =
+      """aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, k) ->
+        |  acc + CASE WHEN aggregate(shash, CAST(0 AS BIGINT), (a, h) ->
+        |      a + CASE WHEN shiftright(h, k) % 2 = 1 THEN 1 ELSE -1 END) > 0
+        |    THEN shiftleft(CAST(1 AS BIGINT), k) ELSE 0 END)""".stripMargin
+    // h64 range (60-bit positive) plus the empty array edge
+    val df = ((1 to 300).map { _ =>
+      Tuple1(Seq.fill(rnd.nextInt(50))(math.abs(rnd.nextLong()) % (1L << 60)))
+    } :+ Tuple1(Seq.empty[Long])).toDF("shash")
+    val bad = df.select(
+      SimHash.simhash64(col("shash"), 32).as("native"),
+      expr(composed).as("composed"))
+      .filter(!(col("native") <=> col("composed"))).count()
+    assert(bad == 0L)
+  }
+
   test("minhash_sig ≡ array(array_min(transform(...))) on 300 random hash arrays") {
     val (as, bs) = TextOps.permConstants(32).unzip
     val composed = as.zip(bs).map { case (a, b) =>
