@@ -2740,6 +2740,13 @@ object SparkEntry {
         "doc_id", "text")
     }),
 
+    // Corpus vocabulary census: top-100 terms by global frequency with
+    // per-term document frequency — distributed top-k over a Zipf
+    // distribution (partial aggs absorb the head; no global sort).
+    "llm_vocab_census" -> ((s, dir) => {
+      llm.TextOps.vocabCensus(t(s, dir, "documents"), "doc_id", "text", 100)
+    }),
+
     // Sequence packing (concat-and-chunk): docs stream in id order within
     // 32 hash groups, chunked into 512-token blocks; each doc reports the
     // block span it occupies. Integer-exact layout.
@@ -3785,6 +3792,13 @@ object SparkEntry {
         |  w.doc_id IN (SELECT id FROM near) AS dup_near,
         |  NOT (w.doc_id IN (SELECT id FROM ex)) AND NOT (w.doc_id IN (SELECT id FROM near)) AS keep
         |FROM w WHERE isnew""".stripMargin,
+    "llm_vocab_census" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents),
+        |t2 AS (SELECT doc_id, word FROM t WHERE length(word) > 0),
+        |tf AS (SELECT word, CAST(count(*) AS BIGINT) AS n_occurrences FROM t2 GROUP BY word),
+        |dfq AS (SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM t2 GROUP BY word)
+        |SELECT tf.word, n_occurrences, n_docs FROM tf JOIN dfq USING (word)
+        |ORDER BY n_occurrences DESC, word ASC LIMIT 100""".stripMargin,
     "llm_seq_pack" ->
       """WITH w AS (SELECT doc_id, doc_id % 32 AS pack_group,
         |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens FROM documents),

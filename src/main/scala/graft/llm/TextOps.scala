@@ -422,6 +422,30 @@ object TextOps {
       .withColumn("contaminated", col("n_eval_grams") > 0)
   }
 
+  /** Corpus vocabulary census: global term and document frequencies with
+    * a deterministic top-k — the TF/DF table a tokenizer-training or IDF
+    * stage starts from. Zipf skew is the defining property of this
+    * workload and the plan absorbs it: partial aggregation collapses each
+    * partition's heavy hitters map-side before the one shuffle on the
+    * word key, and the top-k is `TakeOrderedAndProject` (per-partition
+    * heaps + driver merge of topK rows), never a global sort. Tie-break
+    * (count desc, word asc) makes the cut deterministic.
+    */
+  def vocabCensus(df: DataFrame, idCol: String, textCol: String,
+      topK: Int): DataFrame = {
+    val tokens = df.select(col(idCol).as("id"),
+      explode(words(textCol)).as("word"))
+      .filter(length(col("word")) > 0)
+    val tf = tokens.groupBy(col("word"))
+      .agg(count(lit(1)).as("n_occurrences"))
+    val dfq = tokens.select(col("id"), col("word")).distinct()
+      .groupBy(col("word")).agg(count(lit(1)).as("n_docs"))
+    tf.join(dfq, Seq("word"))
+      .orderBy(col("n_occurrences").desc, col("word").asc)
+      .limit(topK)
+      .select(col("word"), col("n_occurrences"), col("n_docs"))
+  }
+
   /** GPT-style sequence packing: documents are concatenated in id order
     * WITHIN a pack group and chunked into fixed `budget`-token blocks
     * (documents may straddle block boundaries — the concat-and-chunk

@@ -109,6 +109,21 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(3L) == (0L, false)) // < k words → clean, still reported
   }
 
+  test("vocabCensus counts terms and doc frequencies with deterministic top-k") {
+    val df = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "apple")).toDF("doc_id", "text")
+    val out = TextOps.vocabCensus(df, "doc_id", "text", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // apple: 3 occurrences in 2 docs; banana: 2 in 2; cherry cut by top-2
+    assert(out.toSeq == Seq(("apple", 3L, 2L), ("banana", 2L, 2L)))
+    // top-k must be TakeOrderedAndProject, not a global sort
+    val plan = TextOps.vocabCensus(df, "doc_id", "text", 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
   test("seqPack: contiguous block spans per group, budget respected") {
     val out = TextOps.seqPack(docs, "doc_id", "text", budget = 100L, nGroups = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
