@@ -39,7 +39,7 @@ object Bench {
     "llm_rolling_dedup",
     "llm_hash_sample", "llm_quality_gopher", "llm_pii_scrub",
     "llm_line_dedup", "llm_decontaminate", "llm_seq_pack",
-    "llm_vocab_census",
+    "llm_vocab_census", "llm_domain_mix",
     "s2_stream_agg", "s2b_stream_state")
 
   def main(args: Array[String]): Unit = {

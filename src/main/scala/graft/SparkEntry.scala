@@ -2740,6 +2740,15 @@ object SparkEntry {
         "doc_id", "text")
     }),
 
+    // Domain mixing: resample sources toward target token shares (src0
+    // oversampled to 50% of budget, src1 to 20%, the rest share the
+    // default) — rates derived from the data's own token sums, membership
+    // a pure id-hash function, all integer arithmetic.
+    "llm_domain_mix" -> ((s, dir) => {
+      llm.Sampling.domainMix(t(s, dir, "documents"), "doc_id", "text",
+        "source", Map("src0" -> 5000L, "src1" -> 2000L), defaultBp = 100L)
+    }),
+
     // Corpus vocabulary census: top-100 terms by global frequency with
     // per-term document frequency — distributed top-k over a Zipf
     // distribution (partial aggs absorb the head; no global sort).
@@ -3792,6 +3801,17 @@ object SparkEntry {
         |  w.doc_id IN (SELECT id FROM near) AS dup_near,
         |  NOT (w.doc_id IN (SELECT id FROM ex)) AND NOT (w.doc_id IN (SELECT id FROM near)) AS keep
         |FROM w WHERE isnew""".stripMargin,
+    "llm_domain_mix" ->
+      """WITH w AS (SELECT doc_id, source, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |ps AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens FROM w GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM w),
+        |wt AS (SELECT * FROM (VALUES ('src0', CAST(5000 AS BIGINT)), ('src1', CAST(2000 AS BIGINT))) v(source, w_bp)),
+        |r AS (SELECT ps.source,
+        |    least(CAST(10000 AS BIGINT), (total_tokens * coalesce(w_bp, 100) // 10000) * 10000 // src_tokens) AS rate_bp
+        |  FROM ps CROSS JOIN tot LEFT JOIN wt ON ps.source = wt.source)
+        |SELECT w.doc_id, w.source, w.n_tokens,
+        |  CAST(('0x' || substr(md5(CAST(w.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < r.rate_bp AS keep
+        |FROM w JOIN r ON w.source = r.source""".stripMargin,
     "llm_vocab_census" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents),
         |t2 AS (SELECT doc_id, word FROM t WHERE length(word) > 0),

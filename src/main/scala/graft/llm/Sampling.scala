@@ -50,4 +50,46 @@ object Sampling {
       .filter(col("__bucket") < col("__pct"))
       .drop("__pct", "__bucket")
   }
+
+  /** Domain mixing: resample each source toward a TARGET TOKEN share of
+    * the total budget (the static data-mixture step of corpus assembly).
+    * `weightsBp` gives each source's target share in basis points of the
+    * corpus's total token count; each source's acceptance rate is
+    * `min(1, target_tokens / source_tokens)` quantized to basis points,
+    * and membership is the deterministic id-hash gate. Sources absent
+    * from the map default to `defaultBp`.
+    *
+    * Returns EVERY document with (source, n_tokens, keep) so acceptance
+    * is auditable; filtering on `keep` is the caller's one-liner. All
+    * rate arithmetic is integer (token sums, basis-point floor division),
+    * so the mixture reproduces bit-exactly in any engine.
+    *
+    * Scale: two aggregates (per-source token sums — a handful of rows —
+    * and their total), a broadcast join of that tiny rate table, then a
+    * map-side hash predicate. The corpus never shuffles.
+    */
+  def domainMix(df: DataFrame, idCol: String, textCol: String,
+      srcCol: String, weightsBp: Map[String, Long],
+      defaultBp: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val withTok = df.withColumn("n_tokens",
+      size(split(lower(col(textCol)), " ")).cast("long"))
+    val perSrc = withTok.groupBy(col(srcCol))
+      .agg(sum(col("n_tokens")).as("__src_tokens"))
+    val total = perSrc.agg(sum(col("__src_tokens")).as("__total_tokens"))
+    val weights = weightsBp.toSeq.toDF(srcCol, "__w_bp")
+    val rates = perSrc.crossJoin(total)
+      .join(broadcast(weights), Seq(srcCol), "left")
+      .withColumn("__w_bp", coalesce(col("__w_bp"), lit(defaultBp)))
+      // target tokens for the source, then acceptance in basis points —
+      // integer floor division throughout, capped at keep-everything
+      .withColumn("__rate_bp", least(lit(10000L),
+        expr("(__total_tokens * __w_bp div 10000) * 10000 div __src_tokens")))
+      .select(col(srcCol), col("__rate_bp"))
+    withTok.join(broadcast(rates), Seq(srcCol))
+      .withColumn("keep",
+        TextOps.h64c(col(idCol).cast("string")) % 10000 < col("__rate_bp"))
+      .select(col(idCol), col(srcCol), col("n_tokens"), col("keep"))
+  }
 }

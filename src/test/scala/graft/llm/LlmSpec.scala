@@ -160,6 +160,35 @@ class TextOpsSpec extends AnyFunSuite {
   }
 }
 
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("domainMix: rates follow token shares; membership matches the md5 gate") {
+    // A holds half the tokens and asks for half the budget → keep all;
+    // B asks for a quarter of the budget with half the tokens → 50% rate
+    val df = Seq(
+      (1L, "A", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (2L, "A", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (3L, "B", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (4L, "B", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10")).toDF("doc_id", "source", "text")
+    val out = Sampling.domainMix(df, "doc_id", "text", "source",
+      Map("A" -> 5000L), defaultBp = 2500L)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getBoolean(3))).toMap
+    def h(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(15), 16) % 10000
+    }
+    // A: rate 10000 → keep regardless of hash
+    assert(out(1L) == ("A", 10L, true) && out(2L) == ("A", 10L, true))
+    // B: rate 5000 → keep iff hash bucket < 5000 (pure function of id)
+    Seq(3L, 4L).foreach { id =>
+      assert(out(id) == ("B", 10L, h(id) < 5000L))
+    }
+  }
+}
+
 class AnnSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
