@@ -2824,6 +2824,51 @@ object SparkEntry {
           (col("id") % 5 === 0).as("is_new"))
     }),
 
+    // SemDeDup (Abbas et al. 2023): semantic near-dedup — trained k-means
+    // cells as the blocking key, exact integer cosine within cells, then
+    // connected components for the keep/drop decision. Reuses the
+    // llm_ann_ivf quantizer, so the oracle replays identical training.
+    "llm_semantic_dedup" -> ((s, dir) => {
+      val e = llm.Ann.withQuantized(t(s, dir, "embeddings"), "embedding")
+      val corpus = e.select(col("vec_id").as("nid"), col("vq"), col("norm2"))
+      val cent = llm.Ann.kmeansCentroids(corpus, step = 25, iters = 2)
+      val mem = llm.Ann.withCells(corpus, cent).withColumnRenamed("nid", "vec_id")
+      val pairs = llm.Ann.nearDupPairs(mem, "vec_id", "cell", threshold = 0.35)
+      llm.Clusters.dedupClusters(e.select(col("vec_id")), "vec_id",
+        pairs, "id_a", "id_b")
+    }),
+
+    // Exact-substring duplicate spans (Lee et al. 2022 ExactSubstr shape):
+    // word-8-grams shared by >= 2 distinct docs mark duplicated positions;
+    // runs of consecutive duplicated positions bound the longest shared
+    // substring. Deterministic boilerplate is salted in (every 5th doc a
+    // fox sentence, every 7th a legal footer) so real cross-doc spans
+    // exist; the oracle re-derives the identical salt.
+    "llm_span_dedup" -> ((s, dir) => {
+      val salted = t(s, dir, "documents")
+        .withColumn("text2", concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            lit(" the quick brown fox jumps over the lazy dog again")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit(" all rights reserved this document is provided without any warranty")).otherwise(lit(""))))
+      llm.TextOps.spanDedup(salted, "doc_id", "text2", k = 8, minDocs = 2L)
+    }),
+
+    // Per-doc top-3 keywords by tf·(N/df) — rational idf keeps every step
+    // exact (integer product + one IEEE division), where log(N/df)'s last
+    // ulp is libm-dependent and would make the top-k cut nondeterministic.
+    "llm_tfidf_terms" -> ((s, dir) => {
+      llm.TextOps.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", 3)
+    }),
+
+    // Deterministic global shuffle + shard layout for training export:
+    // shard = h64(id) mod 8, seq = rank by (h64, id) within the shard —
+    // membership and order are pure functions of identity, reproducible
+    // across engines and re-runs (what orderBy(rand()) can never give).
+    "llm_shard_plan" -> ((s, dir) => {
+      llm.Sampling.shardPlan(t(s, dir, "documents"), "doc_id", "text", 8)
+    }),
+
     // S2b — stateful streaming reduction via mapGroupsWithState: the
     // EARLIEST event per user by (event time, event id). Unlike
     // arrival-order first-wins, the fold is deterministic across
@@ -3895,6 +3940,101 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events)
         |SELECT user_id, ts_us AS first_ts, event_id AS first_event_id, event_type AS first_event_type
         |FROM r WHERE rn = 1""".stripMargin,
+    // llm_semantic_dedup oracle: replays the llm_ann_ivf k-means training
+    // (identical CTE chain), pairs within cells by exact integer cosine,
+    // closes components with the recursive-CTE reach
+    "llm_semantic_dedup" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS vq FROM embeddings),
+        |en AS (SELECT vec_id, vq, CAST(list_sum(list_transform(vq, x -> x * x)) AS BIGINT) AS norm2 FROM e),
+        |cent0 AS (SELECT vec_id AS cid, vq AS cv, norm2 AS cn FROM en WHERE vec_id % 25 = 0),
+        |a1 AS (SELECT en.vec_id, cent0.cid,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(vq)), i -> vq[i] * cv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS ccos
+        |  FROM en CROSS JOIN cent0),
+        |r1 AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn FROM a1),
+        |asg1 AS (SELECT vec_id AS nid, cid AS cell FROM r1 WHERE rn = 1),
+        |u1 AS (SELECT asg1.cell, unnest(vq) AS v, generate_subscripts(vq, 1) AS d FROM en JOIN asg1 ON en.vec_id = asg1.nid),
+        |m1 AS (SELECT cell, d, CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS vc FROM u1 GROUP BY cell, d),
+        |cent1 AS (SELECT cell AS cid, list(vc ORDER BY d) AS cv FROM m1 GROUP BY cell),
+        |cent1n AS (SELECT cid, cv, CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cn FROM cent1),
+        |a2 AS (SELECT en.vec_id, cent1n.cid,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(vq)), i -> vq[i] * cv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS ccos
+        |  FROM en CROSS JOIN cent1n),
+        |r2 AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn FROM a2),
+        |asg2 AS (SELECT vec_id AS nid, cid AS cell FROM r2 WHERE rn = 1),
+        |u2 AS (SELECT asg2.cell, unnest(vq) AS v, generate_subscripts(vq, 1) AS d FROM en JOIN asg2 ON en.vec_id = asg2.nid),
+        |m2 AS (SELECT cell, d, CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS vc FROM u2 GROUP BY cell, d),
+        |cent2 AS (SELECT cell AS cid, list(vc ORDER BY d) AS cv FROM m2 GROUP BY cell),
+        |cent AS (SELECT cid, cv, CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cn FROM cent2),
+        |ascore AS (
+        |  SELECT en.vec_id, cent.cid,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(vq)), i -> vq[i] * cv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS ccos
+        |  FROM en CROSS JOIN cent),
+        |ranked_assign AS (
+        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+        |  FROM ascore),
+        |cells AS (SELECT vec_id AS nid, cid AS cell FROM ranked_assign WHERE rn = 1),
+        |mem AS (SELECT en.vec_id AS nid, vq, norm2, cell FROM en JOIN cells ON en.vec_id = cells.nid),
+        |pr AS (SELECT a.nid AS id_a, b.nid AS id_b
+        |  FROM mem a JOIN mem b ON a.cell = b.cell AND a.nid < b.nid
+        |  WHERE CAST(CAST(list_sum(list_transform(generate_series(1, len(a.vq)), i -> a.vq[i] * b.vq[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) >= 0.35),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM pr UNION SELECT id_b, id_a FROM pr),
+        |reach(id, r) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT eg.u, reach.r FROM edges eg JOIN reach ON reach.id = eg.v),
+        |comp AS (SELECT id AS vec_id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size FROM comp GROUP BY cluster_id)
+        |SELECT comp.vec_id, comp.cluster_id, sz.cluster_size,
+        |  comp.vec_id = comp.cluster_id AS is_canonical
+        |FROM comp JOIN sz USING (cluster_id)""".stripMargin,
+    // llm_span_dedup oracle: positional 8-grams (1-based subscripts — only
+    // run LENGTHS are compared, so the base offset cancels), corpus
+    // document frequency on the shared 60-bit hash, gaps-and-islands runs
+    "llm_span_dedup" ->
+      """WITH s AS (SELECT doc_id, text
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' the quick brown fox jumps over the lazy dog again' ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' all rights reserved this document is provided without any warranty' ELSE '' END AS t2
+        |  FROM documents),
+        |w AS (SELECT doc_id, string_split(lower(t2), ' ') AS ws FROM s),
+        |gl AS (SELECT doc_id, CASE WHEN len(ws) < 8 THEN CAST([] AS VARCHAR[])
+        |  ELSE list_transform(generate_series(1, len(ws)-7), i -> array_to_string(ws[i:i+7], ' ')) END AS gs FROM w),
+        |g AS (SELECT doc_id, generate_subscripts(gs, 1) AS pos,
+        |    CAST(('0x' || substr(md5(unnest(gs)), 1, 15)) AS BIGINT) AS h FROM gl),
+        |dupg AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |d AS (SELECT doc_id, pos FROM g SEMI JOIN dupg USING (h)),
+        |runs AS (SELECT doc_id, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM d),
+        |rl AS (SELECT doc_id, grp, count(*) AS rl FROM runs GROUP BY doc_id, grp),
+        |st AS (SELECT doc_id, CAST(sum(rl) AS BIGINT) AS n_dup_spans,
+        |    CAST(max(rl) AS BIGINT) AS max_dup_run FROM rl GROUP BY doc_id),
+        |ns AS (SELECT doc_id, CAST(CASE WHEN len(ws) >= 8 THEN len(ws) - 7 ELSE 0 END AS BIGINT) AS n_spans FROM w)
+        |SELECT ns.doc_id, ns.n_spans, coalesce(st.n_dup_spans, 0) AS n_dup_spans,
+        |  coalesce(st.max_dup_run, 0) AS max_dup_run
+        |FROM ns LEFT JOIN st ON ns.doc_id = st.doc_id""".stripMargin,
+    "llm_tfidf_terms" ->
+      """WITH tok AS (SELECT doc_id AS id, unnest(string_split(lower(text), ' ')) AS word FROM documents),
+        |tok2 AS (SELECT id, word FROM tok WHERE len(word) > 0),
+        |tf AS (SELECT id, word, CAST(count(*) AS BIGINT) AS tf FROM tok2 GROUP BY id, word),
+        |dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM (SELECT DISTINCT id, word FROM tok2) GROUP BY word),
+        |n AS (SELECT count(*) AS nn FROM documents),
+        |sc AS (SELECT id, word, tf, df, CAST(tf * nn AS DOUBLE) / df AS score
+        |  FROM tf JOIN dfq USING (word) CROSS JOIN n),
+        |r AS (SELECT id, word, tf, df, score,
+        |    row_number() OVER (PARTITION BY id ORDER BY score DESC, word ASC) AS rank FROM sc)
+        |SELECT id AS doc_id, CAST(rank AS BIGINT) AS rank, word, tf, df, score
+        |FROM r WHERE rank <= 3""".stripMargin,
+    "llm_shard_plan" ->
+      """WITH h AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hh,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, hh % 8 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id) AS BIGINT) AS seq,
+        |  n_tokens
+        |FROM h""".stripMargin,
     "x1_dnf" ->
       """SELECT CAST(expr_id AS BIGINT) AS expr_id, CAST(set_id AS BIGINT) AS set_id,
         |  CAST(variants AS VARCHAR) AS variants

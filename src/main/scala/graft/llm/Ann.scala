@@ -261,6 +261,20 @@ object Ann {
       (col("n_hits").cast("double") / col("n_truth")).as("recall"))
   }
 
+  /** Tag every corpus vector with its coarse k-means cell — the SemDeDup
+    * blocking key. With trained centroids ([[kmeansCentroids]]) the cells
+    * track the embedding distribution, so within-cell populations stay
+    * balanced and the quadratic within-cell pair join stays bounded.
+    * Scale: assignment is the nProbe=1 partial-agg max (broadcast
+    * centroids, one shuffled row per vector); the join back is on the
+    * high-cardinality id the rows already carry.
+    */
+  def withCells(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    corpus.join(
+      ivfAssign(corpus.select(col("nid").as("id"), col("vq"), col("norm2")),
+        centroids, nProbe = 1).select(col("id").as("nid"), col("cell")),
+      Seq("nid"))
+
   /** Embedding-cosine near-duplicate pairs, blocked by a partition column
     * (label here; at scale this is the shard/bucket key that keeps the
     * pair join local), with a block-size cap. The quadratic within-block

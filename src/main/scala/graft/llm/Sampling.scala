@@ -51,6 +51,50 @@ object Sampling {
       .drop("__pct", "__bucket")
   }
 
+  /** Deterministic global shuffle + shard layout — the export step that
+    * turns a curated corpus into training shards. Every document gets
+    * (shard, seq): shard = h64(id) mod `nShards`, seq = the document's
+    * rank by (h64(id), id) within its shard. Both are pure functions of
+    * row identity, so the training order is reproducible across engines,
+    * partitionings and re-runs — the property `orderBy(rand())` shuffles
+    * lack — and hash order is corpus order-free, so adjacent source
+    * documents (same crawl host, same book) land far apart: the
+    * decorrelation a global shuffle exists to provide.
+    *
+    * Scale: one shuffle on the shard key + a per-shard sort — exactly the
+    * exchange+sort a writer needs anyway ([[writeShards]] runs the same
+    * layout as `repartition(shard).sortWithinPartitions`). The window
+    * partitions on `shard`, whose population is corpus/nShards by hash
+    * uniformity — sized to the target output file, not to a skewed key.
+    */
+  def shardPlan(df: DataFrame, idCol: String, textCol: String,
+      nShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = TextOps.h64c(col(idCol).cast("string"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", h)
+      .withColumn("shard", col("__h") % nShards)
+      .withColumn("n_tokens",
+        size(split(lower(col(textCol)), " ")).cast("long"))
+      .withColumn("seq", row_number().over(w).cast("long"))
+      .select(col(idCol), col("shard"), col("seq"), col("n_tokens"))
+  }
+
+  /** Materialize [[shardPlan]]'s layout: one directory per shard, rows in
+    * deterministic hash order within each shard file. The exchange is the
+    * same one the plan's window needs, so the write adds no extra shuffle.
+    */
+  def writeShards(df: DataFrame, idCol: String, textCol: String,
+      nShards: Int, outPath: String): Unit = {
+    val h = TextOps.h64c(col(idCol).cast("string"))
+    df.withColumn("__h", h)
+      .withColumn("shard", col("__h") % nShards)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("__h"), col(idCol))
+      .drop("__h")
+      .write.mode("overwrite").partitionBy("shard").parquet(outPath)
+  }
+
   /** Domain mixing: resample each source toward a TARGET TOKEN share of
     * the total budget (the static data-mixture step of corpus assembly).
     * `weightsBp` gives each source's target share in basis points of the

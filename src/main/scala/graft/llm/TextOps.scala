@@ -390,6 +390,60 @@ object TextOps {
         col("cleaned_text"))
   }
 
+  /** Exact-substring duplicate-span detection — the distributed shape of
+    * Lee et al. 2022's ExactSubstr dedup (arXiv:2107.06499). A position
+    * whose word-`k`-gram occurs in at least `minDocs` DISTINCT documents
+    * is a duplicated span; consecutive duplicated positions chain into
+    * runs, and the longest run bounds the longest duplicated substring
+    * (a run of r k-grams covers r+k-1 tokens — ExactSubstr's "remove
+    * repeated spans ≥50 tokens" rule is a threshold on this number).
+    * Returns one row per document: (id, n_spans, n_dup_spans,
+    * max_dup_run); docs shorter than `k` words report zero spans.
+    *
+    * Scale, 100 TB shape:
+    * - Positional grams never materialize per-document arrays beyond the
+    *   row's own token list; the corpus-wide frequency count shuffles the
+    *   60-bit gram HASH (8 bytes, the shared [[h64]] recipe), not the
+    *   gram string, and partial aggregation collapses within-partition
+    *   repeats (boilerplate grams are exactly the heavy hitters) before
+    *   the exchange.
+    * - The duplicated-gram set is the join key back to positions — a
+    *   plain shuffle join on the same hash; AQE's skew split handles the
+    *   one mega-gram every web crawl has.
+    * - Run detection is gaps-and-islands per document (pos − row_number
+    *   over the doc's dup positions): the window partitions on the
+    *   high-cardinality doc id, so no straggler partition exists.
+    */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String, k: Int = 8,
+      minDocs: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("id"), words(textCol).as("ws"))
+      .withColumn("n_spans",
+        greatest(size(col("ws")).cast("long") - (k - 1), lit(0L)))
+    // positional k-grams (0-based pos; only run LENGTHS are emitted, so
+    // the base offset cancels against the oracle's 1-based subscripts)
+    val grams = base.filter(col("n_spans") > 0)
+      .select(col("id"), posexplode(expr(
+        s"transform(sequence(1, size(ws) - ${k - 1}), i -> concat_ws(' ', slice(ws, i, $k)))"))
+        .as(Seq("pos", "g")))
+      .withColumn("h", h64c(col("g"))).drop("g")
+    val dupGrams = grams.groupBy(col("h"))
+      .agg(countDistinct(col("id")).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("h"))
+    val dupPos = grams.join(dupGrams, Seq("h"), "left_semi")
+    val wd = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val runs = dupPos.withColumn("grp", col("pos") - row_number().over(wd))
+      .groupBy(col("id"), col("grp")).agg(count(lit(1)).as("rl"))
+      .groupBy(col("id"))
+      .agg(sum(col("rl")).as("n_dup_spans"), max(col("rl")).as("max_dup_run"))
+    base.select(col("id"), col("n_spans"))
+      .join(runs, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("max_dup_run"), lit(0L)).as("max_dup_run"))
+  }
+
   /** Benchmark decontamination: flag training documents sharing any
     * word-`k`-gram with an evaluation set — the standard guard against
     * test-set leakage into training data. Returns one row per training
@@ -444,6 +498,45 @@ object TextOps {
       .orderBy(col("n_occurrences").desc, col("word").asc)
       .limit(topK)
       .select(col("word"), col("n_occurrences"), col("n_docs"))
+  }
+
+  /** Per-document top-`topK` keyword terms by tf·(N/df) — the corpus-
+    * statistics keyword extractor an analysis/reporting stage runs over
+    * curated data. The score uses a RATIONAL idf (N/df) rather than the
+    * classical log(N/df): within one document the ranking induced is the
+    * tf-idf family's, and the arithmetic stays one exact integer product
+    * (tf·N < 2⁵³) plus one IEEE-correctly-rounded division — bit-identical
+    * in any engine, where log's last ulp is libm-dependent and would make
+    * the top-k cut nondeterministic at ties. Tie-break (score desc, word
+    * asc) pins the cut.
+    *
+    * Scale: tf is a partial-agg groupBy on (doc, word); df reuses the
+    * census shape (distinct → count on the word key). The tf⋈df join is
+    * on the word key — vocab-sized, broadcast when it fits, hash join
+    * otherwise; the top-k window partitions on the high-cardinality doc
+    * id. The corpus body text never shuffles — only (id, word) tokens.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tokens = df.select(col(idCol).as("id"),
+      explode(words(textCol)).as("word"))
+      .filter(length(col("word")) > 0)
+    val tf = tokens.groupBy(col("id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val dfq = tokens.select(col("id"), col("word")).distinct()
+      .groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("score").desc, col("word").asc)
+    tf.join(dfq, Seq("word"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tf") * col("__n")).cast("double") / col("df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("id").as(idCol), col("rank"), col("word"),
+        col("tf"), col("df"), col("score"))
   }
 
   /** GPT-style sequence packing: documents are concatenated in id order

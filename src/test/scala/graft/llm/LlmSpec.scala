@@ -160,6 +160,67 @@ class TextOpsSpec extends AnyFunSuite {
   }
 }
 
+class SpanDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("spanDedup: shared spans chain into runs; short docs report zero") {
+    // docs 1 and 2 share a 10-word sentence → 3 consecutive dup 8-grams
+    // (positions 1..3 of the shared region); doc 3 is unrelated; doc 4 is
+    // shorter than k and must report (0, 0, 0)
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = Seq(
+      (1L, s"one two $shared"),
+      (2L, s"$shared tail1 tail2"),
+      (3L, "completely different words with no overlap at all here today"),
+      (4L, "too short")).toDF("doc_id", "text")
+    val out = TextOps.spanDedup(df, "doc_id", "text", k = 8, minDocs = 2L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 1: 12 words → 5 spans; the shared 10-word block starts at word 3
+    // → its 3 8-grams are dup and consecutive
+    assert(out(1L) == ((5L, 3L, 3L)))
+    // doc 2: 12 words → 5 spans; shared block at words 1..10 → 3 dup spans
+    assert(out(2L) == ((5L, 3L, 3L)))
+    assert(out(3L) == ((3L, 0L, 0L)))
+    assert(out(4L) == ((0L, 0L, 0L)))
+  }
+
+  test("spanDedup: within-doc repeats don't count as cross-doc duplication") {
+    val rep = "r1 r2 r3 r4 r5 r6 r7 r8"
+    val df = Seq(
+      (1L, s"$rep filler $rep"), // the same 8-gram twice in ONE doc
+      (2L, "nothing in common with anything else in this tiny corpus"))
+      .toDF("doc_id", "text")
+    val out = TextOps.spanDedup(df, "doc_id", "text", k = 8, minDocs = 2L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) == 0L && out(2L) == 0L)
+  }
+}
+
+class TfidfSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("tfidfTopTerms: rare high-tf terms outrank common ones; ties cut by word asc") {
+    val df = Seq(
+      (1L, "rare rare rare common shared"),
+      (2L, "common common other shared"),
+      (3L, "common else again shared")).toDF("doc_id", "text")
+    val out = TextOps.tfidfTopTerms(df, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    // doc 1: "rare" tf=3 df=1 → 3*3/1=9; "common" tf=1 df=3 → 1; "shared"
+    // tf=1 df=3 → 1 — tie with common, word asc puts "common" second
+    assert(out((1L, 1L)) == (("rare", 3L, 1L, 9.0)))
+    assert(out((1L, 2L)) == (("common", 1L, 3L, 1.0)))
+    // doc 2: "common" tf=2 df=3 → 2; "other" tf=1 df=1 → 3 wins rank 1
+    assert(out((2L, 1L)) == (("other", 1L, 1L, 3.0)))
+    assert(out((2L, 2L)) == (("common", 2L, 3L, 2.0)))
+  }
+}
+
 class SamplingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -186,6 +247,35 @@ class SamplingSpec extends AnyFunSuite {
     Seq(3L, 4L).foreach { id =>
       assert(out(id) == ("B", 10L, h(id) < 5000L))
     }
+  }
+
+  test("shardPlan: layout is a pure function of identity — partitioning-invariant") {
+    val df = (1L to 200L).map(i => (i, s"tok${i % 7} body text")).toDF("doc_id", "text")
+    val a = Sampling.shardPlan(df, "doc_id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = Sampling.shardPlan(df.repartition(13, col("doc_id")), "doc_id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == b, "shard/seq changed under a different input partitioning")
+    assert(a.size == 200)
+    // seq is contiguous 1..n within each shard
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).toSeq.sorted == (1L to rows.size).toSeq)
+    }
+  }
+
+  test("writeShards: one directory per shard, content matches shardPlan") {
+    val df = (1L to 100L).map(i => (i, s"body $i")).toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("shards").toString
+    Sampling.writeShards(df, "doc_id", "text", 4, out)
+    val back = spark.read.parquet(out)
+    val gotShards = back.select(col("doc_id"), col("shard").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plan = Sampling.shardPlan(df, "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotShards == plan)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("shard=")).sorted
+    assert(dirs.length == plan.values.toSet.size)
   }
 }
 
@@ -328,6 +418,40 @@ class AnnSpec extends AnyFunSuite {
     // and the LSH tier genuinely fires: same-bucket exact pairs survive
     val sameBucket = exact.filter { case (a, b) => buckets(a) == buckets(b) }
     assert(cappedRows.map(r => (r.getLong(0), r.getLong(1))).toSet == sameBucket)
+  }
+
+  test("semantic dedup: clusters equal a plain-Scala closure of within-cell pairs") {
+    val e = Ann.withQuantized(emb, "embedding")
+    val corpus = e.select(col("vec_id").as("nid"), col("vq"), col("norm2"))
+    val cent = Ann.kmeansCentroids(corpus, step = 25, iters = 2)
+    val mem = Ann.withCells(corpus, cent)
+    assert(mem.count() == corpus.count(), "a vector lost or duplicated by cell tagging")
+
+    // independent truth, computed OFF Spark: pairwise integer cosine among
+    // same-cell vectors, then union-find closure with min-id labels
+    val rows = mem.select(col("nid"), col("cell"), col("vq"), col("norm2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Long](2).toArray, r.getLong(3)))
+    val parent = scala.collection.mutable.Map(rows.map(r => r._1 -> r._1): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for {
+      (ia, ca, va, na) <- rows; (ib, cb, vb, nb) <- rows
+      if ia < ib && ca == cb
+    } {
+      val dp = va.zip(vb).map { case (x, y) => x * y }.sum
+      val cos = dp.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+      if (cos >= 0.35) {
+        val (ra, rb) = (find(ia), find(ib))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    val truth = rows.map(r => r._1 -> find(r._1)).toMap
+
+    val pairs = Ann.nearDupPairs(mem.withColumnRenamed("nid", "id"), "id", "cell", 0.35)
+    val got = Clusters.dedupClusters(
+        emb.select(col("vec_id")), "vec_id", pairs, "id_a", "id_b")
+      .select(col("vec_id"), col("cluster_id")).as[(Long, Long)].collect().toMap
+    assert(got == truth)
   }
 }
 
