@@ -2869,6 +2869,15 @@ object SparkEntry {
       llm.Sampling.shardPlan(t(s, dir, "documents"), "doc_id", "text", 8)
     }),
 
+    // Per-source corpus profile: doc/token counts, exact disc percentiles
+    // computed off the length HISTOGRAM (no per-source window over docs —
+    // sources are low-cardinality, a raw-rank window would straggle), and
+    // per-source distinct vocabulary.
+    "llm_corpus_profile" -> ((s, dir) => {
+      llm.TextOps.corpusProfile(t(s, dir, "documents"), "doc_id", "text",
+        "source")
+    }),
+
     // S2b — stateful streaming reduction via mapGroupsWithState: the
     // EARLIEST event per user by (event time, event id). Unlike
     // arrival-order first-wins, the fold is deterministic across
@@ -3991,19 +4000,27 @@ object SparkEntry {
         |SELECT comp.vec_id, comp.cluster_id, sz.cluster_size,
         |  comp.vec_id = comp.cluster_id AS is_canonical
         |FROM comp JOIN sz USING (cluster_id)""".stripMargin,
-    // llm_span_dedup oracle: positional 8-grams (1-based subscripts — only
-    // run LENGTHS are compared, so the base offset cancels), corpus
-    // document frequency on the shared 60-bit hash, gaps-and-islands runs
+    // llm_span_dedup oracle: positional 8-gram keys re-derived via the
+    // Σ-form of the dual-modulus rolling hash (per-word md5 → polynomial
+    // combination with interpolated power tables — independent of the
+    // engine's O(1) recurrence), then corpus document frequency and
+    // gaps-and-islands runs. 1-based subscripts: only run LENGTHS are
+    // compared, so the base offset cancels.
     "llm_span_dedup" ->
-      """WITH s AS (SELECT doc_id, text
+      s"""WITH s AS (SELECT doc_id, text
         |    || CASE WHEN doc_id % 5 = 0 THEN ' the quick brown fox jumps over the lazy dog again' ELSE '' END
         |    || CASE WHEN doc_id % 7 = 0 THEN ' all rights reserved this document is provided without any warranty' ELSE '' END AS t2
         |  FROM documents),
         |w AS (SELECT doc_id, string_split(lower(t2), ' ') AS ws FROM s),
-        |gl AS (SELECT doc_id, CASE WHEN len(ws) < 8 THEN CAST([] AS VARCHAR[])
-        |  ELSE list_transform(generate_series(1, len(ws)-7), i -> array_to_string(ws[i:i+7], ' ')) END AS gs FROM w),
-        |g AS (SELECT doc_id, generate_subscripts(gs, 1) AS pos,
-        |    CAST(('0x' || substr(md5(unnest(gs)), 1, 15)) AS BIGINT) AS h FROM gl),
+        |wh AS (SELECT doc_id, list_transform(ws, x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)) AS wh FROM w),
+        |pw AS (SELECT [${plans.RollingGrams.powTable(plans.RollingGrams.B1, 8, plans.RollingGrams.P1).mkString(", ")}] AS pw1,
+        |    [${plans.RollingGrams.powTable(plans.RollingGrams.B2, 8, plans.RollingGrams.P2).mkString(", ")}] AS pw2),
+        |gl AS (SELECT doc_id, CASE WHEN len(wh) < 8 THEN CAST([] AS BIGINT[])
+        |  ELSE list_transform(generate_series(1, len(wh)-7), i ->
+        |    (list_sum(list_transform(generate_series(0, 7), j -> ((wh[i+j] % ${plans.RollingGrams.P1}) * pw1[j+1]) % ${plans.RollingGrams.P1})) % ${plans.RollingGrams.P1}) * ${plans.RollingGrams.P2}
+        |  + (list_sum(list_transform(generate_series(0, 7), j -> ((wh[i+j] % ${plans.RollingGrams.P2}) * pw2[j+1]) % ${plans.RollingGrams.P2})) % ${plans.RollingGrams.P2})) END AS gs
+        |  FROM wh CROSS JOIN pw),
+        |g AS (SELECT doc_id, generate_subscripts(gs, 1) AS pos, unnest(gs) AS h FROM gl),
         |dupg AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
         |d AS (SELECT doc_id, pos FROM g SEMI JOIN dupg USING (h)),
         |runs AS (SELECT doc_id, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM d),
@@ -4026,6 +4043,26 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY id ORDER BY score DESC, word ASC) AS rank FROM sc)
         |SELECT id AS doc_id, CAST(rank AS BIGINT) AS rank, word, tf, df, score
         |FROM r WHERE rank <= 3""".stripMargin,
+    "llm_corpus_profile" ->
+      """WITH t2 AS (SELECT source, doc_id, string_split(lower(text), ' ') AS ws,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM t2 GROUP BY source),
+        |hist AS (SELECT source, n_tokens, count(*) AS c FROM t2 GROUP BY source, n_tokens),
+        |cum AS (SELECT source, n_tokens,
+        |    sum(c) OVER (PARTITION BY source ORDER BY n_tokens) AS cum FROM hist),
+        |j AS (SELECT cum.source, cum.n_tokens, cum.cum, cnt.n_docs FROM cum JOIN cnt USING (source)),
+        |p AS (SELECT source,
+        |    min(CASE WHEN cum >= (n_docs - 1) * 5000 // 10000 + 1 THEN n_tokens END) AS p50_tokens,
+        |    min(CASE WHEN cum >= (n_docs - 1) * 9000 // 10000 + 1 THEN n_tokens END) AS p90_tokens,
+        |    min(CASE WHEN cum >= (n_docs - 1) * 9900 // 10000 + 1 THEN n_tokens END) AS p99_tokens
+        |  FROM j GROUP BY source),
+        |v AS (SELECT source, CAST(count(*) AS BIGINT) AS vocab_size FROM
+        |  (SELECT DISTINCT source, unnest(ws) AS w FROM t2) WHERE len(w) > 0 GROUP BY source)
+        |SELECT cnt.source, cnt.n_docs, cnt.total_tokens,
+        |  CAST(cnt.total_tokens AS DOUBLE) / cnt.n_docs AS mean_tokens,
+        |  p.p50_tokens, p.p90_tokens, p.p99_tokens, v.vocab_size
+        |FROM cnt JOIN p USING (source) JOIN v USING (source)""".stripMargin,
     "llm_shard_plan" ->
       """WITH h AS (SELECT doc_id,
         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hh,

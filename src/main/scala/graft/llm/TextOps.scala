@@ -401,12 +401,15 @@ object TextOps {
     * max_dup_run); docs shorter than `k` words report zero spans.
     *
     * Scale, 100 TB shape:
-    * - Positional grams never materialize per-document arrays beyond the
-    *   row's own token list; the corpus-wide frequency count shuffles the
-    *   60-bit gram HASH (8 bytes, the shared [[h64]] recipe), not the
-    *   gram string, and partial aggregation collapses within-partition
-    *   repeats (boilerplate grams are exactly the heavy hitters) before
-    *   the exchange.
+    * - Gram keys come from the native [[graft.plans.RollingGrams]]
+    *   dual-modulus rolling hash over per-WORD [[h64]] hashes: each word
+    *   is md5-hashed once, then every k-gram key is O(1) long arithmetic
+    *   — no gram strings are ever materialized (the
+    *   `md5(concat_ws(slice(...)))` form re-copies ~k words of text per
+    *   position). The frequency count shuffles the 8-byte key, and
+    *   partial aggregation collapses within-partition repeats
+    *   (boilerplate grams are exactly the heavy hitters) before the
+    *   exchange.
     * - The duplicated-gram set is the join key back to positions — a
     *   plain shuffle join on the same hash; AQE's skew split handles the
     *   one mega-gram every web crawl has.
@@ -420,13 +423,13 @@ object TextOps {
     val base = df.select(col(idCol).as("id"), words(textCol).as("ws"))
       .withColumn("n_spans",
         greatest(size(col("ws")).cast("long") - (k - 1), lit(0L)))
-    // positional k-grams (0-based pos; only run LENGTHS are emitted, so
-    // the base offset cancels against the oracle's 1-based subscripts)
+    // positional k-gram keys (0-based pos; only run LENGTHS are emitted,
+    // so the base offset cancels against the oracle's 1-based subscripts)
     val grams = base.filter(col("n_spans") > 0)
-      .select(col("id"), posexplode(expr(
-        s"transform(sequence(1, size(ws) - ${k - 1}), i -> concat_ws(' ', slice(ws, i, $k)))"))
-        .as(Seq("pos", "g")))
-      .withColumn("h", h64c(col("g"))).drop("g")
+      .withColumn("wh", expr(s"transform(ws, w -> ${h64("w")})"))
+      .select(col("id"),
+        posexplode(graft.plans.RollingGrams.rollingGrams(col("wh"), k))
+          .as(Seq("pos", "h")))
     val dupGrams = grams.groupBy(col("h"))
       .agg(countDistinct(col("id")).as("__nd"))
       .filter(col("__nd") >= minDocs)
@@ -498,6 +501,49 @@ object TextOps {
       .orderBy(col("n_occurrences").desc, col("word").asc)
       .limit(topK)
       .select(col("word"), col("n_occurrences"), col("n_docs"))
+  }
+
+  /** Per-source corpus profile: document counts, token totals and mean,
+    * exact DISC percentiles of document length, and per-source distinct
+    * vocabulary — the data-audit table a curation run publishes.
+    *
+    * Percentiles are EXACT and engine-portable: the element at 1-based
+    * rank `(n−1)·p/10000 + 1` of the sorted lengths (disc, no
+    * interpolation — interpolated quantiles differ between engines in the
+    * last ulp because the interpolation formula's operation ORDER is not
+    * standardized). Computed over the length HISTOGRAM, not a per-source
+    * window over documents: sources are a low-cardinality key, so ranking
+    * raw docs would put an entire source's corpus in one window partition
+    * (a straggler at scale), while the histogram compresses to
+    * |distinct lengths| rows per source before any window runs.
+    */
+  def corpusProfile(df: DataFrame, idCol: String, textCol: String,
+      srcCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.select(col(srcCol).as("source"), words(textCol).as("ws"))
+      .withColumn("n_tokens", size(col("ws")).cast("long"))
+    val counts = tok.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+    val hist = tok.groupBy(col("source"), col("n_tokens"))
+      .agg(count(lit(1)).as("c"))
+    val wc = Window.partitionBy(col("source")).orderBy(col("n_tokens"))
+    val cum = hist.withColumn("cum", sum(col("c")).over(wc))
+      .join(counts.select(col("source"), col("n_docs")), Seq("source"))
+    val pctCols = Seq(5000L -> "p50_tokens", 9000L -> "p90_tokens",
+      9900L -> "p99_tokens").map { case (bp, name) =>
+        min(when(col("cum") >= expr(s"(n_docs - 1) * $bp div 10000 + 1"),
+          col("n_tokens"))).as(name)
+      }
+    val pcts = cum.groupBy(col("source")).agg(pctCols.head, pctCols.tail: _*)
+    val vocab = tok.select(col("source"), explode(col("ws")).as("word"))
+      .filter(length(col("word")) > 0).distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("vocab_size"))
+    counts.join(pcts, Seq("source")).join(vocab, Seq("source"))
+      .withColumn("mean_tokens",
+        col("total_tokens").cast("double") / col("n_docs"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("mean_tokens"), col("p50_tokens"), col("p90_tokens"),
+        col("p99_tokens"), col("vocab_size"))
   }
 
   /** Per-document top-`topK` keyword terms by tf·(N/df) — the corpus-

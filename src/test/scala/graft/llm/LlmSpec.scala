@@ -221,6 +221,30 @@ class TfidfSpec extends AnyFunSuite {
   }
 }
 
+class CorpusProfileSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("corpusProfile: exact disc percentiles, vocab, and means per source") {
+    val a = Seq("a b", "a b c d", "a b c d e f", "a b c d e f g h",
+      "a b c d e f g h i j")
+    val df = (a.zipWithIndex.map { case (t, i) => (i.toLong, "A", t) } :+
+      ((99L, "B", "x y z"))).toDF("doc_id", "source", "text")
+    val out = TextOps.corpusProfile(df, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val ra = out("A")
+    // lengths 2,4,6,8,10: p50 rank (4*0.5)+1=3 → 6; p90/p99 rank 4 → 8
+    assert(ra.getLong(1) == 5L && ra.getLong(2) == 30L)
+    assert(ra.getDouble(3) == 6.0)
+    assert((ra.getLong(4), ra.getLong(5), ra.getLong(6)) == ((6L, 8L, 8L)))
+    assert(ra.getLong(7) == 10L)
+    val rb = out("B")
+    assert(rb.getLong(1) == 1L && rb.getLong(2) == 3L && rb.getDouble(3) == 3.0)
+    assert((rb.getLong(4), rb.getLong(5), rb.getLong(6)) == ((3L, 3L, 3L)))
+    assert(rb.getLong(7) == 3L)
+  }
+}
+
 class SamplingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._

@@ -78,4 +78,28 @@ class NativeExprPropertySpec extends AnyFunSuite {
       .filter(!(col("native") <=> col("composed"))).count()
     assert(bad == 0L)
   }
+
+  test("rolling_grams O(1) recurrence ≡ Σ-form polynomial on 300 random word-hash arrays") {
+    import RollingGrams.{P1, P2, B1, B2, powTable}
+    val k = 8
+    val (pw1, pw2) = (powTable(B1, k, P1), powTable(B2, k, P2))
+    def sigma(wh: Seq[Long]): Seq[Long] =
+      if (wh.length < k) Seq.empty
+      else (0 to wh.length - k).map { i =>
+        val h1 = (0 until k).map(j => (wh(i + j) % P1) * pw1(j) % P1).sum % P1
+        val h2 = (0 until k).map(j => (wh(i + j) % P2) * pw2(j) % P2).sum % P2
+        h1 * P2 + h2
+      }
+    // h64 range (60-bit positive) plus shorter-than-k and empty edges
+    val rows = ((1 to 300).map { _ =>
+      Tuple1(Seq.fill(rnd.nextInt(40))(math.abs(rnd.nextLong()) % (1L << 60)))
+    } :+ Tuple1(Seq.empty[Long]))
+    val df = rows.toDF("wh")
+    val got = df.select(col("wh"),
+        RollingGrams.rollingGrams(col("wh"), k).as("native"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[Long](1) == sigma(r.getSeq[Long](0)))
+    }
+  }
 }
