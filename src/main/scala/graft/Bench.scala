@@ -41,7 +41,8 @@ object Bench {
     "llm_line_dedup", "llm_decontaminate", "llm_seq_pack",
     "llm_vocab_census", "llm_domain_mix",
     "llm_semantic_dedup", "llm_span_dedup", "llm_tfidf_terms",
-    "llm_shard_plan", "llm_corpus_profile",
+    "llm_shard_plan", "llm_corpus_profile", "llm_source_overlap",
+    "llm_stream_dedup",
     "s2_stream_agg", "s2b_stream_state")
 
   def main(args: Array[String]): Unit = {

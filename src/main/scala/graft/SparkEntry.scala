@@ -2878,6 +2878,44 @@ object SparkEntry {
         "source")
     }),
 
+    // Cross-source duplication matrix: which feeds duplicate each other —
+    // banded MinHash pairs (no all-pairs) joined back to doc→source,
+    // least/greatest canonicalizes to the upper triangle.
+    "llm_source_overlap" -> ((s, dir) => {
+      llm.TextOps.sourceOverlap(t(s, dir, "documents"), "doc_id", "text",
+        "source", threshold = 0.5)
+    }),
+
+    // Streaming ingest dedup: content-hash keyed min-id fold via
+    // flatMapGroupsWithState — first-crawled copy wins, re-crawls drop.
+    // A deterministic re-crawl is salted in (every doc_id%10=3 re-arrives
+    // under id+1000000 through a self-union of the stream), and the
+    // update-mode sink is folded to the per-key minimum so the result is
+    // micro-batch-boundary-proof and equals SQL min(id) GROUP BY hash.
+    "llm_stream_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val stream = s.readStream
+        .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+        .select(col("doc_id"), col("text"))
+      val recrawl = stream.filter(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val keyed = stream.unionByName(recrawl)
+        .select(llm.TextOps.h64c(col("text")).as("_1"), col("doc_id").as("_2"))
+        .as[(Long, Long)]
+      val q = streaming.StreamOps.minIdPerKey(keyed)
+        .writeStream.format("memory").queryName("llm_stream_dedup_out")
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      s.table("llm_stream_dedup_out")
+        .groupBy(col("key").as("content_hash"))
+        .agg(min(col("min_id")).as("first_doc_id"))
+        .select(col("content_hash"), col("first_doc_id"))
+    }),
+
     // S2b — stateful streaming reduction via mapGroupsWithState: the
     // EARLIEST event per user by (event time, event id). Unlike
     // arrival-order first-wins, the fold is deterministic across
@@ -4043,6 +4081,47 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY id ORDER BY score DESC, word ASC) AS rank FROM sc)
         |SELECT id AS doc_id, CAST(rank AS BIGINT) AS rank, word, tf, df, score
         |FROM r WHERE rank <= 3""".stripMargin,
+    // llm_source_overlap oracle: independent re-derivation of the banded
+    // MinHash pair pipeline (same CTE chain as llm_dedup_clusters), then
+    // the doc→source join and canonicalized pair counting
+    "llm_source_overlap" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN CAST([] AS VARCHAR[])
+        |  ELSE list_distinct(list_transform(generate_series(1, len(ws)-2),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS shingles FROM w),
+        |hs AS (SELECT doc_id, shingles,
+        |  list_transform(shingles, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS shash
+        |  FROM sh WHERE len(shingles) > 0),
+        |sig AS (SELECT doc_id, shingles, list_transform(generate_series(0, 31), i ->
+        |  list_min(list_transform(shash, h ->
+        |    ((CAST(('0x' || substr(md5('a' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000006 + 1)
+        |      * (h % 1000000007)
+        |     + CAST(('0x' || substr(md5('b' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000007) % 1000000007))) AS sig
+        |  FROM hs),
+        |bands AS (SELECT doc_id, shingles, b AS band_id,
+        |  md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS band_key
+        |  FROM sig, (SELECT unnest(generate_series(0, 7)) AS b)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.shingles, c.shingles)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.shingles, c.shingles))) AS jaccard
+        |  FROM bands a JOIN bands c
+        |    ON a.band_id = c.band_id AND a.band_key = c.band_key AND a.doc_id < c.doc_id),
+        |pairs AS (SELECT id_a, id_b FROM cand WHERE jaccard >= 0.5),
+        |ps AS (SELECT least(da.source, db.source) AS source_a,
+        |    greatest(da.source, db.source) AS source_b
+        |  FROM pairs p JOIN documents da ON p.id_a = da.doc_id
+        |    JOIN documents db ON p.id_b = db.doc_id)
+        |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM ps GROUP BY source_a, source_b""".stripMargin,
+    // llm_stream_dedup oracle: the streaming min-fold must equal plain
+    // min(id) per content hash over the salted union
+    "llm_stream_dedup" ->
+      """WITH all_docs AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 3),
+        |k AS (SELECT CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS content_hash,
+        |    doc_id FROM all_docs)
+        |SELECT content_hash, CAST(min(doc_id) AS BIGINT) AS first_doc_id
+        |FROM k GROUP BY content_hash""".stripMargin,
     "llm_corpus_profile" ->
       """WITH t2 AS (SELECT source, doc_id, string_split(lower(text), ' ') AS ws,
         |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens FROM documents),

@@ -503,6 +503,27 @@ object TextOps {
       .select(col("word"), col("n_occurrences"), col("n_docs"))
   }
 
+  /** Cross-source duplication matrix: near-dup pair counts keyed by the
+    * (unordered) source pair — the audit that tells a curation run WHICH
+    * feeds duplicate each other (mirror crawls, syndicated content)
+    * versus which only self-duplicate. Rides the banded MinHash pair
+    * pipeline, so no all-pairs work; the pair list joins back to the
+    * doc→source map on the high-cardinality id, and least/greatest
+    * canonicalizes the matrix to its upper triangle.
+    */
+  def sourceOverlap(df: DataFrame, idCol: String, textCol: String,
+      srcCol: String, threshold: Double): DataFrame = {
+    val pairs = minhashNearDups(df, idCol, textCol, threshold = threshold)
+    val src = df.select(col(idCol).as("__sid"), col(srcCol).as("__src"))
+    pairs
+      .join(src.select(col("__sid").as("id_a"), col("__src").as("sa")), Seq("id_a"))
+      .join(src.select(col("__sid").as("id_b"), col("__src").as("sb")), Seq("id_b"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Per-source corpus profile: document counts, token totals and mean,
     * exact DISC percentiles of document length, and per-source distinct
     * vocabulary — the data-audit table a curation run publishes.

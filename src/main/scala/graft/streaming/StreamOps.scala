@@ -118,6 +118,35 @@ object StreamOps {
       }
   }
 
+  case class KeyMin(key: Long, min_id: Long)
+
+  /** Deterministic streaming min-fold: the smallest id per key across all
+    * micro-batches — the stateful core of streaming ingest DEDUP (key =
+    * content hash, id = doc id: the first-crawled copy wins, re-crawls
+    * drop). Same update-mode improvement contract as
+    * [[firstEventPerKey]]: a batch that doesn't improve a key's minimum
+    * emits nothing, so the result is independent of micro-batch
+    * boundaries and arrival order — exactly SQL `min(id) GROUP BY key`,
+    * hence oracle-checkable. State is one long per key; a continuous
+    * deployment would add the event-time timeout of
+    * [[firstEventPerKeyExpiring]].
+    */
+  def minIdPerKey(input: Dataset[(Long, Long)]): Dataset[KeyMin] = {
+    import input.sparkSession.implicits._
+    input.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, KeyMin](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[Long]) =>
+          val m = rows.map(_._2).min
+          val improved = state.getOption match {
+            case Some(c) if c <= m => None
+            case _ => Some(KeyMin(key, m))
+          }
+          improved.foreach(km => state.update(km.min_id))
+          improved.iterator
+      }
+  }
+
   case class EventT(user_id: Long, ts: Long, event_id: Long, event_type: String,
       event_time: java.sql.Timestamp)
 

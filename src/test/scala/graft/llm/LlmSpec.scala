@@ -221,6 +221,24 @@ class TfidfSpec extends AnyFunSuite {
   }
 }
 
+class SourceOverlapSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("sourceOverlap: pair counts land on canonicalized source pairs") {
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val t2 = "one two three four five six seven eight nine ten eleven"
+    val df = Seq(
+      (1L, "A", t1), (2L, "B", t1), // cross-source dup → (A,B)
+      (3L, "A", t2), (4L, "A", t2), // self-dup → (A,A)
+      (5L, "C", "nothing like the others at all in any way here now"))
+      .toDF("doc_id", "source", "text")
+    val out = TextOps.sourceOverlap(df, "doc_id", "text", "source", 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(("A", "B") -> 1L, ("A", "A") -> 1L))
+  }
+}
+
 class CorpusProfileSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._

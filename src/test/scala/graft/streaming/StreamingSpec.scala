@@ -98,6 +98,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(all.contains(StreamOps.FirstEvent(2L, 100L, 3L, "only")))
   }
 
+  test("minIdPerKey: min survives batch boundaries; non-improving batches emit nothing") {
+    val dir = Files.createTempDirectory("graft-stream-dedup").toString
+    // batch 1: key 10 seen at id 5; batch 2: a SMALLER id arrives (emit);
+    // batch 3: a larger id (silent)
+    Files.writeString(java.nio.file.Paths.get(dir, "a.tsv"), "k\tid\n10\t5\n20\t9\n")
+    Thread.sleep(20)
+    Files.writeString(java.nio.file.Paths.get(dir, "b.tsv"), "k\tid\n10\t2\n")
+    Thread.sleep(20)
+    Files.writeString(java.nio.file.Paths.get(dir, "c.tsv"), "k\tid\n10\t8\n20\t9\n")
+    val input = spark.readStream
+      .schema(StructType.fromDDL("k LONG, id LONG"))
+      .option("sep", "\t").option("header", true)
+      .option("maxFilesPerTrigger", 1)
+      .csv(dir).as[(Long, Long)]
+    val q = StreamOps.minIdPerKey(input)
+      .writeStream.format("memory").queryName("min_id_spec")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val all = spark.table("min_id_spec").as[StreamOps.KeyMin].collect()
+    // key 10: initial 5 then improvement 2 (batch 3's id 8 is silent);
+    // key 20: exactly once despite appearing in two batches
+    assert(all.filter(_.key == 10L).map(_.min_id).sorted.toSeq == Seq(2L, 5L))
+    assert(all.filter(_.key == 20L).map(_.min_id).toSeq == Seq(9L))
+    // folded sink == SQL min per key
+    val folded = all.groupBy(_.key).view.mapValues(_.map(_.min_id).min).toMap
+    assert(folded == Map(10L -> 2L, 20L -> 9L))
+  }
+
   test("firstEventPerKeyExpiring: in-window results match the unexpiring variant") {
     // same 3-batch improvement scenario as the NoTimeout spec, ttl large
     // enough that nothing retires — outputs must be identical
