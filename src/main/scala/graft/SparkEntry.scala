@@ -2878,6 +2878,22 @@ object SparkEntry {
         "source")
     }),
 
+    // Product quantization: per-subspace deterministic k-means codebooks
+    // (same training as llm_ann_ivf, on vector halves), code-pair encode,
+    // and the exact reconstruction cosine as the storage honesty metric.
+    "llm_pq_encode" -> ((s, dir) => {
+      val e = llm.Ann.withQuantized(t(s, dir, "embeddings"), "embedding")
+      val corpus = e.select(col("vec_id").as("nid"), col("vq"), col("norm2"))
+      llm.Ann.pqEncode(corpus, step = 25, iters = 2)
+    }),
+
+    // BPE merge-pair statistics: the corpus-weighted adjacent-char-pair
+    // counts tokenizer training maximizes — top-32, counted over the
+    // vocab-sized word-frequency table, never the raw token stream.
+    "llm_bpe_pairs" -> ((s, dir) => {
+      llm.TextOps.bpePairStats(t(s, dir, "documents"), "doc_id", "text", 32)
+    }),
+
     // Cross-source duplication matrix: which feeds duplicate each other —
     // banded MinHash pairs (no all-pairs) joined back to doc→source,
     // least/greatest canonicalizes to the upper triangle.
@@ -4081,6 +4097,62 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY id ORDER BY score DESC, word ASC) AS rank FROM sc)
         |SELECT id AS doc_id, CAST(rank AS BIGINT) AS rank, word, tf, df, score
         |FROM r WHERE rank <= 3""".stripMargin,
+    // llm_pq_encode oracle: BOTH subspace codebooks replayed in one CTE
+    // chain over a `sub` dimension (training math is independent per
+    // subspace, so partitioned training ≡ separate trainings), then the
+    // code join and exact reconstruction cosine
+    "llm_pq_encode" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS fq FROM embeddings),
+        |fn AS (SELECT vec_id, CAST(list_sum(list_transform(fq, x -> x * x)) AS BIGINT) AS fnorm FROM e),
+        |hv AS (SELECT vec_id, 0 AS sub, fq[1:len(fq)//2] AS vq FROM e
+        |  UNION ALL SELECT vec_id, 1 AS sub, fq[len(fq)//2+1:len(fq)] AS vq FROM e),
+        |en AS (SELECT vec_id, sub, vq, CAST(list_sum(list_transform(vq, x -> x * x)) AS BIGINT) AS norm2 FROM hv),
+        |cent0 AS (SELECT sub, vec_id AS cid, vq AS cv, norm2 AS cn FROM en WHERE vec_id % 25 = 0),
+        |a1 AS (SELECT en.vec_id, en.sub, cent0.cid,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(vq)), i -> vq[i] * cv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS ccos
+        |  FROM en JOIN cent0 ON en.sub = cent0.sub),
+        |r1 AS (SELECT vec_id, sub, cid, row_number() OVER (PARTITION BY sub, vec_id ORDER BY ccos DESC, cid ASC) AS rn FROM a1),
+        |asg1 AS (SELECT vec_id AS nid, sub, cid AS cell FROM r1 WHERE rn = 1),
+        |u1 AS (SELECT asg1.sub, asg1.cell, unnest(vq) AS v, generate_subscripts(vq, 1) AS d
+        |  FROM en JOIN asg1 ON en.vec_id = asg1.nid AND en.sub = asg1.sub),
+        |m1 AS (SELECT sub, cell, d, CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS vc FROM u1 GROUP BY sub, cell, d),
+        |cent1 AS (SELECT sub, cell AS cid, list(vc ORDER BY d) AS cv FROM m1 GROUP BY sub, cell),
+        |cent1n AS (SELECT sub, cid, cv, CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cn FROM cent1),
+        |a2 AS (SELECT en.vec_id, en.sub, cent1n.cid,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(vq)), i -> vq[i] * cv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS ccos
+        |  FROM en JOIN cent1n ON en.sub = cent1n.sub),
+        |r2 AS (SELECT vec_id, sub, cid, row_number() OVER (PARTITION BY sub, vec_id ORDER BY ccos DESC, cid ASC) AS rn FROM a2),
+        |asg2 AS (SELECT vec_id AS nid, sub, cid AS cell FROM r2 WHERE rn = 1),
+        |u2 AS (SELECT asg2.sub, asg2.cell, unnest(vq) AS v, generate_subscripts(vq, 1) AS d
+        |  FROM en JOIN asg2 ON en.vec_id = asg2.nid AND en.sub = asg2.sub),
+        |m2 AS (SELECT sub, cell, d, CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS vc FROM u2 GROUP BY sub, cell, d),
+        |cent2 AS (SELECT sub, cell AS cid, list(vc ORDER BY d) AS cv FROM m2 GROUP BY sub, cell),
+        |cent AS (SELECT sub, cid, cv, CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cn FROM cent2),
+        |af AS (SELECT en.vec_id, en.sub, cent.cid, cent.cn,
+        |    CAST(list_sum(list_transform(generate_series(1, len(vq)), i -> vq[i] * cv[i])) AS BIGINT) AS dpv,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(vq)), i -> vq[i] * cv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS ccos
+        |  FROM en JOIN cent ON en.sub = cent.sub),
+        |rf AS (SELECT vec_id, sub, cid, cn, dpv,
+        |    row_number() OVER (PARTITION BY sub, vec_id ORDER BY ccos DESC, cid ASC) AS rn FROM af),
+        |sel AS (SELECT vec_id, sub, cid, cn, dpv FROM rf WHERE rn = 1),
+        |p AS (SELECT s0.vec_id, s0.cid AS code0, s1.cid AS code1,
+        |    s0.dpv + s1.dpv AS dp, s0.cn + s1.cn AS cnsum
+        |  FROM sel s0 JOIN sel s1 ON s0.vec_id = s1.vec_id AND s0.sub = 0 AND s1.sub = 1)
+        |SELECT p.vec_id, p.code0, p.code1,
+        |  CAST(p.dp AS DOUBLE) / (sqrt(CAST(fn.fnorm AS DOUBLE)) * sqrt(CAST(p.cnsum AS DOUBLE))) AS recon_cos
+        |FROM p JOIN fn ON p.vec_id = fn.vec_id""".stripMargin,
+    "llm_bpe_pairs" ->
+      """WITH wf AS (SELECT word, count(*) AS wc FROM
+        |  (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+        |  WHERE len(word) > 1 GROUP BY word),
+        |pr AS (SELECT unnest(list_transform(generate_series(1, len(word) - 1),
+        |    i -> substr(word, i, 2))) AS pair, wc FROM wf),
+        |agg AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS n_occurrences FROM pr GROUP BY pair)
+        |SELECT pair, n_occurrences FROM agg
+        |ORDER BY n_occurrences DESC, pair ASC LIMIT 32""".stripMargin,
     // llm_source_overlap oracle: independent re-derivation of the banded
     // MinHash pair pipeline (same CTE chain as llm_dedup_clusters), then
     // the doc→source join and canonicalized pair counting

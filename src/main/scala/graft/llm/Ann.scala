@@ -261,6 +261,47 @@ object Ann {
       (col("n_hits").cast("double") / col("n_truth")).as("recall"))
   }
 
+  /** Product quantization (two subspaces): split each quantized vector
+    * into halves, train an INDEPENDENT deterministic k-means codebook per
+    * subspace ([[kmeansCentroids]] verbatim on the half-vectors), and
+    * encode every vector as its per-subspace nearest-centroid code pair —
+    * the storage layout that collapses a 100 TB embedding column to
+    * 2·log₂(k) bits per vector plus two small codebooks. `recon_cos`
+    * (exact cosine between the vector and its concatenated-centroid
+    * reconstruction: sub-dots and sub-norms ADD across subspaces) is the
+    * honesty metric — the PQ analogue of the ANN recall gate.
+    *
+    * Scale: each subspace's training is the audited k-means shape
+    * (broadcast centroids, partial-agg top-1 assign, (cell, dim) partial
+    * aggs); encode is two broadcast joins on codes keyed by the
+    * high-cardinality id. Nothing quadratic, nothing collected.
+    */
+  def pqEncode(corpus: DataFrame, step: Long, iters: Int = 2): DataFrame = {
+    def half(sliceExpr: String): DataFrame =
+      corpus.select(col("nid"), expr(sliceExpr).as("vq"))
+        .withColumn("norm2", dot("vq", "vq"))
+    def codes(sub: DataFrame, code: String, dp: String, cn: String): DataFrame = {
+      val cent = kmeansCentroids(sub, step, iters)
+      ivfAssign(sub.select(col("nid").as("id"), col("vq"), col("norm2")),
+          cent, nProbe = 1)
+        .select(col("id").as("nid"), col("cell").as(code))
+        .join(broadcast(cent.select(col("cid").as(code), col("cv"),
+          col("cn").as(cn))), Seq(code))
+        .join(sub.select(col("nid"), col("vq")), Seq("nid"))
+        .withColumn(dp, dot("vq", "cv"))
+        .select(col("nid"), col(code), col(dp), col(cn))
+    }
+    val c0 = codes(half("slice(vq, 1, size(vq) div 2)"), "code0", "dp0", "cn0")
+    val c1 = codes(half("slice(vq, size(vq) div 2 + 1, size(vq) - size(vq) div 2)"),
+      "code1", "dp1", "cn1")
+    corpus.join(c0, Seq("nid")).join(c1, Seq("nid"))
+      .withColumn("recon_cos", (col("dp0") + col("dp1")).cast("double") /
+        (sqrt(col("norm2").cast("double")) *
+          sqrt((col("cn0") + col("cn1")).cast("double"))))
+      .select(col("nid").as("vec_id"), col("code0"), col("code1"),
+        col("recon_cos"))
+  }
+
   /** Tag every corpus vector with its coarse k-means cell — the SemDeDup
     * blocking key. With trained centroids ([[kmeansCentroids]]) the cells
     * track the embedding distribution, so within-cell populations stay

@@ -503,6 +503,33 @@ object TextOps {
       .select(col("word"), col("n_occurrences"), col("n_docs"))
   }
 
+  /** BPE merge-pair statistics: corpus-weighted counts of adjacent
+    * character pairs inside words — the quantity byte-pair-encoding
+    * tokenizer training maximizes at every merge step (the top pair IS
+    * the next merge). One round is the demonstrable unit: subsequent
+    * rounds re-run the same plan over re-segmented words.
+    *
+    * Scale: pair counting never touches documents twice — it rides the
+    * word-frequency table (vocab-sized, the census shape), so a pair's
+    * weight is `Σ word_count` over words containing it: the explode is
+    * |vocab|·avg_word_len rows, not |corpus tokens|. Top-k is
+    * `TakeOrderedAndProject` with the (count desc, pair asc) tie-break
+    * pinned.
+    */
+  def bpePairStats(df: DataFrame, idCol: String, textCol: String,
+      topK: Int): DataFrame = {
+    val wordFreq = df.select(explode(words(textCol)).as("word"))
+      .filter(length(col("word")) > 1)
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+    wordFreq
+      .select(col("wc"), explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wc")).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair").asc)
+      .limit(topK)
+  }
+
   /** Cross-source duplication matrix: near-dup pair counts keyed by the
     * (unordered) source pair — the audit that tells a curation run WHICH
     * feeds duplicate each other (mirror crawls, syndicated content)

@@ -221,6 +221,24 @@ class TfidfSpec extends AnyFunSuite {
   }
 }
 
+class BpePairsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bpePairStats: weighted by word frequency, within-word repeats count") {
+    // wf: aa×2, ab×2, aaa×1 ("x" is single-char, filtered);
+    // "aa" pairs: 2 (from aa) + 2 (aaa has TWO aa windows) = 4; "ab": 2
+    val df = Seq((1L, "aa ab aa x"), (2L, "ab aaa")).toDF("doc_id", "text")
+    val out = TextOps.bpePairStats(df, "doc_id", "text", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("aa", 4L), ("ab", 2L)))
+    // the cut must be TakeOrderedAndProject, never a global sort
+    val plan = TextOps.bpePairStats(df, "doc_id", "text", 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+}
+
 class SourceOverlapSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -460,6 +478,29 @@ class AnnSpec extends AnyFunSuite {
     // and the LSH tier genuinely fires: same-bucket exact pairs survive
     val sameBucket = exact.filter { case (a, b) => buckets(a) == buckets(b) }
     assert(cappedRows.map(r => (r.getLong(0), r.getLong(1))).toSet == sameBucket)
+  }
+
+  test("pqEncode: codes come from the seed set, reconstruction cosine is honest") {
+    val e = Ann.withQuantized(emb, "embedding")
+    val corpus = e.select(col("vec_id").as("nid"), col("vq"), col("norm2"))
+    val out = Ann.pqEncode(corpus, step = 25, iters = 2)
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length == corpus.count())
+    // cell labels persist from the seed rule through training
+    val seeds = corpus.filter(col("nid") % 25 === 0)
+      .select("nid").as[Long].collect().toSet
+    rows.foreach { case (_, c0, c1, rc) =>
+      assert(seeds.contains(c0) && seeds.contains(c1))
+      assert(rc >= -1.0 && rc <= 1.0 + 1e-12)
+    }
+    // two-subspace reconstruction must carry real signal, not noise
+    val meanRecon = rows.map(_._4).sum / rows.length
+    assert(meanRecon > 0.3, s"mean reconstruction cosine $meanRecon")
+    // layout is a pure function of the data — partitioning-invariant
+    val again = Ann.pqEncode(corpus.repartition(7, col("nid")), step = 25, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSet == again.toSet)
   }
 
   test("semantic dedup: clusters equal a plain-Scala closure of within-cell pairs") {
