@@ -276,30 +276,83 @@ object Ann {
     * aggs); encode is two broadcast joins on codes keyed by the
     * high-cardinality id. Nothing quadratic, nothing collected.
     */
-  def pqEncode(corpus: DataFrame, step: Long, iters: Int = 2): DataFrame = {
-    def half(sliceExpr: String): DataFrame =
-      corpus.select(col("nid"), expr(sliceExpr).as("vq"))
-        .withColumn("norm2", dot("vq", "vq"))
-    def codes(sub: DataFrame, code: String, dp: String, cn: String): DataFrame = {
-      val cent = kmeansCentroids(sub, step, iters)
-      ivfAssign(sub.select(col("nid").as("id"), col("vq"), col("norm2")),
-          cent, nProbe = 1)
-        .select(col("id").as("nid"), col("cell").as(code))
-        .join(broadcast(cent.select(col("cid").as(code), col("cv"),
-          col("cn").as(cn))), Seq(code))
-        .join(sub.select(col("nid"), col("vq")), Seq("nid"))
-        .withColumn(dp, dot("vq", "cv"))
-        .select(col("nid"), col(code), col(dp), col(cn))
+  /** Half-split of a (id-col, vq, norm2) frame: the two PQ subspaces. */
+  private def pqHalf(df: DataFrame, idCol: String, sub: Int): DataFrame = {
+    val slice =
+      if (sub == 0) "slice(vq, 1, size(vq) div 2)"
+      else "slice(vq, size(vq) div 2 + 1, size(vq) - size(vq) div 2)"
+    df.select(col(idCol), expr(slice).as("vq"))
+      .withColumn("norm2", dot("vq", "vq"))
+  }
+
+  /** Codebooks + per-vector codes for both subspaces. Each element:
+    * (centroids (cid, cv, cn), codes (nid, code, dp, cn)).
+    */
+  private[llm] def pqParts(corpus: DataFrame, step: Long, iters: Int)
+      : Seq[(DataFrame, DataFrame)] =
+    Seq(0, 1).map { sub =>
+      val sf = pqHalf(corpus, "nid", sub)
+      val cent = kmeansCentroids(sf, step, iters)
+      val codes = ivfAssign(sf.select(col("nid").as("id"), col("vq"),
+          col("norm2")), cent, nProbe = 1)
+        .select(col("id").as("nid"), col("cell").as(s"code$sub"))
+        .join(broadcast(cent.select(col("cid").as(s"code$sub"), col("cv"),
+          col("cn").as(s"cn$sub"))), Seq(s"code$sub"))
+        .join(sf.select(col("nid"), col("vq")), Seq("nid"))
+        .withColumn(s"dp$sub", dot("vq", "cv"))
+        .select(col("nid"), col(s"code$sub"), col(s"dp$sub"), col(s"cn$sub"))
+      (cent, codes)
     }
-    val c0 = codes(half("slice(vq, 1, size(vq) div 2)"), "code0", "dp0", "cn0")
-    val c1 = codes(half("slice(vq, size(vq) div 2 + 1, size(vq) - size(vq) div 2)"),
-      "code1", "dp1", "cn1")
+
+  def pqEncode(corpus: DataFrame, step: Long, iters: Int = 2): DataFrame = {
+    val Seq((_, c0), (_, c1)) = pqParts(corpus, step, iters)
     corpus.join(c0, Seq("nid")).join(c1, Seq("nid"))
       .withColumn("recon_cos", (col("dp0") + col("dp1")).cast("double") /
         (sqrt(col("norm2").cast("double")) *
           sqrt((col("cn0") + col("cn1")).cast("double"))))
       .select(col("nid").as("vec_id"), col("code0"), col("code1"),
         col("recon_cos"))
+  }
+
+  /** PQ asymmetric-distance top-k: queries score the ENCODED corpus
+    * through per-subspace lookup tables — `LUT_s[qid, code] =
+    * dot(q_half_s, centroid)` — so scoring a corpus vector is two table
+    * lookups and an add, never a d-dimensional dot. approx_cos divides by
+    * the RECONSTRUCTION norm (√(cn0+cn1)): the score ranks corpus
+    * vectors exactly as cosine-against-reconstruction does.
+    *
+    * Scale: the LUTs are (queries × k) rows — broadcast; the corpus side
+    * touches only its code pair (two ints per vector, the whole point of
+    * PQ storage). The scored frame is |corpus|·|queries| logical rows
+    * pruned by the per-query top-k window; a production deployment
+    * composes this with IVF cells (IVF-PQ) so each query scores one
+    * cell's codes, not the corpus.
+    */
+  def pqSearch(queries: DataFrame, corpus: DataFrame, step: Long,
+      iters: Int = 2, k: Int = 3): DataFrame = {
+    val parts = pqParts(corpus, step, iters)
+    val luts = Seq(0, 1).map { sub =>
+      pqHalf(queries, "qid", sub)
+        .crossJoin(broadcast(parts(sub)._1))
+        .withColumn(s"ld$sub", dot("vq", "cv"))
+        .select(col("qid"), col("cid").as(s"code$sub"), col(s"ld$sub"))
+    }
+    val codes = parts(0)._2.join(parts(1)._2, Seq("nid"))
+      .select(col("nid"), col("code0"), col("code1"),
+        (col("cn0") + col("cn1")).as("cnsum"))
+    val scored = codes
+      .join(broadcast(luts(0)), Seq("code0"))
+      .join(broadcast(luts(1)), Seq("code1", "qid"))
+      .filter(col("nid") =!= col("qid"))
+      .join(broadcast(queries.select(col("qid"), col("norm2").as("qn"))), Seq("qid"))
+      .withColumn("approx_cos", (col("ld0") + col("ld1")).cast("double") /
+        (sqrt(col("qn").cast("double")) * sqrt(col("cnsum").cast("double"))))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("approx_cos").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
+        col("approx_cos"))
   }
 
   /** Tag every corpus vector with its coarse k-means cell — the SemDeDup

@@ -503,6 +503,34 @@ class AnnSpec extends AnyFunSuite {
     assert(rows.toSet == again.toSet)
   }
 
+  test("pqSearch: ADC ranking equals brute cosine against explicit reconstructions") {
+    val e = Ann.withQuantized(emb, "embedding")
+    val corpus = e.select(col("vec_id").as("nid"), col("vq"), col("norm2"))
+    val queries = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("vq"), col("norm2"))
+    // explicit reconstructions: concatenated centroid halves per vector
+    val parts = Ann.pqParts(corpus, 25, 2)
+    val recon = parts(0)._2
+      .join(broadcast(parts(0)._1.select(col("cid").as("code0"), col("cv").as("cv0"))), Seq("code0"))
+      .join(parts(1)._2
+        .join(broadcast(parts(1)._1.select(col("cid").as("code1"), col("cv").as("cv1"))), Seq("code1")),
+        Seq("nid"))
+      .select(col("nid"), expr("concat(cv0, cv1)").as("nv"),
+        (col("cn0") + col("cn1")).as("nn"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid").asc)
+    val truth = queries.select(col("qid"), col("vq").as("qv"), col("norm2").as("qn"))
+      .crossJoin(recon).filter(col("nid") =!= col("qid"))
+      .withColumn("cos", Ann.cosine(
+        graft.plans.QuantizedDot.qdot(col("qv"), col("nv")), col("qn"), col("nn")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select(col("qid"), col("rank").cast("long"), col("nid"), col("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val got = Ann.pqSearch(queries, corpus, step = 25, iters = 2, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == truth) // including bit-equal scores: the LUT add IS the full dot
+  }
+
   test("semantic dedup: clusters equal a plain-Scala closure of within-cell pairs") {
     val e = Ann.withQuantized(emb, "embedding")
     val corpus = e.select(col("vec_id").as("nid"), col("vq"), col("norm2"))
