@@ -531,6 +531,19 @@ class AnnSpec extends AnyFunSuite {
     assert(got == truth) // including bit-equal scores: the LUT add IS the full dot
   }
 
+  test("pq recall gate: ADC search keeps a nontrivial fraction of brute truth") {
+    val e = Ann.withQuantized(emb, "embedding")
+    val corpus = e.select(col("vec_id").as("nid"), col("vq"), col("norm2"))
+    val queries = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("vq"), col("norm2"))
+    val truth = Ann.bruteTopK(queries, corpus, 3)
+    val pq = Ann.pqSearch(queries, corpus, step = 25, iters = 2, k = 3)
+    val r = Ann.recallAtK("pq_adc", truth, pq).collect()(0)
+    assert(r.getLong(1) == r.getAs[Long]("n_hits"))
+    assert(r.getDouble(3) >= 0.2,
+      s"PQ ADC recall@3 collapsed: ${r.getDouble(3)}")
+  }
+
   test("semantic dedup: clusters equal a plain-Scala closure of within-cell pairs") {
     val e = Ann.withQuantized(emb, "embedding")
     val corpus = e.select(col("vec_id").as("nid"), col("vq"), col("norm2"))
