@@ -328,31 +328,76 @@ object Ann {
     * composes this with IVF cells (IVF-PQ) so each query scores one
     * cell's codes, not the corpus.
     */
-  def pqSearch(queries: DataFrame, corpus: DataFrame, step: Long,
-      iters: Int = 2, k: Int = 3): DataFrame = {
-    val parts = pqParts(corpus, step, iters)
-    val luts = Seq(0, 1).map { sub =>
+  /** Per-subspace query lookup tables: LUT_s[qid, code] = dot(q_half_s,
+    * centroid) — (queries × k) rows each, broadcast by every consumer.
+    */
+  private[llm] def pqLuts(queries: DataFrame,
+      parts: Seq[(DataFrame, DataFrame)]): Seq[DataFrame] =
+    Seq(0, 1).map { sub =>
       pqHalf(queries, "qid", sub)
         .crossJoin(broadcast(parts(sub)._1))
         .withColumn(s"ld$sub", dot("vq", "cv"))
         .select(col("qid"), col("cid").as(s"code$sub"), col(s"ld$sub"))
     }
-    val codes = parts(0)._2.join(parts(1)._2, Seq("nid"))
+
+  /** (nid, code0, code1, cnsum) — the stored representation ADC scores. */
+  private def pqCodeTable(parts: Seq[(DataFrame, DataFrame)]): DataFrame =
+    parts(0)._2.join(parts(1)._2, Seq("nid"))
       .select(col("nid"), col("code0"), col("code1"),
         (col("cn0") + col("cn1")).as("cnsum"))
-    val scored = codes
-      .join(broadcast(luts(0)), Seq("code0"))
-      .join(broadcast(luts(1)), Seq("code1", "qid"))
-      .filter(col("nid") =!= col("qid"))
-      .join(broadcast(queries.select(col("qid"), col("norm2").as("qn"))), Seq("qid"))
+
+  private def adcTopK(scored: DataFrame, k: Int): DataFrame = {
+    val ranked = scored
       .withColumn("approx_cos", (col("ld0") + col("ld1")).cast("double") /
         (sqrt(col("qn").cast("double")) * sqrt(col("cnsum").cast("double"))))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("approx_cos").desc, col("nid").asc)
-    scored.withColumn("rank", row_number().over(w))
+    ranked.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
         col("approx_cos"))
+  }
+
+  def pqSearch(queries: DataFrame, corpus: DataFrame, step: Long,
+      iters: Int = 2, k: Int = 3): DataFrame = {
+    val parts = pqParts(corpus, step, iters)
+    val luts = pqLuts(queries, parts)
+    val scored = pqCodeTable(parts)
+      .join(broadcast(luts(0)), Seq("code0"))
+      .join(broadcast(luts(1)), Seq("code1", "qid"))
+      .filter(col("nid") =!= col("qid"))
+      .join(broadcast(queries.select(col("qid"), col("norm2").as("qn"))), Seq("qid"))
+    adcTopK(scored, k)
+  }
+
+  /** IVF-PQ: the production 100 TB ANN layout — corpus vectors live in
+    * one coarse cell (full-vector trained quantizer) and are STORED as
+    * PQ code pairs; a query probes its `nProbe` closest cells and
+    * ADC-scores only those cells' codes through the broadcast LUTs. Per
+    * query the work is (corpus/nCells)·nProbe lookup-adds instead of
+    * |corpus| d-dim dots, and at scale the code table is WRITTEN
+    * partitioned by `cell`, so each probe is a partition-pruned read of
+    * a few-byte-per-vector file — the reason a 100 TB embedding column
+    * becomes searchable at all.
+    */
+  def ivfPqSearch(queries: DataFrame, corpus: DataFrame, step: Long,
+      iters: Int = 2, k: Int = 3, nProbe: Int = 2): DataFrame = {
+    val cent = kmeansCentroids(corpus, step, iters)
+    val cells = ivfAssign(corpus.select(col("nid").as("id"), col("vq"),
+        col("norm2")), cent, nProbe = 1)
+      .select(col("id").as("nid"), col("cell"))
+    val probes = ivfAssign(queries.select(col("qid").as("id"), col("vq"),
+        col("norm2")), cent, nProbe)
+      .select(col("id").as("qid"), col("cell"))
+    val parts = pqParts(corpus, step, iters)
+    val luts = pqLuts(queries, parts)
+    val scored = pqCodeTable(parts).join(cells, Seq("nid"))
+      .join(broadcast(probes), Seq("cell"))
+      .join(broadcast(luts(0)), Seq("qid", "code0"))
+      .join(broadcast(luts(1)), Seq("qid", "code1"))
+      .filter(col("nid") =!= col("qid"))
+      .join(broadcast(queries.select(col("qid"), col("norm2").as("qn"))), Seq("qid"))
+    adcTopK(scored, k)
   }
 
   /** Tag every corpus vector with its coarse k-means cell — the SemDeDup

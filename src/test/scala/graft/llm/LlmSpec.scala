@@ -544,6 +544,35 @@ class AnnSpec extends AnyFunSuite {
       s"PQ ADC recall@3 collapsed: ${r.getDouble(3)}")
   }
 
+  test("ivfPqSearch equals PQ ranking restricted to each query's probed cells") {
+    val e = Ann.withQuantized(emb, "embedding")
+    val corpus = e.select(col("vec_id").as("nid"), col("vq"), col("norm2"))
+    val queries = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("vq"), col("norm2"))
+    val cent = Ann.kmeansCentroids(corpus, step = 25, iters = 2)
+    val cells = Ann.ivfAssign(corpus.select(col("nid").as("id"), col("vq"),
+        col("norm2")), cent, nProbe = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probes = Ann.ivfAssign(queries.select(col("qid").as("id"), col("vq"),
+        col("norm2")), cent, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // full PQ ranking (k = corpus size), restricted per query to probed
+    // cells, re-cut to top-3 — must equal the composed operator exactly
+    val full = Ann.pqSearch(queries, corpus, step = 25, iters = 2, k = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val expected = full
+      .filter { case (q, n, _) => probes(q).contains(cells(n)) }
+      .groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+        rows.sortBy { case (_, n, c) => (-c, n) }.take(3).zipWithIndex
+          .map { case ((_, n, c), i) => (q, i + 1L, n, c) }
+      }.toSet
+    val got = Ann.ivfPqSearch(queries, corpus, step = 25, iters = 2,
+        k = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expected)
+  }
+
   test("semantic dedup: clusters equal a plain-Scala closure of within-cell pairs") {
     val e = Ann.withQuantized(emb, "embedding")
     val corpus = e.select(col("vec_id").as("nid"), col("vq"), col("norm2"))
