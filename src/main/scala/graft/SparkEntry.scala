@@ -2663,6 +2663,28 @@ object SparkEntry {
           col("nSamples").as("n_samples"), col("sumSq").as("sum_sq"))
     }),
 
+    // REAL raster resize: same synthetic PNGs as llm_image_decode,
+    // nearest-neighbor downscale in exact integer index math — the oracle
+    // re-derives the resized pixel sum arithmetically from the pattern.
+    "llm_image_resize" -> ((s, dir) => {
+      import s.implicits._
+      import llm.Multimodal.{MediaItem, MediaMeta}
+      val pngs = s.range(1, 5).map { id =>
+        MediaItem(id, "image/png",
+          llm.Multimodal.syntheticPng(id, 16 + id.toInt * 3, 16 + id.toInt * 2),
+          MediaMeta(0, 0, 0L, "png"))
+      }
+      val junk = s.range(99, 100).map { id =>
+        MediaItem(id, "image/png", "not an image".getBytes("UTF-8"),
+          MediaMeta(0, 0, 0L, "png"))
+      }
+      llm.Multimodal.resizeImage(pngs.union(junk), maxDim = 12).toDF()
+        .select(col("mediaId").as("media_id"), col("decoded"),
+          col("inWidth").as("in_width"), col("inHeight").as("in_height"),
+          col("outWidth").as("out_width"), col("outHeight").as("out_height"),
+          col("outPixelSum").as("out_pixel_sum"))
+    }),
+
     "llm_multimodal" -> ((s, dir) => {
       val items = llm.Multimodal.fromDocuments(s, t(s, dir, "documents"))
       val feats = llm.Multimodal.decodeStub(items).toDF()
@@ -3810,6 +3832,30 @@ object SparkEntry {
         |  CAST(sum(v) AS BIGINT) AS pixel_sum
         |FROM px GROUP BY id
         |UNION ALL SELECT 99, false, -1, -1, -1""".stripMargin,
+    // llm_image_resize: out dims + nearest-neighbor source indices are
+    // pure integer arithmetic, so the resized pixel sum re-derives from
+    // the pattern formula alone — no image library on the oracle side
+    "llm_image_resize" ->
+      """WITH imgs AS (
+        |  SELECT i AS id, 16 + i*3 AS w, 16 + i*2 AS h FROM generate_series(1, 4) AS t(i)
+        |), od AS (
+        |  SELECT id, w, h,
+        |    CASE WHEN greatest(w, h) <= 12 THEN w ELSE greatest(1, w * 12 // greatest(w, h)) END AS ow,
+        |    CASE WHEN greatest(w, h) <= 12 THEN h ELSE greatest(1, h * 12 // greatest(w, h)) END AS oh
+        |  FROM imgs
+        |), px AS (
+        |  SELECT id, w, h, ow, oh,
+        |    (((x * w) // ow) * 7 + id) % 256 + (((y * h) // oh) * 11) % 256
+        |      + ((x * w) // ow + (y * h) // oh) % 256 AS v
+        |  FROM od, generate_series(0, 100) gx(x), generate_series(0, 100) gy(y)
+        |  WHERE x < ow AND y < oh
+        |)
+        |SELECT CAST(id AS BIGINT) AS media_id, true AS decoded,
+        |  CAST(w AS INT) AS in_width, CAST(h AS INT) AS in_height,
+        |  CAST(ow AS INT) AS out_width, CAST(oh AS INT) AS out_height,
+        |  CAST(sum(v) AS BIGINT) AS out_pixel_sum
+        |FROM px GROUP BY id, w, h, ow, oh
+        |UNION ALL SELECT 99, false, -1, -1, -1, -1, -1""".stripMargin,
     // llm_audio_decode: the oracle re-derives each WAV's sample count and
     // Σ sample² ARITHMETICALLY from the generator formula — the Spark side
     // must round-trip the actual RIFF/WAVE bytes through a real decoder

@@ -103,6 +103,56 @@ object Multimodal {
     }
   }
 
+  case class ResizedFeatures(
+      mediaId: Long, decoded: Boolean, inWidth: Int, inHeight: Int,
+      outWidth: Int, outHeight: Int, outPixelSum: Long)
+
+  /** REAL raster resize: ImageIO decode, then an EXACT nearest-neighbor
+    * downscale in integer arithmetic — source index = `dst·in/out`
+    * (floor), longest side capped at `maxDim` with aspect preserved.
+    * Hand-rolled rather than `Graphics2D`/`getScaledInstance` because
+    * library interpolation kernels are not pinned by any spec: integer
+    * index math produces the same raster on every JVM, so the oracle can
+    * re-derive the output pixel sum arithmetically from the synthetic
+    * pattern. Undecodable payloads take the sentinel row, as in
+    * [[decodeImage]]. (A production pipeline would swap in area-average
+    * resampling — the batch shape, schema and sentinel contract stay.)
+    */
+  def resizeImage(items: Dataset[MediaItem], maxDim: Int): Dataset[ResizedFeatures] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { m =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.bytes))
+          catch { case _: Exception => null }
+        if (img == null)
+          ResizedFeatures(m.mediaId, decoded = false, -1, -1, -1, -1, -1L)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val lng = math.max(w, h)
+          val (ow, oh) =
+            if (lng <= maxDim) (w, h)
+            else (math.max(1, w * maxDim / lng), math.max(1, h * maxDim / lng))
+          var sum = 0L
+          var y = 0
+          while (y < oh) {
+            val sy = y * h / oh
+            var x = 0
+            while (x < ow) {
+              val rgb = img.getRGB(x * w / ow, sy)
+              sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          ResizedFeatures(m.mediaId, decoded = true, w, h, ow, oh, sum)
+        }
+      }
+    }
+  }
+
   case class AudioFeatures(
       mediaId: Long, decoded: Boolean, sampleRate: Int, channels: Int,
       nSamples: Long, sumSq: Long)

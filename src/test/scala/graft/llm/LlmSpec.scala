@@ -614,6 +614,37 @@ class MultimodalSpec extends AnyFunSuite {
 
   val dir = "/root/testdata/sf0.001"
 
+  test("resizeImage: output sum matches an ImageIO-free pattern recompute") {
+    import Multimodal.{MediaItem, MediaMeta}
+    val pngs = spark.range(1, 5).map { id =>
+      MediaItem(id, "image/png",
+        Multimodal.syntheticPng(id, 16 + id.toInt * 3, 16 + id.toInt * 2),
+        MediaMeta(0, 0, 0L, "png"))
+    }
+    val junk = spark.range(99, 100).map { id =>
+      MediaItem(id, "image/png", "garbage".getBytes("UTF-8"),
+        MediaMeta(0, 0, 0L, "png"))
+    }
+    val out = Multimodal.resizeImage(pngs.union(junk), maxDim = 12)
+      .collect().map(r => r.mediaId -> r).toMap
+    def pat(seed: Long, x: Int, y: Int): Long =
+      (x * 7 + seed) % 256 + (y * 11) % 256 + (x + y) % 256
+    (1 to 4).foreach { i =>
+      val (w, h) = (16 + i * 3, 16 + i * 2)
+      val lng = math.max(w, h)
+      val (ow, oh) = (math.max(1, w * 12 / lng), math.max(1, h * 12 / lng))
+      var expected = 0L
+      for (y <- 0 until oh; x <- 0 until ow)
+        expected += pat(i.toLong, x * w / ow, y * h / oh)
+      val r = out(i.toLong)
+      assert(r.decoded && (r.inWidth, r.inHeight) == ((w, h)))
+      assert((r.outWidth, r.outHeight) == ((ow, oh)))
+      assert(r.outPixelSum == expected,
+        s"id $i: ${r.outPixelSum} != $expected")
+    }
+    assert(!out(99L).decoded && out(99L).outPixelSum == -1L)
+  }
+
   test("decode stub: md5/byte features match jvm-side recompute") {
     val docs = Tables(spark, dir, "documents").limit(5)
     val items = Multimodal.fromDocuments(spark, docs)
