@@ -2990,6 +2990,14 @@ object SparkEntry {
         .select(col("content_hash"), col("first_doc_id"))
     }),
 
+    // Curriculum-ordered export: shard layout as llm_shard_plan, but
+    // within-shard order is (quality bin DESC, hash, id) — every shard
+    // streams its best documents first (easy-to-hard schedule).
+    "llm_curriculum_plan" -> ((s, dir) => {
+      llm.Sampling.curriculumPlan(t(s, dir, "documents"), "doc_id",
+        nShards = 8, nBins = 10)
+    }),
+
     // S2b — stateful streaming reduction via mapGroupsWithState: the
     // EARLIEST event per user by (event time, event id). Unlike
     // arrival-order first-wins, the fold is deterministic across
@@ -4482,6 +4490,22 @@ object SparkEntry {
         |  CAST(cnt.total_tokens AS DOUBLE) / cnt.n_docs AS mean_tokens,
         |  p.p50_tokens, p.p90_tokens, p.p99_tokens, v.vocab_size
         |FROM cnt JOIN p USING (source) JOIN v USING (source)""".stripMargin,
+    "llm_curriculum_plan" ->
+      """WITH w AS (SELECT doc_id, text, string_split(lower(text), ' ') AS ws FROM documents),
+        |q AS (SELECT doc_id,
+        |    CAST(floor(((CASE WHEN length(text) BETWEEN 100 AND 5000 THEN 1.0
+        |          WHEN length(text) > 5000 THEN 0.5 ELSE 0.2 END +
+        |     CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(ws)
+        |               BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.4 END +
+        |     CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE) / length(text)
+        |    ) / 3.0) * 10) AS BIGINT) AS q_bin,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hh,
+        |    CAST(len(ws) AS BIGINT) AS n_tokens
+        |  FROM w)
+        |SELECT doc_id, hh % 8 AS shard, q_bin,
+        |  CAST(row_number() OVER (PARTITION BY hh % 8 ORDER BY q_bin DESC, hh, doc_id) AS BIGINT) AS seq,
+        |  n_tokens
+        |FROM q""".stripMargin,
     "llm_shard_plan" ->
       """WITH h AS (SELECT doc_id,
         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hh,

@@ -95,6 +95,32 @@ object Sampling {
       .write.mode("overwrite").partitionBy("shard").parquet(outPath)
   }
 
+  /** Curriculum-ordered export: [[shardPlan]]'s deterministic shard
+    * layout, but within-shard order is (quality bin DESC, hash, id) —
+    * every shard streams its highest-quality documents first, the
+    * easy-to-hard schedule curriculum training wants, while hash order
+    * inside each bin keeps the decorrelation of the global shuffle.
+    * The heuristic quality score quantizes to `nBins` integer levels
+    * (floor(q·nBins) — one extra IEEE multiply on an already
+    * engine-exact score) so the ordering key is reproducible anywhere.
+    * Expects the standard `text` column ([[TextOps.qualityScore]]'s
+    * contract). Same single exchange + per-shard sort as the plain plan.
+    */
+  def curriculumPlan(df: DataFrame, idCol: String, nShards: Int,
+      nBins: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("q_bin").desc, col("__h"), col(idCol))
+    df.withColumn("ws", TextOps.words("text"))
+      .withColumn("q_bin", floor(TextOps.qualityScore * nBins).cast("long"))
+      .withColumn("__h", TextOps.h64c(col(idCol).cast("string")))
+      .withColumn("shard", col("__h") % nShards)
+      .withColumn("n_tokens", size(col("ws")).cast("long"))
+      .withColumn("seq", row_number().over(w).cast("long"))
+      .select(col(idCol), col("shard"), col("q_bin"), col("seq"),
+        col("n_tokens"))
+  }
+
   /** Domain mixing: resample each source toward a TARGET TOKEN share of
     * the total budget (the static data-mixture step of corpus assembly).
     * `weightsBp` gives each source's target share in basis points of the

@@ -323,6 +323,28 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("curriculumPlan: quality bins descend within every shard; layout deterministic") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val out = Sampling.curriculumPlan(docs, "doc_id", nShards = 4, nBins = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == docs.count())
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val bySeq = rows.sortBy(_._4)
+      assert(bySeq.map(_._4).toSeq == (1L to rows.size).toSeq)
+      // curriculum invariant: quality bin never increases along the stream
+      bySeq.map(_._3).toSeq.sliding(2).foreach { pair =>
+        if (pair.size == 2) assert(pair(0) >= pair(1))
+      }
+    }
+    // same shard assignment as the plain plan (ordering differs, membership not)
+    val plain = Sampling.shardPlan(docs, "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.map(r => r._1 -> r._2).toMap == plain)
+    val again = Sampling.curriculumPlan(docs.repartition(11), "doc_id", 4, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSet == again.toSet)
+  }
+
   test("writeShards: one directory per shard, content matches shardPlan") {
     val df = (1L to 100L).map(i => (i, s"body $i")).toDF("doc_id", "text")
     val out = java.nio.file.Files.createTempDirectory("shards").toString
