@@ -2876,6 +2876,20 @@ object SparkEntry {
       llm.TextOps.spanDedup(salted, "doc_id", "text2", k = 8, minDocs = 2L)
     }),
 
+    // Exact-substring span REMOVAL: every duplicated 8-gram occurrence
+    // except the globally first (min (doc, pos) per gram) is cut and the
+    // text rebuilt from uncovered words — the transformation
+    // llm_span_dedup measures, same salt.
+    "llm_span_scrub" -> ((s, dir) => {
+      val salted = t(s, dir, "documents")
+        .withColumn("text2", concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            lit(" the quick brown fox jumps over the lazy dog again")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit(" all rights reserved this document is provided without any warranty")).otherwise(lit(""))))
+      llm.TextOps.spanScrub(salted, "doc_id", "text2", k = 8, minDocs = 2L)
+    }),
+
     // Per-doc top-3 keywords by tf·(N/df) — rational idf keeps every step
     // exact (integer product + one IEEE division), where log(N/df)'s last
     // ulp is libm-dependent and would make the top-k cut nondeterministic.
@@ -4175,6 +4189,37 @@ object SparkEntry {
         |SELECT ns.doc_id, ns.n_spans, coalesce(st.n_dup_spans, 0) AS n_dup_spans,
         |  coalesce(st.max_dup_run, 0) AS max_dup_run
         |FROM ns LEFT JOIN st ON ns.doc_id = st.doc_id""".stripMargin,
+    // llm_span_scrub oracle: span_dedup gram chain + first-occurrence
+    // canonicalization, coverage expansion, per-doc text rebuild
+    "llm_span_scrub" ->
+      s"""WITH s AS (SELECT doc_id, text
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' the quick brown fox jumps over the lazy dog again' ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' all rights reserved this document is provided without any warranty' ELSE '' END AS t2
+        |  FROM documents),
+        |w AS (SELECT doc_id, string_split(lower(t2), ' ') AS ws FROM s),
+        |wh AS (SELECT doc_id, list_transform(ws, x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)) AS wh FROM w),
+        |pw AS (SELECT [${plans.RollingGrams.powTable(plans.RollingGrams.B1, 8, plans.RollingGrams.P1).mkString(", ")}] AS pw1,
+        |    [${plans.RollingGrams.powTable(plans.RollingGrams.B2, 8, plans.RollingGrams.P2).mkString(", ")}] AS pw2),
+        |gl AS (SELECT doc_id, CASE WHEN len(wh) < 8 THEN CAST([] AS BIGINT[])
+        |  ELSE list_transform(generate_series(1, len(wh)-7), i ->
+        |    (list_sum(list_transform(generate_series(0, 7), j -> ((wh[i+j] % ${plans.RollingGrams.P1}) * pw1[j+1]) % ${plans.RollingGrams.P1})) % ${plans.RollingGrams.P1}) * ${plans.RollingGrams.P2}
+        |  + (list_sum(list_transform(generate_series(0, 7), j -> ((wh[i+j] % ${plans.RollingGrams.P2}) * pw2[j+1]) % ${plans.RollingGrams.P2})) % ${plans.RollingGrams.P2})) END AS gs
+        |  FROM wh CROSS JOIN pw),
+        |g AS (SELECT doc_id, generate_subscripts(gs, 1) AS pos, unnest(gs) AS h FROM gl),
+        |dupg AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |occ AS (SELECT doc_id, pos, h FROM g SEMI JOIN dupg USING (h)),
+        |rkd AS (SELECT doc_id, pos, row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn FROM occ),
+        |removed AS (SELECT doc_id, pos FROM rkd WHERE rn > 1),
+        |covered AS (SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + 7)) AS wpos FROM removed),
+        |wordpos AS (SELECT doc_id, generate_subscripts(ws, 1) AS wpos, unnest(ws) AS word FROM w),
+        |kept AS (SELECT wordpos.doc_id, CAST(count(*) AS BIGINT) AS nk,
+        |    array_to_string(list(word ORDER BY wpos), ' ') AS cleaned
+        |  FROM wordpos ANTI JOIN covered USING (doc_id, wpos) GROUP BY wordpos.doc_id),
+        |nw AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words FROM w)
+        |SELECT nw.doc_id, nw.n_words,
+        |  nw.n_words - coalesce(kept.nk, 0) AS n_removed_words,
+        |  coalesce(kept.cleaned, '') AS cleaned_text
+        |FROM nw LEFT JOIN kept ON nw.doc_id = kept.doc_id""".stripMargin,
     "llm_tfidf_terms" ->
       """WITH tok AS (SELECT doc_id AS id, unnest(string_split(lower(text), ' ')) AS word FROM documents),
         |tok2 AS (SELECT id, word FROM tok WHERE len(word) > 0),

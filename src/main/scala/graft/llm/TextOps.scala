@@ -447,6 +447,59 @@ object TextOps {
         coalesce(col("max_dup_run"), lit(0L)).as("max_dup_run"))
   }
 
+  /** Exact-substring span REMOVAL — the transformation [[spanDedup]]
+    * measures: every duplicated k-gram occurrence except the globally
+    * FIRST one (min (doc id, position) per gram — Lee et al.'s
+    * keep-one-copy rule, made deterministic) is removed, and each
+    * document's text is rebuilt from the words no removed span covers.
+    * Returns (id, n_words, n_removed_words, cleaned_text), order
+    * preserved.
+    *
+    * Scale: the same rolling-hash gram census as [[spanDedup]] (8-byte
+    * keys, partial aggs over the boilerplate heavy-hitters); the
+    * canonical occurrence is one more partial-agg min(struct(id, pos))
+    * on the gram key; coverage expansion is a narrow explode of rare
+    * (removed) positions; reconstruction is a per-doc sort of its own
+    * surviving words — all joins ride the high-cardinality (id, pos) or
+    * gram-hash keys.
+    */
+  def spanScrub(df: DataFrame, idCol: String, textCol: String, k: Int = 8,
+      minDocs: Long = 2L): DataFrame = {
+    val base = df.select(col(idCol).as("id"), words(textCol).as("ws"))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+    val grams = base.filter(size(col("ws")) >= k)
+      .withColumn("wh", expr(s"transform(ws, w -> ${h64("w")})"))
+      .select(col("id"),
+        posexplode(graft.plans.RollingGrams.rollingGrams(col("wh"), k))
+          .as(Seq("pos", "h")))
+    val dupg = grams.groupBy(col("h"))
+      .agg(countDistinct(col("id")).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("h"))
+    val occ = grams.join(dupg, Seq("h"), "left_semi")
+    val canon = occ.groupBy(col("h"))
+      .agg(min(struct(col("id"), col("pos"))).as("keep"))
+    val removed = occ.join(canon, Seq("h"))
+      .filter(!(col("id") === col("keep.id") && col("pos") === col("keep.pos")))
+      .select(col("id"), col("pos"))
+    val covered = removed
+      .select(col("id"), explode(expr(s"sequence(pos, pos + ${k - 1})")).as("wpos"))
+      .distinct()
+    val kept = base
+      .select(col("id"), posexplode(col("ws")).as(Seq("wpos", "word")))
+      .join(covered, Seq("id", "wpos"), "left_anti")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("long").as("__nk"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(wpos, word))), x -> x.word)"))
+          .as("cleaned_text"))
+    base.select(col("id"), col("n_words"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_words"),
+        (col("n_words") - coalesce(col("__nk"), lit(0L))).as("n_removed_words"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
+
   /** Benchmark decontamination: flag training documents sharing any
     * word-`k`-gram with an evaluation set — the standard guard against
     * test-set leakage into training data. Returns one row per training

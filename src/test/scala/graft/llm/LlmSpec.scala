@@ -198,6 +198,28 @@ class SpanDedupSpec extends AnyFunSuite {
   }
 }
 
+class SpanScrubSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("spanScrub: first occurrence survives, later copies are cut, order preserved") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = Seq(
+      (1L, s"one two $shared"), // owns the canonical occurrences (lowest id)
+      (2L, s"$shared tail1 tail2"), // duplicated block removed entirely
+      (3L, "completely different words with no overlap at all here today"),
+      (4L, "too short")).toDF("doc_id", "text")
+    val out = TextOps.spanScrub(df, "doc_id", "text", k = 8, minDocs = 2L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((12L, 0L, s"one two $shared")))
+    // doc 2: covered positions = union of three 8-gram windows = words 1..10
+    assert(out(2L) == ((12L, 10L, "tail1 tail2")))
+    assert(out(3L)._2 == 0L && out(3L)._3 == out(3L)._3)
+    assert(out(4L) == ((2L, 0L, "too short")))
+  }
+}
+
 class TfidfSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
