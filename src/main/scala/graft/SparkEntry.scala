@@ -2923,6 +2923,31 @@ object SparkEntry {
       llm.Ann.pqEncode(corpus, step = 25, iters = 2)
     }),
 
+    // Hard-negative mining for contrastive training: a query's top
+    // cosine neighbors EXCLUDING its own semantic-dedup cluster — near
+    // but not duplicate, the pairs an embedding model learns most from.
+    // Brute top-10 → drop clustermates → re-rank to 3.
+    "llm_hard_negatives" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = llm.Ann.withQuantized(t(s, dir, "embeddings"), "embedding")
+      val corpus = e.select(col("vec_id").as("nid"), col("vq"), col("norm2"))
+      val queries = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("vq"), col("norm2"))
+      val cent = llm.Ann.kmeansCentroids(corpus, step = 25, iters = 2)
+      val mem = llm.Ann.withCells(corpus, cent).withColumnRenamed("nid", "vec_id")
+      val pairs = llm.Ann.nearDupPairs(mem, "vec_id", "cell", threshold = 0.35)
+      val comp = llm.Clusters.connectedComponents(
+        e.select(col("vec_id")), "vec_id", pairs, "id_a", "id_b")
+      val cand = llm.Ann.bruteTopK(queries, corpus, 10)
+        .join(comp.select(col("id").as("qid"), col("comp").as("qc")), Seq("qid"))
+        .join(comp.select(col("id").as("nid"), col("comp").as("nc")), Seq("nid"))
+        .filter(col("qc") =!= col("nc"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+      cand.withColumn("neg_rank", row_number().over(w).cast("long"))
+        .filter(col("neg_rank") <= 3)
+        .select(col("qid"), col("neg_rank"), col("nid"), col("cos"))
+    }),
+
     // PQ asymmetric-distance search: queries score the ENCODED corpus
     // through broadcast per-subspace lookup tables (two lookups + an add
     // per corpus vector — never a d-dim dot), ranked by cosine-against-
@@ -4279,6 +4304,65 @@ object SparkEntry {
         |SELECT p.vec_id, p.code0, p.code1,
         |  CAST(p.dp AS DOUBLE) / (sqrt(CAST(fn.fnorm AS DOUBLE)) * sqrt(CAST(p.cnsum AS DOUBLE))) AS recon_cos
         |FROM p JOIN fn ON p.vec_id = fn.vec_id""".stripMargin,
+    // llm_hard_negatives oracle: semantic-dedup chain (training + pair
+    // closure) + brute top-10 + clustermate exclusion + re-rank
+    "llm_hard_negatives" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS vq FROM embeddings),
+        |en AS (SELECT vec_id, vq, CAST(list_sum(list_transform(vq, x -> x * x)) AS BIGINT) AS norm2 FROM e),
+        |cent0 AS (SELECT vec_id AS cid, vq AS cv, norm2 AS cn FROM en WHERE vec_id % 25 = 0),
+        |a1 AS (SELECT en.vec_id, cent0.cid,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(vq)), i -> vq[i] * cv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS ccos
+        |  FROM en CROSS JOIN cent0),
+        |r1 AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn FROM a1),
+        |asg1 AS (SELECT vec_id AS nid, cid AS cell FROM r1 WHERE rn = 1),
+        |u1 AS (SELECT asg1.cell, unnest(vq) AS v, generate_subscripts(vq, 1) AS d FROM en JOIN asg1 ON en.vec_id = asg1.nid),
+        |m1 AS (SELECT cell, d, CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS vc FROM u1 GROUP BY cell, d),
+        |cent1 AS (SELECT cell AS cid, list(vc ORDER BY d) AS cv FROM m1 GROUP BY cell),
+        |cent1n AS (SELECT cid, cv, CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cn FROM cent1),
+        |a2 AS (SELECT en.vec_id, cent1n.cid,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(vq)), i -> vq[i] * cv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS ccos
+        |  FROM en CROSS JOIN cent1n),
+        |r2 AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn FROM a2),
+        |asg2 AS (SELECT vec_id AS nid, cid AS cell FROM r2 WHERE rn = 1),
+        |u2 AS (SELECT asg2.cell, unnest(vq) AS v, generate_subscripts(vq, 1) AS d FROM en JOIN asg2 ON en.vec_id = asg2.nid),
+        |m2 AS (SELECT cell, d, CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS vc FROM u2 GROUP BY cell, d),
+        |cent2 AS (SELECT cell AS cid, list(vc ORDER BY d) AS cv FROM m2 GROUP BY cell),
+        |cent AS (SELECT cid, cv, CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cn FROM cent2),
+        |ascore AS (
+        |  SELECT en.vec_id, cent.cid,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(vq)), i -> vq[i] * cv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS ccos
+        |  FROM en CROSS JOIN cent),
+        |ranked_assign AS (
+        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+        |  FROM ascore),
+        |cells AS (SELECT vec_id AS nid, cid AS cell FROM ranked_assign WHERE rn = 1),
+        |mem AS (SELECT en.vec_id AS nid, vq, norm2, cell FROM en JOIN cells ON en.vec_id = cells.nid),
+        |pr AS (SELECT a.nid AS id_a, b.nid AS id_b
+        |  FROM mem a JOIN mem b ON a.cell = b.cell AND a.nid < b.nid
+        |  WHERE CAST(CAST(list_sum(list_transform(generate_series(1, len(a.vq)), i -> a.vq[i] * b.vq[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) >= 0.35),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM pr UNION SELECT id_b, id_a FROM pr),
+        |reach(id, r) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT eg.u, reach.r FROM edges eg JOIN reach ON reach.id = eg.v),
+        |comp AS (SELECT id AS vec_id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |bq AS (SELECT vec_id AS qid, vq AS qv, norm2 AS qn FROM en WHERE vec_id % 50 = 0),
+        |bsc AS (SELECT bq.qid, en.vec_id AS nid,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * en.vq[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(en.norm2 AS DOUBLE))) AS cos
+        |  FROM en CROSS JOIN bq WHERE en.vec_id <> bq.qid),
+        |top10 AS (SELECT qid, nid, cos FROM (SELECT qid, nid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS r FROM bsc) WHERE r <= 10),
+        |neg AS (SELECT t.qid, t.nid, t.cos FROM top10 t
+        |  JOIN comp cq ON cq.vec_id = t.qid JOIN comp cn ON cn.vec_id = t.nid
+        |  WHERE cq.cluster_id <> cn.cluster_id),
+        |rk AS (SELECT qid, nid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS neg_rank FROM neg)
+        |SELECT qid, CAST(neg_rank AS BIGINT) AS neg_rank, nid, cos FROM rk WHERE neg_rank <= 3""".stripMargin,
     // llm_pq_search oracle: the pq_encode chain (codebooks + codes)
     // extended with query-side LUTs and ADC ranking
     "llm_pq_search" ->
