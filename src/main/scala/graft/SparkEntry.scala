@@ -2876,6 +2876,31 @@ object SparkEntry {
       llm.TextOps.spanDedup(salted, "doc_id", "text2", k = 8, minDocs = 2L)
     }),
 
+    // Deterministic word-dropout augmentation: token drops iff
+    // h64(id:salt:pos) % 100 < 15 — reproducible across engines and
+    // re-runs; a new salt = a fresh epoch mask.
+    "llm_word_dropout" -> ((s, dir) => {
+      llm.TextOps.wordDropout(t(s, dir, "documents"), "doc_id", "text",
+        pct = 15, salt = "ep1")
+    }),
+
+    // Text normalization (C4-style pre-dedup cleanup): URLs → <URL>,
+    // tabs/CRs → spaces, space runs collapsed, trimmed. The corpus is
+    // clean prose, so messy URLs + runs are salted in deterministically
+    // and the oracle re-derives the identical salt.
+    "llm_text_normalize" -> ((s, dir) => {
+      val salted = t(s, dir, "documents")
+        .withColumn("text2", concat(col("text"),
+          when(col("doc_id") % 4 === 0,
+            concat(lit("  visit   https://example.com/page"),
+              (col("doc_id") % 50).cast("string"), lit("?ref=rss  now")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 9 === 0, lit("\ttabbed\rtail")).otherwise(lit(""))))
+      salted.select(col("doc_id"),
+        llm.TextOps.urlCount(col("text2")).as("n_urls"),
+        llm.TextOps.normalizeText(col("text2")).as("normalized_text"))
+    }),
+
     // Exact-substring span REMOVAL: every duplicated 8-gram occurrence
     // except the globally first (min (doc, pos) per gram) is cut and the
     // text rebuilt from uncovered words — the transformation
@@ -4214,6 +4239,29 @@ object SparkEntry {
         |SELECT ns.doc_id, ns.n_spans, coalesce(st.n_dup_spans, 0) AS n_dup_spans,
         |  coalesce(st.max_dup_run, 0) AS max_dup_run
         |FROM ns LEFT JOIN st ON ns.doc_id = st.doc_id""".stripMargin,
+    // llm_word_dropout oracle: same md5 position gate, string_agg skips
+    // the dropped (NULL) words exactly as concat_ws does
+    "llm_word_dropout" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |tk AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |    generate_subscripts(ws, 1) - 1 AS wpos, unnest(ws) AS word FROM w),
+        |k AS (SELECT doc_id, n_words, wpos, word,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ep1:' || CAST(wpos AS VARCHAR)), 1, 15)) AS BIGINT) % 100 >= 15 AS keep
+        |  FROM tk)
+        |SELECT doc_id, n_words,
+        |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+        |  coalesce(string_agg(CASE WHEN keep THEN word END, ' ' ORDER BY wpos), '') AS augmented_text
+        |FROM k GROUP BY doc_id, n_words""".stripMargin,
+    "llm_text_normalize" ->
+      """WITH s AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 4 = 0 THEN '  visit   https://example.com/page' || CAST(doc_id % 50 AS VARCHAR) || '?ref=rss  now' ELSE '' END ||
+        |    CASE WHEN doc_id % 9 = 0 THEN chr(9) || 'tabbed' || chr(13) || 'tail' ELSE '' END AS t2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t2, 'https?://[^ ]+')) AS BIGINT) AS n_urls,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(t2,
+        |    'https?://[^ ]+', '<URL>', 'g'), '[\t\r]', ' ', 'g'), ' {2,}', ' ', 'g')) AS normalized_text
+        |FROM s""".stripMargin,
     // llm_span_scrub oracle: span_dedup gram chain + first-occurrence
     // canonicalization, coverage expansion, per-doc text rebuild
     "llm_span_scrub" ->

@@ -556,6 +556,53 @@ object TextOps {
       .select(col("word"), col("n_occurrences"), col("n_docs"))
   }
 
+  /** Deterministic word-dropout augmentation: token i of document d
+    * drops iff `h64(id:salt:pos) mod 100 < pct` — membership is a pure
+    * function of (identity, position, salt), so the augmented corpus is
+    * reproducible across engines, partitionings and re-runs, and a new
+    * `salt` value gives an independent dropout mask per training epoch
+    * (the property `rand()`-based augmentation can never provide).
+    * Returns (id, n_words, n_dropped, augmented_text), order preserved.
+    *
+    * Scale: one narrow posexplode, a map-side hash predicate, and a
+    * per-doc regroup keyed on the high-cardinality id — no corpus-wide
+    * state, no shuffle beyond the regroup.
+    */
+  def wordDropout(df: DataFrame, idCol: String, textCol: String,
+      pct: Int, salt: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"), words(textCol).as("ws"))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .select(col("id"), col("n_words"),
+        posexplode(col("ws")).as(Seq("wpos", "word")))
+      .withColumn("__keep",
+        h64c(concat(col("id").cast("string"), lit(s":$salt:"),
+          col("wpos").cast("string"))) % 100 >= pct)
+    toks.groupBy(col("id"), col("n_words"))
+      .agg(
+        sum(when(col("__keep"), 0L).otherwise(1L)).as("n_dropped"),
+        concat_ws(" ", expr(
+          """transform(array_sort(collect_list(struct(wpos,
+            |  CASE WHEN __keep THEN word ELSE CAST(NULL AS STRING) END AS word))),
+            |  x -> x.word)""".stripMargin)).as("augmented_text"))
+      .select(col("id").as(idCol), col("n_words"), col("n_dropped"),
+        col("augmented_text"))
+  }
+
+  /** Text normalization — the cleanup stage that runs BEFORE any dedup or
+    * quality pass (C4-style): URLs replaced with a `<URL>` token, tab/CR
+    * control characters to spaces, space runs collapsed, ends trimmed.
+    * Pure codegen'd column expressions (Java-regex syntax shared with the
+    * oracle dialect); returns the URL count so the scrub is auditable.
+    */
+  def normalizeText(textCol: Column): Column = {
+    val noUrl = regexp_replace(textCol, "https?://[^ ]+", "<URL>")
+    val noCtl = regexp_replace(noUrl, "[\\t\\r]", " ")
+    trim(regexp_replace(noCtl, " {2,}", " "))
+  }
+
+  def urlCount(textCol: Column): Column =
+    regexp_count(textCol, lit("https?://[^ ]+")).cast("long")
+
   /** BPE merge-pair statistics: corpus-weighted counts of adjacent
     * character pairs inside words — the quantity byte-pair-encoding
     * tokenizer training maximizes at every merge step (the top pair IS

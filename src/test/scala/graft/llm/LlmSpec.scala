@@ -198,6 +198,41 @@ class SpanDedupSpec extends AnyFunSuite {
   }
 }
 
+class AugmentSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("wordDropout: mask is a pure function of (id, salt, pos); order preserved") {
+    val df = Seq((1L, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9")).toDF("doc_id", "text")
+    def mask(salt: String): Seq[Boolean] = (0 until 10).map { p =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"1:$salt:$p".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(15), 16) % 100 >= 30
+    }
+    val out = TextOps.wordDropout(df, "doc_id", "text", pct = 30, salt = "e9")
+      .collect()(0)
+    val m = mask("e9")
+    assert(out.getLong(1) == 10L)
+    assert(out.getLong(2) == m.count(!_).toLong)
+    assert(out.getString(3) ==
+      (0 until 10).filter(m).map(i => s"w$i").mkString(" "))
+    // a different salt gives a different (still deterministic) mask
+    val out2 = TextOps.wordDropout(df, "doc_id", "text", pct = 30, salt = "e2")
+      .collect()(0)
+    assert(out2.getString(3) ==
+      (0 until 10).filter(mask("e2")).map(i => s"w$i").mkString(" "))
+  }
+
+  test("normalizeText: URLs tokenized, controls and runs collapsed, trimmed") {
+    val df = Seq((1L, "  see https://a.b/c?d=1 and\thttps://x.y  \r end  "))
+      .toDF("doc_id", "text")
+    val out = df.select(TextOps.urlCount(col("text")).as("n"),
+      TextOps.normalizeText(col("text")).as("t")).collect()(0)
+    assert(out.getLong(0) == 2L)
+    assert(out.getString(1) == "see <URL> and <URL> end")
+  }
+}
+
 class SpanScrubSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
