@@ -41,7 +41,7 @@ object Bench {
     "llm_line_dedup", "llm_decontaminate", "llm_seq_pack",
     "llm_vocab_census", "llm_domain_mix",
     "llm_semantic_dedup", "llm_span_dedup", "llm_span_scrub", "llm_tfidf_terms",
-    "llm_word_dropout", "llm_text_normalize",
+    "llm_word_dropout", "llm_text_normalize", "llm_split",
     "llm_shard_plan", "llm_curriculum_plan", "llm_corpus_profile", "llm_source_overlap",
     "llm_stream_dedup", "llm_bpe_pairs", "llm_pq_encode", "llm_pq_search", "llm_pq_recall", "llm_ivfpq_search", "llm_hard_negatives",
     "s2_stream_agg", "s2b_stream_state")

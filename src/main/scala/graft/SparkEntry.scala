@@ -2876,6 +2876,15 @@ object SparkEntry {
       llm.TextOps.spanDedup(salted, "doc_id", "text2", k = 8, minDocs = 2L)
     }),
 
+    // Deterministic train/val/test split: the id-hash bucket gate cut at
+    // 90/95 — membership is a pure function of identity, so the split
+    // never leaks across re-runs, engines or repartitions.
+    "llm_split" -> ((s, dir) => {
+      val b = llm.Sampling.hashBucket(col("doc_id"))
+      t(s, dir, "documents").select(col("doc_id"), col("source"),
+        when(b < 90, "train").when(b < 95, "val").otherwise("test").as("split"))
+    }),
+
     // Deterministic word-dropout augmentation: token drops iff
     // h64(id:salt:pos) % 100 < 15 — reproducible across engines and
     // re-runs; a new salt = a fresh epoch mask.
@@ -4239,6 +4248,12 @@ object SparkEntry {
         |SELECT ns.doc_id, ns.n_spans, coalesce(st.n_dup_spans, 0) AS n_dup_spans,
         |  coalesce(st.max_dup_run, 0) AS max_dup_run
         |FROM ns LEFT JOIN st ON ns.doc_id = st.doc_id""".stripMargin,
+    "llm_split" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'train'
+        |       WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 95 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
     // llm_word_dropout oracle: same md5 position gate, string_agg skips
     // the dropped (NULL) words exactly as concat_ws does
     "llm_word_dropout" ->
