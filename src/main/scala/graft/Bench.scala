@@ -124,6 +124,11 @@ object Bench {
     val json =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
+    // The full line above outgrew the driver's tail-parse window two rounds
+    // running (88+ queries); emit a second, short record afterwards so the
+    // tail always contains one complete parseable JSON line.
+    val summary = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir"}"""
+    println(summary)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     Files.writeString(Paths.get(out), json + "\n")
     spark.stop()

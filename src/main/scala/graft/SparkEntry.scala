@@ -2779,11 +2779,12 @@ object SparkEntry {
     }),
 
     // Sequence packing (concat-and-chunk): docs stream in id order within
-    // 32 hash groups, chunked into 512-token blocks; each doc reports the
-    // block span it occupies. Integer-exact layout.
+    // hash groups (count derived from corpus size; 32 at this sf), chunked
+    // into 512-token blocks; each doc reports the block span it occupies.
+    // Integer-exact layout.
     "llm_seq_pack" -> ((s, dir) => {
       llm.TextOps.seqPack(t(s, dir, "documents"), "doc_id", "text",
-        budget = 512L, nGroups = 32)
+        budget = 512L)
     }),
 
     // Corpus-level line dedup (C4/Gopher boilerplate removal): lines in
@@ -4091,7 +4092,8 @@ object SparkEntry {
         |SELECT tf.word, n_occurrences, n_docs FROM tf JOIN dfq USING (word)
         |ORDER BY n_occurrences DESC, word ASC LIMIT 100""".stripMargin,
     "llm_seq_pack" ->
-      """WITH w AS (SELECT doc_id, doc_id % 32 AS pack_group,
+      """WITH w AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 32 AS pack_group,
         |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens FROM documents),
         |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id) AS cum FROM w)
         |SELECT doc_id, CAST(pack_group AS BIGINT) AS pack_group, n_tokens,
@@ -4685,12 +4687,12 @@ object SparkEntry {
     "llm_curriculum_plan" ->
       """WITH w AS (SELECT doc_id, text, string_split(lower(text), ' ') AS ws FROM documents),
         |q AS (SELECT doc_id,
-        |    CAST(floor(((CASE WHEN length(text) BETWEEN 100 AND 5000 THEN 1.0
+        |    least(CAST(9 AS BIGINT), CAST(floor(((CASE WHEN length(text) BETWEEN 100 AND 5000 THEN 1.0
         |          WHEN length(text) > 5000 THEN 0.5 ELSE 0.2 END +
         |     CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(ws)
         |               BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.4 END +
         |     CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE) / length(text)
-        |    ) / 3.0) * 10) AS BIGINT) AS q_bin,
+        |    ) / 3.0) * 10) AS BIGINT)) AS q_bin,
         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hh,
         |    CAST(len(ws) AS BIGINT) AS n_tokens
         |  FROM w)

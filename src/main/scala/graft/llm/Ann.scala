@@ -258,7 +258,10 @@ object Ann {
       .agg(count(lit(1)).cast("long").as("n_hits"))
     val tot = t.agg(count(lit(1)).cast("long").as("n_truth"))
     hits.crossJoin(tot).select(lit(path).as("path"), col("n_hits"), col("n_truth"),
-      (col("n_hits").cast("double") / col("n_truth")).as("recall"))
+      // empty truth pins recall = 0.0 rather than NaN (0/0), keeping the
+      // summary row comparable against any oracle's handling of the edge
+      when(col("n_truth") === 0, lit(0.0))
+        .otherwise(col("n_hits").cast("double") / col("n_truth")).as("recall"))
   }
 
   /** Product quantization (two subspaces): split each quantized vector

@@ -112,7 +112,10 @@ object Sampling {
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("q_bin").desc, col("__h"), col(idCol))
     df.withColumn("ws", TextOps.words("text"))
-      .withColumn("q_bin", floor(TextOps.qualityScore * nBins).cast("long"))
+      // clamp: a document scoring exactly 1.0 would otherwise land in an
+      // nBins+1-th bin (floor(1.0 * nBins) = nBins); q_bin is 0..nBins-1
+      .withColumn("q_bin", least(lit((nBins - 1).toLong),
+        floor(TextOps.qualityScore * nBins).cast("long")))
       .withColumn("__h", TextOps.h64c(col(idCol).cast("string")))
       .withColumn("shard", col("__h") % nShards)
       .withColumn("n_tokens", size(col("ws")).cast("long"))

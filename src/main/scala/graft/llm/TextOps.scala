@@ -372,11 +372,16 @@ object TextOps {
       minDocs: Long): DataFrame = {
     val lines = df.select(col(idCol).as("id"),
       posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
-    val boiler = lines.groupBy(col("line"))
+      // census + join-back ride the 8-byte h64c(line) key, not the line
+      // text: the exchange ships hashes, the full strings stay on the
+      // reassembly side only (a 60-bit md5 collision would conflate two
+      // distinct lines' counts — negligible below ~2^30 distinct lines)
+      .withColumn("__lh", h64c(col("line")))
+    val boiler = lines.groupBy(col("__lh"))
       .agg(countDistinct(col("id")).as("__nd"))
       .filter(col("__nd") >= minDocs)
-      .select(col("line"), lit(true).as("__b"))
-    lines.join(boiler, Seq("line"), "left")
+      .select(col("__lh"), lit(true).as("__b"))
+    lines.join(boiler, Seq("__lh"), "left")
       .groupBy(col("id"))
       .agg(
         count(lit(1)).cast("long").as("n_lines"),
@@ -746,13 +751,32 @@ object TextOps {
     * arithmetic is integer (token counts, cumulative sums, floor
     * division), so the layout is deterministic and oracle-exact.
     */
+  /** Target docs per pack group when `seqPack` derives its group count:
+    * bounds each window partition to ~this many rows regardless of
+    * corpus size (a FIXED group count makes each group corpus/nGroups —
+    * a straggler partition at 100 TB).
+    */
+  val PackGroupTargetDocs: Long = 500000L
+
   def seqPack(df: DataFrame, idCol: String, textCol: String,
-      budget: Long, nGroups: Int = 32): DataFrame = {
+      budget: Long, nGroups: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // nGroups <= 0 → derive from corpus size: max(32, ceil(n / target))
+    // keeps per-group rows bounded as the corpus grows; the one count()
+    // is a columnless scan, the standing cost of a size-aware layout
+    val groups: Long =
+      if (nGroups > 0) nGroups.toLong
+      else {
+        val n = df.count()
+        math.max(32L, (n + PackGroupTargetDocs - 1L) / PackGroupTargetDocs)
+      }
     val w = Window.partitionBy(col("pack_group")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("n_tokens", size(words(textCol)).cast("long"))
-      .withColumn("pack_group", col(idCol) % nGroups)
+      // hash the id (h64c of its string form) rather than `id % n`: works
+      // for non-numeric ids and can't go negative, and hash order spreads
+      // adjacent source ids across groups
+      .withColumn("pack_group", h64c(col(idCol).cast("string")) % groups)
       .withColumn("cum", sum(col("n_tokens")).over(w))
       .select(col(idCol), col("pack_group"), col("n_tokens"),
         expr(s"(cum - n_tokens) div $budget").as("start_block"),

@@ -63,11 +63,15 @@ case class RollingGrams(child: Expression, k: Int) extends UnaryExpression {
       val w = wh.getLong(j)
       if (j >= k) { // retire the word leaving the window
         val wOld = wh.getLong(j - k)
-        h1 = (h1 - (wOld % P1) * bk1 % P1 + P1) % P1
-        h2 = (h2 - (wOld % P2) * bk2 % P2 + P2) % P2
+        // ((x % P) + P) % P: normalize into [0, P) so negative word
+        // hashes can't drive h negative and diverge from the oracle's
+        // Σ-form replay (all current callers feed non-negative h64s,
+        // but the expression accepts any array<bigint>)
+        h1 = (h1 - ((wOld % P1) + P1) % P1 * bk1 % P1 + P1) % P1
+        h2 = (h2 - ((wOld % P2) + P2) % P2 * bk2 % P2 + P2) % P2
       }
-      h1 = (h1 * B1 + w % P1) % P1
-      h2 = (h2 * B2 + w % P2) % P2
+      h1 = (h1 * B1 + ((w % P1) + P1) % P1) % P1
+      h2 = (h2 * B2 + ((w % P2) + P2) % P2) % P2
       if (j >= k - 1) out(j - k + 1) = h1 * P2 + h2
       j += 1
     }
@@ -94,11 +98,11 @@ case class RollingGrams(child: Expression, k: Int) extends UnaryExpression {
          |  final long $w = $x.getLong($j);
          |  if ($j >= $k) {
          |    final long $wOld = $x.getLong($j - $k);
-         |    $h1 = ($h1 - ($wOld % ${P1}L) * ${bk1}L % ${P1}L + ${P1}L) % ${P1}L;
-         |    $h2 = ($h2 - ($wOld % ${P2}L) * ${bk2}L % ${P2}L + ${P2}L) % ${P2}L;
+         |    $h1 = ($h1 - (($wOld % ${P1}L) + ${P1}L) % ${P1}L * ${bk1}L % ${P1}L + ${P1}L) % ${P1}L;
+         |    $h2 = ($h2 - (($wOld % ${P2}L) + ${P2}L) % ${P2}L * ${bk2}L % ${P2}L + ${P2}L) % ${P2}L;
          |  }
-         |  $h1 = ($h1 * ${B1}L + $w % ${P1}L) % ${P1}L;
-         |  $h2 = ($h2 * ${B2}L + $w % ${P2}L) % ${P2}L;
+         |  $h1 = ($h1 * ${B1}L + (($w % ${P1}L) + ${P1}L) % ${P1}L) % ${P1}L;
+         |  $h2 = ($h2 * ${B2}L + (($w % ${P2}L) + ${P2}L) % ${P2}L) % ${P2}L;
          |  if ($j >= $k - 1) { $out[$j - $k + 1] = $h1 * ${P2}L + $h2; }
          |}
          |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);

@@ -226,7 +226,10 @@ object StreamOps {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val out = if (state.exists) None else {
-              val first = rows.next()
+              // deterministic "first" within a micro-batch: min (ts,
+              // payload), not iterator order — same contract as
+              // firstEventPerKeyExpiring's minBy
+              val first = rows.minBy(e => (e.ts, e.payload))
               state.update((first.payload, first.ts))
               Some(FirstSeen(key, first.payload))
             }
