@@ -335,10 +335,10 @@ object Ann {
     * centroid) — (queries × k) rows each, broadcast by every consumer.
     */
   private[llm] def pqLuts(queries: DataFrame,
-      parts: Seq[(DataFrame, DataFrame)]): Seq[DataFrame] =
-    Seq(0, 1).map { sub =>
+      book0: DataFrame, book1: DataFrame): Seq[DataFrame] =
+    Seq((0, book0), (1, book1)).map { case (sub, book) =>
       pqHalf(queries, "qid", sub)
-        .crossJoin(broadcast(parts(sub)._1))
+        .crossJoin(broadcast(book))
         .withColumn(s"ld$sub", dot("vq", "cv"))
         .select(col("qid"), col("cid").as(s"code$sub"), col(s"ld$sub"))
     }
@@ -361,17 +361,95 @@ object Ann {
         col("approx_cos"))
   }
 
-  def pqSearch(queries: DataFrame, corpus: DataFrame, step: Long,
-      iters: Int = 2, k: Int = 3): DataFrame = {
+  /** Persistable PQ index: the two subspace codebooks plus the encoded
+    * corpus, as plain parquet-roundtrippable DataFrames — the same
+    * build-once/probe-many treatment [[graft.llm.TextOps.DedupIndex]]
+    * gives text dedup. At 100 TB, codebook training + corpus encode is a
+    * ONE-TIME index build; every query batch then reads three small/
+    * code-width tables instead of retraining the quantizer per call
+    * (which is what the inline [[pqSearch]] overload does — kept for the
+    * correctness gate, wrong shape for a standing index).
+    */
+  case class PqIndex(
+      book0: DataFrame, // (cid, cv, cn) — subspace-0 codebook
+      book1: DataFrame, // (cid, cv, cn) — subspace-1 codebook
+      codes: DataFrame // (nid, code0, code1, cnsum) — encoded corpus
+  ) {
+    def save(path: String): Unit = {
+      book0.write.mode("overwrite").parquet(s"$path/book0")
+      book1.write.mode("overwrite").parquet(s"$path/book1")
+      codes.write.mode("overwrite").parquet(s"$path/codes")
+    }
+  }
+
+  object PqIndex {
+    def load(spark: org.apache.spark.sql.SparkSession, path: String): PqIndex =
+      PqIndex(
+        book0 = spark.read.parquet(s"$path/book0"),
+        book1 = spark.read.parquet(s"$path/book1"),
+        codes = spark.read.parquet(s"$path/codes"))
+  }
+
+  /** [[PqIndex]] plus the coarse tier: full-vector trained quantizer and
+    * the corpus's one-cell assignment — everything [[ivfPqSearch]] needs.
+    * At scale `codes ⋈ cells` is WRITTEN partitioned by `cell`, so each
+    * probe is a partition-pruned read.
+    */
+  case class IvfPqIndex(
+      coarse: DataFrame, // (cid, cv, cn) — full-vector coarse centroids
+      cells: DataFrame, // (nid, cell) — corpus coarse assignment
+      pq: PqIndex) {
+    def save(path: String): Unit = {
+      coarse.write.mode("overwrite").parquet(s"$path/coarse")
+      cells.write.mode("overwrite").parquet(s"$path/cells")
+      pq.save(path)
+    }
+  }
+
+  object IvfPqIndex {
+    def load(spark: org.apache.spark.sql.SparkSession, path: String): IvfPqIndex =
+      IvfPqIndex(
+        coarse = spark.read.parquet(s"$path/coarse"),
+        cells = spark.read.parquet(s"$path/cells"),
+        pq = PqIndex.load(spark, path))
+  }
+
+  /** One-time PQ index build: train both subspace codebooks, encode the
+    * corpus. (The training/encode cost every inline search call was
+    * paying, paid once.)
+    */
+  def buildPqIndex(corpus: DataFrame, step: Long, iters: Int = 2): PqIndex = {
     val parts = pqParts(corpus, step, iters)
-    val luts = pqLuts(queries, parts)
-    val scored = pqCodeTable(parts)
+    PqIndex(parts(0)._1, parts(1)._1, pqCodeTable(parts))
+  }
+
+  /** One-time IVF-PQ index build: coarse quantizer + cell assignment on
+    * top of [[buildPqIndex]].
+    */
+  def buildIvfPqIndex(corpus: DataFrame, step: Long, iters: Int = 2): IvfPqIndex = {
+    val coarse = kmeansCentroids(corpus, step, iters)
+    val cells = ivfAssign(corpus.select(col("nid").as("id"), col("vq"),
+        col("norm2")), coarse, nProbe = 1)
+      .select(col("id").as("nid"), col("cell"))
+    IvfPqIndex(coarse, cells, buildPqIndex(corpus, step, iters))
+  }
+
+  /** ADC search against a prebuilt (possibly parquet-loaded) [[PqIndex]]:
+    * the standing-index search path — no training inside the call.
+    */
+  def pqSearch(queries: DataFrame, index: PqIndex, k: Int): DataFrame = {
+    val luts = pqLuts(queries, index.book0, index.book1)
+    val scored = index.codes
       .join(broadcast(luts(0)), Seq("code0"))
       .join(broadcast(luts(1)), Seq("code1", "qid"))
       .filter(col("nid") =!= col("qid"))
       .join(broadcast(queries.select(col("qid"), col("norm2").as("qn"))), Seq("qid"))
     adcTopK(scored, k)
   }
+
+  def pqSearch(queries: DataFrame, corpus: DataFrame, step: Long,
+      iters: Int = 2, k: Int = 3): DataFrame =
+    pqSearch(queries, buildPqIndex(corpus, step, iters), k)
 
   /** IVF-PQ: the production 100 TB ANN layout — corpus vectors live in
     * one coarse cell (full-vector trained quantizer) and are STORED as
@@ -383,24 +461,63 @@ object Ann {
     * a few-byte-per-vector file — the reason a 100 TB embedding column
     * becomes searchable at all.
     */
-  def ivfPqSearch(queries: DataFrame, corpus: DataFrame, step: Long,
-      iters: Int = 2, k: Int = 3, nProbe: Int = 2): DataFrame = {
-    val cent = kmeansCentroids(corpus, step, iters)
-    val cells = ivfAssign(corpus.select(col("nid").as("id"), col("vq"),
-        col("norm2")), cent, nProbe = 1)
-      .select(col("id").as("nid"), col("cell"))
+  /** IVF-PQ ADC search against a prebuilt [[IvfPqIndex]] — the
+    * standing-index form of the production layout: a query batch probes
+    * its `nProbe` closest coarse cells and ADC-scores only those cells'
+    * codes; no training inside the call.
+    */
+  def ivfPqSearch(queries: DataFrame, index: IvfPqIndex, k: Int,
+      nProbe: Int): DataFrame = {
     val probes = ivfAssign(queries.select(col("qid").as("id"), col("vq"),
-        col("norm2")), cent, nProbe)
+        col("norm2")), index.coarse, nProbe)
       .select(col("id").as("qid"), col("cell"))
-    val parts = pqParts(corpus, step, iters)
-    val luts = pqLuts(queries, parts)
-    val scored = pqCodeTable(parts).join(cells, Seq("nid"))
+    val luts = pqLuts(queries, index.pq.book0, index.pq.book1)
+    val scored = index.pq.codes.join(index.cells, Seq("nid"))
       .join(broadcast(probes), Seq("cell"))
       .join(broadcast(luts(0)), Seq("qid", "code0"))
       .join(broadcast(luts(1)), Seq("qid", "code1"))
       .filter(col("nid") =!= col("qid"))
       .join(broadcast(queries.select(col("qid"), col("norm2").as("qn"))), Seq("qid"))
     adcTopK(scored, k)
+  }
+
+  def ivfPqSearch(queries: DataFrame, corpus: DataFrame, step: Long,
+      iters: Int = 2, k: Int = 3, nProbe: Int = 2): DataFrame =
+    ivfPqSearch(queries, buildIvfPqIndex(corpus, step, iters), k, nProbe)
+
+  /** Exact integer-cosine re-rank of a (qid, nid) candidate set: the
+    * second stage that recovers accuracy ADC's 2-lookup scoring trades
+    * away. The candidate pairs (|queries|·shortlist rows, id-only) and
+    * the query vectors broadcast; the corpus-side join touches only
+    * shortlisted rows — per query the full-dimension dots number
+    * `shortlist`, not |corpus|.
+    */
+  def rerankExact(queries: DataFrame, corpus: DataFrame, cand: DataFrame,
+      k: Int): DataFrame = {
+    val q = queries.select(col("qid"), col("vq").as("qv"), col("norm2").as("qn"))
+    val scored = corpus
+      .select(col("nid"), col("vq").as("nv"), col("norm2").as("nn"))
+      .join(broadcast(cand.select(col("qid"), col("nid"))), Seq("nid"))
+      .join(broadcast(q), Seq("qid"))
+      .withColumn("dp", dot("qv", "nv"))
+      .withColumn("cos", cosine(col("dp"), col("qn"), col("nn")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cos"))
+  }
+
+  /** Production IVF-PQ answer quality: ADC top-`shortlist` per query
+    * (cheap, lossy) → exact re-rank of the shortlist (full-precision
+    * dots on `shortlist` vectors) → top-k. Recall is bounded by the
+    * coarse tier (a true neighbor outside every probed cell is
+    * unreachable), but within probed cells the re-rank returns exactly
+    * what brute force would — the standard two-stage PQ deployment.
+    */
+  def ivfPqSearchRerank(queries: DataFrame, corpus: DataFrame,
+      index: IvfPqIndex, k: Int, nProbe: Int, shortlist: Int): DataFrame = {
+    val short = ivfPqSearch(queries, index, shortlist, nProbe)
+    rerankExact(queries, corpus, short.select(col("qid"), col("nid")), k)
   }
 
   /** Tag every corpus vector with its coarse k-means cell — the SemDeDup
