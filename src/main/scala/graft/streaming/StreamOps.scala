@@ -128,8 +128,8 @@ object StreamOps {
     * emits nothing, so the result is independent of micro-batch
     * boundaries and arrival order — exactly SQL `min(id) GROUP BY key`,
     * hence oracle-checkable. State is one long per key; a continuous
-    * deployment would add the event-time timeout of
-    * [[firstEventPerKeyExpiring]].
+    * deployment runs the event-time-timeout variant
+    * [[minIdPerKeyExpiring]].
     */
   def minIdPerKey(input: Dataset[(Long, Long)]): Dataset[KeyMin] = {
     import input.sparkSession.implicits._
@@ -144,6 +144,59 @@ object StreamOps {
           }
           improved.foreach(km => state.update(km.min_id))
           improved.iterator
+      }
+  }
+
+  case class KeyIdTs(key: Long, id: Long, ts: Long)
+  case class KeyIdT(key: Long, id: Long, ts: Long,
+      event_time: java.sql.Timestamp)
+
+  /** [[minIdPerKey]] with EVENT-TIME state expiry — the variant a
+    * CONTINUOUS ingest dedup runs, closing the NoTimeout state-growth
+    * path (one long per content hash ever seen, forever). `ts` is
+    * epoch-micros; each key's state retires once the watermark passes
+    * its FIRST event by `ttlMs` — O(active keys) state.
+    *
+    * Contract mirrors [[firstEventPerKeyExpiring]]: for events arriving
+    * while their key is live the output is IDENTICAL to the unexpiring
+    * min-fold (spec-pinned); after retirement a re-crawl re-opens the
+    * key and emits as a new first copy — the standard watermark trade
+    * for a dedup window (re-crawls older than watermark+ttl are treated
+    * as fresh content).
+    */
+  def minIdPerKeyExpiring(
+      input: Dataset[KeyIdTs],
+      watermarkDelay: String = "10 seconds",
+      ttlMs: Long = 60000L): Dataset[KeyMin] = {
+    import input.sparkSession.implicits._
+    input
+      .withColumn("event_time", expr("timestamp_micros(ts)"))
+      .withWatermark("event_time", watermarkDelay)
+      .as[KeyIdT]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[(Long, Long), KeyMin](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
+        (key, rows, state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val events = rows.toSeq
+            val m = events.map(_.id).min
+            val t = events.map(_.ts).min
+            // state = (held min id, first event-time): the min folds
+            // monotonically, the base timestamp anchors the ttl
+            val (heldMin, firstTs) = state.getOption match {
+              case Some((c, f)) => (math.min(c, m), math.min(f, t))
+              case None => (m, t)
+            }
+            val improved = state.getOption match {
+              case Some((c, _)) if c <= m => None
+              case _ => Some(KeyMin(key, m))
+            }
+            state.update((heldMin, firstTs))
+            val target = firstTs / 1000 + ttlMs
+            state.setTimeoutTimestamp(math.max(target, state.getCurrentWatermarkMs() + 1))
+            improved.iterator
+          }
       }
   }
 

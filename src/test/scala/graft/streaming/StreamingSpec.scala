@@ -126,6 +126,70 @@ class StreamingSpec extends AnyFunSuite {
     assert(folded == Map(10L -> 2L, 20L -> 9L))
   }
 
+  test("minIdPerKeyExpiring: in-window results match the unexpiring min-fold") {
+    // the minIdPerKey improvement scenario with timestamps, ttl large
+    // enough that nothing retires — emissions must be identical
+    val dir = Files.createTempDirectory("graft-stream-dedup2").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "a.tsv"),
+      "key\tid\tts\n10\t5\t10000000\n20\t9\t10500000\n")
+    Thread.sleep(20)
+    Files.writeString(java.nio.file.Paths.get(dir, "b.tsv"),
+      "key\tid\tts\n10\t2\t11000000\n")
+    Thread.sleep(20)
+    Files.writeString(java.nio.file.Paths.get(dir, "c.tsv"),
+      "key\tid\tts\n10\t8\t12000000\n20\t9\t12500000\n")
+    val input = spark.readStream
+      .schema(StructType.fromDDL("key LONG, id LONG, ts LONG"))
+      .option("sep", "\t").option("header", true)
+      .option("maxFilesPerTrigger", 1)
+      .csv(dir).as[StreamOps.KeyIdTs]
+    val q = StreamOps.minIdPerKeyExpiring(input,
+      watermarkDelay = "1 second", ttlMs = Long.MaxValue / 4)
+      .writeStream.format("memory").queryName("min_id_exp_inwindow")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val all = spark.table("min_id_exp_inwindow").as[StreamOps.KeyMin].collect()
+    // identical to the NoTimeout spec: key 10 emits 5 then 2 (8 silent),
+    // key 20 exactly once; fold == SQL min(id) per key
+    assert(all.filter(_.key == 10L).map(_.min_id).sorted.toSeq == Seq(2L, 5L))
+    assert(all.filter(_.key == 20L).map(_.min_id).toSeq == Seq(9L))
+    val folded = all.groupBy(_.key).view.mapValues(_.map(_.min_id).min).toMap
+    assert(folded == Map(10L -> 2L, 20L -> 9L))
+  }
+
+  test("minIdPerKeyExpiring: a retired content hash re-admits its next crawl") {
+    val dir = Files.createTempDirectory("graft-stream-dedup3").toString
+    // batch 1: key 10 at t=10s, id 5. ttl=2s → expiry armed at 12s.
+    Files.writeString(java.nio.file.Paths.get(dir, "a.tsv"),
+      "key\tid\tts\n10\t5\t10000000\n")
+    Thread.sleep(20)
+    // batch 2: watermark advance; batch 3: tick fires key 10's timeout
+    Files.writeString(java.nio.file.Paths.get(dir, "b.tsv"),
+      "key\tid\tts\n20\t7\t100000000\n")
+    Thread.sleep(20)
+    Files.writeString(java.nio.file.Paths.get(dir, "c.tsv"),
+      "key\tid\tts\n30\t8\t110000000\n")
+    Thread.sleep(20)
+    // batch 4: key 10 re-crawled under a HIGHER id. Live state would
+    // suppress it (5 <= 9); retired state re-admits it as a new first —
+    // the retirement proof
+    Files.writeString(java.nio.file.Paths.get(dir, "d.tsv"),
+      "key\tid\tts\n10\t9\t200000000\n")
+    val input = spark.readStream
+      .schema(StructType.fromDDL("key LONG, id LONG, ts LONG"))
+      .option("sep", "\t").option("header", true)
+      .option("maxFilesPerTrigger", 1)
+      .csv(dir).as[StreamOps.KeyIdTs]
+    val q = StreamOps.minIdPerKeyExpiring(input,
+      watermarkDelay = "1 second", ttlMs = 2000L)
+      .writeStream.format("memory").queryName("min_id_exp_retire")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val k10 = spark.table("min_id_exp_retire").as[StreamOps.KeyMin].collect()
+      .filter(_.key == 10L).map(_.min_id).sorted.toSeq
+    assert(k10 == Seq(5L, 9L))
+  }
+
   test("firstEventPerKeyExpiring: in-window results match the unexpiring variant") {
     // same 3-batch improvement scenario as the NoTimeout spec, ttl large
     // enough that nothing retires — outputs must be identical
