@@ -3092,6 +3092,71 @@ object SparkEntry {
         nShards = 8, nBins = 10)
     }),
 
+    // End-to-end curation pipeline — the g14_full_dag analogue for the
+    // LLM surface: normalize → line dedup → span scrub → Gopher quality
+    // gate → MinHash cluster dedup (canonical keeps) → decontaminate
+    // against the eval split → domain mixing → curriculum-ordered shard
+    // plan. One shared deterministic salt gives every stage real work;
+    // each stage's contract is what its standalone row already pins, so
+    // this row exists to catch COMPOSITION bugs (column contracts, lost
+    // rows, double transforms). The oracle recomputes the entire chain.
+    "llm_full_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val salted = docs.withColumn("text0", concat(col("text"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("  visit   https://example.com/page"),
+            (col("doc_id") % 50).cast("string"), lit("?ref=rss  now")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          lit(" the quick brown fox jumps over the lazy dog again")).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          lit("\nsubscribe to our newsletter today")).otherwise(lit(""))))
+      // 1. C4-style normalization (URLs → <URL>, ctl chars, space runs)
+      val norm = salted.select(col("doc_id"),
+        llm.TextOps.normalizeText(col("text0")).as("t1"))
+      // 2. corpus-level line dedup (boilerplate removal)
+      val ld = llm.TextOps.lineDedup(norm, "doc_id", "t1", minDocs = 10L)
+        .select(col("doc_id"), col("cleaned_text").as("t2"))
+      // 3. exact-substring span removal (keep-first canonical)
+      val ss = llm.TextOps.spanScrub(ld, "doc_id", "t2", k = 8, minDocs = 2L)
+        .select(col("doc_id"), col("cleaned_text").as("text"))
+      // 4. Gopher quality gate
+      val q = ss
+        .withColumn("ws", llm.TextOps.words("text"))
+        .withColumn("lines", llm.TextOps.docLines)
+        .withColumn("g2", llm.TextOps.wordBigrams)
+        .select(Seq(col("doc_id"), col("text"), col("ws")) ++
+          llm.TextOps.repetitionColumns: _*)
+        .filter(llm.TextOps.gopherKeep)
+        .select(col("doc_id"), col("text"))
+      // 5. near-dup cluster dedup: the min-id canonical member survives
+      val pairs = llm.TextOps.minhashNearDups(q, "doc_id", "text",
+        threshold = 0.5)
+      val cc = llm.Clusters.dedupClusters(q.select(col("doc_id")), "doc_id",
+        pairs, "id_a", "id_b")
+      val canon = q.join(cc.filter(col("is_canonical")).select(col("doc_id")),
+        Seq("doc_id"))
+      // 6. decontamination vs the RAW eval split: the eval docs
+      // themselves (still near-identical post-transform) and anything
+      // sharing an 8-gram with them drop out of training
+      val evalSet = docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id"), col("text"))
+      val flags = llm.TextOps.contaminationFlags(canon, evalSet,
+        "doc_id", "text", k = 8)
+      val clean = canon.join(
+        flags.filter(!col("contaminated")).select(col("doc_id")), Seq("doc_id"))
+      // 7. domain mixing toward target token shares
+      val withSrc = clean.join(docs.select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      val mixed = llm.Sampling.domainMix(withSrc, "doc_id", "text", "source",
+        Map("src0" -> 5000L, "src1" -> 2000L), defaultBp = 100L)
+      // 8. curriculum-ordered shard plan over the final corpus
+      llm.Sampling.curriculumPlan(
+        withSrc.join(mixed.filter(col("keep")).select(col("doc_id")),
+          Seq("doc_id")),
+        "doc_id", nShards = 8, nBins = 10)
+    }),
+
     // S2b — stateful streaming reduction via mapGroupsWithState: the
     // EARLIEST event per user by (event time, event id). Unlike
     // arrival-order first-wins, the fold is deterministic across
@@ -4806,6 +4871,123 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY hh % 8 ORDER BY q_bin DESC, hh, doc_id) AS BIGINT) AS seq,
         |  n_tokens
         |FROM q""".stripMargin,
+    // llm_full_pipeline oracle: the ENTIRE curation chain recomputed —
+    // salt → normalize → line dedup → rolling-gram span scrub →
+    // Gopher gate → MinHash/LSH cluster closure (recursive CTE) →
+    // eval-gram decontamination → token-share domain mix → curriculum
+    // shard plan, each stage consuming the previous stage's text
+    "llm_full_pipeline" ->
+      s"""WITH RECURSIVE
+        |s0 AS (SELECT doc_id, source, text ||
+        |    CASE WHEN doc_id % 4 = 0 THEN '  visit   https://example.com/page' || CAST(doc_id % 50 AS VARCHAR) || '?ref=rss  now' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' the quick brown fox jumps over the lazy dog again' ELSE '' END ||
+        |    CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'subscribe to our newsletter today' ELSE '' END AS t0
+        |  FROM documents),
+        |n1 AS (SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(t0,
+        |    'https?://[^ ]+', '<URL>', 'g'), '[\\t\\r]', ' ', 'g'), ' {2,}', ' ', 'g')) AS t1 FROM s0),
+        |l AS (SELECT doc_id, generate_subscripts(ls, 1) AS pos, unnest(ls) AS line
+        |  FROM (SELECT doc_id, string_split(t1, chr(10)) AS ls FROM n1)),
+        |lb AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS nd FROM l GROUP BY line) WHERE nd >= 10),
+        |lt AS (SELECT doc_id, pos, line, line IN (SELECT line FROM lb) AS isb FROM l),
+        |t2d AS (SELECT doc_id, coalesce(string_agg(CASE WHEN isb THEN NULL ELSE line END, chr(10) ORDER BY pos), '') AS t2 FROM lt GROUP BY doc_id),
+        |w3 AS (SELECT doc_id, string_split(lower(t2), ' ') AS ws FROM t2d),
+        |wh3 AS (SELECT doc_id, list_transform(ws, x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)) AS wh FROM w3),
+        |pw AS (SELECT [${plans.RollingGrams.powTable(plans.RollingGrams.B1, 8, plans.RollingGrams.P1).mkString(", ")}] AS pw1,
+        |    [${plans.RollingGrams.powTable(plans.RollingGrams.B2, 8, plans.RollingGrams.P2).mkString(", ")}] AS pw2),
+        |gl AS (SELECT doc_id, CASE WHEN len(wh) < 8 THEN CAST([] AS BIGINT[])
+        |  ELSE list_transform(generate_series(1, len(wh)-7), i ->
+        |    (list_sum(list_transform(generate_series(0, 7), j -> ((wh[i+j] % ${plans.RollingGrams.P1}) * pw1[j+1]) % ${plans.RollingGrams.P1})) % ${plans.RollingGrams.P1}) * ${plans.RollingGrams.P2}
+        |  + (list_sum(list_transform(generate_series(0, 7), j -> ((wh[i+j] % ${plans.RollingGrams.P2}) * pw2[j+1]) % ${plans.RollingGrams.P2})) % ${plans.RollingGrams.P2})) END AS gs
+        |  FROM wh3 CROSS JOIN pw),
+        |g3 AS (SELECT doc_id, generate_subscripts(gs, 1) AS pos, unnest(gs) AS h FROM gl),
+        |dupg AS (SELECT h FROM g3 GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |occ AS (SELECT doc_id, pos, h FROM g3 SEMI JOIN dupg USING (h)),
+        |rkd AS (SELECT doc_id, pos, row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn FROM occ),
+        |removed AS (SELECT doc_id, pos FROM rkd WHERE rn > 1),
+        |covered AS (SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + 7)) AS wpos FROM removed),
+        |wordpos AS (SELECT doc_id, generate_subscripts(ws, 1) AS wpos, unnest(ws) AS word FROM w3),
+        |t3d AS (SELECT w3.doc_id, coalesce(k.t3, '') AS t3 FROM w3 LEFT JOIN
+        |  (SELECT wordpos.doc_id, array_to_string(list(word ORDER BY wpos), ' ') AS t3
+        |   FROM wordpos ANTI JOIN covered USING (doc_id, wpos) GROUP BY wordpos.doc_id) k
+        |  ON w3.doc_id = k.doc_id),
+        |w4 AS (SELECT doc_id, t3 AS text, string_split(lower(t3), ' ') AS ws,
+        |    string_split(t3, chr(10)) AS lines FROM t3d),
+        |sig4 AS (SELECT doc_id, text, ws,
+        |  1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines) AS dup_line_frac,
+        |  CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+        |    / len(ws) AS symbol_word_ratio
+        |  FROM w4),
+        |q4 AS (SELECT doc_id, text FROM sig4
+        |  WHERE (len(ws) BETWEEN 50 AND 100000)
+        |    AND (CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(ws) BETWEEN 3.0 AND 10.0)
+        |    AND symbol_word_ratio < 0.1 AND dup_line_frac < 0.3
+        |    AND len(list_intersect(ws, ['the','a','of','and','to','in','is','it','for','on'])) >= 2),
+        |w5 AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM q4),
+        |sh5 AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN CAST([] AS VARCHAR[])
+        |  ELSE list_distinct(list_transform(generate_series(1, len(ws)-2),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS shingles FROM w5),
+        |hs5 AS (SELECT doc_id, shingles,
+        |  list_transform(shingles, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS shash
+        |  FROM sh5 WHERE len(shingles) > 0),
+        |sig5 AS (SELECT doc_id, shingles, list_transform(generate_series(0, 31), i ->
+        |  list_min(list_transform(shash, h ->
+        |    ((CAST(('0x' || substr(md5('a' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000006 + 1)
+        |      * (h % 1000000007)
+        |     + CAST(('0x' || substr(md5('b' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000007) % 1000000007))) AS sig
+        |  FROM hs5),
+        |bands5 AS (SELECT doc_id, shingles, b AS band_id,
+        |  md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS band_key
+        |  FROM sig5, (SELECT unnest(generate_series(0, 7)) AS b)),
+        |cand5 AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.shingles, c.shingles)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.shingles, c.shingles))) AS jaccard
+        |  FROM bands5 a JOIN bands5 c
+        |    ON a.band_id = c.band_id AND a.band_key = c.band_key AND a.doc_id < c.doc_id),
+        |pairs5 AS (SELECT id_a, id_b FROM cand5 WHERE jaccard >= 0.5),
+        |edges5 AS (SELECT id_a AS u, id_b AS v FROM pairs5 UNION SELECT id_b, id_a FROM pairs5),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM q4
+        |  UNION
+        |  SELECT e.u, reach.r FROM edges5 e JOIN reach ON reach.id = e.v),
+        |comp5 AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |canon AS (SELECT q4.doc_id, q4.text FROM q4 JOIN comp5 USING (doc_id) WHERE comp5.cluster_id = q4.doc_id),
+        |ev AS (SELECT doc_id, lower(text) AS lt FROM documents WHERE doc_id % 100 = 0),
+        |eg AS (SELECT DISTINCT unnest(g8) AS g FROM (
+        |  SELECT CASE WHEN len(ws) < 8 THEN CAST([] AS VARCHAR[])
+        |    ELSE list_distinct(list_transform(generate_series(1, len(ws)-7), i -> array_to_string(ws[i:i+7], ' '))) END AS g8
+        |  FROM (SELECT string_split(lt, ' ') AS ws FROM ev))),
+        |tg AS (SELECT doc_id, unnest(g8) AS g FROM (
+        |  SELECT doc_id, CASE WHEN len(ws) < 8 THEN CAST([] AS VARCHAR[])
+        |    ELSE list_distinct(list_transform(generate_series(1, len(ws)-7), i -> array_to_string(ws[i:i+7], ' '))) END AS g8
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM canon))),
+        |cont AS (SELECT DISTINCT doc_id FROM tg SEMI JOIN eg USING (g)),
+        |clean AS (SELECT canon.doc_id, canon.text FROM canon ANTI JOIN cont USING (doc_id)),
+        |wm AS (SELECT c.doc_id, d.source, c.text,
+        |    CAST(len(string_split(lower(c.text), ' ')) AS BIGINT) AS n_tokens
+        |  FROM clean c JOIN documents d USING (doc_id)),
+        |ps AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens FROM wm GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM wm),
+        |wt AS (SELECT * FROM (VALUES ('src0', CAST(5000 AS BIGINT)), ('src1', CAST(2000 AS BIGINT))) v(source, w_bp)),
+        |rr AS (SELECT ps.source,
+        |    least(CAST(10000 AS BIGINT), (total_tokens * coalesce(w_bp, 100) // 10000) * 10000 // src_tokens) AS rate_bp
+        |  FROM ps CROSS JOIN tot LEFT JOIN wt ON ps.source = wt.source),
+        |kept7 AS (SELECT wm.doc_id, wm.text FROM wm JOIN rr ON wm.source = rr.source
+        |  WHERE CAST(('0x' || substr(md5(CAST(wm.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < rr.rate_bp),
+        |w8 AS (SELECT doc_id, text, string_split(lower(text), ' ') AS ws FROM kept7),
+        |q8 AS (SELECT doc_id,
+        |    least(CAST(9 AS BIGINT), CAST(floor(((CASE WHEN length(text) BETWEEN 100 AND 5000 THEN 1.0
+        |          WHEN length(text) > 5000 THEN 0.5 ELSE 0.2 END +
+        |     CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(ws)
+        |               BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.4 END +
+        |     CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE) / length(text)
+        |    ) / 3.0) * 10) AS BIGINT)) AS q_bin,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hh,
+        |    CAST(len(ws) AS BIGINT) AS n_tokens
+        |  FROM w8)
+        |SELECT doc_id, hh % 8 AS shard, q_bin,
+        |  CAST(row_number() OVER (PARTITION BY hh % 8 ORDER BY q_bin DESC, hh, doc_id) AS BIGINT) AS seq,
+        |  n_tokens
+        |FROM q8""".stripMargin,
     "llm_shard_plan" ->
       """WITH h AS (SELECT doc_id,
         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hh,
