@@ -2663,6 +2663,45 @@ object SparkEntry {
           col("nSamples").as("n_samples"), col("sumSq").as("sum_sq"))
     }),
 
+    // REAL video frame decode: MJPEG-in-AVI built + decoded with
+    // JDK-only code (RIFF chunk walk, per-frame ImageIO JPEG inflate).
+    // Frame count and raster dims are codec-exact; the pixel sum is
+    // JPEG-decoder-defined, so the row carries the decoder-portable
+    // tolerance boolean (within 1% of the lossless pattern sum — the
+    // spec pins the tolerance) instead of the raw sum.
+    "llm_video_frames" -> ((s, dir) => {
+      import s.implicits._
+      import llm.Multimodal.{MediaItem, MediaMeta}
+      val avis = s.range(1, 4).map { id =>
+        MediaItem(id, "video/x-msvideo",
+          llm.Multimodal.syntheticAvi(id, 32 + id.toInt * 8, 24 + id.toInt * 4,
+            2 + id.toInt),
+          MediaMeta(0, 0, 0L, "mjpeg"))
+      }
+      val junk = s.range(99, 100).map { id =>
+        MediaItem(id, "video/x-msvideo", "not a video".getBytes("UTF-8"),
+          MediaMeta(0, 0, 0L, "mjpeg"))
+      }
+      val expected = (1L to 3L).map { id =>
+        val (w, h, nf) = (32 + id.toInt * 8, 24 + id.toInt * 4, 2 + id.toInt)
+        var sum = 0L
+        for (f <- 0 until nf; y <- 0 until h; x <- 0 until w) {
+          val (r, g, b) = llm.Multimodal.videoFramePixel(id, f, x, y)
+          sum += r + g + b
+        }
+        (id, sum)
+      }.toDF("media_id", "expected_sum")
+      llm.Multimodal.decodeVideoFrames(avis.union(junk)).toDF()
+        .select(col("mediaId").as("media_id"), col("decoded"),
+          col("nFrames").as("n_frames"), col("width"), col("height"),
+          col("pixelSum").as("pixel_sum"))
+        .join(broadcast(expected), Seq("media_id"), "left")
+        .select(col("media_id"), col("decoded"), col("n_frames"),
+          col("width"), col("height"),
+          coalesce(abs(col("pixel_sum") - col("expected_sum")) * 100L <=
+            col("expected_sum"), lit(false)).as("luma_close"))
+    }),
+
     // REAL raster resize: same synthetic PNGs as llm_image_decode,
     // nearest-neighbor downscale in exact integer index math — the oracle
     // re-derives the resized pixel sum arithmetically from the pattern.
@@ -4038,6 +4077,18 @@ object SparkEntry {
         |  CAST(n AS BIGINT) AS n_samples, CAST(sum(v*v) AS BIGINT) AS sum_sq
         |FROM px GROUP BY id, ch, n
         |UNION ALL SELECT 99, false, -1, -1, -1, -1""".stripMargin,
+    // llm_video_frames oracle: structural facts (frame count, raster
+    // dims) are exact; luma_close is pinned true for valid payloads —
+    // the Spark side computes the actual 1%-tolerance comparison, so a
+    // broken decode surfaces as decoded=false / wrong dims / false
+    "llm_video_frames" ->
+      """WITH cfg AS (SELECT i AS id, 32 + i*8 AS w, 24 + i*4 AS h, 2 + i AS nf
+        |  FROM generate_series(1, 3) t(i))
+        |SELECT CAST(id AS BIGINT) AS media_id, true AS decoded,
+        |  CAST(nf AS INT) AS n_frames, CAST(w AS INT) AS width,
+        |  CAST(h AS INT) AS height, true AS luma_close
+        |FROM cfg
+        |UNION ALL SELECT 99, false, -1, -1, -1, false""".stripMargin,
     "llm_multimodal" ->
       """SELECT doc_id AS media_id, 'text-as-image-stub' AS kind,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -860,4 +860,44 @@ class MultimodalSpec extends AnyFunSuite {
       .groupBy("media_id").agg(count(lit(1)).as("n")).collect()
     assert(frames.forall(_.getLong(1) >= 1))
   }
+
+  test("MJPEG-in-AVI decode: container walk + per-frame JPEG inflate, near-lossless sums") {
+    import Multimodal.{MediaItem, MediaMeta}
+    val avis = spark.range(1, 4).map { id =>
+      MediaItem(id, "video/x-msvideo",
+        Multimodal.syntheticAvi(id, 32 + id.toInt * 8, 24 + id.toInt * 4, 2 + id.toInt),
+        MediaMeta(0, 0, 0L, "mjpeg"))
+    }
+    val junk = spark.range(99, 100).map { id =>
+      MediaItem(id, "video/x-msvideo", "not a video".getBytes("UTF-8"),
+        MediaMeta(0, 0, 0L, "mjpeg"))
+    }
+    val out = Multimodal.decodeVideoFrames(avis.union(junk))
+      .collect().map(v => v.mediaId -> v).toMap
+    (1L to 3L).foreach { id =>
+      val v = out(id)
+      assert(v.decoded, s"id $id failed to decode")
+      // structural facts are codec-exact: frame count + true raster dims
+      assert(v.nFrames == 2 + id.toInt)
+      assert(v.width == 32 + id.toInt * 8 && v.height == 24 + id.toInt * 4)
+      // JPEG is lossy but the smooth test gradients round-trip within 1%
+      // of the lossless pattern sum — the tolerance llm_video_frames'
+      // luma_close column relies on
+      var exp = 0L
+      for (f <- 0 until v.nFrames; y <- 0 until v.height; x <- 0 until v.width) {
+        val (r, g, b) = Multimodal.videoFramePixel(id, f, x, y)
+        exp += r + g + b
+      }
+      assert(math.abs(v.pixelSum - exp) * 100L <= exp,
+        s"id $id pixel sum ${v.pixelSum} drifted >1% from pattern sum $exp")
+    }
+    assert(!out(99L).decoded && out(99L).nFrames == -1)
+    // parser level: the movi walk yields exactly nFrames chunks, each a
+    // real JPEG (SOI marker), skipping the header LISTs
+    val chunks = Multimodal.aviFrameChunks(Multimodal.syntheticAvi(7, 40, 28, 3))
+    assert(chunks.length == 3)
+    chunks.foreach { c =>
+      assert((c(0) & 0xff) == 0xff && (c(1) & 0xff) == 0xd8, "not a JPEG SOI")
+    }
+  }
 }
