@@ -3156,6 +3156,10 @@ object SparkEntry {
       // 2. corpus-level line dedup (boilerplate removal)
       val ld = llm.TextOps.lineDedup(norm, "doc_id", "t1", minDocs = 10L)
         .select(col("doc_id"), col("cleaned_text").as("t2"))
+        // spanScrub consumes its input from several internal branches
+        // (gram census, occurrence join, word rebuild) — truncate so the
+        // normalize+lineDedup chain runs once
+        .localCheckpoint()
       // 3. exact-substring span removal (keep-first canonical)
       val ss = llm.TextOps.spanScrub(ld, "doc_id", "t2", k = 8, minDocs = 2L)
         .select(col("doc_id"), col("cleaned_text").as("text"))
@@ -3168,13 +3172,22 @@ object SparkEntry {
           llm.TextOps.repetitionColumns: _*)
         .filter(llm.TextOps.gopherKeep)
         .select(col("doc_id"), col("text"))
+        // stage boundary with THREE consumers (pair mining, the cluster
+        // universe, the canonical join): truncate lineage so the
+        // normalize→lineDedup→spanScrub chain runs once, not per branch —
+        // the in-query analogue of materializing stage outputs between
+        // pipeline steps (which is what a real 100 TB run does)
+        .localCheckpoint()
       // 5. near-dup cluster dedup: the min-id canonical member survives
       val pairs = llm.TextOps.minhashNearDups(q, "doc_id", "text",
         threshold = 0.5)
       val cc = llm.Clusters.dedupClusters(q.select(col("doc_id")), "doc_id",
         pairs, "id_a", "id_b")
       val canon = q.join(cc.filter(col("is_canonical")).select(col("doc_id")),
-        Seq("doc_id"))
+          Seq("doc_id"))
+        // two consumers (contamination flags + the clean join) and the
+        // iterative cluster closure upstream — truncate again
+        .localCheckpoint()
       // 6. decontamination vs the RAW eval split: the eval docs
       // themselves (still near-identical post-transform) and anything
       // sharing an 8-gram with them drop out of training
@@ -3186,7 +3199,9 @@ object SparkEntry {
         flags.filter(!col("contaminated")).select(col("doc_id")), Seq("doc_id"))
       // 7. domain mixing toward target token shares
       val withSrc = clean.join(docs.select(col("doc_id"), col("source")),
-        Seq("doc_id"))
+          Seq("doc_id"))
+        // two consumers: the mix-rate derivation and the final plan join
+        .localCheckpoint()
       val mixed = llm.Sampling.domainMix(withSrc, "doc_id", "text", "source",
         Map("src0" -> 5000L, "src1" -> 2000L), defaultBp = 100L)
       // 8. curriculum-ordered shard plan over the final corpus
