@@ -2925,6 +2925,34 @@ object SparkEntry {
         when(b < 90, "train").when(b < 95, "val").otherwise("test").as("split"))
     }),
 
+    // URL-level curation: canonicalize (lowercase authority, strip
+    // fragment + tracking params), extract the registrable domain, cap
+    // documents per domain in deterministic hash order. Messy URLs are
+    // salted in deterministically; 7 synthetic hosts make the cap bind.
+    "llm_url_ops" -> ((s, dir) => {
+      val withUrl = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("HTTPS://WWW.Example"), (col("doc_id") % 7).cast("string"),
+          lit(".COM/Path"), col("doc_id").cast("string"),
+          lit("?utm_source=feed&id="), (col("doc_id") % 30).cast("string"),
+          lit("&fbclid=xyz#frag")).as("url"))
+      val canon = withUrl
+        .withColumn("canon_url", llm.TextOps.canonicalUrlCol("url"))
+        .withColumn("domain", llm.TextOps.urlDomainCol("canon_url"))
+      llm.TextOps.perDomainCap(canon, "doc_id", "domain", cap = 40)
+        .select(col("doc_id"), col("canon_url"), col("domain"),
+          col("domain_rank"), col("kept"))
+    }),
+
+    // Exact token-budget cut: keep documents in deterministic hash order
+    // until the cumulative token count crosses the budget — the
+    // "exactly N training tokens" sampler. The running sum decomposes
+    // into 1024 hash-prefix range buckets (offsets via one tiny window),
+    // so no task ever sums the whole corpus.
+    "llm_token_budget" -> ((s, dir) => {
+      llm.Sampling.tokenBudget(t(s, dir, "documents"), "doc_id", "text",
+        budget = 10000L)
+    }),
+
     // Deterministic word-dropout augmentation: token drops iff
     // h64(id:salt:pos) % 100 < 15 — reproducible across engines and
     // re-runs; a new salt = a fresh epoch mask.
@@ -4407,6 +4435,37 @@ object SparkEntry {
         |       WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 95 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+    // llm_url_ops oracle: the same regex chain in the RE2 dialect (\1
+    // backreference, 'g' flags) + the md5-hash domain ranking
+    "llm_url_ops" ->
+      """WITH u AS (SELECT doc_id,
+        |    'HTTPS://WWW.Example' || CAST(doc_id % 7 AS VARCHAR) || '.COM/Path' || CAST(doc_id AS VARCHAR) ||
+        |    '?utm_source=feed&id=' || CAST(doc_id % 30 AS VARCHAR) || '&fbclid=xyz#frag' AS url
+        |  FROM documents),
+        |p AS (SELECT doc_id, url, regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0) AS pfx FROM u),
+        |c1 AS (SELECT doc_id, lower(pfx) || substr(url, length(pfx) + 1) AS c FROM p),
+        |c2 AS (SELECT doc_id, regexp_replace(c, '#.*$', '') AS c FROM c1),
+        |c3 AS (SELECT doc_id, regexp_replace(c, '([?&])(utm_[a-z]+|ref|fbclid|gclid)=[^&#]*', '\1', 'g') AS c FROM c2),
+        |c4 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(c, '&{2,}', '&', 'g'), '\?&', '?'), '[?&]+$', '') AS canon_url FROM c3),
+        |d AS (SELECT doc_id, canon_url,
+        |    regexp_extract(regexp_extract(canon_url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1), '[^.]+\.[^.]+$', 0) AS domain,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hh
+        |  FROM c4)
+        |SELECT doc_id, canon_url, domain,
+        |  CAST(row_number() OVER (PARTITION BY domain ORDER BY hh, doc_id) AS BIGINT) AS domain_rank,
+        |  row_number() OVER (PARTITION BY domain ORDER BY hh, doc_id) <= 40 AS kept
+        |FROM d""".stripMargin,
+    // llm_token_budget oracle: one GLOBAL running sum in hash order —
+    // the engine's bucket decomposition must reproduce it exactly
+    // (bucket = hh >> 50 is monotonic in hh, so per-bucket order
+    // concatenates to this global order)
+    "llm_token_budget" ->
+      """WITH h AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hh,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY hh, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM h)
+        |SELECT doc_id, n_tokens, CAST(cum AS BIGINT) AS cum_tokens, cum - n_tokens < 10000 AS keep FROM c""".stripMargin,
     // llm_word_dropout oracle: same md5 position gate, string_agg skips
     // the dropped (NULL) words exactly as concat_ws does
     "llm_word_dropout" ->

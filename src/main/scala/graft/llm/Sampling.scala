@@ -165,4 +165,45 @@ object Sampling {
         TextOps.h64c(col(idCol).cast("string")) % 10000 < col("__rate_bp"))
       .select(col(idCol), col(srcCol), col("n_tokens"), col("keep"))
   }
+
+  /** Exact token-budget cut: documents stream in the deterministic
+    * (h64(id), id) hash order and are kept while the cumulative token
+    * count stays under `budget` — the "give me exactly N training
+    * tokens" sampler, where a percentage gate can only approximate.
+    * The document that crosses the budget boundary is kept (its START
+    * offset is inside the budget); everything after it drops. Returns
+    * every row with (n_tokens, cum_tokens, keep) so the cut is
+    * auditable.
+    *
+    * Scale: a naive global running sum is one unpartitioned window — a
+    * single-task straggler on the whole corpus. Instead the hash order
+    * decomposes into 2¹⁰ RANGE buckets on the h64 prefix (`h >> 50` is
+    * monotonic in h, so per-bucket order concatenates to the global
+    * order): per-bucket token totals (1024 rows) fold into per-bucket
+    * START OFFSETS with one tiny window, broadcast back, and the
+    * per-bucket running sum windows partition on the bucket key — every
+    * task sums ~corpus/1024, none sums the corpus.
+    */
+  def tokenBudget(df: DataFrame, idCol: String, textCol: String,
+      budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withTok = df
+      .withColumn("__h", TextOps.h64c(col(idCol).cast("string")))
+      .withColumn("n_tokens",
+        size(split(lower(col(textCol)), " ")).cast("long"))
+      .withColumn("__b", (col("__h") / lit(1L << 50)).cast("long"))
+    // 1024-row frame: running offset of every bucket = Σ earlier buckets
+    val offsets = withTok.groupBy(col("__b"))
+      .agg(sum(col("n_tokens")).as("__bt"))
+      .withColumn("__off", coalesce(
+        sum(col("__bt")).over(Window.orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__b"), col("__off"))
+    val w = Window.partitionBy(col("__b")).orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withTok.join(broadcast(offsets), Seq("__b"))
+      .withColumn("cum_tokens", col("__off") + sum(col("n_tokens")).over(w))
+      .select(col(idCol), col("n_tokens"), col("cum_tokens"),
+        (col("cum_tokens") - col("n_tokens") < budget).as("keep"))
+  }
 }

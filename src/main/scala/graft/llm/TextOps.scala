@@ -914,4 +914,59 @@ object TextOps {
         |  CAST(length(regexp_replace(text, '[^a-zA-Z ]', '')) AS DOUBLE)
         |    / length(text)
         |) / 3.0""".stripMargin)
+
+  /** URL canonicalization (C4/RefinedWeb-style pre-dedup cleanup) over a
+    * column NAME: lowercase the scheme+authority (path stays
+    * case-sensitive), strip the fragment, strip tracking parameters
+    * (`utm_*`, `ref`, `fbclid`, `gclid`), then normalize the separators
+    * the removals leave behind. Pure chained codegen'd regexes in the
+    * Java/RE2-common dialect, so the oracle replays byte-identically.
+    * Two crawls of the same page differing only in case/fragment/
+    * tracking noise canonicalize to one key — the URL-level dedup tier
+    * that runs BEFORE any text is even fetched at 100 TB.
+    */
+  def canonicalUrlCol(urlCol: String): Column = {
+    val pfx = s"regexp_extract($urlCol, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0)"
+    val lowered = s"concat(lower($pfx), substr($urlCol, length($pfx) + 1))"
+    val noFrag = s"regexp_replace($lowered, '#.*$$', '')"
+    // each tracking param is replaced by its LEADING separator ($1), so
+    // '?utm_x=1&id=2' keeps its '?' — the separator-run cleanup below
+    // collapses what consecutive removals leave behind
+    val noTrack =
+      s"regexp_replace($noFrag, '([?&])(utm_[a-z]+|ref|fbclid|gclid)=[^&#]*', '$$1')"
+    val fixAmp = s"regexp_replace($noTrack, '&{2,}', '&')"
+    val fixQ = s"regexp_replace(regexp_replace($fixAmp, '\\\\?&', '?'), '[?&]+$$', '')"
+    expr(fixQ)
+  }
+
+  /** Registrable-domain approximation from a canonical URL: the last two
+    * host labels (`example.com`) — the public-suffix list is a data file,
+    * not an algorithm, so the approximation is the deterministic core.
+    */
+  def urlDomainCol(urlCol: String): Column =
+    expr(s"regexp_extract(regexp_extract($urlCol, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1), '[^.]+\\\\.[^.]+$$', 0)")
+
+  /** Per-domain document cap: keep at most `cap` documents per domain,
+    * ranked by the deterministic (h64(id), id) order — the anti-dominance
+    * gate that stops one crawl host from flooding the mixture. Returns
+    * every row with (domain_rank, kept) so the cut is auditable.
+    *
+    * Scale: one window partitioned on the domain key. Domains are the
+    * heavy hitters by construction, but the cap is small and the rank
+    * predicate prunes immediately after; a skew-critical deployment
+    * replaces the full sort with a per-domain top-`cap` partial
+    * aggregate (the [[graft.llm.Ann.ivfAssign]] max-struct trick,
+    * generalized to k) — at web scale even the biggest domain's row set
+    * fits a task, so the window form is the honest default.
+    */
+  def perDomainCap(df: DataFrame, idCol: String, domainCol: String,
+      cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", h64c(col(idCol).cast("string")))
+      .withColumn("domain_rank", row_number().over(w).cast("long"))
+      .withColumn("kept", col("domain_rank") <= cap)
+      .drop("__h")
+  }
 }

@@ -11,6 +11,36 @@ class TextOpsSpec extends AnyFunSuite {
   val dir = "/root/testdata/sf0.001"
   def docs = Tables(spark, dir, "documents")
 
+  test("URL canonicalization: authority lowered, fragment/tracking stripped, path case kept") {
+    val cases = Seq(
+      // authority lowercased, path case preserved, tracking gone, '?' kept
+      ("HTTPS://WWW.Example.COM/Path/File?utm_source=x&id=5#frag",
+        "https://www.example.com/Path/File?id=5"),
+      // all params are tracking → whole query string vanishes
+      ("http://a.b.Example.org/p?utm_a=1&utm_b=2&fbclid=z",
+        "http://a.b.example.org/p"),
+      // consecutive removals collapse separator runs
+      ("http://Example.com/p?id=1&ref=feed&gclid=g&x=2",
+        "http://example.com/p?id=1&x=2"),
+      // no query, no fragment → unchanged but lowered
+      ("HTTP://HOST.NET/CaseSensitive", "http://host.net/CaseSensitive"))
+    val got = cases.map(_._1).toDF("url")
+      .select(TextOps.canonicalUrlCol("url").as("c")).as[String].collect()
+    got.zip(cases.map(_._2)).foreach { case (g, e) => assert(g == e, s"got $g want $e") }
+    // registrable-domain approximation: last two host labels
+    val doms = Seq("https://a.b.example.org/p", "http://host.net/x")
+      .toDF("c").select(TextOps.urlDomainCol("c").as("d")).as[String].collect()
+    assert(doms.toSeq == Seq("example.org", "host.net"))
+    // per-domain cap: rank is deterministic and the cap binds
+    val df = (1L to 30L).map(i => (i, s"d${i % 3}.com")).toDF("doc_id", "domain")
+    val capped = TextOps.perDomainCap(df, "doc_id", "domain", cap = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    capped.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.count(_._4) == 5)
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.size).toSeq)
+    }
+  }
+
   test("minhash LSH finds planted near-dups and nothing below threshold") {
     val found = TextOps.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
       .collect()
@@ -400,6 +430,36 @@ class SamplingSpec extends AnyFunSuite {
     val again = Sampling.curriculumPlan(docs.repartition(11), "doc_id", 4, 10)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(out.toSet == again.toSet)
+  }
+
+  test("tokenBudget: bucket decomposition equals the naive global running sum; boundary doc kept") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val budget = 1500L
+    val got = Sampling.tokenBudget(docs, "doc_id", "text", budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // naive reference: one global cumulative sum in (h64, id) order,
+    // computed OFF Spark
+    def h64(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(15), 16)
+    }
+    val toks = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(" ", -1).length.toLong).toMap
+    var cum = 0L
+    val ref = toks.keys.toSeq.sortBy(id => (h64(id), id)).map { id =>
+      cum += toks(id)
+      (id, toks(id), cum, cum - toks(id) < budget)
+    }
+    assert(got.toSet == ref.toSet)
+    // the budget-crossing document is kept, the next one is not
+    val keptCums = ref.filter(_._4).map(_._3)
+    assert(keptCums.max >= budget, "boundary doc must be kept")
+    assert(ref.filter(!_._4).forall(r => r._3 - r._2 >= budget))
+    // partitioning-invariant
+    val again = Sampling.tokenBudget(docs.repartition(13), "doc_id", "text", budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.toSet == again.toSet)
   }
 
   test("writeShards: one directory per shard, content matches shardPlan") {

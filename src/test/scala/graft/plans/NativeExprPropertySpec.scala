@@ -102,4 +102,33 @@ class NativeExprPropertySpec extends AnyFunSuite {
       assert(r.getSeq[Long](1) == sigma(r.getSeq[Long](0)))
     }
   }
+
+  test("rolling_grams normalizes NEGATIVE word hashes into [0,P) — full-range inputs") {
+    import RollingGrams.{P1, P2, B1, B2, powTable}
+    val k = 8
+    val (pw1, pw2) = (powTable(B1, k, P1), powTable(B2, k, P2))
+    def posMod(v: Long, p: Long): Long = ((v % p) + p) % p
+    def sigma(wh: Seq[Long]): Seq[Long] =
+      if (wh.length < k) Seq.empty
+      else (0 to wh.length - k).map { i =>
+        val h1 = (0 until k).map(j => posMod(wh(i + j), P1) * pw1(j) % P1).sum % P1
+        val h2 = (0 until k).map(j => posMod(wh(i + j), P2) * pw2(j) % P2).sum % P2
+        h1 * P2 + h2
+      }
+    // full signed-long range: the expression accepts any array<bigint>,
+    // and a negative element must not drive the recurrence negative
+    // (advice-round finding — callers today always feed positive h64s)
+    val rows = (1 to 200).map { _ =>
+      Tuple1(Seq.fill(8 + rnd.nextInt(24))(rnd.nextLong()))
+    }
+    val df = rows.toDF("wh")
+    df.select(col("wh"), RollingGrams.rollingGrams(col("wh"), k).as("native"))
+      .collect()
+      .foreach { r =>
+        val out = r.getSeq[Long](1)
+        assert(out == sigma(r.getSeq[Long](0)))
+        // emitted keys stay in the canonical non-negative combined range
+        out.foreach(v => assert(v >= 0 && v < P1 * P2))
+      }
+  }
 }
