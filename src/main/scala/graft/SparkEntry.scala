@@ -2606,6 +2606,19 @@ object SparkEntry {
         .unionByName(llm.Ann.recallAtK("ivf", truth, ivf))
     }),
 
+    // IVF index statistics: per-cell population of the trained coarse
+    // quantizer — the measurable form of the "trained cells stay
+    // balanced" claim every IVF probe-cost estimate rests on. One
+    // partial-agg count per cell; the spec pins a max/mean ceiling.
+    "llm_ivf_stats" -> ((s, dir) => {
+      val e = llm.Ann.withQuantized(t(s, dir, "embeddings"), "embedding")
+      val corpus = e.select(col("vec_id").as("nid"), col("vq"), col("norm2"))
+      val cent = llm.Ann.kmeansCentroids(corpus, step = 25, iters = 2)
+      llm.Ann.withCells(corpus, cent)
+        .groupBy(col("cell")).agg(count(lit(1)).cast("long").as("n_vectors"))
+        .select(col("cell"), col("n_vectors"))
+    }),
+
     // Embedding-cosine near-dup pairs blocked by label.
     "llm_embed_neardup" -> ((s, dir) => {
       val e = llm.Ann.withQuantized(t(s, dir, "embeddings"), "embedding")
@@ -4638,6 +4651,43 @@ object SparkEntry {
         |rk AS (SELECT qid, nid, cos,
         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS neg_rank FROM neg)
         |SELECT qid, CAST(neg_rank AS BIGINT) AS neg_rank, nid, cos FROM rk WHERE neg_rank <= 3""".stripMargin,
+    // llm_ivf_stats oracle: the full-vector k-means training replay
+    // (same chain as llm_hard_negatives) + a per-cell count
+    "llm_ivf_stats" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS vq FROM embeddings),
+        |en AS (SELECT vec_id, vq, CAST(list_sum(list_transform(vq, x -> x * x)) AS BIGINT) AS norm2 FROM e),
+        |cent0 AS (SELECT vec_id AS cid, vq AS cv, norm2 AS cn FROM en WHERE vec_id % 25 = 0),
+        |a1 AS (SELECT en.vec_id, cent0.cid,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(vq)), i -> vq[i] * cv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS ccos
+        |  FROM en CROSS JOIN cent0),
+        |r1 AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn FROM a1),
+        |asg1 AS (SELECT vec_id AS nid, cid AS cell FROM r1 WHERE rn = 1),
+        |u1 AS (SELECT asg1.cell, unnest(vq) AS v, generate_subscripts(vq, 1) AS d FROM en JOIN asg1 ON en.vec_id = asg1.nid),
+        |m1 AS (SELECT cell, d, CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS vc FROM u1 GROUP BY cell, d),
+        |cent1 AS (SELECT cell AS cid, list(vc ORDER BY d) AS cv FROM m1 GROUP BY cell),
+        |cent1n AS (SELECT cid, cv, CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cn FROM cent1),
+        |a2 AS (SELECT en.vec_id, cent1n.cid,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(vq)), i -> vq[i] * cv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS ccos
+        |  FROM en CROSS JOIN cent1n),
+        |r2 AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn FROM a2),
+        |asg2 AS (SELECT vec_id AS nid, cid AS cell FROM r2 WHERE rn = 1),
+        |u2 AS (SELECT asg2.cell, unnest(vq) AS v, generate_subscripts(vq, 1) AS d FROM en JOIN asg2 ON en.vec_id = asg2.nid),
+        |m2 AS (SELECT cell, d, CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS vc FROM u2 GROUP BY cell, d),
+        |cent2 AS (SELECT cell AS cid, list(vc ORDER BY d) AS cv FROM m2 GROUP BY cell),
+        |cent AS (SELECT cid, cv, CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cn FROM cent2),
+        |ascore AS (
+        |  SELECT en.vec_id, cent.cid,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(vq)), i -> vq[i] * cv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS ccos
+        |  FROM en CROSS JOIN cent),
+        |ranked_assign AS (
+        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+        |  FROM ascore),
+        |cells AS (SELECT vec_id AS nid, cid AS cell FROM ranked_assign WHERE rn = 1),
+        |cnt AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors FROM cells GROUP BY cell)
+        |SELECT cell, n_vectors FROM cnt""".stripMargin,
     // llm_pq_search oracle: the pq_encode chain (codebooks + codes)
     // extended with query-side LUTs and ADC ranking
     "llm_pq_search" ->
