@@ -460,6 +460,21 @@ class SamplingSpec extends AnyFunSuite {
     val again = Sampling.tokenBudget(docs.repartition(13), "doc_id", "text", budget)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
     assert(got.toSet == again.toSet)
+    // plan shape: the DOC-level running sum must partition on the bucket
+    // key — every unpartitioned window in the plan is the 1024-row
+    // offsets fold, never the corpus (the single-task-straggler mistake
+    // this operator exists to avoid)
+    val plan = Sampling.tokenBudget(docs, "doc_id", "text", budget)
+      .queryExecution.optimizedPlan.toString
+    val specs = "windowspecdefinition\\(([^)]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(specs.nonEmpty)
+    // every window in the plan involves the bucket key (as partition key
+    // for the doc-level sum, as the whole tiny frame for the offsets
+    // fold); a global (__h, id)-ordered window with no __b would be the
+    // corpus-wide single-task sum
+    specs.foreach(s => assert(s.contains("__b"),
+      s"corpus-wide unpartitioned window in plan: $s"))
   }
 
   test("writeShards: one directory per shard, content matches shardPlan") {
