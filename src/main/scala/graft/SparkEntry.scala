@@ -2606,6 +2606,23 @@ object SparkEntry {
         .unionByName(llm.Ann.recallAtK("ivf", truth, ivf))
     }),
 
+    // IVF probe-sweep recall curve: recall@3 at nProbe ∈ {1,2,4} against
+    // brute truth, one shared training — the recall-vs-cost curve a
+    // production deployment tunes nProbe with (each probe step costs
+    // corpus/nCells more candidates per query).
+    "llm_ivf_probe_curve" -> ((s, dir) => {
+      val e = llm.Ann.withQuantized(t(s, dir, "embeddings"), "embedding")
+      val corpus = e.select(col("vec_id").as("nid"), col("vq"), col("norm2"))
+      val queries = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("vq"), col("norm2"))
+      val truth = llm.Ann.bruteTopK(queries, corpus, 3)
+      val cent = llm.Ann.kmeansCentroids(corpus, step = 25, iters = 2)
+      Seq(1, 2, 4).map { p =>
+        llm.Ann.recallAtK(s"ivf_p$p", truth,
+          llm.Ann.ivfTopK(queries, corpus, cent, k = 3, nProbe = p))
+      }.reduce(_ unionByName _)
+    }),
+
     // IVF index statistics: per-cell population of the trained coarse
     // quantizer — the measurable form of the "trained cells stay
     // balanced" claim every IVF probe-cost estimate rests on. One
@@ -4067,6 +4084,65 @@ object SparkEntry {
         |  n_truth,
         |  CAST((SELECT count(*) FROM truth SEMI JOIN ivf USING (qid, nid)) AS DOUBLE) / n_truth
         |FROM nt""".stripMargin,
+    // llm_ivf_probe_curve oracle: one training replay, probe sets per
+    // nProbe from the same ranked assignment, per-p hit counting
+    "llm_ivf_probe_curve" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS vq FROM embeddings),
+        |en AS (SELECT vec_id, vq, CAST(list_sum(list_transform(vq, x -> x * x)) AS BIGINT) AS norm2 FROM e),
+        |bq AS (SELECT vec_id AS qid, vq AS qv, norm2 AS qn FROM en WHERE vec_id % 50 = 0),
+        |bscored AS (SELECT qid, en.vec_id AS nid,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * en.vq[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(en.norm2 AS DOUBLE))) AS cos
+        |  FROM en CROSS JOIN bq WHERE en.vec_id <> qid),
+        |truth AS (SELECT qid, nid FROM (SELECT qid, nid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank FROM bscored)
+        |  WHERE rank <= 3),
+        |cent0 AS (SELECT vec_id AS cid, vq AS cv, norm2 AS cn FROM en WHERE vec_id % 25 = 0),
+        |a1 AS (SELECT en.vec_id, cent0.cid,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(vq)), i -> vq[i] * cv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS ccos
+        |  FROM en CROSS JOIN cent0),
+        |r1 AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn FROM a1),
+        |asg1 AS (SELECT vec_id AS nid, cid AS cell FROM r1 WHERE rn = 1),
+        |u1 AS (SELECT asg1.cell, unnest(vq) AS v, generate_subscripts(vq, 1) AS d FROM en JOIN asg1 ON en.vec_id = asg1.nid),
+        |m1 AS (SELECT cell, d, CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS vc FROM u1 GROUP BY cell, d),
+        |cent1 AS (SELECT cell AS cid, list(vc ORDER BY d) AS cv FROM m1 GROUP BY cell),
+        |cent1n AS (SELECT cid, cv, CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cn FROM cent1),
+        |a2 AS (SELECT en.vec_id, cent1n.cid,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(vq)), i -> vq[i] * cv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS ccos
+        |  FROM en CROSS JOIN cent1n),
+        |r2 AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn FROM a2),
+        |asg2 AS (SELECT vec_id AS nid, cid AS cell FROM r2 WHERE rn = 1),
+        |u2 AS (SELECT asg2.cell, unnest(vq) AS v, generate_subscripts(vq, 1) AS d FROM en JOIN asg2 ON en.vec_id = asg2.nid),
+        |m2 AS (SELECT cell, d, CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS vc FROM u2 GROUP BY cell, d),
+        |cent2 AS (SELECT cell AS cid, list(vc ORDER BY d) AS cv FROM m2 GROUP BY cell),
+        |cent AS (SELECT cid, cv, CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cn FROM cent2),
+        |ascore AS (SELECT en.vec_id, cent.cid,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(vq)), i -> vq[i] * cv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS ccos
+        |  FROM en CROSS JOIN cent),
+        |ranked_assign AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn FROM ascore),
+        |cells AS (SELECT vec_id AS nid, cid AS cell FROM ranked_assign WHERE rn = 1),
+        |ic AS (SELECT en.vec_id AS nid, vq AS nv, norm2 AS nn, cell FROM en JOIN cells ON en.vec_id = cells.nid),
+        |plist AS (SELECT unnest([1, 2, 4]) AS p),
+        |probesp AS (SELECT p, vec_id AS qid, cid AS cell FROM ranked_assign CROSS JOIN plist
+        |  WHERE rn <= p AND vec_id % 50 = 0),
+        |iqp AS (SELECT p, en.vec_id AS qid, vq AS qv, norm2 AS qn, probesp.cell
+        |  FROM en JOIN probesp ON en.vec_id = probesp.qid),
+        |iscoredp AS (SELECT p, qid, nid,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * nv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(nn AS DOUBLE))) AS cos
+        |  FROM ic JOIN iqp USING (cell) WHERE nid <> qid),
+        |ivfp AS (SELECT p, qid, nid FROM (SELECT p, qid, nid,
+        |    row_number() OVER (PARTITION BY p, qid ORDER BY cos DESC, nid ASC) AS rank FROM iscoredp)
+        |  WHERE rank <= 3),
+        |hits AS (SELECT p, CAST(count(*) AS BIGINT) AS c FROM truth JOIN ivfp USING (qid, nid) GROUP BY p),
+        |tt AS (SELECT CAST(count(*) AS BIGINT) AS c FROM truth)
+        |SELECT 'ivf_p' || CAST(plist.p AS VARCHAR) AS path,
+        |  coalesce(hits.c, 0) AS n_hits, tt.c AS n_truth,
+        |  CAST(coalesce(hits.c, 0) AS DOUBLE) / tt.c AS recall
+        |FROM plist LEFT JOIN hits ON plist.p = hits.p CROSS JOIN tt""".stripMargin,
     "llm_embed_neardup" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS vq FROM embeddings),
         |en AS (SELECT vec_id, vq, CAST(list_sum(list_transform(vq, x -> x * x)) AS BIGINT) AS norm2 FROM e),

@@ -761,6 +761,23 @@ class AnnSpec extends AnyFunSuite {
     assert(got == truth)
   }
 
+  test("ivf probe curve: recall is non-decreasing in nProbe") {
+    val e = Ann.withQuantized(emb, "embedding")
+    val corpus = e.select(col("vec_id").as("nid"), col("vq"), col("norm2"))
+    val queries = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("vq"), col("norm2"))
+    val truth = Ann.bruteTopK(queries, corpus, 3)
+    val cent = Ann.kmeansCentroids(corpus, 25, iters = 2)
+    // candidate sets grow as supersets with nProbe; a true hit crowded
+    // out of top-k can only be displaced by another true hit — same
+    // argument as multiprobe >= single-bucket LSH
+    val rs = Seq(1, 2, 4).map { p =>
+      Ann.recallAtK("x", truth,
+        Ann.ivfTopK(queries, corpus, cent, k = 3, nProbe = p)).head.getDouble(3)
+    }
+    assert(rs.sliding(2).forall(w => w(0) <= w(1)), s"recall curve not monotone: $rs")
+  }
+
   test("trained IVF cells stay balanced: max/mean population within ceiling") {
     val e = Ann.withQuantized(emb, "embedding")
     val corpus = e.select(col("vec_id").as("nid"), col("vq"), col("norm2"))
