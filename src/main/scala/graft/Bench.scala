@@ -45,6 +45,7 @@ object Bench {
     "llm_shard_plan", "llm_curriculum_plan", "llm_corpus_profile", "llm_source_overlap",
     "llm_stream_dedup", "llm_bpe_pairs", "llm_pq_encode", "llm_pq_search", "llm_pq_recall", "llm_ivfpq_search", "llm_hard_negatives",
     "llm_ivfpq_recall", "llm_full_pipeline", "llm_url_ops", "llm_token_budget",
+    "llm_ivf_stats", "llm_ivf_probe_curve",
     "s2_stream_agg", "s2b_stream_state")
 
   def main(args: Array[String]): Unit = {
