@@ -191,7 +191,7 @@ object Sampling {
       .withColumn("__h", TextOps.h64c(col(idCol).cast("string")))
       .withColumn("n_tokens",
         size(split(lower(col(textCol)), " ")).cast("long"))
-      .withColumn("__b", (col("__h") / lit(1L << 50)).cast("long"))
+      .withColumn("__b", expr(s"__h div ${1L << 50}"))
     // 1024-row frame: running offset of every bucket = Σ earlier buckets
     val offsets = withTok.groupBy(col("__b"))
       .agg(sum(col("n_tokens")).as("__bt"))
