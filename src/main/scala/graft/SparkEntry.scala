@@ -2956,19 +2956,28 @@ object SparkEntry {
     }),
 
     // URL-level curation: canonicalize (lowercase authority, strip
-    // fragment + tracking params), extract the registrable domain, cap
-    // documents per domain in deterministic hash order. Messy URLs are
-    // salted in deterministically; 7 synthetic hosts make the cap bind.
+    // fragment + tracking params), extract the registrable domain
+    // (public-suffix aware: .CO.UK hosts resolve to distinct three-label
+    // domains, not one shared "co.uk"), cap documents per domain in
+    // deterministic hash order via the SCALE-SAFE bounded top-k aggregate
+    // (perDomainCapAgg — no hot-domain sort window; rows beyond the cap
+    // carry a NULL rank). Messy URLs are salted in deterministically;
+    // 7 .com + 3 .co.uk synthetic hosts make both tiers bind.
     "llm_url_ops" -> ((s, dir) => {
       val withUrl = t(s, dir, "documents").select(col("doc_id"),
-        concat(lit("HTTPS://WWW.Example"), (col("doc_id") % 7).cast("string"),
-          lit(".COM/Path"), col("doc_id").cast("string"),
+        concat(lit("HTTPS://"),
+          when(col("doc_id") % 11 === 0,
+            concat(lit("WWW.Site"), (col("doc_id") % 3).cast("string"),
+              lit(".CO.UK")))
+            .otherwise(concat(lit("WWW.Example"),
+              (col("doc_id") % 7).cast("string"), lit(".COM"))),
+          lit("/Path"), col("doc_id").cast("string"),
           lit("?utm_source=feed&id="), (col("doc_id") % 30).cast("string"),
           lit("&fbclid=xyz#frag")).as("url"))
       val canon = withUrl
         .withColumn("canon_url", llm.TextOps.canonicalUrlCol("url"))
         .withColumn("domain", llm.TextOps.urlDomainCol("canon_url"))
-      llm.TextOps.perDomainCap(canon, "doc_id", "domain", cap = 40)
+      llm.TextOps.perDomainCapAgg(canon, "doc_id", "domain", cap = 40)
         .select(col("doc_id"), col("canon_url"), col("domain"),
           col("domain_rank"), col("kept"))
     }),
@@ -4359,9 +4368,13 @@ object SparkEntry {
         |dfq AS (SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM t2 GROUP BY word)
         |SELECT tf.word, n_occurrences, n_docs FROM tf JOIN dfq USING (word)
         |ORDER BY n_occurrences DESC, word ASC LIMIT 100""".stripMargin,
+    // pack-group modulus derived from the SAME formula as the engine
+    // (max(32, ceil(n/500k))), not a hardcoded 32 — engine and oracle stay
+    // in lockstep when the corpus outgrows 16M docs
     "llm_seq_pack" ->
-      """WITH w AS (SELECT doc_id,
-        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 32 AS pack_group,
+      """WITH g AS (SELECT GREATEST(32, CAST(ceil(count(*) / 500000.0) AS BIGINT)) AS n FROM documents),
+        |w AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % (SELECT n FROM g) AS pack_group,
         |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens FROM documents),
         |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id) AS cum FROM w)
         |SELECT doc_id, CAST(pack_group AS BIGINT) AS pack_group, n_tokens,
@@ -4526,24 +4539,40 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     // llm_url_ops oracle: the same regex chain in the RE2 dialect (\1
     // backreference, 'g' flags) + the md5-hash domain ranking
+    // llm_url_ops oracle: canonicalize chain + public-suffix-aware domain
+    // (same embedded suffix subset — shared DATA, publicsuffix.org) + the
+    // window-form cap; the engine's bounded top-k aggregate must agree on
+    // the kept set, with NULL rank beyond the cap (the agg form doesn't
+    // rank what it drops)
     "llm_url_ops" ->
-      """WITH u AS (SELECT doc_id,
-        |    'HTTPS://WWW.Example' || CAST(doc_id % 7 AS VARCHAR) || '.COM/Path' || CAST(doc_id AS VARCHAR) ||
+      s"""WITH u AS (SELECT doc_id,
+        |    'HTTPS://' || CASE WHEN doc_id % 11 = 0
+        |      THEN 'WWW.Site' || CAST(doc_id % 3 AS VARCHAR) || '.CO.UK'
+        |      ELSE 'WWW.Example' || CAST(doc_id % 7 AS VARCHAR) || '.COM' END
+        |    || '/Path' || CAST(doc_id AS VARCHAR) ||
         |    '?utm_source=feed&id=' || CAST(doc_id % 30 AS VARCHAR) || '&fbclid=xyz#frag' AS url
         |  FROM documents),
         |p AS (SELECT doc_id, url, regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0) AS pfx FROM u),
         |c1 AS (SELECT doc_id, lower(pfx) || substr(url, length(pfx) + 1) AS c FROM p),
-        |c2 AS (SELECT doc_id, regexp_replace(c, '#.*$', '') AS c FROM c1),
-        |c3 AS (SELECT doc_id, regexp_replace(c, '([?&])(utm_[a-z]+|ref|fbclid|gclid)=[^&#]*', '\1', 'g') AS c FROM c2),
-        |c4 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(c, '&{2,}', '&', 'g'), '\?&', '?'), '[?&]+$', '') AS canon_url FROM c3),
-        |d AS (SELECT doc_id, canon_url,
-        |    regexp_extract(regexp_extract(canon_url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1), '[^.]+\.[^.]+$', 0) AS domain,
+        |c2 AS (SELECT doc_id, regexp_replace(c, '#.*$$', '') AS c FROM c1),
+        |c3 AS (SELECT doc_id, regexp_replace(c, '([?&])(utm_[a-z]+|ref|fbclid|gclid)=[^&#]*', '\\1', 'g') AS c FROM c2),
+        |c4 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(c, '&{2,}', '&', 'g'), '\\?&', '?'), '[?&]+$$', '') AS canon_url FROM c3),
+        |hx AS (SELECT doc_id, canon_url,
+        |    regexp_extract(canon_url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host,
         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hh
-        |  FROM c4)
+        |  FROM c4),
+        |d AS (SELECT doc_id, canon_url, hh,
+        |    CASE WHEN regexp_extract(host, '[^.]+\\.[^.]+$$', 0) IN (${llm.TextOps.MultiLabelSuffixes.map(x => s"'$x'").mkString(", ")})
+        |           AND regexp_extract(host, '[^.]+\\.[^.]+\\.[^.]+$$', 0) != ''
+        |      THEN regexp_extract(host, '[^.]+\\.[^.]+\\.[^.]+$$', 0)
+        |      ELSE regexp_extract(host, '[^.]+\\.[^.]+$$', 0) END AS domain
+        |  FROM hx),
+        |r AS (SELECT doc_id, canon_url, domain,
+        |    row_number() OVER (PARTITION BY domain ORDER BY hh, doc_id) AS rn FROM d)
         |SELECT doc_id, canon_url, domain,
-        |  CAST(row_number() OVER (PARTITION BY domain ORDER BY hh, doc_id) AS BIGINT) AS domain_rank,
-        |  row_number() OVER (PARTITION BY domain ORDER BY hh, doc_id) <= 40 AS kept
-        |FROM d""".stripMargin,
+        |  CASE WHEN rn <= 40 THEN CAST(rn AS BIGINT) END AS domain_rank,
+        |  rn <= 40 AS kept
+        |FROM r""".stripMargin,
     // llm_token_budget oracle: one GLOBAL running sum in hash order —
     // the engine's bucket decomposition must reproduce it exactly
     // (bucket = hh >> 50 is monotonic in hh, so per-bucket order

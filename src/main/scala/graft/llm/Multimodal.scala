@@ -289,8 +289,11 @@ object Multimodal {
             if (img == null) ok = false
             else {
               nf += 1
-              w = img.getWidth
-              h = img.getHeight
+              // dims come from the FIRST frame; a structurally valid AVI
+              // with mixed frame dimensions reports the explicit -1
+              // sentinel instead of silently echoing the last frame
+              if (nf == 1) { w = img.getWidth; h = img.getHeight }
+              else if (w != img.getWidth || h != img.getHeight) { w = -1; h = -1 }
               var y = 0
               while (y < img.getHeight) {
                 var x = 0
@@ -347,7 +350,10 @@ object Multimodal {
     * pattern sum is SQL-recomputable.
     */
   def videoFramePixel(seed: Long, f: Int, x: Int, y: Int): (Int, Int, Int) =
-    (((x * 3 + f * 5 + seed) % 256).toInt, (y * 7 + f) % 256, (x + y + 2 * f) % 256)
+    // floorMod on the seed-bearing channel: Scala's % keeps the sign, so a
+    // negative seed would otherwise produce an invalid negative red value
+    (java.lang.Math.floorMod(x * 3 + f * 5 + seed, 256L).toInt,
+      (y * 7 + f) % 256, (x + y + 2 * f) % 256)
 
   /** Deterministic test AVI: `nFrames` MJPEG frames of the
     * [[videoFramePixel]] pattern inside a structurally complete RIFF/AVI

@@ -755,6 +755,13 @@ object TextOps {
     * bounds each window partition to ~this many rows regardless of
     * corpus size (a FIXED group count makes each group corpus/nGroups —
     * a straggler partition at 100 TB).
+    *
+    * Derived-group mode trades LAYOUT STABILITY for balance: the group
+    * count (hence every doc's pack group and block span) is a function of
+    * corpus size, so two corpus snapshots pack differently once the count
+    * crosses a 500k boundary. A caller that needs a reproducible layout
+    * across snapshots pins `nGroups` explicitly; any oracle/replica must
+    * derive its modulus from this same formula, never hardcode one.
     */
   val PackGroupTargetDocs: Long = 500000L
 
@@ -939,25 +946,71 @@ object TextOps {
     expr(fixQ)
   }
 
-  /** Registrable-domain approximation from a canonical URL: the last two
-    * host labels (`example.com`) — the public-suffix list is a data file,
-    * not an algorithm, so the approximation is the deterministic core.
+  /** Common multi-label public suffixes (an embedded subset of the public
+    * suffix list — PUBLIC data, publicsuffix.org): hosts ending in one of
+    * these need the last THREE labels to name a registrable domain
+    * (`foo.co.uk`, not `co.uk`). Without this every UK/AU/JP site would
+    * collapse into one "domain" and [[perDomainCap]] would over-cap them
+    * as a single bucket. The full list is a data file a deployment mounts;
+    * this subset covers the high-traffic ccTLD second levels.
     */
-  def urlDomainCol(urlCol: String): Column =
-    expr(s"regexp_extract(regexp_extract($urlCol, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1), '[^.]+\\\\.[^.]+$$', 0)")
+  val MultiLabelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "ltd.uk", "plc.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp", "lg.jp",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "geek.nz", "gen.nz",
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "com.mx", "org.mx", "net.mx", "gob.mx", "edu.mx",
+    "co.in", "net.in", "org.in", "ac.in", "edu.in", "gov.in", "res.in",
+    "co.za", "net.za", "org.za", "gov.za", "ac.za", "web.za",
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk",
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw",
+    "co.kr", "ne.kr", "or.kr", "re.kr", "go.kr", "ac.kr",
+    "com.ar", "net.ar", "org.ar", "edu.ar", "gob.ar",
+    "com.tr", "net.tr", "org.tr", "edu.tr", "gov.tr",
+    "co.il", "net.il", "org.il", "ac.il", "gov.il",
+    "co.id", "net.id", "or.id", "ac.id", "go.id", "web.id",
+    "com.my", "net.my", "org.my", "edu.my", "gov.my",
+    "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn",
+    "co.th", "or.th", "ac.th", "go.th", "in.th",
+    "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke", "sc.ke",
+    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua",
+    "com.eg", "com.sa", "com.pk", "com.bd", "com.ng")
 
-  /** Per-domain document cap: keep at most `cap` documents per domain,
-    * ranked by the deterministic (h64(id), id) order — the anti-dominance
-    * gate that stops one crawl host from flooding the mixture. Returns
-    * every row with (domain_rank, kept) so the cut is auditable.
+  /** Registrable domain from a canonical URL: last two host labels, or
+    * last THREE when the two-label tail is a known multi-label public
+    * suffix ([[MultiLabelSuffixes]]) — `www.foo.co.uk` → `foo.co.uk`,
+    * `www.example.com` → `example.com`. Both tiers are codegen'd
+    * regex/IN-list expressions in the Java/RE2-common dialect, so the
+    * oracle replays the decision byte-identically. A host that IS a bare
+    * public suffix falls back to the two-label form (the three-label
+    * extract misses and both engines return '').
+    */
+  def urlDomainCol(urlCol: String): Column = {
+    val host = s"regexp_extract($urlCol, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1)"
+    val last2 = s"regexp_extract($host, '[^.]+\\\\.[^.]+$$', 0)"
+    val last3 = s"regexp_extract($host, '[^.]+\\\\.[^.]+\\\\.[^.]+$$', 0)"
+    val suffixes = MultiLabelSuffixes.map(s => s"'$s'").mkString(", ")
+    expr(
+      s"CASE WHEN $last2 IN ($suffixes) AND $last3 != '' THEN $last3 ELSE $last2 END")
+  }
+
+  /** Per-domain document cap, WINDOW form: keep at most `cap` documents
+    * per domain, ranked by the deterministic (h64(id), id) order — the
+    * anti-dominance gate that stops one crawl host from flooding the
+    * mixture. Returns every row with (domain_rank, kept) so the cut is
+    * auditable.
     *
-    * Scale: one window partitioned on the domain key. Domains are the
-    * heavy hitters by construction, but the cap is small and the rank
-    * predicate prunes immediately after; a skew-critical deployment
-    * replaces the full sort with a per-domain top-`cap` partial
-    * aggregate (the [[graft.llm.Ann.ivfAssign]] max-struct trick,
-    * generalized to k) — at web scale even the biggest domain's row set
-    * fits a task, so the window form is the honest default.
+    * Scale caveat: the window partitioned on the domain key sorts every
+    * hot domain's FULL row set in one task (a 10⁹-doc mega-domain sorts
+    * 10⁹ rows to keep `cap`). [[perDomainCapAgg]] is the scale-safe form —
+    * bounded top-`cap` partial aggregation, no per-domain sort — and is
+    * spec-pinned equivalent on the kept set; this window form stays as
+    * the equivalence reference and for callers that need a FULL rank on
+    * uncapped rows.
     */
   def perDomainCap(df: DataFrame, idCol: String, domainCol: String,
       cap: Int): DataFrame = {
@@ -968,5 +1021,35 @@ object TextOps {
       .withColumn("domain_rank", row_number().over(w).cast("long"))
       .withColumn("kept", col("domain_rank") <= cap)
       .drop("__h")
+  }
+
+  /** Per-domain document cap, SCALE-SAFE form: same keep decision and
+    * ranks as [[perDomainCap]] but via the bounded
+    * [[graft.plans.TopKPairs]] aggregate — each map task partial-
+    * aggregates its slice of a domain to ≤ `cap` (h64(id), id) pairs, the
+    * shuffle ships pairs (never documents) and no task ever sorts a hot
+    * domain's row set. Rows beyond the cap carry a NULL `domain_rank`
+    * (their exact rank is unknowable without the full sort — and unneeded:
+    * the cut only asks "in the top `cap` or not").
+    *
+    * The kept frame is (#domains × cap) id-pairs; the join back to the
+    * corpus rides the uniformly-hashed (domain, id) pair, so even the
+    * join is skew-proof. At 100 TB this is the web-scale front gate shape:
+    * a mega-domain's 10⁹ rows cost each map task a `cap`-bounded buffer
+    * instead of one task a 10⁹-row sort.
+    */
+  def perDomainCapAgg(df: DataFrame, idCol: String, domainCol: String,
+      cap: Int): DataFrame = {
+    val kept = df
+      .select(col(domainCol), col(idCol),
+        h64c(col(idCol).cast("string")).as("__h"))
+      .groupBy(col(domainCol))
+      .agg(graft.plans.TopKPairs.topkPairs(col("__h"), col(idCol), cap)
+        .as("__kept"))
+      .select(col(domainCol), posexplode(col("__kept")))
+      .select(col(domainCol), col("col.id").as(idCol),
+        (col("pos") + 1).cast("long").as("domain_rank"))
+    df.join(kept, Seq(domainCol, idCol), "left")
+      .withColumn("kept", col("domain_rank").isNotNull)
   }
 }

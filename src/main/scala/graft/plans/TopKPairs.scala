@@ -1,0 +1,161 @@
+package graft.plans
+
+import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import java.io.ByteArrayInputStream
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** Bounded top-k aggregate over `(ord, id)` long pairs: keeps the `k`
+  * SMALLEST pairs under the lexicographic `(ord asc, id asc)` order — the
+  * per-group generalization of [[graft.llm.Ann.ivfAssign]]'s
+  * `max(struct(...))` top-1 trick to arbitrary k.
+  *
+  * This is the aggregate that replaces a `row_number().over(partitionBy
+  * (key).orderBy(ord, id)) <= k` window for hot grouping keys: the window
+  * form ships and SORTS every row of the hottest key in one task (a 10⁹-doc
+  * crawl domain sorts 10⁹ rows to keep 25), while this aggregate's buffer
+  * NEVER exceeds `k` pairs — each map task partial-aggregates its slice to
+  * ≤ k, the shuffle ships (#tasks × k) pairs per group instead of the
+  * group's rows, and the final merge folds k-bounded buffers. Skew in the
+  * group key stops mattering: the hot group's cost is spread over every
+  * map task that holds a slice of it — the same effect
+  * [[graft.core.Skew.saltedCollectSet]] buys for holistic aggregates, here
+  * built into the aggregation buffer itself.
+  *
+  * Result: `array<struct<ord: bigint, id: bigint>>` sorted ascending —
+  * element i (1-based) is exactly the row the window form would have
+  * ranked i (spec-pinned equivalence on a skewed fixture). Null ord/id
+  * inputs are skipped, matching `row_number`'s treatment never being
+  * reached by the callers (the ord is a non-null hash by construction).
+  */
+case class TopKPairs(
+    ord: Expression,
+    id: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.PriorityQueue[Array[Long]]] {
+
+  require(k > 0, s"topk_pairs requires k > 0, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ord.dataType == LongType && id.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"topk_pairs expects (bigint, bigint), got " +
+        s"(${ord.dataType.sql}, ${id.dataType.sql})")
+
+  // max-heap on (ord, id): peek() is the WORST kept pair, evicted when a
+  // smaller candidate arrives and the buffer is full
+  override def createAggregationBuffer(): java.util.PriorityQueue[Array[Long]] =
+    new java.util.PriorityQueue[Array[Long]](
+      math.min(k, 16) + 1, TopKPairs.DescOrder)
+
+  private def insert(
+      buf: java.util.PriorityQueue[Array[Long]], o: Long, i: Long): Unit =
+    if (buf.size < k) buf.offer(Array(o, i))
+    else {
+      val worst = buf.peek()
+      if (o < worst(0) || (o == worst(0) && i < worst(1))) {
+        buf.poll(); buf.offer(Array(o, i))
+      }
+    }
+
+  override def update(
+      buf: java.util.PriorityQueue[Array[Long]],
+      input: InternalRow): java.util.PriorityQueue[Array[Long]] = {
+    val o = ord.eval(input)
+    val i = id.eval(input)
+    if (o != null && i != null)
+      insert(buf, o.asInstanceOf[Long], i.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(
+      buf: java.util.PriorityQueue[Array[Long]],
+      other: java.util.PriorityQueue[Array[Long]])
+      : java.util.PriorityQueue[Array[Long]] = {
+    val it = other.iterator()
+    while (it.hasNext) { val p = it.next(); insert(buf, p(0), p(1)) }
+    buf
+  }
+
+  override def eval(buf: java.util.PriorityQueue[Array[Long]]): Any = {
+    val arr = buf.toArray(new Array[Array[Long]](buf.size))
+    java.util.Arrays.sort(arr, TopKPairs.AscOrder)
+    new GenericArrayData(
+      arr.map(p => InternalRow(p(0), p(1)): Any))
+  }
+
+  override def serialize(
+      buf: java.util.PriorityQueue[Array[Long]]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(4 + 16 * buf.size)
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) {
+      val p = it.next(); out.writeLong(p(0)); out.writeLong(p(1))
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(
+      bytes: Array[Byte]): java.util.PriorityQueue[Array[Long]] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.offer(Array(in.readLong(), in.readLong())); i += 1 }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("ord", LongType, nullable = false),
+      StructField("id", LongType, nullable = false))),
+    containsNull = false)
+
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(ord, id)
+  override def prettyName: String = "topk_pairs"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKPairs =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKPairs =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKPairs =
+    copy(ord = newChildren(0), id = newChildren(1))
+}
+
+object TopKPairs {
+
+  /** Ascending (ord, id) — the output order. */
+  private[plans] val AscOrder: java.util.Comparator[Array[Long]] =
+    new java.util.Comparator[Array[Long]] {
+      override def compare(a: Array[Long], b: Array[Long]): Int = {
+        val c = java.lang.Long.compare(a(0), b(0))
+        if (c != 0) c else java.lang.Long.compare(a(1), b(1))
+      }
+    }
+
+  /** Descending — heap order putting the worst kept pair at the root. */
+  private[plans] val DescOrder: java.util.Comparator[Array[Long]] =
+    java.util.Collections.reverseOrder(AscOrder)
+
+  /** Column-API entry point: `topkPairs(ord, id, k)` aggregates to the k
+    * smallest (ord, id) struct pairs in ascending order.
+    */
+  def topkPairs(ord: Column, id: Column, k: Int): Column =
+    Bridge.column(
+      TopKPairs(Bridge.expression(ord), Bridge.expression(id), k)
+        .toAggregateExpression())
+}

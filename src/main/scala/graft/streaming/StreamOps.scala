@@ -147,6 +147,17 @@ object StreamOps {
       }
   }
 
+  /** Expiry timestamp for a key whose FIRST event was at `firstTsMicros`:
+    * event-time ms + ttl, with a SATURATING add — a sentinel-large ttlMs
+    * (a caller's "never expire") must not overflow to a negative target,
+    * which the watermark clamp would turn into immediate expiry (the
+    * opposite contract).
+    */
+  private def expiryTarget(firstTsMicros: Long, ttlMs: Long): Long = {
+    val base = firstTsMicros / 1000
+    if (ttlMs > Long.MaxValue - base) Long.MaxValue else base + ttlMs
+  }
+
   case class KeyIdTs(key: Long, id: Long, ts: Long)
   case class KeyIdT(key: Long, id: Long, ts: Long,
       event_time: java.sql.Timestamp)
@@ -193,8 +204,8 @@ object StreamOps {
               case _ => Some(KeyMin(key, m))
             }
             state.update((heldMin, firstTs))
-            val target = firstTs / 1000 + ttlMs
-            state.setTimeoutTimestamp(math.max(target, state.getCurrentWatermarkMs() + 1))
+            state.setTimeoutTimestamp(
+              math.max(expiryTarget(firstTs, ttlMs), state.getCurrentWatermarkMs() + 1))
             improved.iterator
           }
       }
@@ -247,8 +258,9 @@ object StreamOps {
             // (re)arm expiry: ttl past the held first event (event-time
             // ms), clamped above the current watermark — Spark rejects
             // timeouts at or below it
-            val target = state.get.first_ts / 1000 + ttlMs
-            state.setTimeoutTimestamp(math.max(target, state.getCurrentWatermarkMs() + 1))
+            state.setTimeoutTimestamp(math.max(
+              expiryTarget(state.get.first_ts, ttlMs),
+              state.getCurrentWatermarkMs() + 1))
             improved.iterator
           }
       }
@@ -286,8 +298,9 @@ object StreamOps {
               state.update((first.payload, first.ts))
               Some(FirstSeen(key, first.payload))
             }
-            val target = state.get._2 / 1000 + ttlMs
-            state.setTimeoutTimestamp(math.max(target, state.getCurrentWatermarkMs() + 1))
+            state.setTimeoutTimestamp(math.max(
+              expiryTarget(state.get._2, ttlMs),
+              state.getCurrentWatermarkMs() + 1))
             out.iterator
           }
       }
