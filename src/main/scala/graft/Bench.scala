@@ -34,7 +34,7 @@ object Bench {
     "llm_exact_dedup", "llm_minhash_neardup",
     "llm_simhash", "llm_ngram_jaccard", "llm_text_stats", "llm_langid",
     "llm_ann_topk", "llm_ann_lsh", "llm_ann_ivf", "llm_ann_recall",
-    "llm_embed_neardup",
+    "llm_embed_neardup", "llm_ann_index_build",
     "llm_multimodal", "llm_dedup_clusters", "llm_incremental_dedup",
     "llm_rolling_dedup",
     "llm_hash_sample", "llm_quality_gopher", "llm_pii_scrub",

@@ -226,6 +226,22 @@ object Ann {
     val cells = ivfAssign(corpus.select(col("nid").as("id"), col("vq"),
       col("norm2")), centroids, nProbe = 1)
       .select(col("id").as("nid"), col("cell"))
+    ivfTopK(queries, corpus, centroids, cells, k, nProbe)
+  }
+
+  /** [[ivfTopK]] against a PREBUILT corpus cell assignment (`cells`:
+    * (nid, cell), e.g. [[IvfPqIndex.cells]] loaded from parquet) — the
+    * standing-index probe path: nothing corpus-wide is recomputed per
+    * query batch; at scale `corpus ⋈ cells` is the cell-partitioned
+    * table and each probe is a partition-pruned read.
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      centroids: DataFrame,
+      cells: DataFrame,
+      k: Int,
+      nProbe: Int): DataFrame = {
     val c = corpus.join(cells, Seq("nid"))
       .select(col("nid"), col("vq").as("nv"), col("norm2").as("nn"), col("cell"))
     val probes = ivfAssign(queries.select(col("qid").as("id"), col("vq"),
