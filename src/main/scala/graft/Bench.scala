@@ -45,6 +45,7 @@ object Bench {
     "llm_shard_plan", "llm_curriculum_plan", "llm_corpus_profile", "llm_source_overlap",
     "llm_stream_dedup", "llm_bpe_pairs", "llm_pq_encode", "llm_pq_search", "llm_pq_recall", "llm_ivfpq_search", "llm_hard_negatives",
     "llm_ivfpq_recall", "llm_full_pipeline", "llm_url_ops", "llm_token_budget",
+    "llm_salted_join",
     "llm_ivf_stats", "llm_ivf_probe_curve",
     "s2_stream_agg", "s2b_stream_state")
 
@@ -101,25 +102,28 @@ object Bench {
     // (loaders_bucket) — both constant-cost, not per-query news, but the
     // loader bucket grows with every new composed source and would
     // otherwise read as a fixtures regression
-    def runBucket(names: Seq[String]): Double = {
+    def timeOne(name: String): Double = {
       val t0 = System.nanoTime()
-      names.foreach { name =>
-        try all(name)(spark, sfDir).count() catch { case _: Throwable => () }
-        spark.catalog.clearCache()
-      }
+      try all(name)(spark, sfDir).count() catch { case _: Throwable => () }
+      spark.catalog.clearCache()
       (System.nanoTime() - t0) / 1e9
     }
+    def runBucket(names: Seq[String]): Double = names.map(timeOne).sum
     val rest = all.keys.toSeq.sorted.filterNot(headline.contains)
     val (loaderQs, fixtureQs) = rest.partition(_.matches("^g\\d+_.*"))
     val fixtures = "fixtures_bucket" -> runBucket(fixtureQs)
-    val loaders = "loaders_bucket" -> runBucket(loaderQs)
+    // the loader bucket is ~60% of the bench: keep the bucket total for
+    // round-over-round comparison, but also record each loader pipeline's
+    // own time so a regression localizes to the loader that caused it
+    val loaderTimes = loaderQs.map(n => n -> timeOne(n))
+    val loaders = "loaders_bucket" -> loaderTimes.map(_._2).sum
     // times rounded to ms: full-precision doubles pushed the single JSON
     // line past the driver's tail-parse window in round 5 (the leading
     // '{' got clipped and the round artifact recorded parsed=null);
     // millisecond resolution is all the comparison uses
     def r3(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = (results :+ fixtures :+ loaders)
+    val qs = (results ++ loaderTimes :+ fixtures :+ loaders)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum + fixtures._2 + loaders._2

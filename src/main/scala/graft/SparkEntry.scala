@@ -3065,6 +3065,33 @@ object SparkEntry {
           col("domain_rank"), col("kept"))
     }),
 
+    // Skew-mitigated join + holistic aggregate on a DELIBERATELY skewed
+    // key (80% of documents share one 'hot' key): `Skew.saltedJoin`
+    // spreads the hot key over 8 salt buckets instead of one straggler
+    // task, and `Skew.saltedCollectSet` two-phases the hot key's
+    // collect_set so no single task materializes the full hot set. The
+    // oracle is the PLAIN join + grouped distinct-list — salting must be
+    // physically different but semantically invisible.
+    "llm_salted_join" -> ((s, dir) => {
+      import s.implicits._
+      val big = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 10 < 8, lit("hot"))
+          .otherwise(concat(lit("cold"), (col("doc_id") % 10).cast("string")))
+          .as("skew_key"))
+      val dim = Seq(("hot", "tier-a"), ("cold8", "tier-b"), ("cold9", "tier-c"))
+        .toDF("skew_key", "tier")
+      val joined = core.Skew.saltedJoin(big, broadcast(dim), "skew_key",
+        saltFactor = 8)
+      val sets = core.Skew.saltedCollectSet(
+        joined.select(col("skew_key"), (col("doc_id") % 100).as("bucket")),
+        "skew_key", "bucket", saltFactor = 8)
+      joined.groupBy(col("skew_key"), col("tier"))
+        .agg(count(lit(1)).as("n_docs"))
+        .join(sets, Seq("skew_key"))
+        .select(col("skew_key"), col("tier"), col("n_docs"),
+          array_sort(col("bucket_set")).as("buckets"))
+    }),
+
     // Exact token-budget cut: keep documents in deterministic hash order
     // until the cumulative token count crosses the budget — the
     // "exactly N training tokens" sampler. The running sum decomposes
@@ -3281,15 +3308,37 @@ object SparkEntry {
     }),
 
     // End-to-end curation pipeline — the g14_full_dag analogue for the
-    // LLM surface: normalize → line dedup → span scrub → Gopher quality
-    // gate → MinHash cluster dedup (canonical keeps) → decontaminate
-    // against the eval split → domain mixing → curriculum-ordered shard
-    // plan. One shared deterministic salt gives every stage real work;
-    // each stage's contract is what its standalone row already pins, so
-    // this row exists to catch COMPOSITION bugs (column contracts, lost
-    // rows, double transforms). The oracle recomputes the entire chain.
+    // LLM surface: URL front gate (canonicalize → registrable domain →
+    // per-domain cap, the web-scale crawl tamer) → normalize → line dedup
+    // → span scrub → Gopher quality gate → MinHash cluster dedup
+    // (canonical keeps) → decontaminate against the eval split → domain
+    // mixing → curriculum-ordered shard plan. One shared deterministic
+    // salt gives every stage real work; each stage's contract is what its
+    // standalone row already pins, so this row exists to catch
+    // COMPOSITION bugs (column contracts, lost rows, double transforms).
+    // The oracle recomputes the entire chain. The eval split and source
+    // lookup read the RAW table — decontamination guards against the
+    // full eval set, not just the part that survived the crawl gate.
     "llm_full_pipeline" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docsAll = t(s, dir, "documents")
+      // 0. URL front gate: same synthetic-URL scheme + cap as llm_url_ops
+      val withUrl = docsAll.select(col("doc_id"),
+        concat(lit("HTTPS://"),
+          when(col("doc_id") % 11 === 0,
+            concat(lit("WWW.Site"), (col("doc_id") % 3).cast("string"),
+              lit(".CO.UK")))
+            .otherwise(concat(lit("WWW.Example"),
+              (col("doc_id") % 7).cast("string"), lit(".COM"))),
+          lit("/Path"), col("doc_id").cast("string"),
+          lit("?utm_source=feed&id="), (col("doc_id") % 30).cast("string"),
+          lit("&fbclid=xyz#frag")).as("url"))
+      val canon0 = withUrl
+        .withColumn("canon_url", llm.TextOps.canonicalUrlCol("url"))
+        .withColumn("domain", llm.TextOps.urlDomainCol("canon_url"))
+      val kept0 = llm.TextOps.perDomainCapAgg(canon0, "doc_id", "domain",
+          cap = 40)
+        .filter(col("kept")).select(col("doc_id"))
+      val docs = docsAll.join(kept0, Seq("doc_id"))
       val salted = docs.withColumn("text0", concat(col("text"),
         when(col("doc_id") % 4 === 0,
           concat(lit("  visit   https://example.com/page"),
@@ -3340,14 +3389,14 @@ object SparkEntry {
       // 6. decontamination vs the RAW eval split: the eval docs
       // themselves (still near-identical post-transform) and anything
       // sharing an 8-gram with them drop out of training
-      val evalSet = docs.filter(col("doc_id") % 100 === 0)
+      val evalSet = docsAll.filter(col("doc_id") % 100 === 0)
         .select(col("doc_id"), col("text"))
       val flags = llm.TextOps.contaminationFlags(canon, evalSet,
         "doc_id", "text", k = 8)
       val clean = canon.join(
         flags.filter(!col("contaminated")).select(col("doc_id")), Seq("doc_id"))
       // 7. domain mixing toward target token shares
-      val withSrc = clean.join(docs.select(col("doc_id"), col("source")),
+      val withSrc = clean.join(docsAll.select(col("doc_id"), col("source")),
           Seq("doc_id"))
         // two consumers: the mix-rate derivation and the final plan join
         .localCheckpoint()
@@ -4655,6 +4704,21 @@ object SparkEntry {
         |  CASE WHEN rn <= 40 THEN CAST(rn AS BIGINT) END AS domain_rank,
         |  rn <= 40 AS kept
         |FROM r""".stripMargin,
+    // llm_salted_join oracle: the PLAIN equi-join + grouped distinct-list.
+    // The engine's salted join (+ two-phase salted collect_set) must be
+    // row-identical — salting changes the physical distribution only.
+    "llm_salted_join" ->
+      """WITH big AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 10 < 8 THEN 'hot'
+        |         ELSE 'cold' || CAST(doc_id % 10 AS VARCHAR) END AS skew_key
+        |  FROM documents),
+        |dim(skew_key, tier) AS (SELECT * FROM (VALUES
+        |  ('hot', 'tier-a'), ('cold8', 'tier-b'), ('cold9', 'tier-c')) v(k, t)),
+        |j AS (SELECT b.doc_id, b.skew_key, d.tier
+        |  FROM big b JOIN dim d USING (skew_key))
+        |SELECT skew_key, tier, CAST(count(*) AS BIGINT) AS n_docs,
+        |  list_sort(list(DISTINCT doc_id % 100)) AS buckets
+        |FROM j GROUP BY skew_key, tier""".stripMargin,
     // llm_token_budget oracle: one GLOBAL running sum in hash order —
     // the engine's bucket decomposition must reproduce it exactly
     // (bucket = hh >> 50 is monotonic in hh, so per-bucket order
@@ -5286,17 +5350,43 @@ object SparkEntry {
         |  n_tokens
         |FROM q""".stripMargin,
     // llm_full_pipeline oracle: the ENTIRE curation chain recomputed —
-    // salt → normalize → line dedup → rolling-gram span scrub →
+    // URL canonicalize + public-suffix domain + per-domain cap (window
+    // form) → salt → normalize → line dedup → rolling-gram span scrub →
     // Gopher gate → MinHash/LSH cluster closure (recursive CTE) →
     // eval-gram decontamination → token-share domain mix → curriculum
     // shard plan, each stage consuming the previous stage's text
     "llm_full_pipeline" ->
       s"""WITH RECURSIVE
+        |u0 AS (SELECT doc_id,
+        |    'HTTPS://' || CASE WHEN doc_id % 11 = 0
+        |      THEN 'WWW.Site' || CAST(doc_id % 3 AS VARCHAR) || '.CO.UK'
+        |      ELSE 'WWW.Example' || CAST(doc_id % 7 AS VARCHAR) || '.COM' END
+        |    || '/Path' || CAST(doc_id AS VARCHAR) ||
+        |    '?utm_source=feed&id=' || CAST(doc_id % 30 AS VARCHAR) || '&fbclid=xyz#frag' AS url
+        |  FROM documents),
+        |up AS (SELECT doc_id, url, regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0) AS pfx FROM u0),
+        |uc1 AS (SELECT doc_id, lower(pfx) || substr(url, length(pfx) + 1) AS c FROM up),
+        |uc2 AS (SELECT doc_id, regexp_replace(c, '#.*$$', '') AS c FROM uc1),
+        |uc3 AS (SELECT doc_id, regexp_replace(c, '([?&])(utm_[a-z]+|ref|fbclid|gclid)=[^&#]*', '\\1', 'g') AS c FROM uc2),
+        |uc4 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(c, '&{2,}', '&', 'g'), '\\?&', '?'), '[?&]+$$', '') AS canon_url FROM uc3),
+        |uhx AS (SELECT doc_id,
+        |    regexp_extract(canon_url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hh
+        |  FROM uc4),
+        |ud AS (SELECT doc_id, hh,
+        |    CASE WHEN regexp_extract(host, '[^.]+\\.[^.]+$$', 0) IN (${llm.TextOps.MultiLabelSuffixes.map(x => s"'$x'").mkString(", ")})
+        |           AND regexp_extract(host, '[^.]+\\.[^.]+\\.[^.]+$$', 0) != ''
+        |      THEN regexp_extract(host, '[^.]+\\.[^.]+\\.[^.]+$$', 0)
+        |      ELSE regexp_extract(host, '[^.]+\\.[^.]+$$', 0) END AS domain
+        |  FROM uhx),
+        |ur AS (SELECT doc_id,
+        |    row_number() OVER (PARTITION BY domain ORDER BY hh, doc_id) AS rn FROM ud),
+        |keep0 AS (SELECT doc_id FROM ur WHERE rn <= 40),
         |s0 AS (SELECT doc_id, source, text ||
         |    CASE WHEN doc_id % 4 = 0 THEN '  visit   https://example.com/page' || CAST(doc_id % 50 AS VARCHAR) || '?ref=rss  now' ELSE '' END ||
         |    CASE WHEN doc_id % 5 = 0 THEN ' the quick brown fox jumps over the lazy dog again' ELSE '' END ||
         |    CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'subscribe to our newsletter today' ELSE '' END AS t0
-        |  FROM documents),
+        |  FROM documents SEMI JOIN keep0 USING (doc_id)),
         |n1 AS (SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(t0,
         |    'https?://[^ ]+', '<URL>', 'g'), '[\\t\\r]', ' ', 'g'), ' {2,}', ' ', 'g')) AS t1 FROM s0),
         |l AS (SELECT doc_id, generate_subscripts(ls, 1) AS pos, unnest(ls) AS line
