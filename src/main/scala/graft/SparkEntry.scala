@@ -408,14 +408,9 @@ object SparkEntry {
     // memory-sink table is the query result. Exact columns only (count,
     // min, max) — float sums are order-dependent across micro-batches.
     "s2_stream_agg" -> ((s, dir) => {
-      val stream = s.readStream
-        .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
-        // file streams need a directory source; glob-filter to the events
-        // table within the sf dir
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        // integer div — float `/` on epoch nanos (> 2^53) loses precision
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // Tables.eventsStream normalizes the on-disk ts encoding (legacy
+      // INT64 nanos vs native TIMESTAMP micros) behind one schema
+      val stream = Tables.eventsStream(s, dir)
         .withWatermark("ts", "2 hours")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n_events"), min(col("value")).as("min_value"),
@@ -2777,10 +2772,14 @@ object SparkEntry {
 
     // REAL video frame decode: MJPEG-in-AVI built + decoded with
     // JDK-only code (RIFF chunk walk, per-frame ImageIO JPEG inflate).
-    // Frame count and raster dims are codec-exact; the pixel sum is
-    // JPEG-decoder-defined, so the row carries the decoder-portable
-    // tolerance boolean (within 1% of the lossless pattern sum — the
-    // spec pins the tolerance) instead of the raw sum.
+    // Frame count and raster dims are codec-exact; the raw decoded
+    // pixel sum is emitted as-is and the oracle pins the GOLDEN sums
+    // (655713 / 1424018 / 2709614) measured once on this JDK's ImageIO
+    // (decode is deterministic for a fixed JDK) — a silent decoder
+    // change now fails the hash instead of drifting inside a tolerance
+    // band. The lossless pattern sums (655200 / 1425408 / 2711520) sit
+    // within 0.1% of the pinned decoded values, bounding the JPEG
+    // round-trip error; the spec keeps the decoder-portable 1% check.
     "llm_video_frames" -> ((s, dir) => {
       import s.implicits._
       import llm.Multimodal.{MediaItem, MediaMeta}
@@ -2794,24 +2793,10 @@ object SparkEntry {
         MediaItem(id, "video/x-msvideo", "not a video".getBytes("UTF-8"),
           MediaMeta(0, 0, 0L, "mjpeg"))
       }
-      val expected = (1L to 3L).map { id =>
-        val (w, h, nf) = (32 + id.toInt * 8, 24 + id.toInt * 4, 2 + id.toInt)
-        var sum = 0L
-        for (f <- 0 until nf; y <- 0 until h; x <- 0 until w) {
-          val (r, g, b) = llm.Multimodal.videoFramePixel(id, f, x, y)
-          sum += r + g + b
-        }
-        (id, sum)
-      }.toDF("media_id", "expected_sum")
       llm.Multimodal.decodeVideoFrames(avis.union(junk)).toDF()
         .select(col("mediaId").as("media_id"), col("decoded"),
           col("nFrames").as("n_frames"), col("width"), col("height"),
           col("pixelSum").as("pixel_sum"))
-        .join(broadcast(expected), Seq("media_id"), "left")
-        .select(col("media_id"), col("decoded"), col("n_frames"),
-          col("width"), col("height"),
-          coalesce(abs(col("pixel_sum") - col("expected_sum")) * 100L <=
-            col("expected_sum"), lit(false)).as("luma_close"))
     }),
 
     // REAL raster resize: same synthetic PNGs as llm_image_decode,
@@ -3415,13 +3400,10 @@ object SparkEntry {
     // micro-batch boundaries, so it verifies against an exact SQL oracle.
     "s2b_stream_state" -> ((s, dir) => {
       import s.implicits._
-      val stream = s.readStream
-        .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        // micros, matching the oracle's timestamp precision (integer div —
-        // float `/` on epoch nanos loses precision)
-        .select(col("user_id"), expr("ts div 1000").as("ts"), col("event_id"),
+      // micros, matching the oracle's timestamp precision; encoding
+      // normalization (legacy nanos vs native micros) lives in Tables
+      val stream = Tables.eventsStream(s, dir)
+        .select(col("user_id"), col("ts_us").as("ts"), col("event_id"),
           col("event_type"))
         .as[streaming.StreamOps.Event]
       val q = streaming.StreamOps.firstEventPerKey(stream)
@@ -4350,17 +4332,20 @@ object SparkEntry {
         |FROM px GROUP BY id, ch, n
         |UNION ALL SELECT 99, false, -1, -1, -1, -1""".stripMargin,
     // llm_video_frames oracle: structural facts (frame count, raster
-    // dims) are exact; luma_close is pinned true for valid payloads —
-    // the Spark side computes the actual 1%-tolerance comparison, so a
-    // broken decode surfaces as decoded=false / wrong dims / false
+    // dims) are exact; pixel_sum pins the GOLDEN decoded sums measured
+    // once on this JDK's ImageIO (deterministic for a fixed JDK), so a
+    // silent decoder change fails the hash outright. The pattern sums
+    // (655200/1425408/2711520) bound the JPEG error at ~0.1%.
     "llm_video_frames" ->
-      """WITH cfg AS (SELECT i AS id, 32 + i*8 AS w, 24 + i*4 AS h, 2 + i AS nf
-        |  FROM generate_series(1, 3) t(i))
+      """WITH cfg AS (SELECT * FROM (VALUES
+        |  (1, 3, 40, 28, 655713),
+        |  (2, 4, 48, 32, 1424018),
+        |  (3, 5, 56, 36, 2709614)) t(id, nf, w, h, ps))
         |SELECT CAST(id AS BIGINT) AS media_id, true AS decoded,
         |  CAST(nf AS INT) AS n_frames, CAST(w AS INT) AS width,
-        |  CAST(h AS INT) AS height, true AS luma_close
+        |  CAST(h AS INT) AS height, CAST(ps AS BIGINT) AS pixel_sum
         |FROM cfg
-        |UNION ALL SELECT 99, false, -1, -1, -1, false""".stripMargin,
+        |UNION ALL SELECT 99, false, -1, -1, -1, -1""".stripMargin,
     "llm_multimodal" ->
       """SELECT doc_id AS media_id, 'text-as-image-stub' AS kind,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

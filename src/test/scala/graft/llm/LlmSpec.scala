@@ -990,8 +990,7 @@ class MultimodalSpec extends AnyFunSuite {
       assert(v.nFrames == 2 + id.toInt)
       assert(v.width == 32 + id.toInt * 8 && v.height == 24 + id.toInt * 4)
       // JPEG is lossy but the smooth test gradients round-trip within 1%
-      // of the lossless pattern sum — the tolerance llm_video_frames'
-      // luma_close column relies on
+      // of the lossless pattern sum (decoder-portable bound)
       var exp = 0L
       for (f <- 0 until v.nFrames; y <- 0 until v.height; x <- 0 until v.width) {
         val (r, g, b) = Multimodal.videoFramePixel(id, f, x, y)
@@ -999,6 +998,13 @@ class MultimodalSpec extends AnyFunSuite {
       }
       assert(math.abs(v.pixelSum - exp) * 100L <= exp,
         s"id $id pixel sum ${v.pixelSum} drifted >1% from pattern sum $exp")
+      // GOLDEN sums for this JDK's ImageIO — what the llm_video_frames
+      // oracle pins exactly; a silent decoder change fails here first
+      // with a readable message rather than as an opaque hash mismatch
+      val golden = Map(1L -> 655713L, 2L -> 1424018L, 3L -> 2709614L)
+      assert(v.pixelSum == golden(id),
+        s"id $id decoded sum ${v.pixelSum} != pinned golden ${golden(id)} — " +
+          "ImageIO JPEG decode changed; re-measure and re-pin the oracle")
     }
     assert(!out(99L).decoded && out(99L).nFrames == -1)
     // parser level: the movi walk yields exactly nFrames chunks, each a

@@ -26,6 +26,17 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def cells_equal(a, b):
+    # array-valued cells (list columns come back as ndarray/list): compare
+    # element-wise — mirrors the driver's value-hash over stringified lists
+    def arrlike(v):
+        return not isinstance(v, (str, bytes)) and hasattr(v, "__len__")
+    if arrlike(a) or arrlike(b):
+        if not (arrlike(a) and arrlike(b)):
+            return False
+        la, lb = list(a), list(b)
+        if len(la) != len(lb):
+            return False
+        return all(cells_equal(x, y) for x, y in zip(la, lb))
     if pd.isna(a) and pd.isna(b):
         return True
     if isinstance(a, float) or isinstance(b, float):
