@@ -2770,6 +2770,41 @@ object SparkEntry {
           col("nSamples").as("n_samples"), col("sumSq").as("sum_sq"))
     }),
 
+    // G.711 companded audio (µ-law + A-law — the one compressed-audio
+    // family the JDK ships codecs for): the same deterministic PCM
+    // pattern companded to 8-bit telephony WAVs, transcoded back to
+    // 16-bit PCM inside decodeAudio. G.711 is lossy but table-driven, so
+    // the oracle recomputes the exact compand→expand round trip per
+    // sample in SQL (verified against the JDK codec sample-by-sample) —
+    // a real independent oracle, not a pinned constant.
+    "llm_audio_g711" -> ((s, dir) => {
+      import s.implicits._
+      import llm.Multimodal.{MediaItem, MediaMeta}
+      val ulaw = s.range(1, 4).map { id =>
+        MediaItem(id, "audio/wav",
+          llm.Multimodal.syntheticWavCompanded(id, 500 + 101 * id.toInt),
+          MediaMeta(0, 0, 0L, "ulaw"))
+      }
+      val alaw = s.range(11, 14).map { id =>
+        MediaItem(id, "audio/wav",
+          llm.Multimodal.syntheticWavCompanded(id - 10,
+            500 + 101 * (id.toInt - 10), alaw = true),
+          MediaMeta(0, 0, 0L, "alaw"))
+      }
+      val junk = s.range(99, 100).map { id =>
+        MediaItem(id, "audio/wav", "not audio".getBytes("UTF-8"),
+          MediaMeta(0, 0, 0L, "ulaw"))
+      }
+      llm.Multimodal.decodeAudio(ulaw.union(alaw).union(junk)).toDF()
+        .select(col("mediaId").as("media_id"),
+          when(col("mediaId") < 10, lit("ulaw"))
+            .when(col("mediaId") < 90, lit("alaw"))
+            .otherwise(lit("junk")).as("codec"),
+          col("decoded"), col("sampleRate").as("sample_rate"),
+          col("channels"), col("nSamples").as("n_samples"),
+          col("sumSq").as("sum_sq"))
+    }),
+
     // REAL video frame decode: MJPEG-in-AVI built + decoded with
     // JDK-only code (RIFF chunk walk, per-frame ImageIO JPEG inflate).
     // Frame count and raster dims are codec-exact; the raw decoded
@@ -4331,6 +4366,42 @@ object SparkEntry {
         |  CAST(n AS BIGINT) AS n_samples, CAST(sum(v*v) AS BIGINT) AS sum_sq
         |FROM px GROUP BY id, ch, n
         |UNION ALL SELECT 99, false, -1, -1, -1, -1""".stripMargin,
+    // llm_audio_g711 oracle: recomputes the G.711 compand→expand round
+    // trip per sample — µ-law (bias 132, exponent/mantissa extraction)
+    // and A-law (negative bias -8, seg boundaries 255/511/...) exactly as
+    // the ITU tables specify; verified sample-by-sample against the JDK
+    // codec before pinning. sum(r²) over the round-tripped samples must
+    // equal the engine's transcoded-PCM energy.
+    "llm_audio_g711" ->
+      """WITH cfg AS (SELECT * FROM (VALUES
+        |    (1, 1, 601, 'ulaw'), (2, 2, 702, 'ulaw'), (3, 3, 803, 'ulaw'),
+        |    (11, 1, 601, 'alaw'), (12, 2, 702, 'alaw'), (13, 3, 803, 'alaw'))
+        |  t(id, seed, n, codec)),
+        |s AS (SELECT id, codec, ((i*31 + seed*7) % 2003) - 1001 AS v
+        |      FROM cfg, generate_series(0, 1000) g(i) WHERE i < n),
+        |ux AS (SELECT id, codec, v, least(abs(v), 32635) + 132 AS x1,
+        |         CASE WHEN v >= 0 THEN v ELSE -v - 8 END AS lin FROM s),
+        |ee AS (SELECT *, CAST(floor(log2(x1)) AS INT) - 7 AS ue,
+        |         CASE WHEN lin <= 255 THEN 0
+        |              ELSE CAST(floor(log2(lin)) AS INT) - 7 END AS aseg FROM ux),
+        |mm AS (SELECT *, (x1 >> (ue + 3)) & 15 AS um,
+        |         CASE WHEN aseg < 2 THEN (lin >> 4) & 15
+        |              ELSE (lin >> (aseg + 3)) & 15 END AS am FROM ee),
+        |rr AS (SELECT id, codec,
+        |         CASE WHEN codec = 'ulaw'
+        |           THEN (CASE WHEN v < 0 THEN -1 ELSE 1 END) *
+        |                (((um * 8 + 132) << ue) - 132)
+        |           ELSE (CASE WHEN v >= 0 THEN 1 ELSE -1 END) *
+        |                (CASE WHEN aseg = 0 THEN (am << 4) + 8
+        |                      WHEN aseg = 1 THEN (am << 4) + 264
+        |                      ELSE ((am << 4) + 264) << (aseg - 1) END) END AS r
+        |       FROM mm)
+        |SELECT CAST(id AS BIGINT) AS media_id, codec, true AS decoded,
+        |  CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(r*r) AS BIGINT) AS sum_sq
+        |FROM rr GROUP BY id, codec
+        |UNION ALL SELECT 99, 'junk', false, -1, -1, -1, -1""".stripMargin,
     // llm_video_frames oracle: structural facts (frame count, raster
     // dims) are exact; pixel_sum pins the GOLDEN decoded sums measured
     // once on this JDK's ImageIO (deterministic for a fixed JDK), so a

@@ -166,11 +166,15 @@ object Multimodal {
     * count come from the DECODED stream format, not metadata; `nSamples`
     * and the energy feature `sumSq` (Σ sample², exact 64-bit integer — an
     * RMS numerator without the float) come from the PCM frames themselves,
-    * so a wrong byte stream can't silently pass. Undecodable payloads
-    * (garbage bytes, or encodings other than 16-bit signed PCM) take the
-    * sentinel row — one bad file must not kill the partition. Compressed
-    * audio (MP3/AAC) and video stay out of scope: no codec ships with the
-    * JDK or this container (documented stub boundary).
+    * so a wrong byte stream can't silently pass. G.711 companded WAVs
+    * (µ-law/A-law — the telephony encodings the JDK ships codecs for)
+    * are TRANSCODED to 16-bit PCM first via
+    * `AudioSystem.getAudioInputStream(targetFormat, stream)`, so features
+    * come off the expanded samples — the one compressed-audio family
+    * decodable without FFmpeg. Undecodable payloads (garbage bytes, or
+    * other encodings) take the sentinel row — one bad file must not kill
+    * the partition. MP3/AAC and video stay out of scope: no codec ships
+    * with the JDK or this container (documented stub boundary).
     */
   def decodeAudio(items: Dataset[MediaItem]): Dataset[AudioFeatures] = {
     import items.sparkSession.implicits._
@@ -178,8 +182,18 @@ object Multimodal {
       it.map { m =>
         val sentinel = AudioFeatures(m.mediaId, decoded = false, -1, -1, -1L, -1L)
         try {
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          import javax.sound.sampled.{AudioFormat, AudioSystem}
+          val raw = AudioSystem.getAudioInputStream(
             new java.io.ByteArrayInputStream(m.bytes))
+          val enc = raw.getFormat.getEncoding
+          val ais =
+            if (enc == AudioFormat.Encoding.ULAW || enc == AudioFormat.Encoding.ALAW) {
+              val f = raw.getFormat
+              AudioSystem.getAudioInputStream(
+                new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, f.getSampleRate,
+                  16, f.getChannels, f.getChannels * 2, f.getSampleRate, false),
+                raw)
+            } else raw
           val fmt = ais.getFormat
           if (fmt.getSampleSizeInBits != 16 ||
             fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) sentinel
@@ -224,6 +238,35 @@ object Multimodal {
     val out = new java.io.ByteArrayOutputStream()
     javax.sound.sampled.AudioSystem.write(ais,
       javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** [[syntheticWav]] companded to G.711 µ-law (or A-law): the same
+    * deterministic 16-bit pattern pushed through the JDK's own telephony
+    * codec into an 8-bit/sample WAVE. Decode must transcode back — G.711
+    * is lossy, but the compand/expand tables are fixed by spec, so the
+    * round-tripped samples are integer-reproducible by an oracle.
+    */
+  def syntheticWavCompanded(seed: Long, nSamples: Int,
+      alaw: Boolean = false): Array[Byte] = {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val v = (((i.toLong * 31 + seed * 7) % 2003) - 1001).toInt
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val companded = new AudioFormat(
+      if (alaw) AudioFormat.Encoding.ALAW else AudioFormat.Encoding.ULAW,
+      8000f, 8, 1, 1, 8000f, false)
+    val cais = AudioSystem.getAudioInputStream(companded, ais)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(cais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
     out.toByteArray
   }
 

@@ -957,6 +957,46 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!out(3).decoded && out(3).sumSq == -1L)
   }
 
+  test("decodeAudio: G.711 µ-law/A-law WAVs transcode to PCM with spec-exact round trip") {
+    import Multimodal.{MediaItem, MediaMeta}
+    val items = Seq(
+      MediaItem(1L, "audio/wav", Multimodal.syntheticWavCompanded(1L, 601),
+        MediaMeta(0, 0, 0L, "ulaw")),
+      MediaItem(2L, "audio/wav",
+        Multimodal.syntheticWavCompanded(1L, 601, alaw = true),
+        MediaMeta(0, 0, 0L, "alaw")))
+    val out = Multimodal.decodeAudio(spark.createDataset(items))
+      .collect().sortBy(_.mediaId)
+    // recompute the ITU G.711 compand→expand round trip sample-by-sample
+    // — the same integer formulas the llm_audio_g711 oracle runs in SQL
+    def ulawRt(v: Int): Int = {
+      val x1 = math.min(math.abs(v), 32635) + 132
+      val e = (31 - Integer.numberOfLeadingZeros(x1)) - 7
+      val m = (x1 >> (e + 3)) & 15
+      val y = ((m * 8 + 132) << e) - 132
+      if (v < 0) -y else y
+    }
+    def alawRt(v: Int): Int = {
+      val lin = if (v >= 0) v else -v - 8
+      val seg = if (lin <= 255) 0 else (31 - Integer.numberOfLeadingZeros(lin)) - 7
+      val m = if (seg < 2) (lin >> 4) & 15 else (lin >> (seg + 3)) & 15
+      val t =
+        if (seg == 0) (m << 4) + 8
+        else if (seg == 1) (m << 4) + 264
+        else ((m << 4) + 264) << (seg - 1)
+      if (v >= 0) t else -t
+    }
+    def pattern(seed: Long, n: Int): Seq[Int] =
+      (0 until n).map(i => (((i.toLong * 31 + seed * 7) % 2003) - 1001).toInt)
+    val expU = pattern(1L, 601).map(v => { val r = ulawRt(v).toLong; r * r }).sum
+    val expA = pattern(1L, 601).map(v => { val r = alawRt(v).toLong; r * r }).sum
+    assert(out(0).decoded && out(0).sampleRate == 8000 && out(0).channels == 1)
+    assert(out(0).nSamples == 601L && out(0).sumSq == expU,
+      s"ulaw sumSq ${out(0).sumSq} != spec round-trip $expU")
+    assert(out(1).decoded && out(1).nSamples == 601L && out(1).sumSq == expA,
+      s"alaw sumSq ${out(1).sumSq} != spec round-trip $expA")
+  }
+
   test("resize preserves aspect ratio bound; frame sampling count") {
     val docs = Tables(spark, dir, "documents").limit(10)
     val items = Multimodal.fromDocuments(spark, docs).toDF()
