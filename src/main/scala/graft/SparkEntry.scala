@@ -3185,13 +3185,14 @@ object SparkEntry {
         "source")
     }),
 
-    // Product quantization: per-subspace deterministic k-means codebooks
-    // (same training as llm_ann_ivf, on vector halves), code-pair encode,
-    // and the exact reconstruction cosine as the storage honesty metric.
+    // Product quantization encode: code pairs + the exact reconstruction
+    // cosine (storage honesty metric) against the SHARED prebuilt
+    // codebooks — the standing-index encode path for new corpus batches
+    // (one assignment pass per subspace, training lives in
+    // llm_ann_index_build; deterministic training keeps the oracle's
+    // replay identical).
     "llm_pq_encode" -> ((s, dir) => {
-      val e = llm.Ann.withQuantized(t(s, dir, "embeddings"), "embedding")
-      val corpus = e.select(col("vec_id").as("nid"), col("vq"), col("norm2"))
-      llm.Ann.pqEncode(corpus, step = 25, iters = 2)
+      llm.Ann.pqEncode(annCorpus(s, dir), sharedAnnIndex(s, dir).pq)
     }),
 
     // Hard-negative mining for contrastive training: a query's top
@@ -3225,11 +3226,8 @@ object SparkEntry {
     // per corpus vector — never a d-dim dot), ranked by cosine-against-
     // reconstruction. At scale this composes with IVF cells (IVF-PQ).
     "llm_pq_search" -> ((s, dir) => {
-      val e = llm.Ann.withQuantized(t(s, dir, "embeddings"), "embedding")
-      val corpus = e.select(col("vec_id").as("nid"), col("vq"), col("norm2"))
-      val queries = e.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("qid"), col("vq"), col("norm2"))
-      llm.Ann.pqSearch(queries, corpus, step = 25, iters = 2, k = 3)
+      // standing-index ADC search: probes the shared prebuilt codebooks
+      llm.Ann.pqSearch(annQueries(s, dir), sharedAnnIndex(s, dir).pq, k = 3)
     }),
 
     // IVF-PQ search: the production ANN layout — coarse cells prune the
@@ -3246,12 +3244,11 @@ object SparkEntry {
     // what two 20-centroid subspace codebooks actually buy (measured 0.40
     // at sf0.01); the same honesty metric the ANN paths carry.
     "llm_pq_recall" -> ((s, dir) => {
-      val e = llm.Ann.withQuantized(t(s, dir, "embeddings"), "embedding")
-      val corpus = e.select(col("vec_id").as("nid"), col("vq"), col("norm2"))
-      val queries = e.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("qid"), col("vq"), col("norm2"))
+      val corpus = annCorpus(s, dir)
+      val queries = annQueries(s, dir)
       val truth = llm.Ann.bruteTopK(queries, corpus, 3)
-      val pq = llm.Ann.pqSearch(queries, corpus, step = 25, iters = 2, k = 3)
+      // standing-index search (shared prebuilt codebooks, no retraining)
+      val pq = llm.Ann.pqSearch(queries, sharedAnnIndex(s, dir).pq, k = 3)
       llm.Ann.recallAtK("pq_adc", truth, pq)
     }),
 

@@ -307,30 +307,53 @@ object Ann {
   /** Codebooks + per-vector codes for both subspaces. Each element:
     * (centroids (cid, cv, cn), codes (nid, code, dp, cn)).
     */
+  /** Encode one subspace half against a (trained or loaded) codebook:
+    * nearest-centroid assignment + the reconstruction terms (dp, cn) —
+    * one pass, no training.
+    */
+  private def pqCodesFor(sf: DataFrame, book: DataFrame, sub: Int): DataFrame =
+    ivfAssign(sf.select(col("nid").as("id"), col("vq"),
+        col("norm2")), book, nProbe = 1)
+      .select(col("id").as("nid"), col("cell").as(s"code$sub"))
+      .join(broadcast(book.select(col("cid").as(s"code$sub"), col("cv"),
+        col("cn").as(s"cn$sub"))), Seq(s"code$sub"))
+      .join(sf.select(col("nid"), col("vq")), Seq("nid"))
+      .withColumn(s"dp$sub", dot("vq", "cv"))
+      .select(col("nid"), col(s"code$sub"), col(s"dp$sub"), col(s"cn$sub"))
+
   private[llm] def pqParts(corpus: DataFrame, step: Long, iters: Int)
       : Seq[(DataFrame, DataFrame)] =
     Seq(0, 1).map { sub =>
       val sf = pqHalf(corpus, "nid", sub)
       val cent = kmeansCentroids(sf, step, iters)
-      val codes = ivfAssign(sf.select(col("nid").as("id"), col("vq"),
-          col("norm2")), cent, nProbe = 1)
-        .select(col("id").as("nid"), col("cell").as(s"code$sub"))
-        .join(broadcast(cent.select(col("cid").as(s"code$sub"), col("cv"),
-          col("cn").as(s"cn$sub"))), Seq(s"code$sub"))
-        .join(sf.select(col("nid"), col("vq")), Seq("nid"))
-        .withColumn(s"dp$sub", dot("vq", "cv"))
-        .select(col("nid"), col(s"code$sub"), col(s"dp$sub"), col(s"cn$sub"))
-      (cent, codes)
+      (cent, pqCodesFor(sf, cent, sub))
     }
 
-  def pqEncode(corpus: DataFrame, step: Long, iters: Int = 2): DataFrame = {
-    val Seq((_, c0), (_, c1)) = pqParts(corpus, step, iters)
+  private def pqEncodeAssemble(corpus: DataFrame, c0: DataFrame,
+      c1: DataFrame): DataFrame =
     corpus.join(c0, Seq("nid")).join(c1, Seq("nid"))
       .withColumn("recon_cos", (col("dp0") + col("dp1")).cast("double") /
         (sqrt(col("norm2").cast("double")) *
           sqrt((col("cn0") + col("cn1")).cast("double"))))
       .select(col("nid").as("vec_id"), col("code0"), col("code1"),
         col("recon_cos"))
+
+  def pqEncode(corpus: DataFrame, step: Long, iters: Int = 2): DataFrame = {
+    val Seq((_, c0), (_, c1)) = pqParts(corpus, step, iters)
+    pqEncodeAssemble(corpus, c0, c1)
+  }
+
+  /** Encode against a prebuilt (possibly parquet-loaded) [[PqIndex]]'s
+    * codebooks — the standing-index encode for NEW corpus batches: one
+    * assignment pass per subspace, no codebook training. Output is
+    * identical to the inline [[pqEncode]] when the index was trained on
+    * this corpus (training is deterministic).
+    */
+  def pqEncode(corpus: DataFrame, index: PqIndex): DataFrame = {
+    val Seq(c0, c1) = Seq((0, index.book0), (1, index.book1)).map {
+      case (sub, book) => pqCodesFor(pqHalf(corpus, "nid", sub), book, sub)
+    }
+    pqEncodeAssemble(corpus, c0, c1)
   }
 
   /** PQ asymmetric-distance top-k: queries score the ENCODED corpus
