@@ -2633,12 +2633,11 @@ object SparkEntry {
     // components so the oracle reproduces training) — one-cell corpus
     // assignment, 2-probe queries, exact re-rank within probed cells.
     "llm_ann_ivf" -> ((s, dir) => {
-      val e = llm.Ann.withQuantized(t(s, dir, "embeddings"), "embedding")
-      val corpus = e.select(col("vec_id").as("nid"), col("vq"), col("norm2"))
-      val centroids = llm.Ann.kmeansCentroids(corpus, step = 25, iters = 2)
-      val queries = e.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("qid"), col("vq"), col("norm2"))
-      llm.Ann.ivfTopK(queries, corpus, centroids, k = 3, nProbe = 2)
+      // standing-index probe: shared coarse quantizer + prebuilt cell
+      // assignment (identical deterministic training → same oracle)
+      val idx = sharedAnnIndex(s, dir)
+      llm.Ann.ivfTopK(annQueries(s, dir), annCorpus(s, dir), idx.coarse,
+        idx.cells, k = 3, nProbe = 2)
     }),
 
     // ANN recall gate: recall@3 of the LSH and trained-IVF paths against
@@ -2656,8 +2655,10 @@ object SparkEntry {
       val lc = eb.select(col("vec_id").as("nid"), col("vq"), col("norm2"), col("bucket"))
       val lsh = llm.Ann.lshTopK(lq, lc, 3)
       val lshMp = llm.Ann.lshMultiProbeTopK(lq, lc, 3, bits = 6)
-      val ivf = llm.Ann.ivfTopK(queries, corpus,
-        llm.Ann.kmeansCentroids(corpus, step = 25, iters = 2), k = 3, nProbe = 2)
+      // ivf branch probes the shared prebuilt index (same training)
+      val idx = sharedAnnIndex(s, dir)
+      val ivf = llm.Ann.ivfTopK(queries, corpus, idx.coarse, idx.cells,
+        k = 3, nProbe = 2)
       llm.Ann.recallAtK("lsh", truth, lsh)
         .unionByName(llm.Ann.recallAtK("lsh_multiprobe", truth, lshMp))
         .unionByName(llm.Ann.recallAtK("ivf", truth, ivf))
