@@ -44,6 +44,7 @@ object Bench {
     "llm_word_dropout", "llm_text_normalize", "llm_split",
     "llm_shard_plan", "llm_curriculum_plan", "llm_corpus_profile", "llm_source_overlap",
     "llm_stream_dedup", "llm_bpe_pairs", "llm_pq_encode", "llm_pq_search", "llm_pq_recall", "llm_ivfpq_search", "llm_hard_negatives",
+    "llm_ann_filtered", "llm_index_update",
     "llm_ivfpq_recall", "llm_full_pipeline", "llm_url_ops", "llm_token_budget",
     "llm_salted_join",
     "llm_ivf_stats", "llm_ivf_probe_curve",

@@ -2640,6 +2640,21 @@ object SparkEntry {
         idx.cells, k = 3, nProbe = 2)
     }),
 
+    // Filtered ANN (hybrid search): top-3 cosine neighbors restricted to
+    // a METADATA predicate — "nearest docs from these sources only", the
+    // retrieval-with-filters shape every RAG/curation stack needs. The
+    // predicate semi-joins the corpus BEFORE the similarity join, so
+    // search cost scales with the filtered subset, not the corpus; at
+    // 100 TB the filter would prune source-partitioned parquet before a
+    // single dot product runs.
+    "llm_ann_filtered" -> ((s, dir) => {
+      val allowed = t(s, dir, "documents")
+        .filter(col("source").isin("src0", "src1", "src2", "src3"))
+        .select(col("doc_id").as("nid"))
+      val corpus = annCorpus(s, dir).join(allowed, Seq("nid"), "left_semi")
+      llm.Ann.bruteTopK(annQueries(s, dir), corpus, 3)
+    }),
+
     // ANN recall gate: recall@3 of the LSH and trained-IVF paths against
     // brute-force ground truth on the same queries — the measurement that
     // keeps bucket/probe tuning honest. Exact integer hit counting.
@@ -3194,6 +3209,22 @@ object SparkEntry {
     // replay identical).
     "llm_pq_encode" -> ((s, dir) => {
       llm.Ann.pqEncode(annCorpus(s, dir), sharedAnnIndex(s, dir).pq)
+    }),
+
+    // Standing-index UPDATE — the third verb of the index lifecycle
+    // (build once / probe many / update incrementally): a new batch
+    // (vec_id % 7 == 0) arrives AFTER the codebooks were trained on the
+    // base corpus, and is encoded against those frozen books in one
+    // assignment pass — genuine out-of-sample encode, no retraining. At
+    // 100 TB this is the nightly-ingest path: train monthly, encode every
+    // new shard against the standing books. The oracle replays the
+    // base-only training, then encodes the batch.
+    "llm_index_update" -> ((s, dir) => {
+      val all = annCorpus(s, dir)
+      val base = all.filter(col("nid") % 7 =!= 0)
+      val batch = all.filter(col("nid") % 7 === 0)
+      val idx = llm.Ann.buildPqIndex(base, step = 25, iters = 2)
+      llm.Ann.pqEncode(batch, idx)
     }),
 
     // Hard-negative mining for contrastive training: a query's top
@@ -4075,6 +4106,25 @@ object SparkEntry {
         |      nid ASC) AS rank
         |  FROM scored)
         |SELECT qid, CAST(rank AS BIGINT) AS rank, nid, cos FROM ranked WHERE rank <= 3""".stripMargin,
+    // llm_ann_filtered oracle: identical brute ranking, corpus
+    // pre-restricted by the metadata predicate
+    "llm_ann_filtered" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS vq FROM embeddings),
+        |en AS (SELECT vec_id, vq, CAST(list_sum(list_transform(vq, x -> x * x)) AS BIGINT) AS norm2 FROM e),
+        |allowed AS (SELECT doc_id FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+        |q AS (SELECT vec_id AS qid, vq AS qv, norm2 AS qn FROM en WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id AS nid, vq AS nv, norm2 AS nn FROM en JOIN allowed ON en.vec_id = allowed.doc_id),
+        |scored AS (SELECT qid, nid,
+        |    CAST(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * nv[i])) AS BIGINT) AS dp,
+        |    qn, nn
+        |  FROM c CROSS JOIN q WHERE nid <> qid),
+        |ranked AS (SELECT qid, nid,
+        |    CAST(dp AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(nn AS DOUBLE))) AS cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY
+        |      CAST(dp AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(nn AS DOUBLE))) DESC,
+        |      nid ASC) AS rank
+        |  FROM scored)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, nid, cos FROM ranked WHERE rank <= 3""".stripMargin,
     "llm_ann_lsh" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS vq FROM embeddings),
         |en AS (SELECT vec_id, vq, CAST(list_sum(list_transform(vq, x -> x * x)) AS BIGINT) AS norm2 FROM e),
@@ -4888,6 +4938,54 @@ object SparkEntry {
         |    CAST(CAST(list_sum(list_transform(generate_series(1, len(vq)), i -> vq[i] * cv[i])) AS BIGINT) AS DOUBLE)
         |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS ccos
         |  FROM en JOIN cent ON en.sub = cent.sub),
+        |rf AS (SELECT vec_id, sub, cid, cn, dpv,
+        |    row_number() OVER (PARTITION BY sub, vec_id ORDER BY ccos DESC, cid ASC) AS rn FROM af),
+        |sel AS (SELECT vec_id, sub, cid, cn, dpv FROM rf WHERE rn = 1),
+        |p AS (SELECT s0.vec_id, s0.cid AS code0, s1.cid AS code1,
+        |    s0.dpv + s1.dpv AS dp, s0.cn + s1.cn AS cnsum
+        |  FROM sel s0 JOIN sel s1 ON s0.vec_id = s1.vec_id AND s0.sub = 0 AND s1.sub = 1)
+        |SELECT p.vec_id, p.code0, p.code1,
+        |  CAST(p.dp AS DOUBLE) / (sqrt(CAST(fn.fnorm AS DOUBLE)) * sqrt(CAST(p.cnsum AS DOUBLE))) AS recon_cos
+        |FROM p JOIN fn ON p.vec_id = fn.vec_id""".stripMargin,
+    // llm_index_update oracle: the pq_encode chain with training
+    // restricted to the BASE corpus (vec_id % 7 <> 0, seeds likewise) and
+    // the final encode restricted to the NEW batch (vec_id % 7 = 0) — the
+    // out-of-sample encode the standing-index update runs
+    "llm_index_update" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS fq FROM embeddings),
+        |fn AS (SELECT vec_id, CAST(list_sum(list_transform(fq, x -> x * x)) AS BIGINT) AS fnorm FROM e),
+        |hv AS (SELECT vec_id, 0 AS sub, fq[1:len(fq)//2] AS vq FROM e
+        |  UNION ALL SELECT vec_id, 1 AS sub, fq[len(fq)//2+1:len(fq)] AS vq FROM e),
+        |en AS (SELECT vec_id, sub, vq, CAST(list_sum(list_transform(vq, x -> x * x)) AS BIGINT) AS norm2 FROM hv),
+        |base AS (SELECT * FROM en WHERE vec_id % 7 <> 0),
+        |cent0 AS (SELECT sub, vec_id AS cid, vq AS cv, norm2 AS cn FROM base WHERE vec_id % 25 = 0),
+        |a1 AS (SELECT base.vec_id, base.sub, cent0.cid,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(vq)), i -> vq[i] * cv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS ccos
+        |  FROM base JOIN cent0 ON base.sub = cent0.sub),
+        |r1 AS (SELECT vec_id, sub, cid, row_number() OVER (PARTITION BY sub, vec_id ORDER BY ccos DESC, cid ASC) AS rn FROM a1),
+        |asg1 AS (SELECT vec_id AS nid, sub, cid AS cell FROM r1 WHERE rn = 1),
+        |u1 AS (SELECT asg1.sub, asg1.cell, unnest(vq) AS v, generate_subscripts(vq, 1) AS d
+        |  FROM base JOIN asg1 ON base.vec_id = asg1.nid AND base.sub = asg1.sub),
+        |m1 AS (SELECT sub, cell, d, CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS vc FROM u1 GROUP BY sub, cell, d),
+        |cent1 AS (SELECT sub, cell AS cid, list(vc ORDER BY d) AS cv FROM m1 GROUP BY sub, cell),
+        |cent1n AS (SELECT sub, cid, cv, CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cn FROM cent1),
+        |a2 AS (SELECT base.vec_id, base.sub, cent1n.cid,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(vq)), i -> vq[i] * cv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS ccos
+        |  FROM base JOIN cent1n ON base.sub = cent1n.sub),
+        |r2 AS (SELECT vec_id, sub, cid, row_number() OVER (PARTITION BY sub, vec_id ORDER BY ccos DESC, cid ASC) AS rn FROM a2),
+        |asg2 AS (SELECT vec_id AS nid, sub, cid AS cell FROM r2 WHERE rn = 1),
+        |u2 AS (SELECT asg2.sub, asg2.cell, unnest(vq) AS v, generate_subscripts(vq, 1) AS d
+        |  FROM base JOIN asg2 ON base.vec_id = asg2.nid AND base.sub = asg2.sub),
+        |m2 AS (SELECT sub, cell, d, CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS vc FROM u2 GROUP BY sub, cell, d),
+        |cent2 AS (SELECT sub, cell AS cid, list(vc ORDER BY d) AS cv FROM m2 GROUP BY sub, cell),
+        |cent AS (SELECT sub, cid, cv, CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cn FROM cent2),
+        |af AS (SELECT en.vec_id, en.sub, cent.cid, cent.cn,
+        |    CAST(list_sum(list_transform(generate_series(1, len(vq)), i -> vq[i] * cv[i])) AS BIGINT) AS dpv,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(vq)), i -> vq[i] * cv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS ccos
+        |  FROM en JOIN cent ON en.sub = cent.sub WHERE en.vec_id % 7 = 0),
         |rf AS (SELECT vec_id, sub, cid, cn, dpv,
         |    row_number() OVER (PARTITION BY sub, vec_id ORDER BY ccos DESC, cid ASC) AS rn FROM af),
         |sel AS (SELECT vec_id, sub, cid, cn, dpv FROM rf WHERE rn = 1),

@@ -814,6 +814,14 @@ class AnnSpec extends AnyFunSuite {
       rows(Ann.ivfPqSearch(queries, corpus, step = 25, iters = 2, k = 3, nProbe = 2)))
     assert(rows(Ann.pqSearch(queries, loaded.pq, k = 3)) ==
       rows(Ann.pqSearch(queries, corpus, step = 25, iters = 2, k = 3)))
+
+    // encode-against-loaded-books (the standing-index UPDATE path) must
+    // equal the inline train+encode when the books were trained on the
+    // same corpus — the equivalence llm_pq_encode's index routing rests on
+    def enc(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(enc(Ann.pqEncode(corpus, loaded.pq)) ==
+      enc(Ann.pqEncode(corpus, step = 25, iters = 2)))
   }
 
   test("ivfpq re-rank tier: within probed cells it returns exactly what brute force would") {
