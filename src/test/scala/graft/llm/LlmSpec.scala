@@ -1005,6 +1005,73 @@ class MultimodalSpec extends AnyFunSuite {
       s"alaw sumSq ${out(1).sumSq} != spec round-trip $expA")
   }
 
+  test("G.711 round-trip formulas match the JDK codec over the full 16-bit range (non-clip)") {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+    // one WAV carrying every 16-bit sample value once; compand + expand
+    // through the JDK codec and compare each decoded sample against the
+    // integer spec formula the llm_audio_g711 oracle runs in SQL — both
+    // zeros and every segment boundary get hit. Measured boundary: the
+    // JDK µ-law ENCODER deviates from the reference clip (min(|x|,32635))
+    // for the 265 clip-region samples |v| >= 32636 (bias overflow
+    // artifacts decode to 0/-120 instead of ±32124); A-law is spec-exact
+    // over ALL 65536 values. The oracle only ever sees the synthetic
+    // fixture (|v| <= 1001), far inside the exact range.
+    def ulawRt(v: Int): Int = {
+      val x1 = math.min(math.abs(v), 32635) + 132
+      val e = (31 - Integer.numberOfLeadingZeros(x1)) - 7
+      val m = (x1 >> (e + 3)) & 15
+      val y = ((m * 8 + 132) << e) - 132
+      if (v < 0) -y else y
+    }
+    def alawRt(v: Int): Int = {
+      val lin = if (v >= 0) v else -v - 8
+      val seg = if (lin <= 255) 0 else (31 - Integer.numberOfLeadingZeros(lin)) - 7
+      val m = if (seg < 2) (lin >> 4) & 15 else (lin >> (seg + 3)) & 15
+      val t =
+        if (seg == 0) (m << 4) + 8
+        else if (seg == 1) (m << 4) + 264
+        else ((m << 4) + 264) << (seg - 1)
+      if (v >= 0) t else -t
+    }
+    val n = 65536
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val v = i - 32768
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    for (alaw <- Seq(false, true)) {
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val companded = new AudioFormat(
+        if (alaw) AudioFormat.Encoding.ALAW else AudioFormat.Encoding.ULAW,
+        8000f, 8, 1, 1, 8000f, false)
+      val cais = AudioSystem.getAudioInputStream(companded, ais)
+      val back = AudioSystem.getAudioInputStream(
+        new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1, 2,
+          8000f, false), cais)
+      val data = back.readAllBytes()
+      assert(data.length == n * 2)
+      var mismatches = 0
+      var firstMsg = ""
+      for (i <- 0 until n) {
+        val v = i - 32768
+        // µ-law: skip the JDK's non-spec clip region (see test comment)
+        if (alaw || math.abs(v) <= 32635) {
+          val dec = (data(2 * i + 1).toInt << 8) | (data(2 * i) & 0xff)
+          val exp = if (alaw) alawRt(v) else ulawRt(v)
+          if (dec != exp) {
+            mismatches += 1
+            if (firstMsg.isEmpty)
+              firstMsg = s"alaw=$alaw v=$v decoded=$dec formula=$exp"
+          }
+        }
+      }
+      assert(mismatches == 0, s"$mismatches/$n mismatches; first: $firstMsg")
+    }
+  }
+
   test("resize preserves aspect ratio bound; frame sampling count") {
     val docs = Tables(spark, dir, "documents").limit(10)
     val items = Multimodal.fromDocuments(spark, docs).toDF()
