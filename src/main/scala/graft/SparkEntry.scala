@@ -2958,6 +2958,17 @@ object SparkEntry {
         "source", Map("src0" -> 5000L, "src1" -> 2000L), defaultBp = 100L)
     }),
 
+    // Temperature-scaled mixing (α = 0.5): target shares derived from the
+    // data itself — share ∝ √tokens, damping token-rich heads and lifting
+    // tails. The input is deliberately SKEWED (src0/src1 keep all docs,
+    // other sources only every 3rd) so the √-damping has real work; with
+    // the uniform synthetic corpus it would be a no-op.
+    "llm_domain_mix_temp" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id") % 3 === 0 || col("source").isin("src0", "src1"))
+      llm.Sampling.domainMixTemperature(docs, "doc_id", "text", "source")
+    }),
+
     // Corpus vocabulary census: top-100 terms by global frequency with
     // per-term document frequency — distributed top-k over a Zipf
     // distribution (partial aggs absorb the head; no global sort).
@@ -4596,6 +4607,21 @@ object SparkEntry {
         |SELECT w.doc_id, w.source, w.n_tokens,
         |  CAST(('0x' || substr(md5(CAST(w.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < r.rate_bp AS keep
         |FROM w JOIN r ON w.source = r.source""".stripMargin,
+    // llm_domain_mix_temp oracle: √-damped shares — s = floor(sqrt(src
+    // tokens)) exact integer (IEEE sqrt is correctly rounded in both
+    // engines), then the same integer basis-point chain as domain_mix
+    "llm_domain_mix_temp" ->
+      """WITH d AS (SELECT doc_id, source, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents WHERE doc_id % 3 = 0 OR source IN ('src0', 'src1')),
+        |ps AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS st FROM d GROUP BY source),
+        |pss AS (SELECT source, st, CAST(floor(sqrt(CAST(st AS DOUBLE))) AS BIGINT) AS s FROM ps),
+        |tot AS (SELECT CAST(sum(st) AS BIGINT) AS tt, CAST(sum(s) AS BIGINT) AS ss FROM pss),
+        |r AS (SELECT source, st, s * 10000 // ss AS w_bp,
+        |    least(CAST(10000 AS BIGINT), (tt * (s * 10000 // ss) // 10000) * 10000 // st) AS rate_bp
+        |  FROM pss CROSS JOIN tot)
+        |SELECT d.doc_id, d.source, d.n_tokens, r.w_bp,
+        |  CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < r.rate_bp AS keep
+        |FROM d JOIN r ON d.source = r.source""".stripMargin,
     "llm_vocab_census" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents),
         |t2 AS (SELECT doc_id, word FROM t WHERE length(word) > 0),

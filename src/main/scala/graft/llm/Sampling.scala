@@ -141,6 +141,43 @@ object Sampling {
     * and their total), a broadcast join of that tiny rate table, then a
     * map-side hash predicate. The corpus never shuffles.
     */
+  /** Temperature-scaled domain mixing (the α-sampling of mT5/XLM-R,
+    * α = 0.5): target shares are DERIVED from the data — share_i ∝
+    * √(tokens_i) — so token-poor sources are upweighted relative to their
+    * natural share and token-rich heads are damped, without anyone
+    * hand-writing a weights map. α is fixed at 0.5 because √ is the one
+    * damping IEEE-754 guarantees correctly rounded (`pow(x, α)` for
+    * arbitrary α is not), which keeps the mixture bit-reproducible across
+    * engines: s_i = floor(√ tokens_i) as an exact integer, then every
+    * downstream step is the same integer basis-point arithmetic as
+    * [[domainMix]].
+    *
+    * Same audit contract and scale shape as [[domainMix]]: every doc
+    * returned with (source, n_tokens, w_bp, keep); two tiny aggregates +
+    * a broadcast rate join; the corpus never shuffles.
+    */
+  def domainMixTemperature(df: DataFrame, idCol: String, textCol: String,
+      srcCol: String): DataFrame = {
+    val withTok = df.withColumn("n_tokens",
+      size(split(lower(col(textCol)), " ")).cast("long"))
+    val perSrc = withTok.groupBy(col(srcCol))
+      .agg(sum(col("n_tokens")).as("__src_tokens"))
+      .withColumn("__s",
+        floor(sqrt(col("__src_tokens").cast("double"))).cast("long"))
+    val totals = perSrc.agg(sum(col("__src_tokens")).as("__total_tokens"),
+      sum(col("__s")).as("__s_sum"))
+    val rates = perSrc.crossJoin(broadcast(totals))
+      .withColumn("__w_bp", expr("__s * 10000 div __s_sum"))
+      .withColumn("__rate_bp", least(lit(10000L),
+        expr("(__total_tokens * __w_bp div 10000) * 10000 div __src_tokens")))
+      .select(col(srcCol), col("__w_bp"), col("__rate_bp"))
+    withTok.join(broadcast(rates), Seq(srcCol))
+      .withColumn("keep",
+        TextOps.h64c(col(idCol).cast("string")) % 10000 < col("__rate_bp"))
+      .select(col(idCol), col(srcCol), col("n_tokens"),
+        col("__w_bp").as("w_bp"), col("keep"))
+  }
+
   def domainMix(df: DataFrame, idCol: String, textCol: String,
       srcCol: String, weightsBp: Map[String, Long],
       defaultBp: Long): DataFrame = {

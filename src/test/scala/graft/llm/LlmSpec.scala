@@ -396,6 +396,36 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("domainMixTemperature: sqrt damping lifts tails above natural share, caps heads") {
+    // head holds 64x the tokens of each tail source; α=0.5 shares go by
+    // √tokens → head gets 8/(8+1+1) = 80% of budget (natural: ~97%), each
+    // tail 10% (natural: ~1.5%) → tails keep everything (rate caps at
+    // 10000), the head downsamples
+    val docs =
+      (1L to 64L).map(i => (i, "head", "w1 w2 w3 w4 w5 w6 w7 w8")) ++
+        Seq((101L, "tailA", "w1 w2 w3 w4 w5 w6 w7 w8"),
+          (102L, "tailB", "w1 w2 w3 w4 w5 w6 w7 w8"))
+    val df = docs.toDF("doc_id", "source", "text")
+    val out = Sampling.domainMixTemperature(df, "doc_id", "text", "source")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(3), r.getBoolean(4)))
+      .toMap
+    // tokens: head 512, tails 8 each → s: 22, 2, 2 → w_bp: 8461, 769, 769
+    assert(out(1L)._2 == 8461L)
+    assert(out(101L) == ("tailA", 769L, true))
+    assert(out(102L) == ("tailB", 769L, true))
+    // head rate: (528 * 8461 div 10000) * 10000 div 512 = 8710 → some
+    // head docs drop; the kept fraction tracks the hash gate exactly
+    def h(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(15), 16) % 10000
+    }
+    (1L to 64L).foreach { id =>
+      assert(out(id)._3 == (h(id) < 8710L), s"head doc $id keep mismatch")
+    }
+  }
+
   test("shardPlan: layout is a pure function of identity — partitioning-invariant") {
     val df = (1L to 200L).map(i => (i, s"tok${i % 7} body text")).toDF("doc_id", "text")
     val a = Sampling.shardPlan(df, "doc_id", "text", 8)
