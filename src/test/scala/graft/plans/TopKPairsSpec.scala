@@ -42,6 +42,13 @@ class TopKPairsSpec extends AnyFunSuite {
     // the cap must actually bind on the hot domain
     assert(a.count(r => r._2 == "hot.example.com" && r._4) == cap)
     assert(a.count(r => r._2 == "hot.example.com" && !r._4) == 1800 - cap)
+    // plan shape: the scale-safe form must contain NO Window operator —
+    // ranks come from the bounded partial aggregate + posexplode; a
+    // regression back to a per-domain sort window re-creates exactly the
+    // hot-domain straggler this operator exists to avoid
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"perDomainCapAgg plan regressed to a window:\n$plan")
   }
 
   test("cap larger than every group keeps everything, ranked") {
