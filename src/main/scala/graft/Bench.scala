@@ -33,6 +33,7 @@ object Bench {
     "p4_validation_split", "k10_error_sink", "s15_entrez_batch",
     "llm_exact_dedup", "llm_minhash_neardup",
     "llm_simhash", "llm_ngram_jaccard", "llm_text_stats", "llm_langid",
+    "llm_script_detect",
     "llm_ann_topk", "llm_ann_lsh", "llm_ann_ivf", "llm_ann_recall",
     "llm_embed_neardup", "llm_ann_index_build",
     "llm_multimodal", "llm_dedup_clusters", "llm_incremental_dedup",

@@ -2606,6 +2606,24 @@ object SparkEntry {
         .withColumn("pred_lang", llm.TextOps.predictedLang)
     }),
 
+    // Unicode SCRIPT detection — the orthographic signal the stopword
+    // langid can't see (it only separates Latin-script languages): per-doc
+    // codepoint counts over the major script blocks + dominant-script
+    // verdict. Fixture salts in pure-Cyrillic/CJK/Arabic docs and Greek
+    // tails so every branch and the tie-break get real work.
+    "llm_script_detect" -> ((s, dir) => {
+      val salted = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 11 === 0,
+          lit("привет мир это документ на русском языке"))
+          .when(col("doc_id") % 13 === 0, lit("你好世界这是一份中文文档测试"))
+          .when(col("doc_id") % 17 === 0, lit("مرحبا بالعالم هذا نص عربي"))
+          .otherwise(concat(col("text"),
+            when(col("doc_id") % 5 === 0, lit(" αβγδε")).otherwise(lit(""))))
+          .as("t2"))
+      salted.select(Seq(col("doc_id")) ++ llm.TextOps.scriptColumns("t2"): _*)
+        .withColumn("script", llm.TextOps.dominantScript)
+    }),
+
     // Brute-force cosine top-3 (integer-quantized → bit-exact ranking).
     "llm_ann_topk" -> ((s, dir) => {
       val e = llm.Ann.withQuantized(t(s, dir, "embeddings"), "embedding")
@@ -4101,6 +4119,32 @@ object SparkEntry {
         |       WHEN fr_hits >= de_hits AND fr_hits > 0 THEN 'fr'
         |       WHEN de_hits > 0 THEN 'de' ELSE 'unknown' END AS pred_lang
         |FROM h""".stripMargin,
+    // llm_script_detect oracle: same \x{...} block ranges (RE2 and Java
+    // regex read them identically), exact integer counts, fixed-precedence
+    // dominant verdict
+    "llm_script_detect" ->
+      """WITH s AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 11 = 0 THEN 'привет мир это документ на русском языке'
+        |       WHEN doc_id % 13 = 0 THEN '你好世界这是一份中文文档测试'
+        |       WHEN doc_id % 17 = 0 THEN 'مرحبا بالعالم هذا نص عربي'
+        |       ELSE text || CASE WHEN doc_id % 5 = 0 THEN ' αβγδε' ELSE '' END END AS t2
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t2, '[A-Za-z\x{00C0}-\x{024F}]', 0)) AS BIGINT) AS n_latin,
+        |  CAST(len(regexp_extract_all(t2, '[\x{0400}-\x{04FF}]', 0)) AS BIGINT) AS n_cyrillic,
+        |  CAST(len(regexp_extract_all(t2, '[\x{3040}-\x{30FF}\x{4E00}-\x{9FFF}]', 0)) AS BIGINT) AS n_cjk,
+        |  CAST(len(regexp_extract_all(t2, '[\x{0600}-\x{06FF}]', 0)) AS BIGINT) AS n_arabic,
+        |  CAST(len(regexp_extract_all(t2, '[\x{0370}-\x{03FF}]', 0)) AS BIGINT) AS n_greek
+        |FROM s),
+        |m AS (SELECT *, greatest(n_latin, n_cyrillic, n_cjk, n_arabic, n_greek) AS mx FROM c)
+        |SELECT doc_id, n_latin, n_cyrillic, n_cjk, n_arabic, n_greek,
+        |  CASE WHEN n_latin = mx AND mx > 0 THEN 'latin'
+        |       WHEN n_cyrillic = mx AND mx > 0 THEN 'cyrillic'
+        |       WHEN n_cjk = mx AND mx > 0 THEN 'cjk'
+        |       WHEN n_arabic = mx AND mx > 0 THEN 'arabic'
+        |       WHEN n_greek = mx AND mx > 0 THEN 'greek'
+        |       ELSE 'none' END AS script
+        |FROM m""".stripMargin,
     "llm_ann_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS vq FROM embeddings),
         |en AS (SELECT vec_id, vq, CAST(list_sum(list_transform(vq, x -> x * x)) AS BIGINT) AS norm2 FROM e),

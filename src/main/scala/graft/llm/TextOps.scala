@@ -881,6 +881,40 @@ object TextOps {
       col("dup_line_frac") < 0.3 &&
       expr(s"size(array_intersect(ws, ${EN.map(w => s"'$w'").mkString("array(", ", ", ")")}))") >= 2
 
+  /** Unicode SCRIPT detection — the orthographic complement to the
+    * stopword [[langIdColumns]] (which only separates languages sharing
+    * the Latin script): per-document codepoint counts for the major
+    * script blocks plus a deterministic dominant-script verdict. Counts
+    * ride `regexp_extract_all` over explicit `\x{...}` ranges — syntax
+    * Java regex and RE2 (the oracle engine) interpret identically —
+    * and every count is an exact integer, so the verdict (greatest
+    * count, fixed precedence tie-break) hash-compares across engines.
+    * Entirely map-side: at 100 TB this is a free rider on any scan.
+    */
+  private val ScriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z\\x{00C0}-\\x{024F}]",
+    "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+    "cjk" -> "[\\x{3040}-\\x{30FF}\\x{4E00}-\\x{9FFF}]",
+    "arabic" -> "[\\x{0600}-\\x{06FF}]",
+    "greek" -> "[\\x{0370}-\\x{03FF}]")
+
+  def scriptColumns(textCol: String): Seq[Column] =
+    ScriptRanges.map { case (name, re) =>
+      expr(s"size(regexp_extract_all($textCol, '${re.replace("\\", "\\\\")}', 0))")
+        .cast("long").as(s"n_$name")
+    }
+
+  /** Dominant script: the greatest block count wins; ties resolve by the
+    * fixed [[ScriptRanges]] precedence (latin first); all-zero → 'none'.
+    */
+  def dominantScript: Column = {
+    val names = ScriptRanges.map(_._1)
+    val maxC = greatest(names.map(n => col(s"n_$n")): _*)
+    names.foldRight(lit("none")) { (n, rest) =>
+      when(col(s"n_$n") === maxC && maxC > 0, lit(n)).otherwise(rest)
+    }
+  }
+
   /** PII patterns — restricted to syntax Java regex and RE2 (the oracle's
     * engine) interpret identically, so scrubbed text hash-compares.
     */
