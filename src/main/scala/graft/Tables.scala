@@ -26,10 +26,18 @@ object Tables {
     * nanos form, distinguishing the two without reading any data — and
     * normalize either to the same caller-facing shape.
     */
+  private val tsEncodingCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   private[graft] def tsIsTimestamp(spark: SparkSession, sfDir: String): Boolean =
-    try spark.read.parquet(s"$sfDir/events.parquet").schema
-      .find(_.name == "ts").exists(_.dataType.typeName.startsWith("timestamp"))
-    catch { case _: Throwable => false }
+    // memoized per path — the encoding of a given dir never changes
+    // mid-run, and the probe costs a file listing + footer read
+    tsEncodingCache.computeIfAbsent(s"$sfDir/events.parquet", path =>
+      // only the EXPECTED failure (schema conversion rejecting the legacy
+      // INT64 TIMESTAMP(NANOS) form) maps to false; fatal errors propagate
+      try spark.read.parquet(path).schema
+        .find(_.name == "ts").exists(_.dataType.typeName.startsWith("timestamp"))
+      catch { case scala.util.control.NonFatal(_) => false })
 
   /** Events with `ts_ns` (epoch nanos LONG — exact, integer-div friendly)
     * and `ts` (proper TIMESTAMP) regardless of the on-disk encoding.

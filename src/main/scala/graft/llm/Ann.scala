@@ -304,9 +304,6 @@ object Ann {
       .withColumn("norm2", dot("vq", "vq"))
   }
 
-  /** Codebooks + per-vector codes for both subspaces. Each element:
-    * (centroids (cid, cv, cn), codes (nid, code, dp, cn)).
-    */
   /** Encode one subspace half against a (trained or loaded) codebook:
     * nearest-centroid assignment + the reconstruction terms (dp, cn) —
     * one pass, no training.
@@ -321,6 +318,9 @@ object Ann {
       .withColumn(s"dp$sub", dot("vq", "cv"))
       .select(col("nid"), col(s"code$sub"), col(s"dp$sub"), col(s"cn$sub"))
 
+  /** Codebooks + per-vector codes for both subspaces. Each element:
+    * (centroids (cid, cv, cn), codes (nid, code, dp, cn)).
+    */
   private[llm] def pqParts(corpus: DataFrame, step: Long, iters: Int)
       : Seq[(DataFrame, DataFrame)] =
     Seq(0, 1).map { sub =>

@@ -124,6 +124,38 @@ object Sampling {
         col("n_tokens"))
   }
 
+  // --- domain-mixing shared plumbing ---------------------------------
+  // Both mixers must stay ORACLE-EXACT integer arithmetic; sharing the
+  // tokenize/rate-cap/hash-gate steps keeps them from silently diverging.
+
+  /** (docs + n_tokens, per-source token sums) — the two mixers' input. */
+  private def mixTokens(df: DataFrame, textCol: String,
+      srcCol: String): (DataFrame, DataFrame) = {
+    val withTok = df.withColumn("n_tokens",
+      size(split(lower(col(textCol)), " ")).cast("long"))
+    val perSrc = withTok.groupBy(col(srcCol))
+      .agg(sum(col("n_tokens")).as("__src_tokens"))
+    (withTok, perSrc)
+  }
+
+  /** Target tokens for the source → acceptance rate in basis points —
+    * integer floor division throughout, capped at keep-everything.
+    * Expects `__total_tokens`, `__w_bp`, `__src_tokens` bound.
+    */
+  private def rateBpCol: Column = least(lit(10000L),
+    expr("(__total_tokens * __w_bp div 10000) * 10000 div __src_tokens"))
+
+  /** Broadcast the tiny rate table back and apply the deterministic
+    * id-hash membership gate; `extra` columns ride along in the output.
+    */
+  private def applyMixGate(withTok: DataFrame, rates: DataFrame,
+      idCol: String, srcCol: String, extra: Seq[Column]): DataFrame =
+    withTok.join(broadcast(rates), Seq(srcCol))
+      .withColumn("keep",
+        TextOps.h64c(col(idCol).cast("string")) % 10000 < col("__rate_bp"))
+      .select(Seq(col(idCol), col(srcCol), col("n_tokens")) ++ extra :+
+        col("keep"): _*)
+
   /** Domain mixing: resample each source toward a TARGET TOKEN share of
     * the total budget (the static data-mixture step of corpus assembly).
     * `weightsBp` gives each source's target share in basis points of the
@@ -141,6 +173,22 @@ object Sampling {
     * and their total), a broadcast join of that tiny rate table, then a
     * map-side hash predicate. The corpus never shuffles.
     */
+  def domainMix(df: DataFrame, idCol: String, textCol: String,
+      srcCol: String, weightsBp: Map[String, Long],
+      defaultBp: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (withTok, perSrc) = mixTokens(df, textCol, srcCol)
+    val total = perSrc.agg(sum(col("__src_tokens")).as("__total_tokens"))
+    val weights = weightsBp.toSeq.toDF(srcCol, "__w_bp")
+    val rates = perSrc.crossJoin(total)
+      .join(broadcast(weights), Seq(srcCol), "left")
+      .withColumn("__w_bp", coalesce(col("__w_bp"), lit(defaultBp)))
+      .withColumn("__rate_bp", rateBpCol)
+      .select(col(srcCol), col("__rate_bp"))
+    applyMixGate(withTok, rates, idCol, srcCol, Seq.empty)
+  }
+
   /** Temperature-scaled domain mixing (the α-sampling of mT5/XLM-R,
     * α = 0.5): target shares are DERIVED from the data — share_i ∝
     * √(tokens_i) — so token-poor sources are upweighted relative to their
@@ -158,49 +206,17 @@ object Sampling {
     */
   def domainMixTemperature(df: DataFrame, idCol: String, textCol: String,
       srcCol: String): DataFrame = {
-    val withTok = df.withColumn("n_tokens",
-      size(split(lower(col(textCol)), " ")).cast("long"))
-    val perSrc = withTok.groupBy(col(srcCol))
-      .agg(sum(col("n_tokens")).as("__src_tokens"))
-      .withColumn("__s",
-        floor(sqrt(col("__src_tokens").cast("double"))).cast("long"))
+    val (withTok, perSrc0) = mixTokens(df, textCol, srcCol)
+    val perSrc = perSrc0.withColumn("__s",
+      floor(sqrt(col("__src_tokens").cast("double"))).cast("long"))
     val totals = perSrc.agg(sum(col("__src_tokens")).as("__total_tokens"),
       sum(col("__s")).as("__s_sum"))
     val rates = perSrc.crossJoin(broadcast(totals))
       .withColumn("__w_bp", expr("__s * 10000 div __s_sum"))
-      .withColumn("__rate_bp", least(lit(10000L),
-        expr("(__total_tokens * __w_bp div 10000) * 10000 div __src_tokens")))
+      .withColumn("__rate_bp", rateBpCol)
       .select(col(srcCol), col("__w_bp"), col("__rate_bp"))
-    withTok.join(broadcast(rates), Seq(srcCol))
-      .withColumn("keep",
-        TextOps.h64c(col(idCol).cast("string")) % 10000 < col("__rate_bp"))
-      .select(col(idCol), col(srcCol), col("n_tokens"),
-        col("__w_bp").as("w_bp"), col("keep"))
-  }
-
-  def domainMix(df: DataFrame, idCol: String, textCol: String,
-      srcCol: String, weightsBp: Map[String, Long],
-      defaultBp: Long): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val withTok = df.withColumn("n_tokens",
-      size(split(lower(col(textCol)), " ")).cast("long"))
-    val perSrc = withTok.groupBy(col(srcCol))
-      .agg(sum(col("n_tokens")).as("__src_tokens"))
-    val total = perSrc.agg(sum(col("__src_tokens")).as("__total_tokens"))
-    val weights = weightsBp.toSeq.toDF(srcCol, "__w_bp")
-    val rates = perSrc.crossJoin(total)
-      .join(broadcast(weights), Seq(srcCol), "left")
-      .withColumn("__w_bp", coalesce(col("__w_bp"), lit(defaultBp)))
-      // target tokens for the source, then acceptance in basis points —
-      // integer floor division throughout, capped at keep-everything
-      .withColumn("__rate_bp", least(lit(10000L),
-        expr("(__total_tokens * __w_bp div 10000) * 10000 div __src_tokens")))
-      .select(col(srcCol), col("__rate_bp"))
-    withTok.join(broadcast(rates), Seq(srcCol))
-      .withColumn("keep",
-        TextOps.h64c(col(idCol).cast("string")) % 10000 < col("__rate_bp"))
-      .select(col(idCol), col(srcCol), col("n_tokens"), col("keep"))
+    applyMixGate(withTok, rates, idCol, srcCol,
+      Seq(col("__w_bp").as("w_bp")))
   }
 
   /** Exact token-budget cut: documents stream in the deterministic

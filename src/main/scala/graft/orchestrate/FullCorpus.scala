@@ -438,8 +438,11 @@ object FullCorpus {
       // 8 measured ~10% faster than 4 on the full DAG at local[32]; 16
       // plateaus — the residual cost is per-job scheduling latency on
       // many small fixture jobs, which a real cluster amortizes.
+      // Malformed/non-positive values fall back to the default rather
+      // than aborting the whole corpus run with a bare NumberFormat.
       parallelism: Int =
-        sys.env.get("SPARK_GRAFT_DAG_PAR").map(_.toInt).getOrElse(8)): Orchestrator.Report = {
+        sys.env.get("SPARK_GRAFT_DAG_PAR").flatMap(_.trim.toIntOption)
+          .filter(_ > 0).getOrElse(8)): Orchestrator.Report = {
     // snapshot isolation per level: reads inside a level see exactly the
     // level-start store state, so results don't depend on intra-level
     // scheduling (sequential list order OR concurrent interleaving)

@@ -900,6 +900,27 @@ class MultimodalSpec extends AnyFunSuite {
 
   val dir = "/root/testdata/sf0.001"
 
+  // ITU G.711 compand→expand round trips — the same integer formulas the
+  // llm_audio_g711 oracle runs in SQL; shared by the fixture test and the
+  // full-range property test so a correction can't drift between them
+  def ulawRt(v: Int): Int = {
+    val x1 = math.min(math.abs(v), 32635) + 132
+    val e = (31 - Integer.numberOfLeadingZeros(x1)) - 7
+    val m = (x1 >> (e + 3)) & 15
+    val y = ((m * 8 + 132) << e) - 132
+    if (v < 0) -y else y
+  }
+  def alawRt(v: Int): Int = {
+    val lin = if (v >= 0) v else -v - 8
+    val seg = if (lin <= 255) 0 else (31 - Integer.numberOfLeadingZeros(lin)) - 7
+    val m = if (seg < 2) (lin >> 4) & 15 else (lin >> (seg + 3)) & 15
+    val t =
+      if (seg == 0) (m << 4) + 8
+      else if (seg == 1) (m << 4) + 264
+      else ((m << 4) + 264) << (seg - 1)
+    if (v >= 0) t else -t
+  }
+
   test("resizeImage: output sum matches an ImageIO-free pattern recompute") {
     import Multimodal.{MediaItem, MediaMeta}
     val pngs = spark.range(1, 5).map { id =>
@@ -1005,25 +1026,8 @@ class MultimodalSpec extends AnyFunSuite {
         MediaMeta(0, 0, 0L, "alaw")))
     val out = Multimodal.decodeAudio(spark.createDataset(items))
       .collect().sortBy(_.mediaId)
-    // recompute the ITU G.711 compand→expand round trip sample-by-sample
-    // — the same integer formulas the llm_audio_g711 oracle runs in SQL
-    def ulawRt(v: Int): Int = {
-      val x1 = math.min(math.abs(v), 32635) + 132
-      val e = (31 - Integer.numberOfLeadingZeros(x1)) - 7
-      val m = (x1 >> (e + 3)) & 15
-      val y = ((m * 8 + 132) << e) - 132
-      if (v < 0) -y else y
-    }
-    def alawRt(v: Int): Int = {
-      val lin = if (v >= 0) v else -v - 8
-      val seg = if (lin <= 255) 0 else (31 - Integer.numberOfLeadingZeros(lin)) - 7
-      val m = if (seg < 2) (lin >> 4) & 15 else (lin >> (seg + 3)) & 15
-      val t =
-        if (seg == 0) (m << 4) + 8
-        else if (seg == 1) (m << 4) + 264
-        else ((m << 4) + 264) << (seg - 1)
-      if (v >= 0) t else -t
-    }
+    // recompute via the class-level ITU round trips (shared with the
+    // full-range property test)
     def pattern(seed: Long, n: Int): Seq[Int] =
       (0 until n).map(i => (((i.toLong * 31 + seed * 7) % 2003) - 1001).toInt)
     val expU = pattern(1L, 601).map(v => { val r = ulawRt(v).toLong; r * r }).sum
@@ -1046,23 +1050,6 @@ class MultimodalSpec extends AnyFunSuite {
     // artifacts decode to 0/-120 instead of ±32124); A-law is spec-exact
     // over ALL 65536 values. The oracle only ever sees the synthetic
     // fixture (|v| <= 1001), far inside the exact range.
-    def ulawRt(v: Int): Int = {
-      val x1 = math.min(math.abs(v), 32635) + 132
-      val e = (31 - Integer.numberOfLeadingZeros(x1)) - 7
-      val m = (x1 >> (e + 3)) & 15
-      val y = ((m * 8 + 132) << e) - 132
-      if (v < 0) -y else y
-    }
-    def alawRt(v: Int): Int = {
-      val lin = if (v >= 0) v else -v - 8
-      val seg = if (lin <= 255) 0 else (31 - Integer.numberOfLeadingZeros(lin)) - 7
-      val m = if (seg < 2) (lin >> 4) & 15 else (lin >> (seg + 3)) & 15
-      val t =
-        if (seg == 0) (m << 4) + 8
-        else if (seg == 1) (m << 4) + 264
-        else ((m << 4) + 264) << (seg - 1)
-      if (v >= 0) t else -t
-    }
     val n = 65536
     val pcm = new Array[Byte](n * 2)
     for (i <- 0 until n) {

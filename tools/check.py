@@ -28,6 +28,15 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 def cells_equal(a, b):
     # array-valued cells (list columns come back as ndarray/list): compare
     # element-wise — mirrors the driver's value-hash over stringified lists
+    # struct-valued cells (DuckDB STRUCT -> dict): compare key sets AND
+    # values — iterating a dict yields keys only, which would silently
+    # skip the values
+    if isinstance(a, dict) or isinstance(b, dict):
+        if not (isinstance(a, dict) and isinstance(b, dict)):
+            return False
+        if set(a.keys()) != set(b.keys()):
+            return False
+        return all(cells_equal(a[k], b[k]) for k in a)
     def arrlike(v):
         return not isinstance(v, (str, bytes)) and hasattr(v, "__len__")
     if arrlike(a) or arrlike(b):
