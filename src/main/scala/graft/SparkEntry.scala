@@ -3037,6 +3037,24 @@ object SparkEntry {
       llm.TextOps.contaminationFlags(train, evalSet, "doc_id", "text2", k = 8)
     }),
 
+    // The INVERSE contamination view: per EVAL doc, how much of it leaked
+    // into training (hit grams / total grams, distinct leaking train
+    // docs) — the "which benchmarks are burned" audit table. Same salted
+    // composition as llm_decontaminate so both views describe one leak.
+    "llm_contamination_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val evalSet = docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id"), col("text").as("text2"))
+      val snips = evalSet.select((col("doc_id") / 100).cast("long").as("ref"),
+        expr("array_join(slice(split(lower(text2), ' '), 1, 12), ' ')").as("snip"))
+      val train = docs.filter(col("doc_id") % 100 =!= 0)
+        .withColumn("ref", col("doc_id") % 5)
+        .join(broadcast(snips), Seq("ref"))
+        .withColumn("text2", when(col("doc_id") % 20 === 1,
+          concat(col("text"), lit(" "), col("snip"))).otherwise(col("text")))
+      llm.TextOps.contaminationReport(train, evalSet, "doc_id", "text2", k = 8)
+    }),
+
     // Rolling ingest composition: a persisted dedup index admits a new
     // batch AND updates cluster assignments incrementally — new docs
     // attach to existing components via their verified pairs (index
@@ -4715,6 +4733,31 @@ object SparkEntry {
         |h AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tg SEMI JOIN eg USING (g) GROUP BY doc_id)
         |SELECT tr.doc_id, coalesce(h.n, 0) AS n_eval_grams, coalesce(h.n, 0) > 0 AS contaminated
         |FROM tr LEFT JOIN h ON tr.doc_id = h.doc_id""".stripMargin,
+    // llm_contamination_report oracle: same salted leak, inverted — per
+    // EVAL doc: distinct-gram totals, hit grams, distinct leaking train
+    // docs
+    "llm_contamination_report" ->
+      """WITH ev AS (SELECT doc_id, lower(text) AS lt FROM documents WHERE doc_id % 100 = 0),
+        |snips AS (SELECT doc_id // 100 AS ref, array_to_string((string_split(lt, ' '))[1:12], ' ') AS snip FROM ev),
+        |tr AS (SELECT d.doc_id, CASE WHEN d.doc_id % 20 = 1 THEN d.text || ' ' || s.snip ELSE d.text END AS t2
+        |  FROM documents d JOIN snips s ON s.ref = d.doc_id % 5 WHERE d.doc_id % 100 <> 0),
+        |egd AS (SELECT doc_id AS eval_id, unnest(g8) AS g FROM (
+        |  SELECT doc_id, CASE WHEN len(ws) < 8 THEN CAST([] AS VARCHAR[])
+        |    ELSE list_distinct(list_transform(generate_series(1, len(ws)-7), i -> array_to_string(ws[i:i+7], ' '))) END AS g8
+        |  FROM (SELECT doc_id, string_split(lt, ' ') AS ws FROM ev))),
+        |tg AS (SELECT doc_id, unnest(g8) AS g FROM (
+        |  SELECT doc_id, CASE WHEN len(ws) < 8 THEN CAST([] AS VARCHAR[])
+        |    ELSE list_distinct(list_transform(generate_series(1, len(ws)-7), i -> array_to_string(ws[i:i+7], ' '))) END AS g8
+        |  FROM (SELECT doc_id, string_split(lower(t2), ' ') AS ws FROM tr))),
+        |hit AS (SELECT eval_id, CAST(count(DISTINCT egd.g) AS BIGINT) AS n_hit_grams,
+        |    CAST(count(DISTINCT tg.doc_id) AS BIGINT) AS n_train_docs
+        |  FROM egd JOIN tg ON egd.g = tg.g GROUP BY eval_id),
+        |tot AS (SELECT eval_id, CAST(count(*) AS BIGINT) AS n_grams FROM egd GROUP BY eval_id)
+        |SELECT tot.eval_id, tot.n_grams,
+        |  coalesce(hit.n_hit_grams, 0) AS n_hit_grams,
+        |  coalesce(hit.n_train_docs, 0) AS n_train_docs,
+        |  coalesce(hit.n_hit_grams, 0) > 0 AS burned
+        |FROM tot LEFT JOIN hit ON tot.eval_id = hit.eval_id""".stripMargin,
     // llm_rolling_dedup oracle: a FULL re-cluster of the unioned corpus —
     // the incremental path must reproduce it exactly (same pair set: LSH
     // candidates depend only on per-doc signatures, so old-old, new-old

@@ -537,6 +537,38 @@ object TextOps {
       .withColumn("contaminated", col("n_eval_grams") > 0)
   }
 
+  /** Per-EVAL-document contamination REPORT — the inverse view of
+    * [[contaminationFlags]]: for each eval doc, how much of it leaked
+    * into the training corpus (distinct hit grams out of its distinct
+    * grams, and how many train docs share at least one gram). Flags tell
+    * you which TRAIN docs to drop; this tells you which EVALS are still
+    * trustworthy after training. Eval docs shorter than `k` words carry
+    * no grams and are omitted (nothing to leak).
+    *
+    * Scale: gram-key equi-join (shuffle on the gram hash) with
+    * partial-aggregated distinct counts; works unbroadcast when the eval
+    * suite itself is large.
+    */
+  def contaminationReport(train: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, k: Int = 8): DataFrame = {
+    def grams(df: DataFrame, as: String) = df
+      .withColumn("ws", words(textCol))
+      .filter(size(col("ws")) >= k)
+      .withColumn("shingles", shingles(k))
+      .select(col(idCol).as(as), explode(col("shingles")).as("g"))
+    val eg = grams(evalSet, "eval_id")
+    val hits = eg.join(grams(train, "train_id"), Seq("g"))
+      .groupBy(col("eval_id"))
+      .agg(countDistinct(col("g")).as("n_hit_grams"),
+        countDistinct(col("train_id")).as("n_train_docs"))
+    eg.groupBy(col("eval_id")).agg(count(lit(1)).as("n_grams"))
+      .join(hits, Seq("eval_id"), "left")
+      .select(col("eval_id"), col("n_grams").cast("long").as("n_grams"),
+        coalesce(col("n_hit_grams"), lit(0L)).cast("long").as("n_hit_grams"),
+        coalesce(col("n_train_docs"), lit(0L)).cast("long").as("n_train_docs"))
+      .withColumn("burned", col("n_hit_grams") > 0)
+  }
+
   /** Corpus vocabulary census: global term and document frequencies with
     * a deterministic top-k — the TF/DF table a tokenizer-training or IDF
     * stage starts from. Zipf skew is the defining property of this
