@@ -3039,8 +3039,9 @@ object SparkEntry {
 
     // The INVERSE contamination view: per EVAL doc, how much of it leaked
     // into training (hit grams / total grams, distinct leaking train
-    // docs) — the "which benchmarks are burned" audit table. Same salted
-    // composition as llm_decontaminate so both views describe one leak.
+    // docs) — the "which benchmarks are burned" audit table. Salted like
+    // llm_decontaminate plus a second leak branch (%20==7 → ref 2) so the
+    // report shows BOTH burned and clean evals side by side.
     "llm_contamination_report" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val evalSet = docs.filter(col("doc_id") % 100 === 0)
@@ -3050,7 +3051,8 @@ object SparkEntry {
       val train = docs.filter(col("doc_id") % 100 =!= 0)
         .withColumn("ref", col("doc_id") % 5)
         .join(broadcast(snips), Seq("ref"))
-        .withColumn("text2", when(col("doc_id") % 20 === 1,
+        .withColumn("text2", when(col("doc_id") % 20 === 1 ||
+          col("doc_id") % 20 === 7,
           concat(col("text"), lit(" "), col("snip"))).otherwise(col("text")))
       llm.TextOps.contaminationReport(train, evalSet, "doc_id", "text2", k = 8)
     }),
@@ -4739,7 +4741,7 @@ object SparkEntry {
     "llm_contamination_report" ->
       """WITH ev AS (SELECT doc_id, lower(text) AS lt FROM documents WHERE doc_id % 100 = 0),
         |snips AS (SELECT doc_id // 100 AS ref, array_to_string((string_split(lt, ' '))[1:12], ' ') AS snip FROM ev),
-        |tr AS (SELECT d.doc_id, CASE WHEN d.doc_id % 20 = 1 THEN d.text || ' ' || s.snip ELSE d.text END AS t2
+        |tr AS (SELECT d.doc_id, CASE WHEN d.doc_id % 20 = 1 OR d.doc_id % 20 = 7 THEN d.text || ' ' || s.snip ELSE d.text END AS t2
         |  FROM documents d JOIN snips s ON s.ref = d.doc_id % 5 WHERE d.doc_id % 100 <> 0),
         |egd AS (SELECT doc_id AS eval_id, unnest(g8) AS g FROM (
         |  SELECT doc_id, CASE WHEN len(ws) < 8 THEN CAST([] AS VARCHAR[])
