@@ -39,7 +39,8 @@ object Bench {
     "llm_multimodal", "llm_dedup_clusters", "llm_incremental_dedup",
     "llm_rolling_dedup",
     "llm_hash_sample", "llm_quality_gopher", "llm_pii_scrub",
-    "llm_line_dedup", "llm_decontaminate", "llm_contamination_report", "llm_seq_pack",
+    "llm_line_dedup", "llm_decontaminate", "llm_contamination_report",
+    "llm_corpus_diff", "llm_seq_pack",
     "llm_vocab_census", "llm_domain_mix", "llm_domain_mix_temp",
     "llm_semantic_dedup", "llm_span_dedup", "llm_span_scrub", "llm_tfidf_terms",
     "llm_word_dropout", "llm_text_normalize", "llm_split",

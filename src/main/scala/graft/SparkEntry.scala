@@ -3057,6 +3057,26 @@ object SparkEntry {
       llm.TextOps.contaminationReport(train, evalSet, "doc_id", "text2", k = 8)
     }),
 
+    // Corpus snapshot diff — before retraining on a refreshed crawl:
+    // what entered, what left, what silently mutated. v2 is a synthetic
+    // refresh of the documents table (every 17th doc dropped, every 13th
+    // rewritten, 20 new ids appended); the compared value is the 64-bit
+    // content hash, so text never rides the full-outer join's shuffle.
+    "llm_corpus_diff" -> ((s, dir) => {
+      val v1 = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val v2 = t(s, dir, "documents")
+        .filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0,
+            concat(col("text"), lit(" [rev2]"))).otherwise(col("text"))
+            .as("text"))
+        .unionByName(s.range(10000, 10020).toDF("doc_id")
+          .select(col("doc_id"),
+            concat(lit("fresh crawl doc "), col("doc_id").cast("string"))
+              .as("text")))
+      llm.TextOps.corpusDiff(v1, v2, "doc_id", "text")
+    }),
+
     // Rolling ingest composition: a persisted dedup index admits a new
     // batch AND updates cluster assignments incrementally — new docs
     // attach to existing components via their verified pairs (index
@@ -4760,6 +4780,21 @@ object SparkEntry {
         |  coalesce(hit.n_train_docs, 0) AS n_train_docs,
         |  coalesce(hit.n_hit_grams, 0) > 0 AS burned
         |FROM tot LEFT JOIN hit ON tot.eval_id = hit.eval_id""".stripMargin,
+    // llm_corpus_diff oracle: same synthetic refresh + md5-prefix content
+    // hashes, full-outer joined on the id
+    "llm_corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h_old FROM documents),
+        |v2d AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN text || ' [rev2]' ELSE text END AS t2
+        |  FROM documents WHERE doc_id % 17 <> 0
+        |  UNION ALL SELECT i AS doc_id, 'fresh crawl doc ' || CAST(i AS VARCHAR) AS t2
+        |  FROM generate_series(10000, 10019) g(i)),
+        |v2 AS (SELECT doc_id, CAST(('0x' || substr(md5(t2), 1, 15)) AS BIGINT) AS h_new FROM v2d)
+        |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id, h_old, h_new,
+        |  CASE WHEN h_old IS NULL THEN 'added'
+        |       WHEN h_new IS NULL THEN 'removed'
+        |       WHEN h_old = h_new THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id""".stripMargin,
     // llm_rolling_dedup oracle: a FULL re-cluster of the unioned corpus —
     // the incremental path must reproduce it exactly (same pair set: LSH
     // candidates depend only on per-doc signatures, so old-old, new-old

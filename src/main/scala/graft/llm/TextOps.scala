@@ -569,6 +569,31 @@ object TextOps {
       .withColumn("burned", col("n_hit_grams") > 0)
   }
 
+  /** Corpus SNAPSHOT DIFF — the data-governance view of two corpus
+    * versions: per doc id, `added` / `removed` / `changed` / `unchanged`
+    * by content hash, plus both hashes for audit. The document-level
+    * analogue of the store's K-family diff tiers: before retraining on a
+    * refreshed crawl you want exactly this table (what entered, what
+    * left, what silently mutated).
+    *
+    * Scale: one full-outer equi-join on the id (shuffle on the join key,
+    * AQE-handled); the compared value is the 64-bit content hash, so
+    * text never rides the shuffle — at 100 TB both sides prune to
+    * (id, h64) projections off the parquet scan.
+    */
+  def corpusDiff(v1: DataFrame, v2: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def keyed(df: DataFrame, h: String) =
+      df.select(col(idCol), h64c(col(textCol)).as(h))
+    keyed(v1, "h_old").join(keyed(v2, "h_new"), Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("h_old").isNull, lit("added"))
+          .when(col("h_new").isNull, lit("removed"))
+          .when(col("h_old") === col("h_new"), lit("unchanged"))
+          .otherwise(lit("changed")))
+      .select(col(idCol), col("h_old"), col("h_new"), col("status"))
+  }
+
   /** Corpus vocabulary census: global term and document frequencies with
     * a deterministic top-k — the TF/DF table a tokenizer-training or IDF
     * stage starts from. Zipf skew is the defining property of this
