@@ -97,6 +97,28 @@ object SparkEntry {
     llm.Ann.IvfPqIndex.load(s, path)
   }
 
+  /** Shared salted contamination fixture (llm_decontaminate +
+    * llm_contamination_report — both views must describe the SAME leak):
+    * eval split (`doc_id % 100 == 0`), 12-word snips keyed by ref, and a
+    * leak into train docs whose `doc_id % 20` hits one of `leakMods`.
+    */
+  private def contaminationFixture(s: SparkSession, dir: String,
+      leakMods: Seq[Int]): (DataFrame, DataFrame) = {
+    val docs = t(s, dir, "documents")
+    val evalSet = docs.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id"), col("text").as("text2"))
+    val snips = evalSet.select((col("doc_id") / 100).cast("long").as("ref"),
+      expr("array_join(slice(split(lower(text2), ' '), 1, 12), ' ')").as("snip"))
+    val leak = leakMods.map(m => col("doc_id") % 20 === m).reduce(_ || _)
+    val train = docs.filter(col("doc_id") % 100 =!= 0)
+      .withColumn("ref", col("doc_id") % 5)
+      .join(broadcast(snips), Seq("ref"))
+      .withColumn("text2",
+        when(leak, concat(col("text"), lit(" "), col("snip")))
+          .otherwise(col("text")))
+    (train, evalSet)
+  }
+
   /** Flagship query on sf=0.001 (driver smoke-checks rows>0): revenue by
     * region — scan→broadcast dim joins→agg, the shape of every loader's
     * resolve-then-aggregate pipeline (SURVEY §3.1).
@@ -3024,16 +3046,7 @@ object SparkEntry {
     // doc is salted with the first 12 words of one eval doc — a real
     // leak the oracle reproduces.
     "llm_decontaminate" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val evalSet = docs.filter(col("doc_id") % 100 === 0)
-        .select(col("doc_id"), col("text").as("text2"))
-      val snips = evalSet.select((col("doc_id") / 100).cast("long").as("ref"),
-        expr("array_join(slice(split(lower(text2), ' '), 1, 12), ' ')").as("snip"))
-      val train = docs.filter(col("doc_id") % 100 =!= 0)
-        .withColumn("ref", col("doc_id") % 5)
-        .join(broadcast(snips), Seq("ref"))
-        .withColumn("text2", when(col("doc_id") % 20 === 1,
-          concat(col("text"), lit(" "), col("snip"))).otherwise(col("text")))
+      val (train, evalSet) = contaminationFixture(s, dir, leakMods = Seq(1))
       llm.TextOps.contaminationFlags(train, evalSet, "doc_id", "text2", k = 8)
     }),
 
@@ -3043,17 +3056,7 @@ object SparkEntry {
     // llm_decontaminate plus a second leak branch (%20==7 → ref 2) so the
     // report shows BOTH burned and clean evals side by side.
     "llm_contamination_report" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val evalSet = docs.filter(col("doc_id") % 100 === 0)
-        .select(col("doc_id"), col("text").as("text2"))
-      val snips = evalSet.select((col("doc_id") / 100).cast("long").as("ref"),
-        expr("array_join(slice(split(lower(text2), ' '), 1, 12), ' ')").as("snip"))
-      val train = docs.filter(col("doc_id") % 100 =!= 0)
-        .withColumn("ref", col("doc_id") % 5)
-        .join(broadcast(snips), Seq("ref"))
-        .withColumn("text2", when(col("doc_id") % 20 === 1 ||
-          col("doc_id") % 20 === 7,
-          concat(col("text"), lit(" "), col("snip"))).otherwise(col("text")))
+      val (train, evalSet) = contaminationFixture(s, dir, leakMods = Seq(1, 7))
       llm.TextOps.contaminationReport(train, evalSet, "doc_id", "text2", k = 8)
     }),
 
@@ -3062,6 +3065,9 @@ object SparkEntry {
     // refresh of the documents table (every 17th doc dropped, every 13th
     // rewritten, 20 new ids appended); the compared value is the 64-bit
     // content hash, so text never rides the full-outer join's shuffle.
+    // Fresh ids are NEGATIVE (-20..-1): real doc_ids are dense 0..N-1,
+    // so a positive literal range would collide with existing docs at a
+    // larger sf and silently break the 'added' semantics.
     "llm_corpus_diff" -> ((s, dir) => {
       val v1 = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val v2 = t(s, dir, "documents")
@@ -3070,7 +3076,7 @@ object SparkEntry {
           when(col("doc_id") % 13 === 0,
             concat(col("text"), lit(" [rev2]"))).otherwise(col("text"))
             .as("text"))
-        .unionByName(s.range(10000, 10020).toDF("doc_id")
+        .unionByName(s.range(-20, 0).toDF("doc_id")
           .select(col("doc_id"),
             concat(lit("fresh crawl doc "), col("doc_id").cast("string"))
               .as("text")))
@@ -4787,7 +4793,7 @@ object SparkEntry {
         |v2d AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN text || ' [rev2]' ELSE text END AS t2
         |  FROM documents WHERE doc_id % 17 <> 0
         |  UNION ALL SELECT i AS doc_id, 'fresh crawl doc ' || CAST(i AS VARCHAR) AS t2
-        |  FROM generate_series(10000, 10019) g(i)),
+        |  FROM generate_series(-20, -1) g(i)),
         |v2 AS (SELECT doc_id, CAST(('0x' || substr(md5(t2), 1, 15)) AS BIGINT) AS h_new FROM v2d)
         |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id, h_old, h_new,
         |  CASE WHEN h_old IS NULL THEN 'added'

@@ -556,16 +556,17 @@ object TextOps {
       .filter(size(col("ws")) >= k)
       .withColumn("shingles", shingles(k))
       .select(col(idCol).as(as), explode(col("shingles")).as("g"))
-    val eg = grams(evalSet, "eval_id")
-    val hits = eg.join(grams(train, "train_id"), Seq("g"))
+    // single pass: left-join train grams onto eval grams and take all
+    // three distinct counts in ONE aggregation — the eval set is scanned,
+    // tokenized, and shingled once (the totals/hits split would replay
+    // the whole eval-gram subtree twice)
+    grams(evalSet, "eval_id")
+      .join(grams(train, "train_id"), Seq("g"), "left")
       .groupBy(col("eval_id"))
-      .agg(countDistinct(col("g")).as("n_hit_grams"),
-        countDistinct(col("train_id")).as("n_train_docs"))
-    eg.groupBy(col("eval_id")).agg(count(lit(1)).as("n_grams"))
-      .join(hits, Seq("eval_id"), "left")
-      .select(col("eval_id"), col("n_grams").cast("long").as("n_grams"),
-        coalesce(col("n_hit_grams"), lit(0L)).cast("long").as("n_hit_grams"),
-        coalesce(col("n_train_docs"), lit(0L)).cast("long").as("n_train_docs"))
+      .agg(countDistinct(col("g")).cast("long").as("n_grams"),
+        countDistinct(when(col("train_id").isNotNull, col("g")))
+          .cast("long").as("n_hit_grams"),
+        countDistinct(col("train_id")).cast("long").as("n_train_docs"))
       .withColumn("burned", col("n_hit_grams") > 0)
   }
 

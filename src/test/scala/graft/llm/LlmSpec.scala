@@ -139,6 +139,40 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(3L) == (0L, false)) // < k words → clean, still reported
   }
 
+  test("contaminationReport: per-eval hit grams, leaking train docs, clean evals included") {
+    val evalSet = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again today"),
+      (200L, "an entirely different benchmark passage with its own unique words"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      // two train docs each carry eval 100's first 8-gram once
+      (1L, "aa bb the quick brown fox jumps over the lazy"),
+      (2L, "cc dd the quick brown fox jumps over the lazy"),
+      (3L, "completely unrelated content with many ordinary words in sequence here"))
+      .toDF("doc_id", "text")
+    val out = TextOps.contaminationReport(train, evalSet, "doc_id", "text", k = 8)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toMap
+    // eval 100: 11 words → 4 distinct 8-grams; grams 1+2 ("the quick … lazy",
+    // "quick … lazy dog") appear in train docs 1 and 2 → wait: the train
+    // span is 8+2 words, windows cover "the quick brown fox jumps over the
+    // lazy" only → 1 hit gram, from 2 distinct train docs
+    assert(out(100L) == (4L, 1L, 2L, true))
+    assert(out(200L) == (3L, 0L, 0L, false)) // clean eval still reported
+  }
+
+  test("corpusDiff: added/removed/changed/unchanged by content hash") {
+    val v1 = Seq((1L, "same text"), (2L, "will change"), (3L, "will vanish"))
+      .toDF("doc_id", "text")
+    val v2 = Seq((1L, "same text"), (2L, "changed text"), (4L, "brand new"))
+      .toDF("doc_id", "text")
+    val out = TextOps.corpusDiff(v1, v2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "added"))
+  }
+
   test("vocabCensus counts terms and doc frequencies with deterministic top-k") {
     val df = Seq(
       (1L, "apple banana apple"),
