@@ -3083,6 +3083,57 @@ object SparkEntry {
       llm.TextOps.corpusDiff(v1, v2, "doc_id", "text")
     }),
 
+    // Overlapping token-window chunking (RAG/embedding front gate):
+    // 32-token chunks every 24 tokens — pure map-side transform+explode,
+    // zero shuffles, layout a pure function of (doc id, offsets).
+    "llm_chunking" -> ((s, dir) => {
+      llm.Retrieval.chunk(t(s, dir, "documents"), "doc_id", "text",
+        window = 32, stride = 24)
+    }),
+
+    // Okapi BM25 top-5 keyword retrieval: queries are the first 5 words
+    // of every doc_id % 97 == 0 document (query-by-example, self
+    // excluded). Rational idf + micro-quantized integer term scores keep
+    // the ranking bit-exact cross-engine; corpus tokens are pruned by the
+    // broadcast query-term set before any aggregation.
+    "llm_bm25" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val queries = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("qid"),
+          expr("array_join(slice(filter(split(lower(text), ' '), " +
+            "w -> length(w) > 0), 1, 5), ' ')").as("qtext"))
+      llm.Retrieval.bm25TopK(docs, "doc_id", "text",
+        queries, "qid", "qtext", k = 5, excludeIdEq = true)
+    }),
+
+    // Hybrid retrieval: reciprocal-rank fusion (C=60, pure integer) of
+    // dense brute-force cosine top-10 and sparse BM25 top-10 over the
+    // SAME query set (vec_id % 50 == 0; query text = that doc's first 5
+    // words) — the standard sparse+dense production shape; fusion cost
+    // is O(queries × k), the corpus is never touched again.
+    "llm_hybrid_search" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val queries = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("qid"),
+          expr("array_join(slice(filter(split(lower(text), ' '), " +
+            "w -> length(w) > 0), 1, 5), ' ')").as("qtext"))
+      val dense = llm.Ann.bruteTopK(annQueries(s, dir), annCorpus(s, dir), 10)
+        .select(col("qid"), col("nid"), col("rank"))
+      val sparse = llm.Retrieval.bm25TopK(docs, "doc_id", "text",
+        queries, "qid", "qtext", k = 10, excludeIdEq = true)
+        .select(col("query_id").as("qid"), col("doc_id").as("nid"),
+          col("rank"))
+      llm.Retrieval.rrfFuse(dense, sparse, k = 5)
+    }),
+
+    // Corpus-trained bigram-LM quality score (CCNet-style bucketing,
+    // determinism-safe arithmetic-mean form): add-one-smoothed
+    // p(w2|w1) trained on the corpus itself, per-doc mean token
+    // probability in ppb, head/tail vs the corpus mean.
+    "llm_ngram_lm" -> ((s, dir) => {
+      llm.Retrieval.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
     // Rolling ingest composition: a persisted dedup index admits a new
     // batch AND updates cluster assignments incrementally — new docs
     // attach to existing components via their verified pairs (index
@@ -4801,6 +4852,110 @@ object SparkEntry {
         |       WHEN h_old = h_new THEN 'unchanged'
         |       ELSE 'changed' END AS status
         |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id""".stripMargin,
+    // llm_chunking oracle: same window/stride arithmetic over the same
+    // filtered token list; DuckDB list slice [a:b] is inclusive = Spark
+    // slice(ws, a, 32) = elements a..a+31
+    "llm_chunking" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS ws FROM documents),
+        |st AS (SELECT doc_id, ws, unnest(CASE WHEN len(ws) < 1 THEN [] ELSE generate_series(0, len(ws) - 1, 24) END) AS start FROM w)
+        |SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_id,
+        |  CAST(start AS BIGINT) AS start_token,
+        |  CAST(least(32, len(ws) - start) AS BIGINT) AS n_tokens,
+        |  array_to_string(ws[start + 1:start + 32], ' ') AS chunk_text
+        |FROM st""".stripMargin,
+    // llm_bm25 oracle: identical rational-idf BM25 with the SAME IEEE op
+    // sequence (left-assoc multiplies, each division written once) and
+    // the same micro-quantize-then-integer-sum, so scores are bit-exact
+    "llm_bm25" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS ws FROM documents),
+        |tok AS (SELECT doc_id AS nid, unnest(ws) AS word FROM w),
+        |dl AS (SELECT nid, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY nid),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens FROM dl),
+        |qt AS (SELECT DISTINCT query_id, word FROM
+        |  (SELECT doc_id AS query_id, unnest(ws[1:5]) AS word FROM w WHERE doc_id % 97 = 0)),
+        |qw AS (SELECT DISTINCT word FROM qt),
+        |m AS (SELECT nid, tok.word FROM tok JOIN qw ON tok.word = qw.word),
+        |tf AS (SELECT nid, word, CAST(count(*) AS BIGINT) AS tf FROM m GROUP BY nid, word),
+        |dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM (SELECT DISTINCT nid, word FROM m) GROUP BY word),
+        |terms AS (SELECT qt.query_id, tf.nid, tf.tf, dfq.df, dl.dl, stats.n_docs, stats.total_tokens
+        |  FROM tf JOIN dfq USING (word) JOIN dl USING (nid) CROSS JOIN stats JOIN qt ON tf.word = qt.word
+        |  WHERE tf.nid <> qt.query_id),
+        |sc AS (SELECT query_id, nid,
+        |    CAST(floor(((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |      * ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / (CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+        |      * 1000000.0) AS BIGINT) AS term_micro
+        |  FROM terms),
+        |agg AS (SELECT query_id, nid, CAST(sum(term_micro) AS BIGINT) AS score_micro FROM sc GROUP BY query_id, nid),
+        |r AS (SELECT query_id, nid, score_micro,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, nid ASC) AS rank FROM agg)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, nid AS doc_id, score_micro
+        |FROM r WHERE rank <= 5""".stripMargin,
+    // llm_hybrid_search oracle: brute dense top-10 (llm_ann_topk shape)
+    // + BM25 top-10 over the shared query set, fused by pure-integer RRF
+    "llm_hybrid_search" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS vq FROM embeddings),
+        |en AS (SELECT vec_id, vq, CAST(list_sum(list_transform(vq, x -> x * x)) AS BIGINT) AS norm2 FROM e),
+        |q AS (SELECT vec_id AS qid, vq AS qv, norm2 AS qn FROM en WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id AS nid, vq AS nv, norm2 AS nn FROM en),
+        |scored AS (SELECT qid, nid,
+        |    CAST(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * nv[i])) AS BIGINT) AS dp,
+        |    qn, nn
+        |  FROM c CROSS JOIN q WHERE nid <> qid),
+        |dense AS (SELECT qid, nid, rank FROM (SELECT qid, nid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY
+        |      CAST(dp AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(nn AS DOUBLE))) DESC,
+        |      nid ASC) AS rank
+        |  FROM scored) WHERE rank <= 10),
+        |w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS ws FROM documents),
+        |tok AS (SELECT doc_id AS nid, unnest(ws) AS word FROM w),
+        |dl AS (SELECT nid, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY nid),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens FROM dl),
+        |qt AS (SELECT DISTINCT query_id, word FROM
+        |  (SELECT doc_id AS query_id, unnest(ws[1:5]) AS word FROM w WHERE doc_id % 50 = 0)),
+        |qw AS (SELECT DISTINCT word FROM qt),
+        |m AS (SELECT nid, tok.word FROM tok JOIN qw ON tok.word = qw.word),
+        |tf AS (SELECT nid, word, CAST(count(*) AS BIGINT) AS tf FROM m GROUP BY nid, word),
+        |dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM (SELECT DISTINCT nid, word FROM m) GROUP BY word),
+        |terms AS (SELECT qt.query_id, tf.nid, tf.tf, dfq.df, dl.dl, stats.n_docs, stats.total_tokens
+        |  FROM tf JOIN dfq USING (word) JOIN dl USING (nid) CROSS JOIN stats JOIN qt ON tf.word = qt.word
+        |  WHERE tf.nid <> qt.query_id),
+        |sc2 AS (SELECT query_id, nid,
+        |    CAST(floor(((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |      * ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / (CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+        |      * 1000000.0) AS BIGINT) AS term_micro
+        |  FROM terms),
+        |agg AS (SELECT query_id, nid, CAST(sum(term_micro) AS BIGINT) AS score_micro FROM sc2 GROUP BY query_id, nid),
+        |sparse AS (SELECT query_id AS qid, nid, rank FROM (SELECT query_id, nid,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, nid ASC) AS rank FROM agg)
+        |  WHERE rank <= 10),
+        |fused AS (SELECT coalesce(dense.qid, sparse.qid) AS query_id,
+        |    coalesce(dense.nid, sparse.nid) AS nid,
+        |    CAST(coalesce(1000000 // (60 + dense.rank), 0)
+        |      + coalesce(1000000 // (60 + sparse.rank), 0) AS BIGINT) AS rrf_micro
+        |  FROM dense FULL OUTER JOIN sparse
+        |    ON dense.qid = sparse.qid AND dense.nid = sparse.nid),
+        |r AS (SELECT query_id, nid, rrf_micro,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY rrf_micro DESC, nid ASC) AS rank FROM fused)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, nid AS doc_id, rrf_micro
+        |FROM r WHERE rank <= 5""".stripMargin,
+    // llm_ngram_lm oracle: same add-one-smoothed bigram training, same
+    // one-division-one-multiply-one-floor per token, same integer means
+    "llm_ngram_lm" ->
+      """WITH w AS (SELECT doc_id AS id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS ws FROM documents),
+        |bgidx AS (SELECT id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM w WHERE len(ws) >= 2),
+        |bg AS (SELECT id, ws[i] AS w1, ws[i + 1] AS w2 FROM bgidx),
+        |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY w1, w2),
+        |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY w1),
+        |v AS (SELECT CAST(count(DISTINCT word) AS BIGINT) AS v FROM (SELECT unnest(ws) AS word FROM w)),
+        |sc AS (SELECT bg.id,
+        |    CAST(floor((CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE)) * 1000000000.0) AS BIGINT) AS ppb
+        |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+        |pd AS (SELECT id, CAST(count(*) AS BIGINT) AS n_bigrams, CAST(sum(ppb) AS BIGINT) AS sum_ppb FROM sc GROUP BY id),
+        |pd2 AS (SELECT id, n_bigrams, CAST(sum_ppb // n_bigrams AS BIGINT) AS mean_prob_ppb FROM pd),
+        |cm AS (SELECT CAST(sum(sum_ppb) // sum(n_bigrams) AS BIGINT) AS corpus_mean FROM pd)
+        |SELECT id AS doc_id, n_bigrams, mean_prob_ppb,
+        |  CASE WHEN mean_prob_ppb >= corpus_mean THEN 'head' ELSE 'tail' END AS bucket
+        |FROM pd2 CROSS JOIN cm""".stripMargin,
     // llm_rolling_dedup oracle: a FULL re-cluster of the unioned corpus —
     // the incremental path must reproduce it exactly (same pair set: LSH
     // candidates depend only on per-doc signatures, so old-old, new-old

@@ -1,0 +1,203 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sparse/lexical retrieval and corpus-LM scoring — the complement to the
+  * dense ANN family in `Ann`: BM25 keyword search over an inverted-index
+  * shape, reciprocal-rank fusion for hybrid (sparse + dense) retrieval,
+  * token-window chunking for RAG/embedding pipelines, and a corpus-trained
+  * bigram-LM quality score (the CCNet-style "perplexity bucket" signal).
+  *
+  * Determinism contract (shared with every llm_* oracle row): all ranking
+  * scores are either pure integers or a FIXED sequence of IEEE-754 double
+  * operations (+ - * / floor) on integer-derived values. Both engines
+  * (Spark and the DuckDB oracle) produce bit-identical doubles for the
+  * same op sequence; `ln`/`pow` are libm-dependent at the last ulp and
+  * never appear. BM25's idf therefore uses the RATIONAL form
+  * (N - df + 0.5)/(df + 0.5) — the same monotone ordering as the classic
+  * log idf for a single term, and exact — and per-term scores are
+  * micro-quantized to BIGINT before the order-independent integer sum.
+  */
+object Retrieval {
+
+  /** Non-empty lower-cased whitespace tokens, as an array column. */
+  private def toks(textCol: String) =
+    expr(s"filter(split(lower($textCol), ' '), w -> length(w) > 0)")
+
+  /** Overlapping token-window chunking — the RAG/embedding front gate:
+    * each document becomes ⌈n/stride⌉ chunks of `window` tokens starting
+    * every `stride` tokens (the last chunks may be short; every token is
+    * covered; consecutive chunks overlap by window − stride tokens).
+    * Output: (id, chunk_id, start_token, n_tokens, chunk_text).
+    *
+    * Scale: entirely map-side — one `transform`+`explode` per row, no
+    * shuffle, no per-doc window; chunk identity is a pure function of
+    * (doc id, token offsets) so the layout is reproducible across
+    * engines, partitionings and re-runs. At 100 TB this is a narrow
+    * projection that runs at parquet-scan speed.
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    df.select(col(idCol).as("id"), toks(textCol).as("ws"))
+      .withColumn("starts", expr(
+        s"""CASE WHEN size(ws) < 1 THEN CAST(array() AS ARRAY<INT>)
+           |ELSE sequence(0, size(ws) - 1, $stride) END""".stripMargin))
+      .select(col("id"), col("ws"), explode(col("starts")).as("start"))
+      .select(
+        col("id").as(idCol),
+        expr(s"CAST(start DIV $stride AS BIGINT)").as("chunk_id"),
+        col("start").cast("long").as("start_token"),
+        least(lit(window), size(col("ws")) - col("start")).cast("long")
+          .as("n_tokens"),
+        expr(s"array_join(slice(ws, start + 1, $window), ' ')")
+          .as("chunk_text"))
+  }
+
+  /** Okapi BM25 top-k keyword retrieval (k1 = 1.2, b = 0.75) with the
+    * rational idf (N − df + ½)/(df + ½) and micro-quantized per-term
+    * scores (see object doc). `queries` is a (qid, qtext) frame; output
+    * is (query_id, rank, doc_id, score_micro) with rank ties broken by
+    * doc id. Documents sharing no query term don't rank (BM25 gives them
+    * score 0); `excludeIdEq` drops the candidate whose doc id equals the
+    * query id (query-by-example symmetry with `Ann.bruteTopK`).
+    *
+    * Scale: the corpus token stream is immediately semi-joined against
+    * the BROADCAST distinct query-term set, so only postings for query
+    * terms ever aggregate or shuffle — the inverted-index access path,
+    * without materializing the index. Doc lengths ride a partial-agg
+    * groupBy on the high-cardinality doc id; df/idf live on the tiny
+    * query-term key set; the final window partitions per query. Corpus
+    * text never shuffles — only (doc, term) postings for matched terms.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String, k: Int,
+      excludeIdEq: Boolean = false): DataFrame = {
+    val tokens = docs
+      .select(col(idCol).as("nid"), explode(toks(textCol)).as("word"))
+    val dl = tokens.groupBy(col("nid")).agg(count(lit(1)).as("dl"))
+    // N and avgdl over docs that HAVE tokens (empty docs can't match
+    // any term anyway); one global scalar row, broadcast everywhere
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_tokens"))
+    val qterms = queries
+      .select(col(qidCol).as("query_id"), explode(toks(qtextCol)).as("word"))
+      .distinct()
+    val qwords = qterms.select(col("word")).distinct()
+    val matched = tokens.join(broadcast(qwords), Seq("word"))
+    val tf = matched.groupBy(col("nid"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val dfq = matched.select(col("nid"), col("word")).distinct()
+      .groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val terms = tf.join(broadcast(dfq), Seq("word"))
+      .join(dl, Seq("nid"))
+      .crossJoin(broadcast(stats))
+      .join(broadcast(qterms), Seq("word"))
+    val kept =
+      if (excludeIdEq) terms.filter(col("nid") =!= col("query_id")) else terms
+    // fixed IEEE op sequence — mirrored verbatim in the oracle SQL
+    val idf = ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val avgdl = col("total_tokens").cast("double") /
+      col("n_docs").cast("double")
+    val lenNorm = lit(1.0 - 0.75) +
+      lit(0.75) * (col("dl").cast("double") / avgdl)
+    val tfPart = (col("tf").cast("double") * lit(1.2 + 1.0)) /
+      (col("tf").cast("double") + lit(1.2) * lenNorm)
+    val scored = kept
+      .withColumn("term_micro",
+        floor((idf * tfPart) * lit(1000000.0)).cast("long"))
+      .groupBy(col("query_id"), col("nid"))
+      .agg(sum(col("term_micro")).as("score_micro"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nid").as("doc_id"),
+        col("score_micro"))
+  }
+
+  /** Reciprocal-rank fusion of two ranked lists (Cormack et al. 2009):
+    * fused score = Σ ⌊10⁶ / (C + rank)⌋ over the lists a document appears
+    * in (C = 60, the canonical constant) — PURE integer arithmetic, so
+    * the fusion is exact in any engine. Inputs are (qid, nid, rank)
+    * frames; output (query_id, rank, doc_id, rrf_micro), ties by doc id.
+    *
+    * Scale: one full-outer equi-join on (query, doc) between two already
+    * top-k-sized lists (k rows per query each side — both tiny relative
+    * to the corpus), then a per-query window. The corpus itself is never
+    * touched; fusion cost is O(queries × k).
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, c: Int = 60): DataFrame = {
+    def side(df: DataFrame, r: String) =
+      df.select(col("qid").as("query_id"), col("nid"), col("rank").as(r))
+    val fused = side(a, "rank_a").join(side(b, "rank_b"),
+        Seq("query_id", "nid"), "full_outer")
+      .withColumn("rrf_micro", expr(
+        s"coalesce(1000000 DIV ($c + rank_a), 0) + " +
+        s"coalesce(1000000 DIV ($c + rank_b), 0)"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_micro").desc, col("nid").asc)
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nid").as("doc_id"),
+        col("rrf_micro"))
+  }
+
+  /** Corpus-trained bigram-LM quality score — the determinism-safe
+    * analogue of CCNet's LM-perplexity bucketing: train add-one-smoothed
+    * bigram probabilities p(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁)+V) on the corpus
+    * itself, score each document by its MEAN per-token probability in
+    * parts-per-billion (arithmetic mean instead of the geometric mean a
+    * log-space perplexity would take — `ln` is libm-dependent at the last
+    * ulp, the per-token division+floor is exact; ordering is a faithful
+    * "how typical is this document" signal either way), and bucket
+    * head/tail against the corpus mean. Documents with fewer than two
+    * tokens have no bigrams and drop out (they carry no LM evidence).
+    * Output: (id, n_bigrams, mean_prob_ppb, bucket).
+    *
+    * Scale: the count tables c₁/c₂ are vocab-sized partial-agg groupBys
+    * (Zipf-skewed keys collapse map-side); scoring is two gram-key
+    * equi-joins — the hottest bigram is the classic skew key, which AQE
+    * skew-split handles (or `Skew.saltedJoin` for a pinned path); the
+    * corpus-mean comparison is one broadcast scalar. Text never rides a
+    * shuffle — only (id, w₁, w₂) triples.
+    */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val bg = df.select(col(idCol).as("id"), toks(textCol).as("ws"))
+      .withColumn("g", expr(
+        """CASE WHEN size(ws) < 2 THEN
+          |  CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>)
+          |ELSE transform(sequence(1, size(ws) - 1),
+          |  i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))
+          |END""".stripMargin))
+      .select(col("id"), explode(col("g")).as("g"))
+      .select(col("id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+    val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = df.select(explode(toks(textCol)).as("w")).distinct()
+      .agg(count(lit(1)).as("v"))
+    val perDoc = bg
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      // one division, one multiply, one floor — exact in both engines
+      .withColumn("ppb", floor(
+        ((col("c2") + lit(1L)).cast("double") /
+          (col("c1") + col("v")).cast("double")) * lit(1000000000.0))
+        .cast("long"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("ppb")).as("sum_ppb"))
+      .withColumn("mean_prob_ppb", expr("sum_ppb DIV n_bigrams"))
+    val corpusMean = perDoc
+      .agg(expr("sum(sum_ppb) DIV sum(n_bigrams)").as("corpus_mean"))
+    perDoc.crossJoin(broadcast(corpusMean))
+      .select(col("id").as(idCol), col("n_bigrams"), col("mean_prob_ppb"),
+        when(col("mean_prob_ppb") >= col("corpus_mean"), lit("head"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+}
