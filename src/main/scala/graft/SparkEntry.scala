@@ -3134,6 +3134,21 @@ object SparkEntry {
       llm.Retrieval.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")
     }),
 
+    // Per-domain exact token budgets — the primitive a domain-mix plan
+    // compiles to ("exactly N tokens per source"): per-source budgets
+    // 400/700/1000 by source number mod 3; the per-group bucketed
+    // cumsum never serializes a mega-domain through one task. Oracle is
+    // the NAIVE per-source global window — the bucketed decomposition
+    // must reproduce it exactly.
+    "llm_domain_budget" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val budgets = docs.select(col("source")).distinct()
+        .withColumn("budget",
+          lit(400L) + (expr("CAST(substr(source, 4) AS BIGINT)") % 3) * 300L)
+      llm.Sampling.tokenBudgetPerGroup(docs, "doc_id", "text", "source",
+        budgets)
+    }),
+
     // Rolling ingest composition: a persisted dedup index admits a new
     // batch AND updates cluster assignments incrementally — new docs
     // attach to existing components via their verified pairs (index
@@ -4956,6 +4971,19 @@ object SparkEntry {
         |SELECT id AS doc_id, n_bigrams, mean_prob_ppb,
         |  CASE WHEN mean_prob_ppb >= corpus_mean THEN 'head' ELSE 'tail' END AS bucket
         |FROM pd2 CROSS JOIN cm""".stripMargin,
+    // llm_domain_budget oracle: the naive per-source running-sum window
+    // the bucketed per-group decomposition must reproduce exactly
+    "llm_domain_budget" ->
+      """WITH h AS (SELECT source, doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hh,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |b AS (SELECT DISTINCT source,
+        |    400 + (CAST(substr(source, 4) AS BIGINT) % 3) * 300 AS budget FROM documents),
+        |c AS (SELECT source, doc_id, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY hh, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM h)
+        |SELECT c.source, doc_id, n_tokens, CAST(cum AS BIGINT) AS cum_tokens,
+        |  cum - n_tokens < budget AS keep
+        |FROM c JOIN b ON c.source = b.source""".stripMargin,
     // llm_rolling_dedup oracle: a FULL re-cluster of the unioned corpus —
     // the incremental path must reproduce it exactly (same pair set: LSH
     // candidates depend only on per-doc signatures, so old-old, new-old

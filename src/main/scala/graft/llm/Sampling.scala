@@ -259,4 +259,49 @@ object Sampling {
       .select(col(idCol), col("n_tokens"), col("cum_tokens"),
         (col("cum_tokens") - col("n_tokens") < budget).as("keep"))
   }
+
+  /** Per-group exact token-budget cut — [[tokenBudget]] with an
+    * independent budget per group (domain, source, language): within
+    * each group, documents stream in the deterministic (h64(id), id)
+    * order and are kept while the group's cumulative token count stays
+    * under that group's budget (boundary doc kept, same rule). This is
+    * the "exactly N tokens per domain" sampler a domain-mix plan
+    * compiles down to. `budgets` is a (groupCol, budget) frame.
+    *
+    * Scale: the same 2¹⁰ hash-prefix range-bucket decomposition, now
+    * keyed (group, bucket): per-(group,bucket) totals fold into bucket
+    * start offsets with a window partitioned BY GROUP over ≤1024 rows
+    * each (high-cardinality partition key — no straggler even with
+    * millions of domains), and the running sums partition on
+    * (group, bucket) so the biggest window task holds ~|group|/1024
+    * rows. A mega-domain never serializes through one task — the exact
+    * failure `perDomainCap`'s top-k agg retired, solved the same way.
+    * The offsets join is a plain equi-join on (group, bucket) — it
+    * scales with domain count, so it is NOT broadcast; `budgets` is
+    * domain-count-sized and joins the same way.
+    */
+  def tokenBudgetPerGroup(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, budgets: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withTok = df
+      .withColumn("__h", TextOps.h64c(col(idCol).cast("string")))
+      .withColumn("n_tokens",
+        size(split(lower(col(textCol)), " ")).cast("long"))
+      .withColumn("__b", expr(s"__h div ${1L << 50}"))
+    val offsets = withTok.groupBy(col(groupCol), col("__b"))
+      .agg(sum(col("n_tokens")).as("__bt"))
+      .withColumn("__off", coalesce(
+        sum(col("__bt")).over(Window.partitionBy(col(groupCol))
+          .orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(groupCol), col("__b"), col("__off"))
+    val w = Window.partitionBy(col(groupCol), col("__b"))
+      .orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withTok.join(offsets, Seq(groupCol, "__b"))
+      .join(budgets, Seq(groupCol))
+      .withColumn("cum_tokens", col("__off") + sum(col("n_tokens")).over(w))
+      .select(col(groupCol), col(idCol), col("n_tokens"), col("cum_tokens"),
+        (col("cum_tokens") - col("n_tokens") < col("budget")).as("keep"))
+  }
 }

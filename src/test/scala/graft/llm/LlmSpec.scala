@@ -541,6 +541,56 @@ class SamplingSpec extends AnyFunSuite {
       s"corpus-wide unpartitioned window in plan: $s"))
   }
 
+  test("tokenBudgetPerGroup: equals naive per-group running sum; plan windows stay bucketed") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val budgets = docs.select(col("source")).distinct()
+      .withColumn("budget",
+        lit(300L) + (expr("CAST(substr(source, 4) AS BIGINT)") % 2) * 300L)
+    val got = Sampling.tokenBudgetPerGroup(docs, "doc_id", "text", "source",
+        budgets)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    def h64(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(15), 16)
+    }
+    val rows = docs.select(col("source"), col("doc_id"), col("text")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getString(2).toLowerCase.split(" ", -1).length.toLong))
+    val ref = rows.toSeq.groupBy(_._1).toSeq.flatMap { case (src, rs) =>
+      val budget = 300L + (src.drop(3).toLong % 2) * 300L
+      var cum = 0L
+      rs.sortBy(r => (h64(r._2), r._2)).map { case (_, id, n) =>
+        cum += n
+        (src, id, n, cum, cum - n < budget)
+      }
+    }.toSet
+    assert(got.toSet == ref)
+    // each group cuts at ITS OWN budget: distinct kept-token totals exist
+    val keptBySrc = got.filter(_._5).groupBy(_._1)
+      .map { case (s, rs) => s -> rs.map(_._3).sum }
+    assert(keptBySrc.values.toSet.size > 1)
+    // partitioning-invariant
+    val again = Sampling.tokenBudgetPerGroup(docs.repartition(13), "doc_id",
+        "text", "source", budgets)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(got.toSet == again.toSet)
+    // plan shape: every window involves the bucket key — the doc-level
+    // sums partition on (group, __b); the offsets fold partitions per
+    // group over <=1024 bucket rows ordered by __b. No corpus-wide or
+    // whole-group unbucketed running sum may appear.
+    val plan = Sampling.tokenBudgetPerGroup(docs, "doc_id", "text", "source",
+        budgets)
+      .queryExecution.optimizedPlan.toString
+    val specs = "windowspecdefinition\\(([^)]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(specs.nonEmpty)
+    specs.foreach(s => assert(s.contains("__b"),
+      s"unbucketed window in plan: $s"))
+  }
+
   test("writeShards: one directory per shard, content matches shardPlan") {
     val df = (1L to 100L).map(i => (i, s"body $i")).toDF("doc_id", "text")
     val out = java.nio.file.Files.createTempDirectory("shards").toString
