@@ -3083,6 +3083,24 @@ object SparkEntry {
       llm.TextOps.corpusDiff(v1, v2, "doc_id", "text")
     }),
 
+    // Corpus word-distribution drift between the same two snapshots the
+    // corpus_diff row compares — top-20 most-drifted words by |Δ(c/N)|
+    // (one IEEE division per rate; word tie-break pins the cut).
+    "llm_corpus_drift" -> ((s, dir) => {
+      val v1 = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val v2 = t(s, dir, "documents")
+        .filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0,
+            concat(col("text"), lit(" [rev2]"))).otherwise(col("text"))
+            .as("text"))
+        .unionByName(s.range(-20, 0).toDF("doc_id")
+          .select(col("doc_id"),
+            concat(lit("fresh crawl doc "), col("doc_id").cast("string"))
+              .as("text")))
+      llm.TextOps.corpusDrift(v1, v2, "doc_id", "text", topK = 20)
+    }),
+
     // Overlapping token-window chunking (RAG/embedding front gate):
     // 32-token chunks every 24 tokens — pure map-side transform+explode,
     // zero shuffles, layout a pure function of (doc id, offsets).
@@ -4867,6 +4885,30 @@ object SparkEntry {
         |       WHEN h_old = h_new THEN 'unchanged'
         |       ELSE 'changed' END AS status
         |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id""".stripMargin,
+    // llm_corpus_drift oracle: same v2 perturbation as llm_corpus_diff,
+    // same one-division-per-rate IEEE sequence, same (drift, word) cut
+    "llm_corpus_drift" ->
+      """WITH v2d AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN text || ' [rev2]' ELSE text END AS t2
+        |  FROM documents WHERE doc_id % 17 <> 0
+        |  UNION ALL SELECT i AS doc_id, 'fresh crawl doc ' || CAST(i AS VARCHAR) AS t2
+        |  FROM generate_series(-20, -1) g(i)),
+        |t1 AS (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents),
+        |t1f AS (SELECT word FROM t1 WHERE len(word) > 0),
+        |t2 AS (SELECT unnest(string_split(lower(t2), ' ')) AS word FROM v2d),
+        |t2f AS (SELECT word FROM t2 WHERE len(word) > 0),
+        |cc1 AS (SELECT word, CAST(count(*) AS BIGINT) AS c1 FROM t1f GROUP BY word),
+        |cc2 AS (SELECT word, CAST(count(*) AS BIGINT) AS c2 FROM t2f GROUP BY word),
+        |n1 AS (SELECT CAST(count(*) AS BIGINT) AS n1 FROM t1f),
+        |n2 AS (SELECT CAST(count(*) AS BIGINT) AS n2 FROM t2f),
+        |j AS (SELECT coalesce(cc1.word, cc2.word) AS word,
+        |    coalesce(c1, 0) AS c1, coalesce(c2, 0) AS c2
+        |  FROM cc1 FULL OUTER JOIN cc2 ON cc1.word = cc2.word),
+        |r AS (SELECT word, c1, c2,
+        |    CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS r1,
+        |    CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS r2
+        |  FROM j CROSS JOIN n1 CROSS JOIN n2)
+        |SELECT word, c1, c2, r1, r2, abs(r1 - r2) AS drift
+        |FROM r ORDER BY drift DESC, word ASC LIMIT 20""".stripMargin,
     // llm_chunking oracle: same window/stride arithmetic over the same
     // filtered token list; DuckDB list slice [a:b] is inclusive = Spark
     // slice(ws, a, 32) = elements a..a+31

@@ -595,6 +595,47 @@ object TextOps {
       .select(col(idCol), col("h_old"), col("h_new"), col("status"))
   }
 
+  /** Corpus DISTRIBUTION DRIFT — the statistical companion to
+    * [[corpusDiff]]'s row-level view: compare two snapshots' word
+    * distributions and surface the top-k most-drifted words. Each word's
+    * rate in each snapshot is ONE IEEE double division `c / N` (exact
+    * and bit-identical cross-engine; an integer-scaled rate like
+    * `c·10¹²` overflows 64 bits once a word passes ~9×10⁶ occurrences,
+    * and the cross-product `c₁·N₂` far earlier) and drift is the
+    * absolute rate difference — a fixed two-op IEEE sequence, ranked
+    * with a word tie-break, so the top-k cut is deterministic. The
+    * per-word |Δrate| is each word's (doubled) contribution to
+    * total-variation distance. This is the "did the crawl refresh shift
+    * the language" gate a retraining decision reads.
+    *
+    * Scale: two token-count aggregations (vocab-sized, Zipf keys
+    * collapse map-side), one full-outer join on the word key, one
+    * TakeOrderedAndProject for the top-k — never a global sort. Text
+    * never shuffles; only (word, count) pairs move.
+    */
+  def corpusDrift(v1: DataFrame, v2: DataFrame, idCol: String,
+      textCol: String, topK: Int): DataFrame = {
+    def counts(df: DataFrame, c: String) = df
+      .select(explode(words(textCol)).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as(c))
+    def total(df: DataFrame, n: String) = df
+      .select(explode(words(textCol)).as("word"))
+      .filter(length(col("word")) > 0)
+      .agg(count(lit(1)).as(n))
+    counts(v1, "c1").join(counts(v2, "c2"), Seq("word"), "full_outer")
+      .na.fill(0L, Seq("c1", "c2"))
+      .crossJoin(broadcast(total(v1, "n1")))
+      .crossJoin(broadcast(total(v2, "n2")))
+      .withColumn("r1", col("c1").cast("double") / col("n1").cast("double"))
+      .withColumn("r2", col("c2").cast("double") / col("n2").cast("double"))
+      .withColumn("drift", abs(col("r1") - col("r2")))
+      .orderBy(col("drift").desc, col("word").asc)
+      .limit(topK)
+      .select(col("word"), col("c1"), col("c2"), col("r1"), col("r2"),
+        col("drift"))
+  }
+
   /** Corpus vocabulary census: global term and document frequencies with
     * a deterministic top-k — the TF/DF table a tokenizer-training or IDF
     * stage starts from. Zipf skew is the defining property of this

@@ -222,6 +222,25 @@ class TextOpsSpec extends AnyFunSuite {
     val q = rows(0).getAs[Double]("q")
     assert(q > 0 && q <= 1.0)
   }
+
+  test("corpusDrift: exact rates, vanished/new words, deterministic cut") {
+    val v1 = Seq((1L, "a a b c"), (2L, "a b")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "a b b d"), (2L, "b d")).toDF("doc_id", "text")
+    // v1: a=3/6, b=2/6, c=1/6 ; v2: a=1/6, b=3/6, d=2/6
+    val out = TextOps.corpusDrift(v1, v2, "doc_id", "text", topK = 10)
+      .collect().map(r => r.getAs[String]("word") ->
+        (r.getAs[Long]("c1"), r.getAs[Long]("c2"),
+          r.getAs[Double]("drift"))).toMap
+    assert(out("a") === ((3L, 1L, 3.0 / 6 - 1.0 / 6)))
+    assert(out("c") === ((1L, 0L, 1.0 / 6)))  // vanished word
+    assert(out("d") === ((0L, 2L, 2.0 / 6)))  // new word
+    assert(out("b")._3 === 3.0 / 6 - 2.0 / 6)
+    // top-k cut is (drift desc, word asc): with k=2 the two 1/3-drift
+    // words (a, d) win in word order
+    val top2 = TextOps.corpusDrift(v1, v2, "doc_id", "text", topK = 2)
+      .collect().map(_.getAs[String]("word")).toSeq
+    assert(top2 === Seq("a", "d"))
+  }
 }
 
 class SpanDedupSpec extends AnyFunSuite {
