@@ -2620,6 +2620,16 @@ object SparkEntry {
           md5(col("text")).as("content_key")): _*)
     }),
 
+    // Exact top-20% quality cut: threshold = k-th largest micro-quantized
+    // quality score read off a bounded histogram (no global sort; ties at
+    // the threshold kept — the cut is a pure function of the score).
+    "llm_quality_cut" -> ((s, dir) => {
+      val scored = t(s, dir, "documents")
+        .withColumn("ws", llm.TextOps.words("text"))
+        .withColumn("q", llm.TextOps.qualityScore)
+      llm.Sampling.qualityCut(scored, "doc_id", "q", pct = 20)
+    }),
+
     // Language-ID heuristic: stopword hit counts + argmax guess.
     "llm_langid" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -4237,6 +4247,24 @@ object SparkEntry {
         |  list_min(shash) AS fingerprint,
         |  md5(text) AS content_key
         |FROM hs JOIN w ON hs.doc_id = w.doc_id JOIN documents d ON d.doc_id = hs.doc_id""".stripMargin,
+    // llm_quality_cut oracle: same score formula as llm_text_stats, same
+    // floor(q*1e6) quantize, threshold off the descending cumulative
+    // histogram with integer-exact k = ceil(n*pct/100)
+    "llm_quality_cut" ->
+      """WITH w AS (SELECT doc_id, text, string_split(lower(text), ' ') AS ws FROM documents),
+        |s AS (SELECT doc_id, CAST(floor((
+        |    (CASE WHEN length(text) BETWEEN 100 AND 5000 THEN 1.0
+        |          WHEN length(text) > 5000 THEN 0.5 ELSE 0.2 END +
+        |     CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(ws)
+        |               BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.4 END +
+        |     CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE) / length(text)
+        |    ) / 3.0) * 1000000.0) AS BIGINT) AS score_micro FROM w),
+        |h AS (SELECT score_micro, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY score_micro),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h),
+        |cum AS (SELECT score_micro, sum(c) OVER (ORDER BY score_micro DESC ROWS UNBOUNDED PRECEDING) AS cum FROM h),
+        |t AS (SELECT max(score_micro) AS threshold FROM cum CROSS JOIN n WHERE cum >= (n * 20 + 99) // 100)
+        |SELECT doc_id, score_micro, threshold, score_micro >= threshold AS keep
+        |FROM s CROSS JOIN t""".stripMargin,
     "llm_langid" ->
       """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
         |h AS (SELECT doc_id,

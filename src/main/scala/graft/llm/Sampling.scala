@@ -280,6 +280,45 @@ object Sampling {
     * scales with domain count, so it is NOT broadcast; `budgets` is
     * domain-count-sized and joins the same way.
     */
+  /** Exact top-p% cut by a double score column — "keep the best fifth
+    * of the corpus", with the threshold computed EXACTLY and without a
+    * global sort: scores micro-quantize to BIGINT (floor(score·10⁶) —
+    * the same quantize-before-rank recipe every ranking row uses), a
+    * score HISTOGRAM aggregates map-side (≤ ~10⁶+1 rows regardless of
+    * corpus size), and the threshold is the k-th largest quantized score
+    * read off the histogram's descending cumulative counts
+    * (k = ⌈N·pct/100⌉). Ties AT the threshold are kept (the cut is a
+    * pure function of the score, never of row order), so `n ≥ k` rows
+    * survive; the keep flag and threshold are returned for audit.
+    *
+    * Scale: two aggregations (per-score-bucket counts, then one total),
+    * one window over the BOUNDED histogram (corpus-size-independent,
+    * same standing cost as tokenBudget's 1024-row fold), one broadcast
+    * threshold join. The corpus is scanned twice (histogram + flag) and
+    * never sorted or shuffled by score.
+    */
+  def qualityCut(df: DataFrame, idCol: String, scoreCol: String,
+      pct: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(pct > 0 && pct <= 100, s"pct must be in (0,100], got $pct")
+    val quant = df.withColumn("score_micro",
+      floor(col(scoreCol) * lit(1000000.0)).cast("long"))
+    val hist = quant.groupBy(col("score_micro"))
+      .agg(count(lit(1)).as("__c"))
+    val n = hist.agg(sum(col("__c")).as("__n"))
+    val cum = hist
+      .withColumn("__cum", sum(col("__c")).over(
+        Window.orderBy(col("score_micro").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(n))
+      // k-th largest quantized score, k = ceil(n * pct / 100) in integers
+      .filter(col("__cum") >= expr(s"(__n * $pct + 99) DIV 100"))
+      .agg(max(col("score_micro")).as("threshold"))
+    quant.crossJoin(broadcast(cum))
+      .select(col(idCol), col("score_micro"), col("threshold"),
+        (col("score_micro") >= col("threshold")).as("keep"))
+  }
+
   def tokenBudgetPerGroup(df: DataFrame, idCol: String, textCol: String,
       groupCol: String, budgets: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window

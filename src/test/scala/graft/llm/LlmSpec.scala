@@ -560,6 +560,25 @@ class SamplingSpec extends AnyFunSuite {
       s"corpus-wide unpartitioned window in plan: $s"))
   }
 
+  test("qualityCut: threshold is the exact k-th largest score; ties kept") {
+    // scores engineered so micro-quantization is exact: 10 docs, scores
+    // 0.1..0.9 with a tie at 0.8 — top-20% of n=10 → k=2 → threshold is
+    // the 2nd largest = 0.8, and BOTH 0.8s survive (ties kept, n_kept=3)
+    val df = Seq(
+      (1L, 0.1), (2L, 0.2), (3L, 0.3), (4L, 0.4), (5L, 0.5),
+      (6L, 0.6), (7L, 0.7), (8L, 0.8), (9L, 0.8), (10L, 0.9))
+      .toDF("doc_id", "q")
+    val out = Sampling.qualityCut(df, "doc_id", "q", pct = 20)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("score_micro"),
+        r.getAs[Long]("threshold"), r.getAs[Boolean]("keep")))
+    assert(out.forall(_._3 == 800000L))
+    val kept = out.filter(_._4).map(_._1).toSet
+    assert(kept === Set(8L, 9L, 10L))
+    // pct=100 keeps everything; threshold is the minimum score
+    val all = Sampling.qualityCut(df, "doc_id", "q", pct = 100).collect()
+    assert(all.forall(_.getAs[Boolean]("keep")))
+  }
+
   test("tokenBudgetPerGroup: equals naive per-group running sum; plan windows stay bucketed") {
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
     val budgets = docs.select(col("source")).distinct()
