@@ -37,6 +37,14 @@ class RetrievalSpec extends AnyFunSuite {
     assert(c2 === Array("x y"))
   }
 
+  test("chunk plan is shuffle-free (map-side transform + explode only)") {
+    val docs = graft.Tables(spark, graft.TestSpark.sf, "documents")
+    val plan = Retrieval.chunk(docs, "doc_id", "text", 32, 24)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"chunking must not shuffle, plan:\n$plan")
+  }
+
   test("bm25 ranks higher tf first among same-length docs, rare term wins") {
     val d = docs(
       (1L, "apple banana cherry date"),
