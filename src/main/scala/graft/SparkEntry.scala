@@ -3119,6 +3119,24 @@ object SparkEntry {
         window = 32, stride = 24)
     }),
 
+    // End-to-end RAG retrieval pipeline: chunk (32/24 overlap) →
+    // feature-hashing embedding (16-dim signed integer projection — the
+    // deterministic stand-in sharing the (id, vq, norm2) contract a
+    // neural embedder would fill) → integer-exact brute cosine top-3.
+    // Chunk key cid = doc_id·1024 + chunk_id; queries are chunk 0 of
+    // every doc_id % 173 == 0 document.
+    "llm_rag_pipeline" -> ((s, dir) => {
+      val chunks = llm.Retrieval
+        .chunk(t(s, dir, "documents"), "doc_id", "text", 32, 24)
+        .withColumn("cid", col("doc_id") * 1024 + col("chunk_id"))
+      val emb = llm.Retrieval.hashEmbed(chunks, "cid", "chunk_text", 16)
+        .filter(col("norm2") > 0)
+      // cid % (1024·173) == 0 ⇔ chunk_id == 0 && doc_id % 173 == 0
+      val queries = emb.filter(col("nid") % lit(1024L * 173) === 0)
+        .select(col("nid").as("qid"), col("vq"), col("norm2"))
+      llm.Ann.bruteTopK(queries, emb, 3)
+    }),
+
     // Okapi BM25 top-5 keyword retrieval: queries are the first 5 words
     // of every doc_id % 97 == 0 document (query-by-example, self
     // excluded). Rational idf + micro-quantized integer term scores keep
@@ -4948,6 +4966,30 @@ object SparkEntry {
         |  CAST(least(32, len(ws) - start) AS BIGINT) AS n_tokens,
         |  array_to_string(ws[start + 1:start + 32], ' ') AS chunk_text
         |FROM st""".stripMargin,
+    // llm_rag_pipeline oracle: chunk slices, the same h64(token:d)
+    // hashing-trick projection, then the standard integer brute ranking
+    "llm_rag_pipeline" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS ws FROM documents),
+        |st AS (SELECT doc_id, ws, unnest(CASE WHEN len(ws) < 1 THEN [] ELSE generate_series(0, len(ws) - 1, 24) END) AS start FROM w),
+        |ch AS (SELECT doc_id * 1024 + (start // 24) AS cid, ws[start + 1:start + 32] AS cws FROM st),
+        |e AS (SELECT cid, list_transform(generate_series(0, 15), d ->
+        |    CAST(list_sum(list_transform(cws, w2 ->
+        |      CAST(('0x' || substr(md5(w2 || ':' || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT) % 2001 - 1000)) AS BIGINT)) AS vq
+        |  FROM ch),
+        |en AS (SELECT cid, vq, CAST(list_sum(list_transform(vq, x -> x * x)) AS BIGINT) AS norm2 FROM e),
+        |q AS (SELECT cid AS qid, vq AS qv, norm2 AS qn FROM en WHERE cid % (1024 * 173) = 0 AND norm2 > 0),
+        |c AS (SELECT cid AS nid, vq AS nv, norm2 AS nn FROM en WHERE norm2 > 0),
+        |scored AS (SELECT qid, nid,
+        |    CAST(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * nv[i])) AS BIGINT) AS dp,
+        |    qn, nn
+        |  FROM c CROSS JOIN q WHERE nid <> qid),
+        |ranked AS (SELECT qid, nid,
+        |    CAST(dp AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(nn AS DOUBLE))) AS cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY
+        |      CAST(dp AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(nn AS DOUBLE))) DESC,
+        |      nid ASC) AS rank
+        |  FROM scored)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, nid, cos FROM ranked WHERE rank <= 3""".stripMargin,
     // llm_bm25 oracle: identical rational-idf BM25 with the SAME IEEE op
     // sequence (left-assoc multiplies, each division written once) and
     // the same micro-quantize-then-integer-sum, so scores are bit-exact

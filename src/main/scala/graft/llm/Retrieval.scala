@@ -151,6 +151,31 @@ object Retrieval {
         col("rrf_micro"))
   }
 
+  /** Feature-hashing embedding (the "hashing trick", Weinberger et al.
+    * 2009): component d of a text's vector is Σ over tokens of
+    * `h64(token:d) mod 2001 − 1000` — a deterministic signed integer
+    * projection that needs no trained model, reproduces bit-exactly in
+    * any engine, and drops straight into the integer-quantized ANN
+    * stack (`Ann.bruteTopK` takes (id, vq, norm2) as-is). A real
+    * neural embedder slots into the same (id, Array[Long]) contract.
+    *
+    * Scale: entirely map-side — per row one pass over the token array
+    * per dimension, no explode, no shuffle; embedding a 100 TB corpus
+    * is a projection at parquet-scan speed.
+    */
+  def hashEmbed(df: DataFrame, idCol: String, textCol: String,
+      dim: Int): DataFrame = {
+    val h = "CAST(conv(substr(md5(concat(w, ':', CAST(d AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    df.select(col(idCol).as("nid"), toks(textCol).as("ws"))
+      .withColumn("vq", expr(
+        s"""transform(sequence(0, ${dim - 1}),
+           |  d -> aggregate(ws, 0L, (acc, w) -> acc + ($h % 2001 - 1000)))"""
+          .stripMargin))
+      .withColumn("norm2", expr(
+        "aggregate(vq, 0L, (acc, v) -> acc + v * v)"))
+      .select(col("nid"), col("vq"), col("norm2"))
+  }
+
   /** Corpus-trained bigram-LM quality score — the determinism-safe
     * analogue of CCNet's LM-perplexity bucketing: train add-one-smoothed
     * bigram probabilities p(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁)+V) on the corpus

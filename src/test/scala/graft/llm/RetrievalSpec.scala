@@ -82,6 +82,30 @@ class RetrievalSpec extends AnyFunSuite {
       (11L, 1000000L / 62)))
   }
 
+  test("hashEmbed: deterministic, partitioning-invariant, shuffle-free") {
+    val d = docs((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "delta epsilon"))
+    val out = Retrieval.hashEmbed(d, "doc_id", "text", dim = 8)
+      .collect().map(r => r.getAs[Long]("nid") ->
+        (r.getAs[scala.collection.Seq[Long]]("vq").toSeq, r.getAs[Long]("norm2"))).toMap
+    // identical text → identical vector; components bounded by ±1000/token
+    assert(out(1L) === out(2L))
+    assert(out(1L)._1.size === 8)
+    assert(out(1L)._1.forall(v => math.abs(v) <= 3000))
+    assert(out(1L)._1 !== out(3L)._1)
+    // norm2 is the exact sum of squares
+    assert(out(3L)._2 === out(3L)._1.map(v => v * v).sum)
+    // repartitioning changes nothing (pure per-row function)
+    val again = Retrieval.hashEmbed(d.repartition(7), "doc_id", "text", 8)
+      .collect().map(r => r.getAs[Long]("nid") ->
+        r.getAs[scala.collection.Seq[Long]]("vq").toSeq).toMap
+    assert(again(1L) === out(1L)._1)
+    // map-side only: no Exchange in the executed plan
+    val plan = Retrieval.hashEmbed(d, "doc_id", "text", 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"embedding must not shuffle:\n$plan")
+  }
+
   test("bigram LM scores a common-bigram doc above a rare-bigram doc") {
     val common = "the cat sat the cat sat the cat sat"
     val d = docs(
