@@ -734,6 +734,85 @@ object TextOps {
       .limit(topK)
   }
 
+  /** BPE TOKENIZER TRAINING — `nMerges` greedy merge rules learned the
+    * way a production BPE trainer learns them: iterate on the WORD
+    * FREQUENCY DICT (vocab-sized — the corpus is touched exactly once,
+    * by the census), each step (1) counting adjacent symbol pairs
+    * weighted by word frequency, (2) picking the top pair with a pinned
+    * tie-break (count desc, pair asc), (3) applying the merge greedily
+    * left-to-right inside every word. Returns the merge table — the
+    * artifact a tokenizer ships: (merge_rank, left_sym, right_sym,
+    * token, n_occurrences).
+    *
+    * Greedy left-to-right application is sequential per word, but
+    * reduces to window algebra: candidate positions i (sym=a, next=b)
+    * that are ADJACENT only occur when a = b (runs like "aaaa"), and
+    * greedy keeps alternate candidates from each run's head — so
+    * `apply ⇔ (pos − run_head_pos) even`, computed with two windows
+    * partitioned by word. The same algebra replays in the oracle SQL.
+    *
+    * Scale: every step is a handful of narrow shuffles keyed on the
+    * high-cardinality word (dict rows are short), a 1-row top-pair frame
+    * broadcast back, and a `localCheckpoint()` so step k+1 starts from
+    * materialized state instead of replaying steps 1..k. nMerges bounded
+    * passes over the VOCAB, never the corpus.
+    */
+  def bpeTrain(df: DataFrame, idCol: String, textCol: String,
+      nMerges: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    var dict = df.select(explode(words(textCol)).as("word"))
+      .filter(length(col("word")) > 1)
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      .withColumn("syms", expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+      .localCheckpoint()
+    val w = Window.partitionBy(col("word")).orderBy(col("pos"))
+    val steps = (1 to nMerges).map { step =>
+      // both frames feed two consumers each (pair-count + merge; merge +
+      // output row) — checkpoint so neither subtree replays
+      val withNext = dict
+        .select(col("word"), col("wc"),
+          posexplode(col("syms")).as(Seq("pos", "sym")))
+        .withColumn("nxt", lead(col("sym"), 1).over(w))
+        .localCheckpoint()
+      val top = withNext.filter(col("nxt").isNotNull)
+        .groupBy(col("sym"), col("nxt"))
+        .agg(sum(col("wc")).as("n_occurrences"))
+        .orderBy(col("n_occurrences").desc, col("sym").asc, col("nxt").asc)
+        .limit(1)
+        .select(col("sym").as("a"), col("nxt").as("b"),
+          col("n_occurrences"))
+        .localCheckpoint()
+      val marked = withNext.crossJoin(broadcast(top))
+        .withColumn("cand", col("sym") === col("a") && col("nxt") === col("b"))
+      // greedy left-to-right: group consecutive candidates, keep
+      // alternates from each run head
+      val applied = marked.filter(col("cand"))
+        .withColumn("grp", col("pos") - row_number().over(w))
+        .withColumn("head",
+          min(col("pos")).over(Window.partitionBy(col("word"), col("grp"))))
+        .filter((col("pos") - col("head")) % 2 === 0)
+        .select(col("word"), col("pos"))
+      val next = marked
+        .join(applied.withColumn("app", lit(true)), Seq("word", "pos"),
+          "left")
+        .join(applied.select(col("word"), (col("pos") + 1).as("pos"))
+          .withColumn("absorbed", lit(true)), Seq("word", "pos"), "left")
+        .filter(col("absorbed").isNull)
+        .withColumn("sym2", when(col("app"),
+          concat(col("a"), col("b"))).otherwise(col("sym")))
+        .groupBy(col("word"), col("wc"))
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(pos, sym2))), x -> x.sym2)")
+          .as("syms"))
+      dict = next.localCheckpoint()
+      top.select(lit(step.toLong).as("merge_rank"),
+        col("a").as("left_sym"), col("b").as("right_sym"),
+        concat(col("a"), col("b")).as("token"), col("n_occurrences"))
+    }
+    steps.reduce(_ unionByName _)
+  }
+
   /** Cross-source duplication matrix: near-dup pair counts keyed by the
     * (unordered) source pair — the audit that tells a curation run WHICH
     * feeds duplicate each other (mirror crawls, syndicated content)

@@ -223,6 +223,33 @@ class TextOpsSpec extends AnyFunSuite {
     assert(q > 0 && q <= 1.0)
   }
 
+  test("bpeTrain: greedy run-parity on odd runs; merged symbols re-merge") {
+    // "aaa": candidates at pos 0 and 1 are ADJACENT (a=b run) — greedy
+    // left-to-right applies only pos 0 → ('aa','a'), never ('aa'+dangling)
+    val odd = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val m1 = TextOps.bpeTrain(odd, "doc_id", "text", 2)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(m1.toSeq === Seq((1L, "a", "a", "aa", 2L),
+      (2L, "aa", "a", "aaa", 1L)))
+    // learned symbol participates in the next merge: after (a,b)→ab,
+    // step 2 merges (ab, c)
+    val it = Seq((1L, "ab ab abc")).toDF("doc_id", "text")
+    val m2 = TextOps.bpeTrain(it, "doc_id", "text", 2)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(m2.toSeq === Seq((1L, "a", "b", "ab", 3L),
+      (2L, "ab", "c", "abc", 1L)))
+    // even run: "aaaa" merges pairwise then the two 'aa's merge
+    val even = Seq((1L, "aaaa aaaa aaaa")).toDF("doc_id", "text")
+    val m3 = TextOps.bpeTrain(even, "doc_id", "text", 2)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+    assert(m3.toSeq === Seq(("a", "a", 9L), ("aa", "aa", 3L)))
+  }
+
   test("corpusDrift: exact rates, vanished/new words, deterministic cut") {
     val v1 = Seq((1L, "a a b c"), (2L, "a b")).toDF("doc_id", "text")
     val v2 = Seq((1L, "a b b d"), (2L, "b d")).toDF("doc_id", "text")
