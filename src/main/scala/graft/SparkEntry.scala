@@ -3125,6 +3125,12 @@ object SparkEntry {
       llm.TextOps.bpeTrain(t(s, dir, "documents"), "doc_id", "text", 6)
     }),
 
+    // BPE APPLY: the trained dict's final segmentation (word → learned
+    // token sequence) after the same 6 merges.
+    "llm_bpe_encode" -> ((s, dir) => {
+      llm.TextOps.bpeEncode(t(s, dir, "documents"), "doc_id", "text", 6)
+    }),
+
     // End-to-end RAG retrieval pipeline: chunk (32/24 overlap) →
     // feature-hashing embedding (16-dim signed integer projection — the
     // deterministic stand-in sharing the (id, vq, norm2) contract a
@@ -5059,6 +5065,92 @@ object SparkEntry {
         |  LEFT JOIN ap6 ab ON m.word = ab.word AND m.pos = ab.pos + 1
         |  WHERE ab.pos IS NULL GROUP BY m.word, m.wc)
         |SELECT CAST(1 AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym, a || b AS token, n AS n_occurrences FROM t1 UNION ALL SELECT CAST(2 AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym, a || b AS token, n AS n_occurrences FROM t2 UNION ALL SELECT CAST(3 AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym, a || b AS token, n AS n_occurrences FROM t3 UNION ALL SELECT CAST(4 AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym, a || b AS token, n AS n_occurrences FROM t4 UNION ALL SELECT CAST(5 AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym, a || b AS token, n AS n_occurrences FROM t5 UNION ALL SELECT CAST(6 AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym, a || b AS token, n AS n_occurrences FROM t6""".stripMargin,
+    // llm_bpe_encode oracle: the same 6 materialized merge steps, final
+    // dict state selected instead of the merge table
+    "llm_bpe_encode" ->
+      """WITH w0 AS (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents),
+        |wf AS (SELECT word, CAST(count(*) AS BIGINT) AS wc FROM w0 WHERE len(word) > 1 GROUP BY word),
+        |d0 AS MATERIALIZED (SELECT word, wc, list_transform(generate_series(1, len(word)), i -> word[i:i]) AS syms FROM wf),
+        |p1 AS (SELECT word, wc, generate_subscripts(syms, 1) - 1 AS pos, unnest(syms) AS sym FROM d0),
+        |n1 AS (SELECT word, wc, pos, sym, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM p1),
+        |t1 AS MATERIALIZED (SELECT sym AS a, nxt AS b, CAST(sum(wc) AS BIGINT) AS n FROM n1 WHERE nxt IS NOT NULL
+        |  GROUP BY sym, nxt ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+        |m1 AS MATERIALIZED (SELECT n1.*, t1.a, t1.b, (sym = a AND nxt = b) AS cand FROM n1 CROSS JOIN t1),
+        |c1 AS (SELECT word, pos, pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS grp FROM m1 WHERE cand),
+        |ap1 AS MATERIALIZED (SELECT word, pos FROM (SELECT word, pos, min(pos) OVER (PARTITION BY word, grp) AS h FROM c1) WHERE (pos - h) % 2 = 0),
+        |d1 AS MATERIALIZED (SELECT m.word, m.wc,
+        |    list(CASE WHEN ap.pos IS NOT NULL THEN m.a || m.b ELSE m.sym END ORDER BY m.pos) AS syms
+        |  FROM m1 m
+        |  LEFT JOIN ap1 ap ON m.word = ap.word AND m.pos = ap.pos
+        |  LEFT JOIN ap1 ab ON m.word = ab.word AND m.pos = ab.pos + 1
+        |  WHERE ab.pos IS NULL GROUP BY m.word, m.wc),
+        |p2 AS (SELECT word, wc, generate_subscripts(syms, 1) - 1 AS pos, unnest(syms) AS sym FROM d1),
+        |n2 AS (SELECT word, wc, pos, sym, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM p2),
+        |t2 AS MATERIALIZED (SELECT sym AS a, nxt AS b, CAST(sum(wc) AS BIGINT) AS n FROM n2 WHERE nxt IS NOT NULL
+        |  GROUP BY sym, nxt ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+        |m2 AS MATERIALIZED (SELECT n2.*, t2.a, t2.b, (sym = a AND nxt = b) AS cand FROM n2 CROSS JOIN t2),
+        |c2 AS (SELECT word, pos, pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS grp FROM m2 WHERE cand),
+        |ap2 AS MATERIALIZED (SELECT word, pos FROM (SELECT word, pos, min(pos) OVER (PARTITION BY word, grp) AS h FROM c2) WHERE (pos - h) % 2 = 0),
+        |d2 AS MATERIALIZED (SELECT m.word, m.wc,
+        |    list(CASE WHEN ap.pos IS NOT NULL THEN m.a || m.b ELSE m.sym END ORDER BY m.pos) AS syms
+        |  FROM m2 m
+        |  LEFT JOIN ap2 ap ON m.word = ap.word AND m.pos = ap.pos
+        |  LEFT JOIN ap2 ab ON m.word = ab.word AND m.pos = ab.pos + 1
+        |  WHERE ab.pos IS NULL GROUP BY m.word, m.wc),
+        |p3 AS (SELECT word, wc, generate_subscripts(syms, 1) - 1 AS pos, unnest(syms) AS sym FROM d2),
+        |n3 AS (SELECT word, wc, pos, sym, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM p3),
+        |t3 AS MATERIALIZED (SELECT sym AS a, nxt AS b, CAST(sum(wc) AS BIGINT) AS n FROM n3 WHERE nxt IS NOT NULL
+        |  GROUP BY sym, nxt ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+        |m3 AS MATERIALIZED (SELECT n3.*, t3.a, t3.b, (sym = a AND nxt = b) AS cand FROM n3 CROSS JOIN t3),
+        |c3 AS (SELECT word, pos, pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS grp FROM m3 WHERE cand),
+        |ap3 AS MATERIALIZED (SELECT word, pos FROM (SELECT word, pos, min(pos) OVER (PARTITION BY word, grp) AS h FROM c3) WHERE (pos - h) % 2 = 0),
+        |d3 AS MATERIALIZED (SELECT m.word, m.wc,
+        |    list(CASE WHEN ap.pos IS NOT NULL THEN m.a || m.b ELSE m.sym END ORDER BY m.pos) AS syms
+        |  FROM m3 m
+        |  LEFT JOIN ap3 ap ON m.word = ap.word AND m.pos = ap.pos
+        |  LEFT JOIN ap3 ab ON m.word = ab.word AND m.pos = ab.pos + 1
+        |  WHERE ab.pos IS NULL GROUP BY m.word, m.wc),
+        |p4 AS (SELECT word, wc, generate_subscripts(syms, 1) - 1 AS pos, unnest(syms) AS sym FROM d3),
+        |n4 AS (SELECT word, wc, pos, sym, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM p4),
+        |t4 AS MATERIALIZED (SELECT sym AS a, nxt AS b, CAST(sum(wc) AS BIGINT) AS n FROM n4 WHERE nxt IS NOT NULL
+        |  GROUP BY sym, nxt ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+        |m4 AS MATERIALIZED (SELECT n4.*, t4.a, t4.b, (sym = a AND nxt = b) AS cand FROM n4 CROSS JOIN t4),
+        |c4 AS (SELECT word, pos, pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS grp FROM m4 WHERE cand),
+        |ap4 AS MATERIALIZED (SELECT word, pos FROM (SELECT word, pos, min(pos) OVER (PARTITION BY word, grp) AS h FROM c4) WHERE (pos - h) % 2 = 0),
+        |d4 AS MATERIALIZED (SELECT m.word, m.wc,
+        |    list(CASE WHEN ap.pos IS NOT NULL THEN m.a || m.b ELSE m.sym END ORDER BY m.pos) AS syms
+        |  FROM m4 m
+        |  LEFT JOIN ap4 ap ON m.word = ap.word AND m.pos = ap.pos
+        |  LEFT JOIN ap4 ab ON m.word = ab.word AND m.pos = ab.pos + 1
+        |  WHERE ab.pos IS NULL GROUP BY m.word, m.wc),
+        |p5 AS (SELECT word, wc, generate_subscripts(syms, 1) - 1 AS pos, unnest(syms) AS sym FROM d4),
+        |n5 AS (SELECT word, wc, pos, sym, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM p5),
+        |t5 AS MATERIALIZED (SELECT sym AS a, nxt AS b, CAST(sum(wc) AS BIGINT) AS n FROM n5 WHERE nxt IS NOT NULL
+        |  GROUP BY sym, nxt ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+        |m5 AS MATERIALIZED (SELECT n5.*, t5.a, t5.b, (sym = a AND nxt = b) AS cand FROM n5 CROSS JOIN t5),
+        |c5 AS (SELECT word, pos, pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS grp FROM m5 WHERE cand),
+        |ap5 AS MATERIALIZED (SELECT word, pos FROM (SELECT word, pos, min(pos) OVER (PARTITION BY word, grp) AS h FROM c5) WHERE (pos - h) % 2 = 0),
+        |d5 AS MATERIALIZED (SELECT m.word, m.wc,
+        |    list(CASE WHEN ap.pos IS NOT NULL THEN m.a || m.b ELSE m.sym END ORDER BY m.pos) AS syms
+        |  FROM m5 m
+        |  LEFT JOIN ap5 ap ON m.word = ap.word AND m.pos = ap.pos
+        |  LEFT JOIN ap5 ab ON m.word = ab.word AND m.pos = ab.pos + 1
+        |  WHERE ab.pos IS NULL GROUP BY m.word, m.wc),
+        |p6 AS (SELECT word, wc, generate_subscripts(syms, 1) - 1 AS pos, unnest(syms) AS sym FROM d5),
+        |n6 AS (SELECT word, wc, pos, sym, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM p6),
+        |t6 AS MATERIALIZED (SELECT sym AS a, nxt AS b, CAST(sum(wc) AS BIGINT) AS n FROM n6 WHERE nxt IS NOT NULL
+        |  GROUP BY sym, nxt ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+        |m6 AS MATERIALIZED (SELECT n6.*, t6.a, t6.b, (sym = a AND nxt = b) AS cand FROM n6 CROSS JOIN t6),
+        |c6 AS (SELECT word, pos, pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS grp FROM m6 WHERE cand),
+        |ap6 AS MATERIALIZED (SELECT word, pos FROM (SELECT word, pos, min(pos) OVER (PARTITION BY word, grp) AS h FROM c6) WHERE (pos - h) % 2 = 0),
+        |d6 AS MATERIALIZED (SELECT m.word, m.wc,
+        |    list(CASE WHEN ap.pos IS NOT NULL THEN m.a || m.b ELSE m.sym END ORDER BY m.pos) AS syms
+        |  FROM m6 m
+        |  LEFT JOIN ap6 ap ON m.word = ap.word AND m.pos = ap.pos
+        |  LEFT JOIN ap6 ab ON m.word = ab.word AND m.pos = ab.pos + 1
+        |  WHERE ab.pos IS NULL GROUP BY m.word, m.wc)
+        |SELECT word, wc, CAST(len(syms) AS BIGINT) AS n_tokens,
+        |  array_to_string(syms, ' ') AS tokens FROM d6""".stripMargin,
     // llm_rag_pipeline oracle: chunk slices, the same h64(token:d)
     // hashing-trick projection, then the standard integer brute ranking
     "llm_rag_pipeline" ->

@@ -758,7 +758,24 @@ object TextOps {
     * passes over the VOCAB, never the corpus.
     */
   def bpeTrain(df: DataFrame, idCol: String, textCol: String,
-      nMerges: Int): DataFrame = {
+      nMerges: Int): DataFrame =
+    bpeCore(df, textCol, nMerges)._1
+
+  /** The APPLY side of BPE training: the trained dict's final
+    * segmentation — every corpus word with its frequency and learned
+    * token sequence after all `nMerges` merges (what a tokenizer's
+    * vocab file encodes). Same loop as [[bpeTrain]]; training is
+    * deterministic so the two rows describe the same model.
+    */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      nMerges: Int): DataFrame =
+    bpeCore(df, textCol, nMerges)._2
+      .select(col("word"), col("wc"),
+        size(col("syms")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("syms")).as("tokens"))
+
+  private def bpeCore(df: DataFrame, textCol: String,
+      nMerges: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     var dict = df.select(explode(words(textCol)).as("word"))
       .filter(length(col("word")) > 1)
@@ -810,7 +827,7 @@ object TextOps {
         col("a").as("left_sym"), col("b").as("right_sym"),
         concat(col("a"), col("b")).as("token"), col("n_occurrences"))
     }
-    steps.reduce(_ unionByName _)
+    (steps.reduce(_ unionByName _), dict)
   }
 
   /** Cross-source duplication matrix: near-dup pair counts keyed by the

@@ -248,6 +248,12 @@ class TextOpsSpec extends AnyFunSuite {
       .orderBy("merge_rank").collect()
       .map(r => (r.getString(1), r.getString(2), r.getLong(4)))
     assert(m3.toSeq === Seq(("a", "a", 9L), ("aa", "aa", 3L)))
+    // encode = the same model's final segmentation: after (a,a)→aa and
+    // (aa,a)→aaa, the word "aaa" is ONE token
+    val enc = TextOps.bpeEncode(odd, "doc_id", "text", 2).collect()
+    assert(enc.length === 1)
+    assert(enc(0).getAs[String]("tokens") === "aaa")
+    assert(enc(0).getAs[Long]("n_tokens") === 1L)
   }
 
   test("corpusDrift: exact rates, vanished/new words, deterministic cut") {
