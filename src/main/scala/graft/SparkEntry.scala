@@ -3119,6 +3119,25 @@ object SparkEntry {
         window = 32, stride = 24)
     }),
 
+    // Unicode NFC normalization (native expression, JDK Normalizer):
+    // decomposed salt sequences (e+U+0301, A+U+030A, o+U+0308) compose
+    // to single codepoints — the pre-hash cleanup exact dedup needs.
+    // Oracle is DuckDB's independent nfc_normalize of the same salts.
+    "llm_unicode_nfc" -> ((s, dir) => {
+      val nfc = plans.NfcNormalize.nfc _
+      val salted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            lit(" cafe\u0301 re\u0301sume\u0301")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit(" A\u030A ngstro\u0308m")).otherwise(lit(""))).as("t2"))
+      salted.select(col("doc_id"),
+        length(col("t2")).cast("long").as("n_chars_before"),
+        length(nfc(col("t2"))).cast("long").as("n_chars_after"),
+        (col("t2") =!= nfc(col("t2"))).as("changed"),
+        nfc(col("t2")).as("normalized"))
+    }),
+
     // BPE tokenizer training: 6 greedy merges learned on the word dict
     // (corpus touched once by the census); output is the merge table.
     "llm_bpe_train" -> ((s, dir) => {
@@ -5065,6 +5084,18 @@ object SparkEntry {
         |  LEFT JOIN ap6 ab ON m.word = ab.word AND m.pos = ab.pos + 1
         |  WHERE ab.pos IS NULL GROUP BY m.word, m.wc)
         |SELECT CAST(1 AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym, a || b AS token, n AS n_occurrences FROM t1 UNION ALL SELECT CAST(2 AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym, a || b AS token, n AS n_occurrences FROM t2 UNION ALL SELECT CAST(3 AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym, a || b AS token, n AS n_occurrences FROM t3 UNION ALL SELECT CAST(4 AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym, a || b AS token, n AS n_occurrences FROM t4 UNION ALL SELECT CAST(5 AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym, a || b AS token, n AS n_occurrences FROM t5 UNION ALL SELECT CAST(6 AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym, a || b AS token, n AS n_occurrences FROM t6""".stripMargin,
+    // llm_unicode_nfc oracle: identical salts built from chr() codepoints,
+    // DuckDB's own nfc_normalize as the independent Unicode implementation
+    "llm_unicode_nfc" ->
+      """WITH s AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769) || ' re' || chr(769) || 'sume' || chr(769) ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' A' || chr(778) || ' ngstro' || chr(776) || 'm' ELSE '' END AS t2
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(t2) AS BIGINT) AS n_chars_before,
+        |  CAST(length(nfc_normalize(t2)) AS BIGINT) AS n_chars_after,
+        |  t2 <> nfc_normalize(t2) AS changed,
+        |  nfc_normalize(t2) AS normalized
+        |FROM s""".stripMargin,
     // llm_bpe_encode oracle: the same 6 materialized merge steps, final
     // dict state selected instead of the merge table
     "llm_bpe_encode" ->

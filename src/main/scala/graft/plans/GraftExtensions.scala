@@ -11,6 +11,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(QuantizedDot.descriptor)
     ext.injectFunction(JaccardSim.descriptor)
+    ext.injectFunction(NfcNormalize.descriptor)
   }
 }
 
@@ -21,7 +22,8 @@ object GraftExtensions {
     * descriptors into an existing session's function registry.
     */
   def register(spark: SparkSession): Unit = {
-    Seq(QuantizedDot.descriptor, JaccardSim.descriptor).foreach {
+    Seq(QuantizedDot.descriptor, JaccardSim.descriptor,
+        NfcNormalize.descriptor).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
