@@ -3119,6 +3119,14 @@ object SparkEntry {
         window = 32, stride = 24)
     }),
 
+    // Inactivity-gap sessionization over the events stream (30-min gap):
+    // per-user epoch-us windows, integer gap math, decimal value sums.
+    "llm_sessionize" -> ((s, dir) => {
+      core.Sessionize.sessionize(
+        t(s, dir, "events").withColumn("ts_us", expr("ts_ns div 1000")),
+        "user_id", "event_id", "value", gapUs = 1800000000L)
+    }),
+
     // Unicode NFC normalization (native expression, JDK Normalizer):
     // decomposed salt sequences (e+U+0301, A+U+030A, o+U+0308) compose
     // to single codepoints — the pre-hash cleanup exact dedup needs.
@@ -5084,6 +5092,20 @@ object SparkEntry {
         |  LEFT JOIN ap6 ab ON m.word = ab.word AND m.pos = ab.pos + 1
         |  WHERE ab.pos IS NULL GROUP BY m.word, m.wc)
         |SELECT CAST(1 AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym, a || b AS token, n AS n_occurrences FROM t1 UNION ALL SELECT CAST(2 AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym, a || b AS token, n AS n_occurrences FROM t2 UNION ALL SELECT CAST(3 AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym, a || b AS token, n AS n_occurrences FROM t3 UNION ALL SELECT CAST(4 AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym, a || b AS token, n AS n_occurrences FROM t4 UNION ALL SELECT CAST(5 AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym, a || b AS token, n AS n_occurrences FROM t5 UNION ALL SELECT CAST(6 AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym, a || b AS token, n AS n_occurrences FROM t6""".stripMargin,
+    // llm_sessionize oracle: identical lag/cumsum session algebra in
+    // epoch-us integers, decimal value sums
+    "llm_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
+        |l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM e),
+        |f AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS ns FROM l),
+        |c AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS session_seq FROM f)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(min(ts_us) AS BIGINT) AS start_us,
+        |  CAST(max(ts_us) AS BIGINT) AS end_us,
+        |  CAST(max(ts_us) - min(ts_us) AS BIGINT) AS duration_us,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM c GROUP BY user_id, session_seq""".stripMargin,
     // llm_unicode_nfc oracle: identical salts built from chr() codepoints,
     // DuckDB's own nfc_normalize as the independent Unicode implementation
     "llm_unicode_nfc" ->
