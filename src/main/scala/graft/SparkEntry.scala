@@ -3127,6 +3127,22 @@ object SparkEntry {
         "user_id", "event_id", "value", gapUs = 1800000000L)
     }),
 
+    // Ordered conversion funnel view→click→purchase: per-step min
+    // aggregations chained on the user key, strict integer-us ordering.
+    "llm_funnel" -> ((s, dir) => {
+      core.EventAnalytics.funnel(
+        t(s, dir, "events").withColumn("ts_us", expr("ts_ns div 1000")),
+        "user_id", "event_type", Seq("view", "click", "purchase"))
+    }),
+
+    // Cohort retention matrix: first-event epoch-day cohorts × activity
+    // day offsets, distinct active users per cell.
+    "llm_retention" -> ((s, dir) => {
+      core.EventAnalytics.retention(
+        t(s, dir, "events").withColumn("ts_us", expr("ts_ns div 1000")),
+        "user_id")
+    }),
+
     // Unicode NFC normalization (native expression, JDK Normalizer):
     // decomposed salt sequences (e+U+0301, A+U+030A, o+U+0308) compose
     // to single codepoints — the pre-hash cleanup exact dedup needs.
@@ -5106,6 +5122,26 @@ object SparkEntry {
         |  CAST(max(ts_us) - min(ts_us) AS BIGINT) AS duration_us,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM c GROUP BY user_id, session_seq""".stripMargin,
+    // llm_funnel oracle: identical chained min-after-strictly-after steps
+    "llm_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |s1 AS (SELECT user_id, CAST(min(ts_us) AS BIGINT) AS t1_us FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, CAST(min(ts_us) AS BIGINT) AS t2_us FROM e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE event_type = 'click' AND ts_us > t1_us GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, CAST(min(ts_us) AS BIGINT) AS t3_us FROM e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE event_type = 'purchase' AND ts_us > t2_us GROUP BY e.user_id)
+        |SELECT s1.user_id, t1_us, t2_us, t3_us,
+        |  CAST(CASE WHEN t3_us IS NOT NULL THEN 3 WHEN t2_us IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS stage
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin,
+    // llm_retention oracle: identical epoch-day cohort/offset counts
+    "llm_retention" ->
+      """WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |c AS (SELECT user_id, CAST(min(day) AS BIGINT) AS cohort_day FROM d GROUP BY user_id)
+        |SELECT cohort_day, CAST(day - cohort_day AS BIGINT) AS day_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM d JOIN c ON d.user_id = c.user_id
+        |GROUP BY cohort_day, day - cohort_day""".stripMargin,
     // llm_unicode_nfc oracle: identical salts built from chr() codepoints,
     // DuckDB's own nfc_normalize as the independent Unicode implementation
     "llm_unicode_nfc" ->

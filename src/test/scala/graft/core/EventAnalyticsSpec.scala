@@ -1,0 +1,47 @@
+package graft.core
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class EventAnalyticsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("funnel: strict ordering, per-user stage, out-of-order excluded") {
+    val ev = Seq(
+      // user 1 completes in order
+      (1L, 100L, "view"), (1L, 200L, "click"), (1L, 300L, "purchase"),
+      // user 2: purchase BEFORE click → stage 2 only
+      (2L, 100L, "view"), (2L, 150L, "purchase"), (2L, 200L, "click"),
+      // user 3: click only, never viewed → not in funnel at all
+      (3L, 100L, "click"),
+      // user 4: view at same ts as click → strict > excludes the click
+      (4L, 100L, "view"), (4L, 100L, "click"))
+      .toDF("user_id", "ts_us", "event_type")
+    val out = EventAnalytics.funnel(ev, "user_id", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("stage"), r.isNullAt(2), r.isNullAt(3))).toMap
+    assert(out(1L) === ((3L, false, false)))
+    assert(out(2L) === ((2L, false, true)))
+    assert(!out.contains(3L))
+    assert(out(4L) === ((1L, true, true)))
+  }
+
+  test("retention: cohort by first day, offsets count distinct users") {
+    val us = 86400000000L
+    val ev = Seq(
+      (1L, 0L), (1L, 1L * us), (1L, 1L * us + 5L), // day 0 cohort, active d0,d1
+      (2L, 0L), (2L, 2L * us),                     // day 0 cohort, active d0,d2
+      (3L, 1L * us))                               // day 1 cohort
+      .toDF("user_id", "ts_us")
+    val out = EventAnalytics.retention(ev, "user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((0L, 0L)) === 2L) // both day-0 users at offset 0
+    assert(out((0L, 1L)) === 1L) // duplicate same-day events count once
+    assert(out((0L, 2L)) === 1L)
+    assert(out((1L, 0L)) === 1L)
+    assert(out.size === 4)
+  }
+}
