@@ -447,6 +447,27 @@ object SparkEntry {
       s.table("s2_stream_agg_out")
     }),
 
+    // Streaming session windows (the streaming twin of llm_sessionize):
+    // Spark's native session_window gap-merge aggregation under
+    // availableNow; oracle replays the [ts, ts+gap) overlap-merge
+    // semantics (same session iff delta < gap) with integer-us lag math.
+    "s2c_stream_sessions" -> ((s, dir) => {
+      val stream = Tables.eventsStream(s, dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("user_id"), col("n_events"))
+      val q = stream.writeStream.format("memory")
+        .queryName("s2c_stream_sessions_out")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      s.table("s2c_stream_sessions_out")
+    }),
+
     // G1 — the end-to-end loader slice as one query: OBO-graph fixture →
     // normalize → MERGE into a fresh persistent store, TWICE (the second
     // pass must be all-noop), then the stored vertex table read back off
@@ -6453,6 +6474,17 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n_events, min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // s2c oracle: session_window merges [ts, ts+gap) overlaps — same
+    // session iff delta < gap (half-open), end = last + gap
+    "s2c_stream_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        |l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev FROM e),
+        |f AS (SELECT *, CASE WHEN prev IS NULL OR ts_us - prev >= 1800000000 THEN 1 ELSE 0 END AS ns FROM l),
+        |c AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+        |SELECT make_timestamp(min(ts_us)) AS session_start,
+        |  make_timestamp(max(ts_us) + 1800000000) AS session_end,
+        |  user_id, CAST(count(*) AS BIGINT) AS n_events
+        |FROM c GROUP BY user_id, sid""".stripMargin,
     "g1_loader_pipeline" ->
       """SELECT lower(replace(regexp_extract(n.id, '.*/([A-Za-z]+_[0-9]+)$', 1), '_', ':')) AS source_id,
         |  n.lbl AS name,
