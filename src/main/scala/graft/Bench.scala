@@ -52,7 +52,9 @@ object Bench {
     "llm_chunking", "llm_bm25", "llm_hybrid_search", "llm_ngram_lm",
     "llm_domain_budget", "llm_corpus_drift", "llm_quality_cut", "llm_rag_pipeline", "llm_bpe_train", "llm_bpe_encode", "llm_unicode_nfc", "llm_sessionize", "llm_funnel", "llm_retention",
     "llm_ivf_stats", "llm_ivf_probe_curve",
-    "s2_stream_agg", "s2b_stream_state", "s2c_stream_sessions")
+    "llm_asof_join", "llm_range_join", "llm_distinct_sketch", "llm_pagerank",
+    "s2_stream_agg", "s2b_stream_state", "s2c_stream_sessions",
+    "s2d_stream_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

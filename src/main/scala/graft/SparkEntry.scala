@@ -3850,6 +3850,123 @@ object SparkEntry {
         col("o_orderpriority").as("prio"))
       core.DiffMerge.contentMatch(incoming, "iid", existing, "eid",
         tiers = Seq(Seq("cust", "prio"), Seq("cust")), artificialFinal = true)
+    }),
+
+    // AS-OF JOIN (core.AsOfJoin): attribute each purchase to the user's
+    // most recent at-or-before view — the point-in-time-correct
+    // "last known state" join, as ONE union + per-key window (linear),
+    // never the quadratic inequality-join-then-prune rewrite. Oracle is
+    // DuckDB's NATIVE ASOF LEFT JOIN — an independent implementation of
+    // the same semantics.
+    "llm_asof_join" -> ((s, dir) => {
+      val e = t(s, dir, "events").withColumn("ts_us", expr("ts_ns div 1000"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts_us"),
+          col("event_id").as("view_event_id"))
+      core.AsOfJoin.asOfJoin(purchases, views, "user_id", "ts_us", "ts_us",
+          Seq("view_event_id"))
+        .withColumn("gap_us", col("ts_us") - col("asof_ts"))
+    }),
+
+    // RANGE JOIN (core.RangeJoin): events inside recurring 45-minute
+    // windows every 3 hours — bucketized interval join (15-min grid) →
+    // plain shuffled hash join on the cell id, never a nested-loop scan
+    // of every window per event. Oracle is the naive inequality join.
+    "llm_range_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("value"), expr("ts_ns div 1000").as("ts_us"))
+      val t0 = e.agg(min(col("ts_us")).as("__t0"))
+      val intervals = t0
+        .select(explode(sequence(lit(0L), lit(239L))).as("window_id"),
+          col("__t0"))
+        .select(col("window_id"),
+          (col("__t0") + col("window_id") * 10800000000L).as("lo_us"),
+          (col("__t0") + col("window_id") * 10800000000L + 2700000000L)
+            .as("hi_us"))
+      core.RangeJoin.pointInInterval(e, "ts_us", intervals,
+          "lo_us", "hi_us", bucketWidth = 900000000L)
+        .groupBy(col("window_id"), col("lo_us"), col("hi_us"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("value").cast("decimal(18,4)")).cast("double")
+            .as("total_value"))
+    }),
+
+    // HLL DISTINCT SKETCH (llm.Sketches): unique daily-active users per
+    // event type — the canonical sketch telemetry — from 512 one-byte
+    // registers: constant state per group, bucket-wise-max MERGEABLE
+    // (the '__all__' row is the union of the per-type sketches,
+    // registers only, rows untouched). Exact distinct alongside so the
+    // row itself audits the ±4.6% estimator. Every op is integer/string
+    // (rank via length(bin()), harmonic sum as an exact scaled BIGINT);
+    // the single float division replays IEEE-identically in the oracle.
+    "llm_distinct_sketch" -> ((s, dir) => {
+      val uday = t(s, dir, "events")
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .select(col("event_type"),
+          concat(col("user_id").cast("string"), lit("@"),
+            expr("ts_us div 86400000000").cast("string")).as("uday"))
+      val regs = llm.Sketches.hllRegisters(uday, "event_type", "uday")
+      val all = llm.Sketches.hllMerge(regs, "event_type", "__all__")
+      val est = llm.Sketches.hllEstimate(regs.unionByName(all), "event_type")
+      val exact = uday.groupBy(col("event_type"))
+        .agg(countDistinct(col("uday")).as("exact_distinct"))
+      val exactAll = uday.agg(countDistinct(col("uday"))
+        .as("exact_distinct")).withColumn("event_type", lit("__all__"))
+      est.join(exact.unionByName(exactAll), Seq("event_type"))
+    }),
+
+    // PAGERANK (llm.Graphs): link authority over a deterministic
+    // synthetic hyperlink graph (each doc links to 2-3 arithmetic
+    // neighbours) — fixed-point INTEGER ranks (ppb), 8 iterations,
+    // bit-identical in any engine. The oracle replays all 8 supersteps
+    // as generated materialized CTEs.
+    "llm_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.agg(count(lit(1)).as("__n"))
+      val base = docs.crossJoin(broadcast(n))
+      val edges = base
+        .select(col("doc_id").as("src"),
+          expr("(doc_id * 7 + 3) % __n").as("dst"))
+        .unionByName(base.select(col("doc_id").as("src"),
+          expr("(doc_id * 13 + 5) % __n").as("dst")))
+        .unionByName(base.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id").as("src"),
+            expr("(doc_id * 3 + 1) % __n").as("dst")))
+      llm.Graphs.pageRankPpb(docs, "doc_id", edges, "src", "dst", iters = 8)
+    }),
+
+    // S2d — STREAM-STREAM JOIN: clicks ⋈ views within a 30-minute
+    // lookback per user, both sides watermarked (state stays bounded by
+    // the watermark delay + join range, the production shape). Inner
+    // join, append mode; oracle is the batch inequality join.
+    "s2d_stream_join" -> ((s, dir) => {
+      val views = Tables.eventsStream(s, dir)
+        .filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+          col("event_id").as("view_event_id"))
+        .withWatermark("view_ts", "2 hours")
+      val clicks = Tables.eventsStream(s, dir)
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("event_id").as("click_event_id"))
+        .withWatermark("click_ts", "2 hours")
+      val joined = clicks.join(views,
+          col("user_id") === col("v_user") &&
+            col("view_ts") <= col("click_ts") &&
+            col("view_ts") >= col("click_ts") - expr("INTERVAL 30 MINUTES"))
+        .select(col("user_id"), col("click_event_id"), col("view_event_id"),
+          (unix_micros(col("click_ts")) - unix_micros(col("view_ts")))
+            .as("gap_us"))
+      val q = joined.writeStream.format("memory")
+        .queryName("s2d_stream_join_out")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      s.table("s2d_stream_join_out")
     })
   )
 
@@ -7577,6 +7694,120 @@ object SparkEntry {
         |UNION ALL SELECT iid, NULL, 'create', NULL FROM ir2
         |  WHERE iid NOT IN (SELECT iid FROM m3)
         |UNION ALL SELECT NULL, eid, 'delete', NULL FROM er2
-        |  WHERE eid NOT IN (SELECT eid FROM m3)""".stripMargin
+        |  WHERE eid NOT IN (SELECT eid FROM m3)""".stripMargin,
+
+    // llm_asof_join oracle: DuckDB's NATIVE ASOF LEFT JOIN — an
+    // independent implementation of most-recent-at-or-before semantics —
+    // after the same per-(user, instant) max-event collapse.
+    "llm_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |v0 AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id
+        |  FROM events WHERE event_type = 'view'),
+        |v AS (SELECT user_id, ts_us, CAST(max(event_id) AS BIGINT) AS view_event_id
+        |  FROM v0 GROUP BY user_id, ts_us)
+        |SELECT p.event_id, p.user_id, p.ts_us, p.value,
+        |  v.ts_us AS asof_ts, v.view_event_id, p.ts_us - v.ts_us AS gap_us
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND p.ts_us >= v.ts_us""".stripMargin,
+
+    // llm_range_join oracle: the same recurring windows off min(ts), as
+    // the naive inequality join the bucketized form must equal.
+    "llm_range_join" ->
+      """WITH t0 AS (SELECT min(epoch_us(ts)) AS t0 FROM events),
+        |w AS (SELECT g.i AS window_id, t0.t0 + g.i * 10800000000 AS lo_us,
+        |    t0.t0 + g.i * 10800000000 + 2700000000 AS hi_us
+        |  FROM t0, generate_series(0, 239) g(i)),
+        |e AS (SELECT user_id, value, epoch_us(ts) AS ts_us FROM events)
+        |SELECT w.window_id, w.lo_us, w.hi_us,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+        |  CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM w JOIN e ON e.ts_us >= w.lo_us AND e.ts_us < w.hi_us
+        |GROUP BY w.window_id, w.lo_us, w.hi_us""".stripMargin,
+
+    // llm_distinct_sketch oracle: identical 512-register HLL algebra —
+    // same h64 split (top 9 bits bucket, low 51 rank field), rank via
+    // length(bin()) (never float log2), harmonic sum as the exact scaled
+    // BIGINT, one final double division with CAST-pinned DOUBLE literals.
+    "llm_distinct_sketch" ->
+      """WITH ud AS (SELECT event_type,
+        |    CAST(user_id AS VARCHAR) || '@' || CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS uday
+        |  FROM events),
+        |h AS (SELECT event_type, CAST(('0x' || substr(md5(uday), 1, 15)) AS BIGINT) AS h FROM ud),
+        |b AS (SELECT event_type, h >> 51 AS bucket, h % 2251799813685248 AS rem FROM h),
+        |rk AS (SELECT event_type, bucket,
+        |  CASE WHEN rem = 0 THEN 52 ELSE 52 - length(bin(rem)) END AS rnk FROM b),
+        |regs0 AS (SELECT event_type, bucket, CAST(max(rnk) AS BIGINT) AS reg
+        |  FROM rk GROUP BY event_type, bucket),
+        |regs AS (SELECT * FROM regs0 UNION ALL
+        |  SELECT '__all__' AS event_type, bucket, CAST(max(reg) AS BIGINT) AS reg
+        |  FROM regs0 GROUP BY bucket),
+        |est AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_occupied,
+        |    sum(CAST(1 AS BIGINT) << CAST(52 - reg AS INT)) AS occ_sum
+        |  FROM regs GROUP BY event_type),
+        |fin AS (SELECT event_type, n_occupied,
+        |  CAST(occ_sum + (512 - n_occupied) * 4503599627370496 AS BIGINT) AS register_sum
+        |  FROM est),
+        |fin2 AS (SELECT event_type, n_occupied, register_sum,
+        |  CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(512.0 AS DOUBLE))
+        |    * CAST(262144.0 AS DOUBLE) * CAST(4503599627370496.0 AS DOUBLE)
+        |    / CAST(register_sum AS DOUBLE) AS hll_estimate
+        |  FROM fin),
+        |ex AS (SELECT event_type, CAST(count(DISTINCT uday) AS BIGINT) AS exact_distinct
+        |    FROM ud GROUP BY event_type
+        |  UNION ALL SELECT '__all__', CAST(count(DISTINCT uday) AS BIGINT) FROM ud)
+        |SELECT fin2.event_type, fin2.n_occupied, fin2.register_sum,
+        |  fin2.hll_estimate,
+        |  fin2.hll_estimate < CAST(1280.0 AS DOUBLE) AS small_range,
+        |  ex.exact_distinct
+        |FROM fin2 JOIN ex ON fin2.event_type = ex.event_type""".stripMargin,
+
+    // llm_pagerank oracle: all 8 integer-ppb supersteps replayed as
+    // generated MATERIALIZED CTE blocks (see pagerankOracle) — same
+    // arithmetic-neighbour edge set, same (85·Σ(rank div deg)) div 100
+    // damping, exact BIGINT throughout.
+    "llm_pagerank" -> pagerankOracle(8),
+
+    // s2d_stream_join oracle: the batch inequality join the watermarked
+    // stream-stream join must equal (30-min inclusive lookback).
+    "s2d_stream_join" ->
+      """WITH v AS (SELECT user_id, epoch_us(ts) AS vus, event_id AS view_event_id
+        |  FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, epoch_us(ts) AS cus, event_id AS click_event_id
+        |  FROM events WHERE event_type = 'click')
+        |SELECT c.user_id, c.click_event_id, v.view_event_id,
+        |  c.cus - v.vus AS gap_us
+        |FROM c JOIN v ON c.user_id = v.user_id
+        |  AND v.vus <= c.cus AND v.vus >= c.cus - 1800000000""".stripMargin
   )
+
+  /** DuckDB replay of [[llm.Graphs.pageRankPpb]] over the synthetic
+    * arithmetic-neighbour doc graph: one MATERIALIZED CTE per superstep
+    * (without the hint DuckDB re-inlines each multiply-referenced step —
+    * the llm_bpe_train lesson), exact BIGINT `//` arithmetic.
+    */
+  private def pagerankOracle(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""r$k AS MATERIALIZED (SELECT doc.doc_id,
+         |    CAST(150000000 + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS rank_ppb
+         |  FROM documents doc LEFT JOIN (
+         |    SELECT e.dst AS dst, sum(r.rank_ppb // d.deg) AS c
+         |    FROM e JOIN r${k - 1} r ON e.src = r.doc_id
+         |    JOIN d ON d.src = e.src
+         |    GROUP BY e.dst) s ON doc.doc_id = s.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+       |e AS MATERIALIZED (
+       |  SELECT doc_id AS src, (doc_id * 7 + 3) % nn.n AS dst FROM documents, nn
+       |  UNION ALL
+       |  SELECT doc_id AS src, (doc_id * 13 + 5) % nn.n AS dst FROM documents, nn
+       |  UNION ALL
+       |  SELECT doc_id AS src, (doc_id * 3 + 1) % nn.n AS dst FROM documents, nn
+       |    WHERE doc_id % 2 = 0),
+       |d AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+       |r0 AS (SELECT doc_id, CAST(1000000000 AS BIGINT) AS rank_ppb FROM documents),
+       |$steps
+       |SELECT doc_id, rank_ppb FROM r$iters""".stripMargin
+  }
 }

@@ -1,0 +1,55 @@
+package graft.core
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RangeJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val dir = "/root/testdata/sf0.001"
+
+  def intervals = Seq(
+    (1L, 0L, 100L), (2L, 50L, 60L), (3L, 90L, 250L), (4L, 300L, 300L),
+    (5L, 400L, 350L)).toDF("iid", "lo", "hi")
+  def points = Seq(0L, 49L, 50L, 59L, 60L, 99L, 100L, 249L, 250L, 299L,
+    300L, 350L).toDF("p")
+
+  test("bucketized join equals crossJoin+filter; half-open boundaries") {
+    val naive = points.crossJoin(intervals)
+      .filter(col("p") >= col("lo") && col("p") < col("hi"))
+      .select("p", "iid", "lo", "hi")
+    val fast = RangeJoin.pointInInterval(points, "p", intervals,
+      "lo", "hi", bucketWidth = 7L).select("p", "iid", "lo", "hi")
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+    // point at hi excluded, at lo included; empty/inverted intervals gone
+    assert(fast.filter(col("iid").isin(4L, 5L)).count() == 0)
+  }
+
+  test("result is invariant under bucket width") {
+    val w7 = RangeJoin.pointInInterval(points, "p", intervals, "lo", "hi", 7L)
+      .select("p", "iid")
+    for (w <- Seq(1L, 13L, 100L, 1000000L)) {
+      val other = RangeJoin.pointInInterval(points, "p", intervals,
+        "lo", "hi", w).select("p", "iid")
+      assert(w7.exceptAll(other).isEmpty && other.exceptAll(w7).isEmpty,
+        s"width $w diverged")
+    }
+  }
+
+  test("events-vs-derived-windows matches inequality join at sf0.001") {
+    val e = Tables(spark, dir, "events")
+      .select(expr("ts_ns div 1000").as("ts_us"), col("event_id"))
+    val t0 = e.agg(min(col("ts_us")).as("t0")).head().getLong(0)
+    val win = (0L until 48L).map(i =>
+      (i, t0 + i * 3600000000L, t0 + i * 3600000000L + 1200000000L))
+      .toDF("wid", "lo", "hi")
+    val naive = e.crossJoin(win)
+      .filter(col("ts_us") >= col("lo") && col("ts_us") < col("hi"))
+      .groupBy("wid").agg(count(lit(1)).as("n"))
+    val fast = RangeJoin.pointInInterval(e, "ts_us", win, "lo", "hi",
+      600000000L).groupBy("wid").agg(count(lit(1)).as("n"))
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+  }
+}

@@ -1,0 +1,51 @@
+package graft.llm
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("a cycle is the exact fixed point: every rank stays 10^9 ppb") {
+    val nodes = Seq(0L, 1L, 2L, 3L).toDF("id")
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)).toDF("src", "dst")
+    val pr = Graphs.pageRankPpb(nodes, "id", edges, "src", "dst", iters = 5)
+    assert(pr.filter(col("rank_ppb") =!= 1000000000L).count() == 0)
+  }
+
+  test("one superstep of a star graph matches hand arithmetic") {
+    // leaves 1,2,3 -> hub 0; hub -> 1. All out-degrees 1.
+    val nodes = Seq(0L, 1L, 2L, 3L).toDF("id")
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (0L, 1L)).toDF("src", "dst")
+    val pr = Graphs.pageRankPpb(nodes, "id", edges, "src", "dst", iters = 1)
+      .orderBy("id").select("rank_ppb").as[Long].collect().toSeq
+    // hub: 0.15e9 + (85*3e9) div 100; node 1: 0.15e9 + 0.85e9;
+    // nodes 2,3: teleport only
+    assert(pr == Seq(2700000000L, 1000000000L, 150000000L, 150000000L))
+  }
+
+  test("dangling mass decays, ordering still favours the sink's source") {
+    // 0 -> 1, 1 has no out-edges (dangling): total mass shrinks
+    val nodes = Seq(0L, 1L, 2L).toDF("id")
+    val edges = Seq((0L, 1L), (2L, 0L)).toDF("src", "dst")
+    val pr = Graphs.pageRankPpb(nodes, "id", edges, "src", "dst", iters = 3)
+    val total = pr.agg(sum("rank_ppb")).as[Long].head()
+    assert(total < 3L * 1000000000L)
+    val byId = pr.orderBy("id").select("rank_ppb").as[Long].collect()
+    assert(byId(1) > byId(2)) // 1 receives 0's mass; 2 receives none
+  }
+
+  test("ranks are deterministic under repartitioning and duplicate edges") {
+    val nodes = (0L until 200L).toDF("id")
+    val edges = nodes.select(col("id").as("src"),
+        ((col("id") * 7 + 3) % 200).as("dst"))
+      .unionByName(nodes.select(col("id").as("src"),
+        ((col("id") * 13 + 5) % 200).as("dst")))
+    val a = Graphs.pageRankPpb(nodes, "id", edges, "src", "dst", 4)
+    val b = Graphs.pageRankPpb(nodes.repartition(11), "id",
+      edges.repartition(5), "src", "dst", 4)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+}
