@@ -53,6 +53,7 @@ object Bench {
     "llm_domain_budget", "llm_corpus_drift", "llm_quality_cut", "llm_rag_pipeline", "llm_bpe_train", "llm_bpe_encode", "llm_unicode_nfc", "llm_sessionize", "llm_funnel", "llm_retention",
     "llm_ivf_stats", "llm_ivf_probe_curve",
     "llm_asof_join", "llm_range_join", "llm_distinct_sketch", "llm_pagerank",
+    "llm_heavy_hitters", "llm_bloom_filter", "llm_pmi_pairs",
     "s2_stream_agg", "s2b_stream_state", "s2c_stream_sessions",
     "s2d_stream_join")
 

@@ -3967,6 +3967,51 @@ object SparkEntry {
         .start()
       q.awaitTermination(120000)
       s.table("s2d_stream_join_out")
+    }),
+
+    // COUNT-MIN HEAVY HITTERS (llm.Sketches): word-frequency estimates
+    // from a 4×1024 counter grid — constant sketch state, counters merge
+    // by addition, estimates one-sided (never undercount). Probes are the
+    // exact top-20 so the row audits the overcount directly.
+    "llm_heavy_hitters" -> ((s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(explode(llm.TextOps.words("text")).as("word"))
+        .filter(length(col("word")) > 0)
+      val counters = llm.Sketches.countMinCounters(words, "word")
+      val probes = words.groupBy(col("word"))
+        .agg(count(lit(1)).as("exact_count"))
+        .orderBy(col("exact_count").desc, col("word")).limit(20)
+      llm.Sketches.countMinLookup(counters, probes.select(col("word")), "word")
+        .join(probes, Seq("word"))
+        .withColumn("overcount", col("cm_estimate") - col("exact_count"))
+    }),
+
+    // BLOOM MEMBERSHIP PRE-GATE (llm.Sketches): 2^16-bit filter over the
+    // eval split's content keys, probed by every doc — the 8 KB
+    // broadcast gate a decontamination pass runs before any exact join.
+    // False positives only; the row reports them against exact
+    // membership so the FP contract is auditable.
+    "llm_bloom_filter" -> ((s, dir) => {
+      val keyed = t(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("ck"))
+      val evalKeys = keyed.filter(col("doc_id") % 100 === 0)
+        .select(col("ck")).distinct()
+      val bloom = llm.Sketches.bloomBuild(evalKeys, "ck")
+      val probed = llm.Sketches.bloomProbe(bloom,
+        keyed.select(col("ck")).distinct(), "ck")
+      keyed.join(probed, Seq("ck"))
+        .join(evalKeys.withColumn("in_eval_texts", lit(true)), Seq("ck"), "left")
+        .select(col("doc_id"), col("in_bloom").as("flagged"),
+          coalesce(col("in_eval_texts"), lit(false)).as("in_eval_texts"))
+        .withColumn("false_positive", col("flagged") && !col("in_eval_texts"))
+    }),
+
+    // PMI COLLOCATIONS (TextOps.pmiCollocations): top adjacent pairs by
+    // the log-free micro-quantized PMI ratio — exact integer ranking,
+    // long tail pruned before any join, top-k via TakeOrderedAndProject.
+    "llm_pmi_pairs" -> ((s, dir) => {
+      llm.TextOps.pmiCollocations(t(s, dir, "documents"), "doc_id", "text",
+        minCount = 3L, topK = 30)
     })
   )
 
@@ -7779,7 +7824,74 @@ object SparkEntry {
         |SELECT c.user_id, c.click_event_id, v.view_event_id,
         |  c.cus - v.vus AS gap_us
         |FROM c JOIN v ON c.user_id = v.user_id
-        |  AND v.vus <= c.cus AND v.vus >= c.cus - 1800000000""".stripMargin
+        |  AND v.vus <= c.cus AND v.vus >= c.cus - 1800000000""".stripMargin,
+
+    // llm_heavy_hitters oracle: identical 4×1024 count-min grid (same
+    // "j:value" md5 hash family), same exact-top-20 probe set, row-wise
+    // min with missing slots reading 0.
+    "llm_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents),
+        |t2 AS (SELECT word FROM tok WHERE length(word) > 0),
+        |cnt AS (SELECT word, CAST(count(*) AS BIGINT) AS exact_count FROM t2 GROUP BY word),
+        |probe AS (SELECT word, exact_count FROM cnt
+        |  ORDER BY exact_count DESC, word LIMIT 20),
+        |grid AS (SELECT g.j,
+        |    CAST(('0x' || substr(md5(CAST(g.j AS VARCHAR) || ':' || t2.word), 1, 15)) AS BIGINT) % 1024 AS slot
+        |  FROM t2, generate_series(0, 3) g(j)),
+        |counters AS (SELECT j, slot, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM grid GROUP BY j, slot),
+        |pl AS (SELECT p.word, p.exact_count, g.j,
+        |    CAST(('0x' || substr(md5(CAST(g.j AS VARCHAR) || ':' || p.word), 1, 15)) AS BIGINT) % 1024 AS slot
+        |  FROM probe p, generate_series(0, 3) g(j)),
+        |est AS (SELECT pl.word, pl.exact_count,
+        |    CAST(min(COALESCE(c.cnt, 0)) AS BIGINT) AS cm_estimate
+        |  FROM pl LEFT JOIN counters c ON pl.j = c.j AND pl.slot = c.slot
+        |  GROUP BY pl.word, pl.exact_count)
+        |SELECT word, cm_estimate, exact_count,
+        |  cm_estimate - exact_count AS overcount FROM est""".stripMargin,
+
+    // llm_bloom_filter oracle: identical 2^16-bit / 4-hash filter
+    // (bit_or-folded 32-bit-packed words — bit 63 overflows DuckDB's
+    // checked <<), bool_and over the probe bits,
+    // exact membership via the eval content-key set.
+    "llm_bloom_filter" ->
+      """WITH k AS (SELECT doc_id, md5(text) AS ck FROM documents),
+        |ev AS (SELECT DISTINCT ck FROM k WHERE doc_id % 100 = 0),
+        |pos AS (SELECT CAST(('0x' || substr(md5(CAST(g.j AS VARCHAR) || ':' || ev.ck), 1, 15)) AS BIGINT) % 65536 AS p
+        |  FROM ev, generate_series(0, 3) g(j)),
+        |bloom AS (SELECT p // 32 AS word_idx,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+        |  FROM pos GROUP BY p // 32),
+        |pr AS (SELECT DISTINCT ck FROM k),
+        |ppos AS (SELECT pr.ck,
+        |    CAST(('0x' || substr(md5(CAST(g.j AS VARCHAR) || ':' || pr.ck), 1, 15)) AS BIGINT) % 65536 AS p
+        |  FROM pr, generate_series(0, 3) g(j)),
+        |hit AS (SELECT ppos.ck,
+        |    bool_and(b.bits IS NOT NULL AND
+        |      (b.bits & (CAST(1 AS BIGINT) << CAST(ppos.p % 32 AS INT))) != 0) AS in_bloom
+        |  FROM ppos LEFT JOIN bloom b ON ppos.p // 32 = b.word_idx
+        |  GROUP BY ppos.ck)
+        |SELECT k.doc_id, h.in_bloom AS flagged,
+        |  (k.ck IN (SELECT ck FROM ev)) AS in_eval_texts,
+        |  h.in_bloom AND NOT (k.ck IN (SELECT ck FROM ev)) AS false_positive
+        |FROM k JOIN hit h ON k.ck = h.ck""".stripMargin,
+
+    // llm_pmi_pairs oracle: identical log-free micro-quantized PMI
+    // ratio over the same pruned bigram table; exact integer ranking.
+    "llm_pmi_pairs" ->
+      """WITH d AS (SELECT list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS ws FROM documents),
+        |uni AS (SELECT unnest(ws) AS w FROM d),
+        |c1t AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM uni GROUP BY w),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uni),
+        |bgidx AS (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM d WHERE len(ws) >= 2),
+        |bg AS (SELECT ws[i] AS w1, ws[i + 1] AS w2 FROM bgidx),
+        |bgc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg
+        |  GROUP BY w1, w2 HAVING count(*) >= 3)
+        |SELECT bgc.w1, bgc.w2, bgc.c12, a.c1 AS c1_left, b.c1 AS c1_right,
+        |  CAST((bgc.c12 * n.n * 1000000) // (a.c1 * b.c1) AS BIGINT) AS pmi_ratio_micro
+        |FROM bgc JOIN c1t a ON bgc.w1 = a.w JOIN c1t b ON bgc.w2 = b.w
+        |CROSS JOIN n
+        |ORDER BY pmi_ratio_micro DESC, w1, w2 LIMIT 30""".stripMargin
   )
 
   /** DuckDB replay of [[llm.Graphs.pageRankPpb]] over the synthetic

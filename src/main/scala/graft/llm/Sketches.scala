@@ -96,4 +96,96 @@ object Sketches {
           lit(262144.0) * lit(4503599627370496.0) /
           col("register_sum").cast("double"))
       .withColumn("small_range", col("hll_estimate") < lit(1280.0))
+
+  // ---------------------------------------------------------------- count-min
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005): frequency
+    * estimates from a d×w counter grid — the heavy-hitter telemetry
+    * ("how often does this n-gram / url / token occur") with d·w
+    * counters of state instead of a full census shuffle of every
+    * distinct value. Counters are MERGEABLE by plain addition (the
+    * groupBy sum below IS the merge), and estimates are one-sided:
+    * `min_j counter[j][h_j(x)]` NEVER undercounts, only collisions
+    * overcount — the property the spec pins.
+    *
+    * Hash family: h_j(x) = h64("j:" ++ x) mod w — the corpus-standard
+    * md5 recipe, replayable in the oracle. All arithmetic integer.
+    */
+  val CmDepth = 4
+  val CmWidth = 1024L
+
+  private def rowIds(depth: Int) =
+    explode(array((0 until depth).map(lit): _*)).as("j")
+
+  /** Build the d×w counter grid over `valueCol` occurrences: one row per
+    * occupied (j, slot), `cnt` summed map-side. ≤ d·w rows total.
+    */
+  def countMinCounters(df: DataFrame, valueCol: String): DataFrame =
+    df.select(col(valueCol).cast("string").as("__v"), rowIds(CmDepth))
+      .select(col("j"),
+        (TextOps.h64c(concat(col("j").cast("string"), lit(":"), col("__v")))
+          % CmWidth).as("slot"))
+      .groupBy(col("j"), col("slot"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Point estimates for `probes`: each probe joins its d counters
+    * (grid broadcasts — it is ≤ d·w rows by construction) and takes the
+    * row-wise min; an unoccupied slot reads 0.
+    */
+  def countMinLookup(counters: DataFrame, probes: DataFrame,
+      valueCol: String): DataFrame =
+    probes.select(col(valueCol), rowIds(CmDepth))
+      .withColumn("slot",
+        TextOps.h64c(concat(col("j").cast("string"), lit(":"),
+          col(valueCol).cast("string"))) % CmWidth)
+      .join(broadcast(counters), Seq("j", "slot"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .groupBy(col(valueCol))
+      .agg(min(col("cnt")).as("cm_estimate"))
+
+  // ------------------------------------------------------------------- bloom
+
+  /** Bloom filter: 2^16 bits packed 32 per word (2048 BIGINT rows; bits
+    * 32-62 stay clear — a shift into bit 63 overflows DuckDB's CHECKED
+    * `<<` while Spark's wraps, so the portable packing stops below the
+    * sign bit), k = 4 hashes — the membership pre-gate a decontamination
+    * pass runs BEFORE the exact gram join: ship ~16 KB of filter to
+    * every executor instead of the eval set, and only bloom-positive
+    * rows pay the exact check. MERGEABLE by bitwise OR; false positives
+    * only (a set bit never clears), never false negatives — at 2^16
+    * bits / n inserted keys the FP rate is ≈ (1 − e^(−4n/65536))^4
+    * (~2.4% at n = 4096). All bit arithmetic is integer and replays
+    * exactly in the oracle.
+    */
+  val BloomBits = 65536L
+  val BloomHashes = 4
+
+  /** Build: one row per occupied 32-bit-packed word, `bits` OR-folded. */
+  def bloomBuild(df: DataFrame, valueCol: String): DataFrame =
+    df.select(col(valueCol).cast("string").as("__v"), rowIds(BloomHashes))
+      .select((TextOps.h64c(concat(col("j").cast("string"), lit(":"),
+        col("__v"))) % BloomBits).as("__pos"))
+      .select(expr("__pos div 32").as("word_idx"),
+        expr("__pos % 32").as("__bit"))
+      .groupBy(col("word_idx"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(__bit AS INT)))")
+        .as("bits"))
+
+  /** Probe: a value is `in_bloom` iff ALL k of its bits are set; a
+    * missing word row means those bits are 0. The filter broadcasts
+    * (≤ 1024 rows).
+    */
+  def bloomProbe(bloom: DataFrame, probes: DataFrame,
+      valueCol: String): DataFrame =
+    probes.select(col(valueCol), rowIds(BloomHashes))
+      .withColumn("__pos",
+        TextOps.h64c(concat(col("j").cast("string"), lit(":"),
+          col(valueCol).cast("string"))) % BloomBits)
+      .withColumn("word_idx", expr("__pos div 32"))
+      .withColumn("__bit", expr("__pos % 32"))
+      .join(broadcast(bloom), Seq("word_idx"), "left")
+      .withColumn("__hit", col("bits").isNotNull &&
+        expr("(bits & shiftleft(CAST(1 AS BIGINT), CAST(__bit AS INT))) != 0"))
+      .groupBy(col(valueCol))
+      .agg(min(col("__hit")).as("in_bloom"))
 }

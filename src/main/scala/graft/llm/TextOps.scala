@@ -1281,4 +1281,51 @@ object TextOps {
     df.join(kept, Seq(domainCol, idCol), "left")
       .withColumn("kept", col("domain_rank").isNotNull)
   }
+
+  /** PMI collocation mining: top-`topK` adjacent word pairs by pointwise
+    * mutual information — the "new york"/"machine learning" detector a
+    * tokenizer-vocabulary or phrase-mining pass feeds on.
+    *
+    * Determinism: PMI's log never appears — the ranking uses the RAW
+    * micro-quantized ratio `(c12 · N · 10^6) div (c1 · c2)` (N = total
+    * words), a monotone transform of PMI, so the cut is exact integer
+    * arithmetic in both engines (the tfidf rational-idf move). Domain
+    * bound: the numerator overflows past c12·N > ~9·10^12·10^6 — fine to
+    * ~3·10^6-word corpora per partition-local census; a 100 TB run
+    * scales the same formula to ppb with a split multiply, documented
+    * here rather than silently drifting through doubles.
+    *
+    * Scale: bigrams via the position-explode idiom (whole-stage codegen,
+    * never an interpreted transform lambda); pairs below `minCount`
+    * prune BEFORE the unigram joins (the long tail is ~all distinct
+    * pairs); unigram counts derive once and broadcast-join when small;
+    * the final top-k is a TakeOrderedAndProject, never a global sort.
+    */
+  def pmiCollocations(df: DataFrame, idCol: String, textCol: String,
+      minCount: Long, topK: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("id"), words(textCol).as("ws"))
+      .select(col("id"), expr("filter(ws, w -> length(w) > 0)").as("ws"))
+      .localCheckpoint()
+    val uni = toks.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val n = toks.agg(sum(size(col("ws"))).as("__n"))
+    val pairs = toks
+      .select(col("ws"), explode(expr(
+        """CASE WHEN size(ws) < 2 THEN CAST(array() AS ARRAY<INT>)
+          |ELSE sequence(1, size(ws) - 1) END""".stripMargin)).as("i"))
+      .select(expr("element_at(ws, i)").as("w1"),
+        expr("element_at(ws, i + 1)").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    pairs
+      .join(uni.select(col("w").as("w1"), col("c1").as("c1_left")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c1").as("c1_right")), Seq("w2"))
+      .crossJoin(broadcast(n))
+      .withColumn("pmi_ratio_micro",
+        expr("(c12 * __n * 1000000) div (c1_left * c1_right)"))
+      .select(col("w1"), col("w2"), col("c12"), col("c1_left"),
+        col("c1_right"), col("pmi_ratio_micro"))
+      .orderBy(col("pmi_ratio_micro").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
 }

@@ -54,4 +54,51 @@ class SketchesSpec extends AnyFunSuite {
     assert(regs.filter(col("reg") < 1 || col("reg") > 52).count() == 0)
     assert(regs.filter(col("bucket") < 0 || col("bucket") >= 512).count() == 0)
   }
+
+  test("count-min estimates never undercount and are exact at low load") {
+    // skewed stream: value i repeated (i%7)+1 times over 500 distinct
+    // keys — ~0.5 keys/slot, so P(min collision-free) = 1-(1-e^-0.49)^4
+    // ≈ 0.98 per key
+    val stream = (0 until 500).flatMap(i => Seq.fill(i % 7 + 1)(s"w$i"))
+      .toDF("v")
+    val counters = Sketches.countMinCounters(stream, "v")
+    val exact = stream.groupBy("v").agg(count(lit(1)).as("exact"))
+    val est = Sketches.countMinLookup(counters, exact.select("v"), "v")
+      .join(exact, Seq("v"))
+    assert(est.filter(col("cm_estimate") < col("exact")).count() == 0)
+    val exactFrac = est.filter(col("cm_estimate") === col("exact")).count()
+    assert(exactFrac > 450, s"only $exactFrac exact")
+  }
+
+  test("count-min counters merge by addition") {
+    val a = (0 until 1000).map(i => s"x$i").toDF("v")
+    val b = (500 until 1500).map(i => s"x$i").toDF("v")
+    val mergedGrids = Sketches.countMinCounters(a, "v")
+      .unionByName(Sketches.countMinCounters(b, "v"))
+      .groupBy("j", "slot").agg(sum("cnt").as("cnt"))
+    val direct = Sketches.countMinCounters(a.unionByName(b), "v")
+    assert(mergedGrids.exceptAll(direct).isEmpty &&
+      direct.exceptAll(mergedGrids).isEmpty)
+  }
+
+  test("bloom has no false negatives and a tiny FP rate at 1000 keys") {
+    val members = (0 until 1000).map(i => s"in$i").toDF("v")
+    val bloom = Sketches.bloomBuild(members, "v")
+    val hits = Sketches.bloomProbe(bloom, members, "v")
+    assert(hits.filter(!col("in_bloom")).count() == 0)
+    val outsiders = (0 until 1000).map(i => s"out$i").toDF("v")
+    val fp = Sketches.bloomProbe(bloom, outsiders, "v")
+      .filter(col("in_bloom")).count()
+    assert(fp < 5, s"$fp false positives") // expected ~0.01 at this load
+  }
+
+  test("bloom filters merge by bitwise OR") {
+    val a = (0 until 600).map(i => s"a$i").toDF("v")
+    val b = (0 until 600).map(i => s"b$i").toDF("v")
+    val merged = Sketches.bloomBuild(a, "v")
+      .unionByName(Sketches.bloomBuild(b, "v"))
+      .groupBy("word_idx").agg(expr("bit_or(bits)").as("bits"))
+    val direct = Sketches.bloomBuild(a.unionByName(b), "v")
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty)
+  }
 }
