@@ -54,8 +54,9 @@ object Bench {
     "llm_ivf_stats", "llm_ivf_probe_curve",
     "llm_asof_join", "llm_range_join", "llm_distinct_sketch", "llm_pagerank",
     "llm_heavy_hitters", "llm_bloom_filter", "llm_pmi_pairs",
+    "llm_event_transitions", "llm_feature_snapshot",
     "s2_stream_agg", "s2b_stream_state", "s2c_stream_sessions",
-    "s2d_stream_join")
+    "s2d_stream_join", "s2e_stream_dedup_wm")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4012,6 +4012,76 @@ object SparkEntry {
     "llm_pmi_pairs" -> ((s, dir) => {
       llm.TextOps.pmiCollocations(t(s, dir, "documents"), "doc_id", "text",
         minCount = 3L, topK = 30)
+    }),
+
+    // EVENT TRANSITION MATRIX: per-user next-event Markov counts +
+    // micro-quantized transition probabilities — one lag window on the
+    // high-cardinality user key, then type²-sized aggregates.
+    "llm_event_transitions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val pairs = t(s, dir, "events")
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .select(col("user_id"), col("event_type").as("next_type"),
+          col("ts_us"), col("event_id"))
+        .withColumn("prev_type", lag(col("next_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("next_type"))
+        .agg(count(lit(1)).as("n_transitions"))
+      val totals = pairs.groupBy(col("prev_type"))
+        .agg(sum(col("n_transitions")).as("n_from"))
+      pairs.join(totals, Seq("prev_type"))
+        .withColumn("p_micro",
+          expr("(n_transitions * 1000000) div n_from"))
+        .select(col("prev_type"), col("next_type"), col("n_transitions"),
+          col("p_micro"))
+    }),
+
+    // POINT-IN-TIME FEATURE SNAPSHOT: the feature-store materialization
+    // an as-of join exists for — a (user × day) grid forward-filled with
+    // each user's last event state as of end-of-day. One AsOfJoin
+    // shuffle; days before a user's first event stay NULL (no future
+    // leak). The oracle replays the grid and DuckDB's native ASOF join.
+    "llm_feature_snapshot" -> ((s, dir) => {
+      val e = t(s, dir, "events").withColumn("ts_us", expr("ts_ns div 1000"))
+      val bounds = e.agg(expr("min(ts_us) div 86400000000").as("d0"),
+        expr("max(ts_us) div 86400000000").as("d1"))
+      val days = bounds.select(explode(sequence(col("d0"), col("d1")))
+        .as("day"))
+      val grid = e.select(col("user_id")).distinct()
+        .crossJoin(broadcast(days))
+        .withColumn("eod_us", (col("day") + 1) * 86400000000L - 1)
+      core.AsOfJoin.asOfJoin(grid,
+          e.select(col("user_id"), col("ts_us"),
+            col("event_id").as("last_event_id"),
+            col("value").as("last_value")),
+          "user_id", "eod_us", "ts_us",
+          Seq("last_event_id", "last_value"))
+        .select(col("user_id"), col("day"), col("asof_ts"),
+          col("last_event_id"), col("last_value"))
+    }),
+
+    // S2e — NATIVE STREAMING DEDUP (dropDuplicatesWithinWatermark): the
+    // stream doubled by self-union, then deduped on the event id inside
+    // the watermark window — Spark's built-in state-bounded dedup
+    // operator (state expires with the watermark, unlike plain
+    // dropDuplicates whose state grows forever). Oracle: the original
+    // rows, exactly once.
+    "s2e_stream_dedup_wm" -> ((s, dir) => {
+      val base = Tables.eventsStream(s, dir)
+        .select(col("event_id"), col("event_type"), col("user_id"), col("ts"))
+      val doubled = base.unionByName(base)
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"), col("event_type"), col("user_id"))
+      val q = doubled.writeStream.format("memory")
+        .queryName("s2e_stream_dedup_wm_out")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      s.table("s2e_stream_dedup_wm_out")
     })
   )
 
@@ -7891,7 +7961,43 @@ object SparkEntry {
         |  CAST((bgc.c12 * n.n * 1000000) // (a.c1 * b.c1) AS BIGINT) AS pmi_ratio_micro
         |FROM bgc JOIN c1t a ON bgc.w1 = a.w JOIN c1t b ON bgc.w2 = b.w
         |CROSS JOIN n
-        |ORDER BY pmi_ratio_micro DESC, w1, w2 LIMIT 30""".stripMargin
+        |ORDER BY pmi_ratio_micro DESC, w1, w2 LIMIT 30""".stripMargin,
+
+    // llm_event_transitions oracle: identical lag window + quantized
+    // transition rates.
+    "llm_event_transitions" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events),
+        |l AS (SELECT user_id, event_type AS next_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type
+        |  FROM e),
+        |p AS (SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n_transitions
+        |  FROM l WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type),
+        |tot AS (SELECT prev_type, CAST(sum(n_transitions) AS BIGINT) AS n_from
+        |  FROM p GROUP BY prev_type)
+        |SELECT p.prev_type, p.next_type, p.n_transitions,
+        |  CAST((p.n_transitions * 1000000) // t.n_from AS BIGINT) AS p_micro
+        |FROM p JOIN tot t ON p.prev_type = t.prev_type""".stripMargin,
+
+    // llm_feature_snapshot oracle: same user×day grid off the event-time
+    // bounds, DuckDB's native ASOF LEFT JOIN after the same max-event-id
+    // per-instant collapse.
+    "llm_feature_snapshot" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events),
+        |b AS (SELECT min(ts_us) // 86400000000 AS d0, max(ts_us) // 86400000000 AS d1 FROM e),
+        |days AS (SELECT unnest(generate_series(b.d0, b.d1)) AS day FROM b),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |grid AS (SELECT u.user_id, days.day,
+        |    (days.day + 1) * 86400000000 - 1 AS eod_us FROM u, days),
+        |ed AS (SELECT user_id, ts_us, event_id AS last_event_id, value AS last_value FROM e
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts_us ORDER BY event_id DESC) = 1)
+        |SELECT g.user_id, g.day, ed.ts_us AS asof_ts, ed.last_event_id, ed.last_value
+        |FROM grid g ASOF LEFT JOIN ed
+        |  ON g.user_id = ed.user_id AND g.eod_us >= ed.ts_us""".stripMargin,
+
+    // s2e_stream_dedup_wm oracle: the original rows exactly once — the
+    // self-union duplicates must all collapse.
+    "s2e_stream_dedup_wm" ->
+      "SELECT event_id, event_type, user_id FROM events"
   )
 
   /** DuckDB replay of [[llm.Graphs.pageRankPpb]] over the synthetic
