@@ -55,6 +55,7 @@ object Bench {
     "llm_asof_join", "llm_range_join", "llm_distinct_sketch", "llm_pagerank",
     "llm_heavy_hitters", "llm_bloom_filter", "llm_pmi_pairs",
     "llm_event_transitions", "llm_feature_snapshot",
+    "llm_set_join", "llm_decayed_score",
     "s2_stream_agg", "s2b_stream_state", "s2c_stream_sessions",
     "s2d_stream_join", "s2e_stream_dedup_wm")
 

@@ -4082,6 +4082,34 @@ object SparkEntry {
         .start()
       q.awaitTermination(120000)
       s.table("s2e_stream_dedup_wm_out")
+    }),
+
+    // EXACT SET-SIMILARITY JOIN (TextOps.prefixFilterNearDups): ALL
+    // shingle-Jaccard ≥ 0.5 pairs via prefix filtering — the exact
+    // complement of the probabilistic MinHash path; rare-first prefix
+    // tokens keep the candidate join skew-free. Oracle is the full
+    // brute-force quadratic join, so any missed pair fails the row.
+    "llm_set_join" -> ((s, dir) => {
+      llm.TextOps.prefixFilterNearDups(t(s, dir, "documents"),
+        "doc_id", "text", k = 3, tNum = 1L, tDen = 2L)
+    }),
+
+    // RECENCY-DECAYED ACTIVITY SCORE: per-user Σ 2^(30 − age_days) over
+    // a 30-day horizon — exponential decay in EXACT shifted integers
+    // (power-of-two half-life, no float pow), map-side partial agg.
+    "llm_decayed_score" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("day", expr("(ts_ns div 1000) div 86400000000"))
+      val mx = e.agg(max(col("day")).as("__maxd"))
+      e.crossJoin(broadcast(mx))
+        .withColumn("age", col("__maxd") - col("day"))
+        .withColumn("contrib", expr(
+          """CASE WHEN age <= 30
+            |THEN shiftleft(CAST(1 AS BIGINT), CAST(30 - age AS INT))
+            |ELSE CAST(0 AS BIGINT) END""".stripMargin))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("contrib")).as("decay_score"))
     })
   )
 
@@ -7997,7 +8025,36 @@ object SparkEntry {
     // s2e_stream_dedup_wm oracle: the original rows exactly once — the
     // self-union duplicates must all collapse.
     "s2e_stream_dedup_wm" ->
-      "SELECT event_id, event_type, user_id FROM events"
+      "SELECT event_id, event_type, user_id FROM events",
+
+    // llm_set_join oracle: the FULL brute-force quadratic join over the
+    // same distinct-shingle sets — exact integer threshold test, one
+    // float division for the reported jaccard. The prefix-filtered
+    // engine result must equal it pair for pair.
+    "llm_set_join" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN CAST([] AS VARCHAR[])
+        |  ELSE list_distinct(list_transform(generate_series(1, len(ws)-2),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS shingles FROM w),
+        |d AS (SELECT doc_id, shingles, CAST(len(shingles) AS BIGINT) AS s
+        |  FROM sh WHERE len(shingles) > 0),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS inter,
+        |    a.s AS sa, b.s AS sb
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b,
+        |  CAST(inter AS DOUBLE) / CAST(sa + sb - inter AS DOUBLE) AS jaccard
+        |FROM p WHERE inter * 2 >= (sa + sb - inter) * 1""".stripMargin,
+
+    // llm_decayed_score oracle: identical shifted-integer decay.
+    "llm_decayed_score" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |m AS (SELECT max(day) AS maxd FROM e)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN maxd - day <= 30
+        |    THEN CAST(1 AS BIGINT) << CAST(30 - (maxd - day) AS INT)
+        |    ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS decay_score
+        |FROM e, m GROUP BY user_id""".stripMargin
   )
 
   /** DuckDB replay of [[llm.Graphs.pageRankPpb]] over the synthetic

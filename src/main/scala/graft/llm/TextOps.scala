@@ -1301,6 +1301,73 @@ object TextOps {
     * pairs); unigram counts derive once and broadcast-join when small;
     * the final top-k is a TakeOrderedAndProject, never a global sort.
     */
+  /** EXACT set-similarity join via prefix filtering (Bayardo et al.
+    * 2007, "Scaling up all pairs similarity search"): all document
+    * pairs with shingle-set Jaccard ≥ tNum/tDen — deterministically ALL
+    * of them, the exact complement to the probabilistic MinHash/LSH
+    * path (which trades recall for fewer candidates).
+    *
+    * The pruning theorem: order every document's shingles by one global
+    * total order (here (df, token) — rarest first) and take the prefix
+    * of length s − ceil(t·s) + 1. Any pair with J ≥ t has overlap
+    * ≥ ceil(t·max(sa,sb)), which forces at least one SHARED PREFIX
+    * token — so the equi-join on prefix tokens generates every
+    * qualifying pair, and the exact verification join never misses.
+    *
+    * Scale: the global order is NEVER materialized as dense ranks (no
+    * global row_number) — each document sorts its own (df, token)
+    * structs locally after a vocab-sized df join. Prefix tokens are by
+    * construction the RAREST shingles, so the candidate equi-join keys
+    * are small skew-free buckets — that is the entire point of rare-
+    * first ordering at 100 TB. Size filter (t·sa ≤ sb ∧ t·sb ≤ sa) and
+    * the final threshold test are exact integer rational arithmetic;
+    * the reported jaccard is the single float division.
+    */
+  def prefixFilterNearDups(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, tNum: Long = 1L, tDen: Long = 2L): DataFrame = {
+    val base = df.withColumn("ws", words(textCol))
+      .withColumn("shingles", shingles(k))
+      .filter(size(col("shingles")) > 0)
+      .select(col(idCol).as("id"), col("shingles"))
+    val toks = base.select(col("id"), explode(col("shingles")).as("tok"))
+    val dfc = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val docs = toks.join(dfc, Seq("tok"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("tok"))))
+        .as("arr"))
+      .withColumn("toks", expr("transform(arr, x -> x.tok)"))
+      .withColumn("s", size(col("arr")).cast("long"))
+      .withColumn("p",
+        col("s") - expr(s"(s * $tNum + $tDen - 1) div $tDen") + lit(1L))
+      .select(col("id"), col("toks"), col("s"), col("p"))
+      // three consumers (both candidate sides + the verify joins)
+      .localCheckpoint()
+    val prefixes = docs.select(col("id"), col("s"),
+      explode(expr("slice(toks, 1, CAST(p AS INT))")).as("tok"))
+    val cands = prefixes
+      .select(col("id").as("id_a"), col("s").as("sa"), col("tok"))
+      .join(prefixes
+        .select(col("id").as("id_b"), col("s").as("sb"), col("tok")),
+        Seq("tok"))
+      .filter(col("id_a") < col("id_b") &&
+        col("sa") * tNum <= col("sb") * tDen &&
+        col("sb") * tNum <= col("sa") * tDen)
+      .select(col("id_a"), col("id_b")).distinct()
+    cands
+      .join(docs.select(col("id").as("id_a"), col("toks").as("ta"),
+        col("s").as("sa")), Seq("id_a"))
+      .join(docs.select(col("id").as("id_b"), col("toks").as("tb"),
+        col("s").as("sb")), Seq("id_b"))
+      .withColumn("inter",
+        size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .filter(col("inter") * tDen >=
+        (col("sa") + col("sb") - col("inter")) * tNum)
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          (col("sa") + col("sb") - col("inter")).cast("double"))
+          .as("jaccard"))
+  }
+
   def pmiCollocations(df: DataFrame, idCol: String, textCol: String,
       minCount: Long, topK: Int): DataFrame = {
     val toks = df.select(col(idCol).as("id"), words(textCol).as("ws"))
