@@ -8036,8 +8036,10 @@ object SparkEntry {
         |sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN CAST([] AS VARCHAR[])
         |  ELSE list_distinct(list_transform(generate_series(1, len(ws)-2),
         |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS shingles FROM w),
-        |d AS (SELECT doc_id, shingles, CAST(len(shingles) AS BIGINT) AS s
+        |hsh AS (SELECT doc_id, list_distinct(list_transform(shingles,
+        |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS shingles
         |  FROM sh WHERE len(shingles) > 0),
+        |d AS (SELECT doc_id, shingles, CAST(len(shingles) AS BIGINT) AS s FROM hsh),
         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |    CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS inter,
         |    a.s AS sa, b.s AS sb

@@ -1322,14 +1322,31 @@ object TextOps {
     * first ordering at 100 TB. Size filter (t·sa ≤ sb ∧ t·sb ≤ sa) and
     * the final threshold test are exact integer rational arithmetic;
     * the reported jaccard is the single float division.
+    *
+    * Everything past the scan rides 60-bit shingle HASHES, never the
+    * shingle strings (the minhashNearDups move): join keys are 8-byte
+    * longs and the verify intersects are integer-array ops. Shingles
+    * are built by POSITION EXPLODE + element_at on the carried ws
+    * attribute, never a transform() lambda — CollapseProject inlines
+    * the split() into every element of an interpreted lambda (O(len²)
+    * per doc, the llm_ngram_lm lesson); and the token stream is
+    * checkpointed before fanning out to its two consumers (df census +
+    * per-doc array build), which otherwise re-execute the whole scan
+    * branch each. Together: 21 s → ~6 s at sf0.1. Sets are distinct'd
+    * AFTER hashing so a (cosmically unlikely) 60-bit collision changes
+    * both engines' answers identically rather than diverging.
     */
   def prefixFilterNearDups(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, tNum: Long = 1L, tDen: Long = 2L): DataFrame = {
-    val base = df.withColumn("ws", words(textCol))
-      .withColumn("shingles", shingles(k))
-      .filter(size(col("shingles")) > 0)
-      .select(col(idCol).as("id"), col("shingles"))
-    val toks = base.select(col("id"), explode(col("shingles")).as("tok"))
+    val gram = (0 until k).map(j => s"element_at(ws, i + $j)")
+      .mkString(", ' ', ")
+    val toks = df.select(col(idCol).as("id"), words(textCol).as("ws"))
+      .filter(size(col("ws")) >= k)
+      .select(col("id"), col("ws"),
+        explode(expr(s"sequence(1, size(ws) - ${k - 1})")).as("i"))
+      .select(col("id"), expr(h64(s"concat($gram)")).as("tok"))
+      .distinct()
+      .localCheckpoint()
     val dfc = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val docs = toks.join(dfc, Seq("tok"))
       .groupBy(col("id"))

@@ -12,8 +12,11 @@ class SetJoinSpec extends AnyFunSuite {
   private def brute(df: org.apache.spark.sql.DataFrame, tNum: Long,
       tDen: Long) = {
     val d = df.withColumn("ws", TextOps.words("text"))
-      .withColumn("sh", TextOps.shingles(3))
-      .filter(size(col("sh")) > 0)
+      .withColumn("sh0", TextOps.shingles(3))
+      .filter(size(col("sh0")) > 0)
+      // same hashed-set universe as the operator (distinct AFTER hashing)
+      .withColumn("sh",
+        array_distinct(expr(s"transform(sh0, s -> ${TextOps.h64("s")})")))
       .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("s"))
     d.select(col("doc_id").as("id_a"), col("sh").as("ta"), col("s").as("sa"))
       .crossJoin(d.select(col("doc_id").as("id_b"), col("sh").as("tb"),
