@@ -4094,6 +4094,47 @@ object SparkEntry {
         "doc_id", "text", k = 3, tNum = 1L, tDen = 2L)
     }),
 
+    // TRUSTRANK (llm.Graphs.trustRankPpb): personalized PageRank whose
+    // teleport mass returns only to a trusted seed whitelist (doc_id %
+    // 97 == 0) — authority flows outward from seeds, spam clusters with
+    // no seed in-path starve. Same integer-ppb fixed-point arithmetic;
+    // oracle replays all 8 supersteps with the seed-scaled teleport.
+    "llm_trustrank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.agg(count(lit(1)).as("__n"))
+      val base = docs.crossJoin(broadcast(n))
+      val edges = base
+        .select(col("doc_id").as("src"),
+          expr("(doc_id * 7 + 3) % __n").as("dst"))
+        .unionByName(base.select(col("doc_id").as("src"),
+          expr("(doc_id * 13 + 5) % __n").as("dst")))
+        .unionByName(base.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id").as("src"),
+            expr("(doc_id * 3 + 1) % __n").as("dst")))
+      llm.Graphs.trustRankPpb(docs, "doc_id", edges, "src", "dst",
+        docs.filter(col("doc_id") % 97 === 0), iters = 8)
+    }),
+
+    // SEED DISTANCE (llm.Graphs.bfsDistance): multi-source BFS hop
+    // count from the trusted frontier, capped at 4 — the "how far from
+    // a whitelisted page" crawl-curation signal; unreached nodes are
+    // absent, min over equal paths is order-free.
+    "llm_seed_distance" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.agg(count(lit(1)).as("__n"))
+      val base = docs.crossJoin(broadcast(n))
+      val edges = base
+        .select(col("doc_id").as("src"),
+          expr("(doc_id * 7 + 3) % __n").as("dst"))
+        .unionByName(base.select(col("doc_id").as("src"),
+          expr("(doc_id * 13 + 5) % __n").as("dst")))
+        .unionByName(base.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id").as("src"),
+            expr("(doc_id * 3 + 1) % __n").as("dst")))
+      llm.Graphs.bfsDistance(edges, "src", "dst",
+        docs.filter(col("doc_id") % 97 === 0), "doc_id", maxDepth = 4)
+    }),
+
     // RECENCY-DECAYED ACTIVITY SCORE: per-user Σ 2^(30 − age_days) over
     // a 30-day horizon — exponential decay in EXACT shifted integers
     // (power-of-two half-life, no float pow), map-side partial agg.
@@ -7912,6 +7953,14 @@ object SparkEntry {
     // damping, exact BIGINT throughout.
     "llm_pagerank" -> pagerankOracle(8),
 
+    // llm_trustrank oracle: same superstep replay with the seed-scaled
+    // per-node teleport instead of the uniform constant.
+    "llm_trustrank" -> trustrankOracle(8),
+
+    // llm_seed_distance oracle: 4 BFS supersteps as generated CTEs —
+    // frontier join + min fold each.
+    "llm_seed_distance" -> seedDistanceOracle(4),
+
     // s2d_stream_join oracle: the batch inequality join the watermarked
     // stream-stream join must equal (30-min inclusive lookback).
     "s2d_stream_join" ->
@@ -8086,5 +8135,58 @@ object SparkEntry {
        |r0 AS (SELECT doc_id, CAST(1000000000 AS BIGINT) AS rank_ppb FROM documents),
        |$steps
        |SELECT doc_id, rank_ppb FROM r$iters""".stripMargin
+  }
+
+  /** The shared synthetic-graph CTE prefix (edges + out-degrees). */
+  private val graphCtes: String =
+    s"""nn AS (SELECT count(*) AS n FROM documents),
+       |e AS MATERIALIZED (
+       |  SELECT doc_id AS src, (doc_id * 7 + 3) % nn.n AS dst FROM documents, nn
+       |  UNION ALL
+       |  SELECT doc_id AS src, (doc_id * 13 + 5) % nn.n AS dst FROM documents, nn
+       |  UNION ALL
+       |  SELECT doc_id AS src, (doc_id * 3 + 1) % nn.n AS dst FROM documents, nn
+       |    WHERE doc_id % 2 = 0)""".stripMargin
+
+  /** DuckDB replay of [[llm.Graphs.trustRankPpb]]: seed-scaled teleport
+    * (doc_id % 97 seeds), otherwise the pagerankOracle superstep shape.
+    */
+  private def trustrankOracle(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""r$k AS MATERIALIZED (SELECT t.doc_id,
+         |    CAST(t.tele + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS rank_ppb
+         |  FROM tele t LEFT JOIN (
+         |    SELECT e.dst AS dst, sum(r.rank_ppb // d.deg) AS c
+         |    FROM e JOIN r${k - 1} r ON e.src = r.doc_id
+         |    JOIN d ON d.src = e.src
+         |    GROUP BY e.dst) s ON t.doc_id = s.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphCtes,
+       |d AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+       |ss AS (SELECT count(*) AS s FROM documents WHERE doc_id % 97 = 0),
+       |tele AS MATERIALIZED (SELECT doc_id,
+       |  CAST(CASE WHEN doc_id % 97 = 0 THEN (150000000 * nn.n) // ss.s ELSE 0 END AS BIGINT) AS tele
+       |  FROM documents, nn, ss),
+       |r0 AS (SELECT doc_id, CAST(1000000000 AS BIGINT) AS rank_ppb FROM documents),
+       |$steps
+       |SELECT doc_id, rank_ppb FROM r$iters""".stripMargin
+  }
+
+  /** DuckDB replay of [[llm.Graphs.bfsDistance]]: each superstep is the
+    * frontier join + min fold over (previous ∪ relaxed) distances.
+    */
+  private def seedDistanceOracle(maxDepth: Int): String = {
+    val steps = (1 to maxDepth).map { k =>
+      s"""d$k AS MATERIALIZED (SELECT doc_id, CAST(min(dist) AS BIGINT) AS dist FROM (
+         |    SELECT doc_id, dist FROM d${k - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS doc_id, p.dist + 1 AS dist
+         |    FROM e JOIN d${k - 1} p ON e.src = p.doc_id
+         |  ) GROUP BY doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphCtes,
+       |d0 AS (SELECT doc_id, CAST(0 AS BIGINT) AS dist FROM documents WHERE doc_id % 97 = 0),
+       |$steps
+       |SELECT doc_id, dist FROM d$maxDepth""".stripMargin
   }
 }

@@ -37,8 +37,42 @@ object Graphs {
     * node itself.
     */
   def pageRankPpb(nodes: DataFrame, idCol: String, edges: DataFrame,
-      srcCol: String, dstCol: String, iters: Int): DataFrame = {
+      srcCol: String, dstCol: String, iters: Int): DataFrame =
+    iterateRanks(
+      nodes.select(col(idCol), lit(150000000L).as("__tele")),
+      idCol, edges, srcCol, dstCol, iters)
+
+  /** Personalized PageRank (the TrustRank shape, Gyöngyi et al. 2004):
+    * teleport mass returns ONLY to the `seeds` — authority flows outward
+    * from a trusted whitelist, so link-spam clusters with no seed
+    * in-path starve. Seed teleport is scaled `0.15·10^9·N div S` so
+    * total teleport mass matches uniform PageRank's (N nodes, S seeds);
+    * everything stays exact BIGINT arithmetic.
+    */
+  def trustRankPpb(nodes: DataFrame, idCol: String, edges: DataFrame,
+      srcCol: String, dstCol: String, seeds: DataFrame,
+      iters: Int): DataFrame = {
+    val counts = nodes.agg(count(lit(1)).as("__n"))
+      .crossJoin(seeds.agg(count(lit(1)).as("__s")))
+    val seeded = nodes
+      .join(seeds.select(col(idCol)).distinct()
+        .withColumn("__isSeed", lit(true)), Seq(idCol), "left")
+      .crossJoin(broadcast(counts))
+      .select(col(idCol),
+        when(col("__isSeed"),
+          expr("(150000000 * __n) div __s")).otherwise(lit(0L))
+          .cast("long").as("__tele"))
+    iterateRanks(seeded, idCol, edges, srcCol, dstCol, iters)
+  }
+
+  /** Shared superstep loop: `nodesTele` is (id, __tele) — each node's
+    * per-iteration teleport income in ppb.
+    */
+  private def iterateRanks(nodesTele: DataFrame, idCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
+    val nodes = nodesTele.localCheckpoint()
     val deg = edges.groupBy(col(srcCol)).agg(count(lit(1)).as("__deg"))
     // enrich once: every iteration reuses (src, dst, deg) materialized
     val edgesDeg = edges.select(col(srcCol), col(dstCol))
@@ -53,15 +87,38 @@ object Graphs {
           expr("rank_ppb div __deg").as("__c"))
         .groupBy(col(dstCol))
         .agg(sum(col("__c")).as("__sum"))
-      val base = nodes.select(col(idCol))
-      ranks = base
-        .join(contribs, base(idCol) === contribs(dstCol), "left")
+      ranks = nodes
+        .join(contribs, nodes(idCol) === contribs(dstCol), "left")
         .select(col(idCol),
-          (lit(150000000L) +
+          (col("__tele") +
             expr("(85 * coalesce(__sum, CAST(0 AS BIGINT))) div 100"))
             .as("rank_ppb"))
         .localCheckpoint()
     }
     ranks
+  }
+
+  /** Multi-source BFS: link distance from the nearest seed, capped at
+    * `maxDepth` hops — the TrustRank-adjacent "how far from the trusted
+    * frontier is this page" curation signal. Returns only REACHED nodes
+    * (id, dist); each superstep is one join + one min partial-agg, with
+    * per-iteration lineage truncation. Deterministic: min over equal
+    * paths is order-free.
+    */
+  def bfsDistance(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, idCol: String, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 1, "maxDepth must be >= 1")
+    val edgesOnly = edges.select(col(srcCol), col(dstCol)).localCheckpoint()
+    var dist = seeds.select(col(idCol)).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    for (_ <- 1 to maxDepth) {
+      val next = edgesOnly
+        .join(dist, edgesOnly(srcCol) === dist(idCol))
+        .select(col(dstCol).as(idCol), (col("dist") + 1L).as("dist"))
+      dist = dist.unionByName(next)
+        .groupBy(col(idCol)).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dist
   }
 }

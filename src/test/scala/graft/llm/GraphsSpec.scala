@@ -37,6 +37,36 @@ class GraphsSpec extends AnyFunSuite {
     assert(byId(1) > byId(2)) // 1 receives 0's mass; 2 receives none
   }
 
+  test("trustrank starves components unreachable from the seeds") {
+    // two 2-cycles; seed only in the first
+    val nodes = Seq(0L, 1L, 2L, 3L).toDF("id")
+    val edges = Seq((0L, 1L), (1L, 0L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("id")
+    val tr = Graphs.trustRankPpb(nodes, "id", edges, "src", "dst", seeds, 8)
+      .orderBy("id").select("rank_ppb").as[Long].collect()
+    // seeded component holds authority; unseeded decays toward 0
+    assert(tr(0) > 500000000L && tr(1) > 300000000L)
+    assert(tr(2) < 300000000L && tr(3) < 300000000L)
+    assert(tr(2) == tr(3)) // symmetric unseeded pair stays symmetric
+  }
+
+  test("bfs distances match the hand-traced hop counts; unreached absent") {
+    // 0 -> 1 -> 2 -> 3, and isolated 9 reachable by nothing
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (8L, 9L)).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("id")
+    val d = Graphs.bfsDistance(edges, "src", "dst", seeds, "id", maxDepth = 2)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(d == Seq((0L, 0L), (1L, 1L), (2L, 2L))) // 3 beyond depth cap
+  }
+
+  test("bfs takes the minimum over multiple paths") {
+    val edges = Seq((0L, 2L), (0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("id")
+    val d = Graphs.bfsDistance(edges, "src", "dst", seeds, "id", 3)
+      .filter(col("id") === 2L).select("dist").as[Long].head()
+    assert(d == 1L) // direct edge wins over the 2-hop path
+  }
+
   test("ranks are deterministic under repartitioning and duplicate edges") {
     val nodes = (0L until 200L).toDF("id")
     val edges = nodes.select(col("id").as("src"),
