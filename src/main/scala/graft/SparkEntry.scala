@@ -3207,6 +3207,9 @@ object SparkEntry {
         .withColumn("cid", col("doc_id") * 1024 + col("chunk_id"))
       val emb = llm.Retrieval.hashEmbed(chunks, "cid", "chunk_text", 16)
         .filter(col("norm2") > 0)
+        // two consumers (query slice + corpus side of the brute join)
+        // would otherwise each re-run the chunk+embed chain
+        .localCheckpoint()
       // cid % (1024·173) == 0 ⇔ chunk_id == 0 && doc_id % 173 == 0
       val queries = emb.filter(col("nid") % lit(1024L * 173) === 0)
         .select(col("nid").as("qid"), col("vq"), col("norm2"))
@@ -5570,7 +5573,8 @@ object SparkEntry {
         |ch AS (SELECT doc_id * 1024 + (start // 24) AS cid, ws[start + 1:start + 32] AS cws FROM st),
         |e AS (SELECT cid, list_transform(generate_series(0, 15), d ->
         |    CAST(list_sum(list_transform(cws, w2 ->
-        |      CAST(('0x' || substr(md5(w2 || ':' || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT) % 2001 - 1000)) AS BIGINT)) AS vq
+        |      ((CAST(('0x' || substr(md5(w2), 1, 15)) AS BIGINT) % 1000000007)
+        |        * (2 * d + 1) + 7919 * d) % 1000000007 % 2001 - 1000)) AS BIGINT)) AS vq
         |  FROM ch),
         |en AS (SELECT cid, vq, CAST(list_sum(list_transform(vq, x -> x * x)) AS BIGINT) AS norm2 FROM e),
         |q AS (SELECT cid AS qid, vq AS qv, norm2 AS qn FROM en WHERE cid % (1024 * 173) = 0 AND norm2 > 0),

@@ -46,6 +46,22 @@ class NativeExprPropertySpec extends AnyFunSuite {
     assert(bad == 0L)
   }
 
+  test("hash_embed_vec ≡ transform/aggregate composition on 300 random hash arrays") {
+    val composed =
+      """transform(sequence(0, 15), d -> aggregate(hs, 0L, (acc, h) ->
+        |  acc + (h * (2 * d + 1) + 7919 * d) % 1000000007 % 2001 - 1000))"""
+        .stripMargin
+    // inputs are mod-P-reduced (the hashEmbed contract), plus empty edge
+    val df = ((1 to 300).map { _ =>
+      Tuple1(Seq.fill(rnd.nextInt(60))(math.abs(rnd.nextLong()) % 1000000007L))
+    } :+ Tuple1(Seq.empty[Long])).toDF("hs")
+    val bad = df.select(
+      HashEmbedVec.hashEmbedVec(col("hs"), 16).as("native"),
+      expr(composed).as("composed"))
+      .filter(!(col("native") <=> col("composed"))).count()
+    assert(bad == 0L)
+  }
+
   test("simhash64 ≡ nested-aggregate composition on 300 random hash arrays") {
     val composed =
       """aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, k) ->
