@@ -4138,6 +4138,18 @@ object SparkEntry {
         docs.filter(col("doc_id") % 97 === 0), "doc_id", maxDepth = 4)
     }),
 
+    // SYSTEMATIC PPS SAMPLE (Sampling.ppsSample): exactly-50-pointer
+    // weight-proportional sample over the token-count line — bucketed
+    // cumsum (no global window), pointer hits counted by inverting the
+    // pointer arithmetic, Σ n_hits = 50 exactly, zero randomness
+    // beyond the salt.
+    "llm_pps_sample" -> ((s, dir) => {
+      llm.Sampling.ppsSample(
+        t(s, dir, "documents").withColumn("w0",
+          size(split(lower(col("text")), " ")).cast("long")),
+        "doc_id", "w0", n = 50L, salt = "pps:r8")
+    }),
+
     // RECENCY-DECAYED ACTIVITY SCORE: per-user Σ 2^(30 − age_days) over
     // a 30-day horizon — exponential decay in EXACT shifted integers
     // (power-of-two half-life, no float pow), map-side partial agg.
@@ -8100,6 +8112,29 @@ object SparkEntry {
         |SELECT id_a, id_b,
         |  CAST(inter AS DOUBLE) / CAST(sa + sb - inter AS DOUBLE) AS jaccard
         |FROM p WHERE inter * 2 >= (sa + sb - inter) * 1""".stripMargin,
+
+    // llm_pps_sample oracle: the naive global-window replay of the same
+    // integer pointer arithmetic (engine side is bucketed — same line).
+    "llm_pps_sample" ->
+      """WITH d0 AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS weight
+        |  FROM documents),
+        |d AS (SELECT * FROM d0 WHERE weight > 0),
+        |c AS (SELECT doc_id, weight,
+        |    sum(weight) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS e FROM d),
+        |tw AS (SELECT CAST(sum(weight) AS BIGINT) AS w FROM d),
+        |op AS (SELECT CAST(('0x' || substr(md5('pps:r8'), 1, 15)) AS BIGINT)
+        |    % greatest(tw.w // 50, 1) AS o, tw.w AS w FROM tw),
+        |m AS (SELECT c.doc_id, c.weight, greatest(c.e - c.weight - op.o, 0) AS x,
+        |    c.e - op.o AS y, op.w AS w FROM c, op),
+        |hh AS (SELECT doc_id, weight,
+        |    CASE WHEN y <= 0 THEN 0
+        |      ELSE greatest(least((y * 50 + w - 1) // w - 1, 49)
+        |        - ((x * 50 + w - 1) // w) + 1, 0) END AS n_hits
+        |  FROM m)
+        |SELECT doc_id, weight, CAST(n_hits AS BIGINT) AS n_hits,
+        |  n_hits > 0 AS selected FROM hh""".stripMargin,
 
     // llm_decayed_score oracle: identical shifted-integer decay.
     "llm_decayed_score" ->

@@ -343,4 +343,65 @@ object Sampling {
       .select(col(groupCol), col(idCol), col("n_tokens"), col("cum_tokens"),
         (col("cum_tokens") - col("n_tokens") < col("budget")).as("keep"))
   }
+
+  /** Systematic PPS (probability-proportional-to-size) sampling: lay
+    * the corpus out on an integer weight line in the deterministic
+    * (h64(id), id) order, drop `n` evenly spaced pointers (spacing W/n,
+    * a salted offset), and select every document whose weight interval
+    * contains a pointer. Exactly `n` pointer hits total (Σ n_hits = n —
+    * spec-pinned), selection probability ∝ weight, and any document
+    * with weight ≥ W/n is ALWAYS selected (possibly with n_hits > 1 —
+    * the multiplicity a Horvitz–Thompson estimator weights by). The
+    * "sample 1M docs proportional to token count" primitive of survey
+    * sampling, with zero randomness beyond the salt: any engine
+    * reproduces the exact sample.
+    *
+    * Scale: the weight line is the SAME 2¹⁰ hash-prefix bucketed cumsum
+    * as [[tokenBudget]] (no global window); per-document pointer hits
+    * are counted by INVERTING the pointer arithmetic — j ranges over
+    * `ceil(x·n/W) .. ceil(y·n/W)−1` — so no document ever scans the
+    * pointer set. All arithmetic is exact BIGINT; the x·n products
+    * bound the domain to W·n < 2^63 (a 10^13-token corpus sampling 10^5
+    * docs — beyond that, split the multiply or sample per shard and
+    * merge).
+    *
+    * Non-positive weights are excluded (they have no mass on the line).
+    */
+  def ppsSample(df: DataFrame, idCol: String, weightCol: String,
+      n: Long, salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n > 0, "n must be positive")
+    val withW = df
+      .withColumn("__h", TextOps.h64c(col(idCol).cast("string")))
+      .withColumn("weight", col(weightCol).cast("long"))
+      .filter(col("weight") > 0)
+      .withColumn("__b", expr(s"__h div ${1L << 50}"))
+    val offsets = withW.groupBy(col("__b"))
+      .agg(sum(col("weight")).as("__bt"))
+      .withColumn("__off", coalesce(
+        sum(col("__bt")).over(Window.orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__b"), col("__off"))
+    val w = Window.partitionBy(col("__b")).orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = withW.join(broadcast(offsets), Seq("__b"))
+      .withColumn("__end", col("__off") + sum(col("weight")).over(w))
+      .withColumn("__start", col("__end") - col("weight"))
+    val tot = cum.agg(max(col("__end")).as("__tw"))
+      .withColumn("__offp",
+        TextOps.h64c(lit(salt)) % greatest(expr(s"__tw div $n"), lit(1L)))
+    cum.crossJoin(broadcast(tot))
+      // pointer j sits at __offp + (j·W) div n; hits in [start, end) ⇔
+      // j ∈ [ceil(x·n/W), ceil(y·n/W)) with x/y the offset-shifted bounds
+      .withColumn("__x", greatest(col("__start") - col("__offp"), lit(0L)))
+      .withColumn("__y", col("__end") - col("__offp"))
+      .withColumn("__jlo", expr("(__x * " + n + " + __tw - 1) div __tw"))
+      .withColumn("__jhi", expr(
+        s"least((__y * $n + __tw - 1) div __tw - 1, ${n - 1})"))
+      .withColumn("n_hits",
+        when(col("__y") <= 0, lit(0L))
+          .otherwise(greatest(col("__jhi") - col("__jlo") + 1, lit(0L))))
+      .select(col(idCol), col("weight"), col("n_hits"),
+        (col("n_hits") > 0).as("selected"))
+  }
 }
