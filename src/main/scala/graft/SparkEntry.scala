@@ -4138,6 +4138,59 @@ object SparkEntry {
         docs.filter(col("doc_id") % 97 === 0), "doc_id", maxDepth = 4)
     }),
 
+    // DOMAIN SIMILARITY MATRIX: pairwise cosine between per-label MEAN
+    // embeddings — the "which corpus domains overlap semantically" map a
+    // mixture planner reads. Counts cancel in the cosine, so mean
+    // vectors never materialize: per-label integer SUM vectors (a
+    // posexplode partial agg, 10×64 state), native qdot pairwise, one
+    // sqrt each (IEEE-exact in both engines).
+    "llm_domain_similarity" -> ((s, dir) => {
+      val e = llm.Ann.withQuantized(t(s, dir, "embeddings"), "embedding")
+        .select(col("label").cast("long").as("label"), col("vq"))
+      val sums = e.select(col("label"), posexplode(col("vq")))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("col")).as("sv"))
+        .groupBy(col("label"))
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(pos, sv))), x -> x.sv)")
+          .as("sv"))
+        .withColumn("n2",
+          expr("aggregate(sv, 0L, (acc, v) -> acc + v * v)"))
+      val cnt = e.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+      val lab = sums.join(cnt, Seq("label"))
+      lab.select(col("label").as("label_a"), col("sv").as("va"),
+          col("n2").as("n2a"), col("n_vecs").as("n_a"))
+        .crossJoin(lab.select(col("label").as("label_b"), col("sv").as("vb"),
+          col("n2").as("n2b"), col("n_vecs").as("n_b")))
+        .filter(col("label_a") < col("label_b"))
+        .withColumn("dp", plans.QuantizedDot.qdot(col("va"), col("vb")))
+        .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+          (col("dp").cast("double") /
+            (sqrt(col("n2a").cast("double")) * sqrt(col("n2b").cast("double"))))
+            .as("cos"))
+    }),
+
+    // S2f — STREAM-STATIC JOIN: the streaming dimension-enrichment shape
+    // (a broadcast static dim joined into an unbounded stream — no
+    // watermark needed, no state: each row enriches map-side).
+    "s2f_stream_enrich" -> ((s, dir) => {
+      import s.implicits._
+      val dim = Seq(("view", 1L), ("click", 5L), ("purchase", 20L),
+        ("signup", 2L), ("error", 0L)).toDF("event_type", "weight")
+      val enriched = Tables.eventsStream(s, dir)
+        .select(col("event_id"), col("event_type"), col("user_id"))
+        .join(broadcast(dim), Seq("event_type"))
+        .select(col("event_id"), col("event_type"), col("user_id"),
+          col("weight"))
+      val q = enriched.writeStream.format("memory")
+        .queryName("s2f_stream_enrich_out")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      s.table("s2f_stream_enrich_out")
+    }),
+
     // SYSTEMATIC PPS SAMPLE (Sampling.ppsSample): exactly-50-pointer
     // weight-proportional sample over the token-count line — bucketed
     // cumsum (no global window), pointer hits counted by inverting the
@@ -8112,6 +8165,35 @@ object SparkEntry {
         |SELECT id_a, id_b,
         |  CAST(inter AS DOUBLE) / CAST(sa + sb - inter AS DOUBLE) AS jaccard
         |FROM p WHERE inter * 2 >= (sa + sb - inter) * 1""".stripMargin,
+
+    // llm_domain_similarity oracle: same quantize → per-label component
+    // sums → pairwise integer dot / sqrt·sqrt (IEEE sqrt is correctly
+    // rounded, so the one float step is engine-exact).
+    "llm_domain_similarity" ->
+      """WITH e AS (SELECT CAST(label AS BIGINT) AS label,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS vq
+        |  FROM embeddings),
+        |px AS (SELECT label, unnest(generate_series(1, len(vq))) AS pos, vq FROM e),
+        |comp AS (SELECT label, pos, CAST(sum(vq[pos]) AS BIGINT) AS sv
+        |  FROM px GROUP BY label, pos),
+        |sums AS (SELECT label, list(sv ORDER BY pos) AS sv FROM comp GROUP BY label),
+        |n2s AS (SELECT label, sv,
+        |    CAST(list_sum(list_transform(sv, x -> x * x)) AS BIGINT) AS n2 FROM sums),
+        |cnt AS (SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n_vecs
+        |  FROM embeddings GROUP BY label),
+        |lab AS (SELECT n2s.label, sv, n2, n_vecs FROM n2s JOIN cnt ON n2s.label = cnt.label)
+        |SELECT a.label AS label_a, b.label AS label_b, a.n_vecs AS n_a, b.n_vecs AS n_b,
+        |  CAST(list_sum(list_transform(generate_series(1, len(a.sv)),
+        |      i -> a.sv[i] * b.sv[i])) AS DOUBLE)
+        |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
+        |FROM lab a JOIN lab b ON a.label < b.label""".stripMargin,
+
+    // s2f_stream_enrich oracle: the same 5-row dim as a CASE lookup.
+    "s2f_stream_enrich" ->
+      """SELECT event_id, event_type, user_id,
+        |  CAST(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 5
+        |    WHEN 'purchase' THEN 20 WHEN 'signup' THEN 2 ELSE 0 END AS BIGINT) AS weight
+        |FROM events""".stripMargin,
 
     // llm_pps_sample oracle: the naive global-window replay of the same
     // integer pointer arithmetic (engine side is bucketed — same line).
