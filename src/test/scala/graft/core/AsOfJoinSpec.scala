@@ -60,6 +60,17 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out.filter(col("asof_ts").isNull).count() == 2)
   }
 
+  test("plan shape: exactly ONE Exchange — the key partition, nothing else") {
+    val left = Seq((1L, 10L)).toDF("k", "ts")
+    val right = Seq((1L, 5L, "a")).toDF("k", "ts", "rv")
+    val plan = AsOfJoin.asOfJoin(left, right, "k", "ts", "ts", Seq("rv"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "(?m)^\\s*[+:*-]*\\s*Exchange ".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected the single key shuffle, got $exchanges:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"as-of must not plan a join:\n$plan")
+  }
+
   test("result is invariant under input partitioning") {
     val left = Tables(spark, dir, "events")
       .withColumn("ts_us", expr("ts_ns div 1000"))

@@ -38,6 +38,15 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("plan shape: an equi hash join on the cell, never a nested loop") {
+    val plan = RangeJoin.pointInInterval(points, "p", intervals, "lo", "hi", 7L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"range join must stay an equi join on the grid cell:\n$plan")
+    assert(plan.contains("HashJoin"), s"expected a hash join:\n$plan")
+  }
+
   test("events-vs-derived-windows matches inequality join at sf0.001") {
     val e = Tables(spark, dir, "events")
       .select(expr("ts_ns div 1000").as("ts_us"), col("event_id"))
