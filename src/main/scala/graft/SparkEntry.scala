@@ -4118,6 +4118,26 @@ object SparkEntry {
         docs.filter(col("doc_id") % 97 === 0), iters = 8)
     }),
 
+    // COMMUNITIES (llm.Graphs.labelPropagation): deterministic
+    // synchronous LPA over the undirected doc link graph — most-frequent
+    // neighbour label, smallest-label tie-break, 4 supersteps; the
+    // "template family / mirror farm" clustering signal.
+    "llm_communities" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.agg(count(lit(1)).as("__n"))
+      val base = docs.crossJoin(broadcast(n))
+      val edges = base
+        .select(col("doc_id").as("src"),
+          expr("(doc_id * 7 + 3) % __n").as("dst"))
+        .unionByName(base.select(col("doc_id").as("src"),
+          expr("(doc_id * 13 + 5) % __n").as("dst")))
+        .unionByName(base.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id").as("src"),
+            expr("(doc_id * 3 + 1) % __n").as("dst")))
+      llm.Graphs.labelPropagation(docs, "doc_id", edges, "src", "dst",
+        iters = 4)
+    }),
+
     // SEED DISTANCE (llm.Graphs.bfsDistance): multi-source BFS hop
     // count from the trusted frontier, capped at 4 — the "how far from
     // a whitelisted page" crawl-curation signal; unreached nodes are
@@ -8030,6 +8050,11 @@ object SparkEntry {
     // frontier join + min fold each.
     "llm_seed_distance" -> seedDistanceOracle(4),
 
+    // llm_communities oracle: 4 synchronous LPA supersteps as generated
+    // CTEs — neighbour-label counts, (cnt DESC, label ASC) top-1 via
+    // QUALIFY, isolated nodes carried by the left join.
+    "llm_communities" -> lpaOracle(4),
+
     // s2d_stream_join oracle: the batch inequality join the watermarked
     // stream-stream join must equal (30-min inclusive lookback).
     "s2d_stream_join" ->
@@ -8291,6 +8316,31 @@ object SparkEntry {
        |r0 AS (SELECT doc_id, CAST(1000000000 AS BIGINT) AS rank_ppb FROM documents),
        |$steps
        |SELECT doc_id, rank_ppb FROM r$iters""".stripMargin
+  }
+
+  /** DuckDB replay of [[llm.Graphs.labelPropagation]]: symmetrized
+    * edges, then one CTE per superstep — (node, label) counts, top-1 by
+    * (cnt DESC, label ASC), isolated nodes keep their label.
+    */
+  private def lpaOracle(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""c$k AS (SELECT s.u AS doc_id, p.community, count(*) AS cnt
+         |  FROM sym s JOIN l${k - 1} p ON s.v = p.doc_id
+         |  GROUP BY s.u, p.community),
+         |p$k AS (SELECT doc_id, community FROM c$k
+         |  QUALIFY row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY cnt DESC, community ASC) = 1),
+         |l$k AS MATERIALIZED (SELECT p.doc_id,
+         |    CAST(COALESCE(pk.community, p.community) AS BIGINT) AS community
+         |  FROM l${k - 1} p LEFT JOIN p$k pk ON p.doc_id = pk.doc_id)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphCtes,
+       |sym AS MATERIALIZED (SELECT src AS u, dst AS v FROM e
+       |  UNION ALL SELECT dst AS u, src AS v FROM e),
+       |l0 AS (SELECT doc_id, CAST(doc_id AS BIGINT) AS community FROM documents),
+       |$steps
+       |SELECT doc_id, community FROM l$iters""".stripMargin
   }
 
   /** DuckDB replay of [[llm.Graphs.bfsDistance]]: each superstep is the

@@ -98,6 +98,53 @@ object Graphs {
     ranks
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) for community
+    * detection — the cheap "which pages cluster together" signal
+    * (mirror farms, template families) next to the dedup components.
+    * Each superstep every node adopts the most frequent label among its
+    * UNDIRECTED neighbours, ties broken by the SMALLEST label — the
+    * deterministic synchronous variant (classic LPA tie-breaks
+    * randomly; random is exactly what an oracle-checked engine cannot
+    * do). Isolated nodes keep their own label. A fixed iteration count
+    * rather than convergence detection: sync LPA can oscillate on
+    * bipartite structures, so bounded supersteps are the production
+    * form anyway.
+    *
+    * Scale: one superstep = the symmetrized-edge join against current
+    * labels, a (node, label) partial-agg count, and a per-node top-1
+    * window keyed on the high-cardinality node id; lineage truncates
+    * per superstep like the other iterative operators.
+    */
+  def labelPropagation(nodes: DataFrame, idCol: String, edges: DataFrame,
+      srcCol: String, dstCol: String, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(iters >= 1, "iters must be >= 1")
+    val sym = edges.select(col(srcCol).as("__u"), col(dstCol).as("__v"))
+      .unionByName(edges.select(col(dstCol).as("__u"), col(srcCol).as("__v")))
+      .localCheckpoint()
+    var labels = nodes.select(col(idCol), col(idCol).cast("long").as("community"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val counts = sym
+        .join(labels, sym("__v") === labels(idCol))
+        .groupBy(col("__u"), col("community"))
+        .agg(count(lit(1)).as("__cnt"))
+      val w = Window.partitionBy(col("__u"))
+        .orderBy(col("__cnt").desc, col("community").asc)
+      val picked = counts
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("__u"), col("community").as("__new"))
+      val base = labels
+      labels = base
+        .join(picked, base(idCol) === picked("__u"), "left")
+        .select(col(idCol),
+          coalesce(col("__new"), col("community")).as("community"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   /** Multi-source BFS: link distance from the nearest seed, capped at
     * `maxDepth` hops — the TrustRank-adjacent "how far from the trusted
     * frontier is this page" curation signal. Returns only REACHED nodes

@@ -67,6 +67,35 @@ class GraphsSpec extends AnyFunSuite {
     assert(d == 1L) // direct edge wins over the 2-hop path
   }
 
+  test("label propagation: disjoint cliques converge to their min label") {
+    val nodes = Seq(0L, 1L, 2L, 10L, 11L, 12L).toDF("id")
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(Seq(0L, 1L, 2L)) ++ clique(Seq(10L, 11L, 12L)))
+      .toDF("src", "dst")
+    val out = Graphs.labelPropagation(nodes, "id", edges, "src", "dst", 4)
+      .orderBy("id").select("community").as[Long].collect().toSeq
+    assert(out == Seq(0L, 0L, 0L, 10L, 10L, 10L))
+  }
+
+  test("label propagation: isolated nodes keep their own label") {
+    val nodes = Seq(0L, 1L, 99L).toDF("id")
+    val edges = Seq((0L, 1L)).toDF("src", "dst")
+    val out = Graphs.labelPropagation(nodes, "id", edges, "src", "dst", 3)
+      .filter(col("id") === 99L).select("community").as[Long].head()
+    assert(out == 99L)
+  }
+
+  test("label propagation is deterministic under repartitioning") {
+    val nodes = (0L until 120L).toDF("id")
+    val edges = nodes.select(col("id").as("src"),
+      ((col("id") * 7 + 3) % 120).as("dst"))
+    val a = Graphs.labelPropagation(nodes, "id", edges, "src", "dst", 3)
+    val b = Graphs.labelPropagation(nodes.repartition(9), "id",
+      edges.repartition(4), "src", "dst", 3)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("ranks are deterministic under repartitioning and duplicate edges") {
     val nodes = (0L until 200L).toDF("id")
     val edges = nodes.select(col("id").as("src"),
