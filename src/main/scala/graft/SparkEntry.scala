@@ -38,6 +38,24 @@ object SparkEntry {
   /** The embeddings corpus in quantized (nid, vq, norm2) form — the input
     * every ANN row starts from.
     */
+  /** The synthetic arithmetic-neighbour doc link graph shared by the
+    * graph-analytics rows (PageRank / TrustRank / communities / seed
+    * distance) — the ENGINE twin of the oracle-side `graphCtes`; any
+    * edge-formula change must land in BOTH or every graph row fails its
+    * oracle.
+    */
+  private def docGraphEdges(docs: DataFrame): DataFrame = {
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val base = docs.crossJoin(broadcast(n))
+    base.select(col("doc_id").as("src"),
+        expr("(doc_id * 7 + 3) % __n").as("dst"))
+      .unionByName(base.select(col("doc_id").as("src"),
+        expr("(doc_id * 13 + 5) % __n").as("dst")))
+      .unionByName(base.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("src"),
+          expr("(doc_id * 3 + 1) % __n").as("dst")))
+  }
+
   private def annCorpus(s: SparkSession, dir: String): DataFrame =
     llm.Ann.withQuantized(t(s, dir, "embeddings"), "embedding")
       .select(col("vec_id").as("nid"), col("vq"), col("norm2"))
@@ -3911,7 +3929,10 @@ object SparkEntry {
         .select(col("event_type"),
           concat(col("user_id").cast("string"), lit("@"),
             expr("ts_us div 86400000000").cast("string")).as("uday"))
+        // three consumers (registers + two exact counts) — checkpoint
+        .localCheckpoint()
       val regs = llm.Sketches.hllRegisters(uday, "event_type", "uday")
+        .localCheckpoint() // consumed by the merge AND the estimate union
       val all = llm.Sketches.hllMerge(regs, "event_type", "__all__")
       val est = llm.Sketches.hllEstimate(regs.unionByName(all), "event_type")
       val exact = uday.groupBy(col("event_type"))
@@ -3928,16 +3949,7 @@ object SparkEntry {
     // as generated materialized CTEs.
     "llm_pagerank" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"))
-      val n = docs.agg(count(lit(1)).as("__n"))
-      val base = docs.crossJoin(broadcast(n))
-      val edges = base
-        .select(col("doc_id").as("src"),
-          expr("(doc_id * 7 + 3) % __n").as("dst"))
-        .unionByName(base.select(col("doc_id").as("src"),
-          expr("(doc_id * 13 + 5) % __n").as("dst")))
-        .unionByName(base.filter(col("doc_id") % 2 === 0)
-          .select(col("doc_id").as("src"),
-            expr("(doc_id * 3 + 1) % __n").as("dst")))
+      val edges = docGraphEdges(docs)
       llm.Graphs.pageRankPpb(docs, "doc_id", edges, "src", "dst", iters = 8)
     }),
 
@@ -3980,6 +3992,7 @@ object SparkEntry {
       val words = t(s, dir, "documents")
         .select(explode(llm.TextOps.words("text")).as("word"))
         .filter(length(col("word")) > 0)
+        .localCheckpoint() // two consumers: the grid and the exact top-20
       val counters = llm.Sketches.countMinCounters(words, "word")
       val probes = words.groupBy(col("word"))
         .agg(count(lit(1)).as("exact_count"))
@@ -3997,6 +4010,7 @@ object SparkEntry {
     "llm_bloom_filter" -> ((s, dir) => {
       val keyed = t(s, dir, "documents")
         .select(col("doc_id"), md5(col("text")).as("ck"))
+        .localCheckpoint() // three consumers: eval slice, probes, output join
       val evalKeys = keyed.filter(col("doc_id") % 100 === 0)
         .select(col("ck")).distinct()
       val bloom = llm.Sketches.bloomBuild(evalKeys, "ck")
@@ -4104,16 +4118,7 @@ object SparkEntry {
     // oracle replays all 8 supersteps with the seed-scaled teleport.
     "llm_trustrank" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"))
-      val n = docs.agg(count(lit(1)).as("__n"))
-      val base = docs.crossJoin(broadcast(n))
-      val edges = base
-        .select(col("doc_id").as("src"),
-          expr("(doc_id * 7 + 3) % __n").as("dst"))
-        .unionByName(base.select(col("doc_id").as("src"),
-          expr("(doc_id * 13 + 5) % __n").as("dst")))
-        .unionByName(base.filter(col("doc_id") % 2 === 0)
-          .select(col("doc_id").as("src"),
-            expr("(doc_id * 3 + 1) % __n").as("dst")))
+      val edges = docGraphEdges(docs)
       llm.Graphs.trustRankPpb(docs, "doc_id", edges, "src", "dst",
         docs.filter(col("doc_id") % 97 === 0), iters = 8)
     }),
@@ -4124,16 +4129,7 @@ object SparkEntry {
     // "template family / mirror farm" clustering signal.
     "llm_communities" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"))
-      val n = docs.agg(count(lit(1)).as("__n"))
-      val base = docs.crossJoin(broadcast(n))
-      val edges = base
-        .select(col("doc_id").as("src"),
-          expr("(doc_id * 7 + 3) % __n").as("dst"))
-        .unionByName(base.select(col("doc_id").as("src"),
-          expr("(doc_id * 13 + 5) % __n").as("dst")))
-        .unionByName(base.filter(col("doc_id") % 2 === 0)
-          .select(col("doc_id").as("src"),
-            expr("(doc_id * 3 + 1) % __n").as("dst")))
+      val edges = docGraphEdges(docs)
       llm.Graphs.labelPropagation(docs, "doc_id", edges, "src", "dst",
         iters = 4)
     }),
@@ -4144,16 +4140,7 @@ object SparkEntry {
     // absent, min over equal paths is order-free.
     "llm_seed_distance" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"))
-      val n = docs.agg(count(lit(1)).as("__n"))
-      val base = docs.crossJoin(broadcast(n))
-      val edges = base
-        .select(col("doc_id").as("src"),
-          expr("(doc_id * 7 + 3) % __n").as("dst"))
-        .unionByName(base.select(col("doc_id").as("src"),
-          expr("(doc_id * 13 + 5) % __n").as("dst")))
-        .unionByName(base.filter(col("doc_id") % 2 === 0)
-          .select(col("doc_id").as("src"),
-            expr("(doc_id * 3 + 1) % __n").as("dst")))
+      val edges = docGraphEdges(docs)
       llm.Graphs.bfsDistance(edges, "src", "dst",
         docs.filter(col("doc_id") % 97 === 0), "doc_id", maxDepth = 4)
     }),

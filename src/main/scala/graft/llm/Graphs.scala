@@ -52,11 +52,13 @@ object Graphs {
   def trustRankPpb(nodes: DataFrame, idCol: String, edges: DataFrame,
       srcCol: String, dstCol: String, seeds: DataFrame,
       iters: Int): DataFrame = {
+    // S counts DISTINCT seeds — a duplicated seed row must not shrink
+    // every seed's teleport share
+    val seedIds = seeds.select(col(idCol)).distinct().localCheckpoint()
     val counts = nodes.agg(count(lit(1)).as("__n"))
-      .crossJoin(seeds.agg(count(lit(1)).as("__s")))
+      .crossJoin(seedIds.agg(count(lit(1)).as("__s")))
     val seeded = nodes
-      .join(seeds.select(col(idCol)).distinct()
-        .withColumn("__isSeed", lit(true)), Seq(idCol), "left")
+      .join(seedIds.withColumn("__isSeed", lit(true)), Seq(idCol), "left")
       .crossJoin(broadcast(counts))
       .select(col(idCol),
         when(col("__isSeed"),

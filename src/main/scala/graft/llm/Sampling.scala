@@ -387,6 +387,9 @@ object Sampling {
     val cum = withW.join(broadcast(offsets), Seq("__b"))
       .withColumn("__end", col("__off") + sum(col("weight")).over(w))
       .withColumn("__start", col("__end") - col("weight"))
+      // two consumers (the W total and the final projection) would each
+      // re-run the scan + both window passes
+      .localCheckpoint()
     val tot = cum.agg(max(col("__end")).as("__tw"))
       .withColumn("__offp",
         TextOps.h64c(lit(salt)) % greatest(expr(s"__tw div $n"), lit(1L)))

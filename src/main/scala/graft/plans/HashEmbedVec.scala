@@ -20,7 +20,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * arithmetic, so the DuckDB oracle still matches bit-for-bit, and the
   * projection stays inside whole-stage codegen at parquet-scan speed.
   * An empty token array embeds to the zero vector (norm² = 0), same as
-  * the folded form.
+  * the folded form. NULL handling is STRICTER than the folded form: a
+  * NULL element nulls the whole result (the folded transform/aggregate
+  * would yield per-component NULLs) — hashEmbed's `hs` is built by
+  * `transform` over non-null tokens and can never contain NULLs, so
+  * the difference is unobservable from the public operator.
   */
 case class HashEmbedVec(child: Expression, dim: Int)
     extends UnaryExpression {

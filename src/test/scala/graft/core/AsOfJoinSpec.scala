@@ -60,6 +60,19 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out.filter(col("asof_ts").isNull).count() == 2)
   }
 
+  test("NULL keys never match — SQL equi-join semantics, both sides") {
+    val left = Seq((Option(1L), 10L), (Option.empty[Long], 10L))
+      .toDF("k", "ts")
+    val right = Seq((Option(1L), 5L, "a"), (Option.empty[Long], 5L, "ghost"))
+      .toDF("k", "ts", "rv")
+    val out = AsOfJoin.asOfJoin(left, right, "k", "ts", "ts", Seq("rv"))
+    assert(out.count() == 2) // left-join: the NULL-key left row survives
+    val nullRow = out.filter(col("k").isNull)
+    assert(nullRow.filter(col("rv").isNotNull).count() == 0,
+      "a NULL-key left row must not receive the NULL-key right payload")
+    assert(out.filter(col("k") === 1L).select("rv").as[String].head() == "a")
+  }
+
   test("plan shape: exactly ONE Exchange — the key partition, nothing else") {
     val left = Seq((1L, 10L)).toDF("k", "ts")
     val right = Seq((1L, 5L, "a")).toDF("k", "ts", "rv")

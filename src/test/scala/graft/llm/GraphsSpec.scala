@@ -67,6 +67,16 @@ class GraphsSpec extends AnyFunSuite {
     assert(d == 1L) // direct edge wins over the 2-hop path
   }
 
+  test("trustrank: duplicated seed rows don't shrink the teleport share") {
+    val nodes = Seq(0L, 1L).toDF("id")
+    val edges = Seq((0L, 1L), (1L, 0L)).toDF("src", "dst")
+    val once = Graphs.trustRankPpb(nodes, "id", edges, "src", "dst",
+      Seq(0L).toDF("id"), 3)
+    val dup = Graphs.trustRankPpb(nodes, "id", edges, "src", "dst",
+      Seq(0L, 0L, 0L).toDF("id"), 3)
+    assert(once.exceptAll(dup).isEmpty && dup.exceptAll(once).isEmpty)
+  }
+
   test("label propagation: disjoint cliques converge to their min label") {
     val nodes = Seq(0L, 1L, 2L, 10L, 11L, 12L).toDF("id")
     def clique(ids: Seq[Long]) =
