@@ -59,7 +59,8 @@ object Bench {
     "llm_trustrank", "llm_seed_distance", "llm_pps_sample",
     "llm_domain_similarity", "llm_communities",
     "s2_stream_agg", "s2b_stream_state", "s2c_stream_sessions",
-    "s2d_stream_join", "s2e_stream_dedup_wm", "s2f_stream_enrich")
+    "s2d_stream_join", "s2e_stream_dedup_wm", "s2f_stream_enrich",
+    "s2g_stream_hll")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

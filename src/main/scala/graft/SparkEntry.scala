@@ -4198,6 +4198,36 @@ object SparkEntry {
       s.table("s2f_stream_enrich_out")
     }),
 
+    // S2g — STREAMING HLL SKETCH: per-event-type daily-active-user
+    // cardinality as mapGroupsWithState with 512-byte CONSTANT state
+    // per key (exact streaming distinct grows state forever — the
+    // sketch is the production shape). Same register algebra as the
+    // batch row; the min(register_sum) fold picks the final sketch
+    // across any micro-batching.
+    "s2g_stream_hll" -> ((s, dir) => {
+      import s.implicits._
+      val stream = Tables.eventsStream(s, dir)
+        .select(col("event_type"),
+          concat(col("user_id").cast("string"), lit("@"),
+            expr("ts_us div 86400000000").cast("string")).as("uday"))
+        .as[(String, String)]
+      val q = streaming.StreamOps.hllPerKey(stream)
+        .writeStream.format("memory").queryName("s2g_stream_hll_out")
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      s.table("s2g_stream_hll_out")
+        .groupBy(col("key").as("event_type"))
+        .agg(min(struct(col("register_sum"), col("n_occupied"))).as("m"))
+        .select(col("event_type"), col("m.n_occupied").as("n_occupied"),
+          col("m.register_sum").as("register_sum"))
+        .withColumn("hll_estimate",
+          lit(0.7213) / (lit(1.0) + lit(1.079) / lit(512.0)) *
+            lit(262144.0) * lit(4503599627370496.0) /
+            col("register_sum").cast("double"))
+    }),
+
     // SYSTEMATIC PPS SAMPLE (Sampling.ppsSample): exactly-50-pointer
     // weight-proportional sample over the token-count line — bucketed
     // cumsum (no global window), pointer hits counted by inverting the
@@ -8206,6 +8236,30 @@ object SparkEntry {
         |  CAST(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 5
         |    WHEN 'purchase' THEN 20 WHEN 'signup' THEN 2 ELSE 0 END AS BIGINT) AS weight
         |FROM events""".stripMargin,
+
+    // s2g_stream_hll oracle: the batch HLL replay per event type — the
+    // streaming registers must land bit-identical.
+    "s2g_stream_hll" ->
+      """WITH ud AS (SELECT event_type,
+        |    CAST(user_id AS VARCHAR) || '@' || CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS uday
+        |  FROM events),
+        |h AS (SELECT event_type, CAST(('0x' || substr(md5(uday), 1, 15)) AS BIGINT) AS h FROM ud),
+        |b AS (SELECT event_type, h >> 51 AS bucket, h % 2251799813685248 AS rem FROM h),
+        |rk AS (SELECT event_type, bucket,
+        |  CASE WHEN rem = 0 THEN 52 ELSE 52 - length(bin(rem)) END AS rnk FROM b),
+        |regs AS (SELECT event_type, bucket, CAST(max(rnk) AS BIGINT) AS reg
+        |  FROM rk GROUP BY event_type, bucket),
+        |est AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_occupied,
+        |    sum(CAST(1 AS BIGINT) << CAST(52 - reg AS INT)) AS occ_sum
+        |  FROM regs GROUP BY event_type),
+        |fin AS (SELECT event_type, n_occupied,
+        |  CAST(occ_sum + (512 - n_occupied) * 4503599627370496 AS BIGINT) AS register_sum
+        |  FROM est)
+        |SELECT event_type, n_occupied, register_sum,
+        |  CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(512.0 AS DOUBLE))
+        |    * CAST(262144.0 AS DOUBLE) * CAST(4503599627370496.0 AS DOUBLE)
+        |    / CAST(register_sum AS DOUBLE) AS hll_estimate
+        |FROM fin""".stripMargin,
 
     // llm_pps_sample oracle: the naive global-window replay of the same
     // integer pointer arithmetic (engine side is bucketed — same line).

@@ -147,6 +147,56 @@ object StreamOps {
       }
   }
 
+  case class HllSketchRow(key: String, n_occupied: Long, register_sum: Long)
+
+  /** Streaming HLL distinct sketch per key — the sketch family meeting
+    * stateful streaming: each key's state is its 512 one-byte registers
+    * (CONSTANT per key regardless of stream length — the whole point;
+    * exact streaming distinct would grow state with every new value),
+    * updated per micro-batch with the SAME md5→60-bit split as the
+    * batch [[graft.llm.Sketches]] (top 9 bits bucket, rank =
+    * 52 − bitlen of the low 51), so the streaming registers are
+    * bit-identical to the batch ones on the same data — spec-pinned.
+    *
+    * Emits the running (n_occupied, register_sum) per (key, batch) in
+    * update mode; `register_sum` strictly DECREASES whenever any
+    * register rises, so the final sketch is the row-wise
+    * min(register_sum) per key — equal sums imply identical states,
+    * making the fold deterministic across any micro-batching.
+    */
+  def hllPerKey(input: Dataset[(String, String)]): Dataset[HllSketchRow] = {
+    import input.sparkSession.implicits._
+    input.groupByKey(_._1)
+      .mapGroupsWithState[Array[Byte], HllSketchRow](
+        GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[Array[Byte]]) =>
+          val regs = state.getOption.getOrElse(new Array[Byte](512))
+          val md = java.security.MessageDigest.getInstance("MD5")
+          rows.foreach { case (_, v) =>
+            md.reset()
+            val hex = md.digest(v.getBytes("UTF-8"))
+              .map(b => f"$b%02x").mkString.substring(0, 15)
+            val h = java.lang.Long.parseLong(hex, 16) // 60-bit positive
+            val bucket = (h >>> 51).toInt
+            val rem = h & ((1L << 51) - 1)
+            val rank =
+              if (rem == 0L) 52
+              else 52 - (64 - java.lang.Long.numberOfLeadingZeros(rem))
+            if (rank > regs(bucket)) regs(bucket) = rank.toByte
+          }
+          state.update(regs)
+          var occ = 0L
+          var sum = 0L
+          var i = 0
+          while (i < 512) {
+            if (regs(i) > 0) occ += 1
+            sum += 1L << (52 - regs(i))
+            i += 1
+          }
+          HllSketchRow(key, occ, sum)
+      }
+  }
+
   /** Expiry timestamp for a key whose FIRST event was at `firstTsMicros`:
     * event-time ms + ttl, with a SATURATING add — a sentinel-large ttlMs
     * (a caller's "never expire") must not overflow to a negative target,

@@ -287,6 +287,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(k1 == Set("first", "reborn")) // dup suppressed, retirement re-opens
   }
 
+  test("streaming HLL registers are bit-identical to the batch sketch") {
+    val dir = Files.createTempDirectory("graft-hll").toString
+    // two micro-batches with overlapping values — the union must match
+    // the batch registers over all values
+    Files.writeString(java.nio.file.Paths.get(dir, "a.tsv"),
+      "k\tv\n" + (0 until 400).map(i => s"a\tv$i").mkString("\n") + "\n")
+    Thread.sleep(20)
+    Files.writeString(java.nio.file.Paths.get(dir, "b.tsv"),
+      "k\tv\n" + (200 until 700).map(i => s"a\tv$i").mkString("\n") + "\n")
+    val schema = StructType.fromDDL("k STRING, v STRING")
+    val input = spark.readStream.schema(schema)
+      .option("sep", "\t").option("header", true)
+      .option("maxFilesPerTrigger", 1)
+      .csv(dir).as[(String, String)]
+    val q = StreamOps.hllPerKey(input)
+      .writeStream.format("memory").queryName("s2g_spec")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    // final sketch per key = min register_sum (monotone as registers fill)
+    val got = spark.table("s2g_spec")
+      .groupBy(col("key"))
+      .agg(org.apache.spark.sql.functions.min(
+        org.apache.spark.sql.functions.struct(col("register_sum"),
+          col("n_occupied"))).as("m"))
+      .select(col("m.register_sum"), col("m.n_occupied"))
+      .as[(Long, Long)].head()
+    val batch = graft.llm.Sketches.hllEstimate(
+      graft.llm.Sketches.hllRegisters(
+        (0 until 700).map(i => ("a", s"v$i")).toDF("k", "v"), "k", "v"), "k")
+      .select(col("register_sum"), col("n_occupied"))
+      .as[(Long, Long)].head()
+    assert(got == batch)
+  }
+
   test("lookback filter keeps only recent rows") {
     val df = Seq(("2026-01-10 00:00:00", 1L), ("2026-01-01 00:00:00", 2L))
       .toDF("ts_s", "id").withColumn("ts", col("ts_s").cast("timestamp"))
