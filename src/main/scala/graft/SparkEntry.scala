@@ -4184,11 +4184,14 @@ object SparkEntry {
       import s.implicits._
       val dim = Seq(("view", 1L), ("click", 5L), ("purchase", 20L),
         ("signup", 2L), ("error", 0L)).toDF("event_type", "weight")
+      // LEFT join + coalesce(0): an out-of-dim (or NULL) event type
+      // keeps its row with weight 0 — the oracle's CASE ... ELSE 0
+      // semantics, not a silent drop
       val enriched = Tables.eventsStream(s, dir)
         .select(col("event_id"), col("event_type"), col("user_id"))
-        .join(broadcast(dim), Seq("event_type"))
+        .join(broadcast(dim), Seq("event_type"), "left")
         .select(col("event_id"), col("event_type"), col("user_id"),
-          col("weight"))
+          coalesce(col("weight"), lit(0L)).as("weight"))
       val q = enriched.writeStream.format("memory")
         .queryName("s2f_stream_enrich_out")
         .outputMode("append")
@@ -8310,14 +8313,7 @@ object SparkEntry {
          |    JOIN d ON d.src = e.src
          |    GROUP BY e.dst) s ON doc.doc_id = s.dst)""".stripMargin
     }.mkString(",\n")
-    s"""WITH nn AS (SELECT count(*) AS n FROM documents),
-       |e AS MATERIALIZED (
-       |  SELECT doc_id AS src, (doc_id * 7 + 3) % nn.n AS dst FROM documents, nn
-       |  UNION ALL
-       |  SELECT doc_id AS src, (doc_id * 13 + 5) % nn.n AS dst FROM documents, nn
-       |  UNION ALL
-       |  SELECT doc_id AS src, (doc_id * 3 + 1) % nn.n AS dst FROM documents, nn
-       |    WHERE doc_id % 2 = 0),
+    s"""WITH $graphCtes,
        |d AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
        |r0 AS (SELECT doc_id, CAST(1000000000 AS BIGINT) AS rank_ppb FROM documents),
        |$steps

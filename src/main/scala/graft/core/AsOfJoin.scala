@@ -54,12 +54,13 @@ object AsOfJoin {
       strict: Boolean = false): DataFrame = {
     val leftCols = left.columns.toSeq
     val (rightSide, leftSide) = if (strict) (1, 0) else (0, 1)
-    // NULL-key right rows can never match (SQL equi-join semantics —
-    // the per-key window would otherwise group NULL with NULL and hand
-    // a NULL-key left row a payload DuckDB's ASOF JOIN denies it);
-    // NULL-key LEFT rows stay, unmatched, via their own null partition
+    // NULL-key and NULL-timestamp right rows can never match (SQL
+    // semantics: NULL = NULL and NULL >= ts are both unknown — the
+    // per-key window would otherwise group NULLs together / sort a
+    // NULL-ts right FIRST and hand out a payload DuckDB's ASOF JOIN
+    // denies); NULL-key/ts LEFT rows stay, unmatched (left join)
     val taggedRight = right
-      .filter(col(key).isNotNull)
+      .filter(col(key).isNotNull && col(rightTs).isNotNull)
       .select(col(key), col(rightTs).cast("long").as("__ts"),
         struct((col(rightTs).cast("long").as("asof_ts") +:
           payloadCols.map(col)): _*).as("__p"))

@@ -1282,25 +1282,6 @@ object TextOps {
       .withColumn("kept", col("domain_rank").isNotNull)
   }
 
-  /** PMI collocation mining: top-`topK` adjacent word pairs by pointwise
-    * mutual information — the "new york"/"machine learning" detector a
-    * tokenizer-vocabulary or phrase-mining pass feeds on.
-    *
-    * Determinism: PMI's log never appears — the ranking uses the RAW
-    * micro-quantized ratio `(c12 · N · 10^6) div (c1 · c2)` (N = total
-    * words), a monotone transform of PMI, so the cut is exact integer
-    * arithmetic in both engines (the tfidf rational-idf move). Domain
-    * bound: the numerator overflows past c12·N > ~9·10^12·10^6 — fine to
-    * ~3·10^6-word corpora per partition-local census; a 100 TB run
-    * scales the same formula to ppb with a split multiply, documented
-    * here rather than silently drifting through doubles.
-    *
-    * Scale: bigrams via the position-explode idiom (whole-stage codegen,
-    * never an interpreted transform lambda); pairs below `minCount`
-    * prune BEFORE the unigram joins (the long tail is ~all distinct
-    * pairs); unigram counts derive once and broadcast-join when small;
-    * the final top-k is a TakeOrderedAndProject, never a global sort.
-    */
   /** EXACT set-similarity join via prefix filtering (Bayardo et al.
     * 2007, "Scaling up all pairs similarity search"): all document
     * pairs with shingle-set Jaccard ≥ tNum/tDen — deterministically ALL
@@ -1385,6 +1366,25 @@ object TextOps {
           .as("jaccard"))
   }
 
+  /** PMI collocation mining: top-`topK` adjacent word pairs by pointwise
+    * mutual information — the "new york"/"machine learning" detector a
+    * tokenizer-vocabulary or phrase-mining pass feeds on.
+    *
+    * Determinism: PMI's log never appears — the ranking uses the RAW
+    * micro-quantized ratio `(c12 · N · 10^6) div (c1 · c2)` (N = total
+    * words), a monotone transform of PMI, so the cut is exact integer
+    * arithmetic in both engines (the tfidf rational-idf move). Domain
+    * bound: the numerator overflows past c12·N > ~9·10^12·10^6 — fine to
+    * ~3·10^6-word corpora per partition-local census; a 100 TB run
+    * scales the same formula to ppb with a split multiply, documented
+    * here rather than silently drifting through doubles.
+    *
+    * Scale: bigrams via the position-explode idiom (whole-stage codegen,
+    * never an interpreted transform lambda); pairs below `minCount`
+    * prune BEFORE the unigram joins (the long tail is ~all distinct
+    * pairs); unigram counts derive once and broadcast-join when small;
+    * the final top-k is a TakeOrderedAndProject, never a global sort.
+    */
   def pmiCollocations(df: DataFrame, idCol: String, textCol: String,
       minCount: Long, topK: Int): DataFrame = {
     val toks = df.select(col(idCol).as("id"), words(textCol).as("ws"))
