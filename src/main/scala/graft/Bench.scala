@@ -56,7 +56,7 @@ object Bench {
     "llm_heavy_hitters", "llm_bloom_filter", "llm_pmi_pairs",
     "llm_event_transitions", "llm_feature_snapshot",
     "llm_set_join", "llm_decayed_score",
-    "llm_trustrank", "llm_seed_distance", "llm_pps_sample",
+    "llm_trustrank", "llm_seed_distance", "llm_pps_sample", "llm_pps_estimate",
     "llm_domain_similarity", "llm_communities",
     "s2_stream_agg", "s2b_stream_state", "s2c_stream_sessions",
     "s2d_stream_join", "s2e_stream_dedup_wm", "s2f_stream_enrich",

@@ -4243,6 +4243,31 @@ object SparkEntry {
         "doc_id", "w0", n = 50L, salt = "pps:r8")
     }),
 
+    // PPS → HORVITZ-THOMPSON ESTIMATE: why weighted sampling exists —
+    // estimate the corpus's TOTAL CHARACTERS from the 50-pointer PPS
+    // sample: Ŷ = (W/n)·Σ n_hits·(y/w), all micro-quantized integer
+    // arithmetic (per-doc quotient truncates identically in both
+    // engines). ratio_micro audits the estimator against the exact sum.
+    "llm_pps_estimate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("w0", size(split(lower(col("text")), " ")).cast("long"))
+        .withColumn("chars", length(col("text")).cast("long"))
+        .localCheckpoint() // three consumers: sample, totals, chars join
+      val samp = llm.Sampling.ppsSample(docs, "doc_id", "w0",
+        n = 50L, salt = "pps:r8")
+      val tot = docs.agg(sum(col("w0")).as("__tw"),
+        sum(col("chars")).as("exact_total_chars"))
+      samp.join(docs.select(col("doc_id"), col("chars")), Seq("doc_id"))
+        .agg(sum(expr("n_hits * ((chars * 1000000) div weight)")).as("__c"),
+          sum(col("n_hits")).as("n_sampled"))
+        .crossJoin(broadcast(tot))
+        .select(col("n_sampled"),
+          expr("(__tw * __c) div (50 * 1000000)").as("est_total_chars"),
+          col("exact_total_chars"))
+        .withColumn("ratio_micro",
+          expr("(est_total_chars * 1000000) div exact_total_chars"))
+    }),
+
     // RECENCY-DECAYED ACTIVITY SCORE: per-user Σ 2^(30 − age_days) over
     // a 30-day horizon — exponential decay in EXACT shifted integers
     // (power-of-two half-life, no float pow), map-side partial agg.
@@ -8286,6 +8311,36 @@ object SparkEntry {
         |  FROM m)
         |SELECT doc_id, weight, CAST(n_hits AS BIGINT) AS n_hits,
         |  n_hits > 0 AS selected FROM hh""".stripMargin,
+
+    // llm_pps_estimate oracle: the pps replay + the same micro-quantized
+    // Horvitz-Thompson estimator.
+    "llm_pps_estimate" ->
+      """WITH d0 AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS weight,
+        |    CAST(length(text) AS BIGINT) AS chars
+        |  FROM documents),
+        |d AS (SELECT * FROM d0 WHERE weight > 0),
+        |c AS (SELECT doc_id, weight, chars,
+        |    sum(weight) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS e FROM d),
+        |tw AS (SELECT CAST(sum(weight) AS BIGINT) AS w,
+        |    CAST(sum(chars) AS BIGINT) AS exact_total_chars FROM d),
+        |op AS (SELECT CAST(('0x' || substr(md5('pps:r8'), 1, 15)) AS BIGINT)
+        |    % greatest(tw.w // 50, 1) AS o, tw.w AS w FROM tw),
+        |m AS (SELECT c.doc_id, c.weight, c.chars, greatest(c.e - c.weight - op.o, 0) AS x,
+        |    c.e - op.o AS y, op.w AS w FROM c, op),
+        |hh AS (SELECT doc_id, weight, chars,
+        |    CASE WHEN y <= 0 THEN 0
+        |      ELSE greatest(least((y * 50 + w - 1) // w - 1, 49)
+        |        - ((x * 50 + w - 1) // w) + 1, 0) END AS n_hits
+        |  FROM m),
+        |agg AS (SELECT CAST(sum(n_hits * ((chars * 1000000) // weight)) AS BIGINT) AS c,
+        |    CAST(sum(n_hits) AS BIGINT) AS n_sampled FROM hh)
+        |SELECT agg.n_sampled,
+        |  CAST((tw.w * agg.c) // (50 * 1000000) AS BIGINT) AS est_total_chars,
+        |  tw.exact_total_chars,
+        |  CAST(((tw.w * agg.c) // (50 * 1000000)) * 1000000 // tw.exact_total_chars AS BIGINT) AS ratio_micro
+        |FROM agg, tw""".stripMargin,
 
     // llm_decayed_score oracle: identical shifted-integer decay.
     "llm_decayed_score" ->
