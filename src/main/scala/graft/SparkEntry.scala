@@ -4243,6 +4243,43 @@ object SparkEntry {
         "doc_id", "w0", n = 50L, salt = "pps:r8")
     }),
 
+    // S2h — STREAMING COUNT-MIN: the frequency sibling of the streaming
+    // HLL — (j, slot) computed column-side with the batch hash family,
+    // per-depth 1024-counter state rows, max-fold across emissions; the
+    // final grid is probed with the exact top-20 user-days. Streamed
+    // counters are bit-identical to batch ones, so estimates stay
+    // one-sided.
+    "s2h_stream_cm" -> ((s, dir) => {
+      import s.implicits._
+      val stream = Tables.eventsStream(s, dir)
+        .select(concat(col("user_id").cast("string"), lit("@"),
+          expr("ts_us div 86400000000").cast("string")).as("uday"))
+        .select(col("uday"), explode(array((0 until 4).map(lit): _*)).as("j"))
+        .select(col("j"),
+          (llm.TextOps.h64c(concat(col("j").cast("string"), lit(":"),
+            col("uday"))) % 1024L).as("slot"))
+        .as[(Int, Long)]
+      val q = streaming.StreamOps.countMinRows(stream)
+        .writeStream.format("memory").queryName("s2h_stream_cm_out")
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      // counters only grow → max per (j, slot) is the final grid
+      val counters = s.table("s2h_stream_cm_out")
+        .groupBy(col("j"), col("slot")).agg(max(col("cnt")).as("cnt"))
+      val uday = t(s, dir, "events")
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .select(concat(col("user_id").cast("string"), lit("@"),
+          expr("ts_us div 86400000000").cast("string")).as("uday"))
+      val probes = uday.groupBy(col("uday"))
+        .agg(count(lit(1)).as("exact_count"))
+        .orderBy(col("exact_count").desc, col("uday")).limit(20)
+      llm.Sketches.countMinLookup(counters, probes.select(col("uday")), "uday")
+        .join(probes, Seq("uday"))
+        .withColumn("overcount", col("cm_estimate") - col("exact_count"))
+    }),
+
     // PPS → HORVITZ-THOMPSON ESTIMATE: why weighted sampling exists —
     // estimate the corpus's TOTAL CHARACTERS from the 50-pointer PPS
     // sample: Ŷ = (W/n)·Σ n_hits·(y/w), all micro-quantized integer
@@ -8311,6 +8348,29 @@ object SparkEntry {
         |  FROM m)
         |SELECT doc_id, weight, CAST(n_hits AS BIGINT) AS n_hits,
         |  n_hits > 0 AS selected FROM hh""".stripMargin,
+
+    // s2h_stream_cm oracle: the batch count-min replay over user-days —
+    // the streamed grid must land bit-identical.
+    "s2h_stream_cm" ->
+      """WITH ud AS (SELECT CAST(user_id AS VARCHAR) || '@' || CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS uday
+        |  FROM events),
+        |cnt AS (SELECT uday, CAST(count(*) AS BIGINT) AS exact_count FROM ud GROUP BY uday),
+        |probe AS (SELECT uday, exact_count FROM cnt
+        |  ORDER BY exact_count DESC, uday LIMIT 20),
+        |grid AS (SELECT g.j,
+        |    CAST(('0x' || substr(md5(CAST(g.j AS VARCHAR) || ':' || ud.uday), 1, 15)) AS BIGINT) % 1024 AS slot
+        |  FROM ud, generate_series(0, 3) g(j)),
+        |counters AS (SELECT j, slot, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM grid GROUP BY j, slot),
+        |pl AS (SELECT p.uday, p.exact_count, g.j,
+        |    CAST(('0x' || substr(md5(CAST(g.j AS VARCHAR) || ':' || p.uday), 1, 15)) AS BIGINT) % 1024 AS slot
+        |  FROM probe p, generate_series(0, 3) g(j)),
+        |est AS (SELECT pl.uday, pl.exact_count,
+        |    CAST(min(COALESCE(c.cnt, 0)) AS BIGINT) AS cm_estimate
+        |  FROM pl LEFT JOIN counters c ON pl.j = c.j AND pl.slot = c.slot
+        |  GROUP BY pl.uday, pl.exact_count)
+        |SELECT uday, cm_estimate, exact_count,
+        |  cm_estimate - exact_count AS overcount FROM est""".stripMargin,
 
     // llm_pps_estimate oracle: the pps replay + the same micro-quantized
     // Horvitz-Thompson estimator.

@@ -197,6 +197,36 @@ object StreamOps {
       }
   }
 
+  case class CmSlot(j: Int, slot: Long, cnt: Long)
+
+  /** Streaming count-min counters — the frequency sibling of
+    * [[hllPerKey]]: state is one 1024-long counter row per DEPTH key
+    * (the grid's j), so total state is the fixed d×w grid however long
+    * the stream runs. The caller computes (j, slot) COLUMN-side with
+    * the same md5 family as the batch [[graft.llm.Sketches]], so the
+    * streamed grid is bit-identical to the batch one on the same data.
+    * Emits occupied slots per (depth, batch) in update mode; counters
+    * only GROW, so max(cnt) per (j, slot) across emissions is the final
+    * grid under any micro-batching.
+    */
+  def countMinRows(input: Dataset[(Int, Long)]): Dataset[CmSlot] = {
+    import input.sparkSession.implicits._
+    input.groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Long], CmSlot](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (j, rows, state: GroupState[Array[Long]]) =>
+          val c = state.getOption.getOrElse(new Array[Long](1024))
+          rows.foreach { case (_, slot) => c(slot.toInt) += 1L }
+          state.update(c)
+          // materialize BEFORE returning: the output iterator is drained
+          // after this function exits, and `c` is the live state array
+          // the next batch mutates
+          c.iterator.zipWithIndex.collect {
+            case (n, s) if n > 0 => CmSlot(j, s.toLong, n)
+          }.toVector.iterator
+      }
+  }
+
   /** Expiry timestamp for a key whose FIRST event was at `firstTsMicros`:
     * event-time ms + ttl, with a SATURATING add — a sentinel-large ttlMs
     * (a caller's "never expire") must not overflow to a negative target,

@@ -321,6 +321,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch)
   }
 
+  test("streaming count-min grid is bit-identical to the batch counters") {
+    val dir = Files.createTempDirectory("graft-cm").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "a.tsv"),
+      "v\n" + (0 until 300).map(i => s"w${i % 90}").mkString("\n") + "\n")
+    Thread.sleep(20)
+    Files.writeString(java.nio.file.Paths.get(dir, "b.tsv"),
+      "v\n" + (0 until 200).map(i => s"w${i % 70}").mkString("\n") + "\n")
+    val schema = StructType.fromDDL("v STRING")
+    val input = spark.readStream.schema(schema)
+      .option("sep", "\t").option("header", true)
+      .option("maxFilesPerTrigger", 1)
+      .csv(dir)
+      .select(col("v"), explode(array((0 until 4).map(lit): _*)).as("j"))
+      .select(col("j"), (graft.llm.TextOps.h64c(
+        concat(col("j").cast("string"), lit(":"), col("v"))) % 1024L)
+        .as("slot"))
+      .as[(Int, Long)]
+    val q = StreamOps.countMinRows(input)
+      .writeStream.format("memory").queryName("s2h_spec")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("s2h_spec")
+      .groupBy(col("j"), col("slot"))
+      .agg(org.apache.spark.sql.functions.max(col("cnt")).as("cnt"))
+    val batch = graft.llm.Sketches.countMinCounters(
+      ((0 until 300).map(i => s"w${i % 90}") ++
+        (0 until 200).map(i => s"w${i % 70}")).toDF("v"), "v")
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+  }
+
   test("lookback filter keeps only recent rows") {
     val df = Seq(("2026-01-10 00:00:00", 1L), ("2026-01-01 00:00:00", 2L))
       .toDF("ts_s", "id").withColumn("ts", col("ts_s").cast("timestamp"))
