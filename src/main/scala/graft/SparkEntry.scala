@@ -3409,7 +3409,9 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"))
         .join(sets, Seq("skew_key"))
         .select(col("skew_key"), col("tier"), col("n_docs"),
-          array_sort(col("bucket_set")).as("buckets"))
+          // joined to a flat string: the driver's comparator sorts/hashes
+          // pandas cells, and ndarray cells are unhashable there
+          concat_ws(",", array_sort(col("bucket_set"))).as("buckets"))
     }),
 
     // Exact token-budget cut: keep documents in deterministic hash order
@@ -6039,7 +6041,7 @@ object SparkEntry {
         |j AS (SELECT b.doc_id, b.skew_key, d.tier
         |  FROM big b JOIN dim d USING (skew_key))
         |SELECT skew_key, tier, CAST(count(*) AS BIGINT) AS n_docs,
-        |  list_sort(list(DISTINCT doc_id % 100)) AS buckets
+        |  array_to_string(list_sort(list(DISTINCT doc_id % 100)), ',') AS buckets
         |FROM j GROUP BY skew_key, tier""".stripMargin,
     // llm_token_budget oracle: one GLOBAL running sum in hash order —
     // the engine's bucket decomposition must reproduce it exactly
@@ -8211,7 +8213,7 @@ object SparkEntry {
         |bgc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg
         |  GROUP BY w1, w2 HAVING count(*) >= 3)
         |SELECT bgc.w1, bgc.w2, bgc.c12, a.c1 AS c1_left, b.c1 AS c1_right,
-        |  CAST((bgc.c12 * n.n * 1000000) // (a.c1 * b.c1) AS BIGINT) AS pmi_ratio_micro
+        |  CAST((CAST(bgc.c12 AS HUGEINT) * n.n * 1000000) // (CAST(a.c1 AS HUGEINT) * b.c1) AS BIGINT) AS pmi_ratio_micro
         |FROM bgc JOIN c1t a ON bgc.w1 = a.w JOIN c1t b ON bgc.w2 = b.w
         |CROSS JOIN n
         |ORDER BY pmi_ratio_micro DESC, w1, w2 LIMIT 30""".stripMargin,

@@ -25,10 +25,12 @@ import org.apache.spark.sql.functions._
   * inherit the time distribution of the data; a flash-crowd cell is the
   * standard AQE skew-split case).
   *
-  * Domain: `ptCol`/`loCol`/`hiCol` are non-negative integer coordinates
-  * (epoch-us here; `div` truncates toward zero, so negative coordinates
-  * would round buckets the wrong way). Intervals are half-open [lo, hi);
-  * empty intervals (hi <= lo) match nothing.
+  * Domain: `ptCol`/`loCol`/`hiCol` are integer coordinates (epoch-us
+  * here). Cells use FLOOR division, so negative coordinates (pre-1970
+  * timestamps, signed genome offsets) bucket correctly — a point in an
+  * interval straddling 0 lands in the same cell as the interval edge,
+  * never silently dropped. Intervals are half-open [lo, hi); empty
+  * intervals (hi <= lo) match nothing.
   */
 object RangeJoin {
 
@@ -39,13 +41,17 @@ object RangeJoin {
       intervals: DataFrame, loCol: String, hiCol: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    // floor-div (`div` truncates toward zero, which mis-buckets negative
+    // coordinates): x - pmod(x, w) is the largest multiple of w <= x
+    def fdiv(e: String): String =
+      s"(($e) - pmod($e, $bucketWidth)) div $bucketWidth"
     val cells = intervals
       .filter(col(hiCol) > col(loCol))
       .withColumn("__cell", explode(sequence(
-        expr(s"$loCol div $bucketWidth"),
-        expr(s"($hiCol - 1) div $bucketWidth"))))
+        expr(fdiv(loCol)),
+        expr(fdiv(s"$hiCol - 1")))))
     points
-      .withColumn("__cell", expr(s"$ptCol div $bucketWidth"))
+      .withColumn("__cell", expr(fdiv(ptCol)))
       .join(cells, Seq("__cell"))
       .filter(col(ptCol) >= col(loCol) && col(ptCol) < col(hiCol))
       .drop("__cell")

@@ -52,9 +52,14 @@ object Graphs {
   def trustRankPpb(nodes: DataFrame, idCol: String, edges: DataFrame,
       srcCol: String, dstCol: String, seeds: DataFrame,
       iters: Int): DataFrame = {
-    // S counts DISTINCT seeds — a duplicated seed row must not shrink
-    // every seed's teleport share
-    val seedIds = seeds.select(col(idCol)).distinct().localCheckpoint()
+    // S counts DISTINCT seeds PRESENT IN `nodes` — a duplicated seed row
+    // must not shrink every seed's teleport share, and a ghost seed (id
+    // absent from the graph) must not siphon teleport mass into nothing
+    val seedIds = seeds.select(col(idCol)).distinct()
+      .join(nodes.select(col(idCol)), Seq(idCol), "left_semi")
+      .localCheckpoint()
+    require(!seedIds.isEmpty,
+      "trustRankPpb: seed set is empty after intersecting with nodes")
     val counts = nodes.agg(count(lit(1)).as("__n"))
       .crossJoin(seedIds.agg(count(lit(1)).as("__s")))
     val seeded = nodes

@@ -1373,11 +1373,10 @@ object TextOps {
     * Determinism: PMI's log never appears — the ranking uses the RAW
     * micro-quantized ratio `(c12 · N · 10^6) div (c1 · c2)` (N = total
     * words), a monotone transform of PMI, so the cut is exact integer
-    * arithmetic in both engines (the tfidf rational-idf move). Domain
-    * bound: the numerator overflows past c12·N > ~9·10^12·10^6 — fine to
-    * ~3·10^6-word corpora per partition-local census; a 100 TB run
-    * scales the same formula to ppb with a split multiply, documented
-    * here rather than silently drifting through doubles.
+    * arithmetic in both engines (the tfidf rational-idf move). The
+    * numerator rides DECIMAL(38,0) (DuckDB: HUGEINT), so c12·N·10^6 is
+    * exact to 10^38 — no silent 64-bit wrap at any realistic corpus
+    * size (a 100 TB corpus is ~10^13 words; N²·10^6 ≈ 10^32).
     *
     * Scale: bigrams via the position-explode idiom (whole-stage codegen,
     * never an interpreted transform lambda); pairs below `minCount`
@@ -1406,7 +1405,10 @@ object TextOps {
       .join(uni.select(col("w").as("w2"), col("c1").as("c1_right")), Seq("w2"))
       .crossJoin(broadcast(n))
       .withColumn("pmi_ratio_micro",
-        expr("(c12 * __n * 1000000) div (c1_left * c1_right)"))
+        // DECIMAL(38,0) product: exact where BIGINT would wrap past
+        // c12·N·10^6 > 2^63; IntegralDivide on decimals returns BIGINT
+        expr("""(CAST(c12 AS DECIMAL(38,0)) * __n * 1000000)
+               | div (CAST(c1_left AS DECIMAL(38,0)) * c1_right)""".stripMargin))
       .select(col("w1"), col("w2"), col("c12"), col("c1_left"),
         col("c1_right"), col("pmi_ratio_micro"))
       .orderBy(col("pmi_ratio_micro").desc, col("w1"), col("w2"))

@@ -30,6 +30,27 @@ class BenchConsistencySpec extends AnyFunSuite {
     assert((o -- q).isEmpty, s"oracles without a query: ${o -- q}")
   }
 
+  test("no query emits complex-typed columns (driver compare can't sort them)") {
+    // The driver's comparator sorts result rows by every column in
+    // pandas; an array/map/struct cell is unhashable there and the row
+    // errors out (round-8 llm_salted_join). Pin scalar-only outputs.
+    val spark = TestSpark.spark
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val bad = fn(spark, dir).schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType] ||
+            f.dataType.isInstanceOf[MapType] ||
+            f.dataType.isInstanceOf[StructType] => s"$name.${f.name}"
+        }
+        spark.catalog.clearCache()
+        bad
+    }
+    assert(offenders.isEmpty,
+      s"complex-typed output columns (stringify them): $offenders")
+  }
+
   test("every query is timed: headline, loader bucket, or fixture bucket") {
     // Bench buckets everything not in headline; this just pins that the
     // partition rule (gN prefix = loader) covers what we think it does

@@ -38,6 +38,23 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("negative coordinates bucket correctly (floor-div, not truncate)") {
+    // interval straddling 0 and intervals fully below 0: truncating div
+    // would put lo=-5 and pt=-3 in different cells and drop the match
+    val neg = Seq((10L, -5L, 5L), (11L, -20L, -10L), (12L, -100L, -90L))
+      .toDF("iid", "lo", "hi")
+    val pts = Seq(-15L, -5L, -3L, -1L, 0L, 3L, -95L, -90L).toDF("p")
+    val naive = pts.crossJoin(neg)
+      .filter(col("p") >= col("lo") && col("p") < col("hi"))
+      .select("p", "iid")
+    for (w <- Seq(3L, 7L, 50L)) {
+      val fast = RangeJoin.pointInInterval(pts, "p", neg, "lo", "hi", w)
+        .select("p", "iid")
+      assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty,
+        s"width $w diverged on negative coords")
+    }
+  }
+
   test("plan shape: an equi hash join on the cell, never a nested loop") {
     val plan = RangeJoin.pointInInterval(points, "p", intervals, "lo", "hi", 7L)
       .queryExecution.executedPlan.toString

@@ -67,6 +67,25 @@ class GraphsSpec extends AnyFunSuite {
     assert(d == 1L) // direct edge wins over the 2-hop path
   }
 
+  test("trustrank: ghost seeds (absent from nodes) are ignored") {
+    val nodes = Seq(0L, 1L).toDF("id")
+    val edges = Seq((0L, 1L), (1L, 0L)).toDF("src", "dst")
+    val clean = Graphs.trustRankPpb(nodes, "id", edges, "src", "dst",
+      Seq(0L).toDF("id"), 3)
+    val ghosted = Graphs.trustRankPpb(nodes, "id", edges, "src", "dst",
+      Seq(0L, 99L, 98L).toDF("id"), 3) // 99/98 not in the graph
+    assert(clean.exceptAll(ghosted).isEmpty && ghosted.exceptAll(clean).isEmpty)
+  }
+
+  test("trustrank: all-ghost seed set fails loudly, not as zero teleport") {
+    val nodes = Seq(0L, 1L).toDF("id")
+    val edges = Seq((0L, 1L)).toDF("src", "dst")
+    assertThrows[IllegalArgumentException] {
+      Graphs.trustRankPpb(nodes, "id", edges, "src", "dst",
+        Seq(99L).toDF("id"), 3)
+    }
+  }
+
   test("trustrank: duplicated seed rows don't shrink the teleport share") {
     val nodes = Seq(0L, 1L).toDF("id")
     val edges = Seq((0L, 1L), (1L, 0L)).toDF("src", "dst")
