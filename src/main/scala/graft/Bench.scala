@@ -48,7 +48,8 @@ object Bench {
     "llm_stream_dedup", "llm_bpe_pairs", "llm_pq_encode", "llm_pq_search", "llm_pq_recall", "llm_ivfpq_search", "llm_hard_negatives",
     "llm_ann_filtered", "llm_index_update",
     "llm_ivfpq_recall", "llm_full_pipeline", "llm_url_ops", "llm_token_budget",
-    "llm_salted_join",
+    "llm_salted_join", "llm_quantile_sketch", "llm_corpus_report",
+    "llm_zorder_layout",
     "llm_chunking", "llm_bm25", "llm_hybrid_search", "llm_ngram_lm",
     "llm_domain_budget", "llm_corpus_drift", "llm_quality_cut", "llm_rag_pipeline", "llm_bpe_train", "llm_bpe_encode", "llm_unicode_nfc", "llm_sessionize", "llm_funnel", "llm_retention",
     "llm_ivf_stats", "llm_ivf_probe_curve",

@@ -3414,6 +3414,64 @@ object SparkEntry {
           concat_ws(",", array_sort(col("bucket_set"))).as("buckets"))
     }),
 
+    // QUANTILE SKETCH (llm.Sketches.logHistogram/histQuantiles): P50/
+    // P90/P99 doc length from a ≤ ~1000-bucket log-linear histogram —
+    // DDSketch-style guaranteed ≤ 1/16 relative error, all integer
+    // bit-length arithmetic, SUM-mergeable across shards. The in-row
+    // audit compares against the EXACT percentile computed over the
+    // value-domain histogram (window over distinct lengths — bounded
+    // cardinality, never a row-global sort).
+    "llm_quantile_sketch" -> ((s, dir) => {
+      import s.implicits._
+      val v = t(s, dir, "documents")
+        .select(length(col("text")).cast("long").as("v"))
+      val sk = llm.Sketches.histQuantiles(
+        llm.Sketches.logHistogram(v, "v"), Seq(50, 90, 99))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val vc = v.groupBy(col("v")).agg(count(lit(1)).as("c"))
+        .withColumn("__cum", sum(col("c")).over(w))
+        .crossJoin(broadcast(v.agg(count(lit(1)).as("__n"))))
+      val exact = Seq(50, 90, 99).toDF("q").crossJoin(vc)
+        .filter(col("__cum") * 100 >= col("q") * col("__n"))
+        .groupBy(col("q")).agg(min(col("v")).as("exact_v"))
+      sk.join(exact, Seq("q"))
+        .select(col("q").cast("long").as("q"), col("sketch_v"), col("exact_v"),
+          (abs(col("sketch_v") - col("exact_v")) * 16 <= col("exact_v"))
+            .as("within_bound"))
+    }),
+
+    // CORPUS CUBE REPORT: Spark native `cube` (one Expand + one hash
+    // agg — partial-aggregated map-side, no per-grouping-set rescan)
+    // over (length class × shard) with doc and token totals; the
+    // grouping_id bitmask disambiguates subtotal rows. The standard
+    // "corpus composition dashboard" rollup at any scale.
+    "llm_corpus_report" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(
+        expr("CAST(length(text) AS BIGINT) div 128").as("len_class"),
+        (col("doc_id") % 4).cast("long").as("shard"),
+        size(split(lower(col("text")), " ")).cast("long").as("__tok"))
+      d.cube(col("len_class"), col("shard"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_docs"), sum(col("__tok")).as("n_tokens"))
+        .select(col("len_class"), col("shard"), col("gid"),
+          col("n_docs"), col("n_tokens"))
+    }),
+
+    // Z-ORDER LAYOUT (llm.Layout): Morton-interleave (hash(doc), length
+    // scaled to 16 bits) and audit the per-cell bounding rectangles —
+    // every 10-bit z-cell MUST cover < 2048 of each dimension, the
+    // guarantee multi-dimensional file-skipping consumes. The oracle
+    // replays the interleave bit-for-bit.
+    "llm_zorder_layout" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(
+        (llm.TextOps.h64c(concat(col("doc_id").cast("string"), lit(":dom")))
+          % 65536L).as("x"),
+        (least(length(col("text")).cast("long"), lit(1023L)) * 64L + 32L)
+          .as("y"))
+      llm.Layout.zLayoutStats(d, "x", "y", prefixBits = 5)
+    }),
+
     // Exact token-budget cut: keep documents in deterministic hash order
     // until the cumulative token count crosses the budget — the
     // "exactly N training tokens" sampler. The running sum decomposes
@@ -6043,6 +6101,53 @@ object SparkEntry {
         |SELECT skew_key, tier, CAST(count(*) AS BIGINT) AS n_docs,
         |  array_to_string(list_sort(list(DISTINCT doc_id % 100)), ',') AS buckets
         |FROM j GROUP BY skew_key, tier""".stripMargin,
+    // llm_quantile_sketch oracle: replays the integer log-linear bucket
+    // algebra (bitlen via length(bin(v)) — the HLL rank trick) and the
+    // exact value-domain percentile it is audited against.
+    "llm_quantile_sketch" ->
+      """WITH v AS (SELECT CAST(length(text) AS BIGINT) AS v FROM documents),
+        |hb AS (SELECT v, CAST(length(bin(v)) AS BIGINT) AS b FROM v WHERE v >= 1),
+        |hist AS (SELECT b * 16 + (v * 16) // (1::BIGINT << (b - 1)) - 16 AS bucket_id,
+        |    count(*) AS c FROM hb GROUP BY 1),
+        |tot AS (SELECT sum(c) AS n FROM hist),
+        |cum AS (SELECT bucket_id, sum(c) OVER (ORDER BY bucket_id) AS cum FROM hist),
+        |qs AS (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS q),
+        |pick AS (SELECT q, min(bucket_id) AS bk
+        |  FROM qs, cum, tot WHERE cum.cum * 100 >= q * tot.n GROUP BY q),
+        |skv AS (SELECT q, (1::BIGINT << (bk // 16 - 1))
+        |    + ((bk % 16) * (1::BIGINT << (bk // 16 - 1))) // 16 AS sketch_v FROM pick),
+        |vh AS (SELECT v, count(*) AS c FROM v GROUP BY v),
+        |vc AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM vh),
+        |ex AS (SELECT q, min(v) AS exact_v FROM qs, vc, tot
+        |  WHERE vc.cum * 100 >= q * tot.n GROUP BY q)
+        |SELECT s.q, s.sketch_v, e.exact_v,
+        |  abs(s.sketch_v - e.exact_v) * 16 <= e.exact_v AS within_bound
+        |FROM skv s JOIN ex e USING (q)""".stripMargin,
+    // llm_corpus_report oracle: native GROUP BY CUBE + GROUPING bitmask
+    // (same first-column-is-MSB convention as Spark's grouping_id).
+    "llm_corpus_report" ->
+      """WITH d AS (SELECT CAST(length(text) AS BIGINT) // 128 AS len_class,
+        |    CAST(doc_id % 4 AS BIGINT) AS shard,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS tok FROM documents)
+        |SELECT len_class, shard, CAST(grouping(len_class, shard) AS BIGINT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens
+        |FROM d GROUP BY CUBE (len_class, shard)""".stripMargin,
+    // llm_zorder_layout oracle: bit-for-bit Morton interleave (scalar
+    // subquery over 16 bit positions) and the same per-cell rectangle
+    // audit — every 10-bit cell spans < 2048 in BOTH dimensions.
+    "llm_zorder_layout" ->
+      """WITH d AS (SELECT
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':dom'), 1, 15)) AS BIGINT) % 65536 AS x,
+        |    least(CAST(length(text) AS BIGINT), 1023) * 64 + 32 AS y
+        |  FROM documents),
+        |z AS (SELECT x, y,
+        |    (SELECT CAST(sum((((x >> i) & 1) << (2 * i)) + (((y >> i) & 1) << (2 * i + 1))) AS BIGINT)
+        |     FROM unnest(generate_series(0, 15)) t(i)) AS zval
+        |  FROM d)
+        |SELECT zval >> 22 AS cell_id, CAST(count(*) AS BIGINT) AS n_rows,
+        |  max(x) - min(x) AS x_span, max(y) - min(y) AS y_span,
+        |  max(x) - min(x) < 2048 AND max(y) - min(y) < 2048 AS bounded
+        |FROM z GROUP BY 1""".stripMargin,
     // llm_token_budget oracle: one GLOBAL running sum in hash order —
     // the engine's bucket decomposition must reproduce it exactly
     // (bucket = hh >> 50 is monotonic in hh, so per-bucket order

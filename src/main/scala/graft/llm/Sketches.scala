@@ -154,8 +154,8 @@ object Sketches {
     * rows pay the exact check. MERGEABLE by bitwise OR; false positives
     * only (a set bit never clears), never false negatives — at 2^16
     * bits / n inserted keys the FP rate is ≈ (1 − e^(−4n/65536))^4
-    * (~2.4% at n = 4096). All bit arithmetic is integer and replays
-    * exactly in the oracle.
+    * (~0.24% at n = 4096; ~2.4% at n ≈ 16k). All bit arithmetic is
+    * integer and replays exactly in the oracle.
     */
   val BloomBits = 65536L
   val BloomHashes = 4
@@ -188,4 +188,58 @@ object Sketches {
         expr("(bits & shiftleft(CAST(1 AS BIGINT), CAST(__bit AS INT))) != 0"))
       .groupBy(col(valueCol))
       .agg(min(col("__hit")).as("in_bloom"))
+
+  // ------------------------------------------------------- quantile sketch
+
+  /** Log-linear quantile histogram (the DDSketch idea — Masson, Rim &
+    * Lee, VLDB 2019 — re-derived in exact integer arithmetic): value
+    * `v ≥ 1` lands in bucket `16·bitlen(v) + sub` where
+    * `bitlen = length(bin(v))` (the HLL rank trick — never floating
+    * `log2`) and `sub = (16·v div 2^(bitlen−1)) − 16 ∈ [0, 16)` splits
+    * each power-of-two range into 16 linear cells, giving a guaranteed
+    * ≤ 1/16 relative quantile error. The sketch is a plain (bucket_id,
+    * count) histogram: ≤ ~1000 rows however large the input, SUM-
+    * mergeable (per-shard histograms roll up map-side, partial-agg),
+    * and every step replays bit-exact in any engine — the percentile
+    * telemetry ("P99 doc length per crawl") a 100 TB run wants without
+    * `percentile_approx`'s opaque, engine-specific sketch state.
+    *
+    * Domain: `v ≥ 1` (rows below are dropped — callers histogram
+    * lengths/counts, where 0 means empty) and `v < 2^59` (the `16·v`
+    * step must not overflow; doc/token magnitudes sit far below).
+    */
+  def logHistogram(df: DataFrame, valueCol: String): DataFrame =
+    df.select(col(valueCol).cast("long").as("__v"))
+      .filter(col("__v") >= 1L)
+      .withColumn("__b", length(bin(col("__v"))).cast("long"))
+      .withColumn("bucket_id", expr(
+        "__b * 16 + (__v * 16) div shiftleft(CAST(1 AS BIGINT), CAST(__b - 1 AS INT)) - 16"))
+      .groupBy(col("bucket_id"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Extract percentiles `qs` (integers, 1–99) from a `logHistogram`:
+    * the q-th percentile bucket is the first whose cumulative count
+    * reaches `q·N/100`. The only window runs over the ≤ ~1000 bucket
+    * ids — constant work at any input scale.
+    */
+  def histQuantiles(hist: DataFrame, qs: Seq[Int]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 1 && q <= 99),
+      "percentiles must be in [1, 99]")
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = hist
+      .withColumn("__cum", sum(col("c")).over(w))
+      .crossJoin(broadcast(hist.agg(sum(col("c")).as("__n"))))
+    qs.toDF("q").crossJoin(cum)
+      .filter(col("__cum") * 100 >= col("q") * col("__n"))
+      .groupBy(col("q"))
+      .agg(min(col("bucket_id")).as("__bk"))
+      .withColumn("sketch_v", expr(
+        """shiftleft(CAST(1 AS BIGINT), CAST(__bk div 16 - 1 AS INT))
+          | + ((__bk % 16) * shiftleft(CAST(1 AS BIGINT), CAST(__bk div 16 - 1 AS INT))) div 16""".stripMargin))
+      .select(col("q"), col("sketch_v"))
+  }
 }

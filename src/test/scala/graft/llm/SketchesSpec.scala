@@ -101,4 +101,38 @@ class SketchesSpec extends AnyFunSuite {
     val direct = Sketches.bloomBuild(a.unionByName(b), "v")
     assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty)
   }
+
+  test("quantile sketch stays within the 1/16 relative-error guarantee") {
+    // skewed long-tail values: i^2 over 1..2000 — crosses many octaves
+    val v = (1 to 2000).map(i => i.toLong * i).toDF("v")
+    val sk = Sketches.histQuantiles(Sketches.logHistogram(v, "v"),
+      Seq(10, 50, 90, 99)).orderBy("q").as[(Int, Long)].collect()
+    val sorted = (1 to 2000).map(i => i.toLong * i)
+    for ((q, got) <- sk) {
+      // exact percentile: first value whose cumulative count reaches q% of n
+      val exact = sorted(math.ceil(q / 100.0 * sorted.size).toInt - 1)
+      assert(math.abs(got - exact) * 16 <= exact,
+        s"P$q: sketch $got vs exact $exact breaches 1/16 bound")
+    }
+  }
+
+  test("quantile histograms merge by bucket-wise sum") {
+    val a = (1 to 700).map(_.toLong * 3).toDF("v")
+    val b = (1 to 900).map(_.toLong * 7 + 1).toDF("v")
+    val merged = Sketches.logHistogram(a, "v")
+      .unionByName(Sketches.logHistogram(b, "v"))
+      .groupBy("bucket_id").agg(sum("c").as("c"))
+    val direct = Sketches.logHistogram(a.unionByName(b), "v")
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty)
+  }
+
+  test("quantile sketch is exact on point masses and drops v < 1") {
+    // all mass at one value: every percentile bucket holds exactly 96
+    val v = (Seq.fill(50)(96L) ++ Seq(0L, -5L)).toDF("v")
+    val hist = Sketches.logHistogram(v, "v")
+    assert(hist.agg(sum("c")).as[Long].head() == 50L) // 0 and -5 dropped
+    val qs = Sketches.histQuantiles(hist, Seq(1, 50, 99))
+      .select("sketch_v").distinct().as[Long].collect().toSeq
+    assert(qs == Seq(96L)) // 96 = 64 + 8·64/16: its own bucket lower bound
+  }
 }
