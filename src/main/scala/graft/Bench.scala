@@ -61,7 +61,7 @@ object Bench {
     "llm_domain_similarity", "llm_communities",
     "s2_stream_agg", "s2b_stream_state", "s2c_stream_sessions",
     "s2d_stream_join", "s2e_stream_dedup_wm", "s2f_stream_enrich",
-    "s2g_stream_hll", "s2h_stream_cm")
+    "s2g_stream_hll", "s2h_stream_cm", "s2i_stream_quantile")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

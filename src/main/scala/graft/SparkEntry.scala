@@ -4340,6 +4340,57 @@ object SparkEntry {
         .withColumn("overcount", col("cm_estimate") - col("exact_count"))
     }),
 
+    // S2i — STREAMING QUANTILE: the percentile sibling of the streamed
+    // HLL/count-min pair — per-event-type log-linear histogram state
+    // (fixed 1024-long grid per key, bucket computed column-side with
+    // the batch algebra), max-fold across update emissions, then P50/
+    // P95/P99 from the streamed grid audited against the exact batch
+    // percentile. Values are cents: floor(value·100), IEEE-identical
+    // in both engines.
+    "s2i_stream_quantile" -> ((s, dir) => {
+      import s.implicits._
+      val stream = Tables.eventsStream(s, dir)
+        .select(col("event_type"),
+          floor(col("value") * 100).cast("long").as("v"))
+        .filter(col("v") >= 1L)
+        .select(col("event_type"), llm.Sketches.logBucket("v").as("bucket_id"))
+        .as[(String, Long)]
+      val q = streaming.StreamOps.histogramRows(stream)
+        .writeStream.format("memory").queryName("s2i_stream_quantile_out")
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      // counters only grow → max per (key, bucket) is the final histogram
+      val hist = s.table("s2i_stream_quantile_out")
+        .groupBy(col("key").as("event_type"), col("bucket_id"))
+        .agg(max(col("c")).as("c"))
+      val sk = llm.Sketches.histQuantilesPerKey(hist, "event_type",
+        Seq(50, 95, 99))
+      val e = t(s, dir, "events")
+        .select(col("event_type"),
+          floor(col("value") * 100).cast("long").as("v"))
+        .filter(col("v") >= 1L)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("v"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val vc = e.groupBy(col("event_type"), col("v"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("__cum", sum(col("c")).over(w))
+        .join(e.groupBy(col("event_type")).agg(count(lit(1)).as("__n")),
+          Seq("event_type"))
+      val exact = Seq(50, 95, 99).toDF("q").crossJoin(vc)
+        .filter(col("__cum") * 100 >= col("q") * col("__n"))
+        .groupBy(col("event_type"), col("q"))
+        .agg(min(col("v")).as("exact_v"))
+      sk.withColumn("q", col("q").cast("long"))
+        .join(exact.withColumn("q", col("q").cast("long")),
+          Seq("event_type", "q"))
+        .select(col("event_type"), col("q"), col("sketch_v"), col("exact_v"),
+          (abs(col("sketch_v") - col("exact_v")) * 16 <= col("exact_v"))
+            .as("within_bound"))
+    }),
+
     // PPS → HORVITZ-THOMPSON ESTIMATE: why weighted sampling exists —
     // estimate the corpus's TOTAL CHARACTERS from the 50-pointer PPS
     // sample: Ŷ = (W/n)·Σ n_hits·(y/w), all micro-quantized integer
@@ -6148,6 +6199,32 @@ object SparkEntry {
         |  max(x) - min(x) AS x_span, max(y) - min(y) AS y_span,
         |  max(x) - min(x) < 2048 AND max(y) - min(y) < 2048 AS bounded
         |FROM z GROUP BY 1""".stripMargin,
+    // s2i_stream_quantile oracle: batch replay of the per-key log-linear
+    // histogram + percentile pick + exact value-domain audit (streamed
+    // buckets are bit-identical to batch by construction).
+    "s2i_stream_quantile" ->
+      """WITH e AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v
+        |    FROM events WHERE floor(value * 100) >= 1),
+        |hb AS (SELECT event_type, v, CAST(length(bin(v)) AS BIGINT) AS b FROM e),
+        |hist AS (SELECT event_type, b * 16 + (v * 16) // (1::BIGINT << (b - 1)) - 16 AS bucket_id,
+        |    count(*) AS c FROM hb GROUP BY 1, 2),
+        |tot AS (SELECT event_type, sum(c) AS n FROM hist GROUP BY 1),
+        |cum AS (SELECT event_type, bucket_id,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY bucket_id) AS cum FROM hist),
+        |qs AS (SELECT CAST(unnest([50, 95, 99]) AS BIGINT) AS q),
+        |pick AS (SELECT c.event_type AS event_type, q, min(bucket_id) AS bk
+        |  FROM qs, cum c JOIN tot t ON c.event_type = t.event_type
+        |  WHERE c.cum * 100 >= q * t.n GROUP BY 1, 2),
+        |skv AS (SELECT event_type, q, (1::BIGINT << (bk // 16 - 1))
+        |    + ((bk % 16) * (1::BIGINT << (bk // 16 - 1))) // 16 AS sketch_v FROM pick),
+        |vh AS (SELECT event_type, v, count(*) AS c FROM e GROUP BY 1, 2),
+        |vc AS (SELECT event_type, v, sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum FROM vh),
+        |ex AS (SELECT c.event_type AS event_type, q, min(v) AS exact_v
+        |  FROM qs, vc c JOIN tot t ON c.event_type = t.event_type
+        |  WHERE c.cum * 100 >= q * t.n GROUP BY 1, 2)
+        |SELECT s.event_type AS event_type, s.q AS q, s.sketch_v, e2.exact_v,
+        |  abs(s.sketch_v - e2.exact_v) * 16 <= e2.exact_v AS within_bound
+        |FROM skv s JOIN ex e2 ON s.event_type = e2.event_type AND s.q = e2.q""".stripMargin,
     // llm_token_budget oracle: one GLOBAL running sum in hash order —
     // the engine's bucket decomposition must reproduce it exactly
     // (bucket = hh >> 50 is monotonic in hh, so per-bucket order

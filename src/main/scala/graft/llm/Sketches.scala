@@ -211,10 +211,27 @@ object Sketches {
   def logHistogram(df: DataFrame, valueCol: String): DataFrame =
     df.select(col(valueCol).cast("long").as("__v"))
       .filter(col("__v") >= 1L)
-      .withColumn("__b", length(bin(col("__v"))).cast("long"))
-      .withColumn("bucket_id", expr(
-        "__b * 16 + (__v * 16) div shiftleft(CAST(1 AS BIGINT), CAST(__b - 1 AS INT)) - 16"))
+      .withColumn("bucket_id", logBucket("__v"))
       .groupBy(col("bucket_id"))
+      .agg(count(lit(1)).as("c"))
+
+  /** The `logHistogram` bucket id of the named value column (callers
+    * guarantee `v ≥ 1`): `16·bitlen(v) + 16·v div 2^(bitlen−1) − 16`.
+    * Takes a column NAME: the sub-bucket needs an integral `div` by a
+    * column-valued power of two, which only the SQL form expresses.
+    */
+  def logBucket(vCol: String): Column = expr(
+    s"""CAST(length(bin($vCol)) AS BIGINT) * 16
+       | + ($vCol * 16) div shiftleft(CAST(1 AS BIGINT),
+       |     CAST(length(bin($vCol)) - 1 AS INT)) - 16""".stripMargin)
+
+  /** Per-key `logHistogram`: one bounded histogram per group. */
+  def logHistogramPerKey(df: DataFrame, keyCol: String,
+      valueCol: String): DataFrame =
+    df.select(col(keyCol), col(valueCol).cast("long").as("__v"))
+      .filter(col("__v") >= 1L)
+      .withColumn("bucket_id", logBucket("__v"))
+      .groupBy(col(keyCol), col("bucket_id"))
       .agg(count(lit(1)).as("c"))
 
   /** Extract percentiles `qs` (integers, 1–99) from a `logHistogram`:
@@ -237,9 +254,39 @@ object Sketches {
       .filter(col("__cum") * 100 >= col("q") * col("__n"))
       .groupBy(col("q"))
       .agg(min(col("bucket_id")).as("__bk"))
-      .withColumn("sketch_v", expr(
-        """shiftleft(CAST(1 AS BIGINT), CAST(__bk div 16 - 1 AS INT))
-          | + ((__bk % 16) * shiftleft(CAST(1 AS BIGINT), CAST(__bk div 16 - 1 AS INT))) div 16""".stripMargin))
+      .withColumn("sketch_v", bucketLowerBound)
       .select(col("q"), col("sketch_v"))
+  }
+
+  /** Decode a bucket id (`__bk`) back to its lower-bound value
+    * `2^(b−1)·(16 + sub)/16` — the quoted quantile; the true quantile
+    * sits in `[bound, bound·17/16)`.
+    */
+  private def bucketLowerBound: Column = expr(
+    """shiftleft(CAST(1 AS BIGINT), CAST(__bk div 16 - 1 AS INT))
+      | + ((__bk % 16) * shiftleft(CAST(1 AS BIGINT), CAST(__bk div 16 - 1 AS INT))) div 16""".stripMargin)
+
+  /** Per-key percentile extraction from a `logHistogramPerKey`: the
+    * cumulative window is partitioned by key and ordered over the
+    * ≤ ~1000 bucket ids inside it — bounded work per key at any scale.
+    */
+  def histQuantilesPerKey(hist: DataFrame, keyCol: String,
+      qs: Seq[Int]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 1 && q <= 99),
+      "percentiles must be in [1, 99]")
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("bucket_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = hist
+      .withColumn("__cum", sum(col("c")).over(w))
+      .join(hist.groupBy(col(keyCol)).agg(sum(col("c")).as("__n")), Seq(keyCol))
+    qs.toDF("q").crossJoin(cum)
+      .filter(col("__cum") * 100 >= col("q") * col("__n"))
+      .groupBy(col(keyCol), col("q"))
+      .agg(min(col("bucket_id")).as("__bk"))
+      .withColumn("sketch_v", bucketLowerBound)
+      .select(col(keyCol), col("q"), col("sketch_v"))
   }
 }

@@ -227,6 +227,38 @@ object StreamOps {
       }
   }
 
+  case class HistSlot(key: String, bucket_id: Long, c: Long)
+
+  /** Streaming per-key quantile histogram — the percentile sibling of
+    * [[countMinRows]]: input is (key, bucket_id) with the bucket
+    * computed COLUMN-side by the batch algebra
+    * (`llm.Sketches.logBucket`), so streamed buckets are bit-identical
+    * to batch ones. State is one fixed 1024-long grid per key (the
+    * log-linear bucket domain tops out near 1040 for 2^63-range values;
+    * callers' value domains sit far below) — CONSTANT per-key state
+    * however long the stream runs. Counters only grow, so the max per
+    * (key, bucket) across update-mode emissions is the final histogram
+    * under any micro-batching — the same fold contract as the streamed
+    * count-min grid.
+    */
+  def histogramRows(input: Dataset[(String, Long)]): Dataset[HistSlot] = {
+    import input.sparkSession.implicits._
+    input.groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Long], HistSlot](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[Array[Long]]) =>
+          val c = state.getOption.getOrElse(new Array[Long](1024))
+          rows.foreach { case (_, bucket) => c(bucket.toInt) += 1L }
+          state.update(c)
+          // materialize BEFORE returning (same contract as countMinRows:
+          // the iterator drains after this function exits, and `c` is
+          // the live array the next batch mutates)
+          c.iterator.zipWithIndex.collect {
+            case (n, b) if n > 0 => HistSlot(key, b.toLong, n)
+          }.toVector.iterator
+      }
+  }
+
   /** Expiry timestamp for a key whose FIRST event was at `firstTsMicros`:
     * event-time ms + ttl, with a SATURATING add — a sentinel-large ttlMs
     * (a caller's "never expire") must not overflow to a negative target,

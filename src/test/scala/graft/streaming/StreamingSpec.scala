@@ -352,6 +352,36 @@ class StreamingSpec extends AnyFunSuite {
       batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming quantile histogram is bit-identical to the batch one") {
+    val dir = Files.createTempDirectory("graft-hq").toString
+    // two overlapping batches spanning several octaves per key
+    Files.writeString(java.nio.file.Paths.get(dir, "a.tsv"),
+      "k\tv\n" + (1 until 400).map(i => s"a\t${i * 3}\nb\t${i * 7}").mkString("\n") + "\n")
+    Thread.sleep(20)
+    Files.writeString(java.nio.file.Paths.get(dir, "b.tsv"),
+      "k\tv\n" + (1 until 300).map(i => s"a\t${i * 5}").mkString("\n") + "\n")
+    val schema = StructType.fromDDL("k STRING, v LONG")
+    val input = spark.readStream.schema(schema)
+      .option("sep", "\t").option("header", true)
+      .option("maxFilesPerTrigger", 1)
+      .csv(dir)
+      .select(col("k"), graft.llm.Sketches.logBucket("v").as("bucket_id"))
+      .as[(String, Long)]
+    val q = StreamOps.histogramRows(input)
+      .writeStream.format("memory").queryName("s2i_spec")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("s2i_spec")
+      .groupBy(col("key"), col("bucket_id"))
+      .agg(org.apache.spark.sql.functions.max(col("c")).as("c"))
+    val batch = graft.llm.Sketches.logHistogramPerKey(
+      ((1 until 400).flatMap(i => Seq(("a", i.toLong * 3), ("b", i.toLong * 7))) ++
+        (1 until 300).map(i => ("a", i.toLong * 5))).toDF("key", "v"),
+      "key", "v")
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+  }
+
   test("lookback filter keeps only recent rows") {
     val df = Seq(("2026-01-10 00:00:00", 1L), ("2026-01-01 00:00:00", 2L))
       .toDF("ts_s", "id").withColumn("ts", col("ts_s").cast("timestamp"))
