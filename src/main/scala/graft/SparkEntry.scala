@@ -4391,6 +4391,34 @@ object SparkEntry {
             .as("within_bound"))
     }),
 
+    // SCD-2 DIMENSION BUILD (core.Intervals.scd2): collapse the event
+    // change log into [valid_from, valid_to) state versions per user —
+    // the producer side of the as-of/feature-snapshot joins. Windows
+    // are user-partitioned (per-key work only); consecutive duplicate
+    // states collapse into one run.
+    "llm_scd2_build" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("ts_ns div 1000").as("ts_us"), col("event_id"))
+      core.Intervals.scd2(e, "user_id", "ts_us", "event_type", "event_id")
+        .select(col("user_id"), col("state"), col("valid_from"),
+          col("valid_to"), col("version_n"))
+    }),
+
+    // INTERVAL MERGE (core.Intervals.mergeIntervals): coalesce each
+    // user's 30-minute activity spans into maximal islands — the
+    // running-max island detector that handles nested intervals a
+    // lag-only check would split. Per-user windows; integer epoch-us.
+    "llm_interval_merge" -> ((s, dir) => {
+      val iv = t(s, dir, "events")
+        .select(col("user_id"),
+          expr("ts_ns div 1000").as("lo"),
+          expr("ts_ns div 1000 + 1800000000").as("hi"))
+      core.Intervals.mergeIntervals(iv, "user_id", "lo", "hi")
+        .select(col("user_id"), col("island"), col("lo"), col("hi"),
+          col("n_merged"))
+    }),
+
     // PPS → HORVITZ-THOMPSON ESTIMATE: why weighted sampling exists —
     // estimate the corpus's TOTAL CHARACTERS from the 50-pointer PPS
     // sample: Ŷ = (W/n)·Σ n_hits·(y/w), all micro-quantized integer
@@ -6225,6 +6253,37 @@ object SparkEntry {
         |SELECT s.event_type AS event_type, s.q AS q, s.sketch_v, e2.exact_v,
         |  abs(s.sketch_v - e2.exact_v) * 16 <= e2.exact_v AS within_bound
         |FROM skv s JOIN ex e2 ON s.event_type = e2.event_type AND s.q = e2.q""".stripMargin,
+    // llm_scd2_build oracle: identical lag-collapse + lead/row_number
+    // windows (event_id tie-break carried through both).
+    "llm_scd2_build" ->
+      """WITH e AS (SELECT user_id, event_type AS state, epoch_us(ts) AS ts_us, event_id FROM events),
+        |l AS (SELECT user_id, state, ts_us, event_id,
+        |    lag(state) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_state
+        |  FROM e),
+        |ch AS (SELECT user_id, state, ts_us, event_id FROM l
+        |  WHERE state IS DISTINCT FROM prev_state)
+        |SELECT user_id, state, ts_us AS valid_from,
+        |  lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT) AS version_n
+        |FROM ch""".stripMargin,
+    // llm_interval_merge oracle: running-max island detection over the
+    // same per-user 30-minute spans.
+    "llm_interval_merge" ->
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS lo, epoch_us(ts) + 1800000000 AS hi FROM events),
+        |o AS (SELECT user_id, lo, hi,
+        |    max(hi) OVER (PARTITION BY user_id ORDER BY lo, hi
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_prev_hi
+        |  FROM iv),
+        |f AS (SELECT user_id, lo, hi,
+        |    CASE WHEN max_prev_hi IS NULL OR lo > max_prev_hi THEN 1 ELSE 0 END AS new_island
+        |  FROM o),
+        |g AS (SELECT user_id, lo, hi,
+        |    sum(new_island) OVER (PARTITION BY user_id ORDER BY lo, hi
+        |      ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM f)
+        |SELECT user_id, CAST(island AS BIGINT) AS island, min(lo) AS lo, max(hi) AS hi,
+        |  CAST(count(*) AS BIGINT) AS n_merged
+        |FROM g GROUP BY user_id, island""".stripMargin,
     // llm_token_budget oracle: one GLOBAL running sum in hash order —
     // the engine's bucket decomposition must reproduce it exactly
     // (bucket = hh >> 50 is monotonic in hh, so per-bucket order
