@@ -3441,6 +3441,25 @@ object SparkEntry {
             .as("within_bound"))
     }),
 
+    // WINSORIZE (sketch consumed downstream): clamp doc lengths to the
+    // sketch's [P1, P99] — the outlier-taming normalization a quality
+    // pipeline runs before ratio features. The bounds come from the
+    // ≤ ~1000-bucket histogram (broadcast back as two scalars), so the
+    // whole pass is one scan + one tiny side computation at any scale.
+    "llm_winsorize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).cast("long").as("v"))
+      val bounds = llm.Sketches.histQuantiles(
+        llm.Sketches.logHistogram(docs, "v"), Seq(1, 99))
+        .groupBy()
+        .agg(min(when(col("q") === 1, col("sketch_v"))).as("p1"),
+          min(when(col("q") === 99, col("sketch_v"))).as("p99"))
+      docs.crossJoin(broadcast(bounds))
+        .select(col("doc_id"), col("v"),
+          least(greatest(col("v"), col("p1")), col("p99")).as("w"),
+          (col("v") < col("p1") || col("v") > col("p99")).as("clamped"))
+    }),
+
     // CORPUS CUBE REPORT: Spark native `cube` (one Expand + one hash
     // agg — partial-aggregated map-side, no per-grouping-set rescan)
     // over (length class × shard) with doc and token totals; the
@@ -6202,6 +6221,25 @@ object SparkEntry {
         |SELECT s.q, s.sketch_v, e.exact_v,
         |  abs(s.sketch_v - e.exact_v) * 16 <= e.exact_v AS within_bound
         |FROM skv s JOIN ex e USING (q)""".stripMargin,
+    // llm_winsorize oracle: same sketch-bound derivation (P1/P99 bucket
+    // lower bounds) and clamp.
+    "llm_winsorize" ->
+      """WITH v AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS v FROM documents),
+        |hb AS (SELECT v, CAST(length(bin(v)) AS BIGINT) AS b FROM v WHERE v >= 1),
+        |hist AS (SELECT b * 16 + (v * 16) // (1::BIGINT << (b - 1)) - 16 AS bucket_id,
+        |    count(*) AS c FROM hb GROUP BY 1),
+        |tot AS (SELECT sum(c) AS n FROM hist),
+        |cum AS (SELECT bucket_id, sum(c) OVER (ORDER BY bucket_id) AS cum FROM hist),
+        |qs AS (SELECT CAST(unnest([1, 99]) AS BIGINT) AS q),
+        |pick AS (SELECT q, min(bucket_id) AS bk
+        |  FROM qs, cum, tot WHERE cum.cum * 100 >= q * tot.n GROUP BY q),
+        |skv AS (SELECT q, (1::BIGINT << (bk // 16 - 1))
+        |    + ((bk % 16) * (1::BIGINT << (bk // 16 - 1))) // 16 AS sketch_v FROM pick),
+        |b AS (SELECT min(CASE WHEN q = 1 THEN sketch_v END) AS p1,
+        |    min(CASE WHEN q = 99 THEN sketch_v END) AS p99 FROM skv)
+        |SELECT doc_id, v, least(greatest(v, p1), p99) AS w,
+        |  v < p1 OR v > p99 AS clamped
+        |FROM v, b""".stripMargin,
     // llm_corpus_report oracle: native GROUP BY CUBE + GROUPING bitmask
     // (same first-column-is-MSB convention as Spark's grouping_id).
     "llm_corpus_report" ->
