@@ -4021,6 +4021,41 @@ object SparkEntry {
       est.join(exact.unionByName(exactAll), Seq("event_type"))
     }),
 
+    // HLL SET OVERLAP: |A ∩ B| between two crawls WITHOUT joining —
+    // inclusion–exclusion over three mergeable sketches (E(A) + E(B) −
+    // E(A ∪ B), union = bucket-wise max of the same registers). Each
+    // doc fans out to 20 sub-ids so all three cardinalities sit above
+    // the 2.5m small-range cutoff where the raw estimator is honest;
+    // ratio_micro audits the estimate against the exact overlap.
+    "llm_sketch_overlap" -> ((s, dir) => {
+      val ids = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(sequence(lit(0), lit(19))).as("k"))
+        .select(col("doc_id"),
+          (col("doc_id") * 20 + col("k")).cast("string").as("id"))
+        .localCheckpoint() // consumed by both sources + the exact count
+      val a = ids.filter(col("doc_id") % 3 =!= 0)
+        .select(lit("a").as("src"), col("id"))
+      val b = ids.filter(col("doc_id") % 2 === 0)
+        .select(lit("b").as("src"), col("id"))
+      val regs = llm.Sketches.hllRegisters(a.unionByName(b), "src", "id")
+        .localCheckpoint() // merge + estimate both read the registers
+      val union = llm.Sketches.hllMerge(regs, "src", "u")
+      val est = llm.Sketches.hllEstimate(regs.unionByName(union), "src")
+      val p = est.groupBy()
+        .agg(min(when(col("src") === "a", col("hll_estimate"))).as("est_a"),
+          min(when(col("src") === "b", col("hll_estimate"))).as("est_b"),
+          min(when(col("src") === "u", col("hll_estimate"))).as("est_union"))
+        .withColumn("overlap_est",
+          col("est_a") + col("est_b") - col("est_union"))
+      val exact = ids
+        .filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 2 === 0)
+        .agg(count(lit(1)).as("exact_overlap"))
+      p.crossJoin(exact)
+        .withColumn("ratio_micro",
+          floor(col("overlap_est") * 1000000 / col("exact_overlap")))
+    }),
+
     // PAGERANK (llm.Graphs): link authority over a deterministic
     // synthetic hyperlink graph (each doc links to 2-3 arithmetic
     // neighbours) — fixed-point INTEGER ranks (ppb), 8 iterations,
@@ -8366,6 +8401,40 @@ object SparkEntry {
     // same h64 split (top 9 bits bucket, low 51 rank field), rank via
     // length(bin()) (never float log2), harmonic sum as the exact scaled
     // BIGINT, one final double division with CAST-pinned DOUBLE literals.
+    // llm_sketch_overlap oracle: full register replay for a, b, and the
+    // bucket-max union, then the same inclusion–exclusion and ratio.
+    "llm_sketch_overlap" ->
+      """WITH ids AS (SELECT doc_id, CAST(doc_id * 20 + k AS VARCHAR) AS id
+        |  FROM documents, unnest(generate_series(0, 19)) t(k)),
+        |srcs AS (SELECT 'a' AS src, id FROM ids WHERE doc_id % 3 != 0
+        |  UNION ALL SELECT 'b', id FROM ids WHERE doc_id % 2 = 0),
+        |h AS (SELECT src, CAST(('0x' || substr(md5(id), 1, 15)) AS BIGINT) AS h FROM srcs),
+        |b2 AS (SELECT src, h >> 51 AS bucket, h % 2251799813685248 AS rem FROM h),
+        |rk AS (SELECT src, bucket,
+        |  CASE WHEN rem = 0 THEN 52 ELSE 52 - length(bin(rem)) END AS rnk FROM b2),
+        |regs0 AS (SELECT src, bucket, CAST(max(rnk) AS BIGINT) AS reg
+        |  FROM rk GROUP BY 1, 2),
+        |regs AS (SELECT * FROM regs0 UNION ALL
+        |  SELECT 'u', bucket, CAST(max(reg) AS BIGINT) FROM regs0 GROUP BY bucket),
+        |est AS (SELECT src, CAST(count(*) AS BIGINT) AS n_occupied,
+        |    sum(CAST(1 AS BIGINT) << CAST(52 - reg AS INT)) AS occ_sum
+        |  FROM regs GROUP BY 1),
+        |fin AS (SELECT src,
+        |  CAST(occ_sum + (512 - n_occupied) * 4503599627370496 AS BIGINT) AS register_sum
+        |  FROM est),
+        |e2 AS (SELECT src,
+        |  CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(512.0 AS DOUBLE))
+        |    * CAST(262144.0 AS DOUBLE) * CAST(4503599627370496.0 AS DOUBLE)
+        |    / CAST(register_sum AS DOUBLE) AS hll_estimate FROM fin),
+        |p AS (SELECT min(CASE WHEN src = 'a' THEN hll_estimate END) AS est_a,
+        |  min(CASE WHEN src = 'b' THEN hll_estimate END) AS est_b,
+        |  min(CASE WHEN src = 'u' THEN hll_estimate END) AS est_union FROM e2),
+        |x AS (SELECT CAST(count(*) AS BIGINT) AS exact_overlap FROM ids
+        |  WHERE doc_id % 3 != 0 AND doc_id % 2 = 0)
+        |SELECT est_a, est_b, est_union, est_a + est_b - est_union AS overlap_est,
+        |  exact_overlap,
+        |  CAST(floor((est_a + est_b - est_union) * 1000000 / exact_overlap) AS BIGINT) AS ratio_micro
+        |FROM p, x""".stripMargin,
     "llm_distinct_sketch" ->
       """WITH ud AS (SELECT event_type,
         |    CAST(user_id AS VARCHAR) || '@' || CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS uday
