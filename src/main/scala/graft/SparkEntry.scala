@@ -3441,6 +3441,32 @@ object SparkEntry {
             .as("within_bound"))
     }),
 
+    // TOKEN-WEIGHTED QUANTILES: "P50 of TOKENS sits in docs of length
+    // ≤ X" — the curriculum/packing planner's view of the corpus (doc-
+    // count quantiles mislead when long docs carry most of the mass).
+    // Same bucket algebra with Σ tokens as bucket mass; exact audit
+    // over the token-weighted value-domain histogram.
+    "llm_weighted_quantile" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+        .select(length(col("text")).cast("long").as("v"),
+          size(split(lower(col("text")), " ")).cast("long").as("tok"))
+      val sk = llm.Sketches.histQuantiles(
+        llm.Sketches.logHistogramWeighted(d, "v", "tok"), Seq(50, 90, 99))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val vc = d.groupBy(col("v")).agg(sum(col("tok")).as("c"))
+        .withColumn("__cum", sum(col("c")).over(w))
+        .crossJoin(broadcast(d.agg(sum(col("tok")).as("__n"))))
+      val exact = Seq(50, 90, 99).toDF("q").crossJoin(vc)
+        .filter(col("__cum") * 100 >= col("q") * col("__n"))
+        .groupBy(col("q")).agg(min(col("v")).as("exact_v"))
+      sk.join(exact, Seq("q"))
+        .select(col("q").cast("long").as("q"), col("sketch_v"), col("exact_v"),
+          (abs(col("sketch_v") - col("exact_v")) * 16 <= col("exact_v"))
+            .as("within_bound"))
+    }),
+
     // WINSORIZE (sketch consumed downstream): clamp doc lengths to the
     // sketch's [P1, P99] — the outlier-taming normalization a quality
     // pipeline runs before ratio features. The bounds come from the
@@ -6250,6 +6276,28 @@ object SparkEntry {
         |skv AS (SELECT q, (1::BIGINT << (bk // 16 - 1))
         |    + ((bk % 16) * (1::BIGINT << (bk // 16 - 1))) // 16 AS sketch_v FROM pick),
         |vh AS (SELECT v, count(*) AS c FROM v GROUP BY v),
+        |vc AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM vh),
+        |ex AS (SELECT q, min(v) AS exact_v FROM qs, vc, tot
+        |  WHERE vc.cum * 100 >= q * tot.n GROUP BY q)
+        |SELECT s.q, s.sketch_v, e.exact_v,
+        |  abs(s.sketch_v - e.exact_v) * 16 <= e.exact_v AS within_bound
+        |FROM skv s JOIN ex e USING (q)""".stripMargin,
+    // llm_weighted_quantile oracle: token-weighted bucket mass + the
+    // token-weighted exact value-domain percentile.
+    "llm_weighted_quantile" ->
+      """WITH d AS (SELECT CAST(length(text) AS BIGINT) AS v,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS tok FROM documents),
+        |hb AS (SELECT v, tok, CAST(length(bin(v)) AS BIGINT) AS b FROM d WHERE v >= 1),
+        |hist AS (SELECT b * 16 + (v * 16) // (1::BIGINT << (b - 1)) - 16 AS bucket_id,
+        |    sum(tok) AS c FROM hb GROUP BY 1),
+        |tot AS (SELECT sum(c) AS n FROM hist),
+        |cum AS (SELECT bucket_id, sum(c) OVER (ORDER BY bucket_id) AS cum FROM hist),
+        |qs AS (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS q),
+        |pick AS (SELECT q, min(bucket_id) AS bk
+        |  FROM qs, cum, tot WHERE cum.cum * 100 >= q * tot.n GROUP BY q),
+        |skv AS (SELECT q, (1::BIGINT << (bk // 16 - 1))
+        |    + ((bk % 16) * (1::BIGINT << (bk // 16 - 1))) // 16 AS sketch_v FROM pick),
+        |vh AS (SELECT v, sum(tok) AS c FROM d GROUP BY v),
         |vc AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM vh),
         |ex AS (SELECT q, min(v) AS exact_v FROM qs, vc, tot
         |  WHERE vc.cum * 100 >= q * tot.n GROUP BY q)

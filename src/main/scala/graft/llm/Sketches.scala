@@ -225,6 +225,21 @@ object Sketches {
        | + ($vCol * 16) div shiftleft(CAST(1 AS BIGINT),
        |     CAST(length(bin($vCol)) - 1 AS INT)) - 16""".stripMargin)
 
+  /** WEIGHTED `logHistogram`: bucket mass is Σ weight instead of a row
+    * count — "50% of TOKENS live in docs shorter than X" instead of
+    * "50% of docs". Same bucket algebra, same mergeability (sum), and
+    * `histQuantiles` reads it unchanged (its cumulative is over `c`,
+    * whatever `c` measures).
+    */
+  def logHistogramWeighted(df: DataFrame, valueCol: String,
+      weightCol: String): DataFrame =
+    df.select(col(valueCol).cast("long").as("__v"),
+        col(weightCol).cast("long").as("__w"))
+      .filter(col("__v") >= 1L)
+      .withColumn("bucket_id", logBucket("__v"))
+      .groupBy(col("bucket_id"))
+      .agg(sum(col("__w")).as("c"))
+
   /** Per-key `logHistogram`: one bounded histogram per group. */
   def logHistogramPerKey(df: DataFrame, keyCol: String,
       valueCol: String): DataFrame =
