@@ -44,6 +44,36 @@ object SparkEntry {
     * edge-formula change must land in BOTH or every graph row fails its
     * oracle.
     */
+  /** EXACT percentiles over the value DOMAIN histogram — the audit
+    * companion of `Sketches.histQuantiles`: group values (per key),
+    * cumulate mass over the distinct-value window (bounded by value
+    * cardinality, never a row-global sort), and pick the first value
+    * whose cumulative mass reaches `q`% of the key's total. `mass` is
+    * the aggregate each value contributes — `count(lit(1))` for plain
+    * percentiles, `sum(weightCol)` for weighted ones. One definition
+    * shared by every quantile audit row so the pick algebra cannot
+    * drift between them.
+    */
+  private def exactValueQuantiles(d: DataFrame, keyCols: Seq[String],
+      vCol: String, mass: Column, qs: Seq[Int]): DataFrame = {
+    val spark = d.sparkSession
+    import spark.implicits._
+    val keyed = if (keyCols.nonEmpty) d else d.withColumn("__g", lit(1))
+    val keys = if (keyCols.nonEmpty) keyCols else Seq("__g")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col(vCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val vh = keyed.groupBy((keys :+ vCol).map(col): _*).agg(mass.as("__c"))
+    val cum = vh.withColumn("__cum", sum(col("__c")).over(w))
+      .join(vh.groupBy(keys.map(col): _*).agg(sum(col("__c")).as("__n")),
+        keys)
+    qs.toDF("q").crossJoin(cum)
+      .filter(col("__cum") * 100 >= col("q") * col("__n"))
+      .groupBy((keys :+ "q").map(col): _*)
+      .agg(min(col(vCol)).as("exact_v"))
+      .drop("__g")
+  }
+
   private def docGraphEdges(docs: DataFrame): DataFrame = {
     val n = docs.agg(count(lit(1)).as("__n"))
     val base = docs.crossJoin(broadcast(n))
@@ -3422,19 +3452,16 @@ object SparkEntry {
     // value-domain histogram (window over distinct lengths — bounded
     // cardinality, never a row-global sort).
     "llm_quantile_sketch" -> ((s, dir) => {
-      import s.implicits._
+      // the v >= 1 cut applies to BOTH the sketch and the exact audit:
+      // the populations must match or the q·N thresholds diverge
       val v = t(s, dir, "documents")
         .select(length(col("text")).cast("long").as("v"))
+        .filter(col("v") >= 1L)
+        .localCheckpoint() // consumed by the histogram AND the audit
       val sk = llm.Sketches.histQuantiles(
         llm.Sketches.logHistogram(v, "v"), Seq(50, 90, 99))
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      val vc = v.groupBy(col("v")).agg(count(lit(1)).as("c"))
-        .withColumn("__cum", sum(col("c")).over(w))
-        .crossJoin(broadcast(v.agg(count(lit(1)).as("__n"))))
-      val exact = Seq(50, 90, 99).toDF("q").crossJoin(vc)
-        .filter(col("__cum") * 100 >= col("q") * col("__n"))
-        .groupBy(col("q")).agg(min(col("v")).as("exact_v"))
+      val exact = exactValueQuantiles(v, Nil, "v", count(lit(1)),
+        Seq(50, 90, 99))
       sk.join(exact, Seq("q"))
         .select(col("q").cast("long").as("q"), col("sketch_v"), col("exact_v"),
           (abs(col("sketch_v") - col("exact_v")) * 16 <= col("exact_v"))
@@ -3447,20 +3474,16 @@ object SparkEntry {
     // Same bucket algebra with Σ tokens as bucket mass; exact audit
     // over the token-weighted value-domain histogram.
     "llm_weighted_quantile" -> ((s, dir) => {
-      import s.implicits._
+      // same population rule as llm_quantile_sketch: v >= 1 everywhere
       val d = t(s, dir, "documents")
         .select(length(col("text")).cast("long").as("v"),
           size(split(lower(col("text")), " ")).cast("long").as("tok"))
+        .filter(col("v") >= 1L)
+        .localCheckpoint() // histogram + audit both read it
       val sk = llm.Sketches.histQuantiles(
         llm.Sketches.logHistogramWeighted(d, "v", "tok"), Seq(50, 90, 99))
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      val vc = d.groupBy(col("v")).agg(sum(col("tok")).as("c"))
-        .withColumn("__cum", sum(col("c")).over(w))
-        .crossJoin(broadcast(d.agg(sum(col("tok")).as("__n"))))
-      val exact = Seq(50, 90, 99).toDF("q").crossJoin(vc)
-        .filter(col("__cum") * 100 >= col("q") * col("__n"))
-        .groupBy(col("q")).agg(min(col("v")).as("exact_v"))
+      val exact = exactValueQuantiles(d, Nil, "v", sum(col("tok")),
+        Seq(50, 90, 99))
       sk.join(exact, Seq("q"))
         .select(col("q").cast("long").as("q"), col("sketch_v"), col("exact_v"),
           (abs(col("sketch_v") - col("exact_v")) * 16 <= col("exact_v"))
@@ -4451,18 +4474,8 @@ object SparkEntry {
         .select(col("event_type"),
           floor(col("value") * 100).cast("long").as("v"))
         .filter(col("v") >= 1L)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("event_type")).orderBy(col("v"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      val vc = e.groupBy(col("event_type"), col("v"))
-        .agg(count(lit(1)).as("c"))
-        .withColumn("__cum", sum(col("c")).over(w))
-        .join(e.groupBy(col("event_type")).agg(count(lit(1)).as("__n")),
-          Seq("event_type"))
-      val exact = Seq(50, 95, 99).toDF("q").crossJoin(vc)
-        .filter(col("__cum") * 100 >= col("q") * col("__n"))
-        .groupBy(col("event_type"), col("q"))
-        .agg(min(col("v")).as("exact_v"))
+      val exact = exactValueQuantiles(e, Seq("event_type"), "v",
+        count(lit(1)), Seq(50, 95, 99))
       sk.withColumn("q", col("q").cast("long"))
         .join(exact.withColumn("q", col("q").cast("long")),
           Seq("event_type", "q"))

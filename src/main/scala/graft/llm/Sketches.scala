@@ -254,24 +254,9 @@ object Sketches {
     * reaches `q·N/100`. The only window runs over the ≤ ~1000 bucket
     * ids — constant work at any input scale.
     */
-  def histQuantiles(hist: DataFrame, qs: Seq[Int]): DataFrame = {
-    require(qs.nonEmpty && qs.forall(q => q >= 1 && q <= 99),
-      "percentiles must be in [1, 99]")
-    val spark = hist.sparkSession
-    import spark.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("bucket_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val cum = hist
-      .withColumn("__cum", sum(col("c")).over(w))
-      .crossJoin(broadcast(hist.agg(sum(col("c")).as("__n"))))
-    qs.toDF("q").crossJoin(cum)
-      .filter(col("__cum") * 100 >= col("q") * col("__n"))
-      .groupBy(col("q"))
-      .agg(min(col("bucket_id")).as("__bk"))
-      .withColumn("sketch_v", bucketLowerBound)
+  def histQuantiles(hist: DataFrame, qs: Seq[Int]): DataFrame =
+    histQuantilesPerKey(hist.withColumn("__g", lit(1)), "__g", qs)
       .select(col("q"), col("sketch_v"))
-  }
 
   /** Decode a bucket id (`__bk`) back to its lower-bound value
     * `2^(b−1)·(16 + sub)/16` — the quoted quantile; the true quantile

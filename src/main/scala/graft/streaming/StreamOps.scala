@@ -211,18 +211,39 @@ object StreamOps {
     */
   def countMinRows(input: Dataset[(Int, Long)]): Dataset[CmSlot] = {
     import input.sparkSession.implicits._
+    gridFold(input)((j, slot, n) => CmSlot(j, slot, n))
+  }
+
+  /** Shared stateful grid fold behind [[countMinRows]] and
+    * [[histogramRows]]: per-key state is ONE fixed 1024-long counter
+    * array, incremented at the caller-computed slot, with every
+    * occupied slot re-emitted each batch (update mode; counters only
+    * grow, so max per (key, slot) across emissions is the final grid).
+    * Out-of-range slots fail loudly HERE — a silent modulo would
+    * corrupt a neighbouring counter, and the exception surfaces before
+    * the state array is half-mutated for the bad row. The emit output
+    * is materialized BEFORE returning: the output iterator is drained
+    * after this function exits, and `c` is the live state array the
+    * next batch mutates.
+    */
+  private def gridFold[K, O](input: Dataset[(K, Long)])(
+      emit: (K, Long, Long) => O)(implicit
+      ke: org.apache.spark.sql.Encoder[K],
+      oe: org.apache.spark.sql.Encoder[O],
+      se: org.apache.spark.sql.Encoder[Array[Long]]): Dataset[O] = {
     input.groupByKey(_._1)
-      .flatMapGroupsWithState[Array[Long], CmSlot](
+      .flatMapGroupsWithState[Array[Long], O](
         OutputMode.Update(), GroupStateTimeout.NoTimeout) {
-        (j, rows, state: GroupState[Array[Long]]) =>
+        (key, rows, state: GroupState[Array[Long]]) =>
           val c = state.getOption.getOrElse(new Array[Long](1024))
-          rows.foreach { case (_, slot) => c(slot.toInt) += 1L }
+          rows.foreach { case (_, slot) =>
+            require(slot >= 0L && slot < 1024L,
+              s"gridFold: slot $slot outside the fixed [0, 1024) grid")
+            c(slot.toInt) += 1L
+          }
           state.update(c)
-          // materialize BEFORE returning: the output iterator is drained
-          // after this function exits, and `c` is the live state array
-          // the next batch mutates
           c.iterator.zipWithIndex.collect {
-            case (n, s) if n > 0 => CmSlot(j, s.toLong, n)
+            case (n, s) if n > 0 => emit(key, s.toLong, n)
           }.toVector.iterator
       }
   }
@@ -234,29 +255,16 @@ object StreamOps {
     * computed COLUMN-side by the batch algebra
     * (`llm.Sketches.logBucket`), so streamed buckets are bit-identical
     * to batch ones. State is one fixed 1024-long grid per key (the
-    * log-linear bucket domain tops out near 1040 for 2^63-range values;
-    * callers' value domains sit far below) — CONSTANT per-key state
-    * however long the stream runs. Counters only grow, so the max per
-    * (key, bucket) across update-mode emissions is the final histogram
-    * under any micro-batching — the same fold contract as the streamed
-    * count-min grid.
+    * bucket domain maxes at 16·63 + 15 = 1023 for positive longs, so
+    * the grid covers EVERY possible logBucket value) — CONSTANT
+    * per-key state however long the stream runs. Counters only grow,
+    * so the max per (key, bucket) across update-mode emissions is the
+    * final histogram under any micro-batching — the same fold contract
+    * as the streamed count-min grid.
     */
   def histogramRows(input: Dataset[(String, Long)]): Dataset[HistSlot] = {
     import input.sparkSession.implicits._
-    input.groupByKey(_._1)
-      .flatMapGroupsWithState[Array[Long], HistSlot](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
-        (key, rows, state: GroupState[Array[Long]]) =>
-          val c = state.getOption.getOrElse(new Array[Long](1024))
-          rows.foreach { case (_, bucket) => c(bucket.toInt) += 1L }
-          state.update(c)
-          // materialize BEFORE returning (same contract as countMinRows:
-          // the iterator drains after this function exits, and `c` is
-          // the live array the next batch mutates)
-          c.iterator.zipWithIndex.collect {
-            case (n, b) if n > 0 => HistSlot(key, b.toLong, n)
-          }.toVector.iterator
-      }
+    gridFold(input)((key, bucket, n) => HistSlot(key, bucket, n))
   }
 
   /** Expiry timestamp for a key whose FIRST event was at `firstTsMicros`:

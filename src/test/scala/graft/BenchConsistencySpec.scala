@@ -37,7 +37,12 @@ class BenchConsistencySpec extends AnyFunSuite {
     val spark = TestSpark.spark
     val dir = "/root/testdata/sf0.001"
     import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+    // s2* rows run a real streaming query inside fn() — minutes of
+    // wall-clock to read a schema, and fragile to stream hiccups. Their
+    // scalar-ness is still gated: the driver's oracle compare errors on
+    // any complex cell, and all s2* rows carry oracles (pinned above).
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(_._1.startsWith("s2")).flatMap {
       case (name, fn) =>
         val bad = fn(spark, dir).schema.fields.collect {
           case f if f.dataType.isInstanceOf[ArrayType] ||
