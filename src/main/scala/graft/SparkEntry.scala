@@ -4105,6 +4105,32 @@ object SparkEntry {
           floor(col("overlap_est") * 1000000 / col("exact_overlap")))
     }),
 
+    // CM JOIN-SIZE ESTIMATE (Sketches.cmInnerProduct): predict
+    // |events ⋈ purchases| on user_id from two 4×1024 count-min grids
+    // — the AGMS inner-product planner probe that sizes a join's
+    // output BEFORE shuffling either side's keys. One-sided (hash
+    // collisions only add), audited in-row against the exact
+    // Σ nA(u)·nB(u).
+    "llm_join_estimate" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id").cast("string").as("v"), col("event_type"))
+        .localCheckpoint() // two grids + two exact censuses read it
+      val a = e.select(col("v"))
+      val b = e.filter(col("event_type") === "purchase").select(col("v"))
+      val est = llm.Sketches.cmInnerProduct(
+        llm.Sketches.countMinCounters(a, "v"),
+        llm.Sketches.countMinCounters(b, "v"))
+      val exact = a.groupBy(col("v")).agg(count(lit(1)).as("na"))
+        .join(b.groupBy(col("v")).agg(count(lit(1)).as("nb")), Seq("v"))
+        .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).cast("long")
+          .as("exact_join_size"))
+      est.crossJoin(exact)
+        .select(col("cm_join_estimate"), col("exact_join_size"),
+          (col("cm_join_estimate") >= col("exact_join_size")).as("one_sided"),
+          expr("(cm_join_estimate * 1000000) div exact_join_size")
+            .as("ratio_micro"))
+    }),
+
     // PAGERANK (llm.Graphs): link authority over a deterministic
     // synthetic hyperlink graph (each doc links to 2-3 arithmetic
     // neighbours) — fixed-point INTEGER ranks (ppb), 8 iterations,
@@ -8462,6 +8488,30 @@ object SparkEntry {
     // same h64 split (top 9 bits bucket, low 51 rank field), rank via
     // length(bin()) (never float log2), harmonic sum as the exact scaled
     // BIGINT, one final double division with CAST-pinned DOUBLE literals.
+    // llm_join_estimate oracle: both grids replayed with the standard
+    // CM hash family, per-depth inner products, min fold, exact census.
+    "llm_join_estimate" ->
+      """WITH a AS (SELECT CAST(user_id AS VARCHAR) AS v FROM events),
+        |b AS (SELECT CAST(user_id AS VARCHAR) AS v FROM events WHERE event_type = 'purchase'),
+        |ga AS (SELECT j, CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || v), 1, 15)) AS BIGINT) % 1024 AS slot,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM a, unnest(generate_series(0, 3)) t(j) GROUP BY 1, 2),
+        |gb AS (SELECT j, CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || v), 1, 15)) AS BIGINT) % 1024 AS slot,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM b, unnest(generate_series(0, 3)) t(j) GROUP BY 1, 2),
+        |ip AS (SELECT ga.j, sum(ga.cnt * gb.cnt) AS prod
+        |  FROM ga JOIN gb ON ga.j = gb.j AND ga.slot = gb.slot GROUP BY 1),
+        |ipd AS (SELECT d.j, coalesce(ip.prod, 0) AS prod
+        |  FROM unnest(generate_series(0, 3)) d(j) LEFT JOIN ip ON d.j = ip.j),
+        |est AS (SELECT CAST(min(prod) AS BIGINT) AS cm_join_estimate FROM ipd),
+        |na AS (SELECT v, count(*) AS n FROM a GROUP BY v),
+        |nb AS (SELECT v, count(*) AS n FROM b GROUP BY v),
+        |x AS (SELECT CAST(coalesce(sum(na.n * nb.n), 0) AS BIGINT) AS exact_join_size
+        |  FROM na JOIN nb ON na.v = nb.v)
+        |SELECT cm_join_estimate, exact_join_size,
+        |  cm_join_estimate >= exact_join_size AS one_sided,
+        |  CAST((cm_join_estimate * 1000000) // exact_join_size AS BIGINT) AS ratio_micro
+        |FROM est, x""".stripMargin,
     // llm_sketch_overlap oracle: full register replay for a, b, and the
     // bucket-max union, then the same inclusion–exclusion and ratio.
     "llm_sketch_overlap" ->

@@ -128,6 +128,32 @@ object Sketches {
       .groupBy(col("j"), col("slot"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** JOIN-SIZE estimate from two count-min grids (the AGMS/CM
+    * inner-product estimator, Cormode & Muthukrishnan 2005 §4.2):
+    * |A ⋈ B| on the sketched key is Σ_k fA(k)·fB(k), estimated per
+    * depth as Σ_slot cA[j][slot]·cB[j][slot] and folded by min over
+    * the d depths. ONE-SIDED like the point estimate — hash collisions
+    * only ADD non-negative products, so the estimate never undercounts
+    * the true join size. This is the "how big is this join going to
+    * be" planner probe: two d×w grids (mergeable, built map-side)
+    * answer it without shuffling either table's keys. All integer.
+    */
+  def cmInnerProduct(countersA: DataFrame, countersB: DataFrame): DataFrame = {
+    val prods = countersA
+      .select(col("j"), col("slot"), col("cnt").as("__ca"))
+      .join(countersB.select(col("j"), col("slot"), col("cnt").as("__cb")),
+        Seq("j", "slot")) // inner: a missing slot contributes 0
+      .groupBy(col("j"))
+      .agg(sum(col("__ca") * col("__cb")).as("__prod"))
+    // a depth with NO shared slots has estimate 0 — it must reach the
+    // min fold (dropping it would discard the tightest bound and leave
+    // fully-disjoint inputs with an empty/NULL estimate)
+    countersA.sparkSession.range(CmDepth)
+      .select(col("id").cast("int").as("j"))
+      .join(prods, Seq("j"), "left")
+      .agg(min(coalesce(col("__prod"), lit(0L))).as("cm_join_estimate"))
+  }
+
   /** Point estimates for `probes`: each probe joins its d counters
     * (grid broadcasts — it is ≤ d·w rows by construction) and takes the
     * row-wise min; an unoccupied slot reads 0.

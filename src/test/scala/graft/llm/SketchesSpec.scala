@@ -102,6 +102,33 @@ class SketchesSpec extends AnyFunSuite {
     assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty)
   }
 
+  test("cm inner product never undercounts the true join size") {
+    // skewed keys: key i appears i times in a, (11-i) times in b
+    val a = (1 to 10).flatMap(i => Seq.fill(i)(s"k$i")).toDF("v")
+    val b = (1 to 10).flatMap(i => Seq.fill(11 - i)(s"k$i")).toDF("v")
+    val exact = (1 to 10).map(i => i.toLong * (11 - i)).sum
+    val est = Sketches.cmInnerProduct(
+      Sketches.countMinCounters(a, "v"), Sketches.countMinCounters(b, "v"))
+      .as[Long].head()
+    assert(est >= exact)
+    // 10 keys in a 4x1024 grid: collisions are overwhelmingly unlikely,
+    // so the estimate is exact here
+    assert(est == exact)
+  }
+
+  test("cm inner product of disjoint key sets estimates (near) zero") {
+    val a = (0 until 50).map(i => s"a$i").toDF("v")
+    val b = (0 until 50).map(i => s"b$i").toDF("v")
+    val est = Sketches.cmInnerProduct(
+      Sketches.countMinCounters(a, "v"), Sketches.countMinCounters(b, "v"))
+      .as[Long].head()
+    // ~2.4 expected collisions per depth at 50x50/1024 — the min over
+    // 4 depths reads a few units of collision noise, vs a true 0; a
+    // depth with NO collisions contributes an explicit 0 (this input
+    // measures 1: depth 4's single collision wins the min)
+    assert(est <= 5L)
+  }
+
   test("quantile sketch stays within the 1/16 relative-error guarantee") {
     // skewed long-tail values: i^2 over 1..2000 — crosses many octaves
     val v = (1 to 2000).map(i => i.toLong * i).toDF("v")
