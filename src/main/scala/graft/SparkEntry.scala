@@ -4105,6 +4105,41 @@ object SparkEntry {
           floor(col("overlap_est") * 1000000 / col("exact_overlap")))
     }),
 
+    // PERSISTED SKETCH REGISTRY: per-source distinct-user telemetry
+    // maintained INCREMENTALLY in the store — each ingest batch folds
+    // its own HLL registers into the registry table (bucket-max of
+    // old ∪ new: O(sketch size) work per batch, history NEVER
+    // rescanned; a store layer must carry its buckets' complete
+    // content, so the fold happens at write time). Register max is
+    // associative, so the incrementally-maintained registry is EXACTLY
+    // the sketch of all data ever seen — the oracle recomputes the
+    // full-data registers directly and every column hashes equal.
+    "llm_sketch_registry" -> ((s, dir) => {
+      val store = new core.PersistentGraphStore(s,
+        java.nio.file.Files.createTempDirectory("graft-skreg").toString)
+      val users = t(s, dir, "events")
+        .select(col("event_type").as("src"),
+          col("user_id").cast("string").as("uid"))
+      // two ingest batches split by user parity — overlapping sources
+      val batch1 = users.filter(col("uid").cast("long") % 2 === 0)
+      val batch2 = users.filter(col("uid").cast("long") % 2 =!= 0)
+      def fold(batch: DataFrame): Unit = {
+        val incoming = llm.Sketches.hllRegisters(batch, "src", "uid")
+        val merged = store.read("sketch_registry")
+          .map(_.unionByName(incoming)).getOrElse(incoming)
+          .groupBy(col("src"), col("bucket"))
+          .agg(max(col("reg")).as("reg"))
+        store.write("sketch_registry", merged, Seq("src"), full = true)
+      }
+      fold(batch1)
+      fold(batch2)
+      val est = llm.Sketches.hllEstimate(
+        store.read("sketch_registry").get, "src")
+      val exact = users.groupBy(col("src"))
+        .agg(countDistinct(col("uid")).as("exact_distinct"))
+      est.join(exact, Seq("src"))
+    }),
+
     // CM JOIN-SIZE ESTIMATE (Sketches.cmInnerProduct): predict
     // |events ⋈ purchases| on user_id from two 4×1024 count-min grids
     // — the AGMS inner-product planner probe that sizes a join's
@@ -8488,6 +8523,34 @@ object SparkEntry {
     // same h64 split (top 9 bits bucket, low 51 rank field), rank via
     // length(bin()) (never float log2), harmonic sum as the exact scaled
     // BIGINT, one final double division with CAST-pinned DOUBLE literals.
+    // llm_sketch_registry oracle: registers of ALL data computed
+    // directly — register max is associative, so the incrementally
+    // layered registry must hash identical.
+    "llm_sketch_registry" ->
+      """WITH u AS (SELECT event_type AS src, CAST(user_id AS VARCHAR) AS uid FROM events),
+        |h AS (SELECT src, uid, CAST(('0x' || substr(md5(uid), 1, 15)) AS BIGINT) AS h FROM u),
+        |b AS (SELECT src, h >> 51 AS bucket, h % 2251799813685248 AS rem FROM h),
+        |rk AS (SELECT src, bucket,
+        |  CASE WHEN rem = 0 THEN 52 ELSE 52 - length(bin(rem)) END AS rnk FROM b),
+        |regs AS (SELECT src, bucket, CAST(max(rnk) AS BIGINT) AS reg
+        |  FROM rk GROUP BY 1, 2),
+        |est AS (SELECT src, CAST(count(*) AS BIGINT) AS n_occupied,
+        |    sum(CAST(1 AS BIGINT) << CAST(52 - reg AS INT)) AS occ_sum
+        |  FROM regs GROUP BY 1),
+        |fin AS (SELECT src, n_occupied,
+        |  CAST(occ_sum + (512 - n_occupied) * 4503599627370496 AS BIGINT) AS register_sum
+        |  FROM est),
+        |fin2 AS (SELECT src, n_occupied, register_sum,
+        |  CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(512.0 AS DOUBLE))
+        |    * CAST(262144.0 AS DOUBLE) * CAST(4503599627370496.0 AS DOUBLE)
+        |    / CAST(register_sum AS DOUBLE) AS hll_estimate
+        |  FROM fin),
+        |ex AS (SELECT src, CAST(count(DISTINCT uid) AS BIGINT) AS exact_distinct
+        |  FROM u GROUP BY src)
+        |SELECT fin2.src, fin2.n_occupied, fin2.register_sum, fin2.hll_estimate,
+        |  fin2.hll_estimate < CAST(1280.0 AS DOUBLE) AS small_range,
+        |  ex.exact_distinct
+        |FROM fin2 JOIN ex ON fin2.src = ex.src""".stripMargin,
     // llm_join_estimate oracle: both grids replayed with the standard
     // CM hash family, per-depth inner products, min fold, exact census.
     "llm_join_estimate" ->
