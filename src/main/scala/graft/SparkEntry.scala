@@ -4105,6 +4105,21 @@ object SparkEntry {
           floor(col("overlap_est") * 1000000 / col("exact_overlap")))
     }),
 
+    // k-SIGMA ANOMALY DAYS (core.EventAnalytics.sigmaOutliers): which
+    // (event_type, day) volumes deviate > 2σ from their type's mean —
+    // detected with ZERO floats: (x·n − S)² > k²(n·ΣX² − S²) in
+    // DECIMAL(38,0), the pipeline-telemetry monitor that replays
+    // bit-identically in any engine (no sqrt/division/doubles).
+    "llm_anomaly_days" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("(ts_ns div 1000) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("x"))
+      core.EventAnalytics.sigmaOutliers(daily, "event_type", "x", k = 2)
+        .select(col("event_type"), col("day"), col("x"), col("dev_n"),
+          col("anomalous"))
+    }),
+
     // PERSISTED SKETCH REGISTRY: per-source distinct-user telemetry
     // maintained INCREMENTALLY in the store — each ingest batch folds
     // its own HLL registers into the registry table (bucket-max of
@@ -8523,6 +8538,20 @@ object SparkEntry {
     // same h64 split (top 9 bits bucket, low 51 rank field), rank via
     // length(bin()) (never float log2), harmonic sum as the exact scaled
     // BIGINT, one final double division with CAST-pinned DOUBLE literals.
+    // llm_anomaly_days oracle: same cleared-denominator integer sigma
+    // test over HUGEINT.
+    "llm_anomaly_days" ->
+      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM d GROUP BY 1)
+        |SELECT d.event_type, d.day, d.x,
+        |  CAST(d.x * s.n - s.sx AS BIGINT) AS dev_n,
+        |  CAST(d.x * s.n - s.sx AS HUGEINT) * (d.x * s.n - s.sx)
+        |    > 4 * (CAST(s.n AS HUGEINT) * s.sxx - CAST(s.sx AS HUGEINT) * s.sx) AS anomalous
+        |FROM d JOIN s ON d.event_type = s.event_type""".stripMargin,
     // llm_sketch_registry oracle: registers of ALL data computed
     // directly — register max is associative, so the incrementally
     // layered registry must hash identical.

@@ -65,4 +65,35 @@ object EventAnalytics {
       .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** k-sigma outlier detection WITHOUT floats: value `x` in group `g`
+    * is anomalous iff `(x−μ)² > k²σ²`, which clears denominators into
+    * the all-integer test `(x·n − S)² > k²·(n·ΣX² − S²)` (S = Σx,
+    * n = group size — population variance). The squares ride
+    * DECIMAL(38,0), so daily counts to ~10^9 over ~10^9 group members
+    * cannot wrap — the "which days/shards/partitions deviate" monitor
+    * a pipeline runs over its own telemetry, bit-identical in any
+    * engine because no sqrt, no division, no doubles ever appear.
+    *
+    * Input is the pre-aggregated (group, x) frame; output adds
+    * `dev_n = x·n − S` (the deviation scaled by n, sign-preserving)
+    * and the `anomalous` verdict.
+    */
+  def sigmaOutliers(counts: DataFrame, groupCol: String, valueCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    val stats = counts.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"),
+        sum(col(valueCol)).as("__s"),
+        sum(col(valueCol) * col(valueCol)).as("__sxx"))
+    // no broadcast hint: stats has one row per group — AQE broadcasts
+    // it when small, but forcing it would OOM at 10^8 groups
+    counts.join(stats, Seq(groupCol))
+      .withColumn("dev_n",
+        (col(valueCol) * col("__n") - col("__s")).cast("long"))
+      .withColumn("anomalous", expr(
+        s"""CAST(dev_n AS DECIMAL(38,0)) * dev_n >
+           | ${k.toLong * k} * (CAST(__n AS DECIMAL(38,0)) * __sxx - CAST(__s AS DECIMAL(38,0)) * __s)""".stripMargin))
+      .drop("__n", "__s", "__sxx")
+  }
 }

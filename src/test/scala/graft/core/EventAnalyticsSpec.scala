@@ -44,4 +44,26 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out((1L, 0L)) === 1L)
     assert(out.size === 4)
   }
+
+  test("sigma outliers: hand-computed 2-sigma verdicts, no floats") {
+    // group a: nine 10s and one 100 — mean 19, sigma 27, dev 81 > 2*27
+    val a = (Seq.fill(9)(10L) :+ 100L).map(("a", _))
+    // group b: constant — zero variance, dev_n = 0, 0 > 0 is false
+    val b = Seq.fill(4)(("b", 7L))
+    val counts = (a ++ b).toDF("g", "x")
+    val out = EventAnalytics.sigmaOutliers(counts, "g", "x", 2)
+      .select("g", "x", "dev_n", "anomalous")
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    assert(out.filter(_._4) == Seq(("a", 100L, 810L, true)))
+    assert(out.count(r => r._1 == "a" && !r._4) == 9)
+    assert(out.filter(_._1 == "b").forall(r => r._3 == 0L && !r._4))
+  }
+
+  test("sigma outliers: the 4-plus-1 shape sits EXACTLY at 2 sigma (strict)") {
+    // four equal values + one outlier is always exactly 2 sigma away,
+    // so the strict inequality must NOT flag it — pins the boundary
+    val counts = (Seq.fill(4)(10L) :+ 60L).map(("g", _)).toDF("g", "x")
+    val out = EventAnalytics.sigmaOutliers(counts, "g", "x", 2)
+    assert(out.filter(col("anomalous")).count() == 0)
+  }
 }
