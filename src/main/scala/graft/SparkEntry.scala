@@ -4105,6 +4105,28 @@ object SparkEntry {
           floor(col("overlap_est") * 1000000 / col("exact_overlap")))
     }),
 
+    // TRIANGLE COUNTS (llm.Graphs.triangleCounts): exact per-node
+    // triangle participation with DEGREE ORIENTATION — every edge
+    // points low-degree → high-degree, bounding each node's wedge
+    // fan-out by O(√m) so a hub cannot quadratically explode the join
+    // (the scale formulation). Graph = arithmetic links + consecutive
+    // (i−1, i−2) links, whose sliding triples carry a known triangle
+    // per node; each triangle counted once, credited to all 3 corners.
+    "llm_triangles" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.agg(count(lit(1)).as("__n"))
+      val base = docs.crossJoin(broadcast(n))
+      val edges = base
+        .select(col("doc_id").as("src"),
+          expr("(doc_id * 7 + 3) % __n").as("dst"))
+        .unionByName(docs.filter(col("doc_id") >= 1)
+          .select(col("doc_id").as("src"), (col("doc_id") - 1).as("dst")))
+        .unionByName(docs.filter(col("doc_id") >= 2)
+          .select(col("doc_id").as("src"), (col("doc_id") - 2).as("dst")))
+      llm.Graphs.triangleCounts(edges, "src", "dst")
+        .select(col("id").as("doc_id"), col("n_triangles"))
+    }),
+
     // k-SIGMA ANOMALY DAYS (core.EventAnalytics.sigmaOutliers): which
     // (event_type, day) volumes deviate > 2σ from their type's mean —
     // detected with ZERO floats: (x·n − S)² > k²(n·ΣX² − S²) in
@@ -8538,6 +8560,26 @@ object SparkEntry {
     // same h64 split (top 9 bits bucket, low 51 rank field), rank via
     // length(bin()) (never float log2), harmonic sum as the exact scaled
     // BIGINT, one final double division with CAST-pinned DOUBLE literals.
+    // llm_triangles oracle: same undirect → degree-orient → wedge →
+    // close construction over the enriched doc graph.
+    "llm_triangles" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |e AS MATERIALIZED (
+        |  SELECT doc_id AS src, (doc_id * 7 + 3) % nn.n AS dst FROM documents, nn
+        |  UNION ALL SELECT doc_id, doc_id - 1 FROM documents WHERE doc_id >= 1
+        |  UNION ALL SELECT doc_id, doc_id - 2 FROM documents WHERE doc_id >= 2),
+        |und AS (SELECT DISTINCT u, v FROM (
+        |  SELECT src AS u, dst AS v FROM e WHERE src != dst
+        |  UNION ALL SELECT dst, src FROM e WHERE src != dst)),
+        |deg AS (SELECT u AS n, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY u),
+        |o AS MATERIALIZED (SELECT und.u, und.v FROM und
+        |  JOIN deg da ON und.u = da.n JOIN deg db ON und.v = db.n
+        |  WHERE da.d < db.d OR (da.d = db.d AND und.u < und.v)),
+        |w AS (SELECT o1.u AS a, o1.v AS b, o2.v AS c FROM o o1 JOIN o o2 ON o1.v = o2.u),
+        |tri AS (SELECT w.a, w.b, w.c FROM w JOIN o ON w.a = o.u AND w.c = o.v),
+        |ex AS (SELECT unnest([a, b, c]) AS id FROM tri)
+        |SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM ex GROUP BY id""".stripMargin,
     // llm_anomaly_days oracle: same cleared-denominator integer sigma
     // test over HUGEINT.
     "llm_anomaly_days" ->

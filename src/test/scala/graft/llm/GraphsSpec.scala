@@ -96,6 +96,31 @@ class GraphsSpec extends AnyFunSuite {
     assert(once.exceptAll(dup).isEmpty && dup.exceptAll(once).isEmpty)
   }
 
+  test("triangle counts: hand-traced K4 and a dangling path") {
+    // K4 = 4 triangles, each node in exactly 3; path 10-11-12 adds none
+    val k4 = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    val edges = (k4 ++ Seq((10L, 11L), (11L, 12L))).toDF("src", "dst")
+    val out = Graphs.triangleCounts(edges, "src", "dst")
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 3L), (1L, 3L), (2L, 3L), (3L, 3L)))
+  }
+
+  test("triangle counts ignore direction, duplicates, and self-loops") {
+    val messy = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 0L), (0L, 0L),
+      (1L, 2L)).toDF("src", "dst")
+    val out = Graphs.triangleCounts(messy, "src", "dst")
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 1L), (1L, 1L), (2L, 1L))) // one triangle
+  }
+
+  test("triangle counts survive a hub: star graph has zero triangles") {
+    // hub 0 connected to 50 leaves — unoriented wedge count at the hub
+    // is 50*49; orientation sends every edge leaf->hub (degree 1 < 50),
+    // so the hub has NO out-edges and zero wedges form
+    val star = (1L to 50L).map((0L, _)).toDF("src", "dst")
+    assert(Graphs.triangleCounts(star, "src", "dst").count() == 0)
+  }
+
   test("label propagation: disjoint cliques converge to their min label") {
     val nodes = Seq(0L, 1L, 2L, 10L, 11L, 12L).toDF("id")
     def clique(ids: Seq[Long]) =
