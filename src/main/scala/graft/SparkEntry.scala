@@ -4105,6 +4105,38 @@ object SparkEntry {
           floor(col("overlap_est") * 1000000 / col("exact_overlap")))
     }),
 
+    // LAST-TOUCH ATTRIBUTION (core.AsOfJoin composition): each purchase
+    // attributes to the user's most recent STRICTLY-earlier non-purchase
+    // touch within 7 days (same-instant touches pre-collapsed to the
+    // max-event-id row so the as-of pick is deterministic); the
+    // single-shuffle as-of form vs DuckDB's native ASOF with a strict
+    // inequality. Unattributed purchases land in 'none'.
+    "llm_attribution" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("ts_ns div 1000").as("ts_us"), col("event_id"))
+        .localCheckpoint() // purchases + touches both read it
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us").as("p_ts"),
+          col("event_id").as("p_id"))
+      val touches = e.filter(col("event_type") =!= "purchase")
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(struct(col("event_id"), col("event_type")))
+          .getField("event_type").as("touch_type"))
+      val j = core.AsOfJoin.asOfJoin(purchases, touches, "user_id",
+        "p_ts", "ts_us", Seq("touch_type"), strict = true)
+      val attributed = j.select(
+        when(col("asof_ts").isNotNull &&
+          col("p_ts") - col("asof_ts") <= 604800000000L,
+          col("touch_type")).otherwise(lit("none")).as("attributed_type"),
+        when(col("asof_ts").isNotNull &&
+          col("p_ts") - col("asof_ts") <= 604800000000L,
+          col("p_ts") - col("asof_ts")).otherwise(lit(0L)).as("delay_us"))
+      attributed.groupBy(col("attributed_type"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("delay_us")).cast("long").as("total_delay_us"))
+    }),
+
     // TRIANGLE COUNTS (llm.Graphs.triangleCounts): exact per-node
     // triangle participation with DEGREE ORIENTATION — every edge
     // points low-degree → high-degree, bounding each node's wedge
@@ -8560,6 +8592,23 @@ object SparkEntry {
     // same h64 split (top 9 bits bucket, low 51 rank field), rank via
     // length(bin()) (never float log2), harmonic sum as the exact scaled
     // BIGINT, one final double division with CAST-pinned DOUBLE literals.
+    // llm_attribution oracle: DuckDB's native ASOF LEFT JOIN with the
+    // strict inequality, same max-event-id per-instant collapse.
+    "llm_attribution" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events),
+        |p AS (SELECT user_id, ts_us AS p_ts, event_id AS p_id FROM e WHERE event_type = 'purchase'),
+        |t0 AS (SELECT user_id, ts_us, max_by(event_type, event_id) AS touch_type
+        |  FROM e WHERE event_type != 'purchase' GROUP BY user_id, ts_us),
+        |j AS (SELECT p.user_id, p.p_ts, p.p_id, t0.ts_us AS touch_ts, t0.touch_type
+        |  FROM p ASOF LEFT JOIN t0 ON p.user_id = t0.user_id AND p.p_ts > t0.ts_us),
+        |a AS (SELECT CASE WHEN touch_ts IS NOT NULL AND p_ts - touch_ts <= 604800000000
+        |    THEN touch_type ELSE 'none' END AS attributed_type,
+        |  CASE WHEN touch_ts IS NOT NULL AND p_ts - touch_ts <= 604800000000
+        |    THEN p_ts - touch_ts ELSE 0 END AS delay_us
+        |  FROM j)
+        |SELECT attributed_type, CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(delay_us) AS BIGINT) AS total_delay_us
+        |FROM a GROUP BY attributed_type""".stripMargin,
     // llm_triangles oracle: same undirect → degree-orient → wedge →
     // close construction over the enriched doc graph.
     "llm_triangles" ->
