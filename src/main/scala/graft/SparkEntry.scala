@@ -6418,7 +6418,7 @@ object SparkEntry {
         |  FROM qs, cum, tot WHERE cum.cum * 100 >= q * tot.n GROUP BY q),
         |skv AS (SELECT q, (1::BIGINT << (bk // 16 - 1))
         |    + ((bk % 16) * (1::BIGINT << (bk // 16 - 1))) // 16 AS sketch_v FROM pick),
-        |vh AS (SELECT v, count(*) AS c FROM v GROUP BY v),
+        |vh AS (SELECT v, count(*) AS c FROM v WHERE v >= 1 GROUP BY v),
         |vc AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM vh),
         |ex AS (SELECT q, min(v) AS exact_v FROM qs, vc, tot
         |  WHERE vc.cum * 100 >= q * tot.n GROUP BY q)
@@ -6440,7 +6440,7 @@ object SparkEntry {
         |  FROM qs, cum, tot WHERE cum.cum * 100 >= q * tot.n GROUP BY q),
         |skv AS (SELECT q, (1::BIGINT << (bk // 16 - 1))
         |    + ((bk % 16) * (1::BIGINT << (bk // 16 - 1))) // 16 AS sketch_v FROM pick),
-        |vh AS (SELECT v, sum(tok) AS c FROM d GROUP BY v),
+        |vh AS (SELECT v, sum(tok) AS c FROM d WHERE v >= 1 GROUP BY v),
         |vc AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM vh),
         |ex AS (SELECT q, min(v) AS exact_v FROM qs, vc, tot
         |  WHERE vc.cum * 100 >= q * tot.n GROUP BY q)
@@ -8636,7 +8636,7 @@ object SparkEntry {
         |    CAST(count(*) AS BIGINT) AS x
         |  FROM events GROUP BY 1, 2),
         |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(x AS HUGEINT) * x) AS sxx
         |  FROM d GROUP BY 1)
         |SELECT d.event_type, d.day, d.x,
         |  CAST(d.x * s.n - s.sx AS BIGINT) AS dev_n,

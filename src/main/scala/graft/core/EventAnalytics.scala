@@ -82,10 +82,14 @@ object EventAnalytics {
   def sigmaOutliers(counts: DataFrame, groupCol: String, valueCol: String,
       k: Int): DataFrame = {
     require(k >= 1, "k must be at least 1")
+    // the SUMS ride decimal too, not just the final comparison — a
+    // plain long sum(x²) wraps at 10 members of x = 10⁹ and a wrapped
+    // negative variance flags every row
     val stats = counts.groupBy(col(groupCol))
       .agg(count(lit(1)).as("__n"),
-        sum(col(valueCol)).as("__s"),
-        sum(col(valueCol) * col(valueCol)).as("__sxx"))
+        sum(col(valueCol).cast("decimal(38,0)")).as("__s"),
+        sum(col(valueCol).cast("decimal(38,0)") * col(valueCol))
+          .as("__sxx"))
     // no broadcast hint: stats has one row per group — AQE broadcasts
     // it when small, but forcing it would OOM at 10^8 groups
     counts.join(stats, Seq(groupCol))
@@ -93,7 +97,7 @@ object EventAnalytics {
         (col(valueCol) * col("__n") - col("__s")).cast("long"))
       .withColumn("anomalous", expr(
         s"""CAST(dev_n AS DECIMAL(38,0)) * dev_n >
-           | ${k.toLong * k} * (CAST(__n AS DECIMAL(38,0)) * __sxx - CAST(__s AS DECIMAL(38,0)) * __s)""".stripMargin))
+           | ${k.toLong * k} * (CAST(__n AS DECIMAL(38,0)) * __sxx - __s * __s)""".stripMargin))
       .drop("__n", "__s", "__sxx")
   }
 }

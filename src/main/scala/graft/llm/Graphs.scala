@@ -191,8 +191,8 @@ object Graphs {
       dstCol: String): DataFrame = {
     val und = edges
       .select(col(srcCol).as("u"), col(dstCol).as("v"))
-      .filter(col("u") =!= col("v"))
       .unionByName(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .filter(col("u") =!= col("v")) // AFTER the union: both directions
       .distinct()
     val deg = und.groupBy(col("u").as("n")).agg(count(lit(1)).as("d"))
     val oriented = und

@@ -231,8 +231,9 @@ object Sketches {
     * `percentile_approx`'s opaque, engine-specific sketch state.
     *
     * Domain: `v ≥ 1` (rows below are dropped — callers histogram
-    * lengths/counts, where 0 means empty) and `v < 2^59` (the `16·v`
-    * step must not overflow; doc/token magnitudes sit far below).
+    * lengths/counts, where 0 means empty); every positive long
+    * buckets correctly (the sub-cell never forms the `16·v` product
+    * above bitlen 5, see [[logBucket]]).
     */
   def logHistogram(df: DataFrame, valueCol: String): DataFrame =
     df.select(col(valueCol).cast("long").as("__v"))
@@ -243,13 +244,20 @@ object Sketches {
 
   /** The `logHistogram` bucket id of the named value column (callers
     * guarantee `v ≥ 1`): `16·bitlen(v) + 16·v div 2^(bitlen−1) − 16`.
-    * Takes a column NAME: the sub-bucket needs an integral `div` by a
-    * column-valued power of two, which only the SQL form expresses.
+    * For bitlen ≥ 5 the sub-cell is computed as `v div 2^(bitlen−5)`
+    * (identical value, since 16 = 2^4 divides out exactly) so the
+    * `16·v` product never forms — the bucket is overflow-free for
+    * EVERY positive long, not just v < 2^59. Takes a column NAME: the
+    * sub-bucket needs an integral `div` by a column-valued power of
+    * two, which only the SQL form expresses.
     */
   def logBucket(vCol: String): Column = expr(
     s"""CAST(length(bin($vCol)) AS BIGINT) * 16
-       | + ($vCol * 16) div shiftleft(CAST(1 AS BIGINT),
-       |     CAST(length(bin($vCol)) - 1 AS INT)) - 16""".stripMargin)
+       | + (CASE WHEN length(bin($vCol)) >= 5
+       |    THEN $vCol div shiftleft(CAST(1 AS BIGINT),
+       |      CAST(length(bin($vCol)) - 5 AS INT))
+       |    ELSE ($vCol * 16) div shiftleft(CAST(1 AS BIGINT),
+       |      CAST(length(bin($vCol)) - 1 AS INT)) END) - 16""".stripMargin)
 
   /** WEIGHTED `logHistogram`: bucket mass is Σ weight instead of a row
     * count — "50% of TOKENS live in docs shorter than X" instead of
@@ -290,7 +298,9 @@ object Sketches {
     */
   private def bucketLowerBound: Column = expr(
     """shiftleft(CAST(1 AS BIGINT), CAST(__bk div 16 - 1 AS INT))
-      | + ((__bk % 16) * shiftleft(CAST(1 AS BIGINT), CAST(__bk div 16 - 1 AS INT))) div 16""".stripMargin)
+      | + (CASE WHEN __bk div 16 >= 5
+      |    THEN (__bk % 16) * shiftleft(CAST(1 AS BIGINT), CAST(__bk div 16 - 5 AS INT))
+      |    ELSE ((__bk % 16) * shiftleft(CAST(1 AS BIGINT), CAST(__bk div 16 - 1 AS INT))) div 16 END)""".stripMargin)
 
   /** Per-key percentile extraction from a `logHistogramPerKey`: the
     * cumulative window is partitioned by key and ordered over the

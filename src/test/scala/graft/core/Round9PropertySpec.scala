@@ -88,7 +88,11 @@ class Round9PropertySpec extends AnyFunSuite {
   }
 
   test("quantile sketch honors the 1/16 bound on arbitrary positive longs") {
-    val vs = Seq.fill(3000)(math.abs(rnd.nextLong()) % 100000000L + 1L)
+    // full long range INCLUDING values past 2^59 — the sub-cell must
+    // never form the overflowing 16·v product (logBucket's CASE split)
+    // & MaxValue, not math.abs: abs(Long.MinValue) is still negative
+    val vs = Seq.fill(2000)((rnd.nextLong() & Long.MaxValue) % 100000000L + 1L) ++
+      Seq.fill(1000)((rnd.nextLong() & Long.MaxValue) % (Long.MaxValue - 1) + 1L)
     val sk = graft.llm.Sketches.histQuantiles(
         graft.llm.Sketches.logHistogram(vs.toDF("v"), "v"),
         Seq(5, 25, 50, 75, 95))
@@ -96,7 +100,9 @@ class Round9PropertySpec extends AnyFunSuite {
     val sorted = vs.sorted
     for ((q, got) <- sk) {
       val exact = sorted(math.ceil(q / 100.0 * sorted.size).toInt - 1)
-      assert(math.abs(got - exact) * 16 <= exact, s"P$q: $got vs $exact")
+      // bound via BigInt: exact can sit near Long.MaxValue
+      assert((BigInt(got) - BigInt(exact)).abs * 16 <= BigInt(exact),
+        s"P$q: $got vs $exact")
     }
   }
 }
