@@ -52,7 +52,7 @@ object Bench {
     "llm_zorder_layout", "llm_scd2_build", "llm_interval_merge",
     "llm_winsorize", "llm_sketch_overlap", "llm_weighted_quantile",
     "llm_join_estimate", "llm_sketch_registry", "llm_anomaly_days",
-    "llm_triangles", "llm_attribution",
+    "llm_triangles", "llm_attribution", "llm_cooccur",
     "llm_chunking", "llm_bm25", "llm_hybrid_search", "llm_ngram_lm",
     "llm_domain_budget", "llm_corpus_drift", "llm_quality_cut", "llm_rag_pipeline", "llm_bpe_train", "llm_bpe_encode", "llm_unicode_nfc", "llm_sessionize", "llm_funnel", "llm_retention",
     "llm_ivf_stats", "llm_ivf_probe_curve",

@@ -4105,6 +4105,15 @@ object SparkEntry {
           floor(col("overlap_est") * 1000000 / col("exact_overlap")))
     }),
 
+    // DOC-LEVEL CO-OCCURRENCE (TextOps.cooccurPairs): token pairs
+    // sharing ≥ 50 documents, apriori-pruned (only df ≥ 50 tokens ever
+    // reach the pair join — the rare-token long tail never pays the
+    // quadratic step), ranked by micro-quantized doc-count lift.
+    "llm_cooccur" -> ((s, dir) => {
+      llm.TextOps.cooccurPairs(t(s, dir, "documents"), "doc_id", "text",
+        minDf = 50L, minSup = 50L, topK = 25)
+    }),
+
     // LAST-TOUCH ATTRIBUTION (core.AsOfJoin composition): each purchase
     // attributes to the user's most recent STRICTLY-earlier non-purchase
     // touch within 7 days (same-instant touches pre-collapsed to the
@@ -8592,6 +8601,22 @@ object SparkEntry {
     // same h64 split (top 9 bits bucket, low 51 rank field), rank via
     // length(bin()) (never float log2), harmonic sum as the exact scaled
     // BIGINT, one final double division with CAST-pinned DOUBLE literals.
+    // llm_cooccur oracle: same apriori-pruned doc-level pair census +
+    // HUGEINT lift.
+    "llm_cooccur" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_distinct(list_filter(string_split(lower(text), ' '), x -> len(x) > 0))) AS w
+        |  FROM documents),
+        |dfreq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY w),
+        |freq AS (SELECT w, df FROM dfreq WHERE df >= 50),
+        |ft AS (SELECT t.doc_id, t.w FROM toks t JOIN freq f ON t.w = f.w),
+        |pairs AS (SELECT a.w AS w1, b.w AS w2, CAST(count(*) AS BIGINT) AS n12
+        |  FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.w < b.w
+        |  GROUP BY 1, 2 HAVING count(*) >= 50),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+        |SELECT p.w1, p.w2, p.n12, fa.df AS df1, fb.df AS df2,
+        |  CAST((CAST(p.n12 AS HUGEINT) * nn.n * 1000000) // (CAST(fa.df AS HUGEINT) * fb.df) AS BIGINT) AS lift_micro
+        |FROM pairs p JOIN freq fa ON p.w1 = fa.w JOIN freq fb ON p.w2 = fb.w, nn
+        |ORDER BY lift_micro DESC, w1, w2 LIMIT 25""".stripMargin,
     // llm_attribution oracle: DuckDB's native ASOF LEFT JOIN with the
     // strict inequality, same max-event-id per-instant collapse.
     "llm_attribution" ->

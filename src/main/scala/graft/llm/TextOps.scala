@@ -1414,4 +1414,53 @@ object TextOps {
       .orderBy(col("pmi_ratio_micro").desc, col("w1"), col("w2"))
       .limit(topK)
   }
+
+  /** Document-level co-occurrence mining (market-basket over docs —
+    * the whole-document sibling of [[pmiCollocations]]'s adjacency
+    * bigrams): token pairs appearing together in ≥ `minSup` documents,
+    * ranked by micro-quantized lift `(n12 · N · 10^6) div (df1 · df2)`
+    * (doc counts, presence not frequency; DECIMAL(38,0) numerator —
+    * the PMI overflow treatment).
+    *
+    * Scale = the APRIORI prune: a pair cannot reach `minSup` unless
+    * BOTH tokens do, so the frequent-token set (small — it is a
+    * df-threshold vocabulary cut) broadcasts and filters BEFORE the
+    * per-document pair join. The pair generation is a doc_id-keyed
+    * self-join whose per-doc fan-out is bounded by frequent-tokens-
+    * per-doc squared — the long tail of rare tokens (≈ all of a real
+    * vocabulary) never reaches it. Final top-k is a
+    * TakeOrderedAndProject, never a global sort.
+    */
+  def cooccurPairs(df: DataFrame, idCol: String, textCol: String,
+      minDf: Long, minSup: Long, topK: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        explode(array_distinct(expr(
+          s"filter(split(lower($textCol), ' '), w -> length(w) > 0)")))
+          .as("w"))
+      .localCheckpoint() // read by the census AND the pruned join
+    val freq = toks.groupBy(col("w"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    val ft = toks.join(broadcast(freq.select(col("w"))), Seq("w"))
+    val pairs = ft.select(col("id"), col("w").as("w1"))
+      .join(ft.select(col("id"), col("w").as("w2")), Seq("id"))
+      .filter(col("w1") < col("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n12"))
+      .filter(col("n12") >= minSup)
+    val n = df.agg(count(lit(1)).as("__n"))
+    pairs
+      .join(broadcast(freq.select(col("w").as("w1"), col("df").as("df1"))),
+        Seq("w1"))
+      .join(broadcast(freq.select(col("w").as("w2"), col("df").as("df2"))),
+        Seq("w2"))
+      .crossJoin(broadcast(n))
+      .withColumn("lift_micro",
+        expr("""CAST((CAST(n12 AS DECIMAL(38,0)) * __n * 1000000)
+               | div (CAST(df1 AS DECIMAL(38,0)) * df2) AS BIGINT)""".stripMargin))
+      .select(col("w1"), col("w2"), col("n12"), col("df1"), col("df2"),
+        col("lift_micro"))
+      .orderBy(col("lift_micro").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
 }

@@ -37,4 +37,27 @@ class PmiSpec extends AnyFunSuite {
     assert(ab.getAs[Long]("c12") == 3L)
     assert(ab.getAs[Long]("pmi_ratio_micro") == 3L * 7L * 1000000L / 9L)
   }
+
+  test("cooccur: hand-computed doc counts, apriori prune, presence not frequency") {
+    // 10 docs: 'alpha beta' co-occur in all 10 (beta repeated — presence
+    // counts once); 'gamma' in 4 docs (below minDf 5, pruned even though
+    // pairs with it would clear minSup... they can't — apriori); 'delta'
+    // in 5 docs alongside alpha
+    val docs = (0L until 10L).map { i =>
+      val g = if (i < 4) " gamma" else ""
+      val d = if (i % 2 == 0L) " delta" else ""
+      (i, s"alpha beta beta$g$d")
+    }.toDF("doc_id", "text")
+    val out = TextOps.cooccurPairs(docs, "doc_id", "text",
+      minDf = 5L, minSup = 5L, topK = 10)
+      .orderBy("w1", "w2")
+      .select("w1", "w2", "n12", "df1", "df2", "lift_micro")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("alpha", "beta", 10L, 10L, 10L, 1000000L), // lift exactly 1.0
+      ("alpha", "delta", 5L, 10L, 5L, 1000000L),
+      ("beta", "delta", 5L, 10L, 5L, 1000000L)))
+    // gamma appears in no pair: pruned at the frequent-token gate
+    assert(!out.exists(r => r._1 == "gamma" || r._2 == "gamma"))
+  }
 }
