@@ -74,6 +74,28 @@ object SparkEntry {
       .drop("__g")
   }
 
+  /** Run-scoped scratch directory for the store-backed rows: every
+    * per-invocation store (g-rows, k-rows, sketch registry) roots its
+    * parquet layers under ONE JVM-lifetime temp root that a shutdown
+    * hook deletes recursively — repeated bench reps / spec runs no
+    * longer leak layer files into /tmp across runs.
+    */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft-scratch")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(root.toFile)
+    }))
+    root
+  }
+
+  private def scratchDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(scratchRoot, tag).toString
+
   private def docGraphEdges(docs: DataFrame): DataFrame = {
     val n = docs.agg(count(lit(1)).as("__n"))
     val base = docs.crossJoin(broadcast(n))
@@ -524,7 +546,7 @@ object SparkEntry {
     // store round-trip all fail the row.
     "g1_loader_pipeline" -> ((s, dir) => {
       val store = new core.PersistentGraphStore(s,
-        java.nio.file.Files.createTempDirectory("graft-g1").toString)
+        scratchDir("g1"))
       val path = s"$REF_DATA/doid.sample.json"
       sources.Loaders.loadDoid(s, store, path)
       sources.Loaders.loadDoid(s, store, path) // idempotency pass
@@ -627,7 +649,7 @@ object SparkEntry {
       java.nio.file.Files.writeString(f.toPath,
         rows.map(_.mkString("\t")).mkString("\n"))
       val store = new core.PersistentGraphStore(s,
-        java.nio.file.Files.createTempDirectory("graft-g3").toString)
+        scratchDir("g3"))
       sources.NcitLoad.load(s, store, f.getPath)
       sources.NcitLoad.load(s, store, f.getPath) // idempotency pass
       val terms = store.read("terms").get
@@ -649,7 +671,7 @@ object SparkEntry {
     "g4_oncotree" -> ((s, dir) => {
       val path = s"$REF_DATA/tumorTypes-oncotree_latest_stable.json"
       val store = new core.PersistentGraphStore(s,
-        java.nio.file.Files.createTempDirectory("graft-g4").toString)
+        scratchDir("g4"))
       sources.Loaders.loadOncotree(s, store, path)
       sources.Loaders.loadOncotree(s, store, path) // idempotency pass
       val edges = store.read("edges").get
@@ -673,7 +695,7 @@ object SparkEntry {
     "g5_ensembl" -> ((s, dir) => {
       val path = s"$REF_DATA/ensembl_biomart_export_ENSG00000139618.tsv"
       val store = new core.PersistentGraphStore(s,
-        java.nio.file.Files.createTempDirectory("graft-g5").toString)
+        scratchDir("g5"))
       sources.Loaders.loadEnsembl(s, store, path)
       sources.Loaders.loadEnsembl(s, store, path) // idempotency pass
       val feats = store.read("features").get
@@ -694,7 +716,7 @@ object SparkEntry {
         s"$REF_DATA/external_api_responses.json",
         "http://rest.genenames.org/fetch/hgnc_id/1101")
       val store = new core.PersistentGraphStore(s,
-        java.nio.file.Files.createTempDirectory("graft-g6").toString)
+        scratchDir("g6"))
       sources.Loaders.loadHgnc(s, store, docs)
       sources.Loaders.loadHgnc(s, store, docs) // idempotency pass
       val outCounts = store.read("edges").get
@@ -716,7 +738,7 @@ object SparkEntry {
     "g7_fdasrs" -> ((s, dir) => {
       val path = s"$REF_DATA/UNII_Records_25Oct2018_sample.txt"
       val store = new core.PersistentGraphStore(s,
-        java.nio.file.Files.createTempDirectory("graft-g7").toString)
+        scratchDir("g7"))
       val withNcit = sources.FdaSrs.rows(s, path).filter(col("ncit").isNotNull)
       val minNcit = withNcit.agg(min(col("ncit"))).first.getString(0)
       val ncitDim = withNcit.filter(col("ncit") =!= minNcit)
@@ -738,7 +760,7 @@ object SparkEntry {
     "g8_vario" -> ((s, dir) => {
       val path = s"$REF_DATA/vario_v2018-04-27.owl"
       val store = new core.PersistentGraphStore(s,
-        java.nio.file.Files.createTempDirectory("graft-g8").toString)
+        scratchDir("g8"))
       sources.Vario.load(s, store, path)
       sources.Vario.load(s, store, path) // idempotency pass
       val outCounts = store.read("edges").get
@@ -759,7 +781,7 @@ object SparkEntry {
       import s.implicits._
       val path = s"$REF_DATA/clinicaltrialsgov.NCT03478891.json"
       val store = new core.PersistentGraphStore(s,
-        java.nio.file.Files.createTempDirectory("graft-g9").toString)
+        scratchDir("g9"))
       val therapyDim = Seq("VRC-EBOMAB092-00-AB (MAb114)", "erlotinib").toDF("name")
       val diseaseDim = Seq("melanoma").toDF("name")
       sources.ClinicalTrials.load(s, store, path, therapyDim, diseaseDim)
@@ -785,7 +807,7 @@ object SparkEntry {
     "g10_refseq" -> ((s, dir) => {
       val path = s"$REF_DATA/LRG_RefSeqGene_d1541209245_kras.tab"
       val store = new core.PersistentGraphStore(s,
-        java.nio.file.Files.createTempDirectory("graft-g10").toString)
+        scratchDir("g10"))
       val fetcher = sources.Entrez.fileFetcher(
         Map("3845" -> s"$REF_DATA/entrez_gene.3845.json"))
       sources.Entrez.hydrate(s, store, "genes", Seq("3845"), fetcher,
@@ -812,7 +834,7 @@ object SparkEntry {
     "g11_chembl" -> ((s, dir) => {
       val path = s"$REF_DATA/chembl.CHEMBL553.json"
       val store = new core.PersistentGraphStore(s,
-        java.nio.file.Files.createTempDirectory("graft-g11").toString)
+        scratchDir("g11"))
       sources.Chembl.load(s, store, path)
       sources.Chembl.load(s, store, path) // idempotency pass
       val outCounts = store.read("edges").get
@@ -834,7 +856,7 @@ object SparkEntry {
       import s.implicits._
       import sources.Cgl.CglRecord
       val store = new core.PersistentGraphStore(s,
-        java.nio.file.Files.createTempDirectory("graft-g30").toString)
+        scratchDir("g30"))
       val records = Seq(
         CglRecord("x1", "NM_005228.5", "c.2573T>G", "EGFR", "p.(L858R)",
           "7", "55259515", "T", "G"),
@@ -913,7 +935,7 @@ object SparkEntry {
       val f = java.io.File.createTempFile("graft-g31", ".owl")
       java.nio.file.Files.writeString(f.toPath, owl)
       val store = new core.PersistentGraphStore(s,
-        java.nio.file.Files.createTempDirectory("graft-g31").toString)
+        scratchDir("g31"))
       val c1 = sources.SequenceOntology.load(s, store, f.getPath)
       sources.SequenceOntology.load(s, store, f.getPath) // idempotency pass
       val ents = store.read("vocabulary").get
@@ -941,7 +963,7 @@ object SparkEntry {
       import s.implicits._
       import sources.GscTherapy.GscRow
       val store = new core.PersistentGraphStore(s,
-        java.nio.file.Files.createTempDirectory("graft-g32").toString)
+        scratchDir("g32"))
       val rows = Seq(
         GscRow(1, "Vemurafenib", "plx4032, RG7204, vemurafenib", "DB08881",
           "RAF inhibitors", "kinase inhibitors", "MAPK pathway inhibitors"),
@@ -985,7 +1007,7 @@ object SparkEntry {
       val fj = java.io.File.createTempFile("graft-g33", ".json")
       java.nio.file.Files.writeString(fj.toPath, json)
       val store = new core.PersistentGraphStore(s,
-        java.nio.file.Files.createTempDirectory("graft-g33").toString)
+        scratchDir("g33"))
       val geneCols = Seq("biotype", "name", "displayName", "longName",
         "description", "url")
       val seed = Seq(
@@ -1030,7 +1052,7 @@ object SparkEntry {
     "g34_all_sources" -> ((s, dir) => {
       import s.implicits._
       val store = new core.PersistentGraphStore(s,
-        java.nio.file.Files.createTempDirectory("graft-g34").toString)
+        scratchDir("g34"))
       sources.SourceCatalog.load(s, store)
       sources.SourceCatalog.load(s, store) // idempotency pass
       val src = store.read("sources").get
@@ -1068,7 +1090,7 @@ object SparkEntry {
       import s.implicits._
       import sources.Pmc4468049.{CodeCount, FusionRow}
       val store = new core.PersistentGraphStore(s,
-        java.nio.file.Files.createTempDirectory("graft-g29").toString)
+        scratchDir("g29"))
       val rows = Seq(
         FusionRow("r1", "EML4__ALK", "4",
           Seq(CodeCount("LUAD", "4"), CodeCount("SKCM", "0"))),
@@ -1113,7 +1135,7 @@ object SparkEntry {
     "g28_vocab_file" -> ((s, dir) => {
       val path = "/root/reference/data/vocab.json"
       val store = new core.PersistentGraphStore(s,
-        java.nio.file.Files.createTempDirectory("graft-g28").toString)
+        scratchDir("g28"))
       sources.OntologyFile.load(s, store, path, "vocabulary")
       sources.OntologyFile.load(s, store, path, "vocabulary") // idempotency
       val outCounts = store.read("edges").get
@@ -1134,7 +1156,7 @@ object SparkEntry {
     "g27_asco" -> ((s, dir) => {
       import sources.Asco.Abstract
       val store = new core.PersistentGraphStore(s,
-        java.nio.file.Files.createTempDirectory("graft-g27").toString)
+        scratchDir("g27"))
       val abstracts = Seq(
         // dup group: fuller record wins regardless of order
         Abstract(1L, "100", "2020", "am", "T cells", "Smith", "", ""),
@@ -1197,7 +1219,7 @@ object SparkEntry {
       zos.close()
       val grid = sources.XlsxScan.df(s, f.getPath, superHeader = true)
       val store = new core.PersistentGraphStore(s,
-        java.nio.file.Files.createTempDirectory("graft-g26").toString)
+        scratchDir("g26"))
       val genes = Seq(("TP53", "7157"), ("KRAS", "3845")).toDF("symbol", "sourceId")
       val vocab = Seq(("gain of function", "t:gof"),
         ("loss of function", "t:lof"), ("dominant negative", "t:domneg"),
@@ -1241,7 +1263,7 @@ object SparkEntry {
           |<p>The confirmatory trial read out June 2, 2021.</p></article>
           |</body></html>""".stripMargin
       val store = new core.PersistentGraphStore(s,
-        java.nio.file.Files.createTempDirectory("graft-g25").toString)
+        scratchDir("g25"))
       val pages = Map("/drugs/resources/announce-1" -> p1,
         "/drugs/resources/announce-2" -> p2)
       val run = () => sources.FdaApprovals.load(s, store, index, pages)
@@ -1265,7 +1287,7 @@ object SparkEntry {
       import s.implicits._
       import sources.CosmicFusions.FusionRow
       val store = new core.PersistentGraphStore(s,
-        java.nio.file.Files.createTempDirectory("graft-g24").toString)
+        scratchDir("g24"))
       val rows = Seq(
         FusionRow("a1", "f1", "s1", "BRAF_ENST00000288602", "MEK1", "10", "2",
           "melanoma", "skin", "p1"),
@@ -1328,7 +1350,7 @@ object SparkEntry {
       import s.implicits._
       import sources.CosmicResistance.ResistanceRecord
       val store = new core.PersistentGraphStore(s,
-        java.nio.file.Files.createTempDirectory("graft-g23").toString)
+        scratchDir("g23"))
       val records = Seq(
         ResistanceRecord("m1", "BRAF_ENST00000288602",
           "ENSP00000288602.7:p.V600E", "ENST00000288602.11:c.1799T>A",
@@ -1394,7 +1416,7 @@ object SparkEntry {
       val f = java.io.File.createTempFile("graft-g22", ".owl")
       java.nio.file.Files.writeString(f.toPath, owl)
       val store = new core.PersistentGraphStore(s,
-        java.nio.file.Files.createTempDirectory("graft-g22").toString)
+        scratchDir("g22"))
       val ncitDim = Seq("c12345").toDF("sourceId")
       sources.Uberon.load(s, store, f.getPath, ncitDim)
       sources.Uberon.load(s, store, f.getPath, ncitDim) // idempotency pass
@@ -1445,7 +1467,7 @@ object SparkEntry {
       import s.implicits._
       import sources.OncoKb.OncoKbVariant
       val store = new core.PersistentGraphStore(s,
-        java.nio.file.Files.createTempDirectory("graft-g20").toString)
+        scratchDir("g20"))
       val records = Seq(
         OncoKbVariant("r1", "BRAF", "V600E", "673"),
         OncoKbVariant("r2", "BCR", "BCR-ABL1 Fusion", "613"),
@@ -1488,7 +1510,7 @@ object SparkEntry {
       import s.implicits._
       import sources.CancerHotspots.HotspotRecord
       val store = new core.PersistentGraphStore(s,
-        java.nio.file.Files.createTempDirectory("graft-g19").toString)
+        scratchDir("g19"))
       val records = Seq(
         HotspotRecord("h1", "7", 140453136L, 140453136L, "A", "T",
           "673", "p.V600E", "ENST00000288602", "c.1799T>A", "mel"),
@@ -1536,7 +1558,7 @@ object SparkEntry {
       import s.implicits._
       import sources.Docm.DocmRecord
       val store = new core.PersistentGraphStore(s,
-        java.nio.file.Files.createTempDirectory("graft-g18").toString)
+        scratchDir("g18"))
       val records = Seq(
         DocmRecord("r1", "p.G12D", "KRAS", "12", "GRCh37",
           25398284L, 25398284L, "C", "T", "SNV"),
@@ -1579,7 +1601,7 @@ object SparkEntry {
       import s.implicits._
       import sources.Dgidb.Interaction
       val store = new core.PersistentGraphStore(s,
-        java.nio.file.Files.createTempDirectory("graft-g17").toString)
+        scratchDir("g17"))
       sources.Entrez.hydrate(s, store, "genes", Seq("3845"),
         sources.Entrez.fileFetcher(
           Map("3845" -> s"$REF_DATA/entrez_gene.3845.json")),
@@ -1615,7 +1637,7 @@ object SparkEntry {
       import s.implicits._
       import sources.Moa.MoaVariant
       val store = new core.PersistentGraphStore(s,
-        java.nio.file.Files.createTempDirectory("graft-g16").toString)
+        scratchDir("g16"))
       val records = Seq(
         MoaVariant(1L, "KRAS", "somatic_variant", None, None, None, None,
           None, None, None, None, Some("some variant type")),
@@ -1662,7 +1684,7 @@ object SparkEntry {
     // LATEST version (.12) alongside the pinned .11.
     "g15_entrez_refseq" -> ((s, dir) => {
       val store = new core.PersistentGraphStore(s,
-        java.nio.file.Files.createTempDirectory("graft-g15").toString)
+        scratchDir("g15"))
       val ids = Seq("NC_000003.11", "NC_000003", "NM_005228.5", "NP_008819.1")
       val fetcher = sources.Entrez.fileFetcher(
         ids.map(i => i -> s"$REF_DATA/entrez_refseq.$i.json").toMap)
@@ -1689,7 +1711,7 @@ object SparkEntry {
     "g14_full_dag" -> ((s, dir) => {
       import s.implicits._
       val store = new core.PersistentGraphStore(s,
-        java.nio.file.Files.createTempDirectory("graft-g14").toString)
+        scratchDir("g14"))
       val ncit = orchestrate.FullCorpus.writeNcitSample()
       val r1 = orchestrate.FullCorpus.run(s, store, ncit)
       val r2 = orchestrate.FullCorpus.run(s, store, ncit)
@@ -1730,7 +1752,7 @@ object SparkEntry {
     "g13_entrez" -> ((s, dir) => {
       import s.implicits._
       val store = new core.PersistentGraphStore(s,
-        java.nio.file.Files.createTempDirectory("graft-g13").toString)
+        scratchDir("g13"))
       val geneCols = Seq("biotype", "name", "displayName", "longName",
         "description", "url")
       val seed = Seq(("4869", "gene", "stub-npm1", "stub-npm1",
@@ -1772,7 +1794,7 @@ object SparkEntry {
       import s.implicits._
       val path = s"$REF_DATA/civic_variant.json"
       val store = new core.PersistentGraphStore(s,
-        java.nio.file.Files.createTempDirectory("graft-g12").toString)
+        scratchDir("g12"))
       val vocab = Seq(
         ("mutation", "civic", "civic:mutation"),
         ("mutation", "sequence ontology", "so:mutation"),
@@ -2573,7 +2595,7 @@ object SparkEntry {
         "not_urgent" -> (col("o_orderpriority") =!= "1-URGENT"))
       val v = core.Specs.validate(
         t(s, dir, "orders").filter(col("o_orderkey") % 29 === 0), rules)
-      val sink = java.nio.file.Files.createTempDirectory("graft-k10").toString + "/errors"
+      val sink = scratchDir("k10") + "/errors"
       core.Specs.writeErrors(
         v.errors.select(col("o_orderkey"), col("violations")), sink)
       s.read.parquet(sink)
@@ -2593,7 +2615,7 @@ object SparkEntry {
         .select(col("l_orderkey").as("out"), col("l_partkey").as("in"),
           lit("contains").as("edgeClass")).dropDuplicates()
       val store = new core.PersistentGraphStore(s,
-        java.nio.file.Files.createTempDirectory("graft-k5").toString)
+        scratchDir("k5"))
       store.write("edges", existing, store.EdgeKey)
       store.upsertEdges(candidates)
       store.read("edges").get
@@ -2613,7 +2635,7 @@ object SparkEntry {
         when(col("s_suppkey") % 5 === 0, col("s_acctbal") + 1.0)
           .otherwise(col("s_acctbal")).as("bal"))
       val store = new core.PersistentGraphStore(s,
-        java.nio.file.Files.createTempDirectory("graft-k7").toString)
+        scratchDir("k7"))
       store.upsertSource(target)
       store.upsertSource(updates)
       store.read("sources").get.select("name", "nation", "bal")
@@ -4194,7 +4216,7 @@ object SparkEntry {
     // full-data registers directly and every column hashes equal.
     "llm_sketch_registry" -> ((s, dir) => {
       val store = new core.PersistentGraphStore(s,
-        java.nio.file.Files.createTempDirectory("graft-skreg").toString)
+        scratchDir("skreg"))
       val users = t(s, dir, "events")
         .select(col("event_type").as("src"),
           col("user_id").cast("string").as("uid"))

@@ -91,13 +91,17 @@ object EventAnalytics {
         sum(col(valueCol).cast("decimal(38,0)") * col(valueCol))
           .as("__sxx"))
     // no broadcast hint: stats has one row per group — AQE broadcasts
-    // it when small, but forcing it would OOM at 10^8 groups
+    // it when small, but forcing it would OOM at 10^8 groups.
+    // x·n rides DECIMAL(38,0) too (a plain long multiply would wrap
+    // past 2^63 for x near 2^63/n); dev_n is the long-cast OUTPUT but
+    // the anomaly test reads the un-cast decimal deviation.
     counts.join(stats, Seq(groupCol))
-      .withColumn("dev_n",
-        (col(valueCol) * col("__n") - col("__s")).cast("long"))
+      .withColumn("__dev",
+        col(valueCol).cast("decimal(38,0)") * col("__n") - col("__s"))
+      .withColumn("dev_n", col("__dev").cast("long"))
       .withColumn("anomalous", expr(
-        s"""CAST(dev_n AS DECIMAL(38,0)) * dev_n >
+        s"""__dev * __dev >
            | ${k.toLong * k} * (CAST(__n AS DECIMAL(38,0)) * __sxx - __s * __s)""".stripMargin))
-      .drop("__n", "__s", "__sxx")
+      .drop("__n", "__s", "__sxx", "__dev")
   }
 }

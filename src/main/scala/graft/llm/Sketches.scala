@@ -139,19 +139,24 @@ object Sketches {
     * answer it without shuffling either table's keys. All integer.
     */
   def cmInnerProduct(countersA: DataFrame, countersB: DataFrame): DataFrame = {
+    // the slot products ride DECIMAL(38,0): two hot slots at cnt ≈ 3e9
+    // would wrap a plain long multiply past 2^63; only the final min
+    // (bounded by the true join size a caller expects as a count)
+    // returns to long
     val prods = countersA
       .select(col("j"), col("slot"), col("cnt").as("__ca"))
       .join(countersB.select(col("j"), col("slot"), col("cnt").as("__cb")),
         Seq("j", "slot")) // inner: a missing slot contributes 0
       .groupBy(col("j"))
-      .agg(sum(col("__ca") * col("__cb")).as("__prod"))
+      .agg(sum(col("__ca").cast("decimal(38,0)") * col("__cb")).as("__prod"))
     // a depth with NO shared slots has estimate 0 — it must reach the
     // min fold (dropping it would discard the tightest bound and leave
     // fully-disjoint inputs with an empty/NULL estimate)
     countersA.sparkSession.range(CmDepth)
       .select(col("id").cast("int").as("j"))
       .join(prods, Seq("j"), "left")
-      .agg(min(coalesce(col("__prod"), lit(0L))).as("cm_join_estimate"))
+      .agg(min(coalesce(col("__prod"), lit(0).cast("decimal(38,0)")))
+        .cast("long").as("cm_join_estimate"))
   }
 
   /** Point estimates for `probes`: each probe joins its d counters

@@ -66,4 +66,21 @@ class EventAnalyticsSpec extends AnyFunSuite {
     val out = EventAnalytics.sigmaOutliers(counts, "g", "x", 2)
     assert(out.filter(col("anomalous")).count() == 0)
   }
+
+  test("sigma outliers: x·n past 2^63 rides decimal, verdicts stay exact") {
+    // ten members at x = 9.5e17: x·n = 9.5e18 > 2^63 wraps a plain long
+    // multiply and would corrupt every verdict, while the decimal
+    // algebra still fits (n·ΣX² ≈ 9e37 < 10^38); the one deviant
+    // member must be the only flag
+    val big = 950000000000000000L
+    val counts = ((Seq.fill(9)(big) :+ (big + 1000000L)).map(("g", _)))
+      .toDF("g", "x")
+    val out = EventAnalytics.sigmaOutliers(counts, "g", "x", 2)
+      .select("x", "dev_n", "anomalous")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    // dev_n for the deviant: x·n − S = (big+1e6)·10 − (9·big + big+1e6)
+    // = 9·1e6; for the others: −1e6 each
+    assert(out.filter(_._3) == Seq((big + 1000000L, 9000000L, true)))
+    assert(out.count(r => r._1 == big && r._2 == -1000000L && !r._3) == 9)
+  }
 }

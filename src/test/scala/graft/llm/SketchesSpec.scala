@@ -129,6 +129,18 @@ class SketchesSpec extends AnyFunSuite {
     assert(est <= 5L)
   }
 
+  test("cm inner product: a hot-slot product past 2^63 cannot poison the min") {
+    // depth 0 carries a collision slot with cnt ≈ 4e9 on BOTH sides:
+    // 1.6e19 wraps a long multiply to a NEGATIVE, which would win the
+    // min fold and break the one-sided guarantee; the decimal path must
+    // let the honest depths (product 10000) decide instead
+    def grid(hot: Long) = (Seq((0, 5L, hot)) ++
+      (1 to 3).map(j => (j, 1L, 100L))).toDF("j", "slot", "cnt")
+    val est = Sketches.cmInnerProduct(grid(4000000000L), grid(4000000000L))
+      .as[Long].head()
+    assert(est == 10000L)
+  }
+
   test("quantile sketch stays within the 1/16 relative-error guarantee") {
     // skewed long-tail values: i^2 over 1..2000 — crosses many octaves
     val v = (1 to 2000).map(i => i.toLong * i).toDF("v")
