@@ -1082,6 +1082,58 @@ object SparkEntry {
       srcRows.unionByName(resolves)
     }),
 
+    // G35 — the drugbank loader isolated (drugbank/index.js:38-249 over
+    // the shipped drugbank_sample.xml): streaming rowTag scan → full
+    // record parse (primary id / body fields / IUPAC + formula from
+    // calculated-properties) → alias explosion (simple-word product
+    // names) → FDA-UNII + ChEMBL CrossReferenceOf → targetof gene→drug
+    // with the action comment → store round trip, TWICE — the rerun's
+    // mutation counters ride the output, so a non-idempotent pass fails
+    // the row. Dependency dims are seeded the way the corpus DAG provides
+    // them: the fdaSrs sample TSV (plus the erlotinib UNII row the full
+    // production file carries — the 100-row sample stops at 'C'), the
+    // recorded chembl.CHEMBL553 molecule fetch, and the hgnc:3236
+    // resolution the reference's fetchAndLoadBySymbol performs.
+    "g35_drugbank" -> ((s, dir) => {
+      import s.implicits._
+      val store = new core.PersistentGraphStore(s, scratchDir("g35"))
+      val fdaDim = sources.FdaSrs
+        .therapies(s, s"$REF_DATA/UNII_Records_25Oct2018_sample.txt")
+        .unionByName(Seq(("J4T82NDH7E", "ERLOTINIB")).toDF("sourceId", "name"))
+      val chemblDim = sources.Chembl
+        .molecules(s, s"$REF_DATA/chembl.CHEMBL553.json")
+        .select("sourceId", "name")
+      val geneDim = Seq(("HGNC:3236", "egfr")).toDF("hgncId", "symbol")
+      val run = () => sources.Loaders.loadDrugbankFull(s, store,
+        s"$REF_DATA/drugbank_sample.xml", fdaDim, chemblDim, geneDim)
+      run()
+      val c2 = run() // idempotency pass: no create/update/delete, no edges
+      val mutations = Seq("create", "update", "delete", "edges_created")
+        .map(k => c2.getOrElse(k, 0L)).sum
+      val therapies = store.read("therapies").get
+        .select(lit("therapy").as("kind"), col("sourceId").as("a"),
+          col("name").as("b"), col("alias").cast("string").as("c"),
+          coalesce(col("dependency"), lit("-")).as("d"))
+      val fields = store.read("therapies").get.filter(!col("alias"))
+        .select(col("sourceId"), map(
+          lit("sourceIdVersion"), col("sourceIdVersion"),
+          lit("iupacName"), col("iupacName"),
+          lit("molecularFormula"), col("molecularFormula"),
+          lit("mechanismOfAction"), substring(col("mechanismOfAction"), 1, 40),
+          lit("description"), substring(col("description"), 1, 40)).as("m"))
+        .select(col("sourceId"), explode(col("m")))
+        .select(lit("field").as("kind"), col("sourceId").as("a"),
+          col("key").as("b"), coalesce(col("value"), lit("-")).as("c"),
+          lit("").as("d"))
+      val edges = store.read("edges").get
+        .select(lit("edge").as("kind"), col("edgeClass").as("a"),
+          col("out").as("b"), col("in").as("c"),
+          coalesce(col("comment"), lit("-")).as("d"))
+      val rerun = Seq(("rerun", "mutations", mutations.toString, "", ""))
+        .toDF("kind", "a", "b", "c", "d")
+      therapies.unionByName(fields).unionByName(edges).unionByName(rerun)
+    }),
+
     // G29 — PMC4468049 recurrent fusions (PMC4468049/index.js:32-185,
     // Table S7): low-frequency skip, first-matching-count-column disease
     // specificity with the cancer fallback, disease-miss skips,
@@ -7817,6 +7869,30 @@ object SparkEntry {
         |('source', 'uberon', 'Uberon', '-'),
         |('source', 'vario', '-', '-')
         |) AS t(kind, a, b, c)""".stripMargin,
+    // g35: VALUES re-derived independently from the raw fixture (regex
+    // over drugbank_sample.xml: one drug DB00530/Erlotinib updated
+    // 2019-07-02; product names Apo-/Nat-/PMS-/Teva-erlotinib fail
+    // ^[a-zA-Z]\w+$, 'Erlotinib'+'Erlotinib Hydrochloride' excluded →
+    // tarceva is the only alias; unii J4T82NDH7E; ChEMBL CHEMBL553; one
+    // HGNC:3236 target with action 'antagonist'; IUPAC + formula from
+    // calculated-properties) and drugbank/index.js:38-249 semantics.
+    "g35_drugbank" ->
+      """SELECT CAST(kind AS VARCHAR) AS kind, CAST(a AS VARCHAR) AS a,
+        |  CAST(b AS VARCHAR) AS b, CAST(c AS VARCHAR) AS c,
+        |  CAST(d AS VARCHAR) AS d FROM (VALUES
+        |('therapy', 'DB00530', 'Erlotinib', 'false', '-'),
+        |('therapy', 'DB00530', 'tarceva', 'true', 'DB00530|Erlotinib'),
+        |('field', 'DB00530', 'sourceIdVersion', '2019-07-02', ''),
+        |('field', 'DB00530', 'iupacName', 'N-(3-ethynylphenyl)-6,7-bis(2-methoxyethoxy)quinazolin-4-amine', ''),
+        |('field', 'DB00530', 'molecularFormula', 'C22H23N3O4', ''),
+        |('field', 'DB00530', 'mechanismOfAction', 'The mechanism of clinical antitumor acti', ''),
+        |('field', 'DB00530', 'description', 'Erlotinib is an inhibitor of the epiderm', ''),
+        |('edge', 'aliasof', 'DB00530|tarceva', 'DB00530|Erlotinib', '-'),
+        |('edge', 'CrossReferenceOf', 'DB00530|Erlotinib', 'J4T82NDH7E|ERLOTINIB', '-'),
+        |('edge', 'CrossReferenceOf', 'DB00530|Erlotinib', 'CHEMBL553|ERLOTINIB', '-'),
+        |('edge', 'targetof', 'egfr', 'DB00530|Erlotinib', 'antagonist'),
+        |('rerun', 'mutations', '0', '', '')
+        |) AS t(kind, a, b, c, d)""".stripMargin,
     // g33: frozen from the implementation once, cross-checked against
     // variants/index.js:9-81 by hand (badnotation parse rung, c.100dup
     // vocab rung, MISSING9 gene rung, NOVEL1 fetched past the transcript

@@ -76,6 +76,132 @@ object Loaders {
       keyCols = Seq("sourceId"),
       compareCols = Seq("name", "casNumber", "unii", "mechanismOfAction"))
 
+  // ---- drugbank, the full record slice (drugbank/index.js:38-249) --------
+
+  /** One row per `<drug>` with EVERYTHING the reference's processRecord
+    * consumes: the primary id (`drugbank-id[primary=true]`, index.js:35),
+    * the Therapy body fields (description / mechanism-of-action / name /
+    * `updated` attr as sourceIdVersion, index.js:51-58; IUPAC name +
+    * molecular formula from calculated-properties, last-kind-wins like the
+    * reference's assignment loop, index.js:67-75), the commercial-product
+    * alias set (simple-word `^[a-zA-Z]\w+$` names only, the drug's own
+    * name excluded case-insensitively, lowercased + deduped,
+    * index.js:135-140), the drug-level ChEMBL external identifiers
+    * (index.js:192-199), and per-target HGNC gene ids with the target's
+    * `/`-joined action list (index.js:215-231; the reference compares
+    * `gene.resource[0]` — its stream shape quirk — where the INTENT,
+    * exercised by its fixture, is the full resource string).
+    */
+  def drugbankRecords(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    XmlScan.rowTagFragments(spark, path, "drug")
+      .map { frag =>
+        val x = scala.xml.XML.loadString(frag)
+        val primaryId = (x \ "drugbank-id")
+          .collectFirst { case e if (e \@ "primary") == "true" => e.text }
+          .getOrElse((x \ "drugbank-id").text)
+        val name = (x \ "name").text
+        val props = (x \ "calculated-properties" \ "property")
+          .map(p => ((p \ "kind").text, (p \ "value").text)).toMap
+        val aliases = (x \ "products" \ "product").map(p => (p \ "name").text)
+          .filter(p => p.matches("^[a-zA-Z]\\w+$") &&
+            p.toLowerCase != name.toLowerCase)
+          .map(_.toLowerCase).distinct.sorted
+        val chemblIds = (x \ "external-identifiers" \ "external-identifier")
+          .filter(e => (e \ "resource").text.toLowerCase == "chembl")
+          .map(e => (e \ "identifier").text)
+        val targets = for {
+          t <- (x \ "targets" \ "target")
+          actions = (t \ "actions" \ "action").map(_.text).mkString("/")
+          p <- t \ "polypeptide"
+          e <- p \ "external-identifiers" \ "external-identifier"
+          if (e \ "resource").text == "HUGO Gene Nomenclature Committee (HGNC)"
+        } yield ((e \ "identifier").text, actions)
+        (primaryId, name, (x \ "description").text, x \@ "updated",
+          (x \ "mechanism-of-action").text,
+          props.get("IUPAC Name").orNull, props.get("Molecular Formula").orNull,
+          Option((x \ "unii").text.trim).filter(_.nonEmpty).orNull,
+          aliases, chemblIds, targets)
+      }
+      .toDF("sourceId", "name", "description", "sourceIdVersion",
+        "mechanismOfAction", "iupacName", "molecularFormula", "unii",
+        "aliases", "chemblIds", "hgncTargets")
+  }
+
+  /** The complete drugbank load: main + alias Therapy vertices keyed
+    * (sourceId, name) — the reference's fetchConditions key (name, source,
+    * sourceId), index.js:80-86 — plus the four edge families, endpoints as
+    * the NCIt-style `sourceId|name` composite rids:
+    *
+    *  - aliasof alias→drug (index.js:142-160);
+    *  - CrossReferenceOf drug→FDA record whose UNII sourceId matches the
+    *    drug's `unii` tag; a miss only logs, no edge (index.js:163-190);
+    *  - CrossReferenceOf drug→ChEMBL molecule per drug-level ChEMBL
+    *    external identifier (index.js:192-212, reference target spelled
+    *    `crossreferenceof` — same class, normalized here);
+    *  - targetof gene→drug carrying the action list as `comment`
+    *    (index.js:232-247).
+    *
+    * `fdaDim` / `chemblDim` (sourceId, name) and `geneDim` (hgncId,
+    * symbol) are the already-loaded dependency dimensions the reference
+    * resolves against (its `dependencies: [fdaName]` + chembl cache +
+    * hgnc fetch); all three broadcast — the XML side never shuffles.
+    */
+  def loadDrugbankFull(spark: SparkSession, store: PersistentGraphStore,
+      path: String, fdaDim: DataFrame, chemblDim: DataFrame,
+      geneDim: DataFrame): Map[String, Long] = {
+    val recs = drugbankRecords(spark, path).persist()
+    try {
+      def rid(id: org.apache.spark.sql.Column, nm: org.apache.spark.sql.Column) =
+        concat_ws("|", id, nm)
+      val nullS = lit(null).cast("string")
+      val main = recs.select(col("sourceId"), col("name"), col("description"),
+        col("sourceIdVersion"), col("mechanismOfAction"), col("iupacName"),
+        col("molecularFormula"), nullS.as("dependency"), lit(false).as("alias"))
+      val aliasV = recs
+        .select(col("sourceId"), col("name").as("__primary"),
+          explode(col("aliases")).as("name"))
+        .select(col("sourceId"), col("name"), nullS.as("description"),
+          nullS.as("sourceIdVersion"), nullS.as("mechanismOfAction"),
+          nullS.as("iupacName"), nullS.as("molecularFormula"),
+          rid(col("sourceId"), col("__primary")).as("dependency"),
+          lit(true).as("alias"))
+      val counts = store.merge("therapies", main.unionByName(aliasV),
+        keyCols = Seq("sourceId", "name"),
+        compareCols = Seq("description", "sourceIdVersion",
+          "mechanismOfAction", "iupacName", "molecularFormula", "dependency",
+          "alias"))
+      val drugRid = rid(col("sourceId"), col("name"))
+      val aliasOf = recs.select(col("sourceId"), col("name"),
+          explode(col("aliases")).as("__alias"))
+        .select(rid(col("sourceId"), col("__alias")).as("out"),
+          drugRid.as("in"), lit("aliasof").as("edgeClass"), nullS.as("comment"))
+      val fdaXref = recs.filter(col("unii").isNotNull)
+        .join(broadcast(fdaDim.select(col("sourceId").as("unii"),
+          col("name").as("__fdaName"))), Seq("unii"))
+        .select(drugRid.as("out"),
+          rid(col("unii"), col("__fdaName")).as("in"),
+          lit("CrossReferenceOf").as("edgeClass"), nullS.as("comment"))
+      val chemblXref = recs
+        .select(col("sourceId"), col("name"), explode(col("chemblIds")).as("__cid"))
+        .join(broadcast(chemblDim.select(col("sourceId").as("__cid"),
+          col("name").as("__chemblName"))), Seq("__cid"))
+        .select(drugRid.as("out"),
+          rid(col("__cid"), col("__chemblName")).as("in"),
+          lit("CrossReferenceOf").as("edgeClass"), nullS.as("comment"))
+      val targetOf = recs
+        .select(col("sourceId"), col("name"), explode(col("hgncTargets")).as("__t"))
+        .join(broadcast(geneDim.select(col("hgncId").as("__hid"),
+          col("symbol").as("__sym"))), col("__t")("_1") === col("__hid"))
+        .select(col("__sym").as("out"), drugRid.as("in"),
+          lit("targetof").as("edgeClass"), col("__t")("_2").as("comment"))
+      val edges = store.upsertEdges(
+        aliasOf.unionByName(fdaXref).unionByName(chemblXref)
+          .unionByName(targetOf))
+      counts ++ edges.map { case (k, v) => s"edges_$k" -> v }
+    } finally { recs.unpersist(); () }
+  }
+
   /** Seed vocabulary terms (the DAG root). */
   val VocabSeed: Seq[(String, String)] = Seq(
     ("sensitivity", "therapeutic efficacy"), ("resistance", "therapeutic efficacy"),

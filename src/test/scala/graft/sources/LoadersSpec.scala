@@ -42,6 +42,50 @@ class LoadersSpec extends AnyFunSuite {
     assert(Loaders.loadDrugbank(spark, store, drugbank) == Map("noop" -> 1L))
   }
 
+  test("drugbank full records: aliases filtered, chembl ids, hgnc targets") {
+    val r = Loaders.drugbankRecords(spark, drugbank).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[String]("sourceId") == "DB00530")
+    assert(row.getAs[String]("name") == "Erlotinib")
+    assert(row.getAs[String]("sourceIdVersion") == "2019-07-02")
+    assert(row.getAs[String]("unii") == "J4T82NDH7E")
+    assert(row.getAs[String]("molecularFormula") == "C22H23N3O4")
+    assert(row.getAs[String]("iupacName")
+      .startsWith("N-(3-ethynylphenyl)"))
+    // hyphenated product names (Apo-erlotinib, ...) fail ^[a-zA-Z]\w+$,
+    // the drug's own name and the two-word form are excluded → tarceva only
+    assert(row.getSeq[String](row.fieldIndex("aliases")) == Seq("tarceva"))
+    assert(row.getSeq[String](row.fieldIndex("chemblIds")) == Seq("CHEMBL553"))
+    val targets = row.getSeq[org.apache.spark.sql.Row](row.fieldIndex("hgncTargets"))
+    assert(targets.map(t => (t.getString(0), t.getString(1))) ==
+      Seq(("HGNC:3236", "antagonist")))
+  }
+
+  test("drugbank full loader: vertices + 4 edge families, idempotent rerun") {
+    import spark.implicits._
+    val store = new PersistentGraphStore(spark,
+      Files.createTempDirectory("graft-e2e5").toString)
+    val fda = Seq(("J4T82NDH7E", "ERLOTINIB"), ("XXUNMATCHED", "OTHER"))
+      .toDF("sourceId", "name")
+    val chembl = Seq(("CHEMBL553", "ERLOTINIB")).toDF("sourceId", "name")
+    val genes = Seq(("HGNC:3236", "egfr")).toDF("hgncId", "symbol")
+    val c1 = Loaders.loadDrugbankFull(spark, store, drugbank, fda, chembl, genes)
+    assert(c1("create") == 2L) // main + tarceva alias
+    assert(c1("edges_created") == 4L) // aliasof, fda xref, chembl xref, targetof
+    val c2 = Loaders.loadDrugbankFull(spark, store, drugbank, fda, chembl, genes)
+    assert(c2.get("create").isEmpty && c2.get("update").isEmpty)
+    assert(c2("edges_created") == 0L)
+    val edges = store.read("edges").get.collect()
+      .map(r => (r.getAs[String]("edgeClass"), r.getAs[String]("out"),
+        r.getAs[String]("in"))).toSet
+    assert(edges == Set(
+      ("aliasof", "DB00530|tarceva", "DB00530|Erlotinib"),
+      ("CrossReferenceOf", "DB00530|Erlotinib", "J4T82NDH7E|ERLOTINIB"),
+      ("CrossReferenceOf", "DB00530|Erlotinib", "CHEMBL553|ERLOTINIB"),
+      ("targetof", "egfr", "DB00530|Erlotinib")))
+  }
+
   test("oncotree loader: 853 diseases, parent + NCI edges, idempotent") {
     val path = "/root/reference/test/data/tumorTypes-oncotree_latest_stable.json"
     val store = new PersistentGraphStore(spark,
