@@ -291,11 +291,17 @@ object Sampling {
     * pure function of the score, never of row order), so `n ≥ k` rows
     * survive; the keep flag and threshold are returned for audit.
     *
-    * Scale: two aggregations (per-score-bucket counts, then one total),
-    * one window over the BOUNDED histogram (corpus-size-independent,
-    * same standing cost as tokenBudget's 1024-row fold), one broadcast
-    * threshold join. The corpus is scanned twice (histogram + flag) and
-    * never sorted or shuffled by score.
+    * Scale: two aggregations (per-score-bucket counts, then one total)
+    * and the tokenBudget two-level fold over the histogram — the
+    * descending cumulative decomposes into 1024-wide coarse buckets
+    * (`score_micro >> 10`, arithmetic shift so negative scores floor
+    * consistently; monotonic in the score, so per-bucket desc order
+    * concatenates to the global desc order): per-bucket totals fold into
+    * bucket start offsets with one tiny window over the ≤ ~10³-row
+    * bucket frame, and the per-score running sums partition ON the
+    * coarse bucket — no task ever window-sorts the whole 10⁶-row
+    * histogram. One broadcast threshold join; the corpus is scanned
+    * twice (histogram + flag) and never sorted or shuffled by score.
     */
   def qualityCut(df: DataFrame, idCol: String, scoreCol: String,
       pct: Int): DataFrame = {
@@ -305,11 +311,19 @@ object Sampling {
       floor(col(scoreCol) * lit(1000000.0)).cast("long"))
     val hist = quant.groupBy(col("score_micro"))
       .agg(count(lit(1)).as("__c"))
+      .withColumn("__cb", shiftright(col("score_micro"), 10))
     val n = hist.agg(sum(col("__c")).as("__n"))
-    val cum = hist
-      .withColumn("__cum", sum(col("__c")).over(
-        Window.orderBy(col("score_micro").desc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // bucket offsets: Σ counts of strictly-HIGHER coarse buckets
+    val offsets = hist.groupBy(col("__cb"))
+      .agg(sum(col("__c")).as("__bt"))
+      .withColumn("__boff", coalesce(
+        sum(col("__bt")).over(Window.orderBy(col("__cb").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__cb"), col("__boff"))
+    val wb = Window.partitionBy(col("__cb")).orderBy(col("score_micro").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.join(broadcast(offsets), Seq("__cb"))
+      .withColumn("__cum", col("__boff") + sum(col("__c")).over(wb))
       .crossJoin(broadcast(n))
       // k-th largest quantized score, k = ceil(n * pct / 100) in integers
       .filter(col("__cum") >= expr(s"(__n * $pct + 99) DIV 100"))

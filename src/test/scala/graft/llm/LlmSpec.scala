@@ -610,6 +610,25 @@ class SamplingSpec extends AnyFunSuite {
     // pct=100 keeps everything; threshold is the minimum score
     val all = Sampling.qualityCut(df, "doc_id", "q", pct = 100).collect()
     assert(all.forall(_.getAs[Boolean]("keep")))
+    // plan shape: the per-score cumulative must partition on the coarse
+    // bucket — every window either rides __cb as partition key (the
+    // histogram-level sum) or IS the tiny bucket-offset fold over __cb;
+    // a window ordered by raw score_micro with no partition would be the
+    // single-task 10⁶-row histogram sort this fold exists to avoid
+    val plan = Sampling.qualityCut(df, "doc_id", "q", pct = 20)
+      .queryExecution.optimizedPlan.toString
+    val specs = "windowspecdefinition\\(([^)]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(specs.nonEmpty)
+    specs.foreach(s => assert(s.contains("__cb"),
+      s"unbucketed histogram window in plan: $s"))
+    // negative scores floor into the right coarse bucket (arithmetic
+    // shift): mixed-sign corpus, top-50% of n=4 → threshold -200000
+    val neg = Seq((1L, -0.9), (2L, -0.2), (3L, 0.3), (4L, -0.4))
+      .toDF("doc_id", "q")
+    val negOut = Sampling.qualityCut(neg, "doc_id", "q", pct = 50)
+      .collect().map(r => (r.getLong(0), r.getAs[Boolean]("keep"))).toMap
+    assert(negOut == Map(1L -> false, 2L -> true, 3L -> true, 4L -> false))
   }
 
   test("tokenBudgetPerGroup: equals naive per-group running sum; plan windows stay bucketed") {
