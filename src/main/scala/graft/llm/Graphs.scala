@@ -18,7 +18,11 @@ import org.apache.spark.sql.functions._
   * mass (no out-edges) is dropped, the standard simplification; total
   * mass then decays slightly instead of being redistributed, which
   * changes absolute ppb values but not the authority ORDERING this
-  * signal feeds.
+  * signal feeds. Consequence: `rank_ppb` is comparable only WITHIN one
+  * graph — two graphs with different dangling fractions decay different
+  * total mass, so absolute ppb values must never be compared (or
+  * thresholded) across graphs or across snapshots whose dangling
+  * fraction moved; rank BY the values per graph instead.
   *
   * Scale: one iteration = one shuffle keyed on the edge source (join
   * ranks→edges; the edges⋈out-degree enrichment is precomputed ONCE) +

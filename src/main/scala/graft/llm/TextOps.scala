@@ -1227,21 +1227,22 @@ object TextOps {
       s"CASE WHEN $last2 IN ($suffixes) AND $last3 != '' THEN $last3 ELSE $last2 END")
   }
 
-  /** Per-domain document cap, WINDOW form: keep at most `cap` documents
-    * per domain, ranked by the deterministic (h64(id), id) order — the
-    * anti-dominance gate that stops one crawl host from flooding the
-    * mixture. Returns every row with (domain_rank, kept) so the cut is
-    * auditable.
+  /** Per-domain document cap, WINDOW form — TEST-ONLY equivalence
+    * reference for [[perDomainCapAgg]]; use the Agg form in every
+    * production path (all production callers — llm_url_ops,
+    * llm_full_pipeline — already do).
     *
-    * Scale caveat: the window partitioned on the domain key sorts every
-    * hot domain's FULL row set in one task (a 10⁹-doc mega-domain sorts
-    * 10⁹ rows to keep `cap`). [[perDomainCapAgg]] is the scale-safe form —
-    * bounded top-`cap` partial aggregation, no per-domain sort — and is
-    * spec-pinned equivalent on the kept set; this window form stays as
-    * the equivalence reference and for callers that need a FULL rank on
-    * uncapped rows.
+    * Keeps at most `cap` documents per domain, ranked by the
+    * deterministic (h64(id), id) order, returning every row with
+    * (domain_rank, kept). Scale caveat — WHY this form is retired: the
+    * window partitioned on the domain key sorts every hot domain's FULL
+    * row set in one task (a 10⁹-doc mega-domain sorts 10⁹ rows to keep
+    * `cap`). [[perDomainCapAgg]] makes the same keep decision via a
+    * bounded top-`cap` partial aggregation with no per-domain sort; the
+    * spec pins kept-set equality. `private[graft]` so no new external
+    * call site can regress onto the sorting form.
     */
-  def perDomainCap(df: DataFrame, idCol: String, domainCol: String,
+  private[graft] def perDomainCap(df: DataFrame, idCol: String, domainCol: String,
       cap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(domainCol))
