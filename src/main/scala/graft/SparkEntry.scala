@@ -1134,6 +1134,60 @@ object SparkEntry {
       therapies.unionByName(fields).unionByName(edges).unionByName(rerun)
     }),
 
+    // LDR_FUSION_SCALE — the cosmic-fusions three-level recurrence rollup
+    // (the exact CosmicFusions plan g24 pins on its fixture) over an
+    // sf-PROPORTIONAL synthetic fusion corpus derived from `events`:
+    // ~50 rows per fusion key at every sf (key count grows with the
+    // table), exon split in 3, 'NS' folds, `_`-suffix genes, a
+    // disease-miss stripe (D3/F3/F4) and an under-threshold stripe
+    // (k%11: ≤2 distinct samples). Unlike the fixture g-rows this one
+    // MEASURES the rollup: its cost scales with sf, it runs in the
+    // median-of-reps headline loop, and a plan regression (lost
+    // broadcast, lost map-side distinct) moves its time.
+    "ldr_fusion_scale" -> ((s, dir) => {
+      import s.implicits._
+      val store = new core.PersistentGraphStore(s, scratchDir("ldrf"))
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"))
+      val n = ev.agg(count(lit(1)).as("__n"))
+      val rows = ev.crossJoin(broadcast(n))
+        .withColumn("k", col("event_id") % greatest(expr("__n div 50"), lit(1L)))
+        .select(
+          concat(lit("r"), col("event_id")).as("recId"),
+          concat(lit("f"), col("k")).as("fusionId"),
+          concat(lit("s"), col("user_id") %
+            when(col("k") % 11 === 0, 2L).otherwise(40L)).as("sampleId"),
+          concat(lit("G"), col("k"),
+            when(col("k") % 6 === 0, lit("_v1")).otherwise(lit(""))).as("gene1"),
+          concat(lit("H"), col("k")).as("gene2"),
+          // the k%7==1 stripe scatters exons across the 101-residue ring
+          // (prime modulus × coprime multiplier, so the spread survives
+    // any key modulus — a plain event_id%50 is CONSTANT inside a key
+          // whenever 50 divides the modulus): its exon-specific groups
+          // fall below the 3-sample threshold and only the LEVEL-1
+          // non-specific rollup wins — without it the level-1 path would
+          // be structurally empty at every sf
+          when(col("k") % 7 === 1, col("event_id") * 37 % 101 + 1)
+            .otherwise(col("event_id") % 3 + 1).cast("string").as("exon1"),
+          when(col("k") % 7 === 1, col("event_id") * 37 % 101 + 1)
+            .otherwise(col("event_id") % 3 + 1).cast("string").as("exon2"),
+          when(col("k") % 4 === 0, lit("NS"))
+            .otherwise(concat(lit("D"), col("k") % 4)).as("disease"),
+          when(col("k") % 5 === 0, lit("NS"))
+            .otherwise(concat(lit("F"), col("k") % 5)).as("diseaseFamily"),
+          lit("").as("pubmed"))
+      val diseases = Seq(("D1", "d:1"), ("D2", "d:2"), ("D3", null),
+        ("cancer", "d:c"), ("F1", "d:f1"), ("F2", "d:f2"))
+        .filter(_._2 != null).map(p => (p._1, p._2))
+        .toDF("name", "sourceId")
+      val c = sources.CosmicFusions.loadDf(s, store, rows, diseases)
+      store.read("statements").get
+        .select(col("sourceId"), col("level"), col("relevance"),
+          col("condition"), col("subject"), col("n_samples"))
+        .unionByName(Seq(("__errors", -1L, "", "", "",
+          c.getOrElse("error", 0L))).toDF("sourceId", "level", "relevance",
+          "condition", "subject", "n_samples"))
+    }),
+
     // G29 — PMC4468049 recurrent fusions (PMC4468049/index.js:32-185,
     // Table S7): low-frequency skip, first-matching-count-column disease
     // specificity with the cancer fallback, disease-miss skips,
@@ -7869,6 +7923,98 @@ object SparkEntry {
         |('source', 'uberon', 'Uberon', '-'),
         |('source', 'vario', '-', '-')
         |) AS t(kind, a, b, c)""".stripMargin,
+    // ldr_fusion_scale: full replay of the synthetic fusion corpus
+    // derivation + the three-level rollup, threshold, suppression and
+    // disease resolution (fusions.js:163-221 semantics).
+    "ldr_fusion_scale" ->
+      """WITH ev AS (SELECT event_id, user_id FROM events),
+        |nn AS (SELECT count(*) AS n FROM ev),
+        |base AS (
+        |  SELECT event_id % greatest(nn.n // 50, 1) AS k, event_id, user_id FROM ev, nn),
+        |raw AS (
+        |  SELECT 'r'||event_id AS recId,
+        |    's'||(user_id % (CASE WHEN k%11=0 THEN 2 ELSE 40 END)) AS sampleId,
+        |    'G'||k||(CASE WHEN k%6=0 THEN '_v1' ELSE '' END) AS gene1,
+        |    'H'||k AS gene2,
+        |    CAST(CASE WHEN k%7=1 THEN event_id*37%101+1 ELSE event_id%3+1 END AS VARCHAR) AS exon1,
+        |    CAST(CASE WHEN k%7=1 THEN event_id*37%101+1 ELSE event_id%3+1 END AS VARCHAR) AS exon2,
+        |    CASE WHEN k%4=0 THEN 'NS' ELSE 'D'||(k%4) END AS disease,
+        |    CASE WHEN k%5=0 THEN 'NS' ELSE 'F'||(k%5) END AS diseaseFamily
+        |  FROM base),
+        |-- preprocess (fusions.js:163-186 semantics as implemented)
+        |pre AS MATERIALIZED (
+        |  SELECT recId, sampleId,
+        |    split_part(gene1, '_', 1) AS g1, split_part(gene2, '_', 1) AS g2,
+        |    exon1, exon2,
+        |    CASE WHEN upper(disease)='NS' THEN '' ELSE disease END AS disease,
+        |    CASE WHEN (CASE WHEN upper(disease)='NS' THEN '' ELSE disease END)=''
+        |           AND (CASE WHEN upper(diseaseFamily)='NS' THEN '' ELSE diseaseFamily END)=''
+        |         THEN 'cancer'
+        |         ELSE (CASE WHEN upper(diseaseFamily)='NS' THEN '' ELSE diseaseFamily END) END AS diseaseFamily,
+        |    '('||split_part(gene1,'_',1)||','||split_part(gene2,'_',1)||').fus(e.'||exon1||',e.'||exon2||')' AS variant,
+        |    '('||split_part(gene1,'_',1)||','||split_part(gene2,'_',1)||').fus(e.?,e.?)' AS nonSpecificVariant
+        |  FROM raw),
+        |dis AS (SELECT * FROM (VALUES ('D1','d:1'),('D2','d:2'),('cancer','d:c'),('F1','d:f1'),('F2','d:f2')) d(diseaseName, disease_sid)),
+        |-- level 0 winners
+        |w0 AS (
+        |  SELECT variant, diseaseFamily, disease,
+        |    count(DISTINCT sampleId) AS n_samples, min(recId) AS repId
+        |  FROM pre GROUP BY 1,2,3 HAVING count(DISTINCT sampleId) >= 3),
+        |r0 AS (
+        |  SELECT 0 AS level, w.n_samples, p.recId AS rep_recId, p.g1, p.g2, p.exon1, p.exon2,
+        |    p.disease AS rep_disease, p.diseaseFamily AS rep_family, p.nonSpecificVariant AS rep_nonspec,
+        |    d.disease_sid
+        |  FROM w0 w JOIN pre p ON p.recId = w.repId
+        |  LEFT JOIN dis d ON d.diseaseName = coalesce(nullif(p.disease,''), nullif(p.diseaseFamily,''))),
+        |s0 AS (SELECT * FROM r0 WHERE disease_sid IS NOT NULL),
+        |-- level 1: nonspec/fam/dis groups not blocked by a successful level-0 winner
+        |w1 AS (
+        |  SELECT nonSpecificVariant, diseaseFamily, disease,
+        |    count(DISTINCT sampleId) AS n_samples, min(recId) AS repId
+        |  FROM pre GROUP BY 1,2,3 HAVING count(DISTINCT sampleId) >= 3),
+        |w1b AS (
+        |  SELECT w.* FROM w1 w
+        |  WHERE NOT EXISTS (SELECT 1 FROM s0 WHERE s0.rep_nonspec = w.nonSpecificVariant
+        |    AND s0.rep_family = w.diseaseFamily AND s0.rep_disease = w.disease)),
+        |r1 AS (
+        |  SELECT 1 AS level, w.n_samples, p.recId AS rep_recId, p.g1, p.g2, p.exon1, p.exon2,
+        |    p.disease AS rep_disease, p.diseaseFamily AS rep_family, p.nonSpecificVariant AS rep_nonspec,
+        |    d.disease_sid
+        |  FROM w1b w JOIN pre p ON p.recId = w.repId
+        |  LEFT JOIN dis d ON d.diseaseName = coalesce(nullif(p.disease,''), nullif(p.diseaseFamily,''))),
+        |s1 AS (SELECT * FROM r1 WHERE disease_sid IS NOT NULL),
+        |-- level 2: nonspec groups not blocked by any successful earlier winner
+        |w2 AS (
+        |  SELECT nonSpecificVariant, count(DISTINCT sampleId) AS n_samples, min(recId) AS repId
+        |  FROM pre GROUP BY 1 HAVING count(DISTINCT sampleId) >= 3),
+        |w2b AS (
+        |  SELECT w.* FROM w2 w
+        |  WHERE w.nonSpecificVariant NOT IN (SELECT rep_nonspec FROM s0)
+        |    AND w.nonSpecificVariant NOT IN (SELECT rep_nonspec FROM s1)),
+        |r2 AS (
+        |  SELECT 2 AS level, w.n_samples, p.recId AS rep_recId, p.g1, p.g2, p.exon1, p.exon2,
+        |    p.disease AS rep_disease, p.diseaseFamily AS rep_family, p.nonSpecificVariant AS rep_nonspec,
+        |    d.disease_sid
+        |  FROM w2b w JOIN pre p ON p.recId = w.repId
+        |  LEFT JOIN dis d ON d.diseaseName = 'cancer'),
+        |resolved AS (SELECT * FROM r0 UNION ALL SELECT * FROM r1 UNION ALL SELECT * FROM r2),
+        |live AS (
+        |  SELECT *,
+        |    g1||'::'||g2||':fusion' AS general_vid,
+        |    CASE WHEN level=0 THEN g1||'::'||g2||':fus(e.'||exon1||',e.'||exon2||')' END AS specific_vid
+        |  FROM resolved WHERE disease_sid IS NOT NULL),
+        |stmts AS (
+        |  SELECT rep_recId AS sourceId, CAST(level AS BIGINT) AS level,
+        |    'recurrent' AS relevance, coalesce(specific_vid, general_vid) AS condition,
+        |    disease_sid AS subject, CAST(n_samples AS BIGINT) AS n_samples
+        |  FROM live),
+        |errs AS (
+        |  SELECT '__errors' AS sourceId, CAST(-1 AS BIGINT) AS level, '' AS relevance,
+        |    '' AS condition, '' AS subject,
+        |    CAST(count(*) AS BIGINT) AS n_samples
+        |  FROM resolved WHERE disease_sid IS NULL)
+        |SELECT * FROM stmts UNION ALL SELECT * FROM errs
+        |""".stripMargin,
     // g35: VALUES re-derived independently from the raw fixture (regex
     // over drugbank_sample.xml: one drug DB00530/Erlotinib updated
     // 2019-07-02; product names Apo-/Nat-/PMS-/Teva-erlotinib fail

@@ -68,7 +68,17 @@ object CosmicFusions {
   def load(spark: SparkSession, store: PersistentGraphStore,
       rows: Seq[FusionRow], diseases: DataFrame): Map[String, Long] = {
     import spark.implicits._
-    val pre = preprocess(spark.createDataset(rows).toDF())
+    loadDf(spark, store, spark.createDataset(rows).toDF(), diseases)
+  }
+
+  /** [[load]] over an already-distributed FusionRow-shaped frame — the
+    * form the sf-scaled bench rows drive, so the three-level rollup is
+    * timed against inputs that grow with the corpus instead of a
+    * driver-side literal Seq.
+    */
+  def loadDf(spark: SparkSession, store: PersistentGraphStore,
+      rows: DataFrame, diseases: DataFrame): Map[String, Long] = {
+    val pre = preprocess(rows)
     pre.persist()
     try {
       val disDim = broadcast(diseases.select(col("name").as("diseaseName"),

@@ -70,9 +70,16 @@ object NcitLoad {
     * pickEndpoint routing error as a side-channel column instead of
     * aborting the batch (counts.skip semantics, ncit/index.js:240-266).
     */
-  def staged(spark: SparkSession, path: String): org.apache.spark.sql.Dataset[Staged] = {
+  def staged(spark: SparkSession, path: String): org.apache.spark.sql.Dataset[Staged] =
+    stagedFrom(spark, scan(spark, path))
+
+  /** [[staged]] over an already-scanned raw 9-column frame — the entry
+    * the sf-scaled bench rows use, so the normalization + collision plan
+    * is timed against inputs that grow with the corpus.
+    */
+  def stagedFrom(spark: SparkSession, raw: DataFrame): org.apache.spark.sql.Dataset[Staged] = {
     import spark.implicits._
-    withParentConcepts(scan(spark, path))
+    withParentConcepts(raw)
       .select(Header.map(c => coalesce(col(c), lit("")).as(c)) :+ col("parentConcepts"): _*)
       .as[(String, String, String, String, String, String, String, String, String, String)]
       .map { case (id, xmlTag, parents, synonyms, definition, name, status, semType, subset, parentConcepts) =>
@@ -95,8 +102,12 @@ object NcitLoad {
     * species-bearing duplicates; `name` is reassigned to the first
     * original-case synonym within duplicate groups.
     */
-  def resolved(spark: SparkSession, path: String): DataFrame = {
-    val live = staged(spark, path).toDF()
+  def resolved(spark: SparkSession, path: String): DataFrame =
+    resolvedFrom(staged(spark, path).toDF())
+
+  /** [[resolved]] over an already-staged frame (sf-scaled bench entry). */
+  def resolvedFrom(stagedRows: DataFrame): DataFrame = {
+    val live = stagedRows
       .filter(col("error").isNull && !col("deprecated"))
     val w = Window.partitionBy(col("name"))
     live
