@@ -1188,6 +1188,80 @@ object SparkEntry {
           "condition", "subject", "n_samples"))
     }),
 
+    // LDR_HOTSPOT_SCALE — the cancerhotspots three-form ladder (the exact
+    // CancerHotspots plan g19 pins on its 4-row fixture) over an
+    // sf-PROPORTIONAL synthetic record set from `events`: one record per
+    // event, all four HGVS shapes (sub/ins/del/indel) with sf-varying
+    // positions, both chromosome dim forms (sourceId + name), an
+    // unresolved-gene stripe (1/6 fatal), an unresolved-transcript
+    // stripe (1/5 → genomic links to protein), a disease-miss stripe
+    // (1/5 no statement). Measures the executor-side HGVS grammar + the
+    // broadcast dim ladder + statement merge at sf scale.
+    "ldr_hotspot_scale" -> ((s, dir) => {
+      import s.implicits._
+      import sources.CancerHotspots.HotspotRecord
+      val store = new core.PersistentGraphStore(s, scratchDir("ldrh"))
+      val recs = t(s, dir, "events").select(col("event_id"))
+        .withColumn("m", col("event_id") % 4)
+        .withColumn("start", col("event_id") + 100L)
+        .select(
+          concat(lit("h"), col("event_id")).as("sourceId"),
+          when(col("event_id") % 2 === 0,
+            concat(lit("chr"), col("event_id") % 22 + 1))
+            .otherwise(concat(lit("nm"), col("event_id") % 22 + 1))
+            .as("chromosome"),
+          col("start"),
+          (col("start") + when(col("m") === 0, 0L).otherwise(1L)).as("stop"),
+          when(col("m") === 0, lit("A")).when(col("m") === 1, lit("-"))
+            .when(col("m") === 2, lit("TG")).otherwise(lit("AA")).as("refSeq"),
+          when(col("m") === 0, lit("T")).when(col("m") === 1, lit("AG"))
+            .when(col("m") === 2, lit("-")).otherwise(lit("CGG"))
+            .as("untemplatedSeq"),
+          concat(lit("G"), col("event_id") % 300).as("geneId"),
+          when(col("m") === 0,
+            concat(lit("p.G"), col("event_id") % 50 + 13, lit("D")))
+            .when(col("m") === 1,
+              concat(lit("p.P"), col("event_id") % 50 + 2, lit("fs*?")))
+            .when(col("m") === 2, lit("p.E3_A4delEA"))
+            .otherwise(lit("p.K5delKinsRG")).as("protein"),
+          concat(lit("T"), col("event_id") % 100).as("transcriptId"),
+          when(col("m") === 0,
+            concat(lit("c."), col("event_id") % 500 + 1, lit("G>A")))
+            .when(col("m") === 1, lit("c.4_5insAG"))
+            .when(col("m") === 2, lit("c.7_12delGAAGCA"))
+            .otherwise(lit("c.13_15delAAGinsCG")).as("cds"),
+          concat(lit("d"), col("event_id") % 10).as("diseaseId"))
+        .as[HotspotRecord]
+      val genes = s.range(250).select(concat(lit("G"), col("id")).as("sourceId"))
+      val chroms = s.range(1, 23)
+        .select(concat(lit("chr"), col("id")).as("sourceId"),
+          concat(lit("nm"), col("id")).as("name"))
+      val transcripts = s.range(100)
+        .select(concat(lit("T"), col("id")).as("sourceId"),
+          when(col("id") < 80, lit("transcript")).otherwise(lit("gene"))
+            .as("biotype"))
+      val diseases = s.range(8).select(concat(lit("d"), col("id")).as("sourceId"))
+      val vocab = Seq(("substitution", "t:sub"), ("deletion", "t:del"),
+        ("insertion", "t:ins"), ("indel", "t:indel"),
+        ("frameshift", "t:fs")).toDF("name", "term_id")
+      val c = sources.CancerHotspots.loadDs(s, store, recs, genes, chroms,
+        transcripts, diseases, vocab)
+      val vars = store.read("variants").get
+        .select(concat(lit("variant:"), col("form")).as("kind"),
+          col("vid").as("a"), col("term").as("b"),
+          coalesce(col("break1"), lit("-")).as("c"), col("reference1").as("d"))
+      val edges = store.read("edges").get
+        .select(lit("infers").as("kind"), col("out").as("a"),
+          col("in").as("b"), lit("").as("c"), lit("").as("d"))
+      val stmts = store.read("statements").get
+        .select(lit("statement").as("kind"), col("sourceId").as("a"),
+          col("subject").as("b"), array_join(col("conditions"), ",").as("c"),
+          lit("").as("d"))
+      val counts = Seq(("count:record_errors",
+        c("record_errors").toString, "", "", "")).toDF("kind", "a", "b", "c", "d")
+      vars.unionByName(edges).unionByName(stmts).unionByName(counts)
+    }),
+
     // G29 — PMC4468049 recurrent fusions (PMC4468049/index.js:32-185,
     // Table S7): low-frequency skip, first-matching-count-column disease
     // specificity with the cancer fallback, disease-miss skips,
@@ -7923,6 +7997,73 @@ object SparkEntry {
         |('source', 'uberon', 'Uberon', '-'),
         |('source', 'vario', '-', '-')
         |) AS t(kind, a, b, c)""".stripMargin,
+    // ldr_hotspot_scale: full replay of the synthetic hotspot records,
+    // the four HGVS shape parses (notation/term/break1 are pure
+    // functions of the m=event_id%4 palette), the dim ladder, fatal-
+    // gene census and statement build (cancerhotspots/index.js:56-243).
+    "ldr_hotspot_scale" ->
+      """WITH ev AS (SELECT event_id FROM events),
+        |rec AS MATERIALIZED (
+        |  SELECT 'h'||event_id AS recId, event_id, event_id % 4 AS m,
+        |    event_id + 100 AS strt, event_id + 100 + (CASE WHEN event_id%4=0 THEN 0 ELSE 1 END) AS stp,
+        |    event_id % 22 + 1 AS ci,
+        |    'chr'||(event_id%22+1) AS chr_sid,
+        |    CASE WHEN event_id%2=0 THEN 'chr'||(event_id%22+1) ELSE 'nm'||(event_id%22+1) END AS chr_raw,
+        |    'G'||(event_id%300) AS geneId,
+        |    'T'||(event_id%100) AS txId,
+        |    'd'||(event_id%10) AS diseaseId,
+        |    event_id % 300 < 250 AS gene_ok,
+        |    event_id % 100 < 80 AS tx_ok,
+        |    event_id % 10 < 8 AS dis_ok
+        |  FROM ev),
+        |forms AS MATERIALIZED (
+        |  SELECT *,
+        |    -- genomic: notation from the shape palette, chromosome always resolves
+        |    chr_raw||':g.'||(CASE WHEN m=0 THEN strt||'A>T'
+        |      WHEN m=1 THEN strt||'_'||stp||'insAG'
+        |      WHEN m=2 THEN strt||'_'||stp||'delTG'
+        |      ELSE strt||'_'||stp||'delAAinsCGG' END) AS g_notation,
+        |    CASE m WHEN 0 THEN 't:sub' WHEN 1 THEN 't:ins' WHEN 2 THEN 't:del' ELSE 't:indel' END AS g_term,
+        |    'g.'||strt AS g_break1,
+        |    CASE m WHEN 0 THEN 'p.G'||(event_id%50+13)||'D'
+        |      WHEN 1 THEN 'p.P'||(event_id%50+2)||'fs'
+        |      WHEN 2 THEN 'p.E3_A4delEA' ELSE 'p.K5delKinsRG' END AS p_notation,
+        |    CASE m WHEN 0 THEN 't:sub' WHEN 1 THEN 't:fs' WHEN 2 THEN 't:del' ELSE 't:indel' END AS p_term,
+        |    CASE m WHEN 0 THEN 'p.G'||(event_id%50+13) WHEN 1 THEN 'p.P'||(event_id%50+2)
+        |      WHEN 2 THEN 'p.E3' ELSE 'p.K5' END AS p_break1,
+        |    CASE m WHEN 0 THEN 'c.'||(event_id%500+1)||'G>A'
+        |      WHEN 1 THEN 'c.4_5insAG' WHEN 2 THEN 'c.7_12delGAAGCA'
+        |      ELSE 'c.13_15delAAGinsCG' END AS c_notation,
+        |    CASE m WHEN 0 THEN 't:sub' WHEN 1 THEN 't:ins' WHEN 2 THEN 't:del' ELSE 't:indel' END AS c_term,
+        |    CASE m WHEN 0 THEN 'c.'||(event_id%500+1) WHEN 1 THEN 'c.4' WHEN 2 THEN 'c.7' ELSE 'c.13' END AS c_break1
+        |  FROM rec),
+        |-- protein failure is fatal to the record
+        |live AS MATERIALIZED (SELECT * FROM forms WHERE gene_ok),
+        |vids AS MATERIALIZED (
+        |  SELECT *,
+        |    chr_sid||':'||g_notation||'@'||g_term AS genomic_vid,
+        |    geneId||':'||p_notation||'@'||p_term AS protein_vid,
+        |    CASE WHEN tx_ok THEN txId||':'||c_notation||'@'||c_term END AS cds_vid
+        |  FROM live),
+        |vars AS (
+        |  SELECT DISTINCT 'variant:genomic' AS kind, genomic_vid AS a, g_term AS b, g_break1 AS c, chr_sid AS d FROM vids
+        |  UNION ALL
+        |  SELECT DISTINCT 'variant:protein', protein_vid, p_term, p_break1, geneId FROM vids
+        |  UNION ALL
+        |  SELECT DISTINCT 'variant:cds', cds_vid, c_term, c_break1, txId FROM vids WHERE cds_vid IS NOT NULL),
+        |edges AS (
+        |  SELECT DISTINCT 'infers' AS kind, cds_vid AS a, protein_vid AS b, '' AS c, '' AS d FROM vids WHERE cds_vid IS NOT NULL
+        |  UNION
+        |  SELECT DISTINCT 'infers', genomic_vid, coalesce(cds_vid, protein_vid), '', '' FROM vids),
+        |stmts AS (
+        |  SELECT 'statement' AS kind, recId AS a, diseaseId AS b,
+        |    array_to_string(list_sort([protein_vid, diseaseId]), ',') AS c, '' AS d
+        |  FROM vids WHERE dis_ok),
+        |errs AS (
+        |  SELECT 'count:record_errors' AS kind, CAST(count(*) AS VARCHAR) AS a, '' AS b, '' AS c, '' AS d
+        |  FROM rec WHERE NOT gene_ok)
+        |SELECT * FROM vars UNION ALL SELECT * FROM edges UNION ALL SELECT * FROM stmts UNION ALL SELECT * FROM errs
+        |""".stripMargin,
     // ldr_fusion_scale: full replay of the synthetic fusion corpus
     // derivation + the three-level rollup, threshold, suppression and
     // disease resolution (fusions.js:163-221 semantics).
