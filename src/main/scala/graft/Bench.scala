@@ -64,7 +64,12 @@ object Bench {
     "llm_domain_similarity", "llm_communities",
     "s2_stream_agg", "s2b_stream_state", "s2c_stream_sessions",
     "s2d_stream_join", "s2e_stream_dedup_wm", "s2f_stream_enrich",
-    "s2g_stream_hll", "s2h_stream_cm", "s2i_stream_quantile")
+    "s2g_stream_hll", "s2h_stream_cm", "s2i_stream_quantile",
+    // sf-scaled LOADER rows: the same plans the fixture g-rows pin for
+    // correctness, driven over inputs that grow with sf — these are the
+    // falsifiable loader-bench signal (median-of-reps, compute-dominated),
+    // while the g-rows in loaders_bucket measure fixed fixture overhead
+    "ldr_ncit_scale", "ldr_fusion_scale", "ldr_hotspot_scale")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1262,6 +1262,53 @@ object SparkEntry {
       vars.unionByName(edges).unionByName(stmts).unionByName(counts)
     }),
 
+    // LDR_NCIT_SCALE — the NCIt normalize + collision-resolution pipeline
+    // (the exact NcitLoad plan g3 pins on its 11-row fixture) over an
+    // sf-PROPORTIONAL synthetic concept set from `events`: one concept
+    // per event, binary-tree parents (the parent self-join scales), 3-way
+    // engineered name collisions (the collision window scales), a
+    // synonym stripe (alias explosion + preferred-name reassignment), a
+    // deprecation stripe (%23), then the (sourceId,name)-keyed store
+    // merge + edge upsert at sf size. The fixture g3 stays the branch-
+    // coverage row; THIS row is the one whose time moves when the
+    // collision window or the parent join loses its plan shape.
+    "ldr_ncit_scale" -> ((s, dir) => {
+      val store = new core.PersistentGraphStore(s, scratchDir("ldrn"))
+      val raw = t(s, dir, "events").select(col("event_id"))
+        .select(
+          concat(lit("C"), col("event_id")).as("id"),
+          concat(lit("<http://n/C"), col("event_id"), lit(">")).as("xmlTag"),
+          when(col("event_id") > 0,
+            concat(lit("C"), expr("event_id div 2"))).otherwise(lit(""))
+            .as("parents"),
+          when(col("event_id") % 5 === 0,
+            concat(lit("Syn "), col("event_id"), lit("|Alt "), col("event_id")))
+            .otherwise(lit("")).as("synonyms"),
+          lit("a concept").as("definition"),
+          concat(lit("Name "), expr("event_id div 3")).as("name"),
+          when(col("event_id") % 23 === 0, lit("Obsolete_Concept"))
+            .otherwise(lit("")).as("conceptStatus"),
+          lit("Neoplastic Process").as("semanticType"),
+          lit("").as("conceptInSubset"))
+      val r = sources.NcitLoad.resolvedFrom(
+        sources.NcitLoad.stagedFrom(s, raw).toDF())
+      r.persist()
+      try {
+        store.merge("terms", sources.NcitLoad.vertices(r),
+          keyCols = Seq("sourceId", "name"),
+          compareCols = Seq("displayName", "endpoint", "alias"))
+        store.upsertEdges(sources.NcitLoad.edges(r))
+      } finally { r.unpersist(); () }
+      val v = store.read("terms").get
+        .select(lit("v").as("kind"), col("sourceId").as("a"),
+          col("name").as("b"), col("displayName").as("c"),
+          col("alias").cast("string").as("d"))
+      val e = store.read("edges").get
+        .select(lit("e").as("kind"), col("edgeClass").as("a"),
+          col("out").as("b"), col("in").as("c"), lit("").as("d"))
+      v.unionByName(e)
+    }),
+
     // G29 — PMC4468049 recurrent fusions (PMC4468049/index.js:32-185,
     // Table S7): low-frequency skip, first-matching-count-column disease
     // specificity with the cancer fallback, disease-miss skips,
@@ -7997,6 +8044,44 @@ object SparkEntry {
         |('source', 'uberon', 'Uberon', '-'),
         |('source', 'vario', '-', '-')
         |) AS t(kind, a, b, c)""".stripMargin,
+    // ldr_ncit_scale: full replay of the synthetic concept derivation,
+    // cleanRawRow on this palette (lowercase ids/names, original-case
+    // displayName, Deprecated-code parent filter), the collision window
+    // rename, alias explosion and both edge families (ncit/index.js:
+    // 61-189, 231-463 semantics on the branches this palette hits).
+    "ldr_ncit_scale" ->
+      """WITH ev AS (SELECT event_id AS i FROM events),
+        |st AS MATERIALIZED (
+        |  SELECT 'c'||i AS sourceId, i,
+        |    i%23=0 AS deprecated,
+        |    CASE WHEN i>0 AND NOT ('C'||(i//2)) IN ('C61063','C85834')
+        |      THEN 'c'||(i//2) END AS parent,
+        |    'name '||(i//3) AS name0,
+        |    'Name '||(i//3)||' [c'||i||']' AS displayName,
+        |    CASE WHEN i%5=0 THEN 'Syn '||i END AS osyn1,
+        |    CASE WHEN i%5=0 THEN 'syn '||i END AS syn1,
+        |    CASE WHEN i%5=0 THEN 'alt '||i END AS syn2
+        |  FROM ev),
+        |live AS MATERIALIZED (
+        |  SELECT *, count(*) OVER (PARTITION BY name0) AS d FROM st WHERE NOT deprecated),
+        |res AS MATERIALIZED (
+        |  SELECT *, CASE WHEN d>1 THEN coalesce(osyn1, name0) ELSE name0 END AS name FROM live),
+        |syns AS MATERIALIZED (
+        |  SELECT sourceId, name, s FROM (
+        |    SELECT sourceId, name, unnest([syn1, syn2]) AS s FROM res)
+        |  WHERE s IS NOT NULL AND lower(s) != lower(name)),
+        |prims AS (SELECT 'v' AS kind, sourceId AS a, name AS b, displayName AS c, 'false' AS d FROM res),
+        |aliases AS (SELECT 'v', sourceId, s, s||' ['||sourceId||']', 'true' FROM syns),
+        |aliasEdges AS (
+        |  SELECT 'e', 'aliasof', sourceId||'|'||s, sourceId||'|'||name, '' FROM syns),
+        |subEdges AS (
+        |  SELECT 'e', 'SubClassOf', c.sourceId||'|'||c.name, p.sourceId||'|'||p.name, ''
+        |  FROM res c JOIN res p ON c.parent = p.sourceId)
+        |SELECT * FROM prims
+        |UNION ALL SELECT * FROM aliases
+        |UNION ALL SELECT * FROM aliasEdges
+        |UNION ALL SELECT * FROM subEdges
+        |""".stripMargin,
     // ldr_hotspot_scale: full replay of the synthetic hotspot records,
     // the four HGVS shape parses (notation/term/break1 are pure
     // functions of the m=event_id%4 palette), the dim ladder, fatal-

@@ -115,7 +115,9 @@ object NcitLoad {
       .withColumn("rejected", col("__dups") > 1 && col("species") =!= "")
       .withColumn("name",
         when(col("__dups") > 1,
-          coalesce(element_at(col("originalSynonyms"), 1), col("name")))
+          // try_: a dup row with NO synonyms keeps its name (element_at
+          // would raise on the empty array under ANSI)
+          coalesce(expr("try_element_at(originalSynonyms, 1)"), col("name")))
           .otherwise(col("name")))
       .drop("__dups")
   }
