@@ -3189,6 +3189,30 @@ object SparkEntry {
           col("sumSq").as("sum_sq"))
     }),
 
+    // IMA ADPCM (WAVE tag 0x11) — the third real compressed-audio family,
+    // decoded by the hand-rolled two-table state machine (the JDK ships
+    // no ADPCM codec): single-block files whose header predictor, step
+    // index and nibble stream are pure formulas, so the oracle replays
+    // the IMA recursion sample-by-sample. A truncated-RIFF payload takes
+    // the sentinel.
+    "llm_audio_adpcm" -> ((s, dir) => {
+      import s.implicits._
+      import llm.Multimodal.{MediaItem, MediaMeta}
+      val adpcm = s.range(1, 4).map { id =>
+        MediaItem(id, "audio/wav",
+          llm.Multimodal.syntheticWavAdpcm(id, 400 + 37 * id.toInt),
+          MediaMeta(0, 0, 0L, "adpcm"))
+      }
+      val junk = s.range(99, 100).map { id =>
+        MediaItem(id, "audio/wav", "RIFFjunkWAVEnope".getBytes("UTF-8"),
+          MediaMeta(0, 0, 0L, "adpcm"))
+      }
+      llm.Multimodal.decodeAudio(adpcm.union(junk)).toDF()
+        .select(col("mediaId").as("media_id"), col("decoded"),
+          col("sampleRate").as("sample_rate"), col("channels"),
+          col("nSamples").as("n_samples"), col("sumSq").as("sum_sq"))
+    }),
+
     // REAL video frame decode: MJPEG-in-AVI built + decoded with
     // JDK-only code (RIFF chunk walk, per-frame ImageIO JPEG inflate).
     // Frame count and raster dims are codec-exact; the raw decoded
@@ -5812,6 +5836,50 @@ object SparkEntry {
         |  CAST(n AS BIGINT) AS n_samples, CAST(sum(v*v) AS BIGINT) AS sum_sq
         |FROM px GROUP BY id, ch, n
         |UNION ALL SELECT 99, false, -1, -1, -1, -1""".stripMargin,
+    // llm_audio_adpcm oracle: the IMA two-table state machine replayed
+    // sample-by-sample as a recursive CTE (step/index tables verbatim
+    // from the IMA 1992 recommended practice) over the formula-derived
+    // header state and nibble stream — an independent decode, not a
+    // pinned constant.
+    "llm_audio_adpcm" ->
+      """WITH RECURSIVE
+        |cfg AS (
+        |  SELECT id, 400 + 37*id AS n, CAST((id*7) % 2003 - 1001 AS INT) AS p0,
+        |    CAST((id*5) % 60 AS INT) AS s0
+        |  FROM generate_series(1, 3) g(id)),
+        |st AS (
+        |  SELECT id, 0 AS k, p0 AS pred, s0 AS sidx,
+        |    CAST(p0 AS BIGINT)*p0 AS acc FROM cfg
+        |  UNION ALL
+        |  SELECT id, k + 1,
+        |    greatest(-32768, least(32767,
+        |      CASE WHEN (nib & 8) > 0 THEN pred - delta ELSE pred + delta END)) AS pred,
+        |    greatest(0, least(88, sidx +
+        |      [-1,-1,-1,-1,2,4,6,8,-1,-1,-1,-1,2,4,6,8][nib + 1])) AS sidx,
+        |    acc + CAST(greatest(-32768, least(32767,
+        |      CASE WHEN (nib & 8) > 0 THEN pred - delta ELSE pred + delta END)) AS BIGINT)
+        |        * greatest(-32768, least(32767,
+        |      CASE WHEN (nib & 8) > 0 THEN pred - delta ELSE pred + delta END)) AS acc
+        |  FROM (
+        |    SELECT st.id, st.k, st.pred, st.sidx, st.acc, cfg.n,
+        |      CAST((st.k*13 + st.id*5) % 16 AS INT) AS nib,
+        |      (st_tab.s >> 3)
+        |        + CASE WHEN ((st.k*13 + st.id*5) % 16 & 4) > 0 THEN st_tab.s ELSE 0 END
+        |        + CASE WHEN ((st.k*13 + st.id*5) % 16 & 2) > 0 THEN st_tab.s >> 1 ELSE 0 END
+        |        + CASE WHEN ((st.k*13 + st.id*5) % 16 & 1) > 0 THEN st_tab.s >> 2 ELSE 0 END AS delta
+        |    FROM st JOIN cfg USING (id)
+        |    JOIN LATERAL (SELECT [7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,
+        |      41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,
+        |      279,307,337,371,408,449,494,544,598,658,724,796,876,963,1060,1166,1282,
+        |      1411,1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,
+        |      5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,16818,
+        |      18500,20350,22385,24623,27086,29794,32767][st.sidx + 1] AS s) st_tab ON true
+        |    WHERE st.k + 1 < cfg.n) q)
+        |SELECT CAST(id AS BIGINT) AS media_id, true AS decoded, CAST(8000 AS INT) AS sample_rate,
+        |  CAST(1 AS INT) AS channels, CAST(n AS BIGINT) AS n_samples, acc AS sum_sq
+        |FROM st JOIN cfg USING (id) WHERE k = n - 1
+        |UNION ALL SELECT 99, false, -1, -1, -1, -1
+        |""".stripMargin,
     // llm_audio_g711 oracle: recomputes the G.711 compand→expand round
     // trip per sample — µ-law (bias 132, exponent/mantissa extraction)
     // and A-law (negative bias -8, seg boundaries 255/511/...) exactly as

@@ -1190,6 +1190,62 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!out(3).decoded && out(3).sumSq == -1L)
   }
 
+  test("decodeAudio: IMA ADPCM state machine matches a plain-Scala replay") {
+    import Multimodal.{MediaItem, MediaMeta}
+    // independent reference decode: the IMA tables + clamp rules written
+    // a second time, straight-line, against the generator formulas
+    val step = Array(7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25,
+      28, 31, 34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+      130, 143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408,
+      449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282,
+      1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660,
+      4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+      11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+      27086, 29794, 32767)
+    val idxT = Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+    def refDecode(seed: Long, n: Int): Long = {
+      var pred = ((seed * 7) % 2003 - 1001).toInt
+      var sidx = ((seed * 5) % 60).toInt
+      var acc = pred.toLong * pred
+      for (j <- 0 until n - 1) {
+        val nib = ((j * 13 + seed * 5) % 16).toInt
+        val s = step(sidx)
+        var d = s >> 3
+        if ((nib & 4) != 0) d += s
+        if ((nib & 2) != 0) d += s >> 1
+        if ((nib & 1) != 0) d += s >> 2
+        pred = math.max(-32768,
+          math.min(32767, if ((nib & 8) != 0) pred - d else pred + d))
+        sidx = math.max(0, math.min(88, sidx + idxT(nib)))
+        acc += pred.toLong * pred
+      }
+      acc
+    }
+    val items = Seq(
+      MediaItem(1L, "audio/wav", Multimodal.syntheticWavAdpcm(1L, 437),
+        MediaMeta(0, 0, 0L, "adpcm")),
+      MediaItem(2L, "audio/wav", Multimodal.syntheticWavAdpcm(2L, 2),
+        MediaMeta(0, 0, 0L, "adpcm")), // one nibble only
+      MediaItem(3L, "audio/wav", Multimodal.syntheticWavAdpcm(3L, 1),
+        MediaMeta(0, 0, 0L, "adpcm")), // header-only block
+      MediaItem(8L, "audio/wav",
+        Multimodal.syntheticWavAdpcm(1L, 437).take(80),
+        MediaMeta(0, 0, 0L, "adpcm")), // truncated MID-data: partial decode
+      MediaItem(9L, "audio/wav",
+        Multimodal.syntheticWavAdpcm(1L, 437).take(40),
+        MediaMeta(0, 0, 0L, "adpcm"))) // truncated BEFORE data → sentinel
+    val out = Multimodal.decodeAudio(spark.createDataset(items))
+      .collect().sortBy(_.mediaId)
+    assert(out(0).decoded && out(0).sampleRate == 8000 && out(0).channels == 1)
+    assert(out(0).nSamples == 437L && out(0).sumSq == refDecode(1L, 437))
+    assert(out(1).nSamples == 2L && out(1).sumSq == refDecode(2L, 2))
+    assert(out(2).nSamples == 1L && out(2).sumSq == refDecode(3L, 1))
+    // mid-data truncation decodes the samples present, never reads past
+    // the buffer; missing-data-chunk truncation takes the sentinel
+    assert(out(3).decoded && out(3).nSamples < 437L && out(3).nSamples > 0L)
+    assert(!out(4).decoded && out(4).sumSq == -1L)
+  }
+
   test("decodeAudio: G.711 µ-law/A-law WAVs transcode to PCM with spec-exact round trip") {
     import Multimodal.{MediaItem, MediaMeta}
     val items = Seq(
