@@ -167,8 +167,8 @@ object SparkEntry {
     llm.Ann.IvfPqIndex.load(s, path)
   }
 
-  /** Shared salted contamination fixture (llm_decontaminate +
-    * llm_contamination_report — both views must describe the SAME leak):
+  /** Salted contamination fixture (llm_decontaminate; the report row
+    * builds its own two-benchmark variant of the same shape inline):
     * eval split (`doc_id % 100 == 0`), 12-word snips keyed by ref, and a
     * leak into train docs whose `doc_id % 20` hits one of `leakMods`.
     */
@@ -3404,12 +3404,41 @@ object SparkEntry {
 
     // The INVERSE contamination view: per EVAL doc, how much of it leaked
     // into training (hit grams / total grams, distinct leaking train
-    // docs) — the "which benchmarks are burned" audit table. Salted like
-    // llm_decontaminate plus a second leak branch (%20==7 → ref 2) so the
-    // report shows BOTH burned and clean evals side by side.
+    // docs) — the "which benchmarks are burned" audit table, over TWO
+    // independent benchmark families: family A (docs %100==0, head snips,
+    // leak stripes %20∈{1,7} keyed doc_id%5 — the llm_decontaminate
+    // fixture shape) and family B (docs %100==50, snips from word 3,
+    // leak stripe %20==13 keyed (doc_id+2)%5). Disjoint leak residues →
+    // a train doc carries at most one family's snip; the report runs
+    // over the UNION and tags each eval row with its benchmark source,
+    // so the per-eval breakdown is proven on ≥2 distinct suites at once
+    // (burned and clean rows in both).
     "llm_contamination_report" -> ((s, dir) => {
-      val (train, evalSet) = contaminationFixture(s, dir, leakMods = Seq(1, 7))
-      llm.TextOps.contaminationReport(train, evalSet, "doc_id", "text2", k = 8)
+      val docs = t(s, dir, "documents")
+      val evalA = docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id"), col("text").as("text2"))
+      val evalB = docs.filter(col("doc_id") % 100 === 50)
+        .select(col("doc_id"), col("text").as("text2"))
+      val snipsA = evalA.select((col("doc_id") / 100).cast("long").as("refA"),
+        expr("array_join(slice(split(lower(text2), ' '), 1, 12), ' ')").as("snipA"))
+      val snipsB = evalB.select((col("doc_id") / 100).cast("long").as("refB"),
+        expr("array_join(slice(split(lower(text2), ' '), 3, 12), ' ')").as("snipB"))
+      val train = docs
+        .filter(col("doc_id") % 100 =!= 0 && col("doc_id") % 100 =!= 50)
+        .withColumn("refA", col("doc_id") % 5)
+        .withColumn("refB", (col("doc_id") + 2) % 5)
+        .join(broadcast(snipsA), Seq("refA"))
+        .join(broadcast(snipsB), Seq("refB"))
+        .withColumn("text2",
+          when(col("doc_id") % 20 === 1 || col("doc_id") % 20 === 7,
+            concat(col("text"), lit(" "), col("snipA")))
+            .when(col("doc_id") % 20 === 13,
+              concat(col("text"), lit(" "), col("snipB")))
+            .otherwise(col("text")))
+      llm.TextOps.contaminationReport(train, evalA.unionByName(evalB),
+          "doc_id", "text2", k = 8)
+        .withColumn("benchmark",
+          when(col("eval_id") % 100 === 0, lit("benchA")).otherwise(lit("benchB")))
     }),
 
     // Corpus snapshot diff — before retraining on a refreshed crawl:
@@ -6126,14 +6155,26 @@ object SparkEntry {
         |h AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tg SEMI JOIN eg USING (g) GROUP BY doc_id)
         |SELECT tr.doc_id, coalesce(h.n, 0) AS n_eval_grams, coalesce(h.n, 0) > 0 AS contaminated
         |FROM tr LEFT JOIN h ON tr.doc_id = h.doc_id""".stripMargin,
-    // llm_contamination_report oracle: same salted leak, inverted — per
-    // EVAL doc: distinct-gram totals, hit grams, distinct leaking train
-    // docs
+    // llm_contamination_report oracle: BOTH benchmark families' salted
+    // leaks independently recomputed (family A head snips keyed %5,
+    // family B word-3 snips keyed (id+2)%5), inverted to the per-EVAL
+    // view: distinct-gram totals, hit grams, distinct leaking train docs,
+    // benchmark tag.
     "llm_contamination_report" ->
-      """WITH ev AS (SELECT doc_id, lower(text) AS lt FROM documents WHERE doc_id % 100 = 0),
-        |snips AS (SELECT doc_id // 100 AS ref, array_to_string((string_split(lt, ' '))[1:12], ' ') AS snip FROM ev),
-        |tr AS (SELECT d.doc_id, CASE WHEN d.doc_id % 20 = 1 OR d.doc_id % 20 = 7 THEN d.text || ' ' || s.snip ELSE d.text END AS t2
-        |  FROM documents d JOIN snips s ON s.ref = d.doc_id % 5 WHERE d.doc_id % 100 <> 0),
+      """WITH evA AS (SELECT doc_id, lower(text) AS lt FROM documents WHERE doc_id % 100 = 0),
+        |evB AS (SELECT doc_id, lower(text) AS lt FROM documents WHERE doc_id % 100 = 50),
+        |snA AS (SELECT doc_id // 100 AS refA, array_to_string((string_split(lt, ' '))[1:12], ' ') AS snipA FROM evA),
+        |snB AS (SELECT doc_id // 100 AS refB, array_to_string((string_split(lt, ' '))[3:14], ' ') AS snipB FROM evB),
+        |tr AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN d.doc_id % 20 = 1 OR d.doc_id % 20 = 7 THEN d.text || ' ' || a.snipA
+        |         WHEN d.doc_id % 20 = 13 THEN d.text || ' ' || b.snipB
+        |         ELSE d.text END AS t2
+        |  FROM documents d
+        |  JOIN snA a ON a.refA = d.doc_id % 5
+        |  JOIN snB b ON b.refB = (d.doc_id + 2) % 5
+        |  WHERE d.doc_id % 100 <> 0 AND d.doc_id % 100 <> 50),
+        |ev AS (SELECT * FROM evA UNION ALL SELECT * FROM evB),
         |egd AS (SELECT doc_id AS eval_id, unnest(g8) AS g FROM (
         |  SELECT doc_id, CASE WHEN len(ws) < 8 THEN CAST([] AS VARCHAR[])
         |    ELSE list_distinct(list_transform(generate_series(1, len(ws)-7), i -> array_to_string(ws[i:i+7], ' '))) END AS g8
@@ -6149,8 +6190,10 @@ object SparkEntry {
         |SELECT tot.eval_id, tot.n_grams,
         |  coalesce(hit.n_hit_grams, 0) AS n_hit_grams,
         |  coalesce(hit.n_train_docs, 0) AS n_train_docs,
-        |  coalesce(hit.n_hit_grams, 0) > 0 AS burned
-        |FROM tot LEFT JOIN hit ON tot.eval_id = hit.eval_id""".stripMargin,
+        |  coalesce(hit.n_hit_grams, 0) > 0 AS burned,
+        |  CASE WHEN tot.eval_id % 100 = 0 THEN 'benchA' ELSE 'benchB' END AS benchmark
+        |FROM tot LEFT JOIN hit ON tot.eval_id = hit.eval_id
+        |""".stripMargin,
     // llm_corpus_diff oracle: same synthetic refresh + md5-prefix content
     // hashes, full-outer joined on the id
     "llm_corpus_diff" ->
