@@ -1110,11 +1110,12 @@ object SparkEntry {
       val c2 = run() // idempotency pass: no create/update/delete, no edges
       val mutations = Seq("create", "update", "delete", "edges_created")
         .map(k => c2.getOrElse(k, 0L)).sum
-      val therapies = store.read("therapies").get
+      val stored = store.read("therapies").get
+      val therapies = stored
         .select(lit("therapy").as("kind"), col("sourceId").as("a"),
           col("name").as("b"), col("alias").cast("string").as("c"),
           coalesce(col("dependency"), lit("-")).as("d"))
-      val fields = store.read("therapies").get.filter(!col("alias"))
+      val fields = stored.filter(!col("alias"))
         .select(col("sourceId"), map(
           lit("sourceIdVersion"), col("sourceIdVersion"),
           lit("iupacName"), col("iupacName"),
@@ -1290,15 +1291,7 @@ object SparkEntry {
             .otherwise(lit("")).as("conceptStatus"),
           lit("Neoplastic Process").as("semanticType"),
           lit("").as("conceptInSubset"))
-      val r = sources.NcitLoad.resolvedFrom(
-        sources.NcitLoad.stagedFrom(s, raw).toDF())
-      r.persist()
-      try {
-        store.merge("terms", sources.NcitLoad.vertices(r),
-          keyCols = Seq("sourceId", "name"),
-          compareCols = Seq("displayName", "endpoint", "alias"))
-        store.upsertEdges(sources.NcitLoad.edges(r))
-      } finally { r.unpersist(); () }
+      sources.NcitLoad.loadFrom(s, store, raw)
       val v = store.read("terms").get
         .select(lit("v").as("kind"), col("sourceId").as("a"),
           col("name").as("b"), col("displayName").as("c"),
@@ -8164,7 +8157,7 @@ object SparkEntry {
       """WITH ev AS (SELECT event_id AS i FROM events),
         |st AS MATERIALIZED (
         |  SELECT 'c'||i AS sourceId, i,
-        |    i%23=0 AS deprecated,
+        |    i%23=0 OR (i>0 AND ('C'||(i//2)) IN ('C61063','C85834')) AS deprecated,
         |    CASE WHEN i>0 AND NOT ('C'||(i//2)) IN ('C61063','C85834')
         |      THEN 'c'||(i//2) END AS parent,
         |    'name '||(i//3) AS name0,

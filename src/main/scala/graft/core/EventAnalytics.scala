@@ -78,6 +78,12 @@ object EventAnalytics {
     * Input is the pre-aggregated (group, x) frame; output adds
     * `dev_n = x·n − S` (the deviation scaled by n, sign-preserving)
     * and the `anomalous` verdict.
+    *
+    * Domain bound: the squared terms cap at DECIMAL(38,0), so the test
+    * is exact while |x|·n < 10^19 (⇒ dev² < 10^38 and n·ΣX² < 10^38) —
+    * far past any count-like telemetry. Beyond it the decimal square
+    * overflows: ANSI mode (this engine's default) fails the job loudly
+    * rather than mis-flagging.
     */
   def sigmaOutliers(counts: DataFrame, groupCol: String, valueCol: String,
       k: Int): DataFrame = {

@@ -315,22 +315,28 @@ object Multimodal {
       ((b(o + 3) & 0xff) << 24)
 
   /** RIFF chunk walk: returns (offset, size) of the first chunk with
-    * `tag`, or None. */
+    * `tag`, or None. A negative or past-the-buffer declared size stops
+    * the walk (malformed container) — the advance rides Long so a size
+    * near Int.MaxValue can neither wrap `o` negative nor spin in place.
+    */
   private def riffChunk(b: Array[Byte], tag: String): Option[(Int, Int)] = {
-    var o = 12 // past RIFF....WAVE
+    var o = 12L // past RIFF....WAVE
     while (o + 8 <= b.length) {
-      val t = new String(b, o, 4, "US-ASCII")
-      val sz = le32(b, o + 4)
-      if (t == tag) return Some((o + 8, sz))
-      o += 8 + sz + (sz & 1) // chunks are word-aligned
+      val t = new String(b, o.toInt, 4, "US-ASCII")
+      val sz = le32(b, o.toInt + 4)
+      if (sz < 0) return None
+      if (t == tag) return Some((o.toInt + 8, sz))
+      o += 8L + sz + (sz & 1) // chunks are word-aligned
     }
     None
   }
 
   private[llm] def isImaAdpcmWav(b: Array[Byte]): Boolean =
-    b.length > 20 && new String(b, 0, 4, "US-ASCII") == "RIFF" &&
+    try b.length > 20 && new String(b, 0, 4, "US-ASCII") == "RIFF" &&
       new String(b, 8, 4, "US-ASCII") == "WAVE" &&
-      riffChunk(b, "fmt ").exists { case (o, sz) => sz >= 16 && le16(b, o) == 0x11 }
+      riffChunk(b, "fmt ").exists { case (o, sz) =>
+        sz >= 16 && o + 2 <= b.length && le16(b, o) == 0x11 }
+    catch { case _: Exception => false }
 
   /** Decode a mono IMA-ADPCM WAVE: per block of `blockAlign` bytes, a
     * 4-byte header (int16 predictor = sample 0 of the block, step index,
@@ -339,13 +345,18 @@ object Multimodal {
     * sentinel via the thrown exception.
     */
   private def decodeImaAdpcm(mediaId: Long, b: Array[Byte]): AudioFeatures = {
-    val (fo, _) = riffChunk(b, "fmt ").get
+    val (fo, fsz) = riffChunk(b, "fmt ").get
     require(le16(b, fo + 2) == 1, "mono IMA ADPCM only")
     val sampleRate = le32(b, fo + 4)
     val blockAlign = le16(b, fo + 12)
-    // samples per block: from the fmt extension when present, else derived
+    // a block is its 4-byte header at minimum; 0 would spin the walk
+    require(blockAlign >= 4, s"blockAlign $blockAlign < header size")
+    // samples per block: from the fmt extension when present (the chunk
+    // itself must DECLARE the extension — a spec-valid 16-byte fmt has
+    // no cbSize field, and reading past it would consume the next
+    // chunk's tag bytes), else derived from the block size
     val samplesPerBlock =
-      if (le16(b, fo + 16) >= 2) le16(b, fo + 18)
+      if (fsz >= 20 && le16(b, fo + 16) >= 2) le16(b, fo + 18)
       else (blockAlign - 4) * 2 + 1
     val (dOff, dSz) = riffChunk(b, "data").get
     var sumSq = 0L

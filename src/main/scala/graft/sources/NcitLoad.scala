@@ -168,8 +168,17 @@ object NcitLoad {
   }
 
   def load(spark: SparkSession, store: PersistentGraphStore,
-      path: String): Map[String, Long] = {
-    val r = resolved(spark, path)
+      path: String): Map[String, Long] =
+    loadFrom(spark, store, scan(spark, path))
+
+  /** [[load]] over an already-scanned raw 9-column frame — the sf-scaled
+    * bench entry, sharing the SAME store phase (merge keys, compare
+    * columns, edge upsert) as the path form so the bench row can never
+    * drift from the plan the fixture row pins.
+    */
+  def loadFrom(spark: SparkSession, store: PersistentGraphStore,
+      raw: DataFrame): Map[String, Long] = {
+    val r = resolvedFrom(stagedFrom(spark, raw).toDF())
     r.persist()
     try {
       val counts = store.merge("terms", vertices(r),
@@ -177,6 +186,6 @@ object NcitLoad {
         compareCols = Seq("displayName", "endpoint", "alias"))
       val e = store.upsertEdges(edges(r))
       counts ++ e.map { case (k, v) => s"edges_$k" -> v }
-    } finally r.unpersist()
+    } finally { r.unpersist(); () }
   }
 }

@@ -1246,6 +1246,66 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!out(4).decoded && out(4).sumSq == -1L)
   }
 
+  test("decodeAudio: malformed RIFF containers terminate with the sentinel") {
+    import Multimodal.{MediaItem, MediaMeta}
+    // (a) a chunk declaring size -8: a naive walk would advance by 0 and
+    // spin forever; the guarded walk stops and the payload is sentinel'd
+    val spin = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write("RIFF".getBytes("US-ASCII")); o.write(Array[Byte](16, 0, 0, 0))
+      o.write("WAVE".getBytes("US-ASCII"))
+      o.write("junk".getBytes("US-ASCII"))
+      o.write(Array[Byte](-8, -1, -1, -1)) // le32 = -8
+      o.write(Array.fill[Byte](8)(0))
+      o.toByteArray
+    }
+    // (b) a valid ADPCM file whose fmt blockAlign is patched to 0: the
+    // block walk could never advance; the guard must reject it
+    val zeroAlign = {
+      val b = Multimodal.syntheticWavAdpcm(1L, 9)
+      b(32) = 0; b(33) = 0 // fmt data at 20, blockAlign at +12
+      b
+    }
+    val out = Multimodal.decodeAudio(spark.createDataset(Seq(
+      MediaItem(1L, "audio/wav", spin, MediaMeta(0, 0, 0L, "x")),
+      MediaItem(2L, "audio/wav", zeroAlign, MediaMeta(0, 0, 0L, "x")))))
+      .collect().sortBy(_.mediaId)
+    assert(out.forall(f => !f.decoded && f.sumSq == -1L))
+  }
+
+  test("decodeAudio: extension-less (16-byte fmt) IMA WAV derives samplesPerBlock") {
+    import Multimodal.{MediaItem, MediaMeta}
+    // hand-built single-block file, fmt size 16 (NO cbSize/samplesPerBlock
+    // fields — the spec-valid minimal fmt): the decoder must derive
+    // (blockAlign-4)*2+1 = 5 instead of reading the next chunk's bytes
+    val seed = 3L
+    val b = {
+      val o = new java.io.ByteArrayOutputStream()
+      def w16(v: Int): Unit = { o.write(v & 0xff); o.write((v >> 8) & 0xff) }
+      def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+      o.write("RIFF".getBytes("US-ASCII")); w32(4 + 24 + 14)
+      o.write("WAVE".getBytes("US-ASCII"))
+      o.write("fmt ".getBytes("US-ASCII")); w32(16)
+      w16(0x11); w16(1); w32(8000); w32(8000); w16(6); w16(4)
+      o.write("data".getBytes("US-ASCII")); w32(6)
+      w16((((seed * 7) % 2003) - 1001).toInt & 0xffff)
+      o.write(((seed * 5) % 60).toInt); o.write(0)
+      // nibbles j=0..3, low first: (j*13 + seed*5) % 16
+      def nib(j: Long) = ((j * 13 + seed * 5) % 16).toInt
+      o.write(nib(0) | (nib(1) << 4)); o.write(nib(2) | (nib(3) << 4))
+      o.toByteArray
+    }
+    val out = Multimodal.decodeAudio(spark.createDataset(Seq(
+      MediaItem(1L, "audio/wav", b, MediaMeta(0, 0, 0L, "adpcm")))))
+      .collect().head
+    // same state machine as syntheticWavAdpcm(seed, 5), which carries the
+    // 20-byte fmt — both routes must produce identical features
+    val viaExt = Multimodal.decodeAudio(spark.createDataset(Seq(
+      MediaItem(2L, "audio/wav", Multimodal.syntheticWavAdpcm(seed, 5),
+        MediaMeta(0, 0, 0L, "adpcm"))))).collect().head
+    assert(out.decoded && out.nSamples == 5L && out.sumSq == viaExt.sumSq)
+  }
+
   test("decodeAudio: G.711 µ-law/A-law WAVs transcode to PCM with spec-exact round trip") {
     import Multimodal.{MediaItem, MediaMeta}
     val items = Seq(
