@@ -1176,9 +1176,11 @@ object SparkEntry {
           when(col("k") % 5 === 0, lit("NS"))
             .otherwise(concat(lit("F"), col("k") % 5)).as("diseaseFamily"),
           lit("").as("pubmed"))
-      val diseases = Seq(("D1", "d:1"), ("D2", "d:2"), ("D3", null),
+      // D3 / F3 / F4 deliberately absent: their groups take the
+      // disease-miss error path at levels 0-1 and fall through to the
+      // level-2 cancer rollup
+      val diseases = Seq(("D1", "d:1"), ("D2", "d:2"),
         ("cancer", "d:c"), ("F1", "d:f1"), ("F2", "d:f2"))
-        .filter(_._2 != null).map(p => (p._1, p._2))
         .toDF("name", "sourceId")
       val c = sources.CosmicFusions.loadDf(s, store, rows, diseases)
       store.read("statements").get
