@@ -183,12 +183,11 @@ object Multimodal {
     items.mapPartitions { it =>
       it.map { m =>
         val sentinel = AudioFeatures(m.mediaId, decoded = false, -1, -1, -1L, -1L)
-        if (isImaAdpcmWav(m.bytes))
-          // the JDK has no ADPCM codec (UnsupportedAudioFileException),
-          // so fmt-tag 0x11 routes to the hand-rolled IMA decoder
-          try decodeImaAdpcm(m.mediaId, m.bytes)
-          catch { case _: Exception => sentinel }
-        else try {
+        // the JDK has no ADPCM codec (UnsupportedAudioFileException), so
+        // fmt-tag 0x11 routes to the hand-rolled IMA decoder; one shared
+        // catch keeps the sentinel contract identical on both paths
+        try if (isImaAdpcmWav(m.bytes)) decodeImaAdpcm(m.mediaId, m.bytes)
+        else {
           import javax.sound.sampled.{AudioFormat, AudioSystem}
           val raw = AudioSystem.getAudioInputStream(
             new java.io.ByteArrayInputStream(m.bytes))
