@@ -1190,10 +1190,10 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!out(3).decoded && out(3).sumSq == -1L)
   }
 
-  test("decodeAudio: IMA ADPCM state machine matches a plain-Scala replay") {
-    import Multimodal.{MediaItem, MediaMeta}
-    // independent reference decode: the IMA tables + clamp rules written
-    // a second time, straight-line, against the generator formulas
+  // independent reference decode for the synthetic ADPCM files: the IMA
+  // tables + clamp rules written a second time, straight-line, against
+  // the generator formulas
+  private def refAdpcmSumSq(seed: Long, n: Int): Long = {
     val step = Array(7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25,
       28, 31, 34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
       130, 143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408,
@@ -1203,24 +1203,27 @@ class MultimodalSpec extends AnyFunSuite {
       11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
       27086, 29794, 32767)
     val idxT = Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
-    def refDecode(seed: Long, n: Int): Long = {
-      var pred = ((seed * 7) % 2003 - 1001).toInt
-      var sidx = ((seed * 5) % 60).toInt
-      var acc = pred.toLong * pred
-      for (j <- 0 until n - 1) {
-        val nib = ((j * 13 + seed * 5) % 16).toInt
-        val s = step(sidx)
-        var d = s >> 3
-        if ((nib & 4) != 0) d += s
-        if ((nib & 2) != 0) d += s >> 1
-        if ((nib & 1) != 0) d += s >> 2
-        pred = math.max(-32768,
-          math.min(32767, if ((nib & 8) != 0) pred - d else pred + d))
-        sidx = math.max(0, math.min(88, sidx + idxT(nib)))
-        acc += pred.toLong * pred
-      }
-      acc
+    var pred = ((seed * 7) % 2003 - 1001).toInt
+    var sidx = ((seed * 5) % 60).toInt
+    var acc = pred.toLong * pred
+    for (j <- 0 until n - 1) {
+      val nib = ((j * 13 + seed * 5) % 16).toInt
+      val s = step(sidx)
+      var d = s >> 3
+      if ((nib & 4) != 0) d += s
+      if ((nib & 2) != 0) d += s >> 1
+      if ((nib & 1) != 0) d += s >> 2
+      pred = math.max(-32768,
+        math.min(32767, if ((nib & 8) != 0) pred - d else pred + d))
+      sidx = math.max(0, math.min(88, sidx + idxT(nib)))
+      acc += pred.toLong * pred
     }
+    acc
+  }
+
+  test("decodeAudio: IMA ADPCM state machine matches a plain-Scala replay") {
+    import Multimodal.{MediaItem, MediaMeta}
+    def refDecode(seed: Long, n: Int): Long = refAdpcmSumSq(seed, n)
     val items = Seq(
       MediaItem(1L, "audio/wav", Multimodal.syntheticWavAdpcm(1L, 437),
         MediaMeta(0, 0, 0L, "adpcm")),
@@ -1244,6 +1247,26 @@ class MultimodalSpec extends AnyFunSuite {
     // the buffer; missing-data-chunk truncation takes the sentinel
     assert(out(3).decoded && out(3).nSamples < 437L && out(3).nSamples > 0L)
     assert(!out(4).decoded && out(4).sumSq == -1L)
+  }
+
+  test("IMA ADPCM decode ≡ reference replay on 25 seeded-random (seed, n)") {
+    import Multimodal.{MediaItem, MediaMeta}
+    // offline-scalacheck convention (core.PropertySpec): seeded random
+    // lengths incl. the 1-sample and even/odd nibble-count edges — every
+    // file decodes to exactly the reference state machine's energy
+    val rnd = new scala.util.Random(20260814)
+    val cases = Seq((1L, 1), (2L, 2), (3L, 3)) ++
+      (1 to 22).map(i => (rnd.nextInt(1000).toLong + 1, rnd.nextInt(900) + 1))
+    val items = cases.zipWithIndex.map { case ((seed, n), i) =>
+      MediaItem(i.toLong, "audio/wav", Multimodal.syntheticWavAdpcm(seed, n),
+        MediaMeta(0, 0, 0L, "adpcm"))
+    }
+    val got = Multimodal.decodeAudio(spark.createDataset(items))
+      .collect().map(f => f.mediaId -> ((f.decoded, f.nSamples, f.sumSq))).toMap
+    cases.zipWithIndex.foreach { case ((seed, n), i) =>
+      assert(got(i.toLong) == ((true, n.toLong, refAdpcmSumSq(seed, n))),
+        s"mismatch at seed=$seed n=$n")
+    }
   }
 
   test("decodeAudio: malformed RIFF containers terminate with the sentinel") {
