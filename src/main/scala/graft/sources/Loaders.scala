@@ -55,7 +55,13 @@ object Loaders {
     counts ++ edges.map { case (k, v) => s"edges_$k" -> v }
   }
 
-  /** Therapy vertices from the DrugBank XML via the streaming rowTag scan. */
+  /** Therapy vertices from the DrugBank XML via the streaming rowTag scan.
+    * This is the MINIMAL corpus-DAG form (lowercased name, 64-char
+    * mechanism prefix — normalization the g1/g14 oracles pin);
+    * [[drugbankRecords]]/[[loadDrugbankFull]] below are the
+    * full-fidelity port of processRecord (jest-pinned body fields,
+    * aliases, xrefs, targets) with its own g35 oracle row.
+    */
   def drugbankTherapies(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     XmlScan.rowTagFragments(spark, path, "drug")
