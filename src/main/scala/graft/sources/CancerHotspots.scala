@@ -120,13 +120,17 @@ object CancerHotspots {
     resolved.persist()
     try {
       // protein failure (unparseable OR unresolved gene) is fatal to the
-      // record; genomic/cds failures are not
+      // record; genomic/cds failures are not. goodProt/badRecs are
+      // RECORD-id sets — row-proportional, unlike the dimension frames
+      // above — so the anti-joins carry no broadcast hint: they shuffle
+      // on recId (AQE still broadcasts when the sets turn out small,
+      // e.g. the fixture rows, without pinning an OOM at corpus scale)
       val allRecs = records.select(col("sourceId").as("recId"))
       val goodProt = resolved
         .filter(col("form") === "protein" && col("dim_sid").isNotNull)
         .select(col("recId")).distinct()
-      val badRecs = allRecs.join(broadcast(goodProt), Seq("recId"), "left_anti")
-      val live = resolved.join(broadcast(badRecs), Seq("recId"), "left_anti")
+      val badRecs = allRecs.join(goodProt, Seq("recId"), "left_anti")
+      val live = resolved.join(badRecs, Seq("recId"), "left_anti")
         .filter(col("dim_sid").isNotNull)
       val counts = store.merge("variants",
         live.select(col("vid"), col("form"), col("notation"), col("term"),
@@ -150,7 +154,7 @@ object CancerHotspots {
         .withColumn("edgeClass", lit("Infers")))
       // statements: disease both condition and subject; previous sourceIds skipped
       val recsDF = records.toDF()
-        .join(broadcast(badRecs.withColumnRenamed("recId", "sourceId")),
+        .join(badRecs.withColumnRenamed("recId", "sourceId"),
           Seq("sourceId"), "left_anti")
       val disDim = diseases.select(col("sourceId").as("diseaseId"),
         col("sourceId").as("disease_sid"))
@@ -161,9 +165,10 @@ object CancerHotspots {
         col("disease_sid").as("subject"),
         sort_array(array(col("protein_vid"), col("disease_sid"))).as("conditions"),
         lit("not required").as("reviewStatus"))
+      // the previous-load id set is table-proportional too — no hint
       val fresh = store.read("statements") match {
         case Some(prev) => candidates.join(
-          broadcast(prev.select("sourceId")), Seq("sourceId"), "left_anti")
+          prev.select("sourceId"), Seq("sourceId"), "left_anti")
         case None => candidates
       }
       val sc = store.merge("statements", fresh, keyCols = Seq("sourceId"),

@@ -86,10 +86,12 @@ object Docm {
     try {
       // protein-side failure fails the record; genomic-side failure only
       // loses the genomic variant + edge
+      // badRecs is a RECORD-id set (row-proportional) — no broadcast
+      // hint; AQE broadcasts when it is actually small
       val badRecs = resolved
         .filter(col("form") === "protein" && col("ref_sid").isNull)
         .select(col("recId")).distinct()
-      val live = resolved.join(broadcast(badRecs), Seq("recId"), "left_anti")
+      val live = resolved.join(badRecs, Seq("recId"), "left_anti")
         .filter(col("ref_sid").isNotNull)
       val counts = store.merge("variants",
         live.select(col("vid"), col("form"), col("notation"), col("term"),

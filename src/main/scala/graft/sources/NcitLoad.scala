@@ -46,8 +46,11 @@ object NcitLoad {
 
   /** Rows with `parentConcepts` = their parents' semantic types joined
     * with '|' (ncit/index.js:231-236) — the input to pickEndpoint's
-    * parent fallback. Self-join on the parent id; the id→semanticType side
-    * is dimension-sized, so it broadcasts.
+    * parent fallback. Self-join on the parent id. The id→semanticType
+    * side is the WHOLE concept table (row-proportional, not a fixed
+    * dimension), so no broadcast hint is pinned: AQE broadcasts the real
+    * NCIt export (~150k concepts) but a corpus-scale input shuffles
+    * instead of OOMing every executor.
     */
   def withParentConcepts(raw: DataFrame): DataFrame = {
     val dim = raw.select(col("id").as("__pid"),
@@ -55,7 +58,7 @@ object NcitLoad {
     val exploded = raw.select(col("id"),
       posexplode_outer(split(coalesce(col("parents"), lit("")), "\\|")))
       .select(col("id"), col("pos"), trim(col("col")).as("__pid"))
-    val joined = exploded.join(broadcast(dim), Seq("__pid"), "left")
+    val joined = exploded.join(dim, Seq("__pid"), "left")
       .groupBy("id")
       .agg(concat_ws("|",
         transform(
