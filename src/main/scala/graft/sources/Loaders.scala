@@ -69,7 +69,9 @@ object Loaders {
         val x = scala.xml.XML.loadString(frag)
         val primaryId = (x \ "drugbank-id")
           .collectFirst { case e if (e \@ "primary") == "true" => e.text }
-          .getOrElse((x \ "drugbank-id").text)
+          // fallback = the FIRST id (reference drugbank-id[0]; the bare
+          // .text would CONCATENATE every id's text)
+          .getOrElse((x \ "drugbank-id").headOption.map(_.text).getOrElse(""))
         (primaryId, (x \ "name").text.toLowerCase.trim,
           (x \ "cas-number").text, (x \ "unii").text,
           (x \ "mechanism-of-action").text.take(64))
@@ -105,7 +107,9 @@ object Loaders {
         val x = scala.xml.XML.loadString(frag)
         val primaryId = (x \ "drugbank-id")
           .collectFirst { case e if (e \@ "primary") == "true" => e.text }
-          .getOrElse((x \ "drugbank-id").text)
+          // fallback = the FIRST id (reference drugbank-id[0]; the bare
+          // .text would CONCATENATE every id's text)
+          .getOrElse((x \ "drugbank-id").headOption.map(_.text).getOrElse(""))
         val name = (x \ "name").text
         val props = (x \ "calculated-properties" \ "property")
           .map(p => ((p \ "kind").text, (p \ "value").text)).toMap
