@@ -99,45 +99,60 @@ object Bench {
     // query's reps, so one load window cannot touch more than one of them
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val names = headline.filter(all.contains)
-    val samples = (1 to reps).map { _ =>
-      names.map { name =>
-        val t0 = System.nanoTime()
-        val ok = try { all(name)(spark, sfDir).count(); true }
-          catch { case _: Throwable => false }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // drop persisted blocks between queries: accumulated storage
-        // memory from merge/diff persists squeezes execution memory and
-        // makes later queries GC-bound (measured 10x spikes late in the run)
-        spark.catalog.clearCache()
-        name -> (if (ok) Some(dt) else None)
-      }.toMap
+    // fixture/golden queries split into two buckets: grammar/golden frames
+    // (fixtures_bucket) vs the gN loader pipelines, which each run a store
+    // round-trip twice plus the g14 full-DAG run (loaders_bucket) — both
+    // constant-cost, not per-query news, but the loader bucket grows with
+    // every new composed source and would otherwise read as a fixtures
+    // regression
+    val rest = all.keys.toSeq.sorted.filterNot(headline.contains)
+    val (loaderQs, fixtureQs) = rest.partition(_.matches("^g\\d+_.*"))
+    def timeOne(name: String): Option[Double] = {
+      val t0 = System.nanoTime()
+      val ok = try { all(name)(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop persisted blocks between queries: accumulated storage
+      // memory from merge/diff persists squeezes execution memory and
+      // makes later queries GC-bound (measured 10x spikes late in the run)
+      spark.catalog.clearCache()
+      if (ok) Some(dt) else None
     }
+    // buckets are overhead-dominated (hundreds of tiny store-round-trip
+    // jobs) and a single pass swung ±60% round-over-round under host-load
+    // windows (r9 148.6 s vs r10 173.9 s vs a same-code rerun at 140.5 s).
+    // The noise is strictly ADDITIVE (a load spike only ever inflates a
+    // wall time), so min-of-2 passes is the robust per-row estimator at
+    // a third of median-of-3's cost on a ~150 s bucket
+    val bucketReps = sys.env.getOrElse("SPARK_GRAFT_BUCKET_REPS", "2").toInt
+      .min(reps).max(1)
+    val headlineSamples = Array.newBuilder[Map[String, Option[Double]]]
+    val bucketSamples = Array.newBuilder[Map[String, Option[Double]]]
+    // interleave bucket passes between headline passes so one sustained
+    // host-load window cannot cover both of a row's reps (same rationale
+    // as the headline interleave above)
+    for (i <- 1 to reps) {
+      headlineSamples += names.map(n => n -> timeOne(n)).toMap
+      if (i <= bucketReps)
+        bucketSamples += (fixtureQs ++ loaderQs).map(n => n -> timeOne(n)).toMap
+    }
+    val hs = headlineSamples.result()
+    val bs = bucketSamples.result()
     val results = names.map { name =>
-      val times = samples.flatMap(_(name))
+      val times = hs.toSeq.flatMap(_(name))
       // failures report -1, not a plausible-looking elapsed time
       val dt = if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2)
       name -> dt
     }
-    // fixture/golden queries run once, split into two buckets: grammar/
-    // golden frames (fixtures_bucket) vs the gN loader pipelines, which
-    // each run a store round-trip twice plus the g14 full-DAG run
-    // (loaders_bucket) — both constant-cost, not per-query news, but the
-    // loader bucket grows with every new composed source and would
-    // otherwise read as a fixtures regression
-    def timeOne(name: String): Double = {
-      val t0 = System.nanoTime()
-      try all(name)(spark, sfDir).count() catch { case _: Throwable => () }
-      spark.catalog.clearCache()
-      (System.nanoTime() - t0) / 1e9
+    def bucketMin(name: String): Double = {
+      val times = bs.toSeq.flatMap(_(name))
+      if (times.isEmpty) -1.0 else times.min
     }
-    def runBucket(names: Seq[String]): Double = names.map(timeOne).sum
-    val rest = all.keys.toSeq.sorted.filterNot(headline.contains)
-    val (loaderQs, fixtureQs) = rest.partition(_.matches("^g\\d+_.*"))
-    val fixtures = "fixtures_bucket" -> runBucket(fixtureQs)
-    // the loader bucket is ~60% of the bench: keep the bucket total for
-    // round-over-round comparison, but also record each loader pipeline's
-    // own time so a regression localizes to the loader that caused it
-    val loaderTimes = loaderQs.map(n => n -> timeOne(n))
+    val fixtures = "fixtures_bucket" -> fixtureQs.map(bucketMin).sum
+    // keep the bucket total for round-over-round comparison, but also
+    // record each loader pipeline's own time so a regression localizes
+    // to the loader that caused it
+    val loaderTimes = loaderQs.map(n => n -> bucketMin(n))
     val loaders = "loaders_bucket" -> loaderTimes.map(_._2).sum
     // times rounded to ms: full-precision doubles pushed the single JSON
     // line past the driver's tail-parse window in round 5 (the leading
@@ -145,16 +160,25 @@ object Bench {
     // millisecond resolution is all the comparison uses
     def r3(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = (results ++ loaderTimes :+ fixtures :+ loaders)
+    // headline split: scaled_total is the repeatable signal (median-of-reps
+    // rows whose cost grows with sf); fixture_total is the fixed-fixture
+    // overhead lane (min-of-passes buckets). The grand total remains their
+    // sum for continuity with rounds ≤10.
+    val scaledTotal = results.map(_._2).sum
+    val fixtureTotal = fixtures._2 + loaders._2
+    val qs = (results ++ loaderTimes :+ fixtures :+ loaders :+
+      ("scaled_total" -> scaledTotal) :+ ("fixture_total" -> fixtureTotal))
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum + fixtures._2 + loaders._2
+    val total = scaledTotal + fixtureTotal
     val json =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
+    println(s"""{"metric":"scaled_total","value":${r3(scaledTotal)},"unit":"sec","sf":"$sfDir"}""")
+    println(s"""{"metric":"fixture_total","value":${r3(fixtureTotal)},"unit":"sec","sf":"$sfDir"}""")
     // The full line above outgrew the driver's tail-parse window two rounds
-    // running (88+ queries); emit a second, short record afterwards so the
-    // tail always contains one complete parseable JSON line.
+    // running (88+ queries); emit a short record LAST so the tail always
+    // contains one complete parseable JSON line.
     val summary = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir"}"""
     println(summary)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

@@ -1085,8 +1085,10 @@ object SparkEntry {
     // G35 — the drugbank loader isolated (drugbank/index.js:38-249 over
     // the shipped drugbank_sample.xml): streaming rowTag scan → full
     // record parse (primary id / body fields / IUPAC + formula from
-    // calculated-properties) → alias explosion (simple-word product
-    // names) → FDA-UNII + ChEMBL CrossReferenceOf → targetof gene→drug
+    // calculated-properties / categories→subsets) → alias explosion
+    // (simple-word product names) → ATC therapy ladder (4 level vertices,
+    // drug→lowest subclassof + 3 ladder rungs, index.js:91-133)
+    // → FDA-UNII + ChEMBL CrossReferenceOf → targetof gene→drug
     // with the action comment → store round trip, TWICE — the rerun's
     // mutation counters ride the output, so a non-idempotent pass fails
     // the row. Dependency dims are seeded the way the corpus DAG provides
@@ -1115,13 +1117,14 @@ object SparkEntry {
         .select(lit("therapy").as("kind"), col("sourceId").as("a"),
           col("name").as("b"), col("alias").cast("string").as("c"),
           coalesce(col("dependency"), lit("-")).as("d"))
-      val fields = stored.filter(!col("alias"))
+      val fields = stored.filter(!col("alias") && !col("atc"))
         .select(col("sourceId"), map(
           lit("sourceIdVersion"), col("sourceIdVersion"),
           lit("iupacName"), col("iupacName"),
           lit("molecularFormula"), col("molecularFormula"),
           lit("mechanismOfAction"), substring(col("mechanismOfAction"), 1, 40),
-          lit("description"), substring(col("description"), 1, 40)).as("m"))
+          lit("description"), substring(col("description"), 1, 40),
+          lit("subsets"), array_join(col("subsets"), ";")).as("m"))
         .select(col("sourceId"), explode(col("m")))
         .select(lit("field").as("kind"), col("sourceId").as("a"),
           col("key").as("b"), coalesce(col("value"), lit("-")).as("c"),
@@ -8353,22 +8356,33 @@ object SparkEntry {
     // ^[a-zA-Z]\w+$, 'Erlotinib'+'Erlotinib Hydrochloride' excluded →
     // tarceva is the only alias; unii J4T82NDH7E; ChEMBL CHEMBL553; one
     // HGNC:3236 target with action 'antagonist'; IUPAC + formula from
-    // calculated-properties) and drugbank/index.js:38-249 semantics.
+    // calculated-properties; atc-code L01XE03 → 4 levels most-specific
+    // first, codes lowercased, drug→l01xe + 3 ladder rungs; 2 categories
+    // → subsets) and drugbank/index.js:38-249 semantics.
     "g35_drugbank" ->
       """SELECT CAST(kind AS VARCHAR) AS kind, CAST(a AS VARCHAR) AS a,
         |  CAST(b AS VARCHAR) AS b, CAST(c AS VARCHAR) AS c,
         |  CAST(d AS VARCHAR) AS d FROM (VALUES
         |('therapy', 'DB00530', 'Erlotinib', 'false', '-'),
         |('therapy', 'DB00530', 'tarceva', 'true', 'DB00530|Erlotinib'),
+        |('therapy', 'l01xe', 'Protein kinase inhibitors', 'false', '-'),
+        |('therapy', 'l01x', 'OTHER ANTINEOPLASTIC AGENTS', 'false', '-'),
+        |('therapy', 'l01', 'ANTINEOPLASTIC AGENTS', 'false', '-'),
+        |('therapy', 'l', 'ANTINEOPLASTIC AND IMMUNOMODULATING AGENTS', 'false', '-'),
         |('field', 'DB00530', 'sourceIdVersion', '2019-07-02', ''),
         |('field', 'DB00530', 'iupacName', 'N-(3-ethynylphenyl)-6,7-bis(2-methoxyethoxy)quinazolin-4-amine', ''),
         |('field', 'DB00530', 'molecularFormula', 'C22H23N3O4', ''),
         |('field', 'DB00530', 'mechanismOfAction', 'The mechanism of clinical antitumor acti', ''),
         |('field', 'DB00530', 'description', 'Erlotinib is an inhibitor of the epiderm', ''),
+        |('field', 'DB00530', 'subsets', 'Antineoplastic Agents;Antineoplastic and Immunomodulating Agents', ''),
         |('edge', 'aliasof', 'DB00530|tarceva', 'DB00530|Erlotinib', '-'),
         |('edge', 'CrossReferenceOf', 'DB00530|Erlotinib', 'J4T82NDH7E|ERLOTINIB', '-'),
         |('edge', 'CrossReferenceOf', 'DB00530|Erlotinib', 'CHEMBL553|ERLOTINIB', '-'),
         |('edge', 'targetof', 'egfr', 'DB00530|Erlotinib', 'antagonist'),
+        |('edge', 'subclassof', 'DB00530|Erlotinib', 'l01xe|Protein kinase inhibitors', '-'),
+        |('edge', 'subclassof', 'l01xe|Protein kinase inhibitors', 'l01x|OTHER ANTINEOPLASTIC AGENTS', '-'),
+        |('edge', 'subclassof', 'l01x|OTHER ANTINEOPLASTIC AGENTS', 'l01|ANTINEOPLASTIC AGENTS', '-'),
+        |('edge', 'subclassof', 'l01|ANTINEOPLASTIC AGENTS', 'l|ANTINEOPLASTIC AND IMMUNOMODULATING AGENTS', '-'),
         |('rerun', 'mutations', '0', '', '')
         |) AS t(kind, a, b, c, d)""".stripMargin,
     // g33: frozen from the implementation once, cross-checked against

@@ -98,7 +98,31 @@ object Loaders {
     * (index.js:192-199), and per-target HGNC gene ids with the target's
     * `/`-joined action list (index.js:215-231; the reference compares
     * `gene.resource[0]` — its stream shape quirk — where the INTENT,
-    * exercised by its fixture, is the full resource string).
+    * exercised by its fixture, is the full resource string), the ATC
+    * level ladder of the FIRST `atc-code` element ((name, code
+    * lowercased) in document order, most-specific first —
+    * `atc-codes[0].atc-code[0].level`, index.js:42-49), and the
+    * categories-derived `subsets` list (each `<category>` wrapper's
+    * inner `<category>` text, index.js:60-66; null when the drug has no
+    * categories, matching the reference's absent body field).
+    *
+    * Deliberate intent-over-quirk deviations from processRecord:
+    *  - resource comparison (above): full string, not `resource[0]`;
+    *  - MULTI-TARGET FAN-OUT: this iterates ALL `<target>` elements with
+    *    per-target action lists, while the reference's xml-stream shape
+    *    keeps only the single `drug.targets.target` node
+    *    (index.js:215-231) — a multi-target drug here yields one
+    *    targetof edge per target, which the reference never would.
+    *    [[DrugbankRecordsPropertySpec]] pins this contract on random
+    *    multi-target corpora.
+    *
+    * Malformed records degrade to null, not "": a `<drug>` with no
+    * `<drugbank-id>` at all yields sourceId null (the reference's
+    * checkSpec throws and processRecord counts it as an error —
+    * [[loadDrugbankFull]] filters + side-channel-counts these the way
+    * NcitLoad's `error` column does), and a missing/empty `updated`
+    * attribute yields sourceIdVersion null like the other nullable
+    * fields.
     */
   def drugbankRecords(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
@@ -108,8 +132,9 @@ object Loaders {
         val primaryId = (x \ "drugbank-id")
           .collectFirst { case e if (e \@ "primary") == "true" => e.text }
           // fallback = the FIRST id (reference drugbank-id[0]; the bare
-          // .text would CONCATENATE every id's text)
-          .getOrElse((x \ "drugbank-id").headOption.map(_.text).getOrElse(""))
+          // .text would CONCATENATE every id's text); no id at all → null
+          // (reference checkSpec error path)
+          .orElse((x \ "drugbank-id").headOption.map(_.text)).orNull
         val name = (x \ "name").text
         val props = (x \ "calculated-properties" \ "property")
           .map(p => ((p \ "kind").text, (p \ "value").text)).toMap
@@ -127,23 +152,36 @@ object Loaders {
           e <- p \ "external-identifiers" \ "external-identifier"
           if (e \ "resource").text == "HUGO Gene Nomenclature Committee (HGNC)"
         } yield ((e \ "identifier").text, actions)
-        (primaryId, name, (x \ "description").text, x \@ "updated",
+        val atcLevels = (x \ "atc-codes" \ "atc-code").headOption
+          .map(ac => (ac \ "level").map(l => (l.text, (l \@ "code").toLowerCase)))
+          .getOrElse(Seq.empty)
+        val cats = x \ "categories" \ "category"
+        val subsets =
+          if (cats.isEmpty) null else cats.map(c => (c \ "category").text)
+        (primaryId, name, (x \ "description").text,
+          Option(x \@ "updated").filter(_.nonEmpty).orNull,
           (x \ "mechanism-of-action").text,
           props.get("IUPAC Name").orNull, props.get("Molecular Formula").orNull,
           Option((x \ "unii").text.trim).filter(_.nonEmpty).orNull,
-          aliases, chemblIds, targets)
+          aliases, chemblIds, targets, atcLevels, subsets)
       }
       .toDF("sourceId", "name", "description", "sourceIdVersion",
         "mechanismOfAction", "iupacName", "molecularFormula", "unii",
-        "aliases", "chemblIds", "hgncTargets")
+        "aliases", "chemblIds", "hgncTargets", "atcLevels", "subsets")
   }
 
-  /** The complete drugbank load: main + alias Therapy vertices keyed
-    * (sourceId, name) — the reference's fetchConditions key (name, source,
-    * sourceId), index.js:80-86 — plus the four edge families, endpoints as
-    * the NCIt-style `sourceId|name` composite rids:
+  /** The complete drugbank load: main + alias + ATC-level Therapy
+    * vertices keyed (sourceId, name) — the reference's fetchConditions
+    * key (name, source, sourceId), index.js:80-86; one Therapy per ATC
+    * level deduped across drugs like the reference's `ATC` cache,
+    * index.js:91-103 — plus the six edge families, endpoints as the
+    * NCIt-style `sourceId|name` composite rids:
     *
     *  - aliasof alias→drug (index.js:142-160);
+    *  - subclassof drug→lowest ATC level (index.js:105-117) and the
+    *    level-chain ladder level[i]→level[i+1] (index.js:119-133),
+    *    batch-deduped by upsertEdges the way existsOk suppresses the
+    *    shared upper rungs;
     *  - CrossReferenceOf drug→FDA record whose UNII sourceId matches the
     *    drug's `unii` tag; a miss only logs, no edge (index.js:163-190);
     *  - CrossReferenceOf drug→ChEMBL molecule per drug-level ChEMBL
@@ -156,31 +194,50 @@ object Loaders {
     * symbol) are the already-loaded dependency dimensions the reference
     * resolves against (its `dependencies: [fdaName]` + chembl cache +
     * hgnc fetch); all three broadcast — the XML side never shuffles.
+    *
+    * Records with no drugbank-id are excluded and side-channel counted
+    * under `error` (the reference's checkSpec/catch → counts.error,
+    * index.js:39 + util.js), mirroring NcitLoad's error column.
     */
   def loadDrugbankFull(spark: SparkSession, store: PersistentGraphStore,
       path: String, fdaDim: DataFrame, chemblDim: DataFrame,
       geneDim: DataFrame): Map[String, Long] = {
-    val recs = drugbankRecords(spark, path).persist()
+    val all = drugbankRecords(spark, path).persist()
+    val recs = all.filter(col("sourceId").isNotNull && col("sourceId") =!= "")
     try {
+      val errors = all.count() - recs.count()
       def rid(id: org.apache.spark.sql.Column, nm: org.apache.spark.sql.Column) =
         concat_ws("|", id, nm)
       val nullS = lit(null).cast("string")
+      val nullA = lit(null).cast("array<string>")
       val main = recs.select(col("sourceId"), col("name"), col("description"),
         col("sourceIdVersion"), col("mechanismOfAction"), col("iupacName"),
-        col("molecularFormula"), nullS.as("dependency"), lit(false).as("alias"))
+        col("molecularFormula"), col("subsets"), nullS.as("dependency"),
+        lit(false).as("alias"), lit(false).as("atc"))
       val aliasV = recs
         .select(col("sourceId"), col("name").as("__primary"),
           explode(col("aliases")).as("name"))
         .select(col("sourceId"), col("name"), nullS.as("description"),
           nullS.as("sourceIdVersion"), nullS.as("mechanismOfAction"),
           nullS.as("iupacName"), nullS.as("molecularFormula"),
+          nullA.as("subsets"),
           rid(col("sourceId"), col("__primary")).as("dependency"),
-          lit(true).as("alias"))
-      val counts = store.merge("therapies", main.unionByName(aliasV),
+          lit(true).as("alias"), lit(false).as("atc"))
+      // the ATC cache (index.js:91-103): one Therapy per distinct level,
+      // name = level text, sourceId = lowercased code
+      val atcV = recs.select(explode(col("atcLevels")).as("__l"))
+        .select(col("__l")("_2").as("sourceId"), col("__l")("_1").as("name"),
+          nullS.as("description"), nullS.as("sourceIdVersion"),
+          nullS.as("mechanismOfAction"), nullS.as("iupacName"),
+          nullS.as("molecularFormula"), nullA.as("subsets"),
+          nullS.as("dependency"), lit(false).as("alias"), lit(true).as("atc"))
+        .distinct()
+      val counts = store.merge("therapies",
+        main.unionByName(aliasV).unionByName(atcV),
         keyCols = Seq("sourceId", "name"),
         compareCols = Seq("description", "sourceIdVersion",
-          "mechanismOfAction", "iupacName", "molecularFormula", "dependency",
-          "alias"))
+          "mechanismOfAction", "iupacName", "molecularFormula", "subsets",
+          "dependency", "alias", "atc"))
       val drugRid = rid(col("sourceId"), col("name"))
       val aliasOf = recs.select(col("sourceId"), col("name"),
           explode(col("aliases")).as("__alias"))
@@ -205,11 +262,26 @@ object Loaders {
           col("symbol").as("__sym"))), col("__t")("_1") === col("__hid"))
         .select(col("__sym").as("out"), drugRid.as("in"),
           lit("targetof").as("edgeClass"), col("__t")("_2").as("comment"))
+      // drug → lowest (first) ATC level (index.js:105-117)
+      val drugAtc = recs.filter(size(col("atcLevels")) > 0)
+        .select(drugRid.as("out"),
+          rid(col("atcLevels")(0)("_2"), col("atcLevels")(0)("_1")).as("in"),
+          lit("subclassof").as("edgeClass"), nullS.as("comment"))
+      // level[i] → level[i+1] ladder (index.js:119-133); upsertEdges
+      // dedupes the rungs shared across drugs
+      val atcLadder = recs.filter(size(col("atcLevels")) > 1)
+        .select(explode(expr(
+          "transform(sequence(0, size(atcLevels)-2), " +
+            "i -> struct(atcLevels[i] AS lo, atcLevels[i+1] AS hi))")).as("p"))
+        .select(rid(col("p.lo._2"), col("p.lo._1")).as("out"),
+          rid(col("p.hi._2"), col("p.hi._1")).as("in"),
+          lit("subclassof").as("edgeClass"), nullS.as("comment"))
       val edges = store.upsertEdges(
         aliasOf.unionByName(fdaXref).unionByName(chemblXref)
-          .unionByName(targetOf))
-      counts ++ edges.map { case (k, v) => s"edges_$k" -> v }
-    } finally { recs.unpersist(); () }
+          .unionByName(targetOf).unionByName(drugAtc).unionByName(atcLadder))
+      val base = counts ++ edges.map { case (k, v) => s"edges_$k" -> v }
+      if (errors > 0) base + ("error" -> errors) else base
+    } finally { all.unpersist(); () }
   }
 
   /** Seed vocabulary terms (the DAG root). */

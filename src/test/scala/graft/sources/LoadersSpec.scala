@@ -60,6 +60,15 @@ class LoadersSpec extends AnyFunSuite {
     val targets = row.getSeq[org.apache.spark.sql.Row](row.fieldIndex("hgncTargets"))
     assert(targets.map(t => (t.getString(0), t.getString(1))) ==
       Seq(("HGNC:3236", "antagonist")))
+    // first atc-code's levels, most-specific first, codes lowercased
+    val atc = row.getSeq[org.apache.spark.sql.Row](row.fieldIndex("atcLevels"))
+    assert(atc.map(l => (l.getString(0), l.getString(1))) == Seq(
+      ("Protein kinase inhibitors", "l01xe"),
+      ("OTHER ANTINEOPLASTIC AGENTS", "l01x"),
+      ("ANTINEOPLASTIC AGENTS", "l01"),
+      ("ANTINEOPLASTIC AND IMMUNOMODULATING AGENTS", "l")))
+    assert(row.getSeq[String](row.fieldIndex("subsets")) == Seq(
+      "Antineoplastic Agents", "Antineoplastic and Immunomodulating Agents"))
   }
 
   test("drugbank full loader: vertices + 4 edge families, idempotent rerun") {
@@ -71,8 +80,10 @@ class LoadersSpec extends AnyFunSuite {
     val chembl = Seq(("CHEMBL553", "ERLOTINIB")).toDF("sourceId", "name")
     val genes = Seq(("HGNC:3236", "egfr")).toDF("hgncId", "symbol")
     val c1 = Loaders.loadDrugbankFull(spark, store, drugbank, fda, chembl, genes)
-    assert(c1("create") == 2L) // main + tarceva alias
-    assert(c1("edges_created") == 4L) // aliasof, fda xref, chembl xref, targetof
+    assert(c1("create") == 6L) // main + tarceva alias + 4 ATC levels
+    // aliasof, fda xref, chembl xref, targetof, drug→atc, 3 ladder rungs
+    assert(c1("edges_created") == 8L)
+    assert(c1.get("error").isEmpty)
     val c2 = Loaders.loadDrugbankFull(spark, store, drugbank, fda, chembl, genes)
     assert(c2.get("create").isEmpty && c2.get("update").isEmpty)
     assert(c2("edges_created") == 0L)
@@ -83,7 +94,25 @@ class LoadersSpec extends AnyFunSuite {
       ("aliasof", "DB00530|tarceva", "DB00530|Erlotinib"),
       ("CrossReferenceOf", "DB00530|Erlotinib", "J4T82NDH7E|ERLOTINIB"),
       ("CrossReferenceOf", "DB00530|Erlotinib", "CHEMBL553|ERLOTINIB"),
-      ("targetof", "egfr", "DB00530|Erlotinib")))
+      ("targetof", "egfr", "DB00530|Erlotinib"),
+      ("subclassof", "DB00530|Erlotinib", "l01xe|Protein kinase inhibitors"),
+      ("subclassof", "l01xe|Protein kinase inhibitors",
+        "l01x|OTHER ANTINEOPLASTIC AGENTS"),
+      ("subclassof", "l01x|OTHER ANTINEOPLASTIC AGENTS",
+        "l01|ANTINEOPLASTIC AGENTS"),
+      ("subclassof", "l01|ANTINEOPLASTIC AGENTS",
+        "l|ANTINEOPLASTIC AND IMMUNOMODULATING AGENTS")))
+    val therapies = store.read("therapies").get.collect()
+    assert(therapies.filter(_.getAs[Boolean]("atc")).map(r =>
+      (r.getAs[String]("sourceId"), r.getAs[String]("name"))).toSet == Set(
+      ("l01xe", "Protein kinase inhibitors"),
+      ("l01x", "OTHER ANTINEOPLASTIC AGENTS"),
+      ("l01", "ANTINEOPLASTIC AGENTS"),
+      ("l", "ANTINEOPLASTIC AND IMMUNOMODULATING AGENTS")))
+    val mainRow = therapies
+      .find(r => !r.getAs[Boolean]("alias") && !r.getAs[Boolean]("atc")).get
+    assert(mainRow.getSeq[String](mainRow.fieldIndex("subsets")) == Seq(
+      "Antineoplastic Agents", "Antineoplastic and Immunomodulating Agents"))
   }
 
   test("oncotree loader: 853 diseases, parent + NCI edges, idempotent") {
