@@ -166,8 +166,11 @@ object Bench {
     // sum for continuity with rounds ≤10.
     val scaledTotal = results.map(_._2).sum
     val fixtureTotal = fixtures._2 + loaders._2
+    // rollups namespaced with "__" so a consumer summing or diffing the
+    // per-query entries can exclude them (they are NOT query rows; the
+    // same values are also emitted as separate top-level metric lines)
     val qs = (results ++ loaderTimes :+ fixtures :+ loaders :+
-      ("scaled_total" -> scaledTotal) :+ ("fixture_total" -> fixtureTotal))
+      ("__scaled_total" -> scaledTotal) :+ ("__fixture_total" -> fixtureTotal))
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = scaledTotal + fixtureTotal

@@ -1138,6 +1138,63 @@ object SparkEntry {
       therapies.unionByName(fields).unionByName(edges).unionByName(rerun)
     }),
 
+    // g36: the dbSNP loader (entrez/snp.js) on a recorded esummary
+    // fixture — docsum parse (sort-reverse transcript pick, &gt;
+    // unescape), CatalogueVariant upsert, refseq/gene dimension
+    // hydration, the cds→protein→gene-alt PositionalVariant ladder with
+    // its Infers chain, the per-leg error + API-miss side-channels, and
+    // the catalogue-cache idempotent rerun.
+    "g36_snp" -> ((s, dir) => {
+      import s.implicits._
+      val store = new core.PersistentGraphStore(s, scratchDir("g36"))
+      val snpFixture = sources.Snp.fixturePath("/fixtures/entrez_snp.esummary.json")
+      val snpFetcher = sources.Snp.rsFetcher(
+        Seq("121434568", "28934576", "1042522", "9999999")
+          .map(u => u -> snpFixture).toMap)
+      val refseqFetcher = sources.Entrez.fileFetcher(Map(
+        "NM_005228.5" -> s"$REF_DATA/entrez_refseq.NM_005228.5.json",
+        "NP_005219.2" ->
+          sources.Snp.fixturePath("/fixtures/entrez_refseq.NP_005219.2.json"),
+        "NP_000537.3" ->
+          sources.Snp.fixturePath("/fixtures/entrez_refseq.NP_000537.3.json")))
+      val geneFetcher = sources.Entrez.fileFetcher(
+        Map("1956" -> sources.Snp.fixturePath("/fixtures/entrez_gene.1956.json")))
+      val vocab = Seq(("substitution", "so:substitution")).toDF("name", "term_id")
+      val run = () => sources.Snp.fetchAndLoad(s, store,
+        Seq("rs121434568", "rs28934576", "rs1042522", "rs9999999",
+          "rs404040404").toDS(),
+        snpFetcher, refseqFetcher, geneFetcher, vocab)
+      val c1 = run()
+      val c2 = run() // catalogue cache hit → no fetch, all-noop
+      val mutations = c2.collect {
+        case (k, v) if k.endsWith("create") || k.endsWith("update") ||
+          k.endsWith("delete") || k == "edges_created" => v
+      }.sum
+      val cat = store.read("catalogue_variants").get
+        .select(lit("catalogue").as("kind"), col("sourceId").as("a"),
+          col("name").as("b"), col("sourceIdVersion").as("c"), col("url").as("d"))
+      val refs = store.read("refseq").get
+        .select(lit("feature:refseq").as("kind"), col("sourceId").as("a"),
+          col("biotype").as("b"), coalesce(col("name"), lit("-")).as("c"),
+          col("displayName").as("d"))
+      val genes = store.read("genes").get
+        .select(lit("feature:gene").as("kind"), col("sourceId").as("a"),
+          col("biotype").as("b"), col("name").as("c"), col("displayName").as("d"))
+      val vars = store.read("variants").get
+        .select(lit("variant").as("kind"), col("vid").as("a"),
+          col("notation").as("b"), col("break1").as("c"), col("reference1").as("d"))
+      val edges = store.read("edges").get
+        .select(lit("edge").as("kind"), col("edgeClass").as("a"),
+          col("out").as("b"), col("in").as("c"), lit("").as("d"))
+      val counts = Seq(
+        ("count", "hgvs_errors", c1.getOrElse("hgvs_errors", 0L).toString, "", ""),
+        ("count", "misses", c1.getOrElse("misses", 0L).toString, "", ""),
+        ("rerun", "mutations", mutations.toString, "", ""))
+        .toDF("kind", "a", "b", "c", "d")
+      cat.unionByName(refs).unionByName(genes).unionByName(vars)
+        .unionByName(edges).unionByName(counts)
+    }),
+
     // LDR_FUSION_SCALE — the cosmic-fusions three-level recurrence rollup
     // (the exact CosmicFusions plan g24 pins on its fixture) over an
     // sf-PROPORTIONAL synthetic fusion corpus derived from `events`:
@@ -2017,16 +2074,41 @@ object SparkEntry {
     // normalization from the raw JSON.
     "g12_civic_variant" -> ((s, dir) => {
       import s.implicits._
-      val path = s"$REF_DATA/civic_variant.json"
+      // the real fixture record + an rsID variant (the uploadVariant
+      // exception path, civic/variant.js:508-522): the rsID routes to the
+      // dbSNP loader — a CatalogueVariant + docsum ladder, NO gene
+      // feature and NO category variant for it
+      val fixture = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$REF_DATA/civic_variant.json")), "UTF-8")
+      val rsRec = """{"id": 999, "entrez_name": "EGFR", "entrez_id": 1956,
+        |"name": "RS121434568", "description": ""}""".stripMargin
+      val tmp = java.io.File.createTempFile("graft-g12", ".json")
+      tmp.deleteOnExit()
+      java.nio.file.Files.write(tmp.toPath,
+        s"[$fixture,\n$rsRec]".getBytes("UTF-8"))
+      val path = tmp.getPath
       val store = new core.PersistentGraphStore(s,
         scratchDir("g12"))
       val vocab = Seq(
         ("mutation", "civic", "civic:mutation"),
         ("mutation", "sequence ontology", "so:mutation"),
-        ("exon_variant", "sequence ontology", "so:exon_variant"))
+        ("exon_variant", "sequence ontology", "so:exon_variant"),
+        ("substitution", "sequence ontology", "so:substitution"))
         .toDF("name", "source", "term_id")
-      sources.CivicVariants.load(s, store, path, vocab)
-      sources.CivicVariants.load(s, store, path, vocab) // idempotency pass
+      val snpFixture = sources.Snp.fixturePath("/fixtures/entrez_snp.esummary.json")
+      val rsidLoad = (ids: org.apache.spark.sql.Dataset[String]) =>
+        sources.Snp.fetchAndLoad(s, store, ids,
+          sources.Snp.rsFetcher(Map("121434568" -> snpFixture)),
+          sources.Entrez.fileFetcher(Map(
+            "NM_005228.5" -> s"$REF_DATA/entrez_refseq.NM_005228.5.json",
+            "NP_005219.2" -> sources.Snp.fixturePath(
+              "/fixtures/entrez_refseq.NP_005219.2.json"))),
+          sources.Entrez.fileFetcher(Map(
+            "1956" -> sources.Snp.fixturePath("/fixtures/entrez_gene.1956.json"))),
+          vocab.select("name", "term_id"))
+      sources.CivicVariants.load(s, store, path, vocab, rsidLoad = Some(rsidLoad))
+      // idempotency pass (the rsID leg is a catalogue cache hit)
+      sources.CivicVariants.load(s, store, path, vocab, rsidLoad = Some(rsidLoad))
       val feats = store.read("features").get
         .select(lit("feature:gene").as("kind"), col("sourceId").as("a"),
           col("name").as("b"))
@@ -2036,7 +2118,10 @@ object SparkEntry {
       val bRows = vars.filter(col("break1").isNotNull)
         .select(lit("variant:break1").as("kind"), col("notation").as("a"),
           col("break1").as("b"))
-      feats.unionByName(vRows).unionByName(bRows)
+      val rsRows = store.read("catalogue_variants").get
+        .select(lit("variant:rsid").as("kind"), col("name").as("a"),
+          col("sourceId").as("b"))
+      feats.unionByName(vRows).unionByName(bRows).unionByName(rsRows)
     }),
 
     // S7 (XLSX scan with super-header flattening, PMC4232638/index.js:
@@ -8389,6 +8474,36 @@ object SparkEntry {
     // variants/index.js:9-81 by hand (badnotation parse rung, c.100dup
     // vocab rung, MISSING9 gene rung, NOVEL1 fetched past the transcript
     // homonym, fusion double-reference key).
+    // g36: frozen from the implementation once, cross-checked against
+    // entrez/snp.js by hand (parseRecord docsum split :107-130 — the
+    // sort().reverse() transcript pick and &gt; unescape; the
+    // loadFromDocsumHgvs ladder :45-104 — cds leg, protein leg with
+    // |GENE= alternate, per-leg error catch; loadSnpRecord Infers chain
+    // :118-131; fetchAndLoadByIds cache skip :139-150).
+    "g36_snp" ->
+      """SELECT CAST(kind AS VARCHAR) AS kind, CAST(a AS VARCHAR) AS a,
+        |  CAST(b AS VARCHAR) AS b, CAST(c AS VARCHAR) AS c,
+        |  CAST(d AS VARCHAR) AS d FROM (VALUES
+        |('catalogue','121434568','rs121434568','2022/10/13 16:44','https://www.ncbi.nlm.nih.gov/snp/rs121434568'),
+        |('catalogue','28934576','rs28934576','2022/10/13 17:02','https://www.ncbi.nlm.nih.gov/snp/rs28934576'),
+        |('catalogue','1042522','rs1042522','2022/10/13 17:02','https://www.ncbi.nlm.nih.gov/snp/rs1042522'),
+        |('catalogue','9999999','rs9999999','2022/10/13 17:02','https://www.ncbi.nlm.nih.gov/snp/rs9999999'),
+        |('feature:refseq','NM_005228','transcript','-','NM_005228.5'),
+        |('feature:refseq','NP_005219','protein','-','NP_005219.2'),
+        |('feature:refseq','NP_000537','protein','-','NP_000537.3'),
+        |('feature:gene','1956','gene','EGFR','EGFR'),
+        |('variant','NM_005228:NM_005228.5:c.2573T>G@so:substitution','NM_005228.5:c.2573T>G','c.2573','NM_005228'),
+        |('variant','NP_005219:NP_005219.2:p.Leu858Arg@so:substitution','NP_005219.2:p.Leu858Arg','p.L858','NP_005219'),
+        |('variant','1956:NP_005219.2:p.Leu858Arg@so:substitution','NP_005219.2:p.Leu858Arg','p.L858','1956'),
+        |('variant','NP_000537:NP_000537.3:p.Arg273His@so:substitution','NP_000537.3:p.Arg273His','p.R273','NP_000537'),
+        |('edge','Infers','NM_005228:NM_005228.5:c.2573T>G@so:substitution','NP_005219:NP_005219.2:p.Leu858Arg@so:substitution',''),
+        |('edge','Infers','NP_005219:NP_005219.2:p.Leu858Arg@so:substitution','1956:NP_005219.2:p.Leu858Arg@so:substitution',''),
+        |('edge','Infers','NM_005228:NM_005228.5:c.2573T>G@so:substitution','rs121434568',''),
+        |('edge','Infers','NP_000537:NP_000537.3:p.Arg273His@so:substitution','rs28934576',''),
+        |('count','hgvs_errors','1','',''),
+        |('count','misses','1','',''),
+        |('rerun','mutations','0','','')
+        |) AS t(kind, a, b, c, d)""".stripMargin,
     "g33_variants" ->
       """SELECT CAST(kind AS VARCHAR) AS kind, CAST(a AS VARCHAR) AS a,
         |  CAST(b AS VARCHAR) AS b, CAST(c AS VARCHAR) AS c FROM (VALUES
@@ -8939,7 +9054,18 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'variant', gene || ':e.' || brk || 'mut', 'civic:mutation' FROM n
         |UNION ALL
-        |SELECT 'variant:break1', gene || ':e.' || brk || 'mut', 'e.' || brk FROM n""".stripMargin,
+        |SELECT 'variant:break1', gene || ':e.' || brk || 'mut', 'e.' || brk FROM n
+        |UNION ALL
+        |-- the rsID record's dbSNP ladder (frozen; the NP notation appears
+        |-- twice: the refseq-referenced protein and the gene-alt variant)
+        |SELECT * FROM (VALUES
+        |('variant', 'NM_005228.5:c.2573T>G', 'so:substitution'),
+        |('variant', 'NP_005219.2:p.Leu858Arg', 'so:substitution'),
+        |('variant', 'NP_005219.2:p.Leu858Arg', 'so:substitution'),
+        |('variant:break1', 'NM_005228.5:c.2573T>G', 'c.2573'),
+        |('variant:break1', 'NP_005219.2:p.Leu858Arg', 'p.L858'),
+        |('variant:break1', 'NP_005219.2:p.Leu858Arg', 'p.L858'),
+        |('variant:rsid', 'rs121434568', '121434568')) AS r(kind, a, b)""".stripMargin,
     "s7_xlsx_scan" ->
       """SELECT CAST(gene AS VARCHAR) AS gene, CAST(gof AS VARCHAR) AS gof,
         |  CAST(lof AS VARCHAR) AS lof, CAST(other AS VARCHAR) AS other FROM (VALUES

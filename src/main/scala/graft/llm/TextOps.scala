@@ -1179,7 +1179,7 @@ object TextOps {
     * suffix list — PUBLIC data, publicsuffix.org): hosts ending in one of
     * these need the last THREE labels to name a registrable domain
     * (`foo.co.uk`, not `co.uk`). Without this every UK/AU/JP site would
-    * collapse into one "domain" and [[perDomainCap]] would over-cap them
+    * collapse into one "domain" and [[perDomainCapAgg]] would over-cap them
     * as a single bucket. The full list is a data file a deployment mounts;
     * this subset covers the high-traffic ccTLD second levels.
     */
@@ -1227,40 +1227,19 @@ object TextOps {
       s"CASE WHEN $last2 IN ($suffixes) AND $last3 != '' THEN $last3 ELSE $last2 END")
   }
 
-  /** Per-domain document cap, WINDOW form — TEST-ONLY equivalence
-    * reference for [[perDomainCapAgg]]; use the Agg form in every
-    * production path (all production callers — llm_url_ops,
-    * llm_full_pipeline — already do).
-    *
-    * Keeps at most `cap` documents per domain, ranked by the
-    * deterministic (h64(id), id) order, returning every row with
-    * (domain_rank, kept). Scale caveat — WHY this form is retired: the
-    * window partitioned on the domain key sorts every hot domain's FULL
-    * row set in one task (a 10⁹-doc mega-domain sorts 10⁹ rows to keep
-    * `cap`). [[perDomainCapAgg]] makes the same keep decision via a
-    * bounded top-`cap` partial aggregation with no per-domain sort; the
-    * spec pins kept-set equality. `private[graft]` so no new external
-    * call site can regress onto the sorting form.
-    */
-  private[graft] def perDomainCap(df: DataFrame, idCol: String, domainCol: String,
-      cap: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(domainCol))
-      .orderBy(col("__h"), col(idCol))
-    df.withColumn("__h", h64c(col(idCol).cast("string")))
-      .withColumn("domain_rank", row_number().over(w).cast("long"))
-      .withColumn("kept", col("domain_rank") <= cap)
-      .drop("__h")
-  }
-
-  /** Per-domain document cap, SCALE-SAFE form: same keep decision and
-    * ranks as [[perDomainCap]] but via the bounded
+  /** Per-domain document cap: keep at most `cap` documents per domain,
+    * ranked by the deterministic (h64(id), id) order, via the bounded
     * [[graft.plans.TopKPairs]] aggregate — each map task partial-
     * aggregates its slice of a domain to ≤ `cap` (h64(id), id) pairs, the
     * shuffle ships pairs (never documents) and no task ever sorts a hot
     * domain's row set. Rows beyond the cap carry a NULL `domain_rank`
     * (their exact rank is unknowable without the full sort — and unneeded:
-    * the cut only asks "in the top `cap` or not").
+    * the cut only asks "in the top `cap` or not"). A window
+    * (`row_number` over partitionBy(domain)) would make the same
+    * decision but sorts every hot domain's FULL row set in one task — a
+    * 10⁹-doc mega-domain sorts 10⁹ rows to keep `cap`; the spec pins
+    * both the keep-set/rank semantics (vs a straight-line replay) and
+    * the no-Window plan shape.
     *
     * The kept frame is (#domains × cap) id-pairs; the join back to the
     * corpus rides the uniformly-hashed (domain, id) pair, so even the

@@ -172,8 +172,22 @@ object FullCorpus {
     Loader("civic", Seq("vocab", "entrez"), sp => {
       val vocabDim = store.read("vocabulary").get.select(col("name"),
         lit("graphkb").as("source"), col("name").as("term_id"))
+      // rsID exception wired exactly as in production (civic/variant.js:
+      // 508-522 → entrez/snp.js): the fixture carries no rsID variants,
+      // so the leg runs empty here; g36_snp + the extended g12 row
+      // exercise it with live rsIDs
+      val snpFix = Snp.fixturePath("/fixtures/entrez_snp.esummary.json")
       CivicVariants.load(sp, store, s"$refData/civic_variant.json",
-        vocabDim, featuresTable = "genes")
+        vocabDim, featuresTable = "genes",
+        rsidLoad = Some(ids => Snp.fetchAndLoad(sp, store, ids,
+          Snp.rsFetcher(Map("121434568" -> snpFix)),
+          Entrez.fileFetcher(Map(
+            "NM_005228.5" -> s"$refData/entrez_refseq.NM_005228.5.json",
+            "NP_005219.2" ->
+              Snp.fixturePath("/fixtures/entrez_refseq.NP_005219.2.json"))),
+          Entrez.fileFetcher(Map(
+            "1956" -> Snp.fixturePath("/fixtures/entrez_gene.1956.json"))),
+          vocabDim.select("name", "term_id"), genesTable = "genes")))
     }),
 
     // deps = every loader feeding the dims read below: therapies is fed by

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.PersistentGraphStore
@@ -60,11 +60,31 @@ object CivicVariants {
     * vocabulary dimension (name, source, term_id); the civic-source term
     * wins, any-source is the fallback — the reference's try/catch double
     * `getVocabularyTerm` (variant.js:538-549).
+    *
+    * `rsidLoad`: the rsID exception (variant.js:508-522) — a
+    * non-positional variant whose name is `rs\d+` routes to the dbSNP
+    * loader FIRST and becomes a `CatalogueVariant` (plus its docsum
+    * ladder), never a category variant and never a gene feature (the
+    * reference returns before `uploadReferences`). Callers wire
+    * [[Snp.fetchAndLoad]] against the same store; without the hook the
+    * rsID rows fall through the category path unchanged.
     */
   def load(spark: SparkSession, store: PersistentGraphStore, path: String,
       vocab: DataFrame, featuresTable: String = "features",
-      variantsTable: String = "variants"): Map[String, Long] = {
-    val h = hydrated(spark, path)
+      variantsTable: String = "variants",
+      rsidLoad: Option[Dataset[String] => Map[String, Long]] = None): Map[String, Long] = {
+    import spark.implicits._
+    val rsPat = "^\\s*rs[0-9]+\\s*$" // names are already lowercased
+    val h0 = hydrated(spark, path)
+    val (h, rsCounts) = rsidLoad match {
+      case Some(loader) =>
+        val isRs = !col("positional") && col("vtype").rlike(rsPat)
+        val hp = h0.persist()
+        val ids = hp.filter(isRs).select(trim(col("vtype"))).distinct().as[String]
+        val counts = loader(ids).map { case (k, v) => s"rsid_$k" -> v }
+        (hp.filter(!isRs), counts)
+      case None => (h0, Map.empty[String, Long])
+    }
     val civicTerms = vocab.filter(col("source") === "civic")
       .select(col("name").as("vtype"), col("term_id").as("civic_term"))
     val anyTerms = vocab.groupBy(col("name").as("vtype"))
@@ -86,7 +106,8 @@ object CivicVariants {
         col("notation"), lit("@"), col("term")))
     val vc = store.merge(variantsTable, variants, Seq("vid"),
       Seq("notation", "positional", "term", "break1", "reference1"))
+    if (rsidLoad.isDefined) h0.unpersist() // h0 is the persisted frame
     fc.map { case (k, v) => s"features_$k" -> v } ++
-      vc.map { case (k, v) => s"variants_$k" -> v }
+      vc.map { case (k, v) => s"variants_$k" -> v } ++ rsCounts
   }
 }

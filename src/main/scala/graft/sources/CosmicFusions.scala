@@ -100,13 +100,17 @@ object CosmicFusions {
       // suppression: only a SUCCESSFULLY processed winner blocks its
       // representative's less-specific groups (the reference's blocking
       // step sits after the await, skipped when the group errors)
+      // the blocked-key frames are threshold-passing GROUP KEYS — bounded
+      // by the distinct recurrent (variant, disease) combinations, but
+      // data-derived and corpus-growing, so the broadcast decision is
+      // left to AQE's runtime size check rather than pinned with a hint
       val blocked1 = s0.select(
         col("rep.rep_nonspec").as("nonSpecificVariant"),
         col("rep.rep_family").as("diseaseFamily"),
         col("rep.rep_disease").as("disease"))
       val r1 = resolve(
         winners(pre, Seq("nonSpecificVariant", "diseaseFamily", "disease"))
-          .join(broadcast(blocked1),
+          .join(blocked1,
             Seq("nonSpecificVariant", "diseaseFamily", "disease"), "left_anti"),
         1)
       r1.persist()
@@ -115,7 +119,7 @@ object CosmicFusions {
         .unionByName(s1.select(col("rep.rep_nonspec").as("nonSpecificVariant")))
       val r2 = resolve(
         winners(pre, Seq("nonSpecificVariant"))
-          .join(broadcast(blocked2.distinct()),
+          .join(blocked2.distinct(),
             Seq("nonSpecificVariant"), "left_anti"),
         2)
       r2.persist()

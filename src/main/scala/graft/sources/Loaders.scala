@@ -115,6 +115,23 @@ object Loaders {
     *    targetof edge per target, which the reference never would.
     *    [[DrugbankRecordsPropertySpec]] pins this contract on random
     *    multi-target corpora.
+    *  - ATC LADDER + SUBSETS ARE LIVE HERE, DEAD AT REFERENCE RUNTIME:
+    *    index.js:42-49 (`drug['atc-codes'][0]...`) and :60-66
+    *    (`drug.categories[0].category` + `cat.category[0]`) were written
+    *    for an xml2js array shape, but the loader's own ajv spec
+    *    (spec.json) declares both fields as object-or-empty-string — so
+    *    at runtime `[0]` is always undefined: the atcLevels try/catch
+    *    swallows the TypeError (ladder never built) and the categories
+    *    guard is false (subsets never written; and had the path run,
+    *    `cat.category[0]` on the spec's STRING category would be its
+    *    first character). This port implements the documented intent
+    *    (the array-shape reading, exercised by g35 + the property spec),
+    *    not the dead runtime.
+    *  - a record with NO `<categories>` element loads here with
+    *    subsets=null, while the strict reference throws the TypeError
+    *    OUTSIDE the try (index.js:60) and error-skips the whole record —
+    *    real DrugBank exports always carry `<categories/>`, so only
+    *    synthetic corpora can see the divergence.
     *
     * Malformed records degrade to null, not "": a `<drug>` with no
     * `<drugbank-id>` at all yields sourceId null (the reference's
@@ -156,8 +173,11 @@ object Loaders {
           .map(ac => (ac \ "level").map(l => (l.text, (l \@ "code").toLowerCase)))
           .getOrElse(Seq.empty)
         val cats = x \ "categories" \ "category"
+        // cat.category[0] (index.js:63): the FIRST inner <category> of a
+        // wrapper — .text would concatenate if a wrapper ever held several
         val subsets =
-          if (cats.isEmpty) null else cats.map(c => (c \ "category").text)
+          if (cats.isEmpty) null
+          else cats.map(c => (c \ "category").headOption.map(_.text).orNull)
         (primaryId, name, (x \ "description").text,
           Option(x \@ "updated").filter(_.nonEmpty).orNull,
           (x \ "mechanism-of-action").text,
@@ -174,8 +194,11 @@ object Loaders {
     * vertices keyed (sourceId, name) — the reference's fetchConditions
     * key (name, source, sourceId), index.js:80-86; one Therapy per ATC
     * level deduped across drugs like the reference's `ATC` cache,
-    * index.js:91-103 — plus the six edge families, endpoints as the
-    * NCIt-style `sourceId|name` composite rids:
+    * index.js:91-103 — the cache is CODE-keyed (first-seen name wins);
+    * here min(name) per code is the deterministic canonical name, and
+    * all ladder/drug edges route to that one vertex — plus the six edge
+    * families, endpoints as the NCIt-style `sourceId|name` composite
+    * rids:
     *
     *  - aliasof alias→drug (index.js:142-160);
     *  - subclassof drug→lowest ATC level (index.js:105-117) and the
@@ -223,15 +246,22 @@ object Loaders {
           nullA.as("subsets"),
           rid(col("sourceId"), col("__primary")).as("dependency"),
           lit(true).as("alias"), lit(false).as("atc"))
-      // the ATC cache (index.js:91-103): one Therapy per distinct level,
-      // name = level text, sourceId = lowercased code
-      val atcV = recs.select(explode(col("atcLevels")).as("__l"))
-        .select(col("__l")("_2").as("sourceId"), col("__l")("_1").as("name"),
+      // the ATC cache (index.js:91-103) is keyed by CODE only: the
+      // first-seen level name wins and every ladder/drug edge routes to
+      // that ONE vertex. Distributed "first-seen" would be partition-
+      // order-dependent; min(name) per code is the deterministic
+      // equivalent. The (code → name) census is bounded by the ATC
+      // taxonomy (~6.5k codes — the reference holds the same cache in
+      // driver memory), so it broadcasts.
+      val atcNames = recs.select(explode(col("atcLevels")).as("__l"))
+        .groupBy(col("__l")("_2").as("__code"))
+        .agg(min(col("__l")("_1")).as("__cname"))
+      val atcV = atcNames
+        .select(col("__code").as("sourceId"), col("__cname").as("name"),
           nullS.as("description"), nullS.as("sourceIdVersion"),
           nullS.as("mechanismOfAction"), nullS.as("iupacName"),
           nullS.as("molecularFormula"), nullA.as("subsets"),
           nullS.as("dependency"), lit(false).as("alias"), lit(true).as("atc"))
-        .distinct()
       val counts = store.merge("therapies",
         main.unionByName(aliasV).unionByName(atcV),
         keyCols = Seq("sourceId", "name"),
@@ -262,19 +292,26 @@ object Loaders {
           col("symbol").as("__sym"))), col("__t")("_1") === col("__hid"))
         .select(col("__sym").as("out"), drugRid.as("in"),
           lit("targetof").as("edgeClass"), col("__t")("_2").as("comment"))
-      // drug → lowest (first) ATC level (index.js:105-117)
+      // drug → lowest (first) ATC level (index.js:105-117); the endpoint
+      // is the code's CANONICAL vertex, not the per-drug level text
       val drugAtc = recs.filter(size(col("atcLevels")) > 0)
-        .select(drugRid.as("out"),
-          rid(col("atcLevels")(0)("_2"), col("atcLevels")(0)("_1")).as("in"),
+        .select(drugRid.as("out"), col("atcLevels")(0)("_2").as("__code"))
+        .join(broadcast(atcNames), Seq("__code"))
+        .select(col("out"), rid(col("__code"), col("__cname")).as("in"),
           lit("subclassof").as("edgeClass"), nullS.as("comment"))
-      // level[i] → level[i+1] ladder (index.js:119-133); upsertEdges
-      // dedupes the rungs shared across drugs
+      // level[i] → level[i+1] ladder (index.js:119-133) between canonical
+      // vertices; upsertEdges dedupes the rungs shared across drugs
       val atcLadder = recs.filter(size(col("atcLevels")) > 1)
         .select(explode(expr(
           "transform(sequence(0, size(atcLevels)-2), " +
-            "i -> struct(atcLevels[i] AS lo, atcLevels[i+1] AS hi))")).as("p"))
-        .select(rid(col("p.lo._2"), col("p.lo._1")).as("out"),
-          rid(col("p.hi._2"), col("p.hi._1")).as("in"),
+            "i -> struct(atcLevels[i]._2 AS lo, atcLevels[i+1]._2 AS hi))")).as("p"))
+        .select(col("p.lo").as("__lo"), col("p.hi").as("__hi"))
+        .join(broadcast(atcNames.select(col("__code").as("__lo"),
+          col("__cname").as("__loName"))), Seq("__lo"))
+        .join(broadcast(atcNames.select(col("__code").as("__hi"),
+          col("__cname").as("__hiName"))), Seq("__hi"))
+        .select(rid(col("__lo"), col("__loName")).as("out"),
+          rid(col("__hi"), col("__hiName")).as("in"),
           lit("subclassof").as("edgeClass"), nullS.as("comment"))
       val edges = store.upsertEdges(
         aliasOf.unionByName(fdaXref).unionByName(chemblXref)

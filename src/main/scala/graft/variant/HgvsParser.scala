@@ -97,8 +97,25 @@ object HgvsParser {
     "itrans" -> "inverted translocation", "copygain" -> "copy gain",
     "copyloss" -> "copy loss", "methyl" -> "methylation")
 
+  /** Three-letter → one-letter amino-acid codes (the public HGVS standard
+    * spelling; the reference's parser converts them the same way — its
+    * `convert3to1` util — which is how dbSNP docsum notations like
+    * `NP_004976.2:p.Gly12Asp` flow through `src/entrez/snp.js:49-55`).
+    * Accepted in protein POSITIONS (any case — the civic path lowercases)
+    * and as the single-code substitution ALT; multi-code sequence fields
+    * (delins/ins/dup tails) stay 1-letter — an all-letter tail like
+    * `delVAL` already means the V,A,L sequence and a 3-letter reading
+    * would be ambiguous.
+    */
+  private val AA3: Map[String, String] = Map(
+    "ala" -> "A", "arg" -> "R", "asn" -> "N", "asp" -> "D", "cys" -> "C",
+    "gln" -> "Q", "glu" -> "E", "gly" -> "G", "his" -> "H", "ile" -> "I",
+    "leu" -> "L", "lys" -> "K", "met" -> "M", "phe" -> "F", "pro" -> "P",
+    "ser" -> "S", "thr" -> "T", "trp" -> "W", "tyr" -> "Y", "val" -> "V",
+    "ter" -> "*", "sec" -> "U")
+
   // per-prefix single-position patterns (anchored via Regex pattern match)
-  private val protPos: Regex = """([A-Za-z?*])?(\d+|\?)""".r
+  private val protPos: Regex = """([A-Za-z]{3}|[A-Za-z?*])?(\d+|\?)""".r
   private val cytoPos: Regex = """([pq])(?:(\d+)(?:\.(\d+))?)?|\?""".r
   private val offsetPos: Regex = """(\d+|\?)([-+]\d+)?""".r
   private val plainPos: Regex = """(\d+|\?)""".r
@@ -108,8 +125,14 @@ object HgvsParser {
     prefix match {
       case "p" => s match {
         case protPos(aa, p) =>
+          val refAA = Option(aa).map { a =>
+            if (a.length == 3)
+              AA3.getOrElse(a.toLowerCase,
+                throw ParseException(s"unknown amino acid '$a'"))
+            else a.toUpperCase
+          }
           Pos(cls, if (p == "?") None else Some(p.toLong), None,
-            Option(aa).map(_.toUpperCase), None, None, None)
+            refAA, None, None, None)
         case _ => throw ParseException(s"bad protein position '$s'")
       }
       case "y" => s match {
@@ -153,7 +176,7 @@ object HgvsParser {
   private val breakTokByPrefix: Map[String, String] = {
     val paren = """\((?:[^()_]+)_(?:[^()_]+)\)"""
     Map(
-      "p" -> s"""$paren|[A-Za-z?*]?\\d+|[A-Za-z?*]?\\?""",
+      "p" -> s"""$paren|[A-Za-z]{3}\\d+|[A-Za-z?*]?\\d+|[A-Za-z?*]?\\?""",
       "y" -> s"""$paren|[pq](?:\\d+(?:\\.\\d+)?)?|\\?""",
       "c" -> s"""$paren|(?:\\d+|\\?)(?:[-+]\\d+)?""",
       "n" -> s"""$paren|(?:\\d+|\\?)(?:[-+]\\d+)?""",
@@ -302,14 +325,15 @@ object HgvsParser {
         base(">", refSeq = Some(r.toUpperCase),
           utSeq = Some(u.toUpperCase), utSize = Some(u.length))
       case protSubRe(u) if prefix == "p" && b2s.isEmpty &&
-          (u.length == 1 || u.equalsIgnoreCase("Ter")) =>
+          (u.length == 1 || AA3.contains(u.toLowerCase)) =>
         // protein substitution: single alt AA after a single position
-        // (G12D, G12*) — the three-letter stop codon 'Ter' is the HGVS
-        // spelling cgl rewrites '*' into (cgl/index.js:69-71) and
-        // normalizes back to '*'; multi-AA changes must use delins, and
-        // ranged positions take no bare AA tail — otherwise junk tails
-        // like `x100_a101splice` would "parse"
-        val alt = if (u.equalsIgnoreCase("Ter")) "*" else u.toUpperCase
+        // (G12D, G12*) — any single three-letter HGVS code is accepted
+        // and canonicalized to one letter ('Ter' is the spelling cgl
+        // rewrites '*' into, cgl/index.js:69-71; dbSNP docsums write
+        // `p.Gly12Asp`, snp.js:49-55); multi-AA changes must use delins,
+        // and ranged positions take no bare AA tail — otherwise junk
+        // tails like `x100_a101splice` would "parse"
+        val alt = if (u.length == 1) u.toUpperCase else AA3(u.toLowerCase)
         base(">", refSeq = b1s.refAA.filter(_ != "?"),
           utSeq = Some(alt), utSize = Some(alt.length))
       case other => throw ParseException(s"unparseable tail '$other' in '$notation'")

@@ -31,13 +31,16 @@ class TextOpsSpec extends AnyFunSuite {
     val doms = Seq("https://a.b.example.org/p", "http://host.net/x")
       .toDF("c").select(TextOps.urlDomainCol("c").as("d")).as[String].collect()
     assert(doms.toSeq == Seq("example.org", "host.net"))
-    // per-domain cap: rank is deterministic and the cap binds
+    // per-domain cap: rank is deterministic, the cap binds, and rows
+    // beyond the cap carry NULL rank (the bounded-aggregate contract)
     val df = (1L to 30L).map(i => (i, s"d${i % 3}.com")).toDF("doc_id", "domain")
-    val capped = TextOps.perDomainCap(df, "doc_id", "domain", cap = 5)
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    val capped = TextOps.perDomainCapAgg(df, "doc_id", "domain", cap = 5)
+      .select(col("doc_id"), col("domain"), col("domain_rank"), col("kept"))
+      .as[(Long, String, Option[Long], Boolean)].collect()
     capped.groupBy(_._2).foreach { case (_, rows) =>
       assert(rows.count(_._4) == 5)
-      assert(rows.map(_._3).sorted.toSeq == (1L to rows.size).toSeq)
+      assert(rows.filter(_._4).flatMap(_._3).sorted.toSeq == (1L to 5L))
+      assert(rows.filter(!_._4).forall(_._3.isEmpty))
     }
   }
 

@@ -5,11 +5,12 @@ import graft.llm.TextOps
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Pins the scale-safe bounded top-k aggregate against the window form it
-  * replaces: on a deliberately SKEWED fixture (one domain holding ~90% of
-  * rows — exactly the shape that makes the window's hot-domain sort a
-  * straggler at scale) the aggregate must reproduce the window's keep set
-  * and ranks exactly, with NULL rank beyond the cap.
+/** Pins the scale-safe bounded top-k aggregate against a straight-line
+  * Scala replay of its contract (rank by (h64(id), id) per domain, keep
+  * the first `cap`): on a deliberately SKEWED fixture (one domain holding
+  * ~90% of rows — exactly the shape that would make a per-domain sort
+  * window a straggler at scale) the aggregate must reproduce the replay's
+  * keep set and ranks exactly, with NULL rank beyond the cap.
   */
 class TopKPairsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -24,21 +25,28 @@ class TopKPairsSpec extends AnyFunSuite {
     }.toDF("doc_id", "domain")
   }
 
-  test("perDomainCapAgg ≡ perDomainCap window form on a skewed fixture") {
+  test("perDomainCapAgg ≡ straight-line (h64, id) rank replay, skewed") {
     val cap = 25
     // force many input partitions so partial buffers merge across tasks
     // (exercises serialize/deserialize + merge, not just one update loop)
     val df = skewed.repartition(16)
-    val win = TextOps.perDomainCap(df, "doc_id", "domain", cap)
+    // independent expectation: per-domain sort by (h64(id), id) in plain
+    // Scala, rank 1..cap kept, NULL rank beyond
+    val hashed = df
       .select(col("doc_id"), col("domain"),
-        when(col("domain_rank") <= cap, col("domain_rank")).as("domain_rank"),
-        col("kept"))
+        TextOps.h64c(col("doc_id").cast("string")).as("h"))
+      .as[(Long, String, Long)].collect()
+    val w = hashed.groupBy(_._2).toSeq.flatMap { case (dom, rows) =>
+      rows.sortBy(r => (r._3, r._1)).zipWithIndex.map { case ((id, _, _), i) =>
+        val rank = if (i < cap) Some(i + 1L) else None
+        (id, dom, rank, i < cap)
+      }
+    }.sortBy(_._1)
     val agg = TextOps.perDomainCapAgg(df, "doc_id", "domain", cap)
       .select(col("doc_id"), col("domain"), col("domain_rank"), col("kept"))
-    val w = win.as[(Long, String, Option[Long], Boolean)].collect().sortBy(_._1)
     val a = agg.as[(Long, String, Option[Long], Boolean)].collect().sortBy(_._1)
     assert(a.length == 2000)
-    assert(a.toSeq == w.toSeq)
+    assert(a.toSeq == w)
     // the cap must actually bind on the hot domain
     assert(a.count(r => r._2 == "hot.example.com" && r._4) == cap)
     assert(a.count(r => r._2 == "hot.example.com" && !r._4) == 1800 - cap)

@@ -17,7 +17,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * pairs), the empty-unii and empty/missing-`updated` null folds, the
   * FIRST-atc-code-only level ladder with lowercased codes (a second
   * atc-code element must be ignored), and the categories → subsets list
-  * (null when absent) — on shapes the one-drug fixture can't reach.
+  * (null when absent; FIRST inner <category> per wrapper when a wrapper
+  * carries several — cat.category[0]) — on shapes the one-drug fixture
+  * can't reach.
   */
 class DrugbankRecordsPropertySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -28,7 +30,7 @@ class DrugbankRecordsPropertySpec extends AnyFunSuite {
       xrefs: Seq[(String, String)], unii: String,
       targets: Seq[(Seq[String], Seq[(String, String)])], // (actions, (resource, id))
       atc: Seq[Seq[(String, String)]], // atc-code elements, each (levelName, code)
-      cats: Seq[String])
+      cats: Seq[Seq[String]]) // category wrappers, each with ≥1 inner <category>
 
   private def xmlOf(d: DrugSpec): scala.xml.Elem =
     <drug type="small molecule" updated={
@@ -51,7 +53,7 @@ class DrugbankRecordsPropertySpec extends AnyFunSuite {
       {if (d.cats.isEmpty) scala.xml.NodeSeq.Empty
        else <categories>
          {d.cats.map(c =>
-           <category><category>{c}</category><mesh-id>D000970</mesh-id></category>)}
+           <category>{c.map(cc => <category>{cc}</category>)}<mesh-id>D000970</mesh-id></category>)}
        </categories>}
       {if (d.atc.isEmpty) scala.xml.NodeSeq.Empty
        else <atc-codes>
@@ -92,7 +94,8 @@ class DrugbankRecordsPropertySpec extends AnyFunSuite {
     // first atc-code element only; codes lowercased, document order kept
     val atcLevels = d.atc.headOption.getOrElse(Seq.empty)
       .map { case (n, c) => (n, c.toLowerCase) }
-    val subsets: Seq[String] = if (d.cats.isEmpty) null else d.cats
+    // cat.category[0]: first inner element per wrapper (index.js:63)
+    val subsets: Seq[String] = if (d.cats.isEmpty) null else d.cats.map(_.head)
     (primary, d.name, d.description,
       Option(d.updated).filter(_.nonEmpty).orNull, d.mechanism,
       d.props.toMap.get("IUPAC Name").orNull,
@@ -141,7 +144,10 @@ class DrugbankRecordsPropertySpec extends AnyFunSuite {
           // 0–2 atc-code elements, each with 1–4 levels; only the first counts
           Seq.fill(rnd.nextInt(3))(
             rnd.shuffle(levelPool).take(rnd.nextInt(4) + 1)),
-          Seq.fill(rnd.nextInt(3))(catPool(rnd.nextInt(catPool.size))).distinct)
+          // some wrappers carry a SECOND inner <category> — only the
+          // first may be taken (the reference's cat.category[0])
+          Seq.fill(rnd.nextInt(3))(catPool(rnd.nextInt(catPool.size))).distinct
+            .map(c => if (rnd.nextBoolean()) Seq(c, s"Second $c") else Seq(c)))
       }
       val doc = <drugbank version="5.1">{drugs.map(xmlOf)}</drugbank>
       val f = Files.createTempFile(s"graft-dbprop$trial", ".xml")

@@ -71,7 +71,7 @@ class LoadersSpec extends AnyFunSuite {
       "Antineoplastic Agents", "Antineoplastic and Immunomodulating Agents"))
   }
 
-  test("drugbank full loader: vertices + 4 edge families, idempotent rerun") {
+  test("drugbank full loader: vertices + 6 edge families, idempotent rerun") {
     import spark.implicits._
     val store = new PersistentGraphStore(spark,
       Files.createTempDirectory("graft-e2e5").toString)
@@ -113,6 +113,50 @@ class LoadersSpec extends AnyFunSuite {
       .find(r => !r.getAs[Boolean]("alias") && !r.getAs[Boolean]("atc")).get
     assert(mainRow.getSeq[String](mainRow.fieldIndex("subsets")) == Seq(
       "Antineoplastic Agents", "Antineoplastic and Immunomodulating Agents"))
+  }
+
+  test("drugbank ATC vertices are code-keyed: one canonical vertex per code") {
+    import spark.implicits._
+    // two drugs share both codes with DIFFERENT level names — the
+    // reference's code-keyed ATC cache keeps one vertex per code
+    // (first-seen name; here the deterministic min(name)) and routes
+    // every drug/ladder edge to it (index.js:91-133)
+    val xml =
+      """<drugbank version="5.1">
+        |<drug type="small molecule" updated="2019-07-02">
+        |  <drugbank-id primary="true">DBA</drugbank-id><name>Alpha</name>
+        |  <atc-codes><atc-code code="L01XE">
+        |    <level code="L01XE">Protein kinase inhibitors</level>
+        |    <level code="L01">ZEBRA AGENTS</level>
+        |  </atc-code></atc-codes>
+        |</drug>
+        |<drug type="small molecule" updated="2019-07-02">
+        |  <drugbank-id primary="true">DBB</drugbank-id><name>Beta</name>
+        |  <atc-codes><atc-code code="L01XE">
+        |    <level code="L01XE">Alternate kinase label</level>
+        |    <level code="L01">ANTINEOPLASTIC AGENTS</level>
+        |  </atc-code></atc-codes>
+        |</drug>
+        |</drugbank>""".stripMargin
+    val f = Files.createTempFile("graft-atc", ".xml")
+    Files.writeString(f, xml)
+    val store = new PersistentGraphStore(spark,
+      Files.createTempDirectory("graft-e2e-atc").toString)
+    val empty = Seq.empty[(String, String)].toDF("sourceId", "name")
+    val genes = Seq.empty[(String, String)].toDF("hgncId", "symbol")
+    Loaders.loadDrugbankFull(spark, store, f.toString, empty, empty, genes)
+    val atcV = store.read("therapies").get.collect()
+      .filter(_.getAs[Boolean]("atc"))
+      .map(r => (r.getAs[String]("sourceId"), r.getAs[String]("name"))).toSet
+    assert(atcV == Set(("l01xe", "Alternate kinase label"),
+      ("l01", "ANTINEOPLASTIC AGENTS")))
+    val sub = store.read("edges").get.collect()
+      .filter(_.getAs[String]("edgeClass") == "subclassof")
+      .map(r => (r.getAs[String]("out"), r.getAs[String]("in"))).toSet
+    assert(sub == Set(
+      ("DBA|Alpha", "l01xe|Alternate kinase label"),
+      ("DBB|Beta", "l01xe|Alternate kinase label"),
+      ("l01xe|Alternate kinase label", "l01|ANTINEOPLASTIC AGENTS")))
   }
 
   test("oncotree loader: 853 diseases, parent + NCI edges, idempotent") {

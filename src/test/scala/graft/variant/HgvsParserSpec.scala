@@ -30,6 +30,26 @@ class HgvsParserSpec extends AnyFunSuite {
     assert(v.noFeatures)
   }
 
+  test("three-letter amino-acid codes canonicalize to one letter") {
+    // dbSNP docsum spelling (snp.js:49-55 feeds NP_...:p.Gly12Asp into
+    // the parser; the public parser's convert3to1 behavior)
+    val v = parse("NP_004976.2:p.Gly12Asp")
+    assert(v.reference1.contains("NP_004976.2"))
+    assert(v.break1Start.get.refAA.contains("G"))
+    assert(v.break1Repr.contains("p.G12"))
+    assert(v.refSeq.contains("G") && v.untemplatedSeq.contains("D"))
+    // lowercased civic-style input
+    val l = parse("p.val600glu")
+    assert(l.break1Repr.contains("p.V600") && l.untemplatedSeq.contains("E"))
+    // Ter as position refAA and as alt
+    val t = parse("p.Ter807Trp")
+    assert(t.break1Start.get.refAA.contains("*") && t.untemplatedSeq.contains("W"))
+    // unknown 3-letter code is rejected, and all-caps seq tails keep
+    // their 1-letter reading (delVAL = V,A,L — no 3-letter decode)
+    assert(parseOpt("p.Xyz12Asp").isEmpty)
+    assert(parse("p.K23_V25delVAL").refSeq.contains("VAL"))
+  }
+
   test("nonsense and stop positions") {
     assert(parse("p.G12*").untemplatedSeq.contains("*"))
     val ext = parse("p.*807Gext*101")
