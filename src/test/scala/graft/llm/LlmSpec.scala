@@ -1031,6 +1031,21 @@ class AnnSpec extends AnyFunSuite {
       enc(Ann.pqEncode(corpus, step = 25, iters = 2)))
   }
 
+  test("autoStep sizes cells at ~4*sqrt(n); the auto build equals fixed-step") {
+    // the O(n^2) guard: nCells ≈ n/step = 4*sqrt(n), so train/assign is
+    // O(n^1.5) instead of quadratic (PLANS.md round-12 cost curve)
+    assert(Ann.autoStep(2000) == 11L)   // → ~180 cells ≈ 4*sqrt(2000)=179
+    assert(Ann.autoStep(1000000) == 250L) // → 4000 cells = 4*sqrt(1e6)
+    assert(Ann.autoStep(1) == 1L)
+    val e = Ann.withQuantized(emb, "embedding")
+    val corpus = e.select(col("vec_id").as("nid"), col("vq"), col("norm2"))
+    val n = corpus.count()
+    val auto = Ann.buildIvfPqIndexAuto(corpus)
+    val fixed = Ann.buildIvfPqIndex(corpus, step = Ann.autoStep(n), iters = 2)
+    assert(auto.cells.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      fixed.cells.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
   test("ivfpq re-rank tier: within probed cells it returns exactly what brute force would") {
     val e = Ann.withQuantized(emb, "embedding")
     val corpus = e.select(col("vec_id").as("nid"), col("vq"), col("norm2"))
