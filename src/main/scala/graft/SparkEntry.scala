@@ -3286,11 +3286,19 @@ object SparkEntry {
           llm.Multimodal.syntheticWavAdpcm(id, 400 + 37 * id.toInt),
           MediaMeta(0, 0, 0L, "adpcm"))
       }
+      // stereo blocks: two per-channel headers + word-interleaved nibble
+      // streams the decoder must de-interleave back to the per-channel
+      // formulas the oracle recursion replays
+      val stereo = s.range(11, 14).map { id =>
+        MediaItem(id, "audio/wav",
+          llm.Multimodal.syntheticWavAdpcmStereo(id, 300 + 41 * (id.toInt - 10)),
+          MediaMeta(0, 0, 0L, "adpcm"))
+      }
       val junk = s.range(99, 100).map { id =>
         MediaItem(id, "audio/wav", "RIFFjunkWAVEnope".getBytes("UTF-8"),
           MediaMeta(0, 0, 0L, "adpcm"))
       }
-      llm.Multimodal.decodeAudio(adpcm.union(junk)).toDF()
+      llm.Multimodal.decodeAudio(adpcm.union(stereo).union(junk)).toDF()
         .select(col("mediaId").as("media_id"), col("decoded"),
           col("sampleRate").as("sample_rate"), col("channels"),
           col("nSamples").as("n_samples"), col("sumSq").as("sum_sq"))
@@ -5952,18 +5960,28 @@ object SparkEntry {
     // sample-by-sample as a recursive CTE (step/index tables verbatim
     // from the IMA 1992 recommended practice) over the formula-derived
     // header state and nibble stream — an independent decode, not a
-    // pinned constant.
+    // pinned constant. The recursion ranges over (id, ch): mono ids 1-3
+    // have ch=0 only, stereo ids 11-13 run both channels' formulas
+    // independently (per-channel energies sum) — correct word
+    // de-interleave is the ONLY way the engine reproduces them.
     "llm_audio_adpcm" ->
       """WITH RECURSIVE
         |cfg AS (
-        |  SELECT id, 400 + 37*id AS n, CAST((id*7) % 2003 - 1001 AS INT) AS p0,
-        |    CAST((id*5) % 60 AS INT) AS s0
-        |  FROM generate_series(1, 3) g(id)),
+        |  SELECT id, ch, nch, n,
+        |    CAST((id*7 + ch*11) % 2003 - 1001 AS INT) AS p0,
+        |    CAST((id*5 + ch*7) % 60 AS INT) AS s0
+        |  FROM (
+        |    SELECT id, 0 AS ch, 1 AS nch, 400 + 37*id AS n
+        |    FROM generate_series(1, 3) g(id)
+        |    UNION ALL
+        |    SELECT id, ch, 2 AS nch, 300 + 41*(id - 10) AS n
+        |    FROM generate_series(11, 13) g(id), generate_series(0, 1) c(ch)
+        |  ) b),
         |st AS (
-        |  SELECT id, 0 AS k, p0 AS pred, s0 AS sidx,
+        |  SELECT id, ch, 0 AS k, p0 AS pred, s0 AS sidx,
         |    CAST(p0 AS BIGINT)*p0 AS acc FROM cfg
         |  UNION ALL
-        |  SELECT id, k + 1,
+        |  SELECT id, ch, k + 1,
         |    greatest(-32768, least(32767,
         |      CASE WHEN (nib & 8) > 0 THEN pred - delta ELSE pred + delta END)) AS pred,
         |    greatest(0, least(88, sidx +
@@ -5973,13 +5991,13 @@ object SparkEntry {
         |        * greatest(-32768, least(32767,
         |      CASE WHEN (nib & 8) > 0 THEN pred - delta ELSE pred + delta END)) AS acc
         |  FROM (
-        |    SELECT st.id, st.k, st.pred, st.sidx, st.acc, cfg.n,
-        |      CAST((st.k*13 + st.id*5) % 16 AS INT) AS nib,
+        |    SELECT st.id, st.ch, st.k, st.pred, st.sidx, st.acc, cfg.n,
+        |      CAST((st.k*13 + st.id*5 + st.ch*3) % 16 AS INT) AS nib,
         |      (st_tab.s >> 3)
-        |        + CASE WHEN ((st.k*13 + st.id*5) % 16 & 4) > 0 THEN st_tab.s ELSE 0 END
-        |        + CASE WHEN ((st.k*13 + st.id*5) % 16 & 2) > 0 THEN st_tab.s >> 1 ELSE 0 END
-        |        + CASE WHEN ((st.k*13 + st.id*5) % 16 & 1) > 0 THEN st_tab.s >> 2 ELSE 0 END AS delta
-        |    FROM st JOIN cfg USING (id)
+        |        + CASE WHEN ((st.k*13 + st.id*5 + st.ch*3) % 16 & 4) > 0 THEN st_tab.s ELSE 0 END
+        |        + CASE WHEN ((st.k*13 + st.id*5 + st.ch*3) % 16 & 2) > 0 THEN st_tab.s >> 1 ELSE 0 END
+        |        + CASE WHEN ((st.k*13 + st.id*5 + st.ch*3) % 16 & 1) > 0 THEN st_tab.s >> 2 ELSE 0 END AS delta
+        |    FROM st JOIN cfg USING (id, ch)
         |    JOIN LATERAL (SELECT [7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,
         |      41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,
         |      279,307,337,371,408,449,494,544,598,658,724,796,876,963,1060,1166,1282,
@@ -5988,8 +6006,10 @@ object SparkEntry {
         |      18500,20350,22385,24623,27086,29794,32767][st.sidx + 1] AS s) st_tab ON true
         |    WHERE st.k + 1 < cfg.n) q)
         |SELECT CAST(id AS BIGINT) AS media_id, true AS decoded, CAST(8000 AS INT) AS sample_rate,
-        |  CAST(1 AS INT) AS channels, CAST(n AS BIGINT) AS n_samples, acc AS sum_sq
-        |FROM st JOIN cfg USING (id) WHERE k = n - 1
+        |  CAST(max(nch) AS INT) AS channels, CAST(sum(n) AS BIGINT) AS n_samples,
+        |  CAST(sum(acc) AS BIGINT) AS sum_sq
+        |FROM st JOIN cfg USING (id, ch) WHERE k = n - 1
+        |GROUP BY id
         |UNION ALL SELECT 99, false, -1, -1, -1, -1
         |""".stripMargin,
     // llm_audio_g711 oracle: recomputes the G.711 compand→expand round

@@ -337,57 +337,72 @@ object Multimodal {
         sz >= 16 && o + 2 <= b.length && le16(b, o) == 0x11 }
     catch { case _: Exception => false }
 
-  /** Decode a mono IMA-ADPCM WAVE: per block of `blockAlign` bytes, a
-    * 4-byte header (int16 predictor = sample 0 of the block, step index,
-    * reserved) then two 4-bit nibbles per byte, LOW nibble first. Stereo
-    * ADPCM (per-channel interleaved words) stays out of scope → caller's
-    * sentinel via the thrown exception.
+  /** Decode an IMA-ADPCM WAVE, mono or multi-channel: per block of
+    * `blockAlign` bytes, one 4-byte header PER CHANNEL (int16 predictor
+    * = sample 0 of that channel, step index, reserved), then the nibble
+    * data interleaved in 4-byte WORDS round-robin across channels (word
+    * 0 → ch0's nibbles 0-7, word 1 → ch1's nibbles 0-7, …, each byte
+    * LOW nibble first) — the standard multi-channel IMA layout.
+    * `nSamples`/`sumSq` aggregate across channels.
     */
   private def decodeImaAdpcm(mediaId: Long, b: Array[Byte]): AudioFeatures = {
     val (fo, fsz) = riffChunk(b, "fmt ").get
-    require(le16(b, fo + 2) == 1, "mono IMA ADPCM only")
+    val nCh = le16(b, fo + 2)
+    require(nCh >= 1 && nCh <= 8, s"unsupported channel count $nCh")
     val sampleRate = le32(b, fo + 4)
     val blockAlign = le16(b, fo + 12)
-    // a block is its 4-byte header at minimum; 0 would spin the walk
-    require(blockAlign >= 4, s"blockAlign $blockAlign < header size")
-    // samples per block: from the fmt extension when present (the chunk
-    // itself must DECLARE the extension — a spec-valid 16-byte fmt has
-    // no cbSize field, and reading past it would consume the next
-    // chunk's tag bytes), else derived from the block size
+    // a block is its per-channel headers at minimum; less would spin
+    require(blockAlign >= 4 * nCh, s"blockAlign $blockAlign < header size")
+    // samples per block (PER CHANNEL): from the fmt extension when
+    // present (the chunk itself must DECLARE the extension — a
+    // spec-valid 16-byte fmt has no cbSize field, and reading past it
+    // would consume the next chunk's tag bytes), else derived from the
+    // block size
     val samplesPerBlock =
       if (fsz >= 20 && le16(b, fo + 16) >= 2) le16(b, fo + 18)
-      else (blockAlign - 4) * 2 + 1
+      else (blockAlign - 4 * nCh) * 2 / nCh + 1
     val (dOff, dSz) = riffChunk(b, "data").get
     var sumSq = 0L
     var n = 0L
     var bo = dOff
     val dEnd = dOff + math.min(dSz, b.length - dOff)
-    while (bo + 4 <= dEnd) {
+    while (bo + 4 * nCh <= dEnd) {
       val blockEnd = math.min(bo + blockAlign, dEnd)
-      var pred = le16(b, bo).toShort.toInt
-      var sidx = math.max(0, math.min(88, b(bo + 2) & 0xff))
-      sumSq += pred.toLong * pred; n += 1
-      var emitted = 1
-      var o = bo + 4
-      var done = false
-      while (o < blockEnd && !done) {
-        val byte = b(o) & 0xff
-        var h = 0
-        while (h < 2 && !done) {
-          if (emitted >= samplesPerBlock) done = true
-          else {
-            val nib = if (h == 0) byte & 0xf else byte >> 4
-            val (s, si) = imaStep(pred, sidx, nib)
-            pred = s; sidx = si
-            sumSq += s.toLong * s; n += 1; emitted += 1
+      val pred = new Array[Int](nCh)
+      val sidx = new Array[Int](nCh)
+      val emitted = new Array[Int](nCh)
+      var c = 0
+      while (c < nCh) {
+        pred(c) = le16(b, bo + 4 * c).toShort.toInt
+        sidx(c) = math.max(0, math.min(88, b(bo + 4 * c + 2) & 0xff))
+        sumSq += pred(c).toLong * pred(c); n += 1
+        emitted(c) = 1
+        c += 1
+      }
+      var o = bo + 4 * nCh
+      var word = 0
+      while (o < blockEnd) {
+        val ch = word % nCh
+        val wordEnd = math.min(o + 4, blockEnd)
+        while (o < wordEnd) {
+          val byte = b(o) & 0xff
+          var h = 0
+          while (h < 2) {
+            if (emitted(ch) < samplesPerBlock) {
+              val nib = if (h == 0) byte & 0xf else byte >> 4
+              val (s, si) = imaStep(pred(ch), sidx(ch), nib)
+              pred(ch) = s; sidx(ch) = si
+              sumSq += s.toLong * s; n += 1; emitted(ch) += 1
+            }
+            h += 1
           }
-          h += 1
+          o += 1
         }
-        o += 1
+        word += 1
       }
       bo += blockAlign
     }
-    AudioFeatures(mediaId, decoded = true, sampleRate, 1, n, sumSq)
+    AudioFeatures(mediaId, decoded = true, sampleRate, nCh, n, sumSq)
   }
 
   /** Deterministic single-block IMA-ADPCM WAVE: header predictor
@@ -423,6 +438,56 @@ object Multimodal {
       val hi = if (2 * j + 1 < nNib) (((2L * j + 1) * 13 + seed * 5) % 16).toInt else 0
       out.write(lo | (hi << 4))
       j += 1
+    }
+    out.toByteArray
+  }
+
+  /** Deterministic single-block STEREO IMA-ADPCM WAVE: per channel c,
+    * header predictor `((seed*7 + c*11) % 2003) - 1001`, step index
+    * `(seed*5 + c*7) % 60`, nibble j `(j*13 + seed*5 + c*3) % 16` — the
+    * c = 0 formulas reduce to [[syntheticWavAdpcm]]'s mono stream, so
+    * one oracle recursion covers both by ranging over (id, channel).
+    * The nibble streams are packed in the standard interleave (4-byte
+    * words round-robin ch0, ch1, …), which is exactly what the decoder
+    * must undo to reproduce the per-channel formulas.
+    */
+  def syntheticWavAdpcmStereo(seed: Long, nSamplesPerCh: Int,
+      sampleRate: Int = 8000): Array[Byte] = {
+    require(nSamplesPerCh >= 1)
+    val nCh = 2
+    val nNib = nSamplesPerCh - 1
+    val nWordsPerCh = (nNib + 7) / 8 // 8 nibbles per 4-byte word
+    val blockAlign = 4 * nCh + nWordsPerCh * 4 * nCh
+    val dataSz = blockAlign
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+    out.write("RIFF".getBytes("US-ASCII")); w32(4 + (8 + 20) + (8 + 4) + (8 + dataSz))
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); w32(20)
+    w16(0x11); w16(nCh); w32(sampleRate)
+    w32(sampleRate * blockAlign / nSamplesPerCh) // nominal byte rate
+    w16(blockAlign); w16(4); w16(2); w16(nSamplesPerCh) // bits=4, cbSize=2, samplesPerBlock
+    out.write("fact".getBytes("US-ASCII")); w32(4); w32(nSamplesPerCh)
+    out.write("data".getBytes("US-ASCII")); w32(dataSz)
+    def nib(c: Int, j: Int): Int = ((j * 13 + seed * 5 + c * 3) % 16).toInt
+    (0 until nCh).foreach { c =>
+      w16((((seed * 7 + c * 11) % 2003) - 1001).toInt & 0xffff)
+      out.write(((seed * 5 + c * 7) % 60).toInt); out.write(0)
+    }
+    var w = 0
+    while (w < nWordsPerCh * nCh) {
+      val c = w % nCh
+      val base = (w / nCh) * 8 // this word carries the channel's nibbles base..base+7
+      var byteIdx = 0
+      while (byteIdx < 4) {
+        val j0 = base + byteIdx * 2
+        val lo = if (j0 < nNib) nib(c, j0) else 0
+        val hi = if (j0 + 1 < nNib) nib(c, j0 + 1) else 0
+        out.write(lo | (hi << 4))
+        byteIdx += 1
+      }
+      w += 1
     }
     out.toByteArray
   }

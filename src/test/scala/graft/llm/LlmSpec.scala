@@ -1210,8 +1210,9 @@ class MultimodalSpec extends AnyFunSuite {
 
   // independent reference decode for the synthetic ADPCM files: the IMA
   // tables + clamp rules written a second time, straight-line, against
-  // the generator formulas
-  private def refAdpcmSumSq(seed: Long, n: Int): Long = {
+  // the generator formulas (channel c = 0 is the mono stream; the stereo
+  // generator's per-channel formulas take c = 0, 1)
+  private def refAdpcmSumSq(seed: Long, n: Int, c: Int = 0): Long = {
     val step = Array(7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25,
       28, 31, 34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
       130, 143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408,
@@ -1221,11 +1222,11 @@ class MultimodalSpec extends AnyFunSuite {
       11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
       27086, 29794, 32767)
     val idxT = Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
-    var pred = ((seed * 7) % 2003 - 1001).toInt
-    var sidx = ((seed * 5) % 60).toInt
+    var pred = ((seed * 7 + c * 11) % 2003 - 1001).toInt
+    var sidx = ((seed * 5 + c * 7) % 60).toInt
     var acc = pred.toLong * pred
     for (j <- 0 until n - 1) {
-      val nib = ((j * 13 + seed * 5) % 16).toInt
+      val nib = ((j * 13 + seed * 5 + c * 3) % 16).toInt
       val s = step(sidx)
       var d = s >> 3
       if ((nib & 4) != 0) d += s
@@ -1265,6 +1266,29 @@ class MultimodalSpec extends AnyFunSuite {
     // the buffer; missing-data-chunk truncation takes the sentinel
     assert(out(3).decoded && out(3).nSamples < 437L && out(3).nSamples > 0L)
     assert(!out(4).decoded && out(4).sumSq == -1L)
+  }
+
+  test("stereo IMA ADPCM: word de-interleave reproduces both channel streams") {
+    import Multimodal.{MediaItem, MediaMeta}
+    val items = Seq(
+      MediaItem(1L, "audio/wav", Multimodal.syntheticWavAdpcmStereo(1L, 341),
+        MediaMeta(0, 0, 0L, "adpcm")),
+      MediaItem(2L, "audio/wav", Multimodal.syntheticWavAdpcmStereo(2L, 2),
+        MediaMeta(0, 0, 0L, "adpcm")), // one nibble per channel
+      MediaItem(3L, "audio/wav", Multimodal.syntheticWavAdpcmStereo(3L, 1),
+        MediaMeta(0, 0, 0L, "adpcm")), // headers-only block
+      MediaItem(8L, "audio/wav",
+        Multimodal.syntheticWavAdpcmStereo(1L, 341).take(120),
+        MediaMeta(0, 0, 0L, "adpcm"))) // truncated mid-data
+    val out = Multimodal.decodeAudio(spark.createDataset(items))
+      .collect().sortBy(_.mediaId)
+    def both(seed: Long, n: Int): Long =
+      refAdpcmSumSq(seed, n, 0) + refAdpcmSumSq(seed, n, 1)
+    assert(out(0).decoded && out(0).channels == 2)
+    assert(out(0).nSamples == 682L && out(0).sumSq == both(1L, 341))
+    assert(out(1).nSamples == 4L && out(1).sumSq == both(2L, 2))
+    assert(out(2).nSamples == 2L && out(2).sumSq == both(3L, 1))
+    assert(out(3).decoded && out(3).nSamples < 682L && out(3).nSamples > 0L)
   }
 
   test("IMA ADPCM decode ≡ reference replay on 25 seeded-random (seed, n)") {
