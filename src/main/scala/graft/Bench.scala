@@ -47,6 +47,7 @@ object Bench {
     "llm_shard_plan", "llm_curriculum_plan", "llm_corpus_profile", "llm_source_overlap",
     "llm_stream_dedup", "llm_bpe_pairs", "llm_pq_encode", "llm_pq_search", "llm_pq_recall", "llm_ivfpq_search", "llm_hard_negatives",
     "llm_ann_filtered", "llm_index_update",
+    "llm_sq_search", "llm_sq_recall", "llm_rp_topk", "llm_rp_recall",
     "llm_ivfpq_recall", "llm_full_pipeline", "llm_url_ops", "llm_token_budget",
     "llm_salted_join", "llm_quantile_sketch", "llm_corpus_report",
     "llm_zorder_layout", "llm_scd2_build", "llm_interval_merge",

@@ -4108,6 +4108,70 @@ object SparkEntry {
         .unionByName(llm.Ann.recallAtK("ivfpq_rerank", truth, rr))
     }),
 
+    // Scalar quantization (SQ8) encode: per-dimension trained min/max
+    // bounds → 8-bit codes, the storage tier between raw vectors and PQ
+    // (per-coordinate fidelity at 8 bits/dim). Exploded (vec_id, pos,
+    // mn, mx, code) rows for the %25 sample pin the trained bounds AND
+    // every code against the oracle's replay of the same train+encode.
+    "llm_sq_encode" -> ((s, dir) => {
+      val corpus = annCorpus(s, dir)
+      val bounds = llm.Ann.sqTrain(corpus)
+      llm.Ann.sqEncode(corpus.filter(col("nid") % 25 === 0), bounds)
+        .select(col("nid").as("vec_id"), col("mns"), col("mxs"),
+          posexplode(col("codes")).as(Seq("pos", "code")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          expr("element_at(mns, pos + 1)").as("mn"),
+          expr("element_at(mxs, pos + 1)").as("mx"),
+          col("code"))
+    }),
+
+    // SQ8 asymmetric search: queries score the encoded corpus through the
+    // exact 255-scaled integer reconstruction (the SQ analogue of PQ's
+    // ADC) — corpus never shuffles, query batch broadcasts.
+    "llm_sq_search" -> ((s, dir) => {
+      llm.Ann.sqSearch(annQueries(s, dir), annCorpus(s, dir), k = 3)
+    }),
+
+    // SQ8 recall gate: recall@3 of reconstruction-ranked search against
+    // brute truth — what 8-bit per-coordinate storage actually costs
+    // (SQ recall runs far above PQ's: per-dim bounds lose only grid
+    // resolution, not subspace structure).
+    "llm_sq_recall" -> ((s, dir) => {
+      val corpus = annCorpus(s, dir)
+      val queries = annQueries(s, dir)
+      val truth = llm.Ann.bruteTopK(queries, corpus, 3)
+      llm.Ann.recallAtK("sq_adc", truth, llm.Ann.sqSearch(queries, corpus, 3))
+    }),
+
+    // Sparse random projection (Johnson–Lindenstrauss) to 16 dims: signs
+    // from an explicit integer LCG over (j,k) — no stored matrix, any
+    // engine replays it bit-exactly. Exploded (vec_id, k, y) for the %25
+    // sample pins every projected coordinate.
+    "llm_rp_project" -> ((s, dir) => {
+      llm.Ann.rpProject(annCorpus(s, dir).filter(col("nid") % 25 === 0), 16)
+        .select(col("nid").as("vec_id"), posexplode(col("rp")).as(Seq("k", "y")))
+        .select(col("vec_id"), col("k").cast("long").as("k"), col("y"))
+    }),
+
+    // Brute top-k in the projected space: the d/dOut× cheaper scoring
+    // tier reduction buys — same ranking law, 16-dim integer dots.
+    "llm_rp_topk" -> ((s, dir) => {
+      llm.Ann.rpTopK(annQueries(s, dir), annCorpus(s, dir), dOut = 16, k = 3)
+    }),
+
+    // JL recall gate: recall@3 of projected-space ranking against
+    // original-space brute truth at dOut = 16 AND 32 — the measured
+    // distortion/dimension tradeoff curve the reduction is priced by.
+    "llm_rp_recall" -> ((s, dir) => {
+      val corpus = annCorpus(s, dir)
+      val queries = annQueries(s, dir)
+      val truth = llm.Ann.bruteTopK(queries, corpus, 3)
+      llm.Ann.recallAtK("rp16", truth,
+          llm.Ann.rpTopK(queries, corpus, dOut = 16, k = 3))
+        .unionByName(llm.Ann.recallAtK("rp32", truth,
+          llm.Ann.rpTopK(queries, corpus, dOut = 32, k = 3)))
+    }),
+
     // BPE merge-pair statistics: the corpus-weighted adjacent-char-pair
     // counts tokenizer training maximizes — top-32, counted over the
     // vocab-sized word-frequency table, never the raw token stream.
@@ -5648,6 +5712,175 @@ object SparkEntry {
         |      nid ASC) AS rank
         |  FROM scored)
         |SELECT qid, CAST(rank AS BIGINT) AS rank, nid, cos FROM ranked WHERE rank <= 3""".stripMargin,
+    // llm_sq_encode oracle: per-dimension min/max over the quantized
+    // grid, then floor-division codes for the %25 sample. DuckDB
+    // subscripts are 1-based → pos - 1 matches Spark's posexplode;
+    // numerator is non-negative so `//` (truncation) IS floor.
+    "llm_sq_encode" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS vq FROM embeddings),
+        |u AS (SELECT vec_id, unnest(vq) AS v, generate_subscripts(vq, 1) AS pos FROM e),
+        |b AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM u GROUP BY pos)
+        |SELECT u.vec_id, CAST(u.pos - 1 AS BIGINT) AS pos, b.mn, b.mx,
+        |  CASE WHEN b.mx = b.mn THEN CAST(0 AS BIGINT)
+        |       ELSE CAST(((u.v - b.mn) * 255) // (b.mx - b.mn) AS BIGINT) END AS code
+        |FROM u JOIN b USING (pos) WHERE u.vec_id % 25 = 0""".stripMargin,
+    // llm_sq_search oracle: the same train+encode chain, 255-scaled exact
+    // integer reconstruction (rv = mn*255 + code*(mx-mn); the 255 cancels
+    // in cosine), then the brute ranking law over (query, reconstruction)
+    "llm_sq_search" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS vq FROM embeddings),
+        |u AS (SELECT vec_id, unnest(vq) AS v, generate_subscripts(vq, 1) AS pos FROM e),
+        |b AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM u GROUP BY pos),
+        |enc AS (SELECT u.vec_id, list(CASE WHEN b.mx = b.mn THEN b.mn * 255
+        |      ELSE b.mn * 255 + (((u.v - b.mn) * 255) // (b.mx - b.mn)) * (b.mx - b.mn) END ORDER BY u.pos) AS rv
+        |  FROM u JOIN b USING (pos) GROUP BY u.vec_id),
+        |rn AS (SELECT vec_id AS nid, rv, CAST(list_sum(list_transform(rv, x -> x * x)) AS BIGINT) AS rn2 FROM enc),
+        |q AS (SELECT vec_id AS qid, vq AS qv, CAST(list_sum(list_transform(vq, x -> x * x)) AS BIGINT) AS qn FROM e WHERE vec_id % 50 = 0),
+        |scored AS (SELECT qid, nid,
+        |    CAST(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * rv[i])) AS BIGINT) AS dp, qn, rn2
+        |  FROM rn CROSS JOIN q WHERE nid <> qid),
+        |ranked AS (SELECT qid, nid,
+        |    CAST(dp AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(rn2 AS DOUBLE))) AS cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY
+        |      CAST(dp AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(rn2 AS DOUBLE))) DESC,
+        |      nid ASC) AS rank
+        |  FROM scored)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, nid, cos FROM ranked WHERE rank <= 3""".stripMargin,
+    // llm_sq_recall oracle: brute truth + the sq_search chain + the hit
+    // count / recall summary row
+    "llm_sq_recall" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS vq FROM embeddings),
+        |en AS (SELECT vec_id, vq, CAST(list_sum(list_transform(vq, x -> x * x)) AS BIGINT) AS norm2 FROM e),
+        |bq AS (SELECT vec_id AS qid, vq AS qv, norm2 AS qn FROM en WHERE vec_id % 50 = 0),
+        |bscored AS (SELECT qid, en.vec_id AS nid,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * en.vq[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(en.norm2 AS DOUBLE))) AS cos
+        |  FROM en CROSS JOIN bq WHERE en.vec_id <> qid),
+        |truth AS (SELECT qid, nid FROM (SELECT qid, nid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank FROM bscored)
+        |  WHERE rank <= 3),
+        |u AS (SELECT vec_id, unnest(vq) AS v, generate_subscripts(vq, 1) AS pos FROM e),
+        |b AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM u GROUP BY pos),
+        |enc AS (SELECT u.vec_id, list(CASE WHEN b.mx = b.mn THEN b.mn * 255
+        |      ELSE b.mn * 255 + (((u.v - b.mn) * 255) // (b.mx - b.mn)) * (b.mx - b.mn) END ORDER BY u.pos) AS rv
+        |  FROM u JOIN b USING (pos) GROUP BY u.vec_id),
+        |rn AS (SELECT vec_id AS nid, rv, CAST(list_sum(list_transform(rv, x -> x * x)) AS BIGINT) AS rn2 FROM enc),
+        |sscored AS (SELECT qid, nid,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * rv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(rn2 AS DOUBLE))) AS cos
+        |  FROM rn CROSS JOIN bq WHERE nid <> qid),
+        |sq AS (SELECT qid, nid FROM (SELECT qid, nid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank FROM sscored)
+        |  WHERE rank <= 3),
+        |hits AS (SELECT count(*) AS n_hits FROM truth JOIN sq USING (qid, nid)),
+        |tot AS (SELECT count(*) AS n_truth FROM truth)
+        |SELECT 'sq_adc' AS path, CAST(n_hits AS BIGINT) AS n_hits, CAST(n_truth AS BIGINT) AS n_truth,
+        |  CASE WHEN n_truth = 0 THEN 0.0 ELSE CAST(n_hits AS DOUBLE) / n_truth END AS recall
+        |FROM hits CROSS JOIN tot""".stripMargin,
+    // llm_rp_project oracle: the multiply–xorshift sign derivation
+    // replayed as a relational CTE chain (one row per flattened (j,k)
+    // index), then the projection as an explicit unnest × sign join ×
+    // group-by — structurally independent of the Spark side's literal
+    // sign vectors, so a mixer transcription error on either side fails
+    // the hash compare. DuckDB's 1-based j maps via (j-1).
+    "llm_rp_project" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS vq FROM embeddings),
+        |s0 AS (SELECT generate_series AS idx, (2654435761 * generate_series) % 2147483648 AS h FROM generate_series(0, 1023)),
+        |s1 AS (SELECT idx, xor(h, h >> 13) AS h FROM s0),
+        |s2 AS (SELECT idx, (h * 1274126177) % 2147483648 AS h FROM s1),
+        |sg AS (SELECT idx, xor(h, h >> 16) % 3 - 1 AS s FROM s2),
+        |u AS (SELECT vec_id, unnest(vq) AS v, generate_subscripts(vq, 1) AS j FROM e WHERE vec_id % 25 = 0),
+        |ks AS (SELECT generate_series AS k FROM generate_series(0, 15))
+        |SELECT u.vec_id, CAST(ks.k AS BIGINT) AS k, CAST(sum(u.v * sg.s) AS BIGINT) AS y
+        |FROM u CROSS JOIN ks JOIN sg ON sg.idx = (u.j - 1) * 16 + ks.k
+        |GROUP BY u.vec_id, ks.k""".stripMargin,
+    // llm_rp_topk oracle: both sides projected with the same mixer-CTE
+    // signs, then the brute ranking law over the 16-dim integer dots
+    "llm_rp_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS vq FROM embeddings),
+        |s0 AS (SELECT generate_series AS idx, (2654435761 * generate_series) % 2147483648 AS h FROM generate_series(0, 1023)),
+        |s1 AS (SELECT idx, xor(h, h >> 13) AS h FROM s0),
+        |s2 AS (SELECT idx, (h * 1274126177) % 2147483648 AS h FROM s1),
+        |sg AS (SELECT idx, xor(h, h >> 16) % 3 - 1 AS s FROM s2),
+        |u AS (SELECT vec_id, unnest(vq) AS v, generate_subscripts(vq, 1) AS j FROM e),
+        |ks AS (SELECT generate_series AS k FROM generate_series(0, 15)),
+        |py AS (SELECT u.vec_id, ks.k, CAST(sum(u.v * sg.s) AS BIGINT) AS y
+        |  FROM u CROSS JOIN ks JOIN sg ON sg.idx = (u.j - 1) * 16 + ks.k
+        |  GROUP BY u.vec_id, ks.k),
+        |p AS (SELECT vec_id, list(y ORDER BY k) AS rp FROM py GROUP BY vec_id),
+        |pn AS (SELECT vec_id, rp, CAST(list_sum(list_transform(rp, x -> x * x)) AS BIGINT) AS rpn2 FROM p),
+        |q AS (SELECT vec_id AS qid, rp AS qv, rpn2 AS qn FROM pn WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id AS nid, rp AS nv, rpn2 AS nn FROM pn),
+        |scored AS (SELECT qid, nid,
+        |    CAST(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * nv[i])) AS BIGINT) AS dp, qn, nn
+        |  FROM c CROSS JOIN q WHERE nid <> qid),
+        |ranked AS (SELECT qid, nid,
+        |    CAST(dp AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(nn AS DOUBLE))) AS cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY
+        |      CAST(dp AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(nn AS DOUBLE))) DESC,
+        |      nid ASC) AS rank
+        |  FROM scored)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, nid, cos FROM ranked WHERE rank <= 3""".stripMargin,
+    // llm_rp_recall oracle: brute truth in the ORIGINAL space + the
+    // projected ranking at dOut = 16 and 32 + one summary row per dOut
+    "llm_rp_recall" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS vq FROM embeddings),
+        |en AS (SELECT vec_id, vq, CAST(list_sum(list_transform(vq, x -> x * x)) AS BIGINT) AS norm2 FROM e),
+        |bq AS (SELECT vec_id AS qid, vq AS qv, norm2 AS qn FROM en WHERE vec_id % 50 = 0),
+        |bscored AS (SELECT qid, en.vec_id AS nid,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * en.vq[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(en.norm2 AS DOUBLE))) AS cos
+        |  FROM en CROSS JOIN bq WHERE en.vec_id <> qid),
+        |truth AS (SELECT qid, nid FROM (SELECT qid, nid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank FROM bscored)
+        |  WHERE rank <= 3),
+        |s0a AS (SELECT generate_series AS idx, (2654435761 * generate_series) % 2147483648 AS h FROM generate_series(0, 1023)),
+        |s1a AS (SELECT idx, xor(h, h >> 13) AS h FROM s0a),
+        |s2a AS (SELECT idx, (h * 1274126177) % 2147483648 AS h FROM s1a),
+        |sg16 AS (SELECT idx, xor(h, h >> 16) % 3 - 1 AS s FROM s2a),
+        |u AS (SELECT vec_id, unnest(vq) AS v, generate_subscripts(vq, 1) AS j FROM e),
+        |k16 AS (SELECT generate_series AS k FROM generate_series(0, 15)),
+        |py16 AS (SELECT u.vec_id, k16.k, CAST(sum(u.v * sg16.s) AS BIGINT) AS y
+        |  FROM u CROSS JOIN k16 JOIN sg16 ON sg16.idx = (u.j - 1) * 16 + k16.k
+        |  GROUP BY u.vec_id, k16.k),
+        |p16 AS (SELECT vec_id, list(y ORDER BY k) AS rp FROM py16 GROUP BY vec_id),
+        |pn16 AS (SELECT vec_id, rp, CAST(list_sum(list_transform(rp, x -> x * x)) AS BIGINT) AS rpn2 FROM p16),
+        |q16 AS (SELECT vec_id AS qid, rp AS qv, rpn2 AS qn FROM pn16 WHERE vec_id % 50 = 0),
+        |s16 AS (SELECT qid, pn16.vec_id AS nid,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * pn16.rp[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(pn16.rpn2 AS DOUBLE))) AS cos
+        |  FROM pn16 CROSS JOIN q16 WHERE pn16.vec_id <> qid),
+        |r16 AS (SELECT qid, nid FROM (SELECT qid, nid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank FROM s16)
+        |  WHERE rank <= 3),
+        |s0b AS (SELECT generate_series AS idx, (2654435761 * generate_series) % 2147483648 AS h FROM generate_series(0, 2047)),
+        |s1b AS (SELECT idx, xor(h, h >> 13) AS h FROM s0b),
+        |s2b AS (SELECT idx, (h * 1274126177) % 2147483648 AS h FROM s1b),
+        |sg32 AS (SELECT idx, xor(h, h >> 16) % 3 - 1 AS s FROM s2b),
+        |k32 AS (SELECT generate_series AS k FROM generate_series(0, 31)),
+        |py32 AS (SELECT u.vec_id, k32.k, CAST(sum(u.v * sg32.s) AS BIGINT) AS y
+        |  FROM u CROSS JOIN k32 JOIN sg32 ON sg32.idx = (u.j - 1) * 32 + k32.k
+        |  GROUP BY u.vec_id, k32.k),
+        |p32 AS (SELECT vec_id, list(y ORDER BY k) AS rp FROM py32 GROUP BY vec_id),
+        |pn32 AS (SELECT vec_id, rp, CAST(list_sum(list_transform(rp, x -> x * x)) AS BIGINT) AS rpn2 FROM p32),
+        |q32 AS (SELECT vec_id AS qid, rp AS qv, rpn2 AS qn FROM pn32 WHERE vec_id % 50 = 0),
+        |s32 AS (SELECT qid, pn32.vec_id AS nid,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * pn32.rp[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(pn32.rpn2 AS DOUBLE))) AS cos
+        |  FROM pn32 CROSS JOIN q32 WHERE pn32.vec_id <> qid),
+        |r32 AS (SELECT qid, nid FROM (SELECT qid, nid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank FROM s32)
+        |  WHERE rank <= 3),
+        |h16 AS (SELECT count(*) AS n_hits FROM truth JOIN r16 USING (qid, nid)),
+        |h32 AS (SELECT count(*) AS n_hits FROM truth JOIN r32 USING (qid, nid)),
+        |tot AS (SELECT count(*) AS n_truth FROM truth)
+        |SELECT 'rp16' AS path, CAST(h16.n_hits AS BIGINT) AS n_hits, CAST(tot.n_truth AS BIGINT) AS n_truth,
+        |  CASE WHEN tot.n_truth = 0 THEN 0.0 ELSE CAST(h16.n_hits AS DOUBLE) / tot.n_truth END AS recall
+        |FROM h16 CROSS JOIN tot
+        |UNION ALL
+        |SELECT 'rp32' AS path, CAST(h32.n_hits AS BIGINT) AS n_hits, CAST(tot.n_truth AS BIGINT) AS n_truth,
+        |  CASE WHEN tot.n_truth = 0 THEN 0.0 ELSE CAST(h32.n_hits AS DOUBLE) / tot.n_truth END AS recall
+        |FROM h32 CROSS JOIN tot""".stripMargin,
     // llm_ann_filtered oracle: identical brute ranking, corpus
     // pre-restricted by the metadata predicate
     "llm_ann_filtered" ->

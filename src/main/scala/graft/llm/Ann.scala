@@ -280,6 +280,150 @@ object Ann {
         .otherwise(col("n_hits").cast("double") / col("n_truth")).as("recall"))
   }
 
+  // ===== Scalar quantization (SQ8) =====
+
+  /** Per-dimension SQ8 bounds trained over the corpus: ONE row holding the
+    * d-length `mns`/`mxs` arrays (the per-coordinate min/max of the
+    * fixed-point grid values). The train pass is a posexplode + a d-group
+    * partial aggregation — its output is d rows collapsed to one, constant
+    * in corpus size, so the bounds frame broadcasts for free at any scale.
+    */
+  def sqTrain(corpus: DataFrame): DataFrame =
+    corpus.select(posexplode(col("vq")).as(Seq("pos", "v")))
+      .groupBy(col("pos")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .agg(
+        expr("transform(array_sort(collect_list(struct(pos, mn))), s -> s.mn)")
+          .as("mns"),
+        expr("transform(array_sort(collect_list(struct(pos, mx))), s -> s.mx)")
+          .as("mxs"))
+
+  /** SQ8 encode against trained bounds: per coordinate,
+    * `code_i = floor((v_i - mn_i) · 255 / (mx_i - mn_i)) ∈ [0, 255]`
+    * (flat dimensions pin code 0). All-integer: the numerator is
+    * non-negative, so truncating integer division IS floor in both Spark
+    * and the oracle. This is the storage tier between raw vectors and PQ —
+    * 8 bits per coordinate (4× under the 64-bit grid, 8× under doubles)
+    * with per-coordinate (not per-subspace) fidelity; entirely map-side
+    * after the broadcast of the one-row bounds frame.
+    */
+  def sqEncode(corpus: DataFrame, bounds: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(bounds))
+      .withColumn("codes", expr(
+        """transform(vq, (x, i) ->
+          |  CASE WHEN element_at(mxs, i + 1) = element_at(mns, i + 1)
+          |       THEN CAST(0 AS BIGINT)
+          |       ELSE CAST((x - element_at(mns, i + 1)) * 255 AS BIGINT)
+          |            div (element_at(mxs, i + 1) - element_at(mns, i + 1))
+          |  END)""".stripMargin))
+
+  /** 255-scaled exact integer reconstruction of SQ8 codes:
+    * `rv_i = 255·recon_i = mn_i·255 + code_i·(mx_i − mn_i)` — keeping the
+    * ×255 factor makes the reconstruction an exact BIGINT, and the factor
+    * cancels in cosine (it scales `dp` and `sqrt(rn2)` identically), so
+    * ranking against `rv` is bit-identical to ranking against the real
+    * dequantized values with zero floating-point in the distance kernel.
+    */
+  def sqRecon(encoded: DataFrame): DataFrame =
+    encoded
+      .withColumn("rv", expr(
+        """transform(codes, (c, i) ->
+          |  element_at(mns, i + 1) * 255
+          |    + c * (element_at(mxs, i + 1) - element_at(mns, i + 1)))"""
+          .stripMargin))
+      .withColumn("rn2", dot("rv", "rv"))
+
+  /** SQ8 asymmetric search: raw (grid) queries score the ENCODED corpus
+    * through the exact 255-scaled reconstruction — the scalar-quantization
+    * analogue of PQ's ADC, ranked by cosine-against-reconstruction with
+    * the brute path's (cos DESC, nid ASC) tie law.
+    *
+    * Scale: train is a constant-size aggregate; encode+recon are
+    * map-side; the scoring join broadcasts only the query batch — the
+    * corpus never shuffles, per-row work is one d-length integer dot over
+    * 8-bit codes. Composes with IVF cells exactly like PQ when cell
+    * pruning is wanted on top of the memory cut.
+    */
+  def sqSearch(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val enc = sqRecon(sqEncode(corpus, sqTrain(corpus)))
+      .select(col("nid"), col("rv"), col("rn2"))
+    val q = queries.select(col("qid"), col("vq").as("qv"), col("norm2").as("qn"))
+    val scored = enc.join(broadcast(q), col("nid") =!= col("qid"))
+      .withColumn("dp", dot("qv", "rv"))
+      .withColumn("cos", cosine(col("dp"), col("qn"), col("rn2")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cos"))
+  }
+
+  // ===== Random-projection (Johnson–Lindenstrauss) reduction =====
+
+  /** Deterministic projection sign for flattened index `idx = j·dOut + k`:
+    * a two-round multiply–xorshift avalanche over mod 2³¹, then
+    * `mod 3 − 1 ∈ {−1, 0, +1}` (the Achlioptas-density sparse JL scheme
+    * with the stored matrix replaced by a pure integer formula any engine
+    * replays bit-exactly). The mixer matters: a plain LCG here is a trap —
+    * 1103515245 ≡ 0 (mod 3), which collapses `h mod 3` to a function of
+    * the slowly-stepping wrap count alone, making adjacent sign COLUMNS
+    * near-duplicates and silently shrinking the projection's effective
+    * rank. Both multipliers are ≢ 0 (mod 3) and each round is followed by
+    * a high-bit xor-shift, so the mod-3 verdict sees avalanche-mixed bits.
+    * All values stay non-negative, so `%` agrees across engines.
+    */
+  private[llm] def rpSign(idx: Long): Long = {
+    var h = (2654435761L * idx) % 2147483648L
+    h ^= h >> 13
+    h = (h * 1274126177L) % 2147483648L
+    h ^= h >> 16
+    h % 3 - 1
+  }
+
+  /** Sparse signed random projection to `dOut` dimensions:
+    * `y_k = Σ_j vq_j · s(j,k)` with `s(j,k) = rpSign(j·dOut + k)`.
+    * All arithmetic is 64-bit integer; the projected self-dot `rpn2` is
+    * exact. The signs are compile-time constants, so each output
+    * coordinate is one native [[graft.plans.QuantizedDot]] against a
+    * LITERAL sign vector — the whole projection stays inside whole-stage
+    * codegen with zero higher-order-function interpretation and no
+    * stored/shuffled matrix. `dIn` must match the corpus dimension
+    * (qdot nulls loudly on ragged input).
+    *
+    * Scale: entirely map-side — O(d·dOut) multiply-adds per row, no
+    * state, no join; the reduction is what makes downstream brute/LSH
+    * scoring d/dOut× cheaper per candidate at 100 TB, priced by the
+    * [[recallAtK]] gate (on the synthetic iid-noise embeddings fixture
+    * that recall is LOW for any projection — dense Gaussian included,
+    * measured ≈ 0.03–0.17 at d′ = 16/32 — because iid vectors have no
+    * neighborhood structure to preserve; the gate reports it honestly
+    * rather than the operator overfitting the fixture).
+    */
+  def rpProject(df: DataFrame, dOut: Int, dIn: Int = 64): DataFrame = {
+    val cols = (0 until dOut).map { k =>
+      val signs: Seq[Long] = (0 until dIn).map(j => rpSign(j.toLong * dOut + k))
+      graft.plans.QuantizedDot.qdot(col("vq"), typedlit(signs))
+    }
+    df.withColumn("rp", array(cols: _*)).withColumn("rpn2", dot("rp", "rp"))
+  }
+
+  /** Brute cosine top-k in the PROJECTED space: the [[bruteTopK]] ranking
+    * law over `rp`/`rpn2` — what a reduced-dimension scoring tier returns.
+    * Query and corpus frames carry (qid|nid, vq, norm2); both are
+    * projected here so the same LCG signs apply to each side.
+    */
+  def rpTopK(queries: DataFrame, corpus: DataFrame, dOut: Int, k: Int): DataFrame = {
+    val q = rpProject(queries, dOut)
+      .select(col("qid"), col("rp").as("qv"), col("rpn2").as("qn"))
+    val c = rpProject(corpus, dOut)
+      .select(col("nid"), col("rp").as("nv"), col("rpn2").as("nn"))
+    val scored = c.join(broadcast(q), col("nid") =!= col("qid"))
+      .withColumn("dp", dot("qv", "nv"))
+      .withColumn("cos", cosine(col("dp"), col("qn"), col("nn")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cos"))
+  }
+
   /** Product quantization (two subspaces): split each quantized vector
     * into halves, train an INDEPENDENT deterministic k-means codebook per
     * subspace ([[kmeansCentroids]] verbatim on the half-vectors), and

@@ -722,6 +722,95 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("SQ8: codes bounded [0,255], reconstruction within one grid step, " +
+    "search ranks k per query") {
+    val e = Ann.withQuantized(emb, "embedding")
+    val c = e.select(col("vec_id").as("nid"), col("vq"), col("norm2"))
+    val bounds = Ann.sqTrain(c)
+    val enc = Ann.sqRecon(Ann.sqEncode(c, bounds))
+    val rows = enc.select(col("nid"), col("vq"), col("codes"), col("rv"),
+      col("mns"), col("mxs")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val vq = r.getSeq[Long](1)
+      val codes = r.getSeq[Long](2)
+      val rv = r.getSeq[Long](3)
+      val mns = r.getSeq[Long](4)
+      val mxs = r.getSeq[Long](5)
+      assert(codes.forall(cd => cd >= 0 && cd <= 255))
+      // per coordinate: |rv - 255·v| ≤ (mx − mn), i.e. the dequantized
+      // value sits within one SQ grid step of the true grid value
+      vq.indices.foreach { i =>
+        assert(math.abs(rv(i) - 255L * vq(i)) <= (mxs(i) - mns(i)),
+          s"dim $i: rv=${rv(i)} v=${vq(i)} span=${mxs(i) - mns(i)}")
+        // flat dimension pins code 0 and exact reconstruction
+        if (mxs(i) == mns(i)) assert(codes(i) == 0L && rv(i) == 255L * vq(i))
+      }
+    }
+    val q = e.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("vq"), col("norm2"))
+    val top = Ann.sqSearch(q, c, 3).collect()
+    assert(top.length == q.count() * 3)
+    top.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getDouble(3)).sliding(2).forall(p => p(0) >= p(1)))
+    }
+    // 8-bit per-dimension storage should be near-lossless on this fixture
+    val truth = Ann.bruteTopK(q, c, 3)
+    val rec = Ann.recallAtK("sq", truth, Ann.sqSearch(q, c, 3))
+      .collect()(0).getDouble(3)
+    assert(rec >= 0.8, s"sq recall@3 $rec")
+  }
+
+  test("random projection: matches a plain-Scala replay of the mixer signs; " +
+    "sign matrix balanced; topk ranks descend") {
+    val e = Ann.withQuantized(emb, "embedding")
+    val c = e.select(col("vec_id").as("nid"), col("vq"), col("norm2"))
+    val dOut = 16
+    val got = Ann.rpProject(c, dOut)
+      .select(col("nid"), col("vq"), col("rp"), col("rpn2")).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val vq = r.getSeq[Long](1)
+      val rp = r.getSeq[Long](2)
+      // independent straight-line replay of the projection definition
+      // (the mixer written out, not a call into Ann.rpSign)
+      val want = (0 until dOut).map { k =>
+        vq.indices.map { j =>
+          val h0 = (2654435761L * (j * dOut + k)) % 2147483648L
+          val h1 = h0 ^ (h0 >> 13)
+          val h2 = (h1 * 1274126177L) % 2147483648L
+          val h3 = h2 ^ (h2 >> 16)
+          vq(j) * (h3 % 3 - 1)
+        }.sum
+      }
+      assert(rp == want, s"nid=${r.getLong(0)}")
+      assert(r.getLong(3) == want.map(y => y * y).sum)
+    }
+    // sign-matrix health: balanced classes and no near-duplicate columns
+    // (the degeneracy a mod-3-divisible LCG multiplier produces — adjacent
+    // columns collapsing to copies silently shrinks the effective rank)
+    val d = 64
+    val m = Array.tabulate(d, dOut)((j, k) => Ann.rpSign(j.toLong * dOut + k))
+    val flat = m.flatten
+    Seq(-1L, 0L, 1L).foreach { s =>
+      val frac = flat.count(_ == s).toDouble / flat.length
+      assert(frac > 0.25 && frac < 0.42, s"sign $s frequency $frac")
+    }
+    for (k1 <- 0 until dOut; k2 <- k1 + 1 until dOut) {
+      val agree = (0 until d).count(j => m(j)(k1) == m(j)(k2)).toDouble / d
+      assert(agree < 0.7, s"columns $k1,$k2 agree $agree")
+    }
+    val q = e.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("vq"), col("norm2"))
+    val top = Ann.rpTopK(q, c, dOut, 3).collect()
+    assert(top.length == q.count() * 3)
+    top.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getDouble(3)).sliding(2).forall(p => p(0) >= p(1)))
+    }
+  }
+
   test("LSH top-k candidates share the query bucket; scores match brute") {
     val e = Ann.withBucket(Ann.withQuantized(emb, "embedding"), Ann.DefaultPairs)
     val q = e.filter(col("vec_id") % 25 === 0)
