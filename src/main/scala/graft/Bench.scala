@@ -50,7 +50,7 @@ object Bench {
     "llm_sq_search", "llm_sq_recall", "llm_rp_topk", "llm_rp_recall",
     "llm_ivfpq_recall", "llm_full_pipeline", "llm_url_ops", "llm_token_budget",
     "llm_salted_join", "llm_quantile_sketch", "llm_corpus_report",
-    "llm_zorder_layout", "llm_scd2_build", "llm_interval_merge",
+    "llm_zorder_layout", "llm_compaction_plan", "llm_scd2_build", "llm_interval_merge",
     "llm_winsorize", "llm_sketch_overlap", "llm_weighted_quantile",
     "llm_join_estimate", "llm_sketch_registry", "llm_anomaly_days",
     "llm_triangles", "llm_attribution", "llm_cooccur",

@@ -3933,6 +3933,21 @@ object SparkEntry {
       llm.Layout.zLayoutStats(d, "x", "y", prefixBits = 5)
     }),
 
+    // COMPACTION PLAN (llm.Layout): pack order-adjacent files of a
+    // synthetic listing (one "file" per (source, doc_id div 100) slice,
+    // sized by its char sum) into ~4 KiB bins, preserving layout order —
+    // the small-file compaction step a z-ordered/range-sharded table
+    // needs without interleaving distant key ranges. The running fill is
+    // the tokenBudget two-level bucketed cumsum (no global-window task);
+    // the oracle replays it as one plain global window.
+    "llm_compaction_plan" -> ((s, dir) => {
+      val files = t(s, dir, "documents")
+        .groupBy((expr("CAST(substr(source, 4) AS BIGINT)") * 1000L +
+          expr("doc_id div 100")).as("fid"))
+        .agg(sum(col("n_chars")).as("bytes"))
+      llm.Layout.compactionPlan(files, "fid", "bytes", targetBytes = 4096L)
+    }),
+
     // Exact token-budget cut: keep documents in deterministic hash order
     // until the cumulative token count crosses the budget — the
     // "exactly N training tokens" sampler. The running sum decomposes
@@ -7196,6 +7211,17 @@ object SparkEntry {
         |  max(x) - min(x) AS x_span, max(y) - min(y) AS y_span,
         |  max(x) - min(x) < 2048 AND max(y) - min(y) < 2048 AS bounded
         |FROM z GROUP BY 1""".stripMargin,
+    // llm_compaction_plan oracle: the same listing, the same fill rule,
+    // as ONE global window cumsum (DuckDB's single node replays what the
+    // two-level bucket decomposition must equal exactly)
+    "llm_compaction_plan" ->
+      """WITH f AS (SELECT CAST(substr(source, 4) AS BIGINT) * 1000 + doc_id // 100 AS fid,
+        |    CAST(sum(n_chars) AS BIGINT) AS bytes
+        |  FROM documents GROUP BY 1),
+        |c AS (SELECT fid, bytes,
+        |    CAST(sum(bytes) OVER (ORDER BY fid ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_bytes
+        |  FROM f)
+        |SELECT fid, bytes, cum_bytes, (cum_bytes - bytes) // 4096 AS bin FROM c""".stripMargin,
     // s2i_stream_quantile oracle: batch replay of the per-key log-linear
     // histogram + percentile pick + exact value-domain audit (streamed
     // buckets are bit-identical to batch by construction).

@@ -66,4 +66,48 @@ object Layout {
       .withColumn("bounded",
         col("x_span") < side && col("y_span") < side)
   }
+
+  /** Compaction plan over a file LISTING (`keyCol` = the layout's sort
+    * key — shard index, z-address, partition ordinal; `bytesCol` = file
+    * size): pack order-adjacent files into output bins of ~`targetBytes`
+    * each, preserving the layout order (compacting a z-ordered or
+    * range-sharded table must not interleave distant key ranges, or the
+    * min/max file stats the layout exists for are destroyed).
+    *
+    * Rule: `bin = (cum_bytes − bytes) div targetBytes` — the bin the
+    * file's first byte falls in under a running fill. Deterministic, a
+    * pure function of (key order, sizes); a file larger than the target
+    * starts its own bin and pushes the fill forward, never splits.
+    *
+    * Scale: the listing is METADATA (one row per file — ~10⁶ rows for
+    * 100 TB at 100 MB files), but a global-window cumsum would still
+    * serialize it through one task, so the running sum uses the same
+    * two-level decomposition as `Sampling.tokenBudget`: monotonic
+    * coarse buckets (`keyCol >> bucketShift` — order-preserving, so
+    * per-bucket cumsums concatenate to the global one), per-bucket
+    * totals folded into start offsets by one window over the small
+    * bucket frame, and in-bucket running sums partitioned by bucket.
+    * The offsets join is a plain equi-join (bucket count is
+    * keyRange >> bucketShift — caller-bounded, not broadcast-pinned;
+    * AQE decides).
+    */
+  def compactionPlan(files: DataFrame, keyCol: String, bytesCol: String,
+      targetBytes: Long, bucketShift: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val b = files.withColumn("__b", shiftright(col(keyCol), bucketShift))
+    val offsets = b.groupBy(col("__b"))
+      .agg(sum(col(bytesCol)).as("__bt"))
+      .withColumn("__off", coalesce(
+        sum(col("__bt")).over(Window.orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__b"), col("__off"))
+    val w = Window.partitionBy(col("__b")).orderBy(col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.join(offsets, Seq("__b"))
+      .withColumn("cum_bytes", col("__off") + sum(col(bytesCol)).over(w))
+      .withColumn("bin",
+        expr(s"(cum_bytes - $bytesCol) div $targetBytes"))
+      .select(col(keyCol), col(bytesCol), col("cum_bytes"), col("bin"))
+  }
 }

@@ -56,6 +56,41 @@ class LayoutSpec extends AnyFunSuite {
     assert(both.filter(expr("p != shiftright(c, 8)")).count() == 0)
   }
 
+  test("compaction plan equals a straight-line replay; decomposition is " +
+    "shift-invariant; oversize files own their bins") {
+    // adversarial listing: sparse keys (bucket boundaries land mid-run),
+    // an oversize file (3.2x target), zero-byte files, duplicate sizes
+    val target = 1000L
+    val files = Seq(
+      (5L, 400L), (130L, 600L), (131L, 3200L), (1023L, 0L), (1024L, 999L),
+      (1025L, 1L), (2050L, 500L), (2051L, 500L), (2052L, 500L), (4000L, 7L)
+    )
+    val df = files.toDF("fid", "bytes")
+    val got = Layout.compactionPlan(df, "fid", "bytes", target)
+      .orderBy("fid")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // independent replay: sort by key, running sum, start-byte bin
+    var cum = 0L
+    val want = files.sortBy(_._1).map { case (fid, b) =>
+      cum += b
+      (fid, b, cum, (cum - b) / target)
+    }
+    assert(got.toSeq == want)
+    // bins never decrease along key order (order-preserving pack)
+    assert(got.map(_._4).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    // the 3200-byte file spans bins: the NEXT file lands 3+ bins later
+    val binOf = got.map(t => t._1 -> t._4).toMap
+    assert(binOf(1023L) - binOf(131L) >= 3)
+    // two-level decomposition is a pure optimization: any bucketShift
+    // (many tiny buckets vs one bucket holding everything) agrees
+    for (shift <- Seq(1, 6, 62)) {
+      val alt = Layout.compactionPlan(df, "fid", "bytes", target, shift)
+        .orderBy("fid")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(alt.toSeq == want, s"bucketShift=$shift")
+    }
+  }
+
   test("zValue16 stays inside whole-stage codegen") {
     // local Seq relations collapse to LocalTableScan (never codegen'd);
     // a range source exercises the real projection path
