@@ -55,6 +55,7 @@ object Bench {
     "llm_join_estimate", "llm_sketch_registry", "llm_anomaly_days",
     "llm_triangles", "llm_attribution", "llm_cooccur",
     "llm_chunking", "llm_bm25", "llm_hybrid_search", "llm_ngram_lm",
+    "llm_epoch_plan", "llm_pack_efficiency",
     "llm_domain_budget", "llm_corpus_drift", "llm_quality_cut", "llm_rag_pipeline", "llm_bpe_train", "llm_bpe_encode", "llm_unicode_nfc", "llm_sessionize", "llm_funnel", "llm_retention",
     "llm_ivf_stats", "llm_ivf_probe_curve",
     "llm_asof_join", "llm_range_join", "llm_distinct_sketch", "llm_pagerank",

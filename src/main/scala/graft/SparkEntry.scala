@@ -3948,6 +3948,28 @@ object SparkEntry {
       llm.Layout.compactionPlan(files, "fid", "bytes", targetBytes = 4096L)
     }),
 
+    // Epoch/repeat-factor mixture plan: per-source token supply vs the
+    // budget·weight target — exact integer epochs (millionths), the
+    // repeat cap, and the deficit where supply runs out. The planner a
+    // mixture designer iterates on before any sampler runs.
+    "llm_epoch_plan" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val weights = docs.select(col("source")).distinct()
+        .withColumn("weight_bp",
+          lit(100L) + (expr("CAST(substr(source, 4) AS BIGINT)") % 5) * 50L)
+      llm.Sampling.epochPlan(docs, "doc_id", "text", "source", weights,
+        budgetTokens = 100000L, maxEpochsMicro = 1000000L)
+    }),
+
+    // Padding-waste audit of fixed-count batch packing: naive (id-order)
+    // vs length-sorted batching, one summary row each — the measured
+    // padding-FLOP fraction sorted batching recovers. Both global orders
+    // rank via the two-level bucketed decomposition (no global sort).
+    "llm_pack_efficiency" -> ((s, dir) => {
+      llm.TextOps.packEfficiency(t(s, dir, "documents"), "doc_id", "text",
+        batchSize = 16)
+    }),
+
     // Exact token-budget cut: keep documents in deterministic hash order
     // until the cumulative token count crosses the budget — the
     // "exactly N training tokens" sampler. The running sum decomposes
@@ -7211,6 +7233,44 @@ object SparkEntry {
         |  max(x) - min(x) AS x_span, max(y) - min(y) AS y_span,
         |  max(x) - min(x) < 2048 AND max(y) - min(y) < 2048 AS bounded
         |FROM z GROUP BY 1""".stripMargin,
+    // llm_epoch_plan oracle: per-source token sums, the same basis-point
+    // weights, and the integer epoch/planned/deficit arithmetic
+    "llm_epoch_plan" ->
+      """WITH s AS (SELECT source, CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT source, n_tokens,
+        |    100 + (CAST(substr(source, 4) AS BIGINT) % 5) * 50 AS weight_bp FROM s),
+        |p AS (SELECT source, n_tokens, CAST(weight_bp AS BIGINT) AS weight_bp,
+        |    (100000 * weight_bp) // 10000 AS target_tokens FROM w)
+        |SELECT source, n_tokens, weight_bp, CAST(target_tokens AS BIGINT) AS target_tokens,
+        |  CAST(CASE WHEN n_tokens = 0 THEN 0
+        |       ELSE least(1000000, (target_tokens * 1000000) // n_tokens) END AS BIGINT) AS epochs_micro,
+        |  CAST(least(target_tokens, (n_tokens * 1000000) // 1000000) AS BIGINT) AS planned_tokens,
+        |  CAST(target_tokens - least(target_tokens, (n_tokens * 1000000) // 1000000) AS BIGINT) AS deficit
+        |FROM p""".stripMargin,
+    // llm_pack_efficiency oracle: both batch orders as plain global
+    // row_numbers (what the two-level decomposition must equal), then
+    // the per-batch padding rollup and the one-row-per-strategy summary
+    "llm_pack_efficiency" ->
+      """WITH d AS (SELECT doc_id AS id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |rn AS (SELECT id, n_tokens,
+        |    row_number() OVER (ORDER BY id) AS rn_naive,
+        |    row_number() OVER (ORDER BY n_tokens, id) AS rn_sorted FROM d),
+        |bn AS (SELECT (rn_naive - 1) // 16 AS b, count(*) AS rows_, max(n_tokens) AS mx, sum(n_tokens) AS tok FROM rn GROUP BY 1),
+        |bs AS (SELECT (rn_sorted - 1) // 16 AS b, count(*) AS rows_, max(n_tokens) AS mx, sum(n_tokens) AS tok FROM rn GROUP BY 1),
+        |an AS (SELECT CAST(count(*) AS BIGINT) AS n_batches, CAST(sum(tok) AS BIGINT) AS total_tokens,
+        |    CAST(sum(rows_ * mx) AS BIGINT) AS padded_tokens FROM bn),
+        |asx AS (SELECT CAST(count(*) AS BIGINT) AS n_batches, CAST(sum(tok) AS BIGINT) AS total_tokens,
+        |    CAST(sum(rows_ * mx) AS BIGINT) AS padded_tokens FROM bs)
+        |SELECT 'naive' AS strategy, n_batches, total_tokens, padded_tokens,
+        |  padded_tokens - total_tokens AS waste,
+        |  CASE WHEN padded_tokens = 0 THEN 0.0
+        |       ELSE CAST(padded_tokens - total_tokens AS DOUBLE) / padded_tokens END AS waste_frac FROM an
+        |UNION ALL
+        |SELECT 'sorted' AS strategy, n_batches, total_tokens, padded_tokens,
+        |  padded_tokens - total_tokens AS waste,
+        |  CASE WHEN padded_tokens = 0 THEN 0.0
+        |       ELSE CAST(padded_tokens - total_tokens AS DOUBLE) / padded_tokens END AS waste_frac FROM asx""".stripMargin,
     // llm_compaction_plan oracle: the same listing, the same fill rule,
     // as ONE global window cumsum (DuckDB's single node replays what the
     // two-level bucket decomposition must equal exactly)

@@ -421,4 +421,44 @@ object Sampling {
       .select(col(idCol), col("weight"), col("n_hits"),
         (col("n_hits") > 0).as("selected"))
   }
+
+  /** Epoch/repeat-factor mixture plan — "given a total token budget and
+    * per-source mixture weights, how many EPOCHS of each source does the
+    * run consume, and where does supply run out": per source,
+    * `target = budget · weight_bp div 10000` (weights in basis points),
+    * `epochs_micro = min(cap, target·10⁶ div n_tokens)` (millionths of an
+    * epoch — exact integer, no float ratio),
+    * `planned = min(target, n_tokens · cap div 10⁶)` and
+    * `deficit = target − planned` (> 0 ⟺ the repeat cap bites — the
+    * under-supplied source a mixture designer rebalances around). An
+    * empty source pins epochs 0 / planned 0 rather than dividing by zero.
+    *
+    * Scale: one per-source token aggregation (map-side partial) + a
+    * plain equi-join against the domain-count-sized weights frame +
+    * pure column arithmetic — nothing global, nothing collected.
+    */
+  def epochPlan(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, weights: DataFrame, budgetTokens: Long,
+      maxEpochsMicro: Long = 10000000L): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    require(maxEpochsMicro > 0, "maxEpochsMicro must be positive")
+    df.withColumn("__t",
+        size(split(lower(col(textCol)), " ")).cast("long"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__t")).as("n_tokens"))
+      .join(weights, Seq(groupCol))
+      .withColumn("target_tokens",
+        expr(s"$budgetTokens * weight_bp div 10000"))
+      .withColumn("epochs_micro",
+        when(col("n_tokens") === 0, lit(0L))
+          .otherwise(least(lit(maxEpochsMicro),
+            expr("target_tokens * 1000000 div n_tokens"))))
+      .withColumn("planned_tokens",
+        least(col("target_tokens"),
+          expr(s"n_tokens * $maxEpochsMicro div 1000000")))
+      .withColumn("deficit", col("target_tokens") - col("planned_tokens"))
+      .select(col(groupCol), col("n_tokens"), col("weight_bp"),
+        col("target_tokens"), col("epochs_micro"), col("planned_tokens"),
+        col("deficit"))
+  }
 }

@@ -985,6 +985,73 @@ object TextOps {
         expr(s"(cum - 1) div $budget").as("end_block"))
   }
 
+  /** Two-level global row number: `offset(bucket) + in-bucket rank`,
+    * where `bucketCol` must be MONOTONIC in the intended global order
+    * (its leading column or a shift of it) so per-bucket ranks
+    * concatenate to the global rank. Offsets come from one window over
+    * the bucket-count frame (bucket-cardinality rows, not corpus rows);
+    * in-bucket ranks partition on the bucket — the same decomposition
+    * every cumulative cut here uses, applied to ranking.
+    */
+  private def bucketedRowNumber(df: DataFrame, bucketCol: Column,
+      order: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = df.withColumn("__b", bucketCol)
+    val offsets = b.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__bc"))
+      .withColumn("__off", coalesce(
+        sum(col("__bc")).over(Window.orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__b"), col("__off"))
+    val w = Window.partitionBy(col("__b")).orderBy(order: _*)
+    b.join(offsets, Seq("__b"))
+      .withColumn("__rn", col("__off") + row_number().over(w))
+  }
+
+  /** Padding-waste audit of fixed-count batch packing: batches of
+    * `batchSize` docs are padded to their longest member, and the audit
+    * prices two batch orders — NAIVE (arrival/id order: long and short
+    * docs share batches, maximal padding) vs SORTED (length-then-id
+    * order: near-equal lengths batch together — the standard
+    * sorted-batching / bucketing trick). One row per strategy:
+    * `waste = Σ_batches (rows·max_len − Σ len)`, `padded = waste + Σ len`,
+    * `waste_frac = waste / padded` — the measured fraction of padding
+    * FLOPs sorted batching recovers on this corpus.
+    *
+    * Scale: both global orders rank via [[bucketedRowNumber]] — naive
+    * buckets on `id >> 10` (monotonic in id), sorted buckets on the
+    * token length itself (the order's leading column; the bucket frame
+    * is the length histogram, bounded) — so no task ever sorts or
+    * ranks the whole corpus; the per-batch and per-strategy rollups are
+    * plain aggregations.
+    */
+  def packEfficiency(df: DataFrame, idCol: String, textCol: String,
+      batchSize: Int): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    val base = df.select(col(idCol).cast("long").as("__id"),
+      size(words(textCol)).cast("long").as("n_tokens"))
+    def audit(strategy: String, ranked: DataFrame): DataFrame =
+      ranked
+        .withColumn("__batch", expr(s"(__rn - 1) div $batchSize"))
+        .groupBy(col("__batch"))
+        .agg(count(lit(1)).as("__rows"), max(col("n_tokens")).as("__mx"),
+          sum(col("n_tokens")).as("__tok"))
+        .agg(count(lit(1)).cast("long").as("n_batches"),
+          sum(col("__tok")).cast("long").as("total_tokens"),
+          sum(col("__rows") * col("__mx")).cast("long").as("padded_tokens"))
+        .select(lit(strategy).as("strategy"), col("n_batches"),
+          col("total_tokens"), col("padded_tokens"),
+          (col("padded_tokens") - col("total_tokens")).as("waste"),
+          when(col("padded_tokens") === 0, lit(0.0))
+            .otherwise((col("padded_tokens") - col("total_tokens"))
+              .cast("double") / col("padded_tokens")).as("waste_frac"))
+    val naive = audit("naive",
+      bucketedRowNumber(base, expr("__id div 1024"), Seq(col("__id"))))
+    val sorted = audit("sorted",
+      bucketedRowNumber(base, col("n_tokens"), Seq(col("__id"))))
+    naive.unionByName(sorted)
+  }
+
   /** English/French/German stopword hit counts + argmax language guess —
     * the n-gram-free heuristic tier of a language-ID stack.
     */

@@ -461,6 +461,54 @@ class SamplingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("epochPlan: integer epochs, cap bites as deficit, empty source safe") {
+    val docs = Seq(
+      (1L, "A", "w1 w2 w3 w4"), (2L, "A", "w1 w2 w3 w4"), // A: 8 tokens
+      (3L, "B", "w1 w2"), // B: 2 tokens
+      (4L, "C", "")) // C: split("") -> [""] = 1 token (house convention)
+      .toDF("doc_id", "source", "text")
+    val weights = Seq(("A", 5000L), ("B", 5000L), ("C", 0L))
+      .toDF("source", "weight_bp")
+    // budget 20 → A target 10, B target 10, C target 0; cap 2 epochs
+    val got = Sampling.epochPlan(docs, "doc_id", "text", "source", weights,
+      budgetTokens = 20L, maxEpochsMicro = 2000000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // A: 8 supply vs 10 target → 1.25 epochs, under cap, no deficit
+    assert(got("A") == ((8L, 10L, 1250000L, 10L, 0L)))
+    // B: 2 supply vs 10 target → needs 5 epochs, cap 2 → planned 4, deficit 6
+    assert(got("B") == ((2L, 10L, 2000000L, 4L, 6L)))
+    // C: zero weight → target 0, epochs 0, planned 0
+    assert(got("C") == ((1L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("packEfficiency: matches a straight-line replay; sorted wastes no " +
+    "more than naive; decomposition survives repartition") {
+    // adversarial mix: one giant doc per run of shorts, id order interleaved
+    val docs = (0 until 57).map { i =>
+      val len = if (i % 7 == 0) 40 else 1 + (i % 5)
+      (i.toLong, (1 to len).map(j => s"w$j").mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val b = 4
+    def replay(order: Seq[(Long, Long)]): (Long, Long, Long) = {
+      val batches = order.grouped(b).toSeq
+      val padded = batches.map(g => g.length.toLong * g.map(_._2).max).sum
+      val tok = order.map(_._2).sum
+      (batches.length.toLong, tok, padded)
+    }
+    val lens = docs.map { case (id, t) => (id, t.split(" ", -1).length.toLong) }
+    val wantNaive = replay(lens.sortBy(_._1))
+    val wantSorted = replay(lens.sortBy(x => (x._2, x._1)))
+    val got = TextOps.packEfficiency(df.repartition(7), "doc_id", "text", b)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("naive") == wantNaive)
+    assert(got("sorted") == wantSorted)
+    // sorted batching never pads MORE than naive on the same corpus
+    assert(got("sorted")._3 <= got("naive")._3)
+  }
+
   test("domainMix: rates follow token shares; membership matches the md5 gate") {
     // A holds half the tokens and asks for half the budget → keep all;
     // B asks for a quarter of the budget with half the tokens → 50% rate
