@@ -31,8 +31,8 @@ object Bench {
     "p5_deprecation_filter", "p6_null_normalize", "p9_jsonpath",
     "set_union_dedup", "j3_filter_tree", "j14_struct_key",
     "p4_validation_split", "k10_error_sink", "s15_entrez_batch",
-    "llm_exact_dedup", "llm_minhash_neardup",
-    "llm_simhash", "llm_ngram_jaccard", "llm_text_stats", "llm_langid",
+    "llm_exact_dedup", "llm_minhash_neardup", "llm_minhash_recall",
+    "llm_simhash", "llm_simhash_neardup", "llm_ngram_jaccard", "llm_text_stats", "llm_langid",
     "llm_script_detect",
     "llm_ann_topk", "llm_ann_lsh", "llm_ann_ivf", "llm_ann_recall",
     "llm_embed_neardup", "llm_ann_index_build",

@@ -2989,6 +2989,42 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
     }),
 
+    // MinHash BANDING recall gate — the dedup-family analogue of the ANN
+    // recall rows: candidates are exact-verified, so precision is 1.0 by
+    // construction and the only loss channel is a true near-dup pair
+    // whose signatures never collide in any band. Truth = brute exact
+    // Jaccard over a %5 query sample × corpus (sample-restricted so the
+    // truth side stays O(sample·corpus), never all-pairs); recall =
+    // banded pairs touching the sample / true pairs touching the sample.
+    "llm_minhash_recall" -> ((s, dir) => {
+      val thr = 0.5
+      val ws = t(s, dir, "documents")
+        .withColumn("ws", llm.TextOps.words("text"))
+        .filter(size(col("ws")) >= 3)
+        .withColumn("shingles", llm.TextOps.shingles(3))
+      val sample = ws.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("qa"), col("shingles").as("sh_a"))
+      val corpus = ws.select(col("doc_id").as("qb"), col("shingles").as("sh_b"))
+      val truth = corpus.join(broadcast(sample), col("qa") =!= col("qb"))
+        .filter(llm.TextOps.jaccardSets(col("sh_a"), col("sh_b")) >= thr)
+        .select(least(col("qa"), col("qb")).as("qid"),
+          greatest(col("qa"), col("qb")).as("nid"))
+        .distinct()
+      val found = llm.TextOps.minhashNearDups(
+          t(s, dir, "documents"), "doc_id", "text", threshold = thr)
+        .filter(col("id_a") % 5 === 0 || col("id_b") % 5 === 0)
+        .select(col("id_a").as("qid"), col("id_b").as("nid"))
+      llm.Ann.recallAtK("minhash_bands", truth, found)
+    }),
+
+    // SimHash hamming near-dup pairs: Charikar 4×15-bit block scheme over
+    // 60-bit fingerprints, radius 3 — pigeonhole makes the block join
+    // LOSSLESS at this radius, so the oracle replays brute all-pairs and
+    // the decomposition must equal it exactly.
+    "llm_simhash_neardup" -> ((s, dir) => {
+      llm.TextOps.simhashNearDups(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
     // SimHash document fingerprint (32-bit, +1/-1 bit votes over shingles).
     "llm_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -5632,6 +5668,60 @@ object SparkEntry {
         |  FROM bands a JOIN bands c
         |    ON a.band_id = c.band_id AND a.band_key = c.band_key AND a.doc_id < c.doc_id)
         |SELECT id_a, id_b, jaccard FROM cand WHERE jaccard >= 0.5""".stripMargin,
+    // llm_minhash_recall oracle: the full band chain + the brute
+    // sample-restricted truth + the hit/recall summary row
+    "llm_minhash_recall" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN CAST([] AS VARCHAR[])
+        |  ELSE list_distinct(list_transform(generate_series(1, len(ws)-2),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS shingles FROM w),
+        |hs AS (SELECT doc_id, shingles,
+        |  list_transform(shingles, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS shash
+        |  FROM sh WHERE len(shingles) > 0),
+        |sig AS (SELECT doc_id, shingles, list_transform(generate_series(0, 31), i ->
+        |  list_min(list_transform(shash, h ->
+        |    ((CAST(('0x' || substr(md5('a' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000006 + 1)
+        |      * (h % 1000000007)
+        |     + CAST(('0x' || substr(md5('b' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000007) % 1000000007))) AS sig
+        |  FROM hs),
+        |bands AS (SELECT doc_id, shingles, b AS band_id,
+        |  md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS band_key
+        |  FROM sig, (SELECT unnest(generate_series(0, 7)) AS b)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.shingles, c.shingles)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.shingles, c.shingles))) AS jaccard
+        |  FROM bands a JOIN bands c
+        |    ON a.band_id = c.band_id AND a.band_key = c.band_key AND a.doc_id < c.doc_id),
+        |found AS (SELECT id_a AS qid, id_b AS nid FROM cand
+        |  WHERE jaccard >= 0.5 AND (id_a % 5 = 0 OR id_b % 5 = 0)),
+        |truth AS (SELECT DISTINCT least(s.doc_id, c.doc_id) AS qid, greatest(s.doc_id, c.doc_id) AS nid
+        |  FROM hs s JOIN hs c ON s.doc_id % 5 = 0 AND s.doc_id <> c.doc_id
+        |  WHERE CAST(len(list_intersect(s.shingles, c.shingles)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(s.shingles, c.shingles))) >= 0.5),
+        |hits AS (SELECT count(*) AS n_hits FROM truth JOIN found USING (qid, nid)),
+        |tot AS (SELECT count(*) AS n_truth FROM truth)
+        |SELECT 'minhash_bands' AS path, CAST(n_hits AS BIGINT) AS n_hits, CAST(n_truth AS BIGINT) AS n_truth,
+        |  CASE WHEN n_truth = 0 THEN 0.0 ELSE CAST(n_hits AS DOUBLE) / n_truth END AS recall
+        |FROM hits CROSS JOIN tot""".stripMargin,
+    // llm_simhash_neardup oracle: brute all-pairs hamming over the 60-bit
+    // fingerprint chain — the block decomposition is provably lossless at
+    // radius 3 < 4 blocks, so exact equality is the contract
+    "llm_simhash_neardup" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN CAST([] AS VARCHAR[])
+        |  ELSE list_distinct(list_transform(generate_series(1, len(ws)-2),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS shingles FROM w),
+        |hs AS (SELECT doc_id,
+        |  list_transform(shingles, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS shash
+        |  FROM sh WHERE len(shingles) > 0),
+        |f AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 59), k ->
+        |  CASE WHEN list_sum(list_transform(shash, h ->
+        |      CASE WHEN (h >> k) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+        |    THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)) AS BIGINT) AS sh FROM hs)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+        |FROM f a JOIN f b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
     "llm_simhash" ->
       """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
         |sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN CAST([] AS VARCHAR[])

@@ -101,6 +101,55 @@ object TextOps {
   def simhash(nBits: Int = 32): Column =
     graft.plans.SimHash.simhash64(col("shash"), nBits)
 
+  /** SimHash hamming near-dup pairs via the Charikar block scheme:
+    * fingerprints split into `nBlocks` equal bit blocks; candidates share
+    * at least one EXACT block, then verify `popcount(xor) ≤ maxHamming`.
+    * With `maxHamming < nBlocks` the pigeonhole makes the decomposition
+    * LOSSLESS — a pair within the radius differs in at most `maxHamming`
+    * blocks, so some block matches exactly — and the result EQUALS brute
+    * all-pairs (which is exactly what the oracle replays; unlike MinHash
+    * banding there is no recall loss to measure). Default 60-bit
+    * fingerprints: the shingle hashes are 60-bit (15 hex chars), so bits
+    * 60+ would be degenerate all-zero votes.
+    *
+    * Scale: the join key is (block_id, 15-bit block value) — candidates
+    * per bucket ~ corpus/2^15 per block; for bigger corpora raise
+    * fingerprint width/blocks (the standard 64-bit/4-block layout
+    * detects radius 3 at 2^16 keys). Only the 8-byte fingerprint rides
+    * the self-join — never shingles; verification is one xor+popcount.
+    */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, nBits: Int = 60, nBlocks: Int = 4,
+      maxHamming: Int = 3): DataFrame = {
+    require(nBits % nBlocks == 0, "nBlocks must divide nBits")
+    require(maxHamming < nBlocks,
+      "pigeonhole needs maxHamming < nBlocks (else the block join loses pairs)")
+    val bw = nBits / nBlocks
+    val mask = (1L << bw) - 1
+    val f = df.withColumn("ws", words(textCol))
+      .filter(size(col("ws")) >= k)
+      .withColumn("shingles", shingles(k))
+      .withColumn("shash", shingleHashes)
+      .select(col(idCol).as("id"), simhash(nBits).as("sh"))
+    val blocks = f.select(col("id"), col("sh"),
+        explode(expr(s"""transform(sequence(0, ${nBlocks - 1}), b ->
+          |  struct(b AS block_id,
+          |    shiftright(sh, b * $bw) & $mask AS block_key))""".stripMargin))
+          .as("blk"))
+      .select(col("id"), col("sh"), col("blk.block_id"), col("blk.block_key"))
+    blocks.select(col("id").as("id_a"), col("sh").as("sh_a"),
+        col("block_id"), col("block_key"))
+      .join(blocks.select(col("id").as("id_b"), col("sh").as("sh_b"),
+        col("block_id"), col("block_key")), Seq("block_id", "block_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)").as("hamming"))
+      // a pair can collide in several blocks; hamming is functional in
+      // the pair, so the dedup key is the pair alone
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Exact Jaccard between two array columns (integer counts → one IEEE
     * division; bit-identical across engines). Safe for ANY input: the
     * native [[graft.plans.JaccardSim]] derives |a ∪ b| as |a| + |b| −

@@ -101,6 +101,39 @@ class TextOpsSpec extends AnyFunSuite {
     assert(dupDists.forall(_ <= 6), s"near-dup hamming too large: ${dupDists.toSeq}")
   }
 
+  test("simhashNearDups: block join equals brute all-pairs (pigeonhole " +
+    "losslessness); radius >= block count is rejected") {
+    // planted structure: 3 identical docs (hamming 0), a one-word-tail
+    // variant cluster, and unrelated noise docs
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = (0 until 60).map { i =>
+      val t =
+        if (i % 20 == 3) base
+        else if (i % 20 == 7) base + " coda"
+        else (1 to 12).map(j => s"w${(i * 7 + j * 13) % 97}").mkString(" ")
+      (i.toLong, t)
+    }
+    val df = corpus.toDF("doc_id", "text")
+    val got = TextOps.simhashNearDups(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val f = df.withColumn("ws", TextOps.words("text"))
+      .filter(size(col("ws")) >= 3)
+      .withColumn("shingles", TextOps.shingles(3))
+      .withColumn("shash", TextOps.shingleHashes)
+      .select(col("doc_id"), TextOps.simhash(60).as("sh"))
+      .as[(Long, Long)].collect()
+    val want = (for {
+      (a, sa) <- f; (b, sb) <- f if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(got == want)
+    // the identical-doc pairs guarantee the radius is populated
+    assert(want.exists(_._3 == 0L))
+    assertThrows[IllegalArgumentException] {
+      TextOps.simhashNearDups(df, "doc_id", "text", nBlocks = 3, maxHamming = 3)
+    }
+  }
+
   test("nearPairsFromIndex reproduces minhashNearDups from the persisted frames") {
     val idx = TextOps.buildDedupIndex(docs, "doc_id", "text")
     val fromIdx = TextOps.nearPairsFromIndex(idx, 0.5)
