@@ -2996,6 +2996,10 @@ object SparkEntry {
     // Jaccard over a %5 query sample × corpus (sample-restricted so the
     // truth side stays O(sample·corpus), never all-pairs); recall =
     // banded pairs touching the sample / true pairs touching the sample.
+    // The broadcast(sample) hint is AUDIT-scale only: %5 is modulus-
+    // pinned for oracle parity at test sf, but it is row-proportional —
+    // a production recall audit pins a FIXED-COUNT hash-order sample
+    // (e.g. 1k docs) so the broadcast stays constant-size at any corpus.
     "llm_minhash_recall" -> ((s, dir) => {
       val thr = 0.5
       val ws = t(s, dir, "documents")

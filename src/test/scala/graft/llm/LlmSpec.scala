@@ -843,6 +843,52 @@ class AnnSpec extends AnyFunSuite {
     assert(rec >= 0.8, s"sq recall@3 $rec")
   }
 
+  test("SQ8 + RP property sweep: random corpora with flat and negative " +
+    "dims replay in straight-line Scala") {
+    val rnd = new scala.util.Random(42)
+    (0 until 3).foreach { trial =>
+      val d = 8 + rnd.nextInt(9)
+      val n = 20 + rnd.nextInt(30)
+      // dim 0 flat positive, dim 1 flat large-negative (the mx == mn
+      // branch real embeddings never hit), the rest random ±5000
+      val vecs = (0 until n).map { i =>
+        (i.toLong, (0 until d).map { j =>
+          if (j == 0) 7L
+          else if (j == 1) -40000L
+          else rnd.nextLong() % 5000L
+        })
+      }
+      val df = vecs.toDF("nid", "vq").withColumn("norm2",
+        graft.plans.QuantizedDot.qdot(col("vq"), col("vq")))
+      val cols = (0 until d).map(j => vecs.map(_._2(j)))
+      val mns = cols.map(_.min); val mxs = cols.map(_.max)
+      val enc = Ann.sqRecon(Ann.sqEncode(df, Ann.sqTrain(df)))
+        .select(col("nid"), col("vq"), col("codes"), col("rv")).collect()
+      assert(enc.length == n)
+      enc.foreach { r =>
+        val vq = r.getSeq[Long](1)
+        val codes = r.getSeq[Long](2)
+        val rv = r.getSeq[Long](3)
+        (0 until d).foreach { j =>
+          val want =
+            if (mxs(j) == mns(j)) 0L
+            else (vq(j) - mns(j)) * 255 / (mxs(j) - mns(j))
+          assert(codes(j) == want, s"trial $trial dim $j")
+          assert(rv(j) == mns(j) * 255 + codes(j) * (mxs(j) - mns(j)))
+        }
+      }
+      val dOut = 4
+      val rp = Ann.rpProject(df, dOut, d)
+        .select(col("nid"), col("vq"), col("rp")).collect()
+      rp.foreach { r =>
+        val vq = r.getSeq[Long](1)
+        val want = (0 until dOut).map(k =>
+          vq.indices.map(j => vq(j) * Ann.rpSign(j.toLong * dOut + k)).sum)
+        assert(r.getSeq[Long](2) == want)
+      }
+    }
+  }
+
   test("random projection: matches a plain-Scala replay of the mixer signs; " +
     "sign matrix balanced; topk ranks descend") {
     val e = Ann.withQuantized(emb, "embedding")
