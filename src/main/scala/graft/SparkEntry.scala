@@ -4249,6 +4249,49 @@ object SparkEntry {
           llm.Ann.rpTopK(queries, corpus, dOut = 32, k = 3)))
     }),
 
+    // Distributed Gram/covariance: ONE corpus pass through a mergeable
+    // constant-state aggregator (d(d+1)/2 + d + 1 longs) — upper-triangle
+    // products + sums + count, with exact-integer mean centering
+    // ncov = N·G − S_j·S_k. The frame is d² rows regardless of corpus size.
+    "llm_gram_matrix" -> ((s, dir) => {
+      llm.Pca.gramRows(s, llm.Pca.fit(annCorpus(s, dir)))
+    }),
+
+    // PCA dominant direction: 12 fixed integer power-iteration sweeps over
+    // the scaled covariance (sign-truncating rescale to |c| ≤ 1e6,
+    // |w| ≤ 1e5 per sweep) — Rayleigh ≥ 0.9·λ1 even on this corpus's
+    // near-isotropic spectrum (PcaSpec pins the quality contract).
+    "llm_pca_power" -> ((s, dir) => {
+      llm.Pca.componentRows(s, llm.Pca.fit(annCorpus(s, dir)))
+    }),
+
+    // Projection onto the fitted component: a broadcast-literal integer
+    // dot per row — map-side only, the corpus never shuffles. %5 sample.
+    "llm_pca_project" -> ((s, dir) => {
+      val corpus = annCorpus(s, dir)
+      llm.Pca.project(corpus.filter(col("nid") % 5 === 0),
+          llm.Pca.fit(corpus))
+        .select(col("nid").as("vec_id"), col("y"))
+    }),
+
+    // MMR-diversified rerank: brute top-8 candidates per query, then 3
+    // greedy picks maximizing rel − max-sim-to-picked — the standard
+    // diversification pass between retrieval and a context window. The
+    // corpus is scanned once; the greedy steps run on the checkpointed
+    // |q|·m candidate frame with m²-per-query sims, never corpus pairs.
+    "llm_mmr_rerank" -> ((s, dir) => {
+      llm.Ann.mmrRerank(annQueries(s, dir), annCorpus(s, dir), m = 8, k = 3)
+    }),
+
+    // k-anonymity audit over a quasi-identifier generalization ladder
+    // (lang/source/length-bin, coarsening rung by rung): per-record
+    // minimal safe rung, returned as the disclosure-risk histogram.
+    // Four partial-aggregated census frames, AQE-decided joins (no
+    // pinned broadcasts — L0 combo cardinality is data-derived).
+    "llm_kanon_audit" -> ((s, dir) => {
+      llm.TextOps.kAnonLevels(t(s, dir, "documents"), k = 5)
+    }),
+
     // BPE merge-pair statistics: the corpus-weighted adjacent-char-pair
     // counts tokenizer training maximizes — top-32, counted over the
     // vocab-sized word-frequency table, never the raw token stream.
@@ -5231,6 +5274,42 @@ object SparkEntry {
 
   // ------------------------------------------------------------- oracle SQL
 
+  /** Shared CTE chain for the PCA oracles: quantize → relational Gram →
+    * exact-integer centering → mirror to the full symmetric covariance →
+    * one |c| ≤ 1e6 rescale → 8 unrolled power-iteration sweeps, each a
+    * mat-vec plus a sign-wrapped |w| ≤ 1e5 rescale (DuckDB `//` floors
+    * while Spark `div` truncates — the `CASE WHEN x < 0 THEN -((-x)//sc)`
+    * form makes both truncate toward zero). Ends at CTE `w12`.
+    */
+  private val pcaPowerSqlPrefix: String = {
+    val head =
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS vq FROM embeddings),
+        |u AS (SELECT vec_id, unnest(vq) AS v, generate_subscripts(vq, 1) AS pos FROM e),
+        |g AS (SELECT a.pos - 1 AS j, b.pos - 1 AS k, sum(a.v * b.v) AS g
+        |      FROM u a JOIN u b ON a.vec_id = b.vec_id AND b.pos >= a.pos
+        |      GROUP BY 1, 2),
+        |s AS (SELECT pos - 1 AS j, sum(v) AS s FROM u GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM e),
+        |cov0 AS (SELECT g.j, g.k, CAST(n.n * g.g - sj.s * sk.s AS BIGINT) AS c
+        |  FROM g JOIN s sj ON sj.j = g.j JOIN s sk ON sk.j = g.k CROSS JOIN n),
+        |cov AS MATERIALIZED (
+        |  SELECT j, k, c FROM cov0
+        |  UNION ALL
+        |  SELECT k AS j, j AS k, c FROM cov0 WHERE j <> k),
+        |csc AS (SELECT max(abs(c)) // 1000000 + 1 AS sc FROM cov),
+        |cs AS MATERIALIZED (SELECT j, k,
+        |    CASE WHEN c < 0 THEN -((-c) // sc) ELSE c // sc END AS c
+        |  FROM cov CROSS JOIN csc),
+        |w0 AS MATERIALIZED (SELECT j AS pos, c AS w FROM cs WHERE j = k)""".stripMargin
+    val sweeps = (1 to 12).map { t =>
+      s""",
+         |m$t AS (SELECT cs.j AS pos, sum(cs.c * w${t - 1}.w) AS m FROM cs JOIN w${t - 1} ON w${t - 1}.pos = cs.k GROUP BY 1),
+         |sc$t AS (SELECT max(abs(m)) // 100000 + 1 AS sc FROM m$t),
+         |w$t AS MATERIALIZED (SELECT pos, CASE WHEN m < 0 THEN -((-m) // sc) ELSE m // sc END AS w FROM m$t CROSS JOIN sc$t)""".stripMargin
+    }.mkString
+    head + sweeps
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -6012,6 +6091,94 @@ object SparkEntry {
         |SELECT 'rp32' AS path, CAST(h32.n_hits AS BIGINT) AS n_hits, CAST(tot.n_truth AS BIGINT) AS n_truth,
         |  CASE WHEN tot.n_truth = 0 THEN 0.0 ELSE CAST(h32.n_hits AS DOUBLE) / tot.n_truth END AS recall
         |FROM h32 CROSS JOIN tot""".stripMargin,
+    // llm_gram_matrix oracle: the Gram/covariance replayed RELATIONALLY —
+    // an unnest self-join within vec_id grouped on (j, k), structurally
+    // independent of the Spark side's single-buffer aggregator, plus the
+    // exact-integer centering ncov = N·G − S_j·S_k
+    "llm_gram_matrix" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS vq FROM embeddings),
+        |u AS (SELECT vec_id, unnest(vq) AS v, generate_subscripts(vq, 1) AS pos FROM e),
+        |g AS (SELECT a.pos - 1 AS j, b.pos - 1 AS k, sum(a.v * b.v) AS g
+        |      FROM u a JOIN u b ON a.vec_id = b.vec_id AND b.pos >= a.pos
+        |      GROUP BY 1, 2),
+        |s AS (SELECT pos - 1 AS j, sum(v) AS s FROM u GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM e)
+        |SELECT CAST(g.j AS BIGINT) AS j, CAST(g.k AS BIGINT) AS k,
+        |  CAST(g.g AS BIGINT) AS g,
+        |  CAST(n.n * g.g - sj.s * sk.s AS BIGINT) AS ncov
+        |FROM g JOIN s sj ON sj.j = g.j JOIN s sk ON sk.j = g.k CROSS JOIN n""".stripMargin,
+    // llm_pca_power oracle: the full 8-sweep integer power iteration
+    // unrolled as CTEs — sign-wrapped `//` everywhere a numerator can be
+    // negative (DuckDB `//` floors, Spark div truncates; the sign-abs form
+    // makes both truncate), covariance mirrored from the upper triangle,
+    // |c| rescaled to ≤ 1e6 once and |w| to ≤ 1e5 per sweep
+    "llm_pca_power" ->
+      (pcaPowerSqlPrefix + """
+        |SELECT CAST(pos AS BIGINT) AS pos, CAST(w AS BIGINT) AS w FROM w12""".stripMargin),
+    // llm_pca_project oracle: the same derived w8 joined back against the
+    // unnested %5 sample — one integer dot per vector
+    "llm_pca_project" ->
+      (pcaPowerSqlPrefix + """
+        |SELECT u.vec_id, CAST(sum(u.v * w12.w) AS BIGINT) AS y
+        |FROM u JOIN w12 ON w12.pos = u.pos - 1
+        |WHERE u.vec_id % 5 = 0 GROUP BY 1""".stripMargin),
+    // llm_mmr_rerank oracle: brute top-8 candidates, m²-per-query pairwise
+    // sims, then the k = 3 greedy unrolled as three pick CTEs with the
+    // (score DESC, nid ASC) tie law at every step
+    "llm_mmr_rerank" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS vq FROM embeddings),
+        |en AS MATERIALIZED (SELECT vec_id, vq, CAST(list_sum(list_transform(vq, x -> x * x)) AS BIGINT) AS n2 FROM e),
+        |q AS (SELECT vec_id AS qid, vq AS qv, n2 AS qn FROM en WHERE vec_id % 50 = 0),
+        |scored AS (SELECT qid, en.vec_id AS nid, en.vq AS nv, en.n2 AS nn,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * en.vq[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(en.n2 AS DOUBLE))) AS rel
+        |  FROM en CROSS JOIN q WHERE en.vec_id <> qid),
+        |cand AS MATERIALIZED (SELECT qid, nid, nv, nn, rel FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, nid ASC) AS rnk FROM scored)
+        |  WHERE rnk <= 8),
+        |sims AS MATERIALIZED (SELECT a.qid, a.nid AS a, b.nid AS b,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(a.nv)), i -> a.nv[i] * b.nv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(a.nn AS DOUBLE)) * sqrt(CAST(b.nn AS DOUBLE))) AS sim
+        |  FROM cand a JOIN cand b ON a.qid = b.qid AND a.nid <> b.nid),
+        |p1 AS MATERIALIZED (SELECT qid, nid, rel AS score FROM (
+        |    SELECT qid, nid, rel, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, nid ASC) AS rnk FROM cand)
+        |  WHERE rnk = 1),
+        |c2 AS (SELECT c.qid, c.nid, c.rel - s.sim AS score
+        |  FROM cand c JOIN p1 ON p1.qid = c.qid AND c.nid <> p1.nid
+        |  JOIN sims s ON s.qid = c.qid AND s.a = c.nid AND s.b = p1.nid),
+        |p2 AS MATERIALIZED (SELECT qid, nid, score FROM (
+        |    SELECT qid, nid, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rnk FROM c2)
+        |  WHERE rnk = 1),
+        |c3 AS (SELECT c.qid, c.nid, c.rel - greatest(s1.sim, s2.sim) AS score
+        |  FROM cand c
+        |  JOIN p1 ON p1.qid = c.qid JOIN p2 ON p2.qid = c.qid
+        |  JOIN sims s1 ON s1.qid = c.qid AND s1.a = c.nid AND s1.b = p1.nid
+        |  JOIN sims s2 ON s2.qid = c.qid AND s2.a = c.nid AND s2.b = p2.nid
+        |  WHERE c.nid <> p1.nid AND c.nid <> p2.nid),
+        |p3 AS (SELECT qid, nid, score FROM (
+        |    SELECT qid, nid, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rnk FROM c3)
+        |  WHERE rnk = 1)
+        |SELECT qid, CAST(1 AS BIGINT) AS mmr_rank, nid, score FROM p1
+        |UNION ALL SELECT qid, CAST(2 AS BIGINT), nid, score FROM p2
+        |UNION ALL SELECT qid, CAST(3 AS BIGINT), nid, score FROM p3""".stripMargin,
+    // llm_kanon_audit oracle: the four-rung census joined back per record,
+    // CASE cascade to the first rung reaching k = 5, histogram
+    "llm_kanon_audit" ->
+      """WITH d AS (SELECT doc_id, lang, source, n_chars // 100 AS bin100, n_chars // 1000 AS bin1000 FROM documents),
+        |l0 AS (SELECT lang, source, bin100, count(*) AS c FROM d GROUP BY 1, 2, 3),
+        |l1 AS (SELECT lang, source, bin1000, count(*) AS c FROM d GROUP BY 1, 2, 3),
+        |l2 AS (SELECT lang, bin1000, count(*) AS c FROM d GROUP BY 1, 2),
+        |l3 AS (SELECT lang, count(*) AS c FROM d GROUP BY 1),
+        |lv AS (SELECT d.doc_id,
+        |    CASE WHEN l0.c >= 5 THEN 0 WHEN l1.c >= 5 THEN 1 WHEN l2.c >= 5 THEN 2
+        |         WHEN l3.c >= 5 THEN 3 ELSE 4 END AS anon_level
+        |  FROM d
+        |  JOIN l0 ON l0.lang = d.lang AND l0.source = d.source AND l0.bin100 = d.bin100
+        |  JOIN l1 ON l1.lang = d.lang AND l1.source = d.source AND l1.bin1000 = d.bin1000
+        |  JOIN l2 ON l2.lang = d.lang AND l2.bin1000 = d.bin1000
+        |  JOIN l3 ON l3.lang = d.lang)
+        |SELECT CAST(anon_level AS BIGINT) AS anon_level, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM lv GROUP BY 1""".stripMargin,
     // llm_ann_filtered oracle: identical brute ranking, corpus
     // pre-restricted by the metadata predicate
     "llm_ann_filtered" ->

@@ -764,6 +764,63 @@ object Ann {
     small.unionByName(big)
   }
 
+  /** Maximal-marginal-relevance rerank: brute top-`m` candidates per
+    * query, then `k` greedy picks maximizing `rel(d) − max_{p∈picked}
+    * sim(d, p)` (the λ = ½ MMR objective with the monotone ½ dropped) —
+    * the standard diversification pass between retrieval and a context
+    * window, so near-duplicate hits don't crowd out coverage.
+    *
+    * Scale shape: the corpus is touched exactly once (inside
+    * [[bruteTopK]], or swap in any ANN tier that yields the same
+    * (qid, nid, cos) candidates); everything after operates on the
+    * |queries|·m candidate frame, which is `localCheckpoint`ed so the
+    * k−1 greedy steps never rescan the corpus. Pairwise sims are
+    * m²-per-query (≤ 64 rows here), never corpus-pairs. Determinism:
+    * cosine from exact integer dots, ties broken (score DESC, nid ASC).
+    */
+  def mmrRerank(queries: DataFrame, corpus: DataFrame,
+      m: Int = 8, k: Int = 3): DataFrame = {
+    val top = bruteTopK(queries, corpus, m) // (qid, rank, nid, cos)
+    val cand = corpus
+      .join(broadcast(top.select(col("qid"), col("nid"), col("cos").as("rel"))),
+        Seq("nid"))
+      .select(col("qid"), col("nid"), col("vq").as("nv"),
+        col("norm2").as("nn"), col("rel"))
+      .localCheckpoint()
+    val a = cand.select(col("qid"), col("nid").as("a"), col("nv").as("av"),
+      col("nn").as("an"))
+    val b = cand.select(col("qid"), col("nid").as("b"), col("nv").as("bv"),
+      col("nn").as("bn"))
+    val sims = a.join(b, Seq("qid")).filter(col("a") =!= col("b"))
+      .withColumn("sim", cosine(dot("av", "bv"), col("an"), col("bn")))
+      .select(col("qid"), col("a"), col("b"), col("sim"))
+      .localCheckpoint()
+    val w1 = Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("nid").asc)
+    var picked = cand
+      .withColumn("rnk", row_number().over(w1)).filter(col("rnk") === 1)
+      .select(col("qid"), lit(1L).as("mmr_rank"), col("nid"),
+        col("rel").as("score"))
+    var step = 2
+    while (step <= k) {
+      val chosen = picked.select(col("qid"), col("nid"))
+      val pen = sims
+        .join(chosen, sims("qid") === chosen("qid") && sims("b") === chosen("nid"))
+        .groupBy(sims("qid").as("qid"), col("a").as("nid"))
+        .agg(max(col("sim")).as("maxsim"))
+      val scored = cand.join(chosen, Seq("qid", "nid"), "left_anti")
+        .join(pen, Seq("qid", "nid"))
+        .withColumn("score", col("rel") - col("maxsim"))
+      val ws = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid").asc)
+      val next = scored.withColumn("rnk", row_number().over(ws))
+        .filter(col("rnk") === 1)
+        .select(col("qid"), lit(step.toLong).as("mmr_rank"), col("nid"),
+          col("score"))
+      picked = picked.unionByName(next).localCheckpoint()
+      step += 1
+    }
+    picked
+  }
+
   /** Exact-cosine pair join over rows sharing `joinCols` (which always
     * includes the block key, so pairs never cross blocks). Each row carries
     * exactly one bucket in the LSH tier, so no pair is emitted twice.

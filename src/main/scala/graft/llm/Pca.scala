@@ -1,0 +1,161 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Distributed PCA over the quantized embedding grid, built the way the
+  * public Spark MLlib design does it (RowMatrix.computePrincipalComponents:
+  * aggregate the d×d Gram distributively, eigensolve the constant-size
+  * result on the driver) — but with an exact-integer contract end to end,
+  * so an independent engine can replay every step bit-for-bit:
+  *
+  *  - ONE corpus pass computes the upper-triangle Gram `G[j][k] = Σ x_j·x_k`,
+  *    the coordinate sums `S_j` and the row count `N` in a single mergeable
+  *    [[Aggregator]] buffer (d(d+1)/2 + d + 1 longs — constant-size state,
+  *    map-side partial aggregation, no shuffle of expanded pairs). At
+  *    d = 64 that is 2,145 longs per partial; a 1000-executor scan merges
+  *    them in one tree reduction.
+  *  - Mean-centering stays integer: `ncov[j][k] = N·G[j][k] − S_j·S_k`
+  *    is N² times the biased covariance, exactly. Overflow bound:
+  *    |ncov| ≤ N²·B² for |x| ≤ B on the ×100 grid; with B ≈ 100·‖x‖∞ the
+  *    product fits a signed 64-bit long while N·B < 3·10⁹ (N ≈ 30M rows at
+  *    B = 100). Beyond that a production run switches to the two-pass
+  *    form (pass 1: integer means m_j = S_j quot N; pass 2: Gram of the
+  *    shifted grid x − m), which re-centers the magnitudes at the cost of
+  *    one extra scan — the classic shift trick; same aggregator either way.
+  *  - The dominant eigenvector comes from FIXED-COUNT power iteration in
+  *    saturating integer arithmetic: the covariance is rescaled once to
+  *    |c| ≤ 10⁶ and the iterate to |w| ≤ 10⁵ after every mat-vec, both via
+  *    sign·(|v| quot scale) (truncation toward zero — Spark `div` and the
+  *    oracle's sign-wrapped `//` agree on negatives only in this form).
+  *    Every intermediate is then ≤ 64·10⁶·10⁶ < 2⁶³. On a near-isotropic
+  *    spectrum the iterate's Rayleigh quotient converges long before the
+  *    eigenvector direction does (λ1/λ2 → 1), so the model's quality
+  *    contract is Rayleigh ≥ 0.9·λ1 (pinned by PcaSpec), not alignment.
+  *  - The d×d solve itself is driver-side over the COLLECTED one-row
+  *    aggregate — the same aggregate-sized-collect class as the PQ
+  *    codebooks: its size is d(d+1)/2 + d + 1 regardless of corpus rows.
+  *
+  * Projection (`project`) is map-side only: the integer eigenvector is a
+  * broadcast literal, each row computes one d-length integer dot — the
+  * corpus never shuffles.
+  */
+object Pca {
+
+  /** One-pass Gram + sums + count. Buffer layout: `[0, tri)` the
+    * upper-triangle products in (j outer, k ≥ j inner) order,
+    * `[tri, tri+d)` the coordinate sums, `[tri+d]` the row count.
+    */
+  private final class GramAgg(d: Int)
+      extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+    private val tri = d * (d + 1) / 2
+    def zero: Array[Long] = new Array[Long](tri + d + 1)
+    def reduce(b: Array[Long], row: Seq[Long]): Array[Long] = {
+      val a = row.toArray
+      var idx = 0
+      var j = 0
+      while (j < d) {
+        val vj = a(j)
+        var k = j
+        while (k < d) { b(idx) += vj * a(k); idx += 1; k += 1 }
+        b(tri + j) += vj
+        j += 1
+      }
+      b(tri + d) += 1L
+      b
+    }
+    def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < x.length) { x(i) += y(i); i += 1 }
+      x
+    }
+    def finish(b: Array[Long]): Seq[Long] = b.toSeq
+    def bufferEncoder: ExpressionEncoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+    def outputEncoder: ExpressionEncoder[Seq[Long]] =
+      ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** Fitted model: everything is exact integers on the ×100 grid. `w` is
+    * the power-iterated dominant direction, |w| ≤ 10⁵.
+    */
+  final case class PcaModel(d: Int, n: Long, sums: Seq[Long],
+      gramUpper: Seq[Long], w: Seq[Long]) {
+    private val tri = d * (d + 1) / 2
+    /** Full (j)(k) integer Gram. */
+    def gram(j: Int, k: Int): Long = {
+      val (a, b) = if (j <= k) (j, k) else (k, j)
+      gramUpper(a * d - a * (a - 1) / 2 + (b - a))
+    }
+    /** N²-scaled biased covariance, exact: `N·G − S_j·S_k`. */
+    def ncov(j: Int, k: Int): Long = n * gram(j, k) - sums(j) * sums(k)
+    require(gramUpper.length == tri, s"gram length ${gramUpper.length}")
+  }
+
+  /** Truncation-toward-zero scaled division shared with the oracle replay:
+    * `sign(v) · (|v| quot (max|values| quot target + 1))`.
+    */
+  private def rescale(v: Array[Long], target: Long): Array[Long] = {
+    var mx = 0L
+    v.foreach(x => mx = math.max(mx, math.abs(x)))
+    val sc = mx / target + 1
+    v.map(x => if (x < 0) -((-x) / sc) else x / sc)
+  }
+
+  /** Aggregate Gram/sums/count in one corpus pass, then run `iters`
+    * integer power-iteration sweeps on the driver (the buffer is
+    * constant-size — see the class doc for why this collect is sound).
+    * `corpus` must carry the quantized `vq` column ([[Ann.withQuantized]]).
+    */
+  def fit(corpus: DataFrame, d: Int = 64, iters: Int = 12): PcaModel = {
+    val agg = udaf(new GramAgg(d))
+    val buf = corpus.agg(agg(col("vq")).as("buf"))
+      .head().getSeq[Long](0)
+    val tri = d * (d + 1) / 2
+    val model0 = PcaModel(d, buf(tri + d), buf.slice(tri, tri + d),
+      buf.slice(0, tri), Nil)
+    // scaled covariance |c| <= 1e6, then w0 = diagonal (PSD: non-negative,
+    // generically non-orthogonal to the dominant eigenvector)
+    val flat = Array.tabulate(d * d)(i => model0.ncov(i / d, i % d))
+    val cs = rescale(flat, 1000000L)
+    var w = Array.tabulate(d)(j => cs(j * d + j))
+    var t = 0
+    while (t < iters) {
+      val m = Array.tabulate(d) { j =>
+        var acc = 0L
+        var k = 0
+        while (k < d) { acc += cs(j * d + k) * w(k); k += 1 }
+        acc
+      }
+      w = rescale(m, 100000L)
+      t += 1
+    }
+    model0.copy(w = w.toSeq)
+  }
+
+  /** The (j, k, g, ncov) upper-triangle rows of the fitted Gram/covariance
+    * as a local frame — j ≤ k, 0-based.
+    */
+  def gramRows(spark: SparkSession, model: PcaModel): DataFrame = {
+    import spark.implicits._
+    (for { j <- 0 until model.d; k <- j until model.d }
+      yield (j.toLong, k.toLong, model.gram(j, k), model.ncov(j, k)))
+      .toDF("j", "k", "g", "ncov")
+  }
+
+  /** The fitted integer eigenvector as (pos, w) rows. */
+  def componentRows(spark: SparkSession, model: PcaModel): DataFrame = {
+    import spark.implicits._
+    model.w.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("pos", "w")
+  }
+
+  /** Map-side projection onto the integer component: `y = Σ_j vq_j·w_j`
+    * (a broadcast-literal d-length integer dot per row — no shuffle).
+    */
+  def project(corpus: DataFrame, model: PcaModel): DataFrame =
+    corpus.withColumn("y",
+      graft.plans.QuantizedDot.qdot(col("vq"), typedLit(model.w)))
+}

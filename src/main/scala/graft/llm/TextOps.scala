@@ -1559,4 +1559,49 @@ object TextOps {
       .orderBy(col("lift_micro").desc, col("w1"), col("w2"))
       .limit(topK)
   }
+
+  /** k-anonymity audit over a generalization ladder of quasi-identifiers —
+    * the privacy gate a curation pipeline runs before releasing per-record
+    * metadata next to scrubbed text (quasi-identifier combinations that
+    * isolate fewer than `k` records re-identify them even with PII gone).
+    *
+    * Ladder, finest first (each step generalizes one attribute, the
+    * classic full-domain lattice walk):
+    *  - L0 (lang, source, n_chars quot 100)
+    *  - L1 (lang, source, n_chars quot 1000)   — coarser length bin
+    *  - L2 (lang, n_chars quot 1000)           — source suppressed
+    *  - L3 (lang)                              — length suppressed
+    *  - L4: still under k at L3 → must be suppressed outright.
+    * Each record's `anon_level` is the FIRST rung whose equivalence class
+    * reaches `k`; the returned histogram (anon_level, n_docs) is the
+    * disclosure-risk profile of the release.
+    *
+    * Scale shape: four partial-aggregated census frames (map-side combine
+    * to distinct-combo cardinality, low by construction at the coarser
+    * rungs) joined back WITHOUT pinned broadcast hints — L0's combo count
+    * is data-derived (sources × bins), so AQE decides per run; the joins
+    * are key-equi and spill-safe either way.
+    */
+  def kAnonLevels(docs: DataFrame, k: Int = 5): DataFrame = {
+    val d = docs.select(col("doc_id"), col("lang"), col("source"),
+      expr("n_chars div 100").as("bin100"),
+      expr("n_chars div 1000").as("bin1000"))
+    val l0 = d.groupBy(col("lang"), col("source"), col("bin100"))
+      .agg(count(lit(1)).as("c0"))
+    val l1 = d.groupBy(col("lang"), col("source"), col("bin1000"))
+      .agg(count(lit(1)).as("c1"))
+    val l2 = d.groupBy(col("lang"), col("bin1000"))
+      .agg(count(lit(1)).as("c2"))
+    val l3 = d.groupBy(col("lang")).agg(count(lit(1)).as("c3"))
+    d.join(l0, Seq("lang", "source", "bin100"))
+      .join(l1, Seq("lang", "source", "bin1000"))
+      .join(l2, Seq("lang", "bin1000"))
+      .join(l3, Seq("lang"))
+      .withColumn("anon_level",
+        when(col("c0") >= k, 0L).when(col("c1") >= k, 1L)
+          .when(col("c2") >= k, 2L).when(col("c3") >= k, 3L)
+          .otherwise(4L))
+      .groupBy(col("anon_level"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
 }

@@ -44,6 +44,37 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("k-anonymity ladder: histogram matches a straight-line replay and " +
+    "covers every record exactly once") {
+    val rows = docs.select(col("doc_id"), col("lang"), col("source"),
+      col("n_chars")).as[(Long, String, String, Long)].collect()
+    val k = 5
+    def census[K](key: ((Long, String, String, Long)) => K): Map[K, Int] =
+      rows.groupBy(key).view.mapValues(_.length).toMap
+    val c0 = census(r => (r._2, r._3, r._4 / 100))
+    val c1 = census(r => (r._2, r._3, r._4 / 1000))
+    val c2 = census(r => (r._2, r._4 / 1000))
+    val c3 = census(r => r._2)
+    val want = rows.map { r =>
+      if (c0((r._2, r._3, r._4 / 100)) >= k) 0L
+      else if (c1((r._2, r._3, r._4 / 1000)) >= k) 1L
+      else if (c2((r._2, r._4 / 1000)) >= k) 2L
+      else if (c3(r._2) >= k) 3L
+      else 4L
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = TextOps.kAnonLevels(docs, k)
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+    assert(got.values.sum == rows.length.toLong)
+    // raising k can only push records to coarser rungs (monotone ladder)
+    val got10 = TextOps.kAnonLevels(docs, 10).as[(Long, Long)].collect().toMap
+    def cum(m: Map[Long, Long], lvl: Long): Long =
+      m.filter(_._1 <= lvl).values.sum
+    (0L to 3L).foreach { lvl =>
+      assert(cum(got10, lvl) <= cum(got, lvl), s"k=10 finer than k=5 at $lvl")
+    }
+  }
+
   test("minhash LSH finds planted near-dups and nothing below threshold") {
     val found = TextOps.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
       .collect()
@@ -841,6 +872,49 @@ class AnnSpec extends AnyFunSuite {
     val rec = Ann.recallAtK("sq", truth, Ann.sqSearch(q, c, 3))
       .collect()(0).getDouble(3)
     assert(rec >= 0.8, s"sq recall@3 $rec")
+  }
+
+  test("MMR rerank: matches a straight-line greedy replay; picks are " +
+    "distinct; rank-1 is the brute best") {
+    val e = Ann.withQuantized(emb, "embedding")
+    val q = e.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("vq"), col("norm2"))
+    val c = e.select(col("vec_id").as("nid"), col("vq"), col("norm2"))
+    val m = 8; val k = 3
+    val got = Ann.mmrRerank(q, c, m, k)
+      .select(col("qid"), col("mmr_rank"), col("nid"), col("score"))
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._3, r._4))).toMap
+
+    // straight-line greedy replay over the collected grid
+    val vecs = e.select(col("vec_id"), col("vq"))
+      .as[(Long, Seq[Long])].collect().toMap
+    def cos(a: Seq[Long], b: Seq[Long]): Double = {
+      val dp = a.indices.map(i => a(i) * b(i)).sum.toDouble
+      val na = math.sqrt(a.map(x => x * x).sum.toDouble)
+      val nb = math.sqrt(b.map(x => x * x).sum.toDouble)
+      dp / (na * nb)
+    }
+    vecs.keys.filter(_ % 25 == 0).foreach { qid =>
+      val qv = vecs(qid)
+      val cand = vecs.toSeq.filter(_._1 != qid)
+        .map { case (nid, nv) => (nid, cos(qv, nv)) }
+        .sortBy { case (nid, rel) => (-rel, nid) }.take(m)
+      var picked = List.empty[(Long, Double)]
+      (1 to k).foreach { _ =>
+        val remaining = cand.filterNot(cd => picked.exists(_._1 == cd._1))
+        val scored = remaining.map { case (nid, rel) =>
+          val pen =
+            if (picked.isEmpty) 0.0
+            else picked.map(p => cos(vecs(nid), vecs(p._1))).max
+          (nid, if (picked.isEmpty) rel else rel - pen)
+        }
+        val best = scored.minBy { case (nid, sc) => (-sc, nid) }
+        picked = picked :+ best
+      }
+      assert(got(qid).toSeq == picked, s"qid $qid")
+      assert(got(qid).map(_._1).distinct.length == k)
+    }
   }
 
   test("SQ8 + RP property sweep: random corpora with flat and negative " +
