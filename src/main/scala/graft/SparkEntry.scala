@@ -4292,6 +4292,50 @@ object SparkEntry {
       llm.TextOps.kAnonLevels(t(s, dir, "documents"), k = 5)
     }),
 
+    // Cross-source quantile calibration: each source's micro-quantized
+    // quality score maps onto the pooled distribution via exact integer
+    // rank arithmetic — histograms rank, rows never sort; the only
+    // non-equi join is histogram × broadcast-histogram. %20 sample.
+    "llm_score_calibrate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("ws", llm.TextOps.words("text"))
+        .withColumn("score_micro",
+          floor(llm.TextOps.qualityScore * lit(1000000.0)).cast("long"))
+      llm.Sampling.calibrateScores(docs, "doc_id", "source", "score_micro")
+        .filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), col("source"), col("score_micro"),
+          col("src_rank"), col("mapped_rank"), col("calib_micro"))
+    }),
+
+    // Leakage-safe split: near-dup CLUSTERS (not documents) hash into
+    // train/test, so no near-duplicate pair straddles the split — the
+    // audit column proves it (n_cross_pairs is COMPUTED, and 0).
+    "llm_cluster_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = llm.TextOps.minhashNearDups(docs, "doc_id", "text",
+        threshold = 0.5).localCheckpoint()
+      val asg = llm.Clusters.leakageSafeSplit(docs.select(col("doc_id")),
+        "doc_id", pairs, "id_a", "id_b", trainPct = 80).localCheckpoint()
+      val cross = pairs
+        .join(asg.select(col("doc_id").as("id_a"), col("split").as("__sa")),
+          Seq("id_a"))
+        .join(asg.select(col("doc_id").as("id_b"), col("split").as("__sb")),
+          Seq("id_b"))
+        .filter(col("__sa") =!= col("__sb"))
+        .agg(count(lit(1)).as("n_cross_pairs"))
+      asg.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"))
+        .crossJoin(broadcast(cross))
+    }),
+
+    // Robust outlier gate: exact median + MAD off a ONE-scan value
+    // histogram (deviation histogram derives from the value histogram,
+    // never from rows), k = 2 fence, one audit row.
+    "llm_mad_outliers" -> ((s, dir) => {
+      llm.Sketches.madOutliers(t(s, dir, "documents"), "n_chars", k = 2)
+    }),
+
     // BPE merge-pair statistics: the corpus-weighted adjacent-char-pair
     // counts tokenizer training maximizes — top-32, counted over the
     // vocab-sized word-frequency table, never the raw token stream.
@@ -6161,6 +6205,82 @@ object SparkEntry {
         |SELECT qid, CAST(1 AS BIGINT) AS mmr_rank, nid, score FROM p1
         |UNION ALL SELECT qid, CAST(2 AS BIGINT), nid, score FROM p2
         |UNION ALL SELECT qid, CAST(3 AS BIGINT), nid, score FROM p3""".stripMargin,
+    // llm_score_calibrate oracle: the same min-rank / pooled-position law
+    // via window functions — rank() IS min-rank under ties, and the
+    // pooled value at position p is position-unique regardless of the
+    // row_number tiebreak (equal scores share the value)
+    "llm_score_calibrate" ->
+      """WITH w AS (SELECT doc_id, source, text, string_split(lower(text), ' ') AS ws FROM documents),
+        |sc AS (SELECT doc_id, source, CAST(floor((
+        |   CASE WHEN length(text) BETWEEN 100 AND 5000 THEN 1.0
+        |        WHEN length(text) > 5000 THEN 0.5 ELSE 0.2 END +
+        |   CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(ws)
+        |             BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.4 END +
+        |   CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE) / length(text)
+        |  ) / 3.0 * 1000000) AS BIGINT) AS score_micro FROM w),
+        |r AS (SELECT *, CAST(rank() OVER (PARTITION BY source ORDER BY score_micro) AS BIGINT) AS src_rank,
+        |       count(*) OVER (PARTITION BY source) AS n_s, count(*) OVER () AS n FROM sc),
+        |m AS (SELECT *, CAST((src_rank - 1) * n // n_s + 1 AS BIGINT) AS mapped_rank FROM r),
+        |pooled AS (SELECT score_micro AS calib_micro, row_number() OVER (ORDER BY score_micro, doc_id) AS pos FROM sc)
+        |SELECT doc_id, source, score_micro, src_rank, mapped_rank, calib_micro
+        |FROM m JOIN pooled ON pooled.pos = m.mapped_rank WHERE doc_id % 20 = 0""".stripMargin,
+    // llm_cluster_split oracle: the llm_dedup_clusters recursive-CC chain,
+    // then the cluster-root hash split (%100 < 80) and the cross-split
+    // near-dup pair audit (0 by construction — clusters move whole)
+    "llm_cluster_split" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN CAST([] AS VARCHAR[])
+        |  ELSE list_distinct(list_transform(generate_series(1, len(ws)-2),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS shingles FROM w),
+        |hs AS (SELECT doc_id, shingles,
+        |  list_transform(shingles, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS shash
+        |  FROM sh WHERE len(shingles) > 0),
+        |sig AS (SELECT doc_id, shingles, list_transform(generate_series(0, 31), i ->
+        |  list_min(list_transform(shash, h ->
+        |    ((CAST(('0x' || substr(md5('a' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000006 + 1)
+        |      * (h % 1000000007)
+        |     + CAST(('0x' || substr(md5('b' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000007) % 1000000007))) AS sig
+        |  FROM hs),
+        |bands AS (SELECT doc_id, shingles, b AS band_id,
+        |  md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS band_key
+        |  FROM sig, (SELECT unnest(generate_series(0, 7)) AS b)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.shingles, c.shingles)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.shingles, c.shingles))) AS jaccard
+        |  FROM bands a JOIN bands c
+        |    ON a.band_id = c.band_id AND a.band_key = c.band_key AND a.doc_id < c.doc_id),
+        |pairs AS (SELECT id_a, id_b FROM cand WHERE jaccard >= 0.5),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+        |comp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |asg AS (SELECT doc_id, cluster_id,
+        |  CASE WHEN CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80
+        |       THEN 'train' ELSE 'test' END AS split
+        |  FROM comp),
+        |cross_pairs AS (SELECT CAST(count(*) AS BIGINT) AS n_cross FROM pairs
+        |  JOIN asg a ON a.doc_id = pairs.id_a JOIN asg b ON b.doc_id = pairs.id_b
+        |  WHERE a.split <> b.split)
+        |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+        |  (SELECT n_cross FROM cross_pairs) AS n_cross_pairs
+        |FROM asg GROUP BY 1""".stripMargin,
+    // llm_mad_outliers oracle: the same histogram-median law — lower
+    // median = min v with cum >= (n+1)//2, deviation histogram derived
+    // from the value histogram, k = 2 fence
+    "llm_mad_outliers" ->
+      """WITH h AS (SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY 1),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h),
+        |cum AS (SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum FROM h),
+        |med AS (SELECT min(v) AS med FROM cum CROSS JOIN n WHERE cum >= (n + 1) // 2),
+        |dh AS (SELECT abs(h.v - med.med) AS dv, CAST(sum(c) AS BIGINT) AS c FROM h CROSS JOIN med GROUP BY 1),
+        |dcum AS (SELECT dv, CAST(sum(c) OVER (ORDER BY dv) AS BIGINT) AS cum FROM dh),
+        |mad AS (SELECT min(dv) AS mad FROM dcum CROSS JOIN n WHERE cum >= (n + 1) // 2),
+        |outl AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_outliers FROM dh CROSS JOIN mad WHERE dv > 2 * mad)
+        |SELECT n.n AS n_rows, med.med AS median, mad.mad AS mad, outl.n_outliers
+        |FROM n CROSS JOIN med CROSS JOIN mad CROSS JOIN outl""".stripMargin,
     // llm_kanon_audit oracle: the four-rung census joined back per record,
     // CASE cascade to the first rung reaching k = 5, histogram
     "llm_kanon_audit" ->

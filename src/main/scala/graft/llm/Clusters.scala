@@ -152,4 +152,27 @@ object Clusters {
       .select(col(idCol), col("cluster_id"), col("cluster_size"),
         (col(idCol) === col("cluster_id")).as("is_canonical"))
   }
+
+  /** Leakage-safe train/test split: assign each near-dup CLUSTER (not
+    * each document) to a split by hashing its canonical id — documents in
+    * the same cluster always land together, so no near-duplicate pair can
+    * straddle train/test (the eval-contamination mode a per-document
+    * hash split silently permits: the model "memorizes" a training doc
+    * and is scored on its near-copy).
+    *
+    * Split rule: `h64(cluster_id) % 100 < trainPct` — the repo's standard
+    * md5-prefix hash, deterministic and engine-reproducible. Singleton
+    * docs hash on themselves (their cluster_id is their own id). Scale:
+    * one connected-components pass (pointer-jumping, lineage-truncated)
+    * plus a map-side hash — nothing beyond dedupClusters' own cost.
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      trainPct: Int = 80): DataFrame = {
+    require(trainPct > 0 && trainPct < 100, s"trainPct in (0,100): $trainPct")
+    dedupClusters(docs, idCol, pairs, aCol, bCol)
+      .withColumn("split",
+        when(TextOps.h64c(col("cluster_id").cast("string")) % 100 < trainPct,
+          "train").otherwise("test"))
+  }
 }

@@ -461,4 +461,80 @@ object Sampling {
         col("target_tokens"), col("epochs_micro"), col("planned_tokens"),
         col("deficit"))
   }
+
+  /** Cross-source score calibration by quantile mapping: each source's
+    * score distribution is mapped onto the POOLED corpus distribution, so
+    * "top decile of source A" and "top decile of source B" become
+    * comparable numbers even when the sources' raw score scales differ
+    * (the classic quantile-normalization move before a global quality
+    * cut or curriculum order mixes heterogeneous feeds).
+    *
+    * Exact-integer law, deterministic under ties:
+    *  - within-source MIN-rank `r = 1 + #{strictly smaller scores in
+    *    the source}` (ties share a rank — calibration is a pure function
+    *    of (source, score), never of row order);
+    *  - mapped pooled position `p = (r − 1)·N quot n_s + 1 ∈ [1, N]`;
+    *  - calibrated score = the pooled score whose ascending cumulative
+    *    count range covers p (`gcum_prev < p ≤ gcum`).
+    *
+    * Scale shape: everything ranks over HISTOGRAMS, never rows. The
+    * per-(source, score) census and the pooled census aggregate map-side
+    * to score-grid cardinality (≤ 10⁶+1 for micro-quantized scores); both
+    * cumulative sums use the two-level `score >> 10` coarse-bucket fold
+    * (the qualityCut/tokenBudget recipe — no task ever window-sorts a
+    * full histogram, and per-source partitions decompose by (source,
+    * bucket) so a mega-source never serializes through one task). The
+    * pooled interval frame broadcasts (score-grid-bounded); the only
+    * corpus-sized joins are key-equi on (source, score), left to AQE.
+    * `scoreCol` must be integral (micro-quantize doubles first).
+    */
+  def calibrateScores(df: DataFrame, idCol: String, groupCol: String,
+      scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // per-(group, score) census + two-level within-group min-rank
+    val hist = df.groupBy(col(groupCol), col(scoreCol))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cb", shiftright(col(scoreCol), 10))
+    val boff = hist.groupBy(col(groupCol), col("__cb"))
+      .agg(sum(col("__c")).as("__bt"))
+      .withColumn("__boff", coalesce(
+        sum(col("__bt")).over(Window.partitionBy(col(groupCol))
+          .orderBy(col("__cb"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(groupCol), col("__cb"), col("__boff"))
+    val wInner = Window.partitionBy(col(groupCol), col("__cb"))
+      .orderBy(col(scoreCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = hist.join(boff, Seq(groupCol, "__cb"))
+      .withColumn("src_rank",
+        col("__boff") + coalesce(sum(col("__c")).over(wInner), lit(0L)) + 1L)
+    // pooled census + two-level ascending cumulative intervals
+    val gh = df.groupBy(col(scoreCol).as("__gs"))
+      .agg(count(lit(1)).as("__gc"))
+      .withColumn("__gb", shiftright(col("__gs"), 10))
+    val goff = gh.groupBy(col("__gb")).agg(sum(col("__gc")).as("__gt"))
+      .withColumn("__goff", coalesce(
+        sum(col("__gt")).over(Window.orderBy(col("__gb"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__gb"), col("__goff"))
+    val wg = Window.partitionBy(col("__gb")).orderBy(col("__gs"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gcum = gh.join(broadcast(goff), Seq("__gb"))
+      .withColumn("__gcum", col("__goff") + sum(col("__gc")).over(wg))
+      .withColumn("__gprev", col("__gcum") - col("__gc"))
+      .select(col("__gs"), col("__gprev"), col("__gcum"))
+    val ns = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__ns"))
+    val nTot = df.agg(count(lit(1)).as("__n"))
+    val mapped = ranked.join(ns, Seq(groupCol)).crossJoin(broadcast(nTot))
+      .withColumn("mapped_rank",
+        expr("(src_rank - 1) * __n div __ns + 1"))
+    // pooled value at position p: the ONLY non-equi join, histogram ×
+    // broadcast-histogram (score-grid-bounded on both sides)
+    val calib = mapped.join(broadcast(gcum),
+        col("mapped_rank") > col("__gprev") &&
+          col("mapped_rank") <= col("__gcum"))
+      .select(col(groupCol), col(scoreCol), col("src_rank"),
+        col("mapped_rank"), col("__gs").as("calib_micro"))
+    df.join(calib, Seq(groupCol, scoreCol))
+  }
 }

@@ -330,4 +330,63 @@ object Sketches {
       .withColumn("sketch_v", bucketLowerBound)
       .select(col(keyCol), col("q"), col("sketch_v"))
   }
+
+  /** Lower median off an exact value histogram via the two-level coarse-
+    * bucket fold: `min v with ascending-cum(v) ≥ (N+1) quot 2`. The
+    * histogram is value-cardinality-sized, the coarse offsets frame
+    * (`v >> 10`, arithmetic shift so negatives floor consistently) is
+    * ≤ grid/1024 rows, and the inner running sum partitions ON the
+    * coarse bucket — no task ever window-sorts the whole histogram.
+    * Returns a one-row frame named `colName`.
+    */
+  private def histLowerMedian(hist: DataFrame, v: String, c: String,
+      colName: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val n = hist.agg(sum(col(c)).as("__n"))
+    val h = hist.withColumn("__cb", shiftright(col(v), 10))
+    val off = h.groupBy(col("__cb")).agg(sum(col(c)).as("__bt"))
+      .withColumn("__boff", coalesce(
+        sum(col("__bt")).over(W.orderBy(col("__cb"))
+          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__cb"), col("__boff"))
+    h.join(broadcast(off), Seq("__cb"))
+      .withColumn("__cum", col("__boff") + sum(col(c)).over(
+        W.partitionBy(col("__cb")).orderBy(col(v))
+          .rowsBetween(W.unboundedPreceding, 0)))
+      .crossJoin(broadcast(n))
+      .filter(col("__cum") >= expr("(__n + 1) div 2"))
+      .agg(min(col(v)).as(colName))
+  }
+
+  /** Median-absolute-deviation outlier gate — the robust companion to the
+    * sketch-bounds winsorize: exact lower median `m` of an integral
+    * metric, exact MAD = median(|v − m|), and the count of records with
+    * |v − m| > k·MAD. Robust where mean/stddev gates break (a few
+    * gigadocument-length crawl artifacts drag a stddev fence arbitrarily
+    * wide; the median pair is immune to any minority of extremes).
+    *
+    * Scale: the corpus is scanned ONCE into a value histogram (map-side
+    * combine to value-grid cardinality); the deviation histogram derives
+    * from the value histogram — never from rows — and both medians use
+    * the two-level fold. Output is one audit row
+    * (n_rows, median, mad, n_outliers).
+    */
+  def madOutliers(df: DataFrame, valueCol: String, k: Int = 2): DataFrame = {
+    val hist = df.groupBy(col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint() // read by both medians + the outlier count
+    val med = histLowerMedian(hist, "__v", "__c", "median")
+    val dh = hist.crossJoin(broadcast(med))
+      .groupBy(abs(col("__v") - col("median")).as("__dv"))
+      .agg(sum(col("__c")).as("__dc"))
+      .localCheckpoint() // read by the MAD median + the outlier count
+    val mad = histLowerMedian(dh, "__dv", "__dc", "mad")
+    val n = hist.agg(sum(col("__c")).as("n_rows"))
+    val outs = dh.crossJoin(broadcast(mad))
+      .filter(col("__dv") > lit(k.toLong) * col("mad"))
+      .agg(coalesce(sum(col("__dc")), lit(0L)).as("n_outliers"))
+    n.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
+      .crossJoin(broadcast(outs))
+      .select(col("n_rows"), col("median"), col("mad"), col("n_outliers"))
+  }
 }

@@ -160,4 +160,36 @@ class ClustersSpec extends AnyFunSuite {
     // plan shape: no Window operator anywhere in dedupClusters' tree
     assert(!got.queryExecution.optimizedPlan.toString.contains("Window"))
   }
+
+  test("leakage-safe split: clusters move whole (no near-dup pair ever " +
+    "straddles the split), and the split rule replays") {
+    val rnd = new scala.util.Random(23)
+    val verts = (1L to 200L).toDF("doc_id")
+    // random sparse pairs → a mix of chains, cliques, singletons
+    val rawPairs = (0 until 120).map { _ =>
+      val a = 1L + rnd.nextInt(200); val b = 1L + rnd.nextInt(200)
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct
+    val pairs = rawPairs.toDF("id_a", "id_b")
+    val asg = Clusters.leakageSafeSplit(verts, "doc_id", pairs,
+      "id_a", "id_b", trainPct = 80)
+      .select("doc_id", "cluster_id", "split")
+      .as[(Long, Long, String)].collect()
+    val byDoc = asg.map(r => r._1 -> r._3).toMap
+    // cohesion: every pair's endpoints share a split
+    rawPairs.foreach { case (a, b) =>
+      assert(byDoc(a) == byDoc(b), s"pair ($a,$b) straddles the split")
+    }
+    // split rule replay: md5-prefix hash of the cluster root, %100 < 80
+    def h64(s: String): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+          .map("%02x".format(_)).mkString.take(15), 16)
+    asg.foreach { case (_, root, split) =>
+      val want = if (h64(root.toString) % 100 < 80) "train" else "test"
+      assert(split == want, s"root $root")
+    }
+    // both splits non-empty on 200 docs (sanity that the rule cuts)
+    assert(asg.map(_._3).distinct.sorted.toSeq == Seq("test", "train"))
+  }
 }

@@ -525,6 +525,43 @@ class SamplingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("calibrateScores: replays the min-rank/pooled-position law on " +
+    "random heavy-tie corpora; calibration is monotone within source") {
+    val rnd = new scala.util.Random(31)
+    (0 until 3).foreach { trial =>
+      val n = 60 + rnd.nextInt(120)
+      val rows = (0 until n).map { i =>
+        // few distinct scores → heavy ties, the case rank laws get wrong
+        (i.toLong, s"s${rnd.nextInt(4)}", (rnd.nextInt(7) * 250000).toLong)
+      }
+      val df = rows.toDF("doc_id", "source", "score_micro")
+      val got = Sampling
+        .calibrateScores(df, "doc_id", "source", "score_micro")
+        .select(col("doc_id"), col("src_rank"), col("mapped_rank"),
+          col("calib_micro"))
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      // straight-line replay
+      val bySrc = rows.groupBy(_._2)
+      val pooledSorted = rows.map(_._3).sorted
+      val nTot = rows.length.toLong
+      rows.foreach { case (id, src, sc) =>
+        val inSrc = bySrc(src).map(_._3)
+        val r = inSrc.count(_ < sc).toLong + 1
+        val p = (r - 1) * nTot / inSrc.length + 1
+        val calib = pooledSorted((p - 1).toInt)
+        assert(got(id) == ((r, p, calib)), s"trial $trial doc $id")
+      }
+      // monotone within source: higher raw score never calibrates lower
+      bySrc.foreach { case (_, docs) =>
+        docs.sortBy(_._3).map(d => got(d._1)._3).sliding(2).foreach {
+          case Seq(a, b) => assert(a <= b)
+          case _ =>
+        }
+      }
+    }
+  }
+
   test("epochPlan: integer epochs, cap bites as deficit, empty source safe") {
     val docs = Seq(
       (1L, "A", "w1 w2 w3 w4"), (2L, "A", "w1 w2 w3 w4"), // A: 8 tokens

@@ -174,4 +174,28 @@ class SketchesSpec extends AnyFunSuite {
       .select("sketch_v").distinct().as[Long].collect().toSeq
     assert(qs == Seq(96L)) // 96 = 64 + 8·64/16: its own bucket lower bound
   }
+
+  test("MAD outliers: replays a straight-line median/MAD on random data " +
+    "with negatives (exercising the arithmetic-shift coarse buckets)") {
+    val rnd = new scala.util.Random(11)
+    (0 until 3).foreach { trial =>
+      val n = 50 + rnd.nextInt(200)
+      // mix negatives + a heavy tail so the fence has work to do
+      val vals = (0 until n).map(_ => rnd.nextLong() % 5000L) ++
+        Seq.fill(5)(900000L + rnd.nextInt(1000)) ++ Seq(-800000L)
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+      val got = Sketches.madOutliers(df, "v", k = 2)
+        .as[(Long, Long, Long, Long)].head()
+      val sorted = vals.sorted
+      def lowerMedian(xs: Seq[Long]): Long = {
+        val k = (xs.length + 1) / 2
+        xs.sorted.apply(k - 1)
+      }
+      val med = lowerMedian(sorted)
+      val mad = lowerMedian(vals.map(v => math.abs(v - med)))
+      val nOut = vals.count(v => math.abs(v - med) > 2 * mad).toLong
+      assert(got == ((vals.length.toLong, med, mad, nOut)), s"trial $trial")
+    }
+  }
 }
