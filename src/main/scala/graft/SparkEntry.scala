@@ -4336,6 +4336,30 @@ object SparkEntry {
       llm.Sketches.madOutliers(t(s, dir, "documents"), "n_chars", k = 2)
     }),
 
+    // Quality-aware canonical pick: each multi-member near-dup cluster
+    // elects its highest-scoring member (tie → lowest id) via a
+    // skew-absorbing max(struct) partial aggregate — the representative
+    // selection real curation runs instead of keep-min-id.
+    "llm_best_of_cluster" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("ws", llm.TextOps.words("text"))
+        .withColumn("score_micro",
+          floor(llm.TextOps.qualityScore * lit(1000000.0)).cast("long"))
+      val pairs = llm.TextOps.minhashNearDups(docs, "doc_id", "text",
+        threshold = 0.5)
+      llm.Clusters.bestOfCluster(docs, "doc_id", "score_micro",
+        pairs, "id_a", "id_b")
+    }),
+
+    // Class-prototype similarity: integer centroid SUMS per label (one
+    // posexplode partial agg — cosine is scale-invariant, so sums need
+    // no division), then the |labels|² broadcast pair cosine audit.
+    "llm_label_centroids" -> ((s, dir) => {
+      val e = llm.Ann.withQuantized(t(s, dir, "embeddings"), "embedding")
+        .select(col("label"), col("vq"))
+      llm.Ann.labelCentroidCosine(e, "label")
+    }),
+
     // BPE merge-pair statistics: the corpus-weighted adjacent-char-pair
     // counts tokenizer training maximizes — top-32, counted over the
     // vocab-sized word-frequency table, never the raw token stream.
@@ -6267,6 +6291,74 @@ object SparkEntry {
         |  CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
         |  (SELECT n_cross FROM cross_pairs) AS n_cross_pairs
         |FROM asg GROUP BY 1""".stripMargin,
+    // llm_best_of_cluster oracle: the recursive-CC chain + the quality
+    // score + the per-cluster (score DESC, id ASC) election at rank 1,
+    // multi-member clusters only
+    "llm_best_of_cluster" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |sc0 AS (SELECT w.doc_id, CAST(floor((
+        |   CASE WHEN length(text) BETWEEN 100 AND 5000 THEN 1.0
+        |        WHEN length(text) > 5000 THEN 0.5 ELSE 0.2 END +
+        |   CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(ws)
+        |             BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.4 END +
+        |   CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE) / length(text)
+        |  ) / 3.0 * 1000000) AS BIGINT) AS score_micro
+        |  FROM w JOIN documents d ON d.doc_id = w.doc_id),
+        |sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN CAST([] AS VARCHAR[])
+        |  ELSE list_distinct(list_transform(generate_series(1, len(ws)-2),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS shingles FROM w),
+        |hs AS (SELECT doc_id, shingles,
+        |  list_transform(shingles, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS shash
+        |  FROM sh WHERE len(shingles) > 0),
+        |sig AS (SELECT doc_id, shingles, list_transform(generate_series(0, 31), i ->
+        |  list_min(list_transform(shash, h ->
+        |    ((CAST(('0x' || substr(md5('a' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000006 + 1)
+        |      * (h % 1000000007)
+        |     + CAST(('0x' || substr(md5('b' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000007) % 1000000007))) AS sig
+        |  FROM hs),
+        |bands AS (SELECT doc_id, shingles, b AS band_id,
+        |  md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS band_key
+        |  FROM sig, (SELECT unnest(generate_series(0, 7)) AS b)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.shingles, c.shingles)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.shingles, c.shingles))) AS jaccard
+        |  FROM bands a JOIN bands c
+        |    ON a.band_id = c.band_id AND a.band_key = c.band_key AND a.doc_id < c.doc_id),
+        |pairs AS (SELECT id_a, id_b FROM cand WHERE jaccard >= 0.5),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+        |comp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |sized AS (SELECT doc_id, cluster_id,
+        |    count(*) OVER (PARTITION BY cluster_id) AS cluster_size FROM comp),
+        |ranked AS (SELECT s.cluster_id, s.cluster_size, s.doc_id, sc0.score_micro,
+        |    row_number() OVER (PARTITION BY s.cluster_id
+        |      ORDER BY sc0.score_micro DESC, s.doc_id ASC) AS rnk
+        |  FROM sized s JOIN sc0 ON sc0.doc_id = s.doc_id
+        |  WHERE s.cluster_size >= 2)
+        |SELECT cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+        |  doc_id AS rep_id, score_micro AS rep_score,
+        |  CAST(cluster_size - 1 AS BIGINT) AS n_dropped
+        |FROM ranked WHERE rnk = 1""".stripMargin,
+    // llm_label_centroids oracle: per-label integer sum-vectors via
+    // unnest + (label, pos) group, pair cosine over exact integer dots —
+    // sums, not means: cosine is scale-invariant, zero division
+    "llm_label_centroids" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS vq FROM embeddings),
+        |u AS (SELECT label, unnest(vq) AS v, generate_subscripts(vq, 1) AS pos FROM e),
+        |s AS (SELECT label, pos, CAST(sum(v) AS BIGINT) AS s FROM u GROUP BY 1, 2),
+        |c AS (SELECT label, list(s ORDER BY pos) AS sv FROM s GROUP BY 1),
+        |n AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1),
+        |cn AS (SELECT c.label, sv, n,
+        |    CAST(list_sum(list_transform(sv, x -> x * x)) AS BIGINT) AS sn
+        |  FROM c JOIN n ON n.label = c.label)
+        |SELECT CAST(a.label AS BIGINT) AS label_a, CAST(b.label AS BIGINT) AS label_b,
+        |  a.n AS n_a, b.n AS n_b,
+        |  CAST(CAST(list_sum(list_transform(generate_series(1, len(a.sv)), i -> a.sv[i] * b.sv[i])) AS BIGINT) AS DOUBLE)
+        |    / (sqrt(CAST(a.sn AS DOUBLE)) * sqrt(CAST(b.sn AS DOUBLE))) AS cos
+        |FROM cn a JOIN cn b ON a.label < b.label""".stripMargin,
     // llm_mad_outliers oracle: the same histogram-median law — lower
     // median = min v with cum >= (n+1)//2, deviation histogram derived
     // from the value histogram, k = 2 fence

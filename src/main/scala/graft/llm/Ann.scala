@@ -764,6 +764,43 @@ object Ann {
     small.unionByName(big)
   }
 
+  /** Per-label integer centroid SUMS over the quantized grid — one
+    * posexplode + (label, pos) partial aggregate (map-side combine to
+    * |labels|·d rows), regrouped to a sum-vector per label. Sums, not
+    * means: cosine is scale-invariant, so `cos(S_a, S_b) ≡
+    * cos(S_a/n_a, S_b/n_b)` and the centroid similarity needs ZERO
+    * division — exact integers into the standard cosine kernel.
+    * Overflow: the pairwise dot is Σ_d (n·B)², so at extreme per-label
+    * counts (n·B approaching 2³¹·√(1/d)) pre-scale with the kmeans
+    * floor-mean idiom first; fixture magnitudes sit far below.
+    */
+  def labelCentroids(df: DataFrame, labelCol: String): DataFrame =
+    df.select(col(labelCol).as("lbl"), posexplode(col("vq")))
+      .groupBy(col("lbl"), col("pos"))
+      .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+      .groupBy(col("lbl"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, s))), x -> x.s)")
+        .as("sv"), max(col("n")).as("n"))
+      .withColumn("sn", dot("sv", "sv"))
+
+  /** Class-prototype similarity audit: the cosine between every pair of
+    * label centroids — the "are my class prototypes separable / which
+    * labels collide" check run before training a classifier on the
+    * embedding column. |labels|² pairs over broadcast label-cardinality
+    * frames; the corpus is touched once (inside [[labelCentroids]]).
+    */
+  def labelCentroidCosine(df: DataFrame, labelCol: String): DataFrame = {
+    val c = labelCentroids(df, labelCol)
+    val a = c.select(col("lbl").cast("long").as("label_a"),
+      col("sv").as("av"), col("sn").as("an"), col("n").as("n_a"))
+    val b = c.select(col("lbl").cast("long").as("label_b"),
+      col("sv").as("bv"), col("sn").as("bn"), col("n").as("n_b"))
+    a.join(broadcast(b), col("label_a") < col("label_b"))
+      .withColumn("cos", cosine(dot("av", "bv"), col("an"), col("bn")))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        col("cos"))
+  }
+
   /** Maximal-marginal-relevance rerank: brute top-`m` candidates per
     * query, then `k` greedy picks maximizing `rel(d) − max_{p∈picked}
     * sim(d, p)` (the λ = ½ MMR objective with the monotone ½ dropped) —

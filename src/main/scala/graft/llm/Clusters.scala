@@ -175,4 +175,30 @@ object Clusters {
         when(TextOps.h64c(col("cluster_id").cast("string")) % 100 < trainPct,
           "train").otherwise("test"))
   }
+
+  /** Quality-aware canonical pick: when a near-dup cluster collapses,
+    * keep its HIGHEST-scoring member (tie → lowest id), not the min-id
+    * one — the representative selection real curation runs (two crawls
+    * of a page near-dup together; the better-extracted copy should
+    * survive). Returns one row per multi-member cluster with the elected
+    * representative and the drop count.
+    *
+    * Scale: `docs` must carry (id, score); the election is a partial
+    * aggregate `max(struct(score, −id))` per cluster — the same
+    * skew-absorbing shape as dedupClusters' size count (a degenerate
+    * boilerplate mega-cluster partial-aggregates instead of landing in
+    * one window task).
+    */
+  def bestOfCluster(docs: DataFrame, idCol: String, scoreCol: String,
+      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val comp = dedupClusters(docs.select(col(idCol)), idCol, pairs, aCol, bCol)
+    comp.join(docs.select(col(idCol), col(scoreCol)), Seq(idCol))
+      .groupBy(col("cluster_id"), col("cluster_size"))
+      .agg(max(struct(col(scoreCol), negate(col(idCol)).as("negid"))).as("m"))
+      .filter(col("cluster_size") >= 2)
+      .select(col("cluster_id"), col("cluster_size"),
+        negate(col("m.negid")).as("rep_id"),
+        col("m").getField(scoreCol).as("rep_score"),
+        (col("cluster_size") - 1).as("n_dropped"))
+  }
 }

@@ -192,4 +192,38 @@ class ClustersSpec extends AnyFunSuite {
     // both splits non-empty on 200 docs (sanity that the rule cuts)
     assert(asg.map(_._3).distinct.sorted.toSeq == Seq("test", "train"))
   }
+
+  test("best-of-cluster: elects max score then min id per multi-member " +
+    "cluster; singletons never appear") {
+    val rnd = new scala.util.Random(41)
+    val n = 120
+    val docs = (1L to n.toLong).map(i => (i, rnd.nextInt(5).toLong * 100L))
+    val docsDf = docs.toDF("doc_id", "score")
+    val rawPairs = (0 until 80).map { _ =>
+      val a = 1L + rnd.nextInt(n); val b = 1L + rnd.nextInt(n)
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct
+    val got = Clusters.bestOfCluster(docsDf, "doc_id", "score",
+        rawPairs.toDF("id_a", "id_b"), "id_a", "id_b")
+      .select("cluster_id", "cluster_size", "rep_id", "rep_score", "n_dropped")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // straight-line replay: union-find over the pairs
+    val parent = scala.collection.mutable.Map((1L to n.toLong).map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    rawPairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val byCluster = (1L to n.toLong).groupBy(find)
+    val want = byCluster.filter(_._2.size >= 2).map { case (root, members) =>
+      val score = docs.toMap
+      val rep = members.minBy(m => (-score(m), m))
+      (root, members.size.toLong, rep, score(rep), members.size.toLong - 1)
+    }.toSet
+    assert(got.toSet == want)
+    // ties exist by construction (5 score levels, 120 docs): at least one
+    // multi-member cluster elected by the id tiebreak
+    assert(got.nonEmpty)
+  }
 }

@@ -911,6 +911,34 @@ class AnnSpec extends AnyFunSuite {
     assert(rec >= 0.8, s"sq recall@3 $rec")
   }
 
+  test("label centroids: pair cosines replay in straight-line Scala; " +
+    "sums are scale-invariant stand-ins for means") {
+    val e = Ann.withQuantized(emb, "embedding").select(col("label"), col("vq"))
+    val got = Ann.labelCentroidCosine(e, "label")
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"), col("cos"))
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    val rows = Ann.withQuantized(emb, "embedding")
+      .select(col("label").cast("long"), col("vq"))
+      .as[(Long, Seq[Long])].collect()
+    val byLabel = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val sums = byLabel.map { case (l, vs) =>
+      l -> vs.head.indices.map(j => vs.map(_(j)).sum)
+    }
+    val labels = byLabel.keys.toSeq.sorted
+    for (a <- labels; b <- labels if a < b) {
+      val (sa, sb) = (sums(a), sums(b))
+      val dp = sa.indices.map(i => sa(i) * sb(i)).sum.toDouble
+      val cosWant = dp / (math.sqrt(sa.map(x => x * x).sum.toDouble) *
+        math.sqrt(sb.map(x => x * x).sum.toDouble))
+      val (na, nb, cosGot) = got((a, b))
+      assert(na == byLabel(a).size.toLong && nb == byLabel(b).size.toLong)
+      assert(cosGot == cosWant, s"pair ($a,$b)")
+      assert(math.abs(cosGot) <= 1.0)
+    }
+    assert(got.size == labels.size * (labels.size - 1) / 2)
+  }
+
   test("MMR rerank: matches a straight-line greedy replay; picks are " +
     "distinct; rank-1 is the brute best") {
     val e = Ann.withQuantized(emb, "embedding")

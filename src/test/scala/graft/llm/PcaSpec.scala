@@ -109,6 +109,18 @@ class PcaSpec extends AnyFunSuite {
     assert(rs.last >= 0.9 * l1, s"rayleigh ${rs.last} < 0.9 * $l1")
   }
 
+  test("merge associativity: fit on a union equals the elementwise sum " +
+    "of per-half fits (the mergeable-aggregator contract)") {
+    val corpus = Ann.withQuantized(emb, "embedding")
+    val whole = Pca.fit(corpus, d = 64, iters = 1)
+    val a = Pca.fit(corpus.filter(col("vec_id") % 2 === 0), d = 64, iters = 1)
+    val b = Pca.fit(corpus.filter(col("vec_id") % 2 === 1), d = 64, iters = 1)
+    assert(whole.n == a.n + b.n)
+    assert(whole.sums == a.sums.zip(b.sums).map { case (x, y) => x + y })
+    assert(whole.gramUpper ==
+      a.gramUpper.zip(b.gramUpper).map { case (x, y) => x + y })
+  }
+
   test("property sweep: random corpora with a constant dim and negative " +
     "extremes — centering zeroes the flat dim's covariance row") {
     val rnd = new scala.util.Random(7)
