@@ -4360,6 +4360,65 @@ object SparkEntry {
       llm.Ann.labelCentroidCosine(e, "label")
     }),
 
+    // Perceptual image near-dup: REAL ImageIO decode → 8×8 integer aHash
+    // (two 32-bit words) → pairwise hamming. Seed 3 reappears at 26×22
+    // (a recrop of image 3's 25×22) and lands at hamming 6; unrelated
+    // seeds sit 13–30 apart; the junk payload takes the sentinel and is
+    // excluded. At corpus scale the pair join routes the words through
+    // the Charikar block scheme (simhashNearDups) instead.
+    "llm_image_phash" -> ((s, dir) => {
+      import s.implicits._
+      import llm.Multimodal.{MediaItem, MediaMeta}
+      val pngs = s.range(1, 5).map { id =>
+        MediaItem(id, "image/png",
+          llm.Multimodal.syntheticPng2(id, 16 + id.toInt * 3, 16 + id.toInt * 2),
+          MediaMeta(0, 0, 0L, "png"))
+      }
+      val variant = s.range(103, 104).map { id =>
+        MediaItem(id, "image/png", llm.Multimodal.syntheticPng2(3, 26, 22),
+          MediaMeta(0, 0, 0L, "png"))
+      }
+      val junk = s.range(99, 100).map { id =>
+        MediaItem(id, "image/png", "not an image".getBytes("UTF-8"),
+          MediaMeta(0, 0, 0L, "png"))
+      }
+      val h = llm.Multimodal.aHash(pngs.union(variant).union(junk)).toDF()
+        .filter(col("decoded"))
+      val a = h.select(col("mediaId").as("id_a"), col("hashHi").as("ha"),
+        col("hashLo").as("la"))
+      val b = h.select(col("mediaId").as("id_b"), col("hashHi").as("hb"),
+        col("hashLo").as("lb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          expr("CAST(bit_count(ha ^ hb) + bit_count(la ^ lb) AS BIGINT)")
+            .as("hamming"))
+        .withColumn("near", col("hamming") <= 8)
+    }),
+
+    // Retrieval evaluation harness: label-relevance MRR / precision@k of
+    // the brute ranking — all-integer per query (rr_micro = 1e6 div
+    // first relevant rank), the eval row any ANN tier slots into.
+    "llm_retrieval_eval" -> ((s, dir) => {
+      val e = llm.Ann.withQuantized(t(s, dir, "embeddings"), "embedding")
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("vq"), col("norm2"),
+          col("label").as("qlabel"))
+      val c = e.select(col("vec_id").as("nid"), col("vq"), col("norm2"))
+      val top = llm.Ann.bruteTopK(
+        q.select(col("qid"), col("vq"), col("norm2")), c, 3)
+      val labeled = top
+        .join(e.select(col("vec_id").as("nid"), col("label").as("nlabel")),
+          Seq("nid"))
+        .join(broadcast(q.select(col("qid"), col("qlabel"))), Seq("qid"))
+        .withColumn("rel", (col("nlabel") === col("qlabel")).cast("long"))
+      labeled.groupBy(col("qid"))
+        .agg(sum(col("rel")).as("n_rel_at_3"),
+          min(when(col("rel") === 1L, col("rank"))).as("first_rel_rank"))
+        .withColumn("rr_micro",
+          coalesce(expr("1000000 div first_rel_rank"), lit(0L)))
+        .withColumn("first_rel_rank", coalesce(col("first_rel_rank"), lit(0L)))
+    }),
+
     // BPE merge-pair statistics: the corpus-weighted adjacent-char-pair
     // counts tokenizer training maximizes — top-32, counted over the
     // vocab-sized word-frequency table, never the raw token stream.
@@ -6359,6 +6418,46 @@ object SparkEntry {
         |  CAST(CAST(list_sum(list_transform(generate_series(1, len(a.sv)), i -> a.sv[i] * b.sv[i])) AS BIGINT) AS DOUBLE)
         |    / (sqrt(CAST(a.sn AS DOUBLE)) * sqrt(CAST(b.sn AS DOUBLE))) AS cos
         |FROM cn a JOIN cn b ON a.label < b.label""".stripMargin,
+    // llm_image_phash oracle: the aHash replayed from the synthetic
+    // pattern formula alone — NN indices, integer mean threshold
+    // (64·g ≥ Σ, ties up), two-word packing (no shift past bit 31),
+    // xor+popcount hamming; the decoded rasters never leave Spark
+    "llm_image_phash" ->
+      """WITH imgs AS (
+        |  SELECT CAST(i AS BIGINT) AS id, CAST(i AS BIGINT) AS seed, 16 + i*3 AS w, 16 + i*2 AS h FROM generate_series(1, 4) t(i)
+        |  UNION ALL SELECT 103, 3, 26, 22),
+        |cells AS (SELECT id, cy*8 + cx AS k,
+        |    ((cx*w)//8*(7 + seed*5)) % 256 + ((cy*h)//8*(11 + seed*3)) % 256
+        |      + (((cx*w)//8 + (cy*h)//8) * (1 + seed)) % 256 AS g
+        |  FROM imgs, generate_series(0, 7) gx(cx), generate_series(0, 7) gy(cy)),
+        |sums AS (SELECT id, CAST(sum(g) AS BIGINT) AS s FROM cells GROUP BY 1),
+        |bits AS (SELECT cells.id, k, CASE WHEN g*64 >= s THEN 1 ELSE 0 END AS bit
+        |  FROM cells JOIN sums ON sums.id = cells.id),
+        |hashes AS (SELECT id,
+        |    CAST(sum(CASE WHEN k >= 32 THEN bit * (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN k < 32 THEN bit * (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bits GROUP BY 1)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming,
+        |  bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 8 AS near
+        |FROM hashes a JOIN hashes b ON a.id < b.id""".stripMargin,
+    // llm_retrieval_eval oracle: the brute ranking law + label joins +
+    // all-integer MRR (1e6 // first relevant rank, 0-when-none)
+    "llm_retrieval_eval" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS vq FROM embeddings),
+        |en AS (SELECT vec_id, label, vq, CAST(list_sum(list_transform(vq, x -> x * x)) AS BIGINT) AS n2 FROM e),
+        |q AS (SELECT vec_id AS qid, vq AS qv, n2 AS qn, label AS qlabel FROM en WHERE vec_id % 50 = 0),
+        |scored AS (SELECT qid, qlabel, en.vec_id AS nid, en.label AS nlabel,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * en.vq[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(en.n2 AS DOUBLE))) AS cos
+        |  FROM en CROSS JOIN q WHERE en.vec_id <> qid),
+        |ranked AS (SELECT qid, qlabel, nid, nlabel,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank FROM scored)
+        |SELECT qid,
+        |  CAST(sum(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_at_3,
+        |  CAST(coalesce(min(CASE WHEN nlabel = qlabel THEN rank END), 0) AS BIGINT) AS first_rel_rank,
+        |  CAST(coalesce(1000000 // min(CASE WHEN nlabel = qlabel THEN rank END), 0) AS BIGINT) AS rr_micro
+        |FROM ranked WHERE rank <= 3 GROUP BY 1""".stripMargin,
     // llm_mad_outliers oracle: the same histogram-median law — lower
     // median = min v with cum >= (n+1)//2, deviation histogram derived
     // from the value histogram, k = 2 fence

@@ -158,6 +158,70 @@ object Multimodal {
     }
   }
 
+  case class PHashFeatures(
+      mediaId: Long, decoded: Boolean, hashHi: Long, hashLo: Long)
+
+  /** Perceptual average-hash (aHash) over REAL decoded rasters: an 8×8
+    * exact nearest-neighbor sample (the [[resizeImage]] integer index
+    * math — `src = cell·in quot 8`), per-cell gray = r+g+b of the
+    * sampled pixel, bit set when `64·g ≥ Σ cells` (the mean threshold in
+    * pure integers — ties round UP, pinned). Two 32-bit words
+    * (cells 0..31 → hashLo, 32..63 → hashHi) so no engine ever shifts
+    * into bit 63 (DuckDB's checked `<<` errors there); near-dup distance
+    * is `popcount(hi⊕hi) + popcount(lo⊕lo)`.
+    *
+    * This is the image analogue of the text SimHash tier: two encodes of
+    * the same picture (recompressed, slightly recropped/rescaled) land
+    * within a few bits while unrelated pictures sit near 32. At corpus
+    * scale the pair join routes the two words through the Charikar block
+    * scheme exactly like [[TextOps.simhashNearDups]] (radius ≤ 3 over 4
+    * 16-bit blocks is lossless by pigeonhole); the audit row's handful of
+    * images use the direct pair join. Undecodable payloads take the
+    * sentinel row.
+    */
+  def aHash(items: Dataset[MediaItem]): Dataset[PHashFeatures] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { m =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.bytes))
+          catch { case _: Exception => null }
+        if (img == null) PHashFeatures(m.mediaId, decoded = false, -1L, -1L)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val g = new Array[Long](64)
+          var sum = 0L
+          var cy = 0
+          while (cy < 8) {
+            val sy = cy * h / 8
+            var cx = 0
+            while (cx < 8) {
+              val rgb = img.getRGB(cx * w / 8, sy)
+              val v = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+                (rgb & 0xff)).toLong
+              g(cy * 8 + cx) = v
+              sum += v
+              cx += 1
+            }
+            cy += 1
+          }
+          var hi = 0L
+          var lo = 0L
+          var k = 0
+          while (k < 64) {
+            if (g(k) * 64L >= sum) {
+              if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+            }
+            k += 1
+          }
+          PHashFeatures(m.mediaId, decoded = true, hi, lo)
+        }
+      }
+    }
+  }
+
   case class AudioFeatures(
       mediaId: Long, decoded: Boolean, sampleRate: Int, channels: Int,
       nSamples: Long, sumSq: Long)
@@ -506,6 +570,34 @@ object Multimodal {
         val r = ((x * 7 + seed) % 256).toInt
         val g = (y * 11) % 256
         val b = (x + y) % 256
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Synthetic PNG whose SPATIAL FREQUENCIES depend on the seed (channel
+    * ramps `x·(7+5s)`, `y·(11+3s)`, `(x+y)·(1+s)` mod 256) — unlike
+    * [[syntheticPng]]'s fixed pattern, different seeds produce genuinely
+    * different pictures (aHash hamming 13–30 apart), while the same seed
+    * at slightly different dimensions stays a near-dup (hamming ≤ 8).
+    * Lossless PNG + TYPE_INT_RGB round-trips the raster exactly, so an
+    * oracle replays per-pixel values from the formula alone.
+    */
+  def syntheticPng2(seed: Long, width: Int, height: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val r = ((x * (7 + seed * 5)) % 256).toInt
+        val g = ((y * (11 + seed * 3)) % 256).toInt
+        val b = (((x + y) * (1 + seed)) % 256).toInt
         img.setRGB(x, y, (r << 16) | (g << 8) | b)
         x += 1
       }

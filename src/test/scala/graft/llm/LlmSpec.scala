@@ -911,6 +911,42 @@ class AnnSpec extends AnyFunSuite {
     assert(rec >= 0.8, s"sq recall@3 $rec")
   }
 
+  test("retrieval eval: label-relevance MRR/precision replay in " +
+    "straight-line Scala; rr_micro is the exact integer reciprocal") {
+    val e = Ann.withQuantized(emb, "embedding")
+    val q = e.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("vq"), col("norm2"))
+    val c = e.select(col("vec_id").as("nid"), col("vq"), col("norm2"))
+    val labels = emb.select(col("vec_id"), col("label").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val top = Ann.bruteTopK(q, c, 3)
+      .select(col("qid"), col("rank"), col("nid"))
+      .as[(Long, Long, Long)].collect()
+    val want = top.groupBy(_._1).map { case (qid, rows) =>
+      val rel = rows.sortBy(_._2)
+        .map(r => labels(r._3) == labels(qid))
+      val first = rel.indexWhere(identity) match {
+        case -1 => 0L
+        case i => i + 1L
+      }
+      qid -> (rel.count(identity).toLong, first,
+        if (first == 0L) 0L else 1000000L / first)
+    }
+    // the real query row at %50 must agree with the replay restricted to
+    // its query set (the %25 replay is a strict superset)
+    val got = graft.SparkEntry.queries("llm_retrieval_eval")(spark, dir)
+      .select(col("qid"), col("n_rel_at_3"), col("first_rel_rank"),
+        col("rr_micro"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    got.foreach { case (qid, v) =>
+      assert(qid % 50 == 0 && v == want(qid), s"qid $qid")
+    }
+    // and at least one query has ZERO relevant neighbors on this
+    // iid-noise fixture (the 0-sentinel path is actually exercised)
+    assert(want.values.exists(_._2 == 0L))
+  }
+
   test("label centroids: pair cosines replay in straight-line Scala; " +
     "sums are scale-invariant stand-ins for means") {
     val e = Ann.withQuantized(emb, "embedding").select(col("label"), col("vq"))
@@ -1466,6 +1502,57 @@ class MultimodalSpec extends AnyFunSuite {
       else if (seg == 1) (m << 4) + 264
       else ((m << 4) + 264) << (seg - 1)
     if (v >= 0) t else -t
+  }
+
+  test("aHash: decoded-raster hash matches an ImageIO-free pattern " +
+    "replay; same seed at nudged dims stays near; junk takes the sentinel") {
+    import Multimodal.{MediaItem, MediaMeta}
+    val rnd = new scala.util.Random(17)
+    val shapes = (1 to 6).map { i =>
+      (i.toLong, i.toLong, 16 + rnd.nextInt(30), 16 + rnd.nextInt(30))
+    } :+ (200L, 2L, 0, 0) // filled below: seed-2 near-dup at nudged dims
+    val fixed = shapes.dropRight(1)
+    val (w2, h2) = fixed.find(_._2 == 2L).map(s => (s._3, s._4)).get
+    val all = fixed :+ (200L, 2L, w2 + 1, h2)
+    val items = spark.createDataset(all.map { case (id, seed, w, h) =>
+      MediaItem(id, "image/png", Multimodal.syntheticPng2(seed, w, h),
+        MediaMeta(0, 0, 0L, "png"))
+    }).union(spark.createDataset(Seq(
+      MediaItem(99L, "image/png", "junk".getBytes("UTF-8"),
+        MediaMeta(0, 0, 0L, "png")))))
+    val got = Multimodal.aHash(items).collect()
+      .map(f => f.mediaId -> f).toMap
+    // straight-line replay from the pattern formula — no ImageIO
+    def replay(seed: Long, w: Int, h: Int): (Long, Long) = {
+      val g = for (cy <- 0 until 8; cx <- 0 until 8) yield {
+        val sx = cx * w / 8; val sy = cy * h / 8
+        (sx * (7 + seed * 5)) % 256 + (sy * (11 + seed * 3)) % 256 +
+          ((sx + sy) * (1 + seed)) % 256
+      }
+      val s = g.sum
+      var hi = 0L; var lo = 0L
+      g.zipWithIndex.foreach { case (v, k) =>
+        if (v * 64 >= s) {
+          if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+        }
+      }
+      (hi, lo)
+    }
+    all.foreach { case (id, seed, w, h) =>
+      val f = got(id)
+      assert(f.decoded, s"img $id")
+      assert((f.hashHi, f.hashLo) == replay(seed, w, h), s"img $id hash")
+    }
+    assert(!got(99L).decoded)
+    def ham(a: Multimodal.PHashFeatures, b: Multimodal.PHashFeatures): Int =
+      java.lang.Long.bitCount(a.hashHi ^ b.hashHi) +
+        java.lang.Long.bitCount(a.hashLo ^ b.hashLo)
+    // the planted near-dup is the closest neighbor of image 2
+    val d2 = ham(got(2L), got(200L))
+    assert(d2 <= 8, s"planted near-dup hamming $d2")
+    fixed.filter(s => s._1 != 2L).foreach { case (id, _, _, _) =>
+      assert(ham(got(id), got(200L)) > d2, s"img $id closer than the plant")
+    }
   }
 
   test("resizeImage: output sum matches an ImageIO-free pattern recompute") {
