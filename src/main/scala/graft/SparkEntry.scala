@@ -2993,30 +2993,41 @@ object SparkEntry {
     // recall rows: candidates are exact-verified, so precision is 1.0 by
     // construction and the only loss channel is a true near-dup pair
     // whose signatures never collide in any band. Truth = brute exact
-    // Jaccard over a %5 query sample × corpus (sample-restricted so the
-    // truth side stays O(sample·corpus), never all-pairs); recall =
-    // banded pairs touching the sample / true pairs touching the sample.
-    // The broadcast(sample) hint is AUDIT-scale only: %5 is modulus-
-    // pinned for oracle parity at test sf, but it is row-proportional —
-    // a production recall audit pins a FIXED-COUNT hash-order sample
-    // (e.g. 1k docs) so the broadcast stays constant-size at any corpus.
+    // Jaccard over a FIXED-COUNT hash-order query sample × corpus — the
+    // production recall-audit shape: 64 sample docs regardless of corpus
+    // size, so the truth side is O(64·corpus) and the broadcast(sample)
+    // is constant-size at any scale (TakeOrderedAndProject picks the
+    // sample without a global sort). Recall = banded pairs touching the
+    // sample / true pairs touching the sample.
     "llm_minhash_recall" -> ((s, dir) => {
       val thr = 0.5
       val ws = t(s, dir, "documents")
         .withColumn("ws", llm.TextOps.words("text"))
         .filter(size(col("ws")) >= 3)
         .withColumn("shingles", llm.TextOps.shingles(3))
-      val sample = ws.filter(col("doc_id") % 5 === 0)
+      val sample = ws
         .select(col("doc_id").as("qa"), col("shingles").as("sh_a"))
+        .orderBy(llm.TextOps.h64c(col("qa").cast("string")), col("qa"))
+        .limit(64)
+        .localCheckpoint() // read by the truth join AND both semi-joins
       val corpus = ws.select(col("doc_id").as("qb"), col("shingles").as("sh_b"))
-      val truth = corpus.join(broadcast(sample), col("qa") =!= col("qb"))
+      // lossless length-ratio prune before the intersect: J ≥ 0.5 forces
+      // min(|A|,|B|) ≥ max(|A|,|B|)/2, so pairs outside 2× never qualify
+      val truth = corpus.join(broadcast(sample), col("qa") =!= col("qb") &&
+          size(col("sh_b")) * 2 >= size(col("sh_a")) &&
+          size(col("sh_b")) <= size(col("sh_a")) * 2)
         .filter(llm.TextOps.jaccardSets(col("sh_a"), col("sh_b")) >= thr)
         .select(least(col("qa"), col("qb")).as("qid"),
           greatest(col("qa"), col("qb")).as("nid"))
         .distinct()
-      val found = llm.TextOps.minhashNearDups(
-          t(s, dir, "documents"), "doc_id", "text", threshold = thr)
-        .filter(col("id_a") % 5 === 0 || col("id_b") % 5 === 0)
+      val sampleIds = sample.select(col("qa").as("sid"))
+      val found0 = llm.TextOps.minhashNearDups(
+        t(s, dir, "documents"), "doc_id", "text", threshold = thr)
+      val found = found0
+        .join(broadcast(sampleIds), col("id_a") === col("sid"), "left_semi")
+        .unionByName(found0
+          .join(broadcast(sampleIds), col("id_b") === col("sid"), "left_semi"))
+        .distinct()
         .select(col("id_a").as("qid"), col("id_b").as("nid"))
       llm.Ann.recallAtK("minhash_bands", truth, found)
     }),
@@ -4393,6 +4404,23 @@ object SparkEntry {
           expr("CAST(bit_count(ha ^ hb) + bit_count(la ^ lb) AS BIGINT)")
             .as("hamming"))
         .withColumn("near", col("hamming") <= 8)
+    }),
+
+    // Language confusion matrix: declared `lang` vs the stopword-census
+    // prediction — the label-noise audit a mixed-source corpus runs
+    // before trusting per-language budgets. Two partial aggs + a
+    // lang-cardinality join; shares as integer basis points.
+    "llm_lang_confusion" -> ((s, dir) => {
+      val pred = t(s, dir, "documents")
+        .withColumn("ws", llm.TextOps.words("text"))
+        .select(Seq(col("doc_id"), col("lang")) ++ llm.TextOps.langIdColumns: _*)
+        .withColumn("pred_lang", llm.TextOps.predictedLang)
+      val conf = pred.groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+      val tot = pred.groupBy(col("lang")).agg(count(lit(1)).as("__t"))
+      conf.join(tot, Seq("lang"))
+        .withColumn("pct_bp", expr("n * 10000 div __t"))
+        .select(col("lang"), col("pred_lang"), col("n"), col("pct_bp"))
     }),
 
     // Retrieval evaluation harness: label-relevance MRR / precision@k of
@@ -5902,10 +5930,13 @@ object SparkEntry {
         |      / len(list_distinct(list_concat(a.shingles, c.shingles))) AS jaccard
         |  FROM bands a JOIN bands c
         |    ON a.band_id = c.band_id AND a.band_key = c.band_key AND a.doc_id < c.doc_id),
+        |smp AS (SELECT doc_id, shingles FROM hs
+        |  ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT), doc_id LIMIT 64),
         |found AS (SELECT id_a AS qid, id_b AS nid FROM cand
-        |  WHERE jaccard >= 0.5 AND (id_a % 5 = 0 OR id_b % 5 = 0)),
+        |  WHERE jaccard >= 0.5 AND (id_a IN (SELECT doc_id FROM smp) OR id_b IN (SELECT doc_id FROM smp))),
         |truth AS (SELECT DISTINCT least(s.doc_id, c.doc_id) AS qid, greatest(s.doc_id, c.doc_id) AS nid
-        |  FROM hs s JOIN hs c ON s.doc_id % 5 = 0 AND s.doc_id <> c.doc_id
+        |  FROM smp s JOIN hs c ON s.doc_id <> c.doc_id
+        |    AND len(c.shingles) * 2 >= len(s.shingles) AND len(c.shingles) <= len(s.shingles) * 2
         |  WHERE CAST(len(list_intersect(s.shingles, c.shingles)) AS DOUBLE)
         |      / len(list_distinct(list_concat(s.shingles, c.shingles))) >= 0.5),
         |hits AS (SELECT count(*) AS n_hits FROM truth JOIN found USING (qid, nid)),
@@ -6441,6 +6472,24 @@ object SparkEntry {
         |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming,
         |  bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 8 AS near
         |FROM hashes a JOIN hashes b ON a.id < b.id""".stripMargin,
+    // llm_lang_confusion oracle: the langid stopword census + declared
+    // lang, grouped to the confusion matrix with basis-point shares
+    "llm_lang_confusion" ->
+      """WITH w AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS ws FROM documents),
+        |h AS (SELECT doc_id, lang,
+        |  CAST(len(list_filter(ws, w -> list_contains(['the','a','of','and','to','in','is','it','for','on'], w))) AS BIGINT) AS en_hits,
+        |  CAST(len(list_filter(ws, w -> list_contains(['le','la','et','les','des','un','une','du','est','dans'], w))) AS BIGINT) AS fr_hits,
+        |  CAST(len(list_filter(ws, w -> list_contains(['der','die','und','das','ist','nicht','ein','mit','den','von'], w))) AS BIGINT) AS de_hits
+        |FROM w),
+        |p AS (SELECT doc_id, lang,
+        |  CASE WHEN en_hits >= fr_hits AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
+        |       WHEN fr_hits >= de_hits AND fr_hits > 0 THEN 'fr'
+        |       WHEN de_hits > 0 THEN 'de' ELSE 'unknown' END AS pred_lang
+        |FROM h),
+        |conf AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2),
+        |tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS t FROM p GROUP BY 1)
+        |SELECT conf.lang, pred_lang, n, CAST(n * 10000 // t AS BIGINT) AS pct_bp
+        |FROM conf JOIN tot ON tot.lang = conf.lang""".stripMargin,
     // llm_retrieval_eval oracle: the brute ranking law + label joins +
     // all-integer MRR (1e6 // first relevant rank, 0-when-none)
     "llm_retrieval_eval" ->
