@@ -176,6 +176,12 @@ object Snp {
         .as[String]
       case None => requested
     }
+    // full cache hit → the reference returns per-id from preLoadCache
+    // with NO fetch and NO writes (snp.js:139-147); mirroring that skip
+    // here avoids version-bumping four store tables with all-noop merges
+    // on every idempotent re-run (a pure re-load would otherwise cost the
+    // whole merge cycle just to record zero changes)
+    if (missing.isEmpty) return Map.empty
     val parsed = parseSnp(EntrezBatch.fetchByIds(missing, snpFetcher)).persist()
     try {
       val catCounts = store.merge(catalogueTable,
