@@ -4406,6 +4406,26 @@ object SparkEntry {
         .withColumn("near", col("hamming") <= 8)
     }),
 
+    // Tokenizer fertility audit: chars-per-token by language, for both
+    // the whitespace and BPE-ish tokenizations — the fairness check run
+    // before trusting a shared token budget across languages (a
+    // tokenizer that fragments one language inflates its effective
+    // cost). One partial aggregation; ratios as exact integer micros.
+    "llm_token_fertility" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("ws", llm.TextOps.words("text"))
+        .select(Seq(col("lang"), col("n_chars")) ++ llm.TextOps.tokenCounts: _*)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("n_ws_tokens")).as("sum_ws_tokens"),
+          sum(col("n_bpeish_tokens")).as("sum_bpeish_tokens"))
+        .withColumn("chars_per_ws_micro",
+          expr("sum_chars * 1000000 div sum_ws_tokens"))
+        .withColumn("chars_per_bpeish_micro",
+          expr("sum_chars * 1000000 div sum_bpeish_tokens"))
+    }),
+
     // Language confusion matrix: declared `lang` vs the stopword-census
     // prediction — the label-noise audit a mixed-source corpus runs
     // before trusting per-language budgets. Two partial aggs + a
@@ -6472,6 +6492,20 @@ object SparkEntry {
         |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming,
         |  bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 8 AS near
         |FROM hashes a JOIN hashes b ON a.id < b.id""".stripMargin,
+    // llm_token_fertility oracle: the same two token censuses grouped by
+    // declared lang, ratios as exact integer micros
+    "llm_token_fertility" ->
+      """WITH w AS (SELECT lang, n_chars,
+        |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_ws,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bp
+        |FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(n_ws) AS BIGINT) AS sum_ws_tokens,
+        |  CAST(sum(n_bp) AS BIGINT) AS sum_bpeish_tokens,
+        |  CAST(sum(n_chars) * 1000000 // sum(n_ws) AS BIGINT) AS chars_per_ws_micro,
+        |  CAST(sum(n_chars) * 1000000 // sum(n_bp) AS BIGINT) AS chars_per_bpeish_micro
+        |FROM w GROUP BY 1""".stripMargin,
     // llm_lang_confusion oracle: the langid stopword census + declared
     // lang, grouped to the confusion matrix with basis-point shares
     "llm_lang_confusion" ->

@@ -531,8 +531,11 @@ class SamplingSpec extends AnyFunSuite {
     (0 until 3).foreach { trial =>
       val n = 60 + rnd.nextInt(120)
       val rows = (0 until n).map { i =>
-        // few distinct scores → heavy ties, the case rank laws get wrong
-        (i.toLong, s"s${rnd.nextInt(4)}", (rnd.nextInt(7) * 250000).toLong)
+        // few distinct scores → heavy ties, the case rank laws get wrong;
+        // negatives exercise the arithmetic-shift coarse buckets in both
+        // two-level folds
+        (i.toLong, s"s${rnd.nextInt(4)}",
+          (rnd.nextInt(7) * 250000 - 750000).toLong)
       }
       val df = rows.toDF("doc_id", "source", "score_micro")
       val got = Sampling
