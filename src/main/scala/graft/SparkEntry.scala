@@ -4268,6 +4268,18 @@ object SparkEntry {
       llm.Pca.gramRows(s, llm.Pca.fit(annCorpus(s, dir)))
     }),
 
+    // Incremental Gram maintenance: the corpus is fitted as two DISJOINT
+    // halves and the models merged (moments are plain sums) — while the
+    // ORACLE replays one whole-corpus Gram directly, so the hash match
+    // proves base+delta merge ≡ full refit end to end (the law that lets
+    // a daily ingest update the covariance without rescanning history).
+    "llm_gram_incremental" -> ((s, dir) => {
+      val corpus = annCorpus(s, dir)
+      val base = llm.Pca.fit(corpus.filter(col("nid") % 2 === 0), iters = 0)
+      val delta = llm.Pca.fit(corpus.filter(col("nid") % 2 === 1), iters = 0)
+      llm.Pca.gramRows(s, llm.Pca.merge(base, delta))
+    }),
+
     // PCA dominant direction: 12 fixed integer power-iteration sweeps over
     // the scaled covariance (sign-truncating rescale to |c| ≤ 1e6,
     // |w| ≤ 1e5 per sweep) — Rayleigh ≥ 0.9·λ1 even on this corpus's
@@ -6274,6 +6286,22 @@ object SparkEntry {
     // independent of the Spark side's single-buffer aggregator, plus the
     // exact-integer centering ncov = N·G − S_j·S_k
     "llm_gram_matrix" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS vq FROM embeddings),
+        |u AS (SELECT vec_id, unnest(vq) AS v, generate_subscripts(vq, 1) AS pos FROM e),
+        |g AS (SELECT a.pos - 1 AS j, b.pos - 1 AS k, sum(a.v * b.v) AS g
+        |      FROM u a JOIN u b ON a.vec_id = b.vec_id AND b.pos >= a.pos
+        |      GROUP BY 1, 2),
+        |s AS (SELECT pos - 1 AS j, sum(v) AS s FROM u GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM e)
+        |SELECT CAST(g.j AS BIGINT) AS j, CAST(g.k AS BIGINT) AS k,
+        |  CAST(g.g AS BIGINT) AS g,
+        |  CAST(n.n * g.g - sj.s * sk.s AS BIGINT) AS ncov
+        |FROM g JOIN s sj ON sj.j = g.j JOIN s sk ON sk.j = g.k CROSS JOIN n""".stripMargin,
+    // llm_gram_incremental oracle: IDENTICAL to llm_gram_matrix by
+    // design — the Spark side merges two disjoint-half fits, the oracle
+    // computes the whole corpus directly; equal hashes ARE the
+    // base+delta ≡ full-refit merge law
+    "llm_gram_incremental" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS vq FROM embeddings),
         |u AS (SELECT vec_id, unnest(vq) AS v, generate_subscripts(vq, 1) AS pos FROM e),
         |g AS (SELECT a.pos - 1 AS j, b.pos - 1 AS k, sum(a.v * b.v) AS g

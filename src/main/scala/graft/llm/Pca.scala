@@ -135,6 +135,20 @@ object Pca {
     model0.copy(w = w.toSeq)
   }
 
+  /** Merge two fitted models over disjoint corpus slices: Gram, sums and
+    * count are all plain sums, so the merged moments equal a single fit
+    * over the union — the incremental-maintenance law that lets a daily
+    * ingest update the covariance without rescanning history. The
+    * eigenvector is NOT merged (re-run the iteration on the merged
+    * moments when a fresh direction is needed); `w` is dropped.
+    */
+  def merge(a: PcaModel, b: PcaModel): PcaModel = {
+    require(a.d == b.d, s"dimension mismatch ${a.d} vs ${b.d}")
+    PcaModel(a.d, a.n + b.n,
+      a.sums.zip(b.sums).map { case (x, y) => x + y },
+      a.gramUpper.zip(b.gramUpper).map { case (x, y) => x + y }, Nil)
+  }
+
   /** The (j, k, g, ncov) upper-triangle rows of the fitted Gram/covariance
     * as a local frame — j ≤ k, 0-based.
     */
