@@ -484,15 +484,26 @@ object Sampling {
     * (the qualityCut/tokenBudget recipe — no task ever window-sorts a
     * full histogram, and per-source partitions decompose by (source,
     * bucket) so a mega-source never serializes through one task). The
-    * pooled interval frame broadcasts (score-grid-bounded); the only
-    * corpus-sized joins are key-equi on (source, score), left to AQE.
-    * `scoreCol` must be integral (micro-quantize doubles first).
+    * pooled-position lookup is a bucketized rank-space range join
+    * ([[graft.core.RangeJoin]], W = 16): near-unique micro scores make
+    * the cumulative frame corpus-sized, so a broadcast non-equi join
+    * would be a quadratic BroadcastNestedLoopJoin (caught at 500k docs
+    * by the scale lane — PLANS.md); every corpus-sized join here is
+    * key-equi. `scoreCol` must be integral (micro-quantize doubles
+    * first).
     */
   def calibrateScores(df: DataFrame, idCol: String, groupCol: String,
       scoreCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // four census branches + the result join would each re-evaluate the
+    // caller's score expression over the full corpus (scores are usually
+    // regex-heavy quality formulas — measured 6 redundant scans at 500k
+    // docs, PLANS.md); one 3-column materialization feeds every branch
+    // AND supplies the returned rows, so the corpus is scored exactly once
+    val slim = df.select(col(idCol), col(groupCol), col(scoreCol))
+      .localCheckpoint()
     // per-(group, score) census + two-level within-group min-rank
-    val hist = df.groupBy(col(groupCol), col(scoreCol))
+    val hist = slim.groupBy(col(groupCol), col(scoreCol))
       .agg(count(lit(1)).as("__c"))
       .withColumn("__cb", shiftright(col(scoreCol), 10))
     val boff = hist.groupBy(col(groupCol), col("__cb"))
@@ -509,7 +520,7 @@ object Sampling {
       .withColumn("src_rank",
         col("__boff") + coalesce(sum(col("__c")).over(wInner), lit(0L)) + 1L)
     // pooled census + two-level ascending cumulative intervals
-    val gh = df.groupBy(col(scoreCol).as("__gs"))
+    val gh = slim.groupBy(col(scoreCol).as("__gs"))
       .agg(count(lit(1)).as("__gc"))
       .withColumn("__gb", shiftright(col("__gs"), 10))
     val goff = gh.groupBy(col("__gb")).agg(sum(col("__gc")).as("__gt"))
@@ -523,18 +534,28 @@ object Sampling {
       .withColumn("__gcum", col("__goff") + sum(col("__gc")).over(wg))
       .withColumn("__gprev", col("__gcum") - col("__gc"))
       .select(col("__gs"), col("__gprev"), col("__gcum"))
-    val ns = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__ns"))
-    val nTot = df.agg(count(lit(1)).as("__n"))
+    val ns = slim.groupBy(col(groupCol)).agg(count(lit(1)).as("__ns"))
+    val nTot = slim.agg(count(lit(1)).as("__n"))
     val mapped = ranked.join(ns, Seq(groupCol)).crossJoin(broadcast(nTot))
       .withColumn("mapped_rank",
         expr("(src_rank - 1) * __n div __ns + 1"))
-    // pooled value at position p: the ONLY non-equi join, histogram ×
-    // broadcast-histogram (score-grid-bounded on both sides)
-    val calib = mapped.join(broadcast(gcum),
-        col("mapped_rank") > col("__gprev") &&
-          col("mapped_rank") <= col("__gcum"))
+    // pooled value at position p: a rank-space INTERVAL lookup. With
+    // near-unique scores the pooled cumulative frame is corpus-sized, so
+    // a broadcast non-equi join would be a BroadcastNestedLoopJoin —
+    // O(combos × intervals), measured quadratic at 500k docs (PLANS.md).
+    // The bucketized range join keeps it linear: intervals explode onto a
+    // 16-rank grid (a tie-block spanning many cells distributes across
+    // them — no straggler even on a degenerate all-one-score corpus) and
+    // the lookup is a plain shuffled equi-join on the cell id.
+    val calib = graft.core.RangeJoin.pointInInterval(
+        mapped, "mapped_rank",
+        gcum.select(col("__gs"), (col("__gprev") + 1).as("__lo"),
+          (col("__gcum") + 1).as("__hi")),
+        "__lo", "__hi", bucketWidth = 16L)
       .select(col(groupCol), col(scoreCol), col("src_rank"),
         col("mapped_rank"), col("__gs").as("calib_micro"))
-    df.join(calib, Seq(groupCol, scoreCol))
+    // per-record result off the checkpointed frame — join back to the
+    // caller's df by idCol when other columns are needed
+    slim.join(calib, Seq(groupCol, scoreCol))
   }
 }
