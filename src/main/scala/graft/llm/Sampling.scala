@@ -307,8 +307,16 @@ object Sampling {
       pct: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(pct > 0 && pct <= 100, s"pct must be in (0,100], got $pct")
-    val quant = df.withColumn("score_micro",
-      floor(col(scoreCol) * lit(1000000.0)).cast("long"))
+    // both the histogram scan and the flag scan need only (id, score);
+    // one 2-column materialization means the caller's score expression
+    // (typically a regex-heavy quality formula) is evaluated exactly
+    // once instead of twice (the 500k-doc lane measured the second
+    // evaluation as the dominant per-row cost — PLANS.md)
+    val quant = df.select(col(idCol), col(scoreCol))
+      .withColumn("score_micro",
+        floor(col(scoreCol) * lit(1000000.0)).cast("long"))
+      .drop(scoreCol)
+      .localCheckpoint()
     val hist = quant.groupBy(col("score_micro"))
       .agg(count(lit(1)).as("__c"))
       .withColumn("__cb", shiftright(col("score_micro"), 10))
