@@ -259,6 +259,41 @@ object Ann {
       .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cos"))
   }
 
+  /** IVF × SQ8 composition — the claim the SQ tier's docs make, as an
+    * executable search path: coarse cells prune the corpus (queries probe
+    * `nProbe` cells), and within probed cells candidates are ranked by
+    * cosine against the exact 255-scaled SQ reconstruction instead of the
+    * raw grid. The memory cut (8-bit codes) and the compute cut (cell
+    * pruning) stack: per query the work is |probed cells|·d over codes,
+    * and the corpus-side artifacts (bounds, codes, cells) are all
+    * build-once. Tie law matches every other ranking row.
+    */
+  def ivfSqSearch(
+      queries: DataFrame, // (qid, vq, norm2)
+      corpus: DataFrame, // (nid, vq, norm2)
+      centroids: DataFrame, // (cid, cv, cn)
+      cells: DataFrame, // (nid, cell)
+      k: Int,
+      nProbe: Int): DataFrame = {
+    val bounds = sqTrain(corpus)
+    val cand = sqRecon(sqEncode(corpus, bounds))
+      .join(cells, Seq("nid"))
+      .select(col("nid"), col("rv"), col("rn2"), col("cell"))
+    val probes = ivfAssign(queries.select(col("qid").as("id"), col("vq"),
+      col("norm2")), centroids, nProbe)
+      .select(col("id").as("qid"), col("cell"))
+    val q = queries.join(probes, Seq("qid"))
+      .select(col("qid"), col("vq").as("qv"), col("norm2").as("qn"), col("cell"))
+    val scored = cand.join(broadcast(q), Seq("cell"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("dp", dot("qv", "rv"))
+      .withColumn("cos", cosine(col("dp"), col("qn"), col("rn2")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cos"))
+  }
+
   /** Recall@k of an approximate ANN path against exact ground truth: the
     * fraction of true top-k (qid, nid) hits the approximate path found,
     * as one summary row (path, n_hits, n_truth, recall). Both inputs are

@@ -914,6 +914,37 @@ class AnnSpec extends AnyFunSuite {
     assert(rec >= 0.8, s"sq recall@3 $rec")
   }
 
+  test("IVF x SQ composition: results come only from probed cells, and " +
+    "the reconstruction ranking never beats brute cosine at rank 1") {
+    val e = Ann.withQuantized(emb, "embedding")
+    val q = e.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("vq"), col("norm2"))
+    val c = e.select(col("vec_id").as("nid"), col("vq"), col("norm2"))
+    val cent = Ann.kmeansCentroids(c, step = 10)
+    val cells = Ann.ivfAssign(
+        c.select(col("nid").as("id"), col("vq"), col("norm2")), cent, 1)
+      .select(col("id").as("nid"), col("cell"))
+    val got = Ann.ivfSqSearch(q, c, cent, cells, k = 3, nProbe = 2)
+      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+      .as[(Long, Long, Long, Double)].collect()
+    val cellOf = cells.as[(Long, Long)].collect().toMap
+    val probed = Ann.ivfAssign(
+        q.select(col("qid").as("id"), col("vq"), col("norm2")), cent, 2)
+      .select(col("id"), col("cell")).as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (qid, _, nid, _) =>
+      assert(probed(qid).contains(cellOf(nid)), s"($qid,$nid) outside probes")
+    }
+    // rank-1 reconstruction cosine can't exceed the true best cosine by
+    // more than the SQ grid error (generously bounded)
+    val brute = Ann.bruteTopK(q, c, 1)
+      .select(col("qid"), col("cos")).as[(Long, Double)].collect().toMap
+    got.filter(_._2 == 1L).foreach { case (qid, _, _, cosv) =>
+      assert(cosv <= brute(qid) + 0.05, s"qid $qid recon cos $cosv")
+    }
+  }
+
   test("retrieval eval: label-relevance MRR/precision replay in " +
     "straight-line Scala; rr_micro is the exact integer reciprocal") {
     val e = Ann.withQuantized(emb, "embedding")
