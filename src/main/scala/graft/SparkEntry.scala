@@ -3151,6 +3151,18 @@ object SparkEntry {
         idx.cells, k = 3, nProbe = 2)
     }),
 
+    // Recall gate for the composed path: what cell pruning AND 8-bit
+    // reconstruction together cost vs brute truth.
+    "llm_ivf_sq_recall" -> ((s, dir) => {
+      val idx = sharedAnnIndex(s, dir)
+      val queries = annQueries(s, dir)
+      val corpus = annCorpus(s, dir)
+      val truth = llm.Ann.bruteTopK(queries, corpus, 3)
+      llm.Ann.recallAtK("ivf_sq", truth,
+        llm.Ann.ivfSqSearch(queries, corpus, idx.coarse, idx.cells,
+          k = 3, nProbe = 2))
+    }),
+
     // Filtered ANN (hybrid search): top-3 cosine neighbors restricted to
     // a METADATA predicate — "nearest docs from these sources only", the
     // retrieval-with-filters shape every RAG/curation stack needs. The
@@ -6755,6 +6767,74 @@ object SparkEntry {
         |  SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
         |  FROM scored)
         |SELECT qid, CAST(rank AS BIGINT) AS rank, nid, cos FROM ranked WHERE rank <= 3""".stripMargin,
+    // llm_ivf_sq_recall oracle: brute truth + the composed
+    // ivf_sq chain + the hit-count summary row
+    "llm_ivf_sq_recall" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS vq FROM embeddings),
+        |en AS (SELECT vec_id, vq, CAST(list_sum(list_transform(vq, x -> x * x)) AS BIGINT) AS norm2 FROM e),
+        |cent0 AS (SELECT vec_id AS cid, vq AS cv, norm2 AS cn FROM en WHERE vec_id % 25 = 0),
+        |a1 AS (SELECT en.vec_id, cent0.cid,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(vq)), i -> vq[i] * cv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS ccos
+        |  FROM en CROSS JOIN cent0),
+        |r1 AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn FROM a1),
+        |asg1 AS (SELECT vec_id AS nid, cid AS cell FROM r1 WHERE rn = 1),
+        |u1 AS (SELECT asg1.cell, unnest(vq) AS v, generate_subscripts(vq, 1) AS d FROM en JOIN asg1 ON en.vec_id = asg1.nid),
+        |m1 AS (SELECT cell, d, CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS vc FROM u1 GROUP BY cell, d),
+        |cent1 AS (SELECT cell AS cid, list(vc ORDER BY d) AS cv FROM m1 GROUP BY cell),
+        |cent1n AS (SELECT cid, cv, CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cn FROM cent1),
+        |a2 AS (SELECT en.vec_id, cent1n.cid,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(vq)), i -> vq[i] * cv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS ccos
+        |  FROM en CROSS JOIN cent1n),
+        |r2 AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn FROM a2),
+        |asg2 AS (SELECT vec_id AS nid, cid AS cell FROM r2 WHERE rn = 1),
+        |u2 AS (SELECT asg2.cell, unnest(vq) AS v, generate_subscripts(vq, 1) AS d FROM en JOIN asg2 ON en.vec_id = asg2.nid),
+        |m2 AS (SELECT cell, d, CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS vc FROM u2 GROUP BY cell, d),
+        |cent2 AS (SELECT cell AS cid, list(vc ORDER BY d) AS cv FROM m2 GROUP BY cell),
+        |cent AS (SELECT cid, cv, CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cn FROM cent2),
+        |ascore AS (
+        |  SELECT en.vec_id, cent.cid,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(vq)), i -> vq[i] * cv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS ccos
+        |  FROM en CROSS JOIN cent),
+        |ranked_assign AS (
+        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+        |  FROM ascore),
+        |cells AS (SELECT vec_id AS nid, cid AS cell FROM ranked_assign WHERE rn = 1),
+        |probes AS (SELECT vec_id AS qid, cid AS cell FROM ranked_assign WHERE rn <= 2 AND vec_id % 50 = 0),
+        |u AS (SELECT vec_id, unnest(vq) AS v, generate_subscripts(vq, 1) AS pos FROM e),
+        |b AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM u GROUP BY pos),
+        |enc AS (SELECT u.vec_id, list(CASE WHEN b.mx = b.mn THEN b.mn * 255
+        |      ELSE b.mn * 255 + (((u.v - b.mn) * 255) // (b.mx - b.mn)) * (b.mx - b.mn) END ORDER BY u.pos) AS rv
+        |  FROM u JOIN b USING (pos) GROUP BY u.vec_id),
+        |rn AS (SELECT vec_id AS nid, rv, CAST(list_sum(list_transform(rv, x -> x * x)) AS BIGINT) AS rn2 FROM enc),
+        |c AS (SELECT rn.nid, rv, rn2, cell FROM rn JOIN cells ON rn.nid = cells.nid),
+        |q AS (SELECT en.vec_id AS qid, vq AS qv, norm2 AS qn, probes.cell FROM en JOIN probes ON en.vec_id = probes.qid),
+        |scored AS (
+        |  SELECT qid, nid,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * rv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(rn2 AS DOUBLE))) AS cos
+        |  FROM c JOIN q USING (cell) WHERE nid <> qid),
+        |ranked AS (
+        |  SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+        |  FROM scored),
+        |isq AS (SELECT qid, nid FROM (SELECT qid, nid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank FROM scored)
+        |  WHERE rank <= 3),
+        |bq AS (SELECT vec_id AS qid, vq AS qv, norm2 AS qn FROM en WHERE vec_id % 50 = 0),
+        |bscored AS (SELECT qid, en.vec_id AS bnid,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * en.vq[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(en.norm2 AS DOUBLE))) AS bcos
+        |  FROM en CROSS JOIN bq WHERE en.vec_id <> qid),
+        |truth AS (SELECT qid, bnid AS nid FROM (SELECT qid, bnid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY bcos DESC, bnid ASC) AS rank FROM bscored)
+        |  WHERE rank <= 3),
+        |hits AS (SELECT count(*) AS n_hits FROM truth JOIN isq USING (qid, nid)),
+        |tot AS (SELECT count(*) AS n_truth FROM truth)
+        |SELECT 'ivf_sq' AS path, CAST(n_hits AS BIGINT) AS n_hits, CAST(n_truth AS BIGINT) AS n_truth,
+        |  CASE WHEN n_truth = 0 THEN 0.0 ELSE CAST(n_hits AS DOUBLE) / n_truth END AS recall
+        |FROM hits CROSS JOIN tot""".stripMargin,
     // recall gate: re-derives brute truth + all three approximate paths
     // and counts hit-set intersections (exact integer work)
     "llm_ann_recall" ->
