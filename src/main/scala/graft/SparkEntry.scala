@@ -4380,6 +4380,15 @@ object SparkEntry {
       llm.Sketches.madOutliers(t(s, dir, "documents"), "n_chars", k = 2)
     }),
 
+    // Per-source robust fence: the same exact median/MAD law WITHIN each
+    // feed — a clean feed's outliers vanish inside a global gate when
+    // another feed's tail dominates. Keyed two-level folds; one row per
+    // source.
+    "llm_mad_by_source" -> ((s, dir) => {
+      llm.Sketches.madOutliersByKey(t(s, dir, "documents"), "source",
+        "n_chars", k = 2)
+    }),
+
     // Quality-aware canonical pick: each multi-member near-dup cluster
     // elects its highest-scoring member (tie → lowest id) via a
     // skew-absorbing max(struct) partial aggregate — the representative
@@ -6604,6 +6613,25 @@ object SparkEntry {
         |outl AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_outliers FROM dh CROSS JOIN mad WHERE dv > 2 * mad)
         |SELECT n.n AS n_rows, med.med AS median, mad.mad AS mad, outl.n_outliers
         |FROM n CROSS JOIN med CROSS JOIN mad CROSS JOIN outl""".stripMargin,
+    // llm_mad_by_source oracle: the keyed histogram-median law — per-key
+    // lower medians via partitioned window cumsum, k = 2 fence
+    "llm_mad_by_source" ->
+      """WITH h AS (SELECT source, n_chars AS v, count(*) AS c FROM documents GROUP BY 1, 2),
+        |n AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1),
+        |cum AS (SELECT source, v, CAST(sum(c) OVER (PARTITION BY source ORDER BY v) AS BIGINT) AS cum FROM h),
+        |med AS (SELECT cum.source, min(v) AS med FROM cum JOIN n ON n.source = cum.source
+        |  WHERE cum >= (n + 1) // 2 GROUP BY 1),
+        |dh AS (SELECT h.source, abs(h.v - med.med) AS dv, CAST(sum(c) AS BIGINT) AS c
+        |  FROM h JOIN med ON med.source = h.source GROUP BY 1, 2),
+        |dcum AS (SELECT source, dv, CAST(sum(c) OVER (PARTITION BY source ORDER BY dv) AS BIGINT) AS cum FROM dh),
+        |mad AS (SELECT dcum.source, min(dv) AS mad FROM dcum JOIN n ON n.source = dcum.source
+        |  WHERE cum >= (n + 1) // 2 GROUP BY 1),
+        |outl AS (SELECT dh.source, CAST(sum(c) AS BIGINT) AS n_outliers
+        |  FROM dh JOIN mad ON mad.source = dh.source WHERE dv > 2 * mad GROUP BY 1)
+        |SELECT n.source, n.n AS n_rows, med.med AS median, mad.mad AS mad,
+        |  coalesce(outl.n_outliers, CAST(0 AS BIGINT)) AS n_outliers
+        |FROM n JOIN med ON med.source = n.source JOIN mad ON mad.source = n.source
+        |LEFT JOIN outl ON outl.source = n.source""".stripMargin,
     // llm_kanon_audit oracle: the four-rung census joined back per record,
     // CASE cascade to the first rung reaching k = 5, histogram
     "llm_kanon_audit" ->

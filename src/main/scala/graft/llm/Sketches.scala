@@ -358,6 +358,63 @@ object Sketches {
       .agg(min(col(v)).as(colName))
   }
 
+  /** Keyed lower median off a (key, value) histogram via the two-level
+    * fold partitioned by (key, coarse bucket): `min v with per-key
+    * ascending cum ≥ (n_key + 1) quot 2`. High-cardinality partition
+    * keys — no task ever window-sorts one key's whole histogram, so a
+    * mega-key decomposes across its value buckets. One row per key.
+    */
+  private def histLowerMedianByKey(hist: DataFrame, key: String, v: String,
+      c: String, colName: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val n = hist.groupBy(col(key)).agg(sum(col(c)).as("__n"))
+    val h = hist.withColumn("__cb", shiftright(col(v), 10))
+    val off = h.groupBy(col(key), col("__cb")).agg(sum(col(c)).as("__bt"))
+      .withColumn("__boff", coalesce(
+        sum(col("__bt")).over(W.partitionBy(col(key)).orderBy(col("__cb"))
+          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .select(col(key), col("__cb"), col("__boff"))
+    h.join(off, Seq(key, "__cb"))
+      .withColumn("__cum", col("__boff") + sum(col(c)).over(
+        W.partitionBy(col(key), col("__cb")).orderBy(col(v))
+          .rowsBetween(W.unboundedPreceding, 0)))
+      .join(n, Seq(key))
+      .filter(col("__cum") >= expr("(__n + 1) div 2"))
+      .groupBy(col(key)).agg(min(col(v)).as(colName))
+  }
+
+  /** Per-key [[madOutliers]]: exact lower median, MAD and outlier count
+    * WITHIN each key (source, language, domain) — the per-feed robust
+    * fence, since a clean feed's outliers vanish inside a global gate
+    * when another feed's tail dominates. Same shape as the global form:
+    * the corpus is scanned once into a (key, value) histogram; the
+    * per-key deviation histogram derives from it; both medians use the
+    * keyed two-level fold. Returns (key, n_rows, median, mad,
+    * n_outliers).
+    */
+  def madOutliersByKey(df: DataFrame, keyCol: String, valueCol: String,
+      k: Int = 2): DataFrame = {
+    val hist = df.groupBy(col(keyCol), col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint() // read by both medians + the outlier count
+    val med = histLowerMedianByKey(hist, keyCol, "__v", "__c", "median")
+    val dh = hist.join(med, Seq(keyCol))
+      .groupBy(col(keyCol), abs(col("__v") - col("median")).as("__dv"))
+      .agg(sum(col("__c")).as("__dc"))
+      .localCheckpoint()
+    val mad = histLowerMedianByKey(dh, keyCol, "__dv", "__dc", "mad")
+    val n = hist.groupBy(col(keyCol)).agg(sum(col("__c")).as("n_rows"))
+    val outs = dh.join(mad, Seq(keyCol))
+      .filter(col("__dv") > lit(k.toLong) * col("mad"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__dc")).as("n_outliers"))
+    n.join(med, Seq(keyCol)).join(mad, Seq(keyCol))
+      .join(outs, Seq(keyCol), "left")
+      .withColumn("n_outliers", coalesce(col("n_outliers"), lit(0L)))
+      .select(col(keyCol), col("n_rows"), col("median"), col("mad"),
+        col("n_outliers"))
+  }
+
   /** Median-absolute-deviation outlier gate — the robust companion to the
     * sketch-bounds winsorize: exact lower median `m` of an integral
     * metric, exact MAD = median(|v − m|), and the count of records with

@@ -198,4 +198,34 @@ class SketchesSpec extends AnyFunSuite {
       assert(got == ((vals.length.toLong, med, mad, nOut)), s"trial $trial")
     }
   }
+
+  test("per-key MAD: each key's fence matches an independent straight-" +
+    "line replay, and equals the global form run on that key alone") {
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 300).map { i =>
+      val key = s"k${rnd.nextInt(4)}"
+      val v =
+        if (rnd.nextInt(20) == 0) 500000L + rnd.nextInt(100)
+        else rnd.nextLong() % 3000L
+      (i.toLong, key, v)
+    }
+    val df = rows.toDF("id", "key", "v")
+    val got = Sketches.madOutliersByKey(df, "key", "v", k = 2)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    def lowerMedian(xs: Seq[Long]): Long =
+      xs.sorted.apply((xs.length + 1) / 2 - 1)
+    rows.groupBy(_._2).foreach { case (key, ks) =>
+      val vals = ks.map(_._3)
+      val med = lowerMedian(vals)
+      val mad = lowerMedian(vals.map(v => math.abs(v - med)))
+      val nOut = vals.count(v => math.abs(v - med) > 2 * mad).toLong
+      assert(got(key) == ((vals.length.toLong, med, mad, nOut)), key)
+      // keyed form ≡ global form restricted to the key
+      val solo = Sketches.madOutliers(
+        df.filter(col("key") === key), "v", k = 2)
+        .as[(Long, Long, Long, Long)].head()
+      assert(solo == got(key), s"keyed vs global for $key")
+    }
+  }
 }
