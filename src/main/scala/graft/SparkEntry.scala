@@ -4351,6 +4351,21 @@ object SparkEntry {
           col("src_rank"), col("mapped_rank"), col("calib_micro"))
     }),
 
+    // Calibration-effect gate: per-source exact integer KS statistic of
+    // the calibrated distribution vs the pooled distribution — the "did
+    // calibration align the feeds" audit (it caught min-rank tie
+    // collapse: 0.49 max gap vs midrank's 0.10). Cross-multiplied
+    // integers, one row per source.
+    "llm_calibrate_ks" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("ws", llm.TextOps.words("text"))
+        .withColumn("score_micro",
+          floor(llm.TextOps.qualityScore * lit(1000000.0)).cast("long"))
+      val calibrated = llm.Sampling.calibrateScores(docs, "doc_id",
+        "source", "score_micro")
+      llm.Sampling.calibrationKs(calibrated, "source", "calib_micro")
+    }),
+
     // Leakage-safe split: near-dup CLUSTERS (not documents) hash into
     // train/test, so no near-duplicate pair straddles the split — the
     // audit column proves it (n_cross_pairs is COMPUTED, and 0).
@@ -6411,11 +6426,40 @@ object SparkEntry {
         |   CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE) / length(text)
         |  ) / 3.0 * 1000000) AS BIGINT) AS score_micro FROM w),
         |r AS (SELECT *, CAST(rank() OVER (PARTITION BY source ORDER BY score_micro) AS BIGINT) AS src_rank,
+        |       CAST(count(*) OVER (PARTITION BY source, score_micro) AS BIGINT) AS ce,
         |       count(*) OVER (PARTITION BY source) AS n_s, count(*) OVER () AS n FROM sc),
-        |m AS (SELECT *, CAST((src_rank - 1) * n // n_s + 1 AS BIGINT) AS mapped_rank FROM r),
+        |m AS (SELECT *, CAST(((2 * (src_rank - 1) + ce - 1) * n) // (2 * n_s) + 1 AS BIGINT) AS mapped_rank FROM r),
         |pooled AS (SELECT score_micro AS calib_micro, row_number() OVER (ORDER BY score_micro, doc_id) AS pos FROM sc)
         |SELECT doc_id, source, score_micro, src_rank, mapped_rank, calib_micro
         |FROM m JOIN pooled ON pooled.pos = m.mapped_rank WHERE doc_id % 20 = 0""".stripMargin,
+    // llm_calibrate_ks oracle: the midrank calibrate chain + per-source
+    // and pooled window cums + the cross-multiplied max gap
+    "llm_calibrate_ks" ->
+      """WITH w AS (SELECT doc_id, source, text, string_split(lower(text), ' ') AS ws FROM documents),
+        |sc AS (SELECT doc_id, source, CAST(floor(((CASE WHEN length(text) BETWEEN 100 AND 5000 THEN 1.0
+        |        WHEN length(text) > 5000 THEN 0.5 ELSE 0.2 END +
+        |   CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(ws)
+        |             BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.4 END +
+        |   CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE) / length(text)
+        |  ) / 3.0) * 1000000) AS BIGINT) AS score_micro FROM w),
+        |r AS (SELECT *, CAST(rank() OVER (PARTITION BY source ORDER BY score_micro) AS BIGINT) - 1 AS cs,
+        |       CAST(count(*) OVER (PARTITION BY source, score_micro) AS BIGINT) AS ce,
+        |       count(*) OVER (PARTITION BY source) AS n_s0, count(*) OVER () AS n0 FROM sc),
+        |m AS (SELECT *, CAST(((2 * cs + ce - 1) * n0) // (2 * n_s0) + 1 AS BIGINT) AS mapped_rank FROM r),
+        |pooled AS (SELECT score_micro AS calib_micro, row_number() OVER (ORDER BY score_micro, doc_id) AS pos FROM sc),
+        |cal AS (SELECT m.source, pooled.calib_micro AS v FROM m JOIN pooled ON pooled.pos = m.mapped_rank),
+        |h AS (SELECT source, v, CAST(count(*) AS BIGINT) AS c FROM cal GROUP BY 1, 2),
+        |cums AS (SELECT source, v, CAST(sum(c) OVER (PARTITION BY source ORDER BY v) AS BIGINT) AS cum FROM h),
+        |g AS (SELECT v, CAST(sum(c) AS BIGINT) AS gc FROM h GROUP BY 1),
+        |gcum AS (SELECT v, CAST(sum(gc) OVER (ORDER BY v) AS BIGINT) AS gcum FROM g),
+        |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM h GROUP BY 1),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h),
+        |ks AS (SELECT cums.source, ns.n_s, n.n,
+        |    CAST(max(abs(cum * n.n - gcum.gcum * ns.n_s)) AS BIGINT) AS ks_scaled
+        |  FROM cums JOIN gcum ON gcum.v = cums.v JOIN ns ON ns.source = cums.source CROSS JOIN n
+        |  GROUP BY 1, 2, 3)
+        |SELECT source, n_s, ks_scaled, CAST(ks_scaled * 1000000 // (n_s * n) AS BIGINT) AS ks_micro
+        |FROM ks""".stripMargin,
     // llm_cluster_split oracle: the llm_dedup_clusters recursive-CC chain,
     // then the cluster-root hash split (%100 < 80) and the cross-split
     // near-dup pair audit (0 by construction — clusters move whole)

@@ -481,7 +481,12 @@ object Sampling {
     *  - within-source MIN-rank `r = 1 + #{strictly smaller scores in
     *    the source}` (ties share a rank — calibration is a pure function
     *    of (source, score), never of row order);
-    *  - mapped pooled position `p = (r − 1)·N quot n_s + 1 ∈ [1, N]`;
+    *  - mapped pooled position via MID-rank (ties map to the middle of
+    *    their pooled span): `p = ((2·(r−1) + ce − 1)·N) quot (2·n_s) + 1
+    *    ∈ [1, N]` with `ce` the tie-block size — min-rank mapping sent an
+    *    all-tied source to the global MINIMUM; the [[calibrationKs]]
+    *    gate caught it (0.49 → 0.10 max CDF gap at sf0.01). Overflow:
+    *    2·N² must fit a long → N < 2·10⁹ (pre-divide beyond);
     *  - calibrated score = the pooled score whose ascending cumulative
     *    count range covers p (`gcum_prev < p ≤ gcum`).
     *
@@ -546,7 +551,13 @@ object Sampling {
     val nTot = slim.agg(count(lit(1)).as("__n"))
     val mapped = ranked.join(ns, Seq(groupCol)).crossJoin(broadcast(nTot))
       .withColumn("mapped_rank",
-        expr("(src_rank - 1) * __n div __ns + 1"))
+        // MID-rank mapping: a tie block of ce rows maps to the middle of
+        // its pooled span, not its first position — min-rank sent whole
+        // tie blocks to the pooled MINIMUM of the block (an all-tied
+        // source calibrated to the global min!); the calibrationKs gate
+        // measured that as a 0.49 CDF gap vs midrank's 0.10 at sf0.01.
+        // cs = src_rank − 1 strictly-smaller rows, ce = __c tie size.
+        expr("((2 * (src_rank - 1) + __c - 1) * __n) div (2 * __ns) + 1"))
     // pooled value at position p: a rank-space INTERVAL lookup. With
     // near-unique scores the pooled cumulative frame is corpus-sized, so
     // a broadcast non-equi join would be a BroadcastNestedLoopJoin —
@@ -565,5 +576,68 @@ object Sampling {
     // per-record result off the checkpointed frame — join back to the
     // caller's df by idCol when other columns are needed
     slim.join(calib, Seq(groupCol, scoreCol))
+  }
+
+  /** Calibration-effect gate: the exact integer KS-style statistic
+    * between each source's CALIBRATED distribution and the pooled raw
+    * distribution — `ks_scaled = max_v |cum_s(v)·N − gcum(v)·n_s|`, the
+    * cross-multiplied form of `max |F_s(v) − F(v)|` (no division until
+    * the one reported micro ratio). A perfect quantile map tracks the
+    * pooled CDF within TIE granularity — the residual gap is bounded by
+    * the largest pooled tie-block share, not 1/n_s — so per-source
+    * `ks_micro = 1e6·ks quot (n_s·N)` is the "did calibration actually
+    * align the feeds" audit, the analogue of the ANN recall gates (it
+    * caught min-rank mapping collapsing tied sources to the pooled
+    * minimum: 0.49 vs midrank's 0.10 at sf0.01). Overflow: cum·N ≤ N²,
+    * fine while N < 3·10⁹ (beyond that, pre-divide both cums by 2^k).
+    *
+    * Scale: calibrated rows → per-(source, value) census → keyed
+    * two-level cumulative (same fold family as the calibration itself);
+    * the pooled cum joins by VALUE (calibrated values are pooled values
+    * by construction), one row per source out.
+    */
+  def calibrationKs(calibrated: DataFrame, groupCol: String,
+      calibCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = calibrated.groupBy(col(groupCol), col(calibCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cb", shiftright(col("__v"), 10))
+      .localCheckpoint() // feeds the keyed cum, the pooled cum and ns
+    val boff = hist.groupBy(col(groupCol), col("__cb"))
+      .agg(sum(col("__c")).as("__bt"))
+      .withColumn("__boff", coalesce(
+        sum(col("__bt")).over(Window.partitionBy(col(groupCol))
+          .orderBy(col("__cb"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(groupCol), col("__cb"), col("__boff"))
+    val cums = hist.join(boff, Seq(groupCol, "__cb"))
+      .withColumn("__cum", col("__boff") + sum(col("__c")).over(
+        Window.partitionBy(col(groupCol), col("__cb")).orderBy(col("__v"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col(groupCol), col("__v"), col("__cum"))
+    // pooled cum over the SAME calibrated values (two-level, unkeyed)
+    val gh = hist.groupBy(col("__v")).agg(sum(col("__c")).as("__gc"))
+      .withColumn("__gb", shiftright(col("__v"), 10))
+    val goff = gh.groupBy(col("__gb")).agg(sum(col("__gc")).as("__gt"))
+      .withColumn("__goff", coalesce(
+        sum(col("__gt")).over(Window.orderBy(col("__gb"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__gb"), col("__goff"))
+    val gcum = gh.join(broadcast(goff), Seq("__gb"))
+      .withColumn("__gcum", col("__goff") + sum(col("__gc")).over(
+        Window.partitionBy(col("__gb")).orderBy(col("__v"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("__v"), col("__gcum"))
+    val ns = hist.groupBy(col(groupCol)).agg(sum(col("__c")).as("n_s"))
+    val nTot = hist.agg(sum(col("__c")).as("__n"))
+    cums.join(gcum, Seq("__v")).join(ns, Seq(groupCol))
+      .crossJoin(broadcast(nTot))
+      .withColumn("__gap",
+        abs(col("__cum") * col("__n") - col("__gcum") * col("n_s")))
+      .groupBy(col(groupCol), col("n_s"), col("__n"))
+      .agg(max(col("__gap")).as("ks_scaled"))
+      .withColumn("ks_micro",
+        expr("ks_scaled * 1000000 div (n_s * __n)"))
+      .select(col(groupCol), col("n_s"), col("ks_scaled"), col("ks_micro"))
   }
 }

@@ -550,10 +550,12 @@ class SamplingSpec extends AnyFunSuite {
       val nTot = rows.length.toLong
       rows.foreach { case (id, src, sc) =>
         val inSrc = bySrc(src).map(_._3)
-        val r = inSrc.count(_ < sc).toLong + 1
-        val p = (r - 1) * nTot / inSrc.length + 1
+        val cs = inSrc.count(_ < sc).toLong
+        val ce = inSrc.count(_ == sc).toLong
+        // midrank mapping: the tie block lands mid-span, not first-pos
+        val p = ((2 * cs + ce - 1) * nTot) / (2 * inSrc.length) + 1
         val calib = pooledSorted((p - 1).toInt)
-        assert(got(id) == ((r, p, calib)), s"trial $trial doc $id")
+        assert(got(id) == ((cs + 1, p, calib)), s"trial $trial doc $id")
       }
       // monotone within source: higher raw score never calibrates lower
       bySrc.foreach { case (_, docs) =>
