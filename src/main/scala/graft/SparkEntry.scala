@@ -4500,6 +4500,19 @@ object SparkEntry {
         .select(col("lang"), col("pred_lang"), col("n"), col("pct_bp"))
     }),
 
+    // MMR over IVF candidates: the diversification pass fed by the
+    // standing index's cell-pruned top-8 instead of brute force — the
+    // tier-agnostic composition mmrRerankFrom exists for. Corpus-side
+    // cost is the IVF probe; the greedy runs on the |q|·m frame.
+    "llm_mmr_ivf" -> ((s, dir) => {
+      val idx = sharedAnnIndex(s, dir)
+      val queries = annQueries(s, dir)
+      val corpus = annCorpus(s, dir)
+      val top = llm.Ann.ivfTopK(queries, corpus, idx.coarse, idx.cells,
+        k = 8, nProbe = 2)
+      llm.Ann.mmrRerankFrom(top, corpus, k = 3)
+    }),
+
     // Retrieval evaluation harness: label-relevance MRR / precision@k of
     // the brute ranking — all-integer per query (rr_micro = 1e6 div
     // first relevant rank), the eval row any ANN tier slots into.
@@ -6626,6 +6639,77 @@ object SparkEntry {
         |tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS t FROM p GROUP BY 1)
         |SELECT conf.lang, pred_lang, n, CAST(n * 10000 // t AS BIGINT) AS pct_bp
         |FROM conf JOIN tot ON tot.lang = conf.lang""".stripMargin,
+    // llm_mmr_ivf oracle: the 2-iteration k-means cell chain feeding
+    // cell-pruned top-8 candidates, then the k = 3 greedy unrolled
+    // with the (score DESC, nid ASC) tie law per pick
+    "llm_mmr_ivf" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS vq FROM embeddings),
+        |en AS (SELECT vec_id, vq, CAST(list_sum(list_transform(vq, x -> x * x)) AS BIGINT) AS norm2 FROM e),
+        |cent0 AS (SELECT vec_id AS cid, vq AS cv, norm2 AS cn FROM en WHERE vec_id % 25 = 0),
+        |a1 AS (SELECT en.vec_id, cent0.cid,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(vq)), i -> vq[i] * cv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS ccos
+        |  FROM en CROSS JOIN cent0),
+        |r1 AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn FROM a1),
+        |asg1 AS (SELECT vec_id AS nid, cid AS cell FROM r1 WHERE rn = 1),
+        |u1 AS (SELECT asg1.cell, unnest(vq) AS v, generate_subscripts(vq, 1) AS d FROM en JOIN asg1 ON en.vec_id = asg1.nid),
+        |m1 AS (SELECT cell, d, CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS vc FROM u1 GROUP BY cell, d),
+        |cent1 AS (SELECT cell AS cid, list(vc ORDER BY d) AS cv FROM m1 GROUP BY cell),
+        |cent1n AS (SELECT cid, cv, CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cn FROM cent1),
+        |a2 AS (SELECT en.vec_id, cent1n.cid,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(vq)), i -> vq[i] * cv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS ccos
+        |  FROM en CROSS JOIN cent1n),
+        |r2 AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn FROM a2),
+        |asg2 AS (SELECT vec_id AS nid, cid AS cell FROM r2 WHERE rn = 1),
+        |u2 AS (SELECT asg2.cell, unnest(vq) AS v, generate_subscripts(vq, 1) AS d FROM en JOIN asg2 ON en.vec_id = asg2.nid),
+        |m2 AS (SELECT cell, d, CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS vc FROM u2 GROUP BY cell, d),
+        |cent2 AS (SELECT cell AS cid, list(vc ORDER BY d) AS cv FROM m2 GROUP BY cell),
+        |cent AS (SELECT cid, cv, CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cn FROM cent2),
+        |ascore AS (
+        |  SELECT en.vec_id, cent.cid,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(vq)), i -> vq[i] * cv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS ccos
+        |  FROM en CROSS JOIN cent),
+        |ranked_assign AS (
+        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+        |  FROM ascore),
+        |cells AS (SELECT vec_id AS nid, cid AS cell FROM ranked_assign WHERE rn = 1),
+        |probes AS (SELECT vec_id AS qid, cid AS cell FROM ranked_assign WHERE rn <= 2 AND vec_id % 50 = 0),
+        |c AS (SELECT en.vec_id AS nid, vq AS nv, norm2 AS nn, cell FROM en JOIN cells ON en.vec_id = cells.nid),
+        |q0 AS (SELECT en.vec_id AS qid, vq AS qv, norm2 AS qn, probes.cell FROM en JOIN probes ON en.vec_id = probes.qid),
+        |iscored AS (SELECT qid, nid, nv, nn,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * nv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(nn AS DOUBLE))) AS rel
+        |  FROM c JOIN q0 USING (cell) WHERE nid <> qid),
+        |cand AS MATERIALIZED (SELECT qid, nid, nv, nn, rel FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, nid ASC) AS rnk FROM iscored)
+        |  WHERE rnk <= 8),
+        |sims AS MATERIALIZED (SELECT a.qid, a.nid AS a, b.nid AS b,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(a.nv)), i -> a.nv[i] * b.nv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(a.nn AS DOUBLE)) * sqrt(CAST(b.nn AS DOUBLE))) AS sim
+        |  FROM cand a JOIN cand b ON a.qid = b.qid AND a.nid <> b.nid),
+        |p1 AS MATERIALIZED (SELECT qid, nid, rel AS score FROM (
+        |    SELECT qid, nid, rel, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, nid ASC) AS rnk FROM cand)
+        |  WHERE rnk = 1),
+        |c2 AS (SELECT cnd.qid, cnd.nid, cnd.rel - s.sim AS score
+        |  FROM cand cnd JOIN p1 ON p1.qid = cnd.qid AND cnd.nid <> p1.nid
+        |  JOIN sims s ON s.qid = cnd.qid AND s.a = cnd.nid AND s.b = p1.nid),
+        |p2 AS MATERIALIZED (SELECT qid, nid, score FROM (
+        |    SELECT qid, nid, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rnk FROM c2)
+        |  WHERE rnk = 1),
+        |c3 AS (SELECT cnd.qid, cnd.nid, cnd.rel - greatest(s1.sim, s2.sim) AS score
+        |  FROM cand cnd
+        |  JOIN p1 ON p1.qid = cnd.qid JOIN p2 ON p2.qid = cnd.qid
+        |  JOIN sims s1 ON s1.qid = cnd.qid AND s1.a = cnd.nid AND s1.b = p1.nid
+        |  JOIN sims s2 ON s2.qid = cnd.qid AND s2.a = cnd.nid AND s2.b = p2.nid
+        |  WHERE cnd.nid <> p1.nid AND cnd.nid <> p2.nid),
+        |p3 AS (SELECT qid, nid, score FROM (
+        |    SELECT qid, nid, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rnk FROM c3)
+        |  WHERE rnk = 1)
+        |SELECT qid, CAST(1 AS BIGINT) AS mmr_rank, nid, score FROM p1
+        |UNION ALL SELECT qid, CAST(2 AS BIGINT), nid, score FROM p2
+        |UNION ALL SELECT qid, CAST(3 AS BIGINT), nid, score FROM p3""".stripMargin,
     // llm_retrieval_eval oracle: the brute ranking law + label joins +
     // all-integer MRR (1e6 // first relevant rank, 0-when-none)
     "llm_retrieval_eval" ->

@@ -851,8 +851,15 @@ object Ann {
     * cosine from exact integer dots, ties broken (score DESC, nid ASC).
     */
   def mmrRerank(queries: DataFrame, corpus: DataFrame,
-      m: Int = 8, k: Int = 3): DataFrame = {
-    val top = bruteTopK(queries, corpus, m) // (qid, rank, nid, cos)
+      m: Int = 8, k: Int = 3): DataFrame =
+    mmrRerankFrom(bruteTopK(queries, corpus, m), corpus, k)
+
+  /** [[mmrRerank]] over a PRE-COMPUTED candidate frame — any ANN tier's
+    * (qid, nid, cos) output slots in (brute, IVF, IVF-PQ rerank, …); the
+    * greedy diversification is tier-agnostic.
+    */
+  def mmrRerankFrom(top: DataFrame, corpus: DataFrame,
+      k: Int = 3): DataFrame = {
     val cand = corpus
       .join(broadcast(top.select(col("qid"), col("nid"), col("cos").as("rel"))),
         Seq("nid"))
