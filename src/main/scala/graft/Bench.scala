@@ -64,6 +64,18 @@ object Bench {
     "llm_set_join", "llm_decayed_score",
     "llm_trustrank", "llm_seed_distance", "llm_pps_sample", "llm_pps_estimate",
     "llm_domain_similarity", "llm_communities",
+    // round-12 additions that read sf-scaled documents/annCorpus inputs —
+    // headline (median-of-reps), NOT fixtures: leaving them in the
+    // min-of-2 bucket tripled fixtures_bucket in r12 and broke
+    // round-over-round comparability
+    "llm_score_calibrate", "llm_calibrate_ks", "llm_mad_outliers",
+    "llm_mad_by_source", "llm_gram_matrix", "llm_gram_incremental",
+    "llm_gram_shifted",
+    "llm_pca_power", "llm_pca_project", "llm_mmr_rerank", "llm_mmr_ivf",
+    "llm_kanon_audit", "llm_cluster_split", "llm_best_of_cluster",
+    "llm_label_centroids", "llm_ivf_sq_search", "llm_sq_encode",
+    "llm_rp_project", "llm_retrieval_eval", "llm_lang_confusion",
+    "llm_token_fertility",
     "s2_stream_agg", "s2b_stream_state", "s2c_stream_sessions",
     "s2d_stream_join", "s2e_stream_dedup_wm", "s2f_stream_enrich",
     "s2g_stream_hll", "s2h_stream_cm", "s2i_stream_quantile",
@@ -170,7 +182,12 @@ object Bench {
     val fixtureTotal = fixtures._2 + loaders._2
     // rollups namespaced with "__" so a consumer summing or diffing the
     // per-query entries can exclude them (they are NOT query rows; the
-    // same values are also emitted as separate top-level metric lines)
+    // same values are also emitted as separate top-level metric lines).
+    // NOTE (r12→r13 rename): these keys were `scaled_total`/`fixture_total`
+    // through BENCH_r11 and moved to the `__`-prefixed names in r12 — a
+    // cross-round diff of the queries map should treat the pairs as the
+    // same series. The un-prefixed names survive as the standalone
+    // top-level metric lines below, which are the stable interface.
     val qs = (results ++ loaderTimes :+ fixtures :+ loaders :+
       ("__scaled_total" -> scaledTotal) :+ ("__fixture_total" -> fixtureTotal))
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }

@@ -4289,6 +4289,16 @@ object SparkEntry {
       llm.Pca.gramRows(s, llm.Pca.fit(annCorpus(s, dir)))
     }),
 
+    // Two-pass SHIFTED Gram — the overflow-regime production form: pass 1
+    // aggregates integer per-dim means (d+1 longs of state), pass 2 runs
+    // the same Gram aggregator over the mean-shifted grid. `g` here is the
+    // SHIFTED Gram (magnitudes re-centered, the 64-bit headroom win) while
+    // `ncov` equals the one-pass row's ncov EXACTLY — the shift-invariance
+    // law the oracle re-derives relationally from scratch.
+    "llm_gram_shifted" -> ((s, dir) => {
+      llm.Pca.gramRows(s, llm.Pca.fitShifted(annCorpus(s, dir)).model)
+    }),
+
     // Incremental Gram maintenance: the corpus is fitted as two DISJOINT
     // halves and the models merged (moments are plain sums) — while the
     // ORACLE replays one whole-corpus Gram directly, so the hash match
@@ -5521,7 +5531,7 @@ object SparkEntry {
 
   /** Shared CTE chain for the PCA oracles: quantize → relational Gram →
     * exact-integer centering → mirror to the full symmetric covariance →
-    * one |c| ≤ 1e6 rescale → 8 unrolled power-iteration sweeps, each a
+    * one |c| ≤ 1e6 rescale → 12 unrolled power-iteration sweeps, each a
     * mat-vec plus a sign-wrapped |w| ≤ 1e5 rescale (DuckDB `//` floors
     * while Spark `div` truncates — the `CASE WHEN x < 0 THEN -((-x)//sc)`
     * form makes both truncate toward zero). Ends at CTE `w12`.
@@ -6355,6 +6365,29 @@ object SparkEntry {
         |  CAST(g.g AS BIGINT) AS g,
         |  CAST(n.n * g.g - sj.s * sk.s AS BIGINT) AS ncov
         |FROM g JOIN s sj ON sj.j = g.j JOIN s sk ON sk.j = g.k CROSS JOIN n""".stripMargin,
+    // llm_gram_shifted oracle: integer means with the sign-wrapped
+    // truncating division (DuckDB `//` floors, the CASE form truncates
+    // toward zero like Scala Long `/`), then the Gram of the SHIFTED
+    // values and the centering over the residual sums — ncov must equal
+    // llm_gram_matrix's ncov exactly (shift invariance), while g pins the
+    // actual two-pass computation, not just the final covariance
+    "llm_gram_shifted" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS vq FROM embeddings),
+        |u AS (SELECT vec_id, unnest(vq) AS v, generate_subscripts(vq, 1) AS pos FROM e),
+        |n AS (SELECT count(*) AS n FROM e),
+        |s0 AS (SELECT pos - 1 AS j, sum(v) AS s FROM u GROUP BY 1),
+        |m AS (SELECT j, CASE WHEN s < 0 THEN -((-s) // n.n) ELSE s // n.n END AS m
+        |      FROM s0 CROSS JOIN n),
+        |w AS (SELECT u.vec_id, u.pos, u.v - m.m AS v
+        |      FROM u JOIN m ON m.j = u.pos - 1),
+        |g AS (SELECT a.pos - 1 AS j, b.pos - 1 AS k, sum(a.v * b.v) AS g
+        |      FROM w a JOIN w b ON a.vec_id = b.vec_id AND b.pos >= a.pos
+        |      GROUP BY 1, 2),
+        |sr AS (SELECT pos - 1 AS j, sum(v) AS s FROM w GROUP BY 1)
+        |SELECT CAST(g.j AS BIGINT) AS j, CAST(g.k AS BIGINT) AS k,
+        |  CAST(g.g AS BIGINT) AS g,
+        |  CAST(n.n * g.g - sj.s * sk.s AS BIGINT) AS ncov
+        |FROM g JOIN sr sj ON sj.j = g.j JOIN sr sk ON sk.j = g.k CROSS JOIN n""".stripMargin,
     // llm_gram_incremental oracle: IDENTICAL to llm_gram_matrix by
     // design — the Spark side merges two disjoint-half fits, the oracle
     // computes the whole corpus directly; equal hashes ARE the
@@ -6371,7 +6404,7 @@ object SparkEntry {
         |  CAST(g.g AS BIGINT) AS g,
         |  CAST(n.n * g.g - sj.s * sk.s AS BIGINT) AS ncov
         |FROM g JOIN s sj ON sj.j = g.j JOIN s sk ON sk.j = g.k CROSS JOIN n""".stripMargin,
-    // llm_pca_power oracle: the full 8-sweep integer power iteration
+    // llm_pca_power oracle: the full 12-sweep integer power iteration
     // unrolled as CTEs — sign-wrapped `//` everywhere a numerator can be
     // negative (DuckDB `//` floors, Spark div truncates; the sign-abs form
     // makes both truncate), covariance mirrored from the upper triangle,

@@ -18,13 +18,19 @@ import org.apache.spark.sql.functions._
   *    d = 64 that is 2,145 longs per partial; a 1000-executor scan merges
   *    them in one tree reduction.
   *  - Mean-centering stays integer: `ncov[j][k] = N·G[j][k] − S_j·S_k`
-  *    is N² times the biased covariance, exactly. Overflow bound:
-  *    |ncov| ≤ N²·B² for |x| ≤ B on the ×100 grid; with B ≈ 100·‖x‖∞ the
-  *    product fits a signed 64-bit long while N·B < 3·10⁹ (N ≈ 30M rows at
-  *    B = 100). Beyond that a production run switches to the two-pass
-  *    form (pass 1: integer means m_j = S_j quot N; pass 2: Gram of the
-  *    shifted grid x − m), which re-centers the magnitudes at the cost of
-  *    one extra scan — the classic shift trick; same aggregator either way.
+  *    is N² times the biased covariance, exactly. Overflow analysis
+  *    (CORRECTED in round 13 — ShiftedPcaSpec pins both halves): the
+  *    whole pipeline is ring operations (+, −, ×), so intermediate
+  *    64-bit wrap SELF-CANCELS — the result is exact mod 2⁶⁴, hence
+  *    exact outright whenever the TRUE centered value fits a signed
+  *    long. The earlier "overflows past N·B ≈ 3·10⁹" reading was wrong.
+  *    The binding constraint is the VALUE bound |ncov| ≤ N²·σ²·grid²
+  *    (σ = centered spread): past N²·σ² ≈ 2⁶³ the N²-scale quantity is
+  *    unrepresentable in any 64-bit form. There a production run uses
+  *    [[fitShifted]] (pass 1: integer means m_j = S_j quot N; pass 2:
+  *    Gram of the shifted grid x − m) and eigensolves on the N-scale
+  *    shifted Gram G' via [[componentFromShiftedGram]] — G' is a factor
+  *    N smaller and the dropped rank-1 residual term is < N² per entry.
   *  - The dominant eigenvector comes from FIXED-COUNT power iteration in
   *    saturating integer arithmetic: the covariance is rescaled once to
   *    |c| ≤ 10⁶ and the iterate to |w| ≤ 10⁵ after every mat-vec, both via
@@ -119,6 +125,14 @@ object Pca {
     // scaled covariance |c| <= 1e6, then w0 = diagonal (PSD: non-negative,
     // generically non-orthogonal to the dominant eigenvector)
     val flat = Array.tabulate(d * d)(i => model0.ncov(i / d, i % d))
+    model0.copy(w = powerIterate(flat, d, iters).toSeq)
+  }
+
+  /** The fixed-count integer power iteration over a flattened d×d matrix:
+    * one |c| ≤ 10⁶ rescale, diagonal start, `iters` mat-vec sweeps each
+    * followed by a |w| ≤ 10⁵ rescale (all truncation toward zero).
+    */
+  private def powerIterate(flat: Array[Long], d: Int, iters: Int): Array[Long] = {
     val cs = rescale(flat, 1000000L)
     var w = Array.tabulate(d)(j => cs(j * d + j))
     var t = 0
@@ -132,7 +146,89 @@ object Pca {
       w = rescale(m, 100000L)
       t += 1
     }
-    model0.copy(w = w.toSeq)
+    w
+  }
+
+  /** Coordinate sums + count in one pass — the cheap first pass of the
+    * shifted (two-pass) fit. Buffer: `[0, d)` sums, `[d]` count.
+    */
+  private final class SumsAgg(d: Int)
+      extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+    def zero: Array[Long] = new Array[Long](d + 1)
+    def reduce(b: Array[Long], row: Seq[Long]): Array[Long] = {
+      var j = 0
+      while (j < d) { b(j) += row(j); j += 1 }
+      b(d) += 1L
+      b
+    }
+    def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < x.length) { x(i) += y(i); i += 1 }
+      x
+    }
+    def finish(b: Array[Long]): Seq[Long] = b.toSeq
+    def bufferEncoder: ExpressionEncoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+    def outputEncoder: ExpressionEncoder[Seq[Long]] =
+      ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** Two-pass shifted fit: `means` is the integer per-coordinate mean
+    * (truncation toward zero, matching the oracle's sign-wrapped `//`);
+    * `model` is the ordinary [[PcaModel]] fitted over the SHIFTED grid
+    * `x − m` — its `gramUpper` is the shifted Gram, its `sums` are the
+    * division residuals (|S'_j| < N), and its `ncov` equals the one-pass
+    * `ncov` EXACTLY (the centered covariance is shift-invariant:
+    * N·G' − S'_j·S'_k = N·G − S_j·S_k for any constant shift — expand
+    * G' = G − m_k·S_j − m_j·S_k + N·m_j·m_k, S' = S − N·m and the cross
+    * terms cancel). ShiftedPcaSpec pins the identity on real data AND in
+    * a synthetic regime where the one-pass products wrap 64-bit.
+    */
+  final case class ShiftedPcaModel(means: Seq[Long], model: PcaModel)
+
+  /** The production-scale fit: pass 1 aggregates integer means (d + 1
+    * longs of state — trivially mergeable), pass 2 runs the SAME
+    * [[GramAgg]] over the mean-shifted grid. Why it matters at 100 TB:
+    * NOT wrap protection for ncov (ring ops make the one-pass form exact
+    * mod 2⁶⁴, so it survives intermediate wraps — see the class doc and
+    * ShiftedPcaSpec's falsification test), but REPRESENTABILITY of the
+    * stored moments: past N²·σ² ≈ 2⁶³ the N²-scale ncov does not exist
+    * in 64 bits at all, while the shifted Gram G' (≈ N·σ²·grid², factor
+    * N smaller) still does — [[componentFromShiftedGram]] eigensolves on
+    * it directly. Cost: one extra (cheap, sums-only) scan. In the shared
+    * regime the power iteration yields the identical component because
+    * ncov is identical (shift invariance).
+    */
+  def fitShifted(corpus: DataFrame, d: Int = 64, iters: Int = 12): ShiftedPcaModel = {
+    val sumsAgg = udaf(new SumsAgg(d))
+    val sbuf = corpus.agg(sumsAgg(col("vq")).as("buf"))
+      .head().getSeq[Long](0)
+    val n = sbuf(d)
+    require(n > 0, "fitShifted: empty corpus")
+    // truncation-toward-zero integer means (Scala Long `/` truncates;
+    // the oracle uses the sign-wrapped `//` form so DuckDB agrees)
+    val means = Array.tabulate(d) { j =>
+      val s = sbuf(j); if (s < 0) -((-s) / n) else s / n
+    }
+    val shifted = corpus.withColumn("vq",
+      zip_with(col("vq"), typedLit(means.toSeq), (x, m) => x - m))
+    ShiftedPcaModel(means.toSeq, fit(shifted, d, iters))
+  }
+
+  /** Dominant direction from the SHIFTED Gram G' alone — the billion-row
+    * production escape. The exact N²-scale covariance is
+    * `N·G' − S'·S'ᵀ`; past N²·σ² ≈ 2⁶³ that value is unrepresentable in
+    * ANY 64-bit arithmetic, but G' itself (true magnitude ≈ N·σ²·grid²,
+    * a factor N smaller) still fits. Eigensolving on G' drops only the
+    * rank-1 residual term, whose entries are bounded by N² (integer-mean
+    * shifting leaves |S'_j| < N) — negligible against G' whenever
+    * σ²·grid² ≫ 1, i.e. any non-degenerate embedding corpus. Same
+    * integer power-iteration machinery, same rescale law.
+    */
+  def componentFromShiftedGram(sh: ShiftedPcaModel, iters: Int = 12): Seq[Long] = {
+    val d = sh.model.d
+    val flat = Array.tabulate(d * d)(i => sh.model.gram(i / d, i % d))
+    powerIterate(flat, d, iters).toSeq
   }
 
   /** Merge two fitted models over disjoint corpus slices: Gram, sums and

@@ -454,7 +454,12 @@ object Sampling {
         size(split(lower(col(textCol)), " ")).cast("long"))
       .groupBy(col(groupCol))
       .agg(sum(col("__t")).as("n_tokens"))
-      .join(weights, Seq(groupCol))
+      // right-join on weights: a weights-listed source with ZERO documents
+      // must still appear in the plan (epochs 0, deficit = target) — that
+      // fully-missing source is exactly the under-supplied case the
+      // deficit column exists to surface
+      .join(weights, Seq(groupCol), "right")
+      .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
       .withColumn("target_tokens",
         expr(s"$budgetTokens * weight_bp div 10000"))
       .withColumn("epochs_micro",

@@ -76,13 +76,20 @@ object CivicVariants {
     import spark.implicits._
     val rsPat = "^\\s*rs[0-9]+\\s*$" // names are already lowercased
     val h0 = hydrated(spark, path)
+    // persist only when the rsID hook consumes h0 twice (the rs split +
+    // the remainder); try/finally below guarantees the unpersist even when
+    // the rsID loader or a merge throws (matching Snp.fetchAndLoad's
+    // persist hygiene — a leaked cached frame squeezes executor storage
+    // for the rest of the session)
+    val persisted = rsidLoad.isDefined
+    if (persisted) h0.persist()
+    try {
     val (h, rsCounts) = rsidLoad match {
       case Some(loader) =>
         val isRs = !col("positional") && col("vtype").rlike(rsPat)
-        val hp = h0.persist()
-        val ids = hp.filter(isRs).select(trim(col("vtype"))).distinct().as[String]
+        val ids = h0.filter(isRs).select(trim(col("vtype"))).distinct().as[String]
         val counts = loader(ids).map { case (k, v) => s"rsid_$k" -> v }
-        (hp.filter(!isRs), counts)
+        (h0.filter(!isRs), counts)
       case None => (h0, Map.empty[String, Long])
     }
     val civicTerms = vocab.filter(col("source") === "civic")
@@ -106,8 +113,8 @@ object CivicVariants {
         col("notation"), lit("@"), col("term")))
     val vc = store.merge(variantsTable, variants, Seq("vid"),
       Seq("notation", "positional", "term", "break1", "reference1"))
-    if (rsidLoad.isDefined) h0.unpersist() // h0 is the persisted frame
     fc.map { case (k, v) => s"features_$k" -> v } ++
       vc.map { case (k, v) => s"variants_$k" -> v } ++ rsCounts
+    } finally { if (persisted) h0.unpersist() }
   }
 }

@@ -176,7 +176,11 @@ object HgvsParser {
   private val breakTokByPrefix: Map[String, String] = {
     val paren = """\((?:[^()_]+)_(?:[^()_]+)\)"""
     Map(
-      "p" -> s"""$paren|[A-Za-z]{3}\\d+|[A-Za-z?*]?\\d+|[A-Za-z?*]?\\?""",
+      // 3-letter codes accepted before BOTH a digit and `?`, matching
+      // protPos (which allows `Gly?`) — without the `{3}\?` branch a
+      // notation like `p.Gly?` fell to the 1-letter alternative and
+      // tokenized `Gly` inconsistently with the position grammar
+      "p" -> s"""$paren|[A-Za-z]{3}\\d+|[A-Za-z]{3}\\?|[A-Za-z?*]?\\d+|[A-Za-z?*]?\\?""",
       "y" -> s"""$paren|[pq](?:\\d+(?:\\.\\d+)?)?|\\?""",
       "c" -> s"""$paren|(?:\\d+|\\?)(?:[-+]\\d+)?""",
       "n" -> s"""$paren|(?:\\d+|\\?)(?:[-+]\\d+)?""",

@@ -588,6 +588,23 @@ class SamplingSpec extends AnyFunSuite {
     assert(got("C") == ((1L, 0L, 0L, 0L, 0L)))
   }
 
+  test("epochPlan: a weights-listed source with ZERO documents still " +
+    "appears, with epochs 0 and deficit = target") {
+    val docs = Seq((1L, "A", "w1 w2 w3 w4"))
+      .toDF("doc_id", "source", "text")
+    // D has a weight but no documents at all — the fully-missing source
+    // is exactly the under-supplied case the deficit column surfaces
+    val weights = Seq(("A", 5000L), ("D", 5000L))
+      .toDF("source", "weight_bp")
+    val got = Sampling.epochPlan(docs, "doc_id", "text", "source", weights,
+      budgetTokens = 20L, maxEpochsMicro = 2000000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(got.keySet == Set("A", "D"))
+    // D: 0 supply vs target 10 → epochs 0, planned 0, deficit = target
+    assert(got("D") == ((0L, 10L, 0L, 0L, 10L)))
+  }
+
   test("packEfficiency: matches a straight-line replay; sorted wastes no " +
     "more than naive; decomposition survives repartition") {
     // adversarial mix: one giant doc per run of shorts, id order interleaved

@@ -48,6 +48,12 @@ class HgvsParserSpec extends AnyFunSuite {
     // their 1-letter reading (delVAL = V,A,L — no 3-letter decode)
     assert(parseOpt("p.Xyz12Asp").isEmpty)
     assert(parse("p.K23_V25delVAL").refSeq.contains("VAL"))
+    // 3-letter code before `?` tokenizes like the position grammar
+    // (protPos accepts `Gly?`; the break-token alternation must too,
+    // or the token splits as 1-letter and misreads `Gly`)
+    val q = parse("p.Gly?")
+    assert(q.break1Start.get.refAA.contains("G"))
+    assert(q.break1Start.get.pos.isEmpty)
   }
 
   test("nonsense and stop positions") {
