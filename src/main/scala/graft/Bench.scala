@@ -73,7 +73,7 @@ object Bench {
     "llm_gram_shifted",
     "llm_pca_power", "llm_pca_project", "llm_mmr_rerank", "llm_mmr_ivf",
     "llm_kanon_audit", "llm_cluster_split", "llm_best_of_cluster",
-    "llm_label_centroids", "llm_ivf_sq_search", "llm_sq_encode",
+    "llm_label_centroids", "llm_ivf_sq_search", "llm_sq_encode", "llm_sq_index",
     "llm_rp_project", "llm_retrieval_eval", "llm_lang_confusion",
     "llm_token_fertility",
     "s2_stream_agg", "s2b_stream_state", "s2c_stream_sessions",

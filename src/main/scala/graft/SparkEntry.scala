@@ -167,6 +167,22 @@ object SparkEntry {
     llm.Ann.IvfPqIndex.load(s, path)
   }
 
+  /** The shared SQ8 index (trained bounds + 8-bit corpus codes), same
+    * fingerprint-keyed build-once/load-many lifecycle as
+    * [[sharedAnnIndex]] — the SQ rows probe the LOADED index instead of
+    * retraining bounds and re-encoding the corpus per call. Deterministic
+    * integer training keeps every oracle's inline replay valid.
+    */
+  private def sharedSqIndex(s: SparkSession, dir: String): llm.Ann.SqIndex = {
+    val path = annIndexPath(dir).replace("ivfpq_v1_", "sq_v1_")
+    val ok = java.nio.file.Paths.get(path, "_GRAFT_OK")
+    if (!java.nio.file.Files.exists(ok)) {
+      llm.Ann.buildSqIndex(annCorpus(s, dir)).save(path)
+      java.nio.file.Files.write(ok, Array.emptyByteArray)
+    }
+    llm.Ann.SqIndex.load(s, path)
+  }
+
   /** Salted contamination fixture (llm_decontaminate; the report row
     * builds its own two-benchmark variant of the same shape inline):
     * eval split (`doc_id % 100 == 0`), 12-word snips keyed by ref, and a
@@ -3145,10 +3161,12 @@ object SparkEntry {
     // IVF × SQ8 composition: coarse cells prune (2-probe), SQ8
     // reconstructions rank within probed cells — the compute cut and the
     // memory cut stacked, proving the composition the SQ docs claim.
+    // Standing-index form: bounds/codes come off the LOADED shared SQ
+    // index, cells off the shared IVF index — nothing trains in-query.
     "llm_ivf_sq_search" -> ((s, dir) => {
       val idx = sharedAnnIndex(s, dir)
-      llm.Ann.ivfSqSearch(annQueries(s, dir), annCorpus(s, dir), idx.coarse,
-        idx.cells, k = 3, nProbe = 2)
+      llm.Ann.ivfSqSearch(annQueries(s, dir), sharedSqIndex(s, dir),
+        idx.coarse, idx.cells, k = 3, nProbe = 2)
     }),
 
     // Recall gate for the composed path: what cell pruning AND 8-bit
@@ -4236,9 +4254,24 @@ object SparkEntry {
 
     // SQ8 asymmetric search: queries score the encoded corpus through the
     // exact 255-scaled integer reconstruction (the SQ analogue of PQ's
-    // ADC) — corpus never shuffles, query batch broadcasts.
+    // ADC) — corpus never shuffles, query batch broadcasts. Standing-index
+    // form: probes the LOADED shared SQ index (build-once/probe-many);
+    // deterministic training keeps the oracle's inline replay identical.
     "llm_sq_search" -> ((s, dir) => {
-      llm.Ann.sqSearch(annQueries(s, dir), annCorpus(s, dir), k = 3)
+      llm.Ann.sqSearch(annQueries(s, dir), sharedSqIndex(s, dir), k = 3)
+    }),
+
+    // SQ8 standing-index build: the one-time bounds-train + corpus-encode
+    // cost every probe row amortizes (mirrors llm_ann_index_build) —
+    // component row counts of the persisted parquet artifacts.
+    "llm_sq_index" -> ((s, dir) => {
+      val idx = sharedSqIndex(s, dir)
+      Seq(("bounds", idx.bounds), ("codes", idx.codes))
+        .map { case (name, df) =>
+          df.agg(count(lit(1)).cast("long").as("n_rows"))
+            .select(lit(name).as("component"), col("n_rows"))
+        }
+        .reduce(_ unionByName _)
     }),
 
     // SQ8 recall gate: recall@3 of reconstruction-ranked search against
@@ -8590,6 +8623,16 @@ object SparkEntry {
     // full-vector coarse k-means (cent2 = distinct populated cells after
     // iteration 2) and the two subspace codebooks (scent2) — and
     // re-derive the persisted component row counts
+    // llm_sq_index oracle: component row counts of the persisted SQ8
+    // artifacts — the collapsed bounds frame is one row by construction,
+    // the code table is one row per corpus vector (the deep per-code
+    // check is llm_sq_encode; the probe checks are llm_sq_search /
+    // llm_ivf_sq_search, which read THIS loaded index)
+    "llm_sq_index" ->
+      """SELECT 'bounds' AS component, CAST(1 AS BIGINT) AS n_rows
+        |UNION ALL
+        |SELECT 'codes' AS component, CAST(count(*) AS BIGINT) AS n_rows
+        |FROM embeddings""".stripMargin,
     "llm_ann_index_build" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS vq FROM embeddings),
         |en AS (SELECT vec_id, vq, CAST(list_sum(list_transform(vq, x -> x * x)) AS BIGINT) AS norm2 FROM e),

@@ -274,9 +274,28 @@ object Ann {
       centroids: DataFrame, // (cid, cv, cn)
       cells: DataFrame, // (nid, cell)
       k: Int,
+      nProbe: Int): DataFrame =
+    ivfSqSearch(queries, buildSqIndex(corpus), centroids, cells, k, nProbe)
+
+  /** Composed probe against a prebuilt [[IvfSqIndex]] — the standing-index
+    * lifecycle form of [[ivfSqSearch]].
+    */
+  def ivfSqSearch(queries: DataFrame, index: IvfSqIndex, k: Int,
+      nProbe: Int): DataFrame =
+    ivfSqSearch(queries, index.sq, index.coarse, index.cells, k, nProbe)
+
+  /** IVF × SQ8 against a prebuilt [[SqIndex]] with an externally-supplied
+    * coarse tier (the shared IVF index's centroids/cells) — no training,
+    * no corpus re-encode inside the call.
+    */
+  def ivfSqSearch(
+      queries: DataFrame,
+      sq: SqIndex,
+      centroids: DataFrame, // (cid, cv, cn)
+      cells: DataFrame, // (nid, cell)
+      k: Int,
       nProbe: Int): DataFrame = {
-    val bounds = sqTrain(corpus)
-    val cand = sqRecon(sqEncode(corpus, bounds))
+    val cand = sqIndexRecon(sq)
       .join(cells, Seq("nid"))
       .select(col("nid"), col("rv"), col("rn2"), col("cell"))
     val probes = ivfAssign(queries.select(col("qid").as("id"), col("vq"),
@@ -378,9 +397,93 @@ object Ann {
     * 8-bit codes. Composes with IVF cells exactly like PQ when cell
     * pruning is wanted on top of the memory cut.
     */
-  def sqSearch(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val enc = sqRecon(sqEncode(corpus, sqTrain(corpus)))
-      .select(col("nid"), col("rv"), col("rn2"))
+  def sqSearch(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
+    sqSearch(queries, buildSqIndex(corpus), k)
+
+  /** Persistable SQ8 index: the one-row trained bounds plus the encoded
+    * corpus codes, as plain parquet-roundtrippable DataFrames — the same
+    * build-once/probe-many treatment [[PqIndex]] gives product
+    * quantization. At 100 TB, bounds training + corpus encode is a
+    * ONE-TIME build; every query batch then reads the 8-bit code table
+    * instead of retraining bounds and re-encoding the corpus per call
+    * (which is what the inline [[sqSearch]] overload does — kept for the
+    * correctness gate, wrong shape for a standing index). Training and
+    * encode are deterministic integer arithmetic, so the loaded index is
+    * bit-identical to an inline rebuild (SqIndexSpec pins it).
+    */
+  case class SqIndex(
+      bounds: DataFrame, // one row: (mns, mxs) — d-length trained bounds
+      codes: DataFrame // (nid, codes) — 8-bit encoded corpus
+  ) {
+    def save(path: String): Unit = {
+      bounds.write.mode("overwrite").parquet(s"$path/bounds")
+      codes.write.mode("overwrite").parquet(s"$path/codes")
+    }
+  }
+
+  object SqIndex {
+    def load(spark: org.apache.spark.sql.SparkSession, path: String): SqIndex =
+      SqIndex(
+        bounds = spark.read.parquet(s"$path/bounds"),
+        codes = spark.read.parquet(s"$path/codes"))
+  }
+
+  /** [[SqIndex]] plus the coarse tier (full-vector centroids + one-cell
+    * corpus assignment) — everything the composed IVF × SQ8 probe needs,
+    * mirroring [[IvfPqIndex]]. At scale `codes ⋈ cells` is written
+    * partitioned by `cell`, so each probe is a partition-pruned read.
+    */
+  case class IvfSqIndex(
+      coarse: DataFrame, // (cid, cv, cn) — full-vector coarse centroids
+      cells: DataFrame, // (nid, cell) — corpus coarse assignment
+      sq: SqIndex) {
+    def save(path: String): Unit = {
+      coarse.write.mode("overwrite").parquet(s"$path/coarse")
+      cells.write.mode("overwrite").parquet(s"$path/cells")
+      sq.save(path)
+    }
+  }
+
+  object IvfSqIndex {
+    def load(spark: org.apache.spark.sql.SparkSession, path: String): IvfSqIndex =
+      IvfSqIndex(
+        coarse = spark.read.parquet(s"$path/coarse"),
+        cells = spark.read.parquet(s"$path/cells"),
+        sq = SqIndex.load(spark, path))
+  }
+
+  /** One-time SQ8 index build: train the per-dimension bounds, encode the
+    * corpus. (The training/encode cost every inline search call was
+    * paying, paid once.)
+    */
+  def buildSqIndex(corpus: DataFrame): SqIndex = {
+    val bounds = sqTrain(corpus)
+    SqIndex(bounds, sqEncode(corpus, bounds).select(col("nid"), col("codes")))
+  }
+
+  /** One-time IVF × SQ8 index build: coarse quantizer + cell assignment
+    * on top of [[buildSqIndex]].
+    */
+  def buildIvfSqIndex(corpus: DataFrame, step: Long, iters: Int = 2): IvfSqIndex = {
+    val coarse = kmeansCentroids(corpus, step, iters)
+    val cells = ivfAssign(corpus.select(col("nid").as("id"), col("vq"),
+        col("norm2")), coarse, nProbe = 1)
+      .select(col("id").as("nid"), col("cell"))
+    IvfSqIndex(coarse, cells, buildSqIndex(corpus))
+  }
+
+  /** Exact 255-scaled reconstructions off a standing (possibly
+    * parquet-loaded) index: the 8-bit code table joined with the
+    * broadcast one-row bounds, entirely map-side.
+    */
+  private def sqIndexRecon(index: SqIndex): DataFrame =
+    sqRecon(index.codes.crossJoin(broadcast(index.bounds)))
+
+  /** SQ8 search against a prebuilt [[SqIndex]]: the standing-index path —
+    * no training, no corpus re-encode inside the call.
+    */
+  def sqSearch(queries: DataFrame, index: SqIndex, k: Int): DataFrame = {
+    val enc = sqIndexRecon(index).select(col("nid"), col("rv"), col("rn2"))
     val q = queries.select(col("qid"), col("vq").as("qv"), col("norm2").as("qn"))
     val scored = enc.join(broadcast(q), col("nid") =!= col("qid"))
       .withColumn("dp", dot("qv", "rv"))

@@ -1475,6 +1475,32 @@ class AnnSpec extends AnyFunSuite {
       enc(Ann.pqEncode(corpus, step = 25, iters = 2)))
   }
 
+  test("SQ/IVF-SQ index: search from a parquet-roundtripped index equals " +
+    "inline training (the PqIndex treatment for the SQ tier)") {
+    val e = Ann.withQuantized(emb, "embedding")
+    val corpus = e.select(col("vec_id").as("nid"), col("vq"), col("norm2"))
+    val queries = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("vq"), col("norm2"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+
+    val tmp = java.nio.file.Files.createTempDirectory("sqidx").toString
+    Ann.buildIvfSqIndex(corpus, step = 25, iters = 2).save(tmp)
+    val loaded = Ann.IvfSqIndex.load(spark, tmp)
+
+    // the standing-index probes read ONLY the persisted frames — equality
+    // with the inline train+encode form proves the split is lossless
+    assert(rows(Ann.sqSearch(queries, loaded.sq, k = 3)) ==
+      rows(Ann.sqSearch(queries, corpus, k = 3)))
+    assert(rows(Ann.ivfSqSearch(queries, loaded, k = 3, nProbe = 2)) ==
+      rows(Ann.ivfSqSearch(queries, corpus, loaded.coarse, loaded.cells,
+        k = 3, nProbe = 2)))
+    // the coarse tier persists losslessly too (same training law as PQ's)
+    val inlineIvf = Ann.buildIvfSqIndex(corpus, step = 25, iters = 2)
+    assert(loaded.cells.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      inlineIvf.cells.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
   test("autoStep sizes cells at ~4*sqrt(n); the auto build equals fixed-step") {
     // the O(n^2) guard: nCells ≈ n/step = 4*sqrt(n), so train/assign is
     // O(n^1.5) instead of quadratic (PLANS.md round-12 cost curve)
