@@ -71,11 +71,14 @@ object Bench {
     "llm_score_calibrate", "llm_calibrate_ks", "llm_mad_outliers",
     "llm_mad_by_source", "llm_gram_matrix", "llm_gram_incremental",
     "llm_gram_shifted",
-    "llm_pca_power", "llm_pca_project", "llm_mmr_rerank", "llm_mmr_ivf",
+    "llm_pca_power", "llm_pca_project", "llm_pca_shifted_power",
+    "llm_mmr_rerank", "llm_mmr_ivf",
     "llm_kanon_audit", "llm_cluster_split", "llm_best_of_cluster",
     "llm_label_centroids", "llm_ivf_sq_search", "llm_sq_encode", "llm_sq_index",
     "llm_rp_project", "llm_retrieval_eval", "llm_lang_confusion",
     "llm_token_fertility",
+    // round-13 additions (all sf-scaled)
+    "llm_sq_update", "llm_importance_weights",
     "s2_stream_agg", "s2b_stream_state", "s2c_stream_sessions",
     "s2d_stream_join", "s2e_stream_dedup_wm", "s2f_stream_enrich",
     "s2g_stream_hll", "s2h_stream_cm", "s2i_stream_quantile",

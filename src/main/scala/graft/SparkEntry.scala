@@ -4159,6 +4159,31 @@ object SparkEntry {
       llm.Ann.pqEncode(batch, idx)
     }),
 
+    // SQ8 standing-index UPDATE path: an out-of-sample batch (nid%7==0)
+    // encoded against bounds trained on the REST of the corpus — new
+    // vectors arrive, bounds stay frozen, out-of-range values saturate
+    // to code 0/255 (the clamp in sqEncode). The PQ analogue is
+    // llm_index_update.
+    "llm_sq_update" -> ((s, dir) => {
+      val all = annCorpus(s, dir)
+      val bounds = llm.Ann.sqTrain(all.filter(col("nid") % 7 =!= 0))
+      llm.Ann.sqEncode(all.filter(col("nid") % 7 === 0), bounds)
+        .select(col("nid").as("vec_id"),
+          posexplode(col("codes")).as(Seq("pos", "code")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"), col("code"))
+    }),
+
+    // DSIR-style hashed-feature importance reweighting: documents scored
+    // by how target-like (lang = 'en' as the trusted slice) their hashed
+    // token distribution is — bucket census → Laplace-smoothed
+    // BIT-RESOLUTION log-likelihood ratios (integer floor-log2 via the
+    // binary string; no floating logarithm) → per-doc summed weight.
+    // The 1024-row llr table broadcasts at any corpus size.
+    "llm_importance_weights" -> ((s, dir) => {
+      llm.Sampling.importanceWeights(t(s, dir, "documents"), "doc_id",
+        "text", col("lang") === "en", buckets = 1024)
+    }),
+
     // Hard-negative mining for contrastive training: a query's top
     // cosine neighbors EXCLUDING its own semantic-dedup cluster — near
     // but not duplicate, the pairs an embedding model learns most from.
@@ -4350,6 +4375,17 @@ object SparkEntry {
     // near-isotropic spectrum (PcaSpec pins the quality contract).
     "llm_pca_power" -> ((s, dir) => {
       llm.Pca.componentRows(s, llm.Pca.fit(annCorpus(s, dir)))
+    }),
+
+    // The G'-eigensolve: power iteration over the SHIFTED Gram alone —
+    // the billion-row production path where the N²-scale centered ncov
+    // no longer fits 64 bits but the N-scale shifted Gram does (rank-1
+    // residual < N² per entry, negligible on any non-degenerate corpus).
+    // The oracle replays means → shifted Gram → the identical
+    // scale-and-sweep chain from scratch.
+    "llm_pca_shifted_power" -> ((s, dir) => {
+      llm.Pca.componentRows(s,
+        llm.Pca.componentFromShiftedGram(llm.Pca.fitShifted(annCorpus(s, dir))))
     }),
 
     // Projection onto the fitted component: a broadcast-literal integer
@@ -5569,6 +5605,29 @@ object SparkEntry {
     * while Spark `div` truncates — the `CASE WHEN x < 0 THEN -((-x)//sc)`
     * form makes both truncate toward zero). Ends at CTE `w12`.
     */
+  /** The shared scale-then-sweep tail of the power-iteration oracles:
+    * from a `cov (j, k, c)` CTE — one |c| ≤ 1e6 rescale, diagonal start,
+    * 12 mat-vec sweeps each with the sign-wrapped |w| ≤ 1e5 rescale
+    * (DuckDB `//` floors, the CASE form truncates toward zero like
+    * Spark `div`/Scala `/`).
+    */
+  private val pcaSweepSql: String = {
+    val scale =
+      """,
+        |csc AS (SELECT max(abs(c)) // 1000000 + 1 AS sc FROM cov),
+        |cs AS MATERIALIZED (SELECT j, k,
+        |    CASE WHEN c < 0 THEN -((-c) // sc) ELSE c // sc END AS c
+        |  FROM cov CROSS JOIN csc),
+        |w0 AS MATERIALIZED (SELECT j AS pos, c AS w FROM cs WHERE j = k)""".stripMargin
+    val sweeps = (1 to 12).map { t =>
+      s""",
+         |m$t AS (SELECT cs.j AS pos, sum(cs.c * w${t - 1}.w) AS m FROM cs JOIN w${t - 1} ON w${t - 1}.pos = cs.k GROUP BY 1),
+         |sc$t AS (SELECT max(abs(m)) // 100000 + 1 AS sc FROM m$t),
+         |w$t AS MATERIALIZED (SELECT pos, CASE WHEN m < 0 THEN -((-m) // sc) ELSE m // sc END AS w FROM m$t CROSS JOIN sc$t)""".stripMargin
+    }.mkString
+    scale + sweeps
+  }
+
   private val pcaPowerSqlPrefix: String = {
     val head =
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS vq FROM embeddings),
@@ -5583,19 +5642,36 @@ object SparkEntry {
         |cov AS MATERIALIZED (
         |  SELECT j, k, c FROM cov0
         |  UNION ALL
-        |  SELECT k AS j, j AS k, c FROM cov0 WHERE j <> k),
-        |csc AS (SELECT max(abs(c)) // 1000000 + 1 AS sc FROM cov),
-        |cs AS MATERIALIZED (SELECT j, k,
-        |    CASE WHEN c < 0 THEN -((-c) // sc) ELSE c // sc END AS c
-        |  FROM cov CROSS JOIN csc),
-        |w0 AS MATERIALIZED (SELECT j AS pos, c AS w FROM cs WHERE j = k)""".stripMargin
-    val sweeps = (1 to 12).map { t =>
-      s""",
-         |m$t AS (SELECT cs.j AS pos, sum(cs.c * w${t - 1}.w) AS m FROM cs JOIN w${t - 1} ON w${t - 1}.pos = cs.k GROUP BY 1),
-         |sc$t AS (SELECT max(abs(m)) // 100000 + 1 AS sc FROM m$t),
-         |w$t AS MATERIALIZED (SELECT pos, CASE WHEN m < 0 THEN -((-m) // sc) ELSE m // sc END AS w FROM m$t CROSS JOIN sc$t)""".stripMargin
-    }.mkString
-    head + sweeps
+        |  SELECT k AS j, j AS k, c FROM cov0 WHERE j <> k)""".stripMargin
+    head + pcaSweepSql
+  }
+
+  /** The G'-eigensolve oracle head (llm_pca_shifted_power): integer
+    * per-dim means with the sign-wrapped truncating division, Gram of
+    * the SHIFTED grid, mirrored to the full symmetric matrix — then the
+    * identical scale-and-sweep tail. This is the billion-row production
+    * path ([[graft.llm.Pca.componentFromShiftedGram]]): no N²-scale
+    * centering anywhere, so every stored magnitude stays a factor N
+    * below the one-pass form's.
+    */
+  private val pcaShiftedPowerSqlPrefix: String = {
+    val head =
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS vq FROM embeddings),
+        |u AS (SELECT vec_id, unnest(vq) AS v, generate_subscripts(vq, 1) AS pos FROM e),
+        |n AS (SELECT count(*) AS n FROM e),
+        |s0 AS (SELECT pos - 1 AS j, sum(v) AS s FROM u GROUP BY 1),
+        |mm AS (SELECT j, CASE WHEN s < 0 THEN -((-s) // n.n) ELSE s // n.n END AS m
+        |      FROM s0 CROSS JOIN n),
+        |sh AS (SELECT u.vec_id, u.pos, u.v - mm.m AS v
+        |      FROM u JOIN mm ON mm.j = u.pos - 1),
+        |g0 AS (SELECT a.pos - 1 AS j, b.pos - 1 AS k, sum(a.v * b.v) AS g
+        |      FROM sh a JOIN sh b ON a.vec_id = b.vec_id AND b.pos >= a.pos
+        |      GROUP BY 1, 2),
+        |cov AS MATERIALIZED (
+        |  SELECT j, k, g AS c FROM g0
+        |  UNION ALL
+        |  SELECT k AS j, j AS k, g AS c FROM g0 WHERE j <> k)""".stripMargin
+    head + pcaSweepSql
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -6444,6 +6520,11 @@ object SparkEntry {
     // |c| rescaled to ≤ 1e6 once and |w| to ≤ 1e5 per sweep
     "llm_pca_power" ->
       (pcaPowerSqlPrefix + """
+        |SELECT CAST(pos AS BIGINT) AS pos, CAST(w AS BIGINT) AS w FROM w12""".stripMargin),
+    // llm_pca_shifted_power oracle: the same 12-sweep chain over the
+    // SHIFTED Gram (means → shifted grid → Gram, no N²-scale centering)
+    "llm_pca_shifted_power" ->
+      (pcaShiftedPowerSqlPrefix + """
         |SELECT CAST(pos AS BIGINT) AS pos, CAST(w AS BIGINT) AS w FROM w12""".stripMargin),
     // llm_pca_project oracle: the same derived w8 joined back against the
     // unnested %5 sample — one integer dot per vector
@@ -8516,6 +8597,41 @@ object SparkEntry {
     // restricted to the BASE corpus (vec_id % 7 <> 0, seeds likewise) and
     // the final encode restricted to the NEW batch (vec_id % 7 = 0) — the
     // out-of-sample encode the standing-index update runs
+    // llm_sq_update oracle: bounds trained over the base slice only
+    // (vec_id % 7 <> 0), the held-out batch encoded against them with
+    // saturation — greatest/least clamp makes the floor-vs-truncate
+    // division difference moot on out-of-range values (both land <= 0
+    // or >= 255 before the clamp)
+    "llm_sq_update" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS vq FROM embeddings),
+        |u AS (SELECT vec_id, unnest(vq) AS v, generate_subscripts(vq, 1) - 1 AS j FROM e WHERE vec_id % 7 <> 0),
+        |b AS (SELECT j, min(v) AS mn, max(v) AS mx FROM u GROUP BY 1),
+        |t AS (SELECT vec_id, unnest(vq) AS v, generate_subscripts(vq, 1) - 1 AS j FROM e WHERE vec_id % 7 = 0)
+        |SELECT t.vec_id, CAST(t.j AS BIGINT) AS pos,
+        |  CAST(CASE WHEN b.mx = b.mn THEN 0
+        |       ELSE greatest(0, least(255, ((t.v - b.mn) * 255) // (b.mx - b.mn)))
+        |  END AS BIGINT) AS code
+        |FROM t JOIN b ON b.j = t.j""".stripMargin,
+    // llm_importance_weights oracle: the full DSIR-style pipeline
+    // re-derived relationally — md5-bucket census, Laplace-smoothed
+    // bit-resolution llr (length(bin(n)) - 1 = floor log2, identical in
+    // both engines), per-doc summed weight
+    "llm_importance_weights" ->
+      """WITH t AS (SELECT doc_id, lang = 'en' AS tgt, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+        |t2 AS (SELECT doc_id, tgt, w FROM t WHERE length(w) > 0),
+        |g AS (SELECT doc_id, tgt, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 1024 AS b, count(*) AS c
+        |      FROM t2 GROUP BY 1, 2, 3),
+        |cen AS (SELECT b, sum(CASE WHEN tgt THEN c ELSE 0 END) AS tgt_c,
+        |               sum(CASE WHEN tgt THEN 0 ELSE c END) AS raw_c
+        |        FROM g GROUP BY 1),
+        |tot AS (SELECT sum(tgt_c) AS rt, sum(raw_c) AS rr FROM cen),
+        |llr AS (SELECT b,
+        |    (length(bin(CAST((tgt_c + 1) * (rr + 1024) AS BIGINT))) - 1)
+        |  - (length(bin(CAST((raw_c + 1) * (rt + 1024) AS BIGINT))) - 1) AS llr
+        |  FROM cen CROSS JOIN tot)
+        |SELECT g.doc_id, CAST(sum(g.c) AS BIGINT) AS n_tokens,
+        |  CAST(sum(g.c * llr.llr) AS BIGINT) AS imp_bits
+        |FROM g JOIN llr ON llr.b = g.b GROUP BY 1""".stripMargin,
     "llm_index_update" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS fq FROM embeddings),
         |fn AS (SELECT vec_id, CAST(list_sum(list_transform(fq, x -> x * x)) AS BIGINT) AS fnorm FROM e),

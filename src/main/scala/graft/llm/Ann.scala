@@ -353,9 +353,16 @@ object Ann {
 
   /** SQ8 encode against trained bounds: per coordinate,
     * `code_i = floor((v_i - mn_i) · 255 / (mx_i - mn_i)) ∈ [0, 255]`
-    * (flat dimensions pin code 0). All-integer: the numerator is
-    * non-negative, so truncating integer division IS floor in both Spark
-    * and the oracle. This is the storage tier between raw vectors and PQ —
+    * (flat dimensions pin code 0), CLAMPED to [0, 255]. For in-sample
+    * values the clamp is the identity (the numerator is non-negative and
+    * the quotient ≤ 255, so truncating integer division IS floor in both
+    * Spark and the oracle — every pre-existing oracle row is unchanged).
+    * The clamp exists for the OUT-OF-SAMPLE update path (new vectors
+    * encoded against frozen bounds, llm_sq_update): a value outside the
+    * trained range must saturate, and clamping is also what makes the
+    * negative-numerator case engine-safe — Spark `div` truncates toward
+    * zero while DuckDB `//` floors, but both land ≤ 0 and clamp to 0.
+    * This is the storage tier between raw vectors and PQ —
     * 8 bits per coordinate (4× under the 64-bit grid, 8× under doubles)
     * with per-coordinate (not per-subspace) fidelity; entirely map-side
     * after the broadcast of the one-row bounds frame.
@@ -366,8 +373,9 @@ object Ann {
         """transform(vq, (x, i) ->
           |  CASE WHEN element_at(mxs, i + 1) = element_at(mns, i + 1)
           |       THEN CAST(0 AS BIGINT)
-          |       ELSE CAST((x - element_at(mns, i + 1)) * 255 AS BIGINT)
-          |            div (element_at(mxs, i + 1) - element_at(mns, i + 1))
+          |       ELSE greatest(CAST(0 AS BIGINT), least(CAST(255 AS BIGINT),
+          |            CAST((x - element_at(mns, i + 1)) * 255 AS BIGINT)
+          |            div (element_at(mxs, i + 1) - element_at(mns, i + 1))))
           |  END)""".stripMargin))
 
   /** 255-scaled exact integer reconstruction of SQ8 codes:

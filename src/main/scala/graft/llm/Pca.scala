@@ -256,9 +256,15 @@ object Pca {
   }
 
   /** The fitted integer eigenvector as (pos, w) rows. */
-  def componentRows(spark: SparkSession, model: PcaModel): DataFrame = {
+  def componentRows(spark: SparkSession, model: PcaModel): DataFrame =
+    componentRows(spark, model.w)
+
+  /** Any integer direction as (pos, w) rows (e.g. the
+    * [[componentFromShiftedGram]] result).
+    */
+  def componentRows(spark: SparkSession, w: Seq[Long]): DataFrame = {
     import spark.implicits._
-    model.w.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+    w.zipWithIndex.map { case (v, i) => (i.toLong, v) }
       .toDF("pos", "w")
   }
 

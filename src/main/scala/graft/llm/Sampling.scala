@@ -475,6 +475,64 @@ object Sampling {
         col("deficit"))
   }
 
+  /** DSIR-style hashed-feature importance reweighting (the published
+    * data-selection recipe: score raw documents by how target-like their
+    * hashed n-gram distribution is — Xie et al.'s "Data Selection for
+    * Language Models via Importance Resampling" — re-expressed under
+    * this engine's exact-integer contract):
+    *
+    *  - features: non-empty lowercased whitespace tokens, feature-hashed
+    *    into `buckets` cells with the house md5→60-bit hash ([[
+    *    graft.llm.TextOps.h64]]) — any engine replays the bucketing.
+    *  - the bucket census splits token occurrences into TARGET (the
+    *    caller's predicate column — e.g. a trusted/high-quality slice)
+    *    vs RAW counts; Laplace-smoothed with +1 per bucket / +buckets
+    *    per total, so empty cells stay finite.
+    *  - per-bucket BIT-RESOLUTION log-likelihood ratio:
+    *    `llr_b = ilog2((tgt_b+1)·(Rraw+B)) − ilog2((raw_b+1)·(Rtgt+B))`
+    *    with `ilog2(n) = length(bin(n)) − 1` (floor log2 via the binary
+    *    string — Spark `bin` and DuckDB `bin` agree; NO floating-point
+    *    logarithm, whose last-ulp engine differences would break the
+    *    hash gate). One-bit resolution in the exponent domain is the
+    *    documented contract: importance ratios that matter span orders
+    *    of magnitude, and the weight is Σ over hundreds of tokens, so
+    *    sub-bit precision is noise.
+    *  - document weight `imp_bits = Σ_b c_{doc,b} · llr_b` — the
+    *    integer analogue of DSIR's summed log ratios.
+    *
+    * Scale: ONE corpus scan builds the (doc, bucket, c) grid (a
+    * localCheckpoint feeds both consumers — the multi-consumer-recompute
+    * trap measured at 500k docs, PLANS.md); the bucket census collapses
+    * to `buckets` rows, so the llr table BROADCASTS at any corpus size;
+    * the per-doc fold is one key-equi join + partial-agg sum. Nothing
+    * global, nothing collected.
+    */
+  def importanceWeights(df: DataFrame, idCol: String, textCol: String,
+      targetCol: Column, buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val grid = df
+      .select(col(idCol), targetCol.as("__t"),
+        explode(split(lower(col(textCol)), " ")).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .withColumn("__b", pmod(TextOps.h64c(col("__w")), lit(buckets.toLong)))
+      .groupBy(col(idCol), col("__t"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val census = grid.groupBy(col("__b")).agg(
+      sum(when(col("__t"), col("__c")).otherwise(0L)).as("__tgt"),
+      sum(when(!col("__t"), col("__c")).otherwise(0L)).as("__raw"))
+    val tot = census.agg(sum(col("__tgt")).as("__rt"), sum(col("__raw")).as("__rr"))
+    def ilog2(e: Column): Column = (length(bin(e)) - 1).cast("long")
+    val llr = census.crossJoin(broadcast(tot))
+      .select(col("__b"),
+        (ilog2((col("__tgt") + 1) * (col("__rr") + buckets)) -
+          ilog2((col("__raw") + 1) * (col("__rt") + buckets))).as("__llr"))
+    grid.join(broadcast(llr), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_tokens"),
+        sum(col("__c") * col("__llr")).as("imp_bits"))
+  }
+
   /** Cross-source score calibration by quantile mapping: each source's
     * score distribution is mapped onto the POOLED corpus distribution, so
     * "top decile of source A" and "top decile of source B" become

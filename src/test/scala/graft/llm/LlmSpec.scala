@@ -588,6 +588,53 @@ class SamplingSpec extends AnyFunSuite {
     assert(got("C") == ((1L, 0L, 0L, 0L, 0L)))
   }
 
+  test("importanceWeights: straight-line replay of the bucket census, " +
+    "smoothed bit-resolution llr and per-doc fold; target-heavy docs " +
+    "score above raw-heavy ones") {
+    val docs = Seq(
+      (1L, true, "alpha alpha beta"), // target: alpha-rich
+      (2L, true, "alpha gamma"),
+      (3L, false, "delta delta delta beta"), // raw: delta-rich
+      (4L, false, "delta gamma gamma"),
+      (5L, false, "alpha alpha alpha")) // raw doc made of TARGET words
+      .toDF("doc_id", "is_tgt", "text")
+    val b = 64
+    val got = Sampling.importanceWeights(docs, "doc_id", "text",
+        col("is_tgt"), buckets = b)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // independent replay: jdk md5, same 15-hex-prefix 60-bit bucketing
+    def bucket(w: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(w.getBytes("UTF-8"))
+        .map(x => f"$x%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % b
+    }
+    def ilog2(n: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(n)
+    val toks = Seq(
+      (1L, true, Seq("alpha", "alpha", "beta")),
+      (2L, true, Seq("alpha", "gamma")),
+      (3L, false, Seq("delta", "delta", "delta", "beta")),
+      (4L, false, Seq("delta", "gamma", "gamma")),
+      (5L, false, Seq("alpha", "alpha", "alpha")))
+    val byBucket = toks.flatMap { case (_, t, ws) => ws.map(w => (bucket(w), t)) }
+      .groupBy(_._1).view.mapValues { xs =>
+        (xs.count(_._2).toLong, xs.count(!_._2).toLong)
+      }.toMap
+    val rt = byBucket.values.map(_._1).sum
+    val rr = byBucket.values.map(_._2).sum
+    def llr(bk: Long): Long = {
+      val (t, r) = byBucket(bk)
+      (ilog2((t + 1) * (rr + b)) - ilog2((r + 1) * (rt + b))).toLong
+    }
+    toks.foreach { case (id, _, ws) =>
+      val expBits = ws.map(w => llr(bucket(w))).sum
+      assert(got(id) == ((ws.size.toLong, expBits)), s"doc $id")
+    }
+    // semantics: the raw doc written in target words outscores the
+    // raw-word docs (that is the whole point of importance reweighting)
+    assert(got(5L)._2 > got(3L)._2 && got(5L)._2 > got(4L)._2)
+  }
+
   test("epochPlan: a weights-listed source with ZERO documents still " +
     "appears, with epochs 0 and deficit = target") {
     val docs = Seq((1L, "A", "w1 w2 w3 w4"))
@@ -1499,6 +1546,25 @@ class AnnSpec extends AnyFunSuite {
     val inlineIvf = Ann.buildIvfSqIndex(corpus, step = 25, iters = 2)
     assert(loaded.cells.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
       inlineIvf.cells.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
+  test("sqEncode out-of-sample: values outside the frozen bounds saturate " +
+    "to 0/255; in-range codes are the unclamped floor quotients") {
+    val base = Seq(
+      (1L, Seq(0L, 100L)), (2L, Seq(10L, 200L))) // bounds: [0,10], [100,200]
+      .toDF("nid", "vq")
+    val bounds = Ann.sqTrain(base)
+    val batch = Seq(
+      (10L, Seq(-5L, 150L)), // dim0 below range -> 0; dim1 in range
+      (11L, Seq(20L, 300L)), // dim0 above -> 255; dim1 above -> 255
+      (12L, Seq(5L, 100L))) // both in range
+      .toDF("nid", "vq")
+    val got = Ann.sqEncode(batch, bounds)
+      .select(col("nid"), col("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got(10L) == Seq(0L, (50L * 255) / 100))
+    assert(got(11L) == Seq(255L, 255L))
+    assert(got(12L) == Seq((5L * 255) / 10, 0L))
   }
 
   test("autoStep sizes cells at ~4*sqrt(n); the auto build equals fixed-step") {

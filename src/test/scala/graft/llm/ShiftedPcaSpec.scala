@@ -138,6 +138,31 @@ class ShiftedPcaSpec extends AnyFunSuite {
     assert(sh.model.sums.forall(s => math.abs(s) < n.toLong))
   }
 
+  test("G'-eigensolve quality: the component from the shifted Gram alone " +
+    "reaches >= 0.9 of the dominant eigenvalue's Rayleigh quotient") {
+    // G' = (ncov + S'·S'ᵀ)/N up to the rank-1 residual; its power
+    // iterate must be essentially as good a direction for the TRUE
+    // covariance as the ncov-iterated one — the claim that makes the
+    // billion-row path a drop-in replacement
+    val sh = Pca.fitShifted(corpus, d = 64)
+    val w = Pca.componentFromShiftedGram(sh)
+    val d = 64
+    val c = Array.tabulate(d, d)((j, k) => sh.model.ncov(j, k).toDouble)
+    def rayleigh(v: Array[Double]): Double = {
+      val cv = Array.tabulate(d)(j => (0 until d).map(k => c(j)(k) * v(k)).sum)
+      v.zip(cv).map { case (a, b) => a * b }.sum / v.map(x => x * x).sum
+    }
+    var v = Array.fill(d)(1.0)
+    (1 to 400).foreach { _ =>
+      val nv = Array.tabulate(d)(j => (0 until d).map(k => c(j)(k) * v(k)).sum)
+      val mx = nv.map(math.abs).max
+      v = nv.map(_ / mx)
+    }
+    val l1 = rayleigh(v)
+    val r = rayleigh(w.map(_.toDouble).toArray)
+    assert(r >= 0.9 * l1, s"G' Rayleigh $r < 0.9 * $l1")
+  }
+
   test("property sweep: random offsets and spreads — shifted ncov equals " +
     "one-pass ncov whenever the one-pass form is in its safe regime") {
     val rnd = new scala.util.Random(23)
