@@ -78,7 +78,7 @@ object Bench {
     "llm_rp_project", "llm_retrieval_eval", "llm_lang_confusion",
     "llm_token_fertility",
     // round-13 additions (all sf-scaled)
-    "llm_sq_update", "llm_importance_weights",
+    "llm_sq_update", "llm_importance_weights", "llm_importance_cut",
     "s2_stream_agg", "s2b_stream_state", "s2c_stream_sessions",
     "s2d_stream_join", "s2e_stream_dedup_wm", "s2f_stream_enrich",
     "s2g_stream_hll", "s2h_stream_cm", "s2i_stream_quantile",

@@ -4184,6 +4184,17 @@ object SparkEntry {
         "text", col("lang") === "en", buckets = 1024)
     }),
 
+    // DSIR selection: the importance weights fed through the exact
+    // top-p% histogram cut — "keep the 10% most target-like documents",
+    // the composed data-selection pipeline (score → threshold → flag)
+    // with no row ever sorted globally.
+    "llm_importance_cut" -> ((s, dir) => {
+      val w = llm.Sampling.importanceWeights(t(s, dir, "documents"),
+          "doc_id", "text", col("lang") === "en", buckets = 1024)
+        .withColumn("imp", col("imp_bits").cast("double"))
+      llm.Sampling.qualityCut(w, "doc_id", "imp", pct = 10)
+    }),
+
     // Hard-negative mining for contrastive training: a query's top
     // cosine neighbors EXCLUDING its own semantic-dedup cluster — near
     // but not duplicate, the pairs an embedding model learns most from.
@@ -8632,6 +8643,30 @@ object SparkEntry {
         |SELECT g.doc_id, CAST(sum(g.c) AS BIGINT) AS n_tokens,
         |  CAST(sum(g.c * llr.llr) AS BIGINT) AS imp_bits
         |FROM g JOIN llr ON llr.b = g.b GROUP BY 1""".stripMargin,
+    // llm_importance_cut oracle: the importance pipeline + the k-th
+    // largest threshold law (cum >= ceil(n*pct/100) over the desc
+    // cumulative histogram — same chain as llm_quality_cut)
+    "llm_importance_cut" ->
+      """WITH t AS (SELECT doc_id, lang = 'en' AS tgt, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+        |t2 AS (SELECT doc_id, tgt, w FROM t WHERE length(w) > 0),
+        |g AS (SELECT doc_id, tgt, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 1024 AS b, count(*) AS c
+        |      FROM t2 GROUP BY 1, 2, 3),
+        |cen AS (SELECT b, sum(CASE WHEN tgt THEN c ELSE 0 END) AS tgt_c,
+        |               sum(CASE WHEN tgt THEN 0 ELSE c END) AS raw_c
+        |        FROM g GROUP BY 1),
+        |tot AS (SELECT sum(tgt_c) AS rt, sum(raw_c) AS rr FROM cen),
+        |llr AS (SELECT b,
+        |    (length(bin(CAST((tgt_c + 1) * (rr + 1024) AS BIGINT))) - 1)
+        |  - (length(bin(CAST((raw_c + 1) * (rt + 1024) AS BIGINT))) - 1) AS llr
+        |  FROM cen CROSS JOIN tot),
+        |s AS (SELECT g.doc_id, CAST(sum(g.c * llr.llr) * 1000000 AS BIGINT) AS score_micro
+        |  FROM g JOIN llr ON llr.b = g.b GROUP BY 1),
+        |h AS (SELECT score_micro, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY score_micro),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h),
+        |cum AS (SELECT score_micro, sum(c) OVER (ORDER BY score_micro DESC ROWS UNBOUNDED PRECEDING) AS cum FROM h),
+        |th AS (SELECT max(score_micro) AS threshold FROM cum CROSS JOIN n WHERE cum >= (n * 10 + 99) // 100)
+        |SELECT doc_id, score_micro, threshold, score_micro >= threshold AS keep
+        |FROM s CROSS JOIN th""".stripMargin,
     "llm_index_update" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS fq FROM embeddings),
         |fn AS (SELECT vec_id, CAST(list_sum(list_transform(fq, x -> x * x)) AS BIGINT) AS fnorm FROM e),

@@ -1254,18 +1254,21 @@ object TextOps {
 
   /** Quality score in [0,1]: mean of three bounded signals — length band,
     * mean word length band, alpha-character ratio. Integer inputs → exact
-    * double arithmetic, reproducible in the oracle.
+    * double arithmetic, reproducible in the oracle. The alpha numerator
+    * is the native [[graft.plans.AlphaSpaceCount]] byte loop —
+    * value-identical to `length(regexp_replace(text, '[^a-zA-Z ]', ''))`
+    * (the form every oracle replays) but without Java regex's ~2.5 µs
+    * per-match cost, which made that ONE expression 25.5 s of a 26 s
+    * scan on the digit-heavy 500k-doc lane (PLANS.md round 13).
     */
   def qualityScore: Column =
-    expr(
-      """(
-        |  CASE WHEN length(text) BETWEEN 100 AND 5000 THEN 1.0
-        |       WHEN length(text) > 5000 THEN 0.5 ELSE 0.2 END +
-        |  CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE) / size(ws)
-        |            BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.4 END +
-        |  CAST(length(regexp_replace(text, '[^a-zA-Z ]', '')) AS DOUBLE)
-        |    / length(text)
-        |) / 3.0""".stripMargin)
+    (expr(
+      """CASE WHEN length(text) BETWEEN 100 AND 5000 THEN 1.0
+        |     WHEN length(text) > 5000 THEN 0.5 ELSE 0.2 END +
+        |CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE) / size(ws)
+        |          BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.4 END""".stripMargin) +
+      graft.plans.AlphaSpaceCount.alphaSpaceCount(col("text")).cast("double")
+        / length(col("text"))) / 3.0
 
   /** URL canonicalization (C4/RefinedWeb-style pre-dedup cleanup) over a
     * column NAME: lowercase the scheme+authority (path stays

@@ -1,0 +1,90 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native count of `[a-zA-Z ]` characters in a string column —
+  * semantically `length(regexp_replace(text, '[^a-zA-Z ]', ''))`, the
+  * alpha-ratio numerator of [[graft.llm.TextOps.qualityScore]].
+  *
+  * Why native: Java regex replace pays per-MATCH overhead (Matcher
+  * appendReplacement ≈ 2.5 µs/match measured on the 500k-doc lane), and
+  * a digit-heavy document is hundreds of matches — the regex form
+  * measured 25.5 s for the one expression over the lane corpus while
+  * the full remaining scan cost 0.5 s. This is the hot-loop class the
+  * custom-Expression tier exists for: one branchy byte loop, ~1 ns/char,
+  * fused into whole-stage codegen.
+  *
+  * Exactness: the class is pure ASCII, and in UTF-8 every byte of a
+  * multi-byte character has the high bit set, so counting BYTES in
+  * {a-z, A-Z, space} over the raw UTF-8 buffer equals counting matching
+  * CHARACTERS for any input — the value is bit-identical to the regex
+  * form (NativeExprPropertySpec pins interpreted ≡ codegen ≡ regex).
+  */
+case class AlphaSpaceCount(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"alpha_space_count expects string, got ${other.sql}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "alpha_space_count"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var acc = 0L
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if ((b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') || b == ' ')
+        acc += 1L
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val arr = ctx.freshName("ascBytes")
+      val i = ctx.freshName("ascI")
+      val b = ctx.freshName("ascB")
+      val acc = ctx.freshName("ascAcc")
+      s"""
+         |final byte[] $arr = $x.getBytes();
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $arr.length; $i++) {
+         |  final byte $b = $arr[$i];
+         |  if (($b >= 'a' && $b <= 'z') || ($b >= 'A' && $b <= 'Z') || $b == ' ') $acc++;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): AlphaSpaceCount =
+    copy(child = newChild)
+}
+
+object AlphaSpaceCount {
+
+  /** Column-API entry point — usable on any session, no registry needed. */
+  def alphaSpaceCount(c: Column): Column =
+    Bridge.column(AlphaSpaceCount(Bridge.expression(c)))
+
+  /** Registry descriptor for `SparkSessionExtensions.injectFunction`. */
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("alpha_space_count"),
+    new ExpressionInfo(classOf[AlphaSpaceCount].getName, "alpha_space_count"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1,
+        s"alpha_space_count expects 1 argument, got ${children.size}")
+      AlphaSpaceCount(children.head)
+    })
+}

@@ -12,6 +12,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(QuantizedDot.descriptor)
     ext.injectFunction(JaccardSim.descriptor)
     ext.injectFunction(NfcNormalize.descriptor)
+    ext.injectFunction(AlphaSpaceCount.descriptor)
   }
 }
 
@@ -23,7 +24,7 @@ object GraftExtensions {
     */
   def register(spark: SparkSession): Unit = {
     Seq(QuantizedDot.descriptor, JaccardSim.descriptor,
-        NfcNormalize.descriptor).foreach {
+        NfcNormalize.descriptor, AlphaSpaceCount.descriptor).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

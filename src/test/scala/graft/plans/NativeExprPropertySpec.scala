@@ -33,6 +33,37 @@ class NativeExprPropertySpec extends AnyFunSuite {
     assert(bad == 0L)
   }
 
+  test("alpha_space_count ≡ length(regexp_replace) on 500 random strings " +
+    "incl. multi-byte chars, digits, empties") {
+    val pool = "abzAZ 0179!?.,-_«é漢🙂\t\n" // ascii classes + 2/3/4-byte UTF-8
+    def s(): String =
+      (1 to rnd.nextInt(200)).map(_ => pool(rnd.nextInt(pool.length))).mkString
+    val df = ((1 to 500).map(_ => Tuple1(s())) :+ Tuple1("")).toDF("text")
+    val bad = df.select(
+      AlphaSpaceCount.alphaSpaceCount(col("text")).as("native"),
+      length(regexp_replace(col("text"), "[^a-zA-Z ]", "")).cast("long")
+        .as("composed"))
+      .filter(!(col("native") <=> col("composed"))).count()
+    assert(bad == 0L)
+    // the swap is only legal if qualityScore itself is unchanged: compare
+    // the native-backed score against the pure-SQL regex form
+    val docs = ((1 to 200).map(_ => Tuple1(s())) :+ Tuple1("x y"))
+      .toDF("text").withColumn("ws", TextOps.words("text"))
+    val regexScore = expr(
+      """(
+        |  CASE WHEN length(text) BETWEEN 100 AND 5000 THEN 1.0
+        |       WHEN length(text) > 5000 THEN 0.5 ELSE 0.2 END +
+        |  CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE) / size(ws)
+        |            BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.4 END +
+        |  CAST(length(regexp_replace(text, '[^a-zA-Z ]', '')) AS DOUBLE)
+        |    / length(text)
+        |) / 3.0""".stripMargin)
+    val badScore = docs.select(TextOps.qualityScore.as("native"),
+        regexScore.as("regex"))
+      .filter(!(col("native") <=> col("regex"))).count()
+    assert(badScore == 0L)
+  }
+
   test("jaccard_sim ≡ intersect/union composition on 500 random string sets") {
     val vocab = (1 to 40).map(i => s"tok$i")
     def set(): Seq[String] =

@@ -49,8 +49,13 @@ COPY (
       || ' ' || repeat('z', CAST(hash(i * 7 + 2) % 211 AS INTEGER))
       || repeat('7', CAST(hash(i * 19 + 4) % 97 AS INTEGER)) AS text
   FROM range(0, 500000) t(i)
-) TO '{out}/documents.parquet' (FORMAT PARQUET)
+) TO '{out}/documents.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 20000)
 """)
+# ROW_GROUP_SIZE 20000: DuckDB's default ~122k-row groups leave a 500k-doc
+# file with ~4 groups, capping Spark's scan parallelism at 4 tasks — the
+# single-threaded score-evaluation residual PLANS.md round 12 measured.
+# 25 groups let the regex-heavy score scans fan out (production corpora
+# are always multi-file; the lane should not be scan-skewed).
 
 duckdb.sql(f"""
 COPY (
