@@ -38,12 +38,16 @@ case class AlphaSpaceCount(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "alpha_space_count"
 
+  // getByte(i) reads in place — getBytes() would COPY the row's string
+  // buffer per call, re-adding allocation churn to the very loop this
+  // expression exists to strip down
   override protected def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val s = input.asInstanceOf[UTF8String]
+    val n = s.numBytes()
     var acc = 0L
     var i = 0
-    while (i < bytes.length) {
-      val b = bytes(i)
+    while (i < n) {
+      val b = s.getByte(i)
       if ((b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') || b == ' ')
         acc += 1L
       i += 1
@@ -53,15 +57,15 @@ case class AlphaSpaceCount(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, x => {
-      val arr = ctx.freshName("ascBytes")
+      val n = ctx.freshName("ascN")
       val i = ctx.freshName("ascI")
       val b = ctx.freshName("ascB")
       val acc = ctx.freshName("ascAcc")
       s"""
-         |final byte[] $arr = $x.getBytes();
+         |final int $n = $x.numBytes();
          |long $acc = 0L;
-         |for (int $i = 0; $i < $arr.length; $i++) {
-         |  final byte $b = $arr[$i];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final byte $b = $x.getByte($i);
          |  if (($b >= 'a' && $b <= 'z') || ($b >= 'A' && $b <= 'Z') || $b == ' ') $acc++;
          |}
          |${ev.value} = $acc;

@@ -35,7 +35,11 @@ class NativeExprPropertySpec extends AnyFunSuite {
 
   test("alpha_space_count ≡ length(regexp_replace) on 500 random strings " +
     "incl. multi-byte chars, digits, empties") {
-    val pool = "abzAZ 0179!?.,-_«é漢🙂\t\n" // ascii classes + 2/3/4-byte UTF-8
+    // sampled as whole CODE POINTS (a String pool indexed by UTF-16 unit
+    // would split the emoji into lone surrogates and never emit a
+    // well-formed 4-byte UTF-8 sequence)
+    val pool = Seq("a", "b", "z", "A", "Z", " ", "0", "1", "7", "9", "!",
+      "?", ".", ",", "-", "_", "«", "é", "漢", "🙂", "\t", "\n")
     def s(): String =
       (1 to rnd.nextInt(200)).map(_ => pool(rnd.nextInt(pool.length))).mkString
     val df = ((1 to 500).map(_ => Tuple1(s())) :+ Tuple1("")).toDF("text")
