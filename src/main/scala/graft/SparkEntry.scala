@@ -4337,6 +4337,30 @@ object SparkEntry {
       llm.Ann.rpTopK(annQueries(s, dir), annCorpus(s, dir), dOut = 16, k = 3)
     }),
 
+    // 64-bit binary sign sketch (two 32-bit words — engine-safe shifts):
+    // 8 bytes per vector, the cheapest ANN storage tier. %25 sample pins
+    // every packed word against the oracle's replay.
+    "llm_bin_sketch" -> ((s, dir) => {
+      llm.Ann.binSketch(annCorpus(s, dir).filter(col("nid") % 25 === 0))
+        .select(col("nid").as("vec_id"), col("blo"), col("bhi"))
+    }),
+
+    // Hamming top-k over the sign sketches: two XOR+POPCNT per candidate
+    // pair — the binary shortlist tier, same (distance, nid) tie law.
+    "llm_hamming_topk" -> ((s, dir) => {
+      llm.Ann.hammingTopK(annQueries(s, dir), annCorpus(s, dir), k = 3)
+    }),
+
+    // Hamming recall gate: what 1-bit-per-dimension quantization costs
+    // vs exact cosine truth — the price tag on the 64× memory cut.
+    "llm_hamming_recall" -> ((s, dir) => {
+      val corpus = annCorpus(s, dir)
+      val queries = annQueries(s, dir)
+      val truth = llm.Ann.bruteTopK(queries, corpus, 3)
+      llm.Ann.recallAtK("hamming64", truth,
+        llm.Ann.hammingTopK(queries, corpus, 3))
+    }),
+
     // JL recall gate: recall@3 of projected-space ranking against
     // original-space brute truth at dOut = 16 AND 32 — the measured
     // distortion/dimension tradeoff curve the reduction is priced by.
@@ -6382,6 +6406,64 @@ object SparkEntry {
         |SELECT u.vec_id, CAST(ks.k AS BIGINT) AS k, CAST(sum(u.v * sg.s) AS BIGINT) AS y
         |FROM u CROSS JOIN ks JOIN sg ON sg.idx = (u.j - 1) * 16 + ks.k
         |GROUP BY u.vec_id, ks.k""".stripMargin,
+    // llm_bin_sketch oracle: the sign pack replayed per 32-bit word —
+    // shifts stay below bit 32 (an engine-checked 1<<63 overflows BIGINT)
+    "llm_bin_sketch" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS vq FROM embeddings)
+        |SELECT vec_id,
+        |  CAST(list_sum(list_transform(range(0, 32), j ->
+        |    CASE WHEN vq[j + 1] > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS blo,
+        |  CAST(list_sum(list_transform(range(0, 32), j ->
+        |    CASE WHEN vq[j + 33] > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bhi
+        |FROM e WHERE vec_id % 25 = 0""".stripMargin,
+    // llm_hamming_topk oracle: popcount of the XORed words, (ham ASC,
+    // nid ASC) tie law
+    "llm_hamming_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS vq FROM embeddings),
+        |b AS (SELECT vec_id,
+        |  CAST(list_sum(list_transform(range(0, 32), j ->
+        |    CASE WHEN vq[j + 1] > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS blo,
+        |  CAST(list_sum(list_transform(range(0, 32), j ->
+        |    CASE WHEN vq[j + 33] > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bhi
+        |  FROM e),
+        |q AS (SELECT vec_id AS qid, blo AS qlo, bhi AS qhi FROM b WHERE vec_id % 50 = 0),
+        |s AS (SELECT qid, b.vec_id AS nid,
+        |    CAST(bit_count(xor(b.blo, qlo)) + bit_count(xor(b.bhi, qhi)) AS BIGINT) AS ham
+        |  FROM b CROSS JOIN q WHERE b.vec_id <> qid),
+        |r AS (SELECT qid, nid, ham,
+        |    row_number() OVER (PARTITION BY qid ORDER BY ham ASC, nid ASC) AS rank FROM s)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, nid, ham FROM r WHERE rank <= 3""".stripMargin,
+    // llm_hamming_recall oracle: exact cosine truth (the brute chain) vs
+    // the Hamming top-3, counted by semi-join — what 1 bit/dim costs
+    "llm_hamming_recall" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS vq FROM embeddings),
+        |en AS (SELECT vec_id, vq, CAST(list_sum(list_transform(vq, x -> x * x)) AS BIGINT) AS norm2 FROM e),
+        |bq AS (SELECT vec_id AS qid, vq AS qv, norm2 AS qn FROM en WHERE vec_id % 50 = 0),
+        |bscored AS (SELECT qid, en.vec_id AS nid,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * en.vq[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(en.norm2 AS DOUBLE))) AS cos
+        |  FROM en CROSS JOIN bq WHERE en.vec_id <> qid),
+        |truth AS (SELECT qid, nid FROM (SELECT qid, nid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank FROM bscored)
+        |  WHERE rank <= 3),
+        |b AS (SELECT vec_id,
+        |  CAST(list_sum(list_transform(range(0, 32), j ->
+        |    CASE WHEN vq[j + 1] > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS blo,
+        |  CAST(list_sum(list_transform(range(0, 32), j ->
+        |    CASE WHEN vq[j + 33] > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bhi
+        |  FROM e),
+        |hq AS (SELECT vec_id AS qid, blo AS qlo, bhi AS qhi FROM b WHERE vec_id % 50 = 0),
+        |hs AS (SELECT qid, b.vec_id AS nid,
+        |    bit_count(xor(b.blo, qlo)) + bit_count(xor(b.bhi, qhi)) AS ham
+        |  FROM b CROSS JOIN hq WHERE b.vec_id <> qid),
+        |hm AS (SELECT qid, nid FROM (SELECT qid, nid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY ham ASC, nid ASC) AS rank FROM hs)
+        |  WHERE rank <= 3),
+        |hits AS (SELECT count(*) AS n_hits FROM truth JOIN hm USING (qid, nid)),
+        |tot AS (SELECT count(*) AS n_truth FROM truth)
+        |SELECT 'hamming64' AS path, CAST(n_hits AS BIGINT) AS n_hits, CAST(n_truth AS BIGINT) AS n_truth,
+        |  CASE WHEN n_truth = 0 THEN 0.0 ELSE CAST(n_hits AS DOUBLE) / n_truth END AS recall
+        |FROM hits CROSS JOIN tot""".stripMargin,
     // llm_rp_topk oracle: both sides projected with the same mixer-CTE
     // signs, then the brute ranking law over the 16-dim integer dots
     "llm_rp_topk" ->

@@ -502,6 +502,53 @@ object Ann {
       .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cos"))
   }
 
+  // ===== Binary sign sketch (Hamming tier) =====
+
+  /** 64-bit sign sketch of the d = 64 grid: bit j = 1 iff vq_j > 0,
+    * packed as TWO 32-bit words `blo` (dims 0–31) / `bhi` (dims 32–63) —
+    * the two-word split keeps every shift below bit 32 (an engine-checked
+    * `1 << 63` overflows BIGINT in DuckDB; same convention as the aHash
+    * words). This is the cheapest ANN storage tier: 8 bytes per vector
+    * (64× under the long grid), with similarity = Hamming distance — the
+    * classic sign-random-projection/binary-code shortlist that fronts an
+    * exact re-rank. The pack is a 32-step indicator transform folded by
+    * the native [[graft.plans.QuantizedDot]] against a literal
+    * powers-of-two vector; encode runs once per corpus, map-side.
+    */
+  def binSketch(df: DataFrame): DataFrame = {
+    def pack(lo: Int): Column =
+      graft.plans.QuantizedDot.qdot(
+        expr(s"""transform(slice(vq, ${lo + 1}, 32),
+          |  x -> CASE WHEN x > 0 THEN CAST(1 AS BIGINT)
+          |            ELSE CAST(0 AS BIGINT) END)""".stripMargin),
+        typedlit((0 until 32).map(j => 1L << j)))
+    df.withColumn("blo", pack(0)).withColumn("bhi", pack(32))
+  }
+
+  /** Hamming top-k over the binary sketches: distance = popcount of the
+    * two XORed words, ranked (ham ASC, nid ASC) — the mirror of every
+    * other tier's deterministic tie law. Per candidate pair the kernel
+    * is two XOR+POPCNT instructions, which is why this tier exists: at
+    * 100 TB the shortlist scan touches 8 bytes/vector instead of 512,
+    * and the [[recallAtK]] gate prices what the 1-bit quantization
+    * costs. Query and corpus frames carry (qid|nid, vq); both are
+    * sketched here so the same packing applies to each side.
+    */
+  def hammingTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = binSketch(queries)
+      .select(col("qid"), col("blo").as("qlo"), col("bhi").as("qhi"))
+    val c = binSketch(corpus).select(col("nid"), col("blo"), col("bhi"))
+    val scored = c.join(broadcast(q), col("nid") =!= col("qid"))
+      .withColumn("ham",
+        (bit_count(col("blo").bitwiseXOR(col("qlo"))) +
+          bit_count(col("bhi").bitwiseXOR(col("qhi")))).cast("long"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("ham").asc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
+        col("ham"))
+  }
+
   // ===== Random-projection (Johnson–Lindenstrauss) reduction =====
 
   /** Deterministic projection sign for flattened index `idx = j·dOut + k`:

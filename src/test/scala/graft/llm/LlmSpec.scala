@@ -1548,6 +1548,41 @@ class AnnSpec extends AnyFunSuite {
       inlineIvf.cells.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 
+  test("binSketch/hammingTopK: packing and ranking replay in straight-line " +
+    "Scala; identical vectors are Hamming-0 neighbors") {
+    val rnd = new scala.util.Random(97)
+    val rows = (0L until 40L).map { i =>
+      // include negatives, zeros (bit must be 0 — strict > 0) and a twin
+      // pair (ids 7 and 39 share a vector → distance 0)
+      val v = if (i == 39L) (0 until 64).map(j => ((7L * 131 + j) % 7) - 3)
+      else (0 until 64).map(j => ((i * 131 + j) % 7) - 3)
+      (i, v)
+    }
+    val df = rows.toDF("nid", "vq")
+    val got = Ann.binSketch(df).select(col("nid"), col("blo"), col("bhi"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def pack(v: Seq[Long], lo: Int): Long =
+      (0 until 32).map(j => if (v(lo + j) > 0) 1L << j else 0L).sum
+    rows.foreach { case (id, v) =>
+      assert(got(id) == ((pack(v, 0), pack(v, 32))), s"sketch($id)")
+    }
+    val q = df.filter(col("nid") === 7L).select(col("nid").as("qid"), col("vq"))
+    val top = Ann.hammingTopK(q, df, k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // replay: popcount ranking with the (ham, nid) tie law
+    val sk = rows.map { case (id, v) => id -> (pack(v, 0), pack(v, 32)) }
+    val exp = sk.filter(_._1 != 7L).map { case (id, (lo, hi)) =>
+      (id, java.lang.Long.bitCount(lo ^ sk(7)._2._1) +
+        java.lang.Long.bitCount(hi ^ sk(7)._2._2))
+    }.sortBy { case (id, h) => (h, id) }.take(3)
+      .zipWithIndex.map { case ((id, h), i) => (i + 1L, id, h.toLong) }
+    assert(top.toSeq.sortBy(_._1) == exp)
+    // every multiple of 7 collapses to query 7's vector (i*131 mod 7
+    // lattice), so the top-3 are all exact distance-0 twins, ranked by
+    // the nid tie law: 0, 14, 21
+    assert(exp == Seq((1L, 0L, 0L), (2L, 14L, 0L), (3L, 21L, 0L)))
+  }
+
   test("sqEncode out-of-sample: values outside the frozen bounds saturate " +
     "to 0/255; in-range codes are the unclamped floor quotients") {
     val base = Seq(
