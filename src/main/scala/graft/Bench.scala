@@ -80,6 +80,7 @@ object Bench {
     // round-13 additions (all sf-scaled)
     "llm_sq_update", "llm_importance_weights", "llm_importance_cut",
     "llm_bin_sketch", "llm_hamming_topk", "llm_hamming_recall",
+    "llm_hamming_rerank", "llm_hamming_rerank_recall",
     "s2_stream_agg", "s2b_stream_state", "s2c_stream_sessions",
     "s2d_stream_join", "s2e_stream_dedup_wm", "s2f_stream_enrich",
     "s2g_stream_hll", "s2h_stream_cm", "s2i_stream_quantile",

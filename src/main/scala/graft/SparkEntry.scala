@@ -4361,6 +4361,22 @@ object SparkEntry {
         llm.Ann.hammingTopK(queries, corpus, 3))
     }),
 
+    // Two-stage binary search: Hamming shortlist-16 → exact cosine
+    // re-rank to top-3 (full-precision vectors touched only for
+    // |q|·16 candidates), plus the recall the refine stage recovers
+    // over the raw Hamming tier — one frame, both rows.
+    "llm_hamming_rerank" -> ((s, dir) => {
+      llm.Ann.hammingRerank(annQueries(s, dir), annCorpus(s, dir),
+        k = 3, shortlist = 16)
+    }),
+    "llm_hamming_rerank_recall" -> ((s, dir) => {
+      val corpus = annCorpus(s, dir)
+      val queries = annQueries(s, dir)
+      val truth = llm.Ann.bruteTopK(queries, corpus, 3)
+      llm.Ann.recallAtK("hamming64_rerank16", truth,
+        llm.Ann.hammingRerank(queries, corpus, k = 3, shortlist = 16))
+    }),
+
     // JL recall gate: recall@3 of projected-space ranking against
     // original-space brute truth at dOut = 16 AND 32 — the measured
     // distortion/dimension tradeoff curve the reduction is priced by.
@@ -5663,6 +5679,36 @@ object SparkEntry {
     scale + sweeps
   }
 
+  /** Shared CTE chain for the two-stage binary-search oracles: sign
+    * sketches → Hamming shortlist-16 (`short`) → exact cosine over all
+    * query-corpus pairs (`exsc`, reused as ground truth by the recall
+    * row) → shortlist-restricted re-rank (`rr`).
+    */
+  private val hammingShortlistSql: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS vq FROM embeddings),
+      |en AS (SELECT vec_id, vq, CAST(list_sum(list_transform(vq, x -> x * x)) AS BIGINT) AS norm2 FROM e),
+      |b AS (SELECT vec_id,
+      |  CAST(list_sum(list_transform(range(0, 32), j ->
+      |    CASE WHEN vq[j + 1] > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS blo,
+      |  CAST(list_sum(list_transform(range(0, 32), j ->
+      |    CASE WHEN vq[j + 33] > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bhi
+      |  FROM e),
+      |hq AS (SELECT vec_id AS qid, blo AS qlo, bhi AS qhi FROM b WHERE vec_id % 50 = 0),
+      |hs AS (SELECT qid, b.vec_id AS nid,
+      |    bit_count(xor(b.blo, qlo)) + bit_count(xor(b.bhi, qhi)) AS ham
+      |  FROM b CROSS JOIN hq WHERE b.vec_id <> qid),
+      |short AS (SELECT qid, nid FROM (SELECT qid, nid,
+      |    row_number() OVER (PARTITION BY qid ORDER BY ham ASC, nid ASC) AS rank FROM hs)
+      |  WHERE rank <= 16),
+      |bq AS (SELECT vec_id AS qid, vq AS qv, norm2 AS qn FROM en WHERE vec_id % 50 = 0),
+      |exsc AS (SELECT qid, en.vec_id AS nid,
+      |    CAST(CAST(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * en.vq[i])) AS BIGINT) AS DOUBLE)
+      |      / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(en.norm2 AS DOUBLE))) AS cos
+      |  FROM en CROSS JOIN bq WHERE en.vec_id <> qid),
+      |rr AS (SELECT exsc.qid, exsc.nid, cos,
+      |    row_number() OVER (PARTITION BY exsc.qid ORDER BY cos DESC, exsc.nid ASC) AS rank
+      |  FROM exsc JOIN short ON short.qid = exsc.qid AND short.nid = exsc.nid)""".stripMargin
+
   private val pcaPowerSqlPrefix: String = {
     val head =
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS vq FROM embeddings),
@@ -6464,6 +6510,26 @@ object SparkEntry {
         |SELECT 'hamming64' AS path, CAST(n_hits AS BIGINT) AS n_hits, CAST(n_truth AS BIGINT) AS n_truth,
         |  CASE WHEN n_truth = 0 THEN 0.0 ELSE CAST(n_hits AS DOUBLE) / n_truth END AS recall
         |FROM hits CROSS JOIN tot""".stripMargin,
+    // llm_hamming_rerank oracle: sketch → Hamming shortlist-16 → exact
+    // cosine re-rank to top-3, each stage replayed relationally
+    "llm_hamming_rerank" ->
+      (hammingShortlistSql + """
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, nid, cos
+        |FROM rr WHERE rank <= 3""".stripMargin),
+    // llm_hamming_rerank_recall oracle: the same two-stage chain scored
+    // against exact cosine truth
+    "llm_hamming_rerank_recall" ->
+      (hammingShortlistSql + """,
+        |truth AS (SELECT qid, nid FROM (SELECT qid, nid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank FROM exsc)
+        |  WHERE rank <= 3),
+        |rr3 AS (SELECT qid, nid FROM rr WHERE rank <= 3),
+        |hits AS (SELECT count(*) AS n_hits FROM truth JOIN rr3 USING (qid, nid)),
+        |tot AS (SELECT count(*) AS n_truth FROM truth)
+        |SELECT 'hamming64_rerank16' AS path, CAST(n_hits AS BIGINT) AS n_hits,
+        |  CAST(n_truth AS BIGINT) AS n_truth,
+        |  CASE WHEN n_truth = 0 THEN 0.0 ELSE CAST(n_hits AS DOUBLE) / n_truth END AS recall
+        |FROM hits CROSS JOIN tot""".stripMargin),
     // llm_rp_topk oracle: both sides projected with the same mixer-CTE
     // signs, then the brute ranking law over the 16-dim integer dots
     "llm_rp_topk" ->

@@ -549,6 +549,34 @@ object Ann {
         col("ham"))
   }
 
+  /** Two-stage binary search: Hamming shortlist of `shortlist`
+    * candidates per query (8-byte sketches, XOR+POPCNT), then EXACT
+    * cosine re-rank of just those candidates to top-k — the classic
+    * cheap-filter/exact-refine composition (the binary analogue of
+    * [[ivfPqSearchRerank]]). At 100 TB the full-precision vectors are
+    * touched only for |queries|·shortlist rows; the corpus-wide scan
+    * reads 8 bytes/vector. Recall recovers from the raw Hamming tier's
+    * because the exact stage re-orders everything the shortlist caught
+    * (llm_hamming_rerank_recall prices the remaining shortlist misses).
+    */
+  def hammingRerank(queries: DataFrame, corpus: DataFrame, k: Int,
+      shortlist: Int): DataFrame = {
+    val cand = hammingTopK(queries, corpus, shortlist)
+      .select(col("qid"), col("nid"))
+    val scored = cand
+      .join(corpus.select(col("nid"), col("vq").as("nv"), col("norm2").as("nn")),
+        Seq("nid"))
+      .join(broadcast(queries.select(col("qid"), col("vq").as("qv"),
+        col("norm2").as("qn"))), Seq("qid"))
+      .withColumn("dp", dot("qv", "nv"))
+      .withColumn("cos", cosine(col("dp"), col("qn"), col("nn")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
+        col("cos"))
+  }
+
   // ===== Random-projection (Johnson–Lindenstrauss) reduction =====
 
   /** Deterministic projection sign for flattened index `idx = j·dOut + k`:

@@ -1583,6 +1583,18 @@ class AnnSpec extends AnyFunSuite {
     assert(exp == Seq((1L, 0L, 0L), (2L, 14L, 0L), (3L, 21L, 0L)))
   }
 
+  test("hammingRerank with shortlist >= corpus equals exact bruteTopK " +
+    "(the refine stage is lossless once the filter prunes nothing)") {
+    val e = Ann.withQuantized(emb, "embedding")
+    val corpus = e.select(col("vec_id").as("nid"), col("vq"), col("norm2"))
+    val queries = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("vq"), col("norm2"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows(Ann.hammingRerank(queries, corpus, k = 3, shortlist = 100000)) ==
+      rows(Ann.bruteTopK(queries, corpus, 3)))
+  }
+
   test("sqEncode out-of-sample: values outside the frozen bounds saturate " +
     "to 0/255; in-range codes are the unclamped floor quotients") {
     val base = Seq(
