@@ -22,7 +22,11 @@ class PlanShapeLintSpec extends AnyFunSuite {
     "llm_score_calibrate", "llm_kanon_audit", "llm_mad_outliers",
     "llm_mad_by_source", "llm_token_fertility", "llm_lang_confusion",
     "llm_quality_cut", "llm_token_budget", "llm_epoch_plan",
-    "llm_domain_budget", "llm_corpus_profile", "llm_url_ops")
+    "llm_domain_budget", "llm_corpus_profile", "llm_url_ops",
+    // round-13 histogram-family rows: the llr table and the cut
+    // threshold are broadcast one-row/B-row aggregates — every
+    // corpus-sized join must stay key-equi
+    "llm_importance_weights", "llm_importance_cut", "llm_calibrate_ks")
 
   test("histogram-family rows plan no CONDITIONED nested-loop or " +
     "cartesian joins (Cross-type one-row scalar attaches are linear)") {
