@@ -5679,19 +5679,44 @@ object SparkEntry {
     scale + sweeps
   }
 
+  /** Shared CTE chain of the DSIR importance oracles: tokenize → md5
+    * bucket grid → target/raw census → smoothed bit-resolution llr.
+    */
+  private val importanceSqlCtes: String =
+    """WITH t AS (SELECT doc_id, lang = 'en' AS tgt, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+      |t2 AS (SELECT doc_id, tgt, w FROM t WHERE length(w) > 0),
+      |g AS (SELECT doc_id, tgt, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 1024 AS b, count(*) AS c
+      |      FROM t2 GROUP BY 1, 2, 3),
+      |cen AS (SELECT b, sum(CASE WHEN tgt THEN c ELSE 0 END) AS tgt_c,
+      |               sum(CASE WHEN tgt THEN 0 ELSE c END) AS raw_c
+      |        FROM g GROUP BY 1),
+      |tot AS (SELECT sum(tgt_c) AS rt, sum(raw_c) AS rr FROM cen),
+      |llr AS (SELECT b,
+      |    (length(bin(CAST((tgt_c + 1) * (rr + 1024) AS BIGINT))) - 1)
+      |  - (length(bin(CAST((raw_c + 1) * (rt + 1024) AS BIGINT))) - 1) AS llr
+      |  FROM cen CROSS JOIN tot)""".stripMargin
+
+  /** The two packed sign words of the binary sketch, as margin-carrying
+    * SQL select-list lines (shifts below bit 32 — engine-safe) — shared
+    * by every Hamming-tier oracle; callers splice it into a
+    * `SELECT vec_id, <this> FROM e` CTE before `.stripMargin` runs.
+    */
+  private val binPackColsSql: String =
+    """CAST(list_sum(list_transform(range(0, 32), j ->
+      |    CASE WHEN vq[j + 1] > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS blo,
+      |  CAST(list_sum(list_transform(range(0, 32), j ->
+      |    CASE WHEN vq[j + 33] > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bhi""".stripMargin
+
   /** Shared CTE chain for the two-stage binary-search oracles: sign
     * sketches → Hamming shortlist-16 (`short`) → exact cosine over all
     * query-corpus pairs (`exsc`, reused as ground truth by the recall
     * row) → shortlist-restricted re-rank (`rr`).
     */
   private val hammingShortlistSql: String =
-    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS vq FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS vq FROM embeddings),
       |en AS (SELECT vec_id, vq, CAST(list_sum(list_transform(vq, x -> x * x)) AS BIGINT) AS norm2 FROM e),
       |b AS (SELECT vec_id,
-      |  CAST(list_sum(list_transform(range(0, 32), j ->
-      |    CASE WHEN vq[j + 1] > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS blo,
-      |  CAST(list_sum(list_transform(range(0, 32), j ->
-      |    CASE WHEN vq[j + 33] > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bhi
+      |  ${binPackColsSql}
       |  FROM e),
       |hq AS (SELECT vec_id AS qid, blo AS qlo, bhi AS qhi FROM b WHERE vec_id % 50 = 0),
       |hs AS (SELECT qid, b.vec_id AS nid,
@@ -6455,22 +6480,16 @@ object SparkEntry {
     // llm_bin_sketch oracle: the sign pack replayed per 32-bit word —
     // shifts stay below bit 32 (an engine-checked 1<<63 overflows BIGINT)
     "llm_bin_sketch" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS vq FROM embeddings)
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS vq FROM embeddings)
         |SELECT vec_id,
-        |  CAST(list_sum(list_transform(range(0, 32), j ->
-        |    CASE WHEN vq[j + 1] > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS blo,
-        |  CAST(list_sum(list_transform(range(0, 32), j ->
-        |    CASE WHEN vq[j + 33] > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bhi
+        |  ${binPackColsSql}
         |FROM e WHERE vec_id % 25 = 0""".stripMargin,
     // llm_hamming_topk oracle: popcount of the XORed words, (ham ASC,
     // nid ASC) tie law
     "llm_hamming_topk" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS vq FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS vq FROM embeddings),
         |b AS (SELECT vec_id,
-        |  CAST(list_sum(list_transform(range(0, 32), j ->
-        |    CASE WHEN vq[j + 1] > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS blo,
-        |  CAST(list_sum(list_transform(range(0, 32), j ->
-        |    CASE WHEN vq[j + 33] > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bhi
+        |  ${binPackColsSql}
         |  FROM e),
         |q AS (SELECT vec_id AS qid, blo AS qlo, bhi AS qhi FROM b WHERE vec_id % 50 = 0),
         |s AS (SELECT qid, b.vec_id AS nid,
@@ -6482,7 +6501,7 @@ object SparkEntry {
     // llm_hamming_recall oracle: exact cosine truth (the brute chain) vs
     // the Hamming top-3, counted by semi-join — what 1 bit/dim costs
     "llm_hamming_recall" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS vq FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS vq FROM embeddings),
         |en AS (SELECT vec_id, vq, CAST(list_sum(list_transform(vq, x -> x * x)) AS BIGINT) AS norm2 FROM e),
         |bq AS (SELECT vec_id AS qid, vq AS qv, norm2 AS qn FROM en WHERE vec_id % 50 = 0),
         |bscored AS (SELECT qid, en.vec_id AS nid,
@@ -6493,10 +6512,7 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank FROM bscored)
         |  WHERE rank <= 3),
         |b AS (SELECT vec_id,
-        |  CAST(list_sum(list_transform(range(0, 32), j ->
-        |    CASE WHEN vq[j + 1] > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS blo,
-        |  CAST(list_sum(list_transform(range(0, 32), j ->
-        |    CASE WHEN vq[j + 33] > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bhi
+        |  ${binPackColsSql}
         |  FROM e),
         |hq AS (SELECT vec_id AS qid, blo AS qlo, bhi AS qhi FROM b WHERE vec_id % 50 = 0),
         |hs AS (SELECT qid, b.vec_id AS nid,
@@ -8776,37 +8792,15 @@ object SparkEntry {
     // bit-resolution llr (length(bin(n)) - 1 = floor log2, identical in
     // both engines), per-doc summed weight
     "llm_importance_weights" ->
-      """WITH t AS (SELECT doc_id, lang = 'en' AS tgt, unnest(string_split(lower(text), ' ')) AS w FROM documents),
-        |t2 AS (SELECT doc_id, tgt, w FROM t WHERE length(w) > 0),
-        |g AS (SELECT doc_id, tgt, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 1024 AS b, count(*) AS c
-        |      FROM t2 GROUP BY 1, 2, 3),
-        |cen AS (SELECT b, sum(CASE WHEN tgt THEN c ELSE 0 END) AS tgt_c,
-        |               sum(CASE WHEN tgt THEN 0 ELSE c END) AS raw_c
-        |        FROM g GROUP BY 1),
-        |tot AS (SELECT sum(tgt_c) AS rt, sum(raw_c) AS rr FROM cen),
-        |llr AS (SELECT b,
-        |    (length(bin(CAST((tgt_c + 1) * (rr + 1024) AS BIGINT))) - 1)
-        |  - (length(bin(CAST((raw_c + 1) * (rt + 1024) AS BIGINT))) - 1) AS llr
-        |  FROM cen CROSS JOIN tot)
+      (importanceSqlCtes + """
         |SELECT g.doc_id, CAST(sum(g.c) AS BIGINT) AS n_tokens,
         |  CAST(sum(g.c * llr.llr) AS BIGINT) AS imp_bits
-        |FROM g JOIN llr ON llr.b = g.b GROUP BY 1""".stripMargin,
+        |FROM g JOIN llr ON llr.b = g.b GROUP BY 1""".stripMargin),
     // llm_importance_cut oracle: the importance pipeline + the k-th
     // largest threshold law (cum >= ceil(n*pct/100) over the desc
     // cumulative histogram — same chain as llm_quality_cut)
     "llm_importance_cut" ->
-      """WITH t AS (SELECT doc_id, lang = 'en' AS tgt, unnest(string_split(lower(text), ' ')) AS w FROM documents),
-        |t2 AS (SELECT doc_id, tgt, w FROM t WHERE length(w) > 0),
-        |g AS (SELECT doc_id, tgt, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 1024 AS b, count(*) AS c
-        |      FROM t2 GROUP BY 1, 2, 3),
-        |cen AS (SELECT b, sum(CASE WHEN tgt THEN c ELSE 0 END) AS tgt_c,
-        |               sum(CASE WHEN tgt THEN 0 ELSE c END) AS raw_c
-        |        FROM g GROUP BY 1),
-        |tot AS (SELECT sum(tgt_c) AS rt, sum(raw_c) AS rr FROM cen),
-        |llr AS (SELECT b,
-        |    (length(bin(CAST((tgt_c + 1) * (rr + 1024) AS BIGINT))) - 1)
-        |  - (length(bin(CAST((raw_c + 1) * (rt + 1024) AS BIGINT))) - 1) AS llr
-        |  FROM cen CROSS JOIN tot),
+      (importanceSqlCtes + """,
         |s AS (SELECT g.doc_id, CAST(sum(g.c * llr.llr) * 1000000 AS BIGINT) AS score_micro
         |  FROM g JOIN llr ON llr.b = g.b GROUP BY 1),
         |h AS (SELECT score_micro, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY score_micro),
@@ -8814,7 +8808,7 @@ object SparkEntry {
         |cum AS (SELECT score_micro, sum(c) OVER (ORDER BY score_micro DESC ROWS UNBOUNDED PRECEDING) AS cum FROM h),
         |th AS (SELECT max(score_micro) AS threshold FROM cum CROSS JOIN n WHERE cum >= (n * 10 + 99) // 100)
         |SELECT doc_id, score_micro, threshold, score_micro >= threshold AS keep
-        |FROM s CROSS JOIN th""".stripMargin,
+        |FROM s CROSS JOIN th""".stripMargin),
     "llm_index_update" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS fq FROM embeddings),
         |fn AS (SELECT vec_id, CAST(list_sum(list_transform(fq, x -> x * x)) AS BIGINT) AS fnorm FROM e),

@@ -45,6 +45,17 @@ object Ann {
   def cosine(dotCol: Column, n2a: Column, n2b: Column): Column =
     dotCol.cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
 
+  /** The shared ranking tail of every cosine tier: (cos DESC, nid ASC)
+    * row_number per query, top-k, the canonical 4-column output.
+    */
+  private def rankByCos(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
+        col("cos"))
+  }
+
   /** Brute-force cosine top-k: every query row against the corpus.
     * `queries` is expected to be small (it is broadcast).
     */
@@ -307,10 +318,7 @@ object Ann {
       .filter(col("nid") =!= col("qid"))
       .withColumn("dp", dot("qv", "rv"))
       .withColumn("cos", cosine(col("dp"), col("qn"), col("rn2")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cos"))
+    rankByCos(scored, k)
   }
 
   /** Recall@k of an approximate ANN path against exact ground truth: the
@@ -496,10 +504,7 @@ object Ann {
     val scored = enc.join(broadcast(q), col("nid") =!= col("qid"))
       .withColumn("dp", dot("qv", "rv"))
       .withColumn("cos", cosine(col("dp"), col("qn"), col("rn2")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cos"))
+    rankByCos(scored, k)
   }
 
   // ===== Binary sign sketch (Hamming tier) =====
@@ -578,11 +583,7 @@ object Ann {
         col("norm2").as("qn"))), Seq("qid"))
       .withColumn("dp", dot("qv", "nv"))
       .withColumn("cos", cosine(col("dp"), col("qn"), col("nn")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
-        col("cos"))
+    rankByCos(scored, k)
   }
 
   // ===== Random-projection (Johnson–Lindenstrauss) reduction =====
