@@ -79,6 +79,7 @@ object Bench {
     "llm_token_fertility",
     // round-13 additions (all sf-scaled)
     "llm_sq_update", "llm_importance_weights", "llm_importance_cut",
+    "llm_importance_bigram",
     "llm_bin_sketch", "llm_hamming_topk", "llm_hamming_recall",
     "llm_hamming_rerank", "llm_hamming_rerank_recall",
     "s2_stream_agg", "s2b_stream_state", "s2c_stream_sessions",

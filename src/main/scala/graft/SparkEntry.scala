@@ -4184,6 +4184,14 @@ object SparkEntry {
         "text", col("lang") === "en", buckets = 1024)
     }),
 
+    // DSIR importance weights with the published recipe's FULL feature
+    // set — unigrams plus adjacent-pair bigrams of the filtered token
+    // sequence (lead() per doc; the 1024-cell llr table still broadcasts).
+    "llm_importance_bigram" -> ((s, dir) => {
+      llm.Sampling.importanceWeights(t(s, dir, "documents"), "doc_id",
+        "text", col("lang") === "en", buckets = 1024, bigrams = true)
+    }),
+
     // DSIR selection: the importance weights fed through the exact
     // top-p% histogram cut — "keep the 10% most target-like documents",
     // the composed data-selection pipeline (score → threshold → flag)
@@ -8796,6 +8804,30 @@ object SparkEntry {
         |SELECT g.doc_id, CAST(sum(g.c) AS BIGINT) AS n_tokens,
         |  CAST(sum(g.c * llr.llr) AS BIGINT) AS imp_bits
         |FROM g JOIN llr ON llr.b = g.b GROUP BY 1""".stripMargin),
+    // llm_importance_bigram oracle: the unigram chain PLUS adjacent-pair
+    // bigrams over the filtered token sequence (lead() per doc), then the
+    // same census → smoothed bit-resolution llr → per-doc fold
+    "llm_importance_bigram" ->
+      """WITH t0 AS (SELECT doc_id, lang = 'en' AS tgt,
+        |    list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS ws FROM documents),
+        |tk AS (SELECT doc_id, tgt, unnest(ws) AS w, generate_subscripts(ws, 1) AS p FROM t0),
+        |bg AS (SELECT doc_id, tgt,
+        |    w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY p) AS w FROM tk),
+        |feat AS (SELECT doc_id, tgt, w FROM tk
+        |  UNION ALL SELECT doc_id, tgt, w FROM bg WHERE w IS NOT NULL),
+        |g AS (SELECT doc_id, tgt, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 1024 AS b, count(*) AS c
+        |      FROM feat GROUP BY 1, 2, 3),
+        |cen AS (SELECT b, sum(CASE WHEN tgt THEN c ELSE 0 END) AS tgt_c,
+        |               sum(CASE WHEN tgt THEN 0 ELSE c END) AS raw_c
+        |        FROM g GROUP BY 1),
+        |tot AS (SELECT sum(tgt_c) AS rt, sum(raw_c) AS rr FROM cen),
+        |llr AS (SELECT b,
+        |    (length(bin(CAST((tgt_c + 1) * (rr + 1024) AS BIGINT))) - 1)
+        |  - (length(bin(CAST((raw_c + 1) * (rt + 1024) AS BIGINT))) - 1) AS llr
+        |  FROM cen CROSS JOIN tot)
+        |SELECT g.doc_id, CAST(sum(g.c) AS BIGINT) AS n_tokens,
+        |  CAST(sum(g.c * llr.llr) AS BIGINT) AS imp_bits
+        |FROM g JOIN llr ON llr.b = g.b GROUP BY 1""".stripMargin,
     // llm_importance_cut oracle: the importance pipeline + the k-th
     // largest threshold law (cum >= ceil(n*pct/100) over the desc
     // cumulative histogram — same chain as llm_quality_cut)

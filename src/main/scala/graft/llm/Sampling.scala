@@ -481,9 +481,12 @@ object Sampling {
     * Language Models via Importance Resampling" — re-expressed under
     * this engine's exact-integer contract):
     *
-    *  - features: non-empty lowercased whitespace tokens, feature-hashed
-    *    into `buckets` cells with the house md5→60-bit hash ([[
-    *    graft.llm.TextOps.h64]]) — any engine replays the bucketing.
+    *  - features: non-empty lowercased whitespace tokens (plus, with
+    *    `bigrams = true`, the adjacent-pair strings of the filtered
+    *    sequence — the published recipe's unigram+bigram feature set),
+    *    feature-hashed into `buckets` cells with the house md5→60-bit
+    *    hash ([[graft.llm.TextOps.h64]]) — any engine replays the
+    *    bucketing.
     *  - the bucket census splits token occurrences into TARGET (the
     *    caller's predicate column — e.g. a trusted/high-quality slice)
     *    vs RAW counts; Laplace-smoothed with +1 per bucket / +buckets
@@ -508,12 +511,34 @@ object Sampling {
     * global, nothing collected.
     */
   def importanceWeights(df: DataFrame, idCol: String, textCol: String,
-      targetCol: Column, buckets: Int = 1024): DataFrame = {
+      targetCol: Column, buckets: Int = 1024,
+      bigrams: Boolean = false): DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    val grid = df
-      .select(col(idCol), targetCol.as("__t"),
-        explode(split(lower(col(textCol)), " ")).as("__w"))
-      .filter(length(col("__w")) > 0)
+    // positions come from the FILTERED token sequence, so a bigram spans
+    // adjacent real words even across collapsed whitespace; posexplode of
+    // the filtered array runs the HOF once per row (an element_at over a
+    // projection-chained array would inline the split per element — the
+    // O(len²) lambda trap)
+    val toks = df.select(col(idCol), targetCol.as("__t"),
+      posexplode(expr(
+        s"filter(split(lower($textCol), ' '), w -> length(w) > 0)"))
+        .as(Seq("__p", "__w")))
+    val features =
+      if (!bigrams) toks.select(col(idCol), col("__t"), col("__w"))
+      else {
+        // DSIR's unigram+bigram feature set: adjacent-pair strings via
+        // lead() per document (docs are bounded-length — the per-doc
+        // window sort is tiny and keys never skew)
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col(idCol)).orderBy(col("__p"))
+        val bg = toks
+          .withColumn("__w2",
+            concat(col("__w"), lit(" "), lead(col("__w"), 1).over(w)))
+          .filter(col("__w2").isNotNull)
+          .select(col(idCol), col("__t"), col("__w2").as("__w"))
+        toks.select(col(idCol), col("__t"), col("__w")).unionByName(bg)
+      }
+    val grid = features
       .withColumn("__b", pmod(TextOps.h64c(col("__w")), lit(buckets.toLong)))
       .groupBy(col(idCol), col("__t"), col("__b"))
       .agg(count(lit(1)).as("__c"))

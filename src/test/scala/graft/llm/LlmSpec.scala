@@ -633,6 +633,29 @@ class SamplingSpec extends AnyFunSuite {
     // semantics: the raw doc written in target words outscores the
     // raw-word docs (that is the whole point of importance reweighting)
     assert(got(5L)._2 > got(3L)._2 && got(5L)._2 > got(4L)._2)
+
+    // bigram mode: features = unigrams ++ adjacent pairs of the filtered
+    // sequence; replay the same census/llr/fold over the extended set
+    val got2 = Sampling.importanceWeights(docs, "doc_id", "text",
+        col("is_tgt"), buckets = b, bigrams = true)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val featsByDoc = toks.map { case (id, t, ws) =>
+      (id, t, ws ++ ws.zip(ws.tail).map { case (a, c) => s"$a $c" })
+    }
+    val byBucket2 = featsByDoc.flatMap { case (_, t, fs) => fs.map(f => (bucket(f), t)) }
+      .groupBy(_._1).view.mapValues { xs =>
+        (xs.count(_._2).toLong, xs.count(!_._2).toLong)
+      }.toMap
+    val rt2 = byBucket2.values.map(_._1).sum
+    val rr2 = byBucket2.values.map(_._2).sum
+    def llr2(bk: Long): Long = {
+      val (t, r) = byBucket2(bk)
+      (ilog2((t + 1) * (rr2 + b)) - ilog2((r + 1) * (rt2 + b))).toLong
+    }
+    featsByDoc.foreach { case (id, _, fs) =>
+      val expBits = fs.map(f => llr2(bucket(f))).sum
+      assert(got2(id) == ((fs.size.toLong, expBits)), s"bigram doc $id")
+    }
   }
 
   test("epochPlan: a weights-listed source with ZERO documents still " +
