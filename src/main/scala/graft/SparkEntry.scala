@@ -125,7 +125,7 @@ object SparkEntry {
     * SPARK_GRAFT_INDEX_DIR (default `target/graft-index` under the
     * project, never outside the repo).
     */
-  private def annIndexPath(dir: String): String = {
+  private def annIndexPath(dir: String, kind: String = "ivfpq_v1"): String = {
     def fp(f: java.io.File): (Long, Long) =
       if (f.isDirectory)
         Option(f.listFiles()).getOrElse(Array.empty).map(fp)
@@ -137,7 +137,7 @@ object SparkEntry {
     val key = Integer.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(s"$dir|$len|$mtime"))
     val base = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR", "target/graft-index")
-    s"$base/ivfpq_v1_$key"
+    s"$base/${kind}_$key"
   }
 
   /** Build the shared IVF-PQ index (coarse k-means step=25/iters=2 +
@@ -174,7 +174,7 @@ object SparkEntry {
     * integer training keeps every oracle's inline replay valid.
     */
   private def sharedSqIndex(s: SparkSession, dir: String): llm.Ann.SqIndex = {
-    val path = annIndexPath(dir).replace("ivfpq_v1_", "sq_v1_")
+    val path = annIndexPath(dir, kind = "sq_v1")
     val ok = java.nio.file.Paths.get(path, "_GRAFT_OK")
     if (!java.nio.file.Files.exists(ok)) {
       llm.Ann.buildSqIndex(annCorpus(s, dir)).save(path)
@@ -4385,6 +4385,21 @@ object SparkEntry {
         llm.Ann.hammingRerank(queries, corpus, k = 3, shortlist = 16))
     }),
 
+    // Hamming recall CURVE: rerank recall@3 vs shortlist breadth
+    // k × {2, 4, 8} — the cost/recall price list of the 8-byte tier,
+    // mirroring llm_ivf_probe_curve's nProbe sweep. Each widening of the
+    // shortlist multiplies only the full-precision re-rank work
+    // (|q|·shortlist exact dots); the corpus-wide scan stays 8 B/vector.
+    "llm_hamming_curve" -> ((s, dir) => {
+      val corpus = annCorpus(s, dir)
+      val queries = annQueries(s, dir)
+      val truth = llm.Ann.bruteTopK(queries, corpus, 3)
+      Seq(6, 12, 24).map { sl =>
+        llm.Ann.recallAtK(s"hamming_sl$sl", truth,
+          llm.Ann.hammingRerank(queries, corpus, k = 3, shortlist = sl))
+      }.reduce(_ unionByName _)
+    }),
+
     // JL recall gate: recall@3 of projected-space ranking against
     // original-space brute truth at dOut = 16 AND 32 — the measured
     // distortion/dimension tradeoff curve the reduction is priced by.
@@ -4599,6 +4614,32 @@ object SparkEntry {
           expr("CAST(bit_count(ha ^ hb) + bit_count(la ^ lb) AS BIGINT)")
             .as("hamming"))
         .withColumn("near", col("hamming") <= 8)
+    }),
+
+    // Perceptual near-dup at CORPUS scale: one synthetic raster per
+    // document row (sf-proportional — real ImageIO decode per image),
+    // aHash words, then the Charikar BLOCK join (never all-pairs; the
+    // pigeonhole makes radius ≤ 3 lossless over 4 16-bit blocks).
+    // Pattern seeds cycle mod 256 and crop sizes cycle with doc_id, so
+    // exact-dup pairs are planted throughout; output is the hamming
+    // histogram + an id checksum — constant-size however many pairs the
+    // corpus plants.
+    "llm_image_phash_scale" -> ((s, dir) => {
+      import s.implicits._
+      import llm.Multimodal.{MediaItem, MediaMeta}
+      val items = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val m = id / 256
+          MediaItem(id, "image/png",
+            llm.Multimodal.syntheticPng2(id % 256,
+              16 + (m % 5).toInt, 16 + (m % 3).toInt),
+            MediaMeta(0, 0, 0L, "png"))
+        }
+      val h = llm.Multimodal.aHash(items).toDF().filter(col("decoded"))
+      llm.Multimodal.aHashNearDups(h, maxHamming = 3)
+        .groupBy(col("hamming"))
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          sum(col("id_a") + col("id_b")).as("id_checksum"))
     }),
 
     // Tokenizer fertility audit: chars-per-token by language, for both
@@ -5742,6 +5783,53 @@ object SparkEntry {
       |    row_number() OVER (PARTITION BY exsc.qid ORDER BY cos DESC, exsc.nid ASC) AS rank
       |  FROM exsc JOIN short ON short.qid = exsc.qid AND short.nid = exsc.nid)""".stripMargin
 
+  /** The recall-vs-shortlist sweep oracle (llm_hamming_curve): sketches →
+    * ONE Hamming rank pass (`hr`) → per-breadth shortlist cuts re-ranked
+    * by exact cosine → recall@3 of each against the shared exact truth.
+    * Breadths are k × {2, 4, 8} = 6/12/24 at k = 3, mirroring the IVF
+    * probe sweep.
+    */
+  private val hammingCurveSql: String = {
+    val breadths = Seq(6, 12, 24)
+    val rrCtes = breadths.map { sl =>
+      s"""rr$sl AS (SELECT qid, nid FROM (
+         |  SELECT exsc.qid, exsc.nid,
+         |    row_number() OVER (PARTITION BY exsc.qid ORDER BY cos DESC, exsc.nid ASC) AS rank
+         |  FROM exsc JOIN hr ON hr.qid = exsc.qid AND hr.nid = exsc.nid AND hr.hrank <= $sl)
+         |  WHERE rank <= 3),
+         |h$sl AS (SELECT count(*) AS n_hits FROM truth JOIN rr$sl USING (qid, nid))"""
+        .stripMargin
+    }.mkString(",\n")
+    val legs = breadths.map { sl =>
+      s"""SELECT 'hamming_sl$sl' AS path, CAST(n_hits AS BIGINT) AS n_hits,
+         |  CAST(n_truth AS BIGINT) AS n_truth,
+         |  CASE WHEN n_truth = 0 THEN 0.0 ELSE CAST(n_hits AS DOUBLE) / n_truth END AS recall
+         |FROM h$sl CROSS JOIN tot""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS vq FROM embeddings),
+       |en AS (SELECT vec_id, vq, CAST(list_sum(list_transform(vq, x -> x * x)) AS BIGINT) AS norm2 FROM e),
+       |b AS (SELECT vec_id,
+       |  ${binPackColsSql}
+       |  FROM e),
+       |hq AS (SELECT vec_id AS qid, blo AS qlo, bhi AS qhi FROM b WHERE vec_id % 50 = 0),
+       |hs AS (SELECT qid, b.vec_id AS nid,
+       |    bit_count(xor(b.blo, qlo)) + bit_count(xor(b.bhi, qhi)) AS ham
+       |  FROM b CROSS JOIN hq WHERE b.vec_id <> qid),
+       |hr AS (SELECT qid, nid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY ham ASC, nid ASC) AS hrank FROM hs),
+       |bq AS (SELECT vec_id AS qid, vq AS qv, norm2 AS qn FROM en WHERE vec_id % 50 = 0),
+       |exsc AS (SELECT qid, en.vec_id AS nid,
+       |    CAST(CAST(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * en.vq[i])) AS BIGINT) AS DOUBLE)
+       |      / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(en.norm2 AS DOUBLE))) AS cos
+       |  FROM en CROSS JOIN bq WHERE en.vec_id <> qid),
+       |truth AS (SELECT qid, nid FROM (SELECT qid, nid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank FROM exsc)
+       |  WHERE rank <= 3),
+       |tot AS (SELECT count(*) AS n_truth FROM truth),
+       |$rrCtes
+       |$legs""".stripMargin
+  }
+
   private val pcaPowerSqlPrefix: String = {
     val head =
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS vq FROM embeddings),
@@ -6554,6 +6642,10 @@ object SparkEntry {
         |  CAST(n_truth AS BIGINT) AS n_truth,
         |  CASE WHEN n_truth = 0 THEN 0.0 ELSE CAST(n_hits AS DOUBLE) / n_truth END AS recall
         |FROM hits CROSS JOIN tot""".stripMargin),
+    // llm_hamming_curve oracle: one Hamming rank pass, three shortlist
+    // cuts, each re-ranked by exact cosine and scored against the same
+    // exact truth — the relational replay of the shortlist sweep
+    "llm_hamming_curve" -> hammingCurveSql,
     // llm_rp_topk oracle: both sides projected with the same mixer-CTE
     // signs, then the brute ranking law over the 16-dim integer dots
     "llm_rp_topk" ->
@@ -6937,6 +7029,29 @@ object SparkEntry {
         |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming,
         |  bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 8 AS near
         |FROM hashes a JOIN hashes b ON a.id < b.id""".stripMargin,
+    // llm_image_phash_scale oracle: the same formula-replayed hashes for
+    // every document row, brute all-pairs at radius ≤ 3 (= what the
+    // lossless block join must equal), folded to the hamming histogram
+    "llm_image_phash_scale" ->
+      """WITH imgs AS (SELECT doc_id AS id, doc_id % 256 AS seed,
+        |    16 + (doc_id // 256) % 5 AS w, 16 + (doc_id // 256) % 3 AS h FROM documents),
+        |cells AS (SELECT id, cy*8 + cx AS k,
+        |    ((cx*w)//8*(7 + seed*5)) % 256 + ((cy*h)//8*(11 + seed*3)) % 256
+        |      + (((cx*w)//8 + (cy*h)//8) * (1 + seed)) % 256 AS g
+        |  FROM imgs, generate_series(0, 7) gx(cx), generate_series(0, 7) gy(cy)),
+        |sums AS (SELECT id, CAST(sum(g) AS BIGINT) AS s FROM cells GROUP BY 1),
+        |bits AS (SELECT cells.id, k, CASE WHEN g*64 >= s THEN 1 ELSE 0 END AS bit
+        |  FROM cells JOIN sums ON sums.id = cells.id),
+        |hashes AS (SELECT id,
+        |    CAST(sum(CASE WHEN k >= 32 THEN bit * (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN k < 32 THEN bit * (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bits GROUP BY 1),
+        |pairs AS (SELECT a.id AS id_a, b.id AS id_b,
+        |    bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS hamming
+        |  FROM hashes a JOIN hashes b ON a.id < b.id)
+        |SELECT CAST(hamming AS BIGINT) AS hamming, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(id_a + id_b) AS BIGINT) AS id_checksum
+        |FROM pairs WHERE hamming <= 3 GROUP BY 1""".stripMargin,
     // llm_token_fertility oracle: the same two token censuses grouped by
     // declared lang, ratios as exact integer micros
     "llm_token_fertility" ->

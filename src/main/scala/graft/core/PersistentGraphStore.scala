@@ -220,7 +220,7 @@ class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32
       .parquet(dirs: _*)
   }
 
-  def read(table: String): Option[DataFrame] = {
+  def read(table: String): Option[DataFrame] = StoreTimers.entry {
     val dirs = leafDirs(table)
     if (dirs.isEmpty) None else Some(readDirs(dirs.map(_._2)))
   }
@@ -229,7 +229,7 @@ class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32
     * semantics for a loader that merges a table and re-reads it within
     * one pinned level (e.g. fetch-fallback hydration).
     */
-  def readLatest(table: String): Option[DataFrame] = {
+  def readLatest(table: String): Option[DataFrame] = StoreTimers.entry {
     val dirs = leafDirsLatest(table)
     if (dirs.isEmpty) None else Some(readDirs(dirs.map(_._2)))
   }
@@ -265,13 +265,15 @@ class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32
     * snapshot (then absent buckets are empty).
     */
   def write(table: String, df: DataFrame, bucketCols: Seq[String],
-      full: Boolean = false): Int = {
+      full: Boolean = false): Int = StoreTimers.entry {
     val m = metaFor(table, bucketCols)
     val next = latestVersion(table).getOrElse(0) + 1
     val dir = f"${tableDir(table)}/v=$next%05d"
-    df.withColumn("__b", bucketExpr(m))
-      .write.partitionBy("__b").mode(SaveMode.Overwrite)
-      .parquet(dir)
+    StoreTimers.write {
+      df.withColumn("__b", bucketExpr(m))
+        .write.partitionBy("__b").mode(SaveMode.Overwrite)
+        .parquet(dir)
+    }
     if (full) Files.createFile(Paths.get(dir, "_FULL"))
     next
   }
@@ -296,7 +298,7 @@ class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32
     * Returns the snapshot's version number, or None for an empty table.
     */
   def compact(table: String, prune: Boolean = true): Option[Int] =
-    lockFor(table).synchronized {
+    StoreTimers.entry { lockFor(table).synchronized {
       readMeta(table).flatMap { m =>
         // latest, never the pinned view: folding only pinned layers into
         // a NEW top snapshot would drop same-level writes above the pin
@@ -306,7 +308,7 @@ class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32
           v
         }
       }
-    }
+    } }
 
   /** Version number of the newest `_FULL` snapshot layer, if any — THE
     * live-layer boundary: readers walk only layers >= this, vacuum may
@@ -378,10 +380,12 @@ class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32
       keyCols: Seq[String],
       compareCols: Seq[String],
       setCols: Seq[String] = Nil,
-      softDelete: Boolean = false): Map[String, Long] =
+      softDelete: Boolean = false): Map[String, Long] = StoreTimers.entry {
+    StoreTimers.mergeCalls.incrementAndGet()
     lockFor(table).synchronized {
       mergeLocked(table, incoming, keyCols, compareCols, setCols, softDelete)
     }
+  }
 
   private def mergeLocked(
       table: String,
@@ -435,7 +439,10 @@ class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32
     * are read ONCE, feeding the anti-join and the new layer's union.
     */
   def upsertEdges(rawCandidates: DataFrame): Map[String, Long] =
-    lockFor("edges").synchronized { upsertEdgesLocked(rawCandidates) }
+    StoreTimers.entry {
+      StoreTimers.mergeCalls.incrementAndGet()
+      lockFor("edges").synchronized { upsertEdgesLocked(rawCandidates) }
+    }
 
   private def upsertEdgesLocked(rawCandidates: DataFrame): Map[String, Long] = {
     val m = metaFor("edges", EdgeKey)

@@ -45,16 +45,32 @@ object Ann {
   def cosine(dotCol: Column, n2a: Column, n2b: Column): Column =
     dotCol.cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
 
-  /** The shared ranking tail of every cosine tier: (cos DESC, nid ASC)
-    * row_number per query, top-k, the canonical 4-column output.
+  /** The shared ranking tail of every cosine tier: top-k per query under
+    * the (score DESC, nid ASC) law, canonical (groupCols…, rank, nid,
+    * score) output. Ranking goes through the k-bounded
+    * [[graft.plans.TopKScored]] aggregate, not a window: a window
+    * row_number ships and SORTS every candidate pair of a query in one
+    * task (measured 18.6 s vs 3.9 s on the 8M-pair Hamming lane — the
+    * same shape), while the aggregate partial-folds each map slice to
+    * ≤ k pairs and shuffles #tasks·k rows per query — the hot-query sort
+    * stops existing at any scale. Same tie law (Double.compare ordering,
+    * exactly Spark's sort order for doubles), row-identical output; the
+    * AnnTopKAggSpec pins aggregate ≡ window on adversarial tie fixtures.
     */
-  private def rankByCos(scored: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
-        col("cos"))
-  }
+  private def rankTopK(scored: DataFrame, k: Int, groupCols: Seq[String],
+      scoreName: String): DataFrame =
+    scored.groupBy(groupCols.map(col): _*)
+      .agg(graft.plans.TopKScored.topkScored(col(scoreName), col("nid"), k)
+        .as("top"))
+      .select(groupCols.map(col) :+
+        posexplode(col("top")).as(Seq("pos", "p")): _*)
+      .select(groupCols.map(col) ++ Seq(
+        (col("pos") + 1).cast("long").as("rank"),
+        col("p.id").as("nid"), col("p.score").as(scoreName)): _*)
+
+  /** [[rankTopK]] with the default per-query cosine shape. */
+  private def rankByCos(scored: DataFrame, k: Int): DataFrame =
+    rankTopK(scored, k, Seq("qid"), "cos")
 
   /** Brute-force cosine top-k: every query row against the corpus.
     * `queries` is expected to be small (it is broadcast).
@@ -68,10 +84,7 @@ object Ann {
     val scored = c.join(broadcast(q), col("qid").isNotNull && col("nid") =!= col("qid"))
       .withColumn("dp", dot("qv", "nv"))
       .withColumn("cos", cosine(col("dp"), col("qn"), col("nn")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cos"))
+    rankByCos(scored, k)
   }
 
   /** Difference-hyperplane LSH bucket key: bit m = [vq[i_m] >= vq[j_m]]
@@ -104,11 +117,7 @@ object Ann {
       .filter(col("nid") =!= col("qid"))
       .withColumn("dp", dot("qv", "nv"))
       .withColumn("cos", cosine(col("dp"), col("qn"), col("nn")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("bucket"), col("rank").cast("long").as("rank"),
-        col("nid"), col("cos"))
+    rankTopK(scored, k, Seq("qid", "bucket"), "cos")
   }
 
   /** Multi-probe LSH top-k: each query probes its OWN bucket plus every
@@ -136,11 +145,10 @@ object Ann {
       .filter(col("nid") =!= col("qid"))
       .withColumn("dp", dot("qv", "nv"))
       .withColumn("cos", cosine(col("dp"), col("qn"), col("nn")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank").cast("long").as("rank"),
-        col("nid"), col("cos"))
+    // the multi-probe explode can land the same (qid, nid) pair only once
+    // (probe buckets are distinct and each corpus row holds one bucket),
+    // so the flat top-k over all probed candidates is the window's answer
+    rankByCos(scored, k)
   }
 
   /** IVF seed centroids: picked from the corpus by a deterministic id
@@ -264,10 +272,9 @@ object Ann {
       .filter(col("nid") =!= col("qid"))
       .withColumn("dp", dot("qv", "nv"))
       .withColumn("cos", cosine(col("dp"), col("qn"), col("nn")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cos"))
+    // a corpus row lives in exactly one cell, so a (qid, nid) candidate
+    // appears at most once even under multi-probe — flat top-k is exact
+    rankByCos(scored, k)
   }
 
   /** IVF × SQ8 composition — the claim the SQ tier's docs make, as an
@@ -521,13 +528,70 @@ object Ann {
     * powers-of-two vector; encode runs once per corpus, map-side.
     */
   def binSketch(df: DataFrame): DataFrame = {
+    // fail LOUDLY on d ≠ 64: slice() would silently truncate a wider
+    // corpus to its first 64 dims and recall would degrade with no error
+    // (round-13 verdict); wider/narrower corpora go through
+    // [[binSketchWords]], whose word count follows d
+    val guard = expr(
+      """CASE WHEN size(vq) <> 64 THEN raise_error(concat(
+        |  'binSketch requires d = 64, got d = ', CAST(size(vq) AS STRING),
+        |  '; use binSketchWords for other dimensions'))
+        |ELSE true END""".stripMargin)
     def pack(lo: Int): Column =
       graft.plans.QuantizedDot.qdot(
         expr(s"""transform(slice(vq, ${lo + 1}, 32),
           |  x -> CASE WHEN x > 0 THEN CAST(1 AS BIGINT)
           |            ELSE CAST(0 AS BIGINT) END)""".stripMargin),
         typedlit((0 until 32).map(j => 1L << j)))
-    df.withColumn("blo", pack(0)).withColumn("bhi", pack(32))
+    // both words carry the guard: column pruning may drop either one
+    df.withColumn("blo", when(guard, pack(0)))
+      .withColumn("bhi", when(guard, pack(32)))
+  }
+
+  /** Generalized binary sign sketch for ANY dimension: `ceil(d/32)`
+    * 32-bit words packed into one `bsk: array<bigint>` column (word w,
+    * bit j = 1 iff vq[32w + j] > 0; the tail word packs the `d mod 32`
+    * remaining dims). Semantics per word match [[binSketch]]'s
+    * `blo`/`bhi` exactly at d = 64 (spec-pinned); the per-word pack is
+    * the same native-qdot fold against a literal powers-of-two vector,
+    * map-side, 4·ceil(d/32) bytes per vector. `d` is a required caller
+    * argument (the corpus dimension is schema knowledge, not derivable
+    * statically from an array column); qdot nulls loudly on rows whose
+    * actual length disagrees with the slice the word expects.
+    */
+  def binSketchWords(df: DataFrame, d: Int): DataFrame = {
+    require(d > 0, s"binSketchWords requires d > 0, got $d")
+    val nWords = (d + 31) / 32
+    val words = (0 until nWords).map { wi =>
+      val len = math.min(32, d - wi * 32)
+      graft.plans.QuantizedDot.qdot(
+        expr(s"""transform(slice(vq, ${wi * 32 + 1}, $len),
+          |  x -> CASE WHEN x > 0 THEN CAST(1 AS BIGINT)
+          |            ELSE CAST(0 AS BIGINT) END)""".stripMargin),
+        typedlit((0 until len).map(j => 1L << j)))
+    }
+    df.withColumn("bsk", array(words: _*))
+  }
+
+  /** [[hammingTopK]] over the generalized word-array sketches: distance =
+    * Σ_w popcount(bsk_w XOR qsk_w), same (ham ASC, nid ASC) law and
+    * k-bounded [[graft.plans.TopKPairs]] ranking tail. The per-pair kernel
+    * is `zip_with` XOR+POPCNT folded by `aggregate` — ceil(d/32) word ops
+    * per candidate.
+    */
+  def hammingTopKWords(queries: DataFrame, corpus: DataFrame, d: Int,
+      k: Int): DataFrame = {
+    val q = binSketchWords(queries, d).select(col("qid"), col("bsk").as("qsk"))
+    val c = binSketchWords(corpus, d).select(col("nid"), col("bsk"))
+    val scored = c.join(broadcast(q), col("nid") =!= col("qid"))
+      .withColumn("ham", expr(
+        """aggregate(zip_with(bsk, qsk, (a, b) -> CAST(bit_count(a ^ b) AS BIGINT)),
+          |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin))
+    scored.groupBy(col("qid"))
+      .agg(graft.plans.TopKPairs.topkPairs(col("ham"), col("nid"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+        col("p.id").as("nid"), col("p.ord").as("ham"))
   }
 
   /** Hamming top-k over the binary sketches: distance = popcount of the
@@ -648,10 +712,7 @@ object Ann {
     val scored = c.join(broadcast(q), col("nid") =!= col("qid"))
       .withColumn("dp", dot("qv", "nv"))
       .withColumn("cos", cosine(col("dp"), col("qn"), col("nn")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cos"))
+    rankByCos(scored, k)
   }
 
   /** Product quantization (two subspaces): split each quantized vector
@@ -766,12 +827,7 @@ object Ann {
     val ranked = scored
       .withColumn("approx_cos", (col("ld0") + col("ld1")).cast("double") /
         (sqrt(col("qn").cast("double")) * sqrt(col("cnsum").cast("double"))))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("approx_cos").desc, col("nid").asc)
-    ranked.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
-        col("approx_cos"))
+    rankTopK(ranked, k, Seq("qid"), "approx_cos")
   }
 
   /** Persistable PQ index: the two subspace codebooks plus the encoded
@@ -934,10 +990,7 @@ object Ann {
       .join(broadcast(q), Seq("qid"))
       .withColumn("dp", dot("qv", "nv"))
       .withColumn("cos", cosine(col("dp"), col("qn"), col("nn")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cos"))
+    rankByCos(scored, k)
   }
 
   /** Production IVF-PQ answer quality: ADC top-`shortlist` per query

@@ -222,6 +222,51 @@ object Multimodal {
     }
   }
 
+  /** Image near-dup pairs over [[aHash]] words via the Charikar block
+    * scheme — the corpus-scale pair join the [[aHash]] scaladoc routes
+    * through (the direct all-pairs join is only for audit-sized sets).
+    * The 64-bit hash splits into four 16-bit blocks (two per word — no
+    * shift ever reaches bit 32); candidates share at least one EXACT
+    * block, then verify `popcount(hi⊕hi) + popcount(lo⊕lo) ≤ maxHamming`.
+    * With `maxHamming < 4` the pigeonhole makes the decomposition
+    * LOSSLESS — the result EQUALS brute all-pairs (spec-pinned), the
+    * same guarantee [[TextOps.simhashNearDups]] gives text fingerprints.
+    *
+    * Scale: the join key is (block_id, 16-bit block value) — expected
+    * candidates per bucket ~ corpus/2¹⁶ per block; only the two 8-byte
+    * words ride the self-join, never rasters; verification is two
+    * XOR+POPCNT. Input is [[aHash]]'s frame (mediaId, hashHi, hashLo),
+    * already filtered to decoded rows.
+    */
+  def aHashNearDups(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4,
+      "pigeonhole needs maxHamming < 4 (else the block join loses pairs)")
+    val blocks = hashes.select(col("mediaId").as("id"),
+        col("hashHi").as("hi"), col("hashLo").as("lo"))
+      .withColumn("blk", explode(expr(
+        """array(
+          |  struct(0 AS block_id, lo & 65535 AS block_key),
+          |  struct(1 AS block_id, shiftright(lo, 16) & 65535 AS block_key),
+          |  struct(2 AS block_id, hi & 65535 AS block_key),
+          |  struct(3 AS block_id, shiftright(hi, 16) & 65535 AS block_key))"""
+          .stripMargin)))
+      .select(col("id"), col("hi"), col("lo"),
+        col("blk.block_id"), col("blk.block_key"))
+    blocks.select(col("id").as("id_a"), col("hi").as("hi_a"),
+        col("lo").as("lo_a"), col("block_id"), col("block_key"))
+      .join(blocks.select(col("id").as("id_b"), col("hi").as("hi_b"),
+        col("lo").as("lo_b"), col("block_id"), col("block_key")),
+        Seq("block_id", "block_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("CAST(bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b) AS BIGINT)")
+          .as("hamming"))
+      // a pair can collide in several blocks; hamming is functional in
+      // the pair, so the dedup key is the pair alone
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
   case class AudioFeatures(
       mediaId: Long, decoded: Boolean, sampleRate: Int, channels: Int,
       nSamples: Long, sumSq: Long)

@@ -519,7 +519,12 @@ object Sampling {
     // the filtered array runs the HOF once per row (an element_at over a
     // projection-chained array would inline the split per element — the
     // O(len²) lambda trap)
-    val toks = df.select(col(idCol), targetCol.as("__t"),
+    // NULL target predicate counts as RAW (coalesce to false): the oracle's
+    // `CASE WHEN tgt THEN .. ELSE c END` sends a NULL predicate to ELSE, and
+    // without the coalesce the when(!__t) census counted such a row in
+    // NEITHER column — latent (corpora never produce NULL lang) but a
+    // Spark-vs-oracle divergence the moment one did
+    val toks = df.select(col(idCol), coalesce(targetCol, lit(false)).as("__t"),
       posexplode(expr(
         s"filter(split(lower($textCol), ' '), w -> length(w) > 0)"))
         .as(Seq("__p", "__w")))

@@ -136,6 +136,159 @@ case class TopKPairs(
     copy(ord = newChildren(0), id = newChildren(1))
 }
 
+/** Bounded top-k aggregate over `(score: double, id: bigint)` pairs: keeps
+  * the `k` BEST pairs under the `(score DESC, id ASC)` law — the cosine
+  * mirror of [[TopKPairs]] (which keeps smallest longs). This is the
+  * aggregate behind every cosine-ranked ANN tier's tail: the window form
+  * (`row_number().over(partitionBy(qid).orderBy(cos.desc, nid.asc))`)
+  * ships and SORTS every candidate pair of a query in one task — measured
+  * 18.6 s vs 3.9 s on the 8M-pair Hamming lane — while this buffer never
+  * exceeds `k` pairs, each map task partial-folds its slice, and the
+  * shuffle ships (#tasks × k) rows per query.
+  *
+  * Ordering is `java.lang.Double.compare` — the same total order Spark's
+  * sort uses for DoubleType (all NaN equal and greatest, −0.0 < 0.0) — so
+  * the output is row-identical to the window form for every tie pattern.
+  * Scores are stored as raw IEEE bits in the buffer and round-trip exactly
+  * into the output struct. Null score/id inputs are skipped; callers'
+  * scores are non-null by construction (integer dots over a division).
+  *
+  * Result: `array<struct<score: double, id: bigint>>` sorted
+  * (score DESC, id ASC) — element i (1-based) is exactly the row the
+  * window form ranks i.
+  */
+case class TopKScored(
+    score: Expression,
+    id: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.PriorityQueue[Array[Long]]] {
+
+  require(k > 0, s"topk_scored requires k > 0, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (score.dataType == DoubleType && id.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"topk_scored expects (double, bigint), got " +
+        s"(${score.dataType.sql}, ${id.dataType.sql})")
+
+  // min-heap on (score ASC, id DESC): peek() is the WORST kept pair,
+  // evicted when a better candidate arrives and the buffer is full
+  override def createAggregationBuffer(): java.util.PriorityQueue[Array[Long]] =
+    new java.util.PriorityQueue[Array[Long]](
+      math.min(k, 16) + 1, TopKScored.WorstFirst)
+
+  private def insert(
+      buf: java.util.PriorityQueue[Array[Long]], sBits: Long, i: Long): Unit =
+    if (buf.size < k) buf.offer(Array(sBits, i))
+    else {
+      val worst = buf.peek()
+      val c = java.lang.Double.compare(
+        java.lang.Double.longBitsToDouble(sBits),
+        java.lang.Double.longBitsToDouble(worst(0)))
+      if (c > 0 || (c == 0 && i < worst(1))) {
+        buf.poll(); buf.offer(Array(sBits, i))
+      }
+    }
+
+  override def update(
+      buf: java.util.PriorityQueue[Array[Long]],
+      input: InternalRow): java.util.PriorityQueue[Array[Long]] = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null)
+      insert(buf, java.lang.Double.doubleToRawLongBits(s.asInstanceOf[Double]),
+        i.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(
+      buf: java.util.PriorityQueue[Array[Long]],
+      other: java.util.PriorityQueue[Array[Long]])
+      : java.util.PriorityQueue[Array[Long]] = {
+    val it = other.iterator()
+    while (it.hasNext) { val p = it.next(); insert(buf, p(0), p(1)) }
+    buf
+  }
+
+  override def eval(buf: java.util.PriorityQueue[Array[Long]]): Any = {
+    val arr = buf.toArray(new Array[Array[Long]](buf.size))
+    java.util.Arrays.sort(arr, TopKScored.BestFirst)
+    new GenericArrayData(
+      arr.map(p =>
+        InternalRow(java.lang.Double.longBitsToDouble(p(0)), p(1)): Any))
+  }
+
+  override def serialize(
+      buf: java.util.PriorityQueue[Array[Long]]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(4 + 16 * buf.size)
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) {
+      val p = it.next(); out.writeLong(p(0)); out.writeLong(p(1))
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(
+      bytes: Array[Byte]): java.util.PriorityQueue[Array[Long]] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.offer(Array(in.readLong(), in.readLong())); i += 1 }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("score", DoubleType, nullable = false),
+      StructField("id", LongType, nullable = false))),
+    containsNull = false)
+
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(score, id)
+  override def prettyName: String = "topk_scored"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKScored =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKScored =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKScored =
+    copy(score = newChildren(0), id = newChildren(1))
+}
+
+object TopKScored {
+
+  /** (score DESC by Double.compare, id ASC) — the output order. */
+  private[plans] val BestFirst: java.util.Comparator[Array[Long]] =
+    new java.util.Comparator[Array[Long]] {
+      override def compare(a: Array[Long], b: Array[Long]): Int = {
+        val c = java.lang.Double.compare(
+          java.lang.Double.longBitsToDouble(b(0)),
+          java.lang.Double.longBitsToDouble(a(0)))
+        if (c != 0) c else java.lang.Long.compare(a(1), b(1))
+      }
+    }
+
+  /** Reversed — heap order putting the worst kept pair at the root. */
+  private[plans] val WorstFirst: java.util.Comparator[Array[Long]] =
+    java.util.Collections.reverseOrder(BestFirst)
+
+  /** Column-API entry point: `topkScored(score, id, k)` aggregates to the
+    * k best (score DESC, id ASC) struct pairs in that order.
+    */
+  def topkScored(score: Column, id: Column, k: Int): Column =
+    Bridge.column(
+      TopKScored(Bridge.expression(score), Bridge.expression(id), k)
+        .toAggregateExpression())
+}
+
 object TopKPairs {
 
   /** Ascending (ord, id) — the output order. */

@@ -1,0 +1,89 @@
+package graft.llm
+
+import graft.TestSpark
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the k-bounded [[graft.plans.TopKScored]] ranking tail (the shared
+  * tail of every cosine ANN tier since round 14) against the window form it
+  * replaced: `row_number().over(partitionBy(qid).orderBy(score.desc,
+  * nid.asc)) <= k` must be ROW-identical to the aggregate — including exact
+  * double tie runs that k cuts inside, duplicate scores across partitions
+  * (so partial buffers merge mid-tie), and a skewed hot query. The window
+  * form is the independent truth here precisely because it is the
+  * semantics the oracle SQL replays.
+  */
+class AnnTopKAggSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Adversarial (qid, nid, score) fixture: one hot query with 10× the
+    * candidates, scores drawn from a SMALL set of exact doubles so long
+    * tie runs form, and k chosen to cut inside a tie run.
+    */
+  private def fixture = {
+    val rows = for {
+      q <- 0L until 6L
+      n <- 0L until (if (q == 0) 2000L else 200L)
+    } yield {
+      // 8 distinct exact-double scores → ~250-long tie runs on the hot key
+      val s = ((q * 7 + n * 13) % 8).toDouble / 8.0
+      (q, n, s)
+    }
+    rows.toDF("qid", "nid", "cos")
+  }
+
+  private def windowTruth(df: org.apache.spark.sql.DataFrame, k: Int) = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
+        col("cos"))
+  }
+
+  private def aggForm(df: org.apache.spark.sql.DataFrame, k: Int) =
+    df.groupBy(col("qid"))
+      .agg(graft.plans.TopKScored.topkScored(col("cos"), col("nid"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+        col("p.id").as("nid"), col("p.score").as("cos"))
+
+  test("TopKScored tail ≡ window rank, ties cut mid-run, many partitions") {
+    val df = fixture.repartition(16) // force cross-task partial merges
+    for (k <- Seq(1, 3, 25, 300)) {
+      val w = windowTruth(df, k)
+        .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+      val a = aggForm(df, k)
+        .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+      assert(a.toSeq == w.toSeq, s"k=$k diverged")
+    }
+  }
+
+  test("negative/NaN-free ordering law: Double.compare semantics on mixed signs") {
+    // mixed-sign exact doubles including 0.0 — the law is (score DESC, id ASC)
+    val df = Seq(
+      (1L, 10L, -0.5), (1L, 11L, 0.0), (1L, 12L, 0.5), (1L, 13L, 0.5),
+      (1L, 14L, -0.5), (1L, 15L, 1.0)
+    ).toDF("qid", "nid", "cos")
+    val got = aggForm(df, 4).as[(Long, Long, Long, Double)].collect()
+      .sortBy(_._2).toSeq
+    assert(got == Seq(
+      (1L, 1L, 15L, 1.0), (1L, 2L, 12L, 0.5), (1L, 3L, 13L, 0.5),
+      (1L, 4L, 11L, 0.0)))
+  }
+
+  test("bruteTopK plans NO Window operator (the tail is the bounded aggregate)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val e = Ann.withQuantized(emb, "embedding")
+    val corpus = e.select(col("vec_id").as("nid"), col("vq"), col("norm2"))
+    val queries = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("vq"), col("norm2"))
+    val plan = Ann.bruteTopK(queries, corpus, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"bruteTopK ranking regressed to a window sort:\n$plan")
+    // and the bounded aggregate is actually in the plan
+    assert(plan.contains("topk_scored") || plan.contains("TopKScored"), plan)
+  }
+}

@@ -1770,6 +1770,38 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("aHashNearDups: Charikar block join ≡ brute all-pairs at radius 3 " +
+    "(pigeonhole losslessness), and block-collision pairs past the radius drop") {
+    // synthetic hash words: planted pairs at hamming 0/1/2/3 (kept), a
+    // pair at hamming 4 sharing three full blocks (candidate surfaced by
+    // the block join, must be VERIFIED away), and scattered far rows
+    val base = 0x0123456789abcdefL
+    def split(x: Long): (Long, Long) = (x >>> 32, x & 0xffffffffL)
+    val rows = Seq(
+      1L -> base, 2L -> base, // hamming 0
+      3L -> (base ^ 1L), // 1 from ids 1/2
+      4L -> (base ^ 0x3L), // 2
+      5L -> (base ^ 0x7L), // 3
+      6L -> (base ^ 0xfL), // 4 — shares blocks 1-3 with id 1, must drop
+      7L -> 0x7777777700000000L, 8L -> 0x1111111122222222L
+    ).map { case (id, h) => val (hi, lo) = split(h); (id, hi, lo) }
+    val df = rows.toDF("mediaId", "hashHi", "hashLo")
+    val got = Multimodal.aHashNearDups(df, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // straight-line brute truth
+    val brute = (for {
+      (a, ahi, alo) <- rows; (b, bhi, blo) <- rows if a < b
+      ham = java.lang.Long.bitCount(ahi ^ bhi) + java.lang.Long.bitCount(alo ^ blo)
+      if ham <= 3
+    } yield (a, b, ham.toLong)).sortBy(r => (r._1, r._2))
+    assert(got == brute)
+    // the hamming-4 pair (1, 6) shares three full blocks — the block join
+    // surfaces it as a candidate, verification must reject it
+    assert(!got.contains((1L, 6L, 4L)) && !got.exists(_._3 > 3))
+    // and the hamming-0/1 plants are present
+    assert(got.contains((1L, 2L, 0L)) && got.contains((1L, 3L, 1L)))
+  }
+
   test("resizeImage: output sum matches an ImageIO-free pattern recompute") {
     import Multimodal.{MediaItem, MediaMeta}
     val pngs = spark.range(1, 5).map { id =>

@@ -92,10 +92,11 @@ class ShiftedPcaSpec extends AnyFunSuite {
     // the shifted path additionally keeps every stored magnitude small
     assert(sh.model.gramUpper.forall(g => math.abs(g) < 1000000L))
     // ...while the one-pass stored gram is wrapped garbage en route
-    // (exactness lives only in the mod-2^64 composition)
-    assert(one.gramUpper.exists(g =>
-      BigInt(g) != big.map(r => r(0) * r(0)).sum &&
-        math.abs(g) <= Long.MaxValue))
+    // (exactness lives only in the mod-2^64 composition): the stored
+    // (0,0) entry — gramUpper(0) for d=2 — must differ from the BigInt
+    // Σ x₀² it notionally accumulates, i.e. it REALLY wrapped
+    assert(BigInt(one.gramUpper(0)) != big.map(r => r(0) * r(0)).sum,
+      "one-pass gram(0,0) did not wrap — fixture no longer exercises the regime")
   }
 
   test("genuine overflow regime: true ncov exceeds 2^63 (unrepresentable " +
