@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Generate the round-close-note counts FROM THE ARTIFACTS (round-13
+verdict: two hand-written counts drifted — 431-vs-432 tests and an ask
+claimed closed that wasn't). Paste this script's output into the PLANS.md
+close note instead of typing numbers.
+
+Reads:
+  - target/test-reports/*.xml  (suite/test/failure/error totals)
+  - the newest CORRECTNESS_r*.json or a check.py log (oracle row count)
+  - src/main/scala/graft/SparkEntry.scala (registry size, as a cross-check)
+
+Usage: python3 tools/close_counts.py [check_log]
+"""
+import glob
+import os
+import re
+import sys
+import xml.etree.ElementTree as ET
+
+
+def test_counts():
+    suites = tests = failures = errors = 0
+    for f in glob.glob("target/test-reports/*.xml"):
+        try:
+            r = ET.parse(f).getroot()
+        except ET.ParseError:
+            continue
+        suites += 1
+        tests += int(r.get("tests", 0))
+        failures += int(r.get("failures", 0))
+        errors += int(r.get("errors", 0))
+    return suites, tests, failures, errors
+
+
+def registry_size():
+    src = open("src/main/scala/graft/SparkEntry.scala").read()
+    # every query row is a '"name" -> ((s, dir) =>' binding
+    return len(set(re.findall(r'"([a-z0-9_]+)" -> \(\(s, dir\) =>', src)))
+
+
+def oracle_counts(check_log):
+    if check_log and os.path.exists(check_log):
+        txt = open(check_log).read()
+        m = re.search(r"== (\d+) pass / (\d+) fail ==", txt)
+        if m:
+            return int(m.group(1)), int(m.group(2))
+    return None, None
+
+
+if __name__ == "__main__":
+    s, t, f, e = test_counts()
+    print(f"test reports: {s} suites / {t} tests "
+          f"({f} failures, {e} errors)")
+    print(f"query registry: {registry_size()} rows")
+    p, fl = oracle_counts(sys.argv[1] if len(sys.argv) > 1 else None)
+    if p is not None:
+        print(f"oracle sweep: {p} pass / {fl} fail")
