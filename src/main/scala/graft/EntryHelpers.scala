@@ -1,0 +1,202 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared plumbing of the query registry: table readers, the run-scoped
+  * scratch root, the quantized ANN corpus/query frames, the shared
+  * persisted indexes, and the exact-quantile/fixture builders every
+  * registry file composes. Split out of SparkEntry (round 14) so the
+  * per-package registries (QueriesRef / QueriesLlm / QueriesStreaming and
+  * their oracle twins) stay reviewable; `private[graft]` keeps the driver
+  * contract surface exactly {entry, queries, oracleSql}.
+  */
+private[graft] object EntryHelpers {
+
+  /** Exact order-independent sum for 2-decimal money values: per-row the
+    * double product is within 1e-10 of a 4-decimal grid point, so the
+    * decimal(18,4) cast is deterministic; decimal addition is exact.
+    */
+  def dsum(c: Column): Column = sum(c.cast("decimal(18,4)")).cast("double")
+
+  def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** The reference repo's own golden input fixtures (read-only) — the scan
+    * queries parse them and the DuckDB oracle re-reads them independently
+    * (read_csv/read_json) or asserts a frozen golden frame (XML/OWL, which
+    * DuckDB can't parse).
+    */
+  val REF_DATA = "/root/reference/test/data"
+
+  /** The embeddings corpus in quantized (nid, vq, norm2) form — the input
+    * every ANN row starts from.
+    */
+  /** The synthetic arithmetic-neighbour doc link graph shared by the
+    * graph-analytics rows (PageRank / TrustRank / communities / seed
+    * distance) — the ENGINE twin of the oracle-side `graphCtes`; any
+    * edge-formula change must land in BOTH or every graph row fails its
+    * oracle.
+    */
+  /** EXACT percentiles over the value DOMAIN histogram — the audit
+    * companion of `Sketches.histQuantiles`: group values (per key),
+    * cumulate mass over the distinct-value window (bounded by value
+    * cardinality, never a row-global sort), and pick the first value
+    * whose cumulative mass reaches `q`% of the key's total. `mass` is
+    * the aggregate each value contributes — `count(lit(1))` for plain
+    * percentiles, `sum(weightCol)` for weighted ones. One definition
+    * shared by every quantile audit row so the pick algebra cannot
+    * drift between them.
+    */
+  def exactValueQuantiles(d: DataFrame, keyCols: Seq[String],
+      vCol: String, mass: Column, qs: Seq[Int]): DataFrame = {
+    val spark = d.sparkSession
+    import spark.implicits._
+    val keyed = if (keyCols.nonEmpty) d else d.withColumn("__g", lit(1))
+    val keys = if (keyCols.nonEmpty) keyCols else Seq("__g")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col(vCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val vh = keyed.groupBy((keys :+ vCol).map(col): _*).agg(mass.as("__c"))
+    val cum = vh.withColumn("__cum", sum(col("__c")).over(w))
+      .join(vh.groupBy(keys.map(col): _*).agg(sum(col("__c")).as("__n")),
+        keys)
+    qs.toDF("q").crossJoin(cum)
+      .filter(col("__cum") * 100 >= col("q") * col("__n"))
+      .groupBy((keys :+ "q").map(col): _*)
+      .agg(min(col(vCol)).as("exact_v"))
+      .drop("__g")
+  }
+
+  /** Run-scoped scratch directory for the store-backed rows: every
+    * per-invocation store (g-rows, k-rows, sketch registry) roots its
+    * parquet layers under ONE JVM-lifetime temp root that a shutdown
+    * hook deletes recursively — repeated bench reps / spec runs no
+    * longer leak layer files into /tmp across runs.
+    */
+  lazy val scratchRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft-scratch")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(root.toFile)
+    }))
+    root
+  }
+
+  def scratchDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(scratchRoot, tag).toString
+
+  def docGraphEdges(docs: DataFrame): DataFrame = {
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val base = docs.crossJoin(broadcast(n))
+    base.select(col("doc_id").as("src"),
+        expr("(doc_id * 7 + 3) % __n").as("dst"))
+      .unionByName(base.select(col("doc_id").as("src"),
+        expr("(doc_id * 13 + 5) % __n").as("dst")))
+      .unionByName(base.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("src"),
+          expr("(doc_id * 3 + 1) % __n").as("dst")))
+  }
+
+  def annCorpus(s: SparkSession, dir: String): DataFrame =
+    llm.Ann.withQuantized(t(s, dir, "embeddings"), "embedding")
+      .select(col("vec_id").as("nid"), col("vq"), col("norm2"))
+
+  /** The `% 50 === 0` ANN query batch (qid, vq, norm2). */
+  def annQueries(s: SparkSession, dir: String): DataFrame =
+    llm.Ann.withQuantized(t(s, dir, "embeddings"), "embedding")
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("vq"), col("norm2"))
+
+  /** On-disk location for the shared IVF-PQ index over `dir`'s embeddings
+    * table, keyed by a fingerprint of the parquet bytes (total length +
+    * max mtime): regenerated testdata gets a fresh key, so a stale index
+    * can never serve a changed corpus. Override the base with
+    * SPARK_GRAFT_INDEX_DIR (default `target/graft-index` under the
+    * project, never outside the repo).
+    */
+  def annIndexPath(dir: String, kind: String = "ivfpq_v1"): String = {
+    def fp(f: java.io.File): (Long, Long) =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).map(fp)
+          .foldLeft((0L, 0L)) { case ((l, m), (l2, m2)) =>
+            (l + l2, math.max(m, m2))
+          }
+      else (f.length(), f.lastModified())
+    val (len, mtime) = fp(new java.io.File(s"$dir/embeddings.parquet"))
+    val key = Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(s"$dir|$len|$mtime"))
+    val base = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR", "target/graft-index")
+    s"$base/${kind}_$key"
+  }
+
+  /** Build the shared IVF-PQ index (coarse k-means step=25/iters=2 +
+    * 2-subspace PQ codebooks + codes) and persist it to parquet — the
+    * ONE-TIME index build of the production lifecycle. Returns the path.
+    */
+  def buildSharedAnnIndex(s: SparkSession, dir: String): String = {
+    val path = annIndexPath(dir)
+    llm.Ann.buildIvfPqIndex(annCorpus(s, dir), step = 25, iters = 2).save(path)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path, "_GRAFT_OK"),
+      Array.emptyByteArray)
+    path
+  }
+
+  /** Build-once/probe-many: load the shared IVF-PQ index, building it
+    * first only if this corpus fingerprint has never been built (so the
+    * probe rows never retrain the quantizer in-query — the cost moves to
+    * the one `llm_ann_index_build` row, exactly like a standing index in
+    * production). Training is deterministic, so the loaded index is
+    * bit-identical to what in-query training would produce and every
+    * oracle's training replay still matches.
+    */
+  def sharedAnnIndex(s: SparkSession, dir: String): llm.Ann.IvfPqIndex = {
+    val path = annIndexPath(dir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_GRAFT_OK")))
+      buildSharedAnnIndex(s, dir)
+    llm.Ann.IvfPqIndex.load(s, path)
+  }
+
+  /** The shared SQ8 index (trained bounds + 8-bit corpus codes), same
+    * fingerprint-keyed build-once/load-many lifecycle as
+    * [[sharedAnnIndex]] — the SQ rows probe the LOADED index instead of
+    * retraining bounds and re-encoding the corpus per call. Deterministic
+    * integer training keeps every oracle's inline replay valid.
+    */
+  def sharedSqIndex(s: SparkSession, dir: String): llm.Ann.SqIndex = {
+    val path = annIndexPath(dir, kind = "sq_v1")
+    val ok = java.nio.file.Paths.get(path, "_GRAFT_OK")
+    if (!java.nio.file.Files.exists(ok)) {
+      llm.Ann.buildSqIndex(annCorpus(s, dir)).save(path)
+      java.nio.file.Files.write(ok, Array.emptyByteArray)
+    }
+    llm.Ann.SqIndex.load(s, path)
+  }
+
+  /** Salted contamination fixture (llm_decontaminate; the report row
+    * builds its own two-benchmark variant of the same shape inline):
+    * eval split (`doc_id % 100 == 0`), 12-word snips keyed by ref, and a
+    * leak into train docs whose `doc_id % 20` hits one of `leakMods`.
+    */
+  def contaminationFixture(s: SparkSession, dir: String,
+      leakMods: Seq[Int]): (DataFrame, DataFrame) = {
+    val docs = t(s, dir, "documents")
+    val evalSet = docs.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id"), col("text").as("text2"))
+    val snips = evalSet.select((col("doc_id") / 100).cast("long").as("ref"),
+      expr("array_join(slice(split(lower(text2), ' '), 1, 12), ' ')").as("snip"))
+    val leak = leakMods.map(m => col("doc_id") % 20 === m).reduce(_ || _)
+    val train = docs.filter(col("doc_id") % 100 =!= 0)
+      .withColumn("ref", col("doc_id") % 5)
+      .join(broadcast(snips), Seq("ref"))
+      .withColumn("text2",
+        when(leak, concat(col("text"), lit(" "), col("snip")))
+          .otherwise(col("text")))
+    (train, evalSet)
+  }
+
+}

@@ -140,12 +140,16 @@ object Graphs {
         .join(labels, sym("__v") === labels(idCol))
         .groupBy(col("__u"), col("community"))
         .agg(count(lit(1)).as("__cnt"))
-      val w = Window.partitionBy(col("__u"))
-        .orderBy(col("__cnt").desc, col("community").asc)
+      // top-1 by (count DESC, community ASC) as a partial-aggregate
+      // max(struct(cnt, -community)) — the ivfAssign idiom: a hub node's
+      // neighbor-label census folds map-side instead of window-sorting
+      // the hot node's rows in one task (labels are non-negative ids, so
+      // the negation tie-trick never wraps)
       val picked = counts
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("__u"), col("community").as("__new"))
+        .groupBy(col("__u"))
+        .agg(max(struct(col("__cnt"), (-col("community")).as("__nc")))
+          .as("best"))
+        .select(col("__u"), (-col("best.__nc")).as("__new"))
       val base = labels
       labels = base
         .join(picked, base(idCol) === picked("__u"), "left")

@@ -116,12 +116,18 @@ object Retrieval {
         floor((idf * tfPart) * lit(1000000.0)).cast("long"))
       .groupBy(col("query_id"), col("nid"))
       .agg(sum(col("term_micro")).as("score_micro"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score_micro").desc, col("nid").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("nid").as("doc_id"),
-        col("score_micro"))
+    // top-k through the bounded TopKPairs aggregate on the NEGATED micro
+    // score ((-score ASC, nid ASC) ≡ (score DESC, nid ASC); scores are
+    // non-negative so negation never wraps): a query containing a head
+    // term scores a corpus-sized posting list, and a per-query window
+    // sort would serialize that hot query through one task — the same
+    // shape the cosine tiers shed in round 14. Map slices fold to ≤ k.
+    scored.groupBy(col("query_id"))
+      .agg(graft.plans.TopKPairs.topkPairs(-col("score_micro"), col("nid"), k)
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("p.id").as("doc_id"), (-col("p.ord")).as("score_micro"))
   }
 
   /** Reciprocal-rank fusion of two ranked lists (Cormack et al. 2009):

@@ -7,7 +7,7 @@ close note instead of typing numbers.
 Reads:
   - target/test-reports/*.xml  (suite/test/failure/error totals)
   - the newest CORRECTNESS_r*.json or a check.py log (oracle row count)
-  - src/main/scala/graft/SparkEntry.scala (registry size, as a cross-check)
+  - src/main/scala/graft/SparkEntry.scala + Queries*.scala (registry size)
 
 Usage: python3 tools/close_counts.py [check_log]
 """
@@ -33,7 +33,10 @@ def test_counts():
 
 
 def registry_size():
-    src = open("src/main/scala/graft/SparkEntry.scala").read()
+    src = ""
+    for f in ["src/main/scala/graft/SparkEntry.scala"] + sorted(
+            glob.glob("src/main/scala/graft/Queries*.scala")):
+        src += open(f).read()
     # every query row is a '"name" -> ((s, dir) =>' binding
     return len(set(re.findall(r'"([a-z0-9_]+)" -> \(\(s, dir\) =>', src)))
 
