@@ -84,8 +84,9 @@ object Bench {
     "llm_hamming_rerank", "llm_hamming_rerank_recall",
     // round-14 additions (sf-scaled: the shortlist sweep reruns the
     // two-stage chain per breadth; the phash row decodes one raster per
-    // document row and block-joins the hash words)
-    "llm_hamming_curve", "llm_image_phash_scale",
+    // document row and block-joins the hash words; the pruned probe reads
+    // only probed cells of the partitioned layout)
+    "llm_hamming_curve", "llm_image_phash_scale", "llm_ivf_pruned_probe",
     "s2_stream_agg", "s2b_stream_state", "s2c_stream_sessions",
     "s2d_stream_join", "s2e_stream_dedup_wm", "s2f_stream_enrich",
     "s2g_stream_hll", "s2h_stream_cm", "s2i_stream_quantile",

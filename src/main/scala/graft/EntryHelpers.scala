@@ -177,6 +177,20 @@ private[graft] object EntryHelpers {
     llm.Ann.SqIndex.load(s, path)
   }
 
+  /** The cell-PARTITIONED IVF-PQ code layout on disk (one directory per
+    * coarse cell), same fingerprint-keyed build-once lifecycle as the
+    * indexes — the physical layout [[llm.Ann.ivfPqSearchPruned]] prunes.
+    */
+  def sharedCellLayout(s: SparkSession, dir: String): String = {
+    val path = annIndexPath(dir, kind = "ivfcell_v1")
+    val ok = java.nio.file.Paths.get(path, "_GRAFT_OK")
+    if (!java.nio.file.Files.exists(ok)) {
+      llm.Ann.writeCellLayout(sharedAnnIndex(s, dir), s"$path/layout")
+      java.nio.file.Files.write(ok, Array.emptyByteArray)
+    }
+    s"$path/layout"
+  }
+
   /** Salted contamination fixture (llm_decontaminate; the report row
     * builds its own two-benchmark variant of the same shape inline):
     * eval split (`doc_id % 100 == 0`), 12-word snips keyed by ref, and a

@@ -285,6 +285,70 @@ private[graft] object OraclesLlm {
        |SELECT doc_id, dist FROM d$maxDepth""".stripMargin
   }
 
+  /** Shared by llm_ivfpq_search and llm_ivf_pruned_probe: the pruned
+    * probe returns exactly the join-based probe's rows, so both rows
+    * replay the same training + cell-restricted ADC chain.
+    */
+  private val ivfPqSearchSql: String =
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS fq FROM embeddings),
+        |fn AS (SELECT vec_id, CAST(list_sum(list_transform(fq, x -> x * x)) AS BIGINT) AS fnorm FROM e),
+        |hv AS (SELECT vec_id, 0 AS sub, fq[1:len(fq)//2] AS vq FROM e
+        |  UNION ALL SELECT vec_id, 1 AS sub, fq[len(fq)//2+1:len(fq)] AS vq FROM e
+        |  UNION ALL SELECT vec_id, 2 AS sub, fq AS vq FROM e),
+        |en AS (SELECT vec_id, sub, vq, CAST(list_sum(list_transform(vq, x -> x * x)) AS BIGINT) AS norm2 FROM hv),
+        |cent0 AS (SELECT sub, vec_id AS cid, vq AS cv, norm2 AS cn FROM en WHERE vec_id % 25 = 0),
+        |a1 AS (SELECT en.vec_id, en.sub, cent0.cid,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(vq)), i -> vq[i] * cv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS ccos
+        |  FROM en JOIN cent0 ON en.sub = cent0.sub),
+        |r1 AS (SELECT vec_id, sub, cid, row_number() OVER (PARTITION BY sub, vec_id ORDER BY ccos DESC, cid ASC) AS rn FROM a1),
+        |asg1 AS (SELECT vec_id AS nid, sub, cid AS cell FROM r1 WHERE rn = 1),
+        |u1 AS (SELECT asg1.sub, asg1.cell, unnest(vq) AS v, generate_subscripts(vq, 1) AS d
+        |  FROM en JOIN asg1 ON en.vec_id = asg1.nid AND en.sub = asg1.sub),
+        |m1 AS (SELECT sub, cell, d, CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS vc FROM u1 GROUP BY sub, cell, d),
+        |cent1 AS (SELECT sub, cell AS cid, list(vc ORDER BY d) AS cv FROM m1 GROUP BY sub, cell),
+        |cent1n AS (SELECT sub, cid, cv, CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cn FROM cent1),
+        |a2 AS (SELECT en.vec_id, en.sub, cent1n.cid,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(vq)), i -> vq[i] * cv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS ccos
+        |  FROM en JOIN cent1n ON en.sub = cent1n.sub),
+        |r2 AS (SELECT vec_id, sub, cid, row_number() OVER (PARTITION BY sub, vec_id ORDER BY ccos DESC, cid ASC) AS rn FROM a2),
+        |asg2 AS (SELECT vec_id AS nid, sub, cid AS cell FROM r2 WHERE rn = 1),
+        |u2 AS (SELECT asg2.sub, asg2.cell, unnest(vq) AS v, generate_subscripts(vq, 1) AS d
+        |  FROM en JOIN asg2 ON en.vec_id = asg2.nid AND en.sub = asg2.sub),
+        |m2 AS (SELECT sub, cell, d, CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS vc FROM u2 GROUP BY sub, cell, d),
+        |cent2 AS (SELECT sub, cell AS cid, list(vc ORDER BY d) AS cv FROM m2 GROUP BY sub, cell),
+        |cent AS (SELECT sub, cid, cv, CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cn FROM cent2),
+        |af AS (SELECT en.vec_id, en.sub, cent.cid, cent.cn,
+        |    CAST(list_sum(list_transform(generate_series(1, len(vq)), i -> vq[i] * cv[i])) AS BIGINT) AS dpv,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(vq)), i -> vq[i] * cv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS ccos
+        |  FROM en JOIN cent ON en.sub = cent.sub),
+        |rf AS (SELECT vec_id, sub, cid, cn, dpv,
+        |    row_number() OVER (PARTITION BY sub, vec_id ORDER BY ccos DESC, cid ASC) AS rn FROM af),
+        |sel AS (SELECT vec_id, sub, cid, cn, dpv FROM rf WHERE rn = 1),
+        |p AS (SELECT s0.vec_id, s0.cid AS code0, s1.cid AS code1,
+        |    s0.dpv + s1.dpv AS dp, s0.cn + s1.cn AS cnsum
+        |  FROM sel s0 JOIN sel s1 ON s0.vec_id = s1.vec_id AND s0.sub = 0 AND s1.sub = 1),
+        |cellsc AS (SELECT vec_id, cid AS cell FROM sel WHERE sub = 2),
+        |probes AS (SELECT vec_id AS qid, cid AS cell FROM rf WHERE sub = 2 AND vec_id % 50 = 0 AND rn <= 2),
+        |qh AS (SELECT vec_id AS qid, sub, vq FROM en WHERE sub < 2 AND vec_id % 50 = 0),
+        |lut AS (SELECT qh.qid, qh.sub, cent.cid,
+        |    CAST(list_sum(list_transform(generate_series(1, len(qh.vq)), i -> qh.vq[i] * cent.cv[i])) AS BIGINT) AS ld
+        |  FROM qh JOIN cent ON qh.sub = cent.sub),
+        |qn AS (SELECT vec_id AS qid, fnorm FROM fn WHERE vec_id % 50 = 0),
+        |sc AS (SELECT probes.qid, p.vec_id AS nid,
+        |    CAST(l0.ld + l1.ld AS DOUBLE) / (sqrt(CAST(qn.fnorm AS DOUBLE)) * sqrt(CAST(p.cnsum AS DOUBLE))) AS approx_cos
+        |  FROM p JOIN cellsc ON cellsc.vec_id = p.vec_id
+        |       JOIN probes ON probes.cell = cellsc.cell
+        |       JOIN lut l0 ON l0.sub = 0 AND l0.qid = probes.qid AND l0.cid = p.code0
+        |       JOIN lut l1 ON l1.sub = 1 AND l1.qid = probes.qid AND l1.cid = p.code1
+        |       JOIN qn ON qn.qid = probes.qid
+        |  WHERE p.vec_id <> probes.qid),
+        |rk AS (SELECT qid, nid, approx_cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY approx_cos DESC, nid ASC) AS rank FROM sc)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, nid, approx_cos FROM rk WHERE rank <= 3""".stripMargin
+
   def registry: Map[String, String] = Map(
 
     "llm_exact_dedup" ->
@@ -3251,65 +3315,11 @@ private[graft] object OraclesLlm {
     // subs 0/1 are the PQ codebooks, sub 2 the full-vector coarse
     // quantizer (partitioned training ≡ separate trainings) — then
     // cell-restricted ADC ranking
-    "llm_ivfpq_search" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS fq FROM embeddings),
-        |fn AS (SELECT vec_id, CAST(list_sum(list_transform(fq, x -> x * x)) AS BIGINT) AS fnorm FROM e),
-        |hv AS (SELECT vec_id, 0 AS sub, fq[1:len(fq)//2] AS vq FROM e
-        |  UNION ALL SELECT vec_id, 1 AS sub, fq[len(fq)//2+1:len(fq)] AS vq FROM e
-        |  UNION ALL SELECT vec_id, 2 AS sub, fq AS vq FROM e),
-        |en AS (SELECT vec_id, sub, vq, CAST(list_sum(list_transform(vq, x -> x * x)) AS BIGINT) AS norm2 FROM hv),
-        |cent0 AS (SELECT sub, vec_id AS cid, vq AS cv, norm2 AS cn FROM en WHERE vec_id % 25 = 0),
-        |a1 AS (SELECT en.vec_id, en.sub, cent0.cid,
-        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(vq)), i -> vq[i] * cv[i])) AS BIGINT) AS DOUBLE)
-        |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS ccos
-        |  FROM en JOIN cent0 ON en.sub = cent0.sub),
-        |r1 AS (SELECT vec_id, sub, cid, row_number() OVER (PARTITION BY sub, vec_id ORDER BY ccos DESC, cid ASC) AS rn FROM a1),
-        |asg1 AS (SELECT vec_id AS nid, sub, cid AS cell FROM r1 WHERE rn = 1),
-        |u1 AS (SELECT asg1.sub, asg1.cell, unnest(vq) AS v, generate_subscripts(vq, 1) AS d
-        |  FROM en JOIN asg1 ON en.vec_id = asg1.nid AND en.sub = asg1.sub),
-        |m1 AS (SELECT sub, cell, d, CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS vc FROM u1 GROUP BY sub, cell, d),
-        |cent1 AS (SELECT sub, cell AS cid, list(vc ORDER BY d) AS cv FROM m1 GROUP BY sub, cell),
-        |cent1n AS (SELECT sub, cid, cv, CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cn FROM cent1),
-        |a2 AS (SELECT en.vec_id, en.sub, cent1n.cid,
-        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(vq)), i -> vq[i] * cv[i])) AS BIGINT) AS DOUBLE)
-        |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS ccos
-        |  FROM en JOIN cent1n ON en.sub = cent1n.sub),
-        |r2 AS (SELECT vec_id, sub, cid, row_number() OVER (PARTITION BY sub, vec_id ORDER BY ccos DESC, cid ASC) AS rn FROM a2),
-        |asg2 AS (SELECT vec_id AS nid, sub, cid AS cell FROM r2 WHERE rn = 1),
-        |u2 AS (SELECT asg2.sub, asg2.cell, unnest(vq) AS v, generate_subscripts(vq, 1) AS d
-        |  FROM en JOIN asg2 ON en.vec_id = asg2.nid AND en.sub = asg2.sub),
-        |m2 AS (SELECT sub, cell, d, CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS vc FROM u2 GROUP BY sub, cell, d),
-        |cent2 AS (SELECT sub, cell AS cid, list(vc ORDER BY d) AS cv FROM m2 GROUP BY sub, cell),
-        |cent AS (SELECT sub, cid, cv, CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cn FROM cent2),
-        |af AS (SELECT en.vec_id, en.sub, cent.cid, cent.cn,
-        |    CAST(list_sum(list_transform(generate_series(1, len(vq)), i -> vq[i] * cv[i])) AS BIGINT) AS dpv,
-        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(vq)), i -> vq[i] * cv[i])) AS BIGINT) AS DOUBLE)
-        |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS ccos
-        |  FROM en JOIN cent ON en.sub = cent.sub),
-        |rf AS (SELECT vec_id, sub, cid, cn, dpv,
-        |    row_number() OVER (PARTITION BY sub, vec_id ORDER BY ccos DESC, cid ASC) AS rn FROM af),
-        |sel AS (SELECT vec_id, sub, cid, cn, dpv FROM rf WHERE rn = 1),
-        |p AS (SELECT s0.vec_id, s0.cid AS code0, s1.cid AS code1,
-        |    s0.dpv + s1.dpv AS dp, s0.cn + s1.cn AS cnsum
-        |  FROM sel s0 JOIN sel s1 ON s0.vec_id = s1.vec_id AND s0.sub = 0 AND s1.sub = 1),
-        |cellsc AS (SELECT vec_id, cid AS cell FROM sel WHERE sub = 2),
-        |probes AS (SELECT vec_id AS qid, cid AS cell FROM rf WHERE sub = 2 AND vec_id % 50 = 0 AND rn <= 2),
-        |qh AS (SELECT vec_id AS qid, sub, vq FROM en WHERE sub < 2 AND vec_id % 50 = 0),
-        |lut AS (SELECT qh.qid, qh.sub, cent.cid,
-        |    CAST(list_sum(list_transform(generate_series(1, len(qh.vq)), i -> qh.vq[i] * cent.cv[i])) AS BIGINT) AS ld
-        |  FROM qh JOIN cent ON qh.sub = cent.sub),
-        |qn AS (SELECT vec_id AS qid, fnorm FROM fn WHERE vec_id % 50 = 0),
-        |sc AS (SELECT probes.qid, p.vec_id AS nid,
-        |    CAST(l0.ld + l1.ld AS DOUBLE) / (sqrt(CAST(qn.fnorm AS DOUBLE)) * sqrt(CAST(p.cnsum AS DOUBLE))) AS approx_cos
-        |  FROM p JOIN cellsc ON cellsc.vec_id = p.vec_id
-        |       JOIN probes ON probes.cell = cellsc.cell
-        |       JOIN lut l0 ON l0.sub = 0 AND l0.qid = probes.qid AND l0.cid = p.code0
-        |       JOIN lut l1 ON l1.sub = 1 AND l1.qid = probes.qid AND l1.cid = p.code1
-        |       JOIN qn ON qn.qid = probes.qid
-        |  WHERE p.vec_id <> probes.qid),
-        |rk AS (SELECT qid, nid, approx_cos,
-        |    row_number() OVER (PARTITION BY qid ORDER BY approx_cos DESC, nid ASC) AS rank FROM sc)
-        |SELECT qid, CAST(rank AS BIGINT) AS rank, nid, approx_cos FROM rk WHERE rank <= 3""".stripMargin,
+    "llm_ivfpq_search" -> ivfPqSearchSql,
+    // llm_ivf_pruned_probe oracle: the probe is a partition-pruned READ of
+    // the cell-partitioned code layout, and by construction returns exactly
+    // the join-based IVF-PQ rows — so the oracle IS ivfPqSearchSql
+    "llm_ivf_pruned_probe" -> ivfPqSearchSql,
     // llm_ivfpq_recall oracle: the ivfpq_search chain (training + cell-
     // restricted ADC ranking) extended with the ADC top-20 shortlist →
     // exact full-vector re-rank, brute truth, and hit-set counting for

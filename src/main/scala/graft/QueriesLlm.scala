@@ -1273,6 +1273,18 @@ private[graft] object QueriesLlm {
         k = 3, nProbe = 2)
     }),
 
+    // IVF-PQ probe as a PARTITION-PRUNED READ: the code table is WRITTEN
+    // partitioned by coarse cell (build-once, next to the index) and the
+    // query batch's probed cells become an IN filter on the partition
+    // column — the scan lists/reads ONLY probed cells' directories
+    // (PartitionFilters, spec-pinned), the executable form of the layout
+    // claim every IVF scaladoc makes. Returns exactly llm_ivfpq_search's
+    // rows; the oracle is the same SQL.
+    "llm_ivf_pruned_probe" -> ((s, dir) => {
+      llm.Ann.ivfPqSearchPruned(s, annQueries(s, dir),
+        sharedAnnIndex(s, dir), sharedCellLayout(s, dir), k = 3, nProbe = 2)
+    }),
+
     // PQ recall gate: recall@3 of ADC search against brute-force truth —
     // what two 20-centroid subspace codebooks actually buy (measured 0.40
     // at sf0.01); the same honesty metric the ANN paths carry.

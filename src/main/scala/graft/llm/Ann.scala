@@ -923,6 +923,53 @@ object Ann {
     IvfPqIndex(coarse, cells, buildPqIndex(corpus, step, iters))
   }
 
+  /** Write the IVF-PQ code table PHYSICALLY PARTITIONED BY CELL — the
+    * on-disk layout every IVF scaladoc in this file promises ("at scale
+    * `codes ⋈ cells` is WRITTEN partitioned by `cell`"): one directory
+    * per coarse cell holding that cell's (nid, code0, code1, cnsum)
+    * rows. Build-once, alongside the index artifacts.
+    */
+  def writeCellLayout(index: IvfPqIndex, path: String): Unit =
+    index.pq.codes.join(index.cells, Seq("nid"))
+      .write.partitionBy("cell")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+
+  /** IVF-PQ probe as a PARTITION-PRUNED READ of the cell layout: the
+    * query batch's probed cells become an `IN` filter on the partition
+    * column, so the scan lists and reads ONLY the probed cells'
+    * directories — `PartitionFilters` in the plan, zero bytes of any
+    * other cell touched (spec-pinned). This is the executable form of
+    * the claim [[ivfPqSearch]]'s join-based probe stands in for at
+    * fixture scale, and it returns EXACTLY [[ivfPqSearch]]'s rows.
+    *
+    * The probed-cell set is collected driver-side: it is ≤ |queries| ×
+    * nProbe values by construction (the query batch is bounded by
+    * contract — same contract every broadcast(q) in this file rests
+    * on), and a literal IN-list on the partition column is precisely
+    * the mechanism Spark's planner prunes partitions with. At 100 TB
+    * nothing else changes: the layout write is the one-time index
+    * build, and each query batch reads corpus/nCells × nProbe rows.
+    */
+  def ivfPqSearchPruned(spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame, index: IvfPqIndex, layoutPath: String, k: Int,
+      nProbe: Int): DataFrame = {
+    val probes = ivfAssign(queries.select(col("qid").as("id"), col("vq"),
+        col("norm2")), index.coarse, nProbe)
+      .select(col("id").as("qid"), col("cell"))
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val codes = spark.read.parquet(layoutPath)
+      .filter(col("cell").isin(probedCells: _*))
+    val luts = pqLuts(queries, index.pq.book0, index.pq.book1)
+    val scored = codes
+      .join(broadcast(probes), Seq("cell"))
+      .join(broadcast(luts(0)), Seq("qid", "code0"))
+      .join(broadcast(luts(1)), Seq("qid", "code1"))
+      .filter(col("nid") =!= col("qid"))
+      .join(broadcast(queries.select(col("qid"), col("norm2").as("qn"))), Seq("qid"))
+    adcTopK(scored, k)
+  }
+
   /** ADC search against a prebuilt (possibly parquet-loaded) [[PqIndex]]:
     * the standing-index search path — no training inside the call.
     */
