@@ -707,6 +707,26 @@ private[graft] object OraclesLlm {
     // cuts, each re-ranked by exact cosine and scored against the same
     // exact truth — the relational replay of the shortlist sweep
     "llm_hamming_curve" -> hammingCurveSql,
+    // llm_hamming_wide oracle: the 96-dim wrap, three packed words, and
+    // the same (ham ASC, nid ASC) law — the word-array tier replayed
+    "llm_hamming_wide" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS v0 FROM embeddings),
+        |wv AS (SELECT vec_id, v0 || v0[1:32] AS vq FROM e),
+        |b AS (SELECT vec_id,
+        |  CAST(list_sum(list_transform(range(0, 32), j ->
+        |    CASE WHEN vq[j + 1] > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS w0,
+        |  CAST(list_sum(list_transform(range(0, 32), j ->
+        |    CASE WHEN vq[j + 33] > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS w1,
+        |  CAST(list_sum(list_transform(range(0, 32), j ->
+        |    CASE WHEN vq[j + 65] > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS w2
+        |  FROM wv),
+        |q AS (SELECT vec_id AS qid, w0 AS q0, w1 AS q1, w2 AS q2 FROM b WHERE vec_id % 50 = 0),
+        |s AS (SELECT qid, b.vec_id AS nid,
+        |    CAST(bit_count(xor(b.w0, q0)) + bit_count(xor(b.w1, q1)) + bit_count(xor(b.w2, q2)) AS BIGINT) AS ham
+        |  FROM b CROSS JOIN q WHERE b.vec_id <> qid),
+        |r AS (SELECT qid, nid, ham,
+        |    row_number() OVER (PARTITION BY qid ORDER BY ham ASC, nid ASC) AS rank FROM s)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, nid, ham FROM r WHERE rank <= 3""".stripMargin,
     // llm_rp_topk oracle: both sides projected with the same mixer-CTE
     // signs, then the brute ranking law over the 16-dim integer dots
     "llm_rp_topk" ->

@@ -1437,6 +1437,21 @@ private[graft] object QueriesLlm {
       }.reduce(_ unionByName _)
     }),
 
+    // Generalized word-array Hamming tier at d = 96 (the non-64 path,
+    // oracle-checked): the corpus widens to 96 dims by wrapping its
+    // first 32 grid values (deterministic in both engines), sketches to
+    // ceil(96/32) = 3 packed words, ranks popcount-of-XOR through the
+    // bounded TopKPairs aggregate — proof the guard's escape hatch
+    // carries the full contract, not just a spec fixture.
+    "llm_hamming_wide" -> ((s, dir) => {
+      val e = llm.Ann.withQuantized(t(s, dir, "embeddings"), "embedding")
+        .withColumn("vq", expr("concat(vq, slice(vq, 1, 32))"))
+      val corpus = e.select(col("vec_id").as("nid"), col("vq"))
+      val queries = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("vq"))
+      llm.Ann.hammingTopKWords(queries, corpus, d = 96, k = 3)
+    }),
+
     // JL recall gate: recall@3 of projected-space ranking against
     // original-space brute truth at dOut = 16 AND 32 — the measured
     // distortion/dimension tradeoff curve the reduction is priced by.
