@@ -29,15 +29,6 @@ private[graft] object EntryHelpers {
     */
   val REF_DATA = "/root/reference/test/data"
 
-  /** The embeddings corpus in quantized (nid, vq, norm2) form — the input
-    * every ANN row starts from.
-    */
-  /** The synthetic arithmetic-neighbour doc link graph shared by the
-    * graph-analytics rows (PageRank / TrustRank / communities / seed
-    * distance) — the ENGINE twin of the oracle-side `graphCtes`; any
-    * edge-formula change must land in BOTH or every graph row fails its
-    * oracle.
-    */
   /** EXACT percentiles over the value DOMAIN histogram — the audit
     * companion of `Sketches.histQuantiles`: group values (per key),
     * cumulate mass over the distinct-value window (bounded by value
@@ -90,6 +81,12 @@ private[graft] object EntryHelpers {
   def scratchDir(tag: String): String =
     java.nio.file.Files.createTempDirectory(scratchRoot, tag).toString
 
+  /** The synthetic arithmetic-neighbour doc link graph shared by the
+    * graph-analytics rows (PageRank / TrustRank / communities / seed
+    * distance) — the ENGINE twin of the oracle-side `graphCtes`; any
+    * edge-formula change must land in BOTH or every graph row fails its
+    * oracle.
+    */
   def docGraphEdges(docs: DataFrame): DataFrame = {
     val n = docs.agg(count(lit(1)).as("__n"))
     val base = docs.crossJoin(broadcast(n))
@@ -102,6 +99,9 @@ private[graft] object EntryHelpers {
           expr("(doc_id * 3 + 1) % __n").as("dst")))
   }
 
+  /** The embeddings corpus in quantized (nid, vq, norm2) form — the input
+    * every ANN row starts from.
+    */
   def annCorpus(s: SparkSession, dir: String): DataFrame =
     llm.Ann.withQuantized(t(s, dir, "embeddings"), "embedding")
       .select(col("vec_id").as("nid"), col("vq"), col("norm2"))

@@ -1430,10 +1430,19 @@ private[graft] object QueriesLlm {
     "llm_hamming_curve" -> ((s, dir) => {
       val corpus = annCorpus(s, dir)
       val queries = annQueries(s, dir)
-      val truth = llm.Ann.bruteTopK(queries, corpus, 3)
+      // ONE exact-truth pass and ONE corpus-wide Hamming scan feed all
+      // three breadths (checkpointed — three recallAtK/rerank consumers
+      // would otherwise each replay the brute dots and the XOR scan; the
+      // shortlist legs are rank-prefix cuts of the widest shortlist,
+      // exactly how the oracle replays it)
+      val truth = llm.Ann.bruteTopK(queries, corpus, 3).localCheckpoint()
+      val short24 = llm.Ann.hammingTopK(queries, corpus, k = 24)
+        .localCheckpoint()
       Seq(6, 12, 24).map { sl =>
+        val cand = short24.filter(col("rank") <= sl)
+          .select(col("qid"), col("nid"))
         llm.Ann.recallAtK(s"hamming_sl$sl", truth,
-          llm.Ann.hammingRerank(queries, corpus, k = 3, shortlist = sl))
+          llm.Ann.rerankExact(queries, corpus, cand, k = 3))
       }.reduce(_ unionByName _)
     }),
 

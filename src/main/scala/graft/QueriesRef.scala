@@ -9,6 +9,25 @@ import EntryHelpers._
 /** Reference-surface query registry (SURVEY §2.1–2.11: scans, sinks, projections, joins, aggregations, scalars, combinatorial expansions, loader pipelines g1–g36 and the sf-scaled ldr_* replays). */
 private[graft] object QueriesRef {
 
+  /** The K1 classification frame — shared by k1_upsert_classify and
+    * k2_change_counts (extracting it avoids rebuilding the whole
+    * concatenated registry to look up a sibling row).
+    */
+  private def upsertClassify(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val target = o.filter(col("o_orderkey") % 2 === 0).select(
+      col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
+      col("o_totalprice").as("total"))
+    val updates = o.filter(col("o_orderkey") % 3 === 0).select(
+      col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
+      when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0)
+        .otherwise(col("o_totalprice")).as("total"))
+    core.GraphStore.classify(target, updates,
+      keyCols = Seq("id"), compareCols = Seq("status", "total"),
+      softDelete = true)
+      .select(col("id"), col("total"), col(core.GraphStore.ACTION).as("action"))
+  }
+
   def registry: Map[String, (SparkSession, String) => DataFrame] = Map(
 
 
@@ -168,24 +187,11 @@ private[graft] object QueriesRef {
     // K1/K2 (MERGE upsert classification with change detection + soft
     // delete) via core.GraphStore: target=even orderkeys, updates=multiples
     // of 3 with a +1.00 price perturbation on multiples of 5.
-    "k1_upsert_classify" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-      val target = o.filter(col("o_orderkey") % 2 === 0).select(
-        col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
-        col("o_totalprice").as("total"))
-      val updates = o.filter(col("o_orderkey") % 3 === 0).select(
-        col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
-        when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0)
-          .otherwise(col("o_totalprice")).as("total"))
-      core.GraphStore.classify(target, updates,
-        keyCols = Seq("id"), compareCols = Seq("status", "total"),
-        softDelete = true)
-        .select(col("id"), col("total"), col(core.GraphStore.ACTION).as("action"))
-    }),
+    "k1_upsert_classify" -> (upsertClassify(_, _)),
 
     // K9 (audit counters): action → count over the same classification.
     "k2_change_counts" -> ((s, dir) => {
-      SparkEntry.queries("k1_upsert_classify")(s, dir)
+      upsertClassify(s, dir)
         .groupBy(col("action")).agg(count(lit(1)).as("n"))
     }),
 

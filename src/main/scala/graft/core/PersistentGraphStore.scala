@@ -322,7 +322,7 @@ class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32
     * Only safe when no lazy DataFrame from an earlier read() is still
     * pending materialization — call at orchestration boundaries.
     */
-  def vacuum(table: String): Unit = {
+  def vacuum(table: String): Unit = StoreTimers.entry {
     val vs = versions(table)
     newestSnapshot(vs).foreach { snap =>
       vs.filter(_._1 < snap).foreach { case (_, p) => deleteRecursively(p) }
@@ -330,7 +330,7 @@ class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32
   }
 
   /** [[vacuum]] over every table in the store. */
-  def vacuumAll(): Unit = {
+  def vacuumAll(): Unit = StoreTimers.entry {
     val dir = Paths.get(root)
     if (Files.exists(dir)) {
       val stream = Files.list(dir)

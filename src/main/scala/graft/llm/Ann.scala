@@ -953,11 +953,18 @@ object Ann {
   def ivfPqSearchPruned(spark: org.apache.spark.sql.SparkSession,
       queries: DataFrame, index: IvfPqIndex, layoutPath: String, k: Int,
       nProbe: Int): DataFrame = {
-    val probes = ivfAssign(queries.select(col("qid").as("id"), col("vq"),
+    import spark.implicits._
+    // ONE probe job: the (qid, cell) rows are ≤ |queries|·nProbe by
+    // construction, so collect once and reuse driver-side as both the
+    // partition-pruning IN-list and a local join frame (re-running
+    // ivfAssign for each consumer would score the query batch against
+    // the centroids twice)
+    val probeRows = ivfAssign(queries.select(col("qid").as("id"), col("vq"),
         col("norm2")), index.coarse, nProbe)
-      .select(col("id").as("qid"), col("cell"))
-    val probedCells = probes.select(col("cell")).distinct()
-      .collect().map(_.getLong(0)).sorted
+      .select(col("id"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val probedCells = probeRows.map(_._2).distinct.sorted
+    val probes = probeRows.toDF("qid", "cell")
     val codes = spark.read.parquet(layoutPath)
       .filter(col("cell").isin(probedCells: _*))
     val luts = pqLuts(queries, index.pq.book0, index.pq.book1)

@@ -146,12 +146,15 @@ case class TopKPairs(
   * exceeds `k` pairs, each map task partial-folds its slice, and the
   * shuffle ships (#tasks × k) rows per query.
   *
-  * Ordering is `java.lang.Double.compare` — the same total order Spark's
-  * sort uses for DoubleType (all NaN equal and greatest, −0.0 < 0.0) — so
-  * the output is row-identical to the window form for every tie pattern.
-  * Scores are stored as raw IEEE bits in the buffer and round-trip exactly
-  * into the output struct. Null score/id inputs are skipped; callers'
-  * scores are non-null by construction (integer dots over a division).
+  * Ordering matches Spark's sort order for DoubleType exactly (the
+  * SQLOrderingUtil.compareDoubles law: `==` first, then
+  * `java.lang.Double.compare` — so −0.0 TIES +0.0 and falls to the id
+  * tiebreak, and all NaN are equal and greatest), so the output is
+  * row-identical to the window form for every tie pattern, including a
+  * mixed ±0.0 run at the k cut. Scores are stored as raw IEEE bits in
+  * the buffer and round-trip exactly into the output struct. Null
+  * score/id inputs are skipped; callers' scores are non-null by
+  * construction (integer dots over a division).
   *
   * Result: `array<struct<score: double, id: bigint>>` sorted
   * (score DESC, id ASC) — element i (1-based) is exactly the row the
@@ -185,9 +188,7 @@ case class TopKScored(
     if (buf.size < k) buf.offer(Array(sBits, i))
     else {
       val worst = buf.peek()
-      val c = java.lang.Double.compare(
-        java.lang.Double.longBitsToDouble(sBits),
-        java.lang.Double.longBitsToDouble(worst(0)))
+      val c = TopKScored.cmpScore(sBits, worst(0))
       if (c > 0 || (c == 0 && i < worst(1))) {
         buf.poll(); buf.offer(Array(sBits, i))
       }
@@ -265,13 +266,21 @@ case class TopKScored(
 
 object TopKScored {
 
-  /** (score DESC by Double.compare, id ASC) — the output order. */
+  /** Spark's double sort law (SQLOrderingUtil.compareDoubles): `==`
+    * short-circuit makes −0.0 tie +0.0 (Double.compare alone would order
+    * them), and Double.compare handles NaN (all equal, greatest).
+    */
+  private[plans] def cmpScore(aBits: Long, bBits: Long): Int = {
+    val a = java.lang.Double.longBitsToDouble(aBits)
+    val b = java.lang.Double.longBitsToDouble(bBits)
+    if (a == b) 0 else java.lang.Double.compare(a, b)
+  }
+
+  /** (score DESC by the Spark double law, id ASC) — the output order. */
   private[plans] val BestFirst: java.util.Comparator[Array[Long]] =
     new java.util.Comparator[Array[Long]] {
       override def compare(a: Array[Long], b: Array[Long]): Int = {
-        val c = java.lang.Double.compare(
-          java.lang.Double.longBitsToDouble(b(0)),
-          java.lang.Double.longBitsToDouble(a(0)))
+        val c = cmpScore(b(0), a(0))
         if (c != 0) c else java.lang.Long.compare(a(1), b(1))
       }
     }

@@ -73,6 +73,28 @@ class AnnTopKAggSpec extends AnyFunSuite {
       (1L, 4L, 11L, 0.0)))
   }
 
+  test("−0.0 ties +0.0 exactly like Spark's window sort (id tiebreak, not sign)") {
+    // Spark's SQLOrderingUtil.compareDoubles treats −0.0 == 0.0; a plain
+    // java.lang.Double.compare would order −0.0 < 0.0 and return the
+    // +0.0 rows first regardless of id — k = 3 cuts inside the zero run
+    // so a sign-ordered implementation returns a DIFFERENT row set
+    val df = Seq(
+      (1L, 10L, -0.0), (1L, 11L, 0.0), (1L, 12L, 0.0), (1L, 13L, -0.0),
+      (1L, 14L, 1.0), (1L, 15L, -1.0)
+    ).toDF("qid", "nid", "cos").repartition(4)
+    for (k <- Seq(3, 4)) {
+      val w = windowTruth(df, k)
+        .as[(Long, Long, Long, Double)].collect().sortBy(_._2).toSeq
+      val a = aggForm(df, k)
+        .as[(Long, Long, Long, Double)].collect().sortBy(_._2).toSeq
+      // compare ranks and ids; scores via raw bits so −0.0 ≠ 0.0 here —
+      // the WINNING rows' stored values must round-trip bit-exactly too
+      def key(r: (Long, Long, Long, Double)) =
+        (r._1, r._2, r._3, java.lang.Double.doubleToRawLongBits(r._4))
+      assert(a.map(key) == w.map(key), s"k=$k diverged on the ±0.0 run")
+    }
+  }
+
   test("bruteTopK plans NO Window operator (the tail is the bounded aggregate)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val e = Ann.withQuantized(emb, "embedding")

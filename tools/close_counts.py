@@ -47,6 +47,16 @@ def oracle_counts(check_log):
         m = re.search(r"== (\d+) pass / (\d+) fail ==", txt)
         if m:
             return int(m.group(1)), int(m.group(2))
+    # fallback: the newest driver-written CORRECTNESS_r*.json
+    rounds = sorted(glob.glob("CORRECTNESS_r*.json"),
+                    key=lambda f: int(re.search(r"r(\d+)", f).group(1)))
+    if rounds:
+        import json
+        rows = json.load(open(rounds[-1]))
+        ok = sum(1 for v in rows.values()
+                 if v.get("rows_match") and v.get("schema_match")
+                 and v.get("hash_match") and not v.get("err"))
+        return ok, len(rows) - ok
     return None, None
 
 
