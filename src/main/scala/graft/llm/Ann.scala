@@ -537,15 +537,14 @@ object Ann {
         |  'binSketch requires d = 64, got d = ', CAST(size(vq) AS STRING),
         |  '; use binSketchWords for other dimensions'))
         |ELSE true END""".stripMargin)
-    def pack(lo: Int): Column =
-      graft.plans.QuantizedDot.qdot(
-        expr(s"""transform(slice(vq, ${lo + 1}, 32),
-          |  x -> CASE WHEN x > 0 THEN CAST(1 AS BIGINT)
-          |            ELSE CAST(0 AS BIGINT) END)""".stripMargin),
-        typedlit((0 until 32).map(j => 1L << j)))
-    // both words carry the guard: column pruning may drop either one
-    df.withColumn("blo", when(guard, pack(0)))
-      .withColumn("bhi", when(guard, pack(32)))
+    // one pack implementation: the d = 64 fast path IS binSketchWords'
+    // two words (SimplifyExtractValueOps folds the array indexing away,
+    // so the plan is the same two scalar qdot packs); both output words
+    // carry the guard because column pruning may drop either one
+    binSketchWords(df, 64)
+      .withColumn("blo", when(guard, col("bsk")(0)))
+      .withColumn("bhi", when(guard, col("bsk")(1)))
+      .drop("bsk")
   }
 
   /** Generalized binary sign sketch for ANY dimension: `ceil(d/32)`
@@ -587,11 +586,7 @@ object Ann {
       .withColumn("ham", expr(
         """aggregate(zip_with(bsk, qsk, (a, b) -> CAST(bit_count(a ^ b) AS BIGINT)),
           |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin))
-    scored.groupBy(col("qid"))
-      .agg(graft.plans.TopKPairs.topkPairs(col("ham"), col("nid"), k).as("top"))
-      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "p")))
-      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
-        col("p.id").as("nid"), col("p.ord").as("ham"))
+    rankByHam(scored, k)
   }
 
   /** Hamming top-k over the binary sketches: distance = popcount of the
@@ -611,6 +606,17 @@ object Ann {
     * #tasks·k rows per query. Same (ham, nid) lexicographic law, exact
     * same output (the TopKPairs spec pins aggregate ≡ window).
     */
+  /** The shared Hamming ranking tail: (ham ASC, nid ASC) top-k per query
+    * through the k-bounded [[graft.plans.TopKPairs]] aggregate — the long
+    * twin of [[rankTopK]] (scored carries (qid, nid, ham)).
+    */
+  private def rankByHam(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("qid"))
+      .agg(graft.plans.TopKPairs.topkPairs(col("ham"), col("nid"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+        col("p.id").as("nid"), col("p.ord").as("ham"))
+
   def hammingTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = binSketch(queries)
       .select(col("qid"), col("blo").as("qlo"), col("bhi").as("qhi"))
@@ -619,11 +625,7 @@ object Ann {
       .withColumn("ham",
         (bit_count(col("blo").bitwiseXOR(col("qlo"))) +
           bit_count(col("bhi").bitwiseXOR(col("qhi")))).cast("long"))
-    scored.groupBy(col("qid"))
-      .agg(graft.plans.TopKPairs.topkPairs(col("ham"), col("nid"), k).as("top"))
-      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "p")))
-      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
-        col("p.id").as("nid"), col("p.ord").as("ham"))
+    rankByHam(scored, k)
   }
 
   /** Two-stage binary search: Hamming shortlist of `shortlist`
