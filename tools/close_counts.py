@@ -37,8 +37,10 @@ def registry_size():
     for f in ["src/main/scala/graft/SparkEntry.scala"] + sorted(
             glob.glob("src/main/scala/graft/Queries*.scala")):
         src += open(f).read()
-    # every query row is a '"name" -> ((s, dir) =>' binding
-    return len(set(re.findall(r'"([a-z0-9_]+)" -> \(\(s, dir\) =>', src)))
+    # every query row is a 4-space-indented '"name" ->' Map entry (the
+    # value may be a ((s, dir) => ...) lambda OR an eta-expansion like
+    # (upsertClassify(_, _)) — match the entry key, not the value shape)
+    return len(set(re.findall(r'^    "([a-z0-9_]+)" ->', src, re.M)))
 
 
 def oracle_counts(check_log):
