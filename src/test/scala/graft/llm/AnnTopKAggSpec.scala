@@ -95,17 +95,39 @@ class AnnTopKAggSpec extends AnyFunSuite {
     }
   }
 
-  test("bruteTopK plans NO Window operator (the tail is the bounded aggregate)") {
+  test("NO cosine/Hamming tier plans a Window operator (bounded aggregates only)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val e = Ann.withQuantized(emb, "embedding")
     val corpus = e.select(col("vec_id").as("nid"), col("vq"), col("norm2"))
     val queries = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("vq"), col("norm2"))
-    val plan = Ann.bruteTopK(queries, corpus, 3)
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("Window"),
-      s"bruteTopK ranking regressed to a window sort:\n$plan")
-    // and the bounded aggregate is actually in the plan
-    assert(plan.contains("topk_scored") || plan.contains("TopKScored"), plan)
+    val qb = Ann.withBucket(queries, Ann.DefaultPairs)
+    val cb = Ann.withBucket(corpus, Ann.DefaultPairs)
+    val cent = Ann.ivfCentroids(corpus, step = 50)
+    val sq = Ann.buildSqIndex(corpus)
+    // every corpus-ranking tier: a Window anywhere in these plans is the
+    // hot-query single-task sort the round-14 migration removed (the
+    // ivfAssign nProbe>1 probe window inside ivfTopK is query-side-small
+    // by contract — exercised via the UNTRAINED seed path nProbe=1 here
+    // so the lint stays strict about the corpus side)
+    val tiers: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "brute" -> Ann.bruteTopK(queries, corpus, 3),
+      "lsh" -> Ann.lshTopK(qb, cb, 3),
+      "lsh_multiprobe" -> Ann.lshMultiProbeTopK(qb, cb, 3, bits = 6),
+      "ivf_p1" -> Ann.ivfTopK(queries, corpus, cent, k = 3, nProbe = 1),
+      "sq" -> Ann.sqSearch(queries, sq, 3),
+      "rp" -> Ann.rpTopK(queries, corpus, dOut = 16, k = 3),
+      "hamming" -> Ann.hammingTopK(queries, corpus, 3),
+      "hamming_words" -> Ann.hammingTopKWords(queries, corpus, 64, 3),
+      "hamming_rerank" -> Ann.hammingRerank(queries, corpus, 3, 16),
+      "rerank_exact" -> Ann.rerankExact(queries, corpus,
+        Ann.hammingTopK(queries, corpus, 4).select(col("qid"), col("nid")), 3))
+    tiers.foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"$name ranking regressed to a window sort:\n${plan.take(2000)}")
+      assert(plan.contains("topk_scored") || plan.contains("topk_pairs"),
+        s"$name lost the bounded aggregate tail")
+    }
   }
 }
