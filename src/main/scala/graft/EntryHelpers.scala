@@ -119,7 +119,8 @@ private[graft] object EntryHelpers {
     * SPARK_GRAFT_INDEX_DIR (default `target/graft-index` under the
     * project, never outside the repo).
     */
-  def annIndexPath(dir: String, kind: String = "ivfpq_v1"): String = {
+  def annIndexPath(dir: String, kind: String = "ivfpq_v1",
+      table: String = "embeddings"): String = {
     def fp(f: java.io.File): (Long, Long) =
       if (f.isDirectory)
         Option(f.listFiles()).getOrElse(Array.empty).map(fp)
@@ -127,7 +128,7 @@ private[graft] object EntryHelpers {
             (l + l2, math.max(m, m2))
           }
       else (f.length(), f.lastModified())
-    val (len, mtime) = fp(new java.io.File(s"$dir/embeddings.parquet"))
+    val (len, mtime) = fp(new java.io.File(s"$dir/$table.parquet"))
     val key = Integer.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(s"$dir|$len|$mtime"))
     val base = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR", "target/graft-index")
@@ -189,6 +190,22 @@ private[graft] object EntryHelpers {
       java.nio.file.Files.write(ok, Array.emptyByteArray)
     }
     s"$path/layout"
+  }
+
+  /** The shared BM25 inverted index over `dir`'s documents table
+    * (postings + lengths + df + stats), fingerprint-keyed build-once —
+    * the keyword-retrieval twin of [[sharedAnnIndex]]: probe rows read
+    * the persisted postings instead of re-tokenizing the corpus per call.
+    */
+  def sharedInvIndex(s: SparkSession, dir: String): llm.Retrieval.InvIndex = {
+    val path = annIndexPath(dir, kind = "bm25_v1", table = "documents")
+    val ok = java.nio.file.Paths.get(path, "_GRAFT_OK")
+    if (!java.nio.file.Files.exists(ok)) {
+      llm.Retrieval.buildInvIndex(t(s, dir, "documents"), "doc_id", "text")
+        .save(path)
+      java.nio.file.Files.write(ok, Array.emptyByteArray)
+    }
+    llm.Retrieval.InvIndex.load(s, path)
   }
 
   /** Salted contamination fixture (llm_decontaminate; the report row

@@ -349,6 +349,35 @@ private[graft] object OraclesLlm {
         |    row_number() OVER (PARTITION BY qid ORDER BY approx_cos DESC, nid ASC) AS rank FROM sc)
         |SELECT qid, CAST(rank AS BIGINT) AS rank, nid, approx_cos FROM rk WHERE rank <= 3""".stripMargin
 
+  /** Shared by llm_bm25 and llm_bm25_index: the persisted-index probe
+    * returns exactly the inline path's rows, so both rows replay the
+    * same tokenize + Okapi-score + rank chain.
+    */
+  private val bm25Sql: String =
+      """WITH w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS ws FROM documents),
+        |tok AS (SELECT doc_id AS nid, unnest(ws) AS word FROM w),
+        |dl AS (SELECT doc_id AS nid, CAST(len(ws) AS BIGINT) AS dl FROM w WHERE len(ws) > 0),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens FROM dl),
+        |qt AS (SELECT DISTINCT query_id, word FROM
+        |  (SELECT doc_id AS query_id, unnest(ws[1:5]) AS word FROM w WHERE doc_id % 97 = 0)),
+        |qw AS (SELECT DISTINCT word FROM qt),
+        |m AS (SELECT nid, tok.word FROM tok JOIN qw ON tok.word = qw.word),
+        |tf AS (SELECT nid, word, CAST(count(*) AS BIGINT) AS tf FROM m GROUP BY nid, word),
+        |dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM (SELECT DISTINCT nid, word FROM m) GROUP BY word),
+        |terms AS (SELECT qt.query_id, tf.nid, tf.tf, dfq.df, dl.dl, stats.n_docs, stats.total_tokens
+        |  FROM tf JOIN dfq USING (word) JOIN dl USING (nid) CROSS JOIN stats JOIN qt ON tf.word = qt.word
+        |  WHERE tf.nid <> qt.query_id),
+        |sc AS (SELECT query_id, nid,
+        |    CAST(floor(((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |      * ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / (CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+        |      * 1000000.0) AS BIGINT) AS term_micro
+        |  FROM terms),
+        |agg AS (SELECT query_id, nid, CAST(sum(term_micro) AS BIGINT) AS score_micro FROM sc GROUP BY query_id, nid),
+        |r AS (SELECT query_id, nid, score_micro,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, nid ASC) AS rank FROM agg)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, nid AS doc_id, score_micro
+        |FROM r WHERE rank <= 5""".stripMargin
+
   def registry: Map[String, String] = Map(
 
     "llm_exact_dedup" ->
@@ -2373,30 +2402,11 @@ private[graft] object OraclesLlm {
     // llm_bm25 oracle: identical rational-idf BM25 with the SAME IEEE op
     // sequence (left-assoc multiplies, each division written once) and
     // the same micro-quantize-then-integer-sum, so scores are bit-exact
-    "llm_bm25" ->
-      """WITH w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS ws FROM documents),
-        |tok AS (SELECT doc_id AS nid, unnest(ws) AS word FROM w),
-        |dl AS (SELECT doc_id AS nid, CAST(len(ws) AS BIGINT) AS dl FROM w WHERE len(ws) > 0),
-        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens FROM dl),
-        |qt AS (SELECT DISTINCT query_id, word FROM
-        |  (SELECT doc_id AS query_id, unnest(ws[1:5]) AS word FROM w WHERE doc_id % 97 = 0)),
-        |qw AS (SELECT DISTINCT word FROM qt),
-        |m AS (SELECT nid, tok.word FROM tok JOIN qw ON tok.word = qw.word),
-        |tf AS (SELECT nid, word, CAST(count(*) AS BIGINT) AS tf FROM m GROUP BY nid, word),
-        |dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM (SELECT DISTINCT nid, word FROM m) GROUP BY word),
-        |terms AS (SELECT qt.query_id, tf.nid, tf.tf, dfq.df, dl.dl, stats.n_docs, stats.total_tokens
-        |  FROM tf JOIN dfq USING (word) JOIN dl USING (nid) CROSS JOIN stats JOIN qt ON tf.word = qt.word
-        |  WHERE tf.nid <> qt.query_id),
-        |sc AS (SELECT query_id, nid,
-        |    CAST(floor(((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
-        |      * ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / (CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
-        |      * 1000000.0) AS BIGINT) AS term_micro
-        |  FROM terms),
-        |agg AS (SELECT query_id, nid, CAST(sum(term_micro) AS BIGINT) AS score_micro FROM sc GROUP BY query_id, nid),
-        |r AS (SELECT query_id, nid, score_micro,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, nid ASC) AS rank FROM agg)
-        |SELECT query_id, CAST(rank AS BIGINT) AS rank, nid AS doc_id, score_micro
-        |FROM r WHERE rank <= 5""".stripMargin,
+    "llm_bm25" -> bm25Sql,
+    // llm_bm25_index oracle: the standing-index probe tokenizes NOTHING
+    // in-query and returns exactly the inline rows (deterministic build)
+    // — so the oracle IS bm25Sql
+    "llm_bm25_index" -> bm25Sql,
     // llm_hybrid_search oracle: brute dense top-10 (llm_ann_topk shape)
     // + BM25 top-10 over the shared query set, fused by pure-integer RRF
     "llm_hybrid_search" ->

@@ -787,6 +787,21 @@ private[graft] object QueriesLlm {
         queries, "qid", "qtext", k = 5, excludeIdEq = true)
     }),
 
+    // BM25 against the PERSISTED inverted index: the standing-index
+    // keyword-retrieval lifecycle — the corpus is tokenized once at
+    // build time (postings/lengths/df/stats on parquet, fingerprint-
+    // keyed like the ANN indexes); this row probes the LOADED index, so
+    // per query batch only its terms' postings are read. Deterministic
+    // build ⇒ identical rows to llm_bm25 — same oracle SQL.
+    "llm_bm25_index" -> ((s, dir) => {
+      val queries = t(s, dir, "documents").filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("qid"),
+          expr("array_join(slice(filter(split(lower(text), ' '), " +
+            "w -> length(w) > 0), 1, 5), ' ')").as("qtext"))
+      llm.Retrieval.bm25TopK(queries, "qid", "qtext",
+        sharedInvIndex(s, dir), k = 5, excludeIdEq = true)
+    }),
+
     // Hybrid retrieval: reciprocal-rank fusion (C=60, pure integer) of
     // dense brute-force cosine top-10 and sparse BM25 top-10 over the
     // SAME query set (vec_id % 50 == 0; query text = that doc's first 5
