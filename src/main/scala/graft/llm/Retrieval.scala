@@ -161,7 +161,15 @@ object Retrieval {
       index: InvIndex, k: Int, excludeIdEq: Boolean): DataFrame = {
     val qterms = bm25QueryTerms(queries, qidCol, qtextCol)
     val qwords = qterms.select(col("word")).distinct()
+    // rebalance the pruned postings to session parallelism: a pruned
+    // parquet read can surface arbitrarily FEW splits (the 500k-doc lane
+    // packed 32 small postings files into ~3 splits and the downstream
+    // qterms-multiply join serialized onto them — measured 247-253 s vs
+    // 136-146 s inline; rebalanced 152 s), and everything after this point
+    // multiplies rows per matched query, so the narrow read must not cap
+    // the wide stage's tasks. The shuffle moves only query-term postings.
     val tf = index.postings.join(broadcast(qwords), Seq("word"))
+      .repartition(col("nid"))
     val dfq = index.dfTable.join(broadcast(qwords), Seq("word"))
     bm25Score(tf, dfq, index.dl, index.stats, qterms, k, excludeIdEq)
   }
