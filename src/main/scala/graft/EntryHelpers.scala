@@ -135,15 +135,56 @@ private[graft] object EntryHelpers {
     s"$base/${kind}_$key"
   }
 
+  /** Build-once with an ATOMIC publish, shared by every persisted-index
+    * helper: `build` writes into a sibling temp directory, the `_GRAFT_OK`
+    * marker is written INSIDE it, and the whole directory is renamed into
+    * place in one filesystem move. Two concurrent sessions (parallel bench
+    * reps, spec suites sharing the index root) can both miss the marker
+    * and both build — but a reader can never observe a partially-written
+    * index: the loser of the rename race discards its build and reads the
+    * winner's. (The previous check-then-build-in-place pattern had exactly
+    * that torn-read window.)
+    */
+  private def ensureBuilt(path: String)(build: String => Unit): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val target = Paths.get(path).toAbsolutePath
+    if (Files.exists(target.resolve("_GRAFT_OK"))) return
+    Files.createDirectories(target.getParent)
+    val tmp = Files.createTempDirectory(target.getParent, ".build_")
+    try {
+      build(tmp.toString)
+      Files.write(tmp.resolve("_GRAFT_OK"), Array.emptyByteArray)
+      try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileSystemException =>
+          // the move failed because SOMETHING occupies the target: a
+          // concurrent winner (marker present — use theirs) or a stale
+          // pre-atomic partial build (no marker — replace it once)
+          if (!Files.exists(target.resolve("_GRAFT_OK"))) {
+            deleteRecursively(target)
+            Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+          }
+      }
+    } finally if (Files.exists(tmp)) deleteRecursively(tmp)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (!java.nio.file.Files.exists(p)) return
+    val stream = java.nio.file.Files.walk(p)
+    try stream.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(f => java.nio.file.Files.deleteIfExists(f): Unit)
+    finally stream.close()
+  }
+
   /** Build the shared IVF-PQ index (coarse k-means step=25/iters=2 +
     * 2-subspace PQ codebooks + codes) and persist it to parquet — the
     * ONE-TIME index build of the production lifecycle. Returns the path.
     */
   def buildSharedAnnIndex(s: SparkSession, dir: String): String = {
     val path = annIndexPath(dir)
-    llm.Ann.buildIvfPqIndex(annCorpus(s, dir), step = 25, iters = 2).save(path)
-    java.nio.file.Files.write(java.nio.file.Paths.get(path, "_GRAFT_OK"),
-      Array.emptyByteArray)
+    ensureBuilt(path) { tmp =>
+      llm.Ann.buildIvfPqIndex(annCorpus(s, dir), step = 25, iters = 2).save(tmp)
+    }
     path
   }
 
@@ -156,9 +197,7 @@ private[graft] object EntryHelpers {
     * oracle's training replay still matches.
     */
   def sharedAnnIndex(s: SparkSession, dir: String): llm.Ann.IvfPqIndex = {
-    val path = annIndexPath(dir)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_GRAFT_OK")))
-      buildSharedAnnIndex(s, dir)
+    val path = buildSharedAnnIndex(s, dir) // no-op when already published
     llm.Ann.IvfPqIndex.load(s, path)
   }
 
@@ -170,11 +209,7 @@ private[graft] object EntryHelpers {
     */
   def sharedSqIndex(s: SparkSession, dir: String): llm.Ann.SqIndex = {
     val path = annIndexPath(dir, kind = "sq_v1")
-    val ok = java.nio.file.Paths.get(path, "_GRAFT_OK")
-    if (!java.nio.file.Files.exists(ok)) {
-      llm.Ann.buildSqIndex(annCorpus(s, dir)).save(path)
-      java.nio.file.Files.write(ok, Array.emptyByteArray)
-    }
+    ensureBuilt(path)(tmp => llm.Ann.buildSqIndex(annCorpus(s, dir)).save(tmp))
     llm.Ann.SqIndex.load(s, path)
   }
 
@@ -184,11 +219,8 @@ private[graft] object EntryHelpers {
     */
   def sharedCellLayout(s: SparkSession, dir: String): String = {
     val path = annIndexPath(dir, kind = "ivfcell_v1")
-    val ok = java.nio.file.Paths.get(path, "_GRAFT_OK")
-    if (!java.nio.file.Files.exists(ok)) {
-      llm.Ann.writeCellLayout(sharedAnnIndex(s, dir), s"$path/layout")
-      java.nio.file.Files.write(ok, Array.emptyByteArray)
-    }
+    ensureBuilt(path)(tmp =>
+      llm.Ann.writeCellLayout(sharedAnnIndex(s, dir), s"$tmp/layout"))
     s"$path/layout"
   }
 
@@ -199,12 +231,9 @@ private[graft] object EntryHelpers {
     */
   def sharedInvIndex(s: SparkSession, dir: String): llm.Retrieval.InvIndex = {
     val path = annIndexPath(dir, kind = "bm25_v1", table = "documents")
-    val ok = java.nio.file.Paths.get(path, "_GRAFT_OK")
-    if (!java.nio.file.Files.exists(ok)) {
+    ensureBuilt(path)(tmp =>
       llm.Retrieval.buildInvIndex(t(s, dir, "documents"), "doc_id", "text")
-        .save(path)
-      java.nio.file.Files.write(ok, Array.emptyByteArray)
-    }
+        .save(tmp))
     llm.Retrieval.InvIndex.load(s, path)
   }
 

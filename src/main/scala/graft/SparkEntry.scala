@@ -42,9 +42,10 @@ import scala.jdk.CollectionConverters._
   // ---------------------------------------------------------------- queries
 
   // -------------------------------------------------------------- registry
-  // Per-package registries (round-14 split; same 280 rows, same hashes):
-  // reference surface + streaming + LLM pipeline, concatenated here so the
-  // driver contract (queries/oracleSql) is unchanged.
+  // Per-package registries (round-14 split): reference surface + streaming
+  // + LLM pipeline, concatenated here so the driver contract
+  // (queries/oracleSql) is unchanged. Row counts live in README.md and are
+  // spec-pinned (BenchConsistencySpec), not repeated here.
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesRef.registry ++ QueriesStreaming.registry ++ QueriesLlm.registry

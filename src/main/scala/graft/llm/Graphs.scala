@@ -123,8 +123,11 @@ object Graphs {
     *
     * Scale: one superstep = the symmetrized-edge join against current
     * labels, a (node, label) partial-agg count, and a per-node top-1
-    * window keyed on the high-cardinality node id; lineage truncates
-    * per superstep like the other iterative operators.
+    * picked by a `min(struct(...))` partial aggregate — a hub node's
+    * neighbour-label census folds map-side across every task holding a
+    * slice of it, instead of window-sorting the hot node's rows in one
+    * task; lineage truncates per superstep like the other iterative
+    * operators.
     */
   def labelPropagation(nodes: DataFrame, idCol: String, edges: DataFrame,
       srcCol: String, dstCol: String, iters: Int): DataFrame = {
@@ -141,15 +144,16 @@ object Graphs {
         .groupBy(col("__u"), col("community"))
         .agg(count(lit(1)).as("__cnt"))
       // top-1 by (count DESC, community ASC) as a partial-aggregate
-      // max(struct(cnt, -community)) — the ivfAssign idiom: a hub node's
-      // neighbor-label census folds map-side instead of window-sorting
-      // the hot node's rows in one task (labels are non-negative ids, so
-      // the negation tie-trick never wraps)
+      // min(struct(-cnt, community)) — the ivfAssign idiom. Negating the
+      // COUNT (>= 1 by construction, so -cnt never wraps) instead of the
+      // label keeps the tie-break correct for ARBITRARY caller ids,
+      // negative included — max(struct(cnt, -community)) would invert
+      // ties on a negative-id corpus and wrap on Long.MinValue.
       val picked = counts
         .groupBy(col("__u"))
-        .agg(max(struct(col("__cnt"), (-col("community")).as("__nc")))
+        .agg(min(struct((-col("__cnt")).as("__negc"), col("community")))
           .as("best"))
-        .select(col("__u"), (-col("best.__nc")).as("__new"))
+        .select(col("__u"), col("best.community").as("__new"))
       val base = labels
       labels = base
         .join(picked, base(idCol) === picked("__u"), "left")

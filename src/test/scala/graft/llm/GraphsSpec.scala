@@ -140,6 +140,17 @@ class GraphsSpec extends AnyFunSuite {
     assert(out == 99L)
   }
 
+  test("label propagation tie-breaks to the SMALLEST label on negative ids") {
+    // two neighbours with equal counts → smallest community wins; with
+    // negative ids this is where a label-negation tie-trick would invert
+    // (−5 < 3 must win, but −(−5)=5 > −3 picks the wrong one)
+    val nodes = Seq(-5L, 3L, 0L).toDF("id")
+    val edges = Seq((0L, -5L), (0L, 3L)).toDF("src", "dst")
+    val out = Graphs.labelPropagation(nodes, "id", edges, "src", "dst", 1)
+      .filter(col("id") === 0L).select("community").as[Long].head()
+    assert(out == -5L)
+  }
+
   test("label propagation is deterministic under repartitioning") {
     val nodes = (0L until 120L).toDF("id")
     val edges = nodes.select(col("id").as("src"),

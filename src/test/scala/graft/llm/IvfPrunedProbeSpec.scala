@@ -34,7 +34,9 @@ class IvfPrunedProbeSpec extends AnyFunSuite {
     assert(rows(pruned) == rows(joined))
 
     // physical pruning: the layout scan selects exactly the probed-cell
-    // partitions (AQE off for a plain FileSourceScanExec tree)
+    // partitions (AQE off for a plain FileSourceScanExec tree); restore
+    // whatever value the shared session HAD, not a hardcoded default
+    val aqeBefore = spark.conf.getOption("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val probed = Ann.ivfAssign(q.select(col("qid").as("id"), col("vq"),
@@ -54,6 +56,9 @@ class IvfPrunedProbeSpec extends AnyFunSuite {
         assert(sel.toLong == probed,
           s"scan read $sel partitions, probed cells = $probed")
       }
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally aqeBefore match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
   }
 }

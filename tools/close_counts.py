@@ -66,7 +66,18 @@ if __name__ == "__main__":
     s, t, f, e = test_counts()
     print(f"test reports: {s} suites / {t} tests "
           f"({f} failures, {e} errors)")
-    print(f"query registry: {registry_size()} rows")
+    reg = registry_size()
+    print(f"query registry: {reg} rows")
     p, fl = oracle_counts(sys.argv[1] if len(sys.argv) > 1 else None)
     if p is not None:
         print(f"oracle sweep: {p} pass / {fl} fail")
+    # The FINAL GATE line, tool-emitted so post-close addenda can't drift
+    # (round-14 verdict ask #8: the "283/283" line was hand-written).
+    # GREEN requires: zero test failures/errors, zero oracle fails, and
+    # the oracle sweep covering every registry row.
+    if p is not None:
+        ok = (f == 0 and e == 0 and fl == 0 and p == reg)
+        status = "GREEN" if ok else "NOT GREEN"
+        print(f"final gate: {status} — oracle {p}/{p + fl} pass, "
+              f"registry {reg} rows ({'covered' if p == reg else 'MISMATCH'}), "
+              f"tests {t} ({f} failures, {e} errors)")
