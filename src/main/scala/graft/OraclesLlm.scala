@@ -2407,6 +2407,10 @@ private[graft] object OraclesLlm {
     // in-query and returns exactly the inline rows (deterministic build)
     // — so the oracle IS bm25Sql
     "llm_bm25_index" -> bm25Sql,
+    // llm_bm25_update oracle: the additive fold of the held-out batch
+    // must equal a full rebuild over the whole corpus — so the oracle IS
+    // the full-corpus BM25 chain, unchanged
+    "llm_bm25_update" -> bm25Sql,
     // llm_hybrid_search oracle: brute dense top-10 (llm_ann_topk shape)
     // + BM25 top-10 over the shared query set, fused by pure-integer RRF
     "llm_hybrid_search" ->

@@ -802,6 +802,25 @@ private[graft] object QueriesLlm {
         sharedInvIndex(s, dir), k = 5, excludeIdEq = true)
     }),
 
+    // Standing-index UPDATE (lifecycle parity with sq_update/pq
+    // roundtrip): index 90% of the corpus, fold the held-out 10% batch
+    // in additively (only the batch tokenizes — postings/dl union, df
+    // sum, stats add), probe the same query set. The oracle scores the
+    // FULL corpus: incremental fold ≡ full rebuild is the row's claim.
+    "llm_bm25_update" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val queries = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("qid"),
+          expr("array_join(slice(filter(split(lower(text), ' '), " +
+            "w -> length(w) > 0), 1, 5), ' ')").as("qtext"))
+      val standing = llm.Retrieval.buildInvIndex(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+      val updated = llm.Retrieval.updateInvIndex(standing,
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+      llm.Retrieval.bm25TopK(queries, "qid", "qtext", updated, k = 5,
+        excludeIdEq = true)
+    }),
+
     // Hybrid retrieval: reciprocal-rank fusion (C=60, pure integer) of
     // dense brute-force cosine top-10 and sparse BM25 top-10 over the
     // SAME query set (vec_id % 50 == 0; query text = that doc's first 5

@@ -1,7 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Sparse/lexical retrieval and corpus-LM scoring — the complement to the
@@ -97,28 +96,46 @@ object Retrieval {
     bm25Score(tf, dfq, dl, stats, qterms, k, excludeIdEq)
   }
 
+  /** Number of word-hash bands the persisted postings are partitioned
+    * into: coarse enough that a directory listing stays trivial (256
+    * subdirs), fine enough that a query batch's terms select a small
+    * fraction of them — a 5-term query touches ≤ 5/256 ≈ 2% of the
+    * postings bytes.
+    */
+  val PostingBands = 256
+
+  /** The postings band of a word — MUST match between build and probe
+    * (it is the partition key the probe's IN-filter prunes on).
+    */
+  private def band(word: Column): Column =
+    pmod(xxhash64(word), lit(PostingBands)).cast("int")
+
   /** Persistable BM25 inverted index: every corpus-side artifact the
     * inline [[bm25TopK]] derives per call — term postings `(word, nid,
-    * tf)`, doc lengths `(nid, dl)` (token-bearing docs only), per-term
-    * document frequency `(word, df)`, and the one-row `(n_docs,
-    * total_tokens)` global — built ONCE and parquet-roundtrippable, the
-    * same build-once/probe-many lifecycle the ANN tiers' [[Ann.PqIndex]]/
-    * [[Ann.SqIndex]] carry. At 100 TB the corpus is tokenized exactly
-    * once; every query batch then reads postings for ITS terms (at scale
-    * the postings table is written bucketed by `word`, so a query-term
-    * batch is a bucket-pruned read, never a corpus scan). Tokenization
-    * and counting are deterministic, so a loaded index scores
-    * bit-identically to the inline path (spec-pinned and shared-oracle-
-    * checked by `llm_bm25_index`).
+    * tf)` carrying their word-hash `__band`, doc lengths `(nid, dl)`
+    * (token-bearing docs only), per-term document frequency `(word,
+    * df)`, and the one-row `(n_docs, total_tokens)` global — built ONCE
+    * and parquet-roundtrippable, the same build-once/probe-many
+    * lifecycle the ANN tiers' [[Ann.PqIndex]]/[[Ann.SqIndex]] carry.
+    * At 100 TB the corpus is tokenized exactly once; the postings are
+    * WRITTEN partitioned by `__band = pmod(xxhash64(word), 256)`, so a
+    * query batch's term set becomes an IN-filter on the partition
+    * column and each probe is a partition-pruned read of just the
+    * bands its terms hash into — never a corpus-postings scan
+    * (spec-pinned: selected partitions == the query batch's distinct
+    * bands). Tokenization and counting are deterministic, so a loaded
+    * index scores bit-identically to the inline path (spec-pinned and
+    * shared-oracle-checked by `llm_bm25_index`).
     */
   case class InvIndex(
-      postings: DataFrame, // (word, nid, tf) — corpus-wide term postings
+      postings: DataFrame, // (word, nid, tf, __band) — corpus-wide postings
       dl: DataFrame, // (nid, dl) — doc lengths, dl > 0
       dfTable: DataFrame, // (word, df) — per-term document frequency
       stats: DataFrame // one row: (n_docs, total_tokens)
   ) {
     def save(path: String): Unit = {
-      postings.write.mode("overwrite").parquet(s"$path/postings")
+      postings.write.partitionBy("__band")
+        .mode("overwrite").parquet(s"$path/postings")
       dl.write.mode("overwrite").parquet(s"$path/dl")
       dfTable.write.mode("overwrite").parquet(s"$path/df")
       stats.write.mode("overwrite").parquet(s"$path/stats")
@@ -136,13 +153,16 @@ object Retrieval {
 
   /** One-time inverted-index build: tokenize the corpus once, fold to
     * postings/lengths/df/stats. (The per-call tokenization cost every
-    * inline [[bm25TopK]] call pays, paid once.)
+    * inline [[bm25TopK]] call pays, paid once.) Postings carry their
+    * word-hash `__band` so [[InvIndex.save]] lays them out
+    * partition-pruned for the probe.
     */
   def buildInvIndex(docs: DataFrame, idCol: String,
       textCol: String): InvIndex = {
     val postings = docs
       .select(col(idCol).as("nid"), explode(toks(textCol)).as("word"))
       .groupBy(col("nid"), col("word")).agg(count(lit(1)).as("tf"))
+      .withColumn("__band", band(col("word")))
     val dl = docs.select(col(idCol).as("nid"),
         size(toks(textCol)).cast("long").as("dl"))
       .filter(col("dl") > 0)
@@ -152,15 +172,65 @@ object Retrieval {
     InvIndex(postings, dl, dfTable, stats)
   }
 
+  /** Fold an out-of-sample document batch into a standing [[InvIndex]]
+    * — the index UPDATE of the build-once lifecycle (lifecycle parity
+    * with [[Ann.SqIndex]]'s `sqUpdate`): tokenize ONLY the new batch,
+    * then merge every component additively. BM25 has no frozen-bounds
+    * subtlety — postings and lengths of distinct doc ids are disjoint
+    * unions, df is a per-word sum, stats a two-row add — so the folded
+    * index is ROW-IDENTICAL to a full rebuild over old ∪ new docs
+    * (spec-pinned componentwise, oracle-checked by `llm_bm25_update`
+    * whose SQL scores the FULL corpus). Batch doc ids must be new:
+    * re-adding an indexed id would double-count it, exactly like any
+    * additive inverted index.
+    *
+    * Scale: the standing postings are never read or rewritten here —
+    * the merge is a lazy union the next save lays out band-partitioned;
+    * only the new batch tokenizes. df's full-outer join keys on the
+    * (vocab-sized) word set, the usual partial-agg shapes.
+    */
+  def updateInvIndex(index: InvIndex, newDocs: DataFrame, idCol: String,
+      textCol: String): InvIndex = {
+    val fresh = buildInvIndex(newDocs, idCol, textCol)
+    val dfMerged = index.dfTable.select(col("word"), col("df").as("__a"))
+      .join(fresh.dfTable.select(col("word"), col("df").as("__b")),
+        Seq("word"), "full_outer")
+      .select(col("word"),
+        (coalesce(col("__a"), lit(0L)) + coalesce(col("__b"), lit(0L)))
+          .as("df"))
+    val statsMerged = index.stats
+      .select(col("n_docs").as("__n1"), col("total_tokens").as("__t1"))
+      .crossJoin(fresh.stats
+        .select(col("n_docs").as("__n2"), col("total_tokens").as("__t2")))
+      .select((col("__n1") + col("__n2")).as("n_docs"),
+        (col("__t1") + col("__t2")).as("total_tokens"))
+    InvIndex(
+      postings = index.postings.unionByName(fresh.postings),
+      dl = index.dl.unionByName(fresh.dl),
+      dfTable = dfMerged,
+      stats = statsMerged)
+  }
+
   /** BM25 top-k against a prebuilt (possibly parquet-loaded)
     * [[InvIndex]] — the standing-index search path: no corpus
-    * tokenization inside the call; the query-term set prunes the
-    * postings and df tables by a broadcast semi-key join.
+    * tokenization inside the call. The query batch's terms hash to
+    * their postings bands DRIVER-SIDE (one bounded job over the
+    * broadcast-sized query-term set — same contract as
+    * [[Ann.ivfPqSearchPruned]]'s probe collect) and become an IN-filter
+    * on the layout's partition column, so a loaded index reads ONLY the
+    * bands the query terms live in (`PartitionFilters` in the plan,
+    * spec-pinned); the broadcast semi-join then cuts those bands' other
+    * words.
     */
   def bm25TopK(queries: DataFrame, qidCol: String, qtextCol: String,
       index: InvIndex, k: Int, excludeIdEq: Boolean): DataFrame = {
     val qterms = bm25QueryTerms(queries, qidCol, qtextCol)
     val qwords = qterms.select(col("word")).distinct()
+    // ≤ PostingBands values by construction; the collect is over the
+    // already-bounded query-term set (every broadcast(q) in this file
+    // rests on that contract)
+    val qbands = qwords.select(band(col("word")).as("__band")).distinct()
+      .collect().map(_.getInt(0)).sorted
     // rebalance the pruned postings to session parallelism: a pruned
     // parquet read can surface arbitrarily FEW splits (the 500k-doc lane
     // packed 32 small postings files into ~3 splits and the downstream
@@ -168,7 +238,9 @@ object Retrieval {
     // 136-146 s inline; rebalanced 152 s), and everything after this point
     // multiplies rows per matched query, so the narrow read must not cap
     // the wide stage's tasks. The shuffle moves only query-term postings.
-    val tf = index.postings.join(broadcast(qwords), Seq("word"))
+    val tf = index.postings.filter(col("__band").isin(qbands: _*))
+      .select(col("word"), col("nid"), col("tf"))
+      .join(broadcast(qwords), Seq("word"))
       .repartition(col("nid"))
     val dfq = index.dfTable.join(broadcast(qwords), Seq("word"))
     bm25Score(tf, dfq, index.dl, index.stats, qterms, k, excludeIdEq)
@@ -228,8 +300,13 @@ object Retrieval {
     *
     * Scale: one full-outer equi-join on (query, doc) between two already
     * top-k-sized lists (k rows per query each side — both tiny relative
-    * to the corpus), then a per-query window. The corpus itself is never
-    * touched; fusion cost is O(queries × k).
+    * to the corpus), ranked through the bounded [[graft.plans.TopKPairs]]
+    * aggregate like every other ranking tail (the input is rank-bounded
+    * so a window would not blow up here, but uniformity keeps the
+    * no-Window lint total over all 11 tiers). The corpus itself is never
+    * touched; fusion cost is O(queries × k). The fused score is
+    * non-negative, so ranking on its negation ((−rrf ASC, nid ASC) ≡
+    * (rrf DESC, nid ASC)) never wraps.
     */
   def rrfFuse(a: DataFrame, b: DataFrame, k: Int, c: Int = 60): DataFrame = {
     def side(df: DataFrame, r: String) =
@@ -238,13 +315,13 @@ object Retrieval {
         Seq("query_id", "nid"), "full_outer")
       .withColumn("rrf_micro", expr(
         s"coalesce(1000000 DIV ($c + rank_a), 0) + " +
-        s"coalesce(1000000 DIV ($c + rank_b), 0)"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("rrf_micro").desc, col("nid").asc)
-    fused.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("nid").as("doc_id"),
-        col("rrf_micro"))
+        s"coalesce(1000000 DIV ($c + rank_b), 0)").cast("long"))
+    fused.groupBy(col("query_id"))
+      .agg(graft.plans.TopKPairs.topkPairs(-col("rrf_micro"), col("nid"), k)
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("p.id").as("doc_id"), (-col("p.ord")).as("rrf_micro"))
   }
 
   /** Feature-hashing embedding (the "hashing trick", Weinberger et al.

@@ -121,7 +121,12 @@ class AnnTopKAggSpec extends AnyFunSuite {
       "hamming_words" -> Ann.hammingTopKWords(queries, corpus, 64, 3),
       "hamming_rerank" -> Ann.hammingRerank(queries, corpus, 3, 16),
       "rerank_exact" -> Ann.rerankExact(queries, corpus,
-        Ann.hammingTopK(queries, corpus, 4).select(col("qid"), col("nid")), 3))
+        Ann.hammingTopK(queries, corpus, 4).select(col("qid"), col("nid")), 3),
+      "rrf_fuse" -> { // the llm_hybrid_search fusion tail (11th tier)
+        val side = Ann.bruteTopK(queries, corpus, 3)
+          .select(col("qid"), col("nid"), col("rank"))
+        Retrieval.rrfFuse(side, side, 3)
+      })
     tiers.foreach { case (name, df) =>
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("Window"),

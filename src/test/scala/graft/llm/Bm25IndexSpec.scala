@@ -1,24 +1,30 @@
 package graft.llm
 
 import graft.TestSpark
+import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Pins the persisted-BM25-index lifecycle: a parquet-roundtripped
   * [[Retrieval.InvIndex]] must score a query batch ROW-identically to the
-  * inline [[Retrieval.bm25TopK]] (deterministic tokenize + count), and
-  * the index artifacts must carry the exact df/length/stats the inline
-  * path derives.
+  * inline [[Retrieval.bm25TopK]] (deterministic tokenize + count), the
+  * index artifacts must carry the exact df/length/stats the inline path
+  * derives, the probe must be a PARTITION-PRUNED read of exactly the
+  * query terms' word-hash bands, and the additive index UPDATE must
+  * equal a full rebuild componentwise.
   */
 class Bm25IndexSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  test("loaded InvIndex probe ≡ inline bm25TopK, artifacts exact") {
-    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
-    val queries = docs.filter(col("doc_id") % 97 === 0)
+  private def queryBatch(docs: org.apache.spark.sql.DataFrame) =
+    docs.filter(col("doc_id") % 97 === 0)
       .select(col("doc_id").as("qid"),
         expr("array_join(slice(filter(split(lower(text), ' '), " +
           "w -> length(w) > 0), 1, 5), ' ')").as("qtext"))
+
+  test("loaded InvIndex probe ≡ inline bm25TopK, artifacts exact") {
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val queries = queryBatch(docs)
     val inline = Retrieval.bm25TopK(docs, "doc_id", "text",
       queries, "qid", "qtext", k = 5, excludeIdEq = true)
     val dir = java.nio.file.Files
@@ -40,5 +46,64 @@ class Bm25IndexSpec extends AnyFunSuite {
       .filter(col("n") > 0)
     assert(st.getLong(0) == dl.count())
     assert(st.getLong(1) == dl.agg(sum(col("n"))).collect()(0).getLong(0))
+  }
+
+  test("probe reads ONLY the query terms' postings bands (pruned scan)") {
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val queries = queryBatch(docs)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bm25band-spec").toString
+    Retrieval.buildInvIndex(docs, "doc_id", "text").save(dir)
+    val loaded = Retrieval.InvIndex.load(spark, dir)
+    // the bands the query terms hash into, recomputed independently
+    val qbands = queries
+      .select(explode(expr("filter(split(lower(qtext), ' '), " +
+        "w -> length(w) > 0)")).as("word"))
+      .select(pmod(xxhash64(col("word")), lit(Retrieval.PostingBands))
+        .cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val onDisk = spark.read.parquet(s"$dir/postings")
+      .select(col("__band")).distinct().count()
+    assert(qbands.size.toLong < onDisk,
+      "fixture degenerate: query terms cover every band on disk")
+    // AQE off for a plain FileSourceScanExec tree; restore the prior value
+    val aqeBefore = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val probed = Retrieval.bm25TopK(queries, "qid", "qtext", loaded,
+        k = 5, excludeIdEq = true)
+      val scans = probed.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec if f.relation.location.rootPaths
+          .exists(_.toString.contains("graft-bm25band-spec")) &&
+          f.relation.location.rootPaths.exists(_.toString.contains("postings")) => f
+      }
+      assert(scans.nonEmpty, "postings scan not found in the probe plan")
+      scans.foreach { f =>
+        assert(f.partitionFilters.nonEmpty,
+          "no PartitionFilters on the postings scan")
+        val sel = f.selectedPartitions.partitionCount
+        assert(sel.toLong == qbands.size.toLong,
+          s"scan read $sel band partitions, query bands = ${qbands.size}")
+      }
+    } finally aqeBefore match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
+  test("additive update ≡ full rebuild, componentwise") {
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val standing = Retrieval.buildInvIndex(
+      docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+    val folded = Retrieval.updateInvIndex(standing,
+      docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+    val full = Retrieval.buildInvIndex(docs, "doc_id", "text")
+    def setOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(setOf(folded.postings) == setOf(full.postings))
+    assert(setOf(folded.dl) == setOf(full.dl))
+    assert(setOf(folded.dfTable) == setOf(full.dfTable))
+    assert(setOf(folded.stats) == setOf(full.stats))
+    assert(setOf(folded.postings).nonEmpty)
   }
 }
