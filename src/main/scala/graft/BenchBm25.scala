@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** BM25 lane A/B (measurement tool, not part of the driver contract —
+  * the BenchDag pattern): times the INLINE corpus-tokenizing path
+  * against the STANDING-INDEX banded probe on the same corpus and query
+  * batch, with the one-time index build priced separately. `qmod`
+  * scales the query batch (doc_id % qmod == 0 → |docs|/qmod queries):
+  * production probe batches are small, and band pruning only shows once
+  * the batch's term set stops covering every word-hash band — the
+  * registry row's %97 batch at 500k docs is ~5k queries and saturates
+  * all 256 bands by itself.
+  *
+  * Usage: runMain graft.BenchBm25 [sfDir] [qmod] [reps]
+  */
+object BenchBm25 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val qmod = if (args.length > 1) args(1).toInt else 97
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val queries = docs.filter(col("doc_id") % qmod === 0)
+      .select(col("doc_id").as("qid"),
+        expr("array_join(slice(filter(split(lower(text), ' '), " +
+          "w -> length(w) > 0), 1, 5), ' ')").as("qtext"))
+    println(s"[benchbm25] queries=${queries.count()} qmod=$qmod sf=$sfDir")
+
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-benchbm25").toString
+    val tb = System.nanoTime()
+    llm.Retrieval.buildInvIndex(docs, "doc_id", "text").save(dir)
+    println(f"[benchbm25] index build+save: ${(System.nanoTime() - tb) / 1e9}%.2f s")
+    val index = llm.Retrieval.InvIndex.load(spark, dir)
+
+    (1 to reps).foreach { i =>
+      val t0 = System.nanoTime()
+      val nInline = llm.Retrieval.bm25TopK(docs, "doc_id", "text",
+        queries, "qid", "qtext", k = 5, excludeIdEq = true).count()
+      val t1 = System.nanoTime()
+      val nProbe = llm.Retrieval.bm25TopK(queries, "qid", "qtext", index,
+        k = 5, excludeIdEq = true).count()
+      val t2 = System.nanoTime()
+      require(nInline == nProbe, s"row-count divergence: $nInline vs $nProbe")
+      println(f"[benchbm25] rep $i: inline ${(t1 - t0) / 1e9}%.2f s, " +
+        f"probe ${(t2 - t1) / 1e9}%.2f s ($nProbe rows)")
+    }
+    spark.stop()
+  }
+}

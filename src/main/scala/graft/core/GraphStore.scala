@@ -28,6 +28,14 @@ object GraphStore {
   val ACTION = "__action" // create | update | noop | delete
   val ACTIONS: Seq[String] = Seq("create", "update", "noop", "delete")
 
+  /** Internal marker ([[classifyInternal]] only): true iff persisting this
+    * row would CHANGE the stored bytes — non-noop action, or a noop whose
+    * carry columns differ from the target's (a noop row's OUTPUT takes the
+    * update's carry values). [[PersistentGraphStore]] skips rewriting
+    * buckets where every row is false.
+    */
+  private[core] val REWRITE = "__rewrite"
+
   /** Classify `updates` against `target` into MERGE actions.
     *
     * @param keyCols        natural key (null-safe compared)
@@ -45,6 +53,20 @@ object GraphStore {
     * `__action`.
     */
   def classify(
+      target: DataFrame,
+      updates: DataFrame,
+      keyCols: Seq[String],
+      compareCols: Seq[String],
+      setCols: Seq[String] = Nil,
+      softDelete: Boolean = false): DataFrame =
+    classifyInternal(target, updates, keyCols, compareCols, setCols,
+      softDelete).drop(REWRITE)
+
+  /** [[classify]] plus the [[REWRITE]] flag — the store's write-skip
+    * predicate. Kept out of the public classify output so the K1 contract
+    * schema is unchanged.
+    */
+  private[core] def classifyInternal(
       target: DataFrame,
       updates: DataFrame,
       keyCols: Seq[String],
@@ -88,7 +110,24 @@ object GraphStore {
         case _             => col(s"u.$c").as(c)
       }
     }
-    joined.select(keyOut ++ payloadOut ++ carryOut :+ action.as(ACTION): _*)
+    // would persisting this row change stored bytes? noop rows still
+    // rewrite when a PRESENT update row carries different carry-column
+    // values (the output takes the update's); a u-only column reads null
+    // off older layers via mergeSchema, so non-null output = a change.
+    // Payload/key columns can't differ on a noop by definition, and the
+    // store's set columns are sorted on every layer (first write
+    // included), so the normalized comparison here matches stored bytes.
+    val carryChanged = carry.map { c =>
+      (tCols.contains(c), uCols.contains(c)) match {
+        case (true, true) => !(col(s"t.$c") <=> col(s"u.$c"))
+        case (true, false) => lit(false)
+        case _             => col(s"u.$c").isNotNull
+      }
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    val rewrite = (action =!= "noop") ||
+      (col("u.__in_u").isNotNull && carryChanged)
+    joined.select(keyOut ++ payloadOut ++ carryOut :+ action.as(ACTION) :+
+      rewrite.as(REWRITE): _*)
   }
 
   /** Apply a classification: the post-merge snapshot (deletes become

@@ -25,10 +25,14 @@ import org.apache.spark.sql.functions._
   * the buckets its merge rewrote; a reader resolves, per bucket, the
   * newest version that wrote it and unions those leaf directories. Since a
   * key always lands in the same bucket, an upsert merge only needs to READ
-  * the buckets the incoming batch touches and only WRITES those buckets —
-  * at 100 TB the per-batch cost is O(touched buckets), not O(table).
-  * Write-side pruning is free: the classify output only contains
-  * touched-bucket rows, so `partitionBy("__b")` emits just those subdirs.
+  * the buckets the incoming batch touches and only WRITES the buckets the
+  * batch actually CHANGES (non-noop action, or a noop whose carry columns
+  * differ — the classify output carries a per-row rewrite flag): an
+  * idempotent replay writes no layer at all, and a trickle update rewrites
+  * one bucket, not every touched one — at 100 TB the per-batch write cost
+  * is O(changed buckets), not O(touched buckets) or O(table). Stored set
+  * columns are always sorted (first write included), so the rewrite flag's
+  * normalized comparison equals a stored-bytes comparison.
   *
   * Soft-delete merges (absent key ⇒ tombstone) inherently compare the full
   * key set, so they read and rewrite every bucket — that cost is in the
@@ -252,12 +256,14 @@ class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32
       d.withColumn(c, lit(null).cast(ref.schema(c).dataType))
     }
 
-  /** Buckets the incoming frame lands in — one small distinct job, at most
-    * nBuckets values.
+  /** Buckets the incoming frame lands in — one global collect_set agg
+    * (at most nBuckets values): each task partial-aggs its slice to ≤
+    * nBuckets ints, so the job ships integers, not rows — the cheapest
+    * action that can materialize the (persisted) incoming frame.
     */
   private def touchedBuckets(df: DataFrame, m: Meta): Set[Int] =
-    df.select(bucketExpr(m).cast("int").as("__b")).distinct()
-      .collect().map(_.getInt(0)).toSet
+    df.agg(collect_set(bucketExpr(m).cast("int")).as("__bs"))
+      .collect()(0).getSeq[Int](0).toSet
 
   /** Write the next version layer. `df` must be the COMPLETE new content of
     * every bucket it contains rows for — buckets without rows keep their
@@ -270,7 +276,17 @@ class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32
     val next = latestVersion(table).getOrElse(0) + 1
     val dir = f"${tableDir(table)}/v=$next%05d"
     StoreTimers.write {
+      // co-locate each bucket's rows in ONE task before the dynamic-
+      // partition write: the upstream classify join is partitioned by
+      // key-hash, so without this every task holds rows of ~every
+      // touched bucket and the writer opens (#tasks × #buckets) files —
+      // measured 1049 files in one fixture edges layer, ~9 KB each, and
+      // every later merge re-opens them all. The explicit partition
+      // count keeps AQE from coalescing below one-task-per-bucket; one
+      // narrow batch-sized shuffle buys ≤ nBuckets well-sized files per
+      // layer, which is also the layout readers want.
       df.withColumn("__b", bucketExpr(m))
+        .repartition(m.nBuckets, col("__b"))
         .write.partitionBy("__b").mode(SaveMode.Overwrite)
         .parquet(dir)
     }
@@ -395,38 +411,71 @@ class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32
       setCols: Seq[String],
       softDelete: Boolean): Map[String, Long] = {
     val m = metaFor(table, keyCols)
-    val fullRewrite = softDelete || latestVersion(table).isEmpty
-    // the upsert branch evaluates `incoming` twice (bucket scan + classify)
-    // — persist it so an expensive upstream pipeline runs once
-    val doubleUse = !fullRewrite
-    if (doubleUse) incoming.persist()
+    def normalizeSets(df: DataFrame): DataFrame =
+      setCols.foldLeft(df)((d, c) => d.withColumn(c, sort_array(col(c))))
+
+    if (latestVersion(table).isEmpty) {
+      // first write: everything creates, nothing to compare or skip —
+      // one write action with the audit counter observed on it. Set
+      // columns are sorted here too, so "stored set columns are always
+      // sorted" holds from layer one (classifyInternal's rewrite flag
+      // compares normalized values against stored bytes).
+      val obs = org.apache.spark.sql.Observation()
+      val observed = normalizeSets(incoming)
+        .observe(obs, coalesce(count(lit(1)), lit(0L)).as("create"))
+      write(table, observed, keyCols, full = true)
+      val n = obs.get("create").asInstanceOf[Number].longValue
+      return if (n == 0L) Map.empty else Map("create" -> n)
+    }
+
+    // the upsert branch evaluates `incoming` twice (bucket scan +
+    // classify) — persist it so an expensive upstream pipeline runs once
+    incoming.persist()
     try {
       val current =
-        if (latestVersion(table).isEmpty) None
-        else if (softDelete) readLatest(table)
+        if (softDelete) readLatest(table)
         else readBuckets(table, touchedBuckets(incoming, m))
       val payload = (compareCols ++ setCols).distinct
-      val classified = current match {
+      val classified = (current match {
         case Some(cur) =>
-          GraphStore.classify(alignTo(cur, incoming, payload), incoming,
-            keyCols, compareCols, setCols, softDelete)
-        case None =>
-          incoming.withColumn(GraphStore.ACTION, lit("create"))
-      }
-      // observe() rides the audit counters on the WRITE job itself — one
-      // driver action per merge instead of a separate groupBy(ACTION)
-      // pass, and no classified persist (the write is its only consumer)
-      val obs = org.apache.spark.sql.Observation()
-      val metrics = GraphStore.ACTIONS.map(a => coalesce(
-        sum(when(col(GraphStore.ACTION) === a, 1L)), lit(0L)).as(a))
-      val observed = classified.observe(obs, metrics.head, metrics.tail: _*)
-      write(table, GraphStore.apply(observed), keyCols, full = fullRewrite)
-      maybeCompact(table)
-      obs.get.collect {
-        case (k, v) if v.asInstanceOf[Number].longValue != 0L =>
-          k -> v.asInstanceOf[Number].longValue
-      }.toMap
-    } finally if (doubleUse) incoming.unpersist()
+          GraphStore.classifyInternal(alignTo(cur, incoming, payload),
+            incoming, keyCols, compareCols, setCols, softDelete)
+        case None => // touched buckets never written before: pure creates
+          normalizeSets(incoming)
+            .withColumn(GraphStore.ACTION, lit("create"))
+            .withColumn(GraphStore.REWRITE, lit(true))
+      }).persist()
+      try {
+        // ONE bounded action over the cached classify output: per-(bucket,
+        // action) counts plus the bucket's rewrite flag — ≤ 4·nBuckets
+        // rows to the driver. Buckets where no row would change stored
+        // bytes KEEP their previous layer: an idempotent replay writes
+        // nothing at all, and a mostly-noop incremental merge writes only
+        // its changed buckets (the MERGE file-skipping analogue — at
+        // 100 TB the per-batch write cost is O(changed buckets), not
+        // O(touched buckets)).
+        val cells = classified
+          .groupBy(bucketExpr(m).cast("int").as("__b"),
+            col(GraphStore.ACTION))
+          .agg(count(lit(1)).as("n"),
+            max(col(GraphStore.REWRITE).cast("int")).as("rw"))
+          .collect()
+        val changed = cells.filter(_.getInt(3) == 1).map(_.getInt(0)).toSet
+        if (changed.nonEmpty) {
+          // a soft-delete layer is a _FULL snapshot: absent buckets read
+          // as EMPTY, so it must carry every bucket, changed or not
+          val toWrite =
+            if (softDelete) classified
+            else classified
+              .filter(bucketExpr(m).cast("int").isin(changed.toSeq: _*))
+          write(table, GraphStore.apply(toWrite.drop(GraphStore.REWRITE)),
+            keyCols, full = softDelete)
+          maybeCompact(table)
+        }
+        cells.groupBy(_.getString(1)).view
+          .mapValues(_.map(_.getLong(2)).sum).toMap.filter(_._2 != 0L)
+      } finally classified.unpersist()
+    } finally incoming.unpersist()
   }
 
   val EdgeKey: Seq[String] = Seq("out", "in", "edgeClass")
@@ -454,25 +503,30 @@ class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32
     val doubleUse = latestVersion("edges").nonEmpty
     if (doubleUse) candidates.persist()
     try {
-    val existing =
-      if (latestVersion("edges").isEmpty) None
-      else readBuckets("edges", touchedBuckets(candidates, m))
-    val fresh = existing match {
-      case Some(e) => GraphStore.newEdges(e, candidates)
-      case None => candidates
-    }
-    // created-count observed on the write job (one action, no persist)
-    val obs = org.apache.spark.sql.Observation()
-    val observedFresh = fresh.observe(obs,
-      coalesce(count(lit(1)), lit(0L)).as("created"))
-    // allowMissingColumns: some sources carry edge payload columns
-    // (actionType, uuid) the others lack — same evolution as merge
-    val layer = existing
-      .map(_.unionByName(observedFresh, allowMissingColumns = true))
-      .getOrElse(observedFresh)
-    write("edges", layer, EdgeKey)
-    maybeCompact("edges")
-    Map("created" -> obs.get("created").asInstanceOf[Number].longValue)
+      val existing =
+        if (latestVersion("edges").isEmpty) None
+        else readBuckets("edges", touchedBuckets(candidates, m))
+      val fresh = (existing match {
+        case Some(e) => GraphStore.newEdges(e, candidates)
+        case None => candidates
+      }).persist()
+      try {
+        // count the (small) fresh set FIRST: an all-duplicate batch — the
+        // idempotent replay — writes NO layer; the touched buckets keep
+        // their current one. Only a batch with genuinely new edges pays
+        // the bucket rewrite.
+        val created = fresh.count()
+        if (created > 0L) {
+          // allowMissingColumns: some sources carry edge payload columns
+          // (actionType, uuid) the others lack — same evolution as merge
+          val layer = existing
+            .map(_.unionByName(fresh, allowMissingColumns = true))
+            .getOrElse(fresh)
+          write("edges", layer, EdgeKey)
+          maybeCompact("edges")
+        }
+        Map("created" -> created)
+      } finally fresh.unpersist()
     } finally if (doubleUse) candidates.unpersist()
   }
 

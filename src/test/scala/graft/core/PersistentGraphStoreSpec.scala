@@ -27,12 +27,32 @@ class PersistentGraphStoreSpec extends AnyFunSuite {
     assert(c1 == Map("create" -> 3L))
     assert(store.latestVersion("vertices").contains(1))
 
-    // idempotency: the store state comes back OFF DISK, not from memory
+    // idempotency: the store state comes back OFF DISK, not from memory —
+    // and an all-noop replay writes NO new layer (write-skip)
     val c2 = store.merge("vertices", v1, Seq("sourceId"),
       compareCols = Seq("name", "deprecated"), setCols = Seq("subsets"))
     assert(c2 == Map("noop" -> 3L))
-    assert(store.latestVersion("vertices").contains(2))
+    assert(store.latestVersion("vertices").contains(1),
+      "an all-noop merge must not write a version layer")
     assert(store.read("vertices").get.count() == 3)
+  }
+
+  test("a noop-action row with changed CARRY columns still rewrites its bucket") {
+    val store = freshStore()
+    val w1 = Seq(("d1", "melanoma", "uuid-a"), ("d2", "glioma", "uuid-b"))
+      .toDF("sourceId", "name", "uuid")
+    store.merge("vertices", w1, Seq("sourceId"), compareCols = Seq("name"))
+    // same payload (name) → noop action, but the carry column differs:
+    // the merge output takes the update's carry value, so stored bytes
+    // change and the write must NOT be skipped
+    val w2 = Seq(("d1", "melanoma", "uuid-NEW"), ("d2", "glioma", "uuid-b"))
+      .toDF("sourceId", "name", "uuid")
+    val c = store.merge("vertices", w2, Seq("sourceId"), compareCols = Seq("name"))
+    assert(c == Map("noop" -> 2L))
+    assert(store.latestVersion("vertices").contains(2),
+      "carry-column change must still produce a layer")
+    assert(store.read("vertices").get.filter(col("sourceId") === "d1")
+      .select("uuid").as[String].head() == "uuid-NEW")
   }
 
   test("set-column order change is a noop; scalar change is an update; missing key soft-deletes") {
@@ -66,6 +86,12 @@ class PersistentGraphStoreSpec extends AnyFunSuite {
     // same (out,in) under a different class is a distinct edge
     assert(store.read("edges").get
       .filter(col("out") === "a").count() == 2)
+    // an all-duplicate replay creates nothing AND writes no layer
+    val vBefore = store.latestVersion("edges")
+    assert(store.upsertEdges(e1) == Map("created" -> 0L))
+    assert(store.latestVersion("edges") == vBefore,
+      "a zero-create edge batch must not write a version layer")
+    assert(store.read("edges").get.count() == 3)
   }
 
   test("K7 source upsert keyed by name") {

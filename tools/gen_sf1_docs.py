@@ -21,7 +21,15 @@ becomes a near-unique rational and the micro-quantized score histogram
 is corpus-sized — the regime where a broadcast non-equi pooled-position
 lookup degenerates to a BroadcastNestedLoopJoin.
 
-Usage: python3 tools/gen_sf1_docs.py [outdir]   (default /tmp/sf1_docs13)
+Usage: python3 tools/gen_sf1_docs.py [outdir] [vocab]
+  outdir  default /tmp/sf1_docs13
+  vocab   omitted → the legacy 997-word flat vocab (the histogram lane);
+          an integer V → a ZIPF-ish vocab of V distinct words (rank
+          drawn log-uniformly, P(rank) ~ 1/rank): the realistic
+          retrieval regime where most words are rare, so a query batch's
+          term set actually PRUNES the BM25 postings (the 997-word lane
+          cannot show that win by construction — every term is a head
+          term matching ~everything).
 """
 import os
 import sys
@@ -29,7 +37,22 @@ import sys
 import duckdb
 
 out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1_docs13"
+vocab = int(sys.argv[2]) if len(sys.argv) > 2 else None
 os.makedirs(out, exist_ok=True)
+
+if vocab is None:
+    word = "'w' || CAST(hash(i * 131 + j) % 997 AS VARCHAR)"
+else:
+    # inverse-CDF of a log-uniform rank ≈ Zipf(1): u in [0,1) →
+    # rank = floor(exp(u·lnV)) in [1, V); head ranks dominate
+    word = ("'w' || CAST(CAST(floor(exp((CAST(hash(i * 131 + j) % 100000 "
+            f"AS DOUBLE) / 100000.0) * ln({vocab}.0))) AS BIGINT) AS VARCHAR)")
+
+text_expr = f"""array_to_string(list_transform(
+      range(0, CAST(1 + hash(i * 13 + 9) % 120 AS INTEGER)),
+      j -> {word}), ' ')
+      || ' ' || repeat('z', CAST(hash(i * 7 + 2) % 211 AS INTEGER))
+      || repeat('7', CAST(hash(i * 19 + 4) % 97 AS INTEGER))"""
 
 duckdb.sql(f"""
 COPY (
@@ -37,17 +60,8 @@ COPY (
     CAST(hash(i) % 281474976710656 AS BIGINT) AS doc_id,
     'lang' || CAST(hash(i * 5 + 1) % 5 AS VARCHAR) AS lang,
     'src' || CAST(hash(i * 11 + 3) % 20 AS VARCHAR) AS source,
-    CAST(len(array_to_string(list_transform(
-      range(0, CAST(1 + hash(i * 13 + 9) % 120 AS INTEGER)),
-      j -> 'w' || CAST(hash(i * 131 + j) % 997 AS VARCHAR)), ' ')
-      || ' ' || repeat('z', CAST(hash(i * 7 + 2) % 211 AS INTEGER))
-      || repeat('7', CAST(hash(i * 19 + 4) % 97 AS INTEGER)))
-      AS BIGINT) AS n_chars,
-    array_to_string(list_transform(
-      range(0, CAST(1 + hash(i * 13 + 9) % 120 AS INTEGER)),
-      j -> 'w' || CAST(hash(i * 131 + j) % 997 AS VARCHAR)), ' ')
-      || ' ' || repeat('z', CAST(hash(i * 7 + 2) % 211 AS INTEGER))
-      || repeat('7', CAST(hash(i * 19 + 4) % 97 AS INTEGER)) AS text
+    CAST(len({text_expr}) AS BIGINT) AS n_chars,
+    {text_expr} AS text
   FROM range(0, 500000) t(i)
 ) TO '{out}/documents.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 20000)
 """)
