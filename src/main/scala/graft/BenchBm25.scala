@@ -48,9 +48,14 @@ object BenchBm25 {
       val nProbe = llm.Retrieval.bm25TopK(queries, "qid", "qtext", index,
         k = 5, excludeIdEq = true).count()
       val t2 = System.nanoTime()
-      require(nInline == nProbe, s"row-count divergence: $nInline vs $nProbe")
+      val nMax = llm.Retrieval.bm25TopKMaxScore(queries, "qid", "qtext",
+        index, k = 5, excludeIdEq = true).count()
+      val t3 = System.nanoTime()
+      require(nInline == nProbe && nProbe == nMax,
+        s"row-count divergence: $nInline vs $nProbe vs $nMax")
       println(f"[benchbm25] rep $i: inline ${(t1 - t0) / 1e9}%.2f s, " +
-        f"probe ${(t2 - t1) / 1e9}%.2f s ($nProbe rows)")
+        f"probe ${(t2 - t1) / 1e9}%.2f s, " +
+        f"maxscore ${(t3 - t2) / 1e9}%.2f s ($nProbe rows)")
     }
     spark.stop()
   }

@@ -230,8 +230,8 @@ private[graft] object EntryHelpers {
     * the persisted postings instead of re-tokenizing the corpus per call.
     */
   def sharedInvIndex(s: SparkSession, dir: String): llm.Retrieval.InvIndex = {
-    // v2: postings partitioned by word-hash band (probe = pruned read)
-    val path = annIndexPath(dir, kind = "bm25_v2", table = "documents")
+    // v3: banded postings + max-impact bounds (pruned + MaxScore probes)
+    val path = annIndexPath(dir, kind = "bm25_v3", table = "documents")
     ensureBuilt(path)(tmp =>
       llm.Retrieval.buildInvIndex(t(s, dir, "documents"), "doc_id", "text")
         .save(tmp))

@@ -2411,6 +2411,9 @@ private[graft] object OraclesLlm {
     // must equal a full rebuild over the whole corpus — so the oracle IS
     // the full-corpus BM25 chain, unchanged
     "llm_bm25_update" -> bm25Sql,
+    // llm_bm25_maxscore oracle: MaxScore is an exact optimization — the
+    // pruned probe must reproduce the plain chain bit-for-bit
+    "llm_bm25_maxscore" -> bm25Sql,
     // llm_hybrid_search oracle: brute dense top-10 (llm_ann_topk shape)
     // + BM25 top-10 over the shared query set, fused by pure-integer RRF
     "llm_hybrid_search" ->

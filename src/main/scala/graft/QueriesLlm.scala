@@ -821,6 +821,19 @@ private[graft] object QueriesLlm {
         excludeIdEq = true)
     }),
 
+    // Exact batch MaxScore over the standing index: head-term candidate
+    // generation pruned by the index's per-term impact bounds, output
+    // bit-identical to the plain probe — same oracle SQL IS the
+    // exactness claim (plus the componentwise spec).
+    "llm_bm25_maxscore" -> ((s, dir) => {
+      val queries = t(s, dir, "documents").filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("qid"),
+          expr("array_join(slice(filter(split(lower(text), ' '), " +
+            "w -> length(w) > 0), 1, 5), ' ')").as("qtext"))
+      llm.Retrieval.bm25TopKMaxScore(queries, "qid", "qtext",
+        sharedInvIndex(s, dir), k = 5, excludeIdEq = true)
+    }),
+
     // Hybrid retrieval: reciprocal-rank fusion (C=60, pure integer) of
     // dense brute-force cosine top-10 and sparse BM25 top-10 over the
     // SAME query set (vec_id % 50 == 0; query text = that doc's first 5

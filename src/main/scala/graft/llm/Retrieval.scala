@@ -131,7 +131,8 @@ object Retrieval {
       postings: DataFrame, // (word, nid, tf, __band) — corpus-wide postings
       dl: DataFrame, // (nid, dl) — doc lengths, dl > 0
       dfTable: DataFrame, // (word, df) — per-term document frequency
-      stats: DataFrame // one row: (n_docs, total_tokens)
+      stats: DataFrame, // one row: (n_docs, total_tokens)
+      maxImpact: DataFrame // (word, ub_micro) — per-term max Okapi impact
   ) {
     def save(path: String): Unit = {
       postings.write.partitionBy("__band")
@@ -139,6 +140,7 @@ object Retrieval {
       dl.write.mode("overwrite").parquet(s"$path/dl")
       dfTable.write.mode("overwrite").parquet(s"$path/df")
       stats.write.mode("overwrite").parquet(s"$path/stats")
+      maxImpact.write.mode("overwrite").parquet(s"$path/max_impact")
     }
   }
 
@@ -148,8 +150,23 @@ object Retrieval {
         postings = spark.read.parquet(s"$path/postings"),
         dl = spark.read.parquet(s"$path/dl"),
         dfTable = spark.read.parquet(s"$path/df"),
-        stats = spark.read.parquet(s"$path/stats"))
+        stats = spark.read.parquet(s"$path/stats"),
+        maxImpact = spark.read.parquet(s"$path/max_impact"))
   }
+
+  /** Per-term score upper bound `ub_micro(t) = max_d termMicro(t, d)` —
+    * the MaxScore pruning artifact, derived from postings/dl/df/stats
+    * with the SAME fixed IEEE op sequence as scoring (so the bound is
+    * exact, not approximate: no document can out-score its term bounds).
+    */
+  private def buildMaxImpact(postings: DataFrame, dl: DataFrame,
+      dfTable: DataFrame, stats: DataFrame): DataFrame =
+    postings.select(col("word"), col("nid"), col("tf"))
+      .join(dl, Seq("nid"))
+      .join(dfTable, Seq("word"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__tm", termMicro)
+      .groupBy(col("word")).agg(max(col("__tm")).as("ub_micro"))
 
   /** One-time inverted-index build: tokenize the corpus once, fold to
     * postings/lengths/df/stats. (The per-call tokenization cost every
@@ -169,7 +186,8 @@ object Retrieval {
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("total_tokens"))
     val dfTable = postings.groupBy(col("word")).agg(count(lit(1)).as("df"))
-    InvIndex(postings, dl, dfTable, stats)
+    InvIndex(postings, dl, dfTable, stats,
+      buildMaxImpact(postings, dl, dfTable, stats))
   }
 
   /** Fold an out-of-sample document batch into a standing [[InvIndex]]
@@ -204,11 +222,20 @@ object Retrieval {
         .select(col("n_docs").as("__n2"), col("total_tokens").as("__t2")))
       .select((col("__n1") + col("__n2")).as("n_docs"),
         (col("__t1") + col("__t2")).as("total_tokens"))
+    val postingsMerged = index.postings.unionByName(fresh.postings)
+    val dlMerged = index.dl.unionByName(fresh.dl)
+    // the per-term upper bounds CANNOT be folded additively: an update
+    // shifts avgdl/N/df, which moves every term's impact — a stale bound
+    // would break MaxScore's exactness. Recompute from the merged
+    // components: an O(postings-scan) index-maintenance job, still no
+    // corpus re-tokenize (the next save() materializes it once).
     InvIndex(
-      postings = index.postings.unionByName(fresh.postings),
-      dl = index.dl.unionByName(fresh.dl),
+      postings = postingsMerged,
+      dl = dlMerged,
       dfTable = dfMerged,
-      stats = statsMerged)
+      stats = statsMerged,
+      maxImpact = buildMaxImpact(postingsMerged, dlMerged, dfMerged,
+        statsMerged))
   }
 
   /** BM25 top-k against a prebuilt (possibly parquet-loaded)
@@ -246,6 +273,144 @@ object Retrieval {
     bm25Score(tf, dfq, index.dl, index.stats, qterms, k, excludeIdEq)
   }
 
+  /** EXACT batch MaxScore (Turtle & Flood 1995, re-derived set-based for
+    * a shuffle engine): BM25 top-k over a standing [[InvIndex]] that
+    * prunes HEAD-TERM candidate generation without changing one output
+    * bit. The plain probe's cost driver is the (query-term × posting)
+    * multiply — a head term matching 80% of the corpus joins its whole
+    * posting list against every query containing it (measured 210-259 s
+    * for a 5k-query Zipf batch at the 500k lane). MaxScore kills the
+    * multiply for head terms:
+    *
+    *  1. per (query, term) fetch the index's exact impact bound
+    *     `ub_micro` and df (one bounded collect — the query-batch
+    *     contract every probe in this file rests on);
+    *  2. seed candidates from each query's HIGHEST-impact terms (under
+    *     BM25, the rarest — small posting lists) until they can fill k
+    *     slots; score the seeds EXACTLY (full q∩d contributions) and
+    *     collect each query's k-th seed score `L0` — a lower bound on
+    *     the final k-th score, because seeds are a subset of the
+    *     eligible docs;
+    *  3. driver-side, drop each query's longest low-impact term prefix
+    *     whose summed bounds stay STRICTLY under L0: a doc containing
+    *     only dropped terms scores ≤ that sum < L0 ≤ the final k-th
+    *     score, so it cannot place (and cannot even tie — the
+    *     inequality is strict). Everything else is an essential term;
+    *  4. candidates = docs holding ≥1 essential term; score them
+    *     exactly (dropped terms still CONTRIBUTE to candidate scores —
+    *     only candidate GENERATION is pruned) and rank through the
+    *     bounded top-k tail.
+    *
+    * Degenerate cases stay exact by construction: too few seed matches
+    * → L0 = 0 → nothing dropped → the plain probe's candidate set.
+    * Scores are the same order-independent integer sums over the same
+    * posting rows, so the output is bit-identical to [[bm25TopK]]
+    * (spec-pinned; same oracle SQL).
+    *
+    * Scale: the three probe jobs collect O(|queries| · terms) rows —
+    * bounded. Head postings are SCANNED (once per scoring pass, pruned
+    * to query bands) but joined against the bounded candidate frame on
+    * the doc id instead of multiplied per query; candidate volume is
+    * driven by the rare essential terms' short posting lists.
+    */
+  def bm25TopKMaxScore(queries: DataFrame, qidCol: String, qtextCol: String,
+      index: InvIndex, k: Int, excludeIdEq: Boolean): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qterms = bm25QueryTerms(queries, qidCol, qtextCol)
+    val qwords = qterms.select(col("word")).distinct()
+    // phase A (bounded collect): per (query, corpus-term) the impact
+    // bound, df, and postings band. Query words absent from the corpus
+    // drop out here — they contribute to no score either way.
+    val info = qterms
+      .join(index.maxImpact.join(broadcast(qwords), Seq("word")), Seq("word"))
+      .join(index.dfTable.join(broadcast(qwords), Seq("word")), Seq("word"))
+      .select(col("query_id"), col("word"), col("ub_micro"), col("df"),
+        band(col("word")).as("__band"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getInt(4)))
+    if (info.isEmpty) { // no query term matches the corpus: empty result
+      return rankDocs(spark.emptyDataset[(Long, Long, Long)]
+        .toDF("query_id", "nid", "score_micro"), k)
+    }
+    val byQuery = info.groupBy(_._1)
+    val allWords = info.map(_._2).distinct.toSeq
+    val allBands = info.map(_._5).distinct.toSeq
+
+    def postingsFor(words: Seq[String], bands: Seq[Int]): DataFrame =
+      index.postings.filter(col("__band").isin(bands: _*))
+        .select(col("word"), col("nid"), col("tf"))
+        .join(broadcast(words.toDF("word")), Seq("word"))
+
+    // exact scores for an explicit (query_id, nid) candidate frame: ALL
+    // q∩d term contributions (dropped terms included — candidacy is
+    // pruned, scoring never is), restricted by the candidate join
+    val dfq = index.dfTable.join(broadcast(qwords), Seq("word"))
+    def scoreCand(cand: DataFrame): DataFrame =
+      postingsFor(allWords, allBands)
+        .repartition(col("nid"))
+        .join(cand, Seq("nid"))
+        .join(broadcast(qterms), Seq("query_id", "word"))
+        .join(broadcast(dfq), Seq("word"))
+        .join(index.dl, Seq("nid"))
+        .crossJoin(broadcast(index.stats))
+        .withColumn("term_micro", termMicro)
+        .groupBy(col("query_id"), col("nid"))
+        .agg(sum(col("term_micro")).as("score_micro"))
+
+    def dropOwnDoc(cand: DataFrame): DataFrame =
+      if (excludeIdEq) cand.filter(col("nid") =!= col("query_id")) else cand
+
+    // phase-1 seeds: highest-impact terms first (ub desc, word asc for
+    // determinism) until their df can fill the k slots (k+1 under
+    // excludeIdEq — the query's own doc may hold one). A query whose
+    // terms can't fill k seeds just keeps them all; L0 = 0 then keeps
+    // everything essential, which is exact.
+    val need = (if (excludeIdEq) k + 1 else k).toLong
+    val seeds: Seq[(String, Long)] = byQuery.toSeq.flatMap { case (q, ts) =>
+      val sorted = ts.sortBy(t => (-t._3, t._2)).toSeq
+      var cum = 0L
+      sorted.takeWhile { t => val more = cum < need; cum += t._4; more }
+        .map(t => (t._2, q))
+    }
+    val seedWordSet = seeds.map(_._1).toSet
+    val seedBands = info.filter(t => seedWordSet(t._2)).map(_._5).distinct.toSeq
+    val cand1 = dropOwnDoc(
+      postingsFor(seedWordSet.toSeq, seedBands)
+        .join(broadcast(seeds.toDF("word", "query_id")), Seq("word"))
+        .select(col("query_id"), col("nid")).distinct())
+    // phase B (bounded collect): per-query k-th exact seed score
+    val l0 = scoreCand(cand1)
+      .groupBy(col("query_id"))
+      .agg(graft.plans.TopKPairs.topkPairs(-col("score_micro"), col("nid"), k)
+        .as("top"))
+      .select(col("query_id"),
+        when(size(col("top")) >= k,
+          -element_at(col("top"), k).getField("ord"))
+          .otherwise(lit(0L)).as("l0"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+    // essential terms: everything outside the longest low-impact prefix
+    // whose bound sum stays strictly under L0
+    val essential: Seq[(String, Long)] = byQuery.toSeq.flatMap { case (q, ts) =>
+      val bound = l0.getOrElse(q, 0L)
+      val sorted = ts.sortBy(t => (t._3, t._2)).toSeq // ub asc
+      var cum = 0L
+      val dropped = sorted.takeWhile { t =>
+        cum += t._3; cum < bound
+      }.map(_._2).toSet
+      ts.filter(t => !dropped(t._2)).map(t => (t._2, q))
+    }
+    val essWordSet = essential.map(_._1).toSet
+    val essBands = info.filter(t => essWordSet(t._2)).map(_._5).distinct.toSeq
+    val cand2 = dropOwnDoc(
+      postingsFor(essWordSet.toSeq, essBands)
+        .join(broadcast(essential.toDF("word", "query_id")), Seq("word"))
+        .select(col("query_id"), col("nid")).distinct())
+    rankDocs(scoreCand(cand2), k)
+  }
+
   /** The distinct (query_id, word) term set of a query batch. */
   private def bm25QueryTerms(queries: DataFrame, qidCol: String,
       qtextCol: String): DataFrame =
@@ -271,6 +436,20 @@ object Retrieval {
       .join(broadcast(qterms), Seq("word"))
     val kept =
       if (excludeIdEq) terms.filter(col("nid") =!= col("query_id")) else terms
+    val scored = kept
+      .withColumn("term_micro", termMicro)
+      .groupBy(col("query_id"), col("nid"))
+      .agg(sum(col("term_micro")).as("score_micro"))
+    rankDocs(scored, k)
+  }
+
+  /** The ONE Okapi per-term impact expression — the fixed IEEE-754 op
+    * sequence of the object doc, over columns (tf, df, dl, n_docs,
+    * total_tokens). Shared by the inline/probe scoring, the MaxScore
+    * restricted scoring, AND the index's per-term upper-bound build, so
+    * the three can never drift by an ulp.
+    */
+  private def termMicro: Column = {
     val idf = ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
       (col("df").cast("double") + lit(0.5))
     val avgdl = col("total_tokens").cast("double") /
@@ -279,18 +458,19 @@ object Retrieval {
       lit(0.75) * (col("dl").cast("double") / avgdl)
     val tfPart = (col("tf").cast("double") * lit(1.2 + 1.0)) /
       (col("tf").cast("double") + lit(1.2) * lenNorm)
-    val scored = kept
-      .withColumn("term_micro",
-        floor((idf * tfPart) * lit(1000000.0)).cast("long"))
-      .groupBy(col("query_id"), col("nid"))
-      .agg(sum(col("term_micro")).as("score_micro"))
+    floor((idf * tfPart) * lit(1000000.0)).cast("long")
+  }
+
+  /** The shared ranking tail: bounded top-k per query on
+    * (score DESC, nid ASC) over a (query_id, nid, score_micro) frame.
+    */
+  private def rankDocs(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy(col("query_id"))
       .agg(graft.plans.TopKPairs.topkPairs(-col("score_micro"), col("nid"), k)
         .as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "p")))
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
         col("p.id").as("doc_id"), (-col("p.ord")).as("score_micro"))
-  }
 
   /** Reciprocal-rank fusion of two ranked lists (Cormack et al. 2009):
     * fused score = Σ ⌊10⁶ / (C + rank)⌋ over the lists a document appears

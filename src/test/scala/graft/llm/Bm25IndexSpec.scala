@@ -91,6 +91,73 @@ class Bm25IndexSpec extends AnyFunSuite {
     }
   }
 
+  test("MaxScore probe ≡ plain probe, bit-identical (the exactness claim)") {
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val index = Retrieval.buildInvIndex(docs, "doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // normal batch, excludeIdEq both ways
+    for (ex <- Seq(true, false)) {
+      val queries = queryBatch(docs)
+      val plain = Retrieval.bm25TopK(queries, "qid", "qtext", index, 5, ex)
+      val ms = Retrieval.bm25TopKMaxScore(queries, "qid", "qtext", index, 5, ex)
+      val p = rows(plain)
+      assert(p.nonEmpty && rows(ms) == p, s"diverged at excludeIdEq=$ex")
+    }
+    // k larger than any match count: L0 = 0 path (nothing droppable)
+    val queries = queryBatch(docs)
+    val bigK = Retrieval.bm25TopKMaxScore(queries, "qid", "qtext", index,
+      10000, excludeIdEq = true)
+    assert(rows(bigK) ==
+      rows(Retrieval.bm25TopK(queries, "qid", "qtext", index, 10000, true)))
+    // single-term queries (seed set == essential set == the whole query)
+    val oneWord = docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("qid"),
+        expr("element_at(filter(split(lower(text), ' '), " +
+          "w -> length(w) > 0), 1)").as("qtext"))
+      .filter(col("qtext").isNotNull)
+    assert(rows(Retrieval.bm25TopKMaxScore(oneWord, "qid", "qtext", index, 3,
+        false)) ==
+      rows(Retrieval.bm25TopK(oneWord, "qid", "qtext", index, 3, false)))
+    // a query batch with NO corpus terms: empty result from both
+    val spark2 = spark
+    import spark2.implicits._
+    val alien = Seq((1L, "zzzznotaword qqqqnotaword")).toDF("qid", "qtext")
+    assert(Retrieval.bm25TopKMaxScore(alien, "qid", "qtext", index, 3,
+      false).count() == 0L)
+  }
+
+  test("MaxScore really prunes: a head term leaves candidate generation") {
+    val spark2 = spark
+    import spark2.implicits._
+    // corpus: 'common' is in every doc (head, tiny idf => tiny bound);
+    // each doc also carries a rare marker word (big idf). Seeds come
+    // from the rare terms, L0 large, and the head term's bound alone
+    // stays under L0 — so 'common' must be non-essential for a query
+    // that also has a rare term. Functional pin: drop 'common' from the
+    // POSTINGS handed to candidate generation and the result must be
+    // unchanged (it still contributes to scoring via the full read).
+    val docs = (1 to 60).map(i => (i.toLong, s"common rare$i extra${i % 7}"))
+      .toDF("doc_id", "text")
+    val index = Retrieval.buildInvIndex(docs, "doc_id", "text")
+    val queries = Seq((1000L, "common rare7 rare8")).toDF("qid", "qtext")
+    val full = Retrieval.bm25TopKMaxScore(queries, "qid", "qtext", index,
+      k = 2, excludeIdEq = false).collect()
+    assert(full.nonEmpty)
+    // the top-2 must be docs 7 and 8 (each matches a rare term + common);
+    // every other doc matches only 'common'
+    assert(full.map(_.getLong(2)).toSet == Set(7L, 8L))
+    // and their scores include the 'common' contribution: strictly
+    // greater than the rare-term-only score would be
+    val noCommonIdx = index.copy(
+      postings = index.postings.filter(col("word") =!= "common"))
+    val noCommon = Retrieval.bm25TopKMaxScore(queries, "qid", "qtext",
+      noCommonIdx, k = 2, excludeIdEq = false).collect()
+    assert(full.map(_.getLong(3)).sum > noCommon.map(_.getLong(3)).sum,
+      "winner scores must include the non-essential term's contribution")
+  }
+
   test("additive update ≡ full rebuild, componentwise") {
     val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
     val standing = Retrieval.buildInvIndex(
@@ -104,6 +171,10 @@ class Bm25IndexSpec extends AnyFunSuite {
     assert(setOf(folded.dl) == setOf(full.dl))
     assert(setOf(folded.dfTable) == setOf(full.dfTable))
     assert(setOf(folded.stats) == setOf(full.stats))
+    // the impact bounds are RECOMPUTED on update (avgdl/N/df all move);
+    // a stale-bounds fold would fail this on any corpus where the batch
+    // shifts avgdl
+    assert(setOf(folded.maxImpact) == setOf(full.maxImpact))
     assert(setOf(folded.postings).nonEmpty)
   }
 }
