@@ -136,44 +136,49 @@ private[graft] object EntryHelpers {
   }
 
   /** Build-once with an ATOMIC publish, shared by every persisted-index
-    * helper: `build` writes into a sibling temp directory, the `_GRAFT_OK`
-    * marker is written INSIDE it, and the whole directory is renamed into
-    * place in one filesystem move. Two concurrent sessions (parallel bench
-    * reps, spec suites sharing the index root) can both miss the marker
-    * and both build — but a reader can never observe a partially-written
-    * index: the loser of the rename race discards its build and reads the
-    * winner's. (The previous check-then-build-in-place pattern had exactly
-    * that torn-read window.)
+    * helper: builders serialize on an OS file lock (plus a per-path JVM
+    * monitor — FileChannel locks don't nest within one JVM), re-check the
+    * `_GRAFT_OK` marker under the lock, build into a sibling temp
+    * directory with the marker INSIDE it, and rename into place in one
+    * filesystem move. A reader can never observe a partially-written
+    * index (the rename is atomic), and a late builder can never delete a
+    * concurrently published one (replacement of a stale partial only
+    * happens while holding the lock, after re-checking the marker) — the
+    * two races the previous check-then-build / blind-recover versions
+    * had. Losers of the lock wait, see the winner's marker, and build
+    * nothing.
     */
+  private val buildMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   private def ensureBuilt(path: String)(build: String => Unit): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
     val target = Paths.get(path).toAbsolutePath
     if (Files.exists(target.resolve("_GRAFT_OK"))) return
     Files.createDirectories(target.getParent)
-    val tmp = Files.createTempDirectory(target.getParent, ".build_")
-    try {
-      build(tmp.toString)
-      Files.write(tmp.resolve("_GRAFT_OK"), Array.emptyByteArray)
-      try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case _: java.nio.file.FileSystemException =>
-          // the move failed because SOMETHING occupies the target: a
-          // concurrent winner (marker present — use theirs) or a stale
-          // pre-atomic partial build (no marker — replace it once)
-          if (!Files.exists(target.resolve("_GRAFT_OK"))) {
-            deleteRecursively(target)
+    val monitor =
+      buildMonitors.computeIfAbsent(target.toString, _ => new Object)
+    monitor.synchronized {
+      val lockPath = target.getParent
+        .resolve(target.getFileName.toString + ".lock")
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock() // blocks until any concurrent builder finishes
+        try {
+          if (Files.exists(target.resolve("_GRAFT_OK"))) return
+          val tmp = Files.createTempDirectory(target.getParent, ".build_")
+          try {
+            build(tmp.toString)
+            Files.write(tmp.resolve("_GRAFT_OK"), Array.emptyByteArray)
+            // under the lock and marker-free: anything at the target is a
+            // stale partial from a pre-lock crash — safe to replace
+            core.Fs.deleteRecursively(target)
             Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-          }
-      }
-    } finally if (Files.exists(tmp)) deleteRecursively(tmp)
-  }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (!java.nio.file.Files.exists(p)) return
-    val stream = java.nio.file.Files.walk(p)
-    try stream.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-      .forEach(f => java.nio.file.Files.deleteIfExists(f): Unit)
-    finally stream.close()
+          } finally if (Files.exists(tmp)) core.Fs.deleteRecursively(tmp)
+        } finally lock.release()
+      } finally ch.close()
+    }
   }
 
   /** Build the shared IVF-PQ index (coarse k-means step=25/iters=2 +

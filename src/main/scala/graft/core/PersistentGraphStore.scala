@@ -360,13 +360,7 @@ class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32
     }
   }
 
-  private def deleteRecursively(dir: String): Unit = {
-    val stream = Files.walk(Paths.get(dir))
-    try {
-      stream.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => Files.deleteIfExists(p))
-    } finally stream.close()
-  }
+  private def deleteRecursively(dir: String): Unit = Fs.deleteRecursively(dir)
 
   /** Compact when the layer count passes the threshold — called after
     * every merge so the amortized read cost stays O(1) layers. Never
@@ -429,8 +423,11 @@ class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32
     }
 
     // the upsert branch evaluates `incoming` twice (bucket scan +
-    // classify) — persist it so an expensive upstream pipeline runs once
-    incoming.persist()
+    // classify) — persist it so an expensive upstream pipeline runs once;
+    // soft-delete merges consume incoming exactly once (no bucket scan),
+    // so caching would be pure overhead there
+    val doubleUse = !softDelete
+    if (doubleUse) incoming.persist()
     try {
       val current =
         if (softDelete) readLatest(table)
@@ -475,7 +472,7 @@ class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32
         cells.groupBy(_.getString(1)).view
           .mapValues(_.map(_.getLong(2)).sum).toMap.filter(_._2 != 0L)
       } finally classified.unpersist()
-    } finally incoming.unpersist()
+    } finally if (doubleUse) { incoming.unpersist(); () }
   }
 
   val EdgeKey: Seq[String] = Seq("out", "in", "edgeClass")

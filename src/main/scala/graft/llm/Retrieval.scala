@@ -135,12 +135,21 @@ object Retrieval {
       maxImpact: DataFrame // (word, ub_micro) — per-term max Okapi impact
   ) {
     def save(path: String): Unit = {
-      postings.write.partitionBy("__band")
-        .mode("overwrite").parquet(s"$path/postings")
-      dl.write.mode("overwrite").parquet(s"$path/dl")
-      dfTable.write.mode("overwrite").parquet(s"$path/df")
-      stats.write.mode("overwrite").parquet(s"$path/stats")
-      maxImpact.write.mode("overwrite").parquet(s"$path/max_impact")
+      // df/stats/maxImpact all derive from postings+dl in the lazy DAG a
+      // buildInvIndex/updateInvIndex composed — persist the two shared
+      // roots so the five writes tokenize the corpus ONCE, not once per
+      // artifact (on a real cluster the same role is played by
+      // checkpointing the postings table; the parquet write itself is
+      // that checkpoint for everything downstream of a load())
+      postings.persist(); dl.persist()
+      try {
+        postings.write.partitionBy("__band")
+          .mode("overwrite").parquet(s"$path/postings")
+        dl.write.mode("overwrite").parquet(s"$path/dl")
+        dfTable.write.mode("overwrite").parquet(s"$path/df")
+        stats.write.mode("overwrite").parquet(s"$path/stats")
+        maxImpact.write.mode("overwrite").parquet(s"$path/max_impact")
+      } finally { postings.unpersist(); dl.unpersist(); () }
     }
   }
 
@@ -183,8 +192,11 @@ object Retrieval {
     val dl = docs.select(col(idCol).as("nid"),
         size(toks(textCol)).cast("long").as("dl"))
       .filter(col("dl") > 0)
+    // coalesce: sum() over an EMPTY dl frame is NULL, and a NULL
+    // total_tokens folded into an update would silently null every
+    // score (TopKPairs skips null ords → zero-row probes, no error)
     val stats = dl.agg(count(lit(1)).as("n_docs"),
-      sum(col("dl")).as("total_tokens"))
+      coalesce(sum(col("dl")), lit(0L)).as("total_tokens"))
     val dfTable = postings.groupBy(col("word")).agg(count(lit(1)).as("df"))
     InvIndex(postings, dl, dfTable, stats,
       buildMaxImpact(postings, dl, dfTable, stats))
@@ -317,6 +329,15 @@ object Retrieval {
       index: InvIndex, k: Int, excludeIdEq: Boolean): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
+    // the driver-side phase tables read qids as longs (and the TopKPairs
+    // tail needs long ids anyway) — fail fast instead of a mid-probe
+    // ClassCastException; [[bm25TopK]] shares this id domain in practice
+    // (every caller keys by a long doc id) but tolerates more, so the
+    // contract is asserted only where it is load-bearing
+    require(queries.schema(qidCol).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"bm25TopKMaxScore needs a BIGINT $qidCol column, got " +
+        queries.schema(qidCol).dataType.sql)
     val qterms = bm25QueryTerms(queries, qidCol, qtextCol)
     val qwords = qterms.select(col("word")).distinct()
     // phase A (bounded collect): per (query, corpus-term) the impact
@@ -394,9 +415,14 @@ object Retrieval {
     // essential terms: everything outside the longest low-impact prefix
     // whose bound sum stays strictly under L0
     val essential: Seq[(String, Long)] = byQuery.toSeq.flatMap { case (q, ts) =>
-      val bound = l0.getOrElse(q, 0L)
+      val bound = BigInt(l0.getOrElse(q, 0L))
       val sorted = ts.sortBy(t => (t._3, t._2)).toSeq // ub asc
-      var cum = 0L
+      // BigInt: a Long sum of per-term bounds could wrap at extreme
+      // corpus scale (df≈1 terms bound near idf·2.2e6 ≈ 1e17-1e18 at
+      // 1e11+ docs), and a wrapped-negative cum would keep the takeWhile
+      // dropping terms whose true bound sum exceeds L0 — unsound. The
+      // list is driver-side and query-sized, so exact arithmetic is free.
+      var cum = BigInt(0)
       val dropped = sorted.takeWhile { t =>
         cum += t._3; cum < bound
       }.map(_._2).toSet

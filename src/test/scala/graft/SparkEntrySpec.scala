@@ -14,6 +14,21 @@ object TestSpark {
     .getOrCreate()
 
   val sf: String = "/root/testdata/sf0.001"
+
+  /** Run `f` with AQE off (plain FileSourceScanExec trees for
+    * partition-pruning assertions), restoring whatever value the shared
+    * session HAD — the loan pattern both pruned-scan specs previously
+    * copy-pasted (and drifted on).
+    */
+  def withAqeDisabled[T](f: => T): T = {
+    val before = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try f
+    finally before match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
 }
 
 class SparkEntrySpec extends AnyFunSuite {

@@ -66,10 +66,8 @@ class Bm25IndexSpec extends AnyFunSuite {
       .select(col("__band")).distinct().count()
     assert(qbands.size.toLong < onDisk,
       "fixture degenerate: query terms cover every band on disk")
-    // AQE off for a plain FileSourceScanExec tree; restore the prior value
-    val aqeBefore = spark.conf.getOption("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    // AQE off for a plain FileSourceScanExec tree
+    TestSpark.withAqeDisabled {
       val probed = Retrieval.bm25TopK(queries, "qid", "qtext", loaded,
         k = 5, excludeIdEq = true)
       val scans = probed.queryExecution.executedPlan.collect {
@@ -85,9 +83,6 @@ class Bm25IndexSpec extends AnyFunSuite {
         assert(sel.toLong == qbands.size.toLong,
           s"scan read $sel band partitions, query bands = ${qbands.size}")
       }
-    } finally aqeBefore match {
-      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
-      case None => spark.conf.unset("spark.sql.adaptive.enabled")
     }
   }
 
@@ -176,5 +171,24 @@ class Bm25IndexSpec extends AnyFunSuite {
     // shifts avgdl
     assert(setOf(folded.maxImpact) == setOf(full.maxImpact))
     assert(setOf(folded.postings).nonEmpty)
+  }
+
+  test("folding an empty / all-empty-text batch is a no-op, not a poison pill") {
+    // regression (review finding): sum() over the empty dl frame is NULL;
+    // an un-coalesced NULL total_tokens folded into stats nulls every
+    // Okapi score downstream and probes silently return ZERO rows
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val index = Retrieval.buildInvIndex(docs, "doc_id", "text")
+    val emptyText = Seq((999999001L, ""), (999999002L, "   "))
+      .toDF("doc_id", "text")
+    val folded = Retrieval.updateInvIndex(index, emptyText, "doc_id", "text")
+    val queries = queryBatch(docs)
+    val before = Retrieval.bm25TopK(queries, "qid", "qtext", index, 5, true)
+      .collect().map(_.toSeq).toSet
+    val after = Retrieval.bm25TopK(queries, "qid", "qtext", folded, 5, true)
+      .collect().map(_.toSeq).toSet
+    assert(before.nonEmpty && after == before)
   }
 }

@@ -34,11 +34,8 @@ class IvfPrunedProbeSpec extends AnyFunSuite {
     assert(rows(pruned) == rows(joined))
 
     // physical pruning: the layout scan selects exactly the probed-cell
-    // partitions (AQE off for a plain FileSourceScanExec tree); restore
-    // whatever value the shared session HAD, not a hardcoded default
-    val aqeBefore = spark.conf.getOption("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    // partitions (AQE off for a plain FileSourceScanExec tree)
+    TestSpark.withAqeDisabled {
       val probed = Ann.ivfAssign(q.select(col("qid").as("id"), col("vq"),
           col("norm2")), idx.coarse, nProbe = 2)
         .select(col("cell")).distinct().count()
@@ -56,9 +53,6 @@ class IvfPrunedProbeSpec extends AnyFunSuite {
         assert(sel.toLong == probed,
           s"scan read $sel partitions, probed cells = $probed")
       }
-    } finally aqeBefore match {
-      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
-      case None => spark.conf.unset("spark.sql.adaptive.enabled")
     }
   }
 }

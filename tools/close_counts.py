@@ -76,8 +76,10 @@ if __name__ == "__main__":
     # GREEN requires: zero test failures/errors, zero oracle fails, and
     # the oracle sweep covering every registry row.
     if p is not None:
-        ok = (f == 0 and e == 0 and fl == 0 and p == reg)
+        # t > 0: zero-because-never-ran must not read as zero failures
+        ok = (t > 0 and f == 0 and e == 0 and fl == 0 and p == reg)
         status = "GREEN" if ok else "NOT GREEN"
-        print(f"final gate: {status} — oracle {p}/{p + fl} pass, "
+        detail = "no test reports found! " if t == 0 else ""
+        print(f"final gate: {status} — {detail}oracle {p}/{p + fl} pass, "
               f"registry {reg} rows ({'covered' if p == reg else 'MISMATCH'}), "
               f"tests {t} ({f} failures, {e} errors)")
