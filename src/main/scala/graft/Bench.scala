@@ -88,6 +88,10 @@ object Bench {
     // only probed cells of the partitioned layout)
     "llm_hamming_curve", "llm_image_phash_scale", "llm_ivf_pruned_probe",
     "llm_hamming_wide", "llm_bm25_index",
+    // round-15 additions (sf-scaled: the update row re-tokenizes the
+    // held-out batch and rescores; maxscore runs the 3-phase exact
+    // pruning probe over the shared standing index)
+    "llm_bm25_update", "llm_bm25_maxscore",
     "s2_stream_agg", "s2b_stream_state", "s2c_stream_sessions",
     "s2d_stream_join", "s2e_stream_dedup_wm", "s2f_stream_enrich",
     "s2g_stream_hll", "s2h_stream_cm", "s2i_stream_quantile",
