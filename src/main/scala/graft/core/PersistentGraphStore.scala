@@ -273,25 +273,51 @@ class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32
   def write(table: String, df: DataFrame, bucketCols: Seq[String],
       full: Boolean = false): Int = StoreTimers.entry {
     val m = metaFor(table, bucketCols)
+    // co-locate each bucket's rows in ONE task before the dynamic-
+    // partition write: the upstream classify join is partitioned by
+    // key-hash, so without this every task holds rows of ~every
+    // touched bucket and the writer opens (#tasks × #buckets) files —
+    // measured 1049 files in one fixture edges layer, ~9 KB each, and
+    // every later merge re-opens them all. The explicit partition
+    // count keeps AQE from coalescing below one-task-per-bucket; one
+    // narrow batch-sized shuffle buys ≤ nBuckets well-sized files per
+    // layer, which is also the layout readers want.
+    val plan = df.withColumn("__b", bucketExpr(m))
+      .repartition(m.nBuckets, col("__b"))
+    writeStaged(table, plan, full)(keep = true).get
+  }
+
+  /** Write an already-bucketed plan (`__b` column present and
+    * repartitioned) to a STAGING directory, then publish it as the next
+    * version layer iff `keep` — which is evaluated AFTER the write action
+    * completes, so a caller can decide from an `Observation` folded into
+    * the very write job whether the layer is worth keeping (the fused
+    * classify+summarize+write path — one driver action instead of a
+    * summary collect plus a conditional write).
+    *
+    * The staging name (`.tmp_v<n>`) never matches the `v=` prefix
+    * [[versions]] lists, and publication is ONE atomic directory rename,
+    * so concurrent readers can never observe a layer that is later
+    * discarded — no transient-version race, no torn listing. A stale
+    * staging dir (crashed predecessor) is reclaimed here: mutators of a
+    * table are serialized by its lock, so any `.tmp_v` already present
+    * when we start is an orphan.
+    */
+  private def writeStaged(table: String, plan: DataFrame, full: Boolean)(
+      keep: => Boolean): Option[Int] = {
     val next = latestVersion(table).getOrElse(0) + 1
-    val dir = f"${tableDir(table)}/v=$next%05d"
+    val dir = Paths.get(f"${tableDir(table)}/v=$next%05d")
+    val tmp = Paths.get(s"${tableDir(table)}/.tmp_v$next")
+    if (Files.exists(tmp)) deleteRecursively(tmp.toString)
     StoreTimers.write {
-      // co-locate each bucket's rows in ONE task before the dynamic-
-      // partition write: the upstream classify join is partitioned by
-      // key-hash, so without this every task holds rows of ~every
-      // touched bucket and the writer opens (#tasks × #buckets) files —
-      // measured 1049 files in one fixture edges layer, ~9 KB each, and
-      // every later merge re-opens them all. The explicit partition
-      // count keeps AQE from coalescing below one-task-per-bucket; one
-      // narrow batch-sized shuffle buys ≤ nBuckets well-sized files per
-      // layer, which is also the layout readers want.
-      df.withColumn("__b", bucketExpr(m))
-        .repartition(m.nBuckets, col("__b"))
-        .write.partitionBy("__b").mode(SaveMode.Overwrite)
-        .parquet(dir)
+      plan.write.partitionBy("__b").mode(SaveMode.Overwrite)
+        .parquet(tmp.toString)
     }
-    if (full) Files.createFile(Paths.get(dir, "_FULL"))
-    next
+    if (keep) {
+      if (full) Files.createFile(tmp.resolve("_FULL"))
+      Files.move(tmp, dir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      Some(next)
+    } else { deleteRecursively(tmp.toString); None }
   }
 
   /** Fold every version layer of `table` into a single `_FULL` snapshot.
@@ -433,7 +459,7 @@ class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32
         if (softDelete) readLatest(table)
         else readBuckets(table, touchedBuckets(incoming, m))
       val payload = (compareCols ++ setCols).distinct
-      val classified = (current match {
+      val classified = current match {
         case Some(cur) =>
           GraphStore.classifyInternal(alignTo(cur, incoming, payload),
             incoming, keyCols, compareCols, setCols, softDelete)
@@ -441,37 +467,73 @@ class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32
           normalizeSets(incoming)
             .withColumn(GraphStore.ACTION, lit("create"))
             .withColumn(GraphStore.REWRITE, lit(true))
-      }).persist()
-      try {
-        // ONE bounded action over the cached classify output: per-(bucket,
-        // action) counts plus the bucket's rewrite flag — ≤ 4·nBuckets
-        // rows to the driver. Buckets where no row would change stored
-        // bytes KEEP their previous layer: an idempotent replay writes
-        // nothing at all, and a mostly-noop incremental merge writes only
-        // its changed buckets (the MERGE file-skipping analogue — at
-        // 100 TB the per-batch write cost is O(changed buckets), not
-        // O(touched buckets)).
-        val cells = classified
-          .groupBy(bucketExpr(m).cast("int").as("__b"),
-            col(GraphStore.ACTION))
-          .agg(count(lit(1)).as("n"),
-            max(col(GraphStore.REWRITE).cast("int")).as("rw"))
-          .collect()
-        val changed = cells.filter(_.getInt(3) == 1).map(_.getInt(0)).toSet
-        if (changed.nonEmpty) {
-          // a soft-delete layer is a _FULL snapshot: absent buckets read
-          // as EMPTY, so it must carry every bucket, changed or not
-          val toWrite =
-            if (softDelete) classified
-            else classified
-              .filter(bucketExpr(m).cast("int").isin(changed.toSeq: _*))
-          write(table, GraphStore.apply(toWrite.drop(GraphStore.REWRITE)),
-            keyCols, full = softDelete)
-          maybeCompact(table)
-        }
-        cells.groupBy(_.getString(1)).view
-          .mapValues(_.map(_.getLong(2)).sum).toMap.filter(_._2 != 0L)
-      } finally classified.unpersist()
+      }
+
+      if (softDelete) {
+        // soft delete compares the FULL key set and its layer is a _FULL
+        // snapshot carrying every bucket — a fused always-write would
+        // rewrite the whole table even on an all-noop replay, so this
+        // path keeps the summarize-then-decide shape: one bounded action
+        // over the cached classify output (≤ 4·nBuckets rows), then a
+        // conditional snapshot write.
+        classified.persist()
+        try {
+          val cells = classified
+            .groupBy(bucketExpr(m).cast("int").as("__b"),
+              col(GraphStore.ACTION))
+            .agg(count(lit(1)).as("n"),
+              max(col(GraphStore.REWRITE).cast("int")).as("rw"))
+            .collect()
+          if (cells.exists(_.getInt(3) == 1)) {
+            write(table, GraphStore.apply(classified.drop(GraphStore.REWRITE)),
+              keyCols, full = true)
+            maybeCompact(table)
+          }
+          cells.groupBy(_.getString(1)).view
+            .mapValues(_.map(_.getLong(2)).sum).toMap.filter(_._2 != 0L)
+        } finally { classified.unpersist(); () }
+      } else {
+        // fused classify → bucket shuffle → per-bucket rewrite flag →
+        // observe()-folded audit counters → changed-buckets-only staged
+        // write: ONE driver action instead of a summary collect plus a
+        // conditional write (the summary job was a measurable per-merge
+        // constant on many-tiny-merge DAGs), and `classified` no longer
+        // needs a cache round-trip — the plan runs exactly once. Buckets
+        // where no row would change stored bytes are filtered OUT of the
+        // layer (the per-bucket window max over the classify rewrite
+        // flag), so they KEEP their previous layer; when NO bucket
+        // changed the staged directory is discarded before publication —
+        // an idempotent replay still writes no layer at all, and a
+        // mostly-noop incremental merge writes only its changed buckets
+        // (the MERGE file-skipping analogue — at 100 TB the per-batch
+        // write cost stays O(changed buckets), not O(touched buckets)).
+        // The bucket shuffle the window needs is the SAME shuffle the
+        // layer write wants anyway (one task per bucket, well-sized
+        // files); an all-noop replay pays it on touched-bucket rows where
+        // the old path paid a cache materialization — a wash.
+        val bucketed = classified
+          .withColumn("__b", bucketExpr(m))
+          .repartition(m.nBuckets, col("__b"))
+        val anyRewrite = max(col(GraphStore.REWRITE).cast("int")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("__b")))
+        val obs = org.apache.spark.sql.Observation()
+        val observed = bucketed
+          .withColumn("__rw_b", anyRewrite)
+          .observe(obs,
+            coalesce(sum(col(GraphStore.REWRITE).cast("long")), lit(0L))
+              .as("rewrites"),
+            GraphStore.ACTIONS.map(a =>
+              count(when(col(GraphStore.ACTION) === a, 1)).as(a)): _*)
+        val toWrite = GraphStore.apply(
+          observed.filter(col("__rw_b") === 1)
+            .drop("__rw_b", GraphStore.REWRITE))
+        writeStaged(table, toWrite, full = false) {
+          obs.get("rewrites").asInstanceOf[Number].longValue > 0L
+        }.foreach(_ => maybeCompact(table))
+        GraphStore.ACTIONS
+          .map(a => a -> obs.get(a).asInstanceOf[Number].longValue)
+          .toMap.filter(_._2 != 0L)
+      }
     } finally if (doubleUse) { incoming.unpersist(); () }
   }
 
@@ -503,28 +565,37 @@ class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32
       val existing =
         if (latestVersion("edges").isEmpty) None
         else readBuckets("edges", touchedBuckets(candidates, m))
-      val fresh = (existing match {
-        case Some(e) => GraphStore.newEdges(e, candidates)
-        case None => candidates
-      }).persist()
-      try {
-        // count the (small) fresh set FIRST: an all-duplicate batch — the
-        // idempotent replay — writes NO layer; the touched buckets keep
-        // their current one. Only a batch with genuinely new edges pays
-        // the bucket rewrite.
-        val created = fresh.count()
-        if (created > 0L) {
-          // allowMissingColumns: some sources carry edge payload columns
-          // (actionType, uuid) the others lack — same evolution as merge
-          val layer = existing
-            .map(_.unionByName(fresh, allowMissingColumns = true))
-            .getOrElse(fresh)
-          write("edges", layer, EdgeKey)
-          maybeCompact("edges")
-        }
-        Map("created" -> created)
-      } finally fresh.unpersist()
-    } finally if (doubleUse) candidates.unpersist()
+      // fused anti-join → union → per-bucket fresh flag → observed created
+      // count → fresh-buckets-only staged write: the separate fresh.count()
+      // job (and the fresh cache round-trip) fold into the write action —
+      // same shape as the fused merge path above. An all-duplicate batch —
+      // the idempotent replay — observes created = 0 and the staged layer
+      // is discarded unpublished; only buckets holding ≥ 1 genuinely new
+      // edge are rewritten (allowMissingColumns: some sources carry edge
+      // payload columns — actionType, uuid — the others lack).
+      val layer = existing match {
+        case Some(e) =>
+          e.withColumn("__fresh", lit(false)).unionByName(
+            GraphStore.newEdges(e, candidates).withColumn("__fresh", lit(true)),
+            allowMissingColumns = true)
+        case None => candidates.withColumn("__fresh", lit(true))
+      }
+      val bucketed = layer
+        .withColumn("__b", bucketExpr(m))
+        .repartition(m.nBuckets, col("__b"))
+      val anyFresh = max(col("__fresh").cast("int")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__b")))
+      val obs = org.apache.spark.sql.Observation()
+      val toWrite = bucketed
+        .withColumn("__f_b", anyFresh)
+        .observe(obs, count(when(col("__fresh"), 1)).as("created"))
+        .filter(col("__f_b") === 1)
+        .drop("__f_b", "__fresh")
+      writeStaged("edges", toWrite, full = false) {
+        obs.get("created").asInstanceOf[Number].longValue > 0L
+      }.foreach(_ => maybeCompact("edges"))
+      Map("created" -> obs.get("created").asInstanceOf[Number].longValue)
+    } finally if (doubleUse) { candidates.unpersist(); () }
   }
 
   /** K7 — source dimension upsert keyed by name (graphkb.js:614-624). */
