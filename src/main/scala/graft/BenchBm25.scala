@@ -5,21 +5,32 @@ import org.apache.spark.sql.functions._
 
 /** BM25 lane A/B (measurement tool, not part of the driver contract —
   * the BenchDag pattern): times the INLINE corpus-tokenizing path
-  * against the STANDING-INDEX banded probe on the same corpus and query
-  * batch, with the one-time index build priced separately. `qmod`
-  * scales the query batch (doc_id % qmod == 0 → |docs|/qmod queries):
-  * production probe batches are small, and band pruning only shows once
-  * the batch's term set stops covering every word-hash band — the
-  * registry row's %97 batch at 500k docs is ~5k queries and saturates
-  * all 256 bands by itself.
+  * against the STANDING-INDEX banded probe, exact MaxScore, and the
+  * per-batch AUTO pick on the same corpus and query batch, with the
+  * one-time index build priced separately. `qmod` scales the query
+  * batch (doc_id % qmod == 0 → |docs|/qmod queries): production probe
+  * batches are small, and band pruning only shows once the batch's term
+  * set stops covering every word-hash band — the registry row's %97
+  * batch at 500k docs is ~5k queries and saturates all 256 bands by
+  * itself. Also prints the batch's posting-multiply volume (the
+  * [[llm.Retrieval.bm25TopKAuto]] decision variable), so threshold
+  * calibration reads straight off the lane.
   *
-  * Usage: runMain graft.BenchBm25 [sfDir] [qmod] [reps]
+  * `perturb=true` adds the band-pruning FALSIFICATION lane: the same
+  * probe against the same postings REWRITTEN UNPARTITIONED (`__band`
+  * demoted to a data column), so the band IN-filter stops pruning
+  * partitions and every probe scans the full postings bytes — if the
+  * banded layout is the win the scaladocs claim, `probe_flat` must
+  * collapse toward the unpruned cost while `probe` holds.
+  *
+  * Usage: runMain graft.BenchBm25 [sfDir] [qmod] [reps] [perturb]
   */
 object BenchBm25 {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val qmod = if (args.length > 1) args(1).toInt else 97
     val reps = if (args.length > 2) args(2).toInt else 3
+    val perturb = args.length > 3 && args(3).toBoolean
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -39,6 +50,19 @@ object BenchBm25 {
     llm.Retrieval.buildInvIndex(docs, "doc_id", "text").save(dir)
     println(f"[benchbm25] index build+save: ${(System.nanoTime() - tb) / 1e9}%.2f s")
     val index = llm.Retrieval.InvIndex.load(spark, dir)
+    val volume = llm.Retrieval.bm25MultiplyVolume(
+      queries, "qid", "qtext", index)
+    println(s"[benchbm25] multiply volume=$volume " +
+      s"(auto threshold=${llm.Retrieval.Bm25AutoVolumeThreshold}, picks " +
+      (if (volume > llm.Retrieval.Bm25AutoVolumeThreshold) "maxscore"
+       else "probe") + ")")
+    // flat postings for the falsification lane: same rows, no partition
+    // layout — the band filter degrades to a row filter over all bytes
+    val flatIndex = if (perturb) {
+      index.postings.write.mode("overwrite").parquet(s"$dir/postings_flat")
+      Some(index.copy(
+        postings = spark.read.parquet(s"$dir/postings_flat")))
+    } else None
 
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
@@ -51,11 +75,22 @@ object BenchBm25 {
       val nMax = llm.Retrieval.bm25TopKMaxScore(queries, "qid", "qtext",
         index, k = 5, excludeIdEq = true).count()
       val t3 = System.nanoTime()
-      require(nInline == nProbe && nProbe == nMax,
-        s"row-count divergence: $nInline vs $nProbe vs $nMax")
+      val nAuto = llm.Retrieval.bm25TopKAuto(queries, "qid", "qtext",
+        index, k = 5, excludeIdEq = true).count()
+      val t4 = System.nanoTime()
+      require(nInline == nProbe && nProbe == nMax && nMax == nAuto,
+        s"row-count divergence: $nInline vs $nProbe vs $nMax vs $nAuto")
+      val flat = flatIndex.map { fi =>
+        val tf0 = System.nanoTime()
+        val nFlat = llm.Retrieval.bm25TopK(queries, "qid", "qtext", fi,
+          k = 5, excludeIdEq = true).count()
+        require(nFlat == nProbe, s"flat divergence: $nFlat vs $nProbe")
+        f", probe_flat ${(System.nanoTime() - tf0) / 1e9}%.2f s"
+      }.getOrElse("")
       println(f"[benchbm25] rep $i: inline ${(t1 - t0) / 1e9}%.2f s, " +
         f"probe ${(t2 - t1) / 1e9}%.2f s, " +
-        f"maxscore ${(t3 - t2) / 1e9}%.2f s ($nProbe rows)")
+        f"maxscore ${(t3 - t2) / 1e9}%.2f s, " +
+        f"auto ${(t4 - t3) / 1e9}%.2f s$flat ($nProbe rows)")
     }
     spark.stop()
   }

@@ -52,7 +52,7 @@ private[graft] object EntryHelpers {
     val cum = vh.withColumn("__cum", sum(col("__c")).over(w))
       .join(vh.groupBy(keys.map(col): _*).agg(sum(col("__c")).as("__n")),
         keys)
-    qs.toDF("q").crossJoin(cum)
+    broadcast(qs.toDF("q")).crossJoin(cum)
       .filter(col("__cum") * 100 >= col("q") * col("__n"))
       .groupBy((keys :+ "q").map(col): _*)
       .agg(min(col(vCol)).as("exact_v"))
@@ -151,8 +151,9 @@ private[graft] object EntryHelpers {
   private val buildMonitors =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
-  private def ensureBuilt(path: String)(build: String => Unit): Unit = {
+  private[graft] def ensureBuilt(path: String)(build: String => Unit): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
+    import scala.jdk.CollectionConverters._
     val target = Paths.get(path).toAbsolutePath
     if (Files.exists(target.resolve("_GRAFT_OK"))) return
     Files.createDirectories(target.getParent)
@@ -167,7 +168,19 @@ private[graft] object EntryHelpers {
         val lock = ch.lock() // blocks until any concurrent builder finishes
         try {
           if (Files.exists(target.resolve("_GRAFT_OK"))) return
-          val tmp = Files.createTempDirectory(target.getParent, ".build_")
+          // reclaim orphan temp dirs a hard-killed builder of THIS target
+          // left behind (the in-process finally can't run across a crash).
+          // The prefix carries the target name so a CONCURRENT builder of
+          // a sibling target in the same parent is never touched — and a
+          // live builder of this target is impossible here (we hold its
+          // lock).
+          val tmpPrefix = ".build_" + target.getFileName.toString + "_"
+          val siblings = Files.list(target.getParent)
+          try siblings.iterator().asScala
+            .filter(_.getFileName.toString.startsWith(tmpPrefix))
+            .foreach(p => core.Fs.deleteRecursively(p))
+          finally siblings.close()
+          val tmp = Files.createTempDirectory(target.getParent, tmpPrefix)
           try {
             build(tmp.toString)
             Files.write(tmp.resolve("_GRAFT_OK"), Array.emptyByteArray)

@@ -2411,6 +2411,10 @@ private[graft] object OraclesLlm {
     // must equal a full rebuild over the whole corpus — so the oracle IS
     // the full-corpus BM25 chain, unchanged
     "llm_bm25_update" -> bm25Sql,
+    // llm_bm25_auto oracle: the per-batch strategy pick dispatches
+    // between two bit-identical branches, so the auto row shares the
+    // same plain-BM25 SQL — the hash match IS "the pick changed nothing"
+    "llm_bm25_auto" -> bm25Sql,
     // llm_bm25_maxscore oracle: MaxScore is an exact optimization — the
     // pruned probe must reproduce the plain chain bit-for-bit
     "llm_bm25_maxscore" -> bm25Sql,
@@ -3225,6 +3229,130 @@ private[graft] object OraclesLlm {
         |cells AS (SELECT vec_id AS nid, cid AS cell FROM ranked_assign WHERE rn = 1),
         |cnt AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors FROM cells GROUP BY cell)
         |SELECT cell, n_vectors FROM cnt""".stripMargin,
+    // llm_index_drift oracle: all four frozen-artifact drift metrics in
+    // one chain — the llm_ivf_stats k-means replay (cells) + the shifted
+    // batch (vq → 3·vq + 41, vec_id % 7 = 0) assigned against the SAME
+    // frozen centroids for the occupancy/TV rows; full-corpus SQ bounds
+    // + clamped codes for base/batch saturation (the llm_sq_update
+    // encode); the llm_pq_encode codebook chain with base AND batch
+    // encodes folded to floored micro-cosine integer means (// is floor
+    // division — the engine matches with (a − pmod) div b); and the
+    // document vocabulary vs reversed-token batch for the OOV rate.
+    "llm_index_drift" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS vq FROM embeddings),
+        |en AS (SELECT vec_id, vq, CAST(list_sum(list_transform(vq, x -> x * x)) AS BIGINT) AS norm2 FROM e),
+        |cent0 AS (SELECT vec_id AS cid, vq AS cv, norm2 AS cn FROM en WHERE vec_id % 25 = 0),
+        |a1 AS (SELECT en.vec_id, cent0.cid,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(vq)), i -> vq[i] * cv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS ccos
+        |  FROM en CROSS JOIN cent0),
+        |r1 AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn FROM a1),
+        |asg1 AS (SELECT vec_id AS nid, cid AS cell FROM r1 WHERE rn = 1),
+        |u1 AS (SELECT asg1.cell, unnest(vq) AS v, generate_subscripts(vq, 1) AS d FROM en JOIN asg1 ON en.vec_id = asg1.nid),
+        |m1 AS (SELECT cell, d, CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS vc FROM u1 GROUP BY cell, d),
+        |cent1 AS (SELECT cell AS cid, list(vc ORDER BY d) AS cv FROM m1 GROUP BY cell),
+        |cent1n AS (SELECT cid, cv, CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cn FROM cent1),
+        |a2 AS (SELECT en.vec_id, cent1n.cid,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(vq)), i -> vq[i] * cv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS ccos
+        |  FROM en CROSS JOIN cent1n),
+        |r2 AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn FROM a2),
+        |asg2 AS (SELECT vec_id AS nid, cid AS cell FROM r2 WHERE rn = 1),
+        |u2 AS (SELECT asg2.cell, unnest(vq) AS v, generate_subscripts(vq, 1) AS d FROM en JOIN asg2 ON en.vec_id = asg2.nid),
+        |m2 AS (SELECT cell, d, CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS vc FROM u2 GROUP BY cell, d),
+        |cent2 AS (SELECT cell AS cid, list(vc ORDER BY d) AS cv FROM m2 GROUP BY cell),
+        |cent AS (SELECT cid, cv, CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cn FROM cent2),
+        |ascore AS (
+        |  SELECT en.vec_id, cent.cid,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(vq)), i -> vq[i] * cv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS ccos
+        |  FROM en CROSS JOIN cent),
+        |ranked_assign AS (
+        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+        |  FROM ascore),
+        |cells AS (SELECT vec_id AS nid, cid AS cell FROM ranked_assign WHERE rn = 1),
+        |bsh AS (SELECT cell, CAST(count(*) * 10000 // (SELECT count(*) FROM cells) AS BIGINT) AS bp FROM cells GROUP BY cell),
+        |batn AS (SELECT vec_id, list_transform(vq, v -> v * 3 + 41) AS vq FROM e WHERE vec_id % 7 = 0),
+        |bat AS (SELECT vec_id, vq, CAST(list_sum(list_transform(vq, x -> x * x)) AS BIGINT) AS norm2 FROM batn),
+        |bas AS (SELECT bat.vec_id, cent.cid,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(vq)), i -> vq[i] * cv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS ccos
+        |  FROM bat CROSS JOIN cent),
+        |brk AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn FROM bas),
+        |bcell AS (SELECT vec_id AS nid, cid AS cell FROM brk WHERE rn = 1),
+        |tsh AS (SELECT cell, CAST(count(*) * 10000 // (SELECT count(*) FROM bcell) AS BIGINT) AS bp FROM bcell GROUP BY cell),
+        |occ AS (SELECT coalesce(b.cell, s.cell) AS cell, coalesce(b.bp, 0) AS bp_base, coalesce(s.bp, 0) AS bp_batch
+        |  FROM bsh b FULL OUTER JOIN tsh s ON b.cell = s.cell),
+        |squ AS (SELECT unnest(vq) AS v, generate_subscripts(vq, 1) - 1 AS j FROM e),
+        |sqb AS (SELECT j, min(v) AS mn, max(v) AS mx FROM squ GROUP BY 1),
+        |sqbase AS (SELECT CASE WHEN mx = mn THEN 0 ELSE greatest(0, least(255, ((v - mn) * 255) // (mx - mn))) END AS code FROM squ JOIN sqb USING (j)),
+        |sqt AS (SELECT unnest(vq) AS v, generate_subscripts(vq, 1) - 1 AS j FROM batn),
+        |sqbatc AS (SELECT CASE WHEN mx = mn THEN 0 ELSE greatest(0, least(255, ((v - mn) * 255) // (mx - mn))) END AS code FROM sqt JOIN sqb USING (j)),
+        |fn AS (SELECT vec_id, CAST(list_sum(list_transform(vq, x -> x * x)) AS BIGINT) AS fnorm FROM e),
+        |hv AS (SELECT vec_id, 0 AS sub, vq[1:len(vq)//2] AS vq FROM e
+        |  UNION ALL SELECT vec_id, 1 AS sub, vq[len(vq)//2+1:len(vq)] AS vq FROM e),
+        |pen AS (SELECT vec_id, sub, vq, CAST(list_sum(list_transform(vq, x -> x * x)) AS BIGINT) AS norm2 FROM hv),
+        |pc0 AS (SELECT sub, vec_id AS cid, vq AS cv, norm2 AS cn FROM pen WHERE vec_id % 25 = 0),
+        |pa1 AS (SELECT pen.vec_id, pen.sub, pc0.cid,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(vq)), i -> vq[i] * cv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS ccos
+        |  FROM pen JOIN pc0 ON pen.sub = pc0.sub),
+        |pr1 AS (SELECT vec_id, sub, cid, row_number() OVER (PARTITION BY sub, vec_id ORDER BY ccos DESC, cid ASC) AS rn FROM pa1),
+        |pg1 AS (SELECT vec_id AS nid, sub, cid AS cell FROM pr1 WHERE rn = 1),
+        |pu1 AS (SELECT pg1.sub, pg1.cell, unnest(vq) AS v, generate_subscripts(vq, 1) AS d
+        |  FROM pen JOIN pg1 ON pen.vec_id = pg1.nid AND pen.sub = pg1.sub),
+        |pm1 AS (SELECT sub, cell, d, CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS vc FROM pu1 GROUP BY sub, cell, d),
+        |pc1 AS (SELECT sub, cell AS cid, list(vc ORDER BY d) AS cv FROM pm1 GROUP BY sub, cell),
+        |pc1n AS (SELECT sub, cid, cv, CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cn FROM pc1),
+        |pa2 AS (SELECT pen.vec_id, pen.sub, pc1n.cid,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(vq)), i -> vq[i] * cv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS ccos
+        |  FROM pen JOIN pc1n ON pen.sub = pc1n.sub),
+        |pr2 AS (SELECT vec_id, sub, cid, row_number() OVER (PARTITION BY sub, vec_id ORDER BY ccos DESC, cid ASC) AS rn FROM pa2),
+        |pg2 AS (SELECT vec_id AS nid, sub, cid AS cell FROM pr2 WHERE rn = 1),
+        |pu2 AS (SELECT pg2.sub, pg2.cell, unnest(vq) AS v, generate_subscripts(vq, 1) AS d
+        |  FROM pen JOIN pg2 ON pen.vec_id = pg2.nid AND pen.sub = pg2.sub),
+        |pm2 AS (SELECT sub, cell, d, CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS vc FROM pu2 GROUP BY sub, cell, d),
+        |pc2 AS (SELECT sub, cell AS cid, list(vc ORDER BY d) AS cv FROM pm2 GROUP BY sub, cell),
+        |pcent AS (SELECT sub, cid, cv, CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cn FROM pc2),
+        |paf AS (SELECT pen.vec_id, pen.sub, pcent.cid, pcent.cn,
+        |    CAST(list_sum(list_transform(generate_series(1, len(vq)), i -> vq[i] * cv[i])) AS BIGINT) AS dpv,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(vq)), i -> vq[i] * cv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS ccos
+        |  FROM pen JOIN pcent ON pen.sub = pcent.sub),
+        |prf AS (SELECT vec_id, sub, cid, cn, dpv,
+        |    row_number() OVER (PARTITION BY sub, vec_id ORDER BY ccos DESC, cid ASC) AS rn FROM paf),
+        |psel AS (SELECT vec_id, sub, cid, cn, dpv FROM prf WHERE rn = 1),
+        |pp AS (SELECT s0.vec_id, s0.dpv + s1.dpv AS dp, s0.cn + s1.cn AS cnsum
+        |  FROM psel s0 JOIN psel s1 ON s0.vec_id = s1.vec_id AND s0.sub = 0 AND s1.sub = 1),
+        |pqb AS (SELECT CAST(floor((CAST(pp.dp AS DOUBLE) / (sqrt(CAST(fn.fnorm AS DOUBLE)) * sqrt(CAST(pp.cnsum AS DOUBLE)))) * 1000000.0) AS BIGINT) AS m
+        |  FROM pp JOIN fn ON pp.vec_id = fn.vec_id),
+        |bhv AS (SELECT vec_id, 0 AS sub, vq[1:len(vq)//2] AS vq FROM batn
+        |  UNION ALL SELECT vec_id, 1 AS sub, vq[len(vq)//2+1:len(vq)] AS vq FROM batn),
+        |bpen AS (SELECT vec_id, sub, vq, CAST(list_sum(list_transform(vq, x -> x * x)) AS BIGINT) AS norm2 FROM bhv),
+        |baf AS (SELECT bpen.vec_id, bpen.sub, pcent.cid, pcent.cn,
+        |    CAST(list_sum(list_transform(generate_series(1, len(vq)), i -> vq[i] * cv[i])) AS BIGINT) AS dpv,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(vq)), i -> vq[i] * cv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS ccos
+        |  FROM bpen JOIN pcent ON bpen.sub = pcent.sub),
+        |brf AS (SELECT vec_id, sub, cid, cn, dpv,
+        |    row_number() OVER (PARTITION BY sub, vec_id ORDER BY ccos DESC, cid ASC) AS rn FROM baf),
+        |bsel AS (SELECT vec_id, sub, cid, cn, dpv FROM brf WHERE rn = 1),
+        |bpp AS (SELECT s0.vec_id, s0.dpv + s1.dpv AS dp, s0.cn + s1.cn AS cnsum
+        |  FROM bsel s0 JOIN bsel s1 ON s0.vec_id = s1.vec_id AND s0.sub = 0 AND s1.sub = 1),
+        |pqt AS (SELECT CAST(floor((CAST(bpp.dp AS DOUBLE) / (sqrt(CAST(bat.norm2 AS DOUBLE)) * sqrt(CAST(bpp.cnsum AS DOUBLE)))) * 1000000.0) AS BIGINT) AS m
+        |  FROM bpp JOIN bat ON bpp.vec_id = bat.vec_id),
+        |vocab AS (SELECT DISTINCT w FROM (SELECT unnest(list_filter(string_split(lower(text), ' '), w -> len(w) > 0)) AS w FROM documents)),
+        |bt AS (SELECT unnest(list_transform(list_filter(string_split(lower(text), ' '), w -> len(w) > 0), w -> reverse(w))) AS w FROM documents WHERE doc_id % 53 = 0),
+        |oov AS (SELECT count(*) AS t, sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS o FROM bt LEFT JOIN vocab v ON bt.w = v.w)
+        |SELECT 'ivf_cell_bp_base' AS metric, CAST(cell AS BIGINT) AS key, CAST(bp_base AS BIGINT) AS value FROM occ
+        |UNION ALL SELECT 'ivf_cell_bp_batch', CAST(cell AS BIGINT), CAST(bp_batch AS BIGINT) FROM occ
+        |UNION ALL SELECT 'ivf_tv_bp', CAST(-1 AS BIGINT), CAST(sum(abs(bp_batch - bp_base)) AS BIGINT) FROM occ
+        |UNION ALL SELECT 'sq_sat_bp_base', CAST(-1 AS BIGINT), CAST(sum(CASE WHEN code IN (0, 255) THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) FROM sqbase
+        |UNION ALL SELECT 'sq_sat_bp_batch', CAST(-1 AS BIGINT), CAST(sum(CASE WHEN code IN (0, 255) THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) FROM sqbatc
+        |UNION ALL SELECT 'pq_recon_micro_base', CAST(-1 AS BIGINT), CAST(sum(m) // count(*) AS BIGINT) FROM pqb
+        |UNION ALL SELECT 'pq_recon_micro_batch', CAST(-1 AS BIGINT), CAST(sum(m) // count(*) AS BIGINT) FROM pqt
+        |UNION ALL SELECT 'bm25_oov_bp', CAST(-1 AS BIGINT), CAST(CASE WHEN t = 0 THEN 0 ELSE o * 10000 // t END AS BIGINT) FROM oov""".stripMargin,
     // llm_pq_search oracle: the pq_encode chain (codebooks + codes)
     // extended with query-side LUTs and ADC ranking
     "llm_pq_search" ->

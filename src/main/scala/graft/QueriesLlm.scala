@@ -295,6 +295,27 @@ private[graft] object QueriesLlm {
         .select(col("cell"), col("n_vectors"))
     }),
 
+    // Standing-index DRIFT GATE report: every frozen training artifact
+    // (IVF centroids, SQ bounds, PQ codebooks, BM25 vocabulary) measured
+    // against a deliberately SHIFTED out-of-sample batch (vq → 3·vq + 41
+    // for vec_id % 7 == 0; reversed-token documents for doc_id % 53 ==
+    // 0) — the retrain-now telemetry of the build-once lifecycle. All
+    // metrics are exact integers (basis points / micro-cosine) off the
+    // same standing-index assignment/encode paths the probes use; the
+    // DriftSpec pins that an iid batch does NOT trip the gate while this
+    // shifted batch does.
+    "llm_index_drift" -> ((s, dir) => {
+      val corpus = annCorpus(s, dir)
+      val batch = corpus.filter(col("nid") % 7 === 0)
+        .select(col("nid"), expr("transform(vq, v -> v * 3 + 41)").as("vq"))
+        .withColumn("norm2", expr("aggregate(vq, 0L, (acc, v) -> acc + v * v)"))
+      val docsBatch = t(s, dir, "documents").filter(col("doc_id") % 53 === 0)
+        .select(expr("array_join(transform(filter(split(lower(text), ' '), " +
+          "w -> length(w) > 0), w -> reverse(w)), ' ')").as("text"))
+      llm.Drift.report(sharedAnnIndex(s, dir), sharedSqIndex(s, dir),
+        sharedInvIndex(s, dir), corpus, batch, docsBatch, "text")
+    }),
+
     // Embedding-cosine near-dup pairs blocked by label.
     "llm_embed_neardup" -> ((s, dir) => {
       val e = llm.Ann.withQuantized(t(s, dir, "embeddings"), "embedding")
@@ -831,6 +852,22 @@ private[graft] object QueriesLlm {
           expr("array_join(slice(filter(split(lower(text), ' '), " +
             "w -> length(w) > 0), 1, 5), ' ')").as("qtext"))
       llm.Retrieval.bm25TopKMaxScore(queries, "qid", "qtext",
+        sharedInvIndex(s, dir), k = 5, excludeIdEq = true)
+    }),
+
+    // Probe-strategy AUTO pick: one bounded volume-estimate job (Σ df
+    // over the batch's distinct (query, term) pairs — exactly the plain
+    // probe's posting-multiply row count), then plain banded probe below
+    // the measured crossover and exact MaxScore above it. Both branches
+    // are bit-identical (they share this oracle), so the pick is purely
+    // a cost decision — this is the entry point a production caller
+    // should use; the _index/_maxscore rows pin each branch explicitly.
+    "llm_bm25_auto" -> ((s, dir) => {
+      val queries = t(s, dir, "documents").filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("qid"),
+          expr("array_join(slice(filter(split(lower(text), ' '), " +
+            "w -> length(w) > 0), 1, 5), ' ')").as("qtext"))
+      llm.Retrieval.bm25TopKAuto(queries, "qid", "qtext",
         sharedInvIndex(s, dir), k = 5, excludeIdEq = true)
     }),
 
@@ -2078,7 +2115,7 @@ private[graft] object QueriesLlm {
       val exact = ids
         .filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 2 === 0)
         .agg(count(lit(1)).as("exact_overlap"))
-      p.crossJoin(exact)
+      p.crossJoin(broadcast(exact))
         .withColumn("ratio_micro",
           floor(col("overlap_est") * 1000000 / col("exact_overlap")))
     }),
@@ -2215,7 +2252,7 @@ private[graft] object QueriesLlm {
         .join(b.groupBy(col("v")).agg(count(lit(1)).as("nb")), Seq("v"))
         .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).cast("long")
           .as("exact_join_size"))
-      est.crossJoin(exact)
+      est.crossJoin(broadcast(exact))
         .select(col("cm_join_estimate"), col("exact_join_size"),
           (col("cm_join_estimate") >= col("exact_join_size")).as("one_sided"),
           expr("(cm_join_estimate * 1000000) div exact_join_size")
@@ -2394,8 +2431,8 @@ private[graft] object QueriesLlm {
       val lab = sums.join(cnt, Seq("label"))
       lab.select(col("label").as("label_a"), col("sv").as("va"),
           col("n2").as("n2a"), col("n_vecs").as("n_a"))
-        .crossJoin(lab.select(col("label").as("label_b"), col("sv").as("vb"),
-          col("n2").as("n2b"), col("n_vecs").as("n_b")))
+        .crossJoin(broadcast(lab.select(col("label").as("label_b"),
+          col("sv").as("vb"), col("n2").as("n2b"), col("n_vecs").as("n_b"))))
         .filter(col("label_a") < col("label_b"))
         .withColumn("dp", plans.QuantizedDot.qdot(col("va"), col("vb")))
         .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),

@@ -98,7 +98,7 @@ object DiffMerge {
     }
     if (nIn == 1 && nEx == 1) {
       return incoming.select(col(incomingId).as("incoming_id"))
-        .crossJoin(existing.select(col(existingId).as("existing_id")))
+        .crossJoin(broadcast(existing.select(col(existingId).as("existing_id"))))
         .select(col("incoming_id"), col("existing_id"),
           lit("match").as("bucket"), lit(0).as("tier"))
     }

@@ -342,7 +342,7 @@ object Ann {
     val hits = t.join(approx.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_semi")
       .agg(count(lit(1)).cast("long").as("n_hits"))
     val tot = t.agg(count(lit(1)).cast("long").as("n_truth"))
-    hits.crossJoin(tot).select(lit(path).as("path"), col("n_hits"), col("n_truth"),
+    hits.crossJoin(broadcast(tot)).select(lit(path).as("path"), col("n_hits"), col("n_truth"),
       // empty truth pins recall = 0.0 rather than NaN (0/0), keeping the
       // summary row comparable against any oracle's handling of the edge
       when(col("n_truth") === 0, lit(0.0))

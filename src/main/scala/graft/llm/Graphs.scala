@@ -65,7 +65,7 @@ object Graphs {
     require(!seedIds.isEmpty,
       "trustRankPpb: seed set is empty after intersecting with nodes")
     val counts = nodes.agg(count(lit(1)).as("__n"))
-      .crossJoin(seedIds.agg(count(lit(1)).as("__s")))
+      .crossJoin(broadcast(seedIds.agg(count(lit(1)).as("__s"))))
     val seeded = nodes
       .join(seedIds.withColumn("__isSeed", lit(true)), Seq(idCol), "left")
       .crossJoin(broadcast(counts))

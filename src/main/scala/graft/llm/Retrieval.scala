@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
 object Retrieval {
 
   /** Non-empty lower-cased whitespace tokens, as an array column. */
-  private def toks(textCol: String) =
+  private[llm] def toks(textCol: String) =
     expr(s"filter(split(lower($textCol), ' '), w -> length(w) > 0)")
 
   /** Overlapping token-window chunking — the RAG/embedding front gate:
@@ -210,18 +210,32 @@ object Retrieval {
     * unions, df is a per-word sum, stats a two-row add — so the folded
     * index is ROW-IDENTICAL to a full rebuild over old ∪ new docs
     * (spec-pinned componentwise, oracle-checked by `llm_bm25_update`
-    * whose SQL scores the FULL corpus). Batch doc ids must be new:
-    * re-adding an indexed id would double-count it, exactly like any
-    * additive inverted index.
+    * whose SQL scores the FULL corpus). Already-indexed doc ids in the
+    * batch are DROPPED before the fold (an anti-join against the
+    * standing doc-length table): a naive additive union would
+    * double-count a re-added id — the dl join fans out and silently
+    * doubles its scores — and an idempotent re-fold of the same batch
+    * is exactly the replay pattern the store's merge path encourages,
+    * so re-folding is a no-op here too (spec-pinned). The doc id is the
+    * document's identity: re-ingesting an id with CHANGED text is not
+    * an update (no inverted index folds deletes additively) — rebuild,
+    * or version the id.
     *
     * Scale: the standing postings are never read or rewritten here —
     * the merge is a lazy union the next save lays out band-partitioned;
-    * only the new batch tokenizes. df's full-outer join keys on the
-    * (vocab-sized) word set, the usual partial-agg shapes.
+    * only the new batch tokenizes (the dedupe anti-join keys the batch
+    * against dl on the doc id — a broadcast-sized batch side at any
+    * corpus scale). df's full-outer join keys on the (vocab-sized) word
+    * set, the usual partial-agg shapes.
     */
   def updateInvIndex(index: InvIndex, newDocs: DataFrame, idCol: String,
       textCol: String): InvIndex = {
-    val fresh = buildInvIndex(newDocs, idCol, textCol)
+    // dl holds every token-bearing indexed doc; empty docs contribute to
+    // no component, so dl ids ARE the ids a re-fold could double-count
+    val indexedIds = index.dl.select(col("nid").as("__indexed_id"))
+    val freshDocs = newDocs.join(indexedIds,
+      col(idCol) === col("__indexed_id"), "left_anti")
+    val fresh = buildInvIndex(freshDocs, idCol, textCol)
     val dfMerged = index.dfTable.select(col("word"), col("df").as("__a"))
       .join(fresh.dfTable.select(col("word"), col("df").as("__b")),
         Seq("word"), "full_outer")
@@ -230,8 +244,8 @@ object Retrieval {
           .as("df"))
     val statsMerged = index.stats
       .select(col("n_docs").as("__n1"), col("total_tokens").as("__t1"))
-      .crossJoin(fresh.stats
-        .select(col("n_docs").as("__n2"), col("total_tokens").as("__t2")))
+      .crossJoin(broadcast(fresh.stats
+        .select(col("n_docs").as("__n2"), col("total_tokens").as("__t2"))))
       .select((col("__n1") + col("__n2")).as("n_docs"),
         (col("__t1") + col("__t2")).as("total_tokens"))
     val postingsMerged = index.postings.unionByName(fresh.postings)
@@ -320,15 +334,21 @@ object Retrieval {
     * (spec-pinned; same oracle SQL).
     *
     * Scale: the three probe jobs collect O(|queries| · terms) rows —
-    * bounded. Head postings are SCANNED (once per scoring pass, pruned
-    * to query bands) but joined against the bounded candidate frame on
-    * the doc id instead of multiplied per query; candidate volume is
-    * driven by the rare essential terms' short posting lists.
+    * bounded by the QUERY BATCH, not the corpus (corpus growth only
+    * raises `df`/`ub` values, never the row count). The practical
+    * ceiling is [[MaxScorePairLimit]] (query, corpus-term) pairs per
+    * driver pass ≈ a few hundred MB of driver heap; the phase-A collect
+    * is capped at that limit, and a batch that overflows it is split
+    * into query-hash chunks processed independently (per-query
+    * independence makes the union exact), so an outsized batch degrades
+    * to more jobs instead of a driver OOM. Head postings are SCANNED
+    * (once per scoring pass, pruned to query bands) but joined against
+    * the bounded candidate frame on the doc id instead of multiplied
+    * per query; candidate volume is driven by the rare essential terms'
+    * short posting lists.
     */
   def bm25TopKMaxScore(queries: DataFrame, qidCol: String, qtextCol: String,
       index: InvIndex, k: Int, excludeIdEq: Boolean): DataFrame = {
-    val spark = queries.sparkSession
-    import spark.implicits._
     // the driver-side phase tables read qids as longs (and the TopKPairs
     // tail needs long ids anyway) — fail fast instead of a mid-probe
     // ClassCastException; [[bm25TopK]] shares this id domain in practice
@@ -338,22 +358,70 @@ object Retrieval {
       org.apache.spark.sql.types.LongType,
       s"bm25TopKMaxScore needs a BIGINT $qidCol column, got " +
         queries.schema(qidCol).dataType.sql)
+    maxScoreChunk(queries, qidCol, qtextCol, index, k, excludeIdEq,
+      splitDepth = 8)._1
+  }
+
+  /** Driver-phase ceiling: max (query, corpus-term) pairs collected per
+    * MaxScore pass (~2M tuples ≈ 200 MB of driver rows). Batches whose
+    * term-pair volume exceeds it are split into query-hash chunks.
+    */
+  val MaxScorePairLimit: Int = 1 << 21
+
+  /** One MaxScore pass over (a chunk of) the query batch. Returns the
+    * ranked frame AND the essential (word, query_id) pairs — the set
+    * candidate generation actually scans — so specs can pin that a
+    * droppable head term really LEFT candidate generation (a regression
+    * that makes every term essential would otherwise pass the
+    * bit-identity tests while silently un-pruning). `splitDepth` bounds
+    * the overflow recursion; a chunk that still overflows with
+    * splitDepth = 0 fails fast instead of collecting unbounded rows.
+    */
+  private[graft] def maxScoreChunk(queries: DataFrame, qidCol: String,
+      qtextCol: String, index: InvIndex, k: Int, excludeIdEq: Boolean,
+      splitDepth: Int, pairLimit: Int = MaxScorePairLimit)
+      : (DataFrame, Seq[(String, Long)]) = {
+    val spark = queries.sparkSession
+    import spark.implicits._
     val qterms = bm25QueryTerms(queries, qidCol, qtextCol)
     val qwords = qterms.select(col("word")).distinct()
     // phase A (bounded collect): per (query, corpus-term) the impact
     // bound, df, and postings band. Query words absent from the corpus
-    // drop out here — they contribute to no score either way.
-    val info = qterms
+    // drop out here — they contribute to no score either way. The
+    // limit+1 caps the driver transfer: overflow is DETECTED (length >
+    // limit) without ever collecting an unbounded frame.
+    val infoDf = qterms
       .join(index.maxImpact.join(broadcast(qwords), Seq("word")), Seq("word"))
       .join(index.dfTable.join(broadcast(qwords), Seq("word")), Seq("word"))
       .select(col("query_id"), col("word"), col("ub_micro"), col("df"),
         band(col("word")).as("__band"))
-      .collect()
+    val collected = infoDf.limit(pairLimit + 1).collect()
+    if (collected.length > pairLimit) {
+      require(splitDepth > 0, s"MaxScore query batch still exceeds " +
+        s"$pairLimit (query, term) driver pairs after splitting — " +
+        "shrink the batch")
+      // outsized batch: count once (rare path), split into enough
+      // query-hash chunks that the AVERAGE chunk fits, recurse (hash
+      // imbalance is absorbed by the remaining depth), union — exact,
+      // because every phase (seeds, L0, essential terms, scoring) is
+      // per-query. The split hash is SALTED with the depth: an unsalted
+      // re-split would re-partition colliding qids identically at every
+      // level and never separate them.
+      val nChunks = math.max(2L,
+        (infoDf.count() + pairLimit - 1) / pairLimit).toInt
+      val parts = (0 until nChunks).map { i =>
+        maxScoreChunk(queries.filter(
+            pmod(xxhash64(col(qidCol), lit(splitDepth)), lit(nChunks)) === i),
+          qidCol, qtextCol, index, k, excludeIdEq, splitDepth - 1, pairLimit)
+      }
+      return (parts.map(_._1).reduce(_ unionByName _), parts.flatMap(_._2))
+    }
+    val info = collected
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
         r.getInt(4)))
     if (info.isEmpty) { // no query term matches the corpus: empty result
-      return rankDocs(spark.emptyDataset[(Long, Long, Long)]
-        .toDF("query_id", "nid", "score_micro"), k)
+      return (rankDocs(spark.emptyDataset[(Long, Long, Long)]
+        .toDF("query_id", "nid", "score_micro"), k), Seq.empty)
     }
     val byQuery = info.groupBy(_._1)
     val allWords = info.map(_._2).distinct.toSeq
@@ -434,8 +502,49 @@ object Retrieval {
       postingsFor(essWordSet.toSeq, essBands)
         .join(broadcast(essential.toDF("word", "query_id")), Seq("word"))
         .select(col("query_id"), col("nid")).distinct())
-    rankDocs(scoreCand(cand2), k)
+    (rankDocs(scoreCand(cand2), k), essential)
   }
+
+  /** The plain probe's posting-multiply volume for this batch —
+    * Σ over distinct (query, term) pairs of df(term), i.e. exactly the
+    * number of (posting × query) rows [[bm25TopK]]'s scoring join
+    * produces. One bounded agg job (the df table is vocab-sized and the
+    * query-term side broadcasts); the decision variable [[bm25TopKAuto]]
+    * dispatches on.
+    */
+  private[graft] def bm25MultiplyVolume(queries: DataFrame, qidCol: String,
+      qtextCol: String, index: InvIndex): Long =
+    index.dfTable
+      .join(broadcast(bm25QueryTerms(queries, qidCol, qtextCol)), Seq("word"))
+      .agg(coalesce(sum(col("df")), lit(0L)).as("v"))
+      .collect()(0).getLong(0)
+
+  /** Posting-multiply volume above which [[bm25TopKMaxScore]] beats the
+    * plain banded probe. Measured at the 500k-doc Zipf lane (BenchBm25):
+    * probe time is ~linear in the multiply volume while MaxScore pays a
+    * ~6-10 s three-phase constant plus a much shallower slope (150-query
+    * batch: probe 6.6 s vs MaxScore 11-13 s; 5,198-query batch: probe
+    * 269-282 s vs MaxScore 75 s). Solving the two linear fits puts the
+    * crossover near 1.5-2× the 150-query batch's volume; the constant
+    * below sits at that point expressed in posting-pairs. Both branches
+    * are bit-identical, so a mispick costs time, never correctness.
+    */
+  val Bm25AutoVolumeThreshold: Long = 3000000L
+
+  /** BM25 top-k with the probe strategy PICKED PER BATCH: one bounded
+    * volume-estimate job ([[bm25MultiplyVolume]]), then the plain banded
+    * probe below [[Bm25AutoVolumeThreshold]] posting-pairs (small batches
+    * — the three MaxScore phases cost more than the multiply they avoid)
+    * and exact MaxScore above it (head-heavy batches — the multiply IS
+    * the cost). Output is bit-identical either way (both paths share the
+    * oracle row), so the pick is purely a performance decision.
+    */
+  def bm25TopKAuto(queries: DataFrame, qidCol: String, qtextCol: String,
+      index: InvIndex, k: Int, excludeIdEq: Boolean): DataFrame =
+    if (bm25MultiplyVolume(queries, qidCol, qtextCol, index) >
+        Bm25AutoVolumeThreshold)
+      bm25TopKMaxScore(queries, qidCol, qtextCol, index, k, excludeIdEq)
+    else bm25TopK(queries, qidCol, qtextCol, index, k, excludeIdEq)
 
   /** The distinct (query_id, word) term set of a query batch. */
   private def bm25QueryTerms(queries: DataFrame, qidCol: String,

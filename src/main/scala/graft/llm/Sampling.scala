@@ -181,7 +181,7 @@ object Sampling {
     val (withTok, perSrc) = mixTokens(df, textCol, srcCol)
     val total = perSrc.agg(sum(col("__src_tokens")).as("__total_tokens"))
     val weights = weightsBp.toSeq.toDF(srcCol, "__w_bp")
-    val rates = perSrc.crossJoin(total)
+    val rates = perSrc.crossJoin(broadcast(total))
       .join(broadcast(weights), Seq(srcCol), "left")
       .withColumn("__w_bp", coalesce(col("__w_bp"), lit(defaultBp)))
       .withColumn("__rate_bp", rateBpCol)

@@ -323,7 +323,7 @@ object Sketches {
     val cum = hist
       .withColumn("__cum", sum(col("c")).over(w))
       .join(hist.groupBy(col(keyCol)).agg(sum(col("c")).as("__n")), Seq(keyCol))
-    qs.toDF("q").crossJoin(cum)
+    broadcast(qs.toDF("q")).crossJoin(cum)
       .filter(col("__cum") * 100 >= col("q") * col("__n"))
       .groupBy(col(keyCol), col("q"))
       .agg(min(col("bucket_id")).as("__bk"))

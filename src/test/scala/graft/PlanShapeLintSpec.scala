@@ -47,6 +47,33 @@ class PlanShapeLintSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"nested-loop joins in linted rows: $offenders")
   }
 
+  test("every crossJoin in src/main carries a broadcast hint (uniformity)") {
+    // source-level sweep: all ~45 crossJoin sites in the engine are
+    // one-row/broadcast-sized scalar attaches by design; the hint makes
+    // that intent explicit so AQE never has to rescue a copy-pasted
+    // site where the small side isn't small. A hint may sit on either
+    // operand (broadcast(x).crossJoin(y) hints the receiver), so the
+    // lint accepts "broadcast" anywhere in a window around the call.
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala")
+    val offenders = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .flatMap { p =>
+        val s = new String(java.nio.file.Files.readAllBytes(p))
+        ".crossJoin\\(".r.findAllMatchIn(s).flatMap { m =>
+          val window = s.substring(math.max(0, m.start - 160),
+            math.min(s.length, m.end + 260))
+          if (window.contains("broadcast")) None
+          else {
+            val line = s.substring(0, m.start).count(_ == '\n') + 1
+            Some(s"$p:$line")
+          }
+        }
+      }.toList
+    assert(offenders.isEmpty,
+      s"crossJoin without a broadcast hint nearby: $offenders")
+  }
+
   test("negative self-check: an interval predicate without bucketization " +
     "DOES plan a BroadcastNestedLoopJoin (the lint can fire)") {
     import spark.implicits._

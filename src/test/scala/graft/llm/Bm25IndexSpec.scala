@@ -130,15 +130,23 @@ class Bm25IndexSpec extends AnyFunSuite {
     // each doc also carries a rare marker word (big idf). Seeds come
     // from the rare terms, L0 large, and the head term's bound alone
     // stays under L0 — so 'common' must be non-essential for a query
-    // that also has a rare term. Functional pin: drop 'common' from the
-    // POSTINGS handed to candidate generation and the result must be
-    // unchanged (it still contributes to scoring via the full read).
+    // that also has a rare term.
     val docs = (1 to 60).map(i => (i.toLong, s"common rare$i extra${i % 7}"))
       .toDF("doc_id", "text")
     val index = Retrieval.buildInvIndex(docs, "doc_id", "text")
     val queries = Seq((1000L, "common rare7 rare8")).toDF("qid", "qtext")
-    val full = Retrieval.bm25TopKMaxScore(queries, "qid", "qtext", index,
-      k = 2, excludeIdEq = false).collect()
+    // STRUCTURAL pin (the performance claim itself): the essential-term
+    // set candidate generation actually scans must NOT contain the head
+    // term — a regression that makes every term essential would pass
+    // every bit-identity test while silently un-pruning
+    val (ranked, essential) = Retrieval.maxScoreChunk(queries, "qid",
+      "qtext", index, k = 2, excludeIdEq = false, splitDepth = 8)
+    assert(essential.nonEmpty)
+    assert(!essential.exists(_._1 == "common"),
+      s"head term 'common' stayed essential: $essential")
+    assert(essential.map(_._1).toSet == Set("rare7", "rare8"),
+      s"unexpected essential set: $essential")
+    val full = ranked.collect()
     assert(full.nonEmpty)
     // the top-2 must be docs 7 and 8 (each matches a rare term + common);
     // every other doc matches only 'common'
@@ -151,6 +159,80 @@ class Bm25IndexSpec extends AnyFunSuite {
       noCommonIdx, k = 2, excludeIdEq = false).collect()
     assert(full.map(_.getLong(3)).sum > noCommon.map(_.getLong(3)).sum,
       "winner scores must include the non-essential term's contribution")
+  }
+
+  test("MaxScore overflow split: chunked batch ≡ single-pass, bit-identical") {
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val index = Retrieval.buildInvIndex(docs, "doc_id", "text")
+    val queries = queryBatch(docs)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // a pair limit far below the batch's (query, term) volume forces the
+    // overflow path (count → query-hash chunks → recursive union); the
+    // result must match the unconstrained single pass exactly
+    val (chunked, _) = Retrieval.maxScoreChunk(queries, "qid", "qtext",
+      index, k = 5, excludeIdEq = true, splitDepth = 8, pairLimit = 7)
+    val single = Retrieval.bm25TopKMaxScore(queries, "qid", "qtext", index,
+      k = 5, excludeIdEq = true)
+    val s = rows(single)
+    assert(s.nonEmpty && rows(chunked) == s)
+    // a batch that cannot fit even after exhausting the split depth must
+    // fail fast, not collect unbounded rows
+    assertThrows[IllegalArgumentException] {
+      Retrieval.maxScoreChunk(queries, "qid", "qtext", index, k = 5,
+        excludeIdEq = true, splitDepth = 0, pairLimit = 7)
+    }
+  }
+
+  test("auto pick dispatches on multiply volume; both branches identical") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val index = Retrieval.buildInvIndex(docs, "doc_id", "text")
+    val queries = queryBatch(docs)
+    // the decision variable is exactly the plain probe's posting-multiply
+    // volume: Σ df over the batch's distinct (query, term) pairs —
+    // recomputed here independently
+    val expected = queries
+      .select(col("qid"), explode(expr("filter(split(lower(qtext), ' '), " +
+        "w -> length(w) > 0)")).as("word")).distinct()
+      .join(index.dfTable, Seq("word"))
+      .agg(sum(col("df"))).collect()(0).getLong(0)
+    assert(Retrieval.bm25MultiplyVolume(queries, "qid", "qtext", index)
+      == expected)
+    // empty batch → volume 0 (the coalesce guard), picks the plain probe
+    val none = Seq.empty[(Long, String)].toDF("qid", "qtext")
+    assert(Retrieval.bm25MultiplyVolume(none, "qid", "qtext", index) == 0L)
+    // and the dispatch is invisible in the output: auto ≡ plain ≡ maxscore
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val auto = rows(Retrieval.bm25TopKAuto(queries, "qid", "qtext", index,
+      5, excludeIdEq = true))
+    assert(auto.nonEmpty &&
+      auto == rows(Retrieval.bm25TopK(queries, "qid", "qtext", index, 5,
+        excludeIdEq = true)))
+  }
+
+  test("re-folding an already-indexed batch is a no-op (dedupe guard)") {
+    // regression (advice): an additive re-fold of the SAME batch used to
+    // double-count every re-added doc id (postings/dl union fan-out) —
+    // the exact idempotent-replay pattern the store merge path encourages
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val standing = Retrieval.buildInvIndex(
+      docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+    val once = Retrieval.updateInvIndex(standing, batch, "doc_id", "text")
+    val twice = Retrieval.updateInvIndex(once, batch, "doc_id", "text")
+    def setOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(setOf(twice.postings) == setOf(once.postings))
+    assert(setOf(twice.dl) == setOf(once.dl))
+    assert(setOf(twice.dfTable) == setOf(once.dfTable))
+    assert(setOf(twice.stats) == setOf(once.stats))
+    assert(setOf(twice.maxImpact) == setOf(once.maxImpact))
+    assert(setOf(twice.postings).nonEmpty)
   }
 
   test("additive update ≡ full rebuild, componentwise") {

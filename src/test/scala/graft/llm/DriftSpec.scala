@@ -1,0 +1,102 @@
+package graft.llm
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the standing-index drift gate: an iid (in-sample) batch must NOT
+  * trip any check while a deliberately shifted batch (3·vq + 41 vectors,
+  * reversed-token documents) trips every one — with the SAME thresholds,
+  * chosen midway between the two observed drifts, so the test fails if
+  * either side of the separation collapses. Also pins the report's exact
+  * metric inventory and basic integer invariants.
+  */
+class DriftSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def fixtures() = {
+    val corpus = graft.EntryHelpers.annCorpus(spark, TestSpark.sf)
+    val ivf = Ann.buildIvfPqIndex(corpus, step = 25, iters = 2)
+    val sq = Ann.buildSqIndex(corpus)
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val inv = Retrieval.buildInvIndex(docs, "doc_id", "text")
+    (corpus, ivf, sq, inv, docs)
+  }
+
+  test("iid batch stays under gate; shifted batch trips every check") {
+    val (corpus, ivf, sq, inv, docs) = fixtures()
+    val iidVecs = corpus.filter(col("nid") % 7 === 0)
+    val shiftVecs = iidVecs
+      .select(col("nid"), expr("transform(vq, v -> v * 3 + 41)").as("vq"))
+      .withColumn("norm2", expr("aggregate(vq, 0L, (acc, v) -> acc + v * v)"))
+    val iidDocs = docs.filter(col("doc_id") % 53 === 0).select(col("text"))
+    val shiftDocs = docs.filter(col("doc_id") % 53 === 0)
+      .select(expr("array_join(transform(filter(split(lower(text), ' '), " +
+        "w -> length(w) > 0), w -> reverse(w)), ' ')").as("text"))
+
+    def scalars(batch: org.apache.spark.sql.DataFrame,
+        bdocs: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      Drift.report(ivf, sq, inv, corpus, batch, bdocs, "text")
+        .filter(col("key") === -1L).collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+
+    val iid = scalars(iidVecs, iidDocs)
+    val sh = scalars(shiftVecs, shiftDocs)
+    // orient every check as "drift" the way the gate does
+    def drift(m: Map[String, Long]) = Map(
+      "ivf_tv_bp" -> m("ivf_tv_bp"),
+      "sq_sat_delta_bp" -> (m("sq_sat_bp_batch") - m("sq_sat_bp_base")),
+      "pq_recon_delta_micro" ->
+        (m("pq_recon_micro_base") - m("pq_recon_micro_batch")),
+      "bm25_oov_bp" -> m("bm25_oov_bp"))
+    val di = drift(iid)
+    val ds = drift(sh)
+    di.keys.foreach { k =>
+      assert(ds(k) > di(k),
+        s"$k failed to separate: iid=${di(k)} shifted=${ds(k)}")
+    }
+    // midpoint thresholds: iid must pass, shifted must trip — on EVERY check
+    def mid(k: String) = (di(k) + ds(k)) / 2
+    def gateMap(batch: org.apache.spark.sql.DataFrame,
+        bdocs: org.apache.spark.sql.DataFrame): Map[String, Boolean] =
+      Drift.gate(Drift.report(ivf, sq, inv, corpus, batch, bdocs, "text"),
+          mid("ivf_tv_bp"), mid("sq_sat_delta_bp"),
+          mid("pq_recon_delta_micro"), mid("bm25_oov_bp"))
+        .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    val gIid = gateMap(iidVecs, iidDocs)
+    val gSh = gateMap(shiftVecs, shiftDocs)
+    assert(gIid.size == 4 && gIid.values.forall(_ == false),
+      s"iid batch tripped the gate: $gIid")
+    assert(gSh.size == 4 && gSh.values.forall(_ == true),
+      s"shifted batch failed to trip every check: $gSh")
+    // the iid doc batch is a verbatim corpus subset: zero OOV exactly
+    assert(iid("bm25_oov_bp") == 0L)
+  }
+
+  test("report inventory and integer invariants") {
+    val (corpus, ivf, sq, inv, docs) = fixtures()
+    val batch = corpus.filter(col("nid") % 7 === 0)
+      .select(col("nid"), expr("transform(vq, v -> v * 3 + 41)").as("vq"))
+      .withColumn("norm2", expr("aggregate(vq, 0L, (acc, v) -> acc + v * v)"))
+    val bdocs = docs.filter(col("doc_id") % 53 === 0).select(col("text"))
+    val rep = Drift.report(ivf, sq, inv, corpus, batch, bdocs, "text")
+      .collect()
+    val metrics = rep.map(_.getString(0)).toSet
+    assert(metrics == Set("ivf_cell_bp_base", "ivf_cell_bp_batch",
+      "ivf_tv_bp", "sq_sat_bp_base", "sq_sat_bp_batch",
+      "pq_recon_micro_base", "pq_recon_micro_batch", "bm25_oov_bp"))
+    // bp metrics live in [0, 10000]; the per-cell families cover the
+    // same cell set on both sides (full-outer with 0 fill)
+    val bps = rep.filter(r => r.getString(0).contains("_bp") &&
+      r.getString(0) != "ivf_tv_bp")
+    assert(bps.forall(r => r.getLong(2) >= 0L && r.getLong(2) <= 10000L))
+    def cellsOf(m: String) = rep.filter(_.getString(0) == m)
+      .map(_.getLong(1)).toSet
+    assert(cellsOf("ivf_cell_bp_base") == cellsOf("ivf_cell_bp_batch"))
+    // shares sum to ≤ 10000 (integer-floor division loses remainders)
+    def shareSum(m: String) = rep.filter(_.getString(0) == m)
+      .map(_.getLong(2)).sum
+    assert(shareSum("ivf_cell_bp_base") <= 10000L)
+    assert(shareSum("ivf_cell_bp_batch") <= 10000L)
+  }
+}
