@@ -57,9 +57,16 @@ object BenchBm25 {
       (if (volume > llm.Retrieval.Bm25AutoVolumeThreshold) "maxscore"
        else "probe") + ")")
     // flat postings for the falsification lane: same rows, no partition
-    // layout — the band filter degrades to a row filter over all bytes
+    // layout — the band filter degrades to a row filter over all bytes.
+    // The round-robin repartition is load-bearing: a straight rewrite of
+    // the band-partitioned read PRESERVES band clustering, so parquet
+    // row-group min/max skipping on the pushed __band IN-filter silently
+    // re-creates ~the same byte pruning and the perturbation measures
+    // nothing (observed: flat ≈ banded at the 19-query shape before the
+    // shuffle was added)
     val flatIndex = if (perturb) {
-      index.postings.write.mode("overwrite").parquet(s"$dir/postings_flat")
+      index.postings.repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/postings_flat")
       Some(index.copy(
         postings = spark.read.parquet(s"$dir/postings_flat")))
     } else None

@@ -520,16 +520,19 @@ object Retrieval {
       .collect()(0).getLong(0)
 
   /** Posting-multiply volume above which [[bm25TopKMaxScore]] beats the
-    * plain banded probe. Measured at the 500k-doc Zipf lane (BenchBm25):
-    * probe time is ~linear in the multiply volume while MaxScore pays a
-    * ~6-10 s three-phase constant plus a much shallower slope (150-query
-    * batch: probe 6.6 s vs MaxScore 11-13 s; 5,198-query batch: probe
-    * 269-282 s vs MaxScore 75 s). Solving the two linear fits puts the
-    * crossover near 1.5-2× the 150-query batch's volume; the constant
-    * below sits at that point expressed in posting-pairs. Both branches
-    * are bit-identical, so a mispick costs time, never correctness.
+    * plain banded probe. Calibrated on the 500k-doc/200k-word Zipf lane
+    * (BenchBm25, one session, round 16): 19-query batch V = 10.0M —
+    * probe 4.2-4.4 s vs MaxScore 6.5-7.2 s; 171-query batch V = 67.4M —
+    * probe 13.8-14.3 s vs MaxScore 15.8-15.9 s; 5,198-query batch
+    * V = 1.97G — probe 454 s vs MaxScore 100-191 s. Probe time is
+    * ~linear in V (≈ 0.23 s/M, intercept ≈ 0); MaxScore pays a ~10 s
+    * three-phase constant with a ~2.5× shallower slope (≈ 0.09 s/M);
+    * the fits cross at V ≈ 70M pairs — just above the 171-query shape,
+    * where the measured gap is already inside noise (±10%). Both
+    * branches are bit-identical, so a mispick costs time, never
+    * correctness.
     */
-  val Bm25AutoVolumeThreshold: Long = 3000000L
+  val Bm25AutoVolumeThreshold: Long = 70000000L
 
   /** BM25 top-k with the probe strategy PICKED PER BATCH: one bounded
     * volume-estimate job ([[bm25MultiplyVolume]]), then the plain banded
