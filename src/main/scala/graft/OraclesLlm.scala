@@ -2411,6 +2411,25 @@ private[graft] object OraclesLlm {
     // must equal a full rebuild over the whole corpus — so the oracle IS
     // the full-corpus BM25 chain, unchanged
     "llm_bm25_update" -> bm25Sql,
+    // llm_phrase_search oracle: the same slot-vote algebra — token
+    // positions join phrase slots, each hit votes for its implied start
+    // s = p − i, a start matches iff all n slots voted (1-based DuckDB
+    // subscripts cancel in the subtraction, so s aligns with Spark's
+    // 0-based posexplode)
+    "llm_phrase_search" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS ws FROM documents),
+        |tok AS (SELECT doc_id AS nid, unnest(ws) AS word, generate_subscripts(ws, 1) AS p FROM d),
+        |q AS (SELECT doc_id AS query_id, ws[2:4] AS qs FROM d WHERE doc_id % 89 = 0),
+        |qw AS (SELECT query_id, unnest(qs) AS word, generate_subscripts(qs, 1) AS i FROM q),
+        |nw AS (SELECT query_id, count(*) AS n_words FROM qw GROUP BY 1),
+        |hits AS (SELECT qw.query_id, tok.nid, tok.p - qw.i AS s FROM tok JOIN qw USING (word)),
+        |cand AS (SELECT query_id, nid, s, count(*) AS k_i FROM hits GROUP BY 1, 2, 3),
+        |occ AS (SELECT c.query_id, c.nid, CAST(count(*) AS BIGINT) AS n_occurrences
+        |  FROM cand c JOIN nw USING (query_id) WHERE c.k_i = nw.n_words GROUP BY 1, 2),
+        |ranked AS (SELECT query_id, nid, n_occurrences,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY n_occurrences DESC, nid ASC) AS rank FROM occ)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, nid AS doc_id, n_occurrences
+        |FROM ranked WHERE rank <= 5""".stripMargin,
     // llm_bm25_auto oracle: the per-batch strategy pick dispatches
     // between two bit-identical branches, so the auto row shares the
     // same plain-BM25 SQL — the hash match IS "the pick changed nothing"

@@ -871,6 +871,21 @@ private[graft] object QueriesLlm {
         sharedInvIndex(s, dir), k = 5, excludeIdEq = true)
     }),
 
+    // Exact phrase retrieval over positional postings — the operator the
+    // bag-of-words BM25 family cannot express: a doc matches the 3-word
+    // phrase (query doc's words 2-4) at start s iff every slot's word
+    // sits at s + i; n_occurrences counts distinct starts. Entirely
+    // relational slot-vote algebra (no array folds), same in the oracle.
+    "llm_phrase_search" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val queries = docs.filter(col("doc_id") % 89 === 0)
+        .select(col("doc_id").as("qid"),
+          expr("array_join(slice(filter(split(lower(text), ' '), " +
+            "w -> length(w) > 0), 2, 3), ' ')").as("qtext"))
+      llm.Retrieval.phraseTopK(queries, "qid", "qtext",
+        llm.Retrieval.buildPosIndex(docs, "doc_id", "text"), k = 5)
+    }),
+
     // Hybrid retrieval: reciprocal-rank fusion (C=60, pure integer) of
     // dense brute-force cosine top-10 and sparse BM25 top-10 over the
     // SAME query set (vec_id % 50 == 0; query text = that doc's first 5

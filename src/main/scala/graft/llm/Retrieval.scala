@@ -549,6 +549,77 @@ object Retrieval {
       bm25TopKMaxScore(queries, qidCol, qtextCol, index, k, excludeIdEq)
     else bm25TopK(queries, qidCol, qtextCol, index, k, excludeIdEq)
 
+  /** Positional postings — the phrase-search artifact the bag-of-words
+    * [[InvIndex]] cannot express: one row per (word, doc, positions)
+    * with positions as the sorted 0-based token offsets of `word` in the
+    * doc, carrying the same word-hash `__band` as the BM25 postings so a
+    * persisted layout gives phrase probes the identical partition-pruned
+    * read. Build-once like every standing index here; tokenization is
+    * the shared deterministic [[toks]].
+    */
+  def buildPosIndex(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("nid"), posexplode(toks(textCol))
+        .as(Seq("p", "word")))
+      .groupBy(col("nid"), col("word"))
+      .agg(sort_array(collect_list(col("p").cast("long"))).as("positions"))
+      .withColumn("__band", band(col("word")))
+
+  /** EXACT phrase top-k over positional postings: a document matches the
+    * n-word phrase at start offset s iff for EVERY phrase slot i its
+    * word occurs at position s + i; `n_occurrences` counts the distinct
+    * start offsets and ranks (count DESC, doc ASC) through the bounded
+    * top-k tail. Entirely relational — (query, slot, word) rows join the
+    * positional postings, each hit normalizes to its implied start
+    * `s = p − i`, and a start is a match iff all n slots voted for it
+    * (`count per (query, doc, s) == n`) — so the same algebra runs
+    * bit-identically in the oracle, with no array-fold whose order could
+    * drift. Repeated phrase words are handled by construction (slots i
+    * and j of the same word vote from the same posting row at different
+    * shifts). Queries whose phrase has no tokens return no rows.
+    *
+    * Scale: postings explode positions ONLY for the broadcast query-word
+    * set (the inverted access path again); the vote aggregate is a
+    * partial-agg groupBy on (query, doc, start); a persisted banded
+    * layout makes the read partition-pruned exactly like the BM25 probe.
+    */
+  def phraseTopK(queries: DataFrame, qidCol: String, qtextCol: String,
+      posIndex: DataFrame, k: Int): DataFrame = {
+    val qw = queries.select(col(qidCol).as("query_id"),
+        posexplode(toks(qtextCol)).as(Seq("i", "word")))
+    val nw = qw.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_words"))
+    val qwords = qw.select(col("word")).distinct()
+    // same band IN-filter contract as the BM25 probe: on a persisted
+    // band-partitioned layout this collapses to a partition-pruned read
+    // (bounded driver collect over the query-word set); on an in-memory
+    // build it is a cheap row filter
+    val qbands = qwords.select(band(col("word")).as("__band")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    // hit rows are unique by construction: positions are distinct per
+    // (doc, word) and each (query, slot) is one qw row, so no distinct
+    // is needed before the vote count
+    val hits = posIndex.filter(col("__band").isin(qbands: _*))
+      .join(broadcast(qwords), Seq("word"))
+      .join(broadcast(qw), Seq("word"))
+      .select(col("query_id"), col("nid"), col("i"),
+        explode(col("positions")).as("p"))
+      .select(col("query_id"), col("nid"),
+        (col("p") - col("i")).as("s"))
+    val occ = hits.groupBy(col("query_id"), col("nid"), col("s"))
+      .agg(count(lit(1)).as("k_i"))
+      .join(broadcast(nw), Seq("query_id"))
+      .filter(col("k_i") === col("n_words"))
+      .groupBy(col("query_id"), col("nid"))
+      .agg(count(lit(1)).as("n_occurrences"))
+    occ.groupBy(col("query_id"))
+      .agg(graft.plans.TopKPairs.topkPairs(-col("n_occurrences"), col("nid"), k)
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "q")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("q.id").as("doc_id"), (-col("q.ord")).as("n_occurrences"))
+  }
+
   /** The distinct (query_id, word) term set of a query batch. */
   private def bm25QueryTerms(queries: DataFrame, qidCol: String,
       qtextCol: String): DataFrame =

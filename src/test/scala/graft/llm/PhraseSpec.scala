@@ -1,0 +1,89 @@
+package graft.llm
+
+import graft.TestSpark
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins exact phrase retrieval over positional postings: the slot-vote
+  * algebra (a start offset matches iff every phrase slot's word voted
+  * for it), occurrence counting with overlapping and repeated-word
+  * phrases, the (count DESC, doc ASC) ranking law, and the banded
+  * layout's partition-pruned probe parity with the BM25 postings.
+  */
+class PhraseSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def run(docs: Seq[(Long, String)], phrase: String, k: Int = 10) = {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = docs.toDF("doc_id", "text")
+    val q = Seq((100L, phrase)).toDF("qid", "qtext")
+    Retrieval.phraseTopK(q, "qid", "qtext",
+        Retrieval.buildPosIndex(d, "doc_id", "text"), k)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toList
+  }
+
+  test("occurrence counting: overlaps, repeats, and non-matches") {
+    // "a b a b a" holds "a b a" at starts 0 and 2 (overlapping)
+    assert(run(Seq((1L, "a b a b a")), "a b a") == List((1L, 2L)))
+    // repeated-word phrase "a a": "a a a" holds it at starts 0 and 1
+    assert(run(Seq((1L, "a a a"), (2L, "a b a")), "a a") == List((1L, 2L)))
+    // all words present but never adjacent in order: no match
+    assert(run(Seq((1L, "b a")), "a b") == Nil)
+    // single-word phrase degenerates to term frequency
+    assert(run(Seq((1L, "x y x"), (2L, "x")), "x") ==
+      List((1L, 2L), (2L, 1L)))
+    // phrase with a word absent from the corpus: no match anywhere
+    assert(run(Seq((1L, "a b c")), "a zzz") == Nil)
+  }
+
+  test("ranking law: count DESC, doc_id ASC; k bounds the tail") {
+    val docs = Seq((3L, "w v w v w v"), (1L, "w v"), (2L, "w v w v"))
+    assert(run(docs, "w v") == List((3L, 3L), (2L, 2L), (1L, 1L)))
+    assert(run(docs, "w v", k = 2) == List((3L, 3L), (2L, 2L)))
+    // tie on count breaks by ascending doc id
+    assert(run(Seq((5L, "w v"), (4L, "w v")), "w v") ==
+      List((4L, 1L), (5L, 1L)))
+  }
+
+  test("probe of a saved banded layout is partition-pruned to query bands") {
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-phrase-spec").toString
+    Retrieval.buildPosIndex(docs, "doc_id", "text")
+      .write.partitionBy("__band").parquet(s"$dir/pos")
+    val loaded = spark.read.parquet(s"$dir/pos")
+    val queries = docs.filter(col("doc_id") % 89 === 0)
+      .select(col("doc_id").as("qid"),
+        expr("array_join(slice(filter(split(lower(text), ' '), " +
+          "w -> length(w) > 0), 2, 3), ' ')").as("qtext"))
+    val inline = Retrieval.phraseTopK(queries, "qid", "qtext",
+      Retrieval.buildPosIndex(docs, "doc_id", "text"), 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val i = rows(inline)
+    TestSpark.withAqeDisabled {
+      val probed = Retrieval.phraseTopK(queries, "qid", "qtext", loaded, 5)
+      assert(i.nonEmpty && rows(probed) == i)
+      val qbands = queries
+        .select(explode(expr("filter(split(lower(qtext), ' '), " +
+          "w -> length(w) > 0)")).as("word"))
+        .select(pmod(xxhash64(col("word")), lit(Retrieval.PostingBands))
+          .cast("int").as("b"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      val scans = probed.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec if f.relation.location.rootPaths
+          .exists(_.toString.contains("graft-phrase-spec")) => f
+      }
+      assert(scans.nonEmpty, "positional postings scan not found")
+      scans.foreach { f =>
+        assert(f.partitionFilters.nonEmpty)
+        assert(f.selectedPartitions.partitionCount.toLong == qbands.size.toLong,
+          s"read ${f.selectedPartitions.partitionCount} bands, " +
+            s"query bands = ${qbands.size}")
+      }
+    }
+  }
+}
