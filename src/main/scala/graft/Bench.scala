@@ -96,6 +96,7 @@ object Bench {
     // picked probe; drift scans corpus + batch through every standing
     // index; phrase joins positional postings against the slot votes)
     "llm_bm25_auto", "llm_index_drift", "llm_phrase_search",
+    "llm_query_expand",
     "s2_stream_agg", "s2b_stream_state", "s2c_stream_sessions",
     "s2d_stream_join", "s2e_stream_dedup_wm", "s2f_stream_enrich",
     "s2g_stream_hll", "s2h_stream_cm", "s2i_stream_quantile",

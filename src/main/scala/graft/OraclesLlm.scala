@@ -2411,6 +2411,52 @@ private[graft] object OraclesLlm {
     // must equal a full rebuild over the whole corpus — so the oracle IS
     // the full-corpus BM25 chain, unchanged
     "llm_bm25_update" -> bm25Sql,
+    // llm_query_expand oracle: the bm25Sql chain up to the ranked
+    // feedback docs (rank <= 5 — the same rows the llm_bm25 oracle
+    // emits), then corpus-wide tf/df over ALL words, Okapi impact per
+    // (feedback doc, term) with the identical IEEE op sequence, original
+    // query terms anti-joined out, integer sum per (query, term), top-10
+    // on (sum DESC, term ASC) — DuckDB's default binary VARCHAR
+    // collation matches Spark's UTF8String order
+    "llm_query_expand" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS ws FROM documents),
+        |tok AS (SELECT doc_id AS nid, unnest(ws) AS word FROM w),
+        |dl AS (SELECT doc_id AS nid, CAST(len(ws) AS BIGINT) AS dl FROM w WHERE len(ws) > 0),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens FROM dl),
+        |qt AS (SELECT DISTINCT query_id, word FROM
+        |  (SELECT doc_id AS query_id, unnest(ws[1:5]) AS word FROM w WHERE doc_id % 97 = 0)),
+        |qw AS (SELECT DISTINCT word FROM qt),
+        |m AS (SELECT nid, tok.word FROM tok JOIN qw ON tok.word = qw.word),
+        |tf AS (SELECT nid, word, CAST(count(*) AS BIGINT) AS tf FROM m GROUP BY nid, word),
+        |dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM (SELECT DISTINCT nid, word FROM m) GROUP BY word),
+        |terms AS (SELECT qt.query_id, tf.nid, tf.tf, dfq.df, dl.dl, stats.n_docs, stats.total_tokens
+        |  FROM tf JOIN dfq USING (word) JOIN dl USING (nid) CROSS JOIN stats JOIN qt ON tf.word = qt.word
+        |  WHERE tf.nid <> qt.query_id),
+        |sc AS (SELECT query_id, nid,
+        |    CAST(floor(((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |      * ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / (CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+        |      * 1000000.0) AS BIGINT) AS term_micro
+        |  FROM terms),
+        |agg AS (SELECT query_id, nid, CAST(sum(term_micro) AS BIGINT) AS score_micro FROM sc GROUP BY query_id, nid),
+        |r AS (SELECT query_id, nid, score_micro,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, nid ASC) AS rank FROM agg),
+        |fb AS (SELECT query_id, nid FROM r WHERE rank <= 5),
+        |tf2 AS (SELECT nid, word, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+        |df2 AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM (SELECT DISTINCT nid, word FROM tok) GROUP BY 1),
+        |cand AS (SELECT fb.query_id, tf2.word, tf2.tf, df2.df, dl.dl, stats.n_docs, stats.total_tokens
+        |  FROM fb JOIN tf2 USING (nid) JOIN df2 USING (word) JOIN dl USING (nid) CROSS JOIN stats),
+        |notq AS (SELECT cand.* FROM cand LEFT JOIN qt
+        |  ON cand.query_id = qt.query_id AND cand.word = qt.word WHERE qt.word IS NULL),
+        |scq AS (SELECT query_id, word,
+        |    CAST(floor(((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |      * ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / (CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+        |      * 1000000.0) AS BIGINT) AS term_micro
+        |  FROM notq),
+        |ex AS (SELECT query_id, word, CAST(sum(term_micro) AS BIGINT) AS expansion_micro FROM scq GROUP BY 1, 2),
+        |rx AS (SELECT query_id, word, expansion_micro,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY expansion_micro DESC, word ASC) AS rank FROM ex)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, word AS term, expansion_micro
+        |FROM rx WHERE rank <= 10""".stripMargin,
     // llm_phrase_search oracle: the same slot-vote algebra — token
     // positions join phrase slots, each hit votes for its implied start
     // s = p − i, a start matches iff all n slots voted (1-based DuckDB

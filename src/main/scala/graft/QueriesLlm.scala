@@ -871,6 +871,21 @@ private[graft] object QueriesLlm {
         sharedInvIndex(s, dir), k = 5, excludeIdEq = true)
     }),
 
+    // Pseudo-relevance-feedback query expansion (RM3 shape): BM25 top-5
+    // feedback docs per query from the shared standing index, every
+    // feedback-doc term scored with the SAME Okapi impact the retrieval
+    // uses, original query terms dropped, top-10 per query on
+    // (Σ impact DESC, term ASC) through the bounded string-keyed
+    // TopKWords tail (binary UTF-8 tie law ≡ DuckDB's collation).
+    "llm_query_expand" -> ((s, dir) => {
+      val queries = t(s, dir, "documents").filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("qid"),
+          expr("array_join(slice(filter(split(lower(text), ' '), " +
+            "w -> length(w) > 0), 1, 5), ' ')").as("qtext"))
+      llm.Retrieval.prfExpandTerms(queries, "qid", "qtext",
+        sharedInvIndex(s, dir), kDocs = 5, mTerms = 10, excludeIdEq = true)
+    }),
+
     // Exact phrase retrieval over positional postings — the operator the
     // bag-of-words BM25 family cannot express: a doc matches the 3-word
     // phrase (query doc's words 2-4) at start s iff every slot's word

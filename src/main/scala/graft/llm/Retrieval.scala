@@ -620,6 +620,53 @@ object Retrieval {
         col("q.id").as("doc_id"), (-col("q.ord")).as("n_occurrences"))
   }
 
+  /** Pseudo-relevance-feedback query expansion (the RM3 shape) over a
+    * standing [[InvIndex]]: probe BM25 top-`kDocs` feedback documents
+    * per query, score EVERY term of the feedback docs with the same
+    * Okapi impact expression the retrieval uses (corpus-wide df/dl/
+    * stats — so expansion weight is exactly "how much would this term
+    * contribute if queried"), drop the original query terms, and rank
+    * the top `mTerms` per query on (Σ impact DESC, term ASC). Output:
+    * (query_id, rank, term, expansion_micro) — the expanded-query table
+    * a second-pass retrieval consumes.
+    *
+    * Determinism: the feedback set is the oracle-pinned BM25 top-k; the
+    * expansion weight is the same micro-quantized integer sum; the term
+    * tie-break is binary UTF-8 order (= DuckDB's default VARCHAR
+    * collation), through the bounded [[graft.plans.TopKWords]] aggregate
+    * — the string-keyed sibling of TopKPairs, so term ranking stays
+    * Window-free like every other tier.
+    *
+    * Scale: the feedback (query, doc) set is |queries|·kDocs rows —
+    * broadcast; the postings scan it semi-joins is ONE pass (PRF needs
+    * the feedback docs' full vocabulary, which no word-keyed pruning can
+    * pre-select — the classic forward-index access; the inverted layout
+    * still serves it in one scan with the join filtering early);
+    * everything downstream is per-(query, term) partial aggregation.
+    */
+  def prfExpandTerms(queries: DataFrame, qidCol: String, qtextCol: String,
+      index: InvIndex, kDocs: Int, mTerms: Int,
+      excludeIdEq: Boolean): DataFrame = {
+    val fb = bm25TopK(queries, qidCol, qtextCol, index, kDocs, excludeIdEq)
+      .select(col("query_id"), col("doc_id").as("nid"))
+    val qterms = bm25QueryTerms(queries, qidCol, qtextCol)
+    val scored = index.postings.select(col("word"), col("nid"), col("tf"))
+      .join(broadcast(fb), Seq("nid"))
+      .join(index.dfTable, Seq("word"))
+      .join(index.dl, Seq("nid"))
+      .crossJoin(broadcast(index.stats))
+      .withColumn("term_micro", termMicro)
+      .join(broadcast(qterms), Seq("query_id", "word"), "left_anti")
+      .groupBy(col("query_id"), col("word"))
+      .agg(sum(col("term_micro")).as("expansion_micro"))
+    scored.groupBy(col("query_id"))
+      .agg(graft.plans.TopKWords.topkWords(-col("expansion_micro"),
+        col("word"), mTerms).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.word").as("term"), (-col("t.ord")).as("expansion_micro"))
+  }
+
   /** The distinct (query_id, word) term set of a query batch. */
   private def bm25QueryTerms(queries: DataFrame, qidCol: String,
       qtextCol: String): DataFrame =
