@@ -216,16 +216,31 @@ object Bench {
     val total = scaledTotal + fixtureTotal
     val json =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(json)
-    println(s"""{"metric":"scaled_total","value":${r3(scaledTotal)},"unit":"sec","sf":"$sfDir"}""")
-    println(s"""{"metric":"fixture_total","value":${r3(fixtureTotal)},"unit":"sec","sf":"$sfDir"}""")
-    // The full line above outgrew the driver's tail-parse window two rounds
+    // The full line outgrew the driver's tail-parse window two rounds
     // running (88+ queries); emit a short record LAST so the tail always
     // contains one complete parseable JSON line.
     val summary = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir"}"""
-    println(summary)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     Files.writeString(Paths.get(out), json + "\n")
+    // Quiesce Spark COMPLETELY before emitting the metric lines, and make
+    // them the very last stdout of the run: in round 16 the state-store
+    // maintenance pool's teardown stack trace ("RpcEnv already stopped",
+    // logged asynchronously during/after spark.stop()) landed AFTER the
+    // metrics and displaced them from the driver's tail-parse window
+    // (BENCH_r16.json parsed=null). Order: stop any streaming queries a
+    // timed row left behind, unload the state-store providers and their
+    // maintenance thread pool (the trace's source), silence the loggers,
+    // THEN stop the session — only after all of that print the metrics.
+    try spark.streams.active.foreach(q =>
+      try q.stop() catch { case _: Throwable => () })
+    catch { case _: Throwable => () }
+    try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    catch { case _: Throwable => () }
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    println(json)
+    println(s"""{"metric":"scaled_total","value":${r3(scaledTotal)},"unit":"sec","sf":"$sfDir"}""")
+    println(s"""{"metric":"fixture_total","value":${r3(fixtureTotal)},"unit":"sec","sf":"$sfDir"}""")
+    println(summary)
   }
 }

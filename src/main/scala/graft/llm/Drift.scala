@@ -165,8 +165,18 @@ object Drift {
       reconDeltaMicroMax: Long, oovBpMax: Long): DataFrame = {
     val spark = report.sparkSession
     import spark.implicits._
-    val v = report.filter(col("key") === -1L).collect()
+    val v = report.filter(col("key") === -1L && col("value").isNotNull)
+      .collect()
       .map(r => r.getString(0) -> r.getLong(2)).toMap
+    // fail fast with the missing names instead of a bare
+    // NoSuchElementException from a raw Map lookup: a report missing a
+    // scalar metric (filtered upstream, or a renamed metric) is a caller
+    // bug worth a diagnosable message
+    val expected = Set("ivf_tv_bp", "sq_sat_bp_base", "sq_sat_bp_batch",
+      "pq_recon_micro_base", "pq_recon_micro_batch", "bm25_oov_bp")
+    require(expected.subsetOf(v.keySet),
+      s"drift report is missing scalar metrics ${(expected -- v.keySet).toSeq.sorted.mkString(", ")} " +
+        s"(got ${v.keySet.toSeq.sorted.mkString(", ")})")
     Seq(
       ("ivf_tv_bp", v("ivf_tv_bp"), tvBpMax),
       ("sq_sat_delta_bp", v("sq_sat_bp_batch") - v("sq_sat_bp_base"),

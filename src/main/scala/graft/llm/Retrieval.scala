@@ -598,9 +598,11 @@ object Retrieval {
       .collect().map(_.getInt(0)).sorted
     // hit rows are unique by construction: positions are distinct per
     // (doc, word) and each (query, slot) is one qw row, so no distinct
-    // is needed before the vote count
+    // is needed before the vote count. The broadcast(qw) join on `word`
+    // IS the query-word pruning (qwords is just its distinct words — a
+    // second semi-join on it would filter nothing more), so the band
+    // IN-filter plus this one join is the whole probe.
     val hits = posIndex.filter(col("__band").isin(qbands: _*))
-      .join(broadcast(qwords), Seq("word"))
       .join(broadcast(qw), Seq("word"))
       .select(col("query_id"), col("nid"), col("i"),
         explode(col("positions")).as("p"))
