@@ -97,6 +97,13 @@ object Bench {
     // index; phrase joins positional postings against the slot votes)
     "llm_bm25_auto", "llm_index_drift", "llm_phrase_search",
     "llm_query_expand",
+    // round-17 additions (sf-scaled: prf runs the two-pass RM3 chain
+    // over the standing index; delete probes the tombstoned index after
+    // subtracting the %11 batch; phrase_update folds the held-out 10%
+    // and probes; drift_retrain retrains SQ bounds + folds the vocab
+    // batch and gates both phases)
+    "llm_prf_search", "llm_bm25_delete", "llm_phrase_update",
+    "llm_drift_retrain",
     "s2_stream_agg", "s2b_stream_state", "s2c_stream_sessions",
     "s2d_stream_join", "s2e_stream_dedup_wm", "s2f_stream_enrich",
     "s2g_stream_hll", "s2h_stream_cm", "s2i_stream_quantile",

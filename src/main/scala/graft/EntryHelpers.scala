@@ -266,6 +266,20 @@ private[graft] object EntryHelpers {
     llm.Retrieval.InvIndex.load(s, path)
   }
 
+  /** The shared POSITIONAL index over `dir`'s documents table (banded
+    * positional postings + indexed-id table), fingerprint-keyed
+    * build-once — the phrase-search twin of [[sharedInvIndex]]: the
+    * phrase row probes the persisted layout (partition-pruned to the
+    * query bands) instead of re-tokenizing the corpus per call.
+    */
+  def sharedPosIndex(s: SparkSession, dir: String): llm.Retrieval.PosIndex = {
+    val path = annIndexPath(dir, kind = "pos_v1", table = "documents")
+    ensureBuilt(path)(tmp =>
+      llm.Retrieval.buildPosIndex(t(s, dir, "documents"), "doc_id", "text")
+        .save(tmp))
+    llm.Retrieval.PosIndex.load(s, path)
+  }
+
   /** Salted contamination fixture (llm_decontaminate; the report row
     * builds its own two-benchmark variant of the same shape inline):
     * eval split (`doc_id % 100 == 0`), 12-word snips keyed by ref, and a

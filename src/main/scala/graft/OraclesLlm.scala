@@ -378,6 +378,25 @@ private[graft] object OraclesLlm {
         |SELECT query_id, CAST(rank AS BIGINT) AS rank, nid AS doc_id, score_micro
         |FROM r WHERE rank <= 5""".stripMargin
 
+  /** Shared by llm_phrase_search (persisted-index probe) and
+    * llm_phrase_update (additive fold): both must reproduce the
+    * full-corpus slot-vote phrase chain exactly.
+    */
+  private val phraseSql: String =
+      """WITH d AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS ws FROM documents),
+        |tok AS (SELECT doc_id AS nid, unnest(ws) AS word, generate_subscripts(ws, 1) AS p FROM d),
+        |q AS (SELECT doc_id AS query_id, ws[2:4] AS qs FROM d WHERE doc_id % 89 = 0),
+        |qw AS (SELECT query_id, unnest(qs) AS word, generate_subscripts(qs, 1) AS i FROM q),
+        |nw AS (SELECT query_id, count(*) AS n_words FROM qw GROUP BY 1),
+        |hits AS (SELECT qw.query_id, tok.nid, tok.p - qw.i AS s FROM tok JOIN qw USING (word)),
+        |cand AS (SELECT query_id, nid, s, count(*) AS k_i FROM hits GROUP BY 1, 2, 3),
+        |occ AS (SELECT c.query_id, c.nid, CAST(count(*) AS BIGINT) AS n_occurrences
+        |  FROM cand c JOIN nw USING (query_id) WHERE c.k_i = nw.n_words GROUP BY 1, 2),
+        |ranked AS (SELECT query_id, nid, n_occurrences,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY n_occurrences DESC, nid ASC) AS rank FROM occ)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, nid AS doc_id, n_occurrences
+        |FROM ranked WHERE rank <= 5""".stripMargin
+
   def registry: Map[String, String] = Map(
 
     "llm_exact_dedup" ->
@@ -2457,25 +2476,151 @@ private[graft] object OraclesLlm {
         |    row_number() OVER (PARTITION BY query_id ORDER BY expansion_micro DESC, word ASC) AS rank FROM ex)
         |SELECT query_id, CAST(rank AS BIGINT) AS rank, word AS term, expansion_micro
         |FROM rx WHERE rank <= 10""".stripMargin,
+    // llm_prf_search oracle: the llm_query_expand chain through rx (the
+    // ranked expansion terms), then the RM3 interpolated weights —
+    // original terms at 600000 // |q| micro each, expansion at
+    // (400000 · e) // Σe — and the weighted second pass: per matched
+    // term (weight · impact) // 10⁶ with the SAME Okapi IEEE op
+    // sequence, integer-summed per (query, doc), ranked top-5. All
+    // divisions are over non-negative BIGINTs, so DuckDB's flooring //
+    // ≡ Spark's truncating DIV throughout.
+    "llm_prf_search" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS ws FROM documents),
+        |tok AS (SELECT doc_id AS nid, unnest(ws) AS word FROM w),
+        |dl AS (SELECT doc_id AS nid, CAST(len(ws) AS BIGINT) AS dl FROM w WHERE len(ws) > 0),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens FROM dl),
+        |qt AS (SELECT DISTINCT query_id, word FROM
+        |  (SELECT doc_id AS query_id, unnest(ws[1:5]) AS word FROM w WHERE doc_id % 97 = 0)),
+        |qw AS (SELECT DISTINCT word FROM qt),
+        |m AS (SELECT nid, tok.word FROM tok JOIN qw ON tok.word = qw.word),
+        |tf AS (SELECT nid, word, CAST(count(*) AS BIGINT) AS tf FROM m GROUP BY nid, word),
+        |dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM (SELECT DISTINCT nid, word FROM m) GROUP BY word),
+        |terms AS (SELECT qt.query_id, tf.nid, tf.tf, dfq.df, dl.dl, stats.n_docs, stats.total_tokens
+        |  FROM tf JOIN dfq USING (word) JOIN dl USING (nid) CROSS JOIN stats JOIN qt ON tf.word = qt.word
+        |  WHERE tf.nid <> qt.query_id),
+        |sc AS (SELECT query_id, nid,
+        |    CAST(floor(((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |      * ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / (CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+        |      * 1000000.0) AS BIGINT) AS term_micro
+        |  FROM terms),
+        |agg AS (SELECT query_id, nid, CAST(sum(term_micro) AS BIGINT) AS score_micro FROM sc GROUP BY query_id, nid),
+        |r AS (SELECT query_id, nid, score_micro,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, nid ASC) AS rank FROM agg),
+        |fb AS (SELECT query_id, nid FROM r WHERE rank <= 5),
+        |tf2 AS (SELECT nid, word, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+        |df2 AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM (SELECT DISTINCT nid, word FROM tok) GROUP BY 1),
+        |cand AS (SELECT fb.query_id, tf2.word, tf2.tf, df2.df, dl.dl, stats.n_docs, stats.total_tokens
+        |  FROM fb JOIN tf2 USING (nid) JOIN df2 USING (word) JOIN dl USING (nid) CROSS JOIN stats),
+        |notq AS (SELECT cand.* FROM cand LEFT JOIN qt
+        |  ON cand.query_id = qt.query_id AND cand.word = qt.word WHERE qt.word IS NULL),
+        |scq AS (SELECT query_id, word,
+        |    CAST(floor(((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |      * ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / (CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+        |      * 1000000.0) AS BIGINT) AS term_micro
+        |  FROM notq),
+        |ex AS (SELECT query_id, word, CAST(sum(term_micro) AS BIGINT) AS expansion_micro FROM scq GROUP BY 1, 2),
+        |rx AS (SELECT query_id, word, expansion_micro,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY expansion_micro DESC, word ASC) AS rank FROM ex),
+        |ex10 AS (SELECT query_id, word, expansion_micro FROM rx WHERE rank <= 10),
+        |sexp AS (SELECT query_id, CAST(sum(expansion_micro) AS BIGINT) AS s_exp FROM ex10 GROUP BY 1),
+        |nq AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_q FROM qt GROUP BY 1),
+        |wq2 AS (
+        |  SELECT qt.query_id, qt.word, CAST(600000 // nq.n_q AS BIGINT) AS weight_micro FROM qt JOIN nq USING (query_id)
+        |  UNION ALL
+        |  SELECT e.query_id, e.word, CAST(CASE WHEN s.s_exp > 0 THEN (400000 * e.expansion_micro) // s.s_exp ELSE 0 END AS BIGINT)
+        |  FROM ex10 e JOIN sexp s USING (query_id)),
+        |m2 AS (SELECT nid, tok.word FROM tok JOIN (SELECT DISTINCT word FROM wq2) ww ON tok.word = ww.word),
+        |tf3 AS (SELECT nid, word, CAST(count(*) AS BIGINT) AS tf FROM m2 GROUP BY 1, 2),
+        |df3 AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM (SELECT DISTINCT nid, word FROM m2) GROUP BY 1),
+        |t3 AS (SELECT wq2.query_id, tf3.nid, tf3.tf, df3.df, dl.dl, stats.n_docs, stats.total_tokens, wq2.weight_micro
+        |  FROM tf3 JOIN df3 USING (word) JOIN dl USING (nid) CROSS JOIN stats JOIN wq2 ON tf3.word = wq2.word
+        |  WHERE tf3.nid <> wq2.query_id),
+        |sc3 AS (SELECT query_id, nid,
+        |    (weight_micro * CAST(floor(((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |      * ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / (CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+        |      * 1000000.0) AS BIGINT)) // 1000000 AS w_term
+        |  FROM t3),
+        |agg3 AS (SELECT query_id, nid, CAST(sum(w_term) AS BIGINT) AS score_micro FROM sc3 GROUP BY 1, 2),
+        |r3 AS (SELECT query_id, nid, score_micro,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, nid ASC) AS rank FROM agg3)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, nid AS doc_id, score_micro
+        |FROM r3 WHERE rank <= 5""".stripMargin,
+    // llm_drift_retrain oracle: both phases replayed from scratch —
+    // phase 1 gates the shifted batches (vq → 3·vq + 41 on vec_id % 7 =
+    // 0; reversed tokens on doc_id % 53 = 0) against the frozen
+    // artifacts (SQ bounds over the base corpus; the base vocabulary);
+    // phase 2 retrains (SQ bounds over base ∪ batch₁; vocabulary ∪
+    // batch₁ words) and gates a second same-distribution batch
+    // (% 7 = 1 / % 53 = 1). Same saturation/OOV bp arithmetic as the
+    // llm_index_drift oracle; thresholds 500 bp on both legs.
+    "llm_drift_retrain" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS BIGINT)) AS vq FROM embeddings),
+        |squ AS (SELECT unnest(vq) AS v, generate_subscripts(vq, 1) - 1 AS j FROM e),
+        |sqb AS (SELECT j, min(v) AS mn, max(v) AS mx FROM squ GROUP BY 1),
+        |sat_base1 AS (SELECT CAST(sum(CASE WHEN code IN (0, 255) THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS bp FROM
+        |  (SELECT CASE WHEN mx = mn THEN 0 ELSE greatest(0, least(255, ((v - mn) * 255) // (mx - mn))) END AS code FROM squ JOIN sqb USING (j))),
+        |b1 AS (SELECT list_transform(vq, v -> v * 3 + 41) AS vq FROM e WHERE vec_id % 7 = 0),
+        |squ1 AS (SELECT unnest(vq) AS v, generate_subscripts(vq, 1) - 1 AS j FROM b1),
+        |sat_batch1 AS (SELECT CAST(sum(CASE WHEN code IN (0, 255) THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS bp FROM
+        |  (SELECT CASE WHEN mx = mn THEN 0 ELSE greatest(0, least(255, ((v - mn) * 255) // (mx - mn))) END AS code FROM squ1 JOIN sqb USING (j))),
+        |squA AS (SELECT v, j FROM squ UNION ALL SELECT v, j FROM squ1),
+        |sqb2 AS (SELECT j, min(v) AS mn, max(v) AS mx FROM squA GROUP BY 1),
+        |sat_base2 AS (SELECT CAST(sum(CASE WHEN code IN (0, 255) THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS bp FROM
+        |  (SELECT CASE WHEN mx = mn THEN 0 ELSE greatest(0, least(255, ((v - mn) * 255) // (mx - mn))) END AS code FROM squA JOIN sqb2 USING (j))),
+        |b2 AS (SELECT list_transform(vq, v -> v * 3 + 41) AS vq FROM e WHERE vec_id % 7 = 1),
+        |squ2 AS (SELECT unnest(vq) AS v, generate_subscripts(vq, 1) - 1 AS j FROM b2),
+        |sat_batch2 AS (SELECT CAST(sum(CASE WHEN code IN (0, 255) THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS bp FROM
+        |  (SELECT CASE WHEN mx = mn THEN 0 ELSE greatest(0, least(255, ((v - mn) * 255) // (mx - mn))) END AS code FROM squ2 JOIN sqb2 USING (j))),
+        |vocab AS (SELECT DISTINCT w FROM (SELECT unnest(list_filter(string_split(lower(text), ' '), w -> len(w) > 0)) AS w FROM documents)),
+        |bt1 AS (SELECT unnest(list_transform(list_filter(string_split(lower(text), ' '), w -> len(w) > 0), w -> reverse(w))) AS w FROM documents WHERE doc_id % 53 = 0),
+        |oov1 AS (SELECT count(*) AS t, sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS o FROM bt1 LEFT JOIN vocab v ON bt1.w = v.w),
+        |vocab2 AS (SELECT DISTINCT w FROM (SELECT w FROM vocab UNION ALL SELECT w FROM bt1)),
+        |bt2 AS (SELECT unnest(list_transform(list_filter(string_split(lower(text), ' '), w -> len(w) > 0), w -> reverse(w))) AS w FROM documents WHERE doc_id % 53 = 1),
+        |oov2 AS (SELECT count(*) AS t, sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS o FROM bt2 LEFT JOIN vocab2 v ON bt2.w = v.w)
+        |SELECT CAST(1 AS BIGINT) AS phase, 'sq_sat_delta_bp' AS gate_check, CAST(sb.bp - s0.bp AS BIGINT) AS observed, CAST(500 AS BIGINT) AS threshold, (sb.bp - s0.bp) > 500 AS triggered FROM sat_batch1 sb CROSS JOIN sat_base1 s0
+        |UNION ALL SELECT CAST(1 AS BIGINT), 'bm25_oov_bp', CAST(CASE WHEN t = 0 THEN 0 ELSE o * 10000 // t END AS BIGINT), CAST(500 AS BIGINT), (CASE WHEN t = 0 THEN 0 ELSE o * 10000 // t END) > 500 FROM oov1
+        |UNION ALL SELECT CAST(2 AS BIGINT), 'sq_sat_delta_bp', CAST(sb.bp - s0.bp AS BIGINT), CAST(500 AS BIGINT), (sb.bp - s0.bp) > 500 FROM sat_batch2 sb CROSS JOIN sat_base2 s0
+        |UNION ALL SELECT CAST(2 AS BIGINT), 'bm25_oov_bp', CAST(CASE WHEN t = 0 THEN 0 ELSE o * 10000 // t END AS BIGINT), CAST(500 AS BIGINT), (CASE WHEN t = 0 THEN 0 ELSE o * 10000 // t END) > 500 FROM oov2""".stripMargin,
     // llm_phrase_search oracle: the same slot-vote algebra — token
     // positions join phrase slots, each hit votes for its implied start
     // s = p − i, a start matches iff all n slots voted (1-based DuckDB
     // subscripts cancel in the subtraction, so s aligns with Spark's
     // 0-based posexplode)
-    "llm_phrase_search" ->
-      """WITH d AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS ws FROM documents),
-        |tok AS (SELECT doc_id AS nid, unnest(ws) AS word, generate_subscripts(ws, 1) AS p FROM d),
-        |q AS (SELECT doc_id AS query_id, ws[2:4] AS qs FROM d WHERE doc_id % 89 = 0),
-        |qw AS (SELECT query_id, unnest(qs) AS word, generate_subscripts(qs, 1) AS i FROM q),
-        |nw AS (SELECT query_id, count(*) AS n_words FROM qw GROUP BY 1),
-        |hits AS (SELECT qw.query_id, tok.nid, tok.p - qw.i AS s FROM tok JOIN qw USING (word)),
-        |cand AS (SELECT query_id, nid, s, count(*) AS k_i FROM hits GROUP BY 1, 2, 3),
-        |occ AS (SELECT c.query_id, c.nid, CAST(count(*) AS BIGINT) AS n_occurrences
-        |  FROM cand c JOIN nw USING (query_id) WHERE c.k_i = nw.n_words GROUP BY 1, 2),
-        |ranked AS (SELECT query_id, nid, n_occurrences,
-        |  row_number() OVER (PARTITION BY query_id ORDER BY n_occurrences DESC, nid ASC) AS rank FROM occ)
-        |SELECT query_id, CAST(rank AS BIGINT) AS rank, nid AS doc_id, n_occurrences
-        |FROM ranked WHERE rank <= 5""".stripMargin,
+    "llm_phrase_search" -> phraseSql,
+    // llm_phrase_update oracle: the additive fold of the held-out 10%
+    // batch into the 90% standing positional index must equal a full
+    // rebuild over the whole corpus — so the oracle IS the full-corpus
+    // phrase chain, unchanged
+    "llm_phrase_update" -> phraseSql,
+    // llm_bm25_delete oracle: subtractive tombstone delete from the
+    // standing index ≡ a from-scratch rebuild over the SURVIVING corpus
+    // — the corpus-side CTEs score documents WHERE doc_id % 11 <> 0
+    // while the query set still derives from the FULL document table (a
+    // deleted doc's query text remains a valid query)
+    "llm_bm25_delete" ->
+      """WITH wq0 AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS ws FROM documents WHERE doc_id % 97 = 0),
+        |qt AS (SELECT DISTINCT doc_id AS query_id, unnest(ws[1:5]) AS word FROM wq0),
+        |qw AS (SELECT DISTINCT word FROM qt),
+        |w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS ws FROM documents WHERE doc_id % 11 <> 0),
+        |tok AS (SELECT doc_id AS nid, unnest(ws) AS word FROM w),
+        |dl AS (SELECT doc_id AS nid, CAST(len(ws) AS BIGINT) AS dl FROM w WHERE len(ws) > 0),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens FROM dl),
+        |m AS (SELECT nid, tok.word FROM tok JOIN qw ON tok.word = qw.word),
+        |tf AS (SELECT nid, word, CAST(count(*) AS BIGINT) AS tf FROM m GROUP BY nid, word),
+        |dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM (SELECT DISTINCT nid, word FROM m) GROUP BY word),
+        |terms AS (SELECT qt.query_id, tf.nid, tf.tf, dfq.df, dl.dl, stats.n_docs, stats.total_tokens
+        |  FROM tf JOIN dfq USING (word) JOIN dl USING (nid) CROSS JOIN stats JOIN qt ON tf.word = qt.word
+        |  WHERE tf.nid <> qt.query_id),
+        |sc AS (SELECT query_id, nid,
+        |    CAST(floor(((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |      * ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / (CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+        |      * 1000000.0) AS BIGINT) AS term_micro
+        |  FROM terms),
+        |agg AS (SELECT query_id, nid, CAST(sum(term_micro) AS BIGINT) AS score_micro FROM sc GROUP BY query_id, nid),
+        |r AS (SELECT query_id, nid, score_micro,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, nid ASC) AS rank FROM agg)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, nid AS doc_id, score_micro
+        |FROM r WHERE rank <= 5""".stripMargin,
     // llm_bm25_auto oracle: the per-batch strategy pick dispatches
     // between two bit-identical branches, so the auto row shares the
     // same plain-BM25 SQL — the hash match IS "the pick changed nothing"

@@ -897,8 +897,107 @@ private[graft] object QueriesLlm {
         .select(col("doc_id").as("qid"),
           expr("array_join(slice(filter(split(lower(text), ' '), " +
             "w -> length(w) > 0), 2, 3), ' ')").as("qtext"))
+      // PERSISTED positional index (round 17): the probe reads only the
+      // query words' bands of the banded layout — the same
+      // build-once/probe-many lifecycle as llm_bm25_index; deterministic
+      // build keeps the oracle (full tokenize replay) unchanged
       llm.Retrieval.phraseTopK(queries, "qid", "qtext",
-        llm.Retrieval.buildPosIndex(docs, "doc_id", "text"), k = 5)
+        sharedPosIndex(s, dir), k = 5)
+    }),
+
+    // Positional-index UPDATE (lifecycle parity with llm_bm25_update):
+    // index 90% of the corpus, fold the held-out 10% in additively (only
+    // the batch tokenizes; postings of distinct ids are a disjoint
+    // union), probe the same phrase set. The oracle replays the FULL
+    // corpus: incremental fold ≡ full rebuild is the row's claim.
+    "llm_phrase_update" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val queries = docs.filter(col("doc_id") % 89 === 0)
+        .select(col("doc_id").as("qid"),
+          expr("array_join(slice(filter(split(lower(text), ' '), " +
+            "w -> length(w) > 0), 2, 3), ' ')").as("qtext"))
+      val standing = llm.Retrieval.buildPosIndex(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+      val updated = llm.Retrieval.updatePosIndex(standing,
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+      llm.Retrieval.phraseTopK(queries, "qid", "qtext", updated, k = 5)
+    }),
+
+    // Standing-index tombstone DELETE: take down doc_id % 11 == 0 from
+    // the shared persisted BM25 index (postings/lengths drop via a
+    // broadcast-tombstone anti-join; df/stats subtract the deleted docs'
+    // OWN re-tokenized contributions exactly; MaxScore bounds recompute
+    // from the survivors), then probe the usual query set. The oracle
+    // scores the corpus WITHOUT the deleted docs from scratch:
+    // subtractive delete ≡ rebuild-over-survivors is the row's claim.
+    // Queries keep coming from the FULL document set — a deleted
+    // document's query text is still a valid query; its doc just can't
+    // rank anymore.
+    "llm_bm25_delete" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val queries = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("qid"),
+          expr("array_join(slice(filter(split(lower(text), ' '), " +
+            "w -> length(w) > 0), 1, 5), ' ')").as("qtext"))
+      val deleted = llm.Retrieval.deleteFromInvIndex(sharedInvIndex(s, dir),
+        docs.filter(col("doc_id") % 11 === 0), "doc_id", "text")
+      llm.Retrieval.bm25TopK(queries, "qid", "qtext", deleted, k = 5,
+        excludeIdEq = true)
+    }),
+
+    // The CLOSED RM3 loop — PRF retrieval (second pass): expand each
+    // query through the llm_query_expand chain (BM25 top-5 feedback →
+    // top-10 expansion terms), interpolate α = 0.6 (original terms at
+    // 600000 div |q| micro each, expansion at 400000·e div Σe), and
+    // RE-QUERY the same standing index with the weighted-term BM25 form
+    // ((weight · impact) div 10⁶ per matched term). One lazy chain, two
+    // partition-pruned probes, integer-deterministic end to end.
+    "llm_prf_search" -> ((s, dir) => {
+      val queries = t(s, dir, "documents").filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("qid"),
+          expr("array_join(slice(filter(split(lower(text), ' '), " +
+            "w -> length(w) > 0), 1, 5), ' ')").as("qtext"))
+      llm.Retrieval.prfSearch(queries, "qid", "qtext",
+        sharedInvIndex(s, dir), kDocs = 5, mTerms = 10,
+        alphaMicro = 600000L, k = 5, excludeIdEq = true)
+    }),
+
+    // Drift gate → RETRAIN composition: the shifted batches that trip
+    // the SQ-saturation and BM25-OOV gate legs (phase 1: vq → 3·vq + 41
+    // vectors saturate the frozen SQ rails; reversed-token docs are OOV
+    // against the frozen vocabulary), then the tripped artifacts retrain
+    // — SQ bounds rebuilt over base ∪ batch₁, the inverted index folded
+    // forward with the batch₁ docs — and a SECOND batch from the same
+    // shifted distribution gates against the retrained artifacts
+    // (phase 2): retraining repairs exactly what the gate detected.
+    // All-integer metrics; the oracle replays both phases from scratch.
+    "llm_drift_retrain" -> ((s, dir) => {
+      val corpus = annCorpus(s, dir)
+      val docs = t(s, dir, "documents")
+      def vbatch(m: Int, off: Long) = corpus.filter(col("nid") % 7 === m)
+        .select((col("nid") + off).as("nid"),
+          expr("transform(vq, v -> v * 3 + 41)").as("vq"))
+        .withColumn("norm2", expr("aggregate(vq, 0L, (acc, v) -> acc + v * v)"))
+      def dbatch(m: Int, off: Long) = docs.filter(col("doc_id") % 53 === m)
+        .select((col("doc_id") + off).as("doc_id"),
+          expr("array_join(transform(filter(split(lower(text), ' '), " +
+            "w -> length(w) > 0), w -> reverse(w)), ' ')").as("text"))
+      val (b1, d1) = (vbatch(0, 10000000L), dbatch(0, 10000000L))
+      val (b2, d2) = (vbatch(1, 20000000L), dbatch(1, 20000000L))
+      val sq1 = sharedSqIndex(s, dir)
+      val inv1 = sharedInvIndex(s, dir)
+      val rep1 = llm.Drift.sqSaturation(sq1, b1)
+        .unionByName(llm.Drift.bm25OovBp(inv1, d1, "text"))
+      val sq2 = llm.Ann.buildSqIndex(corpus.unionByName(b1))
+      val inv2 = llm.Retrieval.updateInvIndex(inv1, d1, "doc_id", "text")
+      val rep2 = llm.Drift.sqSaturation(sq2, b2)
+        .unionByName(llm.Drift.bm25OovBp(inv2, d2, "text"))
+      val satMax = 500L; val oovMax = 500L
+      llm.Drift.sqOovGate(rep1, satMax, oovMax).withColumn("phase", lit(1L))
+        .unionByName(llm.Drift.sqOovGate(rep2, satMax, oovMax)
+          .withColumn("phase", lit(2L)))
+        .select(col("phase"), col("check").as("gate_check"), col("observed"),
+          col("threshold"), col("triggered"))
     }),
 
     // Hybrid retrieval: reciprocal-rank fusion (C=60, pure integer) of

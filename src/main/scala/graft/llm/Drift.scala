@@ -154,6 +154,30 @@ object Drift {
       .unionByName(pqReconDrift(ivf.pq, base, batch))
       .unionByName(bm25OovBp(inv, batchDocs, textCol))
 
+  /** The SQ-saturation and BM25-OOV gate legs of a (possibly partial)
+    * drift report, fully relational — no driver collect, so a composed
+    * row can chain gate → retrain → gate in one lazy plan. Output:
+    * (check, observed, threshold, triggered); same delta orientation as
+    * [[gate]] (worse is positive). Used by the retrain-composition row,
+    * which retrains exactly these two legs' artifacts.
+    */
+  def sqOovGate(report: DataFrame, satDeltaBpMax: Long,
+      oovBpMax: Long): DataFrame = {
+    val s = report.filter(col("key") === -1L)
+    def v(metric: String, as: String): DataFrame =
+      s.filter(col("metric") === metric).select(col("value").as(as))
+    val sat = v("sq_sat_bp_batch", "__b")
+      .crossJoin(broadcast(v("sq_sat_bp_base", "__a")))
+      .select(lit("sq_sat_delta_bp").as("check"),
+        (col("__b") - col("__a")).as("observed"),
+        lit(satDeltaBpMax).as("threshold"))
+    val oov = v("bm25_oov_bp", "__o")
+      .select(lit("bm25_oov_bp").as("check"), col("__o").as("observed"),
+        lit(oovBpMax).as("threshold"))
+    sat.unionByName(oov)
+      .withColumn("triggered", col("observed") > col("threshold"))
+  }
+
   /** Gate a drift report against per-metric thresholds: (check,
     * observed, threshold, triggered) — `triggered` when the observed
     * drift EXCEEDS its threshold. Deltas are oriented so "worse" is

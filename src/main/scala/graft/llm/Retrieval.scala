@@ -264,6 +264,62 @@ object Retrieval {
         statsMerged))
   }
 
+  /** Tombstone DELETE from a standing [[InvIndex]] — the takedown /
+    * right-to-be-forgotten leg of the build-once lifecycle (the fold-in
+    * twin of [[updateInvIndex]]): every component is additive, so the
+    * deleted docs' OWN contributions — obtained by re-tokenizing just
+    * the deleted docs, a batch-sized job (tokenization is deterministic,
+    * so the re-tokenized postings are exactly what the index holds for
+    * those ids) — subtract EXACTLY. Postings and lengths drop their rows
+    * through a broadcast-tombstone anti-join (lazy — the next `save()`
+    * materializes the compaction, and until then every probe's
+    * partition-pruned read carries the anti-join map-side); df loses
+    * each word's deleted-doc count (words at df = 0 vanish, matching
+    * their postings all being gone); stats subtract the deleted docs'
+    * n/total. Ids not actually in the index subtract nothing (semi-join
+    * against the standing dl first), so deleting twice is a no-op, and
+    * delete→re-add ([[updateInvIndex]] with the same docs) restores the
+    * original components (both spec-pinned).
+    *
+    * The per-term MaxScore bounds are RECOMPUTED from the surviving
+    * components, same as the update path: a delete moves N/avgdl/df,
+    * which moves every term's impact BOTH ways (df shrinking raises
+    * idf), so a stale bound may be stale-LOW — and a low bound would
+    * un-exact MaxScore's pruning. One O(postings-scan) lazy job, no
+    * corpus re-tokenize.
+    *
+    * The doc id is the document's identity (same contract as the update
+    * path): delete takes the documents' CURRENT indexed text — deleting
+    * with changed text would subtract postings the index never held.
+    */
+  def deleteFromInvIndex(index: InvIndex, deletedDocs: DataFrame,
+      idCol: String, textCol: String): InvIndex = {
+    // dl holds every token-bearing indexed doc — exactly the ids that
+    // contribute to any component (empty docs are in no component)
+    val dead = deletedDocs.join(
+      index.dl.select(col("nid").as("__indexed_id")),
+      col(idCol) === col("__indexed_id"), "left_semi")
+    val deadIdx = buildInvIndex(dead, idCol, textCol)
+    val tomb = deadIdx.dl.select(col("nid"))
+    val postings2 = index.postings
+      .join(broadcast(tomb), Seq("nid"), "left_anti")
+    val dl2 = index.dl.join(broadcast(tomb), Seq("nid"), "left_anti")
+    val df2 = index.dfTable.join(
+        broadcast(deadIdx.dfTable.select(col("word"), col("df").as("__d"))),
+        Seq("word"), "left")
+      .select(col("word"),
+        (col("df") - coalesce(col("__d"), lit(0L))).as("df"))
+      .filter(col("df") > 0)
+    val stats2 = index.stats
+      .select(col("n_docs").as("__n1"), col("total_tokens").as("__t1"))
+      .crossJoin(broadcast(deadIdx.stats
+        .select(col("n_docs").as("__n2"), col("total_tokens").as("__t2"))))
+      .select((col("__n1") - col("__n2")).as("n_docs"),
+        (col("__t1") - col("__t2")).as("total_tokens"))
+    InvIndex(postings2, dl2, df2, stats2,
+      buildMaxImpact(postings2, dl2, df2, stats2))
+  }
+
   /** BM25 top-k against a prebuilt (possibly parquet-loaded)
     * [[InvIndex]] — the standing-index search path: no corpus
     * tokenization inside the call. The query batch's terms hash to
@@ -549,21 +605,93 @@ object Retrieval {
       bm25TopKMaxScore(queries, qidCol, qtextCol, index, k, excludeIdEq)
     else bm25TopK(queries, qidCol, qtextCol, index, k, excludeIdEq)
 
-  /** Positional postings — the phrase-search artifact the bag-of-words
-    * [[InvIndex]] cannot express: one row per (word, doc, positions)
-    * with positions as the sorted 0-based token offsets of `word` in the
-    * doc, carrying the same word-hash `__band` as the BM25 postings so a
-    * persisted layout gives phrase probes the identical partition-pruned
-    * read. Build-once like every standing index here; tokenization is
-    * the shared deterministic [[toks]].
+  /** Persistable positional index — the phrase-search artifact the
+    * bag-of-words [[InvIndex]] cannot express: `postings` holds one row
+    * per (word, doc, positions) with positions as the sorted 0-based
+    * token offsets of `word` in the doc, carrying the same word-hash
+    * `__band` as the BM25 postings so a persisted layout gives phrase
+    * probes the identical partition-pruned read; `docs` is the
+    * token-bearing indexed doc-id set — the one extra artifact the
+    * additive-update dedupe needs (the role [[InvIndex]]'s dl table
+    * plays), so an update never scans the standing postings just to
+    * learn which ids are already in. Same build-once / fold-updates /
+    * save-compacts lifecycle as [[InvIndex]]; tokenization is the shared
+    * deterministic [[toks]].
     */
+  case class PosIndex(
+      postings: DataFrame, // (nid, word, positions, __band)
+      docs: DataFrame // (nid) — token-bearing indexed doc ids
+  ) {
+    def save(path: String): Unit = {
+      // both artifacts derive from the one tokenize in the lazy DAG —
+      // persist the shared root so the two writes tokenize once
+      postings.persist()
+      try {
+        postings.write.partitionBy("__band")
+          .mode("overwrite").parquet(s"$path/postings")
+        docs.write.mode("overwrite").parquet(s"$path/docs")
+      } finally { postings.unpersist(); () }
+    }
+  }
+
+  object PosIndex {
+    def load(spark: org.apache.spark.sql.SparkSession, path: String): PosIndex =
+      PosIndex(
+        postings = spark.read.parquet(s"$path/postings"),
+        docs = spark.read.parquet(s"$path/docs"))
+  }
+
+  /** One-time positional-index build (tokenize the corpus once). */
   def buildPosIndex(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame =
-    docs.select(col(idCol).as("nid"), posexplode(toks(textCol))
+      textCol: String): PosIndex = {
+    val postings = docs.select(col(idCol).as("nid"), posexplode(toks(textCol))
         .as(Seq("p", "word")))
       .groupBy(col("nid"), col("word"))
       .agg(sort_array(collect_list(col("p").cast("long"))).as("positions"))
       .withColumn("__band", band(col("word")))
+    PosIndex(postings,
+      docs.select(col(idCol).as("nid"), size(toks(textCol)).as("__dl"))
+        .filter(col("__dl") > 0).select(col("nid")))
+  }
+
+  /** Fold an out-of-sample document batch into a standing [[PosIndex]]
+    * — additive-update parity with [[updateInvIndex]]: positional
+    * postings of distinct doc ids are a DISJOINT union (no cross-doc
+    * aggregate exists in this index — there is no df/stats to merge), so
+    * the fold is row-identical to a rebuild over old ∪ new
+    * (spec-pinned). Already-indexed ids in the batch are dropped first
+    * (same anti-join dedupe and same id-is-identity contract as the
+    * BM25 update: re-folding a batch is a no-op; re-ingesting an id with
+    * changed text is a rebuild, not an update). Only the new batch
+    * tokenizes; the standing postings are never read.
+    */
+  def updatePosIndex(index: PosIndex, newDocs: DataFrame, idCol: String,
+      textCol: String): PosIndex = {
+    val indexedIds = index.docs.select(col("nid").as("__indexed_id"))
+    val freshDocs = newDocs.join(indexedIds,
+      col(idCol) === col("__indexed_id"), "left_anti")
+    val fresh = buildPosIndex(freshDocs, idCol, textCol)
+    PosIndex(index.postings.unionByName(fresh.postings),
+      index.docs.unionByName(fresh.docs))
+  }
+
+  /** Tombstone DELETE from a standing [[PosIndex]] — the positional twin
+    * of [[deleteFromInvIndex]], and simpler: with no cross-doc artifacts
+    * to subtract, the delete IS the broadcast-tombstone anti-join on
+    * both tables (lazy; the next save compacts). `deletedIds` is a
+    * one-column (nid) frame; ids not in the index drop nothing, so the
+    * delete is idempotent by construction.
+    */
+  def deleteFromPosIndex(index: PosIndex, deletedIds: DataFrame): PosIndex = {
+    val tomb = deletedIds.select(col(deletedIds.columns.head).as("nid"))
+    PosIndex(index.postings.join(broadcast(tomb), Seq("nid"), "left_anti"),
+      index.docs.join(broadcast(tomb), Seq("nid"), "left_anti"))
+  }
+
+  /** [[phraseTopK]] over a standing [[PosIndex]]. */
+  def phraseTopK(queries: DataFrame, qidCol: String, qtextCol: String,
+      index: PosIndex, k: Int): DataFrame =
+    phraseTopK(queries, qidCol, qtextCol, index.postings, k)
 
   /** EXACT phrase top-k over positional postings: a document matches the
     * n-word phrase at start offset s iff for EVERY phrase slot i its
@@ -668,6 +796,100 @@ object Retrieval {
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
         col("t.word").as("term"), (-col("t.ord")).as("expansion_micro"))
   }
+
+  /** WEIGHTED-TERM BM25 top-k over a standing [[InvIndex]] — the query
+    * form the RM3 second pass needs: `termQueries` is a (query_id, word,
+    * weight_micro) frame and each matched term contributes
+    * `(weight_micro · termMicro) div 10⁶` to the document's score — the
+    * integer-exact form of weight × impact (both factors non-negative,
+    * so Spark's truncating `div` ≡ DuckDB's flooring `//`). With every
+    * weight at 10⁶ this degenerates to [[bm25TopK]] exactly. Overflow
+    * headroom: the product stays under 2⁶³ while weight_micro ≤ 10⁶ and
+    * per-term impacts stay under ~9·10¹² micro (idf ≈ 4·10⁶·N/df-ish
+    * only at df ≪ N on 10¹²-doc corpora — rescale the weight unit
+    * before that regime).
+    *
+    * Scale: identical access path to the unweighted probe — band
+    * IN-filter partition-prunes the postings read, the broadcast term
+    * set cuts the bands' other words, scoring shuffles only matched
+    * postings.
+    */
+  def bm25TopKWeighted(termQueries: DataFrame, index: InvIndex, k: Int,
+      excludeIdEq: Boolean): DataFrame = {
+    val tq = termQueries.select(col("query_id"), col("word"),
+      col("weight_micro"))
+    val qwords = tq.select(col("word")).distinct()
+    // bounded by the query-term set — the same driver-collect contract
+    // as every probe in this file
+    val qbands = qwords.select(band(col("word")).as("__band")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val tf = index.postings.filter(col("__band").isin(qbands: _*))
+      .select(col("word"), col("nid"), col("tf"))
+      .join(broadcast(qwords), Seq("word"))
+      .repartition(col("nid"))
+    val dfq = index.dfTable.join(broadcast(qwords), Seq("word"))
+    val terms = tf.join(broadcast(dfq), Seq("word"))
+      .join(index.dl, Seq("nid"))
+      .crossJoin(broadcast(index.stats))
+      .join(broadcast(tq), Seq("word"))
+    val kept =
+      if (excludeIdEq) terms.filter(col("nid") =!= col("query_id")) else terms
+    val scored = kept
+      .withColumn("term_micro", termMicro)
+      .withColumn("w_term", expr("(weight_micro * term_micro) DIV 1000000"))
+      .groupBy(col("query_id"), col("nid"))
+      .agg(sum(col("w_term")).as("score_micro"))
+    rankDocs(scored, k)
+  }
+
+  /** The RM3 interpolated query model, as a (query_id, word,
+    * weight_micro) table: original query terms at α uniform —
+    * `α_micro div |q|` each — and [[prfExpandTerms]]' top-`mTerms`
+    * expansion terms at (1 − α) normalized by the query's expansion
+    * mass — `((10⁶ − α_micro) · e) div Σe`. All integer (the two
+    * divisions are over non-negative operands, so truncation ≡ floor in
+    * both engines); the two sets are disjoint by construction (expansion
+    * anti-joins the original terms), so the union never double-keys.
+    * Queries whose expansion mass is 0 keep zero-weight expansion rows
+    * (they contribute nothing, in either engine).
+    */
+  def prfQueryWeights(queries: DataFrame, qidCol: String, qtextCol: String,
+      index: InvIndex, kDocs: Int, mTerms: Int, alphaMicro: Long,
+      excludeIdEq: Boolean): DataFrame = {
+    require(alphaMicro >= 0 && alphaMicro <= 1000000L,
+      s"alphaMicro must be in [0, 1000000], got $alphaMicro")
+    val qterms = bm25QueryTerms(queries, qidCol, qtextCol)
+    val nq = qterms.groupBy(col("query_id")).agg(count(lit(1)).as("__nq"))
+    val orig = qterms.join(broadcast(nq), Seq("query_id"))
+      .select(col("query_id"), col("word"),
+        expr(s"$alphaMicro DIV __nq").cast("long").as("weight_micro"))
+    val ex = prfExpandTerms(queries, qidCol, qtextCol, index, kDocs, mTerms,
+      excludeIdEq)
+    val mass = ex.groupBy(col("query_id"))
+      .agg(sum(col("expansion_micro")).as("__mass"))
+    val expd = ex.join(broadcast(mass), Seq("query_id"))
+      .select(col("query_id"), col("term").as("word"),
+        when(col("__mass") > 0,
+          expr(s"((1000000 - $alphaMicro) * expansion_micro) DIV __mass"))
+          .otherwise(lit(0L)).cast("long").as("weight_micro"))
+    orig.unionByName(expd)
+  }
+
+  /** The CLOSED RM3 loop — pseudo-relevance-feedback retrieval: expand
+    * each query through [[prfQueryWeights]] (first-pass BM25 feedback →
+    * interpolated term weights) and re-query the SAME standing index
+    * with the weighted form. One composed call; both passes ride the
+    * partition-pruned probe path, and the whole chain is
+    * integer-deterministic end to end (oracle-replayable as one SQL
+    * chain — `llm_prf_search`).
+    */
+  def prfSearch(queries: DataFrame, qidCol: String, qtextCol: String,
+      index: InvIndex, kDocs: Int, mTerms: Int, alphaMicro: Long, k: Int,
+      excludeIdEq: Boolean): DataFrame =
+    bm25TopKWeighted(
+      prfQueryWeights(queries, qidCol, qtextCol, index, kDocs, mTerms,
+        alphaMicro, excludeIdEq),
+      index, k, excludeIdEq)
 
   /** The distinct (query_id, word) term set of a query batch. */
   private def bm25QueryTerms(queries: DataFrame, qidCol: String,

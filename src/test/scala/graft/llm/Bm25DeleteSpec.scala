@@ -1,0 +1,108 @@
+package graft.llm
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the standing-index tombstone DELETE
+  * ([[Retrieval.deleteFromInvIndex]]): subtractive delete must equal a
+  * from-scratch rebuild over the survivors componentwise (including the
+  * RECOMPUTED MaxScore bounds — df shrinking raises idf, so stale bounds
+  * can be stale-LOW), the probe after delete must never return a deleted
+  * doc, delete → re-add must restore the original index, deleting
+  * un-indexed ids must subtract nothing, and MaxScore over the deleted
+  * index must stay bit-identical to the plain probe (bound validity).
+  */
+class Bm25DeleteSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def setOf(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSet
+
+  private def queryBatch(docs: org.apache.spark.sql.DataFrame) =
+    docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("qid"),
+        expr("array_join(slice(filter(split(lower(text), ' '), " +
+          "w -> length(w) > 0), 1, 5), ' ')").as("qtext"))
+
+  test("subtractive delete ≡ rebuild over survivors, componentwise") {
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val full = Retrieval.buildInvIndex(docs, "doc_id", "text")
+    val deleted = Retrieval.deleteFromInvIndex(full,
+      docs.filter(col("doc_id") % 11 === 0), "doc_id", "text")
+    val survivors = Retrieval.buildInvIndex(
+      docs.filter(col("doc_id") % 11 =!= 0), "doc_id", "text")
+    assert(setOf(deleted.postings) == setOf(survivors.postings))
+    assert(setOf(deleted.dl) == setOf(survivors.dl))
+    assert(setOf(deleted.dfTable) == setOf(survivors.dfTable))
+    assert(setOf(deleted.stats) == setOf(survivors.stats))
+    // bounds must be recomputed, not carried stale: any corpus where the
+    // delete moves avgdl/N/df fails this with frozen bounds
+    assert(setOf(deleted.maxImpact) == setOf(survivors.maxImpact))
+    assert(setOf(deleted.postings).nonEmpty)
+  }
+
+  test("probe after delete: no deleted doc ranks; MaxScore stays exact") {
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val full = Retrieval.buildInvIndex(docs, "doc_id", "text")
+    val deleted = Retrieval.deleteFromInvIndex(full,
+      docs.filter(col("doc_id") % 11 === 0), "doc_id", "text")
+    val queries = queryBatch(docs)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val plain = rows(Retrieval.bm25TopK(queries, "qid", "qtext", deleted,
+      k = 5, excludeIdEq = true))
+    assert(plain.nonEmpty)
+    assert(!plain.exists(_._3 % 11 == 0), "a deleted doc ranked")
+    // bound validity after delete: the recomputed per-term upper bounds
+    // keep MaxScore's pruning exact — bit-identical to the plain probe
+    assert(rows(Retrieval.bm25TopKMaxScore(queries, "qid", "qtext", deleted,
+      k = 5, excludeIdEq = true)) == plain)
+  }
+
+  test("delete → re-add restores the original; un-indexed ids are a no-op") {
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val full = Retrieval.buildInvIndex(docs, "doc_id", "text")
+    val batch = docs.filter(col("doc_id") % 11 === 0)
+    val deleted = Retrieval.deleteFromInvIndex(full, batch, "doc_id", "text")
+    val readded = Retrieval.updateInvIndex(deleted, batch, "doc_id", "text")
+    assert(setOf(readded.postings) == setOf(full.postings))
+    assert(setOf(readded.dl) == setOf(full.dl))
+    assert(setOf(readded.dfTable) == setOf(full.dfTable))
+    assert(setOf(readded.stats) == setOf(full.stats))
+    assert(setOf(readded.maxImpact) == setOf(full.maxImpact))
+    // deleting ids the index never held (including ids already deleted)
+    // subtracts nothing — the delete is idempotent
+    val spark2 = spark
+    import spark2.implicits._
+    val alien = Seq((999999001L, "some text"), (999999002L, ""))
+      .toDF("doc_id", "text")
+    val noop = Retrieval.deleteFromInvIndex(full, alien, "doc_id", "text")
+    assert(setOf(noop.stats) == setOf(full.stats))
+    assert(setOf(noop.dfTable) == setOf(full.dfTable))
+    val twice = Retrieval.deleteFromInvIndex(deleted, batch, "doc_id", "text")
+    assert(setOf(twice.stats) == setOf(deleted.stats))
+    assert(setOf(twice.dl) == setOf(deleted.dl))
+  }
+
+  test("words whose every doc is deleted vanish from df (no zero rows)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq((1L, "apple banana"), (2L, "banana cherry"),
+      (3L, "cherry date")).toDF("doc_id", "text")
+    val full = Retrieval.buildInvIndex(docs, "doc_id", "text")
+    val deleted = Retrieval.deleteFromInvIndex(full,
+      docs.filter(col("doc_id") === 1L), "doc_id", "text")
+    val words = deleted.dfTable.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!words.contains("apple"), "orphan zero-df word survived")
+    assert(words == Map("banana" -> 1L, "cherry" -> 2L, "date" -> 1L))
+    // deleting EVERYTHING leaves a consistent empty index: probes return
+    // zero rows instead of dividing by the zeroed stats
+    val none = Retrieval.deleteFromInvIndex(full, docs, "doc_id", "text")
+    assert(none.stats.collect()(0).getLong(0) == 0L)
+    val q = Seq((10L, "banana")).toDF("qid", "qtext")
+    assert(Retrieval.bm25TopK(q, "qid", "qtext", none, 3, false).count() == 0L)
+  }
+}

@@ -99,4 +99,47 @@ class DriftSpec extends AnyFunSuite {
     assert(shareSum("ivf_cell_bp_base") <= 10000L)
     assert(shareSum("ivf_cell_bp_batch") <= 10000L)
   }
+
+  test("gate fails fast on a report missing a scalar metric") {
+    val (corpus, ivf, sq, inv, docs) = fixtures()
+    val batch = corpus.filter(col("nid") % 7 === 0)
+    val bdocs = docs.filter(col("doc_id") % 53 === 0).select(col("text"))
+    val rep = Drift.report(ivf, sq, inv, corpus, batch, bdocs, "text")
+    val ex = intercept[IllegalArgumentException] {
+      Drift.gate(rep.filter(col("metric") =!= "ivf_tv_bp"), 1L, 1L, 1L, 1L)
+    }
+    assert(ex.getMessage.contains("ivf_tv_bp"),
+      s"missing-metric message should name the metric: ${ex.getMessage}")
+  }
+
+  test("retrain closes the loop: tripped SQ/OOV legs recover after rebuild") {
+    val (corpus, _, sq, inv, docs) = fixtures()
+    def vbatch(m: Int, off: Long) = corpus.filter(col("nid") % 7 === m)
+      .select((col("nid") + off).as("nid"),
+        expr("transform(vq, v -> v * 3 + 41)").as("vq"))
+      .withColumn("norm2", expr("aggregate(vq, 0L, (acc, v) -> acc + v * v)"))
+    def dbatch(m: Int, off: Long) = docs.filter(col("doc_id") % 53 === m)
+      .select((col("doc_id") + off).as("doc_id"),
+        expr("array_join(transform(filter(split(lower(text), ' '), " +
+          "w -> length(w) > 0), w -> reverse(w)), ' ')").as("text"))
+    val (b1, d1) = (vbatch(0, 10000000L), dbatch(0, 10000000L))
+    val (b2, d2) = (vbatch(1, 20000000L), dbatch(1, 20000000L))
+    def gmap(s: Ann.SqIndex, i: Retrieval.InvIndex,
+        b: org.apache.spark.sql.DataFrame,
+        d: org.apache.spark.sql.DataFrame): Map[String, Boolean] =
+      Drift.sqOovGate(Drift.sqSaturation(s, b)
+          .unionByName(Drift.bm25OovBp(i, d, "text")), 500L, 500L)
+        .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    val g1 = gmap(sq, inv, b1, d1)
+    assert(g1 == Map("sq_sat_delta_bp" -> true, "bm25_oov_bp" -> true),
+      s"phase 1 should trip both legs: $g1")
+    // retrain exactly what tripped: SQ bounds over base ∪ batch₁, the
+    // vocabulary folded forward with the batch₁ docs — then a SECOND
+    // batch from the same shifted distribution passes
+    val sq2 = Ann.buildSqIndex(corpus.unionByName(b1))
+    val inv2 = Retrieval.updateInvIndex(inv, d1, "doc_id", "text")
+    val g2 = gmap(sq2, inv2, b2, d2)
+    assert(g2 == Map("sq_sat_delta_bp" -> false, "bm25_oov_bp" -> false),
+      s"phase 2 should recover both legs: $g2")
+  }
 }

@@ -47,13 +47,46 @@ class PhraseSpec extends AnyFunSuite {
       List((4L, 1L), (5L, 1L)))
   }
 
+  test("additive update ≡ full rebuild; re-fold and delete lifecycle") {
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    def setOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val standing = Retrieval.buildPosIndex(
+      docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val folded = Retrieval.updatePosIndex(standing, batch, "doc_id", "text")
+    val full = Retrieval.buildPosIndex(docs, "doc_id", "text")
+    assert(setOf(folded.postings) == setOf(full.postings))
+    assert(setOf(folded.docs) == setOf(full.docs))
+    assert(setOf(folded.postings).nonEmpty)
+    // re-folding the same batch is a no-op (anti-join dedupe — the same
+    // idempotent-replay guard the BM25 update carries)
+    val twice = Retrieval.updatePosIndex(folded, batch, "doc_id", "text")
+    assert(setOf(twice.postings) == setOf(folded.postings))
+    assert(setOf(twice.docs) == setOf(folded.docs))
+    // tombstone delete ≡ rebuild over survivors; deleted docs stop
+    // matching any phrase
+    val spark2 = spark
+    import spark2.implicits._
+    val tomb = batch.select(col("doc_id"))
+    val deleted = Retrieval.deleteFromPosIndex(full, tomb)
+    assert(setOf(deleted.postings) == setOf(standing.postings))
+    assert(setOf(deleted.docs) == setOf(standing.docs))
+    val queries = docs.filter(col("doc_id") % 89 === 0)
+      .select(col("doc_id").as("qid"),
+        expr("array_join(slice(filter(split(lower(text), ' '), " +
+          "w -> length(w) > 0), 2, 3), ' ')").as("qtext"))
+    val hits = Retrieval.phraseTopK(queries, "qid", "qtext", deleted, 5)
+      .collect().map(_.getLong(2))
+    assert(hits.nonEmpty && !hits.exists(_ % 10 == 0), "a deleted doc matched")
+  }
+
   test("probe of a saved banded layout is partition-pruned to query bands") {
     val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
     val dir = java.nio.file.Files
       .createTempDirectory("graft-phrase-spec").toString
-    Retrieval.buildPosIndex(docs, "doc_id", "text")
-      .write.partitionBy("__band").parquet(s"$dir/pos")
-    val loaded = spark.read.parquet(s"$dir/pos")
+    Retrieval.buildPosIndex(docs, "doc_id", "text").save(s"$dir/pos")
+    val loaded = Retrieval.PosIndex.load(spark, s"$dir/pos")
     val queries = docs.filter(col("doc_id") % 89 === 0)
       .select(col("doc_id").as("qid"),
         expr("array_join(slice(filter(split(lower(text), ' '), " +

@@ -1,0 +1,116 @@
+package graft.llm
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the CLOSED RM3 loop: the weighted-term BM25 form degenerates to
+  * the plain probe at weight 10⁶, the interpolated query model carries
+  * exactly the α div |q| / (1−α)·e div Σe integer weights, and — the
+  * point of PRF — expansion actually CHANGES retrieval: a document
+  * sharing no original query term ranks in the second pass because it
+  * matches the feedback vocabulary.
+  */
+class PrfSearchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+    .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    .toSet
+
+  test("weighted probe at uniform weight 10⁶ ≡ plain probe, bit-identical") {
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val index = Retrieval.buildInvIndex(docs, "doc_id", "text")
+    val queries = docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("qid"),
+        expr("array_join(slice(filter(split(lower(text), ' '), " +
+          "w -> length(w) > 0), 1, 5), ' ')").as("qtext"))
+    val tq = queries.select(col("qid").as("query_id"),
+        explode(expr("filter(split(lower(qtext), ' '), w -> length(w) > 0)"))
+          .as("word"))
+      .distinct()
+      .withColumn("weight_micro", lit(1000000L))
+    val weighted = rows(Retrieval.bm25TopKWeighted(tq, index, 5,
+      excludeIdEq = true))
+    val plain = rows(Retrieval.bm25TopK(queries, "qid", "qtext", index, 5,
+      excludeIdEq = true))
+    assert(plain.nonEmpty && weighted == plain)
+  }
+
+  test("interpolated weights: α div |q| originals, (1−α)·e div Σe expansion") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      (1L, "alpha beta beta gamma"),
+      (2L, "beta gamma gamma delta"),
+      (3L, "delta epsilon")).toDF("doc_id", "text")
+    val index = Retrieval.buildInvIndex(docs, "doc_id", "text")
+    val queries = Seq((100L, "alpha gamma")).toDF("qid", "qtext")
+    val w = Retrieval.prfQueryWeights(queries, "qid", "qtext", index,
+        kDocs = 2, mTerms = 5, alphaMicro = 600000L, excludeIdEq = false)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    // two original terms at 600000 div 2 each
+    assert(w("alpha") == 300000L && w("gamma") == 300000L)
+    // expansion terms: non-query words of the feedback docs, weights
+    // summing to ≤ 400000 with the div-floor law, none negative
+    val exp = w.view.filterKeys(k => k != "alpha" && k != "gamma").toMap
+    assert(exp.nonEmpty && exp.values.forall(_ >= 0L))
+    val ex = Retrieval.prfExpandTerms(queries, "qid", "qtext", index, 2, 5,
+        excludeIdEq = false)
+      .collect().map(r => (r.getString(2), r.getLong(3))).toMap
+    val mass = ex.values.sum
+    exp.foreach { case (term, wm) =>
+      assert(wm == (400000L * ex(term)) / mass,
+        s"$term weight $wm != (400000·${ex(term)}) div $mass")
+    }
+    // the two weight sets never share a key (expansion anti-joins
+    // original terms)
+    assert(!ex.contains("alpha") && !ex.contains("gamma"))
+    assertThrows[IllegalArgumentException] {
+      Retrieval.prfQueryWeights(queries, "qid", "qtext", index, 2, 5,
+        alphaMicro = 1000001L, excludeIdEq = false)
+    }
+  }
+
+  test("expansion changes retrieval: a no-shared-term doc enters the top-k") {
+    val spark2 = spark
+    import spark2.implicits._
+    // d1 is the only doc matching the query; its dominant word 'beta'
+    // expands the query, pulling in d2 — which shares NO original term.
+    // d3/d4 are background so idf doesn't degenerate.
+    val docs = Seq(
+      (1L, "alpha beta beta beta"),
+      (2L, "beta beta beta zeta"),
+      (3L, "gamma delta epsilon"),
+      (4L, "zeta epsilon gamma")).toDF("doc_id", "text")
+    val index = Retrieval.buildInvIndex(docs, "doc_id", "text")
+    val queries = Seq((100L, "alpha")).toDF("qid", "qtext")
+    val first = rows(Retrieval.bm25TopK(queries, "qid", "qtext", index, 3,
+      excludeIdEq = false))
+    assert(first.map(_._3) == Set(1L), s"fixture broke: $first")
+    val second = rows(Retrieval.prfSearch(queries, "qid", "qtext", index,
+      kDocs = 1, mTerms = 3, alphaMicro = 600000L, k = 3,
+      excludeIdEq = false))
+    assert(second.map(_._3).contains(2L),
+      s"expansion failed to retrieve the feedback-vocabulary doc: $second")
+    // and the original term still dominates: d1 stays ranked 1
+    assert(second.find(_._3 == 1L).exists(_._2 == 1L),
+      s"the original-term doc lost rank 1: $second")
+  }
+
+  test("zero expansion mass: pure-original weights still retrieve") {
+    val spark2 = spark
+    import spark2.implicits._
+    // the only feedback doc contains nothing but the query term, so the
+    // expansion set is empty — the weighted pass must still rank on the
+    // original α weights instead of dropping the query
+    val docs = Seq((1L, "solo solo"), (2L, "other words"))
+      .toDF("doc_id", "text")
+    val index = Retrieval.buildInvIndex(docs, "doc_id", "text")
+    val queries = Seq((100L, "solo")).toDF("qid", "qtext")
+    val out = rows(Retrieval.prfSearch(queries, "qid", "qtext", index,
+      kDocs = 2, mTerms = 3, alphaMicro = 600000L, k = 2,
+      excludeIdEq = false))
+    assert(out.map(_._3) == Set(1L))
+  }
+}
