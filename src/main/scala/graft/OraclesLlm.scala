@@ -2621,6 +2621,29 @@ private[graft] object OraclesLlm {
         |    row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, nid ASC) AS rank FROM agg)
         |SELECT query_id, CAST(rank AS BIGINT) AS rank, nid AS doc_id, score_micro
         |FROM r WHERE rank <= 5""".stripMargin,
+    // llm_proximity_search oracle: the same start-vote algebra — each
+    // 0-based hit position (generate_subscripts − 1, matching Spark's
+    // posexplode; the head clamp makes the offset load-bearing here,
+    // unlike the phrase's cancelling subtraction) votes for the ≤ 6
+    // starts it covers, votes dedupe per (query, doc, start, word), and
+    // a start matches iff its distinct-word count reaches the query's
+    "llm_proximity_search" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS ws FROM documents),
+        |tok AS (SELECT doc_id AS nid, unnest(ws) AS word, generate_subscripts(ws, 1) - 1 AS p FROM d),
+        |q AS (SELECT doc_id AS query_id, ws[2:4] AS qs FROM d WHERE doc_id % 89 = 0),
+        |qw AS (SELECT DISTINCT query_id, unnest(qs) AS word FROM q),
+        |nw AS (SELECT query_id, count(*) AS n_words FROM qw GROUP BY 1),
+        |hits AS (SELECT qw.query_id, tok.nid, tok.word,
+        |  unnest(generate_series(greatest(0, tok.p - 5), tok.p)) AS s
+        |  FROM tok JOIN qw USING (word)),
+        |votes AS (SELECT DISTINCT query_id, nid, word, s FROM hits),
+        |occ AS (SELECT query_id, nid, s, count(*) AS k_i FROM votes GROUP BY 1, 2, 3),
+        |mt AS (SELECT o.query_id, o.nid, CAST(count(*) AS BIGINT) AS n_windows
+        |  FROM occ o JOIN nw USING (query_id) WHERE o.k_i = nw.n_words GROUP BY 1, 2),
+        |ranked AS (SELECT query_id, nid, n_windows,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY n_windows DESC, nid ASC) AS rank FROM mt)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, nid AS doc_id, n_windows
+        |FROM ranked WHERE rank <= 5""".stripMargin,
     // llm_bm25_auto oracle: the per-batch strategy pick dispatches
     // between two bit-identical branches, so the auto row shares the
     // same plain-BM25 SQL — the hash match IS "the pick changed nothing"

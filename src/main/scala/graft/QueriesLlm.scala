@@ -923,6 +923,23 @@ private[graft] object QueriesLlm {
       llm.Retrieval.phraseTopK(queries, "qid", "qtext", updated, k = 5)
     }),
 
+    // EXACT windowed proximity search — the sloppy-match tier between
+    // bag-of-words BM25 and the exact phrase: the same 3-word query set
+    // as the phrase row, but a doc matches wherever ALL its distinct
+    // words fall inside any 6-token window (any order); n_windows counts
+    // the distinct matching starts. Pure start-vote algebra (each hit
+    // position votes for the ≤ W starts it covers), probing the same
+    // persisted banded positional layout.
+    "llm_proximity_search" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val queries = docs.filter(col("doc_id") % 89 === 0)
+        .select(col("doc_id").as("qid"),
+          expr("array_join(slice(filter(split(lower(text), ' '), " +
+            "w -> length(w) > 0), 2, 3), ' ')").as("qtext"))
+      llm.Retrieval.proximityTopK(queries, "qid", "qtext",
+        sharedPosIndex(s, dir), k = 5, window = 6)
+    }),
+
     // Standing-index tombstone DELETE: take down doc_id % 11 == 0 from
     // the shared persisted BM25 index (postings/lengths drop via a
     // broadcast-tombstone anti-join; df/stats subtract the deleted docs'

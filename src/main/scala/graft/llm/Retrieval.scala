@@ -750,6 +750,68 @@ object Retrieval {
         col("q.id").as("doc_id"), (-col("q.ord")).as("n_occurrences"))
   }
 
+  /** EXACT windowed proximity top-k over positional postings — the
+    * sloppy-match tier between bag-of-words BM25 and the exact phrase: a
+    * document matches at window start s iff EVERY distinct query word
+    * occurs somewhere in the W consecutive token slots [s, s + W − 1]
+    * (any order, any multiplicity — query words are set semantics here,
+    * unlike the phrase's slot algebra); `n_windows` counts the distinct
+    * matching starts (clamped at 0 so counting is well-defined near the
+    * document head; clamping never changes WHETHER a doc matches, only
+    * normalizes which start represents a head match) and ranks
+    * (n_windows DESC, doc ASC) through the bounded top-k tail.
+    *
+    * Entirely relational — each posting hit at position p votes for the
+    * ≤ W starts [max(0, p − W + 1), p] it covers, votes dedupe per
+    * (query, doc, start, word), and a start matches iff its distinct
+    * word count reaches the query's — so the same algebra replays
+    * bit-identically in the oracle (`llm_proximity_search`). A phrase
+    * match is always a proximity match at W ≥ phrase length over the
+    * same words (the slots sit inside one window), spec-pinned.
+    *
+    * Scale: the inverted access path again — postings explode positions
+    * only for the broadcast query-word set, then fan out ≤ W starts per
+    * hit (W is small and fixed) into a partial-agg groupBy; a persisted
+    * banded layout gives the probe the same partition-pruned read as
+    * phrase/BM25.
+    */
+  def proximityTopK(queries: DataFrame, qidCol: String, qtextCol: String,
+      posIndex: DataFrame, k: Int, window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val qw = queries.select(col(qidCol).as("query_id"),
+        explode(toks(qtextCol)).as("word"))
+      .distinct()
+    val nw = qw.groupBy(col("query_id")).agg(count(lit(1)).as("n_words"))
+    // bounded by the query-word set — the shared probe collect contract
+    val qbands = qw.select(band(col("word")).as("__band")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val votes = posIndex.filter(col("__band").isin(qbands: _*))
+      .join(broadcast(qw), Seq("word"))
+      .select(col("query_id"), col("nid"), col("word"),
+        explode(col("positions")).as("p"))
+      .select(col("query_id"), col("nid"), col("word"),
+        explode(expr(s"sequence(greatest(0L, p - ${window - 1}), p)"))
+          .as("s"))
+      .distinct()
+    val occ = votes.groupBy(col("query_id"), col("nid"), col("s"))
+      .agg(count(lit(1)).as("k_i"))
+      .join(broadcast(nw), Seq("query_id"))
+      .filter(col("k_i") === col("n_words"))
+      .groupBy(col("query_id"), col("nid"))
+      .agg(count(lit(1)).as("n_windows"))
+    occ.groupBy(col("query_id"))
+      .agg(graft.plans.TopKPairs.topkPairs(-col("n_windows"), col("nid"), k)
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "q")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("q.id").as("doc_id"), (-col("q.ord")).as("n_windows"))
+  }
+
+  /** [[proximityTopK]] over a standing [[PosIndex]]. */
+  def proximityTopK(queries: DataFrame, qidCol: String, qtextCol: String,
+      index: PosIndex, k: Int, window: Int): DataFrame =
+    proximityTopK(queries, qidCol, qtextCol, index.postings, k, window)
+
   /** Pseudo-relevance-feedback query expansion (the RM3 shape) over a
     * standing [[InvIndex]]: probe BM25 top-`kDocs` feedback documents
     * per query, score EVERY term of the feedback docs with the same

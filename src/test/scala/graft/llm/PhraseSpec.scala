@@ -47,6 +47,50 @@ class PhraseSpec extends AnyFunSuite {
       List((4L, 1L), (5L, 1L)))
   }
 
+  private def runProx(docs: Seq[(Long, String)], q: String, w: Int,
+      k: Int = 10) = {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = docs.toDF("doc_id", "text")
+    Retrieval.proximityTopK(Seq((100L, q)).toDF("qid", "qtext"), "qid",
+        "qtext", Retrieval.buildPosIndex(d, "doc_id", "text"), k, w)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toList
+  }
+
+  test("proximity: window semantics, clamping, set-of-words queries") {
+    // a..b span = 5 tokens: W=5 matches (one clamped start), W=4 doesn't
+    assert(runProx(Seq((1L, "a x x x b")), "a b", 5) == List((1L, 1L)))
+    assert(runProx(Seq((1L, "a x x x b")), "a b", 4) == Nil)
+    // overlap counting: positions a@0,2 b@1,3 — starts 0,1,2 all cover
+    // both words at W=2
+    assert(runProx(Seq((1L, "a b a b")), "a b", 2) == List((1L, 3L)))
+    // order-free (unlike phrase): "b a" matches the query "a b"
+    assert(runProx(Seq((1L, "b a")), "a b", 2) == List((1L, 1L)))
+    // repeated query words collapse to the distinct set
+    assert(runProx(Seq((1L, "b a")), "a a b", 2) == List((1L, 1L)))
+    // W=1: a multi-word query can never fit one slot
+    assert(runProx(Seq((1L, "a b")), "a b", 1) == Nil)
+    // an absent word kills every window
+    assert(runProx(Seq((1L, "a b c")), "a zzz", 9) == Nil)
+  }
+
+  test("phrase matches ⊆ proximity matches at W ≥ phrase length") {
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val queries = docs.filter(col("doc_id") % 89 === 0)
+      .select(col("doc_id").as("qid"),
+        expr("array_join(slice(filter(split(lower(text), ' '), " +
+          "w -> length(w) > 0), 2, 3), ' ')").as("qtext"))
+    val idx = Retrieval.buildPosIndex(docs, "doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    // k large enough that neither tail truncates the candidate set
+    val ph = pairs(Retrieval.phraseTopK(queries, "qid", "qtext", idx, 100000))
+    val px = pairs(Retrieval.proximityTopK(queries, "qid", "qtext", idx,
+      100000, window = 3))
+    assert(ph.nonEmpty && ph.subsetOf(px),
+      s"phrase matches missing from proximity: ${(ph -- px).take(5)}")
+  }
+
   test("additive update ≡ full rebuild; re-fold and delete lifecycle") {
     val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
     def setOf(df: org.apache.spark.sql.DataFrame) =
