@@ -3714,6 +3714,13 @@ private[graft] object OraclesLlm {
     // quantizer (partitioned training ≡ separate trainings) — then
     // cell-restricted ADC ranking
     "llm_ivfpq_search" -> ivfPqSearchSql,
+    // llm_ann_delete oracle: the SAME training chain (the frozen
+    // quantizers were trained on the full corpus, deletes don't retrain)
+    // with the scored candidate set filtered to the survivors — the one
+    // predicate is spliced into the sc CTE's WHERE
+    "llm_ann_delete" -> ivfPqSearchSql.replace(
+      "WHERE p.vec_id <> probes.qid",
+      "WHERE p.vec_id <> probes.qid AND p.vec_id % 9 <> 0"),
     // llm_ivf_pruned_probe oracle: the probe is a partition-pruned READ of
     // the cell-partitioned code layout, and by construction returns exactly
     // the join-based IVF-PQ rows — so the oracle IS ivfPqSearchSql

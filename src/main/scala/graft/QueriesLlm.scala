@@ -1515,6 +1515,22 @@ private[graft] object QueriesLlm {
         sharedAnnIndex(s, dir), sharedCellLayout(s, dir), k = 3, nProbe = 2)
     }),
 
+    // ANN tombstone DELETE: take down vec_id % 9 == 0 from the shared
+    // IVF-PQ index (cell assignment + code table drop rows via a
+    // broadcast anti-join; the trained quantizers stay frozen — deletes
+    // never retrain, the drift gate owns that), then run the standard
+    // IVF-PQ probe. The oracle replays the FULL training chain (the
+    // quantizers saw the deleted vectors) with the candidate set
+    // filtered to survivors — exactly what a frozen-artifact delete
+    // means.
+    "llm_ann_delete" -> ((s, dir) => {
+      val tomb = annCorpus(s, dir).filter(col("nid") % 9 === 0)
+        .select(col("nid"))
+      llm.Ann.ivfPqSearch(annQueries(s, dir),
+        llm.Ann.deleteFromIvfPqIndex(sharedAnnIndex(s, dir), tomb),
+        k = 3, nProbe = 2)
+    }),
+
     // PQ recall gate: recall@3 of ADC search against brute-force truth —
     // what two 20-centroid subspace codebooks actually buy (measured 0.40
     // at sf0.01); the same honesty metric the ANN paths carry.

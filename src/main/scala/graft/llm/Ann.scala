@@ -885,6 +885,39 @@ object Ann {
         pq = PqIndex.load(spark, path))
   }
 
+  /** Tombstone DELETE from a standing [[IvfPqIndex]] — the ANN leg of
+    * the takedown lifecycle ([[graft.llm.Retrieval.deleteFromInvIndex]]
+    * is the keyword twin): the cell assignment and the PQ code table
+    * drop the tombstoned rows through a broadcast anti-join (lazy; the
+    * next save/layout write compacts), so no probe can ever score a
+    * deleted vector. The TRAINED artifacts (coarse centroids, subspace
+    * codebooks) deliberately stay frozen — a delete is not a retrain
+    * (assignment/encode of the survivors is unchanged, so the deleted
+    * index IS the survivors probed against the same quantizers, exactly;
+    * when accumulated deletes shift the distribution, the drift gate —
+    * not the delete — says retrain). Ids not in the index drop nothing:
+    * idempotent by construction.
+    */
+  def deleteFromIvfPqIndex(index: IvfPqIndex,
+      deletedIds: DataFrame): IvfPqIndex = {
+    val tomb = deletedIds.select(col(deletedIds.columns.head).as("nid"))
+    IvfPqIndex(index.coarse,
+      index.cells.join(broadcast(tomb), Seq("nid"), "left_anti"),
+      index.pq.copy(codes =
+        index.pq.codes.join(broadcast(tomb), Seq("nid"), "left_anti")))
+  }
+
+  /** Tombstone DELETE from a standing [[SqIndex]] — same contract as
+    * [[deleteFromIvfPqIndex]]: the code table drops rows, the trained
+    * bounds stay frozen (survivor encodes are unchanged; the drift
+    * gate's saturation leg owns the retrain decision).
+    */
+  def deleteFromSqIndex(index: SqIndex, deletedIds: DataFrame): SqIndex = {
+    val tomb = deletedIds.select(col(deletedIds.columns.head).as("nid"))
+    index.copy(codes =
+      index.codes.join(broadcast(tomb), Seq("nid"), "left_anti"))
+  }
+
   /** One-time PQ index build: train both subspace codebooks, encode the
     * corpus. (The training/encode cost every inline search call was
     * paying, paid once.)
