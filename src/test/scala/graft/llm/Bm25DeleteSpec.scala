@@ -86,6 +86,50 @@ class Bm25DeleteSpec extends AnyFunSuite {
     assert(setOf(twice.dl) == setOf(deleted.dl))
   }
 
+  test("deleted-index probe on a saved layout stays partition-pruned; save compacts") {
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bm25del-spec").toString
+    Retrieval.buildInvIndex(docs, "doc_id", "text").save(s"$dir/full")
+    val loaded = Retrieval.InvIndex.load(spark, s"$dir/full")
+    val deleted = Retrieval.deleteFromInvIndex(loaded,
+      docs.filter(col("doc_id") % 11 === 0), "doc_id", "text")
+    val queries = docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("qid"),
+        expr("array_join(slice(filter(split(lower(text), ' '), " +
+          "w -> length(w) > 0), 1, 5), ' ')").as("qtext"))
+    // the lazy tombstone anti-join must not block the band IN-filter
+    // from reaching the parquet scan as a partition filter — otherwise
+    // every delete turns probes into corpus-postings scans
+    graft.TestSpark.withAqeDisabled {
+      val probed = Retrieval.bm25TopK(queries, "qid", "qtext", deleted,
+        k = 5, excludeIdEq = true)
+      val scans = probed.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths
+            .exists(_.toString.contains("graft-bm25del-spec")) &&
+            f.relation.location.rootPaths
+              .exists(_.toString.contains("postings")) => f
+      }
+      assert(scans.nonEmpty, "postings scan not found under the anti-join")
+      scans.foreach(f => assert(f.partitionFilters.nonEmpty,
+        "tombstone anti-join blocked partition pruning"))
+    }
+    // save() materializes the compaction: the re-saved postings hold no
+    // tombstoned ids on disk, and the reloaded index probes identically
+    deleted.save(s"$dir/compacted")
+    assert(spark.read.parquet(s"$dir/compacted/postings")
+      .filter(col("nid") % 11 === 0).count() == 0L)
+    val reloaded = Retrieval.InvIndex.load(spark, s"$dir/compacted")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val direct = rows(Retrieval.bm25TopK(queries, "qid", "qtext", deleted,
+      k = 5, excludeIdEq = true))
+    assert(direct.nonEmpty && rows(Retrieval.bm25TopK(queries, "qid",
+      "qtext", reloaded, k = 5, excludeIdEq = true)) == direct)
+  }
+
   test("words whose every doc is deleted vanish from df (no zero rows)") {
     val spark2 = spark
     import spark2.implicits._

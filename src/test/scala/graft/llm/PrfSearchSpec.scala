@@ -98,6 +98,36 @@ class PrfSearchSpec extends AnyFunSuite {
       s"the original-term doc lost rank 1: $second")
   }
 
+  test("weighted probe on a saved layout is partition-pruned to its term bands") {
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-prfband-spec").toString
+    Retrieval.buildInvIndex(docs, "doc_id", "text").save(dir)
+    val loaded = Retrieval.InvIndex.load(spark, dir)
+    val queries = docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("qid"),
+        expr("array_join(slice(filter(split(lower(text), ' '), " +
+          "w -> length(w) > 0), 1, 5), ' ')").as("qtext"))
+    val tq = queries.select(col("qid").as("query_id"),
+        explode(expr("filter(split(lower(qtext), ' '), w -> length(w) > 0)"))
+          .as("word"))
+      .distinct().withColumn("weight_micro", lit(1000000L))
+    graft.TestSpark.withAqeDisabled {
+      val probed = Retrieval.bm25TopKWeighted(tq, loaded, 5,
+        excludeIdEq = true)
+      val scans = probed.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths
+            .exists(_.toString.contains("graft-prfband-spec")) &&
+            f.relation.location.rootPaths
+              .exists(_.toString.contains("postings")) => f
+      }
+      assert(scans.nonEmpty, "postings scan not found in the weighted probe")
+      scans.foreach(f => assert(f.partitionFilters.nonEmpty,
+        "weighted probe lost the band partition filter"))
+    }
+  }
+
   test("zero expansion mass: pure-original weights still retrieve") {
     val spark2 = spark
     import spark2.implicits._
