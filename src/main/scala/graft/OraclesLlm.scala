@@ -3718,9 +3718,17 @@ private[graft] object OraclesLlm {
     // quantizers were trained on the full corpus, deletes don't retrain)
     // with the scored candidate set filtered to the survivors — the one
     // predicate is spliced into the sc CTE's WHERE
-    "llm_ann_delete" -> ivfPqSearchSql.replace(
-      "WHERE p.vec_id <> probes.qid",
-      "WHERE p.vec_id <> probes.qid AND p.vec_id % 9 <> 0"),
+    "llm_ann_delete" -> {
+      val spliced = ivfPqSearchSql.replace(
+        "WHERE p.vec_id <> probes.qid",
+        "WHERE p.vec_id <> probes.qid AND p.vec_id % 9 <> 0")
+      // a refactor of the shared chain that renames the anchor would
+      // make the replace a silent no-op and the oracle would score
+      // deleted vectors — fail loudly instead
+      require(spliced != ivfPqSearchSql,
+        "llm_ann_delete splice anchor not found in ivfPqSearchSql")
+      spliced
+    },
     // llm_ivf_pruned_probe oracle: the probe is a partition-pruned READ of
     // the cell-partitioned code layout, and by construction returns exactly
     // the join-based IVF-PQ rows — so the oracle IS ivfPqSearchSql
