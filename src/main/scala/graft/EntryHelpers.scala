@@ -177,16 +177,16 @@ private[graft] object EntryHelpers {
           val tmpPrefix = ".build_" + target.getFileName.toString + "_"
           val siblings = Files.list(target.getParent)
           // exact-target match, not prefix-based: createTempDirectory's
-          // random suffix is purely numeric, so anything after tmpPrefix
-          // containing '_' belongs to a DIFFERENT target whose name
-          // extends this one (e.g. targets "idx" and "idx_c" in the same
-          // parent — a live builder of the longer name must never be
-          // reclaimed by a builder of the shorter one)
+          // random suffix never contains '_', so a remainder WITH one
+          // belongs to a DIFFERENT target whose name extends this one
+          // (e.g. targets "idx" and "idx_c" in the same parent — a live
+          // builder of the longer name must never be reclaimed by a
+          // builder of the shorter one)
           try siblings.iterator().asScala
             .filter { p =>
               val n = p.getFileName.toString
               n.startsWith(tmpPrefix) &&
-                n.drop(tmpPrefix.length).forall(_.isDigit)
+                !n.drop(tmpPrefix.length).contains('_')
             }
             .foreach(p => core.Fs.deleteRecursively(p))
           finally siblings.close()

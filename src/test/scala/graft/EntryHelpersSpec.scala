@@ -47,6 +47,23 @@ class EntryHelpersSpec extends AnyFunSuite {
     assert(Files.exists(Paths.get(target, "_GRAFT_OK")))
   }
 
+  test("a sibling target whose name EXTENDS this one is never reclaimed") {
+    // the advice case: targets "idx" and "idx_c" in the same parent —
+    // ".build_idx_c_cafe" starts with target idx's ".build_idx_" prefix,
+    // but its remainder carries the '_' no real temp suffix contains
+    val parent = Files.createTempDirectory("graft-eh-spec")
+    val target = s"$parent/idx"
+    val nested = Files.createDirectories(
+      Paths.get(s"$parent/.build_idx_c_cafe"))
+    Files.write(nested.resolve("inflight"), "i".getBytes)
+    EntryHelpers.ensureBuilt(target) { tmp =>
+      Files.write(Paths.get(tmp, "payload"), "x".getBytes)
+    }
+    assert(Files.exists(nested.resolve("inflight")),
+      "the longer-named target's live temp was reclaimed by the shorter")
+    assert(Files.exists(Paths.get(target, "_GRAFT_OK")))
+  }
+
   test("a stale partial at the target (no marker) is replaced, not kept") {
     val parent = Files.createTempDirectory("graft-eh-spec")
     val target = s"$parent/idx_d"
