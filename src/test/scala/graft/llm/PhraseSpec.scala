@@ -161,6 +161,21 @@ class PhraseSpec extends AnyFunSuite {
           s"read ${f.selectedPartitions.partitionCount} bands, " +
             s"query bands = ${qbands.size}")
       }
+      // the proximity probe shares the same banded read: same pruning law
+      val prox = Retrieval.proximityTopK(queries, "qid", "qtext", loaded,
+        5, window = 6)
+      prox.collect()
+      val pScans = prox.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec if f.relation.location.rootPaths
+          .exists(_.toString.contains("graft-phrase-spec")) => f
+      }
+      assert(pScans.nonEmpty, "proximity postings scan not found")
+      pScans.foreach { f =>
+        assert(f.partitionFilters.nonEmpty)
+        assert(f.selectedPartitions.partitionCount.toLong == qbands.size.toLong,
+          s"proximity read ${f.selectedPartitions.partitionCount} bands, " +
+            s"query bands = ${qbands.size}")
+      }
     }
   }
 }
