@@ -104,6 +104,7 @@ object Bench {
     // batch and gates both phases)
     "llm_prf_search", "llm_bm25_delete", "llm_phrase_update",
     "llm_drift_retrain", "llm_proximity_search", "llm_ann_delete",
+    "llm_snippets",
     "s2_stream_agg", "s2b_stream_state", "s2c_stream_sessions",
     "s2d_stream_join", "s2e_stream_dedup_wm", "s2f_stream_enrich",
     "s2g_stream_hll", "s2h_stream_cm", "s2i_stream_quantile",

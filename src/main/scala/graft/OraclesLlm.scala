@@ -2476,6 +2476,47 @@ private[graft] object OraclesLlm {
         |    row_number() OVER (PARTITION BY query_id ORDER BY expansion_micro DESC, word ASC) AS rank FROM ex)
         |SELECT query_id, CAST(rank AS BIGINT) AS rank, word AS term, expansion_micro
         |FROM rx WHERE rank <= 10""".stripMargin,
+    // llm_snippets oracle: the bm25Sql chain through the ranked top-5
+    // (fb), then keyword-in-context over ONLY the result docs — 0-based
+    // positions (generate_subscripts − 1: the head clamp makes the
+    // offset load-bearing, as in proximity), start votes deduped per
+    // (query, doc, start, word), best start by (count DESC, start ASC)
+    // via QUALIFY, snippet = the 1-based W-token slice from start + 1
+    "llm_snippets" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS ws FROM documents),
+        |tok AS (SELECT doc_id AS nid, unnest(ws) AS word FROM w),
+        |dl AS (SELECT doc_id AS nid, CAST(len(ws) AS BIGINT) AS dl FROM w WHERE len(ws) > 0),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens FROM dl),
+        |qt AS (SELECT DISTINCT query_id, word FROM
+        |  (SELECT doc_id AS query_id, unnest(ws[1:5]) AS word FROM w WHERE doc_id % 97 = 0)),
+        |qw AS (SELECT DISTINCT word FROM qt),
+        |m AS (SELECT nid, tok.word FROM tok JOIN qw ON tok.word = qw.word),
+        |tf AS (SELECT nid, word, CAST(count(*) AS BIGINT) AS tf FROM m GROUP BY nid, word),
+        |dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM (SELECT DISTINCT nid, word FROM m) GROUP BY word),
+        |terms AS (SELECT qt.query_id, tf.nid, tf.tf, dfq.df, dl.dl, stats.n_docs, stats.total_tokens
+        |  FROM tf JOIN dfq USING (word) JOIN dl USING (nid) CROSS JOIN stats JOIN qt ON tf.word = qt.word
+        |  WHERE tf.nid <> qt.query_id),
+        |sc AS (SELECT query_id, nid,
+        |    CAST(floor(((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |      * ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / (CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+        |      * 1000000.0) AS BIGINT) AS term_micro
+        |  FROM terms),
+        |agg AS (SELECT query_id, nid, CAST(sum(term_micro) AS BIGINT) AS score_micro FROM sc GROUP BY query_id, nid),
+        |r AS (SELECT query_id, nid, score_micro,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, nid ASC) AS rank FROM agg),
+        |fb AS (SELECT query_id, nid FROM r WHERE rank <= 5),
+        |ptok AS (SELECT doc_id AS nid, unnest(ws) AS word, generate_subscripts(ws, 1) - 1 AS p FROM w
+        |  WHERE doc_id IN (SELECT nid FROM fb)),
+        |hits AS (SELECT qt.query_id, ptok.nid, ptok.word,
+        |  unnest(generate_series(greatest(0, ptok.p - 7), ptok.p)) AS s
+        |  FROM ptok JOIN qt ON ptok.word = qt.word JOIN fb ON fb.query_id = qt.query_id AND fb.nid = ptok.nid),
+        |votes AS (SELECT DISTINCT query_id, nid, word, s FROM hits),
+        |cnt AS (SELECT query_id, nid, s, CAST(count(*) AS BIGINT) AS c FROM votes GROUP BY 1, 2, 3),
+        |best AS (SELECT query_id, nid, c AS n_query_words, CAST(s AS BIGINT) AS snippet_start FROM cnt
+        |  QUALIFY row_number() OVER (PARTITION BY query_id, nid ORDER BY c DESC, s ASC) = 1)
+        |SELECT b.query_id, b.nid AS doc_id, b.snippet_start, b.n_query_words,
+        |  array_to_string(w.ws[CAST(b.snippet_start + 1 AS BIGINT) : CAST(b.snippet_start + 8 AS BIGINT)], ' ') AS snippet
+        |FROM best b JOIN w ON w.doc_id = b.nid""".stripMargin,
     // llm_prf_search oracle: the llm_query_expand chain through rx (the
     // ranked expansion terms), then the RM3 interpolated weights —
     // original terms at 600000 // |q| micro each, expansion at

@@ -962,6 +962,25 @@ private[graft] object QueriesLlm {
         excludeIdEq = true)
     }),
 
+    // SNIPPET extraction (keyword-in-context): BM25 top-5 from the
+    // shared standing index, then per (query, doc) the best 8-token
+    // window — most distinct query words, ties to the smallest start —
+    // with offset, hit count, and snippet text. Forward-index access
+    // over the top-k-sized doc set only (the corpus semi-joins down to
+    // |queries|·k docs before any tokenize).
+    "llm_snippets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val queries = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("qid"),
+          expr("array_join(slice(filter(split(lower(text), ' '), " +
+            "w -> length(w) > 0), 1, 5), ' ')").as("qtext"))
+      val top = llm.Retrieval.bm25TopK(queries, "qid", "qtext",
+        sharedInvIndex(s, dir), k = 5, excludeIdEq = true)
+      llm.Retrieval.extractSnippets(
+        top.select(col("query_id"), col("doc_id")), queries, "qid", "qtext",
+        docs, "doc_id", "text", window = 8)
+    }),
+
     // The CLOSED RM3 loop — PRF retrieval (second pass): expand each
     // query through the llm_query_expand chain (BM25 top-5 feedback →
     // top-10 expansion terms), interpolate α = 0.6 (original terms at

@@ -812,6 +812,60 @@ object Retrieval {
       index: PosIndex, k: Int, window: Int): DataFrame =
     proximityTopK(queries, qidCol, qtextCol, index.postings, k, window)
 
+  /** SNIPPET extraction (keyword-in-context) — the presentation layer a
+    * RAG / search stack needs after ranking: for each (query, top-doc)
+    * pair, the best `window`-token snippet — the window start holding
+    * the MOST distinct query words, ties to the smallest start — with
+    * its token offset, its distinct-query-word count, and the snippet
+    * text. `results` is any ranked (query_id, doc_id) frame (BM25,
+    * phrase, hybrid — every ranking tier here emits that shape).
+    *
+    * The start-vote algebra is [[proximityTopK]]'s (each hit position
+    * votes for the ≤ W starts it covers, votes dedupe per (query, doc,
+    * start, word)); the argmax is `max(struct(count, −start))` — the
+    * (count DESC, start ASC) law with no Window, replayed in the oracle
+    * as a QUALIFY row_number. Every result doc holds ≥ 1 query word
+    * under any term-matching ranker, so the output has exactly one row
+    * per input pair.
+    *
+    * Scale: snippeting is inherently forward-index access over the
+    * TOP-K-SIZED doc set — so the candidate docs are semi-joined out of
+    * the corpus by the broadcast result set first, and only those
+    * |queries|·k documents ever tokenize; everything downstream is
+    * partial aggregation on (query, doc, start). The corpus never
+    * shuffles.
+    */
+  def extractSnippets(results: DataFrame, queries: DataFrame,
+      qidCol: String, qtextCol: String, docs: DataFrame, idCol: String,
+      textCol: String, window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val pairs = results.select(col("query_id"), col("doc_id").as("nid"))
+    val cand = docs.join(broadcast(pairs.select(col("nid")).distinct()),
+        col(idCol) === col("nid"), "left_semi")
+      .select(col(idCol).as("nid"), toks(textCol).as("ws"))
+    val qw = bm25QueryTerms(queries, qidCol, qtextCol)
+    val votes = cand
+      .select(col("nid"), posexplode(col("ws")).as(Seq("p", "word")))
+      .join(broadcast(qw), Seq("word"))
+      .join(broadcast(pairs), Seq("query_id", "nid"))
+      .select(col("query_id"), col("nid"), col("word"),
+        explode(expr(
+          s"sequence(CAST(greatest(0, p - ${window - 1}) AS BIGINT), " +
+            "CAST(p AS BIGINT))")).as("s"))
+      .distinct()
+    val best = votes.groupBy(col("query_id"), col("nid"), col("s"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("query_id"), col("nid"))
+      .agg(max(struct(col("c").as("c"), (-col("s")).as("ns"))).as("b"))
+      .select(col("query_id"), col("nid"),
+        col("b.c").as("n_query_words"), (-col("b.ns")).as("snippet_start"))
+    best.join(cand, Seq("nid"))
+      .select(col("query_id"), col("nid").as("doc_id"),
+        col("snippet_start"), col("n_query_words"),
+        expr(s"array_join(slice(ws, CAST(snippet_start + 1 AS INT), $window), ' ')")
+          .as("snippet"))
+  }
+
   /** Pseudo-relevance-feedback query expansion (the RM3 shape) over a
     * standing [[InvIndex]]: probe BM25 top-`kDocs` feedback documents
     * per query, score EVERY term of the feedback docs with the same
