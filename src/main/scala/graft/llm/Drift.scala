@@ -164,8 +164,20 @@ object Drift {
   def sqOovGate(report: DataFrame, satDeltaBpMax: Long,
       oovBpMax: Long): DataFrame = {
     val s = report.filter(col("key") === -1L)
+    // each leg aggregates its metric to EXACTLY one row and raises if the
+    // row count is anything else: a partial report missing a metric (or a
+    // renamed one) previously emitted an empty leg — a shorter gate table
+    // that read as nothing-triggered. The agg keeps the gate fully
+    // relational (no driver collect), consistent with gate()'s fail-fast.
     def v(metric: String, as: String): DataFrame =
-      s.filter(col("metric") === metric).select(col("value").as(as))
+      s.filter(col("metric") === metric)
+        .agg(count(lit(1)).as("__n"), min(col("value")).as("__v"))
+        .select(expr(
+          s"""CASE WHEN __n <> 1 THEN CAST(raise_error(concat(
+             |'sqOovGate: expected exactly one $metric scalar row in the
+             | drift report, got ', __n)) AS BIGINT)
+             |ELSE __v END""".stripMargin.replace("\n", ""))
+          .as(as))
     val sat = v("sq_sat_bp_batch", "__b")
       .crossJoin(broadcast(v("sq_sat_bp_base", "__a")))
       .select(lit("sq_sat_delta_bp").as("check"),

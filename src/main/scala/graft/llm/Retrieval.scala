@@ -295,8 +295,12 @@ object Retrieval {
   def deleteFromInvIndex(index: InvIndex, deletedDocs: DataFrame,
       idCol: String, textCol: String): InvIndex = {
     // dl holds every token-bearing indexed doc — exactly the ids that
-    // contribute to any component (empty docs are in no component)
-    val dead = deletedDocs.join(
+    // contribute to any component (empty docs are in no component).
+    // dropDuplicates first: the semi-join preserves LEFT multiplicity, so
+    // a tombstone batch carrying one id twice would double that doc's
+    // subtracted dl/df/stats contributions (batch-sized, so the dedupe
+    // is free relative to the re-tokenize that follows)
+    val dead = deletedDocs.dropDuplicates(idCol).join(
       index.dl.select(col("nid").as("__indexed_id")),
       col(idCol) === col("__indexed_id"), "left_semi")
     val deadIdx = buildInvIndex(dead, idCol, textCol)
@@ -304,11 +308,23 @@ object Retrieval {
     val postings2 = index.postings
       .join(broadcast(tomb), Seq("nid"), "left_anti")
     val dl2 = index.dl.join(broadcast(tomb), Seq("nid"), "left_anti")
+    // fail-fast on df underflow: under the id-is-identity contract the
+    // subtraction is exact, so a NEGATIVE df can only mean the tombstone
+    // batch carried text the index never held (the documented-undefined
+    // delete-with-changed-text case) — raise instead of silently dropping
+    // the corrupt word through the df > 0 filter. Per-row CASE on the
+    // vocab-sized df table: free, and it stays inside codegen.
     val df2 = index.dfTable.join(
         broadcast(deadIdx.dfTable.select(col("word"), col("df").as("__d"))),
         Seq("word"), "left")
       .select(col("word"),
         (col("df") - coalesce(col("__d"), lit(0L))).as("df"))
+      .select(col("word"), expr(
+        """CASE WHEN df < 0 THEN CAST(raise_error(concat(
+          |'deleteFromInvIndex: df underflow for word "', word,
+          |'" — the tombstone batch text does not match the indexed text'))
+          |AS BIGINT) ELSE df END""".stripMargin.replace("\n", " "))
+        .as("df"))
       .filter(col("df") > 0)
     val stats2 = index.stats
       .select(col("n_docs").as("__n1"), col("total_tokens").as("__t1"))
@@ -623,8 +639,9 @@ object Retrieval {
       docs: DataFrame // (nid) — token-bearing indexed doc ids
   ) {
     def save(path: String): Unit = {
-      // both artifacts derive from the one tokenize in the lazy DAG —
-      // persist the shared root so the two writes tokenize once
+      // docs derives FROM postings (buildPosIndex projects the indexed-id
+      // set off the postings table, not off the source docs), so
+      // persisting postings really does make the two writes tokenize once
       postings.persist()
       try {
         postings.write.partitionBy("__band")
@@ -641,7 +658,12 @@ object Retrieval {
         docs = spark.read.parquet(s"$path/docs"))
   }
 
-  /** One-time positional-index build (tokenize the corpus once). */
+  /** One-time positional-index build (tokenize the corpus once). The
+    * docs table is projected OFF the postings (a token-bearing doc has
+    * ≥ 1 posting row, so `postings.nid` distinct IS the indexed-id set):
+    * both artifacts share one tokenized root, so `save()`'s persist of
+    * postings covers the docs write too — no second corpus tokenize.
+    */
   def buildPosIndex(docs: DataFrame, idCol: String,
       textCol: String): PosIndex = {
     val postings = docs.select(col(idCol).as("nid"), posexplode(toks(textCol))
@@ -649,9 +671,7 @@ object Retrieval {
       .groupBy(col("nid"), col("word"))
       .agg(sort_array(collect_list(col("p").cast("long"))).as("positions"))
       .withColumn("__band", band(col("word")))
-    PosIndex(postings,
-      docs.select(col(idCol).as("nid"), size(toks(textCol)).as("__dl"))
-        .filter(col("__dl") > 0).select(col("nid")))
+    PosIndex(postings, postings.select(col("nid")).distinct())
   }
 
   /** Fold an out-of-sample document batch into a standing [[PosIndex]]

@@ -112,8 +112,22 @@ class Bm25DeleteSpec extends AnyFunSuite {
               .exists(_.toString.contains("postings")) => f
       }
       assert(scans.nonEmpty, "postings scan not found under the anti-join")
-      scans.foreach(f => assert(f.partitionFilters.nonEmpty,
-        "tombstone anti-join blocked partition pruning"))
+      // partition COUNT, not mere filter presence (the PhraseSpec
+      // standard): a filter that silently selects every band would pass
+      // a nonEmpty check while the probe reads the whole postings bytes
+      val qbands = queries
+        .select(explode(expr("filter(split(lower(qtext), ' '), " +
+          "w -> length(w) > 0)")).as("word"))
+        .select(pmod(xxhash64(col("word")), lit(Retrieval.PostingBands))
+          .cast("int").as("b"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      scans.foreach { f =>
+        assert(f.partitionFilters.nonEmpty,
+          "tombstone anti-join blocked partition pruning")
+        assert(f.selectedPartitions.partitionCount.toLong == qbands.size.toLong,
+          s"read ${f.selectedPartitions.partitionCount} bands under the " +
+            s"anti-join, query bands = ${qbands.size}")
+      }
     }
     // save() materializes the compaction: the re-saved postings hold no
     // tombstoned ids on disk, and the reloaded index probes identically
@@ -128,6 +142,36 @@ class Bm25DeleteSpec extends AnyFunSuite {
       k = 5, excludeIdEq = true))
     assert(direct.nonEmpty && rows(Retrieval.bm25TopK(queries, "qid",
       "qtext", reloaded, k = 5, excludeIdEq = true)) == direct)
+  }
+
+  test("duplicate tombstone rows subtract once; changed-text underflow raises") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq((1L, "apple banana"), (2L, "banana cherry"),
+      (3L, "cherry date")).toDF("doc_id", "text")
+    val full = Retrieval.buildInvIndex(docs, "doc_id", "text")
+    // a tombstone batch carrying one id TWICE must subtract that doc's
+    // contributions once (the semi-join preserves left multiplicity, so
+    // without the dedupe the doubled dl rows double n_docs/total_tokens)
+    val one = docs.filter(col("doc_id") === 1L)
+    val once = Retrieval.deleteFromInvIndex(full, one, "doc_id", "text")
+    val dup = Retrieval.deleteFromInvIndex(full, one.unionByName(one),
+      "doc_id", "text")
+    assert(setOf(dup.stats) == setOf(once.stats))
+    assert(setOf(dup.dl) == setOf(once.dl))
+    assert(setOf(dup.dfTable) == setOf(once.dfTable))
+    // the documented-undefined case — deleting with CHANGED text — fails
+    // fast when it drives a word's df negative ("date" is held by one
+    // indexed doc; two tombstones claiming it would subtract 2) instead
+    // of silently dropping the corrupt word through the df > 0 filter
+    val changed = Seq((1L, "zzz date"), (2L, "date qqq"))
+      .toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      Retrieval.deleteFromInvIndex(full, changed, "doc_id", "text")
+        .dfTable.collect()
+    }
+    assert(ex.getMessage.contains("df underflow"),
+      s"underflow should raise with a diagnosable message: ${ex.getMessage}")
   }
 
   test("words whose every doc is deleted vanish from df (no zero rows)") {

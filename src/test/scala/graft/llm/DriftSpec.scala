@@ -112,6 +112,25 @@ class DriftSpec extends AnyFunSuite {
       s"missing-metric message should name the metric: ${ex.getMessage}")
   }
 
+  test("sqOovGate raises on a report missing one of its metric rows") {
+    val (corpus, _, sq, inv, docs) = fixtures()
+    val batch = corpus.filter(col("nid") % 7 === 0)
+    val bdocs = docs.filter(col("doc_id") % 53 === 0).select(col("text"))
+    val rep = Drift.sqSaturation(sq, batch)
+      .unionByName(Drift.bm25OovBp(inv, bdocs, "text"))
+    // intact report: both legs present, exactly two gate rows
+    assert(Drift.sqOovGate(rep, 500L, 500L).count() == 2L)
+    // a filtered report previously emitted a SHORTER gate table that read
+    // as nothing-triggered; now the missing leg raises at execution with
+    // the metric's name in the message
+    val ex = intercept[Exception] {
+      Drift.sqOovGate(rep.filter(col("metric") =!= "bm25_oov_bp"),
+        500L, 500L).collect()
+    }
+    assert(ex.getMessage.contains("bm25_oov_bp"),
+      s"missing-leg error should name the metric: ${ex.getMessage}")
+  }
+
   test("retrain closes the loop: tripped SQ/OOV legs recover after rebuild") {
     val (corpus, _, sq, inv, docs) = fixtures()
     def vbatch(m: Int, off: Long) = corpus.filter(col("nid") % 7 === m)
