@@ -114,6 +114,22 @@ object Bench {
     // while the g-rows in loaders_bucket measure fixed fixture overhead
     "ldr_ncit_scale", "ldr_fusion_scale", "ldr_hotspot_scale")
 
+  /** Fixed CPU-bound sentinel work (rows hashed and XOR-folded): ~0.6 s
+    * on a quiet host at local[32], pure compute with no I/O or shuffle,
+    * so a reading far above the run's own median is ambient steal, not
+    * engine work. Interleaved between timed rows (below) so every row
+    * gets a LOCAL ambient bracket — one sentinel per run cannot
+    * attribute intra-run bursts (same-hour readings have spanned
+    * 8-31 s on this host).
+    */
+  val SentinelRows: Long = 750000000L
+
+  /** Timed rows between sentinel re-runs: fine enough to bracket a
+    * multi-minute steal burst, coarse enough that the sentinel series
+    * stays under ~10% of a quiet run's wall time.
+    */
+  val SentinelEvery: Int = 10
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -150,11 +166,31 @@ object Bench {
     // regression
     val rest = all.keys.toSeq.sorted.filterNot(headline.contains)
     val (loaderQs, fixtureQs) = rest.partition(_.matches("^g\\d+_.*"))
-    def timeOne(name: String): Option[Double] = {
+    // per-row attribution log (name, pass, epoch-second start, elapsed)
+    // and the interleaved sentinel series — both land in the bench_out
+    // file (NOT the stdout metric lines, whose tail-parse window is
+    // size-constrained) so an ambient dispute over any row resolves by
+    // reading the sentinel readings that bracket its timestamp
+    val rowLog = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Int, Long, Double)]
+    val sentinelLog = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Double)]
+    def sentinelOnce(): Unit = {
+      val ts = System.currentTimeMillis() / 1000
+      val t0 = System.nanoTime()
+      spark.range(SentinelRows).selectExpr("bit_xor(xxhash64(id))").collect()
+      sentinelLog += ((ts, (System.nanoTime() - t0) / 1e9))
+    }
+    var sinceSentinel = 0
+    def timeOne(name: String, pass: Int): Option[Double] = {
+      if (sinceSentinel % SentinelEvery == 0) sentinelOnce()
+      sinceSentinel += 1
+      val ts = System.currentTimeMillis() / 1000
       val t0 = System.nanoTime()
       val ok = try { all(name)(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
+      rowLog += ((name, pass, ts, dt))
       // drop persisted blocks between queries: accumulated storage
       // memory from merge/diff persists squeezes execution memory and
       // makes later queries GC-bound (measured 10x spikes late in the run)
@@ -175,10 +211,12 @@ object Bench {
     // host-load window cannot cover both of a row's reps (same rationale
     // as the headline interleave above)
     for (i <- 1 to reps) {
-      headlineSamples += names.map(n => n -> timeOne(n)).toMap
+      headlineSamples += names.map(n => n -> timeOne(n, i)).toMap
       if (i <= bucketReps)
-        bucketSamples += (fixtureQs ++ loaderQs).map(n => n -> timeOne(n)).toMap
+        bucketSamples += (fixtureQs ++ loaderQs)
+          .map(n => n -> timeOne(n, i)).toMap
     }
+    sentinelOnce() // closing bracket: the last rows get a trailing reading
     val hs = headlineSamples.result()
     val bs = bucketSamples.result()
     val results = names.map { name =>
@@ -229,7 +267,20 @@ object Bench {
     // contains one complete parseable JSON line.
     val summary = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    Files.writeString(Paths.get(out), json + "\n")
+    // the FILE record carries the full attribution payload: every timed
+    // run with its start timestamp, plus the interleaved sentinel series
+    // — any row's ambient factor is (bracketing sentinel readings /
+    // quiet-sentinel ≈ 0.6 s). stdout keeps the compact lines only.
+    val rowsJson = rowLog
+      .map { case (n, p, ts, s) =>
+        s"""{"n":"$n","p":$p,"t":$ts,"s":${r3(s)}}""" }
+      .mkString("[", ",", "]")
+    val sentinelJson = sentinelLog
+      .map { case (ts, s) => s"""{"t":$ts,"s":${r3(s)}}""" }
+      .mkString("[", ",", "]")
+    val fileJson = json.stripSuffix("}") +
+      s""","rows":$rowsJson,"sentinel":$sentinelJson}"""
+    Files.writeString(Paths.get(out), fileJson + "\n")
     // Quiesce Spark COMPLETELY before emitting the metric lines, and make
     // them the very last stdout of the run: in round 16 the state-store
     // maintenance pool's teardown stack trace ("RpcEnv already stopped",
@@ -245,10 +296,20 @@ object Bench {
     try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     catch { case _: Throwable => () }
     spark.sparkContext.setLogLevel("OFF")
-    spark.stop()
+    // swallow stop() failures too: an exception out of the teardown is
+    // exactly the noisy-teardown scenario this ordering guards against,
+    // and an unguarded throw here would skip every metric line below
+    // (regressing the driver tail-parse to parsed=null)
+    try spark.stop() catch { case _: Throwable => () }
     println(json)
     println(s"""{"metric":"scaled_total","value":${r3(scaledTotal)},"unit":"sec","sf":"$sfDir"}""")
     println(s"""{"metric":"fixture_total","value":${r3(fixtureTotal)},"unit":"sec","sf":"$sfDir"}""")
+    // sentinel rollup: the run-level ambient summary (full series in the
+    // bench_out file). median ≈ 0.6 s on a quiet host; max >> median
+    // means an intra-run steal burst — read the file series to localize
+    val sSorted = sentinelLog.map(_._2).sorted
+    if (sSorted.nonEmpty)
+      println(s"""{"metric":"sentinel","value":${r3(sSorted(sSorted.size / 2))},"unit":"sec","n":${sSorted.size},"min":${r3(sSorted.head)},"max":${r3(sSorted.last)}}""")
     println(summary)
   }
 }
