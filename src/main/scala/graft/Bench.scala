@@ -105,6 +105,11 @@ object Bench {
     "llm_prf_search", "llm_bm25_delete", "llm_phrase_update",
     "llm_drift_retrain", "llm_proximity_search", "llm_ann_delete",
     "llm_snippets",
+    // round-18 additions (sf-scaled: prox_rank composes the banded BM25
+    // probe with candidate-restricted positional window counting; the
+    // lifecycle row chains build→update→delete→re-add→probe over the
+    // net corpus)
+    "llm_prox_rank", "llm_index_lifecycle",
     "s2_stream_agg", "s2b_stream_state", "s2c_stream_sessions",
     "s2d_stream_join", "s2e_stream_dedup_wm", "s2f_stream_enrich",
     "s2g_stream_hll", "s2h_stream_cm", "s2i_stream_quantile",

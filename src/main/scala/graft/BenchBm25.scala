@@ -99,6 +99,33 @@ object BenchBm25 {
         f"maxscore ${(t3 - t2) / 1e9}%.2f s, " +
         f"auto ${(t4 - t3) / 1e9}%.2f s$flat ($nProbe rows)")
     }
+
+    // PRF expand access-path A/B: the full word-banded postings scan
+    // (pre-round-18 path) vs the doc-banded forward projection read.
+    // Both include the identical first-pass probe; the delta isolates
+    // the expand's access path. The pruning win is governed by
+    // |feedback docs| / DocBands — a 5k-query batch's 25k feedback docs
+    // saturate all 256 bands (expect parity), a tens-of-queries batch
+    // selects a small fraction (expect the win) — so print the band
+    // count alongside.
+    (1 to reps).foreach { i =>
+      val s0 = System.nanoTime()
+      val nScan = llm.Retrieval.prfExpandTermsScan(queries, "qid", "qtext",
+        index, kDocs = 5, mTerms = 10, excludeIdEq = true).count()
+      val s1 = System.nanoTime()
+      val nFwd = llm.Retrieval.prfExpandTerms(queries, "qid", "qtext",
+        index, kDocs = 5, mTerms = 10, excludeIdEq = true).count()
+      val s2 = System.nanoTime()
+      require(nScan == nFwd, s"prf divergence: $nScan vs $nFwd")
+      val fbBands = llm.Retrieval.bm25TopK(queries, "qid", "qtext", index,
+          k = 5, excludeIdEq = true)
+        .select(pmod(xxhash64(col("doc_id")),
+          lit(llm.Retrieval.DocBands)).cast("int").as("b"))
+        .distinct().count()
+      println(f"[benchbm25] prf rep $i: expand_scan ${(s1 - s0) / 1e9}%.2f s, " +
+        f"expand_fwd ${(s2 - s1) / 1e9}%.2f s " +
+        f"($nFwd rows, $fbBands/${llm.Retrieval.DocBands} doc bands)")
+    }
     spark.stop()
   }
 }

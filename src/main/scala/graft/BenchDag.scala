@@ -33,6 +33,28 @@ object BenchDag {
     // warm-up outside the timed region (same as Bench)
     spark.range(1000000).selectExpr("sum(id)").collect()
 
+    // `concurrent` mode: the EXACT g14 bench-row shape (two
+    // FullCorpus.run passes into one store, default level parallelism)
+    // with per-level wall times — the decomposition that says whether a
+    // slow g14 reading is one level (driver-bound: lock contention or
+    // level-parallelism starvation) or spread evenly (ambient). Run it
+    // in a quiet window and compare the level profile across readings.
+    if (args.headOption.contains("concurrent")) {
+      val scratch2 = java.nio.file.Files
+        .createTempDirectory("graft-benchdag-conc").toString
+      val store2 = new core.PersistentGraphStore(spark, scratch2)
+      val ncit2 = FullCorpus.writeNcitSample()
+      for (pass <- 1 to 2) {
+        val tp = System.nanoTime()
+        FullCorpus.run(spark, store2, ncit2,
+          onLevelDone = (level, sec) =>
+            println(f"""{"pass":$pass,"level":"${level.mkString("+")}","wall":$sec%.2f}"""))
+        println(f"""{"pass":$pass,"level":"__pass_total","wall":${(System.nanoTime() - tp) / 1e9}%.2f}""")
+      }
+      spark.stop()
+      return
+    }
+
     val scratch = java.nio.file.Files
       .createTempDirectory("graft-benchdag").toString
     val store = new core.PersistentGraphStore(spark, scratch)

@@ -258,8 +258,9 @@ private[graft] object EntryHelpers {
     * the persisted postings instead of re-tokenizing the corpus per call.
     */
   def sharedInvIndex(s: SparkSession, dir: String): llm.Retrieval.InvIndex = {
-    // v3: banded postings + max-impact bounds (pruned + MaxScore probes)
-    val path = annIndexPath(dir, kind = "bm25_v3", table = "documents")
+    // v4: v3 (banded postings + max-impact bounds) plus the doc-banded
+    // forward projection (the PRF expand's pruned access path)
+    val path = annIndexPath(dir, kind = "bm25_v4", table = "documents")
     ensureBuilt(path)(tmp =>
       llm.Retrieval.buildInvIndex(t(s, dir, "documents"), "doc_id", "text")
         .save(tmp))

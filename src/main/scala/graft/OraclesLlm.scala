@@ -2662,6 +2662,85 @@ private[graft] object OraclesLlm {
         |    row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, nid ASC) AS rank FROM agg)
         |SELECT query_id, CAST(rank AS BIGINT) AS rank, nid AS doc_id, score_micro
         |FROM r WHERE rank <= 5""".stripMargin,
+    // llm_prox_rank oracle: the bm25Sql chain through the ranked top-20
+    // (cand, with scores), then proximity start votes over ONLY the
+    // candidate docs (0-based positions — generate_subscripts − 1, the
+    // head clamp makes the offset load-bearing as in proximity/snippets),
+    // a window wins when its distinct-word count reaches the query's,
+    // boosted = score + 100000·n_windows (pure integer), re-ranked
+    // (boosted DESC, doc ASC) top-5
+    "llm_prox_rank" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS ws FROM documents),
+        |tok AS (SELECT doc_id AS nid, unnest(ws) AS word FROM w),
+        |dl AS (SELECT doc_id AS nid, CAST(len(ws) AS BIGINT) AS dl FROM w WHERE len(ws) > 0),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens FROM dl),
+        |qt AS (SELECT DISTINCT query_id, word FROM
+        |  (SELECT doc_id AS query_id, unnest(ws[1:5]) AS word FROM w WHERE doc_id % 97 = 0)),
+        |qw AS (SELECT DISTINCT word FROM qt),
+        |m AS (SELECT nid, tok.word FROM tok JOIN qw ON tok.word = qw.word),
+        |tf AS (SELECT nid, word, CAST(count(*) AS BIGINT) AS tf FROM m GROUP BY nid, word),
+        |dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM (SELECT DISTINCT nid, word FROM m) GROUP BY word),
+        |terms AS (SELECT qt.query_id, tf.nid, tf.tf, dfq.df, dl.dl, stats.n_docs, stats.total_tokens
+        |  FROM tf JOIN dfq USING (word) JOIN dl USING (nid) CROSS JOIN stats JOIN qt ON tf.word = qt.word
+        |  WHERE tf.nid <> qt.query_id),
+        |sc AS (SELECT query_id, nid,
+        |    CAST(floor(((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |      * ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / (CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+        |      * 1000000.0) AS BIGINT) AS term_micro
+        |  FROM terms),
+        |agg AS (SELECT query_id, nid, CAST(sum(term_micro) AS BIGINT) AS score_micro FROM sc GROUP BY query_id, nid),
+        |r AS (SELECT query_id, nid, score_micro,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, nid ASC) AS rank FROM agg),
+        |cand AS (SELECT query_id, nid, score_micro FROM r WHERE rank <= 20),
+        |ptok AS (SELECT doc_id AS nid, unnest(ws) AS word, generate_subscripts(ws, 1) - 1 AS p FROM w
+        |  WHERE doc_id IN (SELECT nid FROM cand)),
+        |hits AS (SELECT qt.query_id, ptok.nid, ptok.word,
+        |  unnest(generate_series(greatest(0, ptok.p - 7), ptok.p)) AS s
+        |  FROM ptok JOIN qt ON ptok.word = qt.word
+        |  JOIN cand ON cand.query_id = qt.query_id AND cand.nid = ptok.nid),
+        |votes AS (SELECT DISTINCT query_id, nid, word, s FROM hits),
+        |occ AS (SELECT query_id, nid, s, count(*) AS k_i FROM votes GROUP BY 1, 2, 3),
+        |nq2 AS (SELECT query_id, count(*) AS n_words FROM qt GROUP BY 1),
+        |wins AS (SELECT o.query_id, o.nid, CAST(count(*) AS BIGINT) AS n_windows
+        |  FROM occ o JOIN nq2 USING (query_id) WHERE o.k_i = nq2.n_words GROUP BY 1, 2),
+        |boosted AS (SELECT c.query_id, c.nid, c.score_micro,
+        |    CAST(coalesce(wn.n_windows, 0) AS BIGINT) AS n_windows,
+        |    CAST(c.score_micro + 100000 * coalesce(wn.n_windows, 0) AS BIGINT) AS boosted_micro
+        |  FROM cand c LEFT JOIN wins wn ON c.query_id = wn.query_id AND c.nid = wn.nid),
+        |rb AS (SELECT query_id, nid, score_micro, n_windows, boosted_micro,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY boosted_micro DESC, nid ASC) AS rank FROM boosted)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, nid AS doc_id, score_micro, n_windows, boosted_micro
+        |FROM rb WHERE rank <= 5""".stripMargin,
+    // llm_index_lifecycle oracle: the full chain (build 90% → fold 10%
+    // → delete % 7 → re-add % 21 → probe) must equal a from-scratch
+    // score of the NET corpus — doc_id % 7 <> 0 OR % 21 = 0 — while the
+    // query set still derives from the FULL document table (same
+    // contract as llm_bm25_delete)
+    "llm_index_lifecycle" ->
+      """WITH wq0 AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS ws FROM documents WHERE doc_id % 97 = 0),
+        |qt AS (SELECT DISTINCT doc_id AS query_id, unnest(ws[1:5]) AS word FROM wq0),
+        |qw AS (SELECT DISTINCT word FROM qt),
+        |w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS ws FROM documents
+        |  WHERE doc_id % 7 <> 0 OR doc_id % 21 = 0),
+        |tok AS (SELECT doc_id AS nid, unnest(ws) AS word FROM w),
+        |dl AS (SELECT doc_id AS nid, CAST(len(ws) AS BIGINT) AS dl FROM w WHERE len(ws) > 0),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens FROM dl),
+        |m AS (SELECT nid, tok.word FROM tok JOIN qw ON tok.word = qw.word),
+        |tf AS (SELECT nid, word, CAST(count(*) AS BIGINT) AS tf FROM m GROUP BY nid, word),
+        |dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM (SELECT DISTINCT nid, word FROM m) GROUP BY word),
+        |terms AS (SELECT qt.query_id, tf.nid, tf.tf, dfq.df, dl.dl, stats.n_docs, stats.total_tokens
+        |  FROM tf JOIN dfq USING (word) JOIN dl USING (nid) CROSS JOIN stats JOIN qt ON tf.word = qt.word
+        |  WHERE tf.nid <> qt.query_id),
+        |sc AS (SELECT query_id, nid,
+        |    CAST(floor(((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |      * ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / (CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+        |      * 1000000.0) AS BIGINT) AS term_micro
+        |  FROM terms),
+        |agg AS (SELECT query_id, nid, CAST(sum(term_micro) AS BIGINT) AS score_micro FROM sc GROUP BY query_id, nid),
+        |r AS (SELECT query_id, nid, score_micro,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, nid ASC) AS rank FROM agg)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, nid AS doc_id, score_micro
+        |FROM r WHERE rank <= 5""".stripMargin,
     // llm_proximity_search oracle: the same start-vote algebra — each
     // 0-based hit position (generate_subscripts − 1, matching Spark's
     // posexplode; the head clamp makes the offset load-bearing here,

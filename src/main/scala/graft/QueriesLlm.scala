@@ -998,6 +998,52 @@ private[graft] object QueriesLlm {
         alphaMicro = 600000L, k = 5, excludeIdEq = true)
     }),
 
+    // Proximity-boosted BM25 — the first composition where the two
+    // standing index families (inverted + positional) meet in ONE
+    // ranking: BM25 top-20 candidates from the banded probe, windowed
+    // proximity evidence (all query words inside an 8-token span)
+    // counted over the positional layout restricted to the candidate
+    // pairs, boosted_micro = score_micro + 100000·n_windows, re-ranked
+    // top-5. Integer multiply-add on the quantized score — the whole
+    // composition replays bit-identically in the oracle.
+    "llm_prox_rank" -> ((s, dir) => {
+      val queries = t(s, dir, "documents").filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("qid"),
+          expr("array_join(slice(filter(split(lower(text), ' '), " +
+            "w -> length(w) > 0), 1, 5), ' ')").as("qtext"))
+      llm.Retrieval.proximityRerank(queries, "qid", "qtext",
+        sharedInvIndex(s, dir), sharedPosIndex(s, dir),
+        kCand = 20, k = 5, window = 8, boostMicro = 100000L,
+        excludeIdEq = true)
+    }),
+
+    // Index-lifecycle TORTURE chain — the composed laws the pairwise
+    // specs pin, exercised end to end in one lazy plan: build over 90%
+    // of the corpus → additive update folds the held-out 10% → tombstone
+    // delete takes down doc_id % 7 == 0 (spanning base AND batch₁) →
+    // a second update RE-ADDS the deleted % 21 == 0 ids (same text —
+    // the defined re-add case) → probe. The oracle scores the NET
+    // corpus (% 7 != 0 OR % 21 == 0) from scratch: any interaction bug
+    // between the fold and subtract paths (df drift, stats skew,
+    // double-subtraction under interleaving) breaks the hash match.
+    "llm_index_lifecycle" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val queries = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("qid"),
+          expr("array_join(slice(filter(split(lower(text), ' '), " +
+            "w -> length(w) > 0), 1, 5), ' ')").as("qtext"))
+      val idx1 = llm.Retrieval.updateInvIndex(
+        llm.Retrieval.buildInvIndex(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text"),
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+      val idx2 = llm.Retrieval.deleteFromInvIndex(idx1,
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "text")
+      val idx3 = llm.Retrieval.updateInvIndex(idx2,
+        docs.filter(col("doc_id") % 21 === 0), "doc_id", "text")
+      llm.Retrieval.bm25TopK(queries, "qid", "qtext", idx3, k = 5,
+        excludeIdEq = true)
+    }),
+
     // Drift gate → RETRAIN composition: the shifted batches that trip
     // the SQ-saturation and BM25-OOV gate legs (phase 1: vq → 3·vq + 41
     // vectors saturate the frozen SQ rails; reversed-token docs are OOV

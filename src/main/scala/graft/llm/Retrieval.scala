@@ -110,6 +110,19 @@ object Retrieval {
   private def band(word: Column): Column =
     pmod(xxhash64(word), lit(PostingBands)).cast("int")
 
+  /** Doc-hash bands of the FORWARD projection (the doc-keyed layout twin
+    * of [[PostingBands]]): a feedback-doc set of f docs selects at most
+    * min(f, 256) of the 256 partitions, so doc-keyed access (PRF expand)
+    * prunes exactly like word-keyed access (probes) does.
+    */
+  val DocBands = 256
+
+  /** The forward band of a doc id — MUST match between build and the
+    * expand's IN-filter (same contract as [[band]]).
+    */
+  private def dband(nid: Column): Column =
+    pmod(xxhash64(nid), lit(DocBands)).cast("int")
+
   /** Persistable BM25 inverted index: every corpus-side artifact the
     * inline [[bm25TopK]] derives per call — term postings `(word, nid,
     * tf)` carrying their word-hash `__band`, doc lengths `(nid, dl)`
@@ -132,19 +145,28 @@ object Retrieval {
       dl: DataFrame, // (nid, dl) — doc lengths, dl > 0
       dfTable: DataFrame, // (word, df) — per-term document frequency
       stats: DataFrame, // one row: (n_docs, total_tokens)
-      maxImpact: DataFrame // (word, ub_micro) — per-term max Okapi impact
+      maxImpact: DataFrame, // (word, ub_micro) — per-term max Okapi impact
+      // (nid, word, tf, __dband) — the FORWARD projection: the same
+      // (doc, term, tf) facts as `postings`, laid out doc-banded so
+      // doc-keyed access (PRF expand needs the feedback docs' whole
+      // vocabulary — no word-keyed pruning can pre-select it) reads
+      // only the feedback set's bands instead of scanning the
+      // corpus-sized word-banded postings once per query batch
+      fwd: DataFrame
   ) {
     def save(path: String): Unit = {
-      // df/stats/maxImpact all derive from postings+dl in the lazy DAG a
-      // buildInvIndex/updateInvIndex composed — persist the two shared
-      // roots so the five writes tokenize the corpus ONCE, not once per
-      // artifact (on a real cluster the same role is played by
+      // df/stats/maxImpact/fwd all derive from postings+dl in the lazy
+      // DAG a buildInvIndex/updateInvIndex composed — persist the two
+      // shared roots so the six writes tokenize the corpus ONCE, not
+      // once per artifact (on a real cluster the same role is played by
       // checkpointing the postings table; the parquet write itself is
       // that checkpoint for everything downstream of a load())
       postings.persist(); dl.persist()
       try {
         postings.write.partitionBy("__band")
           .mode("overwrite").parquet(s"$path/postings")
+        fwd.write.partitionBy("__dband")
+          .mode("overwrite").parquet(s"$path/fwd")
         dl.write.mode("overwrite").parquet(s"$path/dl")
         dfTable.write.mode("overwrite").parquet(s"$path/df")
         stats.write.mode("overwrite").parquet(s"$path/stats")
@@ -160,8 +182,16 @@ object Retrieval {
         dl = spark.read.parquet(s"$path/dl"),
         dfTable = spark.read.parquet(s"$path/df"),
         stats = spark.read.parquet(s"$path/stats"),
-        maxImpact = spark.read.parquet(s"$path/max_impact"))
+        maxImpact = spark.read.parquet(s"$path/max_impact"),
+        fwd = spark.read.parquet(s"$path/fwd"))
   }
+
+  /** The forward projection of a postings table (see [[InvIndex.fwd]]):
+    * identical (nid, word, tf) facts, doc-banded layout key.
+    */
+  private def fwdOf(postings: DataFrame): DataFrame =
+    postings.select(col("nid"), col("word"), col("tf"))
+      .withColumn("__dband", dband(col("nid")))
 
   /** Per-term score upper bound `ub_micro(t) = max_d termMicro(t, d)` —
     * the MaxScore pruning artifact, derived from postings/dl/df/stats
@@ -199,7 +229,7 @@ object Retrieval {
       coalesce(sum(col("dl")), lit(0L)).as("total_tokens"))
     val dfTable = postings.groupBy(col("word")).agg(count(lit(1)).as("df"))
     InvIndex(postings, dl, dfTable, stats,
-      buildMaxImpact(postings, dl, dfTable, stats))
+      buildMaxImpact(postings, dl, dfTable, stats), fwdOf(postings))
   }
 
   /** Fold an out-of-sample document batch into a standing [[InvIndex]]
@@ -261,7 +291,12 @@ object Retrieval {
       dfTable = dfMerged,
       stats = statsMerged,
       maxImpact = buildMaxImpact(postingsMerged, dlMerged, dfMerged,
-        statsMerged))
+        statsMerged),
+      // union of the STANDING forward layout and the fresh batch's
+      // projection — not fwdOf(postingsMerged), which would rebuild the
+      // expand path's read on the word-banded postings and lose the
+      // saved doc-banded layout's pruning until the next save
+      fwd = index.fwd.unionByName(fresh.fwd))
   }
 
   /** Tombstone DELETE from a standing [[InvIndex]] — the takedown /
@@ -333,7 +368,8 @@ object Retrieval {
       .select((col("__n1") - col("__n2")).as("n_docs"),
         (col("__t1") - col("__t2")).as("total_tokens"))
     InvIndex(postings2, dl2, df2, stats2,
-      buildMaxImpact(postings2, dl2, df2, stats2))
+      buildMaxImpact(postings2, dl2, df2, stats2),
+      fwd = index.fwd.join(broadcast(tomb), Seq("nid"), "left_anti"))
   }
 
   /** BM25 top-k against a prebuilt (possibly parquet-loaded)
@@ -832,6 +868,80 @@ object Retrieval {
       index: PosIndex, k: Int, window: Int): DataFrame =
     proximityTopK(queries, qidCol, qtextCol, index.postings, k, window)
 
+  /** PROXIMITY-BOOSTED BM25 — the first composition where the two index
+    * families meet in one ranking, the shape a production search stack
+    * ships: BM25 top-`kCand` candidates from the standing [[InvIndex]],
+    * each candidate's windowed proximity evidence counted over the
+    * standing [[PosIndex]] ([[proximityTopK]]'s start-vote algebra,
+    * restricted to the candidate pairs), and the final score
+    * `boosted_micro = score_micro + boostMicro · n_windows` — a document
+    * where all the query's words co-occur inside a `window`-token span
+    * outranks an equal-BM25 document whose matches are scattered
+    * (spec-pinned). Integer-exact throughout: the boost is an integer
+    * multiply-add on the already-quantized BM25 micro score, so the
+    * composition replays bit-identically in the oracle
+    * (`llm_prox_rank`). Candidates with no full window keep their plain
+    * BM25 score (n_windows = 0); ranking is (boosted DESC, doc ASC)
+    * through the bounded top-k tail. Output: (query_id, rank, doc_id,
+    * score_micro, n_windows, boosted_micro).
+    *
+    * Scale: the BM25 pass is the partition-pruned banded probe; the
+    * proximity pass reads only the query words' bands of the positional
+    * layout AND is restricted to the broadcast candidate set
+    * (|queries|·kCand pairs) BEFORE the position explode, so window
+    * counting touches candidate postings only — never the corpus. The
+    * final boost join is candidate-sized on both sides.
+    */
+  def proximityRerank(queries: DataFrame, qidCol: String, qtextCol: String,
+      inv: InvIndex, pos: PosIndex, kCand: Int, k: Int, window: Int,
+      boostMicro: Long, excludeIdEq: Boolean): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(boostMicro >= 0, s"boostMicro must be >= 0, got $boostMicro")
+    val cand = bm25TopK(queries, qidCol, qtextCol, inv, kCand, excludeIdEq)
+      .select(col("query_id"), col("doc_id").as("nid"), col("score_micro"))
+    val pairs = cand.select(col("query_id"), col("nid"))
+    // distinct query words — SET semantics, same as proximityTopK
+    val qw = queries.select(col(qidCol).as("query_id"),
+        explode(toks(qtextCol)).as("word"))
+      .distinct()
+    val nw = qw.groupBy(col("query_id")).agg(count(lit(1)).as("n_words"))
+    // bounded by the query-word set — the shared probe collect contract
+    val qbands = qw.select(band(col("word")).as("__band")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val votes = pos.postings.filter(col("__band").isin(qbands: _*))
+      .join(broadcast(qw), Seq("word"))
+      .join(broadcast(pairs), Seq("query_id", "nid"))
+      .select(col("query_id"), col("nid"), col("word"),
+        explode(col("positions")).as("p"))
+      .select(col("query_id"), col("nid"), col("word"),
+        explode(expr(s"sequence(greatest(0L, p - ${window - 1}), p)"))
+          .as("s"))
+      .distinct()
+    val wins = votes.groupBy(col("query_id"), col("nid"), col("s"))
+      .agg(count(lit(1)).as("k_i"))
+      .join(broadcast(nw), Seq("query_id"))
+      .filter(col("k_i") === col("n_words"))
+      .groupBy(col("query_id"), col("nid"))
+      .agg(count(lit(1)).as("n_windows"))
+    val boosted = cand.join(wins, Seq("query_id", "nid"), "left")
+      .select(col("query_id"), col("nid"), col("score_micro"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"))
+      .withColumn("boosted_micro",
+        col("score_micro") + lit(boostMicro) * col("n_windows"))
+    // rank on the boosted score, then rejoin the (candidate-sized)
+    // evidence columns — TopKPairs carries (ord, id) only
+    boosted.groupBy(col("query_id"))
+      .agg(graft.plans.TopKPairs.topkPairs(-col("boosted_micro"), col("nid"), k)
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "q")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("q.id").as("nid"), (-col("q.ord")).as("boosted_micro"))
+      .join(boosted.select(col("query_id"), col("nid"),
+        col("score_micro"), col("n_windows")), Seq("query_id", "nid"))
+      .select(col("query_id"), col("rank"), col("nid").as("doc_id"),
+        col("score_micro"), col("n_windows"), col("boosted_micro"))
+  }
+
   /** SNIPPET extraction (keyword-in-context) — the presentation layer a
     * RAG / search stack needs after ranking: for each (query, top-doc)
     * pair, the best `window`-token snippet — the window start holding
@@ -904,19 +1014,46 @@ object Retrieval {
     * Window-free like every other tier.
     *
     * Scale: the feedback (query, doc) set is |queries|·kDocs rows —
-    * broadcast; the postings scan it semi-joins is ONE pass (PRF needs
-    * the feedback docs' full vocabulary, which no word-keyed pruning can
-    * pre-select — the classic forward-index access; the inverted layout
-    * still serves it in one scan with the join filtering early);
-    * everything downstream is per-(query, term) partial aggregation.
+    * COLLECTED (one bounded driver transfer, the same query-batch
+    * contract as every probe collect in this file) and re-broadcast, so
+    * its doc ids become an IN-filter on the forward layout's `__dband`
+    * partition column: the expand reads ≤ min(|feedback docs|,
+    * [[DocBands]]) of the 256 doc bands of [[InvIndex.fwd]] instead of
+    * scanning the corpus-sized word-banded postings once per batch (PRF
+    * needs the feedback docs' whole vocabulary, which no WORD-keyed
+    * pruning can pre-select — the classic forward-index access; the
+    * doc-banded projection is its pruned layout). Everything downstream
+    * is per-(query, term) partial aggregation.
     */
   def prfExpandTerms(queries: DataFrame, qidCol: String, qtextCol: String,
       index: InvIndex, kDocs: Int, mTerms: Int,
       excludeIdEq: Boolean): DataFrame = {
-    val fb = bm25TopK(queries, qidCol, qtextCol, index, kDocs, excludeIdEq)
+    val spark = queries.sparkSession
+    val fbDf = bm25TopK(queries, qidCol, qtextCol, index, kDocs, excludeIdEq)
       .select(col("query_id"), col("doc_id").as("nid"))
+    // bounded by |queries|·kDocs — eager here so the first pass runs
+    // once and its doc set can prune the forward read's partitions
+    val fbRows = fbDf.collect()
+    val fb = spark.createDataFrame(
+      java.util.Arrays.asList(fbRows: _*), fbDf.schema)
+    val dbands = fb.select(dband(col("nid")).as("__b")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    prfScoreExpansion(
+      index.fwd.filter(col("__dband").isin(dbands: _*))
+        .select(col("nid"), col("word"), col("tf")),
+      fb, queries, qidCol, qtextCol, index, mTerms)
+  }
+
+  /** The expand's scoring tail over any (nid, word, tf) access path —
+    * shared by the pruned forward read (production) and the full
+    * postings scan (the A/B reference, [[prfExpandTermsScan]]), so the
+    * two can never drift.
+    */
+  private def prfScoreExpansion(access: DataFrame, fb: DataFrame,
+      queries: DataFrame, qidCol: String, qtextCol: String,
+      index: InvIndex, mTerms: Int): DataFrame = {
     val qterms = bm25QueryTerms(queries, qidCol, qtextCol)
-    val scored = index.postings.select(col("word"), col("nid"), col("tf"))
+    val scored = access
       .join(broadcast(fb), Seq("nid"))
       .join(index.dfTable, Seq("word"))
       .join(index.dl, Seq("nid"))
@@ -931,6 +1068,22 @@ object Retrieval {
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
         col("t.word").as("term"), (-col("t.ord")).as("expansion_micro"))
+  }
+
+  /** The pre-round-18 expand access path — ONE full scan of the
+    * word-banded postings per batch, early-filtered by the broadcast
+    * feedback set. Kept as the A/B reference lane (BenchBm25) and the
+    * equivalence oracle for the pruned forward read; not the production
+    * path.
+    */
+  private[graft] def prfExpandTermsScan(queries: DataFrame, qidCol: String,
+      qtextCol: String, index: InvIndex, kDocs: Int, mTerms: Int,
+      excludeIdEq: Boolean): DataFrame = {
+    val fb = bm25TopK(queries, qidCol, qtextCol, index, kDocs, excludeIdEq)
+      .select(col("query_id"), col("doc_id").as("nid"))
+    prfScoreExpansion(
+      index.postings.select(col("nid"), col("word"), col("tf")),
+      fb, queries, qidCol, qtextCol, index, mTerms)
   }
 
   /** WEIGHTED-TERM BM25 top-k over a standing [[InvIndex]] — the query

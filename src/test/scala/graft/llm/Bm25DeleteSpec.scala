@@ -39,6 +39,8 @@ class Bm25DeleteSpec extends AnyFunSuite {
     // bounds must be recomputed, not carried stale: any corpus where the
     // delete moves avgdl/N/df fails this with frozen bounds
     assert(setOf(deleted.maxImpact) == setOf(survivors.maxImpact))
+    // the forward projection drops the same rows (doc-band layout key)
+    assert(setOf(deleted.fwd) == setOf(survivors.fwd))
     assert(setOf(deleted.postings).nonEmpty)
   }
 
@@ -72,6 +74,7 @@ class Bm25DeleteSpec extends AnyFunSuite {
     assert(setOf(readded.dfTable) == setOf(full.dfTable))
     assert(setOf(readded.stats) == setOf(full.stats))
     assert(setOf(readded.maxImpact) == setOf(full.maxImpact))
+    assert(setOf(readded.fwd) == setOf(full.fwd))
     // deleting ids the index never held (including ids already deleted)
     // subtracts nothing — the delete is idempotent
     val spark2 = spark

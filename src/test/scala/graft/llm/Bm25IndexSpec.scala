@@ -252,6 +252,7 @@ class Bm25IndexSpec extends AnyFunSuite {
     // a stale-bounds fold would fail this on any corpus where the batch
     // shifts avgdl
     assert(setOf(folded.maxImpact) == setOf(full.maxImpact))
+    assert(setOf(folded.fwd) == setOf(full.fwd))
     assert(setOf(folded.postings).nonEmpty)
   }
 

@@ -58,6 +58,54 @@ class PrfExpandSpec extends AnyFunSuite {
     }
   }
 
+  test("pruned forward read ≡ postings scan; saved layout partition-prunes") {
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val queries = docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("qid"),
+        expr("array_join(slice(filter(split(lower(text), ' '), " +
+          "w -> length(w) > 0), 1, 5), ' ')").as("qtext"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-prfproj-spec").toString
+    Retrieval.buildInvIndex(docs, "doc_id", "text").save(dir)
+    val loaded = Retrieval.InvIndex.load(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSet
+    // equivalence: the doc-banded forward read must reproduce the full
+    // postings-scan expand exactly (same facts, different layout)
+    val scan = rows(Retrieval.prfExpandTermsScan(queries, "qid", "qtext",
+      loaded, kDocs = 5, mTerms = 10, excludeIdEq = true))
+    assert(scan.nonEmpty)
+    graft.TestSpark.withAqeDisabled {
+      val pruned = Retrieval.prfExpandTerms(queries, "qid", "qtext",
+        loaded, kDocs = 5, mTerms = 10, excludeIdEq = true)
+      assert(rows(pruned) == scan)
+      // pruning pin (the PhraseSpec standard — partition COUNT, not mere
+      // filter presence): the fwd scan reads exactly the feedback docs'
+      // distinct doc bands
+      val fbBands = Retrieval.bm25TopK(queries, "qid", "qtext", loaded,
+          k = 5, excludeIdEq = true)
+        .select(pmod(xxhash64(col("doc_id")), lit(Retrieval.DocBands))
+          .cast("int").as("b"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      val scans = pruned.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths
+            .exists(_.toString.contains("graft-prfproj-spec")) &&
+            f.relation.location.rootPaths
+              .exists(_.toString.endsWith("/fwd")) => f
+      }
+      assert(scans.nonEmpty, "forward-layout scan not found in the plan")
+      scans.foreach { f =>
+        assert(f.partitionFilters.nonEmpty, "no partition filter on fwd")
+        assert(f.selectedPartitions.partitionCount.toLong ==
+          fbBands.size.toLong,
+          s"read ${f.selectedPartitions.partitionCount} doc bands, " +
+            s"feedback bands = ${fbBands.size}")
+      }
+    }
+  }
+
   test("equal-weight terms tie-break by ascending binary term order") {
     val spark2 = spark
     import spark2.implicits._
