@@ -109,7 +109,7 @@ object Bench {
     // probe with candidate-restricted positional window counting; the
     // lifecycle row chains build→update→delete→re-add→probe over the
     // net corpus)
-    "llm_prox_rank", "llm_index_lifecycle",
+    "llm_prox_rank", "llm_index_lifecycle", "llm_snippets_multi",
     "s2_stream_agg", "s2b_stream_state", "s2c_stream_sessions",
     "s2d_stream_join", "s2e_stream_dedup_wm", "s2f_stream_enrich",
     "s2g_stream_hll", "s2h_stream_cm", "s2i_stream_quantile",

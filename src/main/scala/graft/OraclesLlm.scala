@@ -2517,6 +2517,66 @@ private[graft] object OraclesLlm {
         |SELECT b.query_id, b.nid AS doc_id, b.snippet_start, b.n_query_words,
         |  array_to_string(w.ws[CAST(b.snippet_start + 1 AS BIGINT) : CAST(b.snippet_start + 8 AS BIGINT)], ' ') AS snippet
         |FROM best b JOIN w ON w.doc_id = b.nid""".stripMargin,
+    // llm_snippets_multi oracle: the llm_snippets chain through the hit
+    // positions, then the SAME greedy chain — best window by (count
+    // DESC, start ASC) via QUALIFY, each next pick restricted to starts
+    // ≥ 8 from every earlier pick — plus per-snippet 0-based match
+    // offsets (string_agg ordered ascending ≡ Spark's sorted array_join)
+    "llm_snippets_multi" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS ws FROM documents),
+        |tok AS (SELECT doc_id AS nid, unnest(ws) AS word FROM w),
+        |dl AS (SELECT doc_id AS nid, CAST(len(ws) AS BIGINT) AS dl FROM w WHERE len(ws) > 0),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens FROM dl),
+        |qt AS (SELECT DISTINCT query_id, word FROM
+        |  (SELECT doc_id AS query_id, unnest(ws[1:5]) AS word FROM w WHERE doc_id % 97 = 0)),
+        |qw AS (SELECT DISTINCT word FROM qt),
+        |m AS (SELECT nid, tok.word FROM tok JOIN qw ON tok.word = qw.word),
+        |tf AS (SELECT nid, word, CAST(count(*) AS BIGINT) AS tf FROM m GROUP BY nid, word),
+        |dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM (SELECT DISTINCT nid, word FROM m) GROUP BY word),
+        |terms AS (SELECT qt.query_id, tf.nid, tf.tf, dfq.df, dl.dl, stats.n_docs, stats.total_tokens
+        |  FROM tf JOIN dfq USING (word) JOIN dl USING (nid) CROSS JOIN stats JOIN qt ON tf.word = qt.word
+        |  WHERE tf.nid <> qt.query_id),
+        |sc AS (SELECT query_id, nid,
+        |    CAST(floor(((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |      * ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / (CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+        |      * 1000000.0) AS BIGINT) AS term_micro
+        |  FROM terms),
+        |agg AS (SELECT query_id, nid, CAST(sum(term_micro) AS BIGINT) AS score_micro FROM sc GROUP BY query_id, nid),
+        |r AS (SELECT query_id, nid, score_micro,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, nid ASC) AS rank FROM agg),
+        |fb AS (SELECT query_id, nid FROM r WHERE rank <= 5),
+        |ptok AS (SELECT doc_id AS nid, unnest(ws) AS word, generate_subscripts(ws, 1) - 1 AS p FROM w
+        |  WHERE doc_id IN (SELECT nid FROM fb)),
+        |phits AS (SELECT qt.query_id, ptok.nid, ptok.word, CAST(ptok.p AS BIGINT) AS p
+        |  FROM ptok JOIN qt ON ptok.word = qt.word JOIN fb ON fb.query_id = qt.query_id AND fb.nid = ptok.nid),
+        |hits AS (SELECT query_id, nid, word, unnest(generate_series(greatest(0, p - 7), p)) AS s FROM phits),
+        |votes AS (SELECT DISTINCT query_id, nid, word, s FROM hits),
+        |cnt AS (SELECT query_id, nid, s, CAST(count(*) AS BIGINT) AS c FROM votes GROUP BY 1, 2, 3),
+        |b1 AS (SELECT query_id, nid, c, s FROM cnt
+        |  QUALIFY row_number() OVER (PARTITION BY query_id, nid ORDER BY c DESC, s ASC) = 1),
+        |c2 AS (SELECT cnt.query_id, cnt.nid, cnt.s, cnt.c FROM cnt JOIN b1 USING (query_id, nid)
+        |  WHERE abs(cnt.s - b1.s) >= 8),
+        |b2 AS (SELECT query_id, nid, c, s FROM c2
+        |  QUALIFY row_number() OVER (PARTITION BY query_id, nid ORDER BY c DESC, s ASC) = 1),
+        |c3 AS (SELECT c2.query_id, c2.nid, c2.s, c2.c FROM c2 JOIN b2 USING (query_id, nid)
+        |  WHERE abs(c2.s - b2.s) >= 8),
+        |b3 AS (SELECT query_id, nid, c, s FROM c3
+        |  QUALIFY row_number() OVER (PARTITION BY query_id, nid ORDER BY c DESC, s ASC) = 1),
+        |chosen AS (SELECT query_id, nid, c, s, 1 AS snippet_rank FROM b1
+        |  UNION ALL SELECT query_id, nid, c, s, 2 FROM b2
+        |  UNION ALL SELECT query_id, nid, c, s, 3 FROM b3),
+        |offs AS (SELECT ch.query_id, ch.nid, ch.snippet_rank, ch.s,
+        |    string_agg(CAST(pt.p - ch.s AS VARCHAR), ',' ORDER BY pt.p - ch.s) AS match_offsets
+        |  FROM chosen ch JOIN phits pt ON pt.query_id = ch.query_id AND pt.nid = ch.nid
+        |    AND pt.p >= ch.s AND pt.p <= ch.s + 7
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT ch.query_id, ch.nid AS doc_id, CAST(ch.snippet_rank AS BIGINT) AS snippet_rank,
+        |  CAST(ch.s AS BIGINT) AS snippet_start, CAST(ch.c AS BIGINT) AS n_query_words,
+        |  o.match_offsets,
+        |  array_to_string(w.ws[CAST(ch.s + 1 AS BIGINT) : CAST(ch.s + 8 AS BIGINT)], ' ') AS snippet
+        |FROM chosen ch
+        |JOIN offs o ON o.query_id = ch.query_id AND o.nid = ch.nid AND o.snippet_rank = ch.snippet_rank
+        |JOIN w ON w.doc_id = ch.nid""".stripMargin,
     // llm_prf_search oracle: the llm_query_expand chain through rx (the
     // ranked expansion terms), then the RM3 interpolated weights —
     // original terms at 600000 // |q| micro each, expansion at

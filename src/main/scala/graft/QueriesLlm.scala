@@ -981,6 +981,25 @@ private[graft] object QueriesLlm {
         docs, "doc_id", "text", window = 8)
     }),
 
+    // MULTI-snippet extraction: the llm_snippets chain, widened to up to
+    // 3 NON-OVERLAPPING 8-token windows per (query, top-doc) pair chosen
+    // greedily ((count DESC, start ASC), each ≥ 8 tokens from every
+    // earlier pick — a chain of relational argmax steps, Window-free)
+    // plus 0-based match offsets inside each snippet (comma-joined — the
+    // highlight payload).
+    "llm_snippets_multi" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val queries = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("qid"),
+          expr("array_join(slice(filter(split(lower(text), ' '), " +
+            "w -> length(w) > 0), 1, 5), ' ')").as("qtext"))
+      val top = llm.Retrieval.bm25TopK(queries, "qid", "qtext",
+        sharedInvIndex(s, dir), k = 5, excludeIdEq = true)
+      llm.Retrieval.extractSnippetsMulti(
+        top.select(col("query_id"), col("doc_id")), queries, "qid", "qtext",
+        docs, "doc_id", "text", window = 8, nSnippets = 3)
+    }),
+
     // The CLOSED RM3 loop — PRF retrieval (second pass): expand each
     // query through the llm_query_expand chain (BM25 top-5 feedback →
     // top-10 expansion terms), interpolate α = 0.6 (original terms at

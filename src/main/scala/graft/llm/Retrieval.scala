@@ -996,6 +996,89 @@ object Retrieval {
           .as("snippet"))
   }
 
+  /** MULTI-snippet extraction — [[extractSnippets]]'s presentation big
+    * sibling: per (query, top-doc) pair, up to `nSnippets` NON-OVERLAPPING
+    * `window`-token snippets chosen greedily by the same (distinct-word
+    * count DESC, start ASC) law — snippet 1 is the best window, snippet
+    * i + 1 the best window at distance ≥ `window` from every earlier
+    * pick — each with its 0-based match offsets inside the snippet
+    * (comma-joined string, the highlight payload). Documents with fewer
+    * non-overlapping candidate windows emit fewer snippets (never a
+    * padded row). Greedy selection is a chain of `nSnippets` relational
+    * argmax steps (`max(struct(count, −start))`, Window-free) over the
+    * candidate-start table, each restricted by anti-overlap predicates
+    * against the earlier picks — fully relational, so the oracle replays
+    * it as the same chain of QUALIFY steps.
+    *
+    * Scale: identical access shape to [[extractSnippets]] — the corpus
+    * semi-joins to the top-k-sized doc set before any tokenize; the
+    * candidate table and each argmax step are (query, doc, start)-sized
+    * partial aggregations; the offset join is chosen-window-sized.
+    */
+  def extractSnippetsMulti(results: DataFrame, queries: DataFrame,
+      qidCol: String, qtextCol: String, docs: DataFrame, idCol: String,
+      textCol: String, window: Int, nSnippets: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(nSnippets >= 1, s"nSnippets must be >= 1, got $nSnippets")
+    val pairs = results.select(col("query_id"), col("doc_id").as("nid"))
+    val cand = docs.join(broadcast(pairs.select(col("nid")).distinct()),
+        col(idCol) === col("nid"), "left_semi")
+      .select(col(idCol).as("nid"), toks(textCol).as("ws"))
+    val qw = bm25QueryTerms(queries, qidCol, qtextCol)
+    // query-word hit positions in candidate docs (0-based), shared by
+    // the start votes AND the offset payload
+    val hits = cand
+      .select(col("nid"), posexplode(col("ws")).as(Seq("p", "word")))
+      .join(broadcast(qw), Seq("word"))
+      .join(broadcast(pairs), Seq("query_id", "nid"))
+      .select(col("query_id"), col("nid"), col("word"),
+        col("p").cast("long").as("p"))
+      .localCheckpoint() // two consumers; top-k-doc-sized (bounded)
+    val cnt = hits
+      .select(col("query_id"), col("nid"), col("word"),
+        explode(expr(s"sequence(greatest(0L, p - ${window - 1}), p)"))
+          .as("s"))
+      .distinct()
+      .groupBy(col("query_id"), col("nid"), col("s"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // nSnippets argmax passes re-read it
+    // greedy chain: pick i+1 = argmax over candidates non-overlapping
+    // with every earlier pick ((c DESC, s ASC) via max(struct))
+    def argmax(candidates: DataFrame): DataFrame =
+      candidates.groupBy(col("query_id"), col("nid"))
+        .agg(max(struct(col("c").as("c"), (-col("s")).as("ns"))).as("b"))
+        .select(col("query_id"), col("nid"), col("b.c").as("c"),
+          (-col("b.ns")).as("s"))
+    val picks = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var remaining = cnt
+    for (i <- 1 to nSnippets) {
+      val pick = argmax(remaining)
+      picks += pick.withColumn("snippet_rank", lit(i.toLong))
+      if (i < nSnippets)
+        remaining = remaining.join(
+          pick.select(col("query_id"), col("nid"), col("s").as("__picked")),
+          Seq("query_id", "nid"))
+          .filter(abs(col("s") - col("__picked")) >= window)
+          .drop("__picked")
+    }
+    val chosen = picks.reduce(_ unionByName _)
+    val offsets = hits.join(chosen.select(col("query_id"), col("nid"),
+        col("s"), col("snippet_rank")), Seq("query_id", "nid"))
+      .filter(col("p") >= col("s") && col("p") <= col("s") + (window - 1))
+      .groupBy(col("query_id"), col("nid"), col("snippet_rank"), col("s"))
+      .agg(array_join(sort_array(collect_set(col("p") - col("s"))), ",")
+        .as("match_offsets"))
+    chosen.join(offsets.select(col("query_id"), col("nid"),
+        col("snippet_rank"), col("s"), col("match_offsets")),
+        Seq("query_id", "nid", "snippet_rank", "s"))
+      .join(cand, Seq("nid"))
+      .select(col("query_id"), col("nid").as("doc_id"), col("snippet_rank"),
+        col("s").as("snippet_start"), col("c").as("n_query_words"),
+        col("match_offsets"),
+        expr(s"array_join(slice(ws, CAST(s + 1 AS INT), $window), ' ')")
+          .as("snippet"))
+  }
+
   /** Pseudo-relevance-feedback query expansion (the RM3 shape) over a
     * standing [[InvIndex]]: probe BM25 top-`kDocs` feedback documents
     * per query, score EVERY term of the feedback docs with the same
