@@ -129,6 +129,18 @@ object Bench {
     */
   val SentinelRows: Long = 750000000L
 
+  /** Tiny jobs per SCHEDULING-latency sentinel reading. The host's two
+    * ambient dimensions are INDEPENDENT (measured r18: CPU sentinel at
+    * its quiet ~0.3 s while 25 trivial jobs took 3.7-15.8 s — 10-40×
+    * their quiet ~0.4 s — and s2d_stream_join read 14-56 s vs its 4.89 s
+    * quiet reference): steal can hit scheduler wakeups while throughput
+    * is fine, and it is THIS dimension that inflates many-small-job rows
+    * (g14's store round-trips, the streaming rows, loaders_bucket). A
+    * row's ambient factor must be read off the sentinel leg that matches
+    * its shape.
+    */
+  val SentinelJobs: Int = 25
+
   /** Timed rows between sentinel re-runs: fine enough to bracket a
     * multi-minute steal burst, coarse enough that the sentinel series
     * stays under ~10% of a quiet run's wall time.
@@ -179,12 +191,15 @@ object Bench {
     val rowLog = scala.collection.mutable.ArrayBuffer
       .empty[(String, Int, Long, Double)]
     val sentinelLog = scala.collection.mutable.ArrayBuffer
-      .empty[(Long, Double)]
+      .empty[(Long, Double, Double)]
     def sentinelOnce(): Unit = {
       val ts = System.currentTimeMillis() / 1000
       val t0 = System.nanoTime()
       spark.range(SentinelRows).selectExpr("bit_xor(xxhash64(id))").collect()
-      sentinelLog += ((ts, (System.nanoTime() - t0) / 1e9))
+      val t1 = System.nanoTime()
+      var i = 0
+      while (i < SentinelJobs) { spark.range(1000).count(); i += 1 }
+      sentinelLog += ((ts, (t1 - t0) / 1e9, (System.nanoTime() - t1) / 1e9))
     }
     var sinceSentinel = 0
     def timeOne(name: String, pass: Int): Option[Double] = {
@@ -280,8 +295,9 @@ object Bench {
       .map { case (n, p, ts, s) =>
         s"""{"n":"$n","p":$p,"t":$ts,"s":${r3(s)}}""" }
       .mkString("[", ",", "]")
+    // s = CPU-throughput leg, j = scheduling-latency leg (25 tiny jobs)
     val sentinelJson = sentinelLog
-      .map { case (ts, s) => s"""{"t":$ts,"s":${r3(s)}}""" }
+      .map { case (ts, s, j) => s"""{"t":$ts,"s":${r3(s)},"j":${r3(j)}}""" }
       .mkString("[", ",", "]")
     val fileJson = json.stripSuffix("}") +
       s""","rows":$rowsJson,"sentinel":$sentinelJson}"""
@@ -310,11 +326,14 @@ object Bench {
     println(s"""{"metric":"scaled_total","value":${r3(scaledTotal)},"unit":"sec","sf":"$sfDir"}""")
     println(s"""{"metric":"fixture_total","value":${r3(fixtureTotal)},"unit":"sec","sf":"$sfDir"}""")
     // sentinel rollup: the run-level ambient summary (full series in the
-    // bench_out file). median ≈ 0.6 s on a quiet host; max >> median
-    // means an intra-run steal burst — read the file series to localize
+    // bench_out file). cpu leg quiet ≈ 0.3-0.6 s, sched leg quiet
+    // ≈ 0.4 s; a max >> median on either leg means an intra-run burst in
+    // THAT dimension — read the file series to localize which rows it
+    // bracketed (many-small-job rows move with the sched leg)
     val sSorted = sentinelLog.map(_._2).sorted
+    val jSorted = sentinelLog.map(_._3).sorted
     if (sSorted.nonEmpty)
-      println(s"""{"metric":"sentinel","value":${r3(sSorted(sSorted.size / 2))},"unit":"sec","n":${sSorted.size},"min":${r3(sSorted.head)},"max":${r3(sSorted.last)}}""")
+      println(s"""{"metric":"sentinel","value":${r3(sSorted(sSorted.size / 2))},"unit":"sec","n":${sSorted.size},"min":${r3(sSorted.head)},"max":${r3(sSorted.last)},"sched_median":${r3(jSorted(jSorted.size / 2))},"sched_min":${r3(jSorted.head)},"sched_max":${r3(jSorted.last)}}""")
     println(summary)
   }
 }
