@@ -923,7 +923,10 @@ object Retrieval {
       .filter(col("k_i") === col("n_words"))
       .groupBy(col("query_id"), col("nid"))
       .agg(count(lit(1)).as("n_windows"))
-    val boosted = cand.join(wins, Seq("query_id", "nid"), "left")
+    // wins ≤ |cand| rows — broadcast keeps the evidence attach and the
+    // final rejoin off the shuffle path (both sides are candidate-sized,
+    // bounded by |queries|·kCand regardless of corpus size)
+    val boosted = cand.join(broadcast(wins), Seq("query_id", "nid"), "left")
       .select(col("query_id"), col("nid"), col("score_micro"),
         coalesce(col("n_windows"), lit(0L)).as("n_windows"))
       .withColumn("boosted_micro",
@@ -936,8 +939,8 @@ object Retrieval {
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "q")))
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
         col("q.id").as("nid"), (-col("q.ord")).as("boosted_micro"))
-      .join(boosted.select(col("query_id"), col("nid"),
-        col("score_micro"), col("n_windows")), Seq("query_id", "nid"))
+      .join(broadcast(boosted.select(col("query_id"), col("nid"),
+        col("score_micro"), col("n_windows"))), Seq("query_id", "nid"))
       .select(col("query_id"), col("rank"), col("nid").as("doc_id"),
         col("score_micro"), col("n_windows"), col("boosted_micro"))
   }
@@ -1055,22 +1058,30 @@ object Retrieval {
       val pick = argmax(remaining)
       picks += pick.withColumn("snippet_rank", lit(i.toLong))
       if (i < nSnippets)
-        remaining = remaining.join(
-          pick.select(col("query_id"), col("nid"), col("s").as("__picked")),
+        // the pick is exactly one row per (query, doc) pair — broadcast
+        // it so the anti-overlap restriction never shuffles the
+        // candidate-start table between argmax steps
+        remaining = remaining.join(broadcast(
+          pick.select(col("query_id"), col("nid"), col("s").as("__picked"))),
           Seq("query_id", "nid"))
           .filter(abs(col("s") - col("__picked")) >= window)
           .drop("__picked")
     }
     val chosen = picks.reduce(_ unionByName _)
-    val offsets = hits.join(chosen.select(col("query_id"), col("nid"),
-        col("s"), col("snippet_rank")), Seq("query_id", "nid"))
+    // chosen is ≤ nSnippets rows per pair — broadcast, so the offset
+    // attach is a map-side join over the hit table
+    val offsets = hits.join(broadcast(chosen.select(col("query_id"),
+        col("nid"), col("s"), col("snippet_rank"))), Seq("query_id", "nid"))
       .filter(col("p") >= col("s") && col("p") <= col("s") + (window - 1))
       .groupBy(col("query_id"), col("nid"), col("snippet_rank"), col("s"))
       .agg(array_join(sort_array(collect_set(col("p") - col("s"))), ",")
         .as("match_offsets"))
-    chosen.join(offsets.select(col("query_id"), col("nid"),
-        col("snippet_rank"), col("s"), col("match_offsets")),
-        Seq("query_id", "nid", "snippet_rank", "s"))
+    // chosen/offsets are ≤ nSnippets · |pairs| rows of scalar metadata —
+    // broadcast THAT side both times; the doc-text side (cand) stays on
+    // the probe side of the final join (top-k-sized but text-heavy)
+    broadcast(chosen.join(broadcast(offsets.select(col("query_id"),
+        col("nid"), col("snippet_rank"), col("s"), col("match_offsets"))),
+        Seq("query_id", "nid", "snippet_rank", "s")))
       .join(cand, Seq("nid"))
       .select(col("query_id"), col("nid").as("doc_id"), col("snippet_rank"),
         col("s").as("snippet_start"), col("c").as("n_query_words"),
