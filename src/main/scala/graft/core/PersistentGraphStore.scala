@@ -265,6 +265,17 @@ class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32
     df.agg(collect_set(bucketExpr(m).cast("int")).as("__bs"))
       .collect()(0).getSeq[Int](0).toSet
 
+  // NOTE (r18 negative result, kept for the record): a variant that
+  // fused bucket discovery into the write action for small tables (read
+  // ALL leaf dirs + in-plan broadcast semi-join on the bucket id instead
+  // of the touchedBuckets collect + driver-pruned read) was built and
+  // A/B'd with BenchDag — and LOST: write-action wall more than doubled
+  // (103.9 s → 226.8 s over the two-pass DAG). Saving one driver action
+  // per merge did not pay for reading every bucket directory per merge
+  // (10-30× the file opens + mergeSchema footers on layered fixtures)
+  // plus the extra broadcast exchange inside the write job. The
+  // collect-then-prune shape below stays.
+
   /** Write the next version layer. `df` must be the COMPLETE new content of
     * every bucket it contains rows for — buckets without rows keep their
     * previous layer, unless `full` marks this version as a complete
@@ -281,7 +292,11 @@ class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32
     // every later merge re-opens them all. The explicit partition
     // count keeps AQE from coalescing below one-task-per-bucket; one
     // narrow batch-sized shuffle buys ≤ nBuckets well-sized files per
-    // layer, which is also the layout readers want.
+    // layer, which is also the layout readers want. (r18 A/B kept it:
+    // the AQE-coalescible `repartition(col)` form saved ~5% CPU but
+    // serialized each tiny layer's ≤ nBuckets parquet-writer opens into
+    // ONE task — BenchDag wall 222 s → 386-414 s over the two-pass DAG.
+    // One-task-per-bucket keeps the file opens parallel.)
     val plan = df.withColumn("__b", bucketExpr(m))
       .repartition(m.nBuckets, col("__b"))
     writeStaged(table, plan, full)(keep = true).get

@@ -25,6 +25,29 @@ object Retrieval {
   private[llm] def toks(textCol: String) =
     expr(s"filter(split(lower($textCol), ' '), w -> length(w) > 0)")
 
+  /** Materialize a BOUNDED frame once (driver collect → local relation).
+    *
+    * A query-batch-sized frame (feedback sets, candidate lists, expansion
+    * tables — every shape under the probe-collect contract) that is
+    * REFERENCED more than once in a downstream plan re-executes its whole
+    * subtree per reference: Spark only reuses identical exchanges, and
+    * these frames are typically consumed through different projections
+    * (a broadcast of the ids here, a re-join of the payload there), so
+    * nothing is reused and a corpus-pruned probe or expansion chain runs
+    * 2-4× inside one action (measured: the PRF weights subtree executed
+    * 3× in llm_prf_search's final job). Collecting once and re-creating a
+    * local relation pins the subtree to exactly one execution; the
+    * transfer is bounded by the query batch — the same contract every
+    * probe collect in this file already rests on — and every downstream
+    * consumer is order-insensitive (joins/aggregations), so results are
+    * bit-identical.
+    */
+  private def materializeBounded(df: DataFrame): DataFrame = {
+    val rows = df.collect()
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
   /** Overlapping token-window chunking — the RAG/embedding front gate:
     * each document becomes ⌈n/stride⌉ chunks of `window` tokens starting
     * every `stride` tokens (the last chunks may be short; every token is
@@ -897,8 +920,16 @@ object Retrieval {
       boostMicro: Long, excludeIdEq: Boolean): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
     require(boostMicro >= 0, s"boostMicro must be >= 0, got $boostMicro")
+    // |queries|·kCand scalar rows, referenced three times below (the
+    // pair restriction, the boost base, the evidence rejoin) — persisted
+    // so the banded BM25 probe computes once into the block cache
+    // instead of once per reference. persist (not an eager collect):
+    // it adds NO driver action — the first reference materializes it —
+    // and the independent broadcast branches keep overlapping; the cache is
+    // query-batch-bounded
     val cand = bm25TopK(queries, qidCol, qtextCol, inv, kCand, excludeIdEq)
       .select(col("query_id"), col("doc_id").as("nid"), col("score_micro"))
+      .persist()
     val pairs = cand.select(col("query_id"), col("nid"))
     // distinct query words — SET semantics, same as proximityTopK
     val qw = queries.select(col(qidCol).as("query_id"),
@@ -972,10 +1003,18 @@ object Retrieval {
       qidCol: String, qtextCol: String, docs: DataFrame, idCol: String,
       textCol: String, window: Int): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
+    // |queries|·k id pairs, referenced twice (candidate semi-join +
+    // vote restriction) — persisted so the caller's ranking probe
+    // computes once into the block cache, not per reference (no eager
+    // action: the first reference materializes it)
     val pairs = results.select(col("query_id"), col("doc_id").as("nid"))
+      .persist()
+    // top-k-doc-sized — persisted so the corpus semi-join + tokenize
+    // runs once for its two consumers (vote source + snippet-text join)
     val cand = docs.join(broadcast(pairs.select(col("nid")).distinct()),
         col(idCol) === col("nid"), "left_semi")
       .select(col(idCol).as("nid"), toks(textCol).as("ws"))
+      .persist()
     val qw = bm25QueryTerms(queries, qidCol, qtextCol)
     val votes = cand
       .select(col("nid"), posexplode(col("ws")).as(Seq("p", "word")))
@@ -1023,10 +1062,16 @@ object Retrieval {
       textCol: String, window: Int, nSnippets: Int): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
     require(nSnippets >= 1, s"nSnippets must be >= 1, got $nSnippets")
+    // same two persists as [[extractSnippets]]: the ranked pairs (two
+    // references) cache so the caller's probe runs once; the tokenized
+    // candidate table (hit source + snippet-text join) caches its
+    // semi-join + tokenize
     val pairs = results.select(col("query_id"), col("doc_id").as("nid"))
+      .persist()
     val cand = docs.join(broadcast(pairs.select(col("nid")).distinct()),
         col(idCol) === col("nid"), "left_semi")
       .select(col(idCol).as("nid"), toks(textCol).as("ws"))
+      .persist()
     val qw = bm25QueryTerms(queries, qidCol, qtextCol)
     // query-word hit positions in candidate docs (0-based), shared by
     // the start votes AND the offset payload
@@ -1122,14 +1167,11 @@ object Retrieval {
   def prfExpandTerms(queries: DataFrame, qidCol: String, qtextCol: String,
       index: InvIndex, kDocs: Int, mTerms: Int,
       excludeIdEq: Boolean): DataFrame = {
-    val spark = queries.sparkSession
-    val fbDf = bm25TopK(queries, qidCol, qtextCol, index, kDocs, excludeIdEq)
-      .select(col("query_id"), col("doc_id").as("nid"))
     // bounded by |queries|·kDocs — eager here so the first pass runs
     // once and its doc set can prune the forward read's partitions
-    val fbRows = fbDf.collect()
-    val fb = spark.createDataFrame(
-      java.util.Arrays.asList(fbRows: _*), fbDf.schema)
+    val fb = materializeBounded(
+      bm25TopK(queries, qidCol, qtextCol, index, kDocs, excludeIdEq)
+        .select(col("query_id"), col("doc_id").as("nid")))
     val dbands = fb.select(dband(col("nid")).as("__b")).distinct()
       .collect().map(_.getInt(0)).sorted
     prfScoreExpansion(
@@ -1199,8 +1241,13 @@ object Retrieval {
     */
   def bm25TopKWeighted(termQueries: DataFrame, index: InvIndex, k: Int,
       excludeIdEq: Boolean): DataFrame = {
-    val tq = termQueries.select(col("query_id"), col("word"),
-      col("weight_micro"))
+    // materialized once (query-batch contract): the weighted-term table
+    // is referenced four times below (band collect, qwords twice, the
+    // weight attach) and in the RM3 composition its subtree is the WHOLE
+    // first-pass-probe + expansion chain — left lazy, that chain re-ran
+    // per reference (measured 3× inside llm_prf_search's scoring job)
+    val tq = materializeBounded(termQueries.select(col("query_id"),
+      col("word"), col("weight_micro")))
     val qwords = tq.select(col("word")).distinct()
     // bounded by the query-term set — the same driver-collect contract
     // as every probe in this file
@@ -1246,8 +1293,12 @@ object Retrieval {
     val orig = qterms.join(broadcast(nq), Seq("query_id"))
       .select(col("query_id"), col("word"),
         expr(s"$alphaMicro DIV __nq").cast("long").as("weight_micro"))
-    val ex = prfExpandTerms(queries, qidCol, qtextCol, index, kDocs, mTerms,
-      excludeIdEq)
+    // |queries|·mTerms rows, referenced twice below (mass + weight
+    // attach) — materialized so the expansion chain (pruned forward
+    // read + scoring) executes once, not per reference
+    val ex = materializeBounded(
+      prfExpandTerms(queries, qidCol, qtextCol, index, kDocs, mTerms,
+        excludeIdEq))
     val mass = ex.groupBy(col("query_id"))
       .agg(sum(col("expansion_micro")).as("__mass"))
     val expd = ex.join(broadcast(mass), Seq("query_id"))
