@@ -143,4 +143,62 @@ class PrfSearchSpec extends AnyFunSuite {
       excludeIdEq = false))
     assert(out.map(_._3) == Set(1L))
   }
+
+  test("r18 dedupe pin: the weighted pass consumes a MATERIALIZED term table") {
+    val spark2 = spark
+    import spark2.implicits._
+    // The RM3 second pass references its weighted-term table four times
+    // (band collect, qwords twice, weight attach); left lazy, each
+    // reference re-executed the whole first-pass-probe + expansion chain
+    // (measured: 80 parquet scans in one llm_prf_search plan). The r18
+    // fix collects the bounded table once into a LOCAL RELATION — this
+    // pins that the final plan really consumes it as one (a regression
+    // back to the lazy form has no LocalRelation leaf there).
+    val docs = Seq(
+      (1L, "alpha beta beta gamma"),
+      (2L, "beta gamma gamma delta"),
+      (3L, "delta epsilon")).toDF("doc_id", "text")
+    val index = Retrieval.buildInvIndex(docs, "doc_id", "text")
+    val queries = Seq((100L, "alpha gamma")).toDF("qid", "qtext")
+    val out = Retrieval.prfSearch(queries, "qid", "qtext", index,
+      kDocs = 2, mTerms = 5, alphaMicro = 600000L, k = 2,
+      excludeIdEq = false)
+    val locals = out.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+        if l.output.exists(_.name == "weight_micro") => l
+    }
+    assert(locals.nonEmpty,
+      "weighted-term table is no longer a materialized local relation — " +
+        "the expansion chain would re-execute per reference")
+  }
+
+  test("r18 dedupe pin: proximityRerank's candidate list is cached, not re-probed") {
+    val spark2 = spark
+    import spark2.implicits._
+    // Same law for the rerank composition: the BM25 candidate list is
+    // referenced three times (pair restriction, boost base, evidence
+    // rejoin) and is persist()ed so the probe computes once into the
+    // block cache. Pin the InMemoryRelation carrying the candidate
+    // columns; clean up the cache afterwards.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta other words"),
+      (3L, "gamma delta more text")).toDF("doc_id", "text")
+    val inv = Retrieval.buildInvIndex(docs, "doc_id", "text")
+    val pos = Retrieval.buildPosIndex(docs, "doc_id", "text")
+    val queries = Seq((100L, "alpha gamma")).toDF("qid", "qtext")
+    try {
+      val out = Retrieval.proximityRerank(queries, "qid", "qtext", inv, pos,
+        kCand = 3, k = 2, window = 4, boostMicro = 100000L,
+        excludeIdEq = false)
+      val cached = out.queryExecution.optimizedPlan.collect {
+        case m: org.apache.spark.sql.execution.columnar.InMemoryRelation
+          if m.output.exists(_.name == "score_micro") => m
+      }
+      assert(cached.nonEmpty,
+        "candidate list is no longer persisted — the BM25 probe would " +
+          "re-execute per reference")
+      assert(out.count() > 0)
+    } finally spark.catalog.clearCache()
+  }
 }
