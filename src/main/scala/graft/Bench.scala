@@ -138,14 +138,32 @@ object Bench {
     * (g14's store round-trips, the streaming rows, loaders_bucket). A
     * row's ambient factor must be read off the sentinel leg that matches
     * its shape.
+    *
+    * r19: 25 → 10 jobs. In a degraded window the sched leg ran 1.3-10 s
+    * PER READING × 83 readings — several unbudgeted minutes that helped
+    * push the r18 contract run past the driver's time cap (rc=124).
+    * 10 jobs keeps the latency median meaningful at 40% of the cost.
     */
-  val SentinelJobs: Int = 25
+  val SentinelJobs: Int =
+    sys.env.get("SPARK_GRAFT_SENTINEL_JOBS").flatMap(_.toIntOption)
+      .filter(_ >= 0).getOrElse(10)
 
   /** Timed rows between sentinel re-runs: fine enough to bracket a
     * multi-minute steal burst, coarse enough that the sentinel series
     * stays under ~10% of a quiet run's wall time.
     */
-  val SentinelEvery: Int = 10
+  val SentinelEvery: Int =
+    sys.env.get("SPARK_GRAFT_SENTINEL_EVERY").flatMap(_.toIntOption)
+      .filter(_ > 0).getOrElse(10)
+
+  /** Hard cap on the sentinel series' share of elapsed wall: once the
+    * cumulative sentinel cost exceeds max(30 s, 5% of elapsed), further
+    * readings are skipped — exactly the degraded-ambient case where each
+    * reading is expensive is the case where an unbounded series eats the
+    * run's time budget (r18's rc=124). The attribution story degrades
+    * gracefully: the brackets get sparser, never costlier.
+    */
+  val SentinelMaxFraction = 0.05
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -190,9 +208,22 @@ object Bench {
     // reading the sentinel readings that bracket its timestamp
     val rowLog = scala.collection.mutable.ArrayBuffer
       .empty[(String, Int, Long, Double)]
+    // successful samples per row (failures excluded — they report -1,
+    // not a plausible-looking elapsed time); the estimators below read
+    // this map so a partial flush mid-pass sees every completed row
+    val samples = scala.collection.mutable.Map
+      .empty[String, Vector[Double]].withDefaultValue(Vector.empty)
     val sentinelLog = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Double, Double)]
-    def sentinelOnce(): Unit = {
+    // run-wall origin for the sentinel cap and the time budget below
+    val runT0 = System.nanoTime()
+    def elapsed(): Double = (System.nanoTime() - runT0) / 1e9
+    var sentinelWall = 0.0
+    def sentinelOnce(force: Boolean = false): Unit = {
+      // wall-budget the series (see SentinelMaxFraction); the closing
+      // bracket is forced so the last rows always get a trailing reading
+      if (!force && sentinelWall > math.max(30.0, SentinelMaxFraction * elapsed()))
+        return
       val ts = System.currentTimeMillis() / 1000
       val t0 = System.nanoTime()
       spark.range(SentinelRows).selectExpr("bit_xor(xxhash64(id))").collect()
@@ -200,21 +231,30 @@ object Bench {
       var i = 0
       while (i < SentinelJobs) { spark.range(1000).count(); i += 1 }
       sentinelLog += ((ts, (t1 - t0) / 1e9, (System.nanoTime() - t1) / 1e9))
+      sentinelWall += (System.nanoTime() - t0) / 1e9
     }
     var sinceSentinel = 0
+    // incremental flush hook (set below, after the emit helpers exist):
+    // a run killed by the driver's time cap still leaves a parseable
+    // partial record in the bench_out file (r18's rc=124 left NOTHING)
+    var flush: () => Unit = () => ()
     def timeOne(name: String, pass: Int): Option[Double] = {
       if (sinceSentinel % SentinelEvery == 0) sentinelOnce()
       sinceSentinel += 1
+      spark.sparkContext.setJobDescription(s"bench:$name#$pass")
       val ts = System.currentTimeMillis() / 1000
       val t0 = System.nanoTime()
       val ok = try { all(name)(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       rowLog += ((name, pass, ts, dt))
+      if (ok) samples(name) = samples(name) :+ dt
+      spark.sparkContext.setJobDescription(null)
       // drop persisted blocks between queries: accumulated storage
       // memory from merge/diff persists squeezes execution memory and
       // makes later queries GC-bound (measured 10x spikes late in the run)
       spark.catalog.clearCache()
+      if (rowLog.size % 20 == 0) flush()
       if (ok) Some(dt) else None
     }
     // buckets are overhead-dominated (hundreds of tiny store-round-trip
@@ -225,83 +265,116 @@ object Bench {
     // a third of median-of-3's cost on a ~150 s bucket
     val bucketReps = sys.env.getOrElse("SPARK_GRAFT_BUCKET_REPS", "2").toInt
       .min(reps).max(1)
-    val headlineSamples = Array.newBuilder[Map[String, Option[Double]]]
-    val bucketSamples = Array.newBuilder[Map[String, Option[Double]]]
-    // interleave bucket passes between headline passes so one sustained
-    // host-load window cannot cover both of a row's reps (same rationale
-    // as the headline interleave above)
-    for (i <- 1 to reps) {
-      headlineSamples += names.map(n => n -> timeOne(n, i)).toMap
-      if (i <= bucketReps)
-        bucketSamples += (fixtureQs ++ loaderQs)
-          .map(n => n -> timeOne(n, i)).toMap
-    }
-    sentinelOnce() // closing bracket: the last rows get a trailing reading
-    val hs = headlineSamples.result()
-    val bs = bucketSamples.result()
-    val results = names.map { name =>
-      val times = hs.toSeq.flatMap(_(name))
-      // failures report -1, not a plausible-looking elapsed time
-      val dt = if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2)
-      name -> dt
-    }
-    def bucketMin(name: String): Double = {
-      val times = bs.toSeq.flatMap(_(name))
-      if (times.isEmpty) -1.0 else times.min
-    }
-    val fixtures = "fixtures_bucket" -> fixtureQs.map(bucketMin).sum
-    // keep the bucket total for round-over-round comparison, but also
-    // record each loader pipeline's own time so a regression localizes
-    // to the loader that caused it
-    val loaderTimes = loaderQs.map(n => n -> bucketMin(n))
-    val loaders = "loaders_bucket" -> loaderTimes.map(_._2).sum
     // times rounded to ms: full-precision doubles pushed the single JSON
     // line past the driver's tail-parse window in round 5 (the leading
     // '{' got clipped and the round artifact recorded parsed=null);
     // millisecond resolution is all the comparison uses
     def r3(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    // headline split: scaled_total is the repeatable signal (median-of-reps
-    // rows whose cost grows with sf); fixture_total is the fixed-fixture
-    // overhead lane (min-of-passes buckets). The grand total remains their
-    // sum for continuity with rounds ≤10.
-    val scaledTotal = results.map(_._2).sum
-    val fixtureTotal = fixtures._2 + loaders._2
-    // rollups namespaced with "__" so a consumer summing or diffing the
-    // per-query entries can exclude them (they are NOT query rows; the
-    // same values are also emitted as separate top-level metric lines).
-    // NOTE (r12→r13 rename): these keys were `scaled_total`/`fixture_total`
-    // through BENCH_r11 and moved to the `__`-prefixed names in r12 — a
-    // cross-round diff of the queries map should treat the pairs as the
-    // same series. The un-prefixed names survive as the standalone
-    // top-level metric lines below, which are the stable interface.
-    val qs = (results ++ loaderTimes :+ fixtures :+ loaders :+
-      ("__scaled_total" -> scaledTotal) :+ ("__fixture_total" -> fixtureTotal))
-      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
-    val total = scaledTotal + fixtureTotal
-    val json =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // The full line outgrew the driver's tail-parse window two rounds
-    // running (88+ queries); emit a short record LAST so the tail always
-    // contains one complete parseable JSON line.
-    val summary = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    // the FILE record carries the full attribution payload: every timed
-    // run with its start timestamp, plus the interleaved sentinel series
-    // — any row's ambient factor is (bracketing sentinel readings /
-    // quiet-sentinel ≈ 0.6 s). stdout keeps the compact lines only.
-    val rowsJson = rowLog
-      .map { case (n, p, ts, s) =>
-        s"""{"n":"$n","p":$p,"t":$ts,"s":${r3(s)}}""" }
-      .mkString("[", ",", "]")
-    // s = CPU-throughput leg, j = scheduling-latency leg (25 tiny jobs)
-    val sentinelJson = sentinelLog
-      .map { case (ts, s, j) => s"""{"t":$ts,"s":${r3(s)},"j":${r3(j)}}""" }
-      .mkString("[", ",", "]")
-    val fileJson = json.stripSuffix("}") +
-      s""","rows":$rowsJson,"sentinel":$sentinelJson}"""
-    Files.writeString(Paths.get(out), fileJson + "\n")
+    // Assemble the metric payload from whatever samples exist so far.
+    // `partial = true` (the incremental flushes) includes only rows with
+    // ≥ 1 sample and tags the record `"partial":true` — a run killed by
+    // the driver's external time cap leaves a parseable per-row record
+    // in the bench_out file instead of nothing (r18's rc=124 artifact).
+    // The final call (partial = false) reports unsampled rows as -1,
+    // exactly the old failure signaling.
+    def payload(partial: Boolean): (String, String, String, Double, Double) = {
+      def median(ts: Vector[Double]): Double =
+        if (ts.isEmpty) -1.0 else ts.sorted.apply(ts.size / 2)
+      def minOf(ts: Vector[Double]): Double =
+        if (ts.isEmpty) -1.0 else ts.min
+      val hNames = if (partial) names.filter(samples(_).nonEmpty) else names
+      // headline = median of interleaved reps; buckets = min of passes
+      // (the noise is strictly additive — see the bucketReps note above)
+      val results = hNames.map(n => n -> median(samples(n)))
+      val (lQs, fQs) =
+        if (partial) (loaderQs.filter(samples(_).nonEmpty),
+          fixtureQs.filter(samples(_).nonEmpty))
+        else (loaderQs, fixtureQs)
+      val fixtures = "fixtures_bucket" -> fQs.map(n => minOf(samples(n))).sum
+      // keep the bucket total for round-over-round comparison, but also
+      // record each loader pipeline's own time so a regression localizes
+      // to the loader that caused it
+      val loaderTimes = lQs.map(n => n -> minOf(samples(n)))
+      val loaders = "loaders_bucket" -> loaderTimes.map(_._2).sum
+      // headline split: scaled_total is the repeatable signal
+      // (median-of-reps rows whose cost grows with sf); fixture_total is
+      // the fixed-fixture overhead lane (min-of-passes buckets). The
+      // grand total remains their sum for continuity with rounds ≤10.
+      val scaledTotal = results.map(_._2).sum
+      val fixtureTotal = fixtures._2 + loaders._2
+      // rollups namespaced with "__" so a consumer summing or diffing the
+      // per-query entries can exclude them (they are NOT query rows; the
+      // same values are also emitted as separate top-level metric lines).
+      // NOTE (r12→r13 rename): these keys were `scaled_total`/
+      // `fixture_total` through BENCH_r11 and moved to the `__`-prefixed
+      // names in r12 — a cross-round diff of the queries map should treat
+      // the pairs as the same series. The un-prefixed names survive as
+      // the standalone top-level metric lines below, which are the
+      // stable interface.
+      val qs = (results ++ loaderTimes :+ fixtures :+ loaders :+
+        ("__scaled_total" -> scaledTotal) :+ ("__fixture_total" -> fixtureTotal))
+        .map { case (k, v) => "\"" + k + "\":" + r3(v) }
+        .mkString("{", ",", "}")
+      val total = scaledTotal + fixtureTotal
+      val json =
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      // The full line outgrew the driver's tail-parse window two rounds
+      // running (88+ queries); emit a short record LAST so the tail
+      // always contains one complete parseable JSON line.
+      val summary = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir"}"""
+      // the FILE record carries the full attribution payload: every timed
+      // run with its start timestamp, plus the interleaved sentinel series
+      // — any row's ambient factor is (bracketing sentinel readings /
+      // quiet-sentinel ≈ 0.6 s). stdout keeps the compact lines only.
+      val rowsJson = rowLog
+        .map { case (n, p, ts, s) =>
+          s"""{"n":"$n","p":$p,"t":$ts,"s":${r3(s)}}""" }
+        .mkString("[", ",", "]")
+      // s = CPU-throughput leg, j = scheduling-latency leg (tiny jobs)
+      val sentinelJson = sentinelLog
+        .map { case (ts, s, j) => s"""{"t":$ts,"s":${r3(s)},"j":${r3(j)}}""" }
+        .mkString("[", ",", "]")
+      val fileJson = json.stripSuffix("}") +
+        s""","partial":$partial,"rows":$rowsJson,"sentinel":$sentinelJson}"""
+      (json, summary, fileJson, scaledTotal, fixtureTotal)
+    }
+    def emit(partial: Boolean): (String, String, Double, Double) = {
+      val (json, summary, fileJson, st, ft) = payload(partial)
+      Files.writeString(Paths.get(out), fileJson + "\n")
+      (json, summary, st, ft)
+    }
+    flush = () => { emit(partial = true); () }
+    // Wall-time budget (seconds, measured from Bench start): the r18
+    // contract run at local[32] was killed by the driver's external cap
+    // (rc=124) and left no record at all. Instead of dying, DEGRADE: the
+    // first headline and bucket passes always run (every row gets ≥ 1
+    // sample); each later pass runs only if its projected cost — that
+    // segment's previous duration — fits the remaining budget. A degraded
+    // run is a valid record with fewer samples per row (same estimator
+    // code over a shorter list), strictly better than a truncated one.
+    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "2100").toDouble
+    var lastHeadline = 0.0
+    var lastBucket = 0.0
+    // interleave bucket passes between headline passes so one sustained
+    // host-load window cannot cover both of a row's reps (same rationale
+    // as the headline interleave above)
+    for (i <- 1 to reps) {
+      if (i == 1 || elapsed() + lastHeadline <= budget) {
+        val t = System.nanoTime()
+        names.foreach(n => timeOne(n, i))
+        lastHeadline = (System.nanoTime() - t) / 1e9
+      }
+      if (i <= bucketReps && (i == 1 || elapsed() + lastBucket <= budget)) {
+        val t = System.nanoTime()
+        (fixtureQs ++ loaderQs).foreach(n => timeOne(n, i))
+        lastBucket = (System.nanoTime() - t) / 1e9
+      }
+      emit(partial = true)
+    }
+    sentinelOnce(force = true) // closing bracket: trailing reading for the last rows
+    val (json, summary, scaledTotal, fixtureTotal) = emit(partial = false)
     // Quiesce Spark COMPLETELY before emitting the metric lines, and make
     // them the very last stdout of the run: in round 16 the state-store
     // maintenance pool's teardown stack trace ("RpcEnv already stopped",

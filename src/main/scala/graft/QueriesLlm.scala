@@ -851,7 +851,13 @@ private[graft] object QueriesLlm {
     // Exact batch MaxScore over the standing index: head-term candidate
     // generation pruned by the index's per-term impact bounds, output
     // bit-identical to the plain probe — same oracle SQL IS the
-    // exactness claim (plus the componentwise spec).
+    // exactness claim (plus the componentwise spec). r19: the entry
+    // point dispatches on the batch's posting-multiply volume (VERDICT
+    // r18 #6) — below the calibrated crossover it skips the three
+    // MaxScore driver phases for the plain banded probe, so THIS row's
+    // small sf-batch measures the dispatcher's cheap path; the pruning
+    // machinery itself stays pinned by maxScoreChunk's componentwise
+    // spec and the BenchBm25 big-batch lane.
     "llm_bm25_maxscore" -> ((s, dir) => {
       val queries = t(s, dir, "documents").filter(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("qid"),
@@ -1167,7 +1173,9 @@ private[graft] object QueriesLlm {
       // lists below reference each THREE times (standing self-join ×2 +
       // cross probe; probe + batch self-join ×2) and Spark re-executes
       // the tokenize+shingle+minhash subtree per reference — the cache
-      // is the in-query analogue of the parquet-persisted rolling index
+      // is the in-query analogue of the parquet-persisted rolling index.
+      // Cache lifetime: caller-owned (bench/verify clearCache() per row;
+      // see the contract note in Retrieval.proximityRerank)
       def persisted(i: llm.TextOps.DedupIndex) =
         i.copy(bands = i.bands.persist(), shingles = i.shingles.persist())
       val cIdx = persisted(llm.TextOps.buildDedupIndex(corpus, "doc_id", "text"))
@@ -1192,7 +1200,9 @@ private[graft] object QueriesLlm {
       val corpus = e.select(col("vec_id").as("nid"), col("vq"), col("norm2"))
       // blocking cells come off the prebuilt index (build-once/probe-many);
       // persisted: the within-cell pair join references mem on BOTH sides
-      // and re-ran the quantize + cell attach per side when left lazy
+      // and re-ran the quantize + cell attach per side when left lazy.
+      // Cache lifetime: caller-owned (bench/verify clearCache() per row;
+      // see the contract note in Retrieval.proximityRerank)
       val mem = corpus.join(sharedAnnIndex(s, dir).cells, Seq("nid"))
         .withColumnRenamed("nid", "vec_id")
         .persist()

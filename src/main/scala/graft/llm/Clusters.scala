@@ -73,13 +73,23 @@ object Clusters {
           least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
       // pointer jump: comp := min(comp, label(comp))
       val ptr = stepped.select(col("id").as("pid"), col("comp").as("pcomp"))
+      // convergence rides the CHECKPOINT ACTION itself: the observed
+      // changed-label count is collected by the same job that
+      // materializes the round (localCheckpoint runs through withAction,
+      // which delivers CollectMetrics), so each superstep costs ONE
+      // driver action instead of two (checkpoint + a separate isEmpty
+      // scan). On a scheduling-latency-bound host every action is a
+      // multi-second constant; at cluster scale it is one fewer
+      // job-submission round-trip per superstep.
+      val obs = org.apache.spark.sql.Observation()
       val jumped = stepped
         .join(ptr, stepped("comp") === ptr("pid"), "left")
         .select(stepped("id"), stepped("prev"),
           least(stepped("comp"), coalesce(col("pcomp"), stepped("comp"))).as("comp"))
+        .observe(obs, count(when(col("comp") =!= col("prev"), 1)).as("chg"))
         .localCheckpoint()
 
-      converged = jumped.filter(col("comp") =!= col("prev")).isEmpty
+      converged = obs.get("chg").asInstanceOf[Number].longValue == 0L
       labels = jumped.drop("prev")
       it += 1
     }

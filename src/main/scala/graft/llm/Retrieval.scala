@@ -489,9 +489,29 @@ object Retrieval {
       org.apache.spark.sql.types.LongType,
       s"bm25TopKMaxScore needs a BIGINT $qidCol column, got " +
         queries.schema(qidCol).dataType.sql)
+    // r19 small-batch dispatch: below the calibrated crossover the three
+    // MaxScore driver phases (phase-A bound collect, seed scoring, L0
+    // collect) cost MORE than the posting multiply they prune — one
+    // bounded volume-estimate job decides, exactly like [[bm25TopKAuto]]
+    // (production MaxScore engines dispatch the same way: pruning is a
+    // big-batch/head-term device). Both branches are bit-identical, so
+    // the pick is purely a cost decision; the pruning algorithm itself
+    // stays spec-pinned through [[maxScoreChunk]].
+    if (bm25MultiplyVolume(queries, qidCol, qtextCol, index) >
+        Bm25AutoVolumeThreshold)
+      maxScoreRanked(queries, qidCol, qtextCol, index, k, excludeIdEq)
+    else bm25TopK(queries, qidCol, qtextCol, index, k, excludeIdEq)
+  }
+
+  /** The ranked MaxScore pass, shared by [[bm25TopKMaxScore]] and
+    * [[bm25TopKAuto]]'s big-batch branch (so neither pays the volume
+    * estimate twice).
+    */
+  private def maxScoreRanked(queries: DataFrame, qidCol: String,
+      qtextCol: String, index: InvIndex, k: Int,
+      excludeIdEq: Boolean): DataFrame =
     maxScoreChunk(queries, qidCol, qtextCol, index, k, excludeIdEq,
       splitDepth = 8)._1
-  }
 
   /** Driver-phase ceiling: max (query, corpus-term) pairs collected per
     * MaxScore pass (~2M tuples ≈ 200 MB of driver rows). Batches whose
@@ -676,9 +696,13 @@ object Retrieval {
   def bm25TopKAuto(queries: DataFrame, qidCol: String, qtextCol: String,
       index: InvIndex, k: Int, excludeIdEq: Boolean): DataFrame =
     if (bm25MultiplyVolume(queries, qidCol, qtextCol, index) >
-        Bm25AutoVolumeThreshold)
-      bm25TopKMaxScore(queries, qidCol, qtextCol, index, k, excludeIdEq)
-    else bm25TopK(queries, qidCol, qtextCol, index, k, excludeIdEq)
+        Bm25AutoVolumeThreshold) {
+      require(queries.schema(qidCol).dataType ==
+        org.apache.spark.sql.types.LongType,
+        s"MaxScore dispatch needs a BIGINT $qidCol column, got " +
+          queries.schema(qidCol).dataType.sql)
+      maxScoreRanked(queries, qidCol, qtextCol, index, k, excludeIdEq)
+    } else bm25TopK(queries, qidCol, qtextCol, index, k, excludeIdEq)
 
   /** Persistable positional index — the phrase-search artifact the
     * bag-of-words [[InvIndex]] cannot express: `postings` holds one row
@@ -926,7 +950,15 @@ object Retrieval {
     // instead of once per reference. persist (not an eager collect):
     // it adds NO driver action — the first reference materializes it —
     // and the independent broadcast branches keep overlapping; the cache is
-    // query-batch-bounded
+    // query-batch-bounded.
+    // CACHE-LIFETIME CONTRACT (here and at every persist-without-
+    // unpersist site in this file): the returned frame is lazy, so the
+    // function cannot unpersist after the terminal action it never
+    // sees. The CALLER owns cleanup — the bench/verify harnesses run
+    // spark.catalog.clearCache() after each row's action; a long-lived
+    // session composing these operators should unpersist (or
+    // clearCache) at its own query boundaries, or repeated invocations
+    // accumulate MEMORY_AND_DISK blocks until eviction.
     val cand = bm25TopK(queries, qidCol, qtextCol, inv, kCand, excludeIdEq)
       .select(col("query_id"), col("doc_id").as("nid"), col("score_micro"))
       .persist()
@@ -1006,7 +1038,8 @@ object Retrieval {
     // |queries|·k id pairs, referenced twice (candidate semi-join +
     // vote restriction) — persisted so the caller's ranking probe
     // computes once into the block cache, not per reference (no eager
-    // action: the first reference materializes it)
+    // action: the first reference materializes it). Cache lifetime:
+    // caller-owned — see the contract note in [[proximityRerank]]
     val pairs = results.select(col("query_id"), col("doc_id").as("nid"))
       .persist()
     // top-k-doc-sized — persisted so the corpus semi-join + tokenize
@@ -1065,7 +1098,8 @@ object Retrieval {
     // same two persists as [[extractSnippets]]: the ranked pairs (two
     // references) cache so the caller's probe runs once; the tokenized
     // candidate table (hit source + snippet-text join) caches its
-    // semi-join + tokenize
+    // semi-join + tokenize. Cache lifetime: caller-owned — see the
+    // contract note in [[proximityRerank]]
     val pairs = results.select(col("query_id"), col("doc_id").as("nid"))
       .persist()
     val cand = docs.join(broadcast(pairs.select(col("nid")).distinct()),

@@ -41,17 +41,20 @@ class BenchConsistencySpec extends AnyFunSuite {
     // wall-clock to read a schema, and fragile to stream hiccups. Their
     // scalar-ness is still gated: the driver's oracle compare errors on
     // any complex cell, and all s2* rows carry oracles (pinned above).
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot(_._1.startsWith("s2")).flatMap {
-      case (name, fn) =>
-        val bad = fn(spark, dir).schema.fields.collect {
+    // memoized construction (TestQueryFrames): building a composition
+    // row's frame runs its probe collects / index builds / CC rounds, so
+    // a second registry-wide construction sweep just for schemas cost
+    // ~575 s of the r18/r19 suite wall — share the frames instead
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(_.startsWith("s2")).flatMap { name =>
+        val bad = TestQueryFrames(name).schema.fields.collect {
           case f if f.dataType.isInstanceOf[ArrayType] ||
             f.dataType.isInstanceOf[MapType] ||
             f.dataType.isInstanceOf[StructType] => s"$name.${f.name}"
         }
         spark.catalog.clearCache()
         bad
-    }
+      }
     assert(offenders.isEmpty,
       s"complex-typed output columns (stringify them): $offenders")
   }
