@@ -88,7 +88,9 @@ object BenchDag {
       val (e, w, m) = core.StoreTimers.snapshot()
       grandStore += e; grandWrite += w
       println(f"""{"pass":$pass,"loader":"__pass_total","wall":${(System.nanoTime() - tp) / 1e9}%.2f,""" +
-        f""""store":${e / 1e9}%.2f,"write":${w / 1e9}%.2f,"merges":$m}""")
+        f""""store":${e / 1e9}%.2f,"write":${w / 1e9}%.2f,"merges":$m,""" +
+        f""""touch":${core.StoreTimers.touchNanos.get() / 1e9}%.2f,""" +
+        f""""readplan":${core.StoreTimers.readPlanNanos.get() / 1e9}%.2f}""")
     }
     val tv = System.nanoTime()
     store.vacuumAll()

@@ -216,12 +216,49 @@ class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32
     * schemas (see merge's alignment) and need mergeSchema; a single
     * version's buckets share one schema, so the footer-merge cost is
     * skipped for the common post-compaction case.
+    *
+    * r19 per-dir schema cache: a published leaf directory is IMMUTABLE
+    * (layers are staged and atomically renamed, never rewritten), so its
+    * INFERRED schema is read once and cached — caching only what
+    * inference returns keeps the cached path byte-identical to today's
+    * (no write-plan-vs-parquet nullability drift). When every requested
+    * dir carries the SAME schema (the overwhelmingly common case:
+    * schema evolution only happens where different sources share a
+    * table), the read passes that schema explicitly and Spark skips
+    * footer inference; genuinely mixed schemas keep today's mergeSchema
+    * path. Measured motivation: readDirs construction was ~10% of the
+    * DAG's store time (BenchDag r19 instrumentation), and dimension
+    * tables are re-read by almost every loader — only a NEW layer's
+    * dirs ever pay inference, once each.
     */
-  private def readDirs(dirs: Seq[String]): DataFrame = {
-    val versions = dirs.map(_.split("/").takeRight(2).head).distinct
-    spark.read
-      .option("mergeSchema", (versions.length > 1).toString)
-      .parquet(dirs: _*)
+  private val dirSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  /** Schema of a leaf (`.../v=NNNNN/__b=K`) directory, cached per VERSION
+    * directory: every bucket of a layer was written by one plan, so one
+    * inference covers all 32 — per-bucket inference would pay a listing
+    * per dir and LOSE to the single multi-dir read it replaces (measured:
+    * readplan 10 → 41 s/pass on the first attempt). The version-dir read
+    * sees the `__b=` partition column; strip it — a leaf-dir read does
+    * not surface it.
+    */
+  private def dirSchema(dir: String): org.apache.spark.sql.types.StructType = {
+    val vDir = dir.substring(0, dir.lastIndexOf('/'))
+    dirSchemaCache.computeIfAbsent(vDir, d =>
+      org.apache.spark.sql.types.StructType(
+        spark.read.parquet(d).schema.fields.filterNot(_.name == "__b")))
+  }
+
+
+  private def readDirs(dirs: Seq[String]): DataFrame = StoreTimers.readPlan {
+    val schemas = dirs.map(dirSchema).distinct
+    if (schemas.length == 1) spark.read.schema(schemas.head).parquet(dirs: _*)
+    else {
+      val versions = dirs.map(_.split("/").takeRight(2).head).distinct
+      spark.read
+        .option("mergeSchema", (versions.length > 1).toString)
+        .parquet(dirs: _*)
+    }
   }
 
   def read(table: String): Option[DataFrame] = StoreTimers.entry {
@@ -262,8 +299,10 @@ class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32
     * action that can materialize the (persisted) incoming frame.
     */
   private def touchedBuckets(df: DataFrame, m: Meta): Set[Int] =
-    df.agg(collect_set(bucketExpr(m).cast("int")).as("__bs"))
-      .collect()(0).getSeq[Int](0).toSet
+    StoreTimers.touch {
+      df.agg(collect_set(bucketExpr(m).cast("int")).as("__bs"))
+        .collect()(0).getSeq[Int](0).toSet
+    }
 
   // NOTE (r18 negative result, kept for the record): a variant that
   // fused bucket discovery into the write action for small tables (read
@@ -433,9 +472,31 @@ class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32
       setCols: Seq[String] = Nil,
       softDelete: Boolean = false): Map[String, Long] = StoreTimers.entry {
     StoreTimers.mergeCalls.incrementAndGet()
-    lockFor(table).synchronized {
-      mergeLocked(table, incoming, keyCols, compareCols, setCols, softDelete)
-    }
+    // r19 lock narrowing: bucket discovery reads ONLY the caller's
+    // incoming frame, so it runs BEFORE the table lock — same-table
+    // siblings under level-concurrent orchestration overlap their
+    // discovery jobs (25-40% of per-merge store time in the BenchDag
+    // r19 attribution) instead of serializing their entire merges. The
+    // lock still covers classify + version allocation + write, which is
+    // what sibling visibility and layer integrity actually require; the
+    // touched-bucket set is a pure function of `incoming`, so computing
+    // it pre-lock cannot go stale. If the table doesn't exist yet the
+    // discovery is skipped (first-write path); in the rare race where a
+    // sibling creates it before we take the lock, mergeLocked computes
+    // the set inside the lock exactly as before.
+    val preDiscover = !softDelete && latestVersion(table).nonEmpty
+    if (preDiscover) incoming.persist()
+    try {
+      val pre =
+        if (preDiscover)
+          Some(touchedBuckets(incoming,
+            lockFor(table).synchronized(metaFor(table, keyCols))))
+        else None
+      lockFor(table).synchronized {
+        mergeLocked(table, incoming, keyCols, compareCols, setCols,
+          softDelete, pre, cached = preDiscover)
+      }
+    } finally if (preDiscover) { incoming.unpersist(); () }
   }
 
   private def mergeLocked(
@@ -444,7 +505,9 @@ class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32
       keyCols: Seq[String],
       compareCols: Seq[String],
       setCols: Seq[String],
-      softDelete: Boolean): Map[String, Long] = {
+      softDelete: Boolean,
+      pre: Option[Set[Int]],
+      cached: Boolean): Map[String, Long] = {
     val m = metaFor(table, keyCols)
     def normalizeSets(df: DataFrame): DataFrame =
       setCols.foldLeft(df)((d, c) => d.withColumn(c, sort_array(col(c))))
@@ -464,17 +527,19 @@ class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32
     }
 
     // the upsert branch evaluates `incoming` twice (bucket scan +
-    // classify) — persist it so an expensive upstream pipeline runs once;
-    // soft-delete merges consume incoming exactly once (no bucket scan),
-    // so caching would be pure overhead there
-    val doubleUse = !softDelete
-    if (doubleUse) incoming.persist()
-    try {
-      val current =
-        if (softDelete) readLatest(table)
-        else readBuckets(table, touchedBuckets(incoming, m))
+    // classify) — the CALLER persisted it pre-lock (see merge) so an
+    // expensive upstream pipeline runs once; soft-delete merges consume
+    // incoming exactly once (no bucket scan), so caching would be pure
+    // overhead there. `cached = false` only in the create-race path
+    // (sibling created the table between the pre-lock check and here):
+    // then the bucket scan + classify each evaluate incoming — correct,
+    // marginally slower, and rare by construction.
+    val current =
+      if (softDelete) readLatest(table)
+      else readBuckets(table, pre.getOrElse(touchedBuckets(incoming, m)))
+    locally {
       val payload = (compareCols ++ setCols).distinct
-      val classified = current match {
+      val classified: DataFrame = current match {
         case Some(cur) =>
           GraphStore.classifyInternal(alignTo(cur, incoming, payload),
             incoming, keyCols, compareCols, setCols, softDelete)
@@ -549,7 +614,7 @@ class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32
           .map(a => a -> obs.get(a).asInstanceOf[Number].longValue)
           .toMap.filter(_._2 != 0L)
       }
-    } finally if (doubleUse) { incoming.unpersist(); () }
+    }
   }
 
   val EdgeKey: Seq[String] = Seq("out", "in", "edgeClass")
@@ -564,22 +629,33 @@ class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32
   def upsertEdges(rawCandidates: DataFrame): Map[String, Long] =
     StoreTimers.entry {
       StoreTimers.mergeCalls.incrementAndGet()
-      lockFor("edges").synchronized { upsertEdgesLocked(rawCandidates) }
+      // the reference's per-record edgeExists check suppresses duplicates
+      // WITHIN one batch too (a trial listing the same intervention twice
+      // creates one edge) — dedup here so every caller gets that semantics
+      val candidates = rawCandidates.dropDuplicates(EdgeKey)
+      // same pre-lock bucket discovery as merge (see the r19 note there):
+      // the scan reads only the caller's candidates, so concurrent
+      // loaders' edge upserts overlap it instead of serializing on the
+      // edges lock; the anti-join + write stay under the lock
+      val preDiscover = latestVersion("edges").nonEmpty
+      if (preDiscover) candidates.persist()
+      try {
+        val pre =
+          if (preDiscover)
+            Some(touchedBuckets(candidates,
+              lockFor("edges").synchronized(metaFor("edges", EdgeKey))))
+          else None
+        lockFor("edges").synchronized { upsertEdgesLocked(candidates, pre) }
+      } finally if (preDiscover) { candidates.unpersist(); () }
     }
 
-  private def upsertEdgesLocked(rawCandidates: DataFrame): Map[String, Long] = {
+  private def upsertEdgesLocked(candidates: DataFrame,
+      pre: Option[Set[Int]]): Map[String, Long] = {
     val m = metaFor("edges", EdgeKey)
-    // the reference's per-record edgeExists check suppresses duplicates
-    // WITHIN one batch too (a trial listing the same intervention twice
-    // creates one edge) — dedup here so every caller gets that semantics
-    val candidates = rawCandidates.dropDuplicates(EdgeKey)
-    // same double-use as merge: bucket scan + anti-join both read candidates
-    val doubleUse = latestVersion("edges").nonEmpty
-    if (doubleUse) candidates.persist()
-    try {
+    locally {
       val existing =
         if (latestVersion("edges").isEmpty) None
-        else readBuckets("edges", touchedBuckets(candidates, m))
+        else readBuckets("edges", pre.getOrElse(touchedBuckets(candidates, m)))
       // fused anti-join → union → per-bucket fresh flag → observed created
       // count → fresh-buckets-only staged write: the separate fresh.count()
       // job (and the fresh cache round-trip) fold into the write action —
@@ -610,7 +686,7 @@ class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32
         obs.get("created").asInstanceOf[Number].longValue > 0L
       }.foreach(_ => maybeCompact("edges"))
       Map("created" -> obs.get("created").asInstanceOf[Number].longValue)
-    } finally if (doubleUse) { candidates.unpersist(); () }
+    }
   }
 
   /** K7 — source dimension upsert keyed by name (graphkb.js:614-624). */

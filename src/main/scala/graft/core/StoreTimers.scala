@@ -29,6 +29,21 @@ object StoreTimers {
   val entryNanos = new AtomicLong(0L)
   val writeNanos = new AtomicLong(0L)
   val mergeCalls = new AtomicLong(0L)
+  // r19 fine-grained attribution (read by BenchDag only): the
+  // bucket-discovery collect job and the readDirs DataFrame construction
+  // (file listing + footer/mergeSchema work happen inside spark.read)
+  val touchNanos = new AtomicLong(0L)
+  val readPlanNanos = new AtomicLong(0L)
+
+  def touch[T](f: => T): T = {
+    val t0 = System.nanoTime()
+    try f finally touchNanos.addAndGet(System.nanoTime() - t0)
+  }
+
+  def readPlan[T](f: => T): T = {
+    val t0 = System.nanoTime()
+    try f finally readPlanNanos.addAndGet(System.nanoTime() - t0)
+  }
 
   private val depth = new ThreadLocal[Integer] {
     override def initialValue(): Integer = 0
@@ -52,7 +67,8 @@ object StoreTimers {
     try f finally writeNanos.addAndGet(System.nanoTime() - t0)
   }
 
-  def reset(): Unit = { entryNanos.set(0L); writeNanos.set(0L); mergeCalls.set(0L) }
+  def reset(): Unit = { entryNanos.set(0L); writeNanos.set(0L); mergeCalls.set(0L)
+    touchNanos.set(0L); readPlanNanos.set(0L) }
 
   /** (entryNanos, writeNanos, mergeCalls) at this instant. */
   def snapshot(): (Long, Long, Long) =
