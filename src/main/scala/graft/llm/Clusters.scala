@@ -73,23 +73,24 @@ object Clusters {
           least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
       // pointer jump: comp := min(comp, label(comp))
       val ptr = stepped.select(col("id").as("pid"), col("comp").as("pcomp"))
-      // convergence rides the CHECKPOINT ACTION itself: the observed
-      // changed-label count is collected by the same job that
-      // materializes the round (localCheckpoint runs through withAction,
-      // which delivers CollectMetrics), so each superstep costs ONE
-      // driver action instead of two (checkpoint + a separate isEmpty
-      // scan). On a scheduling-latency-bound host every action is a
-      // multi-second constant; at cluster scale it is one fewer
-      // job-submission round-trip per superstep.
-      val obs = org.apache.spark.sql.Observation()
+      // NOTE (r19 negative result, kept for the record): folding the
+      // convergence check into the checkpoint action via observe() —
+      // one driver action per superstep instead of checkpoint + the
+      // isEmpty scan below — was built and A/B'd (interleaved, 2 rounds
+      // × 3 dedup rows at sf0.1) and LOST: llm_rolling_dedup cold
+      // 16.4 → 21.8 s min, warm 5.0 → 6.0 s, same direction on
+      // llm_dedup_clusters / llm_incremental_dedup. Observation.get
+      // waits on the ASYNC listener bus once per superstep, and under
+      // load that wait costs more than the synchronous isEmpty job it
+      // replaced (which scans already-checkpointed blocks). The
+      // two-action loop stays.
       val jumped = stepped
         .join(ptr, stepped("comp") === ptr("pid"), "left")
         .select(stepped("id"), stepped("prev"),
           least(stepped("comp"), coalesce(col("pcomp"), stepped("comp"))).as("comp"))
-        .observe(obs, count(when(col("comp") =!= col("prev"), 1)).as("chg"))
         .localCheckpoint()
 
-      converged = obs.get("chg").asInstanceOf[Number].longValue == 0L
+      converged = jumped.filter(col("comp") =!= col("prev")).isEmpty
       labels = jumped.drop("prev")
       it += 1
     }
