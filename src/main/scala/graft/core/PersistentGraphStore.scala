@@ -534,9 +534,12 @@ class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32
     // (sibling created the table between the pre-lock check and here):
     // then the bucket scan + classify each evaluate incoming — correct,
     // marginally slower, and rare by construction.
+    val touched: Option[Set[Int]] =
+      if (softDelete) None
+      else Some(pre.getOrElse(touchedBuckets(incoming, m)))
     val current =
       if (softDelete) readLatest(table)
-      else readBuckets(table, pre.getOrElse(touchedBuckets(incoming, m)))
+      else readBuckets(table, touched.get)
     locally {
       val payload = (compareCols ++ setCols).distinct
       val classified: DataFrame = current match {
@@ -591,9 +594,23 @@ class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32
         // layer write wants anyway (one task per bucket, well-sized
         // files); an all-noop replay pays it on touched-bucket rows where
         // the old path paid a cache materialization — a wash.
+        // r19: size the layer shuffle to the TOUCHED bucket count, not the
+        // table's full bucket count — classified holds rows of touched
+        // buckets only (current was pruned to them; incoming defines
+        // them), so a trickle merge runs 1-3 write tasks instead of
+        // nBuckets mostly-empty ones (guide §2.2 fewer tasks; the empty
+        // tasks were pure scheduling constant × hundreds of merges in the
+        // loader DAG). Scale-adaptive by construction: a batch that
+        // touches every bucket keeps one task per bucket, the layout the
+        // r18 A/B pinned (parallel parquet-writer opens). A hash collision
+        // at small counts just means one task writes two bucket files
+        // sequentially — both tiny by definition of the small count.
+        val nParts = touched
+          .map(t => math.min(m.nBuckets, math.max(1, t.size)))
+          .getOrElse(m.nBuckets)
         val bucketed = classified
           .withColumn("__b", bucketExpr(m))
-          .repartition(m.nBuckets, col("__b"))
+          .repartition(nParts, col("__b"))
         val anyRewrite = max(col(GraphStore.REWRITE).cast("int")).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("__b")))
         val obs = org.apache.spark.sql.Observation()
@@ -653,9 +670,10 @@ class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32
       pre: Option[Set[Int]]): Map[String, Long] = {
     val m = metaFor("edges", EdgeKey)
     locally {
-      val existing =
+      val touched: Option[Set[Int]] =
         if (latestVersion("edges").isEmpty) None
-        else readBuckets("edges", pre.getOrElse(touchedBuckets(candidates, m)))
+        else Some(pre.getOrElse(touchedBuckets(candidates, m)))
+      val existing = touched.flatMap(readBuckets("edges", _))
       // fused anti-join → union → per-bucket fresh flag → observed created
       // count → fresh-buckets-only staged write: the separate fresh.count()
       // job (and the fresh cache round-trip) fold into the write action —
@@ -671,9 +689,15 @@ class PersistentGraphStore(spark: SparkSession, root: String, nBuckets: Int = 32
             allowMissingColumns = true)
         case None => candidates.withColumn("__fresh", lit(true))
       }
+      // same touched-bucket-count layer shuffle as merge (r19): the layer
+      // holds candidate-bucket rows only (existing was pruned to them;
+      // every candidate edge lands in one of them by definition)
+      val nParts = touched
+        .map(t => math.min(m.nBuckets, math.max(1, t.size)))
+        .getOrElse(m.nBuckets)
       val bucketed = layer
         .withColumn("__b", bucketExpr(m))
-        .repartition(m.nBuckets, col("__b"))
+        .repartition(nParts, col("__b"))
       val anyFresh = max(col("__fresh").cast("int")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("__b")))
       val obs = org.apache.spark.sql.Observation()

@@ -796,6 +796,27 @@ object Retrieval {
       index: PosIndex, k: Int): DataFrame =
     phraseTopK(queries, qidCol, qtextCol, index.postings, k)
 
+  /** DISTINCT window starts covered by a positional posting row — the
+    * union over its positions p of the intervals
+    * [greatest(0, p − window + 1), p], computed per row from the sorted
+    * `positions` array (r19). Replaces the explode-then-`.distinct()`
+    * vote dedup in the proximity paths: positions are sorted ascending
+    * and unique per (doc, word), so each position's new starts begin at
+    * max(its own interval start, previous position + 1) — the classic
+    * interval-union telescope — and the flattened list is distinct and
+    * ascending BY CONSTRUCTION. The distinct that this replaces was a
+    * full shuffle of the widest intermediate in the query (every
+    * exploded (query, doc, word, start) vote row); this form is a pure
+    * map-side higher-order expression, so the vote stream goes straight
+    * into the partial-aggregating groupBy with one fewer Exchange.
+    */
+  private def coveredStarts(window: Int): Column = expr(
+    s"""flatten(transform(positions, (p, i) -> sequence(
+       |  CASE WHEN i = 0 THEN greatest(0L, p - ${window - 1}L)
+       |       ELSE greatest(greatest(0L, p - ${window - 1}L),
+       |                     element_at(positions, i) + 1L) END,
+       |  p)))""".stripMargin)
+
   /** EXACT phrase top-k over positional postings: a document matches the
     * n-word phrase at start offset s iff for EVERY phrase slot i its
     * word occurs at position s + i; `n_occurrences` counts the distinct
@@ -888,14 +909,15 @@ object Retrieval {
     // bounded by the query-word set — the shared probe collect contract
     val qbands = qw.select(band(col("word")).as("__band")).distinct()
       .collect().map(_.getInt(0)).sorted
+    // votes are distinct (query, doc, word, start) rows BY CONSTRUCTION:
+    // postings are unique per (doc, word), qw per (query, word), and
+    // [[coveredStarts]] emits each covered start once — so the explode-
+    // then-`.distinct()` dedup (a full shuffle of the widest intermediate)
+    // is replaced by a map-side interval union (guide §2.4)
     val votes = posIndex.filter(col("__band").isin(qbands: _*))
       .join(broadcast(qw), Seq("word"))
-      .select(col("query_id"), col("nid"), col("word"),
-        explode(col("positions")).as("p"))
-      .select(col("query_id"), col("nid"), col("word"),
-        explode(expr(s"sequence(greatest(0L, p - ${window - 1}), p)"))
-          .as("s"))
-      .distinct()
+      .select(col("query_id"), col("nid"),
+        explode(coveredStarts(window)).as("s"))
     val occ = votes.groupBy(col("query_id"), col("nid"), col("s"))
       .agg(count(lit(1)).as("k_i"))
       .join(broadcast(nw), Seq("query_id"))
@@ -971,15 +993,14 @@ object Retrieval {
     // bounded by the query-word set — the shared probe collect contract
     val qbands = qw.select(band(col("word")).as("__band")).distinct()
       .collect().map(_.getInt(0)).sorted
+    // same map-side interval-union vote dedup as [[proximityTopK]] (r19):
+    // the candidate-pair restriction keeps rows unique per (query, doc,
+    // word), so no post-explode distinct is needed
     val votes = pos.postings.filter(col("__band").isin(qbands: _*))
       .join(broadcast(qw), Seq("word"))
       .join(broadcast(pairs), Seq("query_id", "nid"))
-      .select(col("query_id"), col("nid"), col("word"),
-        explode(col("positions")).as("p"))
-      .select(col("query_id"), col("nid"), col("word"),
-        explode(expr(s"sequence(greatest(0L, p - ${window - 1}), p)"))
-          .as("s"))
-      .distinct()
+      .select(col("query_id"), col("nid"),
+        explode(coveredStarts(window)).as("s"))
     val wins = votes.groupBy(col("query_id"), col("nid"), col("s"))
       .agg(count(lit(1)).as("k_i"))
       .join(broadcast(nw), Seq("query_id"))
