@@ -1070,15 +1070,18 @@ object Retrieval {
       .select(col(idCol).as("nid"), toks(textCol).as("ws"))
       .persist()
     val qw = bm25QueryTerms(queries, qidCol, qtextCol)
-    val votes = cand
-      .select(col("nid"), posexplode(col("ws")).as(Seq("p", "word")))
-      .join(broadcast(qw), Seq("word"))
-      .join(broadcast(pairs), Seq("query_id", "nid"))
-      .select(col("query_id"), col("nid"), col("word"),
-        explode(expr(
-          s"sequence(CAST(greatest(0, p - ${window - 1}) AS BIGINT), " +
-            "CAST(p AS BIGINT))")).as("s"))
-      .distinct()
+    // r19: per-(pair, query-word) hit positions computed straight off the
+    // token array with one higher-order filter/transform (replacing the
+    // posexplode + word join), then the same map-side interval union as
+    // the proximity paths ([[coveredStarts]]) — votes are distinct by
+    // construction, so the post-explode `.distinct()` exchange is gone
+    val votes = cand.join(broadcast(pairs), Seq("nid"))
+      .join(broadcast(qw), Seq("query_id"))
+      .select(col("query_id"), col("nid"), expr(
+        "filter(transform(ws, (w, i) -> IF(w = word, CAST(i AS BIGINT), -1L)), x -> x >= 0)")
+        .as("positions"))
+      .select(col("query_id"), col("nid"),
+        explode(coveredStarts(window)).as("s"))
     val best = votes.groupBy(col("query_id"), col("nid"), col("s"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("query_id"), col("nid"))
@@ -1129,19 +1132,22 @@ object Retrieval {
       .persist()
     val qw = bm25QueryTerms(queries, qidCol, qtextCol)
     // query-word hit positions in candidate docs (0-based), shared by
-    // the start votes AND the offset payload
-    val hits = cand
-      .select(col("nid"), posexplode(col("ws")).as(Seq("p", "word")))
-      .join(broadcast(qw), Seq("word"))
-      .join(broadcast(pairs), Seq("query_id", "nid"))
-      .select(col("query_id"), col("nid"), col("word"),
-        col("p").cast("long").as("p"))
+    // the start votes AND the offset payload. r19: positions are
+    // computed per (pair, query-word) as ARRAYS straight off the token
+    // array (one higher-order filter/transform replaces the posexplode +
+    // word join), so the checkpoint is narrower (one row per hit word,
+    // not per hit position) and the start votes dedupe map-side via
+    // [[coveredStarts]] — the post-explode `.distinct()` exchange is gone
+    val hits = cand.join(broadcast(pairs), Seq("nid"))
+      .join(broadcast(qw), Seq("query_id"))
+      .select(col("query_id"), col("nid"), expr(
+        "filter(transform(ws, (w, i) -> IF(w = word, CAST(i AS BIGINT), -1L)), x -> x >= 0)")
+        .as("positions"))
+      .filter(size(col("positions")) > 0)
       .localCheckpoint() // two consumers; top-k-doc-sized (bounded)
     val cnt = hits
-      .select(col("query_id"), col("nid"), col("word"),
-        explode(expr(s"sequence(greatest(0L, p - ${window - 1}), p)"))
-          .as("s"))
-      .distinct()
+      .select(col("query_id"), col("nid"),
+        explode(coveredStarts(window)).as("s"))
       .groupBy(col("query_id"), col("nid"), col("s"))
       .agg(count(lit(1)).as("c"))
       .localCheckpoint() // nSnippets argmax passes re-read it
@@ -1170,7 +1176,9 @@ object Retrieval {
     val chosen = picks.reduce(_ unionByName _)
     // chosen is ≤ nSnippets rows per pair — broadcast, so the offset
     // attach is a map-side join over the hit table
-    val offsets = hits.join(broadcast(chosen.select(col("query_id"),
+    val offsets = hits
+      .select(col("query_id"), col("nid"), explode(col("positions")).as("p"))
+      .join(broadcast(chosen.select(col("query_id"),
         col("nid"), col("s"), col("snippet_rank"))), Seq("query_id", "nid"))
       .filter(col("p") >= col("s") && col("p") <= col("s") + (window - 1))
       .groupBy(col("query_id"), col("nid"), col("snippet_rank"), col("s"))
