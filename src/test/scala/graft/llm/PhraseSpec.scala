@@ -74,6 +74,38 @@ class PhraseSpec extends AnyFunSuite {
     assert(runProx(Seq((1L, "a b c")), "a zzz", 9) == Nil)
   }
 
+  test("proximity window counts ≡ brute-force reference on random docs " +
+    "(r19 interval-union vote pin)") {
+    // the r19 coveredStarts rewrite computes distinct start votes per
+    // posting row via an interval union instead of explode+distinct;
+    // this property pins the whole vote algebra against an independent
+    // Scala reference: n_windows(doc) = |{s ≥ 0 : every distinct query
+    // word occurs in doc[s .. s+W−1]}| — including the head-clamp,
+    // repeated-position and word-multiplicity edge cases the union
+    // telescope must preserve
+    val rnd = new scala.util.Random(190219L)
+    val alphabet = Vector("a", "b", "c", "d", "e")
+    for (_ <- 1 to 8) {
+      val w = 1 + rnd.nextInt(7)
+      val docs = (1L to 8L).map { id =>
+        val len = rnd.nextInt(28)
+        id -> Vector.fill(len)(alphabet(rnd.nextInt(alphabet.size)))
+      }
+      val qwords = rnd.shuffle(alphabet).take(1 + rnd.nextInt(3))
+      val expected = docs.flatMap { case (id, ts) =>
+        val n = (0 until ts.length).count { s =>
+          val win = ts.slice(s, s + w).toSet
+          qwords.forall(win.contains)
+        }
+        if (n > 0) Some(id -> n.toLong) else None
+      }.sortBy { case (id, n) => (-n, id) }.toList
+      val got = runProx(docs.map { case (id, ts) => (id, ts.mkString(" ")) },
+        qwords.mkString(" "), w, k = 100)
+      assert(got == expected,
+        s"W=$w q=${qwords.mkString(" ")} docs=${docs.map(_._2.mkString(" "))}")
+    }
+  }
+
   test("phrase matches ⊆ proximity matches at W ≥ phrase length") {
     val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
     val queries = docs.filter(col("doc_id") % 89 === 0)
