@@ -44,6 +44,41 @@ class SnippetSpec extends AnyFunSuite {
       List((1L, 1L, 1L, "y z a")))
   }
 
+  test("best window ≡ brute-force reference on random docs " +
+    "(r19 token-array vote pin)") {
+    // the r19 rewrite computes hit positions from the token array and
+    // dedupes start votes via the interval union; this property pins the
+    // full (most distinct query words, smallest start) law against an
+    // independent per-doc scan: best = argmax over s ≥ 0 of
+    // (|qwords ∩ doc[s..s+W−1]| DESC, s ASC), restricted to docs that
+    // hold ≥ 1 query word (the ranked-pair contract)
+    val rnd = new scala.util.Random(190220L)
+    val alphabet = Vector("a", "b", "c", "d", "e")
+    for (_ <- 1 to 6) {
+      val w = 1 + rnd.nextInt(6)
+      val docs = (1L to 6L).map { id =>
+        id -> Vector.fill(1 + rnd.nextInt(24))(
+          alphabet(rnd.nextInt(alphabet.size)))
+      }
+      val qwords = rnd.shuffle(alphabet).take(1 + rnd.nextInt(3))
+      val withHit = docs.filter { case (_, ts) => ts.exists(qwords.contains) }
+      if (withHit.nonEmpty) {
+        val expected = withHit.map { case (id, ts) =>
+          val (bestC, bestS) = (0 until ts.length).map { s =>
+            (qwords.count(ts.slice(s, s + w).contains), s)
+          }.maxBy { case (c, s) => (c, -s) }
+          (id, bestS.toLong, bestC.toLong,
+            ts.slice(bestS, bestS + w).mkString(" "))
+        }.toList.sortBy(_._1)
+        val got = snip(docs.map { case (id, ts) => (id, ts.mkString(" ")) },
+          withHit.map { case (id, _) => (100L, id) },
+          qwords.mkString(" "), w)
+        assert(got == expected,
+          s"W=$w q=${qwords.mkString(" ")} docs=${docs.map(_._2.mkString(" "))}")
+      }
+    }
+  }
+
   test("one snippet per ranked pair on the real corpus, offsets in range") {
     val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
     val queries = docs.filter(col("doc_id") % 97 === 0)
