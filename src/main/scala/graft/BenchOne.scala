@@ -11,10 +11,16 @@ object BenchOne {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
+    // SPARK_GRAFT_BENCHONE_CLEARCACHE=1 drops persisted blocks between
+    // reps — the bench-row shape (Bench.scala clearCache()s after every
+    // row), so a persist-bearing row's reps don't silently reuse the
+    // previous rep's blocks through CacheManager plan-matching
+    val clear = sys.env.get("SPARK_GRAFT_BENCHONE_CLEARCACHE").contains("1")
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).count()
       println(f"[benchone] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      if (clear) spark.catalog.clearCache()
     }
     spark.stop()
   }

@@ -1063,12 +1063,28 @@ private[graft] object QueriesLlm {
         .select(col("doc_id").as("qid"),
           expr("array_join(slice(filter(split(lower(text), ' '), " +
             "w -> length(w) > 0), 1, 5), ' ')").as("qtext"))
-      val idx1 = llm.Retrieval.updateInvIndex(
-        llm.Retrieval.buildInvIndex(
-          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text"),
-        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
-      val idx2 = llm.Retrieval.deleteFromInvIndex(idx1,
-        docs.filter(col("doc_id") % 7 === 0), "doc_id", "text")
+      // r19: persist each stage's shared roots (postings/dl/df/stats).
+      // Every lifecycle step references its predecessor's LAZY
+      // components several times (the dedupe anti-join reads dl, the
+      // merged frames read postings/dl/df/stats, the bound rebuild
+      // reads all four), so three chained steps multiplied the base
+      // corpus tokenize into 174 parquet scans of documents.parquet in
+      // ONE probe plan. Caching per stage pins each stage's subtree to
+      // one execution — the in-row analogue of the save() checkpoint a
+      // real deployment would take between lifecycle steps (fwd/
+      // maxImpact stay lazy: they derive from the cached roots and the
+      // plain probe never evaluates them). Cache lifetime: caller-owned
+      // (bench/verify clearCache per row; see
+      // Retrieval.proximityRerank's contract note).
+      def cached(i: llm.Retrieval.InvIndex) = i.copy(
+        postings = i.postings.persist(), dl = i.dl.persist(),
+        dfTable = i.dfTable.persist(), stats = i.stats.persist())
+      val idx1 = cached(llm.Retrieval.updateInvIndex(
+        cached(llm.Retrieval.buildInvIndex(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")),
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text"))
+      val idx2 = cached(llm.Retrieval.deleteFromInvIndex(idx1,
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "text"))
       val idx3 = llm.Retrieval.updateInvIndex(idx2,
         docs.filter(col("doc_id") % 21 === 0), "doc_id", "text")
       llm.Retrieval.bm25TopK(queries, "qid", "qtext", idx3, k = 5,
